@@ -1,0 +1,335 @@
+"""Cube registry: the virtual-cube-over-DataFrames data model.
+
+A ``CubeDef`` plays the role SSAS plays for the reference
+(SURVEY.md §1.4): fact table + dimension views + hierarchies
+(ordered level lists) + declared measures with aggregators
+(MEASURE_AGGREGATOR semantics, reference backend/olap_service.py:110).
+
+Scale design notes
+------------------
+* Dimensions are *views* (lazy DataFrames), grouped by physical view
+  name so that two logical dimensions backed by the same join chain
+  (e.g. customer-geography and order-attributes both riding the
+  ``orders`` bridge) cost ONE fact join, not two.
+* ``region``/``nation`` are constant-size (5/25 rows at every scale
+  factor) → hard ``F.broadcast``.  ``customer``/``supplier``/``part``
+  grow with SF → left to AQE's runtime broadcast conversion instead of
+  a hardcoded hint that would be wrong at 100 TB.
+* Degenerate dimensions (time from ``l_shipdate``) are computed columns
+  on the fact — no join at all.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import load_table
+
+MONTHS_ES = [
+    "Enero", "Febrero", "Marzo", "Abril", "Mayo", "Junio",
+    "Julio", "Agosto", "Septiembre", "Octubre", "Noviembre", "Diciembre",
+]
+
+
+@dataclass(frozen=True)
+class Level:
+    name: str          # e.g. "Nation"
+    caption_col: str   # column in the dim view holding the member caption
+    key_col: str       # column holding the member key (unique within parent)
+    out_name: str      # column name used in query output (snake_case)
+
+
+@dataclass(frozen=True)
+class Hierarchy:
+    name: str
+    levels: tuple[Level, ...]
+
+    def level_by_name(self, name: str) -> Optional[Level]:
+        for lv in self.levels:
+            if lv.name == name:
+                return lv
+        return None
+
+    def level_at_depth(self, depth: int) -> Level:
+        """1-based depth (MDX Levels(0) is the All level, SURVEY N2/Q5)."""
+        return self.levels[depth - 1]
+
+
+@dataclass(frozen=True)
+class Dimension:
+    name: str                      # e.g. "Dim Customer"
+    view: Optional[str]            # physical view key; None = degenerate
+    fact_key: Optional[str]        # fact column for the join
+    view_key: Optional[str]        # view column for the join
+    hierarchies: dict[str, Hierarchy] = field(default_factory=dict)
+
+    def hierarchy(self, name: str) -> Hierarchy:
+        h = self.hierarchies.get(name)
+        if h is None:
+            # tolerate "[Dim].[Hier]"-style long names
+            short = name.split(".")[-1].strip("[]")
+            h = self.hierarchies.get(short)
+        if h is None:
+            raise KeyError(f"unknown hierarchy {name!r} in dimension {self.name!r}")
+        return h
+
+
+@dataclass(frozen=True)
+class Measure:
+    name: str               # e.g. "Sum Extendedprice"
+    aggregator: str         # SUM | COUNT | AVG | MIN | MAX
+    source_col: Optional[str]  # None for COUNT(*)
+    visible: bool = True
+    out_name: str = ""      # output column alias (snake_case)
+
+    def agg_expr(self):
+        agg = self.aggregator.upper()
+        if agg == "COUNT" and self.source_col is None:
+            return F.count(F.lit(1)).alias(self.out_name or self.name)
+        col = F.col(self.source_col)
+        fn = {"SUM": F.sum, "COUNT": F.count, "AVG": F.avg,
+              "MIN": F.min, "MAX": F.max}[agg]
+        return fn(col).alias(self.out_name or self.name)
+
+    @property
+    def unique_name(self) -> str:
+        return f"[Measures].[{self.name}]"
+
+    @property
+    def never_null(self) -> bool:
+        return self.aggregator.upper() == "COUNT"
+
+
+ViewBuilder = Callable[[SparkSession, str], DataFrame]
+Deriver = Callable[[DataFrame], DataFrame]
+
+
+@dataclass
+class CubeDef:
+    name: str
+    catalog: str
+    fact_table: str
+    views: dict[str, ViewBuilder]
+    dimensions: dict[str, Dimension]
+    measures: dict[str, Measure]
+    derive: Optional[Deriver] = None      # degenerate-dim column deriver
+    default_measure: str = ""
+
+    def fact(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load_table(spark, sf_dir, self.fact_table)
+        if self.derive is not None:
+            df = self.derive(df)
+        return df
+
+    def dimension(self, name: str) -> Dimension:
+        d = self.dimensions.get(name) or self.dimensions.get(name.strip("[]"))
+        if d is None:
+            raise KeyError(f"unknown dimension {name!r} in cube {self.name!r}")
+        return d
+
+    def measure(self, name: str) -> Measure:
+        n = name.strip("[]")
+        if n.startswith("Measures]."):       # "[Measures].[X]" stripped outer
+            n = n.split("].[")[-1]
+        if n.lower().startswith("measures"):
+            n = name.split("].[")[-1].rstrip("]")
+        m = self.measures.get(n) or self.measures.get(name)
+        if m is None:
+            raise KeyError(f"unknown measure {name!r} in cube {self.name!r}")
+        return m
+
+    def visible_measures(self) -> list[Measure]:
+        return [m for m in self.measures.values() if m.visible]
+
+
+class CubeRegistry:
+    """catalog → cube resolution (SURVEY Q14: first non-'$' cube of the
+    catalog, fallback to a cube named like the catalog)."""
+
+    def __init__(self) -> None:
+        self._cubes: dict[str, CubeDef] = {}
+
+    def register(self, cube: CubeDef) -> None:
+        self._cubes[cube.name] = cube
+
+    def cubes_in_catalog(self, catalog: str) -> list[CubeDef]:
+        return [c for c in self._cubes.values() if c.catalog == catalog]
+
+    def resolve(self, catalog: str, cube: Optional[str] = None) -> CubeDef:
+        if cube:
+            c = self._cubes.get(cube.strip("[]"))
+            if c is not None:
+                return c
+        cands = [c for c in self.cubes_in_catalog(catalog)
+                 if not c.name.startswith("$")]
+        if not cands:
+            raise KeyError(f"no cube registered for catalog {catalog!r}")
+        for c in cands:  # prefer cube named like the catalog
+            if c.name == catalog:
+                return c
+        return cands[0]
+
+
+# ---------------------------------------------------------------------------
+# The `sales` cube over the driver test star schema (FIXTURES.md §3)
+# ---------------------------------------------------------------------------
+
+def _orders_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation ⋈ region — the bridge view shared by the
+    customer-geography and order-attribute dimensions (one fact join)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    geo = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return o.join(geo, o.o_custkey == geo.c_custkey).select(
+        F.col("o_orderkey"),
+        F.col("r_name").alias("cust_region"),
+        F.col("r_regionkey").alias("cust_region_key"),
+        F.col("n_name").alias("cust_nation"),
+        F.col("n_nationkey").alias("cust_nation_key"),
+        F.col("c_name").alias("cust_customer"),
+        F.col("c_custkey").alias("cust_customer_key"),
+        F.col("c_mktsegment").alias("cust_segment"),
+        F.col("o_orderstatus").alias("order_estado"),
+        F.col("o_orderpriority").alias("order_prioridad"),
+    )
+
+
+def _supplier_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+         .select(
+             F.col("s_suppkey"),
+             F.col("r_name").alias("supp_region"),
+             F.col("r_regionkey").alias("supp_region_key"),
+             F.col("n_name").alias("supp_nation"),
+             F.col("n_nationkey").alias("supp_nation_key"),
+             F.col("s_name").alias("supp_supplier"),
+             F.col("s_suppkey").alias("supp_supplier_key"),
+         )
+    )
+
+
+def _part_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey"),
+        F.col("p_brand").alias("prod_brand"),
+        F.col("p_type").alias("prod_tipo"),
+        F.col("p_name").alias("prod_part"),
+        F.col("p_partkey").alias("prod_part_key"),
+    )
+
+
+def _derive_time(fact: DataFrame) -> DataFrame:
+    """Degenerate time dimension: Año > Mes from l_shipdate, Spanish month
+    captions (the month-ordinal sort fixture, FIXTURES.md §1)."""
+    months = F.array(*[F.lit(m) for m in MONTHS_ES])
+    return (
+        fact.withColumn("anio", F.year("l_shipdate"))
+            .withColumn("mes_num", F.month("l_shipdate"))
+            .withColumn("mes", F.element_at(months, F.col("mes_num")))
+    )
+
+
+def sales_cube(catalog: str = "VENTAS_2025") -> CubeDef:
+    geo_cust = Hierarchy("Geografía", (
+        Level("Region", "cust_region", "cust_region_key", "region"),
+        Level("Nation", "cust_nation", "cust_nation_key", "nation"),
+        Level("Customer", "cust_customer", "cust_customer_key", "customer"),
+    ))
+    seg = Hierarchy("Segmento", (
+        Level("Segmento", "cust_segment", "cust_segment", "segmento"),
+    ))
+    geo_supp = Hierarchy("Geografía Proveedor", (
+        Level("Region", "supp_region", "supp_region_key", "supp_region"),
+        Level("Nation", "supp_nation", "supp_nation_key", "supp_nation"),
+        Level("Supplier", "supp_supplier", "supp_supplier_key", "supplier"),
+    ))
+    producto = Hierarchy("Producto", (
+        Level("Brand", "prod_brand", "prod_brand", "brand"),
+        Level("Tipo", "prod_tipo", "prod_tipo", "tipo"),
+        Level("Part", "prod_part", "prod_part_key", "part"),
+    ))
+    apartado_var = Hierarchy("Apartado y Variable", (
+        Level("Apartado", "prod_brand", "prod_brand", "apartado"),
+        Level("Variable", "prod_part", "prod_part_key", "variable"),
+    ))
+    calendario = Hierarchy("Calendario", (
+        Level("Año", "anio", "anio", "anio"),
+        Level("Mes", "mes", "mes_num", "mes"),
+    ))
+    estado = Hierarchy("Estado", (
+        Level("Estado", "order_estado", "order_estado", "estado"),
+    ))
+    prioridad = Hierarchy("Prioridad", (
+        Level("Prioridad", "order_prioridad", "order_prioridad", "prioridad"),
+    ))
+
+    dims = {
+        "Dim Customer": Dimension(
+            "Dim Customer", "orders_wide", "l_orderkey", "o_orderkey",
+            {"Geografía": geo_cust, "Segmento": seg}),
+        "Dim Proveedor": Dimension(
+            "Dim Proveedor", "supplier_geo", "l_suppkey", "s_suppkey",
+            {"Geografía Proveedor": geo_supp}),
+        "Dim Producto": Dimension(
+            "Dim Producto", "part_view", "l_partkey", "p_partkey",
+            {"Producto": producto}),
+        "DIM VARIABLES2025": Dimension(
+            "DIM VARIABLES2025", "part_view", "l_partkey", "p_partkey",
+            {"Apartado y Variable": apartado_var}),
+        "D Tiempo": Dimension(
+            "D Tiempo", None, None, None, {"Calendario": calendario}),
+        "Dim Orders": Dimension(
+            "Dim Orders", "orders_wide", "l_orderkey", "o_orderkey",
+            {"Estado": estado, "Prioridad": prioridad}),
+    }
+
+    measures = {
+        "Sum Extendedprice": Measure(
+            "Sum Extendedprice", "SUM", "l_extendedprice",
+            out_name="sum_extendedprice"),
+        "Total Registros": Measure(
+            "Total Registros", "COUNT", None, out_name="total_registros"),
+        "Sum Quantity": Measure(
+            "Sum Quantity", "SUM", "l_quantity", out_name="sum_quantity"),
+        "Avg Discount": Measure(
+            "Avg Discount", "AVG", "l_discount", out_name="avg_discount"),
+        "Sum Tax": Measure(  # invisible fixture (MEASURE_IS_VISIBLE=false)
+            "Sum Tax", "SUM", "l_tax", visible=False, out_name="sum_tax"),
+    }
+
+    return CubeDef(
+        name="sales",
+        catalog=catalog,
+        fact_table="lineitem",
+        views={
+            "orders_wide": _orders_wide,
+            "supplier_geo": _supplier_geo,
+            "part_view": _part_view,
+        },
+        dimensions=dims,
+        measures=measures,
+        derive=_derive_time,
+        default_measure="Total Registros",
+    )
+
+
+def default_registry() -> CubeRegistry:
+    reg = CubeRegistry()
+    reg.register(sales_cube())
+    return reg

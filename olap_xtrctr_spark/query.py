@@ -1,0 +1,370 @@
+"""Structured query request → Spark DataFrame plan.
+
+This is the engine-side replacement for the reference's MDX string
+assembly + SSAS execution (SURVEY.md §2.4/§2.5).  The request shape
+mirrors the reference's pydantic ``QueryRequest``
+(backend/api_server.py:83-91): catalog, measures[], variables[],
+rows[], filters[], slicers.
+
+Lowering (SURVEY §2.5):
+
+    SELECT lvl_1..lvl_n, AGG(m_1)..AGG(m_k)
+    FROM fact JOIN dim_views ON keys
+    WHERE member filters AND slicers
+    GROUP BY lvl_1..lvl_n
+
+* NON EMPTY (Q12) = the natural inner-join groupBy; plus a post-agg
+  drop of rows whose measure cells are all NULL.
+* Empty-preserving mode = crossjoin of level member sets left-joined
+  to the aggregate (guarded by the cardinality estimator, N18).
+* CROSSJOIN of row sets (Q8) = multi-key groupBy.
+* Variables (Q17) take the COLUMNS role → ``groupBy().pivot()`` with
+  an explicit value list (one pass, no extra distinct job).
+
+Scale notes: every member/filter selection compiles to key-column
+predicates (parquet-pushdown-able); dimension views join once per
+physical view even when several logical dimensions ride it; nothing
+collects to the driver except bounded metadata (pivot captions).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import naming
+from .cube import CubeDef, CubeRegistry, Dimension, Hierarchy, Level, Measure
+
+# Reference guard constants (BASELINE.md)
+CARDINALITY_WARN_THRESHOLD = 100_000
+MAX_ROW_DIMS = 3
+
+
+class QueryValidationError(ValueError):
+    pass
+
+
+@dataclass
+class AxisItem:
+    """One row-axis entry: a level set (Q4/Q5) or member-literal set (Q3)."""
+    dimension: str
+    hierarchy: str
+    level: Optional[str] = None
+    depth: Optional[int] = None          # 1-based (Q5: Levels(n).MEMBERS)
+    members: Optional[list[str]] = None  # member unique names (Q3)
+    properties: bool = False             # DIMENSION PROPERTIES (Q13)
+
+
+@dataclass
+class FilterSpec:
+    """Member filter crossjoined into rows by the reference (Q10)."""
+    dimension: str
+    hierarchy: str
+    members: list[str]
+
+
+@dataclass
+class QueryRequest:
+    catalog: str
+    cube: Optional[str] = None
+    measures: list[str] = field(default_factory=list)   # names or [Measures].[X]
+    variables: list[str] = field(default_factory=list)  # member unique names
+    rows: list[AxisItem] = field(default_factory=list)
+    filters: list[FilterSpec] = field(default_factory=list)
+    slicers: list[str] = field(default_factory=list)    # WHERE tuple (Q11)
+    non_empty: bool = True
+    all_measures: bool = False                          # [Measures].AllMembers
+
+
+@dataclass
+class ResolvedAxis:
+    dimension: Dimension
+    hierarchy: Hierarchy
+    level: Level
+    ancestors: list[Level]           # for DIMENSION PROPERTIES
+    member_constraints: Optional[list[list[tuple[Level, str]]]]  # OR of key paths
+
+
+class CubeQueryEngine:
+    def __init__(self, spark: SparkSession, registry: CubeRegistry, sf_dir: str):
+        self.spark = spark
+        self.registry = registry
+        self.sf_dir = sf_dir
+        self._view_cache: dict[tuple[str, str], DataFrame] = {}
+        self._card_cache: dict[tuple[str, str, str, str], int] = {}
+
+    # ---- view / fact access ------------------------------------------------
+
+    def _view(self, cube: CubeDef, view_name: str) -> DataFrame:
+        key = (cube.name, view_name)
+        if key not in self._view_cache:
+            self._view_cache[key] = cube.views[view_name](self.spark, self.sf_dir)
+        return self._view_cache[key]
+
+    # ---- analysis ----------------------------------------------------------
+
+    def _resolve_level(self, hier: Hierarchy, item: AxisItem) -> Level:
+        if item.depth is not None:           # Q5 ordinal level set
+            if not (1 <= item.depth <= len(hier.levels)):
+                raise QueryValidationError(
+                    f"depth {item.depth} out of range for hierarchy {hier.name!r}")
+            return hier.level_at_depth(item.depth)
+        name = item.level
+        # Q7: All/UNKNOWNMEMBER repair → re-derive from the hierarchy itself
+        if name is None or name in ("All", "UNKNOWNMEMBER", "(All)"):
+            short = hier.name.split(".")[-1].strip("[]")
+            lv = hier.level_by_name(short)
+            if lv is None:
+                lv = hier.levels[0] if len(hier.levels) == 1 else None
+            if lv is None:
+                raise QueryValidationError(
+                    f"cannot infer level for hierarchy {hier.name!r}; "
+                    f"specify level or depth")
+            return lv
+        lv = hier.level_by_name(name)
+        if lv is None:
+            raise QueryValidationError(
+                f"unknown level {name!r} in hierarchy {hier.name!r}")
+        return lv
+
+    def _member_paths(self, cube: CubeDef, dim: Dimension, hier: Hierarchy,
+                      members: list[str]) -> list[list[tuple[Level, str]]]:
+        """Each unique name → [(level, key), ...] down its key path."""
+        paths = []
+        for m in members:
+            parsed = naming.parse(m)
+            if parsed.depth == 0:
+                continue  # an 'All' member constrains nothing
+            if parsed.depth > len(hier.levels):
+                raise QueryValidationError(
+                    f"member {m!r} deeper than hierarchy {hier.name!r}")
+            paths.append([(hier.levels[i], k) for i, k in enumerate(parsed.keys)])
+        return paths
+
+    def _resolve_axis(self, cube: CubeDef, item: AxisItem) -> ResolvedAxis:
+        dim = cube.dimension(item.dimension)
+        hier = dim.hierarchy(item.hierarchy)
+        constraints = None
+        if item.members:
+            constraints = self._member_paths(cube, dim, hier, item.members)
+            level = hier.levels[max(len(p) for p in constraints) - 1]
+        else:
+            level = self._resolve_level(hier, item)
+        idx = hier.levels.index(level)
+        ancestors = list(hier.levels[:idx]) if item.properties else []
+        return ResolvedAxis(dim, hier, level, ancestors, constraints)
+
+    # ---- predicate compilation --------------------------------------------
+
+    def _typed_lit(self, df: DataFrame, col_name: str, value: str) -> Column:
+        dtype = dict(df.dtypes).get(col_name, "string")
+        if dtype in ("int", "bigint", "smallint", "tinyint"):
+            return F.lit(int(value))
+        if dtype in ("double", "float"):
+            return F.lit(float(value))
+        return F.lit(value)
+
+    def _paths_predicate(self, df: DataFrame,
+                         paths: list[list[tuple[Level, str]]]) -> Column:
+        """OR over member key paths.  Single-level paths collapse to one
+        ``isin`` (parquet-pushdown-able); multi-level paths become an OR of
+        conjunctions (still pushdown-able: Parquet accepts OR-of-EQ)."""
+        if all(len(p) == 1 for p in paths):
+            lv = paths[0][0][0]
+            vals = [self._typed_lit(df, lv.key_col, p[0][1]) for p in paths]
+            return F.col(lv.key_col).isin(*vals)
+        ors = []
+        for path in paths:
+            conj = reduce(lambda a, b: a & b, [
+                F.col(lv.key_col) == self._typed_lit(df, lv.key_col, k)
+                for lv, k in path
+            ])
+            ors.append(conj)
+        return reduce(lambda a, b: a | b, ors)
+
+    # ---- measures ---------------------------------------------------------
+
+    def _resolve_measures(self, cube: CubeDef, req: QueryRequest) -> list[Measure]:
+        if req.all_measures:           # Q2 [Measures].AllMembers
+            return cube.visible_measures()
+        if not req.measures:
+            return [cube.measures[cube.default_measure]]
+        return [cube.measure(m) for m in req.measures]
+
+    # ---- cardinality guard (N18) ------------------------------------------
+
+    def level_cardinality(self, cube: CubeDef, dim: Dimension, lv: Level) -> int:
+        key = (cube.name, dim.name, dim.view or "", lv.name)
+        if key not in self._card_cache:
+            if dim.view is None:
+                src = cube.fact(self.spark, self.sf_dir)
+            else:
+                src = self._view(cube, dim.view)
+            self._card_cache[key] = (
+                src.select(lv.key_col).distinct().count())
+        return self._card_cache[key]
+
+    def estimate_cardinality(self, cube: CubeDef, axes: list[ResolvedAxis]) -> int:
+        est = 1
+        for ax in axes:
+            if ax.member_constraints is not None:
+                est *= max(len(ax.member_constraints), 1)
+            else:
+                est *= max(self.level_cardinality(cube, ax.dimension, ax.level), 1)
+        return est
+
+    # ---- main lowering -----------------------------------------------------
+
+    def execute(self, req: QueryRequest, empty_preserving: bool = False,
+                warn=print) -> DataFrame:
+        cube = self.registry.resolve(req.catalog, req.cube)
+
+        if len(req.rows) > MAX_ROW_DIMS:
+            raise QueryValidationError(
+                f"at most {MAX_ROW_DIMS} row dimensions "
+                f"(reference cap, scanner/DGIS_SCAN_2_stable.py:1223-1229)")
+        # Q9: duplicate hierarchy on rows is an error
+        seen = set()
+        for item in req.rows:
+            key = (item.dimension, item.hierarchy)
+            if key in seen:
+                raise QueryValidationError(
+                    f"hierarchy {item.hierarchy!r} appears twice on rows")
+            seen.add(key)
+
+        axes = [self._resolve_axis(cube, item) for item in req.rows]
+
+        # Q10: drop filters whose hierarchy is already on rows (with warning)
+        row_hiers = {(a.dimension.name, a.hierarchy.name) for a in axes}
+        filters = []
+        for f in req.filters:
+            dim = cube.dimension(f.dimension)
+            hier = dim.hierarchy(f.hierarchy)
+            if (dim.name, hier.name) in row_hiers:
+                warn(f"filter on {hier.name!r} dropped: hierarchy already on rows")
+                continue
+            filters.append((dim, hier, f.members))
+
+        slicer_parsed = []
+        for s in req.slicers:           # Q11 WHERE tuple, conjunctive
+            p = naming.parse(s)
+            dim = cube.dimension(p.dimension)
+            hier = dim.hierarchy(p.hierarchy)
+            slicer_parsed.append((dim, hier, [s]))
+
+        variables = [naming.parse(v) for v in req.variables]
+        var_dim = var_hier = None
+        if variables:
+            var_dim = cube.dimension(variables[0].dimension)
+            var_hier = var_dim.hierarchy(variables[0].hierarchy)
+
+        measures = self._resolve_measures(cube, req)
+
+        # cardinality guard (reference warns >100k, N18)
+        est = self.estimate_cardinality(cube, axes)
+        if est > CARDINALITY_WARN_THRESHOLD:
+            warn(f"estimated result cardinality {est:,} exceeds "
+                 f"{CARDINALITY_WARN_THRESHOLD:,}")
+
+        # ---- build the joined relation (one join per physical view) -------
+        fact = cube.fact(self.spark, self.sf_dir)
+        needed_views: dict[str, Dimension] = {}
+        for dim in ([a.dimension for a in axes]
+                    + [d for d, _, _ in filters]
+                    + [d for d, _, _ in slicer_parsed]
+                    + ([var_dim] if var_dim else [])):
+            if dim.view is not None:
+                needed_views.setdefault(dim.view, dim)
+
+        joined = fact
+        for view_name, dim in needed_views.items():
+            view = self._view(cube, view_name)
+            joined = joined.join(
+                view, F.col(dim.fact_key) == view[dim.view_key], "inner")
+
+        # ---- predicates ----------------------------------------------------
+        for ax in axes:
+            if ax.member_constraints:
+                joined = joined.filter(
+                    self._paths_predicate(joined, ax.member_constraints))
+        for dim, hier, members in filters + slicer_parsed:
+            paths = self._member_paths(cube, dim, hier, members)
+            if paths:
+                joined = joined.filter(self._paths_predicate(joined, paths))
+        if variables:
+            vpaths = [[(var_hier.levels[i], k) for i, k in enumerate(v.keys)]
+                      for v in variables if v.depth > 0]
+            joined = joined.filter(self._paths_predicate(joined, vpaths))
+
+        # ---- group / aggregate --------------------------------------------
+        group_cols: list[Column] = []
+        group_names: list[str] = []
+        for ax in axes:
+            for lv in ax.ancestors + [ax.level]:
+                group_cols.append(F.col(lv.caption_col).alias(lv.out_name))
+                group_names.append(lv.out_name)
+
+        if variables:
+            # Q17: variables take the COLUMNS role → pivot on the leaf
+            # variable caption with an explicit value list (captions resolved
+            # from the dim view: bounded metadata lookup).
+            leaf = var_hier.levels[max(v.depth for v in variables) - 1]
+            view = self._view(cube, var_dim.view)
+            vpaths = [[(var_hier.levels[i], k) for i, k in enumerate(v.keys)]
+                      for v in variables if v.depth > 0]
+            captions = [
+        r[0] for r in view.filter(self._paths_predicate(view, vpaths))
+                .select(leaf.caption_col).distinct().collect()]
+            measure = measures[0]
+            out = (
+                joined.groupBy(*group_cols)
+                      .pivot(leaf.caption_col, sorted(captions))
+                      .agg(measure.agg_expr())
+            )
+            return out
+
+        if group_cols:
+            out = joined.groupBy(*group_cols).agg(
+                *[m.agg_expr() for m in measures])
+        else:
+            out = joined.agg(*[m.agg_expr() for m in measures])
+
+        # NON EMPTY: drop rows whose measure cells are all NULL (Q12).
+        if req.non_empty and not any(m.never_null for m in measures):
+            cond = reduce(lambda a, b: a | b,
+                          [F.col(m.out_name or m.name).isNotNull()
+                           for m in measures])
+            out = out.filter(cond)
+
+        if empty_preserving and group_names:
+            out = self._preserve_empty(cube, axes, out, group_names)
+        return out
+
+    # ---- empty-preserving axis (SURVEY §7.3#1) -----------------------------
+
+    def _preserve_empty(self, cube: CubeDef, axes: list[ResolvedAxis],
+                        agg: DataFrame, group_names: list[str]) -> DataFrame:
+        est = self.estimate_cardinality(cube, axes)
+        if est > CARDINALITY_WARN_THRESHOLD * 10:
+            raise QueryValidationError(
+                f"empty-preserving axis of ~{est:,} rows refused "
+                f"(guard threshold)")
+        frames = []
+        for ax in axes:
+            if ax.dimension.view is None:
+                src = cube.fact(self.spark, self.sf_dir)
+            else:
+                src = self._view(cube, ax.dimension.view)
+            cols = [F.col(lv.caption_col).alias(lv.out_name)
+                    for lv in ax.ancestors + [ax.level]]
+            f = src.select(*cols).distinct()
+            if ax.member_constraints:
+                f = src.filter(self._paths_predicate(src, ax.member_constraints)) \
+                       .select(*cols).distinct()
+            frames.append(f)
+        axis = reduce(lambda a, b: a.crossJoin(b), frames)
+        return axis.join(agg, on=group_names, how="left")
