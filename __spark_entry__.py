@@ -1,38 +1,41 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship cube query at sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 and
+the beyond-reference extensions; ``oracle_sql()`` gives the DuckDB
+equivalent for each (omitted only for hash-seeded operators whose
+outputs are engine-specific by construction).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+
+from olap_xtrctr_spark.query import AxisItem, CubeQueryEngine, QueryRequest
+from olap_xtrctr_spark.cube import default_registry
+from olap_xtrctr_spark.workload import WORKLOAD
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    eng = CubeQueryEngine(spark, default_registry(), "/root/testdata/sf0.001")
+    return eng.execute(QueryRequest(
+        "VENTAS_2025",
+        measures=["Sum Extendedprice", "Total Registros", "Sum Quantity"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation")],
+    ))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in WORKLOAD.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: spec.sql for name, spec in WORKLOAD.items()
+            if spec.sql is not None}

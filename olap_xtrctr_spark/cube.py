@@ -40,6 +40,7 @@ class Level:
     caption_col: str   # column in the dim view holding the member caption
     key_col: str       # column holding the member key (unique within parent)
     out_name: str      # column name used in query output (snake_case)
+    ordinal_col: Optional[str] = None  # explicit sort ordinal (months fixture)
 
 
 @dataclass(frozen=True)
@@ -86,13 +87,23 @@ class Measure:
     out_name: str = ""      # output column alias (snake_case)
 
     def agg_expr(self):
+        """SUM/AVG of double columns run through DECIMAL(18,4): exact,
+        order-independent arithmetic so results are bit-identical across
+        engines and shuffle orders (then cast back to double).  The
+        double→decimal rounding is itself deterministic (no double lies
+        exactly on a 5e-5 boundary)."""
         agg = self.aggregator.upper()
+        name = self.out_name or self.name
         if agg == "COUNT" and self.source_col is None:
-            return F.count(F.lit(1)).alias(self.out_name or self.name)
+            return F.count(F.lit(1)).alias(name)
         col = F.col(self.source_col)
-        fn = {"SUM": F.sum, "COUNT": F.count, "AVG": F.avg,
-              "MIN": F.min, "MAX": F.max}[agg]
-        return fn(col).alias(self.out_name or self.name)
+        if agg == "SUM":
+            return F.sum(col.cast("decimal(18,4)")).cast("double").alias(name)
+        if agg == "AVG":
+            return (F.sum(col.cast("decimal(18,4)")).cast("double")
+                    / F.count(col)).alias(name)
+        fn = {"COUNT": F.count, "MIN": F.min, "MAX": F.max}[agg]
+        return fn(col).alias(name)
 
     @property
     def unique_name(self) -> str:
@@ -270,7 +281,7 @@ def sales_cube(catalog: str = "VENTAS_2025") -> CubeDef:
     ))
     calendario = Hierarchy("Calendario", (
         Level("Año", "anio", "anio", "anio"),
-        Level("Mes", "mes", "mes_num", "mes"),
+        Level("Mes", "mes", "mes_num", "mes", ordinal_col="mes_num"),
     ))
     estado = Hierarchy("Estado", (
         Level("Estado", "order_estado", "order_estado", "estado"),

@@ -1,0 +1,183 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design
+------------
+* Exact dedup is a hash groupBy (one shuffle on the dedup key).
+* MinHash+LSH: shingle → per-doc minhash signature (explode + groupBy,
+  map-side combinable mins) → band buckets → self-join *within buckets
+  only* — the classic way to avoid the O(n²) crossjoin at 100 TB.
+* All hash functions are seeded xxhash64 builtins — deterministic,
+  JVM-side, no Python in the hot path.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str],
+                order_col: str) -> DataFrame:
+    """Keep the first row (by order_col) per duplicate group.  Window-based
+    so the survivor choice is deterministic (dropDuplicates is not)."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-group summary: one row per distinct text with the keeper id
+    and copy count (the auditable form of exact dedup)."""
+    return (docs.groupBy(text_col)
+                .agg(F.min(id_col).alias("keep_id"),
+                     F.count(F.lit(1)).alias("copies"))
+                .select(F.md5(F.encode(F.col(text_col), "UTF-8")).alias("text_hash"),
+                        "keep_id", "copies"))
+
+
+def _shingles(text_col: str, n: int = 3):
+    """Word n-gram shingles from the lowercased text (empty-safe)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # sliding word n-grams via transform over index range
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def shingle_docs(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    return docs.select(id_col, F.explode(
+        F.array_distinct(_shingles(text_col, n))).alias("shingle"))
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       num_hashes: int = 32) -> DataFrame:
+    """num_hashes-wide MinHash signature per doc: explode distinct shingles,
+    hash each with seeded xxhash64, take the per-seed minimum (map-side
+    combinable — partial aggregation before the shuffle)."""
+    ex = shingle_docs(docs, text_col, id_col, n)
+    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    return ex.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      num_hashes: int = 32, bands: int = 8,
+                      threshold: float = 0.5) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, verified by signature
+    similarity.  Join happens only inside (band, band_hash) buckets."""
+    sig = minhash_signatures(docs, text_col, id_col, n, num_hashes)
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}") for i in range(b * rows_per_band,
+                                              (b + 1) * rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.xxhash64(*cols).alias("bucket")))
+    banded = sig.select(
+        id_col, *[F.col(f"h{i}") for i in range(num_hashes)],
+        F.explode(F.array(*band_cols)).alias("bb"),
+    ).select(id_col, *[f"h{i}" for i in range(num_hashes)],
+             "bb.band", "bb.bucket")
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(right, (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.bucket") == F.col("b.bucket"))
+                  & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                *[(F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int").alias(f"eq{i}")
+                  for i in range(num_hashes)])
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = sum([F.col(f"eq{i}") for i in range(num_hashes)]) / num_hashes
+    return (pairs.withColumn("est_jaccard", F.round(sim, 4))
+                 .filter(F.col("est_jaccard") >= threshold)
+                 .select("id_a", "id_b", "est_jaccard"))
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per-bit sign sums of token
+    hashes, all via explode + groupBy (map-side combinable)."""
+    toks = docs.select(
+        id_col, F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                  r"\s+")).alias("tok"))
+    h = F.xxhash64("tok")
+    # bit i of the token hash → +1/-1 vote
+    votes = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+               .otherwise(-1)).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = sum([
+        F.when(F.col(f"v{i}") > 0,
+               F.lit(1).cast("long") * (2 ** i if i < 63 else -(2 ** 63)))
+         .otherwise(0)
+        for i in range(bits)
+    ])
+    return agg.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on the high
+    16 bits to avoid the full crossjoin."""
+    sig = simhash(docs, text_col, id_col)
+    blocked = sig.withColumn("blk", F.shiftright("simhash", 48))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    return (pairs.select(F.col(f"a.{id_col}").alias("id_a"),
+                         F.col(f"b.{id_col}").alias("id_b"),
+                         F.bit_count(xor).alias("hamming"))
+                 .filter(F.col("hamming") <= max_hamming))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.3) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index:
+    self-join on shingle (co-occurrence counts), then |A∩B| / (|A|+|B|-|A∩B|).
+    The shingle join replaces the O(n²) document crossjoin."""
+    ex = shingle_docs(docs, text_col, id_col, n)
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+         .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                  F.col(f"b.{id_col}").alias("id_b"))
+         .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+             .withColumn("jaccard", F.round(
+                 F.col("inter")
+                 / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+             .filter(F.col("jaccard") >= threshold)
+             .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.995) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute pairwise — see
+    operators/similarity.py for the LSH-bucketed scale path)."""
+    from .similarity import _cosine
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (pairs.withColumn("cos", _cosine(F.col("va"), F.col("vb")))
+                 .filter(F.col("cos") >= threshold)
+                 .select("id_a", "id_b", F.round("cos", 4).alias("cosine")))

@@ -1,0 +1,94 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are JVM-side builtins (regexp_count, split,
+md5) — no Python UDFs — so they stay inside whole-stage codegen and
+scale linearly with partitions.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PUNCT_CLASS = "[.,;:!?]"
+
+# language-ID stopword sets (tiny n-gram-free heuristic; deterministic and
+# SQL-expressible so the DuckDB oracle can reproduce it exactly)
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "los", "una"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+}
+
+
+def _word_hits(col, words: list[str]):
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pat))
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count, punctuation count/ratio, char count."""
+    t = F.col(text_col)
+    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    n_punct = F.regexp_count(t, F.lit(PUNCT_CLASS))
+    n_chars = F.length(t)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_punct.cast("int").alias("n_punct"),
+        n_chars.alias("len_chars"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality heuristic: length band + stopword density -
+    punctuation noise.  Deterministic arithmetic over builtins only."""
+    t = F.col(text_col)
+    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    stop_hits = _word_hits(t, LANG_STOPWORDS["en"])
+    punct = F.regexp_count(t, F.lit(PUNCT_CLASS))
+    mean_tok_len = n_chars / F.greatest(n_tokens, F.lit(1))
+    score = (
+        F.when((n_tokens >= 10) & (n_tokens <= 5000), F.lit(0.4)).otherwise(0.0)
+        + F.least(stop_hits / F.greatest(n_tokens, F.lit(1)) * 2.0, F.lit(0.4))
+        - F.least(punct / n_chars * 5.0, F.lit(0.2))
+        + F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 12.0), F.lit(0.2))
+           .otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language guess over {en,es,fr,de}, 'und' when no hits.
+    Ties break by fixed language order (en,es,fr,de)."""
+    t = F.col(text_col)
+    hits = {lang: _word_hits(t, words) for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    guess = (
+        F.when(best == 0, F.lit("und"))
+         .when(hits["en"] == best, F.lit("en"))
+         .when(hits["es"] == best, F.lit("es"))
+         .when(hits["fr"] == best, F.lit("fr"))
+         .otherwise(F.lit("de"))
+    )
+    return docs.select(
+        "doc_id", "lang",
+        *[hits[lg].cast("int").alias(f"hits_{lg}") for lg in LANG_STOPWORDS],
+        guess.alias("lang_guess"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the lowercased alphanumeric skeleton
+    (whitespace/punct-insensitive near-exact dedup key)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(norm, "UTF-8")).alias("fingerprint"),
+    )

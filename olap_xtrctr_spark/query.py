@@ -325,6 +325,9 @@ class CubeQueryEngine:
                       .pivot(leaf.caption_col, sorted(captions))
                       .agg(measure.agg_expr())
             )
+            if measure.never_null:
+                # COUNT of an empty cell is 0, not NULL (SSAS semantics)
+                out = out.na.fill(0, subset=sorted(captions))
             return out
 
         if group_cols:

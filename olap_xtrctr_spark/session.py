@@ -45,12 +45,25 @@ def get_spark(app_name: str = "olap-xtrctr-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as long and convert (see load_events)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with its TIMESTAMP(NANOS) column converted to a real
+    timestamp (microsecond precision, integer DIV so no double rounding)."""
+    from pyspark.sql import functions as F
+    df = load_table(spark, sf_dir, "events")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

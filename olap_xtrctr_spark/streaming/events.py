@@ -1,0 +1,78 @@
+"""Event analytics: batch window aggregations + the Structured Streaming
+equivalents (the reference has zero streaming surface — SURVEY §2.11 —
+so this is the declared beyond-parity extension).
+
+The batch forms are plain groupBys (oracle-checkable); the streaming
+forms wrap the same logic in readStream + watermark so late data is
+handled at scale.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window per event_type (batch form)."""
+    return (events.groupBy(
+                F.date_trunc("hour", "ts").alias("hour"),
+                "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                  .cast("double").alias("sum_value")))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user via lag + cumulative sum —
+    one shuffle on user_id, deterministic (ties broken by event_id)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_flag = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0))
+    with_sid = with_flag.withColumn(
+        "session_id", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (with_sid.groupBy("user_id")
+            .agg(F.max("session_id").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def user_activity(events: DataFrame) -> DataFrame:
+    """Per-user daily activity profile."""
+    return (events.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count_distinct("event_type").alias("n_types"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                  .cast("double").alias("sum_value")))
+
+
+# ---- Structured Streaming forms ------------------------------------------
+
+def streaming_hourly_rollup(spark: SparkSession, source_dir: str,
+                            schema, watermark: str = "2 hours") -> DataFrame:
+    """readStream → watermark → tumbling window → same rollup as batch.
+    Append-mode capable: the watermark bounds state for late data."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        # nanosAsLong read path (see session.load_events)
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("window.start").alias("hour"), "event_type",
+                    "n_events", "sum_value"))
+
+
+def run_stream_to_memory(spark: SparkSession, streaming_df: DataFrame,
+                         query_name: str = "events_rollup"):
+    """Drive a streaming DF into an in-memory sink (test/debug harness)."""
+    return (streaming_df.writeStream
+            .format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())

@@ -1,0 +1,619 @@
+"""The declared query workload: every operator from SURVEY.md §2 (plus
+the beyond-reference extensions) as a (Spark callable, DuckDB oracle
+SQL) pair.  ``__spark_entry__.py`` re-exports these for the driver's
+correctness gate.
+
+Cross-engine exactness strategy:
+* double SUM/AVG go through DECIMAL(18,4) (exact, order-independent)
+  and back to double — identical bits on both engines;
+* pivot/count cells coalesce to 0 on both sides;
+* ranked outputs carry an explicit deterministic rank (ties broken by
+  unique ids) instead of relying on row order.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cube import sales_cube, default_registry
+from .metadata import members_df
+from .oracle import _MES_CASE as MES_CASE
+from .oracle import members_cte, view_cte
+from .query import AxisItem, CubeQueryEngine, FilterSpec, QueryRequest
+from . import members as M
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import text as TX
+from .streaming import events as EV
+
+CATALOG = "VENTAS_2025"
+
+
+def SUM_D(col: str) -> str:
+    """Oracle-side mirror of Measure.agg_expr's exact-decimal SUM."""
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def AVG_D(col: str) -> str:
+    return f"{SUM_D(col)} / COUNT({col})"
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]       # None → driver records rows-only check
+
+
+def _eng(spark: SparkSession, sf_dir: str) -> CubeQueryEngine:
+    return CubeQueryEngine(spark, default_registry(), sf_dir)
+
+
+def _members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return members_df(spark, sales_cube(), sf_dir)
+
+
+_CUBE = sales_cube()
+_MEMBERS_CTE = members_cte(_CUBE)
+
+_OW = view_cte("orders_wide")
+_OW_PART = view_cte("orders_wide", "part_view")
+_SUPP = view_cte("supplier_geo")
+
+_FACT_OW = "lineitem JOIN orders_wide ON l_orderkey = o_orderkey"
+
+
+def build_workload() -> dict[str, QuerySpec]:
+    q: dict[str, QuerySpec] = {}
+
+    def add(name, fn, sql):
+        q[name] = QuerySpec(name, fn, sql)
+
+    # ================= cube queries (SURVEY §2.4/§2.5) ====================
+
+    add("cube_nation_sales",
+        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
+            CATALOG,
+            measures=["Sum Extendedprice", "Total Registros", "Sum Quantity"],
+            rows=[AxisItem("Dim Customer", "Geografía", level="Nation")])),
+        f"""WITH {_OW}
+        SELECT cust_nation AS nation,
+               {SUM_D('l_extendedprice')} AS sum_extendedprice,
+               COUNT(*) AS total_registros,
+               {SUM_D('l_quantity')} AS sum_quantity
+        FROM {_FACT_OW}
+        GROUP BY cust_nation""")
+
+    add("cube_region_priority_crossjoin",
+        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
+            CATALOG, measures=["Sum Extendedprice"],
+            rows=[AxisItem("Dim Customer", "Geografía", level="Region"),
+                  AxisItem("Dim Orders", "Prioridad", level="Prioridad")])),
+        f"""WITH {_OW}
+        SELECT cust_region AS region, order_prioridad AS prioridad,
+               {SUM_D('l_extendedprice')} AS sum_extendedprice
+        FROM {_FACT_OW}
+        GROUP BY 1, 2""")
+
+    add("cube_member_literal_rows",
+        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
+            CATALOG, measures=["Sum Quantity"],
+            rows=[AxisItem("Dim Customer", "Geografía", members=[
+                "[Dim Customer].[Geografía].[Region].&[0]",
+                "[Dim Customer].[Geografía].[Region].&[2]"])])),
+        f"""WITH {_OW}
+        SELECT cust_region AS region, {SUM_D('l_quantity')} AS sum_quantity
+        FROM {_FACT_OW}
+        WHERE cust_region_key IN (0, 2)
+        GROUP BY 1""")
+
+    add("cube_slicer_where_tuple",
+        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
+            CATALOG, measures=["Sum Extendedprice", "Total Registros"],
+            rows=[AxisItem("Dim Producto", "Producto", level="Brand")],
+            slicers=["[Dim Orders].[Estado].[Estado].&[F]"])),
+        f"""WITH {_OW_PART}
+        SELECT prod_brand AS brand,
+               {SUM_D('l_extendedprice')} AS sum_extendedprice,
+               COUNT(*) AS total_registros
+        FROM {_FACT_OW}
+        JOIN part_view ON l_partkey = p_partkey
+        WHERE order_estado = 'F'
+        GROUP BY 1""")
+
+    add("cube_time_rollup",
+        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
+            CATALOG, measures=["Sum Quantity"],
+            rows=[AxisItem("D Tiempo", "Calendario", level="Mes",
+                           properties=True)])),
+        f"""SELECT anio, mes, {SUM_D('l_quantity')} AS sum_quantity
+        FROM (SELECT CAST(year(l_shipdate) AS INTEGER) AS anio,
+                     {MES_CASE} AS mes,
+                     l_quantity
+              FROM lineitem)
+        GROUP BY 1, 2""")
+
+    add("cube_all_measures_global",
+        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
+            CATALOG, all_measures=True)),
+        f"""SELECT {SUM_D('l_extendedprice')} AS sum_extendedprice,
+               COUNT(*) AS total_registros,
+               {SUM_D('l_quantity')} AS sum_quantity,
+               {AVG_D('l_discount')} AS avg_discount
+        FROM lineitem""")
+
+    add("cube_variables_pivot",
+        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
+            CATALOG,
+            variables=[
+                "[DIM VARIABLES2025].[Apartado y Variable].[Apartado].&[Brand#11]",
+                "[DIM VARIABLES2025].[Apartado y Variable].[Apartado].&[Brand#12]"],
+            rows=[AxisItem("Dim Customer", "Geografía", level="Region")])),
+        f"""WITH {_OW_PART}
+        SELECT cust_region AS region,
+               COUNT(CASE WHEN prod_brand = 'Brand#11' THEN 1 END) AS "Brand#11",
+               COUNT(CASE WHEN prod_brand = 'Brand#12' THEN 1 END) AS "Brand#12"
+        FROM {_FACT_OW}
+        JOIN part_view ON l_partkey = p_partkey
+        WHERE prod_brand IN ('Brand#11', 'Brand#12')
+        GROUP BY 1""")
+
+    add("cube_empty_preserving_axis",
+        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
+            CATALOG, measures=["Sum Extendedprice"], non_empty=False,
+            rows=[AxisItem("Dim Orders", "Estado", level="Estado"),
+                  AxisItem("D Tiempo", "Calendario", level="Año")]),
+            empty_preserving=True),
+        f"""WITH {view_cte('orders_wide', 'time_view')},
+        ax1 AS (SELECT DISTINCT order_estado AS estado FROM orders_wide),
+        ax2 AS (SELECT DISTINCT anio FROM time_view),
+        agg AS (
+          SELECT order_estado AS estado,
+                 CAST(year(l_shipdate) AS INTEGER) AS anio,
+                 {SUM_D('l_extendedprice')} AS sum_extendedprice
+          FROM {_FACT_OW}
+          GROUP BY 1, 2)
+        SELECT ax1.estado, ax2.anio, agg.sum_extendedprice
+        FROM ax1 CROSS JOIN ax2
+        LEFT JOIN agg ON agg.estado = ax1.estado AND agg.anio = ax2.anio""")
+
+    add("cube_dimension_properties",
+        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
+            CATALOG, measures=["Total Registros"],
+            rows=[AxisItem("Dim Customer", "Geografía", level="Nation",
+                           properties=True)])),
+        f"""WITH {_OW}
+        SELECT cust_region AS region, cust_nation AS nation,
+               COUNT(*) AS total_registros
+        FROM {_FACT_OW}
+        GROUP BY 1, 2""")
+
+    add("cube_supplier_nation",
+        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
+            CATALOG, measures=["Sum Extendedprice", "Avg Discount"],
+            rows=[AxisItem("Dim Proveedor", "Geografía Proveedor",
+                           level="Nation")])),
+        f"""WITH {_SUPP}
+        SELECT supp_nation,
+               {SUM_D('l_extendedprice')} AS sum_extendedprice,
+               {AVG_D('l_discount')} AS avg_discount
+        FROM lineitem JOIN supplier_geo ON l_suppkey = s_suppkey
+        GROUP BY 1""")
+
+    add("cube_3dim_crossjoin",
+        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
+            CATALOG, measures=["Sum Quantity"],
+            rows=[AxisItem("Dim Customer", "Geografía", level="Region"),
+                  AxisItem("Dim Orders", "Estado", level="Estado"),
+                  AxisItem("D Tiempo", "Calendario", level="Año")])),
+        f"""WITH {_OW}
+        SELECT cust_region AS region, order_estado AS estado,
+               CAST(year(l_shipdate) AS INTEGER) AS anio,
+               {SUM_D('l_quantity')} AS sum_quantity
+        FROM {_FACT_OW}
+        GROUP BY 1, 2, 3""")
+
+    add("cube_filter_set",
+        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
+            CATALOG, measures=["Total Registros"],
+            rows=[AxisItem("Dim Customer", "Segmento", level="Segmento")],
+            filters=[FilterSpec("Dim Producto", "Producto", members=[
+                "[Dim Producto].[Producto].[Brand].&[Brand#21]",
+                "[Dim Producto].[Producto].[Brand].&[Brand#22]"])])),
+        f"""WITH {_OW_PART}
+        SELECT cust_segment AS segmento, COUNT(*) AS total_registros
+        FROM {_FACT_OW}
+        JOIN part_view ON l_partkey = p_partkey
+        WHERE prod_brand IN ('Brand#21', 'Brand#22')
+        GROUP BY 1""")
+
+    # ================= TPC-H-style headline queries =======================
+
+    def tpch_q1(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        dec = lambda c: c.cast("decimal(18,4)")
+        disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        charge = disc_price * (1 + F.col("l_tax"))
+        return (li.filter(F.col("l_shipdate") <= "2000-09-02")
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+                     F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+                     F.sum(dec(disc_price)).cast("double").alias("sum_disc_price"),
+                     F.sum(dec(charge)).cast("double").alias("sum_charge"),
+                     (F.sum(dec(F.col("l_quantity"))).cast("double")
+                      / F.count("l_quantity")).alias("avg_qty"),
+                     (F.sum(dec(F.col("l_discount"))).cast("double")
+                      / F.count("l_discount")).alias("avg_disc"),
+                     F.count(F.lit(1)).alias("count_order")))
+
+    add("tpch_q1_pricing_summary", tpch_q1,
+        f"""SELECT l_returnflag, l_linestatus,
+               {SUM_D('l_quantity')} AS sum_qty,
+               {SUM_D('l_extendedprice')} AS sum_base_price,
+               {SUM_D('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {SUM_D('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {AVG_D('l_quantity')} AS avg_qty,
+               {AVG_D('l_discount')} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus""")
+
+    def tpch_q5(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        s = spark.read.parquet(f"{sf}/supplier.parquet")
+        n = spark.read.parquet(f"{sf}/nation.parquet")
+        r = spark.read.parquet(f"{sf}/region.parquet")
+        revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+            .cast("decimal(18,4)")
+        return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(c, F.col("o_custkey") == F.col("c_custkey"))
+                .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+                      & (F.col("c_nationkey") == F.col("s_nationkey")))
+                .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+                .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+                .filter((F.col("r_name") == "ASIA")
+                        & (F.col("o_orderdate") >= "1996-01-01")
+                        & (F.col("o_orderdate") < "1998-01-01"))
+                .groupBy(F.col("n_name").alias("nation"))
+                .agg(F.sum(revenue).cast("double").alias("revenue")))
+
+    add("tpch_q5_local_supplier", tpch_q5,
+        f"""SELECT n_name AS nation,
+               {SUM_D('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name""")
+
+    def tpch_q3ish(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+            .cast("decimal(18,4)")
+        return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(c, F.col("o_custkey") == F.col("c_custkey"))
+                .filter((F.col("c_mktsegment") == "BUILDING")
+                        & (F.col("o_orderdate") < "1998-03-15")
+                        & (F.col("l_shipdate") > "1998-03-15"))
+                .groupBy("o_orderpriority")
+                .agg(F.sum(revenue).cast("double").alias("revenue"),
+                     F.count(F.lit(1)).alias("n_lines")))
+
+    add("tpch_q3_shipping_priority", tpch_q3ish,
+        f"""SELECT o_orderpriority,
+               {SUM_D('l_extendedprice * (1 - l_discount)')} AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate  > TIMESTAMP '1998-03-15'
+        GROUP BY o_orderpriority""")
+
+    # ================= member navigation (SURVEY §2.3) ====================
+
+    add("members_nation_list",
+        lambda spark, sf: M.get_dimension_members(
+            _members(spark, sf), "Dim Customer",
+            "Dim Customer.Geografía", "Nation"),
+        _MEMBERS_CTE + """
+        SELECT MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME
+        FROM members
+        WHERE DIMENSION = 'Dim Customer'
+          AND JERARQUIA = 'Dim Customer.Geografía'
+          AND NIVEL_NOMBRE = 'Nation'
+          AND MIEMBRO_CAPTION <> 'All'""")
+
+    # old-cube path: level located via depth inference; inferred names are
+    # 'Nivel N' for unnamed depths (reference N6) — Nation sits at depth 2
+    add("members_depth_filter",
+        lambda spark, sf: M.get_dimension_members(
+            _members(spark, sf), "Dim Customer",
+            "Dim Customer.Geografía", "Nivel 2", use_depth=True),
+        _MEMBERS_CTE + """
+        SELECT MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME
+        FROM members
+        WHERE DIMENSION = 'Dim Customer'
+          AND JERARQUIA = 'Dim Customer.Geografía'
+          AND (length(MIEMBRO_UNIQUE_NAME)
+               - length(replace(MIEMBRO_UNIQUE_NAME, '.&[', ''))) / 3 = 2
+          AND MIEMBRO_CAPTION <> 'All'""")
+
+    add("members_search",
+        lambda spark, sf: M.search_members(
+            _members(spark, sf), "EUROPE", dimension="Dim Customer"),
+        _MEMBERS_CTE + """
+        SELECT DIMENSION, JERARQUIA, NIVEL_NOMBRE,
+               MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME
+        FROM members
+        WHERE upper(MIEMBRO_CAPTION) LIKE '%EUROPE%'
+          AND MIEMBRO_CAPTION <> 'All'
+          AND DIMENSION = 'Dim Customer'""")
+
+    add("members_children_exact",
+        lambda spark, sf: M.children_of(
+            _members(spark, sf),
+            ["[Dim Customer].[Geografía].[Region].&[2]"]),
+        _MEMBERS_CTE + """
+        SELECT MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME, PARENT_UNIQUE_NAME
+        FROM members
+        WHERE PARENT_UNIQUE_NAME = '[Dim Customer].[Geografía].[Region].&[2]'
+          AND MIEMBRO_CAPTION <> 'All'""")
+
+    add("members_children_prefix",
+        lambda spark, sf: M.children_of(
+            _members(spark, sf),
+            ["[Dim Customer].[Geografía].[Region].&[2]"],
+            prefix_fallback=True),
+        _MEMBERS_CTE + """
+        SELECT MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME, PARENT_UNIQUE_NAME
+        FROM members
+        WHERE starts_with(MIEMBRO_UNIQUE_NAME,
+                          '[Dim Customer].[Geografía].[Region].&[2]')
+          AND MIEMBRO_UNIQUE_NAME <> '[Dim Customer].[Geografía].[Region].&[2]'
+          AND MIEMBRO_CAPTION <> 'All'""")
+
+    add("members_apartados",
+        lambda spark, sf: M.get_apartados(_members(spark, sf)),
+        _MEMBERS_CTE + """
+        SELECT MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME, CHILDREN_CARDINALITY
+        FROM members
+        WHERE upper(JERARQUIA) LIKE '%APARTADO%'
+          AND MIEMBRO_CAPTION <> 'All'
+          AND NIVEL_NOMBRE = 'Apartado'""")
+
+    add("members_variables_of_apartados",
+        lambda spark, sf: M.children_of(
+            _members(spark, sf),
+            ["[DIM VARIABLES2025].[Apartado y Variable].[Apartado].&[Brand#11]",
+             "[DIM VARIABLES2025].[Apartado y Variable].[Apartado].&[Brand#12]"]),
+        _MEMBERS_CTE + """
+        SELECT MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME, PARENT_UNIQUE_NAME
+        FROM members
+        WHERE PARENT_UNIQUE_NAME IN (
+            '[DIM VARIABLES2025].[Apartado y Variable].[Apartado].&[Brand#11]',
+            '[DIM VARIABLES2025].[Apartado y Variable].[Apartado].&[Brand#12]')
+          AND MIEMBRO_CAPTION <> 'All'""")
+
+    add("members_ordinal_sort",
+        lambda spark, sf: M.members_sorted(
+            _members(spark, sf), "D Tiempo", "D Tiempo.Calendario", "Mes"),
+        _MEMBERS_CTE + """
+        SELECT MIEMBRO_CAPTION, MIEMBRO_ORDINAL,
+               CAST(ROW_NUMBER() OVER (ORDER BY
+                   coalesce(CAST(MIEMBRO_ORDINAL AS BIGINT),
+                            TRY_CAST(MIEMBRO_KEY AS BIGINT)) NULLS LAST,
+                   MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME) AS INTEGER) AS rn
+        FROM members
+        WHERE DIMENSION = 'D Tiempo'
+          AND JERARQUIA = 'D Tiempo.Calendario'
+          AND NIVEL_NOMBRE = 'Mes'
+          AND MIEMBRO_CAPTION <> 'All'""")
+
+    add("members_pagination",
+        lambda spark, sf: M.paginate_members(
+            _members(spark, sf), "Dim Customer", "Dim Customer.Geografía",
+            "Nation", limit=10, offset=10),
+        _MEMBERS_CTE + """
+        SELECT rn, MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME FROM (
+          SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME) AS INTEGER) AS rn,
+                 MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME
+          FROM members
+          WHERE DIMENSION = 'Dim Customer'
+            AND JERARQUIA = 'Dim Customer.Geografía'
+            AND NIVEL_NOMBRE = 'Nation'
+            AND MIEMBRO_CAPTION <> 'All')
+        WHERE rn > 10 AND rn <= 20""")
+
+    add("members_level_cardinalities",
+        lambda spark, sf: M.level_cardinalities(_members(spark, sf)),
+        _MEMBERS_CTE + """
+        SELECT DIMENSION, JERARQUIA, NIVEL_NOMBRE, COUNT(*) AS n_members
+        FROM members
+        WHERE MIEMBRO_CAPTION <> 'All'
+        GROUP BY 1, 2, 3""")
+
+    # ================= extensions: text analysis ==========================
+
+    _docs = lambda spark, sf: spark.read.parquet(f"{sf}/documents.parquet")
+
+    add("docs_token_stats",
+        lambda spark, sf: TX.token_stats(_docs(spark, sf)),
+        r"""SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INTEGER)
+                   AS n_punct,
+               length(text) AS len_chars,
+               ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                     / greatest(length(text), 1), 4) AS punct_ratio
+        FROM documents""")
+
+    add("docs_lang_id",
+        lambda spark, sf: TX.lang_id(_docs(spark, sf)),
+        r"""WITH h AS (
+          SELECT doc_id, lang,
+            CAST(len(regexp_extract_all(lower(text),
+              '\b(the|and|of|to|in|is)\b')) AS INTEGER) AS hits_en,
+            CAST(len(regexp_extract_all(lower(text),
+              '\b(el|la|de|que|los|una)\b')) AS INTEGER) AS hits_es,
+            CAST(len(regexp_extract_all(lower(text),
+              '\b(le|la|les|des|est|une)\b')) AS INTEGER) AS hits_fr,
+            CAST(len(regexp_extract_all(lower(text),
+              '\b(der|die|und|das|ist|ein)\b')) AS INTEGER) AS hits_de
+          FROM documents)
+        SELECT doc_id, lang, hits_en, hits_es, hits_fr, hits_de,
+               CASE WHEN greatest(hits_en, hits_es, hits_fr, hits_de) = 0
+                    THEN 'und'
+                    WHEN hits_en = greatest(hits_en, hits_es, hits_fr, hits_de)
+                    THEN 'en'
+                    WHEN hits_es = greatest(hits_en, hits_es, hits_fr, hits_de)
+                    THEN 'es'
+                    WHEN hits_fr = greatest(hits_en, hits_es, hits_fr, hits_de)
+                    THEN 'fr'
+                    ELSE 'de' END AS lang_guess
+        FROM h""")
+
+    add("docs_fingerprint",
+        lambda spark, sf: TX.fingerprint(_docs(spark, sf)),
+        """SELECT doc_id,
+               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                   AS fingerprint
+        FROM documents""")
+
+    add("docs_exact_dup_groups",
+        lambda spark, sf: D.exact_dup_groups(_docs(spark, sf)),
+        """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+               COUNT(*) AS copies
+        FROM documents
+        GROUP BY text""")
+
+    # ================= extensions: similarity =============================
+
+    _emb = lambda spark, sf: spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    add("emb_norms",
+        lambda spark, sf: S.embedding_norms(_emb(spark, sf)),
+        """SELECT vec_id,
+               ROUND(sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+        FROM embeddings""")
+
+    add("emb_cosine_topk",
+        lambda spark, sf: S.cosine_topk(_emb(spark, sf), [0, 1, 2, 3, 4], k=3),
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                      FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+            list_sum(list_transform(list_zip(q.qvec, e.embedding),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(q.qvec,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+          FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+        SELECT query_id, rank, neighbor_id, ROUND(cos, 4) AS cosine FROM (
+          SELECT query_id, neighbor_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+          FROM scored)
+        WHERE rank <= 3""")
+
+    # rows-only checks (hash functions are engine-specific → no SQL oracle)
+    add("docs_minhash_lsh_pairs",
+        lambda spark, sf: D.minhash_lsh_pairs(_docs(spark, sf), threshold=0.3),
+        None)
+    add("docs_simhash_pairs",
+        lambda spark, sf: D.simhash_near_pairs(_docs(spark, sf),
+                                               max_hamming=16),
+        None)
+    add("emb_lsh_topk",
+        lambda spark, sf: S.lsh_cosine_topk(_emb(spark, sf), [0, 1, 2, 3, 4],
+                                            k=3),
+        None)
+
+    add("docs_ngram_jaccard_pairs",
+        lambda spark, sf: D.ngram_jaccard_pairs(_docs(spark, sf), n=3,
+                                                threshold=0.2),
+        r"""WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+          FROM toks),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(i / (sa.sz + sb.sz - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i / (sa.sz + sb.sz - i) >= 0.2""")
+
+    # ================= extensions: events / streaming =====================
+
+    from .session import load_events as _events
+
+    add("events_hourly_rollup",
+        lambda spark, sf: EV.hourly_rollup(_events(spark, sf)),
+        f"""SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(*) AS n_events,
+               {SUM_D('value')} AS sum_value
+        FROM events
+        GROUP BY 1, 2""")
+
+    add("events_sessionize",
+        lambda spark, sf: EV.sessionize(_events(spark, sf)),
+        """WITH secs AS (
+          SELECT user_id, event_id, ts,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec
+          FROM events),
+        flagged AS (
+          SELECT user_id,
+                 CASE WHEN sec - lag(sec) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)
+                      IS NULL THEN 1
+                      WHEN sec - lag(sec) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM secs)
+        SELECT user_id,
+               CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM flagged
+        GROUP BY user_id""")
+
+    add("events_user_activity",
+        lambda spark, sf: EV.user_activity(_events(spark, sf)),
+        f"""SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT event_type) AS n_types,
+               {SUM_D('value')} AS sum_value
+        FROM events
+        GROUP BY 1, 2""")
+
+    return q
+
+
+WORKLOAD = build_workload()

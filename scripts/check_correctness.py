@@ -1,0 +1,86 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark AND its oracle_sql() on DuckDB at the given SF, compare
+row count, schema (column names), and order-insensitive values.
+
+Usage: python scripts/check_correctness.py [sf_dir] [name_filter]
+"""
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+import __spark_entry__ as entry
+from olap_xtrctr_spark import get_spark
+from olap_xtrctr_spark.session import TABLES
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+FILT = sys.argv[2] if len(sys.argv) > 2 else ""
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}" if abs(v) < 1e15 else f"{v:.6e}"
+    return str(v)
+
+
+def main() -> int:
+    spark = get_spark("correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if FILT and FILT not in name:
+            continue
+        try:
+            df = fn(spark, SF)
+            srows = df.collect()
+            scols = sorted(df.columns)
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = sorted(d[0] for d in res.description)
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        if scols != dcols:
+            print(f"FAIL  {name}: schema {scols} != {dcols}")
+            n_fail += 1
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL  {name}: rowcount {len(srows)} != {len(drows)}")
+            n_fail += 1
+            continue
+        didx = [[d[0] for d in res.description].index(c) for c in dcols]
+        sset = sorted(tuple(norm(r[c]) for c in scols) for r in srows)
+        dset = sorted(tuple(norm(r[i]) for i in didx) for r in drows)
+        if sset != dset:
+            diff = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
+            print(f"FAIL  {name}: value mismatch, e.g. {diff}")
+            n_fail += 1
+            continue
+        print(f"PASS  {name}: {len(srows)} rows")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
