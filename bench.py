@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from olap_xtrctr_spark import get_spark
+from olap_xtrctr_spark.workload import WORKLOAD
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative headline set: cube aggregations (joins + groupBy), TPC-H
+# style scans, metadata generation, dedup/similarity/text extensions,
+# event analytics.
+HEADLINE = [
+    "cube_nation_sales",
+    "cube_3dim_crossjoin",
+    "cube_time_rollup",
+    "cube_slicer_where_tuple",
+    "cube_variables_pivot",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier",
+    "members_nation_list",
+    "members_level_cardinalities",
+    "docs_ngram_jaccard_pairs",
+    "docs_minhash_lsh_pairs",
+    "emb_cosine_topk",
+    "events_sessionize",
+    "events_hourly_rollup",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # one tiny warm-up action so JVM/codegen startup isn't billed to q1
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = WORKLOAD[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

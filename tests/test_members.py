@@ -1,0 +1,77 @@
+"""Member navigation operators over the generated members table."""
+import pytest
+
+from olap_xtrctr_spark import members as M
+from olap_xtrctr_spark.cube import sales_cube
+from olap_xtrctr_spark.metadata import members_df
+
+
+@pytest.fixture(scope="module")
+def mdf(spark, sf_dir):
+    return members_df(spark, sales_cube(), sf_dir).cache()
+
+
+def test_level_filter_and_all_suppression(mdf):
+    out = M.get_dimension_members(
+        mdf, "Dim Customer", "Dim Customer.Geografía", "Region").collect()
+    assert len(out) == 5
+    assert all(r["MIEMBRO_CAPTION"] != "All" for r in out)
+    caps = [r["MIEMBRO_CAPTION"] for r in out]
+    assert caps == sorted(caps)  # N4 caption sort
+
+
+def test_depth_inference_old_cube_path(mdf):
+    levels = M.extract_levels_from_unique_names(
+        mdf, "Dim Customer", "Dim Customer.Geografía")
+    assert levels[0] == {"level_name": "Region", "level_depth": 1}
+    assert levels[1]["level_name"] == "Nivel 2"
+    assert len(levels) == 3
+
+
+def test_children_exact_vs_prefix(mdf):
+    parent = "[Dim Customer].[Geografía].[Region].&[2]"
+    exact = M.children_of(mdf, [parent]).collect()
+    prefix = M.children_of(mdf, [parent], prefix_fallback=True).collect()
+    # prefix matching also catches grandchildren (depth 3)
+    assert {r["MIEMBRO_UNIQUE_NAME"] for r in exact} <= \
+        {r["MIEMBRO_UNIQUE_NAME"] for r in prefix}
+    assert all(r["PARENT_UNIQUE_NAME"] == parent for r in exact)
+
+
+def test_apartado_variable_convention(mdf):
+    ap = M.get_apartados(mdf).collect()
+    assert all("Brand#" in r["MIEMBRO_CAPTION"] for r in ap)
+    va = M.get_variables(mdf)
+    assert va.count() > len(ap)
+
+
+def test_pagination_stable(mdf):
+    p1 = M.paginate_members(mdf, "Dim Customer", "Dim Customer.Geografía",
+                            "Nation", limit=10, offset=0).collect()
+    p2 = M.paginate_members(mdf, "Dim Customer", "Dim Customer.Geografía",
+                            "Nation", limit=10, offset=10).collect()
+    assert [r["rn"] for r in p1] == list(range(1, 11))
+    assert [r["rn"] for r in p2] == list(range(11, 21))
+    assert {r["MIEMBRO_CAPTION"] for r in p1}.isdisjoint(
+        {r["MIEMBRO_CAPTION"] for r in p2})
+
+
+def test_month_ordinal_sort(mdf):
+    out = M.members_sorted(mdf, "D Tiempo", "D Tiempo.Calendario",
+                           "Mes").collect()
+    # Enero (ordinal 1) must precede Febrero (2) regardless of alphabet
+    by_rank = [r["MIEMBRO_CAPTION"] for r in sorted(out, key=lambda r: r["rn"])]
+    assert by_rank.index("Enero") < by_rank.index("Febrero") \
+        < by_rank.index("Marzo")
+
+
+def test_cardinality_product(mdf):
+    est = M.estimate_query_cardinality(
+        mdf, [("Dim Customer", "Dim Customer.Geografía", "Region"),
+              ("Dim Orders", "Dim Orders.Estado", "Estado")])
+    assert est == 5 * 3
+
+
+def test_search_case_insensitive(mdf):
+    hits = M.search_members(mdf, "europe").collect()
+    assert any(r["MIEMBRO_CAPTION"] == "EUROPE" for r in hits)

@@ -1,0 +1,99 @@
+"""Dedup / similarity / text / events operators — semantic unit tests on
+hand-built frames plus sf0.001 sanity."""
+import pytest
+from pyspark.sql import Row
+
+from olap_xtrctr_spark.operators import dedup as D
+from olap_xtrctr_spark.operators import similarity as S
+from olap_xtrctr_spark.operators import text as TX
+from olap_xtrctr_spark.streaming import events as EV
+from olap_xtrctr_spark.session import load_events
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t)
+                                  for i, t in enumerate(rows)])
+
+
+def test_exact_dedup_keeps_first(spark):
+    df = _docs(spark, ["a b c", "a b c", "x y z"])
+    out = D.exact_dedup(df, ["text"], "doc_id").collect()
+    assert {(r["doc_id"], r["text"]) for r in out} == {(0, "a b c"), (2, "x y z")}
+
+
+def test_exact_dup_groups(spark):
+    df = _docs(spark, ["a b c", "a b c", "x y z"])
+    out = {r["keep_id"]: r["copies"]
+           for r in D.exact_dup_groups(df).collect()}
+    assert out == {0: 2, 2: 1}
+
+
+def test_minhash_identical_docs_score_1(spark):
+    df = _docs(spark, ["uno dos tres cuatro cinco seis",
+                       "uno dos tres cuatro cinco seis",
+                       "totally different words here now ok"])
+    pairs = D.minhash_lsh_pairs(df, threshold=0.9).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["id_a"], pairs[0]["id_b"]) == (0, 1)
+    assert pairs[0]["est_jaccard"] == 1.0
+
+
+def test_ngram_jaccard_exact(spark):
+    df = _docs(spark, ["a b c d", "a b c d", "q w e r"])
+    out = D.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert len(out) == 1
+    assert out[0]["jaccard"] == 1.0
+
+
+def test_simhash_identical_zero_distance(spark):
+    df = _docs(spark, ["k l m n o p q r s t u v",
+                       "k l m n o p q r s t u v"])
+    out = D.simhash_near_pairs(df, max_hamming=0).collect()
+    assert len(out) == 1 and out[0]["hamming"] == 0
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark):
+    emb = spark.createDataFrame([
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[1.0, 0.0]),
+        Row(vec_id=2, embedding=[0.9, 0.1]),
+        Row(vec_id=3, embedding=[0.0, 1.0]),
+    ])
+    out = S.cosine_topk(emb, [0], k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] \
+        == [1, 2]
+    assert all(r["neighbor_id"] != 0 for r in out)
+
+
+def test_lang_id_votes(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=0, lang="en", text="the cat and the dog of the house"),
+        Row(doc_id=1, lang="es", text="el perro y la casa de los gatos una"),
+        Row(doc_id=2, lang="und", text="zzz qqq www"),
+    ])
+    out = {r["doc_id"]: r["lang_guess"] for r in TX.lang_id(df).collect()}
+    assert out == {0: "en", 1: "es", 2: "und"}
+
+
+def test_fingerprint_whitespace_insensitive(spark):
+    df = _docs(spark, ["Hello,   World!", "hello world"])
+    fps = [r["fingerprint"] for r in TX.fingerprint(df).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_sessionize_gap(spark):
+    rows = [Row(event_id=i, user_id=1, ts=ts, event_type="x", value=1.0,
+                props="{}")
+            for i, ts in enumerate(["2024-01-01 00:00:00",
+                                    "2024-01-01 00:10:00",
+                                    "2024-01-01 02:00:00"])]
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
+    out = EV.sessionize(df).collect()
+    assert out[0]["n_sessions"] == 2 and out[0]["n_events"] == 3
+
+
+def test_events_load_converts_nanos(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.count() > 0

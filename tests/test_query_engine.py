@@ -1,0 +1,97 @@
+"""Cube query engine semantics at sf0.001 (hand-checked + validation rules)."""
+import pytest
+
+from olap_xtrctr_spark import (AxisItem, CubeQueryEngine, FilterSpec,
+                               QueryRequest, default_registry)
+from olap_xtrctr_spark.query import QueryValidationError
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_dir):
+    return CubeQueryEngine(spark, default_registry(), sf_dir)
+
+
+def test_flagship_nation_rollup(eng):
+    df = eng.execute(QueryRequest(
+        "VENTAS_2025", measures=["Total Registros"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation")]))
+    rows = df.collect()
+    assert df.columns == ["nation", "total_registros"]
+    assert sum(r["total_registros"] for r in rows) == 6000
+    assert len(rows) == 25
+
+
+def test_duplicate_hierarchy_rejected(eng):
+    with pytest.raises(QueryValidationError, match="twice"):
+        eng.execute(QueryRequest("VENTAS_2025", rows=[
+            AxisItem("Dim Customer", "Geografía", level="Nation"),
+            AxisItem("Dim Customer", "Geografía", level="Region")]))
+
+
+def test_row_dim_cap(eng):
+    with pytest.raises(QueryValidationError, match="at most 3"):
+        eng.execute(QueryRequest("VENTAS_2025", rows=[
+            AxisItem("Dim Customer", "Geografía", level="Nation"),
+            AxisItem("Dim Producto", "Producto", level="Brand"),
+            AxisItem("D Tiempo", "Calendario", level="Año"),
+            AxisItem("Dim Orders", "Estado", level="Estado")]))
+
+
+def test_filter_dropped_when_hierarchy_on_rows(eng):
+    warns = []
+    df = eng.execute(QueryRequest(
+        "VENTAS_2025", measures=["Total Registros"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Region")],
+        filters=[FilterSpec("Dim Customer", "Geografía",
+                 members=["[Dim Customer].[Geografía].[Region].&[0]"])]),
+        warn=warns.append)
+    assert len(warns) == 1
+    # filter dropped → all 5 regions remain
+    assert df.count() == 5
+
+
+def test_slicer_not_in_output(eng):
+    df = eng.execute(QueryRequest(
+        "VENTAS_2025", measures=["Total Registros"],
+        rows=[AxisItem("Dim Producto", "Producto", level="Brand")],
+        slicers=["[Dim Orders].[Estado].[Estado].&[F]"]))
+    assert "estado" not in df.columns
+    total = sum(r["total_registros"] for r in df.collect())
+    assert 0 < total < 6000  # slicer actually filtered
+
+
+def test_invisible_measure_excluded_from_allmembers(eng):
+    df = eng.execute(QueryRequest("VENTAS_2025", all_measures=True))
+    assert "sum_tax" not in df.columns
+    assert "sum_extendedprice" in df.columns
+
+
+def test_empty_preserving_vs_non_empty(eng):
+    req = dict(measures=["Sum Extendedprice"],
+               rows=[AxisItem("Dim Orders", "Estado", level="Estado"),
+                     AxisItem("D Tiempo", "Calendario", level="Año")])
+    sparse = eng.execute(QueryRequest("VENTAS_2025", **req))
+    dense = eng.execute(QueryRequest("VENTAS_2025", non_empty=False, **req),
+                        empty_preserving=True)
+    assert dense.count() >= sparse.count()
+    # dense = full crossjoin of the two level sets
+    n_estado = 3
+    assert dense.count() % n_estado == 0
+
+
+def test_depth_resolution_matches_name(eng):
+    by_depth = eng.execute(QueryRequest(
+        "VENTAS_2025", rows=[AxisItem("Dim Proveedor", "Geografía Proveedor",
+                                      depth=2)]))
+    by_name = eng.execute(QueryRequest(
+        "VENTAS_2025", rows=[AxisItem("Dim Proveedor", "Geografía Proveedor",
+                                      level="Nation")]))
+    assert sorted(map(tuple, by_depth.collect())) == \
+        sorted(map(tuple, by_name.collect()))
+
+
+def test_cardinality_estimate(eng):
+    cube = default_registry().resolve("VENTAS_2025")
+    axes = [eng._resolve_axis(cube, AxisItem("Dim Customer", "Geografía",
+                                             level="Region"))]
+    assert eng.estimate_cardinality(cube, axes) == 5
