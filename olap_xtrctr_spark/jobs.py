@@ -1,0 +1,116 @@
+"""Async job orchestration: the reference's PENDING→RUNNING→COMPLETED/
+FAILED lifecycle (X1/X2, backend/db_runner.py:25-103,
+database/migrations/002_jobs_table.sql:5-14) collapsed onto the Spark
+driver — a thread pool submits Spark actions; every node-boundary hop
+of the reference (Worker → GitHub Actions → Windows runner → SSAS)
+disappears.
+
+Job record fields mirror the jobs table: id (uuid), catalog_code,
+mdx_query, status, result_data, error_message, created_at/updated_at.
+"""
+from __future__ import annotations
+
+import threading
+import time
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from pyspark.sql import DataFrame
+
+from .sinks import to_json_result
+
+PENDING, RUNNING, COMPLETED, FAILED = "PENDING", "RUNNING", "COMPLETED", "FAILED"
+
+
+def _now() -> str:
+    return time.strftime("%Y-%m-%dT%H:%M:%S")
+
+
+@dataclass
+class Job:
+    id: str
+    catalog_code: str
+    mdx_query: str
+    status: str = PENDING
+    result_data: Optional[dict[str, Any]] = None
+    error_message: Optional[str] = None
+    created_at: str = field(default_factory=_now)
+    updated_at: str = field(default_factory=_now)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "id": self.id, "catalog_code": self.catalog_code,
+            "mdx_query": self.mdx_query, "status": self.status,
+            "result_data": self.result_data,
+            "error_message": self.error_message,
+            "created_at": self.created_at, "updated_at": self.updated_at,
+        }
+
+
+class JobRegistry:
+    """In-memory job table + background execution.  Thread-safe; the Spark
+    driver is safe for concurrent job submission (no COM-thread dance
+    needed — reference X3 is obsolete here)."""
+
+    def __init__(self, max_workers: int = 4, result_limit: int = 10_000):
+        self._jobs: dict[str, Job] = {}
+        self._lock = threading.Lock()
+        self._pool = ThreadPoolExecutor(max_workers=max_workers,
+                                        thread_name_prefix="olap-job")
+        self._result_limit = result_limit
+
+    def submit(self, catalog_code: str, mdx_query: str,
+               runner: Callable[[], DataFrame]) -> str:
+        """Create a PENDING job and dispatch it.  ``runner`` builds the
+        result DataFrame (usually engine.execute(parse_mdx(...)))."""
+        job = Job(id=str(uuid.uuid4()), catalog_code=catalog_code,
+                  mdx_query=mdx_query)
+        with self._lock:
+            self._jobs[job.id] = job
+        self._pool.submit(self._run, job.id, runner)
+        return job.id
+
+    def _update(self, job_id: str, **kw) -> None:
+        with self._lock:
+            job = self._jobs[job_id]
+            for k, v in kw.items():
+                setattr(job, k, v)
+            job.updated_at = _now()
+
+    def _run(self, job_id: str, runner: Callable[[], DataFrame]) -> None:
+        self._update(job_id, status=RUNNING)
+        t0 = time.time()
+        try:
+            df = runner()
+            result = to_json_result(df, limit=self._result_limit)
+            result["duration_seconds"] = round(time.time() - t0, 3)
+            self._update(job_id, status=COMPLETED, result_data=result)
+        except Exception as exc:  # error path mirrors db_runner.py:92-103
+            self._update(job_id, status=FAILED, error_message=str(exc)[:2000])
+
+    def get(self, job_id: str) -> Optional[dict[str, Any]]:
+        with self._lock:
+            job = self._jobs.get(job_id)
+            return job.to_dict() if job else None
+
+    def list(self, limit: int = 50) -> list[dict[str, Any]]:
+        with self._lock:
+            jobs = sorted(self._jobs.values(),
+                          key=lambda j: j.created_at, reverse=True)
+            return [j.to_dict() for j in jobs[:limit]]
+
+    def wait(self, job_id: str, timeout: float = 60.0,
+             poll: float = 0.1) -> dict[str, Any]:
+        """Poll-for-completion (X2; the reference polls every 2 s)."""
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            job = self.get(job_id)
+            if job and job["status"] in (COMPLETED, FAILED):
+                return job
+            time.sleep(poll)
+        raise TimeoutError(f"job {job_id} still running after {timeout}s")
+
+    def shutdown(self) -> None:
+        self._pool.shutdown(wait=False)

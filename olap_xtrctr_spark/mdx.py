@@ -1,0 +1,232 @@
+"""MDX front-end: parses the reference's emitted MDX subset into a
+structured QueryRequest (Q16), and the DMV SQL dialect into DataFrame
+ops (M3-M5).
+
+Grammar covered (exactly what the reference builds —
+scanner/DGIS_SCAN_2_stable.py:1366-1420, backend/olap_service.py:346-453,
+backend/actions_runner.py:220-249, frontend/src/utils/mdxBuilder.ts:4-40):
+
+    SELECT { <measures|members> } ON COLUMNS,
+           [NON EMPTY] <set> [DIMENSION PROPERTIES ...] ON ROWS
+    FROM [cube]
+    [WHERE ( <member> [, <member>...] )]
+
+    <set> := CROSSJOIN(<set>, <set>)
+           | { <member unique name>, ... }
+           | [Dim].[Hier].[Level].MEMBERS
+           | [Dim].[Hier].Levels(n).MEMBERS
+           | [Dim].[Hier].MEMBERS
+
+DMV dialect:
+
+    SELECT [c1],[c2] | * FROM $system.<ROWSET>
+    [WHERE [c]='v' [AND [c2] > n ...]] [ORDER BY [c] [ASC|DESC]]
+
+Unsupported constructs raise MdxParseError (engine contract: parse the
+subset, error on the rest).
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .query import AxisItem, QueryRequest
+
+
+class MdxParseError(ValueError):
+    pass
+
+
+_SEG = re.compile(r"\[([^\]]*)\]")
+
+
+def _segs(expr: str) -> list[str]:
+    """Bracketed segments of a name path (up to the first key segment)."""
+    head = expr.split(".&[")[0]
+    return _SEG.findall(head)
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on commas not inside (), {}, []."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "({[":
+            depth += 1
+        elif ch in ")}]":
+            depth -= 1
+        if ch == sep and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [x for x in out if x]
+
+
+def _parse_set(expr: str, properties: bool) -> list[AxisItem]:
+    expr = expr.strip()
+    up = expr.upper()
+
+    if up.startswith("CROSSJOIN"):
+        inner = expr[expr.index("(") + 1:expr.rindex(")")]
+        parts = _split_top(inner)
+        if len(parts) != 2:
+            raise MdxParseError(f"CROSSJOIN needs 2 args: {expr!r}")
+        return (_parse_set(parts[0], properties)
+                + _parse_set(parts[1], properties))
+
+    if expr.startswith("{"):
+        members = _split_top(expr.strip("{} \n\t"))
+        if not members:
+            raise MdxParseError(f"empty member set: {expr!r}")
+        seg_lists = [_segs(m) for m in members]
+        dims = {tuple(s[:2]) for s in seg_lists}
+        if len(dims) != 1:
+            raise MdxParseError(
+                f"member set spans multiple hierarchies: {expr!r}")
+        dim, hier = seg_lists[0][0], seg_lists[0][1]
+        return [AxisItem(dim, hier, members=members, properties=properties)]
+
+    m = re.match(r"(.*)\.Levels\s*\(\s*(\d+)\s*\)\s*\.MEMBERS$", expr,
+                 re.IGNORECASE)
+    if m:
+        segs = _segs(m.group(1))
+        if len(segs) < 2:
+            raise MdxParseError(f"Levels() needs [Dim].[Hier]: {expr!r}")
+        return [AxisItem(segs[0], segs[1], depth=int(m.group(2)),
+                         properties=properties)]
+
+    if up.endswith(".MEMBERS"):
+        segs = _segs(expr[: -len(".MEMBERS")])
+        if len(segs) == 3:
+            return [AxisItem(segs[0], segs[1], level=segs[2],
+                             properties=properties)]
+        if len(segs) == 2:   # whole-hierarchy set (single-level, Q6)
+            return [AxisItem(segs[0], segs[1], properties=properties)]
+        raise MdxParseError(f"unsupported member set path: {expr!r}")
+
+    raise MdxParseError(f"unsupported set expression: {expr!r}")
+
+
+def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
+    flat = " ".join(mdx.split())
+
+    m = re.match(
+        r"SELECT\s+(?P<cols>.*?)\s+ON\s+COLUMNS\s*,\s*(?P<rows>.*?)\s+ON\s+ROWS"
+        r"\s+FROM\s+(?P<cube>\[[^\]]*\]|\w+)"
+        r"(?:\s+WHERE\s*\((?P<where>.*)\)\s*)?$",
+        flat, re.IGNORECASE)
+    if not m:
+        # measures-only form: SELECT {...} ON COLUMNS FROM [cube]
+        m2 = re.match(
+            r"SELECT\s+(?P<cols>.*?)\s+ON\s+COLUMNS\s+FROM\s+"
+            r"(?P<cube>\[[^\]]*\]|\w+)"
+            r"(?:\s+WHERE\s*\((?P<where>.*)\)\s*)?$",
+            flat, re.IGNORECASE)
+        if not m2:
+            raise MdxParseError(f"unsupported MDX shape: {mdx!r}")
+        m = m2
+        rows_raw = None
+    else:
+        rows_raw = m.group("rows")
+
+    req = QueryRequest(catalog=catalog, cube=m.group("cube").strip("[]"))
+
+    # -- columns: measures / AllMembers / variables ------------------------
+    cols = m.group("cols").strip()
+    if re.fullmatch(r"\[Measures\]\s*\.\s*AllMembers", cols, re.IGNORECASE):
+        req.all_measures = True
+    else:
+        items = _split_top(cols.strip("{} "))
+        for it in items:
+            segs = _segs(it)
+            if segs and segs[0].lower() == "measures":
+                req.measures.append(segs[1])
+            else:
+                req.variables.append(it)
+
+    # -- rows --------------------------------------------------------------
+    if rows_raw is not None:
+        r = rows_raw.strip()
+        mne = re.match(r"NON\s+EMPTY\s+(.*)$", r, re.IGNORECASE | re.DOTALL)
+        req.non_empty = mne is not None
+        if mne:
+            r = mne.group(1)
+        props = False
+        mdp = re.match(r"(.*?)\s+DIMENSION\s+PROPERTIES\s+.*$", r,
+                       re.IGNORECASE | re.DOTALL)
+        if mdp:
+            r = mdp.group(1)
+            props = True
+        req.rows = _parse_set(r, props)
+
+    # -- WHERE slicer tuple (Q11) ------------------------------------------
+    where = m.group("where")
+    if where:
+        req.slicers = _split_top(where)
+
+    return req
+
+
+# ---------------------------------------------------------------------------
+# DMV SQL dialect (M2-M5): SELECT ... FROM $system.X WHERE ... ORDER BY ...
+# ---------------------------------------------------------------------------
+
+_DMV_RE = re.compile(
+    r"SELECT\s+(?P<cols>\*|[\[\]\w,\s]+?)\s+FROM\s+\$system\.(?P<rowset>\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>.*?))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_COND_RE = re.compile(
+    r"\[(?P<col>[^\]]+)\]\s*(?P<op>=|<>|>=|<=|>|<)\s*"
+    r"(?P<val>'[^']*'|\S+)")
+
+
+def execute_dmv(spark: SparkSession, sql: str) -> DataFrame:
+    """Run a DMV query against the registered ``system_<ROWSET>`` views
+    (metadata.register_dmv_views).  Projection/restriction/ordering map to
+    select/filter/orderBy — Catalyst pushes them down (M3-M5)."""
+    m = _DMV_RE.match(" ".join(sql.split()))
+    if not m:
+        raise MdxParseError(f"unsupported DMV query: {sql!r}")
+    rowset = m.group("rowset").upper()
+    try:
+        df = spark.table(f"system_{rowset}")
+    except Exception as exc:
+        raise MdxParseError(f"unknown DMV rowset $system.{rowset}") from exc
+
+    where = m.group("where")
+    if where:
+        for cond in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
+            c = _COND_RE.match(cond.strip())
+            if not c:
+                raise MdxParseError(f"unsupported DMV predicate: {cond!r}")
+            col, op, val = c.group("col"), c.group("op"), c.group("val")
+            lit = val.strip("'") if val.startswith("'") else (
+                float(val) if "." in val else int(val))
+            colc = F.col(col)
+            expr = {"=": colc == lit, "<>": colc != lit, ">": colc > lit,
+                    "<": colc < lit, ">=": colc >= lit, "<=": colc <= lit}[op]
+            df = df.filter(expr)
+
+    cols = m.group("cols").strip()
+    if cols != "*":
+        names = [c.strip().strip("[]") for c in cols.split(",")]
+        df = df.select(*names)
+
+    order = m.group("order")
+    if order:
+        exprs = []
+        for part in order.split(","):
+            p = part.strip()
+            desc = p.upper().endswith(" DESC")
+            name = re.sub(r"\s+(ASC|DESC)$", "", p, flags=re.IGNORECASE) \
+                     .strip().strip("[]")
+            exprs.append(F.col(name).desc() if desc else F.col(name).asc())
+        df = df.orderBy(*exprs)
+    return df

@@ -1,0 +1,142 @@
+"""Service façade mirroring the reference's API surface
+(backend/api_server.py:101-347, workers/api/src/routes/*): catalogs,
+cubes, measures, dimensions+hierarchies+levels, apartados, variables,
+members (paged + search), query execute (structured or raw MDX), jobs.
+
+Transport-agnostic: returns plain dicts/lists, ready for any HTTP layer.
+All responses go through the same result shaping as the reference
+(sanitization + AG-Grid descriptors + rowCount).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import SparkSession
+
+from . import members as M
+from . import metadata
+from .cube import CubeRegistry, default_registry
+from .jobs import JobRegistry
+from .mdx import execute_dmv, parse_mdx
+from .query import AxisItem, CubeQueryEngine, FilterSpec, QueryRequest
+from .sinks import ag_grid_columns, sanitize, to_json_result
+from .validators import sanitize_search
+
+PREVIEW_LIMIT = 20          # reference head(20)
+MEMBER_PAGE_SIZE = 1000     # reference page size
+
+
+class OlapService:
+    def __init__(self, spark: SparkSession, sf_dir: str,
+                 registry: Optional[CubeRegistry] = None):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.registry = registry or default_registry()
+        self.engine = CubeQueryEngine(spark, self.registry, sf_dir)
+        self.jobs = JobRegistry()
+        self._members_cache: dict[str, Any] = {}
+
+    # ---- metadata endpoints ----------------------------------------------
+
+    def get_catalogs(self) -> list[dict[str, Any]]:
+        df = metadata.catalogs_df(self.spark, self.registry)
+        return [r.asDict() for r in
+                df.filter(~df.CATALOG_NAME.startswith("$")).collect()]
+
+    def get_cubes(self, catalog: str) -> list[str]:
+        return [c.name for c in self.registry.cubes_in_catalog(catalog)]
+
+    def get_measures(self, catalog: str) -> list[dict[str, Any]]:
+        cube = self.registry.resolve(catalog)
+        return [{"name": m.name, "uniqueName": m.unique_name,
+                 "aggregator": m.aggregator.upper()}
+                for m in cube.visible_measures()]
+
+    def get_dimensions(self, catalog: str) -> list[dict[str, Any]]:
+        cube = self.registry.resolve(catalog)
+        out = []
+        for d in cube.dimensions.values():
+            hiers = [{
+                "name": h.name,
+                "uniqueName": f"[{d.name}].[{h.name}]",
+                "levels": [{"name": lv.name, "depth": i + 1}
+                           for i, lv in enumerate(h.levels)],
+            } for h in d.hierarchies.values()]
+            out.append({"name": d.name, "uniqueName": f"[{d.name}]",
+                        "hierarchies": hiers})
+        return out
+
+    # ---- members ----------------------------------------------------------
+
+    def _members(self, catalog: str):
+        """Members metadata cached per catalog (X5 semantics: materialize
+        once, reuse)."""
+        if catalog not in self._members_cache:
+            cube = self.registry.resolve(catalog)
+            self._members_cache[catalog] = metadata.members_df(
+                self.spark, cube, self.sf_dir).cache()
+        return self._members_cache[catalog]
+
+    def get_members(self, catalog: str, dimension: str, hierarchy: str,
+                    level: str, limit: int = MEMBER_PAGE_SIZE,
+                    offset: int = 0) -> dict[str, Any]:
+        mdf = self._members(catalog)
+        page = M.paginate_members(mdf, dimension, hierarchy, level,
+                                  limit=limit, offset=offset)
+        rows = [r.asDict() for r in page.collect()]
+        total = (M.get_dimension_members(mdf, dimension, hierarchy, level)
+                 .count())
+        return {"members": rows, "total": total,
+                "limit": limit, "offset": offset}
+
+    def search_members(self, catalog: str, term: str,
+                       dimension: Optional[str] = None) -> list[dict[str, Any]]:
+        term = sanitize_search(term)
+        if not term:
+            return []
+        df = M.search_members(self._members(catalog), term, dimension)
+        return [r.asDict() for r in df.limit(MEMBER_PAGE_SIZE).collect()]
+
+    def get_apartados(self, catalog: str) -> list[dict[str, Any]]:
+        return [r.asDict()
+                for r in M.get_apartados(self._members(catalog)).collect()]
+
+    def get_variables(self, catalog: str,
+                      apartado_unique_names: list[str]) -> list[dict[str, Any]]:
+        df = M.children_of(self._members(catalog), apartado_unique_names)
+        return [r.asDict() for r in df.collect()]
+
+    # ---- query execution ---------------------------------------------------
+
+    def execute_query(self, request: QueryRequest,
+                      preview: bool = False) -> dict[str, Any]:
+        """QueryResponse shape of the reference
+        (backend/api_server.py:93-96,328-340)."""
+        df = sanitize(self.engine.execute(request))
+        if preview:
+            df = df.limit(PREVIEW_LIMIT)
+        rows = [r.asDict() for r in df.collect()]
+        return {"rows": rows, "columns": ag_grid_columns(df),
+                "rowCount": len(rows)}
+
+    def execute_mdx(self, catalog: str, mdx: str,
+                    preview: bool = False) -> dict[str, Any]:
+        """Raw-MDX entry point (Q16): parse the subset → same path."""
+        return self.execute_query(parse_mdx(mdx, catalog), preview=preview)
+
+    def execute_dmv(self, sql: str) -> dict[str, Any]:
+        cube = next(iter(self.registry._cubes.values()))
+        metadata.register_dmv_views(self.spark, self.registry, cube,
+                                    self.sf_dir)
+        df = execute_dmv(self.spark, sql)
+        return to_json_result(df, limit=MEMBER_PAGE_SIZE, stringify=False)
+
+    # ---- jobs --------------------------------------------------------------
+
+    def submit_job(self, catalog: str, mdx: str) -> str:
+        req = parse_mdx(mdx, catalog)   # validate before dispatch
+        return self.jobs.submit(catalog, mdx,
+                                lambda: self.engine.execute(req))
+
+    def get_job(self, job_id: str) -> Optional[dict[str, Any]]:
+        return self.jobs.get(job_id)

@@ -1,0 +1,131 @@
+"""Result sinks: CSV / Excel / JSON / JDBC with the reference's result
+sanitization and post-write reconciliation.
+
+Reference behaviors kept: NaN/NaT/±Inf → None scrub
+(backend/olap_service.py:326-334), control-char strip for Excel
+(scanner/DGIS_SCAN_2_stable.py:662-676), stringly values only at the
+serialization edge (backend/db_runner.py:73), row-count reconciliation
+after load (database/migrate_csv_to_db.py:182-208, X9).
+
+Scale: CSV/Parquet/JDBC writes are distributed (`df.write`); Excel is a
+driver-side edge concern and guarded by the reference's 100k threshold.
+"""
+from __future__ import annotations
+
+import json
+import math
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LARGE_RESULT_THRESHOLD = 100_000   # reference export-UX switch
+CONTROL_CHARS = "[\\x00-\\x1F\\x7F]"
+
+
+def sanitize(df: DataFrame) -> DataFrame:
+    """NaN/±Inf → NULL on float columns (reference scrub)."""
+    for f_ in df.schema.fields:
+        if isinstance(f_.dataType, (T.DoubleType, T.FloatType)):
+            c = F.col(f_.name)
+            df = df.withColumn(
+                f_.name,
+                F.when(F.isnan(c) | c.isin(float("inf"), float("-inf")),
+                       None).otherwise(c))
+    return df
+
+
+def strip_control_chars(df: DataFrame) -> DataFrame:
+    for f_ in df.schema.fields:
+        if isinstance(f_.dataType, T.StringType):
+            df = df.withColumn(
+                f_.name, F.regexp_replace(F.col(f_.name), CONTROL_CHARS, ""))
+    return df
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> int:
+    """Distributed CSV write; ``single_file`` coalesces for the reference's
+    one-file export UX (only sane below the 100k threshold)."""
+    out = sanitize(df)
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").option("header", True).csv(path)
+    return reconcile_rowcount(df, out.sparkSession.read
+                              .option("header", True).csv(path))
+
+
+def write_parquet(df: DataFrame, path: str) -> int:
+    sanitize(df).write.mode("overwrite").parquet(path)
+    return reconcile_rowcount(df, df.sparkSession.read.parquet(path))
+
+
+def write_excel(df: DataFrame, path: str) -> int:
+    """Driver-side Excel export (edge concern).  Strips control chars the
+    way the reference does; refuses silently huge exports."""
+    n = df.count()
+    if n > LARGE_RESULT_THRESHOLD:
+        raise ValueError(
+            f"{n:,} rows exceeds Excel export guard "
+            f"({LARGE_RESULT_THRESHOLD:,}); use CSV/Parquet")
+    pdf = strip_control_chars(sanitize(df)).toPandas()
+    pdf.to_excel(path, index=False)
+    return n
+
+
+def to_json_result(df: DataFrame, limit: int | None = None,
+                   stringify: bool = True) -> dict[str, Any]:
+    """The reference's JSONB job-result envelope
+    (backend/db_runner.py:75-81): columns, data (stringified cells),
+    count, duration_seconds, executed_at."""
+    t0 = time.time()
+    rows = (df.limit(limit) if limit else df).collect()
+    cols = df.columns
+
+    def cell(v):
+        if v is None:
+            return None
+        if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+            return None
+        return str(v) if stringify else v
+
+    return {
+        "columns": cols,
+        "data": [[cell(r[c]) for c in cols] for r in rows],
+        "count": len(rows),
+        "duration_seconds": round(time.time() - t0, 3),
+        "executed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+
+
+def write_json(df: DataFrame, path: str, limit: int | None = None) -> int:
+    res = to_json_result(df, limit)
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(res, fh, ensure_ascii=False)
+    return res["count"]
+
+
+def write_jdbc(df: DataFrame, url: str, table: str,
+               mode: str = "append", batchsize: int = 1000,
+               properties: dict | None = None) -> None:
+    """JDBC sink (reference Postgres load path, batch 1000)."""
+    writer = (sanitize(df).write.mode(mode)
+              .option("batchsize", batchsize))
+    writer.jdbc(url, table, properties=properties or {})
+
+
+def reconcile_rowcount(source: DataFrame, written: DataFrame) -> int:
+    """Post-write row-count reconciliation (X9).  Raises on mismatch."""
+    n_src, n_dst = source.count(), written.count()
+    if n_src != n_dst:
+        raise RuntimeError(
+            f"reconciliation failed: wrote {n_dst} rows, expected {n_src}")
+    return n_dst
+
+
+def ag_grid_columns(df: DataFrame) -> list[dict[str, Any]]:
+    """AG-Grid column descriptors from the schema
+    (backend/olap_service.py:336-344)."""
+    return [{"field": c, "headerName": c, "sortable": True, "filter": True}
+            for c in df.columns]

@@ -1,0 +1,143 @@
+"""Service façade, job lifecycle, sinks, validators, multimodal plumbing."""
+import math
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from olap_xtrctr_spark import AxisItem, QueryRequest
+from olap_xtrctr_spark.jobs import COMPLETED, FAILED
+from olap_xtrctr_spark.operators.multimodal import (extract_features,
+                                                    synthetic_media)
+from olap_xtrctr_spark.service import OlapService
+from olap_xtrctr_spark.sinks import (sanitize, to_json_result, write_csv,
+                                     write_excel)
+from olap_xtrctr_spark.validators import (parse_range_list, sanitize_filename,
+                                          sanitize_search)
+
+
+@pytest.fixture(scope="module")
+def svc(spark, sf_dir):
+    return OlapService(spark, sf_dir)
+
+
+def test_catalog_and_dimension_listing(svc):
+    cats = svc.get_catalogs()
+    assert [c["CATALOG_NAME"] for c in cats] == ["VENTAS_2025"]
+    dims = svc.get_dimensions("VENTAS_2025")
+    names = {d["name"] for d in dims}
+    assert "Dim Customer" in names and "DIM VARIABLES2025" in names
+    geo = next(h for d in dims if d["name"] == "Dim Customer"
+               for h in d["hierarchies"] if h["name"] == "Geografía")
+    assert [lv["name"] for lv in geo["levels"]] == \
+        ["Region", "Nation", "Customer"]
+
+
+def test_measures_listing_visible_only(svc):
+    ms = svc.get_measures("VENTAS_2025")
+    assert {m["name"] for m in ms} == {
+        "Sum Extendedprice", "Total Registros", "Sum Quantity", "Avg Discount"}
+
+
+def test_members_paged_and_apartados(svc):
+    page = svc.get_members("VENTAS_2025", "Dim Customer",
+                           "Dim Customer.Geografía", "Nation", limit=10)
+    assert page["total"] == 25 and len(page["members"]) == 10
+    aps = svc.get_apartados("VENTAS_2025")
+    assert len(aps) == 25
+    vars_ = svc.get_variables(
+        "VENTAS_2025", [aps[0]["MIEMBRO_UNIQUE_NAME"]])
+    assert all(v["PARENT_UNIQUE_NAME"] == aps[0]["MIEMBRO_UNIQUE_NAME"]
+               for v in vars_)
+
+
+def test_execute_query_response_shape(svc):
+    res = svc.execute_query(QueryRequest(
+        "VENTAS_2025", measures=["Total Registros"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Region")]))
+    assert res["rowCount"] == 5
+    assert {c["field"] for c in res["columns"]} == \
+        {"region", "total_registros"}
+    assert all(set(r) == {"region", "total_registros"} for r in res["rows"])
+
+
+def test_job_lifecycle_success_and_failure(svc):
+    jid = svc.submit_job(
+        "VENTAS_2025",
+        "SELECT {[Measures].[Total Registros]} ON COLUMNS, "
+        "NON EMPTY [Dim Customer].[Geografía].[Region].MEMBERS ON ROWS "
+        "FROM [sales]")
+    job = svc.jobs.wait(jid, timeout=120)
+    assert job["status"] == COMPLETED
+    assert job["result_data"]["count"] == 5
+    assert job["result_data"]["columns"] == ["region", "total_registros"]
+    # data cells are stringified (reference db_runner.py:73)
+    assert all(isinstance(v, str) for row in job["result_data"]["data"]
+               for v in row)
+
+    # invalid MDX → rejected before dispatch
+    with pytest.raises(Exception):
+        svc.submit_job("VENTAS_2025", "GARBAGE QUERY")
+
+    # runtime failure → FAILED with message
+    jid2 = svc.jobs.submit("VENTAS_2025", "boom",
+                           lambda: (_ for _ in ()).throw(RuntimeError("boom")))
+    job2 = svc.jobs.wait(jid2, timeout=30)
+    assert job2["status"] == FAILED and "boom" in job2["error_message"]
+
+
+def test_search_sanitized(svc):
+    assert svc.search_members("VENTAS_2025", "; DROP TABLE--") == []
+    hits = svc.search_members("VENTAS_2025", "EUROPE")
+    assert hits
+
+
+def test_sanitize_nan_inf(spark):
+    df = spark.createDataFrame(
+        [Row(a=1.0), Row(a=float("nan")), Row(a=float("inf"))])
+    vals = [r["a"] for r in sanitize(df).collect()]
+    assert vals[0] == 1.0 and vals[1] is None and vals[2] is None
+
+
+def test_json_result_envelope(spark):
+    df = spark.createDataFrame([Row(x=1, y=float("nan"))])
+    res = to_json_result(df)
+    assert res["columns"] == ["x", "y"]
+    assert res["data"] == [["1", None]]
+    assert res["count"] == 1 and "executed_at" in res
+
+
+def test_csv_roundtrip_reconciled(spark, tmp_path):
+    df = spark.range(100).withColumnRenamed("id", "x")
+    n = write_csv(df, str(tmp_path / "out_csv"), single_file=True)
+    assert n == 100
+
+
+def test_excel_guard(spark, tmp_path, monkeypatch):
+    import olap_xtrctr_spark.sinks as sinks
+    monkeypatch.setattr(sinks, "LARGE_RESULT_THRESHOLD", 10)
+    with pytest.raises(ValueError, match="guard"):
+        sinks.write_excel(spark.range(100), str(tmp_path / "x.xlsx"))
+
+
+def test_validators():
+    assert parse_range_list("1,3,5-8, 10") == [1, 3, 5, 6, 7, 8, 10]
+    with pytest.raises(ValueError):
+        parse_range_list("5-2")
+    with pytest.raises(ValueError):
+        parse_range_list("1,2", max_value=1)
+    assert sanitize_search("héllo; DROP--") == "héllo"
+    assert "DELETE" not in sanitize_search("DELETE FROM members")
+    assert sanitize_filename("a/b\\c:d") == "a_b_c_d"
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = synthetic_media(spark, n=32)
+    feats = extract_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 32
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r["feature"])
+    # deterministic: same payload → same feature
+    again = {r["media_id"]: r["feature"] for r in feats.collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in rows)
