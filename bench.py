@@ -38,11 +38,22 @@ HEADLINE = [
 ]
 
 
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+
 def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # one tiny warm-up action so JVM/codegen startup isn't billed to q1
+    # Warm-up: run each headline query once at sf0.001 so JVM startup,
+    # parquet reader init and whole-stage-codegen compilation aren't billed
+    # to the measured sf0.1 runs (the warm-up reads DIFFERENT files, so no
+    # data from the measured scale factor is pre-cached).
     spark.range(1).count()
+    for name in HEADLINE:
+        try:
+            WORKLOAD[name].fn(spark, WARMUP_SF_DIR).count()
+        except Exception as exc:  # a broken warm-up must not kill the bench
+            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -66,6 +66,19 @@ class Dimension:
     fact_key: Optional[str]        # fact column for the join
     view_key: Optional[str]        # view column for the join
     hierarchies: dict[str, Hierarchy] = field(default_factory=dict)
+    # view used for MEMBER ENUMERATION (defaults to ``view``): dimensions
+    # bridged through a big table (customer-geo rides orders_wide for the
+    # fact join) enumerate from the slim dimension-only view instead —
+    # members exist even when no fact references them (SSAS semantics),
+    # and the enumeration scan shrinks by orders of magnitude.
+    members_view: Optional[str] = None
+    # for degenerate dimensions (view=None): the raw fact columns the
+    # derived levels depend on.  Member enumeration then distincts these
+    # cheap raw columns FIRST (map-side combinable on the scan) and runs
+    # the derivation on the tiny distinct set, instead of deriving on
+    # every fact row — the difference between O(|fact|) and O(|distinct|)
+    # derivation work at 100 TB.
+    degenerate_source_cols: tuple = ()
 
     def hierarchy(self, name: str) -> Hierarchy:
         h = self.hierarchies.get(name)
@@ -215,6 +228,37 @@ def _orders_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ region — member-enumeration view for the
+    customer dimensions (no orders bridge: 10x smaller scan, and members
+    with zero orders still exist)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+         .select(
+             F.col("r_name").alias("cust_region"),
+             F.col("r_regionkey").alias("cust_region_key"),
+             F.col("n_name").alias("cust_nation"),
+             F.col("n_nationkey").alias("cust_nation_key"),
+             F.col("c_name").alias("cust_customer"),
+             F.col("c_custkey").alias("cust_customer_key"),
+             F.col("c_mktsegment").alias("cust_segment"),
+         )
+    )
+
+
+def _orders_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection of orders for enumerating the order-attribute members."""
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("order_estado"),
+        F.col("o_orderpriority").alias("order_prioridad"),
+    )
+
+
 def _supplier_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -293,7 +337,8 @@ def sales_cube(catalog: str = "VENTAS_2025") -> CubeDef:
     dims = {
         "Dim Customer": Dimension(
             "Dim Customer", "orders_wide", "l_orderkey", "o_orderkey",
-            {"Geografía": geo_cust, "Segmento": seg}),
+            {"Geografía": geo_cust, "Segmento": seg},
+            members_view="customer_geo"),
         "Dim Proveedor": Dimension(
             "Dim Proveedor", "supplier_geo", "l_suppkey", "s_suppkey",
             {"Geografía Proveedor": geo_supp}),
@@ -304,10 +349,12 @@ def sales_cube(catalog: str = "VENTAS_2025") -> CubeDef:
             "DIM VARIABLES2025", "part_view", "l_partkey", "p_partkey",
             {"Apartado y Variable": apartado_var}),
         "D Tiempo": Dimension(
-            "D Tiempo", None, None, None, {"Calendario": calendario}),
+            "D Tiempo", None, None, None, {"Calendario": calendario},
+            degenerate_source_cols=("l_shipdate",)),
         "Dim Orders": Dimension(
             "Dim Orders", "orders_wide", "l_orderkey", "o_orderkey",
-            {"Estado": estado, "Prioridad": prioridad}),
+            {"Estado": estado, "Prioridad": prioridad},
+            members_view="orders_dim"),
     }
 
     measures = {
@@ -332,6 +379,8 @@ def sales_cube(catalog: str = "VENTAS_2025") -> CubeDef:
             "orders_wide": _orders_wide,
             "supplier_geo": _supplier_geo,
             "part_view": _part_view,
+            "customer_geo": _customer_geo,
+            "orders_dim": _orders_dim,
         },
         dimensions=dims,
         measures=measures,

@@ -10,10 +10,15 @@ hierarchies/levels/measures) come straight from the registry;
 ``select distinct`` per hierarchy level over the dimension views with
 synthesized unique names (SURVEY §1.4 "Member").
 
-Scale: members generation is pure DataFrame ops (distinct + joins for
-child counts) — no driver-side loops — so a 1.7M-member catalog
-(reference scale, 001_initial_schema.sql:67) or far larger remains
-distributed.
+Scale: members generation is pure DataFrame ops — no driver-side
+loops — so a 1.7M-member catalog (reference scale,
+001_initial_schema.sql:67) or far larger remains distributed.  Each
+hierarchy costs ONE scan of its dimension view: scan → leaf-grain
+``distinct`` (map-side combinable, output bounded by member count) →
+``rollup`` over the small grain, with every level decoded from
+``grouping_id`` in a single projection.  The naive alternative (a
+distinct scan per level plus a countDistinct job per non-leaf level)
+re-reads the view 2×levels times and is what this replaces.
 """
 from __future__ import annotations
 
@@ -25,6 +30,7 @@ from pyspark.sql import types as T
 
 from . import naming
 from .cube import CubeDef, CubeRegistry, Dimension, Hierarchy
+from .session import load_table
 
 MEMBER_COLS = [
     "CATALOGO", "DIMENSION", "JERARQUIA", "NIVEL_NOMBRE", "NIVEL_NUMERO",
@@ -35,55 +41,88 @@ MEMBER_COLS = [
 
 def _hier_source(spark: SparkSession, cube: CubeDef, dim: Dimension,
                  sf_dir: str) -> DataFrame:
-    if dim.view is None:  # degenerate: derive from the fact table
+    view = dim.members_view or dim.view
+    if view is None:  # degenerate: derive from the fact table
+        if dim.degenerate_source_cols and cube.derive is not None:
+            # distinct the raw source columns first (cheap columnar scan,
+            # map-side combine), derive levels on the tiny distinct set
+            raw = load_table(spark, sf_dir, cube.fact_table) \
+                .select(*dim.degenerate_source_cols).distinct()
+            return cube.derive(raw)
         return cube.fact(spark, sf_dir)
-    return cube.views[dim.view](spark, sf_dir)
+    return cube.views[view](spark, sf_dir)
 
 
-def _level_members(cube: CubeDef, dim: Dimension, hier: Hierarchy,
-                   src: DataFrame, depth: int) -> DataFrame:
-    """Distinct members at 1-based ``depth`` with synthesized unique names."""
-    levels = hier.levels[:depth]
-    lv = levels[-1]
-    key_cols = [F.col(l.key_col) for l in levels]
-    sel = [F.col(l.key_col).alias(f"_k{i+1}") for i, l in enumerate(levels)]
-    sel.append(F.col(lv.caption_col).alias("MIEMBRO_CAPTION"))
-    if lv.ordinal_col is not None:
-        sel.append(F.col(lv.ordinal_col).cast("int").alias("MIEMBRO_ORDINAL"))
-    distinct = src.select(*sel).distinct()
+def _hier_members(cube: CubeDef, dim: Dimension, hier: Hierarchy,
+                  src: DataFrame) -> DataFrame:
+    """Every level's members for one hierarchy in a single plan.
 
-    uname = naming.encode_col(
-        dim.name, hier.name, hier.levels[0].name,
-        [F.col(f"_k{i+1}") for i in range(depth)])
-    out = distinct.select(
+    scan(view) → distinct leaf grain (one shuffle, map-side combined,
+    output = #leaf members) → ``rollup`` over the key-column prefixes
+    (the grouping sets ARE the levels) → one projection decoding
+    ``grouping_id`` into level name/number, unique name, parent,
+    children count, ordinal and key.  No per-level jobs, no joins.
+    """
+    n = len(hier.levels)
+    # leaf grain: all key/caption/ordinal columns of every level, distinct
+    grain_cols: list = []
+    for i, lv in enumerate(hier.levels):
+        grain_cols.append(F.col(lv.key_col).alias(f"_k{i+1}"))
+        grain_cols.append(F.col(lv.caption_col).alias(f"_cap{i+1}"))
+        if lv.ordinal_col is not None:
+            grain_cols.append(F.col(lv.ordinal_col).cast("int")
+                              .alias(f"_ord{i+1}"))
+    grain = src.select(*grain_cols).distinct()
+
+    # rollup on key prefixes; captions/ordinals are functionally dependent
+    # on their key prefix so max() just picks the one value per group
+    aggs: list = []
+    for i, lv in enumerate(hier.levels):
+        aggs.append(F.max(f"_cap{i+1}").alias(f"_cap{i+1}"))
+        if lv.ordinal_col is not None:
+            aggs.append(F.max(f"_ord{i+1}").alias(f"_ord{i+1}"))
+    for i in range(1, n):  # children at depth d = distinct level-(d+1) keys
+        aggs.append(F.countDistinct(f"_k{i+1}").alias(f"_cc{i}"))
+    rolled = (grain.rollup(*[f"_k{i+1}" for i in range(n)])
+                   .agg(*aggs, F.grouping_id().alias("_gid"))
+                   .filter(F.col("_gid") != 2 ** n - 1))  # drop grand total
+
+    # rollup depth-d rows carry _gid = 2^(n-d) - 1
+    def by_depth(make):
+        expr = None
+        for d in range(1, n + 1):
+            cond = F.col("_gid") == 2 ** (n - d) - 1
+            expr = F.when(cond, make(d)) if expr is None \
+                else expr.when(cond, make(d))
+        return expr
+
+    def uname_at(d: int):
+        return naming.encode_col(
+            dim.name, hier.name, hier.levels[0].name,
+            [F.col(f"_k{i+1}") for i in range(d)])
+
+    def ordinal_at(d: int):
+        lv = hier.levels[d - 1]
+        if lv.ordinal_col is None:
+            return F.lit(None).cast("int")
+        return F.col(f"_ord{d}")
+
+    uname = by_depth(uname_at)
+    return rolled.select(
         F.lit(cube.catalog).alias("CATALOGO"),
         F.lit(dim.name).alias("DIMENSION"),
         F.lit(f"{dim.name}.{hier.name}").alias("JERARQUIA"),
-        F.lit(lv.name).alias("NIVEL_NOMBRE"),
-        F.lit(depth).alias("NIVEL_NUMERO"),
-        F.col("MIEMBRO_CAPTION").cast("string").alias("MIEMBRO_CAPTION"),
+        by_depth(lambda d: F.lit(hier.levels[d - 1].name)).alias("NIVEL_NOMBRE"),
+        by_depth(lambda d: F.lit(d)).alias("NIVEL_NUMERO"),
+        by_depth(lambda d: F.col(f"_cap{d}").cast("string"))
+            .alias("MIEMBRO_CAPTION"),
         uname.alias("MIEMBRO_UNIQUE_NAME"),
         naming.parent_col(uname).alias("PARENT_UNIQUE_NAME"),
-        (F.col("MIEMBRO_ORDINAL") if lv.ordinal_col is not None
-         else F.lit(None).cast("int")).alias("MIEMBRO_ORDINAL"),
-        F.col(f"_k{depth}").cast("string").alias("MIEMBRO_KEY"),
-        *[F.col(f"_k{i+1}") for i in range(depth)],
-    )
-
-    # CHILDREN_CARDINALITY: distinct next-level keys under this member
-    if depth < len(hier.levels):
-        child = hier.levels[depth]
-        counts = (
-            src.groupBy(*[F.col(l.key_col).alias(f"_k{i+1}")
-                          for i, l in enumerate(levels)])
-               .agg(F.countDistinct(child.key_col).alias("CHILDREN_CARDINALITY"))
-        )
-        out = out.join(counts, [f"_k{i+1}" for i in range(depth)], "left")
-        out = out.withColumn("CHILDREN_CARDINALITY",
-                             F.col("CHILDREN_CARDINALITY").cast("long"))
-    else:
-        out = out.withColumn("CHILDREN_CARDINALITY", F.lit(0).cast("long"))
-    return out.select(*MEMBER_COLS)
+        by_depth(lambda d: F.col(f"_cc{d}").cast("long") if d < n
+                 else F.lit(0).cast("long")).alias("CHILDREN_CARDINALITY"),
+        by_depth(ordinal_at).alias("MIEMBRO_ORDINAL"),
+        by_depth(lambda d: F.col(f"_k{d}").cast("string")).alias("MIEMBRO_KEY"),
+    ).select(*MEMBER_COLS)
 
 
 def _all_member(spark: SparkSession, cube: CubeDef, dim: Dimension,
@@ -126,12 +165,31 @@ def members_df(spark: SparkSession, cube: CubeDef, sf_dir: str,
     for dim in cube.dimensions.values():
         for hier in dim.hierarchies.values():
             src = _hier_source(spark, cube, dim, sf_dir)
-            for depth in range(1, len(hier.levels) + 1):
-                frames.append(_level_members(cube, dim, hier, src, depth))
+            frames.append(_hier_members(cube, dim, hier, src))
             if include_all:
                 n1 = src.select(hier.levels[0].key_col).distinct().count()
                 frames.append(_all_member(spark, cube, dim, hier, n1))
     return reduce(DataFrame.unionByName, frames)
+
+
+# Members cache (reference X5: members CSV cache with auto-populate on miss,
+# scanner/DGIS_SCAN_2_stable.py:686-705).  The members table is bounded
+# metadata (~1.7M rows at reference scale), read by every navigation call —
+# persist it once per (cube, sf_dir) instead of re-deriving per query.
+_MEMBERS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cached_members_df(spark: SparkSession, cube: CubeDef,
+                      sf_dir: str) -> DataFrame:
+    key = (cube.name, sf_dir)
+    df = _MEMBERS_CACHE.get(key)
+    if df is None:
+        # coalesce: the union of N hierarchy branches otherwise persists
+        # N*shuffle_partitions tiny partitions; members are bounded metadata
+        target = spark.sparkContext.defaultParallelism
+        df = members_df(spark, cube, sf_dir).coalesce(target).persist()
+        _MEMBERS_CACHE[key] = df
+    return df
 
 
 # ---- static DMV rowsets (registry-derived) --------------------------------

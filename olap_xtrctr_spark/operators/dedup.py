@@ -54,10 +54,16 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,
                        num_hashes: int = 32) -> DataFrame:
     """num_hashes-wide MinHash signature per doc: explode distinct shingles,
-    hash each with seeded xxhash64, take the per-seed minimum (map-side
-    combinable — partial aggregation before the shuffle)."""
+    take the per-hash-function minimum (map-side combinable — partial
+    aggregation before the shuffle).  The hash family is two xxhash64
+    evaluations combined affinely (h1 + i*h2, Kirsch-Mitzenmacher): same
+    min-wise guarantees, 2 hashes per shingle instead of num_hashes."""
     ex = shingle_docs(docs, text_col, id_col, n)
-    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+    # mask to 48/32 bits so h1 + i*h2 stays overflow-free under ANSI mode
+    h1 = F.xxhash64("shingle").bitwiseAND(F.lit(0xFFFFFFFFFFFF))
+    h2 = F.xxhash64("shingle", F.lit(1)).bitwiseAND(F.lit(0xFFFFFFFF))
+    ex = ex.select(id_col, h1.alias("_h1"), h2.alias("_h2"))
+    mins = [F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"h{i}")
             for i in range(num_hashes)]
     return ex.groupBy(id_col).agg(*mins)
 
@@ -143,22 +149,38 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.3) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via shingle inverted index:
-    self-join on shingle (co-occurrence counts), then |A∩B| / (|A|+|B|-|A∩B|).
-    The shingle join replaces the O(n²) document crossjoin."""
-    ex = shingle_docs(docs, text_col, id_col, n)
-    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-         .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                  F.col(f"b.{id_col}").alias("id_b"))
-         .agg(F.count(F.lit(1)).alias("inter"))
+                        threshold: float = 0.3,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs:
+    |A∩B| / (|A|+|B|-|A∩B|) for every co-occurring document pair.
+    Inverted-index plan (replaces both the O(n²) document crossjoin AND
+    the exploded self-join): group shingles into sorted posting lists
+    (one shuffle), generate co-occurrence pairs per posting list with a
+    JVM higher-order transform, count pairs (second shuffle).  Doc
+    shingle-set sizes come from a shuffle-free projection and join the
+    small pair-count table (AQE broadcasts it).  ``max_doc_freq`` caps
+    posting-list length — the standard stop-shingle guard at corpus
+    scale (off by default to keep semantics exact)."""
+    sh = docs.select(
+        id_col, F.array_distinct(_shingles(text_col, n)).alias("sh"))
+    sizes = sh.select(F.col(id_col).alias("_sid"), F.size("sh").alias("sz"))
+    posting = (
+        sh.select(id_col, F.explode("sh").alias("shingle"))
+          .groupBy("shingle")
+          .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+          .filter(F.size("ids") > 1)
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    if max_doc_freq is not None:
+        posting = posting.filter(F.size("ids") <= max_doc_freq)
+    # all (i < j) pairs of each sorted posting list, generated JVM-side
+    pairs = posting.select(F.explode(F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "b -> struct(a AS id_a, b AS id_b))))")).alias("p")
+    ).select("p.id_a", "p.id_b")
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+    sa = sizes.select(F.col("_sid").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("_sid").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
         inter.join(sa, "id_a").join(sb, "id_b")
              .withColumn("jaccard", F.round(

@@ -47,6 +47,20 @@ VIEW_SQL: dict[str, str] = {
                p_partkey AS prod_part_key
         FROM part
     """,
+    "customer_geo": """
+        SELECT r_name AS cust_region,   r_regionkey AS cust_region_key,
+               n_name AS cust_nation,   n_nationkey AS cust_nation_key,
+               c_name AS cust_customer, c_custkey   AS cust_customer_key,
+               c_mktsegment AS cust_segment
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    """,
+    "orders_dim": """
+        SELECT o_orderstatus AS order_estado,
+               o_orderpriority AS order_prioridad
+        FROM orders
+    """,
     "time_view": f"""
         SELECT CAST(year(l_shipdate) AS INTEGER)  AS anio,
                CAST(month(l_shipdate) AS INTEGER) AS mes_num,
@@ -69,7 +83,8 @@ def view_cte(*names: str) -> str:
 
 
 def _src_view(dim: Dimension) -> str:
-    return dim.view if dim.view is not None else "time_view"
+    view = dim.members_view or dim.view
+    return view if view is not None else "time_view"
 
 
 def _uname_sql(dim: Dimension, hier: Hierarchy, depth: int) -> str:
@@ -142,5 +157,6 @@ def members_sql(cube: CubeDef) -> str:
 def members_cte(cube: CubeDef) -> str:
     """WITH clause defining the views + a ``members`` relation, ready to
     prefix any member-navigation oracle query."""
-    views = view_cte("orders_wide", "supplier_geo", "part_view", "time_view")
+    views = view_cte("orders_wide", "supplier_geo", "part_view", "time_view",
+                     "customer_geo", "orders_dim")
     return f"WITH {views}, members AS ({members_sql(cube)})"

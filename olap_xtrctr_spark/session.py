@@ -52,8 +52,25 @@ def get_spark(app_name: str = "olap-xtrctr-spark") -> SparkSession:
     return builder.getOrCreate()
 
 
+# Tables whose queries do heavy PER-ROW compute (shingling, vector math).
+# The driver test files are written as ONE parquet row group, so the scan
+# yields a single partition and that compute would run on one core; on a
+# real lake the same tables arrive as thousands of splittable files and the
+# rebalance below is a no-op (guarded by the partition-count check, not
+# hardcoded for local mode).  Relational tables (lineitem/orders/events)
+# are deliberately excluded: their per-row work is trivial and partial
+# aggregation compresses on the scan side, so a pre-shuffle only adds cost
+# (measured: tpch_q5 0.77s -> 1.38s, events rollup 0.21s -> 0.89s).
+SCALED_TABLES = {"documents", "embeddings"}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in SCALED_TABLES:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(target // 2, 2):
+            df = df.repartition(target)
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .cube import sales_cube, default_registry
-from .metadata import members_df
+from .session import load_table
+from .metadata import cached_members_df
 from .oracle import _MES_CASE as MES_CASE
 from .oracle import members_cte, view_cte
 from .query import AxisItem, CubeQueryEngine, FilterSpec, QueryRequest
@@ -53,7 +54,7 @@ def _eng(spark: SparkSession, sf_dir: str) -> CubeQueryEngine:
 
 
 def _members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return members_df(spark, sales_cube(), sf_dir)
+    return cached_members_df(spark, sales_cube(), sf_dir)
 
 
 _CUBE = sales_cube()
@@ -233,7 +234,7 @@ def build_workload() -> dict[str, QuerySpec]:
     # ================= TPC-H-style headline queries =======================
 
     def tpch_q1(spark, sf):
-        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        li = load_table(spark, sf, "lineitem")
         dec = lambda c: c.cast("decimal(18,4)")
         disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
         charge = disc_price * (1 + F.col("l_tax"))
@@ -263,12 +264,12 @@ def build_workload() -> dict[str, QuerySpec]:
         GROUP BY l_returnflag, l_linestatus""")
 
     def tpch_q5(spark, sf):
-        li = spark.read.parquet(f"{sf}/lineitem.parquet")
-        o = spark.read.parquet(f"{sf}/orders.parquet")
-        c = spark.read.parquet(f"{sf}/customer.parquet")
-        s = spark.read.parquet(f"{sf}/supplier.parquet")
-        n = spark.read.parquet(f"{sf}/nation.parquet")
-        r = spark.read.parquet(f"{sf}/region.parquet")
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders")
+        c = load_table(spark, sf, "customer")
+        s = load_table(spark, sf, "supplier")
+        n = load_table(spark, sf, "nation")
+        r = load_table(spark, sf, "region")
         revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
             .cast("decimal(18,4)")
         return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -298,9 +299,9 @@ def build_workload() -> dict[str, QuerySpec]:
         GROUP BY n_name""")
 
     def tpch_q3ish(spark, sf):
-        li = spark.read.parquet(f"{sf}/lineitem.parquet")
-        o = spark.read.parquet(f"{sf}/orders.parquet")
-        c = spark.read.parquet(f"{sf}/customer.parquet")
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders")
+        c = load_table(spark, sf, "customer")
         revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
             .cast("decimal(18,4)")
         return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -450,7 +451,7 @@ def build_workload() -> dict[str, QuerySpec]:
 
     # ================= extensions: text analysis ==========================
 
-    _docs = lambda spark, sf: spark.read.parquet(f"{sf}/documents.parquet")
+    _docs = lambda spark, sf: load_table(spark, sf, "documents")
 
     add("docs_token_stats",
         lambda spark, sf: TX.token_stats(_docs(spark, sf)),
@@ -504,7 +505,7 @@ def build_workload() -> dict[str, QuerySpec]:
 
     # ================= extensions: similarity =============================
 
-    _emb = lambda spark, sf: spark.read.parquet(f"{sf}/embeddings.parquet")
+    _emb = lambda spark, sf: load_table(spark, sf, "embeddings")
 
     add("emb_norms",
         lambda spark, sf: S.embedding_norms(_emb(spark, sf)),
