@@ -50,10 +50,16 @@ def user_activity(events: DataFrame) -> DataFrame:
 # ---- Structured Streaming forms ------------------------------------------
 
 def streaming_hourly_rollup(spark: SparkSession, source_dir: str,
-                            schema, watermark: str = "2 hours") -> DataFrame:
+                            schema, watermark: str = "2 hours",
+                            glob: str | None = None) -> DataFrame:
     """readStream → watermark → tumbling window → same rollup as batch.
-    Append-mode capable: the watermark bounds state for late data."""
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    Append-mode capable: the watermark bounds state for late data.
+    ``glob`` restricts which files of the directory are streamed (the
+    file source requires a directory basePath)."""
+    reader = spark.readStream.schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    stream = reader.parquet(source_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         # nanosAsLong read path (see session.load_events)
         stream = stream.withColumn(
@@ -62,17 +68,36 @@ def streaming_hourly_rollup(spark: SparkSession, source_dir: str,
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", "1 hour"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum("value").alias("sum_value"))
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                  .cast("double").alias("sum_value"))
             .select(F.col("window.start").alias("hour"), "event_type",
                     "n_events", "sum_value"))
 
 
 def run_stream_to_memory(spark: SparkSession, streaming_df: DataFrame,
-                         query_name: str = "events_rollup"):
-    """Drive a streaming DF into an in-memory sink (test/debug harness)."""
+                         query_name: str = "events_rollup",
+                         output_mode: str = "complete"):
+    """Drive a streaming DF into an in-memory sink.
+
+    ``complete`` is the right mode for a bounded availableNow replay of a
+    windowed aggregation: append mode would hold every window whose end
+    is past the watermark as open state and emit NOTHING for a
+    single-batch replay (the watermark only advances between batches).
+    """
     return (streaming_df.writeStream
             .format("memory")
             .queryName(query_name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start())
+
+
+def replay_hourly_rollup(spark: SparkSession, source_dir: str,
+                         schema, glob: str = "events.parquet") -> DataFrame:
+    """End-to-end bounded streaming run: readStream over the events files,
+    watermarked tumbling-window rollup, availableNow replay into a memory
+    sink; returns the final table (equals the batch ``hourly_rollup``)."""
+    sdf = streaming_hourly_rollup(spark, source_dir, schema, glob=glob)
+    q = run_stream_to_memory(spark, sdf, "events_stream_hourly")
+    q.awaitTermination()
+    return spark.table("events_stream_hourly")

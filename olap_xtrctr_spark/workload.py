@@ -489,6 +489,28 @@ def build_workload() -> dict[str, QuerySpec]:
                     ELSE 'de' END AS lang_guess
         FROM h""")
 
+    add("docs_quality_score",
+        lambda spark, sf: TX.quality_score(_docs(spark, sf)),
+        r"""WITH q AS (
+          SELECT doc_id,
+            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+            greatest(length(text), 1) AS n_chars,
+            CAST(len(regexp_extract_all(lower(text),
+              '\b(the|and|of|to|in|is)\b')) AS INTEGER) AS stop_hits,
+            CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                 AS INTEGER) AS punct
+          FROM documents)
+        SELECT doc_id, n_tokens,
+          ROUND(
+            (CASE WHEN n_tokens >= 10 AND n_tokens <= 5000
+                  THEN 0.4 ELSE 0.0 END)
+            + least(stop_hits / greatest(n_tokens, 1) * 2.0, 0.4)
+            - least(punct / n_chars * 5.0, 0.2)
+            + (CASE WHEN n_chars / greatest(n_tokens, 1) >= 3.0
+                     AND n_chars / greatest(n_tokens, 1) <= 12.0
+                    THEN 0.2 ELSE 0.0 END), 4) AS quality_score
+        FROM q""")
+
     add("docs_fingerprint",
         lambda spark, sf: TX.fingerprint(_docs(spark, sf)),
         """SELECT doc_id,
@@ -534,6 +556,27 @@ def build_workload() -> dict[str, QuerySpec]:
           FROM scored)
         WHERE rank <= 3""")
 
+    add("emb_near_dup_pairs",
+        lambda spark, sf: D.embedding_near_dups(_emb(spark, sf),
+                                                threshold=0.45),
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(
+                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(a.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(b.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+                 AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(a.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              >= 0.45""")
+
     # rows-only checks (hash functions are engine-specific → no SQL oracle)
     add("docs_minhash_lsh_pairs",
         lambda spark, sf: D.minhash_lsh_pairs(_docs(spark, sf), threshold=0.3),
@@ -572,12 +615,36 @@ def build_workload() -> dict[str, QuerySpec]:
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE i / (sa.sz + sb.sz - i) >= 0.2""")
 
+    # multimodal plumbing: binary payloads → mapInPandas feature extraction
+    # (deterministic fake codec — no media libs in this container; the
+    # Spark-side schema/batching/partitioning is the real thing under test)
+    from .operators.multimodal import extract_features, synthetic_media
+
+    add("multimodal_features",
+        lambda spark, sf: extract_features(synthetic_media(spark, 256),
+                                           dim=8),
+        None)
+
     # ================= extensions: events / streaming =====================
 
     from .session import load_events as _events
 
     add("events_hourly_rollup",
         lambda spark, sf: EV.hourly_rollup(_events(spark, sf)),
+        f"""SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(*) AS n_events,
+               {SUM_D('value')} AS sum_value
+        FROM events
+        GROUP BY 1, 2""")
+
+    def stream_hourly(spark, sf):
+        schema = spark.read.parquet(f"{sf}/events.parquet").schema
+        return EV.replay_hourly_rollup(spark, sf, schema)
+
+    # Structured Streaming end-to-end (readStream → watermark → window →
+    # availableNow replay): bounded replay of the events table equals the
+    # batch rollup, so the SAME SQL oracle applies to the streaming path.
+    add("events_stream_hourly", stream_hourly,
         f"""SELECT date_trunc('hour', ts) AS hour, event_type,
                COUNT(*) AS n_events,
                {SUM_D('value')} AS sum_value

@@ -97,3 +97,34 @@ def test_events_load_converts_nanos(spark, sf_dir):
     ev = load_events(spark, sf_dir)
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert ev.count() > 0
+
+
+def test_quality_score_bands(spark):
+    good = " ".join(["the quick brown fox jumps of the lazy dog"] * 3)
+    df = _docs(spark, [good, "x", ""])
+    out = {r["doc_id"]: r["quality_score"]
+           for r in TX.quality_score(df).collect()}
+    assert out[0] > out[1]          # long stopword-rich text beats "x"
+    assert 0.0 <= out[0] <= 1.0
+
+
+def test_embedding_near_dups_finds_identical(spark):
+    from olap_xtrctr_spark.operators.dedup import embedding_near_dups
+    rows = [Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[2.0, 0.0, 0.0]),   # same direction
+            Row(vec_id=2, embedding=[0.0, 1.0, 0.0])]   # orthogonal
+    out = embedding_near_dups(spark.createDataFrame(rows),
+                              threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(0, 1)]
+    assert out[0]["cosine"] == 1.0
+
+
+def test_streaming_replay_equals_batch(spark, sf_dir):
+    """readStream → watermark → window → availableNow == batch rollup."""
+    ev = load_events(spark, sf_dir)
+    batch = {(r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+             for r in EV.hourly_rollup(ev).collect()}
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = {(r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+              for r in EV.replay_hourly_rollup(spark, sf_dir, schema).collect()}
+    assert stream == batch
