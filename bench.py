@@ -30,11 +30,16 @@ HEADLINE = [
     "tpch_q5_local_supplier",
     "members_nation_list",
     "members_level_cardinalities",
+    "members_full_view",
     "docs_ngram_jaccard_pairs",
     "docs_minhash_lsh_pairs",
+    "docs_quality_score",
     "emb_cosine_topk",
+    "emb_near_dup_pairs",
+    "multimodal_features",
     "events_sessionize",
     "events_hourly_rollup",
+    "events_stream_hourly",
 ]
 
 

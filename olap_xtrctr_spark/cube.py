@@ -141,6 +141,10 @@ class CubeDef:
     measures: dict[str, Measure]
     derive: Optional[Deriver] = None      # degenerate-dim column deriver
     default_measure: str = ""
+    # Q15 (reference mdxBuilder.ts:20-31): requests written against an older
+    # metadata snapshot use stale dimension names; the alias map rewrites
+    # them to the current ones during name resolution.
+    dimension_aliases: dict = field(default_factory=dict)
 
     def fact(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         df = load_table(spark, sf_dir, self.fact_table)
@@ -149,7 +153,9 @@ class CubeDef:
         return df
 
     def dimension(self, name: str) -> Dimension:
-        d = self.dimensions.get(name) or self.dimensions.get(name.strip("[]"))
+        n = name.strip("[]")
+        n = self.dimension_aliases.get(n, n)
+        d = self.dimensions.get(name) or self.dimensions.get(n)
         if d is None:
             raise KeyError(f"unknown dimension {name!r} in cube {self.name!r}")
         return d
@@ -386,6 +392,9 @@ def sales_cube(catalog: str = "VENTAS_2025") -> CubeDef:
         measures=measures,
         derive=_derive_time,
         default_measure="Total Registros",
+        # stale-snapshot names accepted for requests built against an older
+        # catalog year (Q15 parity fixture)
+        dimension_aliases={"DIM VARIABLES": "DIM VARIABLES2025"},
     )
 
 

@@ -53,5 +53,30 @@ def sanitize_search(term: str, max_len: int = 100) -> str:
     return _ALLOWED_CHARS.sub("", t).strip()
 
 
+def retry_on_failure(max_retries: int = 2, base_delay: float = 2.0):
+    """X4 (reference retry_on_failure, scanner/DGIS_SCAN_2_stable.py:152-167):
+    retry a flaky call with exponential backoff — kept for external sinks;
+    Spark task retries cover executor-side failures."""
+    import functools
+    import time
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            last: Exception | None = None
+            for attempt in range(max_retries + 1):
+                try:
+                    return fn(*args, **kwargs)
+                except Exception as exc:  # noqa: BLE001 — mirror reference
+                    last = exc
+                    if attempt < max_retries:
+                        time.sleep(base_delay * (2 ** attempt))
+            raise last
+
+        return wrapper
+
+    return deco
+
+
 def sanitize_filename(name: str) -> str:
     return re.sub(r"[^\w\-_.]", "_", name)[:128]

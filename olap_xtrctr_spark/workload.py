@@ -441,6 +441,26 @@ def build_workload() -> dict[str, QuerySpec]:
             AND MIEMBRO_CAPTION <> 'All')
         WHERE rn > 10 AND rn <= 20""")
 
+    def members_full(spark, sf):
+        from .normalized import normalize_members, v_members_full
+        return v_members_full(normalize_members(_members(spark, sf)))
+
+    # J1: normalized 5-table snapshot reconstructed through the FK join
+    # chain (reference v_members_full, 001_initial_schema.sql:95-116);
+    # round-trip must reproduce the denormalized members projection
+    add("members_full_view", members_full,
+        _MEMBERS_CTE + """
+        SELECT CATALOGO AS catalog_code,
+               DIMENSION AS dimension_name,
+               JERARQUIA AS hierarchy_name,
+               NIVEL_NOMBRE AS level_name,
+               NIVEL_NUMERO AS level_number,
+               MIEMBRO_CAPTION AS member_caption,
+               MIEMBRO_UNIQUE_NAME AS member_unique_name,
+               PARENT_UNIQUE_NAME AS parent_unique_name,
+               CHILDREN_CARDINALITY AS children_cardinality
+        FROM members""")
+
     add("members_level_cardinalities",
         lambda spark, sf: M.level_cardinalities(_members(spark, sf)),
         _MEMBERS_CTE + """

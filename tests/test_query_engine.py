@@ -95,3 +95,25 @@ def test_cardinality_estimate(eng):
     axes = [eng._resolve_axis(cube, AxisItem("Dim Customer", "Geografía",
                                              level="Region"))]
     assert eng.estimate_cardinality(cube, axes) == 5
+
+
+def test_dimension_alias_rewrite(spark, sf_dir):
+    """Q15: stale dimension name resolves through the alias map."""
+    from olap_xtrctr_spark.cube import sales_cube
+    cube = sales_cube()
+    assert cube.dimension("DIM VARIABLES").name == "DIM VARIABLES2025"
+    assert cube.dimension("[DIM VARIABLES]").name == "DIM VARIABLES2025"
+
+
+def test_retry_on_failure_backoff():
+    from olap_xtrctr_spark.validators import retry_on_failure
+    calls = []
+
+    @retry_on_failure(max_retries=2, base_delay=0.01)
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert flaky() == "ok" and len(calls) == 3
