@@ -77,6 +77,62 @@ def _signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def ivf_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
+                    n_clusters: int = 8, n_probe: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans partitions the corpus
+    into ``n_clusters`` cells; each query scores only the ``n_probe``
+    cells nearest its vector.
+
+    Scale shape: the corpus is clustered and bucketed distributively
+    (pyspark.ml KMeans); only the QUERY vectors (small by construction)
+    and the centroids (n_clusters × dim) ever reach the driver.  The
+    candidate join broadcasts the (query, bucket) probe list, so the
+    corpus never shuffles."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>"))
+        .alias("features"))
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10,
+                   featuresCol="features").fit(feats)
+    assigned = model.transform(feats).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        F.col("prediction").alias("bucket"))
+
+    centers = model.clusterCenters()
+    qrows = (emb.filter(F.col(id_col).isin(query_ids))
+                .select(id_col, vec_col).collect())
+    probes = []
+    for r in qrows:
+        v = np.asarray(r[vec_col], dtype=float)
+        dists = [float(np.linalg.norm(v - c)) for c in centers]
+        for b in np.argsort(dists)[:n_probe]:
+            probes.append((r[id_col], int(b)))
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(probes, ["query_id", "bucket"])
+    queries = (emb.filter(F.col(id_col).isin(query_ids))
+                  .select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("qvec")))
+
+    cand = (assigned
+            .join(F.broadcast(probe_df), "bucket")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .join(F.broadcast(queries), "query_id"))
+    scored = cand.withColumn("cos", _cosine(F.col("qvec"), F.col("nvec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "rank", "neighbor_id",
+                          F.round("cos", 4).alias("cosine")))
+
+
 def lsh_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
                     n_planes: int = 12, dim: int = 64,
                     id_col: str = "vec_id", vec_col: str = "embedding",

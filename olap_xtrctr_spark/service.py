@@ -124,6 +124,21 @@ class OlapService:
         """Raw-MDX entry point (Q16): parse the subset → same path."""
         return self.execute_query(parse_mdx(mdx, catalog), preview=preview)
 
+    def explain_query(self, request: QueryRequest,
+                      mode: str = "formatted") -> dict[str, Any]:
+        """X8 dry-run (reference migrate_csv_to_db.py:81-86): validate and
+        plan the query without executing it.  Returns the estimated row
+        cardinality (N18 guard input) and the physical plan text."""
+        df = self.engine.execute(request)     # lazy: plans, never runs
+        jmode = (self.spark._jvm.org.apache.spark.sql.execution
+                 .ExplainMode.fromString(mode))
+        plan = df._jdf.queryExecution().explainString(jmode)
+        cube = self.engine.registry.resolve(request.catalog, request.cube)
+        axes = [self.engine._resolve_axis(cube, item) for item in request.rows]
+        est = self.engine.estimate_cardinality(cube, axes)
+        return {"estimated_rows": est, "plan": plan,
+                "columns": [f.name for f in df.schema.fields]}
+
     def execute_dmv(self, sql: str) -> dict[str, Any]:
         cube = next(iter(self.registry._cubes.values()))
         metadata.register_dmv_views(self.spark, self.registry, cube,

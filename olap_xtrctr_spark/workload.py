@@ -609,6 +609,10 @@ def build_workload() -> dict[str, QuerySpec]:
         lambda spark, sf: S.lsh_cosine_topk(_emb(spark, sf), [0, 1, 2, 3, 4],
                                             k=3),
         None)
+    add("emb_ivf_topk",
+        lambda spark, sf: S.ivf_cosine_topk(_emb(spark, sf), [0, 1, 2, 3, 4],
+                                            k=3),
+        None)
 
     add("docs_ngram_jaccard_pairs",
         lambda spark, sf: D.ngram_jaccard_pairs(_docs(spark, sf), n=3,
@@ -691,6 +695,18 @@ def build_workload() -> dict[str, QuerySpec]:
                COUNT(*) AS n_events
         FROM flagged
         GROUP BY user_id""")
+
+    def skew_distinct(spark, sf):
+        from .operators.skew import count_distinct_skew_safe
+        return count_distinct_skew_safe(_events(spark, sf), ["event_type"],
+                                        "user_id", out_name="n_users")
+
+    # skew-safe exact COUNT(DISTINCT): dedup-then-count so a hot key's
+    # distinct set never lands on a single reducer
+    add("events_type_user_distinct", skew_distinct,
+        """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type""")
 
     add("events_user_activity",
         lambda spark, sf: EV.user_activity(_events(spark, sf)),

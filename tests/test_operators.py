@@ -2,6 +2,7 @@
 hand-built frames plus sf0.001 sanity."""
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from olap_xtrctr_spark.operators import dedup as D
 from olap_xtrctr_spark.operators import similarity as S
@@ -128,3 +129,41 @@ def test_streaming_replay_equals_batch(spark, sf_dir):
     stream = {(r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
               for r in EV.replay_hourly_rollup(spark, sf_dir, schema).collect()}
     assert stream == batch
+
+
+def test_skew_safe_count_distinct_matches_direct(spark, sf_dir):
+    from olap_xtrctr_spark.operators.skew import count_distinct_skew_safe
+    ev = load_events(spark, sf_dir)
+    safe = {r["event_type"]: r["n_distinct"]
+            for r in count_distinct_skew_safe(
+                ev, ["event_type"], "user_id").collect()}
+    direct = {r["event_type"]: r["n"]
+              for r in ev.groupBy("event_type")
+                         .agg(F.count_distinct("user_id").alias("n"))
+                         .collect()}
+    assert safe == direct
+
+
+def test_salted_sum_matches_direct(spark, sf_dir):
+    from olap_xtrctr_spark.operators.skew import salted_sum
+    ev = load_events(spark, sf_dir)
+    salted = {r["event_type"]: r["sum_value"]
+              for r in salted_sum(ev, ["event_type"], "value").collect()}
+    direct = {r["event_type"]: r["s"]
+              for r in ev.groupBy("event_type")
+                         .agg(F.sum(F.col("value").cast("decimal(18,4)"))
+                              .cast("double").alias("s")).collect()}
+    assert salted == direct
+
+
+def test_ivf_topk_structure(spark, sf_dir):
+    from olap_xtrctr_spark.operators.similarity import ivf_cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_cosine_topk(emb, [0, 1, 2], k=3, n_clusters=4).collect()
+    by_q = {}
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == {0, 1, 2}
+    for ranks in by_q.values():
+        assert sorted(ranks) == [1, 2, 3]

@@ -141,3 +141,16 @@ def test_multimodal_feature_plumbing(spark):
     # deterministic: same payload → same feature
     again = {r["media_id"]: r["feature"] for r in feats.collect()}
     assert all(again[r["media_id"]] == r["feature"] for r in rows)
+
+
+def test_explain_query_dry_run(spark, sf_dir):
+    """X8: dry-run plans and estimates without executing."""
+    from olap_xtrctr_spark import AxisItem, QueryRequest
+    from olap_xtrctr_spark.service import OlapService
+    svc = OlapService(spark, sf_dir)
+    out = svc.explain_query(QueryRequest(
+        "VENTAS_2025", measures=["Sum Quantity"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation")]))
+    assert out["estimated_rows"] == 25
+    assert "HashAggregate" in out["plan"] or "Aggregate" in out["plan"]
+    assert "nation" in out["columns"]
