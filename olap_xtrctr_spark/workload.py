@@ -325,6 +325,90 @@ def build_workload() -> dict[str, QuerySpec]:
           AND l_shipdate  > TIMESTAMP '1998-03-15'
         GROUP BY o_orderpriority""")
 
+    def tpch_q6(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        return (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                          & (F.col("l_shipdate") < "1997-01-01")
+                          & (F.col("l_discount") >= 0.02)
+                          & (F.col("l_discount") <= 0.06)
+                          & (F.col("l_quantity") < 24))
+                .agg(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                           .cast("decimal(18,4)"))
+                      .cast("double").alias("revenue")))
+
+    add("tpch_q6_forecast_revenue", tpch_q6,
+        f"""SELECT {SUM_D('l_extendedprice * l_discount')} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.02 AND l_discount <= 0.06
+          AND l_quantity < 24""")
+
+    def tpch_q12(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders")
+        hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+                .filter((F.col("l_shipdate") >= "1997-01-01")
+                        & (F.col("l_shipdate") < "1998-01-01"))
+                .groupBy("l_returnflag")
+                .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+                     F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count")))
+
+    add("tpch_q12_priority_shipping", tpch_q12,
+        """SELECT l_returnflag,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag""")
+
+    def tpch_q14(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        p = load_table(spark, sf, "part")
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+            .cast("decimal(18,4)")
+        promo = F.when(F.col("p_type") == "PROMO", rev) \
+            .otherwise(F.lit(0).cast("decimal(18,4)"))
+        return (li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+                .filter((F.col("l_shipdate") >= "1997-06-01")
+                        & (F.col("l_shipdate") < "1997-07-01"))
+                .agg((F.lit(100.0) * F.sum(promo).cast("double")
+                      / F.sum(rev).cast("double")).alias("promo_revenue_pct")))
+
+    add("tpch_q14_promo_revenue", tpch_q14,
+        f"""SELECT 100.0
+               * {SUM_D("CASE WHEN p_type = 'PROMO' "
+                        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+               / {SUM_D('l_extendedprice * (1 - l_discount)')}
+               AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+          AND l_shipdate <  TIMESTAMP '1997-07-01'""")
+
+    def tpch_q18(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders")
+        big = (li.groupBy("l_orderkey")
+                 .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                       .cast("double").alias("total_qty"))
+                 .filter(F.col("total_qty") > 120))
+        return (big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+                .select(F.col("o_orderkey").alias("orderkey"),
+                        F.col("o_orderpriority").alias("priority"),
+                        "total_qty"))
+
+    add("tpch_q18_large_orders", tpch_q18,
+        f"""SELECT o_orderkey AS orderkey, o_orderpriority AS priority,
+               total_qty
+        FROM (SELECT l_orderkey, {SUM_D('l_quantity')} AS total_qty
+              FROM lineitem GROUP BY l_orderkey) t
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE total_qty > 120""")
+
     # ================= member navigation (SURVEY §2.3) ====================
 
     add("members_nation_list",

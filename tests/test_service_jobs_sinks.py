@@ -154,3 +154,21 @@ def test_explain_query_dry_run(spark, sf_dir):
     assert out["estimated_rows"] == 25
     assert "HashAggregate" in out["plan"] or "Aggregate" in out["plan"]
     assert "nation" in out["columns"]
+
+
+from hypothesis import given, strategies as st
+
+
+@given(st.lists(st.integers(min_value=1, max_value=999), min_size=1,
+                max_size=20))
+def test_parse_range_list_roundtrip_property(vals):
+    """Any int list serialized as CSV parses back to its sorted unique set."""
+    text = ",".join(str(v) for v in vals)
+    assert parse_range_list(text) == sorted(set(vals))
+
+
+@given(st.integers(min_value=1, max_value=200),
+       st.integers(min_value=0, max_value=50))
+def test_parse_range_span_property(lo, width):
+    hi = lo + width
+    assert parse_range_list(f"{lo}-{hi}") == list(range(lo, hi + 1))
