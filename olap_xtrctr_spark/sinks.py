@@ -56,8 +56,16 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> int:
                               .option("header", True).csv(path))
 
 
-def write_parquet(df: DataFrame, path: str) -> int:
-    sanitize(df).write.mode("overwrite").parquet(path)
+def write_parquet(df: DataFrame, path: str,
+                  partition_by: list[str] | None = None) -> int:
+    """Parquet sink; ``partition_by`` lays out hive-style directories so
+    downstream filters on those columns prune whole partitions at the
+    file listing (the lake-side analogue of the reference's B-tree
+    indexes, 001_initial_schema.sql:81-88)."""
+    w = sanitize(df).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
     return reconcile_rowcount(df, df.sparkSession.read.parquet(path))
 
 
@@ -69,6 +77,12 @@ def write_excel(df: DataFrame, path: str) -> int:
         raise ValueError(
             f"{n:,} rows exceeds Excel export guard "
             f"({LARGE_RESULT_THRESHOLD:,}); use CSV/Parquet")
+    try:
+        import openpyxl  # noqa: F401 — pandas' xlsx engine
+    except ImportError as exc:
+        raise NotImplementedError(
+            "Excel export needs openpyxl (not in this environment); "
+            "use write_csv/write_parquet") from exc
     pdf = strip_control_chars(sanitize(df)).toPandas()
     pdf.to_excel(path, index=False)
     return n

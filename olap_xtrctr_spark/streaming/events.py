@@ -92,6 +92,50 @@ def run_stream_to_memory(spark: SparkSession, streaming_df: DataFrame,
             .start())
 
 
+def streaming_sessionize(spark: SparkSession, source_dir: str, schema,
+                         gap: str = "30 minutes",
+                         watermark: str = "2 hours",
+                         glob: str | None = None,
+                         second_resolution: bool = False) -> DataFrame:
+    """Gap-based sessions on a STREAM via the built-in ``session_window``
+    (merging-window state store — the scale path for continuous
+    sessionization; the batch lag+cumsum form can't stream).  One row per
+    closed (user, session).
+
+    Boundary convention: ``session_window`` merging is
+    boundary-INCLUSIVE (an event exactly ``gap`` after the previous one
+    still merges), and the batch ``sessionize`` splits only when the gap
+    EXCEEDS the threshold over floor-seconds — so the same gap plus
+    ``second_resolution=True`` reproduces the batch convention exactly."""
+    reader = spark.readStream.schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    stream = reader.parquet(source_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if second_resolution:
+        stream = stream.withColumn("ts", F.date_trunc("second", "ts"))
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("session_window.start").alias("start"),
+                    F.col("session_window.end").alias("end"), "n_events"))
+
+
+def replay_sessionize(spark: SparkSession, source_dir: str, schema,
+                      gap: str = "30 minutes",
+                      glob: str = "events.parquet",
+                      second_resolution: bool = False) -> DataFrame:
+    """Bounded availableNow replay of the streaming sessionizer."""
+    sdf = streaming_sessionize(spark, source_dir, schema, gap=gap, glob=glob,
+                               second_resolution=second_resolution)
+    q = run_stream_to_memory(spark, sdf, "events_stream_sessions")
+    q.awaitTermination()
+    return spark.table("events_stream_sessions")
+
+
 def replay_hourly_rollup(spark: SparkSession, source_dir: str,
                          schema, glob: str = "events.parquet") -> DataFrame:
     """End-to-end bounded streaming run: readStream over the events files,

@@ -780,6 +780,34 @@ def build_workload() -> dict[str, QuerySpec]:
         FROM flagged
         GROUP BY user_id""")
 
+    def stream_sessions(spark, sf):
+        schema = spark.read.parquet(f"{sf}/events.parquet").schema
+        sess = EV.replay_sessionize(spark, sf, schema,
+                                    second_resolution=True)
+        return (sess.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_sessions")))
+
+    # stateful streaming sessionization (session_window merging state);
+    # merging is boundary-INCLUSIVE, so the 30-min gap over second-truncated
+    # timestamps equals the batch strict-> convention -> oracle-checkable
+    add("events_stream_sessionize", stream_sessions,
+        """WITH secs AS (
+          SELECT user_id, event_id, ts,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec
+          FROM events),
+        flagged AS (
+          SELECT user_id,
+                 CASE WHEN sec - lag(sec) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)
+                      IS NULL THEN 1
+                      WHEN sec - lag(sec) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM secs)
+        SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+        FROM flagged
+        GROUP BY user_id""")
+
     def skew_distinct(spark, sf):
         from .operators.skew import count_distinct_skew_safe
         return count_distinct_skew_safe(_events(spark, sf), ["event_type"],

@@ -167,3 +167,34 @@ def test_ivf_topk_structure(spark, sf_dir):
     assert set(by_q) == {0, 1, 2}
     for ranks in by_q.values():
         assert sorted(ranks) == [1, 2, 3]
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir):
+    """session_window stream replay reproduces batch session counts
+    (boundary-inclusive merging over second-truncated timestamps equals
+    the batch strict-> convention)."""
+    ev = load_events(spark, sf_dir)
+    batch = {r["user_id"]: r["n_sessions"]
+             for r in EV.sessionize(ev, gap_minutes=30).collect()}
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sess = EV.replay_sessionize(spark, sf_dir, schema,
+                                second_resolution=True)
+    stream = {r["user_id"]: r["n"]
+              for r in sess.groupBy("user_id")
+                           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert stream == batch
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """partitionBy layout -> filters on the partition column reach the
+    file listing (PartitionFilters), not just the row scan."""
+    from olap_xtrctr_spark.sinks import write_parquet
+    ev = load_events(spark, sf_dir).withColumn(
+        "day", F.to_date("ts"))
+    n = write_parquet(ev, str(tmp_path / "ev"), partition_by=["event_type"])
+    assert n == ev.count()
+    rd = spark.read.parquet(str(tmp_path / "ev"))
+    q = rd.filter(F.col("event_type") == "click")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert q.count() == ev.filter(F.col("event_type") == "click").count()
