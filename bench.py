@@ -28,6 +28,8 @@ HEADLINE = [
     "cube_variables_pivot",
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_orders",
     "members_nation_list",
     "members_level_cardinalities",
     "members_full_view",
@@ -40,6 +42,7 @@ HEADLINE = [
     "events_sessionize",
     "events_hourly_rollup",
     "events_stream_hourly",
+    "events_stream_sessionize",
 ]
 
 

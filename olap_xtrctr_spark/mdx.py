@@ -173,6 +173,53 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
 
 
 # ---------------------------------------------------------------------------
+# MDX builder — the reference's emit side (scanner/DGIS_SCAN_2_stable.py:
+# 1366-1420, backend/olap_service.py:346-453, frontend/src/utils/
+# mdxBuilder.ts:4-40).  parse_mdx(build_mdx(req)) round-trips (tested).
+# ---------------------------------------------------------------------------
+
+def _axis_set(item: AxisItem) -> str:
+    if item.members:
+        return "{ " + ", ".join(item.members) + " }"
+    if item.depth is not None:
+        return (f"[{item.dimension}].[{item.hierarchy}]"
+                f".Levels({item.depth}).MEMBERS")
+    if item.level:
+        return (f"[{item.dimension}].[{item.hierarchy}]"
+                f".[{item.level}].MEMBERS")
+    return f"[{item.dimension}].[{item.hierarchy}].MEMBERS"
+
+
+def build_mdx(req: QueryRequest, cube_name: str | None = None) -> str:
+    """QueryRequest → MDX string in the reference's emitted dialect:
+    measures/variables ON COLUMNS, right-folded CROSSJOIN of row sets
+    (Q8), DIMENSION PROPERTIES when requested (Q13), NON EMPTY (Q12),
+    WHERE slicer tuple (Q11)."""
+    if req.all_measures:
+        cols = "[Measures].AllMembers"
+    elif req.variables:          # Q17: variables take the COLUMNS role
+        cols = "{ " + ", ".join(req.variables) + " }"
+    else:
+        cols = "{ " + ", ".join(
+            f"[Measures].[{m}]" for m in req.measures) + " }"
+
+    parts = [f"SELECT {cols} ON COLUMNS"]
+    if req.rows:
+        sets = [_axis_set(item) for item in req.rows]
+        rows = sets[-1]
+        for s in reversed(sets[:-1]):       # right-folded, as the reference
+            rows = f"CROSSJOIN({s}, {rows})"
+        if any(item.properties for item in req.rows):
+            rows += " DIMENSION PROPERTIES MEMBER_CAPTION"
+        prefix = "NON EMPTY " if req.non_empty else ""
+        parts.append(f", {prefix}{rows} ON ROWS")
+    parts.append(f"FROM [{cube_name or req.cube or req.catalog}]")
+    if req.slicers:
+        parts.append("WHERE (" + ", ".join(req.slicers) + ")")
+    return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # DMV SQL dialect (M2-M5): SELECT ... FROM $system.X WHERE ... ORDER BY ...
 # ---------------------------------------------------------------------------
 

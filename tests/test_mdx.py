@@ -95,3 +95,76 @@ def test_dmv_star_and_errors(spark, sf_dir):
         execute_dmv(spark, "SELECT * FROM $system.NOPE_ROWSET")
     with pytest.raises(MdxParseError):
         execute_dmv(spark, "DELETE FROM $system.MDSCHEMA_CUBES")
+
+
+# ---- builder round-trip (parse ∘ build = identity) -----------------------
+
+from hypothesis import given, strategies as st
+
+from olap_xtrctr_spark.mdx import build_mdx
+from olap_xtrctr_spark.query import AxisItem, QueryRequest
+
+_NAME = st.sampled_from(["Dim Customer", "Dim Orders", "D Tiempo"])
+_HIER = st.sampled_from(["Geografía", "Estado", "Calendario"])
+_LEVEL = st.sampled_from(["Region", "Nation", "Estado", "Mes"])
+_MEASURE = st.sampled_from(["Sum Quantity", "Total Registros", "Avg Discount"])
+
+
+@st.composite
+def _axis(draw):
+    dim, hier = draw(_NAME), draw(_HIER)
+    kind = draw(st.sampled_from(["level", "depth", "members", "whole"]))
+    if kind == "level":
+        return AxisItem(dim, hier, level=draw(_LEVEL))
+    if kind == "depth":
+        return AxisItem(dim, hier, depth=draw(st.integers(1, 3)))
+    if kind == "members":
+        keys = draw(st.lists(st.integers(0, 9), min_size=1, max_size=3,
+                             unique=True))
+        return AxisItem(dim, hier, members=[
+            f"[{dim}].[{hier}].[L1].&[{k}]" for k in keys])
+    return AxisItem(dim, hier)
+
+
+@given(measures=st.lists(_MEASURE, min_size=1, max_size=3, unique=True),
+       rows=st.lists(_axis(), min_size=0, max_size=3),
+       non_empty=st.booleans(),
+       slicer=st.booleans())
+def test_build_parse_roundtrip(measures, rows, non_empty, slicer):
+    # distinct (dim, hier) per row axis — Q9 forbids duplicates anyway
+    seen, uniq = set(), []
+    for r in rows:
+        if (r.dimension, r.hierarchy) not in seen:
+            seen.add((r.dimension, r.hierarchy))
+            uniq.append(r)
+    req = QueryRequest(
+        "VENTAS_2025", cube="sales", measures=measures, rows=uniq,
+        non_empty=non_empty,
+        slicers=(["[Dim Producto].[Producto].[Brand].&[Brand#11]"]
+                 if slicer else []))
+    back = parse_mdx(build_mdx(req), "VENTAS_2025")
+    assert back.measures == req.measures
+    assert back.slicers == req.slicers
+    assert back.cube == "sales"
+    if uniq:
+        assert back.non_empty == req.non_empty
+        assert len(back.rows) == len(uniq)
+        for a, b in zip(back.rows, uniq):
+            assert (a.dimension, a.hierarchy, a.level, a.depth, a.members) \
+                == (b.dimension, b.hierarchy, b.level, b.depth, b.members)
+
+
+def test_build_mdx_reference_shape():
+    req = QueryRequest(
+        "VENTAS_2025", cube="sales", measures=["Sum Extendedprice"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation",
+                       properties=True),
+              AxisItem("Dim Orders", "Estado", level="Estado")],
+        slicers=["[D Tiempo].[Calendario].[Año].&[1997]"])
+    mdx = build_mdx(req)
+    assert mdx == (
+        "SELECT { [Measures].[Sum Extendedprice] } ON COLUMNS , "
+        "NON EMPTY CROSSJOIN([Dim Customer].[Geografía].[Nation].MEMBERS, "
+        "[Dim Orders].[Estado].[Estado].MEMBERS) "
+        "DIMENSION PROPERTIES MEMBER_CAPTION ON ROWS "
+        "FROM [sales] WHERE ([D Tiempo].[Calendario].[Año].&[1997])")

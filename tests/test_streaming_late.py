@@ -1,0 +1,55 @@
+"""Watermark semantics: a late event beyond the watermark is dropped from
+an append-mode windowed aggregation.  Two availableNow runs share one
+checkpoint, so the watermark persists across the restart — the second
+run sees the straggler arrive behind it."""
+import glob
+import os
+import shutil
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+SCHEMA = "ts timestamp, user string"
+
+
+def _write_single_file(df, workdir, dstdir, name):
+    tmp = os.path.join(workdir, f"w_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(dstdir, f"{name}.parquet"))
+
+
+def _run_once(spark, src, out, ckpt):
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    q = (agg.writeStream.format("parquet")
+         .option("path", str(out))
+         .option("checkpointLocation", str(ckpt))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+
+    # run 1: on-time events; max event time 02:00 -> watermark 01:50
+    df1 = spark.createDataFrame([(t(0, 5), "a"), (t(2, 0), "a")], SCHEMA)
+    _write_single_file(df1, str(tmp_path), str(src), "b1")
+    _run_once(spark, src, out, ckpt)
+
+    # run 2: an event at 00:30 — behind the persisted 01:50 watermark
+    df2 = spark.createDataFrame([(t(0, 30), "a")], SCHEMA)
+    _write_single_file(df2, str(tmp_path), str(src), "b2")
+    _run_once(spark, src, out, ckpt)
+
+    counts = {r["window"]["start"]: r["n"]
+              for r in spark.read.parquet(str(out)).collect()}
+    # hour-0 window finalized with ONLY the on-time event; the 00:30
+    # straggler was dropped, and no duplicate emission occurred
+    assert counts == {t(0, 0): 1}
