@@ -172,23 +172,60 @@ def members_df(spark: SparkSession, cube: CubeDef, sf_dir: str,
     return reduce(DataFrame.unionByName, frames)
 
 
-# Members cache (reference X5: members CSV cache with auto-populate on miss,
-# scanner/DGIS_SCAN_2_stable.py:686-705).  The members table is bounded
-# metadata (~1.7M rows at reference scale), read by every navigation call —
-# persist it once per (cube, sf_dir) instead of re-deriving per query.
+# Members cache (reference X5: members CSV cache with auto-populate on miss
+# and version-suffixed invalidation, scanner/DGIS_SCAN_2_stable.py:686-705,
+# backend/DGIS_SCAN_2.py:700-702).  The members table is bounded metadata
+# (~1.7M rows at reference scale), read by every navigation call:
+#   tier 1 — in-process memo + .persist()
+#   tier 2 — parquet spill under the warehouse, keyed by a fingerprint of
+#            the cube's hierarchy structure (stale definitions can never
+#            serve: a changed cube changes the key)
 _MEMBERS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def cached_members_df(spark: SparkSession, cube: CubeDef,
-                      sf_dir: str) -> DataFrame:
+def _cube_fingerprint(cube: CubeDef) -> str:
+    import hashlib
+    desc = repr([
+        (cube.catalog, d.name, h.name,
+         [(lv.name, lv.caption_col, lv.key_col, lv.ordinal_col)
+          for lv in h.levels])
+        for d in cube.dimensions.values()
+        for h in d.hierarchies.values()
+    ])
+    return hashlib.md5(desc.encode()).hexdigest()[:12]
+
+
+def _disk_cache_path(spark: SparkSession, cube: CubeDef, sf_dir: str) -> str:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir") \
+        .removeprefix("file:")
+    tag = sf_dir.strip("/").replace("/", "_")
+    return (f"{warehouse}/members_cache/"
+            f"{cube.name}_{_cube_fingerprint(cube)}_{tag}")
+
+
+def cached_members_df(spark: SparkSession, cube: CubeDef, sf_dir: str,
+                      disk_cache: bool = True) -> DataFrame:
     key = (cube.name, sf_dir)
     df = _MEMBERS_CACHE.get(key)
-    if df is None:
+    if df is not None:
+        return df
+    path = _disk_cache_path(spark, cube, sf_dir)
+    if disk_cache:
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            # miss → build once, spill, re-read (the re-read gives the
+            # compact file-backed plan instead of the 8-branch union)
+            members_df(spark, cube, sf_dir).write.mode("overwrite") \
+                .parquet(path)
+            df = spark.read.parquet(path)
+    else:
         # coalesce: the union of N hierarchy branches otherwise persists
-        # N*shuffle_partitions tiny partitions; members are bounded metadata
+        # N*shuffle_partitions tiny partitions
         target = spark.sparkContext.defaultParallelism
-        df = members_df(spark, cube, sf_dir).coalesce(target).persist()
-        _MEMBERS_CACHE[key] = df
+        df = members_df(spark, cube, sf_dir).coalesce(target)
+    df = df.persist()
+    _MEMBERS_CACHE[key] = df
     return df
 
 

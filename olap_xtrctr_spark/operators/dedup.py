@@ -195,11 +195,16 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.995) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute pairwise — see
-    operators/similarity.py for the LSH-bucketed scale path)."""
-    from .similarity import _cosine
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    operators/similarity.py for the LSH/IVF-bucketed scale paths).
+    Norms are computed once per VECTOR before the pair join, not once
+    per pair — an O(n) vs O(n²) difference in aggregate() calls."""
+    from .similarity import _dot, _norm
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                   _norm(F.col(vec_col)).alias("na"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                   _norm(F.col(vec_col)).alias("nb"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    return (pairs.withColumn("cos", _cosine(F.col("va"), F.col("vb")))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (pairs.withColumn("cos", cos)
                  .filter(F.col("cos") >= threshold)
                  .select("id_a", "id_b", F.round("cos", 4).alias("cosine")))

@@ -44,13 +44,16 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
     Rank ties break by neighbor id for determinism."""
     queries = (emb.filter(F.col(id_col).isin(query_ids))
                   .select(F.col(id_col).alias("query_id"),
-                          F.col(vec_col).alias("qvec")))
+                          F.col(vec_col).alias("qvec"),
+                          _norm(F.col(vec_col)).alias("qnorm")))
     corpus = emb.select(F.col(id_col).alias("neighbor_id"),
-                        F.col(vec_col).alias("nvec"))
+                        F.col(vec_col).alias("nvec"),
+                        _norm(F.col(vec_col)).alias("nnorm"))
     scored = (
         corpus.join(F.broadcast(queries),
                     F.col("neighbor_id") != F.col("query_id"))
-              .withColumn("cos", _cosine(F.col("qvec"), F.col("nvec")))
+              .withColumn("cos", _dot(F.col("qvec"), F.col("nvec"))
+                          / (F.col("qnorm") * F.col("nnorm")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id"))

@@ -75,3 +75,23 @@ def test_cardinality_product(mdf):
 def test_search_case_insensitive(mdf):
     hits = M.search_members(mdf, "europe").collect()
     assert any(r["MIEMBRO_CAPTION"] == "EUROPE" for r in hits)
+
+
+def test_members_disk_cache_roundtrip(spark, sf_dir):
+    """X5: the parquet spill serves identical rows on a cold process."""
+    from olap_xtrctr_spark import metadata
+    from olap_xtrctr_spark.cube import sales_cube
+    cube = sales_cube()
+    metadata._MEMBERS_CACHE.clear()
+    first = metadata.cached_members_df(spark, cube, sf_dir)
+    direct = {tuple(r) for r in metadata.members_df(spark, cube, sf_dir)
+              .collect()}
+    assert {tuple(r) for r in first.collect()} == direct
+    # simulate a new process: memo cleared, disk cache present
+    metadata._MEMBERS_CACHE.clear()
+    again = metadata.cached_members_df(spark, cube, sf_dir)
+    assert {tuple(r) for r in again.collect()} == direct
+    # a structurally different cube gets a different cache key
+    other = sales_cube(catalog="OTRO_2026")
+    assert (metadata._disk_cache_path(spark, other, sf_dir)
+            != metadata._disk_cache_path(spark, cube, sf_dir))
