@@ -139,6 +139,22 @@ class OlapService:
         return {"estimated_rows": est, "plan": plan,
                 "columns": [f.name for f in df.schema.fields]}
 
+    def diagnose_schema(self) -> dict[str, list[str]]:
+        """M10 (reference diagnose_schema, backend/actions_runner.py:252-306):
+        probe every DMV rowset and report its available columns.  M1's
+        probe-and-cache becomes spark.catalog + df.columns."""
+        cube = next(iter(self.registry._cubes.values()))
+        metadata.register_dmv_views(self.spark, self.registry, cube,
+                                    self.sf_dir)
+        out: dict[str, list[str]] = {}
+        for rowset in metadata.DMV_BUILDERS:
+            view = f"system_{rowset}"
+            if self.spark.catalog.tableExists(view):
+                out[rowset] = self.spark.table(view).columns
+            else:
+                out[rowset] = []
+        return out
+
     def execute_dmv(self, sql: str) -> dict[str, Any]:
         cube = next(iter(self.registry._cubes.values()))
         metadata.register_dmv_views(self.spark, self.registry, cube,

@@ -95,3 +95,17 @@ def test_members_disk_cache_roundtrip(spark, sf_dir):
     other = sales_cube(catalog="OTRO_2026")
     assert (metadata._disk_cache_path(spark, other, sf_dir)
             != metadata._disk_cache_path(spark, cube, sf_dir))
+
+
+def test_level_inference_from_unique_names(mdf):
+    """N6/N7: level names derived from the 50 longest unique names."""
+    from olap_xtrctr_spark.members import extract_levels_from_unique_names
+    levels = extract_levels_from_unique_names(
+        mdf, "Dim Customer", "Dim Customer.Geografía")
+    # depth 1 carries the encoded level-1 name; deeper depths synthesize
+    # 'Nivel N' (old-cube heuristic)
+    assert levels == [
+        {"level_name": "Region", "level_depth": 1},
+        {"level_name": "Nivel 2", "level_depth": 2},
+        {"level_name": "Nivel 3", "level_depth": 3},
+    ]

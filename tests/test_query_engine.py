@@ -117,3 +117,24 @@ def test_retry_on_failure_backoff():
         return "ok"
 
     assert flaky() == "ok" and len(calls) == 3
+
+
+def test_q7_all_level_repair(eng):
+    """Q7: 'All'/'UNKNOWNMEMBER' level resolves via the hierarchy itself."""
+    from olap_xtrctr_spark import AxisItem, QueryRequest
+    out = eng.execute(QueryRequest(
+        "VENTAS_2025", measures=["Total Registros"],
+        rows=[AxisItem("Dim Orders", "Estado", level="UNKNOWNMEMBER")]))
+    assert out.count() == 3          # repaired to the Estado level
+
+
+def test_q14_cube_resolution():
+    """Q14/M8: first non-$ cube; prefer cube named like the catalog."""
+    from olap_xtrctr_spark.cube import CubeRegistry, sales_cube
+    reg = CubeRegistry()
+    reg.register(sales_cube())
+    assert reg.resolve("VENTAS_2025").name == "sales"
+    assert reg.resolve("VENTAS_2025", cube="[sales]").name == "sales"
+    import pytest
+    with pytest.raises(KeyError):
+        reg.resolve("NO_SUCH_CATALOG")

@@ -172,3 +172,16 @@ def test_parse_range_list_roundtrip_property(vals):
 def test_parse_range_span_property(lo, width):
     hi = lo + width
     assert parse_range_list(f"{lo}-{hi}") == list(range(lo, hi + 1))
+
+
+def test_diagnose_schema_lists_rowsets(spark, sf_dir):
+    """M1/M10: every DMV rowset probes available with its column set."""
+    from olap_xtrctr_spark.service import OlapService
+    svc = OlapService(spark, sf_dir)
+    out = svc.diagnose_schema()
+    assert set(out) == {"DBSCHEMA_CATALOGS", "MDSCHEMA_CUBES",
+                        "MDSCHEMA_DIMENSIONS", "MDSCHEMA_HIERARCHIES",
+                        "MDSCHEMA_LEVELS", "MDSCHEMA_MEASURES",
+                        "MDSCHEMA_MEMBERS"}
+    assert "MIEMBRO_UNIQUE_NAME" in out["MDSCHEMA_MEMBERS"]
+    assert "LEVEL_NUMBER" in out["MDSCHEMA_LEVELS"]
