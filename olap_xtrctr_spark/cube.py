@@ -399,6 +399,15 @@ def sales_cube(catalog: str = "VENTAS_2025") -> CubeDef:
 
 
 def default_registry() -> CubeRegistry:
+    """The default catalog layout mirrors the reference's: one main cube
+    per catalog plus a '$'-prefixed internal dimension cube that
+    main-cube detection must skip (M8, backend/actions_runner.py:101-102,
+    324-328).  The internal cube reuses the sales structure — only its
+    name matters to the resolution rule."""
     reg = CubeRegistry()
-    reg.register(sales_cube())
+    main = sales_cube()
+    reg.register(main)
+    internal = sales_cube()
+    internal.name = "$Dim Customer"
+    reg.register(internal)
     return reg

@@ -615,6 +615,21 @@ def build_workload() -> dict[str, QuerySpec]:
                     THEN 0.2 ELSE 0.0 END), 4) AS quality_score
         FROM q""")
 
+    add("docs_top_tokens",
+        lambda spark, sf: TX.top_tokens(_docs(spark, sf), k=20),
+        r"""WITH toks AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS token
+          FROM documents),
+        counts AS (
+          SELECT token, COUNT(*) AS n FROM toks
+          WHERE token <> '' GROUP BY token)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INTEGER)
+                 AS rank, token, n
+        FROM counts
+        ORDER BY n DESC, token
+        LIMIT 20""")
+
     add("docs_fingerprint",
         lambda spark, sf: TX.fingerprint(_docs(spark, sf)),
         """SELECT doc_id,

@@ -130,11 +130,17 @@ def test_q7_all_level_repair(eng):
 
 def test_q14_cube_resolution():
     """Q14/M8: first non-$ cube; prefer cube named like the catalog."""
-    from olap_xtrctr_spark.cube import CubeRegistry, sales_cube
+    from olap_xtrctr_spark.cube import CubeRegistry, default_registry, \
+        sales_cube
     reg = CubeRegistry()
+    internal = sales_cube()
+    internal.name = "$Dim Internal"
+    reg.register(internal)             # registered FIRST, must be skipped
     reg.register(sales_cube())
     assert reg.resolve("VENTAS_2025").name == "sales"
     assert reg.resolve("VENTAS_2025", cube="[sales]").name == "sales"
+    # default registry ships the $-cube fixture and still resolves main
+    assert default_registry().resolve("VENTAS_2025").name == "sales"
     import pytest
     with pytest.raises(KeyError):
         reg.resolve("NO_SUCH_CATALOG")
