@@ -1,0 +1,132 @@
+"""CLI entry point — the reference's generation-1 interactive scanner
+(scanner/DGIS_SCAN_2_stable.py menu) as a scriptable command surface:
+
+    python -m olap_xtrctr_spark catalogs
+    python -m olap_xtrctr_spark measures --catalog VENTAS_2025
+    python -m olap_xtrctr_spark members --catalog VENTAS_2025 \
+        --dimension "Dim Customer" --hierarchy "Dim Customer.Geografía" \
+        --level Nation --limit 10
+    python -m olap_xtrctr_spark query --catalog VENTAS_2025 \
+        --mdx "SELECT {[Measures].[Total Registros]} ON COLUMNS, \
+               NON EMPTY [Dim Customer].[Geografía].[Region].MEMBERS \
+               ON ROWS FROM [sales]" --export out.csv
+    python -m olap_xtrctr_spark dmv \
+        --sql "SELECT [LEVEL_NAME] FROM $system.MDSCHEMA_LEVELS"
+    python -m olap_xtrctr_spark explain --catalog VENTAS_2025 --mdx "..."
+
+Every command prints one JSON document to stdout (the reference's
+result.json contract, backend/actions_runner.py:409-411).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="olap_xtrctr_spark")
+    p.add_argument("--sf-dir", default=None,
+                   help="test-data dir (default $SPARK_GRAFT_SF_DIR)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("catalogs")
+    for name in ("measures", "dimensions", "apartados"):
+        s = sub.add_parser(name)
+        s.add_argument("--catalog", required=True)
+
+    s = sub.add_parser("members")
+    s.add_argument("--catalog", required=True)
+    s.add_argument("--dimension", required=True)
+    s.add_argument("--hierarchy", required=True)
+    s.add_argument("--level", required=True)
+    s.add_argument("--limit", type=int, default=1000)
+    s.add_argument("--offset", type=int, default=0)
+
+    s = sub.add_parser("search")
+    s.add_argument("--catalog", required=True)
+    s.add_argument("--term", required=True)
+
+    s = sub.add_parser("variables")
+    s.add_argument("--catalog", required=True)
+    s.add_argument("--parents", nargs="+", required=True)
+
+    s = sub.add_parser("query")
+    s.add_argument("--catalog", required=True)
+    s.add_argument("--mdx", required=True)
+    s.add_argument("--preview", action="store_true")
+    s.add_argument("--export", default=None,
+                   help="write result to this path (.csv or .json)")
+
+    s = sub.add_parser("explain")
+    s.add_argument("--catalog", required=True)
+    s.add_argument("--mdx", required=True)
+
+    s = sub.add_parser("dmv")
+    s.add_argument("--sql", required=True)
+
+    s = sub.add_parser("diagnose")
+    return p
+
+
+def run(args, service=None) -> dict:
+    """Dispatch one command; ``service`` injectable for tests."""
+    if service is None:
+        import os
+
+        from . import get_spark
+        from .service import OlapService
+        sf_dir = args.sf_dir or os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+        spark = get_spark("cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        service = OlapService(spark, sf_dir)
+
+    if args.cmd == "catalogs":
+        return {"catalogs": service.get_catalogs()}
+    if args.cmd == "measures":
+        return {"measures": service.get_measures(args.catalog)}
+    if args.cmd == "dimensions":
+        return {"dimensions": service.get_dimensions(args.catalog)}
+    if args.cmd == "apartados":
+        return {"apartados": service.get_apartados(args.catalog)}
+    if args.cmd == "members":
+        return service.get_members(args.catalog, args.dimension,
+                                   args.hierarchy, args.level,
+                                   limit=args.limit, offset=args.offset)
+    if args.cmd == "search":
+        return {"hits": service.search_members(args.catalog, args.term)}
+    if args.cmd == "variables":
+        return {"variables": service.get_variables(args.catalog,
+                                                   args.parents)}
+    if args.cmd == "query":
+        res = service.execute_mdx(args.catalog, args.mdx,
+                                  preview=args.preview)
+        if args.export:
+            from .mdx import parse_mdx
+            from .sinks import write_csv, write_json
+            df = service.engine.execute(parse_mdx(args.mdx, args.catalog))
+            if args.export.endswith(".json"):
+                write_json(df, args.export)
+            else:
+                write_csv(df, args.export, single_file=True)
+            res["exported_to"] = args.export
+        return res
+    if args.cmd == "explain":
+        from .mdx import parse_mdx
+        return service.explain_query(parse_mdx(args.mdx, args.catalog))
+    if args.cmd == "dmv":
+        return service.execute_dmv(args.sql)
+    if args.cmd == "diagnose":
+        return {"rowsets": service.diagnose_schema()}
+    raise SystemExit(f"unknown command {args.cmd!r}")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    print(json.dumps(run(args), ensure_ascii=False, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -157,19 +157,18 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     the exploded self-join): group shingles into sorted posting lists
     (one shuffle), generate co-occurrence pairs per posting list with a
     JVM higher-order transform, count pairs (second shuffle).  Doc
-    shingle-set sizes come from a shuffle-free projection and join the
-    small pair-count table (AQE broadcasts it).  ``max_doc_freq`` caps
-    posting-list length — the standard stop-shingle guard at corpus
-    scale (off by default to keep semantics exact)."""
-    sh = docs.select(
-        id_col, F.array_distinct(_shingles(text_col, n)).alias("sh"))
-    sizes = sh.select(F.col(id_col).alias("_sid"), F.size("sh").alias("sz"))
-    posting = (
-        sh.select(id_col, F.explode("sh").alias("shingle"))
-          .groupBy("shingle")
-          .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-          .filter(F.size("ids") > 1)
-    )
+    shingle-set sizes are derived from the SAME posting table (both
+    consumers share the grouping exchange, so shingle generation runs
+    once) and join the small pair-count table (AQE broadcasts it).
+    ``max_doc_freq`` caps posting-list length — the standard
+    stop-shingle guard at corpus scale (off by default to keep
+    semantics exact)."""
+    ex = shingle_docs(docs, text_col, id_col, n)
+    posting = ex.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids"))
+    sizes = (posting.select(F.explode("ids").alias("_sid"))
+                    .groupBy("_sid").agg(F.count(F.lit(1)).alias("sz")))
+    posting = posting.filter(F.size("ids") > 1)
     if max_doc_freq is not None:
         posting = posting.filter(F.size("ids") <= max_doc_freq)
     # all (i < j) pairs of each sorted posting list, generated JVM-side
