@@ -306,7 +306,12 @@ def _derive_time(fact: DataFrame) -> DataFrame:
     )
 
 
-def sales_cube(catalog: str = "VENTAS_2025") -> CubeDef:
+def sales_cube(catalog: str = "VENTAS_2025", name: str = "sales",
+               fact_filter: Optional[Deriver] = None) -> CubeDef:
+    """The sales cube over the test star schema.  ``fact_filter`` runs
+    after the time-derivation (so it can reference ``anio``/``mes``) and
+    models a year-scoped catalog — the reference's one-catalog-per-year
+    layout (README catalog list, docs/request id test 002 action.txt)."""
     geo_cust = Hierarchy("Geografía", (
         Level("Region", "cust_region", "cust_region_key", "region"),
         Level("Nation", "cust_nation", "cust_nation_key", "nation"),
@@ -377,8 +382,13 @@ def sales_cube(catalog: str = "VENTAS_2025") -> CubeDef:
             "Sum Tax", "SUM", "l_tax", visible=False, out_name="sum_tax"),
     }
 
+    deriver: Deriver = _derive_time
+    if fact_filter is not None:
+        base_filter = fact_filter
+        deriver = lambda df: base_filter(_derive_time(df))  # noqa: E731
+
     return CubeDef(
-        name="sales",
+        name=name,
         catalog=catalog,
         fact_table="lineitem",
         views={
@@ -390,7 +400,7 @@ def sales_cube(catalog: str = "VENTAS_2025") -> CubeDef:
         },
         dimensions=dims,
         measures=measures,
-        derive=_derive_time,
+        derive=deriver,
         default_measure="Total Registros",
         # stale-snapshot names accepted for requests built against an older
         # catalog year (Q15 parity fixture)
@@ -405,9 +415,13 @@ def default_registry() -> CubeRegistry:
     324-328).  The internal cube reuses the sales structure — only its
     name matters to the resolution rule."""
     reg = CubeRegistry()
-    main = sales_cube()
-    reg.register(main)
+    reg.register(sales_cube())
     internal = sales_cube()
     internal.name = "$Dim Customer"
     reg.register(internal)
+    # second catalog: the same star scoped to years <= 1998 (the
+    # reference's one-catalog-per-year model)
+    reg.register(sales_cube(
+        catalog="VENTAS_1998", name="ventas1998",
+        fact_filter=lambda df: df.filter(F.col("anio") <= 1998)))
     return reg

@@ -288,6 +288,27 @@ def measures_df(spark: SparkSession, cube: CubeDef) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
+def properties_df(spark: SparkSession, cube: CubeDef) -> DataFrame:
+    """MDSCHEMA_PROPERTIES (FIXTURES §2; reference consumes it for
+    DIMENSION PROPERTIES discovery, backend/actions_runner.py:342):
+    ancestor-level member properties per non-root level."""
+    rows = [Row(CUBE_NAME=cube.name,
+                DIMENSION_UNIQUE_NAME=f"[{d.name}]",
+                LEVEL_UNIQUE_NAME=f"[{d.name}].[{h.name}].[{lv.name}]",
+                PROPERTY_NAME=f"{anc.name}_CAPTION",
+                PROPERTY_CAPTION=anc.name)
+            for d in cube.dimensions.values()
+            for h in d.hierarchies.values()
+            for i, lv in enumerate(h.levels)
+            for anc in h.levels[:i]]
+    if not rows:  # degenerate cube with single-level hierarchies only
+        schema = ("CUBE_NAME string, DIMENSION_UNIQUE_NAME string, "
+                  "LEVEL_UNIQUE_NAME string, PROPERTY_NAME string, "
+                  "PROPERTY_CAPTION string")
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows)
+
+
 DMV_BUILDERS = {
     "DBSCHEMA_CATALOGS": "catalogs",
     "MDSCHEMA_CUBES": "cubes",
@@ -296,6 +317,7 @@ DMV_BUILDERS = {
     "MDSCHEMA_LEVELS": "levels",
     "MDSCHEMA_MEASURES": "measures",
     "MDSCHEMA_MEMBERS": "members",
+    "MDSCHEMA_PROPERTIES": "properties",
 }
 
 
@@ -309,4 +331,6 @@ def register_dmv_views(spark: SparkSession, registry: CubeRegistry,
     hierarchies_df(spark, cube).createOrReplaceTempView("system_MDSCHEMA_HIERARCHIES")
     levels_df(spark, cube).createOrReplaceTempView("system_MDSCHEMA_LEVELS")
     measures_df(spark, cube).createOrReplaceTempView("system_MDSCHEMA_MEASURES")
+    properties_df(spark, cube).createOrReplaceTempView(
+        "system_MDSCHEMA_PROPERTIES")
     members_df(spark, cube, sf_dir).createOrReplaceTempView("system_MDSCHEMA_MEMBERS")

@@ -231,6 +231,21 @@ def build_workload() -> dict[str, QuerySpec]:
         WHERE prod_brand IN ('Brand#21', 'Brand#22')
         GROUP BY 1""")
 
+    # multi-catalog resolution: the year-scoped VENTAS_1998 catalog routes
+    # to its own cube whose fact is filtered to anio <= 1998 (Q14 + the
+    # reference's one-catalog-per-year layout)
+    add("cube_catalog_1998_nation",
+        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
+            "VENTAS_1998", measures=["Total Registros", "Sum Quantity"],
+            rows=[AxisItem("Dim Customer", "Geografía", level="Nation")])),
+        f"""WITH {_OW}
+        SELECT cust_nation AS nation,
+               COUNT(*) AS total_registros,
+               {SUM_D('l_quantity')} AS sum_quantity
+        FROM {_FACT_OW}
+        WHERE year(l_shipdate) <= 1998
+        GROUP BY cust_nation""")
+
     # ================= TPC-H-style headline queries =======================
 
     def tpch_q1(spark, sf):

@@ -17,8 +17,8 @@ def _run(svc, *argv):
 
 
 def test_cli_catalogs_measures(svc):
-    assert _run(svc, "catalogs")["catalogs"][0]["CATALOG_NAME"] == \
-        "VENTAS_2025"
+    names = [c["CATALOG_NAME"] for c in _run(svc, "catalogs")["catalogs"]]
+    assert names == ["VENTAS_1998", "VENTAS_2025"]
     ms = _run(svc, "measures", "--catalog", "VENTAS_2025")["measures"]
     assert {m["aggregator"] for m in ms} <= {"SUM", "COUNT", "AVG"}
 

@@ -23,7 +23,8 @@ def svc(spark, sf_dir):
 
 def test_catalog_and_dimension_listing(svc):
     cats = svc.get_catalogs()
-    assert [c["CATALOG_NAME"] for c in cats] == ["VENTAS_2025"]
+    assert [c["CATALOG_NAME"] for c in cats] == ["VENTAS_1998",
+                                                 "VENTAS_2025"]
     dims = svc.get_dimensions("VENTAS_2025")
     names = {d["name"] for d in dims}
     assert "Dim Customer" in names and "DIM VARIABLES2025" in names
@@ -182,6 +183,7 @@ def test_diagnose_schema_lists_rowsets(spark, sf_dir):
     assert set(out) == {"DBSCHEMA_CATALOGS", "MDSCHEMA_CUBES",
                         "MDSCHEMA_DIMENSIONS", "MDSCHEMA_HIERARCHIES",
                         "MDSCHEMA_LEVELS", "MDSCHEMA_MEASURES",
-                        "MDSCHEMA_MEMBERS"}
+                        "MDSCHEMA_MEMBERS", "MDSCHEMA_PROPERTIES"}
+    assert "PROPERTY_NAME" in out["MDSCHEMA_PROPERTIES"]
     assert "MIEMBRO_UNIQUE_NAME" in out["MDSCHEMA_MEMBERS"]
     assert "LEVEL_NUMBER" in out["MDSCHEMA_LEVELS"]
