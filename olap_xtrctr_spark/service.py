@@ -69,12 +69,12 @@ class OlapService:
     # ---- members ----------------------------------------------------------
 
     def _members(self, catalog: str):
-        """Members metadata cached per catalog (X5 semantics: materialize
-        once, reuse)."""
+        """Members metadata per catalog through the two-tier X5 cache
+        (in-process persist + fingerprint-keyed parquet spill)."""
         if catalog not in self._members_cache:
             cube = self.registry.resolve(catalog)
-            self._members_cache[catalog] = metadata.members_df(
-                self.spark, cube, self.sf_dir).cache()
+            self._members_cache[catalog] = metadata.cached_members_df(
+                self.spark, cube, self.sf_dir)
         return self._members_cache[catalog]
 
     def get_members(self, catalog: str, dimension: str, hierarchy: str,
