@@ -193,17 +193,49 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.995) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute pairwise — see
-    operators/similarity.py for the LSH/IVF-bucketed scale paths).
-    Norms are computed once per VECTOR before the pair join, not once
-    per pair — an O(n) vs O(n²) difference in aggregate() calls."""
-    from .similarity import _dot, _norm
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                   _norm(F.col(vec_col)).alias("na"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                   _norm(F.col(vec_col)).alias("nb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (pairs.withColumn("cos", cos)
-                 .filter(F.col("cos") >= threshold)
-                 .select("id_a", "id_b", F.round("cos", 4).alias("cosine")))
+    """Exact embedding-cosine near-dup pairs via a broadcast-matrix
+    Arrow kernel: the corpus matrix is broadcast once (like a broadcast
+    hash join's build side), each Arrow batch of the probe side does one
+    blocked float64 GEMM against it, and only above-threshold (i < j)
+    pairs are emitted.  Exact-all-pairs fundamentally needs corpus ×
+    corpus; this shape is the standard one while the corpus fits a
+    broadcast (here: bounded embedding tables).  Beyond that, the
+    LSH/IVF variants in operators/similarity.py are the scale path.
+
+    Spark higher-order-function arithmetic (zip_with + aggregate) is
+    interpreted per element; the GEMM kernel is ~10-100x faster at
+    identical results (float64; threshold applied on unrounded values,
+    round half-away-from-zero like Spark/DuckDB ROUND)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    corpus = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in corpus], dtype=np.int64)
+    M = np.array([r[vec_col] for r in corpus], dtype=np.float64)
+    norms = np.sqrt((M * M).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, M, norms))
+
+    out_schema = "id_a long, id_b long, cosine double"
+
+    def batches(it):
+        b_ids, b_m, b_norms = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            A = np.array(list(pdf[vec_col]), dtype=np.float64)
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a_norms = np.sqrt((A * A).sum(axis=1))
+            S = (A @ b_m.T) / np.outer(a_norms, b_norms)
+            mask = (S >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            ai, bi = np.nonzero(mask)
+            cos = S[ai, bi]
+            yield pd.DataFrame({
+                "id_a": a_ids[ai],
+                "id_b": b_ids[bi],
+                # round half-away-from-zero (Spark/DuckDB ROUND); cos>0
+                # here since threshold > 0
+                "cosine": np.floor(cos * 1e4 + 0.5) / 1e4,
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(batches, out_schema)
