@@ -659,6 +659,20 @@ def build_workload() -> dict[str, QuerySpec]:
         FROM documents
         GROUP BY text""")
 
+    def exact_dedup_keep(spark, sf):
+        return D.exact_dedup(_docs(spark, sf), ["text"], "doc_id") \
+            .select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8"))
+                    .alias("text_hash"))
+
+    # deterministic survivor choice: first doc_id per duplicate text group
+    add("docs_exact_dedup_keep", exact_dedup_keep,
+        """SELECT doc_id, md5(text) AS text_hash
+        FROM (SELECT doc_id, text,
+                     ROW_NUMBER() OVER (PARTITION BY text
+                                        ORDER BY doc_id) AS rn
+              FROM documents)
+        WHERE rn = 1""")
+
     # ================= extensions: similarity =============================
 
     _emb = lambda spark, sf: load_table(spark, sf, "embeddings")
