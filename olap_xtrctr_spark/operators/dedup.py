@@ -190,6 +190,45 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
+def near_dup_clusters(pairs: DataFrame, max_iterations: int = 10,
+                      id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Connected components over near-dup pairs by distributed min-label
+    propagation: every node starts labeled with itself; each round a
+    node adopts the minimum label among itself and its neighbors; stop
+    at fixpoint (or ``max_iterations`` — components converge in
+    O(diameter) rounds and near-dup clusters are shallow).
+
+    Entirely DataFrame ops — no driver-side graph, so the edge set can
+    be arbitrarily large.  Output: (doc_id, cluster) where ``cluster``
+    is the minimum member id of the component; ``cluster == doc_id``
+    marks the canonical keeper of each duplicate group."""
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                       F.col(id_a).alias("dst"))))
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("cluster", F.col("id")))
+    for _ in range(max_iterations):
+        neighbor_min = (edges.join(labels, edges.dst == labels.id)
+                        .groupBy("src")
+                        .agg(F.min("cluster").alias("nmin")))
+        updated = (labels.join(neighbor_min, labels.id == neighbor_min.src,
+                               "left")
+                   .select(F.col("id"),
+                           F.least(F.col("cluster"),
+                                   F.coalesce(F.col("nmin"),
+                                              F.col("cluster")))
+                           .alias("cluster")))
+        updated = updated.localCheckpoint()   # truncate the iterative lineage
+        changed = (updated.alias("u")
+                   .join(labels.alias("l"), "id")
+                   .filter(F.col("u.cluster") != F.col("l.cluster"))
+                   .limit(1).count())
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster")
+
+
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.995) -> DataFrame:

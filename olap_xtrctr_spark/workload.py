@@ -725,6 +725,14 @@ def build_workload() -> dict[str, QuerySpec]:
                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
               >= 0.45""")
 
+    # end-to-end dedup pipeline: exact jaccard pairs → connected
+    # components (iterative min-label propagation — non-SQL-expressible,
+    # rows-only check)
+    add("docs_near_dup_clusters",
+        lambda spark, sf: D.near_dup_clusters(
+            D.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.2)),
+        None)
+
     # rows-only checks (hash functions are engine-specific → no SQL oracle)
     add("docs_minhash_lsh_pairs",
         lambda spark, sf: D.minhash_lsh_pairs(_docs(spark, sf), threshold=0.3),

@@ -198,3 +198,14 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(event_type" in plan
     assert q.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_near_dup_clusters_components(spark):
+    """Min-label propagation finds components across chained pairs."""
+    from olap_xtrctr_spark.operators.dedup import near_dup_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)],
+        "id_a long, id_b long")
+    out = {r["doc_id"]: r["cluster"]
+           for r in near_dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
