@@ -64,7 +64,18 @@ def get_spark(app_name: str = "olap-xtrctr-spark") -> SparkSession:
 SCALED_TABLES = {"documents", "embeddings"}
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects unless ``spark.sql.legacy.parquet.nanosAsLong`` is set.  The conf
+    is runtime-settable, so set it here rather than only in get_spark()'s
+    builder — the workload must be self-contained under ANY SparkSession
+    (e.g. the external correctness driver's)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in SCALED_TABLES:
         target = spark.sparkContext.defaultParallelism
@@ -81,6 +92,13 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
+
+
+def events_schema(spark: SparkSession, sf_dir: str):
+    """Raw on-disk schema of the events table (ts as bigint nanos), for the
+    streaming replay paths that need a schema before readStream."""
+    ensure_nanos_conf(spark)
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -56,6 +56,8 @@ def streaming_hourly_rollup(spark: SparkSession, source_dir: str,
     Append-mode capable: the watermark bounds state for late data.
     ``glob`` restricts which files of the directory are streamed (the
     file source requires a directory basePath)."""
+    from ..session import ensure_nanos_conf
+    ensure_nanos_conf(spark)
     reader = spark.readStream.schema(schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
@@ -107,6 +109,8 @@ def streaming_sessionize(spark: SparkSession, source_dir: str, schema,
     still merges), and the batch ``sessionize`` splits only when the gap
     EXCEEDS the threshold over floor-seconds — so the same gap plus
     ``second_resolution=True`` reproduces the batch convention exactly."""
+    from ..session import ensure_nanos_conf
+    ensure_nanos_conf(spark)
     reader = spark.readStream.schema(schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)

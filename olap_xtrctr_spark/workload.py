@@ -787,6 +787,7 @@ def build_workload() -> dict[str, QuerySpec]:
 
     # ================= extensions: events / streaming =====================
 
+    from .session import events_schema as _events_schema
     from .session import load_events as _events
 
     add("events_hourly_rollup",
@@ -798,8 +799,7 @@ def build_workload() -> dict[str, QuerySpec]:
         GROUP BY 1, 2""")
 
     def stream_hourly(spark, sf):
-        schema = spark.read.parquet(f"{sf}/events.parquet").schema
-        return EV.replay_hourly_rollup(spark, sf, schema)
+        return EV.replay_hourly_rollup(spark, sf, _events_schema(spark, sf))
 
     # Structured Streaming end-to-end (readStream → watermark → window →
     # availableNow replay): bounded replay of the events table equals the
@@ -833,8 +833,7 @@ def build_workload() -> dict[str, QuerySpec]:
         GROUP BY user_id""")
 
     def stream_sessions(spark, sf):
-        schema = spark.read.parquet(f"{sf}/events.parquet").schema
-        sess = EV.replay_sessionize(spark, sf, schema,
+        sess = EV.replay_sessionize(spark, sf, _events_schema(spark, sf),
                                     second_resolution=True)
         return (sess.groupBy("user_id")
                 .agg(F.count(F.lit(1)).alias("n_sessions")))
