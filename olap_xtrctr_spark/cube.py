@@ -192,6 +192,13 @@ class CubeRegistry:
         if cube:
             c = self._cubes.get(cube.strip("[]"))
             if c is not None:
+                # An explicitly named cube must belong to the requested
+                # catalog — silently returning a cube registered under a
+                # different catalog would defeat year-scoped semantics.
+                if catalog and c.catalog != catalog:
+                    raise KeyError(
+                        f"cube {cube!r} is registered under catalog "
+                        f"{c.catalog!r}, not {catalog!r}")
                 return c
         cands = [c for c in self.cubes_in_catalog(catalog)
                  if not c.name.startswith("$")]

@@ -170,6 +170,16 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                     .groupBy("_sid").agg(F.count(F.lit(1)).alias("sz")))
     posting = posting.filter(F.size("ids") > 1)
     if max_doc_freq is not None:
+        # No silent caps: surface how many stop-shingle posting lists the
+        # guard dropped (tiny aggregated table — the count is cheap).
+        dropped = posting.filter(F.size("ids") > max_doc_freq).count()
+        if dropped:
+            import logging
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: max_doc_freq=%d dropped %d "
+                "stop-shingle posting lists (pairs through only those "
+                "shingles are lost; intersections shrink accordingly)",
+                max_doc_freq, dropped)
         posting = posting.filter(F.size("ids") <= max_doc_freq)
     # all (i < j) pairs of each sorted posting list, generated JVM-side
     pairs = posting.select(F.explode(F.expr(
@@ -229,9 +239,17 @@ def near_dup_clusters(pairs: DataFrame, max_iterations: int = 10,
     return labels.select(F.col("id").alias("doc_id"), "cluster")
 
 
+# Exact-GEMM path refuses above this broadcast size: a corpus that big on
+# the driver is an OOM, and exact all-pairs is the wrong tool — reroute to
+# the banded/bucketed approximations.
+MAX_GEMM_BROADCAST_BYTES = 512 * 1024 * 1024
+
+
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        threshold: float = 0.995) -> DataFrame:
+                        threshold: float = 0.995,
+                        max_broadcast_bytes: int = MAX_GEMM_BROADCAST_BYTES,
+                        ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs via a broadcast-matrix
     Arrow kernel: the corpus matrix is broadcast once (like a broadcast
     hash join's build side), each Arrow batch of the probe side does one
@@ -249,6 +267,19 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     import pandas as pd
 
     spark = emb.sparkSession
+    # Enforce the bounded-corpus precondition BEFORE collecting: one cheap
+    # aggregation instead of trusting the caller not to OOM the driver.
+    stats = emb.select(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(vec_col)).alias("dim")).first()
+    est_bytes = (stats["n"] or 0) * (stats["dim"] or 0) * 8
+    if est_bytes > max_broadcast_bytes:
+        raise ValueError(
+            f"embedding_near_dups: corpus matrix ~{est_bytes >> 20} MiB "
+            f"({stats['n']} x {stats['dim']} float64) exceeds the "
+            f"{max_broadcast_bytes >> 20} MiB exact-GEMM broadcast bound; "
+            "use similarity.lsh_cosine_topk / ivf_cosine_topk (bucketed, "
+            "no driver collect) or minhash_lsh_pairs for near-dup at scale")
     corpus = emb.select(id_col, vec_col).collect()
     ids = np.array([r[id_col] for r in corpus], dtype=np.int64)
     M = np.array([r[vec_col] for r in corpus], dtype=np.float64)

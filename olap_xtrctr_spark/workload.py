@@ -251,26 +251,47 @@ def build_workload() -> dict[str, QuerySpec]:
     def tpch_q1(spark, sf):
         li = load_table(spark, sf, "lineitem")
         dec = lambda c: c.cast("decimal(18,4)")
-        disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        charge = disc_price * (1 + F.col("l_tax"))
+        # Cross-engine exactness: double->decimal casts agree between Spark
+        # and DuckDB for SINGLE column values, but NOT for a multi-factor
+        # double product (its decimal expansion can land on a .00005
+        # boundary where the engines' conversion rules part ways), and
+        # decimal DOWNCASTS disagree on exact ties (Spark HALF_UP, DuckDB
+        # half-toward-zero).  So: cast each factor to a decimal sized so
+        # every product stays inside precision 38 WITHOUT any intermediate
+        # rounding — the whole chain is exact decimal arithmetic, identical
+        # on both engines.  (12,4)*(6,4) -> (19,8); *(6,4) -> (26,12).
+        ext_d = F.col("l_extendedprice").cast("decimal(12,4)")
+        disc_f = (F.lit(1.0) - F.col("l_discount")).cast("decimal(6,4)")
+        tax_f = (F.lit(1.0) + F.col("l_tax")).cast("decimal(6,4)")
+        disc_price = ext_d * disc_f
+        charge = disc_price * tax_f
         return (li.filter(F.col("l_shipdate") <= "2000-09-02")
                 .groupBy("l_returnflag", "l_linestatus")
                 .agg(F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
                      F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
-                     F.sum(dec(disc_price)).cast("double").alias("sum_disc_price"),
-                     F.sum(dec(charge)).cast("double").alias("sum_charge"),
+                     F.sum(disc_price).cast("double").alias("sum_disc_price"),
+                     F.sum(charge).cast("double").alias("sum_charge"),
                      (F.sum(dec(F.col("l_quantity"))).cast("double")
                       / F.count("l_quantity")).alias("avg_qty"),
                      (F.sum(dec(F.col("l_discount"))).cast("double")
                       / F.count("l_discount")).alias("avg_disc"),
                      F.count(F.lit(1)).alias("count_order")))
 
+    # DuckDB's decimal->double cast is not correctly rounded at high scale
+    # (computed in float, can be 1 ulp off Spark's BigDecimal.doubleValue);
+    # the VARCHAR bridge makes it exact-decimal -> correctly-rounded double.
+    _DISC_PRICE_D = ("CAST(l_extendedprice AS DECIMAL(12,4))"
+                     " * CAST(1.0 - l_discount AS DECIMAL(6,4))")
+    _CHARGE_D = f"{_DISC_PRICE_D} * CAST(1.0 + l_tax AS DECIMAL(6,4))"
+
     add("tpch_q1_pricing_summary", tpch_q1,
         f"""SELECT l_returnflag, l_linestatus,
                {SUM_D('l_quantity')} AS sum_qty,
                {SUM_D('l_extendedprice')} AS sum_base_price,
-               {SUM_D('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-               {SUM_D('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               CAST(CAST(SUM({_DISC_PRICE_D}) AS VARCHAR) AS DOUBLE)
+                   AS sum_disc_price,
+               CAST(CAST(SUM({_CHARGE_D}) AS VARCHAR) AS DOUBLE)
+                   AS sum_charge,
                {AVG_D('l_quantity')} AS avg_qty,
                {AVG_D('l_discount')} AS avg_disc,
                COUNT(*) AS count_order
@@ -370,12 +391,15 @@ def build_workload() -> dict[str, QuerySpec]:
                 .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
                      F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count")))
 
+    # BIGINT casts: DuckDB SUM(int) yields HUGEINT (-> float64 at the
+    # arrow edge) while Spark SUM(int) is bigint; same values, different
+    # schema — cast the oracle side down.
     add("tpch_q12_priority_shipping", tpch_q12,
         """SELECT l_returnflag,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -750,9 +774,15 @@ def build_workload() -> dict[str, QuerySpec]:
                                             k=3),
         None)
 
+    # max_doc_freq: finite stop-shingle cap (well above the observed max
+    # df at test SFs — 25 at sf0.1 — so results here are exact; at corpus
+    # scale it bounds the O(df^2) pair blowup and logs what it drops).
+    # Oracle shingles use clamped list slicing (t[i:i+2]) to match Spark's
+    # F.slice truncation for docs shorter than n tokens.
     add("docs_ngram_jaccard_pairs",
         lambda spark, sf: D.ngram_jaccard_pairs(_docs(spark, sf), n=3,
-                                                threshold=0.2),
+                                                threshold=0.2,
+                                                max_doc_freq=1000),
         r"""WITH toks AS (
           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
           FROM documents),
@@ -760,7 +790,7 @@ def build_workload() -> dict[str, QuerySpec]:
           SELECT doc_id,
                  unnest(list_distinct(list_transform(
                    generate_series(1, greatest(len(t) - 2, 1)),
-                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
           FROM toks),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         inter AS (
@@ -780,10 +810,19 @@ def build_workload() -> dict[str, QuerySpec]:
     # Spark-side schema/batching/partitioning is the real thing under test)
     from .operators.multimodal import extract_features, synthetic_media
 
-    add("multimodal_features",
-        lambda spark, sf: extract_features(synthetic_media(spark, 256),
-                                           dim=8),
-        None)
+    def multimodal_canon(spark, sf):
+        # Library callers get the raw array<float> feature column from
+        # extract_features; the harness entry serializes it (rounded,
+        # comma-joined) because the driver's canonicalizer hashes cell
+        # values and an array cell is unhashable.
+        feats = extract_features(synthetic_media(spark, 256), dim=8)
+        return feats.select(
+            "media_id", "kind", "n_bytes", "sha1",
+            F.concat_ws(",", F.transform(
+                F.col("feature"),
+                lambda x: F.round(x, 6).cast("string"))).alias("feature_csv"))
+
+    add("multimodal_features", multimodal_canon, None)
 
     # ================= extensions: events / streaming =====================
 

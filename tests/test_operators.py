@@ -120,6 +120,33 @@ def test_embedding_near_dups_finds_identical(spark):
     assert out[0]["cosine"] == 1.0
 
 
+def test_embedding_near_dups_guards_driver_collect(spark):
+    """The exact-GEMM path must refuse (not OOM) when the corpus exceeds
+    the broadcast bound, and point at the bucketed scale path."""
+    import pytest
+    from olap_xtrctr_spark.operators.dedup import embedding_near_dups
+    rows = [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows)
+    with pytest.raises(ValueError, match="lsh_cosine_topk"):
+        embedding_near_dups(df, max_broadcast_bytes=64)
+    # under the bound the same frame still works
+    assert embedding_near_dups(df, threshold=0.9999,
+                               max_broadcast_bytes=1 << 20).count() >= 0
+
+
+def test_ngram_max_doc_freq_drops_hot_shingles(spark):
+    """A stop-shingle shared by every doc is excluded by the df cap, so
+    pairs that only co-occur through it disappear."""
+    from olap_xtrctr_spark.operators.dedup import ngram_jaccard_pairs
+    docs = _docs(spark, ["common common common alpha beta gamma",
+                         "common common common delta epsilon zeta",
+                         "unrelated words entirely here now ok"])
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.01)
+    capped = ngram_jaccard_pairs(docs, threshold=0.01, max_doc_freq=1)
+    assert uncapped.count() > 0          # share the 'common common common' shingle
+    assert capped.count() == 0           # hot shingle dropped -> no pairs
+
+
 def test_streaming_replay_equals_batch(spark, sf_dir):
     """readStream → watermark → window → availableNow == batch rollup."""
     ev = load_events(spark, sf_dir)

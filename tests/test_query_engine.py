@@ -144,3 +144,16 @@ def test_q14_cube_resolution():
     import pytest
     with pytest.raises(KeyError):
         reg.resolve("NO_SUCH_CATALOG")
+
+
+def test_named_cube_must_match_catalog():
+    """An explicitly named cube registered under a DIFFERENT catalog is an
+    error, not a silent cross-catalog fallthrough (year-scoped semantics)."""
+    import pytest
+    from olap_xtrctr_spark.cube import default_registry
+    reg = default_registry()
+    # 'sales' belongs to VENTAS_2025 — naming it under VENTAS_1998 must fail
+    with pytest.raises(KeyError, match="VENTAS_2025"):
+        reg.resolve("VENTAS_1998", cube="[sales]")
+    # correct catalog still resolves
+    assert reg.resolve("VENTAS_2025", cube="[sales]").name == "sales"
