@@ -132,18 +132,46 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
-                       max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on the high
-    16 bits to avoid the full crossjoin."""
+                       max_hamming: int = 8,
+                       n_blocks: int | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance without a crossjoin:
+    the 64-bit signature is split into ``n_blocks`` bit-blocks and
+    candidates are generated by an equi-join per block (union via
+    explode).  Pigeonhole: two signatures within ``n_blocks - 1`` bits
+    of each other MUST agree on at least one whole block, so recall is
+    guaranteed for hamming <= n_blocks - 1 (the Manku/Jain/Sarma
+    rotated-block scheme, WWW'07, re-expressed as a DataFrame equi-join)
+    and probabilistic above that.  ``n_blocks`` defaults to
+    min(max_hamming + 1, 8): full guarantee when the threshold allows
+    blocks of >= 8 bits, best-effort 8-bit blocks beyond."""
+    if n_blocks is None:
+        n_blocks = min(max_hamming + 1, 8)
+    width = 64 // n_blocks
     sig = simhash(docs, text_col, id_col)
-    blocked = sig.withColumn("blk", F.shiftright("simhash", 48))
+    if width >= 64:       # single block == whole signature (max_hamming=0)
+        blocks = F.array(F.struct(F.lit(0).alias("blk_id"),
+                                  F.col("simhash").alias("blk_val")))
+    else:
+        mask = (1 << width) - 1
+        blocks = F.array(*[
+            F.struct(F.lit(i).alias("blk_id"),
+                     F.shiftrightunsigned("simhash", i * width)
+                      .bitwiseAND(F.lit(mask)).alias("blk_val"))
+            for i in range(n_blocks)])
+    blocked = sig.select(id_col, "simhash",
+                         F.explode(blocks).alias("b")) \
+                 .select(id_col, "simhash", "b.blk_id", "b.blk_val")
     a, b = blocked.alias("a"), blocked.alias("b")
-    pairs = a.join(b, (F.col("a.blk") == F.col("b.blk"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    return (pairs.select(F.col(f"a.{id_col}").alias("id_a"),
-                         F.col(f"b.{id_col}").alias("id_b"),
-                         F.bit_count(xor).alias("hamming"))
+    pairs = (a.join(b, (F.col("a.blk_id") == F.col("b.blk_id"))
+                    & (F.col("a.blk_val") == F.col("b.blk_val"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col("a.simhash").alias("sig_a"),
+                     F.col("b.simhash").alias("sig_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    return (pairs.select("id_a", "id_b", F.bit_count(xor).alias("hamming"))
                  .filter(F.col("hamming") <= max_hamming))
 
 

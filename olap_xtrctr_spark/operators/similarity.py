@@ -68,18 +68,6 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def _signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature as an int: bit p set iff vec · plane_p > 0."""
-    sig = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        arr = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, arr, lambda v, w: v.cast("double") * w),
-            F.lit(0.0), lambda acc, v: acc + v)
-        sig = sig + F.when(dot > 0, F.lit(2 ** p).cast("long")).otherwise(0)
-    return sig
-
-
 def ivf_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
                     n_clusters: int = 8, n_probe: int = 2,
                     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -136,29 +124,61 @@ def ivf_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
                           F.round("cos", 4).alias("cosine")))
 
 
+def _lsh_bucket_udf(planes, n_tables: int, bits: int):
+    """Arrow-batched bucket kernel: one float64 GEMM against all
+    n_tables*bits hyperplanes per batch, sign bits packed into one
+    bucket id per table.  (64+ separate zip_with/aggregate expressions
+    would be interpreted per element — the same argument as the GEMM
+    kernel in dedup.embedding_near_dups.)"""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)          # (nt*nb, dim)
+    weights = (1 << np.arange(bits)).astype(np.int64)  # bit -> bucket id
+
+    def buckets(col):
+        V = np.array(list(col), dtype=np.float64)      # (batch, dim)
+        B = (V @ P.T) > 0                              # (batch, nt*nb)
+        ids = (B.reshape(len(V), n_tables, bits) * weights).sum(axis=2)
+        return pd.Series(list(ids.astype(np.int32)))
+
+    # real class objects (the module-level `from __future__ import
+    # annotations` would stringify inline hints, which pyspark's
+    # eval-type inference cannot resolve)
+    buckets.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf("array<int>")(buckets)
+
+
 def lsh_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
-                    n_planes: int = 12, dim: int = 64,
+                    n_tables: int = 24, bits_per_table: int = 4,
+                    dim: int = 64,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    probe_hamming: int = 1) -> DataFrame:
-    """Approximate top-k: random-hyperplane buckets + multi-probe.
-    Each query scores only corpus vectors whose signature is within
-    ``probe_hamming`` bits — the crossjoin never materializes."""
-    planes = _hyperplanes(dim, n_planes)
-    sig = emb.select(
-        F.col(id_col), F.col(vec_col),
-        _signature(F.col(vec_col), planes).alias("sig"))
+                    seed: int = 42) -> DataFrame:
+    """Approximate top-k via MULTI-TABLE random-hyperplane LSH: each of
+    ``n_tables`` independent tables hashes a vector to a
+    ``bits_per_table``-bit bucket; candidates are corpus vectors sharing
+    a (table, bucket) cell with the query in ANY table — a pure
+    equi-join, so the crossjoin never materializes and the corpus stays
+    partitioned.  Recall for a pair at angle θ is
+    1-(1-p^b)^t with p = 1-θ/π: 24 tables × 4 bits gives ~0.99 at
+    cosine 0.5 and ~0.93 even for weak cosine-0.3 neighbors; raise
+    ``n_tables`` (more candidates, more recall) or ``bits_per_table``
+    (fewer candidates per table, less recall) to trade cost vs quality."""
+    planes = _hyperplanes(dim, n_tables * bits_per_table, seed)
+    bucketer = _lsh_bucket_udf(planes, n_tables, bits_per_table)
+    sig = emb.select(F.col(id_col), F.col(vec_col),
+                     F.posexplode(bucketer(F.col(vec_col)))
+                      .alias("tbl", "bucket"))
     queries = (sig.filter(F.col(id_col).isin(query_ids))
                   .select(F.col(id_col).alias("query_id"),
                           F.col(vec_col).alias("qvec"),
-                          F.col("sig").alias("qsig")))
+                          "tbl", "bucket"))
     corpus = sig.select(F.col(id_col).alias("neighbor_id"),
-                        F.col(vec_col).alias("nvec"),
-                        F.col("sig").alias("nsig"))
-    cand = corpus.join(
-        F.broadcast(queries),
-        (F.col("neighbor_id") != F.col("query_id"))
-        & (F.bit_count(F.col("qsig").bitwiseXOR(F.col("nsig")))
-           <= probe_hamming))
+                        F.col(vec_col).alias("nvec"), "tbl", "bucket")
+    cand = (corpus.join(F.broadcast(queries), ["tbl", "bucket"])
+                  .filter(F.col("neighbor_id") != F.col("query_id"))
+                  .dropDuplicates(["query_id", "neighbor_id"]))
     scored = cand.withColumn("cos", _cosine(F.col("qvec"), F.col("nvec")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

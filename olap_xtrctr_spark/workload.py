@@ -761,9 +761,12 @@ def build_workload() -> dict[str, QuerySpec]:
     add("docs_minhash_lsh_pairs",
         lambda spark, sf: D.minhash_lsh_pairs(_docs(spark, sf), threshold=0.3),
         None)
+    # hamming <= 6: inside the multi-block pigeonhole guarantee (n_blocks-1)
+    # and tight enough to mean "near-dup" on vocabulary-overlapping corpora
+    # (hamming 16 admits ~24% of ALL pairs of this fixture)
     add("docs_simhash_pairs",
         lambda spark, sf: D.simhash_near_pairs(_docs(spark, sf),
-                                               max_hamming=16),
+                                               max_hamming=6),
         None)
     add("emb_lsh_topk",
         lambda spark, sf: S.lsh_cosine_topk(_emb(spark, sf), [0, 1, 2, 3, 4],

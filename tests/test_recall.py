@@ -1,0 +1,106 @@
+"""Recall validation for the approximate operator family, measured
+against the EXACT operators (which are oracle-verified) at sf0.01.
+
+Mirrors the reference's reconciliation discipline (every load step is
+count-checked, database/migrate_csv_to_db.py:182-208): an approximate
+index whose recall silently collapses must fail CI, not ship.
+
+Ground truths:
+* near-dup text pairs  -> ngram_jaccard_pairs (exact Jaccard, oracle-green)
+* near-dup embeddings  -> embedding_near_dups (exact GEMM, oracle-green)
+* top-k neighbors      -> cosine_topk (exact brute force, oracle-green)
+"""
+from __future__ import annotations
+
+import pytest
+
+from olap_xtrctr_spark.operators import dedup as D
+from olap_xtrctr_spark.operators import similarity as S
+from olap_xtrctr_spark.session import load_table
+
+SF_RECALL = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_RECALL, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_RECALL, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def exact_jaccard_pairs(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert len(pairs) >= 10, "fixture must contain planted near-dup docs"
+    return pairs
+
+
+@pytest.fixture(scope="module")
+def planted_embedding_pairs(emb):
+    pairs = [(r.id_a, r.id_b)
+             for r in D.embedding_near_dups(emb, threshold=0.45).collect()]
+    assert len(pairs) >= 10, "fixture must contain planted near-dup vectors"
+    return pairs
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(docs, exact_jaccard_pairs):
+    """Banded MinHash-LSH must recover >=90% of the true Jaccard>=0.3
+    pairs at its configured threshold."""
+    truth = {p for p, j in exact_jaccard_pairs.items() if j >= 0.3}
+    found = {(r.id_a, r.id_b)
+             for r in D.minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"minhash-LSH recall collapsed: {recall:.2f}"
+
+
+def test_simhash_recall_vs_exact_jaccard(docs, exact_jaccard_pairs):
+    """Multi-block SimHash candidate generation must recover >=90% of
+    the true near-dup pairs (their hamming distances are well inside
+    the pigeonhole guarantee n_blocks-1)."""
+    truth = set(exact_jaccard_pairs)
+    found = {(r.id_a, r.id_b)
+             for r in D.simhash_near_pairs(docs, max_hamming=16).collect()}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"simhash recall collapsed: {recall:.2f}"
+
+
+def _topk_sets(rows):
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_lsh_topk_recall_vs_exact(emb, planted_embedding_pairs):
+    """Multi-table hyperplane LSH: >=90% of exact top-3 neighbors found
+    for random queries, and >=85% of planted near-dup partners at k=1."""
+    qids = [0, 1, 2, 3, 4]
+    exact = _topk_sets(S.cosine_topk(emb, qids, k=3).collect())
+    approx = _topk_sets(S.lsh_cosine_topk(emb, qids, k=3).collect())
+    total = sum(len(v) for v in exact.values())
+    hit = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    assert hit / total >= 0.9, f"LSH top-k recall collapsed: {hit}/{total}"
+
+    pq = sorted({a for a, _ in planted_embedding_pairs})
+    found = _topk_sets(S.lsh_cosine_topk(emb, pq, k=1).collect())
+    ok = sum(1 for a, b in planted_embedding_pairs
+             if b in found.get(a, set()))
+    n = len(planted_embedding_pairs)
+    assert ok / n >= 0.85, f"LSH planted-pair recall collapsed: {ok}/{n}"
+
+
+def test_ivf_topk_recall_on_planted_pairs(emb, planted_embedding_pairs):
+    """IVF with a majority of cells probed must find >=90% of planted
+    near-dup partners at k=1.  (These fixtures are near-uniform random,
+    the hardest case for IVF — real corpora cluster, and at scale
+    n_clusters grows ~sqrt(n) so the probed FRACTION shrinks.)"""
+    pq = sorted({a for a, _ in planted_embedding_pairs})
+    found = _topk_sets(S.ivf_cosine_topk(emb, pq, k=1, n_probe=5).collect())
+    ok = sum(1 for a, b in planted_embedding_pairs
+             if b in found.get(a, set()))
+    n = len(planted_embedding_pairs)
+    assert ok / n >= 0.9, f"IVF planted-pair recall collapsed: {ok}/{n}"
