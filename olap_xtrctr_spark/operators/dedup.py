@@ -199,16 +199,32 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     posting = posting.filter(F.size("ids") > 1)
     if max_doc_freq is not None:
         # No silent caps: surface how many stop-shingle posting lists the
-        # guard dropped (tiny aggregated table — the count is cheap).
-        dropped = posting.filter(F.size("ids") > max_doc_freq).count()
-        if dropped:
-            import logging
-            logging.getLogger(__name__).warning(
-                "ngram_jaccard_pairs: max_doc_freq=%d dropped %d "
-                "stop-shingle posting lists (pairs through only those "
-                "shingles are lost; intersections shrink accordingly)",
-                max_doc_freq, dropped)
+        # guard drops.  Observation piggybacks the count on the SAME job
+        # (an eager .count() here would re-run the whole shingle pipeline);
+        # the daemon thread logs once the caller's action materializes.
+        import logging
+        import threading
+
+        from pyspark.sql import Observation
+        obs = Observation()
+        posting = posting.observe(
+            obs, F.sum((F.size("ids") > max_doc_freq).cast("long"))
+                  .alias("dropped"))
         posting = posting.filter(F.size("ids") <= max_doc_freq)
+
+        def _report() -> None:
+            try:
+                dropped = obs.get.get("dropped") or 0
+            except Exception:
+                return
+            if dropped:
+                logging.getLogger(__name__).warning(
+                    "ngram_jaccard_pairs: max_doc_freq=%d dropped %d "
+                    "stop-shingle posting lists (pairs co-occurring only "
+                    "through those shingles are lost; intersections "
+                    "shrink accordingly)", max_doc_freq, dropped)
+
+        threading.Thread(target=_report, daemon=True).start()
     # all (i < j) pairs of each sorted posting list, generated JVM-side
     pairs = posting.select(F.explode(F.expr(
         "flatten(transform(ids, (a, i) -> "
