@@ -1,0 +1,99 @@
+"""Scale probe: replicate the sf0.1 star schema Nx (key-shifted, so join
+cardinalities scale like real growth) into a scratch dir, run the cube
+headline queries there, and report per-query timings plus the physical
+join strategies AQE picked — the point is to verify the broadcast->SMJ
+transition stays clean past the test SF (BASELINE.md round-2 question).
+
+Usage: python scripts/scale_probe.py [factor] [scratch_dir]
+"""
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from olap_xtrctr_spark import get_spark
+from olap_xtrctr_spark.workload import WORKLOAD
+
+FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SCRATCH = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe"
+SRC = "/root/testdata/sf0.1"
+
+# fact/bridge tables are replicated with shifted keys; pure dimension
+# tables (closed key domains joined by every copy) stay as-is.
+KEYED = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+}
+ASIS = ["region", "nation", "supplier", "part",
+        "documents", "embeddings", "events"]
+
+PROBE_QUERIES = [
+    "cube_nation_sales",
+    "cube_3dim_crossjoin",
+    "cube_slicer_where_tuple",
+    "cube_variables_pivot",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier",
+    "tpch_q18_large_orders",
+]
+
+KEY_SPAN = 100_000_000  # far above any sf0.1 key
+
+
+def build(spark) -> None:
+    if os.path.isdir(SCRATCH):
+        shutil.rmtree(SCRATCH)
+    os.makedirs(SCRATCH)
+    for t in ASIS:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{SCRATCH}/{t}.parquet")
+    for t, keys in KEYED.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        copies = []
+        for i in range(FACTOR):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * KEY_SPAN))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{SCRATCH}/{t}.parquet")
+        print(f"# built {t}: x{FACTOR}", file=sys.stderr)
+
+
+def join_strategies(df) -> dict[str, int]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    out: dict[str, int] = {}
+    for strat in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                  "BroadcastNestedLoopJoin"):
+        n = len(re.findall(strat, plan))
+        if n:
+            out[strat] = n
+    return out
+
+
+def main() -> None:
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark)
+    print(f"# probe at ~sf{FACTOR * 0.1:g} ({SCRATCH})", file=sys.stderr)
+    for name in PROBE_QUERIES:
+        fn = WORKLOAD[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, SCRATCH)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        strats = join_strategies(df)   # executedPlan after AQE finalized
+        print(f"{name}: {dt:.2f}s rows={n} joins={strats}")
+
+
+if __name__ == "__main__":
+    main()
