@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--sql", required=True)
 
     s = sub.add_parser("diagnose")
+
+    s = sub.add_parser("serve",
+                       help="HTTP API mirroring the reference's routes")
+    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument("--port", type=int, default=8000)
     return p
 
 
@@ -119,6 +124,10 @@ def run(args, service=None) -> dict:
         return service.execute_dmv(args.sql)
     if args.cmd == "diagnose":
         return {"rowsets": service.diagnose_schema()}
+    if args.cmd == "serve":
+        from .http_api import serve
+        serve(service, host=args.host, port=args.port)   # blocks
+        return {"status": "stopped"}
     raise SystemExit(f"unknown command {args.cmd!r}")
 
 

@@ -1,0 +1,280 @@
+"""Thin HTTP binding over OlapService, mirroring the reference's route
+surface: FastAPI routes backend/api_server.py:101-347 (catalogs,
+measures, dimensions, apartados, variables, members, query/execute) and
+the Workers jobs API workers/api/src/routes/jobs.ts:12-112 (POST /api/
+jobs, GET /api/jobs/:id).  Built on stdlib http.server — no web
+framework ships in this environment, and the transport layer is
+deliberately dumb: every route is one service call + JSON serialization.
+
+Error contract mirrors FastAPI's: non-2xx bodies are {"detail": "..."}.
+"""
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, Optional
+from urllib.parse import parse_qs, unquote, urlparse
+
+from .query import AxisItem, FilterSpec, QueryRequest
+from .service import OlapService
+from .validators import parse_range_list
+
+
+def _names(items: list[Any]) -> list[str]:
+    """Accept both the repo-native form (list of strings) and the
+    reference's wire form (list of {"uniqueName": ...} dicts,
+    backend/api_server.py:83-91)."""
+    out = []
+    for it in items or []:
+        out.append(it["uniqueName"] if isinstance(it, dict) else it)
+    return out
+
+
+def query_request_from_json(payload: dict[str, Any]) -> QueryRequest:
+    """Reference QueryRequest JSON → engine QueryRequest."""
+    rows = [AxisItem(dimension=r["dimension"], hierarchy=r["hierarchy"],
+                     level=r.get("level"), depth=r.get("depth"),
+                     members=r.get("members"),
+                     properties=bool(r.get("properties", False)))
+            for r in payload.get("rows", [])]
+    filters = [FilterSpec(dimension=f["dimension"], hierarchy=f["hierarchy"],
+                          members=list(f.get("members", [])))
+               for f in payload.get("filters", [])]
+    return QueryRequest(
+        catalog=payload["catalog"],
+        cube=payload.get("cube"),
+        measures=_names(payload.get("measures")),
+        variables=_names(payload.get("variables")),
+        rows=rows,
+        filters=filters,
+        slicers=list(payload.get("slicers", [])),
+        non_empty=bool(payload.get("non_empty", True)),
+        all_measures=bool(payload.get("all_measures", False)),
+    )
+
+
+class _Routes:
+    """Route table: (method, compiled-path-regex) -> handler(service,
+    path_groups, query_params, body) -> (status, payload)."""
+
+    def __init__(self) -> None:
+        self.table: list[tuple[str, re.Pattern[str], Callable]] = []
+
+    def add(self, method: str, pattern: str):
+        rx = re.compile("^" + pattern + "$")
+
+        def deco(fn):
+            self.table.append((method, rx, fn))
+            return fn
+        return deco
+
+    def dispatch(self, service, method, path, qs, body):
+        for m, rx, fn in self.table:
+            if m != method:
+                continue
+            match = rx.match(path)
+            if match:
+                return fn(service, match, qs, body)
+        return 404, {"detail": f"no route for {method} {path}"}
+
+
+ROUTES = _Routes()
+_CAT = r"/api/catalogs/(?P<catalog>[^/]+)"
+
+
+def _q1(qs: dict[str, list[str]], key: str,
+        default: Optional[str] = None) -> Optional[str]:
+    vals = qs.get(key)
+    return vals[0] if vals else default
+
+
+@ROUTES.add("GET", r"/")
+def _root(service, m, qs, body):
+    return 200, {"status": "ok", "service": "olap-xtrctr-spark",
+                 "endpoints": sorted({f"{meth} {rx.pattern[1:-1]}"
+                                      for meth, rx, _ in ROUTES.table})}
+
+
+@ROUTES.add("GET", r"/api/catalogs")
+def _catalogs(service, m, qs, body):
+    return 200, service.get_catalogs()
+
+
+@ROUTES.add("GET", _CAT + r"/cubes")
+def _cubes(service, m, qs, body):
+    return 200, service.get_cubes(unquote(m["catalog"]))
+
+
+@ROUTES.add("GET", _CAT + r"/measures")
+def _measures(service, m, qs, body):
+    return 200, service.get_measures(unquote(m["catalog"]))
+
+
+@ROUTES.add("GET", _CAT + r"/dimensions")
+def _dimensions(service, m, qs, body):
+    return 200, service.get_dimensions(unquote(m["catalog"]))
+
+
+@ROUTES.add("GET", _CAT + r"/apartados")
+def _apartados(service, m, qs, body):
+    return 200, service.get_apartados(unquote(m["catalog"]))
+
+
+@ROUTES.add("GET", _CAT + r"/variables")
+def _variables(service, m, qs, body):
+    """?apartados= supports the reference's range-list selection over the
+    apartado listing ("1,3,5-10", 1-based positions — N13,
+    backend/api_server.py:189-217) or explicit member unique names;
+    omitted -> variables of ALL apartados."""
+    catalog = unquote(m["catalog"])
+    apartados = service.get_apartados(catalog)
+    sel = _q1(qs, "apartados")
+    if sel is None:
+        uniques = [a["MIEMBRO_UNIQUE_NAME"] for a in apartados]
+    elif "[" in sel:
+        uniques = [unquote(s) for s in sel.split(";") if s]
+    else:
+        idx = parse_range_list(sel, max_value=len(apartados))
+        uniques = [apartados[i - 1]["MIEMBRO_UNIQUE_NAME"] for i in idx]
+    return 200, service.get_variables(catalog, uniques)
+
+
+@ROUTES.add("GET", _CAT + r"/members/search")
+def _members_search(service, m, qs, body):
+    term = _q1(qs, "q", "")
+    return 200, service.search_members(unquote(m["catalog"]), term,
+                                       dimension=_q1(qs, "dimension"))
+
+
+@ROUTES.add("GET", _CAT + r"/members")
+def _members(service, m, qs, body):
+    for req in ("dimension", "hierarchy", "level"):
+        if not _q1(qs, req):
+            return 422, {"detail": f"missing query param {req!r}"}
+    return 200, service.get_members(
+        unquote(m["catalog"]), _q1(qs, "dimension"), _q1(qs, "hierarchy"),
+        _q1(qs, "level"), limit=int(_q1(qs, "limit", "1000")),
+        offset=int(_q1(qs, "offset", "0")))
+
+
+@ROUTES.add("POST", r"/api/query/execute")
+def _execute(service, m, qs, body):
+    req = query_request_from_json(body)
+    return 200, service.execute_query(
+        req, preview=bool(body.get("preview", False)))
+
+
+@ROUTES.add("POST", r"/api/query/explain")
+def _explain(service, m, qs, body):
+    return 200, service.explain_query(query_request_from_json(body),
+                                      mode=body.get("mode", "formatted"))
+
+
+@ROUTES.add("POST", r"/api/query/mdx")
+def _mdx(service, m, qs, body):
+    return 200, service.execute_mdx(body["catalog"], body["mdx"],
+                                    preview=bool(body.get("preview", False)))
+
+
+@ROUTES.add("POST", r"/api/dmv")
+def _dmv(service, m, qs, body):
+    return 200, service.execute_dmv(body["sql"])
+
+
+@ROUTES.add("GET", r"/api/diagnostics/schema")
+def _diag(service, m, qs, body):
+    return 200, service.diagnose_schema()
+
+
+@ROUTES.add("POST", r"/api/jobs")
+def _job_submit(service, m, qs, body):
+    """Mirrors workers/api/src/routes/jobs.ts:45-82: create PENDING,
+    dispatch, return the job id immediately (201)."""
+    job_id = service.submit_job(body["catalog_code"], body["mdx_query"])
+    return 201, {"id": job_id, "status": "PENDING"}
+
+
+@ROUTES.add("GET", r"/api/jobs/(?P<job_id>[0-9a-f-]+)")
+def _job_get(service, m, qs, body):
+    job = service.get_job(m["job_id"])
+    if job is None:
+        return 404, {"detail": "job not found"}
+    return 200, job
+
+
+@ROUTES.add("GET", r"/api/jobs")
+def _job_list(service, m, qs, body):
+    return 200, service.jobs.list(limit=int(_q1(qs, "limit", "50")))
+
+
+def _make_handler(service: OlapService):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):   # quiet by default
+            pass
+
+        def _reply(self, status: int, payload: Any) -> None:
+            data = json.dumps(payload, default=str).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _handle(self, method: str) -> None:
+            parsed = urlparse(self.path)
+            body = {}
+            if method == "POST":
+                n = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(n) if n else b"{}"
+                try:
+                    body = json.loads(raw or b"{}")
+                except json.JSONDecodeError as exc:
+                    self._reply(400, {"detail": f"bad JSON: {exc}"})
+                    return
+            try:
+                status, payload = ROUTES.dispatch(
+                    service, method, parsed.path,
+                    parse_qs(parsed.query), body)
+            except (KeyError, ValueError) as exc:
+                status, payload = 400, {"detail": str(exc)}
+            except Exception as exc:        # mirror HTTPException(500, detail)
+                status, payload = 500, {"detail": str(exc)}
+            self._reply(status, payload)
+
+        def do_GET(self):
+            self._handle("GET")
+
+        def do_POST(self):
+            self._handle("POST")
+
+    return Handler
+
+
+def make_server(service: OlapService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Bind (port=0 -> ephemeral); caller drives serve_forever/shutdown."""
+    return ThreadingHTTPServer((host, port), _make_handler(service))
+
+
+def serve_in_thread(service: OlapService, host: str = "127.0.0.1",
+                    port: int = 0) -> tuple[ThreadingHTTPServer, threading.Thread]:
+    srv = make_server(service, host, port)
+    t = threading.Thread(target=srv.serve_forever, daemon=True,
+                         name="olap-http")
+    t.start()
+    return srv, t
+
+
+def serve(service: OlapService, host: str = "0.0.0.0",
+          port: int = 8000) -> None:
+    """Blocking entry point (CLI: python -m olap_xtrctr_spark serve)."""
+    srv = make_server(service, host, port)
+    print(f"olap-xtrctr-spark HTTP API on http://{host}:{srv.server_port}")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()

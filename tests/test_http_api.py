@@ -1,0 +1,152 @@
+"""End-to-end tests for the HTTP binding: real server on an ephemeral
+port, real OlapService over sf0.001, urllib client — the full
+request → route → service → Spark → JSON loop."""
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+from urllib.parse import quote
+
+import pytest
+
+from olap_xtrctr_spark.http_api import serve_in_thread
+from olap_xtrctr_spark.service import OlapService
+
+CATALOG = "VENTAS_2025"
+
+
+@pytest.fixture(scope="module")
+def base_url(spark, sf_dir):
+    service = OlapService(spark, sf_dir)
+    srv, _t = serve_in_thread(service)
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=60) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def _post(url: str, payload: dict):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_root_lists_endpoints(base_url):
+    status, body = _get(base_url + "/")
+    assert status == 200 and body["status"] == "ok"
+    assert any("query/execute" in e for e in body["endpoints"])
+
+
+def test_catalog_metadata_routes(base_url):
+    status, cats = _get(base_url + "/api/catalogs")
+    assert status == 200
+    assert CATALOG in {c["CATALOG_NAME"] for c in cats}
+
+    _, measures = _get(f"{base_url}/api/catalogs/{CATALOG}/measures")
+    assert {"name", "uniqueName", "aggregator"} <= set(measures[0])
+
+    _, dims = _get(f"{base_url}/api/catalogs/{CATALOG}/dimensions")
+    by_name = {d["name"]: d for d in dims}
+    assert "Dim Customer" in by_name
+    levels = [lv["name"] for h in by_name["Dim Customer"]["hierarchies"]
+              for lv in h["levels"]]
+    assert "Nation" in levels
+
+
+def test_members_route_and_validation(base_url):
+    qs = (f"dimension={quote('Dim Customer')}"
+          f"&hierarchy={quote('Dim Customer.Geografía')}"
+          f"&level=Nation&limit=5&offset=0")
+    status, body = _get(f"{base_url}/api/catalogs/{CATALOG}/members?{qs}")
+    assert status == 200
+    assert body["total"] == 25 and len(body["members"]) == 5
+
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _get(f"{base_url}/api/catalogs/{CATALOG}/members?level=Nation")
+    assert err.value.code == 422
+
+
+def test_apartados_and_range_variables(base_url):
+    _, aps = _get(f"{base_url}/api/catalogs/{CATALOG}/apartados")
+    assert len(aps) > 2
+    # reference-style 1-based range selection (N13)
+    status, variables = _get(
+        f"{base_url}/api/catalogs/{CATALOG}/variables?apartados=1-2")
+    assert status == 200 and variables
+    parents = {v["PARENT_UNIQUE_NAME"] for v in variables}
+    assert parents == {aps[0]["MIEMBRO_UNIQUE_NAME"],
+                       aps[1]["MIEMBRO_UNIQUE_NAME"]}
+
+
+def test_execute_query_reference_wire_shape(base_url):
+    """POST body in the reference's exact wire shape
+    (measures as [{uniqueName}], rows as RowConfig dicts)."""
+    status, body = _post(base_url + "/api/query/execute", {
+        "catalog": CATALOG,
+        "measures": [{"uniqueName": "[Measures].[Total Registros]"}],
+        "rows": [{"dimension": "Dim Customer",
+                  "hierarchy": "Dim Customer.Geografía",
+                  "level": "Region"}],
+    })
+    assert status == 200
+    assert body["rowCount"] == 5 and len(body["rows"]) == 5
+    assert {c["field"] for c in body["columns"]} \
+        == {"region", "total_registros"}
+
+
+def test_execute_raw_mdx_and_explain(base_url):
+    mdx = ("SELECT {[Measures].[Total Registros]} ON COLUMNS, "
+           "NON EMPTY [Dim Customer].[Geografía].[Region].MEMBERS ON ROWS "
+           "FROM [sales]")
+    status, body = _post(base_url + "/api/query/mdx",
+                         {"catalog": CATALOG, "mdx": mdx})
+    assert status == 200 and body["rowCount"] == 5
+
+    status, plan = _post(base_url + "/api/query/explain", {
+        "catalog": CATALOG, "measures": ["Total Registros"],
+        "rows": [{"dimension": "Dim Customer",
+                  "hierarchy": "Dim Customer.Geografía",
+                  "level": "Region"}]})
+    assert status == 200
+    assert plan["estimated_rows"] > 0 and "Exchange" in plan["plan"]
+
+
+def test_jobs_lifecycle_over_http(base_url):
+    mdx = ("SELECT {[Measures].[Sum Quantity]} ON COLUMNS, "
+           "NON EMPTY [Dim Orders].[Estado].[Estado].MEMBERS ON ROWS "
+           "FROM [sales]")
+    status, sub = _post(base_url + "/api/jobs",
+                        {"catalog_code": CATALOG, "mdx_query": mdx})
+    assert status == 201 and sub["status"] == "PENDING"
+
+    deadline = time.time() + 60
+    job = None
+    while time.time() < deadline:
+        _, job = _get(f"{base_url}/api/jobs/{sub['id']}")
+        if job["status"] in ("COMPLETED", "FAILED"):
+            break
+        time.sleep(0.2)
+    assert job["status"] == "COMPLETED", job.get("error_message")
+    # JSONB job envelope (db_runner.py:75-81): columns/data/count
+    assert job["result_data"]["count"] == 3
+
+    _, listing = _get(base_url + "/api/jobs")
+    assert sub["id"] in {j["id"] for j in listing}
+
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _get(base_url + "/api/jobs/00000000-0000-0000-0000-000000000000")
+    assert err.value.code == 404
+
+
+def test_bad_query_returns_4xx_not_500(base_url):
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(base_url + "/api/query/execute", {"catalog": CATALOG,
+                                                "rows": [{"dimension": "X"}]})
+    assert err.value.code == 400
