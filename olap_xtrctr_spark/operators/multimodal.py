@@ -30,16 +30,25 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("kind", T.StringType()),
     T.StructField("n_bytes", T.IntegerType()),
-    T.StructField("sha1", T.StringType()),
+    T.StructField("digest", T.StringType()),
     T.StructField("feature", T.ArrayType(T.FloatType())),
 ])
 
 
+def _digest(payload: bytes) -> str:
+    """sha256 over the payload's lowercase-hex form (not the raw bytes):
+    deliberately chosen so an external SQL oracle can recompute it —
+    DuckDB's hash functions are VARCHAR-only, and hex round-trips."""
+    return hashlib.sha256(payload.hex().encode("ascii")).hexdigest()
+
+
 def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a real decoder: derives a fixed-size
-    feature vector from the payload digest.  Replace with a real
-    decode+embed step; the mapInPandas plumbing stays identical."""
-    digest = hashlib.sha256(payload).digest()
+    feature vector from the payload digest (little-endian uint32 per
+    4 digest bytes, scaled to [0,1)).  Replace with a real decode+embed
+    step; the mapInPandas plumbing stays identical."""
+    assert dim <= 8, "fake codec yields at most 8 features per digest"
+    digest = hashlib.sha256(_digest(payload).encode("ascii")).digest()
     return [struct.unpack("<I", digest[4 * i:4 * i + 4])[0] / 2**32
             for i in range(dim)]
 
@@ -64,8 +73,7 @@ def extract_features(media: DataFrame, dim: int = 8,
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pdf["payload"].map(len).astype("int32"),
-                "sha1": pdf["payload"].map(
-                    lambda b: hashlib.sha1(b).hexdigest()),
+                "digest": pdf["payload"].map(_digest),
                 "feature": pdf["payload"].map(decode),
             })
             yield out

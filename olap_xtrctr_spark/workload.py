@@ -750,12 +750,37 @@ def build_workload() -> dict[str, QuerySpec]:
               >= 0.45""")
 
     # end-to-end dedup pipeline: exact jaccard pairs → connected
-    # components (iterative min-label propagation — non-SQL-expressible,
-    # rows-only check)
+    # components.  Spark runs distributed min-label propagation; the
+    # oracle computes the same components as a recursive-CTE transitive
+    # closure over the identical exact-jaccard edge set.
     add("docs_near_dup_clusters",
         lambda spark, sf: D.near_dup_clusters(
             D.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.2)),
-        None)
+        r"""WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(t) - 2, 1)),
+            i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          FROM toks),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE i / (sa.sz + sb.sz - i) >= 0.2),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION SELECT src, src FROM edges
+          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src""")
 
     # rows-only checks (hash functions are engine-specific → no SQL oracle)
     add("docs_minhash_lsh_pairs",
@@ -815,17 +840,44 @@ def build_workload() -> dict[str, QuerySpec]:
 
     def multimodal_canon(spark, sf):
         # Library callers get the raw array<float> feature column from
-        # extract_features; the harness entry serializes it (rounded,
-        # comma-joined) because the driver's canonicalizer hashes cell
-        # values and an array cell is unhashable.
+        # extract_features; the harness entry serializes it (floor-
+        # quantized to 1e-6, comma-joined) because the driver's
+        # canonicalizer hashes cell values and an array cell is
+        # unhashable.  floor (not round) so there is no tie-breaking
+        # rule to disagree on cross-engine; the float32 -> double
+        # promotion and the multiply are IEEE-exact on both.
         feats = extract_features(synthetic_media(spark, 256), dim=8)
         return feats.select(
-            "media_id", "kind", "n_bytes", "sha1",
+            "media_id", "kind", "n_bytes", "digest",
             F.concat_ws(",", F.transform(
                 F.col("feature"),
-                lambda x: F.round(x, 6).cast("string"))).alias("feature_csv"))
+                lambda x: F.floor(x.cast("double") * F.lit(1000000.0))
+                           .cast("bigint").cast("string")))
+             .alias("feature_q"))
 
-    add("multimodal_features", multimodal_canon, None)
+    # Full oracle: the synthetic fixture and the fake codec are both
+    # hex-string hash chains precisely so DuckDB (VARCHAR-only hash
+    # functions) can recompute every column, including the per-element
+    # float32 feature quantization.
+    add("multimodal_features", multimodal_canon,
+        """WITH m AS (SELECT unnest(generate_series(0, 255)) AS i),
+        p AS (SELECT i,
+                     repeat(md5(CAST(i AS VARCHAR)), 1 + i % 4) AS ph
+              FROM m),
+        d AS (SELECT i, ph, sha256(ph) AS dg, sha256(sha256(ph)) AS fd
+              FROM p)
+        SELECT CAST(i AS BIGINT) AS media_id,
+               CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               CAST(length(ph) / 2 AS INTEGER) AS n_bytes,
+               dg AS digest,
+               array_to_string(list_transform(generate_series(0, 7), j ->
+                 CAST(FLOOR(CAST(CAST(CAST(TRY_CAST(concat('0x',
+                        substr(fd, 8*j+7, 2) || substr(fd, 8*j+5, 2) ||
+                        substr(fd, 8*j+3, 2) || substr(fd, 8*j+1, 2))
+                      AS BIGINT) AS DOUBLE) / 4294967296 AS REAL) AS DOUBLE)
+                      * 1000000.0) AS BIGINT)), ',') AS feature_q
+        FROM d""")
 
     # ================= extensions: events / streaming =====================
 
