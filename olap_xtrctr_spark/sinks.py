@@ -71,20 +71,24 @@ def write_parquet(df: DataFrame, path: str,
 
 def write_excel(df: DataFrame, path: str) -> int:
     """Driver-side Excel export (edge concern).  Strips control chars the
-    way the reference does; refuses silently huge exports."""
+    way the reference does; refuses silently huge exports.  Uses pandas'
+    openpyxl engine when available, else the bundled dependency-free
+    OOXML writer (olap_xtrctr_spark.xlsx) — same file either way."""
     n = df.count()
     if n > LARGE_RESULT_THRESHOLD:
         raise ValueError(
             f"{n:,} rows exceeds Excel export guard "
             f"({LARGE_RESULT_THRESHOLD:,}); use CSV/Parquet")
+    clean = strip_control_chars(sanitize(df))
     try:
         import openpyxl  # noqa: F401 — pandas' xlsx engine
-    except ImportError as exc:
-        raise NotImplementedError(
-            "Excel export needs openpyxl (not in this environment); "
-            "use write_csv/write_parquet") from exc
-    pdf = strip_control_chars(sanitize(df)).toPandas()
-    pdf.to_excel(path, index=False)
+    except ImportError:
+        from .xlsx import write_xlsx
+        write_xlsx(path, clean.columns,
+                   ([row[c] for c in clean.columns]
+                    for row in clean.collect()))
+        return n
+    clean.toPandas().to_excel(path, index=False)
     return n
 
 

@@ -121,6 +121,33 @@ def test_excel_guard(spark, tmp_path, monkeypatch):
         sinks.write_excel(spark.range(100), str(tmp_path / "x.xlsx"))
 
 
+def test_excel_export_roundtrip(spark, tmp_path):
+    """write_excel works WITHOUT openpyxl (bundled OOXML writer) and the
+    file parses back with a structure-level read (zip + XML)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from pyspark.sql import functions as F
+    df = spark.range(5).select(
+        F.col("id"),
+        F.concat(F.lit("n\x01am\x1fe-"), F.col("id").cast("string"))
+         .alias("name"),                       # control chars must strip
+        (F.col("id") * 1.5).alias("score"))
+    path = str(tmp_path / "out.xlsx")
+    assert write_excel(df, path) == 5
+
+    with zipfile.ZipFile(path) as zf:
+        assert "xl/worksheets/sheet1.xml" in zf.namelist()
+        sheet = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    rows = sheet.findall(f"{ns}sheetData/{ns}row")
+    assert len(rows) == 6                      # header + 5 data rows
+    texts = [t.text for t in sheet.iter(f"{ns}t")]
+    assert "name-0" in texts and all("\x01" not in t for t in texts)
+    values = [v.text for v in sheet.iter(f"{ns}v")]
+    assert "1.5" in values                     # numeric cell kept native
+
+
 def test_validators():
     assert parse_range_list("1,3,5-8, 10") == [1, 3, 5, 6, 7, 8, 10]
     with pytest.raises(ValueError):
