@@ -8,7 +8,9 @@ and the only collects are bounded metadata (level maps).
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import re
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import naming
@@ -101,6 +103,45 @@ def search_members(members: DataFrame, term: str,
     out = members.filter(
         F.upper(F.col("MIEMBRO_CAPTION")).contains(term.upper())
         & (F.col("MIEMBRO_CAPTION") != "All"))
+    if dimension is not None:
+        out = out.filter(F.col("DIMENSION") == dimension)
+    return out.select("DIMENSION", "JERARQUIA", "NIVEL_NOMBRE",
+                      "MIEMBRO_CAPTION", "MIEMBRO_UNIQUE_NAME")
+
+
+_ACCENTS, _PLAIN = "áéíóúñü", "aeiounu"
+
+
+def _caption_tokens(col: Column) -> Column:
+    """lowercase + Spanish accent fold + alnum tokenization."""
+    return F.split(F.trim(F.lower(F.translate(col, _ACCENTS, _PLAIN))),
+                   "[^a-z0-9]+")
+
+
+def fulltext_search_members(members: DataFrame, query: str,
+                            dimension: str | None = None) -> DataFrame:
+    """N17 tokenized full-text search: the reference keeps a Spanish
+    `to_tsvector` GIN index over captions
+    (database/migrations/001_initial_schema.sql:87-88,128-129); the
+    DataFrame analogue tokenizes the caption (lowercase, accent-folded,
+    alnum tokens) and requires EVERY query term to appear as a token —
+    `'a & b'` to_tsquery AND semantics, order-independent, unlike the
+    substring `contains` baseline (N8).  Spanish stemming is out of
+    scope (documented simplification)."""
+    terms = [t for t in
+             re.split(r"[^a-z0-9]+",
+                      query.lower().translate(str.maketrans(_ACCENTS,
+                                                            _PLAIN)))
+             if t]
+    if not terms:
+        return members.filter(F.lit(False)).select(
+            "DIMENSION", "JERARQUIA", "NIVEL_NOMBRE",
+            "MIEMBRO_CAPTION", "MIEMBRO_UNIQUE_NAME")
+    toks = _caption_tokens(F.col("MIEMBRO_CAPTION"))
+    cond = F.col("MIEMBRO_CAPTION") != "All"
+    for t in terms:
+        cond = cond & F.array_contains(toks, t)
+    out = members.filter(cond)
     if dimension is not None:
         out = out.filter(F.col("DIMENSION") == dimension)
     return out.select("DIMENSION", "JERARQUIA", "NIVEL_NOMBRE",

@@ -488,6 +488,21 @@ def build_workload() -> dict[str, QuerySpec]:
           AND MIEMBRO_CAPTION <> 'All'
           AND DIMENSION = 'Dim Customer'""")
 
+    # N17 tokenized full-text search: multi-term AND, order-independent
+    # ("east middle" finds UNITED STATES; substring contains cannot)
+    add("members_fulltext_search",
+        lambda spark, sf: M.fulltext_search_members(
+            _members(spark, sf), "east middle"),
+        _MEMBERS_CTE + """
+        SELECT DIMENSION, JERARQUIA, NIVEL_NOMBRE,
+               MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME
+        FROM members
+        WHERE MIEMBRO_CAPTION <> 'All'
+          AND list_has_all(
+                regexp_split_to_array(trim(lower(translate(
+                  MIEMBRO_CAPTION, 'áéíóúñü', 'aeiounu'))), '[^a-z0-9]+'),
+                ['east', 'middle'])""")
+
     add("members_children_exact",
         lambda spark, sf: M.children_of(
             _members(spark, sf),

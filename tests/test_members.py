@@ -77,6 +77,21 @@ def test_search_case_insensitive(mdf):
     assert any(r["MIEMBRO_CAPTION"] == "EUROPE" for r in hits)
 
 
+def test_fulltext_search_tokenized(mdf):
+    """N17: every term must match a token — order-independent AND,
+    which the substring baseline cannot do; accents fold."""
+    caps = {r["MIEMBRO_CAPTION"]
+            for r in M.fulltext_search_members(mdf, "east middle").collect()}
+    assert caps == {"MIDDLE EAST"}
+    # substring baseline misses the reversed-order query entirely
+    assert not M.search_members(mdf, "east middle").collect()
+    # single term still works, accent-folded query matches plain caption
+    assert {r["MIEMBRO_CAPTION"] for r in
+            M.fulltext_search_members(mdf, "éast").collect()} \
+        == {"MIDDLE EAST"}
+    assert M.fulltext_search_members(mdf, "  ").collect() == []
+
+
 def test_members_disk_cache_roundtrip(spark, sf_dir):
     """X5: the parquet spill serves identical rows on a cold process."""
     from olap_xtrctr_spark import metadata
