@@ -38,6 +38,19 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                  F.count(F.lit(1)).alias("n_events")))
 
 
+def top_hours_per_type(events: DataFrame, k: int = 3) -> DataFrame:
+    """Busiest k hours per event type: windowed rank over the hourly
+    rollup (row_number, ties broken by hour for determinism).  The rank
+    window partitions by event_type, so it shuffles only the already-
+    aggregated hourly table, never raw events."""
+    hourly = hourly_rollup(events)
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"),
+                                                 F.asc("hour"))
+    return (hourly.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("event_type", "rank", "hour", "n_events"))
+
+
 def user_activity(events: DataFrame) -> DataFrame:
     """Per-user daily activity profile."""
     return (events.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))

@@ -428,6 +428,146 @@ def build_workload() -> dict[str, QuerySpec]:
         WHERE l_shipdate >= TIMESTAMP '1997-06-01'
           AND l_shipdate <  TIMESTAMP '1997-07-01'""")
 
+    def tpch_q4(spark, sf):
+        # EXISTS → left_semi join: no row multiplication, the join only
+        # probes — at scale this is the cheapest correlated-subquery shape
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders")
+        returned = li.filter(F.col("l_returnflag") == "R") \
+                     .select("l_orderkey")
+        return (o.filter((F.col("o_orderdate") >= "1996-07-01")
+                         & (F.col("o_orderdate") < "1996-10-01"))
+                 .join(returned, F.col("o_orderkey") == F.col("l_orderkey"),
+                       "left_semi")
+                 .groupBy("o_orderpriority")
+                 .agg(F.count(F.lit(1)).alias("order_count")))
+
+    add("tpch_q4_order_priority", tpch_q4,
+        """SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate <  TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_returnflag = 'R')
+        GROUP BY o_orderpriority""")
+
+    def tpch_q13(spark, sf):
+        # left outer join + two-level aggregation (count distribution);
+        # customers with zero orders must appear with c_count = 0
+        o = load_table(spark, sf, "orders") \
+            .filter(F.col("o_orderpriority") != "1-URGENT") \
+            .select("o_orderkey", "o_custkey")
+        c = load_table(spark, sf, "customer").select("c_custkey")
+        per_cust = (c.join(o, F.col("c_custkey") == F.col("o_custkey"),
+                           "left")
+                    .groupBy("c_custkey")
+                    .agg(F.count("o_orderkey").alias("c_count")))
+        return (per_cust.groupBy("c_count")
+                .agg(F.count(F.lit(1)).alias("custdist")))
+
+    add("tpch_q13_customer_distribution", tpch_q13,
+        """SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey
+               AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+        GROUP BY c_count""")
+
+    def tpch_q16(spark, sf):
+        # anti join (NOT IN supplier complaints) + distinct-count per group
+        p = load_table(spark, sf, "part")
+        ps = load_table(spark, sf, "supplier") \
+            .filter(F.col("s_acctbal") < 0).select("s_suppkey")
+        li = load_table(spark, sf, "lineitem") \
+            .select("l_partkey", "l_suppkey").dropDuplicates()
+        return (li.join(F.broadcast(ps),
+                        F.col("l_suppkey") == F.col("s_suppkey"),
+                        "left_anti")
+                .join(p.filter(F.col("p_type") != "PROMO"),
+                      F.col("l_partkey") == F.col("p_partkey"))
+                .groupBy("p_brand", "p_type")
+                .agg(F.count_distinct("l_suppkey").alias("supplier_cnt")))
+
+    add("tpch_q16_parts_supplier", tpch_q16,
+        """SELECT p_brand, p_type,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_type <> 'PROMO'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type""")
+
+    def tpch_q19(spark, sf):
+        # disjunction of conjunctive band predicates: Catalyst extracts
+        # the common l_partkey equi-key and pushes the residual OR below
+        # the join — the classic pushdown stress test
+        li = load_table(spark, sf, "lineitem")
+        p = load_table(spark, sf, "part")
+        j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        band = (
+            ((F.col("p_brand") == "Brand#12") & (F.col("l_quantity") >= 1)
+             & (F.col("l_quantity") <= 30) & (F.col("p_size") <= 10))
+            | ((F.col("p_brand") == "Brand#23") & (F.col("l_quantity") >= 5)
+               & (F.col("l_quantity") <= 35) & (F.col("p_size") <= 20))
+            | ((F.col("p_brand") == "Brand#34") & (F.col("l_quantity") >= 10)
+               & (F.col("l_quantity") <= 40) & (F.col("p_size") <= 30)))
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+            .cast("decimal(18,4)")
+        return j.filter(band).agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"))
+
+    add("tpch_q19_discounted_revenue", tpch_q19,
+        f"""SELECT {SUM_D('l_extendedprice * (1 - l_discount)')} AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 30
+               AND p_size <= 10)
+           OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 5 AND 35
+               AND p_size <= 20)
+           OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 10 AND 40
+               AND p_size <= 30)""")
+
+    def tpch_q22(spark, sf):
+        # global-aggregate broadcast + anti join: customers above the
+        # average balance with no orders
+        c = load_table(spark, sf, "customer")
+        # anti-join against URGENT orders (this generator gives every
+        # customer at least one order, so the plain form selects nothing)
+        o = (load_table(spark, sf, "orders")
+             .filter(F.col("o_orderpriority") == "1-URGENT")
+             .select("o_custkey"))
+        # avg comparison as an exact-decimal cross-multiply (bal * n >
+        # total) — a float avg threshold could flip rows near the
+        # boundary differently per engine
+        dec_bal = F.col("c_acctbal").cast("decimal(18,4)")
+        agg = (c.filter(F.col("c_acctbal") > 0)
+               .agg(F.sum(dec_bal).alias("tot_bal"),
+                    F.count(F.lit(1)).alias("n_pos")))
+        return (c.crossJoin(F.broadcast(agg))
+                 .filter(dec_bal * F.col("n_pos") > F.col("tot_bal"))
+                 .join(o, F.col("c_custkey") == F.col("o_custkey"),
+                       "left_anti")
+                 .groupBy("c_mktsegment")
+                 .agg(F.count(F.lit(1)).alias("numcust"),
+                      F.sum(dec_bal).cast("double").alias("totacctbal")))
+
+    add("tpch_q22_global_sales_opportunity", tpch_q22,
+        f"""SELECT c_mktsegment, COUNT(*) AS numcust,
+               {SUM_D('c_acctbal')} AS totacctbal
+        FROM customer
+        WHERE CAST(c_acctbal AS DECIMAL(18,4))
+              * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+              > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+                 FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment""")
+
     def tpch_q18(spark, sf):
         li = load_table(spark, sf, "lineitem")
         o = load_table(spark, sf, "orders")
@@ -968,6 +1108,20 @@ def build_workload() -> dict[str, QuerySpec]:
         FROM flagged
         GROUP BY user_id""")
 
+    def stream_user_totals(spark, sf):
+        from .streaming.stateful import replay_user_totals
+        return replay_user_totals(spark, sf, _events_schema(spark, sf))
+
+    # custom stateful operator (applyInPandasWithState): per-user running
+    # totals in explicit GroupState; integer-milli accumulation makes the
+    # bounded replay exactly equal a batch SQL aggregate
+    add("events_stream_user_totals", stream_user_totals,
+        """SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 1000) AS BIGINT))
+                    AS BIGINT) AS sum_value_milli
+        FROM events
+        GROUP BY user_id""")
+
     def skew_distinct(spark, sf):
         from .operators.skew import count_distinct_skew_safe
         return count_distinct_skew_safe(_events(spark, sf), ["event_type"],
@@ -979,6 +1133,19 @@ def build_workload() -> dict[str, QuerySpec]:
         """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         FROM events
         GROUP BY event_type""")
+
+    add("events_top_hours_per_type",
+        lambda spark, sf: EV.top_hours_per_type(_events(spark, sf), k=3),
+        """WITH h AS (
+          SELECT date_trunc('hour', ts) AS hour, event_type,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2)
+        SELECT event_type,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY n_events DESC, hour) AS INTEGER) AS rank,
+               hour, n_events
+        FROM h
+        QUALIFY rank <= 3""")
 
     add("events_user_activity",
         lambda spark, sf: EV.user_activity(_events(spark, sf)),

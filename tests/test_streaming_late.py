@@ -53,3 +53,19 @@ def test_watermark_drops_late_event(spark, tmp_path):
     # hour-0 window finalized with ONLY the on-time event; the 00:30
     # straggler was dropped, and no duplicate emission occurred
     assert counts == {t(0, 0): 1}
+
+
+def test_stateful_user_totals_replay_equals_batch(spark, sf_dir):
+    """applyInPandasWithState running totals: the bounded replay's final
+    per-user state must exactly equal the batch aggregate (integer-milli
+    accumulation — no float drift across partitionings)."""
+    from olap_xtrctr_spark.session import events_schema, load_events
+    from olap_xtrctr_spark.streaming.stateful import (batch_user_totals,
+                                                      replay_user_totals)
+    streamed = {(r["user_id"], r["n_events"], r["sum_value_milli"])
+                for r in replay_user_totals(
+                    spark, sf_dir, events_schema(spark, sf_dir)).collect()}
+    batch = {(r["user_id"], r["n_events"], r["sum_value_milli"])
+             for r in batch_user_totals(
+                 load_events(spark, sf_dir)).collect()}
+    assert streamed == batch and len(batch) > 0
