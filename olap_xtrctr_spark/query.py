@@ -198,12 +198,20 @@ class CubeQueryEngine:
     # ---- cardinality guard (N18) ------------------------------------------
 
     def level_cardinality(self, cube: CubeDef, dim: Dimension, lv: Level) -> int:
+        # Count members on the ENUMERATION view (members_view), never the
+        # fact-bridge view: SSAS level cardinality is the number of members
+        # (they exist without fact rows), and the slim dimension scan is
+        # orders of magnitude cheaper than distinct-counting the bridge
+        # join — this runs as a guard BEFORE every cube query, so its cost
+        # is pure overhead on the query path.
         key = (cube.name, dim.name, dim.view or "", lv.name)
         if key not in self._card_cache:
             if dim.view is None:
+                # degenerate dim: the derived level col prunes to its raw
+                # source col at the scan (Catalyst column pruning)
                 src = cube.fact(self.spark, self.sf_dir)
             else:
-                src = self._view(cube, dim.view)
+                src = self._view(cube, dim.members_view or dim.view)
             self._card_cache[key] = (
                 src.select(lv.key_col).distinct().count())
         return self._card_cache[key]

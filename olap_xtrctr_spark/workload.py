@@ -49,8 +49,19 @@ class QuerySpec:
     sql: Optional[str]       # None → driver records rows-only check
 
 
+_ENG_CACHE: dict[tuple[int, str], CubeQueryEngine] = {}
+
+
 def _eng(spark: SparkSession, sf_dir: str) -> CubeQueryEngine:
-    return CubeQueryEngine(spark, default_registry(), sf_dir)
+    # One engine per (session, sf_dir): the engine's view/cardinality
+    # caches are per-instance, and rebuilding it per query repays the
+    # cardinality-guard distinct count on every single cube query.
+    key = (id(spark), sf_dir)
+    eng = _ENG_CACHE.get(key)
+    if eng is None:
+        eng = _ENG_CACHE[key] = CubeQueryEngine(
+            spark, default_registry(), sf_dir)
+    return eng
 
 
 def _members(spark: SparkSession, sf_dir: str) -> DataFrame:
