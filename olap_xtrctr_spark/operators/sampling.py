@@ -1,0 +1,146 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Everything here is HASH-derived, not rand()-derived: a sample defined as
+a pure function of the row key is reproducible across runs, engines and
+partitionings, survives retries/speculative execution (a re-executed
+task picks the same rows), and needs no driver-side state.  rand(seed)
+has none of those properties on a real cluster (row order per partition
+is not stable across re-plans), which is why every decision below is
+``md5(id || salt)`` — the same expression a DuckDB/ANSI oracle can
+recompute exactly.
+
+Scale posture: all operators are single-pass narrow transforms (filter /
+projection) except ``uniform_sample_k`` (a distributed top-k: per-
+partition heap + driver merge of k rows, never a full sort) and
+``incremental_dedup`` (one shuffle on the fingerprint key, the minimum
+possible for cross-batch exact dedup).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 60 bits of md5 → uniform integer in [0, 2^60); modulo 10_000 gives a
+# per-key permille-of-ten bucket with negligible bias (2^60 % 10^4 ≈ 0).
+_BUCKETS = 10_000
+
+
+def _hash_bucket(id_col, salt: str):
+    """Deterministic uniform bucket in [0, 10000) from md5(id:salt).
+
+    15 hex chars = 60 bits, safely inside a signed 64-bit int on every
+    engine (the full 64-bit digest prefix would overflow DuckDB's BIGINT
+    cast at the sign bit).
+    """
+    h = F.md5(F.concat_ws(":", id_col.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % _BUCKETS
+
+
+def hash_bucket_sql(id_expr: str, salt: str) -> str:
+    """The DuckDB-side mirror of _hash_bucket (oracle building block)."""
+    return (f"TRY_CAST(concat('0x', substr(md5(concat(CAST({id_expr} AS "
+            f"VARCHAR), ':{salt}')), 1, 15)) AS BIGINT) % {_BUCKETS}")
+
+
+def hash_split(docs: DataFrame, weights: dict[str, float],
+               id_col: str = "doc_id",
+               salt: str = "split-v1") -> DataFrame:
+    """Train/val/test split as a pure function of the row key.
+
+    ``weights`` maps split name -> fraction (must sum to <= 1; remainder
+    rows land in the last split).  Returns the input plus a ``split``
+    column.  No shuffle: the decision is a projection.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"weights sum to {total} > 1")
+    bucket = _hash_bucket(F.col(id_col), salt)
+    expr = None
+    lo = 0
+    names = list(weights)
+    for name in names[:-1]:
+        lo += int(round(weights[name] * _BUCKETS))
+        cond = bucket < lo
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", expr)
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, float],
+                      strata_col: str = "lang", id_col: str = "doc_id",
+                      default_rate: float = 0.0,
+                      salt: str = "strat-v1") -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample (quality-weighted data
+    mixing: keep X% of each language / source / quality band).
+
+    Same contract as DataFrame.sampleBy but reproducible across engines
+    and partitionings; one filter, no shuffle.
+    """
+    bucket = _hash_bucket(F.col(id_col), salt)
+    thresh = None
+    for value, rate in rates.items():
+        t = F.lit(int(round(rate * _BUCKETS)))
+        thresh = F.when(F.col(strata_col) == value, t) if thresh is None \
+            else thresh.when(F.col(strata_col) == value, t)
+    thresh = thresh.otherwise(F.lit(int(round(default_rate * _BUCKETS)))) \
+        if thresh is not None else F.lit(int(round(default_rate * _BUCKETS)))
+    return docs.filter(bucket < thresh)
+
+
+def uniform_sample_k(docs: DataFrame, k: int,
+                     id_col: str = "doc_id",
+                     salt: str = "topk-v1") -> DataFrame:
+    """Exact-size-k uniform sample: the k smallest hash values.
+
+    The distributed analogue of reservoir sampling without driver state:
+    ordering by a uniform hash of the key is a random permutation, and
+    Spark executes ORDER BY+LIMIT as a per-partition top-k merge
+    (TakeOrderedAndProject), never a global sort of the corpus.
+    """
+    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    return (docs.withColumn("_h", h)
+            .orderBy("_h")
+            .limit(k)
+            .drop("_h"))
+
+
+def incremental_dedup(new_batch: DataFrame, seen: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Cross-batch exact dedup: rows of ``new_batch`` whose normalized
+    text fingerprint does not occur in ``seen`` (the already-ingested
+    corpus) and is unique within the new batch (deterministic keep-first
+    by id).
+
+    This is the streaming-ingest discipline at rest: one anti-join
+    shuffle on the fingerprint, so each new batch costs O(|batch| +
+    |seen|) I/O but only one shuffle of the (hash, id) projection — the
+    full seen-corpus text is never moved.
+    """
+    from .text import fingerprint
+
+    new_fp = new_batch.join(
+        fingerprint(new_batch, text_col).select(id_col, "fingerprint"),
+        on=id_col)
+    seen_fp = fingerprint(seen, text_col).select("fingerprint")
+    w_first = F.min(F.col(id_col)).over(Window.partitionBy("fingerprint"))
+    return (new_fp.join(seen_fp, on="fingerprint", how="left_anti")
+            .withColumn("_keep", w_first == F.col(id_col))
+            .filter(F.col("_keep"))
+            .drop("_keep", "fingerprint"))
+
+
+def length_histogram(docs: DataFrame, bucket_chars: int = 200,
+                     len_col: str = "n_chars") -> DataFrame:
+    """Corpus length profile: doc count and char mass per fixed-width
+    length bucket.  Map-side combinable single aggregation — the shape
+    survives any corpus size (output rows = max_len / bucket_chars).
+    """
+    b = (F.col(len_col) / bucket_chars).cast("bigint")
+    return (docs.groupBy((b * bucket_chars).alias("bucket_lo"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(len_col).alias("total_chars")))

@@ -26,6 +26,7 @@ from .oracle import members_cte, view_cte
 from .query import AxisItem, CubeQueryEngine, FilterSpec, QueryRequest
 from . import members as M
 from .operators import dedup as D
+from .operators import sampling as SM
 from .operators import similarity as S
 from .operators import text as TX
 from .streaming import events as EV
@@ -1310,6 +1311,72 @@ def build_workload() -> dict[str, QuerySpec]:
                md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
                    AS fingerprint
         FROM documents""")
+
+    # ---- deterministic sampling / splitting (training-data mixing) -------
+    # All hash-derived (md5(id:salt)), so the DuckDB oracle recomputes the
+    # exact same sample — reproducibility across engines IS the oracle.
+    _BUCKET = SM.hash_bucket_sql("doc_id", "split-v1")
+
+    add("docs_hash_split",
+        lambda spark, sf: SM.hash_split(
+            _docs(spark, sf), {"train": 0.8, "val": 0.1, "test": 0.1})
+        .select("doc_id", "split"),
+        f"""SELECT doc_id,
+               CASE WHEN {_BUCKET} < 8000 THEN 'train'
+                    WHEN {_BUCKET} < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents""")
+
+    _SBUCKET = SM.hash_bucket_sql("doc_id", "strat-v1")
+
+    add("docs_stratified_sample",
+        lambda spark, sf: SM.stratified_sample(
+            _docs(spark, sf), {"en": 0.5, "es": 0.25}, default_rate=0.1)
+        .select("doc_id", "lang"),
+        f"""SELECT doc_id, lang
+        FROM documents
+        WHERE {_SBUCKET} < CASE lang WHEN 'en' THEN 5000
+                                     WHEN 'es' THEN 2500
+                                     ELSE 1000 END""")
+
+    add("docs_uniform_sample_k",
+        lambda spark, sf: SM.uniform_sample_k(_docs(spark, sf), 100)
+        .select("doc_id", "lang"),
+        """SELECT doc_id, lang
+        FROM documents
+        ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':topk-v1'))
+        LIMIT 100""")
+
+    def incr_dedup(spark, sf):
+        docs = _docs(spark, sf)
+        from .operators.sampling import _hash_bucket
+        b = _hash_bucket(F.col("doc_id"), "batch-v1")
+        seen = docs.filter(b % 2 == 0)
+        new = docs.filter(b % 2 == 1)
+        return SM.incremental_dedup(new, seen).select("doc_id", "lang")
+
+    _BB = SM.hash_bucket_sql("doc_id", "batch-v1")
+
+    add("docs_incremental_dedup", incr_dedup,
+        f"""WITH fp AS (
+          SELECT doc_id, lang, {_BB} % 2 AS batch,
+                 md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                   AS fingerprint
+          FROM documents)
+        SELECT doc_id, lang FROM fp
+        WHERE batch = 1
+          AND fingerprint NOT IN (SELECT fingerprint FROM fp
+                                  WHERE batch = 0)
+          AND doc_id = (SELECT MIN(doc_id) FROM fp f2
+                        WHERE f2.batch = 1
+                          AND f2.fingerprint = fp.fingerprint)""")
+
+    add("docs_length_histogram",
+        lambda spark, sf: SM.length_histogram(_docs(spark, sf)),
+        """SELECT CAST(n_chars // 200 AS BIGINT) * 200 AS bucket_lo,
+               COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        FROM documents
+        GROUP BY 1""")
 
     add("docs_exact_dup_groups",
         lambda spark, sf: D.exact_dup_groups(_docs(spark, sf)),

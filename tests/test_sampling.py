@@ -1,0 +1,106 @@
+"""Deterministic sampling/splitting operators (operators/sampling.py).
+
+The load-bearing property of every operator here is key-determinism:
+re-running, re-partitioning, or re-ordering the input must select the
+SAME rows — that's what makes a training-data sample reproducible on a
+cluster with retries and speculative execution.
+"""
+import pytest
+from pyspark.sql import functions as F
+
+from olap_xtrctr_spark.operators import sampling as SM
+from olap_xtrctr_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_hash_split_partitions_and_fractions(spark, docs):
+    out = SM.hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == n          # exhaustive, no row dropped
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+    # determinism across partitionings: same assignment after repartition
+    again = {(r["doc_id"], r["split"]) for r in
+             SM.hash_split(docs.repartition(7), {"train": 0.8, "val": 0.1,
+                                                 "test": 0.1})
+             .select("doc_id", "split").collect()}
+    first = {(r["doc_id"], r["split"]) for r in
+             out.select("doc_id", "split").collect()}
+    assert first == again
+
+
+def test_hash_split_rejects_bad_weights(docs):
+    with pytest.raises(ValueError):
+        SM.hash_split(docs, {})
+    with pytest.raises(ValueError):
+        SM.hash_split(docs, {"a": 0.9, "b": 0.3})
+
+
+def test_stratified_sample_rates_and_determinism(spark, docs):
+    out = SM.stratified_sample(docs, {"en": 1.0, "es": 0.0},
+                               default_rate=0.0)
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}                    # rate-1 stratum kept whole
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert out.count() == n_en
+    half = SM.stratified_sample(docs, {"en": 0.5}, default_rate=0.0)
+    # hash buckets are uniform: expect ~half, generous tolerance
+    assert 0.3 * n_en < half.count() < 0.7 * n_en
+    assert {r["doc_id"] for r in half.select("doc_id").collect()} == \
+        {r["doc_id"] for r in
+         SM.stratified_sample(docs.repartition(5), {"en": 0.5},
+                              default_rate=0.0)
+         .select("doc_id").collect()}
+
+
+def test_uniform_sample_k_exact_size_and_stable(spark, docs):
+    a = {r["doc_id"] for r in SM.uniform_sample_k(docs, 50).collect()}
+    b = {r["doc_id"] for r in
+         SM.uniform_sample_k(docs.repartition(9), 50).collect()}
+    assert len(a) == 50 and a == b
+
+
+def test_uniform_sample_k_is_topk_not_global_sort(spark, docs):
+    plan = SM.uniform_sample_k(docs, 10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan    # per-partition heap + merge
+    assert "Sort " not in plan                # no full sort of the corpus
+
+
+def test_incremental_dedup_removes_cross_and_intra_batch_dups(spark, docs):
+    # seen = even doc_ids; new = odd doc_ids PLUS a copy of one seen doc's
+    # text under a fresh id (cross-batch dup) and a repeated odd text
+    # (intra-batch dup) — neither may survive
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    seen_row = seen.select("doc_id", "text", "lang", "source",
+                           "n_chars").first()
+    odd_row = odd.select("doc_id", "text", "lang", "source",
+                         "n_chars").first()
+    spark_ = docs.sparkSession
+    extra = spark_.createDataFrame(
+        [(10_000_001, seen_row["text"], seen_row["lang"],
+          seen_row["source"], seen_row["n_chars"]),
+         (10_000_002, odd_row["text"], odd_row["lang"],
+          odd_row["source"], odd_row["n_chars"])],
+        schema=docs.schema)
+    new = odd.unionByName(extra)
+    kept = {r["doc_id"] for r in
+            SM.incremental_dedup(new, seen).select("doc_id").collect()}
+    assert 10_000_001 not in kept             # cross-batch dup dropped
+    assert 10_000_002 not in kept             # intra-batch dup: keep-first
+    assert odd_row["doc_id"] in kept          # the original survives
+
+
+def test_length_histogram_totals(spark, docs):
+    hist = SM.length_histogram(docs, bucket_chars=100).collect()
+    assert sum(r["n_docs"] for r in hist) == docs.count()
+    total = docs.agg(F.sum("n_chars")).first()[0]
+    assert sum(r["total_chars"] for r in hist) == total
