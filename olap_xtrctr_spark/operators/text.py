@@ -6,7 +6,7 @@ scale linearly with partitions.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PUNCT_CLASS = "[.,;:!?]"
@@ -109,3 +109,54 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.md5(F.encode(norm, "UTF-8")).alias("fingerprint"),
     )
+
+
+# ---- PII redaction ---------------------------------------------------------
+
+# Conservative, auditable patterns (the point at corpus scale is a cheap
+# JVM-side first pass that removes the bulk of obvious identifiers before
+# any expensive model-based scrubbing):
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace email/phone/IPv4 literals with ``[TYPE]`` tokens and count
+    the hits per type.  Chained regexp_replace/regexp_count — all JVM
+    builtins inside whole-stage codegen, a narrow single-pass transform
+    (the shape a 100 TB scrub needs: no shuffle, no Python)."""
+    t = F.col(text_col)
+    out = docs
+    red = t
+    for name, pat in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(t, F.lit(pat)))
+        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+    return out.withColumn("text_redacted", red)
+
+
+# ---- sequence packing ------------------------------------------------------
+
+def pack_sequences(docs: DataFrame, window_tokens: int = 2048,
+                   text_col: str = "text",
+                   order_col: str = "doc_id") -> DataFrame:
+    """Assign each document a training-sequence bin by SEQUENTIAL packing:
+    documents in deterministic ``order_col`` order are concatenated and
+    cut every ``window_tokens`` whitespace tokens (the standard pretrain
+    packing discipline — greedy bin-packing is NP-ish and order-dependent;
+    sequential packing is what large pipelines actually run).
+
+    bin = floor(cumulative_tokens_before_doc / window_tokens): one global
+    running sum.  At 100 TB the global window is the scale constraint —
+    compute per-shard bins instead by adding the shard key to the window
+    partition (callers pass a pre-bucketed corpus); the math is identical.
+    """
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(n_tok).over(w) - n_tok        # tokens BEFORE this doc
+    return docs.select(
+        order_col, n_tok.alias("n_tokens"),
+        (cum / window_tokens).cast("bigint").alias("pack_bin"))

@@ -162,3 +162,33 @@ def replay_hourly_rollup(spark: SparkSession, source_dir: str,
     q = run_stream_to_memory(spark, sdf, "events_stream_hourly")
     q.awaitTermination()
     return spark.table("events_stream_hourly")
+
+
+def streaming_dedup_counts(spark: SparkSession, source_dir: str, schema,
+                           glob: str | None = None) -> DataFrame:
+    """Exactly-once ingestion over an at-least-once source: the stream is
+    unioned with itself (simulating redelivery), deduplicated on the
+    event key, then counted per type.  dropDuplicates state is
+    partitioned by the key, the same scale shape as any streaming agg;
+    production callers add a watermark so old keys age out of state
+    (bounded replay here has no late data to bound).
+    """
+    from ..session import ensure_nanos_conf
+    ensure_nanos_conf(spark)
+    reader = spark.readStream.schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    stream = reader.parquet(source_dir)
+    doubled = stream.union(stream)            # simulated redelivery
+    return (doubled.dropDuplicates(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+def replay_dedup_counts(spark: SparkSession, source_dir: str, schema,
+                        glob: str = "events.parquet") -> DataFrame:
+    sdf = streaming_dedup_counts(spark, source_dir, schema, glob=glob)
+    q = run_stream_to_memory(spark, sdf, "events_stream_dedup",
+                             output_mode="complete")
+    q.awaitTermination()
+    return spark.table("events_stream_dedup")

@@ -1312,6 +1312,38 @@ def build_workload() -> dict[str, QuerySpec]:
                    AS fingerprint
         FROM documents""")
 
+    add("docs_redact_pii",
+        lambda spark, sf: TX.redact_pii(_docs(spark, sf))
+        .select("doc_id", "n_email", "n_phone", "n_ipv4",
+                F.sha2(F.encode("text_redacted", "UTF-8"), 256)
+                .alias("redacted_sha")),
+        r"""SELECT doc_id,
+               CAST(length(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 AS INTEGER) AS n_email,
+               CAST(length(regexp_extract_all(text,
+                 '\+?\d[\d\s().-]{7,}\d')) AS INTEGER) AS n_phone,
+               CAST(length(regexp_extract_all(text,
+                 '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INTEGER) AS n_ipv4,
+               sha256(regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g'),
+                 '\+?\d[\d\s().-]{7,}\d', '[PHONE]', 'g'),
+                 '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g'))
+                 AS redacted_sha
+        FROM documents""")
+
+    add("docs_pack_sequences",
+        lambda spark, sf: TX.pack_sequences(_docs(spark, sf), 2048),
+        """SELECT doc_id,
+               CAST(length(regexp_split_to_array(trim(text), '\\s+'))
+                    AS INTEGER) AS n_tokens,
+               CAST(FLOOR((SUM(length(regexp_split_to_array(trim(text),
+                        '\\s+'))) OVER (ORDER BY doc_id)
+                    - length(regexp_split_to_array(trim(text), '\\s+')))
+                    / 2048) AS BIGINT) AS pack_bin
+        FROM documents""")
+
     # ---- deterministic sampling / splitting (training-data mixing) -------
     # All hash-derived (md5(id:salt)), so the DuckDB oracle recomputes the
     # exact same sample — reproducibility across engines IS the oracle.
@@ -1668,6 +1700,16 @@ def build_workload() -> dict[str, QuerySpec]:
                     AS BIGINT) AS sum_value_milli
         FROM events
         GROUP BY user_id""")
+
+    def stream_dedup(spark, sf):
+        return EV.replay_dedup_counts(spark, sf, _events_schema(spark, sf))
+
+    # streaming exactly-once ingestion: the self-unioned (redelivered)
+    # stream deduped on event_id must count exactly the batch distinct
+    add("events_stream_dedup", stream_dedup,
+        """SELECT event_type, COUNT(DISTINCT event_id) AS n_events
+        FROM events
+        GROUP BY event_type""")
 
     def skew_distinct(spark, sf):
         from .operators.skew import count_distinct_skew_safe

@@ -236,3 +236,41 @@ def test_near_dup_clusters_components(spark):
     out = {r["doc_id"]: r["cluster"]
            for r in near_dup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail me at bob@example.com or call +1 (555) 123-4567 now"),
+         (2, "server at 10.0.0.1 responded"),
+         (3, "clean text, nothing to scrub")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.redact_pii(docs).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "[EMAIL]" in out[1]["text_redacted"]
+    assert "bob@example.com" not in out[1]["text_redacted"]
+    assert "[PHONE]" in out[1]["text_redacted"]
+    assert out[2]["n_ipv4"] == 1 and "[IPV4]" in out[2]["text_redacted"]
+    assert out[3]["text_redacted"] == "clean text, nothing to scrub"
+
+
+def test_pack_sequences_sequential_bins(spark):
+    # 5 docs x 3 tokens, window 7: cumulative-before = 0,3,6,9,12
+    # -> bins 0,0,0,1,1
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(1, 6)], "doc_id long, text string")
+    out = {r["doc_id"]: r["pack_bin"]
+           for r in TX.pack_sequences(docs, window_tokens=7).collect()}
+    assert out == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1}
+
+
+def test_streaming_dedup_replay_equals_batch_distinct(spark, sf_dir):
+    from olap_xtrctr_spark.session import events_schema, load_events
+    streamed = {(r["event_type"], r["n_events"])
+                for r in EV.replay_dedup_counts(
+                    spark, sf_dir, events_schema(spark, sf_dir)).collect()}
+    batch = {(r["event_type"], r["n_events"]) for r in
+             load_events(spark, sf_dir)
+             .groupBy("event_type")
+             .agg(F.count_distinct("event_id").alias("n_events"))
+             .collect()}
+    assert streamed == batch and len(batch) > 0
