@@ -29,13 +29,18 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
     "tpch_q18_large_orders",
+    "tpch_q21_waiting_orders",
     "members_nation_list",
     "members_level_cardinalities",
     "members_full_view",
     "docs_ngram_jaccard_pairs",
     "docs_minhash_lsh_pairs",
     "docs_quality_score",
+    "docs_hash_split",
+    "docs_incremental_dedup",
+    "docs_pack_sequences",
     "emb_cosine_topk",
     "emb_near_dup_pairs",
     "multimodal_features",
@@ -43,6 +48,7 @@ HEADLINE = [
     "events_hourly_rollup",
     "events_stream_hourly",
     "events_stream_sessionize",
+    "events_stream_dedup",
 ]
 
 
