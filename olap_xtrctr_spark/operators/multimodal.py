@@ -89,3 +89,76 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
              {"w": str(64 + i % 4), "h": str(64)})
             for i in range(n)]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("target_w", T.IntegerType()),
+    T.StructField("target_h", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("digest", T.StringType()),
+])
+
+
+def resize_images(media: DataFrame, w: int = 64, h: int = 64) -> DataFrame:
+    """Resize pass over image payloads (audio/video rows pass through a
+    kind filter upstream).  The codec is stubbed: the "resized" payload
+    is a deterministic digest chain over (payload_hex, WxH) — an
+    external oracle can recompute it — but the distributed shape is the
+    real one: narrow mapInPandas, binary in → binary out, partitioning
+    preserved, no shuffle.  Swap the body for PIL's resize and nothing
+    else changes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hexes = pdf["payload"].map(bytes.hex)
+            digests = hexes.map(
+                lambda x: hashlib.sha256(
+                    f"{x}:{w}x{h}".encode("ascii")).hexdigest())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "target_w": w,
+                "target_h": h,
+                "payload": digests.map(bytes.fromhex),
+                "digest": digests,
+            })
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_digest", T.StringType()),
+])
+
+
+def sample_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame sampling for video payloads: each video row fans out to
+    ceil(n_frames/stride) frame rows — the 1→N row-explosion shape real
+    frame extraction has (each output row would carry the decoded frame;
+    here a deterministic per-frame digest stands in for the pixels).
+    Fake frame count = 1 + n_bytes % 5 so fixtures exercise ragged
+    fan-out.  mapInPandas keeps it narrow: the fan-out happens inside
+    the Arrow batch, no shuffle, no driver involvement."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vids = pdf[pdf["kind"] == "video"]
+            ids, idxs, digs = [], [], []
+            for mid, payload in zip(vids["media_id"], vids["payload"]):
+                d = _digest(payload)
+                n_frames = 1 + len(payload) % 5
+                for i in range(0, n_frames, stride):
+                    ids.append(mid)
+                    idxs.append(i)
+                    digs.append(hashlib.sha256(
+                        f"{d}:{i}".encode("ascii")).hexdigest())
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "frame_idx": pd.Series(idxs, dtype="int32"),
+                                "frame_digest": pd.Series(digs,
+                                                          dtype="object")})
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)

@@ -274,3 +274,35 @@ def test_streaming_dedup_replay_equals_batch_distinct(spark, sf_dir):
              .agg(F.count_distinct("event_id").alias("n_events"))
              .collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_multimodal_resize_shape_and_determinism(spark):
+    from olap_xtrctr_spark.operators.multimodal import (resize_images,
+                                                        synthetic_media)
+    media = synthetic_media(spark, 32).filter(F.col("kind") == "image")
+    out = resize_images(media, 32, 16)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == media.count()         # 1:1, no fan-out
+    again = {r["media_id"]: r["digest"]
+             for r in resize_images(media.repartition(5), 32, 16).collect()}
+    assert {k: v["digest"] for k, v in rows.items()} == again
+    assert all(r["target_w"] == 32 and r["target_h"] == 16
+               for r in rows.values())
+    assert all(len(r["payload"]) == 32 for r in rows.values())
+
+
+def test_multimodal_sample_frames_fanout(spark):
+    from olap_xtrctr_spark.operators.multimodal import (sample_frames,
+                                                        synthetic_media)
+    media = synthetic_media(spark, 30)
+    out = sample_frames(media, stride=2).collect()
+    vids = media.filter(F.col("kind") == "video") \
+        .select("media_id", "payload").collect()
+    # fake codec: n_frames = 1 + n_bytes % 5, sampled every 2
+    expect = {r["media_id"]: len(range(0, 1 + len(r["payload"]) % 5, 2))
+              for r in vids}
+    got = {}
+    for r in out:
+        got[r["media_id"]] = got.get(r["media_id"], 0) + 1
+    assert got == {k: v for k, v in expect.items() if v > 0}
+    assert all(r["frame_idx"] % 2 == 0 for r in out)
