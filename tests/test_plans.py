@@ -60,3 +60,43 @@ def test_docs_ops_stay_jvm_side(spark, sf_dir):
     for op in (TX.token_stats, TX.quality_score, TX.lang_id, TX.fingerprint):
         plan = _plan(op(docs))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tpch_new_shapes_plan_guards(spark, sf_dir):
+    """The distinguishing physical shapes of the round-2 TPC-H queries:
+    semi/anti joins stay semi/anti (no row-multiplying rewrite), the
+    correlated-avg stats side broadcasts, and date filters reach the
+    parquet scan."""
+    from olap_xtrctr_spark.workload import WORKLOAD
+    q4 = _plan(WORKLOAD["tpch_q4_order_priority"].fn(spark, sf_dir))
+    assert "LeftSemi" in q4                   # EXISTS stayed a semi join
+    q16 = _plan(WORKLOAD["tpch_q16_parts_supplier"].fn(spark, sf_dir))
+    assert "LeftAnti" in q16                  # NOT IN stayed an anti join
+    q17 = _plan(WORKLOAD["tpch_q17_small_quantity"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in q17         # per-part stats broadcast
+    q6 = _plan(WORKLOAD["tpch_q6_forecast_revenue"].fn(spark, sf_dir))
+    # (plan toString truncates long filter lists — match the prefix)
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipda",
+                     q6)                      # range predicate at the scan
+
+
+def test_tpch_q21_no_expand(spark, sf_dir):
+    """q21's per-(order,supplier) pre-aggregation must not regress to the
+    double-count_distinct Expand (2x row multiplication pre-shuffle)."""
+    from olap_xtrctr_spark.workload import WORKLOAD
+    plan = _plan(WORKLOAD["tpch_q21_waiting_orders"].fn(spark, sf_dir))
+    assert "Expand" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_sampling_ops_no_shuffle(spark, sf_dir):
+    """hash_split / stratified_sample are pure projections — an Exchange
+    in their plan means the determinism claim got more expensive than
+    advertised."""
+    from olap_xtrctr_spark.operators import sampling as SM
+    from olap_xtrctr_spark.session import load_table
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = SM.hash_split(docs, {"train": 0.9, "val": 0.1})
+    assert "Exchange" not in _plan(split)
+    strat = SM.stratified_sample(docs, {"en": 0.5}, default_rate=0.1)
+    assert "Exchange" not in _plan(strat)
