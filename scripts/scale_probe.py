@@ -31,9 +31,12 @@ KEYED = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
+    # key-shifted copies share TEXT: every replica is an exact dup of its
+    # original, so the dedup probes see realistic heavy duplication
+    "documents": ["doc_id"],
 }
 ASIS = ["region", "nation", "supplier", "part",
-        "documents", "embeddings", "events"]
+        "embeddings", "events"]
 
 PROBE_QUERIES = [
     "cube_nation_sales",
@@ -43,6 +46,12 @@ PROBE_QUERIES = [
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier",
     "tpch_q18_large_orders",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_orders",
+    "docs_hash_split",
+    "docs_pack_sequences",
+    "docs_incremental_dedup",
+    "docs_exact_dedup_keep",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
