@@ -98,13 +98,41 @@ def run_stream_to_memory(spark: SparkSession, streaming_df: DataFrame,
     windowed aggregation: append mode would hold every window whose end
     is past the watermark as open state and emit NOTHING for a
     single-batch replay (the watermark only advances between batches).
+
+    The stateful-shuffle width is pinned to the session's parallelism
+    for the replay: an external session's default (200) would run every
+    state-store stage 200-wide over a bounded replay — pure task-launch
+    overhead.  State partitioning is fixed at the first micro-batch, and
+    ``start()`` plans asynchronously, so the caller restores the conf
+    AFTER ``awaitTermination`` (see ``drain_stream_to_table``).  A real
+    continuous deployment sizes this to key cardinality instead.
     """
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(spark.sparkContext.defaultParallelism))
     return (streaming_df.writeStream
             .format("memory")
             .queryName(query_name)
             .outputMode(output_mode)
             .trigger(availableNow=True)
             .start())
+
+
+def drain_stream_to_table(spark: SparkSession, streaming_df: DataFrame,
+                          query_name: str,
+                          output_mode: str = "complete") -> DataFrame:
+    """Run a bounded availableNow replay to completion and return the
+    memory-sink table, restoring the caller's shuffle-partitions conf
+    once the drain is done."""
+    # effective value (falls back to the session default when unset), so
+    # the restore puts back exactly what queries saw before the replay
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        q = run_stream_to_memory(spark, streaming_df, query_name,
+                                 output_mode=output_mode)
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(query_name)
 
 
 def streaming_sessionize(spark: SparkSession, source_dir: str, schema,
@@ -148,9 +176,7 @@ def replay_sessionize(spark: SparkSession, source_dir: str, schema,
     """Bounded availableNow replay of the streaming sessionizer."""
     sdf = streaming_sessionize(spark, source_dir, schema, gap=gap, glob=glob,
                                second_resolution=second_resolution)
-    q = run_stream_to_memory(spark, sdf, "events_stream_sessions")
-    q.awaitTermination()
-    return spark.table("events_stream_sessions")
+    return drain_stream_to_table(spark, sdf, "events_stream_sessions")
 
 
 def replay_hourly_rollup(spark: SparkSession, source_dir: str,
@@ -159,9 +185,7 @@ def replay_hourly_rollup(spark: SparkSession, source_dir: str,
     watermarked tumbling-window rollup, availableNow replay into a memory
     sink; returns the final table (equals the batch ``hourly_rollup``)."""
     sdf = streaming_hourly_rollup(spark, source_dir, schema, glob=glob)
-    q = run_stream_to_memory(spark, sdf, "events_stream_hourly")
-    q.awaitTermination()
-    return spark.table("events_stream_hourly")
+    return drain_stream_to_table(spark, sdf, "events_stream_hourly")
 
 
 def streaming_dedup_counts(spark: SparkSession, source_dir: str, schema,
@@ -188,7 +212,4 @@ def streaming_dedup_counts(spark: SparkSession, source_dir: str, schema,
 def replay_dedup_counts(spark: SparkSession, source_dir: str, schema,
                         glob: str = "events.parquet") -> DataFrame:
     sdf = streaming_dedup_counts(spark, source_dir, schema, glob=glob)
-    q = run_stream_to_memory(spark, sdf, "events_stream_dedup",
-                             output_mode="complete")
-    q.awaitTermination()
-    return spark.table("events_stream_dedup")
+    return drain_stream_to_table(spark, sdf, "events_stream_dedup")

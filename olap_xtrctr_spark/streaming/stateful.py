@@ -68,12 +68,10 @@ def replay_user_totals(spark: SparkSession, source_dir: str, schema,
     """Bounded availableNow replay; the LAST update per user equals the
     batch aggregate (update-mode memory sink keeps every emission, so
     dedupe to the final state per key)."""
-    from .events import run_stream_to_memory
+    from .events import drain_stream_to_table
     sdf = streaming_user_totals(spark, source_dir, schema, glob=glob)
-    q = run_stream_to_memory(spark, sdf, "events_stream_user_totals",
-                             output_mode="update")
-    q.awaitTermination()
-    tbl = spark.table("events_stream_user_totals")
+    tbl = drain_stream_to_table(spark, sdf, "events_stream_user_totals",
+                                output_mode="update")
     # keep the most-advanced emission per user (n_events is monotone)
     from pyspark.sql import Window
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
