@@ -353,3 +353,73 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
             })
 
     return emb.select(id_col, vec_col).mapInPandas(batches, out_schema)
+
+
+# ---- train/test contamination --------------------------------------------
+
+def contamination_check(train: DataFrame, test: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3) -> DataFrame:
+    """Eval-leakage detector: for every TEST document, how much of its
+    n-gram shingle set also occurs anywhere in the TRAIN corpus.
+
+    Returns (doc_id, n_shingles, n_contaminated) — exact integers, so an
+    external oracle reproduces it bit-for-bit; callers derive the ratio.
+
+    Scale shape: the train side collapses to its DISTINCT shingle
+    vocabulary first (map-side combinable; output bounded by vocabulary
+    size, not corpus size), then one semi-join-shaped inner join on the
+    shingle key counts collisions.  The test corpus is typically tiny
+    next to train — the join shuffles vocab-vs-test-shingles, never
+    train text.  A left join keeps zero-contamination docs visible (no
+    silent absence).
+    """
+    test_sh = shingle_docs(test, text_col, id_col, n)
+    train_vocab = shingle_docs(train, text_col, id_col, n) \
+        .select("shingle").distinct()
+    hit = train_vocab.withColumn("_hit", F.lit(1))
+    return (test_sh.join(hit, on="shingle", how="left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                 .cast("bigint").alias("n_contaminated")))
+
+
+# ---- corpus mixing ---------------------------------------------------------
+
+def mix_corpus(docs: DataFrame, weights: dict[str, float],
+               token_budget: int, strata_col: str = "source",
+               id_col: str = "doc_id",
+               salt: str = "mix-v1") -> DataFrame:
+    """Budgeted domain mixing: sample each stratum at the rate that hits
+    ``token_budget * weight`` tokens from it (rate capped at 1 — an
+    under-resourced stratum contributes everything it has).
+
+    Rates are derived IN the plan (per-stratum token totals → broadcast
+    join → threshold compare), not on the driver, and the keep decision
+    is the same md5(id:salt) hash as operators/sampling.py — so the mix
+    is deterministic, engine-reproducible, and one aggregation + one
+    broadcast join regardless of corpus size.
+    """
+    from .sampling import _BUCKETS, _hash_bucket
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    totals = (docs.groupBy(strata_col)
+              .agg(F.sum(n_tok).alias("_stratum_tokens")))
+    w_expr = None
+    for value, w in weights.items():
+        w_expr = F.when(F.col(strata_col) == value, F.lit(float(w))) \
+            if w_expr is None else \
+            w_expr.when(F.col(strata_col) == value, F.lit(float(w)))
+    w_expr = w_expr.otherwise(F.lit(0.0)) if w_expr is not None \
+        else F.lit(0.0)
+    # rate in buckets-of-10000, exact integer arithmetic where possible:
+    # floor(budget * weight * 10000 / stratum_tokens), capped at 10000
+    rate_buckets = F.least(
+        F.lit(_BUCKETS),
+        F.floor(F.lit(float(token_budget)) * w_expr * _BUCKETS
+                / F.col("_stratum_tokens")).cast("bigint"))
+    with_rate = docs.join(F.broadcast(totals), on=strata_col) \
+        .withColumn("_rate_b", rate_buckets)
+    return (with_rate
+            .filter(_hash_bucket(F.col(id_col), salt) < F.col("_rate_b"))
+            .drop("_stratum_tokens", "_rate_b"))

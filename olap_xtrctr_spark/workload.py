@@ -1347,6 +1347,65 @@ def build_workload() -> dict[str, QuerySpec]:
                     / 2048) AS BIGINT) AS pack_bin
         FROM documents""")
 
+    def contamination(spark, sf):
+        from .operators.sampling import _hash_bucket
+        docs = _docs(spark, sf)
+        b = _hash_bucket(F.col("doc_id"), "contam-v1")
+        test = docs.filter(b < 1000)          # held-out 10%
+        train = docs.filter(b >= 1000)
+        return D.contamination_check(train, test)
+
+    _CB = SM.hash_bucket_sql("doc_id", "contam-v1")
+
+    # eval-leakage detector: distinct-shingle vocabulary of TRAIN joined
+    # against the held-out TEST split's shingles; exact integer outputs
+    add("docs_contamination_check", contamination,
+        rf"""WITH toks AS (
+          SELECT doc_id, {_CB} AS b,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, b,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          FROM toks),
+        vocab AS (SELECT DISTINCT shingle FROM sh WHERE b >= 1000)
+        SELECT s.doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN v.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated
+        FROM sh s LEFT JOIN vocab v ON s.shingle = v.shingle
+        WHERE s.b < 1000
+        GROUP BY s.doc_id""")
+
+    def mixing(spark, sf):
+        return D.mix_corpus(_docs(spark, sf),
+                            {"src0": 0.6, "src1": 0.3, "src2": 0.1},
+                            token_budget=20_000) \
+            .select("doc_id", "source")
+
+    _MB = SM.hash_bucket_sql("doc_id", "mix-v1")
+
+    # budgeted domain mixing: per-source rate = budget*weight/source_tokens
+    # derived in-plan, keep decision by the deterministic id hash
+    add("docs_mix_corpus", mixing,
+        rf"""WITH ntok AS (
+          SELECT doc_id, source,
+                 length(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+          FROM documents),
+        totals AS (
+          SELECT source, SUM(n_tok) AS stok FROM ntok GROUP BY source),
+        rates AS (
+          SELECT source,
+                 LEAST(10000, CAST(FLOOR(20000.0 *
+                   CASE source WHEN 'src0' THEN 0.6 WHEN 'src1' THEN 0.3
+                        WHEN 'src2' THEN 0.1 ELSE 0.0 END
+                   * 10000 / stok) AS BIGINT)) AS rate_b
+          FROM totals)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE {_MB} < r.rate_b""")
+
     # ---- deterministic sampling / splitting (training-data mixing) -------
     # All hash-derived (md5(id:salt)), so the DuckDB oracle recomputes the
     # exact same sample — reproducibility across engines IS the oracle.

@@ -306,3 +306,37 @@ def test_multimodal_sample_frames_fanout(spark):
         got[r["media_id"]] = got.get(r["media_id"], 0) + 1
     assert got == {k: v for k, v in expect.items() if v > 0}
     assert all(r["frame_idx"] % 2 == 0 for r in out)
+
+
+def test_contamination_check_full_and_zero_overlap(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(10, "the quick brown fox jumps"),     # fully inside train
+         (11, "completely different words entirely here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           D.contamination_check(train, test).collect()}
+    assert out[10]["n_contaminated"] == out[10]["n_shingles"] > 0
+    assert out[11]["n_contaminated"] == 0 and out[11]["n_shingles"] > 0
+
+
+def test_mix_corpus_budget_and_weights(spark):
+    rows = [(i, "s0" if i < 40 else "s1", "tok " * 10) for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # huge budget: every weighted stratum is kept whole, zero-weight
+    # strata are dropped entirely
+    keep_all = D.mix_corpus(docs, {"s0": 1.0}, token_budget=10**9)
+    assert keep_all.count() == 40
+    assert {r["source"] for r in keep_all.select("source").collect()} == {"s0"}
+    # tight budget: roughly budget*weight/source_tokens of s0 survives
+    some = D.mix_corpus(docs, {"s0": 1.0}, token_budget=200)
+    # s0 has ~400 tokens -> rate ~0.5 -> expect 10..30 of 40 docs
+    assert 5 <= some.count() <= 35
+    # determinism across partitionings
+    a = {r["doc_id"] for r in some.collect()}
+    b = {r["doc_id"] for r in
+         D.mix_corpus(docs.repartition(7), {"s0": 1.0},
+                      token_budget=200).collect()}
+    assert a == b
