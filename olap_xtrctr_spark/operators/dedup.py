@@ -423,3 +423,35 @@ def mix_corpus(docs: DataFrame, weights: dict[str, float],
     return (with_rate
             .filter(_hash_bucket(F.col(id_col), salt) < F.col("_rate_b"))
             .drop("_stratum_tokens", "_rate_b"))
+
+
+def keep_canonical(docs: DataFrame, clusters: DataFrame,
+                   id_col: str = "doc_id",
+                   score_col: str | None = None) -> DataFrame:
+    """Collapse near-dup clusters to one survivor each: the highest
+    ``score_col`` (ties and default: lowest id — deterministic), while
+    every unclustered doc survives untouched.
+
+    Unclustered docs exit through an anti join (no window — routing them
+    through one would pile every singleton into a single NULL
+    partition); the survivor choice is a per-cluster window over ONLY
+    the clustered subset, which is tiny next to the corpus.  This is
+    the step after ``near_dup_clusters`` in a real dedup pipeline:
+    pairs → components → one canonical doc each.
+    """
+    from pyspark.sql import Window as W
+
+    cl = clusters.select(F.col(id_col).alias("_cid"), "cluster")
+    # anti join: unclustered docs pass through with no window at all —
+    # routing them through a window would pile every singleton into one
+    # NULL partition (the exact skew this operator exists to avoid)
+    untouched = docs.join(cl, F.col(id_col) == F.col("_cid"), "left_anti")
+    order = [F.col(id_col).asc()]
+    if score_col is not None:
+        order = [F.col(score_col).desc()] + order
+    w = W.partitionBy("cluster").orderBy(*order)
+    survivors = (docs.join(cl, F.col(id_col) == F.col("_cid"), "inner")
+                 .withColumn("_rk", F.row_number().over(w))
+                 .filter(F.col("_rk") == 1)
+                 .drop("_rk", "cluster", "_cid"))
+    return untouched.unionByName(survivors)

@@ -1578,6 +1578,45 @@ def build_workload() -> dict[str, QuerySpec]:
           UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src""")
 
+    # the full dedup pipeline: exact-jaccard pairs → connected
+    # components → one canonical survivor per cluster (keep-min-id),
+    # singletons untouched — corpus size in, deduped corpus out
+    add("docs_keep_canonical",
+        lambda spark, sf: D.keep_canonical(
+            _docs(spark, sf),
+            D.near_dup_clusters(
+                D.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.2)))
+        .select("doc_id", "lang", "source"),
+        r"""WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(t) - 2, 1)),
+            i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          FROM toks),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE i / (sa.sz + sb.sz - i) >= 0.2),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION SELECT src, src FROM edges
+          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS doc_id, MIN(dst) AS cluster
+                 FROM reach GROUP BY src)
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        WHERE c.doc_id IS NULL OR d.doc_id = c.cluster""")
+
     # rows-only checks (hash functions are engine-specific → no SQL oracle)
     add("docs_minhash_lsh_pairs",
         lambda spark, sf: D.minhash_lsh_pairs(_docs(spark, sf), threshold=0.3),

@@ -340,3 +340,19 @@ def test_mix_corpus_budget_and_weights(spark):
          D.mix_corpus(docs.repartition(7), {"s0": 1.0},
                       token_budget=200).collect()}
     assert a == b
+
+
+def test_keep_canonical_by_score_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.1)],
+        "doc_id long, score double")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster long")
+    kept = {r["doc_id"] for r in
+            D.keep_canonical(docs, clusters, score_col="score").collect()}
+    # cluster {1,2,3}: best score 0.9 tie -> min id 2; singleton 7 stays
+    assert kept == {2, 7}
+    # default (no score): keep-min-id
+    kept_min = {r["doc_id"] for r in
+                D.keep_canonical(docs, clusters).collect()}
+    assert kept_min == {1, 7}
