@@ -71,6 +71,17 @@ def build_parser() -> argparse.ArgumentParser:
                        help="HTTP API mirroring the reference's routes")
     s.add_argument("--host", default="0.0.0.0")
     s.add_argument("--port", type=int, default=8000)
+
+    s = sub.add_parser("workload",
+                       help="run a named workload query (dedup/sampling/"
+                            "similarity/streaming/TPC-H/cube — see --list)")
+    s.add_argument("--name", default=None)
+    s.add_argument("--list", action="store_true",
+                   help="list available query names")
+    s.add_argument("--limit", type=int, default=20,
+                   help="preview row cap (0 = count only)")
+    s.add_argument("--export", default=None,
+                   help="write full result to this path (.csv or .json)")
     return p
 
 
@@ -128,6 +139,30 @@ def run(args, service=None) -> dict:
         from .http_api import serve
         serve(service, host=args.host, port=args.port)   # blocks
         return {"status": "stopped"}
+    if args.cmd == "workload":
+        from .workload import WORKLOAD
+        if args.list or not args.name:
+            return {"queries": sorted(WORKLOAD)}
+        spec = WORKLOAD.get(args.name)
+        if spec is None:
+            raise SystemExit(f"unknown workload query {args.name!r} "
+                             f"(use --list)")
+        df = spec.fn(service.spark, service.sf_dir)
+        out: dict = {"name": args.name, "columns": df.columns}
+        if args.export:
+            from .sinks import write_csv, write_json
+            if args.export.endswith(".json"):
+                write_json(df, args.export)
+            else:
+                write_csv(df, args.export, single_file=True)
+            out["exported_to"] = args.export
+        if args.limit > 0:
+            rows = df.limit(args.limit + 1).collect()
+            out["preview"] = [r.asDict() for r in rows[:args.limit]]
+            out["truncated"] = len(rows) > args.limit
+        else:
+            out["n_rows"] = df.count()
+        return out
     raise SystemExit(f"unknown command {args.cmd!r}")
 
 

@@ -52,3 +52,15 @@ def test_cli_explain_and_dmv(svc):
     assert dmv["count"] == 5
     diag = _run(svc, "diagnose")
     assert "MDSCHEMA_MEMBERS" in diag["rowsets"]
+
+
+def test_cli_workload_list_run_export(svc, tmp_path):
+    names = _run(svc, "workload", "--list")["queries"]
+    assert "docs_keep_canonical" in names and "tpch_q1_pricing_summary" in names
+    out = _run(svc, "workload", "--name", "docs_hash_split", "--limit", "5")
+    assert out["columns"] == ["doc_id", "split"]
+    assert len(out["preview"]) == 5 and out["truncated"]
+    out = _run(svc, "workload", "--name", "events_type_user_distinct",
+               "--limit", "0", "--export", str(tmp_path / "w.csv"))
+    assert out["n_rows"] > 0 and out["exported_to"].endswith("w.csv")
+    assert (tmp_path / "w.csv").exists()
