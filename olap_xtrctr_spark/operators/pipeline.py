@@ -1,0 +1,40 @@
+"""End-to-end training-corpus preparation: the canonical composition of
+the pipeline operators (quality gate → exact dedup → deterministic
+split) as one declarative plan.
+
+Everything stays one Spark lineage — no intermediate materialization,
+so Catalyst sees the whole pipeline and prunes/pushes across stage
+boundaries (the quality-score computation and the fingerprint are both
+narrow projections over the same scan; the only shuffle is the dedup
+groupBy and the split is free).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import hash_split
+from .text import fingerprint, quality_score
+
+
+def prepare_corpus(docs: DataFrame, min_quality: float = 0.5,
+                   weights: dict[str, float] | None = None,
+                   id_col: str = "doc_id") -> DataFrame:
+    """quality-filter → keep-first exact dedup → train/val split.
+
+    Returns (id_col, split) for the surviving corpus.  Keep-first is
+    evaluated AFTER the quality gate (the survivor is the lowest-id doc
+    among the docs that passed, so a low-quality earlier copy cannot
+    shadow a high-quality later one).
+    """
+    weights = weights or {"train": 0.9, "val": 0.1}
+    q = quality_score(docs).filter(
+        F.col("quality_score") >= min_quality).select(id_col)
+    passed = docs.join(q, on=id_col, how="left_semi")
+    fp = passed.join(fingerprint(passed).select(id_col, "fingerprint"),
+                     on=id_col)
+    w = Window.partitionBy("fingerprint")
+    kept = (fp.withColumn("_min_id", F.min(id_col).over(w))
+            .filter(F.col(id_col) == F.col("_min_id"))
+            .drop("_min_id", "fingerprint"))
+    return hash_split(kept, weights, id_col=id_col).select(id_col, "split")

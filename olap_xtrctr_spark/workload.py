@@ -1578,6 +1578,46 @@ def build_workload() -> dict[str, QuerySpec]:
           UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src""")
 
+    def corpus_prep(spark, sf):
+        from .operators.pipeline import prepare_corpus
+        return prepare_corpus(_docs(spark, sf), min_quality=0.5)
+
+    # the canonical corpus-prep composition: quality gate -> keep-first
+    # exact dedup -> deterministic split, one lineage, full SQL oracle
+    add("docs_prepare_corpus", corpus_prep,
+        rf"""WITH q AS (
+          SELECT doc_id,
+            len(regexp_split_to_array(trim(text), '\s+')) AS q_tok,
+            greatest(length(text), 1) AS q_chr,
+            CAST(len(regexp_extract_all(lower(text),
+              '\b(the|and|of|to|in|is)\b')) AS INTEGER) AS q_stop,
+            CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                 AS INTEGER) AS q_punct
+          FROM documents),
+        passed AS (
+          SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
+          WHERE ROUND(
+            (CASE WHEN q_tok >= 10 AND q_tok <= 5000
+                  THEN 0.4 ELSE 0.0 END)
+            + least(q_stop / greatest(q_tok, 1) * 2.0, 0.4)
+            - least(q_punct / q_chr * 5.0, 0.2)
+            + (CASE WHEN q_chr / greatest(q_tok, 1) >= 3.0
+                     AND q_chr / greatest(q_tok, 1) <= 12.0
+                    THEN 0.2 ELSE 0.0 END), 4) >= 0.5),
+        fp AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                   AS fingerprint
+          FROM passed),
+        kept AS (
+          SELECT doc_id FROM fp
+          WHERE doc_id = (SELECT MIN(f2.doc_id) FROM fp f2
+                          WHERE f2.fingerprint = fp.fingerprint))
+        SELECT doc_id,
+               CASE WHEN {SM.hash_bucket_sql('doc_id', 'split-v1')} < 9000
+                    THEN 'train' ELSE 'val' END AS split
+        FROM kept""")
+
     # the full dedup pipeline: exact-jaccard pairs → connected
     # components → one canonical survivor per cluster (keep-min-id),
     # singletons untouched — corpus size in, deduped corpus out

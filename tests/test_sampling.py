@@ -104,3 +104,25 @@ def test_length_histogram_totals(spark, docs):
     assert sum(r["n_docs"] for r in hist) == docs.count()
     total = docs.agg(F.sum("n_chars")).first()[0]
     assert sum(r["total_chars"] for r in hist) == total
+
+
+def test_prepare_corpus_pipeline(spark, docs):
+    from olap_xtrctr_spark.operators.pipeline import prepare_corpus
+    from olap_xtrctr_spark.operators.text import fingerprint, quality_score
+    out = prepare_corpus(docs, min_quality=0.5).collect()
+    ids = {r["doc_id"] for r in out}
+    assert len(ids) == len(out) > 0           # unique survivors
+    assert {r["split"] for r in out} <= {"train", "val"}
+    # every survivor passed the quality gate
+    q_ok = {r["doc_id"] for r in
+            quality_score(docs)
+            .filter("quality_score >= 0.5").collect()}
+    assert ids <= q_ok
+    # no two survivors share a fingerprint, and each is its group's min
+    # id within the quality-passed set
+    fps = {r["doc_id"]: r["fingerprint"] for r in
+           fingerprint(docs).collect()}
+    by_fp = {}
+    for d in sorted(q_ok):
+        by_fp.setdefault(fps[d], d)
+    assert ids == set(by_fp.values())
