@@ -70,3 +70,44 @@ def join_has_no_shuffle(df: DataFrame) -> bool:
         line.strip().startswith("Exchange") or "+- Exchange" in line
         for line in plan.splitlines()
         if "BroadcastExchange" not in line)
+
+
+def write_seen_fingerprints(spark: SparkSession, docs: DataFrame,
+                            table: str = "seen_fingerprints",
+                            n_buckets: int = 8) -> str:
+    """Materialize the already-ingested corpus's dedup fingerprints as a
+    table bucketed on the fingerprint — the steady state of
+    ``operators.sampling.incremental_dedup``: each new batch's anti-join
+    probes co-located buckets, so the seen side is never reshuffled no
+    matter how many batches follow (at 100 TB: thousands of buckets and
+    the table only ever appends)."""
+    from ..operators.text import fingerprint
+
+    _drop_table_and_location(spark, table)
+    (fingerprint(docs).select("fingerprint")
+     .write.bucketBy(n_buckets, "fingerprint").sortBy("fingerprint")
+     .mode("overwrite").format("parquet").saveAsTable(table))
+    return table
+
+
+def incremental_dedup_bucketed(spark: SparkSession, new_batch: DataFrame,
+                               table: str = "seen_fingerprints",
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """``incremental_dedup`` against a bucketed seen-table: the anti-join
+    shuffles ONLY the new batch (hashed into the table's bucketing), the
+    seen side reads its buckets in place."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.text import fingerprint
+
+    new_fp = new_batch.join(
+        fingerprint(new_batch, text_col).select(id_col, "fingerprint"),
+        on=id_col)
+    seen_fp = spark.table(table)
+    w_first = F.min(F.col(id_col)).over(Window.partitionBy("fingerprint"))
+    return (new_fp.join(seen_fp, on="fingerprint", how="left_anti")
+            .withColumn("_keep", w_first == F.col(id_col))
+            .filter(F.col("_keep"))
+            .drop("_keep", "fingerprint"))

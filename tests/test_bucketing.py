@@ -32,3 +32,31 @@ def test_bucketed_groupby_reuses_partitioning(spark, sf_dir):
                  .cast("double").alias("qty")))
     assert join_has_no_shuffle(agg), \
         agg._jdf.queryExecution().executedPlan().toString()
+
+
+def test_incremental_dedup_bucketed_seen_side_no_exchange(spark, sf_dir):
+    """The steady-state ingest shape: the bucketed seen-fingerprint table
+    joins without an Exchange on its side (only the new batch hashes
+    into the bucketing)."""
+    from pyspark.sql import functions as F
+
+    from olap_xtrctr_spark.session import load_table
+    from olap_xtrctr_spark.sources.bucketing import (
+        incremental_dedup_bucketed, write_seen_fingerprints)
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    write_seen_fingerprints(spark, seen, "seen_fp_test")
+    out = incremental_dedup_bucketed(spark, new, "seen_fp_test")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly the scan side of the bucketed table must be exchange-free:
+    # no Exchange may sit between the seen-table scan and the join
+    seen_scan = [l for l in plan.splitlines() if "seen_fp_test" in l]
+    assert seen_scan and "Bucketed: true" in plan
+    # and the result equals the unbucketed operator on the same split
+    from olap_xtrctr_spark.operators.sampling import incremental_dedup
+    expect = {r["doc_id"] for r in
+              incremental_dedup(new, seen).select("doc_id").collect()}
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert got == expect
