@@ -185,3 +185,41 @@ def lsh_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
                   .filter(F.col("rank") <= k)
                   .select("query_id", "rank", "neighbor_id",
                           F.round("cos", 4).alias("cosine")))
+
+
+def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max|x|/127,
+    q_i = floor(x_i/scale * 127) clamped to [-127, 127].
+
+    4× storage reduction for a 100 TB embedding corpus with bounded
+    cosine error (see the recall test).  floor, not round: no half-way
+    tie-break rule for engines to disagree on, so the quantized codes
+    are reproducible anywhere.  Pure JVM higher-order functions — a
+    narrow projection, no shuffle, no Python.
+    """
+    x = F.col(vec_col)
+    absmax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    scale = F.greatest(absmax, F.lit(1e-30)) / F.lit(127.0)
+    q = F.transform(
+        x, lambda v: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127),
+                    F.floor(v.cast("double") / scale).cast("int"))))
+    return emb.select(F.col(id_col), q.alias("q_codes"),
+                      scale.alias("q_scale"))
+
+
+def dequantized_cosine_topk(emb: DataFrame, query_ids: list[int],
+                            k: int = 3, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k over the DEQUANTIZED int8 codes — the
+    compressed-storage serving path.  Same shape as cosine_topk (query
+    side broadcast, corpus partitioned); the recall test bounds the
+    quantization loss against the exact operator."""
+    deq = quantize_embeddings(emb, id_col, vec_col).select(
+        id_col,
+        F.transform(F.col("q_codes"),
+                    lambda c: c.cast("double") * F.col("q_scale"))
+        .alias(vec_col))
+    return cosine_topk(deq, query_ids, k=k, id_col=id_col, vec_col=vec_col)

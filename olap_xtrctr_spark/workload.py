@@ -1524,6 +1524,54 @@ def build_workload() -> dict[str, QuerySpec]:
           FROM scored)
         WHERE rank <= 3""")
 
+    add("emb_quantize",
+        lambda spark, sf: S.quantize_embeddings(_emb(spark, sf))
+        .select("vec_id",
+                F.concat_ws(",", F.col("q_codes").cast("array<string>"))
+                .alias("codes"),
+                F.col("q_scale")),
+        """SELECT vec_id,
+               array_to_string(list_transform(embedding, x ->
+                 CAST(greatest(-127, least(127, CAST(floor(
+                   CAST(x AS DOUBLE) /
+                   (greatest(list_max(list_transform(embedding,
+                      v -> abs(CAST(v AS DOUBLE)))), 1e-30) / 127.0))
+                   AS INTEGER))) AS VARCHAR)), ',') AS codes,
+               greatest(list_max(list_transform(embedding,
+                  v -> abs(CAST(v AS DOUBLE)))), 1e-30) / 127.0 AS q_scale
+        FROM embeddings""")
+
+    add("emb_quantized_topk",
+        lambda spark, sf: S.dequantized_cosine_topk(
+            _emb(spark, sf), [0, 1, 2, 3, 4], k=3),
+        """WITH deq AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CAST(greatest(-127, least(127, CAST(floor(
+                     CAST(x AS DOUBLE) /
+                     (greatest(list_max(list_transform(embedding,
+                        v -> abs(CAST(v AS DOUBLE)))), 1e-30) / 127.0))
+                     AS INTEGER))) AS DOUBLE)
+                   * (greatest(list_max(list_transform(embedding,
+                        v -> abs(CAST(v AS DOUBLE)))), 1e-30) / 127.0))
+                   AS e
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qvec FROM deq
+              WHERE vec_id IN (0,1,2,3,4)),
+        scored AS (
+          SELECT q.query_id, d.vec_id AS neighbor_id,
+            list_sum(list_transform(list_zip(q.qvec, d.e),
+              p -> p[1] * p[2]))
+            / (sqrt(list_sum(list_transform(q.qvec, x -> x * x)))
+             * sqrt(list_sum(list_transform(d.e, x -> x * x)))) AS cos
+          FROM deq d JOIN q ON d.vec_id <> q.query_id)
+        SELECT query_id, rank, neighbor_id, ROUND(cos, 4) AS cosine FROM (
+          SELECT query_id, neighbor_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+          FROM scored)
+        WHERE rank <= 3""")
+
     add("emb_near_dup_pairs",
         lambda spark, sf: D.embedding_near_dups(_emb(spark, sf),
                                                 threshold=0.45),

