@@ -213,3 +213,44 @@ def replay_dedup_counts(spark: SparkSession, source_dir: str, schema,
                         glob: str = "events.parquet") -> DataFrame:
     sdf = streaming_dedup_counts(spark, source_dir, schema, glob=glob)
     return drain_stream_to_table(spark, sdf, "events_stream_dedup")
+
+
+def hourly_anomalies(events: DataFrame, window_hours: int = 24,
+                     threshold_sq: int = 49,
+                     bursts_only: bool = True) -> DataFrame:
+    """Hours whose event count deviates from the trailing-window mean by
+    more than sqrt(threshold_sq) trailing standard deviations, per
+    event type.
+
+    The test is evaluated in EXACT integer arithmetic — cross-multiplied
+    so no engine-specific float sqrt/stddev is involved:
+        (n*x - sum)^2 * n  >  threshold_sq * (n*sumsq - sum^2) * n ...
+    reduced:  (n*x - sum)^2  >  threshold_sq * (n*sumsq - sum^2)
+    where (sum, sumsq, n) are over the PRECEDING window_hours hours
+    (the current hour excluded — an anomaly must not mask itself).
+
+    Scale shape: the window runs over the hourly ROLLUP (already
+    collapsed by map-side combine), partitioned by event_type — it
+    never touches raw events.
+    """
+    hourly = (events.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                             "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    w = (Window.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(-window_hours, -1))
+    x = F.col("n_events")
+    with_win = (hourly
+                .withColumn("_s", F.sum(x).over(w))
+                .withColumn("_sq", F.sum(x * x).over(w))
+                .withColumn("_n", F.count(x).over(w)))
+    n, s, sq = F.col("_n"), F.col("_s"), F.col("_sq")
+    dev_sq = (n * x - s) * (n * x - s)
+    var_n2 = n * sq - s * s          # n^2 * variance
+    out = (with_win
+           .filter(n >= window_hours)                # full window only
+           .filter(dev_sq * n > threshold_sq * var_n2))
+    if bursts_only:
+        out = out.filter(n * x > s)                  # spikes, not dips
+    return (out
+            .select("event_type", "hour", "n_events",
+                    s.alias("win_sum"), n.cast("int").alias("win_n")))

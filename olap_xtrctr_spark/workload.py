@@ -1929,6 +1929,33 @@ def build_workload() -> dict[str, QuerySpec]:
         FROM events
         GROUP BY user_id""")
 
+    # trailing-window burst detector in exact integer arithmetic
+    # (cross-multiplied z-score — no float stddev/sqrt to diverge on)
+    add("events_hourly_anomalies",
+        lambda spark, sf: EV.hourly_anomalies(_events(spark, sf),
+                                              window_hours=24,
+                                              threshold_sq=49),
+        """WITH h AS (
+          SELECT date_trunc('hour', ts) AS hour, event_type,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        win AS (
+          SELECT event_type, hour, n_events,
+                 SUM(n_events) OVER w AS win_sum,
+                 SUM(n_events * n_events) OVER w AS win_sq,
+                 COUNT(*) OVER w AS win_n
+          FROM h
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, hour, n_events, win_sum,
+               CAST(win_n AS INTEGER) AS win_n
+        FROM win
+        WHERE win_n >= 24
+          AND (win_n * n_events - win_sum) * (win_n * n_events - win_sum)
+              * win_n
+              > 49 * (win_n * win_sq - win_sum * win_sum)
+          AND win_n * n_events > win_sum""")
+
     def stream_dedup(spark, sf):
         return EV.replay_dedup_counts(spark, sf, _events_schema(spark, sf))
 

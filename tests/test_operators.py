@@ -356,3 +356,25 @@ def test_keep_canonical_by_score_and_singletons(spark):
     kept_min = {r["doc_id"] for r in
                 D.keep_canonical(docs, clusters).collect()}
     assert kept_min == {1, 7}
+
+
+def test_hourly_anomalies_flags_planted_burst(spark):
+    import datetime as dt
+    base = dt.datetime(2025, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(60):                       # 60 quiet hours: 2 events/h
+        for _ in range(2):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=eid % 50),
+                         1, "click", 1.0, "{}"))
+            eid += 1
+    for _ in range(40):                       # hour 60: 20x burst
+        rows.append((eid, base + dt.timedelta(hours=60, minutes=eid % 50),
+                     1, "click", 1.0, "{}"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = EV.hourly_anomalies(ev, window_hours=24, threshold_sq=49)
+    hours = [r["hour"] for r in out.collect()]
+    assert hours == [base + dt.timedelta(hours=60)]  # burst only, no quiet hour
