@@ -236,6 +236,17 @@ def hourly_anomalies(events: DataFrame, window_hours: int = 24,
     hourly = (events.groupBy(F.date_trunc("hour", "ts").alias("hour"),
                              "event_type")
               .agg(F.count(F.lit(1)).alias("n_events")))
+    return anomalies_from_rollup(hourly, window_hours, threshold_sq,
+                                 bursts_only)
+
+
+def anomalies_from_rollup(hourly: DataFrame, window_hours: int = 24,
+                          threshold_sq: int = 49,
+                          bursts_only: bool = True) -> DataFrame:
+    """The detector core over an (hour, event_type, n_events) rollup —
+    shared by the batch path above and the streaming-replay composition
+    (the replayed streaming rollup IS the batch rollup, so one detector
+    serves both)."""
     w = (Window.partitionBy("event_type").orderBy("hour")
          .rowsBetween(-window_hours, -1))
     x = F.col("n_events")

@@ -1956,6 +1956,36 @@ def build_workload() -> dict[str, QuerySpec]:
               > 49 * (win_n * win_sq - win_sum * win_sum)
           AND win_n * n_events > win_sum""")
 
+    def stream_anomalies(spark, sf):
+        rolled = EV.replay_hourly_rollup(spark, sf,
+                                         _events_schema(spark, sf))
+        return EV.anomalies_from_rollup(
+            rolled.select("hour", "event_type", "n_events"))
+
+    # the same detector over the REPLAYED streaming rollup — stream and
+    # batch rollups are provably equal, so one oracle covers both
+    add("events_stream_anomalies", stream_anomalies,
+        """WITH h AS (
+          SELECT date_trunc('hour', ts) AS hour, event_type,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        win AS (
+          SELECT event_type, hour, n_events,
+                 SUM(n_events) OVER w AS win_sum,
+                 SUM(n_events * n_events) OVER w AS win_sq,
+                 COUNT(*) OVER w AS win_n
+          FROM h
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, hour, n_events, win_sum,
+               CAST(win_n AS INTEGER) AS win_n
+        FROM win
+        WHERE win_n >= 24
+          AND (win_n * n_events - win_sum) * (win_n * n_events - win_sum)
+              * win_n
+              > 49 * (win_n * win_sq - win_sum * win_sum)
+          AND win_n * n_events > win_sum""")
+
     def stream_dedup(spark, sf):
         return EV.replay_dedup_counts(spark, sf, _events_schema(spark, sf))
 
