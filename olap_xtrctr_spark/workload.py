@@ -1709,6 +1709,17 @@ def build_workload() -> dict[str, QuerySpec]:
     add("docs_minhash_lsh_pairs",
         lambda spark, sf: D.minhash_lsh_pairs(_docs(spark, sf), threshold=0.3),
         None)
+    # the SCALE-path dedup pipeline: banded MinHash-LSH candidates (never
+    # all-pairs) -> components -> canonical corpus.  Probabilistic, so
+    # rows-only here; its recall vs the exact pipeline is pinned in
+    # tests/test_recall.py
+    add("docs_minhash_dedup_corpus",
+        lambda spark, sf: D.keep_canonical(
+            _docs(spark, sf),
+            D.near_dup_clusters(
+                D.minhash_lsh_pairs(_docs(spark, sf), threshold=0.3)))
+        .select("doc_id", "lang", "source"),
+        None)
     # hamming <= 6: inside the multi-block pigeonhole guarantee (n_blocks-1)
     # and tight enough to mean "near-dup" on vocabulary-overlapping corpora
     # (hamming 16 admits ~24% of ALL pairs of this fixture)

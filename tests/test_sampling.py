@@ -126,3 +126,24 @@ def test_prepare_corpus_pipeline(spark, docs):
     for d in sorted(q_ok):
         by_fp.setdefault(fps[d], d)
     assert ids == set(by_fp.values())
+
+
+def test_prepared_corpus_roundtrip_partitioned_by_split(spark, docs,
+                                                        tmp_path):
+    """The end of the pipeline: write the prepared corpus partitioned by
+    split, read it back, and get exactly the same assignment (the
+    physical layout a downstream trainer consumes)."""
+    from olap_xtrctr_spark.operators.pipeline import prepare_corpus
+    from olap_xtrctr_spark.sinks import write_parquet
+
+    out = prepare_corpus(docs, min_quality=0.5)
+    n = write_parquet(out, str(tmp_path / "corpus"),
+                      partition_by=["split"])
+    assert n == out.count()
+    back = spark.read.parquet(str(tmp_path / "corpus"))
+    assert {(r["doc_id"], r["split"]) for r in back.collect()} == \
+        {(r["doc_id"], r["split"]) for r in out.collect()}
+    # split pruning reaches the read plan
+    q = back.filter(F.col("split") == "train")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan
