@@ -265,3 +265,61 @@ def anomalies_from_rollup(hourly: DataFrame, window_hours: int = 24,
     return (out
             .select("event_type", "hour", "n_events",
                     s.alias("win_sum"), n.cast("int").alias("win_n")))
+
+
+def funnel_conversion(events: DataFrame, first_type: str = "click",
+                      then_type: str = "purchase",
+                      within_minutes: int = 60) -> DataFrame:
+    """Sequential-pattern conversion: per user, did a ``then_type`` event
+    follow a ``first_type`` event within the window?
+
+    Join-free: one window pass per user ordered by time carries the
+    most-recent ``first_type`` timestamp forward (last_value over the
+    preceding frame), so conversion is a row-local comparison — the
+    classic funnel without the self-join blowup (a user with k clicks
+    and m purchases costs k+m rows, never k*m).
+
+    Output per user: n_first, n_then, n_converted (then-events preceded
+    by a first-event within the window), first_conversion_ts.
+    """
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    last_first = F.last(
+        F.when(F.col("event_type") == first_type, F.col("ts")),
+        ignorenulls=True).over(w)
+    flagged = events.withColumn("_last_first", last_first)
+    is_conv = ((F.col("event_type") == then_type)
+               & F.col("_last_first").isNotNull()
+               & (F.col("ts").cast("long") - F.col("_last_first").cast("long")
+                  <= within_minutes * 60)
+               & (F.col("ts") >= F.col("_last_first")))
+    return (flagged.groupBy("user_id")
+            .agg(F.sum(F.when(F.col("event_type") == first_type, 1)
+                       .otherwise(0)).alias("n_first"),
+                 F.sum(F.when(F.col("event_type") == then_type, 1)
+                       .otherwise(0)).alias("n_then"),
+                 F.sum(F.when(is_conv, 1).otherwise(0)).alias("n_converted"),
+                 F.min(F.when(is_conv, F.col("ts")))
+                 .alias("first_conversion_ts"))
+            .filter(F.col("n_first") > 0))
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-activity week
+    (cohort), counted by how many weeks later they were active.
+
+    Two aggregations over the (user, week) grain — the corpus collapses
+    to at most |users|×|weeks| rows after the first map-side-combined
+    distinct, so the triangle costs nothing at any scale.
+    """
+    uw = (events.select("user_id",
+                        F.date_trunc("week", "ts").alias("week"))
+          .distinct())
+    first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (uw.join(first, on="user_id")
+            .withColumn("weeks_later",
+                        F.datediff(F.col("week"), F.col("cohort_week"))
+                        .cast("int") / 7)
+            .withColumn("weeks_later", F.col("weeks_later").cast("int"))
+            .groupBy("cohort_week", "weeks_later")
+            .agg(F.count_distinct("user_id").alias("n_users")))

@@ -1967,6 +1967,54 @@ def build_workload() -> dict[str, QuerySpec]:
               > 49 * (win_n * win_sq - win_sum * win_sum)
           AND win_n * n_events > win_sum""")
 
+    # join-free funnel: running last-click timestamp carried by a window,
+    # conversion is a row-local comparison (k+m rows per user, never k*m)
+    add("events_funnel_conversion",
+        lambda spark, sf: EV.funnel_conversion(_events(spark, sf),
+                                               "click", "purchase", 60),
+        """WITH flagged AS (
+          SELECT user_id, ts, event_type,
+                 last_value(CASE WHEN event_type = 'click' THEN ts END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_click
+          FROM events)
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_first,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_then,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                         AND last_click IS NOT NULL
+                         AND epoch(ts) - epoch(last_click) <= 3600
+                         AND ts >= last_click THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_converted,
+               MIN(CASE WHEN event_type = 'purchase'
+                         AND last_click IS NOT NULL
+                         AND epoch(ts) - epoch(last_click) <= 3600
+                         AND ts >= last_click THEN ts END)
+                   AS first_conversion_ts
+        FROM flagged
+        GROUP BY user_id
+        HAVING SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0""")
+
+    # weekly retention triangle over the (user, week) distinct grain
+    add("events_retention_cohorts",
+        lambda spark, sf: EV.retention_cohorts(_events(spark, sf)),
+        """WITH uw AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+          FROM events),
+        first AS (
+          SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1)
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, week) / 7 AS INTEGER)
+                   AS weeks_later,
+               COUNT(DISTINCT uw.user_id) AS n_users
+        FROM uw JOIN first ON uw.user_id = first.user_id
+        GROUP BY 1, 2""")
+
     def stream_anomalies(spark, sf):
         rolled = EV.replay_hourly_rollup(spark, sf,
                                          _events_schema(spark, sf))

@@ -378,3 +378,50 @@ def test_hourly_anomalies_flags_planted_burst(spark):
     out = EV.hourly_anomalies(ev, window_hours=24, threshold_sq=49)
     hours = [r["hour"] for r in out.collect()]
     assert hours == [base + dt.timedelta(hours=60)]  # burst only, no quiet hour
+
+
+def test_funnel_conversion_window_semantics(spark):
+    import datetime as dt
+    t0 = dt.datetime(2025, 1, 1, 12, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: click -> purchase 30min later = converted
+        (1, t0, 1, "click"), (2, t0 + 30 * m, 1, "purchase"),
+        # user 2: purchase BEFORE any click = not converted
+        (3, t0, 2, "purchase"), (4, t0 + m, 2, "click"),
+        # user 3: click -> purchase 2h later = outside window
+        (5, t0, 3, "click"), (6, t0 + 120 * m, 3, "purchase"),
+        # user 4: clicks only
+        (7, t0, 4, "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, et, 1.0, "{}") for i, ts, u, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    out = {r["user_id"]: r for r in EV.funnel_conversion(ev).collect()}
+    assert out[1]["n_converted"] == 1
+    assert out[1]["first_conversion_ts"] == t0 + 30 * m
+    assert out[2]["n_converted"] == 0
+    assert out[3]["n_converted"] == 0
+    assert out[4]["n_converted"] == 0 and out[4]["n_then"] == 0
+    assert 2 in out and 3 in out and 4 in out   # click users all present
+
+
+def test_retention_cohorts_triangle(spark):
+    import datetime as dt
+    wk = dt.timedelta(weeks=1)
+    w0 = dt.datetime(2025, 1, 6)              # a Monday
+    rows = []
+    eid = 0
+    # user 1 active weeks 0,1,2; user 2 weeks 0,2; user 3 week 1 only
+    for u, weeks in [(1, [0, 1, 2]), (2, [0, 2]), (3, [1])]:
+        for k in weeks:
+            rows.append((eid, w0 + k * wk, u, "view", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    tri = {(r["cohort_week"], r["weeks_later"]): r["n_users"]
+           for r in EV.retention_cohorts(ev).collect()}
+    assert tri == {(w0, 0): 2, (w0, 1): 1, (w0, 2): 2,
+                   (w0 + wk, 0): 1}
