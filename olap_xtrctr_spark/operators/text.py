@@ -160,3 +160,39 @@ def pack_sequences(docs: DataFrame, window_tokens: int = 2048,
     return docs.select(
         order_col, n_tok.alias("n_tokens"),
         (cum / window_tokens).cast("bigint").alias("pack_bin"))
+
+
+def strip_markup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Boilerplate cleaning pass: drop HTML/XML tags, unescape the five
+    XML entities, collapse runs of whitespace.  Chained JVM regex —
+    narrow, shuffle-free, codegen-friendly (same family as redact_pii).
+    """
+    t = F.col(text_col)
+    no_tags = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        no_tags = F.replace(no_tags, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+    return docs.withColumn("text_clean", clean)
+
+
+def token_familiarity(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Unigram-LM proxy in exact integers: for each doc, the sum of the
+    CORPUS frequency of its tokens (and its token count) — high mass =
+    common language, low = rare/garbled text.  Callers derive the
+    average familiarity ratio; the engine emits only exact counts so any
+    oracle agrees bit-for-bit.
+
+    Two aggregations: global token counts (map-side combined, bounded by
+    vocabulary), broadcast-or-shuffle joined back to the exploded
+    tokens.  No floats anywhere.
+    """
+    toks = docs.select(
+        id_col, F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                  r"\s+")).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_freq"))
+    return (toks.join(vocab, on="token")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("tok_freq").alias("familiarity_sum")))

@@ -1347,6 +1347,41 @@ def build_workload() -> dict[str, QuerySpec]:
                     / 2048) AS BIGINT) AS pack_bin
         FROM documents""")
 
+    add("docs_strip_markup",
+        lambda spark, sf: TX.strip_markup(_docs(spark, sf))
+        .select("doc_id",
+                F.sha2(F.encode("text_clean", "UTF-8"), 256)
+                .alias("clean_sha"),
+                F.length("text_clean").alias("clean_len")),
+        r"""SELECT doc_id,
+               sha256(trim(regexp_replace(
+                 replace(replace(replace(replace(replace(
+                   regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&apos;', ''''), '&amp;', '&'),
+                 '\s+', ' ', 'g'))) AS clean_sha,
+               length(trim(regexp_replace(
+                 replace(replace(replace(replace(replace(
+                   regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&apos;', ''''), '&amp;', '&'),
+                 '\s+', ' ', 'g'))) AS clean_len
+        FROM documents""")
+
+    add("docs_token_familiarity",
+        lambda spark, sf: TX.token_familiarity(_docs(spark, sf)),
+        r"""WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                   AS token
+          FROM documents),
+        vocab AS (
+          SELECT token, COUNT(*) AS tok_freq FROM toks GROUP BY token)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               SUM(tok_freq) AS familiarity_sum
+        FROM toks JOIN vocab USING (token)
+        GROUP BY doc_id""")
+
     def contamination(spark, sf):
         from .operators.sampling import _hash_bucket
         docs = _docs(spark, sf)

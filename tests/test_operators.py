@@ -425,3 +425,20 @@ def test_retention_cohorts_triangle(spark):
            for r in EV.retention_cohorts(ev).collect()}
     assert tri == {(w0, 0): 2, (w0, 1): 1, (w0, 2): 2,
                    (w0 + wk, 0): 1}
+
+
+def test_strip_markup_tags_entities_whitespace(spark):
+    docs = spark.createDataFrame(
+        [(1, "<p>Hello  <b>world</b></p> &amp; &lt;friends&gt;")],
+        "doc_id long, text string")
+    out = TX.strip_markup(docs).first()
+    assert out["text_clean"] == "Hello world & <friends>"
+
+
+def test_token_familiarity_exact_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string")
+    # corpus freqs: a=3, b=1, c=1
+    out = {r["doc_id"]: r for r in TX.token_familiarity(docs).collect()}
+    assert out[1]["n_tokens"] == 3 and out[1]["familiarity_sum"] == 7
+    assert out[2]["n_tokens"] == 2 and out[2]["familiarity_sum"] == 4
