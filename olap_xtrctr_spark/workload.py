@@ -1072,6 +1072,34 @@ def build_workload() -> dict[str, QuerySpec]:
                              WHERE n_supp > 1 AND n_ret_supp = 1)
         GROUP BY s_name""")
 
+    # OLAP subtotal rows via Spark rollup(): every aggregation level of
+    # the geography hierarchy in ONE pass (grouping-sets shuffle), the
+    # same machinery the members-cache build uses — exposed as a query
+    def cube_rollup(spark, sf):
+        from .cube import sales_cube
+        cube = sales_cube()
+        fact = cube.fact(spark, sf)
+        ow = cube.views["orders_wide"](spark, sf)
+        j = fact.join(ow, F.col("l_orderkey") == F.col("o_orderkey"))
+        return (j.rollup("cust_region", "cust_nation")
+                .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                     .cast("double").alias("sum_extendedprice"),
+                     F.count(F.lit(1)).alias("n_rows"))
+                .select(F.coalesce("cust_region", F.lit("All"))
+                        .alias("region"),
+                        F.coalesce("cust_nation", F.lit("All"))
+                        .alias("nation"),
+                        "sum_extendedprice", "n_rows"))
+
+    add("cube_rollup_subtotals", cube_rollup,
+        f"""WITH {_OW}
+        SELECT coalesce(cust_region, 'All') AS region,
+               coalesce(cust_nation, 'All') AS nation,
+               {SUM_D('l_extendedprice')} AS sum_extendedprice,
+               COUNT(*) AS n_rows
+        FROM {_FACT_OW}
+        GROUP BY ROLLUP (cust_region, cust_nation)""")
+
     # ================= member navigation (SURVEY §2.3) ====================
 
     add("members_nation_list",

@@ -1,0 +1,42 @@
+"""Driver simulation: run every queries() entry under a PLAIN
+SparkSession — none of get_spark()'s confs — exactly like the external
+correctness driver does.  Round 1 failed 6 queries on this (the
+nanosAsLong conf lived only in the builder); this script keeps the
+self-containment contract honest.
+
+Usage: python scripts/driver_sim.py [sf_dir]
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def main() -> int:
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("driver-sim").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as e
+
+    assert e.entry(spark).count() >= 0
+    failures = []
+    for name, fn in e.queries().items():
+        try:
+            n = fn(spark, SF).count()
+            print(f"OK   {name}: {n} rows", flush=True)
+        except Exception as ex:                     # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: {str(ex)[:200]}", flush=True)
+    print(f"{len(e.queries()) - len(failures)} ok, "
+          f"{len(failures)} failed{': ' if failures else ''}{failures or ''}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
