@@ -2030,6 +2030,26 @@ def build_workload() -> dict[str, QuerySpec]:
               > 49 * (win_n * win_sq - win_sum * win_sum)
           AND win_n * n_events > win_sum""")
 
+    # percentiles on the milli-quantized integer domain: both engines run
+    # the same linear interpolation over the same exact bigints
+    add("events_value_percentiles",
+        lambda spark, sf: _events(spark, sf)
+        .withColumn("milli", F.floor(F.col("value") * 1000).cast("bigint"))
+        .groupBy("event_type")
+        .agg(F.percentile("milli", 0.5).alias("p50_milli"),
+             F.percentile("milli", 0.9).alias("p90_milli"),
+             F.min("milli").alias("min_milli"),
+             F.max("milli").alias("max_milli")),
+        """SELECT event_type,
+               quantile_cont(milli, 0.5) AS p50_milli,
+               quantile_cont(milli, 0.9) AS p90_milli,
+               MIN(milli) AS min_milli,
+               MAX(milli) AS max_milli
+        FROM (SELECT event_type,
+                     CAST(FLOOR(value * 1000) AS BIGINT) AS milli
+              FROM events)
+        GROUP BY event_type""")
+
     # join-free funnel: running last-click timestamp carried by a window,
     # conversion is a row-local comparison (k+m rows per user, never k*m)
     add("events_funnel_conversion",
