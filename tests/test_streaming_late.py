@@ -69,3 +69,49 @@ def test_stateful_user_totals_replay_equals_batch(spark, sf_dir):
              for r in batch_user_totals(
                  load_events(spark, sf_dir)).collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
+    """Exactly-once across restarts: a second availableNow run against
+    the SAME checkpoint must process only files that arrived since the
+    first run — and the final counts must equal the batch aggregate of
+    everything.  This is the property that makes continuous ingestion
+    resumable on a real cluster."""
+    import datetime as dt
+
+    src = tmp_path / "stream_src"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    t0 = dt.datetime(2025, 3, 1, 0, 0)
+    batch1 = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=i), 1, "click", 1.0, "{}")
+         for i in range(10)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain(name):
+        stream = (spark.readStream.schema(batch1.schema).parquet(str(src))
+                  .groupBy("event_type")
+                  .agg(F.count("*").alias("n")))
+        q = (stream.writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        progress = [p for p in q.recentProgress if p]
+        rows_in = sum(p["numInputRows"] for p in progress)
+        return rows_in, {r["event_type"]: r["n"]
+                         for r in spark.table(name).collect()}
+
+    in1, counts1 = drain("ckpt_run1")
+    assert in1 == 10 and counts1 == {"click": 10}
+
+    batch2 = spark.createDataFrame(
+        [(100 + i, t0 + dt.timedelta(hours=1, minutes=i), 2, "view",
+          1.0, "{}") for i in range(5)], batch1.schema)
+    batch2.coalesce(1).write.mode("append").parquet(str(src))
+
+    in2, counts2 = drain("ckpt_run2")
+    assert in2 == 5                            # ONLY the new file read
+    assert counts2 == {"click": 10, "view": 5} # state restored + extended
