@@ -259,7 +259,7 @@ def anomalies_from_rollup(hourly: DataFrame, window_hours: int = 24,
     var_n2 = n * sq - s * s          # n^2 * variance
     out = (with_win
            .filter(n >= window_hours)                # full window only
-           .filter(dev_sq * n > threshold_sq * var_n2))
+           .filter(dev_sq > threshold_sq * var_n2))
     if bursts_only:
         out = out.filter(n * x > s)                  # spikes, not dips
     return (out
