@@ -70,11 +70,19 @@ def main() -> None:
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name in HEADLINE:
         spec = WORKLOAD[name]
         t0 = time.perf_counter()
-        df = spec.fn(spark, SF_DIR)
-        n = df.count()
+        # One broken query must not zero the whole round's bench signal:
+        # record the failure and keep measuring the rest.
+        try:
+            df = spec.fn(spark, SF_DIR)
+            n = df.count()
+        except Exception as exc:
+            failed.append(name)
+            print(f"# {name}: FAILED ({exc})", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
@@ -84,6 +92,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "failed": failed,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -65,12 +65,39 @@ SCALED_TABLES = {"documents", "embeddings"}
 
 
 def ensure_nanos_conf(spark: SparkSession) -> None:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects unless ``spark.sql.legacy.parquet.nanosAsLong`` is set.  The conf
-    is runtime-settable, so set it here rather than only in get_spark()'s
-    builder — the workload must be self-contained under ANY SparkSession
-    (e.g. the external correctness driver's)."""
+    """events.parquet has carried TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects unless ``spark.sql.legacy.parquet.nanosAsLong`` is set.
+    The conf is runtime-settable, so set it here rather than only in
+    get_spark()'s builder — the workload must be self-contained under ANY
+    SparkSession (e.g. the external correctness driver's).  Session timezone
+    is pinned to UTC for the same reason: ``normalize_event_ts``'s
+    NTZ→TIMESTAMP cast and every date_trunc are timezone-dependent, and the
+    oracle (DuckDB over naive timestamps) computes in UTC wall clock."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp column to a plain TIMESTAMP whatever
+    the parquet writer encoded:
+
+    * TIMESTAMP(NANOS) — read as ``bigint`` under nanosAsLong — becomes
+      ``timestamp_micros(ns DIV 1000)`` (integer DIV, no double rounding);
+    * ``timestamp_ntz`` (timestamp[us] without UTC adjustment, what the
+      current testdata carries) is cast to TIMESTAMP — wall-clock
+      preserving under the UTC session timezone pinned above.  NTZ must
+      not pass through raw: ``withWatermark`` rejects it and there is no
+      NTZ→BIGINT cast, so every downstream ts consumer would throw.
+
+    Single choke point for all five reader paths (batch ``load_events`` +
+    three readStream sources + the stateful stream)."""
+    from pyspark.sql import functions as F
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -85,13 +112,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with its TIMESTAMP(NANOS) column converted to a real
-    timestamp (microsecond precision, integer DIV so no double rounding)."""
-    from pyspark.sql import functions as F
-    df = load_table(spark, sf_dir, "events")
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    """events table with its on-disk timestamp encoding (nanos-as-bigint
+    or timestamp_ntz) normalized to a real TIMESTAMP column."""
+    return normalize_event_ts(load_table(spark, sf_dir, "events"))
 
 
 def events_schema(spark: SparkSession, sf_dir: str):

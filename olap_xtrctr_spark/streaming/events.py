@@ -26,7 +26,10 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization per user via lag + cumulative sum —
     one shuffle on user_id, deterministic (ties broken by event_id)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # unix_timestamp, not cast("long"): same seconds semantics on TIMESTAMP
+    # but it also resolves on timestamp_ntz input (no NTZ→BIGINT cast exists)
+    secs = F.unix_timestamp(F.col("ts"))
+    gap = secs - F.lag(secs).over(w)
     with_flag = events.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0))
@@ -69,16 +72,12 @@ def streaming_hourly_rollup(spark: SparkSession, source_dir: str,
     Append-mode capable: the watermark bounds state for late data.
     ``glob`` restricts which files of the directory are streamed (the
     file source requires a directory basePath)."""
-    from ..session import ensure_nanos_conf
+    from ..session import ensure_nanos_conf, normalize_event_ts
     ensure_nanos_conf(spark)
     reader = spark.readStream.schema(schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    stream = reader.parquet(source_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        # nanosAsLong read path (see session.load_events)
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = normalize_event_ts(reader.parquet(source_dir))
     return (stream
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -150,15 +149,12 @@ def streaming_sessionize(spark: SparkSession, source_dir: str, schema,
     still merges), and the batch ``sessionize`` splits only when the gap
     EXCEEDS the threshold over floor-seconds — so the same gap plus
     ``second_resolution=True`` reproduces the batch convention exactly."""
-    from ..session import ensure_nanos_conf
+    from ..session import ensure_nanos_conf, normalize_event_ts
     ensure_nanos_conf(spark)
     reader = spark.readStream.schema(schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    stream = reader.parquet(source_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = normalize_event_ts(reader.parquet(source_dir))
     if second_resolution:
         stream = stream.withColumn("ts", F.date_trunc("second", "ts"))
     return (stream
@@ -197,12 +193,12 @@ def streaming_dedup_counts(spark: SparkSession, source_dir: str, schema,
     production callers add a watermark so old keys age out of state
     (bounded replay here has no late data to bound).
     """
-    from ..session import ensure_nanos_conf
+    from ..session import ensure_nanos_conf, normalize_event_ts
     ensure_nanos_conf(spark)
     reader = spark.readStream.schema(schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    stream = reader.parquet(source_dir)
+    stream = normalize_event_ts(reader.parquet(source_dir))
     doubled = stream.union(stream)            # simulated redelivery
     return (doubled.dropDuplicates(["event_id"])
             .groupBy("event_type")
@@ -290,7 +286,8 @@ def funnel_conversion(events: DataFrame, first_type: str = "click",
     flagged = events.withColumn("_last_first", last_first)
     is_conv = ((F.col("event_type") == then_type)
                & F.col("_last_first").isNotNull()
-               & (F.col("ts").cast("long") - F.col("_last_first").cast("long")
+               & (F.unix_timestamp(F.col("ts"))
+                  - F.unix_timestamp(F.col("_last_first"))
                   <= within_minutes * 60)
                & (F.col("ts") >= F.col("_last_first")))
     return (flagged.groupBy("user_id")

@@ -45,15 +45,12 @@ def streaming_user_totals(spark: SparkSession, source_dir: str, schema,
     """readStream → groupBy(user_id) → applyInPandasWithState running
     totals.  Output mode 'update': each micro-batch emits one row per
     user whose state changed."""
-    from ..session import ensure_nanos_conf
+    from ..session import ensure_nanos_conf, normalize_event_ts
     ensure_nanos_conf(spark)
     reader = spark.readStream.schema(schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    stream = reader.parquet(source_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = normalize_event_ts(reader.parquet(source_dir))
     return (stream.groupBy("user_id")
             .applyInPandasWithState(
                 _update_running_totals,

@@ -1411,7 +1411,7 @@ def build_workload() -> dict[str, QuerySpec]:
         vocab AS (
           SELECT token, COUNT(*) AS tok_freq FROM toks GROUP BY token)
         SELECT doc_id, COUNT(*) AS n_tokens,
-               SUM(tok_freq) AS familiarity_sum
+               CAST(SUM(tok_freq) AS BIGINT) AS familiarity_sum
         FROM toks JOIN vocab USING (token)
         GROUP BY doc_id""")
 
@@ -1536,7 +1536,7 @@ def build_workload() -> dict[str, QuerySpec]:
     add("docs_length_histogram",
         lambda spark, sf: SM.length_histogram(_docs(spark, sf)),
         """SELECT CAST(n_chars // 200 AS BIGINT) * 200 AS bucket_lo,
-               COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+               COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents
         GROUP BY 1""")
 
@@ -2013,7 +2013,7 @@ def build_workload() -> dict[str, QuerySpec]:
     add("events_hourly_anomalies",
         lambda spark, sf: EV.hourly_anomalies(_events(spark, sf),
                                               window_hours=24,
-                                              threshold_sq=49),
+                                              threshold_sq=9),
         """WITH h AS (
           SELECT date_trunc('hour', ts) AS hour, event_type,
                  COUNT(*) AS n_events
@@ -2031,8 +2031,7 @@ def build_workload() -> dict[str, QuerySpec]:
         FROM win
         WHERE win_n >= 24
           AND (win_n * n_events - win_sum) * (win_n * n_events - win_sum)
-              * win_n
-              > 49 * (win_n * win_sq - win_sum * win_sum)
+              > 9 * (win_n * win_sq - win_sum * win_sum)
           AND win_n * n_events > win_sum""")
 
     # percentiles on the milli-quantized integer domain: both engines run
@@ -2107,7 +2106,8 @@ def build_workload() -> dict[str, QuerySpec]:
         rolled = EV.replay_hourly_rollup(spark, sf,
                                          _events_schema(spark, sf))
         return EV.anomalies_from_rollup(
-            rolled.select("hour", "event_type", "n_events"))
+            rolled.select("hour", "event_type", "n_events"),
+            threshold_sq=9)
 
     # the same detector over the REPLAYED streaming rollup — stream and
     # batch rollups are provably equal, so one oracle covers both
@@ -2129,8 +2129,7 @@ def build_workload() -> dict[str, QuerySpec]:
         FROM win
         WHERE win_n >= 24
           AND (win_n * n_events - win_sum) * (win_n * n_events - win_sum)
-              * win_n
-              > 49 * (win_n * win_sq - win_sum * win_sum)
+              > 9 * (win_n * win_sq - win_sum * win_sum)
           AND win_n * n_events > win_sum""")
 
     def stream_dedup(spark, sf):

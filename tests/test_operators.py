@@ -359,25 +359,35 @@ def test_keep_canonical_by_score_and_singletons(spark):
 
 
 def test_hourly_anomalies_flags_planted_burst(spark):
+    """Nonzero-variance background (hours alternate 2/4 events: mean 3,
+    var 1) so the reduced integer z-test is distinguishable from the old
+    buggy `dev_sq * n > th * var_n2` form: the planted 2σ wobble (5
+    events, z²=4) fires under the old form (which effectively tested
+    z² > th/n) but must NOT fire at 3σ; the 40-event burst must."""
     import datetime as dt
     base = dt.datetime(2025, 1, 1)
     rows = []
     eid = 0
-    for h in range(60):                       # 60 quiet hours: 2 events/h
-        for _ in range(2):
-            rows.append((eid, base + dt.timedelta(hours=h, minutes=eid % 50),
+
+    def plant(hour, n):
+        nonlocal eid
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(hours=hour,
+                                                  minutes=eid % 50),
                          1, "click", 1.0, "{}"))
             eid += 1
-    for _ in range(40):                       # hour 60: 20x burst
-        rows.append((eid, base + dt.timedelta(hours=60, minutes=eid % 50),
-                     1, "click", 1.0, "{}"))
-        eid += 1
+
+    for h in range(58):                       # alternating background
+        plant(h, 2 if h % 2 == 0 else 4)
+    plant(58, 5)                              # 2σ wobble: below 3σ
+    plant(59, 2)
+    plant(60, 40)                             # unmistakable burst
     ev = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, "
               "event_type string, value double, props string")
-    out = EV.hourly_anomalies(ev, window_hours=24, threshold_sq=49)
+    out = EV.hourly_anomalies(ev, window_hours=24, threshold_sq=9)
     hours = [r["hour"] for r in out.collect()]
-    assert hours == [base + dt.timedelta(hours=60)]  # burst only, no quiet hour
+    assert hours == [base + dt.timedelta(hours=60)]  # burst only, no wobble
 
 
 def test_funnel_conversion_window_semantics(spark):
