@@ -69,7 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("serve",
                        help="HTTP API mirroring the reference's routes")
-    s.add_argument("--host", default="0.0.0.0")
+    # loopback by default; pass --host 0.0.0.0 to expose deliberately
+    s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8000)
 
     s = sub.add_parser("workload",

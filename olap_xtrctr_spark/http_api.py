@@ -134,7 +134,9 @@ def _variables(service, m, qs, body):
     if sel is None:
         uniques = [a["MIEMBRO_UNIQUE_NAME"] for a in apartados]
     elif "[" in sel:
-        uniques = [unquote(s) for s in sel.split(";") if s]
+        # parse_qs already percent-decoded the value; a second unquote
+        # would corrupt member names containing literal % sequences
+        uniques = [s for s in sel.split(";") if s]
     else:
         idx = parse_range_list(sel, max_value=len(apartados))
         uniques = [apartados[i - 1]["MIEMBRO_UNIQUE_NAME"] for i in idx]
@@ -269,7 +271,7 @@ def serve_in_thread(service: OlapService, host: str = "127.0.0.1",
     return srv, t
 
 
-def serve(service: OlapService, host: str = "0.0.0.0",
+def serve(service: OlapService, host: str = "127.0.0.1",
           port: int = 8000) -> None:
     """Blocking entry point (CLI: python -m olap_xtrctr_spark serve)."""
     srv = make_server(service, host, port)

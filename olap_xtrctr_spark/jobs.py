@@ -10,6 +10,8 @@ mdx_query, status, result_data, error_message, created_at/updated_at.
 """
 from __future__ import annotations
 
+import json
+import os
 import threading
 import time
 import uuid
@@ -50,16 +52,58 @@ class Job:
 
 
 class JobRegistry:
-    """In-memory job table + background execution.  Thread-safe; the Spark
-    driver is safe for concurrent job submission (no COM-thread dance
-    needed — reference X3 is obsolete here)."""
+    """Job table + background execution.  Thread-safe; the Spark driver is
+    safe for concurrent job submission (no COM-thread dance needed —
+    reference X3 is obsolete here).
 
-    def __init__(self, max_workers: int = 4, result_limit: int = 10_000):
+    ``store_dir`` makes the table DURABLE, matching the persistence the
+    reference gets from its Postgres jobs table (``result_data JSONB``,
+    database/migrations/002_jobs_table.sql:5-14): every status transition
+    is written through to ``{store_dir}/{job_id}.json`` (atomic
+    write-temp-then-rename), and a new registry over the same directory
+    recovers all records — COMPLETED/FAILED verbatim; jobs that were
+    PENDING/RUNNING when the process died become FAILED('interrupted by
+    engine restart'), since their executing thread did not survive.  One
+    tiny driver-side JSON file per job — this is service metadata, not
+    data-plane state, so a distributed store would be the wrong tool."""
+
+    def __init__(self, max_workers: int = 4, result_limit: int = 10_000,
+                 store_dir: Optional[str] = None):
         self._jobs: dict[str, Job] = {}
         self._lock = threading.Lock()
         self._pool = ThreadPoolExecutor(max_workers=max_workers,
                                         thread_name_prefix="olap-job")
         self._result_limit = result_limit
+        self._store_dir = store_dir
+        if store_dir:
+            os.makedirs(store_dir, exist_ok=True)
+            self._recover()
+
+    def _persist(self, job: Job) -> None:
+        if not self._store_dir:
+            return
+        path = os.path.join(self._store_dir, f"{job.id}.json")
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(job.to_dict(), f)
+        os.replace(tmp, path)
+
+    def _recover(self) -> None:
+        assert self._store_dir is not None
+        for fn in sorted(os.listdir(self._store_dir)):
+            if not fn.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(self._store_dir, fn)) as f:
+                    job = Job(**json.load(f))
+            except Exception:
+                continue        # torn/foreign file: skip, don't crash boot
+            if job.status in (PENDING, RUNNING):
+                job.status = FAILED
+                job.error_message = "interrupted by engine restart"
+                job.updated_at = _now()
+                self._persist(job)
+            self._jobs[job.id] = job
 
     def submit(self, catalog_code: str, mdx_query: str,
                runner: Callable[[], DataFrame]) -> str:
@@ -69,6 +113,7 @@ class JobRegistry:
                   mdx_query=mdx_query)
         with self._lock:
             self._jobs[job.id] = job
+            self._persist(job)
         self._pool.submit(self._run, job.id, runner)
         return job.id
 
@@ -78,6 +123,7 @@ class JobRegistry:
             for k, v in kw.items():
                 setattr(job, k, v)
             job.updated_at = _now()
+            self._persist(job)
 
     def _run(self, job_id: str, runner: Callable[[], DataFrame]) -> None:
         self._update(job_id, status=RUNNING)

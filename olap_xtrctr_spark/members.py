@@ -113,8 +113,12 @@ _ACCENTS, _PLAIN = "áéíóúñü", "aeiounu"
 
 
 def _caption_tokens(col: Column) -> Column:
-    """lowercase + Spanish accent fold + alnum tokenization."""
-    return F.split(F.trim(F.lower(F.translate(col, _ACCENTS, _PLAIN))),
+    """lowercase + Spanish accent fold + alnum tokenization.  Lower FIRST,
+    then fold: the fold table holds lowercase accents only, so the other
+    order would leave 'Á'→'á' unfolded while the query side (which lowers
+    before folding) produced 'a' — uppercase accented captions would never
+    match."""
+    return F.split(F.trim(F.translate(F.lower(col), _ACCENTS, _PLAIN)),
                    "[^a-z0-9]+")
 
 

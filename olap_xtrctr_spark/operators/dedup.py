@@ -213,9 +213,21 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         posting = posting.filter(F.size("ids") <= max_doc_freq)
 
         def _report() -> None:
-            try:
-                dropped = obs.get.get("dropped") or 0
-            except Exception:
+            # Bounded: poll the JVM-side non-blocking getter instead of
+            # the forever-blocking Observation.get — if the caller never
+            # materializes the DataFrame, the thread exits at the deadline
+            # rather than leaking a parked thread per call.
+            import time
+            deadline = time.monotonic() + 600
+            while time.monotonic() < deadline:
+                try:
+                    if obs._jo is not None and not obs._jo.getOrEmpty().isEmpty():
+                        dropped = obs.get.get("dropped") or 0
+                        break
+                except Exception:
+                    return
+                time.sleep(0.5)
+            else:
                 return
             if dropped:
                 logging.getLogger(__name__).warning(

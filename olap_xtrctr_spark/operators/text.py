@@ -141,24 +141,33 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def pack_sequences(docs: DataFrame, window_tokens: int = 2048,
                    text_col: str = "text",
-                   order_col: str = "doc_id") -> DataFrame:
+                   order_col: str = "doc_id",
+                   shard_col: str | None = None) -> DataFrame:
     """Assign each document a training-sequence bin by SEQUENTIAL packing:
     documents in deterministic ``order_col`` order are concatenated and
     cut every ``window_tokens`` whitespace tokens (the standard pretrain
     packing discipline — greedy bin-packing is NP-ish and order-dependent;
     sequential packing is what large pipelines actually run).
 
-    bin = floor(cumulative_tokens_before_doc / window_tokens): one global
-    running sum.  At 100 TB the global window is the scale constraint —
-    compute per-shard bins instead by adding the shard key to the window
-    partition (callers pass a pre-bucketed corpus); the math is identical.
+    bin = floor(cumulative_tokens_before_doc / window_tokens).
+
+    ``shard_col=None`` runs ONE GLOBAL running sum — a single-reducer
+    window, fine for bounded corpora but the scale constraint at 100 TB.
+    Pass ``shard_col`` (a source/bucket key) to partition the window: each
+    shard packs independently in parallel and the cumsum never leaves its
+    partition — the form a real pretrain pipeline runs.  Bin ids are then
+    per-shard; globally unique ids are (shard, pack_bin).
     """
     n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    w = Window.orderBy(order_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
+    if shard_col is not None:
+        w = Window.partitionBy(shard_col).orderBy(order_col)
+    else:
+        w = Window.orderBy(order_col)
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = F.sum(n_tok).over(w) - n_tok        # tokens BEFORE this doc
+    keys = [order_col] if shard_col is None else [order_col, shard_col]
     return docs.select(
-        order_col, n_tok.alias("n_tokens"),
+        *keys, n_tok.alias("n_tokens"),
         (cum / window_tokens).cast("bigint").alias("pack_bin"))
 
 

@@ -28,12 +28,13 @@ MEMBER_PAGE_SIZE = 1000     # reference page size
 
 class OlapService:
     def __init__(self, spark: SparkSession, sf_dir: str,
-                 registry: Optional[CubeRegistry] = None):
+                 registry: Optional[CubeRegistry] = None,
+                 job_store_dir: Optional[str] = None):
         self.spark = spark
         self.sf_dir = sf_dir
         self.registry = registry or default_registry()
         self.engine = CubeQueryEngine(spark, self.registry, sf_dir)
-        self.jobs = JobRegistry()
+        self.jobs = JobRegistry(store_dir=job_store_dir)
         self._members_cache: dict[str, Any] = {}
 
     # ---- metadata endpoints ----------------------------------------------

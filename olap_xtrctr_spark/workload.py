@@ -79,9 +79,34 @@ _SUPP = view_cte("supplier_geo")
 _FACT_OW = "lineitem JOIN orders_wide ON l_orderkey = o_orderkey"
 
 
-# Count of leading entries already driver-graded green in rounds 1-2
-# (see the rotation note at the bottom of build_workload).
-_GRADED_PRIOR_ROUNDS = 50
+# ---- driver gate-window manifest -----------------------------------------
+# The external correctness gate grades the FIRST _GATE_WINDOW entries of
+# queries().  Instead of rotating the dict by a count (fragile — ADVICE r3),
+# an explicit manifest names the entries that need a fresh driver row this
+# round; everything after the front keeps build order, so the gate's
+# remaining slots re-grade the round-1/2 block (cube_*/tpch_*/members_*)
+# for regression coverage.  Entries past the window all have green rows
+# from earlier rounds; WORKLOAD.md documents which round graded what.
+_GATE_WINDOW = 50
+_R4_FRONT = [
+    # broken in r3, fixed this round — need a green driver row
+    "events_sessionize",
+    "events_funnel_conversion",
+    "events_stream_hourly",
+    "events_stream_anomalies",
+    "events_hourly_anomalies",
+    "docs_token_familiarity",
+    "docs_length_histogram",
+    # new this round
+    "docs_pack_sequences_sharded",
+    # approximate ops, rows-only by design (no exact SQL oracle exists);
+    # kept in the window so the driver keeps recording their row counts
+    "docs_minhash_lsh_pairs",
+    "docs_minhash_dedup_corpus",
+    "docs_simhash_pairs",
+    "emb_lsh_topk",
+    "emb_ivf_topk",
+]
 
 
 def build_workload() -> dict[str, QuerySpec]:
@@ -1156,8 +1181,8 @@ def build_workload() -> dict[str, QuerySpec]:
         FROM members
         WHERE MIEMBRO_CAPTION <> 'All'
           AND list_has_all(
-                regexp_split_to_array(trim(lower(translate(
-                  MIEMBRO_CAPTION, 'áéíóúñü', 'aeiounu'))), '[^a-z0-9]+'),
+                regexp_split_to_array(trim(translate(lower(
+                  MIEMBRO_CAPTION), 'áéíóúñü', 'aeiounu')), '[^a-z0-9]+'),
                 ['east', 'middle'])""")
 
     add("members_children_exact",
@@ -1376,6 +1401,19 @@ def build_workload() -> dict[str, QuerySpec]:
                     AS INTEGER) AS n_tokens,
                CAST(FLOOR((SUM(length(regexp_split_to_array(trim(text),
                         '\\s+'))) OVER (ORDER BY doc_id)
+                    - length(regexp_split_to_array(trim(text), '\\s+')))
+                    / 2048) AS BIGINT) AS pack_bin
+        FROM documents""")
+
+    # the scale path: per-shard packing windows (no single-reducer cumsum)
+    add("docs_pack_sequences_sharded",
+        lambda spark, sf: TX.pack_sequences(_docs(spark, sf), 2048,
+                                            shard_col="source"),
+        """SELECT doc_id, source,
+               CAST(length(regexp_split_to_array(trim(text), '\\s+'))
+                    AS INTEGER) AS n_tokens,
+               CAST(FLOOR((SUM(length(regexp_split_to_array(trim(text),
+                        '\\s+'))) OVER (PARTITION BY source ORDER BY doc_id)
                     - length(regexp_split_to_array(trim(text), '\\s+')))
                     / 2048) AS BIGINT) AS pack_bin
         FROM documents""")
@@ -2176,16 +2214,14 @@ def build_workload() -> dict[str, QuerySpec]:
         FROM events
         GROUP BY 1, 2""")
 
-    # Grading-window rotation: the driver's correctness gate grades the
-    # FIRST 50 entries of queries().  Rounds 1-2 graded the original
-    # first 50 (cube_* / tpch_* / members_* / docs_token_stats /
-    # docs_lang_id) — all green in CORRECTNESS_r01/r02.  Rotate the 47
-    # entries the gate has never seen (docs_quality_score ..
-    # events_user_activity) to the front so round 3 grades them; across
-    # the three rounds every workload query then has a driver-green row.
-    names = list(q)
-    rotated = names[_GRADED_PRIOR_ROUNDS:] + names[:_GRADED_PRIOR_ROUNDS]
-    return {n: q[n] for n in rotated}
+    # Order per the gate-window manifest (see _R4_FRONT above).
+    missing = [n for n in _R4_FRONT if n not in q]
+    assert not missing, f"gate manifest names unknown entries: {missing}"
+    assert len(q) > _GATE_WINDOW, \
+        "workload shrank below the driver's grading window"
+    front = set(_R4_FRONT)
+    ordered = _R4_FRONT + [n for n in q if n not in front]
+    return {n: q[n] for n in ordered}
 
 
 WORKLOAD = build_workload()

@@ -92,6 +92,19 @@ def test_fulltext_search_tokenized(mdf):
     assert M.fulltext_search_members(mdf, "  ").collect() == []
 
 
+def test_fulltext_uppercase_accent_fold(spark):
+    """Caption side must lower BEFORE folding: an uppercase accented
+    caption ('TÉCNICAS') has to match the plain query 'tecnicas' — the
+    old translate-then-lower order left 'É'→'é' unfolded."""
+    rows = [("Dim X", "H", "L", "CONSULTAS TÉCNICAS", "[Dim X].[H].&[1]")]
+    df = spark.createDataFrame(
+        rows, "DIMENSION string, JERARQUIA string, NIVEL_NOMBRE string, "
+              "MIEMBRO_CAPTION string, MIEMBRO_UNIQUE_NAME string")
+    caps = {r["MIEMBRO_CAPTION"] for r in
+            M.fulltext_search_members(df, "tecnicas consultas").collect()}
+    assert caps == {"CONSULTAS TÉCNICAS"}
+
+
 def test_members_disk_cache_roundtrip(spark, sf_dir):
     """X5: the parquet spill serves identical rows on a cold process."""
     from olap_xtrctr_spark import metadata

@@ -263,6 +263,25 @@ def test_pack_sequences_sequential_bins(spark):
     assert out == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1}
 
 
+def test_pack_sequences_sharded_bins_and_plan(spark):
+    """shard_col partitions the packing window: bins restart per shard,
+    and the plan has NO single-partition exchange (the global form's
+    one-reducer cumsum is exactly what this path exists to avoid)."""
+    docs = spark.createDataFrame(
+        [(i, "s0" if i <= 3 else "s1", "a b c") for i in range(1, 7)],
+        "doc_id long, source string, text string")
+    df = TX.pack_sequences(docs, window_tokens=7, shard_col="source")
+    out = {(r["source"], r["doc_id"]): r["pack_bin"] for r in df.collect()}
+    # per shard: cumulative-before = 0,3,6 -> bins 0,0,0 within EACH shard
+    assert out == {("s0", 1): 0, ("s0", 2): 0, ("s0", 3): 0,
+                   ("s1", 4): 0, ("s1", 5): 0, ("s1", 6): 0}
+    sharded_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in sharded_plan
+    global_plan = (TX.pack_sequences(docs, window_tokens=7)
+                   ._jdf.queryExecution().executedPlan().toString())
+    assert "SinglePartition" in global_plan   # the shape being avoided
+
+
 def test_streaming_dedup_replay_equals_batch_distinct(spark, sf_dir):
     from olap_xtrctr_spark.session import events_schema, load_events
     streamed = {(r["event_type"], r["n_events"])

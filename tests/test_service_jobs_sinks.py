@@ -62,6 +62,41 @@ def test_execute_query_response_shape(svc):
     assert all(set(r) == {"region", "total_registros"} for r in res["rows"])
 
 
+def test_job_store_survives_restart(spark, tmp_path):
+    """Durable jobs (reference 002_jobs_table.sql:5-14): COMPLETED state +
+    result payload survive a registry restart; a job left RUNNING by a
+    dead process is recovered as FAILED."""
+    import json
+    import uuid
+
+    from olap_xtrctr_spark.jobs import JobRegistry
+
+    store = str(tmp_path / "jobs")
+    reg = JobRegistry(store_dir=store)
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    jid = reg.submit("VENTAS_2025", "-- runner-backed", lambda: df)
+    assert reg.wait(jid, timeout=60)["status"] == COMPLETED
+
+    # simulated crash: a RUNNING record whose thread no longer exists
+    zombie_id = str(uuid.uuid4())
+    with open(os.path.join(store, f"{zombie_id}.json"), "w") as f:
+        json.dump({"id": zombie_id, "catalog_code": "VENTAS_2025",
+                   "mdx_query": "q", "status": "RUNNING",
+                   "result_data": None, "error_message": None,
+                   "created_at": "2026-01-01T00:00:00",
+                   "updated_at": "2026-01-01T00:00:00"}, f)
+    reg.shutdown()
+
+    reg2 = JobRegistry(store_dir=store)      # the "restart"
+    recovered = reg2.get(jid)
+    assert recovered["status"] == COMPLETED
+    assert recovered["result_data"]["count"] == 1
+    zombie = reg2.get(zombie_id)
+    assert zombie["status"] == FAILED
+    assert "restart" in zombie["error_message"]
+    reg2.shutdown()
+
+
 def test_job_lifecycle_success_and_failure(svc):
     jid = svc.submit_job(
         "VENTAS_2025",
