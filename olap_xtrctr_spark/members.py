@@ -111,6 +111,33 @@ def search_members(members: DataFrame, term: str,
 
 _ACCENTS, _PLAIN = "áéíóúñü", "aeiounu"
 
+# Light Spanish stemmer (Snowball-inspired suffix stripping) closing the
+# N17 gap vs the reference's `to_tsvector('spanish', caption)` GIN index
+# (database/migrations/001_initial_schema.sql:87-88): 'consultas' and
+# 'consulta' must meet at the same stem.  ONE regex, usable verbatim from
+# Java regex (Spark), Python re (query side) and RE2 (the DuckDB oracle —
+# RE2 has no lookbehind, so the minimum-stem guard is a non-greedy
+# 3+-char capture group instead).  The non-greedy prefix makes the engine
+# try the SHORTEST stem first, i.e. strip the LONGEST listed suffix;
+# suffixes at one split point have a fixed length, so list order between
+# equal-length suffixes never matters and all three engines agree.
+ES_STEM_SUFFIXES = [
+    "amientos", "imientos", "amiento", "imiento", "aciones", "uciones",
+    "amente", "adoras", "adores", "ancias", "encias", "idades", "logias",
+    "acion", "ucion", "adora", "ancia", "antes", "encia", "ibles", "ismos",
+    "istas", "logia", "mente", "ables", "able", "ador", "ante", "anza",
+    "ible", "ica", "ico", "idad", "ismo", "ista", "iva", "ivas", "ivo",
+    "ivos", "osa", "osas", "oso", "osos", "icas", "icos",
+    "es", "s",
+]
+ES_STEM_PATTERN = "^([a-z0-9]{3,}?)(" + "|".join(ES_STEM_SUFFIXES) + ")$"
+
+
+def stem_es(token: str) -> str:
+    """Python-side stem (query terms) — same pattern the engine and the
+    DuckDB oracle apply to caption tokens."""
+    return re.sub(ES_STEM_PATTERN, r"\1", token)
+
 
 def _caption_tokens(col: Column) -> Column:
     """lowercase + Spanish accent fold + alnum tokenization.  Lower FIRST,
@@ -123,25 +150,33 @@ def _caption_tokens(col: Column) -> Column:
 
 
 def fulltext_search_members(members: DataFrame, query: str,
-                            dimension: str | None = None) -> DataFrame:
+                            dimension: str | None = None,
+                            stem: bool = False) -> DataFrame:
     """N17 tokenized full-text search: the reference keeps a Spanish
     `to_tsvector` GIN index over captions
     (database/migrations/001_initial_schema.sql:87-88,128-129); the
     DataFrame analogue tokenizes the caption (lowercase, accent-folded,
     alnum tokens) and requires EVERY query term to appear as a token —
     `'a & b'` to_tsquery AND semantics, order-independent, unlike the
-    substring `contains` baseline (N8).  Spanish stemming is out of
-    scope (documented simplification)."""
+    substring `contains` baseline (N8).  ``stem=True`` additionally
+    stems both sides with the shared Spanish suffix stripper
+    (ES_STEM_PATTERN), matching to_tsvector's lexeme behavior:
+    'consultas' finds 'consulta', 'widgets' finds 'widget'."""
     terms = [t for t in
              re.split(r"[^a-z0-9]+",
                       query.lower().translate(str.maketrans(_ACCENTS,
                                                             _PLAIN)))
              if t]
+    if stem:
+        terms = [stem_es(t) for t in terms]
     if not terms:
         return members.filter(F.lit(False)).select(
             "DIMENSION", "JERARQUIA", "NIVEL_NOMBRE",
             "MIEMBRO_CAPTION", "MIEMBRO_UNIQUE_NAME")
     toks = _caption_tokens(F.col("MIEMBRO_CAPTION"))
+    if stem:
+        toks = F.transform(
+            toks, lambda t: F.regexp_replace(t, ES_STEM_PATTERN, "$1"))
     cond = F.col("MIEMBRO_CAPTION") != "All"
     for t in terms:
         cond = cond & F.array_contains(toks, t)

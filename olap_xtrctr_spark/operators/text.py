@@ -87,18 +87,21 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def top_tokens(docs: DataFrame, k: int = 20,
                text_col: str = "text") -> DataFrame:
     """Corpus-wide top-k tokens: explode → count (map-side combined) →
-    deterministic rank (ties by token).  The explode fans out with the
-    input partitioning; only k rows survive the final sort."""
+    ``ORDER BY … LIMIT k``, which Catalyst compiles to
+    TakeOrderedAndProject — each partition keeps its own top-k and only
+    k·P rows ever merge, so no task sorts the full vocabulary (a global
+    rank window would funnel the whole corpus vocab through one reducer
+    at 100 TB).  Ranks are assigned afterwards over just the k survivors."""
     from pyspark.sql import Window
     toks = docs.select(F.explode(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"))
     counts = (toks.filter(F.col("token") != "")
                   .groupBy("token")
                   .agg(F.count(F.lit(1)).alias("n")))
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
-    return (counts.withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= k)
-                  .select("rank", "token", "n"))
+    topk = counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))  # k rows only
+    return (topk.withColumn("rank", F.row_number().over(w))
+                .select("rank", "token", "n"))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -99,6 +99,7 @@ _R4_FRONT = [
     "docs_length_histogram",
     # new this round
     "docs_pack_sequences_sharded",
+    "members_fulltext_stemmed",
     # approximate ops, rows-only by design (no exact SQL oracle exists);
     # kept in the window so the driver keeps recording their row counts
     "docs_minhash_lsh_pairs",
@@ -850,9 +851,10 @@ def build_workload() -> dict[str, QuerySpec]:
         GROUP BY 1, 2""")
 
     def tpch_q10(spark, sf):
-        # returned-item revenue per customer, deterministic top 20
-        # (rank on the ALREADY-AGGREGATED per-customer table, ties broken
-        # by key — the single-partition window sees ~|customer| rows)
+        # returned-item revenue per customer, deterministic top 20: the
+        # ORDER BY+LIMIT compiles to TakeOrderedAndProject (per-partition
+        # top-20, k·P-row merge) so no task ever sorts the full
+        # per-customer table; the rank window then sees only 20 rows
         from pyspark.sql import Window
         li = load_table(spark, sf, "lineitem")
         o = load_table(spark, sf, "orders")
@@ -868,9 +870,9 @@ def build_workload() -> dict[str, QuerySpec]:
                     .groupBy("o_custkey")
                     .agg(F.sum(rev).cast("double").alias("revenue")))
         w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
-        top = (per_cust.withColumn(
-                   "rank", F.row_number().over(w).cast("int"))
-               .filter(F.col("rank") <= 20))
+        top = (per_cust.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+               .limit(20)
+               .withColumn("rank", F.row_number().over(w).cast("int")))
         return (top.join(c, F.col("o_custkey") == F.col("c_custkey"))
                 .join(F.broadcast(n),
                       F.col("c_nationkey") == F.col("n_nationkey"))
@@ -1184,6 +1186,26 @@ def build_workload() -> dict[str, QuerySpec]:
                 regexp_split_to_array(trim(translate(lower(
                   MIEMBRO_CAPTION), 'áéíóúñü', 'aeiounu')), '[^a-z0-9]+'),
                 ['east', 'middle'])""")
+
+    # N17 stemmed variant: both sides pass through the shared Spanish
+    # suffix stripper (members.ES_STEM_PATTERN — same regex in Spark's
+    # Java engine, Python re, and DuckDB's RE2), so the plural query
+    # 'blue widgets' finds the singular caption 'blue widget', matching
+    # the reference's to_tsvector('spanish') lexeme behavior.
+    add("members_fulltext_stemmed",
+        lambda spark, sf: M.fulltext_search_members(
+            _members(spark, sf), "blue widgets", stem=True),
+        _MEMBERS_CTE + f"""
+        SELECT DIMENSION, JERARQUIA, NIVEL_NOMBRE,
+               MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME
+        FROM members
+        WHERE MIEMBRO_CAPTION <> 'All'
+          AND list_has_all(
+                list_transform(
+                  regexp_split_to_array(trim(translate(lower(
+                    MIEMBRO_CAPTION), 'áéíóúñü', 'aeiounu')), '[^a-z0-9]+'),
+                  t -> regexp_replace(t, '{M.ES_STEM_PATTERN}', '\\1')),
+                ['blue', 'widget'])""")
 
     add("members_children_exact",
         lambda spark, sf: M.children_of(

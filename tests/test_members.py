@@ -105,6 +105,41 @@ def test_fulltext_uppercase_accent_fold(spark):
     assert caps == {"CONSULTAS TÉCNICAS"}
 
 
+def test_stem_es_python_side():
+    """The shared Spanish suffix stripper: longest listed suffix wins,
+    stems shorter than 3 chars are never produced."""
+    assert M.stem_es("consultas") == "consulta"
+    assert M.stem_es("regiones") == "region"
+    assert M.stem_es("rapidamente") == "rapid"
+    assert M.stem_es("proveedores") == "proveedor"
+    assert M.stem_es("widgets") == "widget"
+    assert M.stem_es("mes") == "mes"      # stem would drop below 3 chars
+    assert M.stem_es("la") == "la"        # too short to touch
+    assert M.stem_es("blue") == "blue"    # no listed suffix
+
+
+def test_fulltext_stemmed_matches_plural_query(spark):
+    """N17 stemmed mode: plural/derived query terms meet singular caption
+    tokens at the same stem — to_tsvector('spanish') lexeme behavior.
+    The unstemmed tokenized-AND baseline cannot make this match."""
+    rows = [("Dim X", "H", "L", "CONSULTA TÉCNICA", "[Dim X].[H].&[1]"),
+            ("Dim X", "H", "L", "blue widget", "[Dim X].[H].&[2]"),
+            ("Dim X", "H", "L", "red gear", "[Dim X].[H].&[3]")]
+    df = spark.createDataFrame(
+        rows, "DIMENSION string, JERARQUIA string, NIVEL_NOMBRE string, "
+              "MIEMBRO_CAPTION string, MIEMBRO_UNIQUE_NAME string")
+    caps = {r["MIEMBRO_CAPTION"] for r in
+            M.fulltext_search_members(df, "consultas técnicas",
+                                      stem=True).collect()}
+    assert caps == {"CONSULTA TÉCNICA"}
+    caps = {r["MIEMBRO_CAPTION"] for r in
+            M.fulltext_search_members(df, "blue widgets",
+                                      stem=True).collect()}
+    assert caps == {"blue widget"}
+    # unstemmed baseline misses the plural
+    assert M.fulltext_search_members(df, "blue widgets").collect() == []
+
+
 def test_members_disk_cache_roundtrip(spark, sf_dir):
     """X5: the parquet spill serves identical rows on a cold process."""
     from olap_xtrctr_spark import metadata

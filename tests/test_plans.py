@@ -89,6 +89,18 @@ def test_tpch_q21_no_expand(spark, sf_dir):
     assert "partial_count" in plan or "partial_sum" in plan
 
 
+def test_top_tokens_take_ordered_not_global_sort(spark, sf_dir):
+    """Corpus-wide top-k must compile to TakeOrderedAndProject (each
+    partition keeps k, only k·P rows merge) — a rank window here would
+    funnel the entire vocabulary through one reducer at 100 TB."""
+    from olap_xtrctr_spark.operators import text as TX
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(TX.top_tokens(docs, k=20))
+    assert "TakeOrderedAndProject" in plan
+    # the only Window left runs over the 20 surviving rows
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window")
+
+
 def test_sampling_ops_no_shuffle(spark, sf_dir):
     """hash_split / stratified_sample are pure projections — an Exchange
     in their plan means the determinism claim got more expensive than
