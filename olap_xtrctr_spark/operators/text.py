@@ -174,6 +174,67 @@ def pack_sequences(docs: DataFrame, window_tokens: int = 2048,
         (cum / window_tokens).cast("bigint").alias("pack_bin"))
 
 
+# ---- intra-document repetition (Gopher-style quality rules) ---------------
+
+def _gram_expr(k: int) -> str:
+    """SQL expr building the word-k-gram array from the `_toks` column —
+    all inside codegen: no explode, no shuffle, one pass per row.  The
+    size guard matters twice: sequence(1, 0) yields a DESCENDING [1, 0]
+    (not empty), and ANSI mode makes the out-of-bounds subscript throw."""
+    parts = ", ".join(f"_toks[i-1+{j}]" for j in range(k))
+    return (f"if(size(_toks) < {k}, array(), "
+            f"transform(sequence(1, size(_toks)-{k - 1}), "
+            f"i -> concat_ws(' ', {parts})))")
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    'Scaling Language Models', Table A1): duplicate-token and duplicate
+    2-/3-gram mass.  Emitted as EXACT integer counts (total vs distinct)
+    so any oracle agrees bit-for-bit; callers derive fractions.  Pure
+    per-row array arithmetic — narrow, shuffle-free, codegen-friendly:
+    the shape a 100 TB quality scrub needs."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.withColumn("_toks", toks)
+    out = d.select(
+        id_col,
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(F.col("_toks"))).cast("bigint")
+         .alias("n_distinct_tokens"),
+        *[c for k in (2, 3) for c in (
+            F.greatest(F.size("_toks") - (k - 1), F.lit(0)).cast("bigint")
+             .alias(f"n_{k}grams"),
+            F.size(F.array_distinct(F.expr(_gram_expr(k)))).cast("bigint")
+             .alias(f"n_distinct_{k}grams"))],
+    )
+    return out
+
+
+def repetition_filter(docs: DataFrame,
+                      max_dup_token_frac: float = 0.7,
+                      max_dup_2gram_frac: float = 0.5,
+                      min_tokens: int = 10,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Keep documents whose repeated-token / repeated-2-gram mass stays
+    under the Gopher-style thresholds.  Same per-row arithmetic as
+    repetition_stats, fused into one filter — predicate-only, so Catalyst
+    keeps it next to the scan and nothing widens."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.withColumn("_toks", toks)
+    n = F.size("_toks").cast("double")
+    n2 = F.greatest(F.size("_toks") - 1, F.lit(0)).cast("double")
+    dup_tok = F.when(n > 0, 1.0 - F.size(F.array_distinct(F.col("_toks"))) / n
+                     ).otherwise(0.0)
+    dup_2g = F.when(n2 > 0, 1.0 - F.size(
+        F.array_distinct(F.expr(_gram_expr(2)))) / n2).otherwise(0.0)
+    return (d.filter((F.size("_toks") >= min_tokens)
+                     & (dup_tok <= max_dup_token_frac)
+                     & (dup_2g <= max_dup_2gram_frac))
+            .drop("_toks"))
+
+
 def strip_markup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Boilerplate cleaning pass: drop HTML/XML tags, unescape the five
     XML entities, collapse runs of whitespace.  Chained JVM regex —

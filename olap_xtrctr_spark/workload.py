@@ -100,6 +100,8 @@ _R4_FRONT = [
     # new this round
     "docs_pack_sequences_sharded",
     "members_fulltext_stemmed",
+    "docs_repetition_stats",
+    "docs_repetition_filter",
     # approximate ops, rows-only by design (no exact SQL oracle exists);
     # kept in the window so the driver keeps recording their row counts
     "docs_minhash_lsh_pairs",
@@ -1372,6 +1374,45 @@ def build_workload() -> dict[str, QuerySpec]:
                      AND n_chars / greatest(n_tokens, 1) <= 12.0
                     THEN 0.2 ELSE 0.0 END), 4) AS quality_score
         FROM q""")
+
+    # Gopher-style intra-doc repetition (exact integer counts — callers
+    # derive fractions; ints survive the Arrow edge bit-for-bit)
+    add("docs_repetition_stats",
+        lambda spark, sf: TX.repetition_stats(_docs(spark, sf)),
+        r"""WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+          CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_2grams,
+          CAST(len(list_distinct(list_transform(
+                range(1, greatest(len(toks) - 1, 0) + 1),
+                i -> toks[i] || ' ' || toks[i+1]))) AS BIGINT)
+            AS n_distinct_2grams,
+          CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_3grams,
+          CAST(len(list_distinct(list_transform(
+                range(1, greatest(len(toks) - 2, 0) + 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+               AS BIGINT) AS n_distinct_3grams
+        FROM t""")
+
+    add("docs_repetition_filter",
+        lambda spark, sf: TX.repetition_filter(
+            _docs(spark, sf), max_dup_token_frac=0.5501,
+            max_dup_2gram_frac=0.2501, min_tokens=20),
+        r"""WITH t AS (
+          SELECT *, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents)
+        SELECT doc_id, text, lang, source, n_chars
+        FROM t
+        WHERE len(toks) >= 20
+          AND 1.0 - len(list_distinct(toks)) * 1.0 / len(toks) <= 0.5501
+          AND 1.0 - len(list_distinct(list_transform(
+                range(1, greatest(len(toks) - 1, 0) + 1),
+                i -> toks[i] || ' ' || toks[i+1]))) * 1.0
+              / greatest(len(toks) - 1, 1) <= 0.2501""")
 
     add("docs_top_tokens",
         lambda spark, sf: TX.top_tokens(_docs(spark, sf), k=20),

@@ -109,6 +109,35 @@ def test_quality_score_bands(spark):
     assert 0.0 <= out[0] <= 1.0
 
 
+def test_repetition_stats_counts(spark):
+    """'a b a b' → 4 tokens / 2 distinct; 3 bigrams ('a b','b a','a b')
+    / 2 distinct; 2 trigrams, both distinct."""
+    df = _docs(spark, ["a b a b", "w x y z", "solo"])
+    out = {r["doc_id"]: r for r in TX.repetition_stats(df).collect()}
+    r0 = out[0]
+    assert (r0["n_tokens"], r0["n_distinct_tokens"]) == (4, 2)
+    assert (r0["n_2grams"], r0["n_distinct_2grams"]) == (3, 2)
+    assert (r0["n_3grams"], r0["n_distinct_3grams"]) == (2, 2)
+    r1 = out[1]                       # no repetition at all
+    assert r1["n_distinct_tokens"] == r1["n_tokens"] == 4
+    assert r1["n_distinct_2grams"] == r1["n_2grams"] == 3
+    assert out[2]["n_2grams"] == 0    # single token: zero bigrams
+
+
+def test_repetition_filter_drops_loops(spark):
+    loop = " ".join(["spam ham"] * 20)          # dup_2gram_frac ≈ 0.95
+    clean = " ".join(f"tok{i}" for i in range(40))
+    df = _docs(spark, [loop, clean, "too short"])
+    kept = [r["doc_id"] for r in TX.repetition_filter(
+        df, max_dup_token_frac=0.96, max_dup_2gram_frac=0.5,
+        min_tokens=10).collect()]
+    assert kept == [1]
+    # plan stays a pure predicate over the scan: no shuffle introduced
+    plan = TX.repetition_filter(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_embedding_near_dups_finds_identical(spark):
     from olap_xtrctr_spark.operators.dedup import embedding_near_dups
     rows = [Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
