@@ -104,6 +104,32 @@ def top_tokens(docs: DataFrame, k: int = 20,
                 .select("rank", "token", "n"))
 
 
+# GPT-2-style pre-tokenizer, constrained to syntax BOTH Java regex (Spark)
+# and RE2 (the DuckDB oracle) accept: \p{L}/\p{N} classes yes, but NO
+# lookahead — the canonical pattern's trailing `\s+(?!\S)` branch is
+# dropped, which only changes how runs of trailing whitespace group (one
+# token either way for the counting use-case).
+BPE_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def token_count_bpe(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace AND BPE-ish token counts per document — the cheap
+    JVM-side proxy for 'how many model tokens is this corpus' that a
+    pretrain budget estimate needs before any real tokenizer runs.
+    regexp_count stays inside codegen: narrow, shuffle-free."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(t), r"\s+")).cast("bigint")
+         .alias("n_tokens_ws"),
+        F.regexp_count(t, F.lit(BPE_SPLIT_PATTERN)).cast("bigint")
+         .alias("n_tokens_bpe"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over the lowercased alphanumeric skeleton
     (whitespace/punct-insensitive near-exact dedup key)."""

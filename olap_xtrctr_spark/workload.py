@@ -102,6 +102,7 @@ _R4_FRONT = [
     "members_fulltext_stemmed",
     "docs_repetition_stats",
     "docs_repetition_filter",
+    "docs_token_count_bpe",
     # approximate ops, rows-only by design (no exact SQL oracle exists);
     # kept in the window so the driver keeps recording their row counts
     "docs_minhash_lsh_pairs",
@@ -1374,6 +1375,18 @@ def build_workload() -> dict[str, QuerySpec]:
                      AND n_chars / greatest(n_tokens, 1) <= 12.0
                     THEN 0.2 ELSE 0.0 END), 4) AS quality_score
         FROM q""")
+
+    # whitespace + BPE-ish token counting (pretrain-budget proxy); the
+    # shared pattern is Java-regex/RE2-safe so the oracle runs it verbatim
+    add("docs_token_count_bpe",
+        lambda spark, sf: TX.token_count_bpe(_docs(spark, sf)),
+        r"""SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+            AS n_tokens_ws,
+          CAST(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+            AS BIGINT) AS n_tokens_bpe
+        FROM documents""")
 
     # Gopher-style intra-doc repetition (exact integer counts — callers
     # derive fractions; ints survive the Arrow edge bit-for-bit)

@@ -109,6 +109,16 @@ def test_quality_score_bands(spark):
     assert 0.0 <= out[0] <= 1.0
 
 
+def test_token_count_bpe_splits_punct_and_contractions(spark):
+    """'don't stop!' is 2 whitespace tokens but 4 BPE-ish pieces
+    (don / 't / _stop / !) — the divergence a budget estimate needs."""
+    df = _docs(spark, ["don't stop!", "plain words only"])
+    out = {r["doc_id"]: r for r in TX.token_count_bpe(df).collect()}
+    assert out[0]["n_tokens_ws"] == 2
+    assert out[0]["n_tokens_bpe"] == 4
+    assert out[1]["n_tokens_ws"] == out[1]["n_tokens_bpe"] == 3
+
+
 def test_repetition_stats_counts(spark):
     """'a b a b' → 4 tokens / 2 distinct; 3 bigrams ('a b','b a','a b')
     / 2 distinct; 2 trigrams, both distinct."""
