@@ -34,9 +34,11 @@ KEYED = {
     # key-shifted copies share TEXT: every replica is an exact dup of its
     # original, so the dedup probes see realistic heavy duplication
     "documents": ["doc_id"],
+    # shifted user/event ids: user count grows 10x (sessionize windows
+    # stay narrow per user), hourly rollup rows get 10x denser
+    "events": ["event_id", "user_id"],
 }
-ASIS = ["region", "nation", "supplier", "part",
-        "embeddings", "events"]
+ASIS = ["region", "nation", "supplier", "part", "embeddings"]
 
 PROBE_QUERIES = [
     "cube_nation_sales",
@@ -50,8 +52,18 @@ PROBE_QUERIES = [
     "tpch_q21_waiting_orders",
     "docs_hash_split",
     "docs_pack_sequences",
+    "docs_pack_sequences_sharded",
     "docs_incremental_dedup",
     "docs_exact_dedup_keep",
+    # round-4 additions
+    "docs_repetition_stats",
+    "docs_repetition_filter",
+    "docs_token_count_bpe",
+    "docs_top_tokens",
+    "events_sessionize",
+    "events_hourly_rollup",
+    "events_hourly_anomalies",
+    "events_funnel_conversion",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
