@@ -103,6 +103,7 @@ _R4_FRONT = [
     "docs_repetition_stats",
     "docs_repetition_filter",
     "docs_token_count_bpe",
+    "emb_semantic_dedup_clusters",
     # approximate ops, rows-only by design (no exact SQL oracle exists);
     # kept in the window so the driver keeps recording their row counts
     "docs_minhash_lsh_pairs",
@@ -1774,6 +1775,33 @@ def build_workload() -> dict[str, QuerySpec]:
                * sqrt(list_sum(list_transform(b.embedding,
                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
               >= 0.45""")
+
+    # SemDeDup-style semantic dedup (Abbas et al. 2023): exact-cosine
+    # near-dup pairs → connected components; cluster == vec_id marks the
+    # canonical keeper.  Same min-label propagation as the text path;
+    # the oracle closes the identical edge set with a recursive CTE.
+    _COS = """list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(a.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+    add("emb_semantic_dedup_clusters",
+        lambda spark, sf: D.near_dup_clusters(
+            D.embedding_near_dups(_emb(spark, sf), threshold=0.45))
+            .withColumnRenamed("doc_id", "vec_id"),
+        f"""WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE {_COS} >= 0.45),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION SELECT src, src FROM edges
+          UNION SELECT r.src, e.dst
+          FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS vec_id, MIN(dst) AS cluster FROM reach GROUP BY src""")
 
     # end-to-end dedup pipeline: exact jaccard pairs → connected
     # components.  Spark runs distributed min-label propagation; the
