@@ -1,0 +1,95 @@
+"""Temporal / range join operators Spark lacks as builtins.
+
+Spark's optimizer turns an inequality-only join condition into a
+BroadcastNestedLoopJoin — quadratic work and a broadcast of a whole
+side, the classic 100 TB scale-killer.  Both operators here re-express
+the semantics as equi-join-shaped plans:
+
+* ``asof_join`` — pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+  (backward, inclusive) via the union+window trick: one shuffle on the
+  key, linear work, no range explosion.
+* ``bin_range_join`` — interval containment via integer binning: each
+  interval explodes to the bins it overlaps, rows equi-join on their
+  bin, an exact filter removes bin-edge false positives.  Works when
+  BOTH sides are large (no broadcast requirement).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              suffix: str = "_right",
+              tolerance_seconds: int | None = None) -> DataFrame:
+    """Backward as-of join: attach to each left row the LATEST right row
+    with ``right_ts <= left_ts`` in the same ``key`` group (inclusive —
+    DuckDB ``ASOF JOIN`` / pandas ``merge_asof`` semantics); left rows
+    with no prior right row keep NULLs.
+
+    Implementation: tag both sides, ``unionByName`` on (key, ts), and
+    carry the last non-null right payload forward with ONE window
+    partitioned by the key — a single shuffle, no inequality join, no
+    BroadcastNestedLoopJoin.  Right rows order before left rows at equal
+    timestamps (tag 0 < 1), which is what makes the match inclusive.
+
+    Determinism: if several right rows share (key, right_ts), which one
+    wins is tie-dependent — pre-dedup the right side (row_number over a
+    stable order) when that matters; the workload entry does.
+
+    ``tolerance_seconds``: matches older than the tolerance are nulled
+    out (pandas ``merge_asof(tolerance=...)``).
+    """
+    payload = [c for c in right.columns if c not in (key, right_ts)]
+    out_cols = [c + suffix for c in payload] + [right_ts + suffix]
+    l_sel = left.select("*", F.col(left_ts).alias("_ats"),
+                        F.lit(1).alias("_side"))
+    r_sel = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias(right_ts + suffix),
+        *[F.col(c).alias(c + suffix) for c in payload])
+    u = l_sel.unionByName(r_sel, allowMissingColumns=True)
+    w = (Window.partitionBy(key).orderBy(F.col("_ats").asc(),
+                                         F.col("_side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    for c in out_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    matched = u.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        ok = (F.unix_timestamp(F.col("_ats"))
+              - F.unix_timestamp(F.col(right_ts + suffix))
+              <= F.lit(tolerance_seconds))
+        for c in out_cols:
+            matched = matched.withColumn(c, F.when(ok, F.col(c)))
+    return matched.select(*left.columns, *out_cols)
+
+
+def bin_range_join(left: DataFrame, ranges: DataFrame, value_col: str,
+                   lo_col: str = "lo", hi_col: str = "hi",
+                   bin_width: float = 1.0) -> DataFrame:
+    """Join left rows to interval rows with ``lo <= value < hi``
+    (half-open) WITHOUT an inequality join: intervals explode to the
+    integer bins they overlap (fanout = interval_span / bin_width,
+    bounded and chosen by the caller), rows compute their bin, both
+    sides equi-join on the bin id — shuffle-shaped, AQE-optimizable,
+    valid even when the ranges side is far too big to broadcast — and
+    an exact predicate drops bin-edge false positives.
+
+    ``bin_width`` trades fanout (small width → many bin copies per
+    interval) against false-positive filtering (large width → more
+    non-matching candidates per bin); interval span is the right order
+    of magnitude.
+    """
+    binned_ranges = ranges.withColumn(
+        "_bin", F.explode(F.sequence(
+            F.floor(F.col(lo_col) / bin_width).cast("long"),
+            F.floor(F.col(hi_col) / bin_width).cast("long"))))
+    return (left.withColumn(
+                "_bin", F.floor(F.col(value_col) / bin_width).cast("long"))
+            .join(binned_ranges, "_bin")
+            .filter((F.col(value_col) >= F.col(lo_col))
+                    & (F.col(value_col) < F.col(hi_col)))
+            .drop("_bin"))

@@ -104,6 +104,8 @@ _R4_FRONT = [
     "docs_repetition_filter",
     "docs_token_count_bpe",
     "emb_semantic_dedup_clusters",
+    "events_asof_click_attribution",
+    "events_value_range_tiers",
     # approximate ops, rows-only by design (no exact SQL oracle exists);
     # kept in the window so the driver keeps recording their row counts
     "docs_minhash_lsh_pairs",
@@ -2317,6 +2319,74 @@ def build_workload() -> dict[str, QuerySpec]:
                {SUM_D('value')} AS sum_value
         FROM events
         GROUP BY 1, 2""")
+
+    # ---- temporal / range joins (operators/joins.py) -----------------
+
+    # as-of click attribution: each purchase gets the latest prior click
+    # of the same user (inclusive).  Spark side = union+window asof_join;
+    # oracle = DuckDB's native ASOF LEFT JOIN over the same deduped
+    # click stream (same-ts clicks deduped identically on both sides so
+    # the tie choice is engine-independent).
+    def asof_attribution(spark, sf):
+        from pyspark.sql import Window
+        from .operators import joins as J
+        ev = _events(spark, sf)
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts",
+            F.col("value").alias("purchase_value"))
+        cw = Window.partitionBy("user_id", "ts") \
+            .orderBy(F.col("event_id").desc())
+        clicks = (ev.filter(F.col("event_type") == "click")
+                  .withColumn("_rn", F.row_number().over(cw))
+                  .filter(F.col("_rn") == 1)
+                  .select("user_id", "ts", F.col("value").alias("cv")))
+        out = J.asof_join(purchases, clicks, key="user_id")
+        return out.select(
+            "event_id", "user_id", "ts", "purchase_value",
+            F.col("ts_right").alias("click_ts"),
+            F.col("cv_right").alias("click_value"))
+
+    add("events_asof_click_attribution", asof_attribution,
+        """WITH p AS (
+          SELECT event_id, user_id, ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, ts, value AS click_value
+          FROM events WHERE event_type = 'click'
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) = 1)
+        SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+               p.purchase_value,
+               CAST(c.ts AS TIMESTAMP) AS click_ts, c.click_value
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts""")
+
+    # binned range join: events bucketed into half-open value tiers via
+    # bin-explode + equi-join (no BroadcastNestedLoopJoin), aggregated
+    # per tier; oracle uses the plain inequality join.
+    _TIERS = [("micro", 0.0, 10.0), ("small", 10.0, 50.0),
+              ("mid", 50.0, 150.0), ("large", 150.0, 300.0),
+              ("huge", 300.0, 1000.0)]
+
+    def range_tiers(spark, sf):
+        from .operators import joins as J
+        ev = _events(spark, sf).select("event_id", "value")
+        ranges = spark.createDataFrame(
+            _TIERS, "tier string, lo double, hi double")
+        joined = J.bin_range_join(ev, ranges, "value", bin_width=50.0)
+        return (joined.groupBy("tier")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum(F.col("value").cast("decimal(18,4)"))
+                      .cast("double").alias("sum_value")))
+
+    add("events_value_range_tiers", range_tiers,
+        f"""WITH tiers(tier, lo, hi) AS (VALUES
+          ('micro', 0.0, 10.0), ('small', 10.0, 50.0),
+          ('mid', 50.0, 150.0), ('large', 150.0, 300.0),
+          ('huge', 300.0, 1000.0))
+        SELECT tier, COUNT(*) AS n_events, {SUM_D('value')} AS sum_value
+        FROM events JOIN tiers ON value >= lo AND value < hi
+        GROUP BY tier""")
 
     # Order per the gate-window manifest (see _R4_FRONT above).
     missing = [n for n in _R4_FRONT if n not in q]

@@ -1,0 +1,65 @@
+"""asof_join / bin_range_join semantics and plan-shape guards."""
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from olap_xtrctr_spark.operators import joins as J
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_backward_inclusive_and_null(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, ts=_ts(10)), Row(k=1, ts=_ts(12)),
+         Row(k=2, ts=_ts(9))])
+    right = spark.createDataFrame(
+        [Row(k=1, ts=_ts(10), px=100.0),    # equal ts: inclusive match
+         Row(k=1, ts=_ts(11), px=110.0),
+         Row(k=2, ts=_ts(23), px=999.0)])   # only AFTER left → no match
+    out = {(r["k"], r["ts"]): (r["px_right"], r["ts_right"])
+           for r in J.asof_join(left, right, key="k").collect()}
+    assert out[(1, _ts(10))] == (100.0, _ts(10))   # inclusive
+    assert out[(1, _ts(12))] == (110.0, _ts(11))   # latest prior
+    assert out[(2, _ts(9))] == (None, None)        # nothing prior
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame([Row(k=1, ts=_ts(12))])
+    right = spark.createDataFrame([Row(k=1, ts=_ts(10), px=1.0)])
+    fresh = J.asof_join(left, right, key="k",
+                        tolerance_seconds=3 * 3600).collect()[0]
+    stale = J.asof_join(left, right, key="k",
+                        tolerance_seconds=3600).collect()[0]
+    assert fresh["px_right"] == 1.0
+    assert stale["px_right"] is None
+
+
+def test_asof_plan_single_shuffle_no_nested_loop(spark):
+    left = spark.createDataFrame([Row(k=1, ts=_ts(10))])
+    right = spark.createDataFrame([Row(k=1, ts=_ts(9), px=1.0)])
+    plan = _plan(J.asof_join(left, right, key="k"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan          # union+window, no join at all
+
+
+def test_bin_range_join_boundaries_and_spanning(spark):
+    left = spark.createDataFrame(
+        [Row(id=i, v=float(v)) for i, v in
+         enumerate([0.0, 9.99, 10.0, 49.99, 50.0, 149.0])])
+    ranges = spark.createDataFrame(
+        [Row(tier="a", lo=0.0, hi=10.0),     # narrow: inside one bin
+         Row(tier="b", lo=10.0, hi=50.0),    # spans several 7-wide bins
+         Row(tier="c", lo=50.0, hi=150.0)])
+    out = {r["id"]: r["tier"] for r in J.bin_range_join(
+        left, ranges, "v", bin_width=7.0).collect()}
+    assert out == {0: "a", 1: "a", 2: "b", 3: "b", 4: "c", 5: "c"}
+    # lo inclusive, hi exclusive: every boundary value lands exactly once
+    plan = _plan(J.bin_range_join(left, ranges, "v", bin_width=7.0))
+    assert "BroadcastNestedLoopJoin" not in plan
