@@ -106,6 +106,7 @@ _R4_FRONT = [
     "emb_semantic_dedup_clusters",
     "events_asof_click_attribution",
     "events_value_range_tiers",
+    "events_hll_users_by_type",
     # approximate ops, rows-only by design (no exact SQL oracle exists);
     # kept in the window so the driver keeps recording their row counts
     "docs_minhash_lsh_pairs",
@@ -2319,6 +2320,20 @@ def build_workload() -> dict[str, QuerySpec]:
                {SUM_D('value')} AS sum_value
         FROM events
         GROUP BY 1, 2""")
+
+    # HLL distinct users per event type, built by MERGING per-hour
+    # partial sketches (the persisted-state rollup path, not a direct
+    # pass) — rows-only: DataSketches estimates are deterministic for
+    # Spark but no SQL oracle reproduces them; tests/test_operators.py
+    # pins the estimate within 2% of exact.
+    def hll_users(spark, sf):
+        from .operators import sketches as SK
+        ev = _events(spark, sf).withColumn(
+            "hour", F.date_trunc("hour", F.col("ts")))
+        partials = SK.hll_partial(ev, ["event_type", "hour"], "user_id")
+        return SK.hll_rollup(partials, ["event_type"]).orderBy("event_type")
+
+    add("events_hll_users_by_type", hll_users, None)
 
     # ---- temporal / range joins (operators/joins.py) -----------------
 

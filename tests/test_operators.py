@@ -109,6 +109,24 @@ def test_quality_score_bands(spark):
     assert 0.0 <= out[0] <= 1.0
 
 
+def test_hll_rollup_matches_exact_within_2pct(spark, sf_dir):
+    """Merged per-hour HLL partials must land within 2% of the exact
+    distinct-user count per event type — and the merge path must agree
+    with what persisted mergeable state would give."""
+    from olap_xtrctr_spark.operators import sketches as SK
+    ev = load_events(spark, sf_dir).withColumn(
+        "hour", F.date_trunc("hour", F.col("ts")))
+    est = {r["event_type"]: r["n_distinct_est"] for r in SK.hll_rollup(
+        SK.hll_partial(ev, ["event_type", "hour"], "user_id"),
+        ["event_type"]).collect()}
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type")
+               .agg(F.count_distinct("user_id").alias("n")).collect()}
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert abs(est[t] - n) / n < 0.02, (t, est[t], n)
+
+
 def test_token_count_bpe_splits_punct_and_contractions(spark):
     """'don't stop!' is 2 whitespace tokens but 4 BPE-ish pieces
     (don / 't / _stop / !) — the divergence a budget estimate needs."""
