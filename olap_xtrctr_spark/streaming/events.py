@@ -184,6 +184,61 @@ def replay_hourly_rollup(spark: SparkSession, source_dir: str,
     return drain_stream_to_table(spark, sdf, "events_stream_hourly")
 
 
+def streaming_interval_join(spark: SparkSession, source_dir: str, schema,
+                            window_seconds: int = 3600,
+                            watermark: str = "2 hours",
+                            glob: str | None = None) -> DataFrame:
+    """Stream-stream INTERVAL JOIN: every purchase matches every click
+    by the same user in the preceding ``window_seconds`` (inclusive).
+
+    This is the hardest streaming shape Spark supports: both inputs are
+    unbounded, so BOTH carry watermarks and the join predicate bounds
+    event time in both directions — that pair of constraints is what
+    lets the state store evict buffered clicks older than
+    watermark + window instead of holding the full history (state is
+    O(window · rate), not O(stream)).  Inner joins emit as soon as the
+    match arrives; only state *eviction* waits for the watermark."""
+    from ..session import ensure_nanos_conf, normalize_event_ts
+    ensure_nanos_conf(spark)
+
+    def src():
+        reader = spark.readStream.schema(schema)
+        if glob:
+            reader = reader.option("pathGlobFilter", glob)
+        return normalize_event_ts(reader.parquet(source_dir))
+
+    clicks = (src().filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("click_ts"),
+                      F.col("value").alias("click_value"))
+              .withWatermark("click_ts", watermark))
+    purchases = (src().filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("user_id"),
+                         F.col("event_id").alias("event_id"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("value").alias("purchase_value"))
+                 .withWatermark("purchase_ts", watermark))
+    cond = ((F.col("c_user") == F.col("user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("click_ts")
+               + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")))
+    return (purchases.join(clicks, cond, "inner")
+            .select("event_id", "user_id", "purchase_ts",
+                    "purchase_value", "click_ts", "click_value"))
+
+
+def replay_interval_join(spark: SparkSession, source_dir: str, schema,
+                         window_seconds: int = 3600,
+                         glob: str = "events.parquet") -> DataFrame:
+    """Bounded availableNow replay of the stream-stream interval join
+    (append mode — the only mode stream-stream joins support)."""
+    sdf = streaming_interval_join(spark, source_dir, schema,
+                                  window_seconds=window_seconds, glob=glob)
+    return drain_stream_to_table(spark, sdf, "events_stream_ssjoin",
+                                 output_mode="append")
+
+
 def streaming_dedup_counts(spark: SparkSession, source_dir: str, schema,
                            glob: str | None = None) -> DataFrame:
     """Exactly-once ingestion over an at-least-once source: the stream is

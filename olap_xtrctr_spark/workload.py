@@ -107,6 +107,7 @@ _R4_FRONT = [
     "events_asof_click_attribution",
     "events_value_range_tiers",
     "events_hll_users_by_type",
+    "events_stream_click_purchase_join",
     # approximate ops, rows-only by design (no exact SQL oracle exists);
     # kept in the window so the driver keeps recording their row counts
     "docs_minhash_lsh_pairs",
@@ -2320,6 +2321,24 @@ def build_workload() -> dict[str, QuerySpec]:
                {SUM_D('value')} AS sum_value
         FROM events
         GROUP BY 1, 2""")
+
+    # stream-stream interval join: purchases ⋈ preceding-hour clicks per
+    # user, both sides watermarked, event time bounded in both
+    # directions (state = O(window·rate)); bounded append-mode replay
+    # equals the batch interval join, so a plain SQL join is the oracle.
+    def stream_ssjoin(spark, sf):
+        return EV.replay_interval_join(spark, sf, _events_schema(spark, sf))
+
+    add("events_stream_click_purchase_join", stream_ssjoin,
+        """SELECT p.event_id, p.user_id,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+               p.value AS purchase_value,
+               CAST(c.ts AS TIMESTAMP) AS click_ts,
+               c.value AS click_value
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""")
 
     # HLL distinct users per event type, built by MERGING per-hour
     # partial sketches (the persisted-state rollup path, not a direct

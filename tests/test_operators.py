@@ -215,6 +215,24 @@ def test_streaming_replay_equals_batch(spark, sf_dir):
     assert stream == batch
 
 
+def test_streaming_interval_join_equals_batch(spark, sf_dir):
+    """Stream-stream interval join (both sides watermarked, event time
+    bounded both ways) replayed availableNow == the batch interval
+    join over the same inclusive [click_ts, click_ts + 1h] window."""
+    ev = load_events(spark, sf_dir)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("value").alias("cv"))
+    p = ev.filter(F.col("event_type") == "purchase")
+    batch = {(r["event_id"], r["cts"]) for r in p.join(
+        c, (p.user_id == c.cu) & (p.ts >= c.cts)
+           & (p.ts <= c.cts + F.expr("INTERVAL 1 HOUR"))).collect()}
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = {(r["event_id"], r["click_ts"]) for r in
+              EV.replay_interval_join(spark, sf_dir, schema).collect()}
+    assert stream == batch and len(stream) > 0
+
+
 def test_skew_safe_count_distinct_matches_direct(spark, sf_dir):
     from olap_xtrctr_spark.operators.skew import count_distinct_skew_safe
     ev = load_events(spark, sf_dir)
