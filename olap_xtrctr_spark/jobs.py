@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from .sinks import to_json_result
 
 PENDING, RUNNING, COMPLETED, FAILED = "PENDING", "RUNNING", "COMPLETED", "FAILED"
+QUEUED = "QUEUED"   # cross-process dispatch: persisted, no owner yet
 
 
 def _now() -> str:
@@ -89,6 +90,11 @@ class JobRegistry:
         os.replace(tmp, path)
 
     def _recover(self) -> None:
+        """QUEUED jobs survive recovery untouched (no process owned them);
+        PENDING/RUNNING ones are failed — their executing thread died with
+        the process.  Recovery assumes no OTHER live process is mid-run on
+        this store (same single-owner assumption the reference's runner
+        makes about its claimed rows)."""
         assert self._store_dir is not None
         for fn in sorted(os.listdir(self._store_dir)):
             if not fn.endswith(".json"):
@@ -117,6 +123,61 @@ class JobRegistry:
         self._pool.submit(self._run, job.id, runner)
         return job.id
 
+    # ---- cross-process dispatch (reference v3: Worker enqueues a row,
+    # a separate runner process claims and executes it —
+    # workers/api/src/routes/jobs.ts:45-112, backend/db_runner.py:25-103;
+    # here the shared jobs directory plays the Postgres table) ----------
+
+    def enqueue(self, catalog_code: str, mdx_query: str) -> str:
+        """Submitter side: persist a QUEUED job carrying only the query
+        text (the portable payload — no callable crosses the boundary)
+        and return immediately.  A worker process over the same
+        ``store_dir`` picks it up via :meth:`run_queued`."""
+        if not self._store_dir:
+            raise ValueError("enqueue() requires a store_dir "
+                             "(cross-process dispatch is disk-backed)")
+        job = Job(id=str(uuid.uuid4()), catalog_code=catalog_code,
+                  mdx_query=mdx_query, status=QUEUED)
+        with self._lock:
+            self._jobs[job.id] = job
+            self._persist(job)
+        return job.id
+
+    def run_queued(self, executor: Callable[[str, str], DataFrame],
+                   max_jobs: Optional[int] = None) -> int:
+        """Worker side: scan the shared store for QUEUED jobs, claim each
+        atomically (``O_EXCL`` claim file — exactly one competing worker
+        wins a job, the reference's row-level claim), execute via
+        ``executor(catalog_code, mdx_query)`` and write the terminal
+        status through the store where the submitting process polls it.
+        Returns the number of jobs executed."""
+        assert self._store_dir is not None, "run_queued requires store_dir"
+        n = 0
+        for fn in sorted(os.listdir(self._store_dir)):
+            if not fn.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(self._store_dir, fn)) as f:
+                    rec = json.load(f)
+            except Exception:
+                continue
+            if rec.get("status") != QUEUED:
+                continue
+            claim = os.path.join(self._store_dir, rec["id"] + ".claim")
+            try:
+                os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            except FileExistsError:
+                continue                    # another worker won this job
+            job = Job(**rec)
+            with self._lock:
+                self._jobs[job.id] = job
+            self._run(job.id,
+                      lambda j=job: executor(j.catalog_code, j.mdx_query))
+            n += 1
+            if max_jobs is not None and n >= max_jobs:
+                break
+        return n
+
     def _update(self, job_id: str, **kw) -> None:
         with self._lock:
             job = self._jobs[job_id]
@@ -139,6 +200,18 @@ class JobRegistry:
     def get(self, job_id: str) -> Optional[dict[str, Any]]:
         with self._lock:
             job = self._jobs.get(job_id)
+            if (self._store_dir is not None
+                    and (job is None
+                         or job.status not in (COMPLETED, FAILED))):
+                # non-terminal + disk-backed: another process may have
+                # progressed the job — read through the shared store
+                path = os.path.join(self._store_dir, f"{job_id}.json")
+                try:
+                    with open(path) as f:
+                        job = Job(**json.load(f))
+                    self._jobs[job_id] = job
+                except Exception:
+                    pass        # keep the in-memory view on torn reads
             return job.to_dict() if job else None
 
     def list(self, limit: int = 50) -> list[dict[str, Any]]:

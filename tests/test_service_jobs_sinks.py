@@ -97,6 +97,38 @@ def test_job_store_survives_restart(spark, tmp_path):
     reg2.shutdown()
 
 
+def test_cross_process_job_dispatch(spark, tmp_path):
+    """v3 pipeline shape (workers/api jobs.ts:45-112 → db_runner.py):
+    the submitter persists a QUEUED job (query text only — nothing
+    executable crosses the boundary), a SEPARATE registry instance over
+    the same store claims and runs it, and the submitter observes
+    COMPLETED + results purely through the shared store.  A second
+    worker pass must find nothing (atomic claim)."""
+    from olap_xtrctr_spark.jobs import JobRegistry, QUEUED
+
+    store = str(tmp_path / "jobs")
+    submitter = JobRegistry(store_dir=store)
+    jid = submitter.enqueue("VENTAS_2025", "SELECT 1 -- portable payload")
+    assert submitter.get(jid)["status"] == QUEUED
+
+    worker = JobRegistry(store_dir=store)    # plays the runner process
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    ran = worker.run_queued(lambda catalog, mdx: df)
+    assert ran == 1
+    assert worker.run_queued(lambda c, m: df) == 0   # claim is exclusive
+
+    done = submitter.wait(jid, timeout=60)   # read-through from disk
+    assert done["status"] == COMPLETED
+    assert done["result_data"]["count"] == 2
+    # QUEUED jobs survive a restart (nobody owned them yet)
+    jid2 = submitter.enqueue("VENTAS_2025", "SELECT 2")
+    submitter.shutdown(); worker.shutdown()
+    reg3 = JobRegistry(store_dir=store)
+    assert reg3.get(jid2)["status"] == QUEUED
+    assert reg3.get(jid)["status"] == COMPLETED
+    reg3.shutdown()
+
+
 def test_job_lifecycle_success_and_failure(svc):
     jid = svc.submit_job(
         "VENTAS_2025",
