@@ -100,6 +100,25 @@ def test_events_load_converts_nanos(spark, sf_dir):
     assert ev.count() > 0
 
 
+def test_normalize_event_ts_handles_both_encodings(spark):
+    """The round-3 lesson: driver testdata silently switched encodings
+    (TIMESTAMP(NANOS)-as-bigint → timestamp[us]/NTZ) and broke every ts
+    consumer.  Pin BOTH paths to the same wall-clock TIMESTAMP, plus the
+    already-TIMESTAMP no-op."""
+    from olap_xtrctr_spark.session import ensure_nanos_conf, \
+        normalize_event_ts
+    ensure_nanos_conf(spark)
+    wall = "2024-03-01 12:34:56"
+    nanos = 1709296496_000000000        # the same instant, UTC, as int64
+    as_bigint = spark.createDataFrame([(nanos,)], "ts long")
+    as_ntz = spark.sql(f"SELECT to_timestamp_ntz('{wall}') AS ts")
+    as_ts = spark.sql(f"SELECT to_timestamp('{wall}') AS ts")
+    for df in (as_bigint, as_ntz, as_ts):
+        out = normalize_event_ts(df)
+        assert dict(out.dtypes)["ts"] == "timestamp"
+        assert str(out.collect()[0]["ts"]) == wall
+
+
 def test_quality_score_bands(spark):
     good = " ".join(["the quick brown fox jumps of the lazy dog"] * 3)
     df = _docs(spark, [good, "x", ""])
