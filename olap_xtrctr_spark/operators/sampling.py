@@ -91,6 +91,24 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
     return docs.filter(bucket < thresh)
 
 
+def sample_k_per_group(docs: DataFrame, k: int,
+                       group_col: str = "lang",
+                       id_col: str = "doc_id",
+                       salt: str = "grpk-v1") -> DataFrame:
+    """Exact-size-k deterministic sample PER GROUP (k docs per language/
+    source for eval sets, human review, per-domain probes): rank rows
+    inside each group by a uniform hash of the key and keep the k
+    smallest — a random permutation per group, reproducible across
+    engines, partitionings and retries.  One shuffle on the group key;
+    groups smaller than k are returned whole."""
+    from pyspark.sql import Window
+    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(h.asc())
+    return (docs.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk"))
+
+
 def uniform_sample_k(docs: DataFrame, k: int,
                      id_col: str = "doc_id",
                      salt: str = "topk-v1") -> DataFrame:

@@ -140,6 +140,36 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def vocab_coverage(docs: DataFrame, vocab_size: int = 1000,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Tokenizer-prep coverage check: build the top-``vocab_size`` corpus
+    vocabulary (deterministic ties by token) and report per document the
+    exact token and out-of-vocabulary counts — the number a vocab-size
+    decision needs ('what OOV rate does a 32k vocab leave on this
+    corpus?').
+
+    The vocab comes from the same map-side-combined count + ORDER BY /
+    LIMIT shape as ``top_tokens`` (TakeOrderedAndProject — no global
+    vocabulary sort) and is broadcast back against the exploded tokens:
+    bounded by ``vocab_size``, a few MB, never the corpus.  All-integer
+    output, oracle-exact."""
+    toks = docs.select(
+        id_col, F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                  r"\s+")).alias("token"))
+    nonempty = toks.filter(F.col("token") != "")
+    vocab = (nonempty.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .orderBy(F.desc("n"), F.asc("token"))
+             .limit(vocab_size)
+             .select("token", F.lit(1).alias("_in_vocab")))
+    return (nonempty.join(F.broadcast(vocab), "token", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.when(F.col("_in_vocab").isNull(), 1)
+                        .otherwise(0)).alias("n_oov")))
+
+
 # ---- PII redaction ---------------------------------------------------------
 
 # Conservative, auditable patterns (the point at corpus scale is a cheap

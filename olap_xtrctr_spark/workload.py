@@ -108,6 +108,8 @@ _R4_FRONT = [
     "events_value_range_tiers",
     "events_hll_users_by_type",
     "events_stream_click_purchase_join",
+    "docs_sample_k_per_group",
+    "docs_vocab_coverage",
     # approximate ops, rows-only by design (no exact SQL oracle exists);
     # kept in the window so the driver keeps recording their row counts
     "docs_minhash_lsh_pairs",
@@ -1627,6 +1629,35 @@ def build_workload() -> dict[str, QuerySpec]:
         FROM documents
         ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':topk-v1'))
         LIMIT 100""")
+
+    # exact-k deterministic sample per group (eval sets / per-domain
+    # probes): hash-ranked inside each stratum, engine-independent
+    add("docs_sample_k_per_group",
+        lambda spark, sf: SM.sample_k_per_group(_docs(spark, sf), 10)
+        .select("doc_id", "lang"),
+        """SELECT doc_id, lang FROM documents
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':grpk-v1')))
+            <= 10""")
+
+    # tokenizer-prep vocab coverage: per-doc OOV mass against the
+    # top-30 corpus vocabulary, exact integers
+    add("docs_vocab_coverage",
+        lambda spark, sf: TX.vocab_coverage(_docs(spark, sf),
+                                            vocab_size=30),
+        r"""WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(
+            trim(lower(text)), '\s+')) AS token
+          FROM documents),
+        ne AS (SELECT * FROM toks WHERE token <> ''),
+        vocab AS (
+          SELECT token FROM ne GROUP BY token
+          ORDER BY COUNT(*) DESC, token LIMIT 30)
+        SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(SUM(CASE WHEN token NOT IN (SELECT token FROM vocab)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        FROM ne GROUP BY doc_id""")
 
     def incr_dedup(spark, sf):
         docs = _docs(spark, sf)

@@ -128,6 +128,32 @@ def test_quality_score_bands(spark):
     assert 0.0 <= out[0] <= 1.0
 
 
+def test_sample_k_per_group_exact_and_deterministic(spark):
+    from olap_xtrctr_spark.operators import sampling as SM
+    rows = [Row(doc_id=i, lang="en" if i < 40 else "es")
+            for i in range(45)]           # es group smaller than k
+    df = spark.createDataFrame(rows)
+    a = SM.sample_k_per_group(df, 10, group_col="lang").collect()
+    b = SM.sample_k_per_group(df, 10, group_col="lang").collect()
+    by_lang = {}
+    for r in a:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by_lang["en"]) == 10
+    assert len(by_lang["es"]) == 5        # undersized group kept whole
+    assert {(r["lang"], r["doc_id"]) for r in a} == \
+        {(r["lang"], r["doc_id"]) for r in b}   # reproducible
+
+
+def test_vocab_coverage_oov_counts(spark):
+    """vocab_size=1 keeps only the most frequent token ('a'); every
+    other token is OOV."""
+    df = _docs(spark, ["a a b", "a c", "d d d"])
+    # corpus counts: a=3, d=3 → tie broken by token: 'a' wins size-1 vocab
+    out = {r["doc_id"]: (r["n_tokens"], r["n_oov"]) for r in
+           TX.vocab_coverage(df, vocab_size=1).collect()}
+    assert out == {0: (3, 1), 1: (2, 1), 2: (3, 3)}
+
+
 def test_hll_rollup_matches_exact_within_2pct(spark, sf_dir):
     """Merged per-hour HLL partials must land within 2% of the exact
     distinct-user count per event type — and the merge path must agree
