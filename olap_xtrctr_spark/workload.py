@@ -110,6 +110,7 @@ _R4_FRONT = [
     "events_stream_click_purchase_join",
     "docs_sample_k_per_group",
     "docs_vocab_coverage",
+    "docs_contract_check",
     # approximate ops, rows-only by design (no exact SQL oracle exists);
     # kept in the window so the driver keeps recording their row counts
     "docs_minhash_lsh_pairs",
@@ -1629,6 +1630,46 @@ def build_workload() -> dict[str, QuerySpec]:
         FROM documents
         ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':topk-v1'))
         LIMIT 100""")
+
+    # data-contract check: every rule is a conditional sum in ONE
+    # aggregate pass (50 rules cost the same scan as one)
+    def doc_contracts(spark, sf):
+        from .operators import expectations as EX
+        return EX.check(_docs(spark, sf), {
+            "doc_id_not_null": EX.not_null("doc_id"),
+            "text_non_empty": EX.non_empty("text"),
+            "lang_known": EX.isin("lang", ["en", "es", "fr", "de"]),
+            "n_chars_range": EX.in_range("n_chars", 1, 10_000),
+            "n_chars_consistent":
+                F.col("n_chars").eqNullSafe(F.length("text")),
+        }).orderBy("rule")
+
+    add("docs_contract_check", doc_contracts,
+        """WITH m AS (SELECT
+            CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS v_id,
+            CAST(SUM(CASE WHEN NOT coalesce(text IS NOT NULL
+                 AND length(text) > 0, FALSE) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS v_text,
+            CAST(SUM(CASE WHEN NOT coalesce(
+                 lang IN ('en','es','fr','de'), FALSE) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS v_lang,
+            CAST(SUM(CASE WHEN NOT coalesce(
+                 n_chars BETWEEN 1 AND 10000, FALSE) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS v_range,
+            CAST(SUM(CASE WHEN NOT coalesce(
+                 n_chars = length(text), FALSE) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS v_cons
+          FROM documents)
+        SELECT rule, n_rows, n_violations FROM (
+          SELECT 'doc_id_not_null' AS rule, n_rows, v_id AS n_violations
+            FROM m
+          UNION ALL SELECT 'text_non_empty', n_rows, v_text FROM m
+          UNION ALL SELECT 'lang_known', n_rows, v_lang FROM m
+          UNION ALL SELECT 'n_chars_range', n_rows, v_range FROM m
+          UNION ALL SELECT 'n_chars_consistent', n_rows, v_cons FROM m)
+        ORDER BY rule""")
 
     # exact-k deterministic sample per group (eval sets / per-domain
     # probes): hash-ranked inside each stratum, engine-independent

@@ -128,6 +128,34 @@ def test_quality_score_bands(spark):
     assert 0.0 <= out[0] <= 1.0
 
 
+def test_expectations_check_counts_nulls_as_violations(spark):
+    from olap_xtrctr_spark.operators import expectations as EX
+    rows = [Row(id=1, v=5), Row(id=2, v=None), Row(id=None, v=50)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = {r["rule"]: (r["n_rows"], r["n_violations"])
+           for r in EX.check(df, {
+               "id_not_null": EX.not_null("id"),
+               "v_in_range": EX.in_range("v", 0, 10)}).collect()}
+    assert out["id_not_null"] == (3, 1)
+    # v=None is a violation (no three-valued-logic slip), v=50 out of range
+    assert out["v_in_range"] == (3, 2)
+    # ONE pass: a single aggregate, no join, no second scan
+    plan = EX.check(df, {"a": EX.not_null("id"), "b": EX.not_null("v")}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") <= 2   # partial + final only
+
+
+def test_expectations_violations_tags_failing_rules(spark):
+    from olap_xtrctr_spark.operators import expectations as EX
+    df = spark.createDataFrame([Row(id=1, v=5), Row(id=None, v=99)],
+                               "id long, v long")
+    bad = EX.violations(df, {"id_not_null": EX.not_null("id"),
+                             "v_in_range": EX.in_range("v", 0, 10)}).collect()
+    assert len(bad) == 1
+    assert set(bad[0]["failed_rules"]) == {"id_not_null", "v_in_range"}
+
+
 def test_sample_k_per_group_exact_and_deterministic(spark):
     from olap_xtrctr_spark.operators import sampling as SM
     rows = [Row(doc_id=i, lang="en" if i < 40 else "es")
