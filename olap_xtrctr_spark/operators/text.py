@@ -230,6 +230,43 @@ def pack_sequences(docs: DataFrame, window_tokens: int = 2048,
         (cum / window_tokens).cast("bigint").alias("pack_bin"))
 
 
+def compression_ratio(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """zlib compressed-size / raw-size per document — the classic cheap
+    detector for boilerplate (ratio → 0) and random/garbled text
+    (ratio → 1+), used alongside the Gopher repetition rules.
+
+    zlib isn't expressible in SQL builtins, so this is the documented
+    slow path done right: an Arrow-batched pandas_udf (one Python call
+    per ~10k-row batch, not per row), narrow, shuffle-free.  Determinism
+    holds for a fixed zlib version (level 6 default)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio_batch(texts):
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return round(len(zlib.compress(raw)) / len(raw), 4)
+        return texts.map(one)
+
+    # inline annotations would be stringified by this module's
+    # `from __future__ import annotations` and pyspark can't resolve
+    # 'pd.Series' from a local import — set real class objects instead
+    import pandas as pd
+    _ratio_batch.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _ratio = pandas_udf(_ratio_batch, "double")
+
+    return docs.select(
+        id_col,
+        F.length(text_col).alias("n_chars"),
+        _ratio(F.col(text_col)).alias("compression_ratio"))
+
+
 # ---- intra-document repetition (Gopher-style quality rules) ---------------
 
 def _gram_expr(k: int) -> str:

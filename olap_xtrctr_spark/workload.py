@@ -111,6 +111,7 @@ _R4_FRONT = [
     "docs_sample_k_per_group",
     "docs_vocab_coverage",
     "docs_contract_check",
+    "docs_compression_ratio",
     # approximate ops, rows-only by design (no exact SQL oracle exists);
     # kept in the window so the driver keeps recording their row counts
     "docs_minhash_lsh_pairs",
@@ -1630,6 +1631,12 @@ def build_workload() -> dict[str, QuerySpec]:
         FROM documents
         ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':topk-v1'))
         LIMIT 100""")
+
+    # zlib compression-ratio quality signal — rows-only: zlib is not
+    # SQL-expressible (the one Arrow-batched pandas_udf in the text
+    # family); tests pin repetitive << prose << random ordering
+    add("docs_compression_ratio",
+        lambda spark, sf: TX.compression_ratio(_docs(spark, sf)), None)
 
     # data-contract check: every rule is a conditional sum in ONE
     # aggregate pass (50 rules cost the same scan as one)

@@ -128,6 +128,22 @@ def test_quality_score_bands(spark):
     assert 0.0 <= out[0] <= 1.0
 
 
+def test_compression_ratio_orders_text_quality(spark):
+    """repetitive boilerplate compresses far better than prose, prose
+    better than (pseudo)random noise — the ordering the filter uses."""
+    import hashlib
+    noise = " ".join(hashlib.sha256(str(i).encode()).hexdigest()
+                     for i in range(40))
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "considers the economic implications of its leap ") * 12
+    boiler = "click here to subscribe " * 50
+    df = _docs(spark, [boiler, prose, noise])
+    out = {r["doc_id"]: r["compression_ratio"]
+           for r in TX.compression_ratio(df).collect()}
+    assert out[0] < out[1] < out[2]
+    assert out[0] < 0.1 and out[2] > 0.5
+
+
 def test_expectations_check_counts_nulls_as_violations(spark):
     from olap_xtrctr_spark.operators import expectations as EX
     rows = [Row(id=1, v=5), Row(id=2, v=None), Row(id=None, v=50)]
