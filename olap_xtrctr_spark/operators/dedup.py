@@ -75,6 +75,13 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     """Candidate near-dup pairs via banded LSH, verified by signature
     similarity.  Join happens only inside (band, band_hash) buckets."""
     sig = minhash_signatures(docs, text_col, id_col, n, num_hashes)
+    # NOTE (measured, round 4): the signature subtree feeds both sides of
+    # the bucket self-join; materializing it once via localCheckpoint was
+    # tried and is ~30% SLOWER at sf0.1 (the double-computed shingle
+    # stream stays inside whole-stage codegen and is cheaper than the
+    # materialize/read cycle).  On a real lake where the shingle explode
+    # dominates, persist the signature table explicitly at the call site
+    # instead — don't bake the trade into the operator.
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
