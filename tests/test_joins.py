@@ -49,6 +49,49 @@ def test_asof_plan_single_shuffle_no_nested_loop(spark):
     assert "Join" not in plan          # union+window, no join at all
 
 
+def test_asof_matches_pandas_merge_asof_randomized(spark):
+    """Cross-library oracle: on randomized keyed event times, asof_join
+    must agree row-for-row with pandas.merge_asof (backward, inclusive,
+    per-key) — the reference semantics both DuckDB ASOF JOIN and pandas
+    implement."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(42)
+    for trial in range(3):
+        left_rows = [(k, _ts(rng.randrange(0, 24), rng.randrange(0, 60)))
+                     for k in range(1, 5) for _ in range(rng.randrange(1, 6))]
+        right_rows = [(k, _ts(rng.randrange(0, 24), rng.randrange(0, 60)),
+                       float(i))
+                      for i, k in enumerate(
+                          k for k in range(1, 5)
+                          for _ in range(rng.randrange(0, 6)))]
+        # unique right (key, ts) so the match is well-defined in both
+        seen, uniq = set(), []
+        for k, ts, v in right_rows:
+            if (k, ts) not in seen:
+                seen.add((k, ts))
+                uniq.append((k, ts, v))
+        left = spark.createDataFrame(left_rows, "k long, ts timestamp")
+        right = spark.createDataFrame(uniq, "k long, ts timestamp, px double")
+        got = {(r["k"], r["ts"]): r["px_right"]
+               for r in J.asof_join(left, right, key="k").collect()}
+        lp = pd.DataFrame(left_rows, columns=["k", "ts"]) \
+            .sort_values("ts", kind="stable")
+        rp = pd.DataFrame(uniq, columns=["k", "ts", "px"]) \
+            .sort_values("ts", kind="stable")
+        if len(rp) == 0:
+            exp = {(r.k, r.ts.to_pydatetime()): None
+                   for r in lp.itertuples()}
+        else:
+            m = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+            exp = {(r.k, r.ts.to_pydatetime()):
+                   (None if pd.isna(r.px) else r.px)
+                   for r in m.itertuples()}
+        assert got == exp, f"trial {trial}"
+
+
 def test_bin_range_join_boundaries_and_spanning(spark):
     left = spark.createDataFrame(
         [Row(id=i, v=float(v)) for i, v in
