@@ -23,6 +23,8 @@ from olap_xtrctr_spark.workload import WORKLOAD
 
 FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 SCRATCH = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe"
+# optional comma-separated substring filter over PROBE_QUERIES
+ONLY = sys.argv[3].split(",") if len(sys.argv) > 3 else None
 SRC = "/root/testdata/sf0.1"
 
 # fact/bridge tables are replicated with shifted keys; pure dimension
@@ -106,7 +108,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build(spark)
     print(f"# probe at ~sf{FACTOR * 0.1:g} ({SCRATCH})", file=sys.stderr)
-    for name in PROBE_QUERIES:
+    queries = PROBE_QUERIES if ONLY is None else [
+        n for n in PROBE_QUERIES if any(s in n for s in ONLY)]
+    for name in queries:
         fn = WORKLOAD[name].fn
         t0 = time.perf_counter()
         df = fn(spark, SCRATCH)
