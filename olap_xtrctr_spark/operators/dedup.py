@@ -182,6 +182,43 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                  .filter(F.col("hamming") <= max_hamming))
 
 
+def edit_distance_pairs(docs: DataFrame, max_dist: int = 20,
+                        prefix_chars: int = 80, block_width: int = 100,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        block_cols: tuple[str, ...] = ("lang",)) -> DataFrame:
+    """Exact Levenshtein near-dup pairs under BLOCKING: documents are
+    compared only within the same (``block_cols``, length-bucket) block,
+    and the distance runs over the first ``prefix_chars`` characters.
+
+    Why this shape at 100 TB: all-pairs edit distance is O(N²·L²) and
+    cannot be sharded; blocking on cheap invariants (language, length
+    bucket — true near-dups rarely differ by more than the bucket
+    width) turns it into an equi-join whose cost is Σ|block|², the
+    same partitioned-quadratic form every record-linkage system runs.
+    Pairs straddling a bucket boundary are missed by design — callers
+    chasing full recall feed LSH/ngram candidates into this as the
+    VERIFY step instead of blocking.  Spark's ``levenshtein`` takes the
+    threshold parameter, so the JVM kernel early-exits once a row pair
+    exceeds ``max_dist`` (banded DP, O(L·max_dist) not O(L²))."""
+    pre = F.substring(F.col(text_col), 1, prefix_chars)
+    blocked = docs.select(
+        F.col(id_col).alias("pair_id"), pre.alias("pre"),
+        *[F.col(c).alias(f"blk_{c}") for c in block_cols],
+        (F.length(text_col) / F.lit(block_width)).cast("bigint")
+         .alias("blk_len"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cond = (F.col("a.pair_id") < F.col("b.pair_id")) & \
+           (F.col("a.blk_len") == F.col("b.blk_len"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.blk_{c}") == F.col(f"b.blk_{c}"))
+    dist = F.levenshtein(F.col("a.pre"), F.col("b.pre"), max_dist)
+    return (a.join(b, cond)
+            .select(F.col("a.pair_id").alias("id_a"),
+                    F.col("b.pair_id").alias("id_b"),
+                    dist.alias("edit_dist"))
+            .filter(F.col("edit_dist") >= 0))  # -1 = exceeded threshold
+
+
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.3,

@@ -328,6 +328,60 @@ def repetition_filter(docs: DataFrame,
             .drop("_toks"))
 
 
+def chunk_overlap(docs: DataFrame, chunk_tokens: int = 64,
+                  stride: int = 48, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Split each document into fixed-size token chunks with overlap —
+    the standard context-window prep for training/embedding pipelines
+    (chunk i covers tokens [i*stride, i*stride + chunk_tokens)).
+
+    All JVM-side: tokenize once per row, build the start offsets with a
+    stepped ``sequence``, ``posexplode`` — a narrow rowwise expansion
+    with no shuffle, so a 100 TB chunking pass is pure map work that
+    scales with partitions.  The final (possibly short) chunk is kept:
+    every token lands in at least one chunk.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = docs.withColumn("_toks", toks)
+    starts = F.expr(
+        f"sequence(0, greatest(size(_toks) - 1, 0), {int(stride)})")
+    d = d.select(id_col, "_toks",
+                 F.posexplode(starts).alias("chunk_idx", "chunk_start"))
+    chunk = F.expr(f"slice(_toks, chunk_start + 1, {int(chunk_tokens)})")
+    return (d.withColumn("_chunk", chunk)
+            .select(id_col,
+                    F.col("chunk_idx").cast("int").alias("chunk_idx"),
+                    F.col("chunk_start").cast("bigint").alias("chunk_start"),
+                    F.size("_chunk").cast("bigint").alias("n_chunk_tokens"),
+                    F.concat_ws(" ", "_chunk").alias("chunk_text")))
+
+
+def boilerplate_ngrams(docs: DataFrame, n: int = 8, min_docs: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Verbatim token ``n``-gram spans shared by at least ``min_docs``
+    DISTINCT documents — the RefinedWeb/C4-style boilerplate detector
+    (repeated headers, licence blurbs, navigation chrome) run intra-
+    corpus rather than against an external set (that cross-set form is
+    ``contamination_check``).
+
+    Shape at scale: per-row n-gram generation inside codegen (no
+    cross-row work), one explode, then a count-distinct-docs aggregate
+    that map-side combines on the n-gram key.  Spans below ``min_docs``
+    dominate the long tail and die in the partial aggregate — the
+    surviving output is bounded by true boilerplate mass, not corpus
+    size."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = (docs.withColumn("_toks", toks)
+             .select(id_col, F.explode(F.expr(_gram_expr(n))).alias("ngram")))
+    return (grams.groupBy("ngram")
+            .agg(F.count_distinct(id_col).alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_docs") >= min_docs))
+
+
 def strip_markup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Boilerplate cleaning pass: drop HTML/XML tags, unescape the five
     XML entities, collapse runs of whitespace.  Chained JVM regex —

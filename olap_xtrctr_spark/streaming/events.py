@@ -243,6 +243,49 @@ def replay_interval_join(spark: SparkSession, source_dir: str, schema,
                                  output_mode="append")
 
 
+VALUE_TIERS = (
+    ("micro", 0.0, 10.0),
+    ("small", 10.0, 50.0),
+    ("mid", 50.0, 150.0),
+    ("large", 150.0, 300.0),
+    ("huge", 300.0, 1000.0),
+)
+
+
+def streaming_enriched_tiers(spark: SparkSession, source_dir: str, schema,
+                             glob: str | None = None) -> DataFrame:
+    """STREAM-STATIC join: an unbounded event stream enriched against a
+    bounded dimension (the value-tier table), then aggregated per tier.
+
+    This is the remaining streaming join shape after the stream-stream
+    interval join: the static side needs no watermark and no state —
+    each micro-batch joins against the broadcast dimension as ordinary
+    batch work, which is exactly how a 100 TB/day stream enriches
+    against reference data (the dimension ships with the task, the
+    stream never shuffles for the join)."""
+    from ..session import ensure_nanos_conf, normalize_event_ts
+    ensure_nanos_conf(spark)
+    tiers = spark.createDataFrame(list(VALUE_TIERS), "tier string, lo double, hi double")
+    reader = spark.readStream.schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    stream = normalize_event_ts(reader.parquet(source_dir))
+    joined = stream.join(
+        F.broadcast(tiers),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        "inner")
+    return (joined.groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                  .cast("double").alias("sum_value")))
+
+
+def replay_enriched_tiers(spark: SparkSession, source_dir: str, schema,
+                          glob: str = "events.parquet") -> DataFrame:
+    sdf = streaming_enriched_tiers(spark, source_dir, schema, glob=glob)
+    return drain_stream_to_table(spark, sdf, "events_stream_tiers")
+
+
 def streaming_dedup_counts(spark: SparkSession, source_dir: str, schema,
                            glob: str | None = None) -> DataFrame:
     """Exactly-once ingestion over an at-least-once source: the stream is

@@ -112,6 +112,11 @@ _R4_FRONT = [
     "docs_vocab_coverage",
     "docs_contract_check",
     "docs_compression_ratio",
+    "events_props_topk",
+    "events_stream_enriched_tiers",
+    "docs_chunk_overlap",
+    "docs_boilerplate_ngrams",
+    "docs_edit_distance_pairs",
     # approximate ops, rows-only by design (no exact SQL oracle exists);
     # kept in the window so the driver keeps recording their row counts
     "docs_minhash_lsh_pairs",
@@ -2500,6 +2505,112 @@ def build_workload() -> dict[str, QuerySpec]:
         SELECT tier, COUNT(*) AS n_events, {SUM_D('value')} AS sum_value
         FROM events JOIN tiers ON value >= lo AND value < hi
         GROUP BY tier""")
+
+    # ---- round-4 second wave ------------------------------------------
+
+    # semi-structured extraction: the events `props` JSON column parsed
+    # JVM-side (get_json_object stays in codegen — no Python, no UDF),
+    # aggregated, and top-10'd with an explicit deterministic rank.
+    def props_topk(spark, sf):
+        from pyspark.sql import Window
+        agg = (_events(spark, sf)
+               .select(F.get_json_object("props", "$.k").cast("int")
+                        .alias("k"), "value")
+               .groupBy("k")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(18,4)"))
+                     .cast("double").alias("sum_value")))
+        top = agg.orderBy(F.desc("n_events"), F.asc("k")).limit(10)
+        w = Window.orderBy(F.desc("n_events"), F.asc("k"))  # 10 rows only
+        return (top.withColumn("rank", F.row_number().over(w))
+                .select("rank", "k", "n_events", "sum_value"))
+
+    add("events_props_topk", props_topk,
+        f"""WITH e AS (
+          SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                 value
+          FROM events),
+        c AS (
+          SELECT k, COUNT(*) AS n_events, {SUM_D('value')} AS sum_value
+          FROM e GROUP BY k)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, k)
+                    AS INTEGER) AS rank, k, n_events, sum_value
+        FROM c ORDER BY n_events DESC, k LIMIT 10""")
+
+    # stream-static broadcast join (the enrichment shape: unbounded
+    # stream ⋈ bounded dimension, no state, no watermark); the bounded
+    # replay equals the batch tier aggregate so the same SQL is the oracle
+    def stream_tiers(spark, sf):
+        return EV.replay_enriched_tiers(spark, sf, _events_schema(spark, sf))
+
+    add("events_stream_enriched_tiers", stream_tiers,
+        f"""WITH tiers(tier, lo, hi) AS (VALUES
+          ('micro', 0.0, 10.0), ('small', 10.0, 50.0),
+          ('mid', 50.0, 150.0), ('large', 150.0, 300.0),
+          ('huge', 300.0, 1000.0))
+        SELECT tier, COUNT(*) AS n_events, {SUM_D('value')} AS sum_value
+        FROM events JOIN tiers ON value >= lo AND value < hi
+        GROUP BY tier""")
+
+    # fixed-size overlapping token chunks (context-window prep):
+    # narrow rowwise posexplode, no shuffle
+    add("docs_chunk_overlap",
+        lambda spark, sf: TX.chunk_overlap(_docs(spark, sf),
+                                           chunk_tokens=32, stride=24),
+        r"""WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0, greatest(len(toks) - 1, 0), 24))
+                   AS chunk_start
+          FROM t)
+        SELECT doc_id,
+               CAST(chunk_start / 24 AS INTEGER) AS chunk_idx,
+               CAST(chunk_start AS BIGINT) AS chunk_start,
+               CAST(len(toks[chunk_start + 1 : chunk_start + 32])
+                    AS BIGINT) AS n_chunk_tokens,
+               array_to_string(toks[chunk_start + 1 : chunk_start + 32], ' ')
+                 AS chunk_text
+        FROM s""")
+
+    # intra-corpus boilerplate: verbatim 8-gram spans shared by >= 3
+    # distinct documents (RefinedWeb-style repeated-span detector)
+    add("docs_boilerplate_ngrams",
+        lambda spark, sf: TX.boilerplate_ngrams(_docs(spark, sf),
+                                                n=8, min_docs=3),
+        r"""WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, greatest(len(toks) - 7, 0) + 1),
+                   i -> array_to_string(toks[i : i + 7], ' '))) AS ngram
+          FROM t)
+        SELECT ngram, COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_occurrences
+        FROM g GROUP BY ngram
+        HAVING COUNT(DISTINCT doc_id) >= 3""")
+
+    # blocked exact Levenshtein near-dup pairs (the VERIFY-step edit
+    # distance, bounded by (lang, length-bucket) blocking)
+    add("docs_edit_distance_pairs",
+        lambda spark, sf: D.edit_distance_pairs(_docs(spark, sf),
+                                                max_dist=20,
+                                                prefix_chars=80,
+                                                block_width=100),
+        """WITH b AS (
+          SELECT doc_id, lang, substring(text, 1, 80) AS pre,
+                 CAST(floor(length(text) / 100.0) AS BIGINT) AS blk_len
+          FROM documents)
+        SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+               CAST(levenshtein(a.pre, b2.pre) AS INTEGER) AS edit_dist
+        FROM b a JOIN b b2
+          ON a.lang = b2.lang AND a.blk_len = b2.blk_len
+         AND a.doc_id < b2.doc_id
+        WHERE levenshtein(a.pre, b2.pre) <= 20""")
 
     # Order per the gate-window manifest (see _R4_FRONT above).
     missing = [n for n in _R4_FRONT if n not in q]

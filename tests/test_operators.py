@@ -635,3 +635,79 @@ def test_token_familiarity_exact_counts(spark):
     out = {r["doc_id"]: r for r in TX.token_familiarity(docs).collect()}
     assert out[1]["n_tokens"] == 3 and out[1]["familiarity_sum"] == 7
     assert out[2]["n_tokens"] == 2 and out[2]["familiarity_sum"] == 4
+
+
+def test_chunk_overlap_covers_all_tokens(spark):
+    # 7 tokens, chunk 3 / stride 2 -> starts 0,2,4,6; last chunk short
+    docs = spark.createDataFrame([(1, "a b c d e f g")],
+                                 "doc_id long, text string")
+    rows = sorted(TX.chunk_overlap(docs, chunk_tokens=3, stride=2).collect(),
+                  key=lambda r: r["chunk_idx"])
+    assert [r["chunk_start"] for r in rows] == [0, 2, 4, 6]
+    assert [r["chunk_text"] for r in rows] == ["a b c", "c d e", "e f g", "g"]
+    assert rows[0]["n_chunk_tokens"] == 3 and rows[-1]["n_chunk_tokens"] == 1
+    # every token appears in at least one chunk
+    covered = set()
+    for r in rows:
+        covered.update(r["chunk_text"].split())
+    assert covered == set("abcdefg")
+
+
+def test_chunk_overlap_rejects_bad_params(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        TX.chunk_overlap(docs, chunk_tokens=4, stride=0)
+
+
+def test_boilerplate_ngrams_counts_distinct_docs(spark):
+    boiler = "one two three four"
+    docs = _docs(spark, [f"{boiler} x y", f"p q {boiler}",
+                         f"{boiler} {boiler}", "unrelated words here now"])
+    out = {r["ngram"]: (r["n_docs"], r["n_occurrences"])
+           for r in TX.boilerplate_ngrams(docs, n=4, min_docs=3).collect()}
+    # the 4-gram "one two three four" is in docs 0,1,2 (twice in doc 2...
+    # but "four one" bridges the repeat, so occurrences: doc0=1, doc1=1,
+    # doc2=2 -> 4 total); no other 4-gram reaches 3 distinct docs
+    assert out[boiler] == (3, 4)
+    assert all(ng == boiler for ng in out)
+
+
+def test_edit_distance_pairs_blocked(spark):
+    docs = spark.createDataFrame(
+        [(1, "en", "the quick brown fox jumps"),
+         (2, "en", "the quick brown fox jumped"),   # dist 2 from doc 1
+         (3, "en", "completely different text xxx"),
+         (4, "es", "the quick brown fox jumps")],   # same text, other block
+        "doc_id long, lang string, text string")
+    out = {(r["id_a"], r["id_b"]): r["edit_dist"]
+           for r in D.edit_distance_pairs(docs, max_dist=5, prefix_chars=80,
+                                          block_width=1000).collect()}
+    assert out == {(1, 2): 2}   # doc 4 blocked away by lang; doc 3 too far
+
+
+def test_edit_distance_pairs_threshold_drops_minus_one(spark):
+    # distance above max_dist must yield NO row (Spark returns -1 there)
+    docs = spark.createDataFrame(
+        [(1, "en", "aaaaaaaaaa"), (2, "en", "bbbbbbbbbb")],
+        "doc_id long, lang string, text string")
+    assert D.edit_distance_pairs(docs, max_dist=3, prefix_chars=80,
+                                 block_width=1000).count() == 0
+
+
+def test_streaming_enriched_tiers_equals_batch(spark, sf_dir):
+    from olap_xtrctr_spark.session import events_schema
+    got = {r["tier"]: (r["n_events"], round(r["sum_value"], 4))
+           for r in EV.replay_enriched_tiers(
+               spark, sf_dir, events_schema(spark, sf_dir)).collect()}
+    ev = load_events(spark, sf_dir)
+    tiers = spark.createDataFrame(list(EV.VALUE_TIERS),
+                                  "tier string, lo double, hi double")
+    want = {r["tier"]: (r["n_events"], round(r["sum_value"], 4))
+            for r in ev.join(F.broadcast(tiers),
+                             (F.col("value") >= F.col("lo"))
+                             & (F.col("value") < F.col("hi")))
+            .groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                  .cast("double").alias("sum_value")).collect()}
+    assert got == want
