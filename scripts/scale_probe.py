@@ -66,6 +66,14 @@ PROBE_QUERIES = [
     "events_hourly_rollup",
     "events_hourly_anomalies",
     "events_funnel_conversion",
+    # round-4 second wave
+    "events_props_topk",
+    "docs_chunk_overlap",
+    "docs_boilerplate_ngrams",
+    # NOTE: key-shifted doc replicas are exact text dups, so the blocked
+    # levenshtein pair count grows ~quadratically with FACTOR inside each
+    # (lang, len-bucket) block — the probe MEASURES that concentration
+    "docs_edit_distance_pairs",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
