@@ -403,6 +403,32 @@ def funnel_conversion(events: DataFrame, first_type: str = "click",
             .filter(F.col("n_first") > 0))
 
 
+def event_type_sequences(events: DataFrame, n: int = 3,
+                         k: int = 15) -> DataFrame:
+    """Most common length-``n`` consecutive event-type sequences across
+    user timelines (path analysis / sequential-pattern mining lite):
+    'what do users do right before purchasing?' without a self-join.
+
+    Shape at scale: ONE shuffle on user_id for the lead() window (the
+    same exchange sessionize pays — at 100 TB both can share it), then
+    a count whose key domain is |event_types|^n (bounded, map-side
+    combined) and a TakeOrderedAndProject top-k.  Windows crossing the
+    end of a user's timeline are dropped (lead returns NULL there).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cols = [F.col("event_type")] + \
+           [F.lead("event_type", i).over(w) for i in range(1, n)]
+    seqs = (events.select(*[c.alias(f"_t{i}") for i, c in enumerate(cols)])
+            .filter(F.col(f"_t{n - 1}").isNotNull())
+            .select(F.concat_ws(" > ", *[f"_t{i}" for i in range(n)])
+                     .alias("seq")))
+    counts = seqs.groupBy("seq").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("seq")).limit(k)
+    wr = Window.orderBy(F.desc("n_occurrences"), F.asc("seq"))  # k rows only
+    return (top.withColumn("rank", F.row_number().over(wr))
+            .select("rank", "seq", "n_occurrences"))
+
+
 def retention_cohorts(events: DataFrame) -> DataFrame:
     """Weekly retention triangle: users grouped by first-activity week
     (cohort), counted by how many weeks later they were active.

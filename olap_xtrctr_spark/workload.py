@@ -117,6 +117,8 @@ _R4_FRONT = [
     "docs_chunk_overlap",
     "docs_boilerplate_ngrams",
     "docs_edit_distance_pairs",
+    "events_type_trigrams",
+    "events_value_quantiles_approx",
     # approximate ops, rows-only by design (no exact SQL oracle exists);
     # kept in the window so the driver keeps recording their row counts
     "docs_minhash_lsh_pairs",
@@ -2611,6 +2613,45 @@ def build_workload() -> dict[str, QuerySpec]:
           ON a.lang = b2.lang AND a.blk_len = b2.blk_len
          AND a.doc_id < b2.doc_id
         WHERE levenshtein(a.pre, b2.pre) <= 20""")
+
+    # sequential-pattern mining lite: most common consecutive event-type
+    # trigrams across user timelines (one user_id shuffle + bounded-key
+    # count + TakeOrderedAndProject — no self-join)
+    add("events_type_trigrams",
+        lambda spark, sf: EV.event_type_sequences(_events(spark, sf),
+                                                  n=3, k=15),
+        """WITH s AS (
+          SELECT event_type AS t1,
+                 lead(event_type, 1) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+                 lead(event_type, 2) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+          FROM events),
+        c AS (
+          SELECT t1 || ' > ' || t2 || ' > ' || t3 AS seq,
+                 COUNT(*) AS n_occurrences
+          FROM s WHERE t3 IS NOT NULL
+          GROUP BY 1)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, seq)
+                    AS INTEGER) AS rank, seq, n_occurrences
+        FROM c ORDER BY n_occurrences DESC, seq LIMIT 15""")
+
+    # mergeable one-pass approximate quantiles (approx_percentile = GK
+    # sketch): the 100 TB path where the exact milli-quantized sort of
+    # events_value_percentiles is too hot.  Rows-only: the sketch's
+    # merge error is engine-specific; tests/test_operators.py pins each
+    # estimate within 1% of the exact quantile.
+    add("events_value_quantiles_approx",
+        lambda spark, sf: (_events(spark, sf)
+            .groupBy("event_type")
+            .agg(F.percentile_approx(
+                    "value", [0.5, 0.9, 0.99], 10_000)
+                  .alias("q50_q90_q99"))
+            .select("event_type",
+                    F.col("q50_q90_q99")[0].alias("q50"),
+                    F.col("q50_q90_q99")[1].alias("q90"),
+                    F.col("q50_q90_q99")[2].alias("q99"))),
+        None)
 
     # Order per the gate-window manifest (see _R4_FRONT above).
     missing = [n for n in _R4_FRONT if n not in q]

@@ -711,3 +711,58 @@ def test_streaming_enriched_tiers_equals_batch(spark, sf_dir):
                  F.sum(F.col("value").cast("decimal(18,4)"))
                   .cast("double").alias("sum_value")).collect()}
     assert got == want
+
+
+def test_event_type_sequences_counts(spark):
+    import datetime as dt
+    rows = []
+    # user 1: a b a b a  -> trigrams: "a b a","b a b","a b a"
+    for i, t in enumerate("a b a b a".split()):
+        rows.append((i, dt.datetime(2025, 1, 1, 0, i), 1, t, 0.0, "{}"))
+    # user 2: a b a      -> "a b a"
+    for i, t in enumerate("a b a".split()):
+        rows.append((10 + i, dt.datetime(2025, 1, 1, 1, i), 2, t, 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["seq"]: (r["rank"], r["n_occurrences"])
+           for r in EV.event_type_sequences(ev, n=3, k=10).collect()}
+    assert out == {"a > b > a": (1, 3), "b > a > b": (2, 1)}
+
+
+def test_event_type_sequences_no_cross_user_windows(spark):
+    import datetime as dt
+    # 2 users with 2 events each: no trigram may span users
+    rows = [(i, dt.datetime(2025, 1, 1, 0, i), i // 2, "x", 0.0, "{}")
+            for i in range(4)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    assert EV.event_type_sequences(ev, n=3).count() == 0
+
+
+def test_approx_quantiles_near_exact(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    approx = {r["event_type"]: (r["q50"], r["q90"], r["q99"])
+              for r in ev.groupBy("event_type")
+              .agg(F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000)
+                    .alias("q")).select(
+                  "event_type", F.col("q")[0].alias("q50"),
+                  F.col("q")[1].alias("q90"),
+                  F.col("q")[2].alias("q99")).collect()}
+    # GK sketch contract is RANK error (<= 1/accuracy), and
+    # percentile_approx returns a realized data value while exact
+    # percentile interpolates — so bound each estimate by the exact
+    # quantiles half a percentile-point either side, not by value delta
+    qs = [0.5, 0.9, 0.99]
+    bounds_expr = "percentile(value, array({}))".format(
+        ", ".join(f"{max(p - 0.005, 0.0)}, {min(p + 0.005, 1.0)}"
+                  for p in qs))
+    bounds = {r["event_type"]: r["b"]
+              for r in ev.groupBy("event_type")
+              .agg(F.expr(bounds_expr).alias("b")).collect()}
+    assert approx.keys() == bounds.keys()
+    for et, vals in approx.items():
+        for i, a in enumerate(vals):
+            lo, hi = bounds[et][2 * i], bounds[et][2 * i + 1]
+            assert lo - 1e-9 <= a <= hi + 1e-9, (et, qs[i], a, lo, hi)
