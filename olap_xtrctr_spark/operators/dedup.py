@@ -182,10 +182,49 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                  .filter(F.col("hamming") <= max_hamming))
 
 
+def _observe_dropped(df: DataFrame, dropped_cond, msg: str,
+                     *fmt_args) -> DataFrame:
+    """Attach an Observation counting rows matching ``dropped_cond`` and
+    log ``msg % (*fmt_args, dropped)`` once the caller materializes the
+    DataFrame — the no-silent-caps pattern without an eager .count()
+    (which would re-run the whole upstream pipeline as a second job).
+    The caller still applies the actual filter; this only observes.
+
+    The logging thread is BOUNDED: it polls the JVM-side non-blocking
+    getter and exits at a 600 s deadline if the caller never runs an
+    action, instead of parking forever on Observation.get."""
+    import logging
+    import threading
+
+    from pyspark.sql import Observation
+    obs = Observation()
+    out = df.observe(obs, F.sum(dropped_cond.cast("long")).alias("dropped"))
+
+    def _report() -> None:
+        import time
+        deadline = time.monotonic() + 600
+        while time.monotonic() < deadline:
+            try:
+                if obs._jo is not None and not obs._jo.getOrEmpty().isEmpty():
+                    dropped = obs.get.get("dropped") or 0
+                    break
+            except Exception:
+                return
+            time.sleep(0.5)
+        else:
+            return
+        if dropped:
+            logging.getLogger(__name__).warning(msg, *fmt_args, dropped)
+
+    threading.Thread(target=_report, daemon=True).start()
+    return out
+
+
 def edit_distance_pairs(docs: DataFrame, max_dist: int = 20,
                         prefix_chars: int = 80, block_width: int = 100,
                         text_col: str = "text", id_col: str = "doc_id",
-                        block_cols: tuple[str, ...] = ("lang",)) -> DataFrame:
+                        block_cols: tuple[str, ...] = ("lang",),
+                        max_block_size: int | None = None) -> DataFrame:
     """Exact Levenshtein near-dup pairs under BLOCKING: documents are
     compared only within the same (``block_cols``, length-bucket) block,
     and the distance runs over the first ``prefix_chars`` characters.
@@ -199,13 +238,34 @@ def edit_distance_pairs(docs: DataFrame, max_dist: int = 20,
     chasing full recall feed LSH/ngram candidates into this as the
     VERIFY step instead of blocking.  Spark's ``levenshtein`` takes the
     threshold parameter, so the JVM kernel early-exits once a row pair
-    exceeds ``max_dist`` (banded DP, O(L·max_dist) not O(L²))."""
+    exceeds ``max_dist`` (banded DP, O(L·max_dist) not O(L²)).
+
+    ``max_block_size`` is the runaway-block guard: Σ|block|² only stays
+    bounded if block sizes do — measured in the 10× scale probe, a
+    corpus where every doc has ~10 exact copies grows pair volume ~100×
+    (SCALE.md probe #5).  The RIGHT fix is pipeline ordering (exact
+    dedup BEFORE edit-distance verification, which collapses those
+    copies); the guard is the backstop that skips blocks larger than
+    the cap, logging the dropped row count (no silent caps)."""
     pre = F.substring(F.col(text_col), 1, prefix_chars)
     blocked = docs.select(
         F.col(id_col).alias("pair_id"), pre.alias("pre"),
         *[F.col(c).alias(f"blk_{c}") for c in block_cols],
         (F.length(text_col) / F.lit(block_width)).cast("bigint")
          .alias("blk_len"))
+    if max_block_size is not None:
+        keys = ["blk_len"] + [f"blk_{c}" for c in block_cols]
+        sizes = blocked.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("_bsz"))
+        blocked = blocked.join(sizes, on=keys)
+        blocked = _observe_dropped(
+            blocked, F.col("_bsz") > max_block_size,
+            "edit_distance_pairs: max_block_size=%d dropped %d docs in "
+            "oversized blocks (no pairs emitted for them; run exact "
+            "dedup first to collapse duplicate-heavy blocks)",
+            max_block_size)
+        blocked = blocked.filter(F.col("_bsz") <= max_block_size) \
+                         .drop("_bsz")
     a, b = blocked.alias("a"), blocked.alias("b")
     cond = (F.col("a.pair_id") < F.col("b.pair_id")) & \
            (F.col("a.blk_len") == F.col("b.blk_len"))
@@ -243,44 +303,14 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     posting = posting.filter(F.size("ids") > 1)
     if max_doc_freq is not None:
         # No silent caps: surface how many stop-shingle posting lists the
-        # guard drops.  Observation piggybacks the count on the SAME job
-        # (an eager .count() here would re-run the whole shingle pipeline);
-        # the daemon thread logs once the caller's action materializes.
-        import logging
-        import threading
-
-        from pyspark.sql import Observation
-        obs = Observation()
-        posting = posting.observe(
-            obs, F.sum((F.size("ids") > max_doc_freq).cast("long"))
-                  .alias("dropped"))
+        # guard drops (see _observe_dropped for the mechanics).
+        posting = _observe_dropped(
+            posting, F.size("ids") > max_doc_freq,
+            "ngram_jaccard_pairs: max_doc_freq=%d dropped %d "
+            "stop-shingle posting lists (pairs co-occurring only "
+            "through those shingles are lost; intersections "
+            "shrink accordingly)", max_doc_freq)
         posting = posting.filter(F.size("ids") <= max_doc_freq)
-
-        def _report() -> None:
-            # Bounded: poll the JVM-side non-blocking getter instead of
-            # the forever-blocking Observation.get — if the caller never
-            # materializes the DataFrame, the thread exits at the deadline
-            # rather than leaking a parked thread per call.
-            import time
-            deadline = time.monotonic() + 600
-            while time.monotonic() < deadline:
-                try:
-                    if obs._jo is not None and not obs._jo.getOrEmpty().isEmpty():
-                        dropped = obs.get.get("dropped") or 0
-                        break
-                except Exception:
-                    return
-                time.sleep(0.5)
-            else:
-                return
-            if dropped:
-                logging.getLogger(__name__).warning(
-                    "ngram_jaccard_pairs: max_doc_freq=%d dropped %d "
-                    "stop-shingle posting lists (pairs co-occurring only "
-                    "through those shingles are lost; intersections "
-                    "shrink accordingly)", max_doc_freq, dropped)
-
-        threading.Thread(target=_report, daemon=True).start()
     # all (i < j) pairs of each sorted posting list, generated JVM-side
     pairs = posting.select(F.explode(F.expr(
         "flatten(transform(ids, (a, i) -> "

@@ -74,6 +74,7 @@ PROBE_QUERIES = [
     # levenshtein pair count grows ~quadratically with FACTOR inside each
     # (lang, len-bucket) block — the probe MEASURES that concentration
     "docs_edit_distance_pairs",
+    "events_type_trigrams",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key

@@ -766,3 +766,18 @@ def test_approx_quantiles_near_exact(spark, sf_dir):
         for i, a in enumerate(vals):
             lo, hi = bounds[et][2 * i], bounds[et][2 * i + 1]
             assert lo - 1e-9 <= a <= hi + 1e-9, (et, qs[i], a, lo, hi)
+
+
+def test_edit_distance_pairs_block_size_guard(spark):
+    # 4 identical en docs (block of 4) + 2 en docs in another len bucket;
+    # cap 3 drops the oversized block entirely, keeps the small one
+    docs = spark.createDataFrame(
+        [(i, "en", "same exact text here okay") for i in range(4)]
+        + [(10, "en", "tiny a"), (11, "en", "tiny b")],
+        "doc_id long, lang string, text string")
+    no_cap = D.edit_distance_pairs(docs, max_dist=10, prefix_chars=80,
+                                   block_width=10)
+    assert no_cap.count() == 6 + 1          # C(4,2) + the tiny pair
+    capped = D.edit_distance_pairs(docs, max_dist=10, prefix_chars=80,
+                                   block_width=10, max_block_size=3)
+    assert {(r["id_a"], r["id_b"]) for r in capped.collect()} == {(10, 11)}

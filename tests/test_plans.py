@@ -112,3 +112,49 @@ def test_sampling_ops_no_shuffle(spark, sf_dir):
     assert "Exchange" not in _plan(split)
     strat = SM.stratified_sample(docs, {"en": 0.5}, default_rate=0.1)
     assert "Exchange" not in _plan(strat)
+
+
+def test_chunk_overlap_no_exchange(spark, sf_dir):
+    """Chunking is pure rowwise map work: no shuffle, no python UDF."""
+    from olap_xtrctr_spark.operators import text as TX
+    from olap_xtrctr_spark.session import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(TX.chunk_overlap(docs))
+    # the loader's round-robin rebalance of the single-row-group test
+    # file is fine; the operator itself must add no hash/single exchange
+    assert "hashpartitioning" not in plan
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_boilerplate_ngrams_partial_agg(spark, sf_dir):
+    """The n-gram doc-count must map-side combine below its Exchange."""
+    from olap_xtrctr_spark.operators import text as TX
+    from olap_xtrctr_spark.session import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(TX.boilerplate_ngrams(docs))
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_edit_distance_pairs_equi_join_not_bnlj(spark, sf_dir):
+    """Blocking must produce an equi-join (hash/SMJ), never a
+    BroadcastNestedLoopJoin — the whole point of the block keys."""
+    from olap_xtrctr_spark.operators import dedup as D
+    from olap_xtrctr_spark.session import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(D.edit_distance_pairs(docs))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_event_trigrams_single_user_exchange_then_topk(spark, sf_dir):
+    """One hash exchange on user_id for the lead window; the top-k must
+    compile to TakeOrderedAndProject, not a global Sort."""
+    from olap_xtrctr_spark.streaming import events as EV
+    from olap_xtrctr_spark.session import load_events
+    ev = load_events(spark, sf_dir)
+    plan = _plan(EV.event_type_sequences(ev))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("hashpartitioning(user_id") >= 1
