@@ -38,3 +38,32 @@ def prepare_corpus(docs: DataFrame, min_quality: float = 0.5,
             .filter(F.col(id_col) == F.col("_min_id"))
             .drop("_min_id", "fingerprint"))
     return hash_split(kept, weights, id_col=id_col).select(id_col, "split")
+
+
+def prepare_chunks(docs: DataFrame, min_quality: float = 0.5,
+                   chunk_tokens: int = 64, stride: int = 48,
+                   id_col: str = "doc_id",
+                   shard_col: str = "source") -> DataFrame:
+    """The chunk-level continuation of ``prepare_corpus``: quality gate →
+    keep-first exact dedup → overlapping context-window chunks, still as
+    ONE Catalyst lineage (the chunker's posexplode sits directly on the
+    dedup output — no materialization between stages, so column pruning
+    reaches the original scan and the only shuffle is the dedup window).
+
+    Chunks keep ``shard_col`` so a downstream ``pack_sequences``-style
+    packer can bin them per shard without a global window.  Returns
+    (id_col, shard_col, chunk_idx, chunk_start, n_chunk_tokens,
+    chunk_text) for the surviving corpus.
+    """
+    from .text import chunk_overlap
+    q = quality_score(docs).filter(
+        F.col("quality_score") >= min_quality).select(id_col)
+    passed = docs.join(q, on=id_col, how="left_semi")
+    fp = passed.join(fingerprint(passed).select(id_col, "fingerprint"),
+                     on=id_col)
+    w = Window.partitionBy("fingerprint")
+    kept = (fp.withColumn("_min_id", F.min(id_col).over(w))
+            .filter(F.col(id_col) == F.col("_min_id"))
+            .drop("_min_id", "fingerprint"))
+    return chunk_overlap(kept, chunk_tokens=chunk_tokens, stride=stride,
+                         id_col=id_col, keep_cols=(shard_col,))

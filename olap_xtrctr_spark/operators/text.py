@@ -330,7 +330,8 @@ def repetition_filter(docs: DataFrame,
 
 def chunk_overlap(docs: DataFrame, chunk_tokens: int = 64,
                   stride: int = 48, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Split each document into fixed-size token chunks with overlap —
     the standard context-window prep for training/embedding pipelines
     (chunk i covers tokens [i*stride, i*stride + chunk_tokens)).
@@ -347,11 +348,11 @@ def chunk_overlap(docs: DataFrame, chunk_tokens: int = 64,
     d = docs.withColumn("_toks", toks)
     starts = F.expr(
         f"sequence(0, greatest(size(_toks) - 1, 0), {int(stride)})")
-    d = d.select(id_col, "_toks",
+    d = d.select(id_col, *keep_cols, "_toks",
                  F.posexplode(starts).alias("chunk_idx", "chunk_start"))
     chunk = F.expr(f"slice(_toks, chunk_start + 1, {int(chunk_tokens)})")
     return (d.withColumn("_chunk", chunk)
-            .select(id_col,
+            .select(id_col, *keep_cols,
                     F.col("chunk_idx").cast("int").alias("chunk_idx"),
                     F.col("chunk_start").cast("bigint").alias("chunk_start"),
                     F.size("_chunk").cast("bigint").alias("n_chunk_tokens"),

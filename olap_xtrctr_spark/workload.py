@@ -119,6 +119,7 @@ _R4_FRONT = [
     "docs_edit_distance_pairs",
     "events_type_trigrams",
     "events_value_quantiles_approx",
+    "docs_prepare_chunks",
     # approximate ops, rows-only by design (no exact SQL oracle exists);
     # kept in the window so the driver keeps recording their row counts
     "docs_minhash_lsh_pairs",
@@ -2613,6 +2614,61 @@ def build_workload() -> dict[str, QuerySpec]:
           ON a.lang = b2.lang AND a.blk_len = b2.blk_len
          AND a.doc_id < b2.doc_id
         WHERE levenshtein(a.pre, b2.pre) <= 20""")
+
+    def chunks_prep(spark, sf):
+        from .operators.pipeline import prepare_chunks
+        return prepare_chunks(_docs(spark, sf), min_quality=0.63,
+                              chunk_tokens=32, stride=24)
+
+    # chunk-level continuation of prepare_corpus: quality gate ->
+    # keep-first exact dedup -> overlapping chunks, one lineage
+    add("docs_prepare_chunks", chunks_prep,
+        r"""WITH q AS (
+          SELECT doc_id,
+            len(regexp_split_to_array(trim(text), '\s+')) AS q_tok,
+            greatest(length(text), 1) AS q_chr,
+            CAST(len(regexp_extract_all(lower(text),
+              '\b(the|and|of|to|in|is)\b')) AS INTEGER) AS q_stop,
+            CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                 AS INTEGER) AS q_punct
+          FROM documents),
+        passed AS (
+          SELECT d.doc_id, d.text, d.source
+          FROM documents d JOIN q USING (doc_id)
+          WHERE ROUND(
+            (CASE WHEN q_tok >= 10 AND q_tok <= 5000
+                  THEN 0.4 ELSE 0.0 END)
+            + least(q_stop / greatest(q_tok, 1) * 2.0, 0.4)
+            - least(q_punct / q_chr * 5.0, 0.2)
+            + (CASE WHEN q_chr / greatest(q_tok, 1) >= 3.0
+                     AND q_chr / greatest(q_tok, 1) <= 12.0
+                    THEN 0.2 ELSE 0.0 END), 4) >= 0.63),
+        fp AS (
+          SELECT doc_id, text, source,
+                 md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                   AS fingerprint
+          FROM passed),
+        kept AS (
+          SELECT doc_id, text, source FROM fp
+          WHERE doc_id = (SELECT MIN(f2.doc_id) FROM fp f2
+                          WHERE f2.fingerprint = fp.fingerprint)),
+        t AS (
+          SELECT doc_id, source,
+                 regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM kept),
+        s AS (
+          SELECT doc_id, source, toks,
+                 unnest(generate_series(0, greatest(len(toks) - 1, 0), 24))
+                   AS chunk_start
+          FROM t)
+        SELECT doc_id, source,
+               CAST(chunk_start / 24 AS INTEGER) AS chunk_idx,
+               CAST(chunk_start AS BIGINT) AS chunk_start,
+               CAST(len(toks[chunk_start + 1 : chunk_start + 32])
+                    AS BIGINT) AS n_chunk_tokens,
+               array_to_string(toks[chunk_start + 1 : chunk_start + 32], ' ')
+                 AS chunk_text
+        FROM s""")
 
     # sequential-pattern mining lite: most common consecutive event-type
     # trigrams across user timelines (one user_id shuffle + bounded-key

@@ -781,3 +781,17 @@ def test_edit_distance_pairs_block_size_guard(spark):
     capped = D.edit_distance_pairs(docs, max_dist=10, prefix_chars=80,
                                    block_width=10, max_block_size=3)
     assert {(r["id_a"], r["id_b"]) for r in capped.collect()} == {(10, 11)}
+
+
+def test_prepare_chunks_dedups_then_chunks(spark):
+    from olap_xtrctr_spark.operators.pipeline import prepare_chunks
+    good = "the cat and the dog of the house is in the garden and the yard"
+    docs = spark.createDataFrame(
+        [(1, good, "s1"), (2, good, "s2"),       # exact dup: keep id 1
+         (3, "x", "s1")],                        # fails the quality gate
+        "doc_id long, text string, source string")
+    rows = prepare_chunks(docs, min_quality=0.5, chunk_tokens=8,
+                          stride=6).collect()
+    assert {r["doc_id"] for r in rows} == {1}
+    assert all(r["source"] == "s1" for r in rows)   # keep_cols carried
+    assert sorted(r["chunk_start"] for r in rows) == [0, 6, 12]
