@@ -313,6 +313,39 @@ def replay_dedup_counts(spark: SparkSession, source_dir: str, schema,
     return drain_stream_to_table(spark, sdf, "events_stream_dedup")
 
 
+def replay_rollup_to_parquet(spark: SparkSession, source_dir: str, schema,
+                             out_dir: str,
+                             glob: str = "events.parquet") -> DataFrame:
+    """Streaming → PARQUET sink via ``foreachBatch``, idempotently: each
+    micro-batch overwrites its own ``batch_id=<n>`` subdirectory, so a
+    retried batch (at-least-once delivery from the engine) lands in the
+    same place instead of duplicating rows — the standard exactly-once
+    recipe for non-transactional file sinks.  Within foreachBatch the
+    data is a plain batch DataFrame, so the write is ordinary
+    partitioned parquet work.
+
+    Bounded availableNow replay of the hourly rollup in update mode
+    (each batch emits changed windows; the LAST batch_id directory
+    holds the final state for every window it saw — for a single-batch
+    bounded replay that is the complete rollup).  Returns the rows read
+    back from the sink directory."""
+    sdf = streaming_hourly_rollup(spark, source_dir, schema, glob=glob)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+         .parquet(f"{out_dir}/batch_id={batch_id}"))
+
+    q = (sdf.writeStream
+         .foreachBatch(write_batch)
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    last = max(int(p.split("=")[1]) for p in
+               __import__("os").listdir(out_dir) if p.startswith("batch_id="))
+    return spark.read.parquet(f"{out_dir}/batch_id={last}")
+
+
 def hourly_anomalies(events: DataFrame, window_hours: int = 24,
                      threshold_sq: int = 49,
                      bursts_only: bool = True) -> DataFrame:
@@ -427,6 +460,44 @@ def event_type_sequences(events: DataFrame, n: int = 3,
     wr = Window.orderBy(F.desc("n_occurrences"), F.asc("seq"))  # k rows only
     return (top.withColumn("rank", F.row_number().over(wr))
             .select("rank", "seq", "n_occurrences"))
+
+
+def user_activity_deciles(events: DataFrame, buckets: int = 10) -> DataFrame:
+    """Users bucketed into activity deciles — WITHOUT ranking users.
+
+    A naive NTILE over all users is a single-partition window (the
+    top_tokens lesson).  Instead the decile is VALUE-based: group users
+    by their event count, run the cumulative user count over the
+    DISTINCT count values (a window over |distinct counts| rows — tiny,
+    bounded by the activity range, never |users|), and assign every
+    user of a value the decile of that value's cumulative rank.  Ties
+    therefore share a decile (deterministic, engine-independent) and
+    the join back to values is a broadcast.
+
+    decile d = ceil(cum_users_at_or_above * buckets / total_users),
+    over counts ordered DESCENDING (decile 1 = most active).
+    Output per decile: n_users, min/max event count, total events.
+    """
+    ua = (events.groupBy("user_id")
+          .agg(F.count(F.lit(1)).alias("n_events")))
+    vc = ua.groupBy("n_events").agg(F.count(F.lit(1)).alias("n_users_v"))
+    w = Window.orderBy(F.desc("n_events"))  # |distinct counts| rows only
+    # total user count stays IN-PLAN (broadcast scalar crossjoin, the
+    # mix_corpus pattern) — no eager .count() job on the driver
+    tot = ua.agg(F.count(F.lit(1)).alias("_total"))
+    vd = (vc.crossJoin(F.broadcast(tot))
+          .withColumn("_cum", F.sum("n_users_v").over(
+              w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("decile",
+                      F.least(F.ceil(F.col("_cum") * buckets
+                                     / F.col("_total")),
+                              F.lit(buckets)).cast("int")))
+    return (vd.groupBy("decile")
+            .agg(F.sum("n_users_v").alias("n_users"),
+                 F.min("n_events").alias("min_events"),
+                 F.max("n_events").alias("max_events"),
+                 F.sum(F.col("n_events") * F.col("n_users_v"))
+                  .alias("total_events")))
 
 
 def retention_cohorts(events: DataFrame) -> DataFrame:

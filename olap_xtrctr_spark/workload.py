@@ -120,6 +120,7 @@ _R4_FRONT = [
     "events_type_trigrams",
     "events_value_quantiles_approx",
     "docs_prepare_chunks",
+    "events_user_deciles",
     # approximate ops, rows-only by design (no exact SQL oracle exists);
     # kept in the window so the driver keeps recording their row counts
     "docs_minhash_lsh_pairs",
@@ -2669,6 +2670,32 @@ def build_workload() -> dict[str, QuerySpec]:
                array_to_string(toks[chunk_start + 1 : chunk_start + 32], ' ')
                  AS chunk_text
         FROM s""")
+
+    # value-based activity deciles: the cumulative window runs over
+    # DISTINCT event-count values (bounded), never over users — the
+    # scalable replacement for a global NTILE ranking
+    add("events_user_deciles",
+        lambda spark, sf: EV.user_activity_deciles(_events(spark, sf)),
+        """WITH ua AS (
+          SELECT user_id, COUNT(*) AS n_events FROM events
+          GROUP BY user_id),
+        vc AS (
+          SELECT n_events, COUNT(*) AS n_users_v FROM ua
+          GROUP BY n_events),
+        tot AS (SELECT COUNT(*) AS _total FROM ua),
+        vd AS (
+          SELECT n_events, n_users_v,
+                 CAST(least(CEIL((SUM(n_users_v) OVER
+                     (ORDER BY n_events DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     * 10) / _total), 10) AS INTEGER) AS decile
+          FROM vc, tot)
+        SELECT decile,
+               CAST(SUM(n_users_v) AS BIGINT) AS n_users,
+               MIN(n_events) AS min_events,
+               MAX(n_events) AS max_events,
+               CAST(SUM(n_events * n_users_v) AS BIGINT) AS total_events
+        FROM vd GROUP BY decile""")
 
     # sequential-pattern mining lite: most common consecutive event-type
     # trigrams across user timelines (one user_id shuffle + bounded-key

@@ -795,3 +795,50 @@ def test_prepare_chunks_dedups_then_chunks(spark):
     assert {r["doc_id"] for r in rows} == {1}
     assert all(r["source"] == "s1" for r in rows)   # keep_cols carried
     assert sorted(r["chunk_start"] for r in rows) == [0, 6, 12]
+
+
+def test_user_activity_deciles_value_based(spark):
+    import datetime as dt
+    # 10 users: counts 1..10, one user each -> each value its own decile
+    rows = []
+    eid = 0
+    for u in range(1, 11):
+        for j in range(u):
+            rows.append((eid, dt.datetime(2025, 1, 1, 0, 0), u, "x",
+                         0.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["decile"]: r for r in
+           EV.user_activity_deciles(ev).collect()}
+    assert set(out) == set(range(1, 11))
+    # decile 1 = most active (count 10), decile 10 = least (count 1)
+    assert out[1]["min_events"] == 10 and out[10]["max_events"] == 1
+    assert all(out[d]["n_users"] == 1 for d in out)
+
+
+def test_user_activity_deciles_ties_share_decile(spark):
+    import datetime as dt
+    # 4 users with identical counts -> all in ONE decile (value-based)
+    rows = [(i, dt.datetime(2025, 1, 1), i % 4, "x", 0.0, "{}")
+            for i in range(8)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = EV.user_activity_deciles(ev).collect()
+    assert len(out) == 1
+    assert out[0]["decile"] == 10 and out[0]["n_users"] == 4
+
+
+def test_foreachbatch_parquet_sink_equals_batch(spark, sf_dir, tmp_path):
+    from olap_xtrctr_spark.session import events_schema, load_events
+    out = EV.replay_rollup_to_parquet(
+        spark, sf_dir, events_schema(spark, sf_dir), str(tmp_path / "sink"))
+    got = {(str(r["hour"]), r["event_type"]): (r["n_events"],
+                                               round(r["sum_value"], 4))
+           for r in out.collect()}
+    want = {(str(r["hour"]), r["event_type"]): (r["n_events"],
+                                                round(r["sum_value"], 4))
+            for r in EV.hourly_rollup(load_events(spark, sf_dir)).collect()}
+    assert got == want
