@@ -126,6 +126,33 @@ def uniform_sample_k(docs: DataFrame, k: int,
             .drop("_h"))
 
 
+def temperature_mix_rates(docs: DataFrame, temperature: float = 0.7,
+                          text_col: str = "text",
+                          source_col: str = "source") -> DataFrame:
+    """Per-source sampling rates under TEMPERATURE re-weighting — the
+    standard multilingual/multi-source pretrain rule (weight ∝
+    n_tokens^T, T<1 up-weights small sources; T=1 is proportional,
+    T=0 uniform; e.g. mT5, Xue et al. 2021).
+
+    Output per source: n_docs, n_tokens, and the normalized mix rate
+    ROUND(n_tokens^T / Σ n_tokens^T, 6).  One aggregation (map-side
+    combined over the bounded source domain) plus a broadcast scalar
+    total — nothing here scales with corpus size.  The only float op
+    is pow(), identically expressible on any SQL engine; the 6-decimal
+    round is the same cross-engine tolerance the cosine kernels use."""
+    ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per_src = (docs.groupBy(source_col)
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(ntok).alias("n_tokens")))
+    weighted = per_src.withColumn(
+        "_w", F.pow(F.col("n_tokens").cast("double"), F.lit(temperature)))
+    tot = weighted.agg(F.sum("_w").alias("_wsum"))
+    return (weighted.crossJoin(F.broadcast(tot))
+            .select(source_col, "n_docs", "n_tokens",
+                    F.round(F.col("_w") / F.col("_wsum"), 6)
+                     .alias("mix_rate")))
+
+
 def incremental_dedup(new_batch: DataFrame, seen: DataFrame,
                       text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:

@@ -121,6 +121,7 @@ _R4_FRONT = [
     "events_value_quantiles_approx",
     "docs_prepare_chunks",
     "events_user_deciles",
+    "docs_temperature_mix_rates",
     # approximate ops, rows-only by design (no exact SQL oracle exists);
     # kept in the window so the driver keeps recording their row counts
     "docs_minhash_lsh_pairs",
@@ -2670,6 +2671,24 @@ def build_workload() -> dict[str, QuerySpec]:
                array_to_string(toks[chunk_start + 1 : chunk_start + 32], ' ')
                  AS chunk_text
         FROM s""")
+
+    # temperature re-weighted source mixing rates (weight ∝ n_tokens^T):
+    # one bounded-domain aggregation + broadcast scalar normalizer
+    add("docs_temperature_mix_rates",
+        lambda spark, sf: SM.temperature_mix_rates(_docs(spark, sf),
+                                                   temperature=0.7),
+        r"""WITH per_src AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                      AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        w AS (
+          SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.7) AS _w
+          FROM per_src),
+        tot AS (SELECT SUM(_w) AS _wsum FROM w)
+        SELECT source, n_docs, n_tokens,
+               ROUND(_w / _wsum, 6) AS mix_rate
+        FROM w, tot""")
 
     # value-based activity deciles: the cumulative window runs over
     # DISTINCT event-count values (bounded), never over users — the

@@ -147,3 +147,23 @@ def test_prepared_corpus_roundtrip_partitioned_by_split(spark, docs,
     q = back.filter(F.col("split") == "train")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(split" in plan
+
+
+def test_temperature_mix_rates_boundaries(spark):
+    from olap_xtrctr_spark.operators import sampling as SM
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "big"), (2, "e f g h", "big"),
+         (3, "i j", "small")],
+        "doc_id long, text string, source string")
+    # T=1: proportional to tokens (8 vs 2 -> 0.8 / 0.2)
+    t1 = {r["source"]: r["mix_rate"]
+          for r in SM.temperature_mix_rates(docs, 1.0).collect()}
+    assert t1 == {"big": 0.8, "small": 0.2}
+    # T=0: uniform across sources
+    t0 = {r["source"]: r["mix_rate"]
+          for r in SM.temperature_mix_rates(docs, 0.0).collect()}
+    assert t0 == {"big": 0.5, "small": 0.5}
+    # 0<T<1 sits strictly between
+    t7 = {r["source"]: r["mix_rate"]
+          for r in SM.temperature_mix_rates(docs, 0.7).collect()}
+    assert 0.5 < t7["big"] < 0.8 and abs(sum(t7.values()) - 1.0) < 1e-6
