@@ -82,3 +82,111 @@ def batch_user_totals(events: DataFrame) -> DataFrame:
     return (events.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum(milli).alias("sum_value_milli")))
+
+
+# ---- timeout-driven session tracker ---------------------------------------
+#
+# The state machine session_window CANNOT express: emit one row per
+# CLOSED session, where a session closes EITHER because a later event of
+# the same user exceeded the gap (in-batch close) OR because event time
+# moved past last_event + gap with no further activity (EventTimeTimeout
+# close — the state store calls us back with hasTimedOut, no event
+# needed).  A user's final session stays open until the watermark passes
+# its deadline: correct streaming semantics, asserted in the tests.
+
+SESSIONS_SCHEMA = ("user_id bigint, session_start timestamp, "
+                   "session_end timestamp, n_events bigint")
+_SESS_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint"
+
+
+def _make_session_tracker(gap_seconds: int):
+    # state in MICROseconds (the testdata's native ts precision — milli
+    # truncation would desync session bounds from the batch oracle);
+    # only the timeout deadline converts to the API's milliseconds
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def _track(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            # watermark passed last_event + gap: flush the open session
+            if state.exists:
+                s, last, n = state.get
+                closed.append((user_id, s, last, n))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs))
+            rows = rows.sort_values(["ts", "event_id"])
+            ts_us = (rows["ts"].astype("datetime64[ns]").astype("int64")
+                     // 1_000)
+            s, last, n = state.get if state.exists else (None, None, 0)
+            for t in ts_us:
+                t = int(t)
+                if s is None:
+                    s, last, n = t, t, 1
+                elif t - last > gap_us:
+                    closed.append((user_id, s, last, n))
+                    s, last, n = t, t, 1
+                else:
+                    last, n = t, n + 1
+            state.update((s, last, n))
+            state.setTimeoutTimestamp((last + gap_us) // 1000)
+        out = pd.DataFrame(closed, columns=["user_id", "session_start",
+                                            "session_end", "n_events"])
+        if not out.empty:
+            out["session_start"] = pd.to_datetime(out["session_start"],
+                                                  unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"],
+                                                unit="us")
+        yield out
+
+    return _track
+
+
+def streaming_session_tracker(spark: SparkSession, source_dir: str, schema,
+                              gap_seconds: int = 1800,
+                              watermark: str = "1 second",
+                              glob: str | None = None) -> DataFrame:
+    """readStream → watermark → groupBy(user_id) →
+    applyInPandasWithState with EventTimeTimeout.  Append mode: only
+    CLOSED sessions are emitted, each exactly once."""
+    from ..session import ensure_nanos_conf, normalize_event_ts
+    ensure_nanos_conf(spark)
+    reader = spark.readStream.schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    stream = normalize_event_ts(reader.parquet(source_dir))
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _make_session_tracker(gap_seconds),
+                outputStructType=SESSIONS_SCHEMA,
+                stateStructType=_SESS_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def batch_closed_sessions(events: DataFrame,
+                          gap_seconds: int = 1800) -> DataFrame:
+    """Batch equivalent: EVERY session of every user as
+    (user_id, session_start, session_end, n_events) — the streaming
+    tracker must emit exactly the subset whose close condition has been
+    reached (all but each user's final session, until the watermark
+    passes its deadline)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = events.withColumn(
+        "_new", F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1)
+                 .otherwise(0))
+    sid = F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (flagged.withColumn("_sid", sid)
+            .groupBy("user_id", "_sid")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .drop("_sid"))

@@ -122,6 +122,7 @@ _R4_FRONT = [
     "docs_prepare_chunks",
     "events_user_deciles",
     "docs_temperature_mix_rates",
+    "events_stream_session_tracker",
     # approximate ops, rows-only by design (no exact SQL oracle exists);
     # kept in the window so the driver keeps recording their row counts
     "docs_minhash_lsh_pairs",
@@ -2689,6 +2690,55 @@ def build_workload() -> dict[str, QuerySpec]:
         SELECT source, n_docs, n_tokens,
                ROUND(_w / _wsum, 6) AS mix_rate
         FROM w, tot""")
+
+    def stream_session_tracker(spark, sf):
+        from .streaming.stateful import streaming_session_tracker
+        sdf = streaming_session_tracker(
+            spark, sf, _events_schema(spark, sf), gap_seconds=1800,
+            glob="events.parquet")
+        return EV.drain_stream_to_table(
+            spark, sdf, "events_stream_session_tracker",
+            output_mode="append")
+
+    # custom stateful operator with EVENT-TIME TIMEOUT
+    # (applyInPandasWithState): emits each closed session exactly once —
+    # closed in-batch by a later event, or flushed by the timeout
+    # callback once the watermark passes last_event + gap.  The bounded
+    # replay's emission set is deterministic, so a full SQL oracle
+    # applies: all sessions except each user's final one, UNLESS the
+    # final watermark (max ts - 1 s, in engine milliseconds) passed its
+    # deadline — the exact ms arithmetic the state store uses.
+    add("events_stream_session_tracker", stream_session_tracker,
+        """WITH s AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(epoch_us(ts)) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)
+                      IS NULL THEN 1
+                      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800000000 THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        sess AS (
+          SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM s),
+        agg AS (
+          SELECT user_id, sid,
+                 MIN(ts) AS session_start, MAX(ts) AS session_end,
+                 COUNT(*) AS n_events
+          FROM sess GROUP BY user_id, sid),
+        agg2 AS (
+          SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+          FROM agg),
+        mx AS (SELECT MAX(ts) AS max_ts FROM events)
+        SELECT user_id, session_start, session_end,
+               CAST(n_events AS BIGINT) AS n_events
+        FROM agg2, mx
+        WHERE sid < max_sid
+           OR (epoch_us(session_end) + 1800000000) // 1000
+              < epoch_us(max_ts) // 1000 - 1000""")
 
     # value-based activity deciles: the cumulative window runs over
     # DISTINCT event-count values (bounded), never over users — the

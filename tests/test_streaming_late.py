@@ -115,3 +115,92 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     in2, counts2 = drain("ckpt_run2")
     assert in2 == 5                            # ONLY the new file read
     assert counts2 == {"click": 10, "view": 5} # state restored + extended
+
+
+EV_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+             "event_type string, value double, props string")
+
+
+def test_session_tracker_replay_closes_exactly_reachable(spark, sf_dir):
+    """availableNow replay: emitted sessions = every session closed by a
+    later same-user event PLUS each user's final session IF the final
+    watermark (max event time - delay) passed its gap deadline —
+    availableNow runs a last no-data batch exactly so those timeouts
+    fire.  Finals still inside the gap remain open (not emitted)."""
+    from olap_xtrctr_spark.session import events_schema, load_events
+    from olap_xtrctr_spark.streaming.events import drain_stream_to_table
+    from olap_xtrctr_spark.streaming.stateful import (
+        batch_closed_sessions, streaming_session_tracker)
+    from pyspark.sql import Window
+
+    sdf = streaming_session_tracker(
+        spark, sf_dir, events_schema(spark, sf_dir), gap_seconds=1800,
+        glob="events.parquet")
+    got = drain_stream_to_table(spark, sdf, "sess_tracker_single",
+                                output_mode="append")
+    got_set = {(r["user_id"], str(r["session_start"]),
+                str(r["session_end"]), r["n_events"])
+               for r in got.collect()}
+    ev = load_events(spark, sf_dir)
+    wm = ev.agg(F.max("ts")).collect()[0][0]  # minus 1s delay below
+    allb = batch_closed_sessions(ev, 1800)
+    w = Window.partitionBy("user_id").orderBy(F.desc("session_start"))
+    ranked = allb.withColumn("_rn", F.row_number().over(w))
+    reachable = ranked.filter(
+        (F.col("_rn") > 1)
+        | (F.unix_micros("session_end") + 1800 * 1_000_000
+           < F.unix_micros(F.lit(wm)) - 1_000_000))
+    want_set = {(r["user_id"], str(r["session_start"]),
+                 str(r["session_end"]), r["n_events"])
+                for r in reachable.collect()}
+    assert got_set == want_set
+    assert got_set    # non-trivial: the corpus has multi-session users
+
+
+def test_session_tracker_event_time_timeout_flush(spark, tmp_path):
+    """Three single-file batches: user 10's lone session never closes
+    in-batch — only the EventTimeTimeout callback (watermark moved past
+    last_event + gap on later batches) can emit it."""
+    import time
+    from olap_xtrctr_spark.streaming.stateful import _make_session_tracker
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from datetime import datetime
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    t = lambda h, m: datetime(2024, 6, 1, h, m)
+    batches = [
+        [(1, t(0, 0), 10, "click", 1.0, "{}"),
+         (2, t(0, 10), 10, "view", 1.0, "{}")],       # user 10 only
+        [(3, t(5, 0), 20, "click", 1.0, "{}")],       # advances watermark
+        [(4, t(9, 0), 30, "click", 1.0, "{}")],       # fires 10's timeout
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, EV_SCHEMA)
+        _write_single_file(df, str(tmp_path), str(src), f"s{i}")
+        os.utime(os.path.join(str(src), f"s{i}.parquet"),
+                 (1000000 + i, 1000000 + i))   # deterministic file order
+
+    stream = (spark.readStream.schema(EV_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    sdf = (stream.withWatermark("ts", "1 second")
+           .groupBy("user_id")
+           .applyInPandasWithState(
+               _make_session_tracker(1800),
+               outputStructType=("user_id bigint, session_start timestamp, "
+                                 "session_end timestamp, n_events bigint"),
+               stateStructType="start_us bigint, last_us bigint, n bigint",
+               outputMode="append",
+               timeoutConf=GroupStateTimeout.EventTimeTimeout))
+    q = (sdf.writeStream.format("memory").queryName("sess_tracker_timeout")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = {r["user_id"]: r
+            for r in spark.table("sess_tracker_timeout").collect()}
+    # user 10 flushed by timeout with exact bounds; 20 fired later (its
+    # own timeout passes when batch 3's watermark lands); 30 still open
+    assert 10 in rows
+    assert str(rows[10]["session_start"]) == "2024-06-01 00:00:00"
+    assert str(rows[10]["session_end"]) == "2024-06-01 00:10:00"
+    assert rows[10]["n_events"] == 2
+    assert 30 not in rows
