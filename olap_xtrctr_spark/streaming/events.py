@@ -462,6 +462,28 @@ def event_type_sequences(events: DataFrame, n: int = 3,
             .select("rank", "seq", "n_occurrences"))
 
 
+def merge_rollup(*rollups: DataFrame) -> DataFrame:
+    """Merge partial hourly rollups into one — the mergeable-aggregate
+    discipline behind every incremental materialized view: yesterday's
+    stored rollup plus today's delta re-aggregates on the SAME keys
+    instead of rescanning raw events (count and decimal-exact sum are
+    both associative; avg/percentile callers must store sum+count, not
+    the ratio).  Merging N partials costs one shuffle over rollup-grain
+    rows — at 100 TB/day that is hours×types rows, not events.
+
+    sum_value passes back through DECIMAL(18,4) during the merge, so
+    partial-then-merge equals the single-pass rollup bit-for-bit (a
+    double re-sum would re-order float error); a production pipeline
+    STORES the decimal and casts to double only at the edge."""
+    out = rollups[0]
+    for r in rollups[1:]:
+        out = out.unionByName(r)
+    return (out.groupBy("hour", "event_type")
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.sum(F.col("sum_value").cast("decimal(18,4)"))
+                  .cast("double").alias("sum_value")))
+
+
 def user_activity_deciles(events: DataFrame, buckets: int = 10) -> DataFrame:
     """Users bucketed into activity deciles — WITHOUT ranking users.
 

@@ -123,6 +123,8 @@ _R4_FRONT = [
     "events_user_deciles",
     "docs_temperature_mix_rates",
     "events_stream_session_tracker",
+    "events_rollup_incremental",
+    "events_props_variant_stats",
     # approximate ops, rows-only by design (no exact SQL oracle exists);
     # kept in the window so the driver keeps recording their row counts
     "docs_minhash_lsh_pairs",
@@ -2739,6 +2741,45 @@ def build_workload() -> dict[str, QuerySpec]:
         WHERE sid < max_sid
            OR (epoch_us(session_end) + 1800000000) // 1000
               < epoch_us(max_ts) // 1000 - 1000""")
+
+    # incremental materialized-view discipline: two partial rollups
+    # (disjoint halves of the corpus) merged on the rollup grain must
+    # equal the single-pass rollup — the oracle IS the full rollup
+    def rollup_incremental(spark, sf):
+        ev = _events(spark, sf)
+        old = EV.hourly_rollup(ev.filter(F.col("event_id") % 2 == 0))
+        delta = EV.hourly_rollup(ev.filter(F.col("event_id") % 2 == 1))
+        return EV.merge_rollup(old, delta)
+
+    add("events_rollup_incremental", rollup_incremental,
+        f"""SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(*) AS n_events,
+               {SUM_D('value')} AS sum_value
+        FROM events
+        GROUP BY 1, 2""")
+
+    # VARIANT semi-structured path (Spark 4 binary-encoded JSON): parse
+    # once, typed variant_get extraction, aggregate per key range — the
+    # modern lakehouse alternative to per-query string JSON parsing
+    add("events_props_variant_stats",
+        lambda spark, sf: (_events(spark, sf)
+            .select(F.parse_json("props").alias("v"), "value")
+            .select(F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+                    "value")
+            .groupBy((F.col("k") / 10).cast("int").alias("k_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count_distinct("k").alias("n_distinct_k"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                  .cast("double").alias("sum_value"))),
+        f"""WITH e AS (
+          SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                 value
+          FROM events)
+        SELECT CAST(FLOOR(k / 10.0) AS INTEGER) AS k_bucket,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT k) AS n_distinct_k,
+               {SUM_D('value')} AS sum_value
+        FROM e GROUP BY 1""")
 
     # value-based activity deciles: the cumulative window runs over
     # DISTINCT event-count values (bounded), never over users — the

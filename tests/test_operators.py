@@ -842,3 +842,16 @@ def test_foreachbatch_parquet_sink_equals_batch(spark, sf_dir, tmp_path):
                                                 round(r["sum_value"], 4))
             for r in EV.hourly_rollup(load_events(spark, sf_dir)).collect()}
     assert got == want
+
+
+def test_merge_rollup_equals_single_pass(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    full = {(str(r["hour"]), r["event_type"]): (r["n_events"],
+                                                r["sum_value"])
+            for r in EV.hourly_rollup(ev).collect()}
+    halves = [EV.hourly_rollup(ev.filter(F.col("event_id") % 2 == i))
+              for i in (0, 1)]
+    merged = {(str(r["hour"]), r["event_type"]): (r["n_events"],
+                                                  r["sum_value"])
+              for r in EV.merge_rollup(*halves).collect()}
+    assert merged == full     # bit-for-bit, incl. the decimal-sum path
