@@ -75,6 +75,15 @@ PROBE_QUERIES = [
     # (lang, len-bucket) block — the probe MEASURES that concentration
     "docs_edit_distance_pairs",
     "events_type_trigrams",
+    "events_user_deciles",
+    "events_rollup_incremental",
+    "events_props_variant_stats",
+    # streaming entries are NOT probeable here: the replicator writes
+    # each table as a DIRECTORY of part files, and the streaming
+    # entries' pathGlobFilter targets the single-file driver layout —
+    # the filter matches nothing and the stream is empty.
+    "docs_prepare_chunks",
+    "docs_temperature_mix_rates",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
