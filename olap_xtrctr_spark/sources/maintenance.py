@@ -1,0 +1,58 @@
+"""Table-maintenance operators: the data-layout work a 100 TB lake
+needs between queries.
+
+Small files are the classic silent killer of scan throughput: a day of
+streaming micro-batches leaves thousands of KB-sized parquet files, and
+every downstream scan pays an open/footer-parse per file plus a task
+per split.  Compaction rewrites a directory to files near a target
+size; the target trades scan parallelism (more files) against per-file
+overhead (fewer), with 128 MB the common lake default.
+"""
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import SparkSession
+
+
+def parquet_dir_stats(path: str) -> dict:
+    """File count / byte totals for a parquet directory (driver-side
+    metadata listing — bounded by file COUNT, never data volume; a
+    real lake swaps os.walk for the Hadoop FileSystem listing API)."""
+    n_files = 0
+    total_bytes = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n_files += 1
+                total_bytes += os.path.getsize(os.path.join(root, f))
+    return {"n_files": n_files, "total_bytes": total_bytes}
+
+
+def compact_parquet(spark: SparkSession, src_dir: str, dst_dir: str,
+                    target_mb: int = 128) -> dict:
+    """Rewrite ``src_dir`` into ``dst_dir`` with files sized near
+    ``target_mb``.  The output file count comes from the MEASURED input
+    bytes (ceil(total / target)), not a guessed partition number, so
+    the same call is right for a 10 MB test directory and a 10 TB
+    partition.  The rewrite itself is one narrow repartition job —
+    round-robin, no keys — and the source is left untouched (callers
+    swap directories atomically after validation, the
+    write-new/verify/rename discipline every lake compactor uses).
+
+    Returns before/after stats for that validation step.
+    """
+    before = parquet_dir_stats(src_dir)
+    if before["n_files"] == 0:
+        raise ValueError(f"no parquet files under {src_dir}")
+    n_out = max(1, math.ceil(before["total_bytes"]
+                             / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_dir)
+    df.repartition(n_out).write.mode("overwrite").parquet(dst_dir)
+    after = parquet_dir_stats(dst_dir)
+    return {"files_before": before["n_files"],
+            "files_after": after["n_files"],
+            "bytes_before": before["total_bytes"],
+            "bytes_after": after["total_bytes"],
+            "target_files": n_out}

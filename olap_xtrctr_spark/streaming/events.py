@@ -313,6 +313,42 @@ def replay_dedup_counts(spark: SparkSession, source_dir: str, schema,
     return drain_stream_to_table(spark, sdf, "events_stream_dedup")
 
 
+def streaming_dedup_counts_bounded(spark: SparkSession, source_dir: str,
+                                   schema, watermark: str = "2 hours",
+                                   glob: str | None = None) -> DataFrame:
+    """The BOUNDED-STATE form of streaming exactly-once dedup:
+    ``dropDuplicatesWithinWatermark`` holds a key only until the
+    watermark passes its event time + delay, then evicts it — state is
+    O(keys per watermark window), not O(all keys ever seen), which is
+    the difference between a dedup stage that runs forever at 100 TB/day
+    and one whose state store fills the cluster.  The contract weakens
+    accordingly: only duplicates arriving within the watermark delay of
+    each other are collapsed — exactly the at-least-once redelivery
+    window a real bus (Kafka, Kinesis) produces.  The self-union replay
+    redelivers every event instantly, well inside any delay, so the
+    bounded replay still equals the batch distinct count."""
+    from ..session import ensure_nanos_conf, normalize_event_ts
+    ensure_nanos_conf(spark)
+    reader = spark.readStream.schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    stream = normalize_event_ts(reader.parquet(source_dir))
+    doubled = stream.union(stream)            # simulated redelivery
+    return (doubled
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+def replay_dedup_counts_bounded(spark: SparkSession, source_dir: str,
+                                schema,
+                                glob: str = "events.parquet") -> DataFrame:
+    sdf = streaming_dedup_counts_bounded(spark, source_dir, schema,
+                                         glob=glob)
+    return drain_stream_to_table(spark, sdf, "events_stream_dedup_bounded")
+
+
 def replay_rollup_to_parquet(spark: SparkSession, source_dir: str, schema,
                              out_dir: str,
                              glob: str = "events.parquet") -> DataFrame:

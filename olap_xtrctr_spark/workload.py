@@ -125,6 +125,7 @@ _R4_FRONT = [
     "events_stream_session_tracker",
     "events_rollup_incremental",
     "events_props_variant_stats",
+    "events_stream_dedup_bounded",
     # approximate ops, rows-only by design (no exact SQL oracle exists);
     # kept in the window so the driver keeps recording their row counts
     "docs_minhash_lsh_pairs",
@@ -2376,6 +2377,20 @@ def build_workload() -> dict[str, QuerySpec]:
     # streaming exactly-once ingestion: the self-unioned (redelivered)
     # stream deduped on event_id must count exactly the batch distinct
     add("events_stream_dedup", stream_dedup,
+        """SELECT event_type, COUNT(DISTINCT event_id) AS n_events
+        FROM events
+        GROUP BY event_type""")
+
+    def stream_dedup_bounded(spark, sf):
+        return EV.replay_dedup_counts_bounded(spark, sf,
+                                              _events_schema(spark, sf))
+
+    # bounded-state exactly-once dedup (dropDuplicatesWithinWatermark):
+    # keys evict once the watermark passes their event time + delay, so
+    # state is O(watermark window), not O(stream) — the form that
+    # survives an unbounded deployment; instant self-union redelivery
+    # is inside any delay, so the replay equals the batch distinct
+    add("events_stream_dedup_bounded", stream_dedup_bounded,
         """SELECT event_type, COUNT(DISTINCT event_id) AS n_events
         FROM events
         GROUP BY event_type""")

@@ -60,3 +60,30 @@ def test_incremental_dedup_bucketed_seen_side_no_exchange(spark, sf_dir):
               incremental_dedup(new, seen).select("doc_id").collect()}
     got = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert got == expect
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from olap_xtrctr_spark.sources.maintenance import (compact_parquet,
+                                                       parquet_dir_stats)
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    df.repartition(32).write.parquet(src)          # 32 tiny files
+    assert parquet_dir_stats(src)["n_files"] == 32
+    stats = compact_parquet(spark, src, dst, target_mb=128)
+    assert stats["files_before"] == 32
+    assert stats["files_after"] == 1               # tiny data -> one file
+    got = spark.read.parquet(dst)
+    assert got.count() == 10_000
+    assert got.agg({"k": "sum"}).collect()[0][0] == 10_000 * 9_999 // 2
+    # source untouched (write-new/verify/rename discipline)
+    assert parquet_dir_stats(src)["n_files"] == 32
+
+
+def test_compact_parquet_empty_dir_raises(spark, tmp_path):
+    import pytest
+    from olap_xtrctr_spark.sources.maintenance import compact_parquet
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError):
+        compact_parquet(spark, str(empty), str(tmp_path / "out"))
