@@ -87,3 +87,44 @@ def test_compact_parquet_empty_dir_raises(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(ValueError):
         compact_parquet(spark, str(empty), str(tmp_path / "out"))
+
+
+def test_cluster_parquet_separates_key_ranges(spark, tmp_path):
+    """After clustering, each output file's row-group min/max stats span
+    a narrow disjoint range of the cluster key — the metadata a scan
+    uses to skip files without reading them."""
+    import glob as g
+    import pyarrow.parquet as pq
+    from olap_xtrctr_spark.sources.maintenance import cluster_parquet
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "unclustered")
+    dst = str(tmp_path / "clustered")
+    # interleaved key values so the unclustered layout has NO
+    # separation; a fat incompressible-ish payload forces multiple
+    # output files at target_mb=1 (so the disjointness assertions are
+    # never vacuously skipped)
+    df = (spark.range(40_000)
+          .select((F.col("id") % 100).alias("k"),
+                  F.sha2(F.col("id").cast("string"), 512).alias("payload")))
+    df.repartition(8).write.parquet(src)
+    stats = cluster_parquet(spark, src, dst, ["k"], target_mb=1)
+    assert stats["files_after"] > 1
+    spans = []
+    for f in sorted(g.glob(f"{dst}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo = min(md.row_group(i).column(0).statistics.min
+                 for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(0).statistics.max
+                 for i in range(md.num_row_groups))
+        spans.append((lo, hi))
+    # disjoint (range-partitioned) key spans across files
+    spans.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
+    # and collectively much narrower than the full domain per file
+    if len(spans) > 1:
+        assert max(hi - lo for lo, hi in spans) < 100
+    # data intact
+    got = spark.read.parquet(dst)
+    assert got.count() == 40_000
