@@ -855,3 +855,62 @@ def test_merge_rollup_equals_single_pass(spark, sf_dir):
                                                   r["sum_value"])
               for r in EV.merge_rollup(*halves).collect()}
     assert merged == full     # bit-for-bit, incl. the decimal-sum path
+
+
+def test_chunk_overlap_matches_python_reference_randomized(spark):
+    """Randomized cross-check: chunk bounds/text from the Spark operator
+    must equal a direct Python re-implementation for arbitrary doc
+    lengths, chunk sizes and strides (including stride > chunk: gaps
+    are allowed; starts always step by stride from 0)."""
+    import random
+    rng = random.Random(7)
+    for trial in range(3):
+        chunk = rng.randrange(1, 9)
+        stride = rng.randrange(1, 9)
+        docs = [(i, " ".join(f"t{i}_{j}"
+                             for j in range(rng.randrange(1, 30))))
+                for i in range(25)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {(r["doc_id"], r["chunk_idx"]):
+               (r["chunk_start"], r["n_chunk_tokens"], r["chunk_text"])
+               for r in TX.chunk_overlap(df, chunk_tokens=chunk,
+                                         stride=stride).collect()}
+        want = {}
+        for i, text in docs:
+            toks = text.split()
+            for idx, start in enumerate(range(0, len(toks), stride)):
+                sl = toks[start:start + chunk]
+                want[(i, idx)] = (start, len(sl), " ".join(sl))
+        assert got == want, (trial, chunk, stride)
+
+
+def test_event_type_sequences_matches_python_reference_randomized(spark):
+    import datetime as dt
+    import random
+    from collections import Counter
+    rng = random.Random(11)
+    types = ["a", "b", "c"]
+    rows = []
+    for eid in range(300):
+        rows.append((eid,
+                     dt.datetime(2025, 1, 1) + dt.timedelta(
+                         seconds=rng.randrange(0, 5000)),
+                     rng.randrange(0, 12),
+                     rng.choice(types), 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {(r["rank"], r["seq"], r["n_occurrences"])
+           for r in EV.event_type_sequences(ev, n=3, k=50).collect()}
+    per_user = {}
+    for eid, ts, uid, et, _v, _p in rows:
+        per_user.setdefault(uid, []).append((ts, eid, et))
+    counts = Counter()
+    for seq in per_user.values():
+        seq.sort()
+        ets = [et for _ts, _eid, et in seq]
+        for i in range(len(ets) - 2):
+            counts[" > ".join(ets[i:i + 3])] += 1
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    want = {(i + 1, s, n) for i, (s, n) in enumerate(ordered)}
+    assert got == want
