@@ -383,6 +383,36 @@ def boilerplate_ngrams(docs: DataFrame, n: int = 8, min_docs: int = 3,
             .filter(F.col("n_docs") >= min_docs))
 
 
+def boilerplate_filter(docs: DataFrame, n: int = 8, min_docs: int = 3,
+                       max_frac: float = 0.5, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """The actionable form of ``boilerplate_ngrams``: DROP documents
+    whose token n-grams are mostly corpus boilerplate (shared by >=
+    ``min_docs`` docs) — a template page is boilerplate even when no
+    single doc duplicates it whole.  Documents too short to have any
+    n-gram are kept (no evidence against them).
+
+    Two aggregates over one exploded gram table (the boiler set and the
+    per-doc tallies share the explode), a broadcast-friendly semi-join
+    on the gram key, then a doc-level filter — no all-pairs anything."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = (docs.withColumn("_toks", toks)
+             .select(id_col, F.explode(F.expr(_gram_expr(n))).alias("ngram")))
+    boiler = (grams.groupBy("ngram")
+              .agg(F.count_distinct(id_col).alias("_nd"))
+              .filter(F.col("_nd") >= min_docs)
+              .select("ngram", F.lit(1).alias("_b")))
+    per_doc = (grams.join(boiler, on="ngram", how="left")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("_n_grams"),
+                    F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0))
+                     .alias("_n_boiler")))
+    return (docs.join(per_doc, on=id_col, how="left")
+            .filter(F.col("_n_grams").isNull()
+                    | (F.col("_n_boiler") <= max_frac * F.col("_n_grams")))
+            .drop("_n_grams", "_n_boiler"))
+
+
 def strip_markup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Boilerplate cleaning pass: drop HTML/XML tags, unescape the five
     XML entities, collapse runs of whitespace.  Chained JVM regex —

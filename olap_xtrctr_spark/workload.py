@@ -126,6 +126,7 @@ _R4_FRONT = [
     "events_rollup_incremental",
     "events_props_variant_stats",
     "events_stream_dedup_bounded",
+    "docs_boilerplate_filter",
     # approximate ops, rows-only by design (no exact SQL oracle exists);
     # kept in the window so the driver keeps recording their row counts
     "docs_minhash_lsh_pairs",
@@ -2616,6 +2617,36 @@ def build_workload() -> dict[str, QuerySpec]:
                COUNT(*) AS n_occurrences
         FROM g GROUP BY ngram
         HAVING COUNT(DISTINCT doc_id) >= 3""")
+
+    # the actionable boilerplate op: drop documents that are MOSTLY
+    # corpus-shared 8-gram spans (template pages that no exact dedup
+    # catches); short docs with no 8-grams are kept
+    add("docs_boilerplate_filter",
+        lambda spark, sf: TX.boilerplate_filter(_docs(spark, sf),
+                                                n=8, min_docs=3,
+                                                max_frac=0.5),
+        r"""WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, greatest(len(toks) - 7, 0) + 1),
+                   i -> array_to_string(toks[i : i + 7], ' '))) AS ngram
+          FROM t),
+        boiler AS (
+          SELECT ngram FROM g GROUP BY ngram
+          HAVING COUNT(DISTINCT doc_id) >= 3),
+        per_doc AS (
+          SELECT g.doc_id, COUNT(*) AS n_grams,
+                 CAST(SUM(CASE WHEN b.ngram IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+          FROM g LEFT JOIN boiler b USING (ngram)
+          GROUP BY g.doc_id)
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        WHERE p.doc_id IS NULL OR p.n_boiler <= 0.5 * p.n_grams""")
 
     # blocked exact Levenshtein near-dup pairs (the VERIFY-step edit
     # distance, bounded by (lang, length-bucket) blocking)

@@ -914,3 +914,21 @@ def test_event_type_sequences_matches_python_reference_randomized(spark):
     ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
     want = {(i + 1, s, n) for i, (s, n) in enumerate(ordered)}
     assert got == want
+
+
+def test_boilerplate_filter_drops_template_pages(spark):
+    tmpl = "one two three four"
+    docs = spark.createDataFrame(
+        [(1, f"{tmpl} unique1 a b c d e", "en", "s", 1),
+         (2, f"{tmpl} unique2 f g h i j", "en", "s", 1),
+         (3, f"{tmpl} {tmpl}", "en", "s", 1),       # mostly boilerplate
+         (4, "totally fresh words here now ok", "en", "s", 1),
+         (5, "short", "en", "s", 1)],               # no 4-grams: kept
+        "doc_id long, text string, lang string, source string, n_chars long")
+    kept = {r["doc_id"] for r in TX.boilerplate_filter(
+        docs, n=4, min_docs=3, max_frac=0.34).collect()}
+    # docs 1/2: 1 boiler 4-gram of 6 (17%) -> kept; doc 3: 4-gram count 5,
+    # grams "one two three four" (x2), "two three four one",
+    # "three four one two", "four one two three" — only the tmpl gram is
+    # shared by >=3 docs -> 2/5 = 40% > 34% -> dropped
+    assert kept == {1, 2, 4, 5}
