@@ -190,6 +190,33 @@ def _diag(service, m, qs, body):
     return 200, service.diagnose_schema()
 
 
+@ROUTES.add("GET", r"/api/workload")
+def _workload_list(service, m, qs, body):
+    """Catalog of every analytics/pipeline operator the engine ships
+    (the beyond-reference surface), with its correctness-oracle kind."""
+    from .workload import WORKLOAD
+    return 200, [{"name": n,
+                  "oracle": "full" if s.sql else "rows-only"}
+                 for n, s in WORKLOAD.items()]
+
+
+@ROUTES.add("GET", r"/api/workload/(?P<name>[A-Za-z0-9_]+)")
+def _workload_run(service, m, qs, body):
+    """Run one workload entry against the service's data directory and
+    return a bounded row preview (the reference's run-query ergonomics
+    extended to the whole operator surface; 1000-row cap = L4)."""
+    from .workload import WORKLOAD
+    spec = WORKLOAD.get(m["name"])
+    if spec is None:
+        return 404, {"detail": f"unknown workload entry {m['name']!r}"}
+    limit = min(int(_q1(qs, "limit", "100")), 1000)
+    df = spec.fn(service.spark, service.sf_dir)
+    rows = ([r.asDict(recursive=True) for r in df.limit(limit).collect()]
+            if limit > 0 else [])
+    return 200, {"name": m["name"], "columns": df.columns,
+                 "n_rows_returned": len(rows), "rows": rows}
+
+
 @ROUTES.add("POST", r"/api/jobs")
 def _job_submit(service, m, qs, body):
     """Mirrors workers/api/src/routes/jobs.ts:45-82: create PENDING,

@@ -150,3 +150,25 @@ def test_bad_query_returns_4xx_not_500(base_url):
         _post(base_url + "/api/query/execute", {"catalog": CATALOG,
                                                 "rows": [{"dimension": "X"}]})
     assert err.value.code == 400
+
+
+def test_workload_catalog_and_run(base_url):
+    status, listing = _get(f"{base_url}/api/workload")
+    assert status == 200
+    names = {e["name"] for e in listing}
+    assert "docs_length_histogram" in names and "cube_nation_sales" in names
+    kinds = {e["name"]: e["oracle"] for e in listing}
+    assert kinds["docs_length_histogram"] == "full"
+    assert kinds["docs_minhash_lsh_pairs"] == "rows-only"
+
+    status, out = _get(f"{base_url}/api/workload/docs_length_histogram")
+    assert status == 200
+    assert out["name"] == "docs_length_histogram"
+    assert out["n_rows_returned"] == len(out["rows"]) > 0
+    assert set(out["columns"]) == set(out["rows"][0].keys())
+
+
+def test_workload_run_unknown_404(base_url):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{base_url}/api/workload/not_a_real_entry")
+    assert e.value.code == 404
