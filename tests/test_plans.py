@@ -158,3 +158,31 @@ def test_event_trigrams_single_user_exchange_then_topk(spark, sf_dir):
     plan = _plan(EV.event_type_sequences(ev))
     assert "TakeOrderedAndProject" in plan
     assert plan.count("hashpartitioning(user_id") >= 1
+
+
+def test_user_deciles_window_over_values_not_users(spark, sf_dir):
+    """The decile cumulative window must sit ABOVE the value-level
+    aggregate (rows = distinct counts), with the user-level aggregate
+    map-side combined below it."""
+    from olap_xtrctr_spark.session import load_events
+    from olap_xtrctr_spark.streaming import events as EV
+    ev = load_events(spark, sf_dir)
+    plan = _plan(EV.user_activity_deciles(ev))
+    # window input comes from the n_events-keyed aggregate, not raw users
+    w_idx = plan.index("Window ")
+    assert "partial_count" in plan
+    assert "hashpartitioning(user_id" in plan
+    # the single-partition exchange is the WINDOW'S child (below it in
+    # the top-down plan print), fed by the value-level rollup — i.e. the
+    # narrow waist sits above aggregated values, not raw users
+    assert w_idx < plan.index("Exchange SinglePartition")
+
+
+def test_variant_stats_no_python(spark, sf_dir):
+    from olap_xtrctr_spark.session import load_events
+    from pyspark.sql import functions as F
+    ev = load_events(spark, sf_dir)
+    df = (ev.select(F.parse_json("props").alias("v"), "value")
+          .select(F.expr("variant_get(v, '$.k', 'int')").alias("k")))
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
