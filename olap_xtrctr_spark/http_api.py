@@ -200,19 +200,29 @@ def _workload_list(service, m, qs, body):
                  for n, s in WORKLOAD.items()]
 
 
+_WORKLOAD_RUN_LOCK = threading.Lock()
+
+
 @ROUTES.add("GET", r"/api/workload/(?P<name>[A-Za-z0-9_]+)")
 def _workload_run(service, m, qs, body):
     """Run one workload entry against the service's data directory and
     return a bounded row preview (the reference's run-query ergonomics
-    extended to the whole operator surface; 1000-row cap = L4)."""
+    extended to the whole operator surface; 1000-row cap = L4).
+
+    Serialized under a lock: the server is threaded, and the STREAMING
+    entries are not concurrency-safe on a shared SparkSession — two
+    replays of the same entry collide on the memory-sink query name,
+    and drain_stream_to_table's shuffle-width save/restore races (B
+    could save A's temporary width and 'restore' it permanently)."""
     from .workload import WORKLOAD
     spec = WORKLOAD.get(m["name"])
     if spec is None:
         return 404, {"detail": f"unknown workload entry {m['name']!r}"}
     limit = min(int(_q1(qs, "limit", "100")), 1000)
-    df = spec.fn(service.spark, service.sf_dir)
-    rows = ([r.asDict(recursive=True) for r in df.limit(limit).collect()]
-            if limit > 0 else [])
+    with _WORKLOAD_RUN_LOCK:
+        df = spec.fn(service.spark, service.sf_dir)
+        rows = ([r.asDict(recursive=True)
+                 for r in df.limit(limit).collect()] if limit > 0 else [])
     return 200, {"name": m["name"], "columns": df.columns,
                  "n_rows_returned": len(rows), "rows": rows}
 

@@ -17,6 +17,25 @@ from .sampling import hash_split
 from .text import fingerprint, quality_score
 
 
+def _gate_and_dedup(docs: DataFrame, min_quality: float,
+                    id_col: str) -> DataFrame:
+    """Shared first stages of the prep pipelines: quality gate, then
+    keep-first exact dedup evaluated AFTER the gate (the survivor is
+    the lowest-id doc among those that passed, so a low-quality earlier
+    copy cannot shadow a high-quality later one).  One definition so
+    prepare_corpus and prepare_chunks can never desynchronize from each
+    other or their twin SQL oracles."""
+    q = quality_score(docs).filter(
+        F.col("quality_score") >= min_quality).select(id_col)
+    passed = docs.join(q, on=id_col, how="left_semi")
+    fp = passed.join(fingerprint(passed).select(id_col, "fingerprint"),
+                     on=id_col)
+    w = Window.partitionBy("fingerprint")
+    return (fp.withColumn("_min_id", F.min(id_col).over(w))
+            .filter(F.col(id_col) == F.col("_min_id"))
+            .drop("_min_id", "fingerprint"))
+
+
 def prepare_corpus(docs: DataFrame, min_quality: float = 0.5,
                    weights: dict[str, float] | None = None,
                    id_col: str = "doc_id") -> DataFrame:
@@ -28,15 +47,7 @@ def prepare_corpus(docs: DataFrame, min_quality: float = 0.5,
     shadow a high-quality later one).
     """
     weights = weights or {"train": 0.9, "val": 0.1}
-    q = quality_score(docs).filter(
-        F.col("quality_score") >= min_quality).select(id_col)
-    passed = docs.join(q, on=id_col, how="left_semi")
-    fp = passed.join(fingerprint(passed).select(id_col, "fingerprint"),
-                     on=id_col)
-    w = Window.partitionBy("fingerprint")
-    kept = (fp.withColumn("_min_id", F.min(id_col).over(w))
-            .filter(F.col(id_col) == F.col("_min_id"))
-            .drop("_min_id", "fingerprint"))
+    kept = _gate_and_dedup(docs, min_quality, id_col)
     return hash_split(kept, weights, id_col=id_col).select(id_col, "split")
 
 
@@ -56,14 +67,6 @@ def prepare_chunks(docs: DataFrame, min_quality: float = 0.5,
     chunk_text) for the surviving corpus.
     """
     from .text import chunk_overlap
-    q = quality_score(docs).filter(
-        F.col("quality_score") >= min_quality).select(id_col)
-    passed = docs.join(q, on=id_col, how="left_semi")
-    fp = passed.join(fingerprint(passed).select(id_col, "fingerprint"),
-                     on=id_col)
-    w = Window.partitionBy("fingerprint")
-    kept = (fp.withColumn("_min_id", F.min(id_col).over(w))
-            .filter(F.col(id_col) == F.col("_min_id"))
-            .drop("_min_id", "fingerprint"))
+    kept = _gate_and_dedup(docs, min_quality, id_col)
     return chunk_overlap(kept, chunk_tokens=chunk_tokens, stride=stride,
                          id_col=id_col, keep_cols=(shard_col,))

@@ -30,6 +30,33 @@ def parquet_dir_stats(path: str) -> dict:
     return {"n_files": n_files, "total_bytes": total_bytes}
 
 
+def _rewrite(spark: SparkSession, src_dir: str, dst_dir: str,
+             transform, target_mb: int) -> dict:
+    """Shared measure → size → rewrite → report scaffold for the
+    maintenance rewrites.  Refuses dst == src: Spark's overwrite deletes
+    the destination at job start while the lazy read still points at
+    those files — an in-place call would truncate the source BEFORE
+    failing.  The write-new/verify/rename discipline is enforced, not
+    just documented."""
+    if os.path.realpath(src_dir) == os.path.realpath(dst_dir):
+        raise ValueError("dst_dir must differ from src_dir: in-place "
+                         "overwrite destroys the source mid-read; write "
+                         "to a new directory, verify, then rename")
+    before = parquet_dir_stats(src_dir)
+    if before["n_files"] == 0:
+        raise ValueError(f"no parquet files under {src_dir}")
+    n_out = max(1, math.ceil(before["total_bytes"]
+                             / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_dir)
+    transform(df, n_out).write.mode("overwrite").parquet(dst_dir)
+    after = parquet_dir_stats(dst_dir)
+    return {"files_before": before["n_files"],
+            "files_after": after["n_files"],
+            "bytes_before": before["total_bytes"],
+            "bytes_after": after["total_bytes"],
+            "target_files": n_out}
+
+
 def cluster_parquet(spark: SparkSession, src_dir: str, dst_dir: str,
                     cluster_cols: list[str],
                     target_mb: int = 128) -> dict:
@@ -46,21 +73,11 @@ def cluster_parquet(spark: SparkSession, src_dir: str, dst_dir: str,
     so skewed keys still yield balanced files.  File count derives from
     measured input bytes like ``compact_parquet``.  Returns the same
     before/after stats."""
-    before = parquet_dir_stats(src_dir)
-    if before["n_files"] == 0:
-        raise ValueError(f"no parquet files under {src_dir}")
-    n_out = max(1, math.ceil(before["total_bytes"]
-                             / (target_mb * 1024 * 1024)))
-    df = spark.read.parquet(src_dir)
-    (df.repartitionByRange(n_out, *cluster_cols)
-       .sortWithinPartitions(*cluster_cols)
-       .write.mode("overwrite").parquet(dst_dir))
-    after = parquet_dir_stats(dst_dir)
-    return {"files_before": before["n_files"],
-            "files_after": after["n_files"],
-            "bytes_before": before["total_bytes"],
-            "bytes_after": after["total_bytes"],
-            "target_files": n_out}
+    return _rewrite(
+        spark, src_dir, dst_dir,
+        lambda df, n: (df.repartitionByRange(n, *cluster_cols)
+                         .sortWithinPartitions(*cluster_cols)),
+        target_mb)
 
 
 def compact_parquet(spark: SparkSession, src_dir: str, dst_dir: str,
@@ -76,16 +93,5 @@ def compact_parquet(spark: SparkSession, src_dir: str, dst_dir: str,
 
     Returns before/after stats for that validation step.
     """
-    before = parquet_dir_stats(src_dir)
-    if before["n_files"] == 0:
-        raise ValueError(f"no parquet files under {src_dir}")
-    n_out = max(1, math.ceil(before["total_bytes"]
-                             / (target_mb * 1024 * 1024)))
-    df = spark.read.parquet(src_dir)
-    df.repartition(n_out).write.mode("overwrite").parquet(dst_dir)
-    after = parquet_dir_stats(dst_dir)
-    return {"files_before": before["n_files"],
-            "files_after": after["n_files"],
-            "bytes_before": before["total_bytes"],
-            "bytes_after": after["total_bytes"],
-            "target_files": n_out}
+    return _rewrite(spark, src_dir, dst_dir,
+                    lambda df, n: df.repartition(n), target_mb)

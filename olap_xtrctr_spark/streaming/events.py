@@ -65,6 +65,21 @@ def user_activity(events: DataFrame) -> DataFrame:
 
 # ---- Structured Streaming forms ------------------------------------------
 
+def event_stream(spark: SparkSession, source_dir: str, schema,
+                 glob: str | None = None) -> DataFrame:
+    """The shared readStream source every streaming operator builds on:
+    nanos-conf pinned, optional pathGlobFilter, and the events timestamp
+    normalized to TIMESTAMP whatever the parquet writer encoded — ONE
+    place to fix reader behavior (the round-3 NTZ lesson) instead of a
+    copy per operator."""
+    from ..session import ensure_nanos_conf, normalize_event_ts
+    ensure_nanos_conf(spark)
+    reader = spark.readStream.schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return normalize_event_ts(reader.parquet(source_dir))
+
+
 def streaming_hourly_rollup(spark: SparkSession, source_dir: str,
                             schema, watermark: str = "2 hours",
                             glob: str | None = None) -> DataFrame:
@@ -72,12 +87,7 @@ def streaming_hourly_rollup(spark: SparkSession, source_dir: str,
     Append-mode capable: the watermark bounds state for late data.
     ``glob`` restricts which files of the directory are streamed (the
     file source requires a directory basePath)."""
-    from ..session import ensure_nanos_conf, normalize_event_ts
-    ensure_nanos_conf(spark)
-    reader = spark.readStream.schema(schema)
-    if glob:
-        reader = reader.option("pathGlobFilter", glob)
-    stream = normalize_event_ts(reader.parquet(source_dir))
+    stream = event_stream(spark, source_dir, schema, glob)
     return (stream
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -153,12 +163,7 @@ def streaming_sessionize(spark: SparkSession, source_dir: str, schema,
     still merges), and the batch ``sessionize`` splits only when the gap
     EXCEEDS the threshold over floor-seconds — so the same gap plus
     ``second_resolution=True`` reproduces the batch convention exactly."""
-    from ..session import ensure_nanos_conf, normalize_event_ts
-    ensure_nanos_conf(spark)
-    reader = spark.readStream.schema(schema)
-    if glob:
-        reader = reader.option("pathGlobFilter", glob)
-    stream = normalize_event_ts(reader.parquet(source_dir))
+    stream = event_stream(spark, source_dir, schema, glob)
     if second_resolution:
         stream = stream.withColumn("ts", F.date_trunc("second", "ts"))
     return (stream
@@ -202,14 +207,8 @@ def streaming_interval_join(spark: SparkSession, source_dir: str, schema,
     watermark + window instead of holding the full history (state is
     O(window · rate), not O(stream)).  Inner joins emit as soon as the
     match arrives; only state *eviction* waits for the watermark."""
-    from ..session import ensure_nanos_conf, normalize_event_ts
-    ensure_nanos_conf(spark)
-
     def src():
-        reader = spark.readStream.schema(schema)
-        if glob:
-            reader = reader.option("pathGlobFilter", glob)
-        return normalize_event_ts(reader.parquet(source_dir))
+        return event_stream(spark, source_dir, schema, glob)
 
     clicks = (src().filter(F.col("event_type") == "click")
               .select(F.col("user_id").alias("c_user"),
@@ -263,13 +262,9 @@ def streaming_enriched_tiers(spark: SparkSession, source_dir: str, schema,
     batch work, which is exactly how a 100 TB/day stream enriches
     against reference data (the dimension ships with the task, the
     stream never shuffles for the join)."""
-    from ..session import ensure_nanos_conf, normalize_event_ts
-    ensure_nanos_conf(spark)
-    tiers = spark.createDataFrame(list(VALUE_TIERS), "tier string, lo double, hi double")
-    reader = spark.readStream.schema(schema)
-    if glob:
-        reader = reader.option("pathGlobFilter", glob)
-    stream = normalize_event_ts(reader.parquet(source_dir))
+    tiers = spark.createDataFrame(list(VALUE_TIERS),
+                                  "tier string, lo double, hi double")
+    stream = event_stream(spark, source_dir, schema, glob)
     joined = stream.join(
         F.broadcast(tiers),
         (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
@@ -295,12 +290,7 @@ def streaming_dedup_counts(spark: SparkSession, source_dir: str, schema,
     production callers add a watermark so old keys age out of state
     (bounded replay here has no late data to bound).
     """
-    from ..session import ensure_nanos_conf, normalize_event_ts
-    ensure_nanos_conf(spark)
-    reader = spark.readStream.schema(schema)
-    if glob:
-        reader = reader.option("pathGlobFilter", glob)
-    stream = normalize_event_ts(reader.parquet(source_dir))
+    stream = event_stream(spark, source_dir, schema, glob)
     doubled = stream.union(stream)            # simulated redelivery
     return (doubled.dropDuplicates(["event_id"])
             .groupBy("event_type")
@@ -327,12 +317,7 @@ def streaming_dedup_counts_bounded(spark: SparkSession, source_dir: str,
     window a real bus (Kafka, Kinesis) produces.  The self-union replay
     redelivers every event instantly, well inside any delay, so the
     bounded replay still equals the batch distinct count."""
-    from ..session import ensure_nanos_conf, normalize_event_ts
-    ensure_nanos_conf(spark)
-    reader = spark.readStream.schema(schema)
-    if glob:
-        reader = reader.option("pathGlobFilter", glob)
-    stream = normalize_event_ts(reader.parquet(source_dir))
+    stream = event_stream(spark, source_dir, schema, glob)
     doubled = stream.union(stream)            # simulated redelivery
     return (doubled
             .withWatermark("ts", watermark)
@@ -360,11 +345,12 @@ def replay_rollup_to_parquet(spark: SparkSession, source_dir: str, schema,
     data is a plain batch DataFrame, so the write is ordinary
     partitioned parquet work.
 
-    Bounded availableNow replay of the hourly rollup in update mode
-    (each batch emits changed windows; the LAST batch_id directory
-    holds the final state for every window it saw — for a single-batch
-    bounded replay that is the complete rollup).  Returns the rows read
-    back from the sink directory."""
+    Bounded availableNow replay of the hourly rollup in COMPLETE mode —
+    load-bearing: each batch rewrites the full rollup state, so reading
+    back only the HIGHEST batch_id directory yields the final rollup.
+    Returns the rows read back from the sink directory."""
+    import os
+
     sdf = streaming_hourly_rollup(spark, source_dir, schema, glob=glob)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -377,9 +363,14 @@ def replay_rollup_to_parquet(spark: SparkSession, source_dir: str, schema,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
-    last = max(int(p.split("=")[1]) for p in
-               __import__("os").listdir(out_dir) if p.startswith("batch_id="))
-    return spark.read.parquet(f"{out_dir}/batch_id={last}")
+    batch_ids = [int(p.split("=")[1]) for p in
+                 (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
+                 if p.startswith("batch_id=")]
+    if not batch_ids:
+        raise ValueError(
+            f"stream produced no batches (does any file under "
+            f"{source_dir!r} match glob {glob!r}?)")
+    return spark.read.parquet(f"{out_dir}/batch_id={max(batch_ids)}")
 
 
 def hourly_anomalies(events: DataFrame, window_hours: int = 24,

@@ -45,12 +45,8 @@ def streaming_user_totals(spark: SparkSession, source_dir: str, schema,
     """readStream → groupBy(user_id) → applyInPandasWithState running
     totals.  Output mode 'update': each micro-batch emits one row per
     user whose state changed."""
-    from ..session import ensure_nanos_conf, normalize_event_ts
-    ensure_nanos_conf(spark)
-    reader = spark.readStream.schema(schema)
-    if glob:
-        reader = reader.option("pathGlobFilter", glob)
-    stream = normalize_event_ts(reader.parquet(source_dir))
+    from .events import event_stream
+    stream = event_stream(spark, source_dir, schema, glob)
     return (stream.groupBy("user_id")
             .applyInPandasWithState(
                 _update_running_totals,
@@ -130,9 +126,19 @@ def _make_session_tracker(gap_seconds: int):
                     closed.append((user_id, s, last, n))
                     s, last, n = t, t, 1
                 else:
-                    last, n = t, n + 1
+                    # covers LATE events too (applyInPandasWithState does
+                    # not drop them): an arrival behind the open session's
+                    # bounds folds in via min/max instead of regressing
+                    # `last` — session_end must never move backward
+                    s, last, n = min(s, t), max(last, t), n + 1
             state.update((s, last, n))
-            state.setTimeoutTimestamp((last + gap_us) // 1000)
+            # the deadline must not be behind the current watermark (a
+            # late-dominated batch could put last+gap there, and
+            # setTimeoutTimestamp raises on it, killing the query) —
+            # clamp forward so the flush fires on the next advance
+            deadline_ms = (last + gap_us) // 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(deadline_ms, wm_ms + 1))
         out = pd.DataFrame(closed, columns=["user_id", "session_start",
                                             "session_end", "n_events"])
         if not out.empty:
@@ -152,12 +158,8 @@ def streaming_session_tracker(spark: SparkSession, source_dir: str, schema,
     """readStream → watermark → groupBy(user_id) →
     applyInPandasWithState with EventTimeTimeout.  Append mode: only
     CLOSED sessions are emitted, each exactly once."""
-    from ..session import ensure_nanos_conf, normalize_event_ts
-    ensure_nanos_conf(spark)
-    reader = spark.readStream.schema(schema)
-    if glob:
-        reader = reader.option("pathGlobFilter", glob)
-    stream = normalize_event_ts(reader.parquet(source_dir))
+    from .events import event_stream
+    stream = event_stream(spark, source_dir, schema, glob)
     return (stream
             .withWatermark("ts", watermark)
             .groupBy("user_id")

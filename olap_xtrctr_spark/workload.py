@@ -2544,8 +2544,12 @@ def build_workload() -> dict[str, QuerySpec]:
                .agg(F.count(F.lit(1)).alias("n_events"),
                     F.sum(F.col("value").cast("decimal(18,4)"))
                      .cast("double").alias("sum_value")))
-        top = agg.orderBy(F.desc("n_events"), F.asc("k")).limit(10)
-        w = Window.orderBy(F.desc("n_events"), F.asc("k"))  # 10 rows only
+        # nulls LAST to match DuckDB's ASC default (Spark's asc puts
+        # nulls first) — latent k-less-props hardening, no effect today
+        top = agg.orderBy(F.desc("n_events"),
+                          F.asc_nulls_last("k")).limit(10)
+        w = Window.orderBy(F.desc("n_events"),
+                           F.asc_nulls_last("k"))  # 10 rows only
         return (top.withColumn("rank", F.row_number().over(w))
                 .select("rank", "k", "n_events", "sum_value"))
 
@@ -2812,7 +2816,8 @@ def build_workload() -> dict[str, QuerySpec]:
             .select(F.parse_json("props").alias("v"), "value")
             .select(F.expr("variant_get(v, '$.k', 'int')").alias("k"),
                     "value")
-            .groupBy((F.col("k") / 10).cast("int").alias("k_bucket"))
+            .groupBy(F.floor(F.col("k") / 10).cast("int")
+                      .alias("k_bucket"))
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.count_distinct("k").alias("n_distinct_k"),
                  F.sum(F.col("value").cast("decimal(18,4)"))

@@ -128,3 +128,15 @@ def test_cluster_parquet_separates_key_ranges(spark, tmp_path):
     # data intact
     got = spark.read.parquet(dst)
     assert got.count() == 40_000
+
+
+def test_maintenance_rewrites_refuse_in_place(spark, tmp_path):
+    import pytest
+    from olap_xtrctr_spark.sources.maintenance import (cluster_parquet,
+                                                       compact_parquet)
+    src = str(tmp_path / "d")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="differ"):
+        compact_parquet(spark, src, src)
+    with pytest.raises(ValueError, match="differ"):
+        cluster_parquet(spark, src, str(tmp_path / "d/../d"), ["id"])
