@@ -204,3 +204,56 @@ def test_session_tracker_event_time_timeout_flush(spark, tmp_path):
     assert str(rows[10]["session_end"]) == "2024-06-01 00:10:00"
     assert rows[10]["n_events"] == 2
     assert 30 not in rows
+
+
+def test_session_tracker_survives_late_event(spark, tmp_path):
+    """A late event (behind the open session's bounds, behind the
+    watermark) must neither kill the query (setTimeoutTimestamp would
+    raise on a deadline below the watermark without the clamp) nor
+    regress session_end."""
+    from olap_xtrctr_spark.streaming.stateful import _make_session_tracker
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from datetime import datetime
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    t = lambda h, m: datetime(2024, 6, 1, h, m)
+    batches = [
+        # batch 1: user 10 active at 00:00-00:10; user 20 at 06:00
+        # pushes the watermark far past user 10's session
+        [(1, t(0, 0), 10, "click", 1.0, "{}"),
+         (2, t(0, 10), 10, "view", 1.0, "{}"),
+         (3, t(6, 0), 20, "click", 1.0, "{}")],
+        # batch 2: a LATE event for user 10 at 00:05 — inside the open
+        # session's bounds, hours behind the 05:59:59 watermark
+        [(4, t(0, 5), 10, "view", 1.0, "{}"),
+         (5, t(9, 0), 30, "click", 1.0, "{}")],
+        # batch 3: advances the watermark so user 10's timeout fires
+        [(6, t(12, 0), 40, "click", 1.0, "{}")],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, EV_SCHEMA)
+        _write_single_file(df, str(tmp_path), str(src), f"l{i}")
+        os.utime(os.path.join(str(src), f"l{i}.parquet"),
+                 (2000000 + i, 2000000 + i))
+
+    stream = (spark.readStream.schema(EV_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    sdf = (stream.withWatermark("ts", "1 second")
+           .groupBy("user_id")
+           .applyInPandasWithState(
+               _make_session_tracker(1800),
+               outputStructType=("user_id bigint, session_start timestamp, "
+                                 "session_end timestamp, n_events bigint"),
+               stateStructType="start_us bigint, last_us bigint, n bigint",
+               outputMode="append",
+               timeoutConf=GroupStateTimeout.EventTimeTimeout))
+    q = (sdf.writeStream.format("memory").queryName("sess_late")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()        # would raise if the tracker crashed
+    rows = {r["user_id"]: r for r in spark.table("sess_late").collect()}
+    assert 10 in rows
+    # the late 00:05 event folded in: n=3, bounds unchanged
+    assert rows[10]["n_events"] == 3
+    assert str(rows[10]["session_start"]) == "2024-06-01 00:00:00"
+    assert str(rows[10]["session_end"]) == "2024-06-01 00:10:00"
