@@ -117,3 +117,38 @@ def test_quantized_topk_recall_vs_exact(emb):
     overlap = sum(len(exact[q] & quant[q]) for q in exact)
     total = sum(len(exact[q]) for q in exact)
     assert overlap / total >= 0.8, f"quantized overlap {overlap}/{total}"
+
+
+def test_ngram_candidates_then_edit_distance_verify(spark):
+    """The documented full-recall composition: LSH/ngram CANDIDATE pairs
+    fed into exact Levenshtein as the VERIFY step (instead of length
+    blocking) — near-dups that straddle a length bucket still survive."""
+    from pyspark.sql import functions as F
+    from olap_xtrctr_spark.operators import dedup as D
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "reflects on the nature of laziness itself for a while")
+    docs = spark.createDataFrame(
+        [(1, base),
+         (2, base + " plus a moderately long appended tail of words"),
+         (3, "completely different content about spark planning here "
+             "with enough tokens to shingle properly and then some")],
+        "doc_id long, text string")
+    cands = D.ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    texts = docs.select(F.col("doc_id").alias("id"),
+                        F.substring("text", 1, 200).alias("pre"))
+    verified = (cands
+                .join(texts.withColumnRenamed("id", "id_a")
+                           .withColumnRenamed("pre", "pre_a"), on="id_a")
+                .join(texts.withColumnRenamed("id", "id_b")
+                           .withColumnRenamed("pre", "pre_b"), on="id_b")
+                .withColumn("edit_dist",
+                            F.levenshtein("pre_a", "pre_b", 60))
+                .filter(F.col("edit_dist") >= 0)
+                .select("id_a", "id_b", "edit_dist"))
+    out = {(r["id_a"], r["id_b"]): r["edit_dist"]
+           for r in verified.collect()}
+    # docs 1/2 differ by a 47-char tail (len difference >> any length
+    # bucket of width 40) yet survive candidates->verify
+    assert set(out) == {(1, 2)}
+    assert 40 <= out[(1, 2)] <= 60
