@@ -7,9 +7,13 @@ scanner/DGIS_SCAN_2_stable.py:1366-1420, backend/olap_service.py:346-453,
 backend/actions_runner.py:220-249, frontend/src/utils/mdxBuilder.ts:4-40):
 
     SELECT { <measures|members> } ON COLUMNS,
-           [NON EMPTY] <set> [DIMENSION PROPERTIES ...] ON ROWS
+           [NON EMPTY] <set> [DIMENSION PROPERTIES <prop>[, <prop>...]] ON ROWS
     FROM [cube]
     [WHERE ( <member> [, <member>...] )]
+
+    <prop> := MEMBER_CAPTION                  (all-ancestors mode)
+            | [Dim].[Hier].[Level]            (named superior level)
+            | [Hier].[Level]
 
     <set> := CROSSJOIN(<set>, <set>)
            | { <member unique name>, ... }
@@ -157,12 +161,43 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
         if mne:
             r = mne.group(1)
         props = False
-        mdp = re.match(r"(.*?)\s+DIMENSION\s+PROPERTIES\s+.*$", r,
+        prop_paths: list[list[str]] = []
+        mdp = re.match(r"(.*?)\s+DIMENSION\s+PROPERTIES\s+(?P<plist>.*)$", r,
                        re.IGNORECASE | re.DOTALL)
         if mdp:
             r = mdp.group(1)
-            props = True
+            # The reference emits either intrinsic property names
+            # (MEMBER_CAPTION — all-ancestors mode) or named superior
+            # levels as [Dim].[Hier].[Level] / [Hier].[Level]
+            # (scanner/DGIS_SCAN_2_stable.py:1282-1298,1399-1408).
+            for p in _split_top(mdp.group("plist")):
+                segs = _segs(p)
+                if segs:
+                    prop_paths.append(segs)
+                else:
+                    props = True
         req.rows = _parse_set(r, props)
+        if prop_paths:
+            matched = [False] * len(prop_paths)
+            for item in req.rows:
+                names = []
+                for i, segs in enumerate(prop_paths):
+                    if len(segs) >= 3:
+                        hit = (segs[0].lower() == item.dimension.lower()
+                               and segs[1].lower() == item.hierarchy.lower())
+                    else:
+                        hit = segs[0].lower() in (item.dimension.lower(),
+                                                  item.hierarchy.lower())
+                    if hit:
+                        names.append(segs[-1])
+                        matched[i] = True
+                if names:
+                    item.property_list = names
+            orphans = [p for p, hit in zip(prop_paths, matched) if not hit]
+            if orphans:
+                raise MdxParseError(
+                    f"DIMENSION PROPERTIES name hierarchies absent from "
+                    f"the row axis: {orphans!r}")
 
     # -- WHERE slicer tuple (Q11) ------------------------------------------
     where = m.group("where")
@@ -209,7 +244,13 @@ def build_mdx(req: QueryRequest, cube_name: str | None = None) -> str:
         rows = sets[-1]
         for s in reversed(sets[:-1]):       # right-folded, as the reference
             rows = f"CROSSJOIN({s}, {rows})"
-        if any(item.properties for item in req.rows):
+        prop_terms = [
+            f"[{item.dimension}].[{item.hierarchy}].[{p}]"
+            for item in req.rows
+            for p in (item.property_list or [])]
+        if prop_terms:
+            rows += " DIMENSION PROPERTIES " + ", ".join(prop_terms)
+        elif any(item.properties for item in req.rows):
             rows += " DIMENSION PROPERTIES MEMBER_CAPTION"
         prefix = "NON EMPTY " if req.non_empty else ""
         parts.append(f", {prefix}{rows} ON ROWS")

@@ -57,6 +57,11 @@ class AxisItem:
     depth: Optional[int] = None          # 1-based (Q5: Levels(n).MEMBERS)
     members: Optional[list[str]] = None  # member unique names (Q3)
     properties: bool = False             # DIMENSION PROPERTIES (Q13)
+    # Named ancestor levels from a DIMENSION PROPERTIES <list> clause
+    # (reference scanner/DGIS_SCAN_2_stable.py:1282-1298 emits
+    # [Dim].[Hier].[Level] per superior level); None → all ancestors when
+    # `properties` is set, no ancestors otherwise.
+    property_list: Optional[list[str]] = None
 
 
 @dataclass
@@ -155,7 +160,20 @@ class CubeQueryEngine:
         else:
             level = self._resolve_level(hier, item)
         idx = hier.levels.index(level)
-        ancestors = list(hier.levels[:idx]) if item.properties else []
+        if item.property_list is not None:
+            wanted = {p.lower() for p in item.property_list}
+            ancestors = [lv for lv in hier.levels[:idx]
+                         if lv.name.lower() in wanted]
+            unknown = wanted - {lv.name.lower() for lv in ancestors}
+            if unknown:
+                raise QueryValidationError(
+                    f"DIMENSION PROPERTIES names {sorted(unknown)} that are "
+                    f"not ancestor levels of {level.name!r} in hierarchy "
+                    f"{hier.name!r}")
+        elif item.properties:
+            ancestors = list(hier.levels[:idx])
+        else:
+            ancestors = []
         return ResolvedAxis(dim, hier, level, ancestors, constraints)
 
     # ---- predicate compilation --------------------------------------------

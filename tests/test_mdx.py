@@ -168,3 +168,93 @@ def test_build_mdx_reference_shape():
         "[Dim Orders].[Estado].[Estado].MEMBERS) "
         "DIMENSION PROPERTIES MEMBER_CAPTION ON ROWS "
         "FROM [sales] WHERE ([D Tiempo].[Calendario].[Año].&[1997])")
+
+
+# ---- named DIMENSION PROPERTIES list (Q13 full MDX form) ------------------
+# Reference scanner/DGIS_SCAN_2_stable.py:1282-1298,1399-1408 emits the
+# superior levels as named properties: DIMENSION PROPERTIES
+# [Dim].[Hier].[Level1], [Dim].[Hier].[Level2]
+
+def test_parse_named_dimension_properties_list():
+    req = parse_mdx(
+        "SELECT {[Measures].[Total Registros]} ON COLUMNS, "
+        "NON EMPTY [Dim Customer].[Geografía].[Customer].MEMBERS "
+        "DIMENSION PROPERTIES [Dim Customer].[Geografía].[Nation] ON ROWS "
+        "FROM [sales]", "VENTAS_2025")
+    assert req.rows[0].property_list == ["Nation"]
+    assert req.rows[0].properties is False
+    # parse ∘ build preserves the named list
+    back = parse_mdx(build_mdx(req), "VENTAS_2025")
+    assert back.rows[0].property_list == ["Nation"]
+
+
+def test_parse_named_properties_two_hierarchies():
+    req = parse_mdx(
+        "SELECT {[Measures].[Sum Quantity]} ON COLUMNS, "
+        "CROSSJOIN([Dim Customer].[Geografía].[Customer].MEMBERS, "
+        "[Dim Producto].[Producto].[Part].MEMBERS) "
+        "DIMENSION PROPERTIES [Dim Customer].[Geografía].[Region], "
+        "[Dim Customer].[Geografía].[Nation], "
+        "[Producto].[Brand] ON ROWS FROM [sales]", "VENTAS_2025")
+    assert req.rows[0].property_list == ["Region", "Nation"]
+    assert req.rows[1].property_list == ["Brand"]
+
+
+def test_parse_named_properties_orphan_hierarchy_rejected():
+    with pytest.raises(MdxParseError):
+        parse_mdx(
+            "SELECT {[Measures].[Sum Quantity]} ON COLUMNS, "
+            "[Dim Customer].[Geografía].[Nation].MEMBERS "
+            "DIMENSION PROPERTIES [Dim Orders].[Estado].[Estado] ON ROWS "
+            "FROM [sales]", "VENTAS_2025")
+
+
+def test_named_properties_non_ancestor_rejected(spark, sf_dir):
+    from olap_xtrctr_spark.query import QueryValidationError
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    req = parse_mdx(
+        "SELECT {[Measures].[Total Registros]} ON COLUMNS, "
+        "[Dim Customer].[Geografía].[Nation].MEMBERS "
+        "DIMENSION PROPERTIES [Dim Customer].[Geografía].[Customer] ON ROWS "
+        "FROM [sales]", "VENTAS_2025")
+    with pytest.raises(QueryValidationError):
+        eng.execute(req)
+
+
+def test_named_properties_execution_selects_subset(spark, sf_dir):
+    """Named list selects only the named ancestor column; the projection
+    of the all-ancestors result onto those columns must agree exactly."""
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    named = eng.execute(parse_mdx(
+        "SELECT {[Measures].[Total Registros]} ON COLUMNS, "
+        "[Dim Customer].[Geografía].[Customer].MEMBERS "
+        "DIMENSION PROPERTIES [Dim Customer].[Geografía].[Nation] ON ROWS "
+        "FROM [sales]", "VENTAS_2025"))
+    assert named.columns[:2] == ["nation", "customer"]
+    from olap_xtrctr_spark import AxisItem, QueryRequest
+    full = eng.execute(QueryRequest(
+        "VENTAS_2025", measures=["Total Registros"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Customer",
+                       properties=True)]))
+    assert {tuple(r) for r in named.collect()} == \
+        {tuple(r) for r in full.select("nation", "customer",
+                                       full.columns[-1]).collect()}
+
+
+def test_mdx_dimension_properties_matches_structured(spark, sf_dir):
+    """cube_dimension_properties driven through raw MDX with the named
+    property list matches the structured properties=True request (at the
+    Nation level the only ancestor IS Region)."""
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    via_mdx = eng.execute(parse_mdx(
+        "SELECT {[Measures].[Total Registros]} ON COLUMNS, "
+        "[Dim Customer].[Geografía].[Nation].MEMBERS "
+        "DIMENSION PROPERTIES [Dim Customer].[Geografía].[Region] ON ROWS "
+        "FROM [sales]", "VENTAS_2025"))
+    from olap_xtrctr_spark import AxisItem, QueryRequest
+    direct = eng.execute(QueryRequest(
+        "VENTAS_2025", measures=["Total Registros"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation",
+                       properties=True)]))
+    assert {tuple(r) for r in via_mdx.collect()} == \
+        {tuple(r) for r in direct.collect()}
