@@ -19,7 +19,8 @@ from .cube import CubeRegistry, default_registry
 from .jobs import JobRegistry
 from .mdx import execute_dmv, parse_mdx
 from .query import AxisItem, CubeQueryEngine, FilterSpec, QueryRequest
-from .sinks import ag_grid_columns, sanitize, to_json_result
+from .sinks import (ag_grid_columns, sanitize, to_json_result,
+                    write_excel_workbook)
 from .validators import sanitize_search
 
 PREVIEW_LIMIT = 20          # reference head(20)
@@ -155,6 +156,30 @@ class OlapService:
             else:
                 out[rowset] = []
         return out
+
+    def export_metadata_workbook(self, path: str,
+                                 catalog: Optional[str] = None,
+                                 ) -> dict[str, int]:
+        """Metadata workbook: a RESUMEN summary sheet plus one sheet per
+        DMV rowset — the reference's catalog discovery export
+        (scanner/DGIS_SCAN_2_stable.py:429-451 exports every discovered
+        dataset as its own sheet; :344-357 the server-level variant).
+        Returns per-sheet row counts."""
+        import datetime as _dt
+
+        cube = (self.registry.resolve(catalog) if catalog
+                else next(iter(self.registry._cubes.values())))
+        metadata.register_dmv_views(self.spark, self.registry, cube,
+                                    self.sf_dir)
+        resumen = self.spark.createDataFrame(
+            [("Catalogo", cube.catalog), ("Cubo", cube.name),
+             ("Fecha", _dt.datetime.now().isoformat(sep=" ",
+                                                    timespec="seconds"))],
+            "Info string, Valor string")
+        sheets: dict[str, Any] = {"RESUMEN": resumen}
+        for rowset in metadata.DMV_BUILDERS:
+            sheets[rowset] = self.spark.table(f"system_{rowset}")
+        return write_excel_workbook(path, sheets)
 
     def execute_dmv(self, sql: str) -> dict[str, Any]:
         cube = next(iter(self.registry._cubes.values()))

@@ -92,6 +92,43 @@ def write_excel(df: DataFrame, path: str) -> int:
     return n
 
 
+def write_excel_workbook(path: str,
+                         sheets: "dict[str, DataFrame]") -> dict[str, int]:
+    """Multi-sheet workbook export (reference discovery/catalog workbooks,
+    scanner/DGIS_SCAN_2_stable.py:344-357,429-451): one sheet per result
+    DataFrame.  Sheet names are truncated to Excel's 31-char limit the
+    way the reference truncates (:448); collisions after truncation are
+    an error rather than a silent overwrite.  Driver-side edge concern
+    like write_excel — same per-sheet row guard, control-char strip, and
+    NaN scrub.  Returns ``{sheet_name: row_count}``."""
+    named: list[tuple[str, DataFrame, int]] = []
+    for name, df in sheets.items():
+        short = name[:31]
+        n = df.count()
+        if n > LARGE_RESULT_THRESHOLD:
+            raise ValueError(
+                f"sheet {name!r}: {n:,} rows exceeds Excel export guard "
+                f"({LARGE_RESULT_THRESHOLD:,}); use CSV/Parquet")
+        named.append((short, strip_control_chars(sanitize(df)), n))
+    if len({s for s, _, _ in named}) != len(named):
+        raise ValueError(
+            f"sheet names collide after 31-char truncation: "
+            f"{[s for s, _, _ in named]!r}")
+    try:
+        import openpyxl  # noqa: F401 — pandas' xlsx engine
+    except ImportError:
+        from .xlsx import write_xlsx_workbook
+        return write_xlsx_workbook(path, [
+            (short, clean.columns,
+             [[row[c] for c in clean.columns] for row in clean.collect()])
+            for short, clean, _ in named])
+    import pandas as pd
+    with pd.ExcelWriter(path, engine="openpyxl") as writer:
+        for short, clean, _ in named:
+            clean.toPandas().to_excel(writer, sheet_name=short, index=False)
+    return {short: n for short, _, n in named}
+
+
 def to_json_result(df: DataFrame, limit: int | None = None,
                    stringify: bool = True) -> dict[str, Any]:
     """The reference's JSONB job-result envelope

@@ -281,3 +281,67 @@ def test_diagnose_schema_lists_rowsets(spark, sf_dir):
     assert "PROPERTY_NAME" in out["MDSCHEMA_PROPERTIES"]
     assert "MIEMBRO_UNIQUE_NAME" in out["MDSCHEMA_MEMBERS"]
     assert "LEVEL_NUMBER" in out["MDSCHEMA_LEVELS"]
+
+
+def test_excel_workbook_multi_sheet(spark, tmp_path):
+    """Multi-sheet workbook (reference catalog/discovery exports): three
+    sheets, each readable back at the zip+XML level with its own name."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    import olap_xtrctr_spark.sinks as sinks
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "wb.xlsx")
+    counts = sinks.write_excel_workbook(path, {
+        "RESUMEN": spark.createDataFrame(
+            [("Catalogo", "VENTAS_2025")], "Info string, Valor string"),
+        "Rowsets": spark.range(3).select(
+            F.col("id"), F.concat(F.lit("r\x02s-"), F.col("id").cast("string"))
+            .alias("rowset")),
+        "A-very-long-sheet-name-that-exceeds-31-chars": spark.range(2),
+    })
+    assert counts == {"RESUMEN": 1, "Rowsets": 3,
+                      "A-very-long-sheet-name-that-exc": 2}
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as zf:
+        for i in (1, 2, 3):
+            assert f"xl/worksheets/sheet{i}.xml" in zf.namelist()
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        names = [s.get("name") for s in wb.iter(f"{ns}sheet")]
+        sheet2 = ET.fromstring(zf.read("xl/worksheets/sheet2.xml"))
+    assert names == ["RESUMEN", "Rowsets",
+                     "A-very-long-sheet-name-that-exc"]
+    texts = [t.text for t in sheet2.iter(f"{ns}t")]
+    assert "rs-0" in texts          # control char stripped
+
+
+def test_excel_workbook_collision_and_guard(spark, tmp_path, monkeypatch):
+    import olap_xtrctr_spark.sinks as sinks
+    with pytest.raises(ValueError, match="collide"):
+        sinks.write_excel_workbook(str(tmp_path / "c.xlsx"), {
+            "A-very-long-sheet-name-that-exceeds-31-chars": spark.range(1),
+            "A-very-long-sheet-name-that-excXX": spark.range(1)})
+    monkeypatch.setattr(sinks, "LARGE_RESULT_THRESHOLD", 10)
+    with pytest.raises(ValueError, match="guard"):
+        sinks.write_excel_workbook(str(tmp_path / "g.xlsx"),
+                                   {"big": spark.range(100)})
+
+
+def test_service_metadata_workbook(svc, tmp_path):
+    """RESUMEN + one sheet per DMV rowset, per the reference's catalog
+    metadata export."""
+    import zipfile
+
+    from olap_xtrctr_spark import metadata
+
+    path = str(tmp_path / "meta.xlsx")
+    counts = svc.export_metadata_workbook(path)
+    assert set(counts) == {"RESUMEN", *metadata.DMV_BUILDERS}
+    assert counts["RESUMEN"] == 3
+    assert counts["MDSCHEMA_MEASURES"] >= 5
+    assert counts["MDSCHEMA_MEMBERS"] > 0
+    with zipfile.ZipFile(path) as zf:
+        assert len([n for n in zf.namelist()
+                    if n.startswith("xl/worksheets/")]) == len(counts)
