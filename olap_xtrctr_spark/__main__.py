@@ -67,6 +67,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("diagnose")
 
+    s = sub.add_parser(
+        "action",
+        help="one-shot env-var relay: reads ACTION/CATALOG/PARAMS/"
+             "REQUEST_ID, writes the result.json envelope "
+             "(reference backend/actions_runner.py contract)")
+    s.add_argument("--out", default=None,
+                   help="envelope path (default ./result.json)")
+
     s = sub.add_parser("serve",
                        help="HTTP API mirroring the reference's routes")
     # loopback by default; pass --host 0.0.0.0 to expose deliberately
@@ -164,13 +172,20 @@ def run(args, service=None) -> dict:
         else:
             out["n_rows"] = df.count()
         return out
+    if args.cmd == "action":
+        from .actions import RESULT_FILE, run_action_env
+        return run_action_env(service, out_path=args.out or RESULT_FILE)
     raise SystemExit(f"unknown command {args.cmd!r}")
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    print(json.dumps(run(args), ensure_ascii=False, default=str))
-    return 0
+    result = run(args)
+    print(json.dumps(result, ensure_ascii=False, default=str))
+    # the relay contract exits non-zero on an error envelope
+    # (backend/actions_runner.py:417-418)
+    return 1 if (getattr(args, "cmd", None) == "action"
+                 and result.get("status") == "error") else 0
 
 
 if __name__ == "__main__":

@@ -64,3 +64,76 @@ def test_cli_workload_list_run_export(svc, tmp_path):
                "--limit", "0", "--export", str(tmp_path / "w.csv"))
     assert out["n_rows"] > 0 and out["exported_to"].endswith("w.csv")
     assert (tmp_path / "w.csv").exists()
+
+
+# ---- one-shot env-var action relay ---------------------------------------
+# backend/actions_runner.py:18-21,368-421: ACTION/CATALOG/PARAMS/REQUEST_ID
+# in, result.json envelope out, per-action data payloads.
+
+def _run_action(svc, tmp_path, monkeypatch, action, catalog="VENTAS_2025",
+                params=None, request_id="req-1"):
+    monkeypatch.setenv("ACTION", action)
+    monkeypatch.setenv("CATALOG", catalog)
+    monkeypatch.setenv("PARAMS", json.dumps(params or {}))
+    monkeypatch.setenv("REQUEST_ID", request_id)
+    out = str(tmp_path / f"{action}.json")
+    res = _run(svc, "action", "--out", out)
+    assert json.load(open(out)) == json.loads(json.dumps(res, default=str))
+    assert res["request_id"] == request_id and res["action"] == action
+    return res
+
+
+def test_action_get_catalogs(svc, tmp_path, monkeypatch):
+    res = _run_action(svc, tmp_path, monkeypatch, "get_catalogs")
+    assert res["status"] == "success"
+    assert {c["CATALOG_NAME"] for c in res["data"]} == \
+        {"VENTAS_1998", "VENTAS_2025"}
+
+
+def test_action_discover_structure(svc, tmp_path, monkeypatch):
+    res = _run_action(svc, tmp_path, monkeypatch, "discover_structure")
+    assert res["status"] == "success"
+    d = res["data"]
+    assert d["main_cube"] == "sales"
+    assert {x["DIMENSION_NAME"] for x in d["dimensions"]} >= \
+        {"Dim Customer", "Dim Orders"}
+
+
+def test_action_discover_metadata(svc, tmp_path, monkeypatch):
+    res = _run_action(svc, tmp_path, monkeypatch, "discover_metadata")
+    levels = res["data"]["levels"]
+    props = res["data"]["properties"]
+    assert any(lv["LEVEL_UNIQUE_NAME"] ==
+               "[Dim Customer].[Geografía].[Nation]" for lv in levels)
+    assert any(p["PROPERTY_CAPTION"] == "Region" for p in props)
+
+
+def test_action_diagnose_and_apartados(svc, tmp_path, monkeypatch):
+    res = _run_action(svc, tmp_path, monkeypatch, "diagnose_schema")
+    assert "MDSCHEMA_LEVELS" in res["data"]
+    res = _run_action(svc, tmp_path, monkeypatch, "get_apartados")
+    assert res["status"] == "success" and len(res["data"]) > 0
+
+
+def test_action_execute_mdx_and_query(svc, tmp_path, monkeypatch):
+    mdx = ("SELECT {[Measures].[Total Registros]} ON COLUMNS, "
+           "NON EMPTY [Dim Customer].[Geografía].[Region].MEMBERS ON ROWS "
+           "FROM [sales]")
+    res = _run_action(svc, tmp_path, monkeypatch, "execute_mdx",
+                      params={"mdx": mdx})
+    assert res["status"] == "success" and res["data"]["rowCount"] == 5
+    # builder path: measures-only select + member filter (no raw mdx)
+    res = _run_action(svc, tmp_path, monkeypatch, "execute_query", params={
+        "cube": "sales",
+        "select": ["[Measures].[Total Registros]"],
+        "filters": [{"member_unique_name":
+                     "[Dim Customer].[Geografía].[Region].&[0]"}]})
+    assert res["status"] == "success" and res["data"]["rowCount"] == 1
+
+
+def test_action_unknown_and_error_envelope(svc, tmp_path, monkeypatch):
+    res = _run_action(svc, tmp_path, monkeypatch, "no_such_action")
+    assert res["status"] == "error" and "Unknown action" in res["error"]
+    res = _run_action(svc, tmp_path, monkeypatch, "execute_mdx",
+                      params={"mdx": "WITH MEMBER nope"})
+    assert res["status"] == "error" and res["request_id"] == "req-1"
