@@ -203,6 +203,28 @@ def _disk_cache_path(spark: SparkSession, cube: CubeDef, sf_dir: str) -> str:
             f"{cube.name}_{_cube_fingerprint(cube)}_{tag}")
 
 
+def _evict_stale_spills(spark: SparkSession, cube: CubeDef,
+                        sf_dir: str) -> None:
+    """Remove spills for this (cube, sf) under OTHER fingerprints — a
+    structure change (reference v2 invalidates on cache-name change,
+    backend/DGIS_SCAN_2.py:700-702) would otherwise leave orphaned
+    parquet dirs and _cards.json files accumulating forever."""
+    import glob
+    import os
+    import shutil
+
+    current = _disk_cache_path(spark, cube, sf_dir)
+    base = os.path.dirname(current)
+    tag = sf_dir.strip("/").replace("/", "_")
+    for p in glob.glob(f"{base}/{cube.name}_*_{tag}") + \
+            glob.glob(f"{base}/{cube.name}_*_{tag}_cards.json"):
+        if p not in (current, f"{current}_cards.json"):
+            try:
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+            except OSError:
+                pass   # eviction is hygiene, never query-blocking
+
+
 def cached_members_df(spark: SparkSession, cube: CubeDef, sf_dir: str,
                       disk_cache: bool = True) -> DataFrame:
     key = (cube.name, sf_dir)
@@ -218,6 +240,7 @@ def cached_members_df(spark: SparkSession, cube: CubeDef, sf_dir: str,
             # compact file-backed plan instead of the 8-branch union)
             members_df(spark, cube, sf_dir).write.mode("overwrite") \
                 .parquet(path)
+            _evict_stale_spills(spark, cube, sf_dir)
             df = spark.read.parquet(path)
     else:
         # coalesce: the union of N hierarchy branches otherwise persists

@@ -101,6 +101,7 @@ class CubeQueryEngine:
         self.sf_dir = sf_dir
         self._view_cache: dict[tuple[str, str], DataFrame] = {}
         self._card_cache: dict[tuple[str, str, str, str], int] = {}
+        self._card_spill_loaded: set[str] = set()
 
     # ---- view / fact access ------------------------------------------------
 
@@ -215,14 +216,53 @@ class CubeQueryEngine:
 
     # ---- cardinality guard (N18) ------------------------------------------
 
+    def _card_spill_path(self, cube: CubeDef) -> str:
+        # Next to the fingerprint-keyed members cache so a structure
+        # change invalidates both together.
+        from .metadata import _disk_cache_path
+        return _disk_cache_path(self.spark, cube, self.sf_dir) + "_cards.json"
+
+    def _load_card_spill(self, cube: CubeDef) -> None:
+        import json
+        self._card_spill_loaded.add(cube.name)
+        try:
+            with open(self._card_spill_path(cube), encoding="utf-8") as f:
+                for k, n in json.load(f).items():
+                    parts = tuple(k.split("|"))
+                    if len(parts) == 4 and isinstance(n, int):
+                        self._card_cache.setdefault(parts, n)
+        except (OSError, ValueError):
+            pass   # miss/corrupt → counts recompute and re-spill below
+
+    def _save_card_spill(self, cube: CubeDef) -> None:
+        import json
+        import os
+        path = self._card_spill_path(cube)
+        payload = {"|".join(k): n for k, n in self._card_cache.items()
+                   if k[0] == cube.name}
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.{os.getpid()}.tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(payload, f)
+            os.replace(tmp, path)   # atomic: concurrent engines last-wins
+        except OSError:
+            pass   # spill is an optimization; the in-memory cache stands
+
     def level_cardinality(self, cube: CubeDef, dim: Dimension, lv: Level) -> int:
         # Count members on the ENUMERATION view (members_view), never the
         # fact-bridge view: SSAS level cardinality is the number of members
         # (they exist without fact rows), and the slim dimension scan is
         # orders of magnitude cheaper than distinct-counting the bridge
         # join — this runs as a guard BEFORE every cube query, so its cost
-        # is pure overhead on the query path.
+        # is pure overhead on the query path.  Counts spill to a JSON file
+        # next to the fingerprint-keyed members cache so a FRESH engine
+        # process skips the per-level distinct scans entirely (this was
+        # most of the cold-vs-warm gap on cube_* queries).
         key = (cube.name, dim.name, dim.view or "", lv.name)
+        if key not in self._card_cache \
+                and cube.name not in self._card_spill_loaded:
+            self._load_card_spill(cube)
         if key not in self._card_cache:
             if dim.view is None:
                 # degenerate dim: the derived level col prunes to its raw
@@ -232,6 +272,7 @@ class CubeQueryEngine:
                 src = self._view(cube, dim.members_view or dim.view)
             self._card_cache[key] = (
                 src.select(lv.key_col).distinct().count())
+            self._save_card_spill(cube)
         return self._card_cache[key]
 
     def estimate_cardinality(self, cube: CubeDef, axes: list[ResolvedAxis]) -> int:

@@ -157,3 +157,56 @@ def test_named_cube_must_match_catalog():
         reg.resolve("VENTAS_1998", cube="[sales]")
     # correct catalog still resolves
     assert reg.resolve("VENTAS_2025", cube="[sales]").name == "sales"
+
+
+def test_cardinality_guard_spills_to_disk(spark, sf_dir):
+    """N18 guard counts persist next to the members cache: a FRESH engine
+    instance must serve them from the spill without touching any view
+    (the cold-process cube_* cost, VERDICT r4 plan audit)."""
+    import os
+
+    from olap_xtrctr_spark.cube import sales_cube
+
+    cube = sales_cube()
+    dim = cube.dimension("Dim Customer")
+    lv = dim.hierarchy("Geografía").levels[1]          # Nation
+
+    warm = CubeQueryEngine(spark, default_registry(), sf_dir)
+    n = warm.level_cardinality(cube, dim, lv)
+    assert n == 25
+    assert os.path.exists(warm._card_spill_path(cube))
+
+    cold = CubeQueryEngine(spark, default_registry(), sf_dir)
+
+    def boom(*a, **k):
+        raise AssertionError("cold engine touched a view — spill not used")
+    cold._view = boom
+    assert cold.level_cardinality(cube, dim, lv) == 25
+
+
+def test_members_cache_evicts_stale_fingerprints(spark, sf_dir):
+    """A structure change leaves exactly one spill behind (reference v2
+    invalidates on cache-name change)."""
+    import json
+    import os
+    import shutil
+
+    from olap_xtrctr_spark import metadata
+    from olap_xtrctr_spark.cube import sales_cube
+
+    cube = sales_cube()
+    current = metadata._disk_cache_path(spark, cube, sf_dir)
+    base, tag = os.path.dirname(current), sf_dir.strip("/").replace("/", "_")
+    stale_dir = f"{base}/{cube.name}_deadbeefcafe_{tag}"
+    os.makedirs(stale_dir, exist_ok=True)
+    with open(f"{stale_dir}_cards.json", "w") as f:
+        json.dump({"old": 1}, f)
+
+    # force a rebuild through the disk-cache write path
+    metadata._MEMBERS_CACHE.pop((cube.name, sf_dir), None)
+    shutil.rmtree(current, ignore_errors=True)
+    metadata.cached_members_df(spark, cube, sf_dir)
+
+    assert not os.path.exists(stale_dir)
+    assert not os.path.exists(f"{stale_dir}_cards.json")
+    assert os.path.exists(current)
