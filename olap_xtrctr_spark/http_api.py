@@ -219,10 +219,17 @@ def _workload_run(service, m, qs, body):
     if spec is None:
         return 404, {"detail": f"unknown workload entry {m['name']!r}"}
     limit = min(int(_q1(qs, "limit", "100")), 1000)
-    with _WORKLOAD_RUN_LOCK:
+    # bounded wait, not indefinite: one slow entry (a full streaming
+    # replay) must not wedge every other workload request forever
+    if not _WORKLOAD_RUN_LOCK.acquire(timeout=30):
+        return 503, {"detail": "another workload entry is running; "
+                               "retry shortly"}
+    try:
         df = spec.fn(service.spark, service.sf_dir)
         rows = ([r.asDict(recursive=True)
                  for r in df.limit(limit).collect()] if limit > 0 else [])
+    finally:
+        _WORKLOAD_RUN_LOCK.release()
     return 200, {"name": m["name"], "columns": df.columns,
                  "n_rows_returned": len(rows), "rows": rows}
 

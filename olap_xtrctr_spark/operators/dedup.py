@@ -190,9 +190,14 @@ def _observe_dropped(df: DataFrame, dropped_cond, msg: str,
     (which would re-run the whole upstream pipeline as a second job).
     The caller still applies the actual filter; this only observes.
 
-    The logging thread is BOUNDED: it polls the JVM-side non-blocking
-    getter and exits at a 600 s deadline if the caller never runs an
-    action, instead of parking forever on Observation.get."""
+    The logging thread uses only the public Observation.get — a blocking
+    wait that resolves when the caller's first action completes.  There
+    is no public non-blocking getter, so the thread has no deadline; it
+    is a daemon (dies with the process) and one exists per observed
+    pipeline, so the worst case of a never-materialized DataFrame is one
+    parked daemon thread, not a leak that grows with work.  Any failure
+    inside the wait is logged at debug so a PySpark API change cannot
+    silently disable the no-silent-caps warning."""
     import logging
     import threading
 
@@ -201,20 +206,16 @@ def _observe_dropped(df: DataFrame, dropped_cond, msg: str,
     out = df.observe(obs, F.sum(dropped_cond.cast("long")).alias("dropped"))
 
     def _report() -> None:
-        import time
-        deadline = time.monotonic() + 600
-        while time.monotonic() < deadline:
-            try:
-                if obs._jo is not None and not obs._jo.getOrEmpty().isEmpty():
-                    dropped = obs.get.get("dropped") or 0
-                    break
-            except Exception:
-                return
-            time.sleep(0.5)
-        else:
+        log = logging.getLogger(__name__)
+        try:
+            dropped = obs.get.get("dropped") or 0
+        except Exception as exc:                     # noqa: BLE001
+            log.debug("drop-observation wait failed (%s); the "
+                      "no-silent-caps warning for this pipeline is lost",
+                      exc)
             return
         if dropped:
-            logging.getLogger(__name__).warning(msg, *fmt_args, dropped)
+            log.warning(msg, *fmt_args, dropped)
 
     threading.Thread(target=_report, daemon=True).start()
     return out

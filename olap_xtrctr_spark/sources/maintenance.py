@@ -38,10 +38,16 @@ def _rewrite(spark: SparkSession, src_dir: str, dst_dir: str,
     those files — an in-place call would truncate the source BEFORE
     failing.  The write-new/verify/rename discipline is enforced, not
     just documented."""
-    if os.path.realpath(src_dir) == os.path.realpath(dst_dir):
-        raise ValueError("dst_dir must differ from src_dir: in-place "
-                         "overwrite destroys the source mid-read; write "
-                         "to a new directory, verify, then rename")
+    src, dst = os.path.realpath(src_dir), os.path.realpath(dst_dir)
+    # also reject nesting either way: a dst inside src pollutes the
+    # source directory (parquet_dir_stats would double-count and later
+    # src reads see duplicated rows); a src inside dst gets deleted by
+    # the overwrite's directory cleanup
+    if src == dst or os.path.commonpath([src, dst]) in (src, dst):
+        raise ValueError("dst_dir must be disjoint from src_dir (not "
+                         "equal or nested): in-place or nested overwrite "
+                         "corrupts the source; write to a separate "
+                         "directory, verify, then rename")
     before = parquet_dir_stats(src_dir)
     if before["n_files"] == 0:
         raise ValueError(f"no parquet files under {src_dir}")

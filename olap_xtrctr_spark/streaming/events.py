@@ -351,6 +351,16 @@ def replay_rollup_to_parquet(spark: SparkSession, source_dir: str, schema,
     Returns the rows read back from the sink directory."""
     import os
 
+    if os.path.isdir(out_dir) and any(p.startswith("batch_id=")
+                                      for p in os.listdir(out_dir)):
+        # a previous run's higher batch_id directory would win the
+        # max(batch_id) read-back below and return stale rollup data
+        raise ValueError(
+            f"out_dir {out_dir!r} already holds batch_id=* directories "
+            f"from a previous replay; use a fresh directory (the "
+            f"idempotent-overwrite contract covers retries WITHIN one "
+            f"run, not reuse across runs)")
+
     sdf = streaming_hourly_rollup(spark, source_dir, schema, glob=glob)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

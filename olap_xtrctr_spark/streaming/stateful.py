@@ -177,7 +177,17 @@ def batch_closed_sessions(events: DataFrame,
     (user_id, session_start, session_end, n_events) — the streaming
     tracker must emit exactly the subset whose close condition has been
     reached (all but each user's final session, until the watermark
-    passes its deadline)."""
+    passes its deadline).
+
+    Known, intended divergence: a CROSS-BATCH late event arriving more
+    than gap_seconds before an open session's start folds into that
+    session in the streaming tracker (min/max — session bounds never
+    regress, and the already-scheduled close deadline stays valid),
+    while this batch oracle, seeing all events at once, splits it into
+    its own earlier session.  Unreachable in a bounded single-batch
+    replay; on a live stream the tracker's fold is the standard choice
+    (emitting a session that PRECEDES one already closed would break
+    downstream consumers assuming per-user monotone session_start)."""
     from pyspark.sql import Window
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))

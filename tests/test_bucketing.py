@@ -136,7 +136,15 @@ def test_maintenance_rewrites_refuse_in_place(spark, tmp_path):
                                                        compact_parquet)
     src = str(tmp_path / "d")
     spark.range(10).write.parquet(src)
-    with pytest.raises(ValueError, match="differ"):
+    with pytest.raises(ValueError, match="disjoint"):
         compact_parquet(spark, src, src)
-    with pytest.raises(ValueError, match="differ"):
+    with pytest.raises(ValueError, match="disjoint"):
         cluster_parquet(spark, src, str(tmp_path / "d/../d"), ["id"])
+    # nesting either way is just as corrupting as equality
+    with pytest.raises(ValueError, match="disjoint"):
+        compact_parquet(spark, src, str(tmp_path / "d/compacted"))
+    with pytest.raises(ValueError, match="disjoint"):
+        compact_parquet(spark, str(tmp_path / "d/sub"), src)
+    # disjoint dirs still work
+    assert compact_parquet(spark, src,
+                           str(tmp_path / "out"))["files_after"] >= 1

@@ -932,3 +932,45 @@ def test_boilerplate_filter_drops_template_pages(spark):
     # "three four one two", "four one two three" — only the tmpl gram is
     # shared by >=3 docs -> 2/5 = 40% > 34% -> dropped
     assert kept == {1, 2, 4, 5}
+
+
+def test_observe_dropped_logs_via_public_api(spark, caplog):
+    """The no-silent-caps observer must fire through the public
+    Observation.get (no private pyspark attributes) once the caller
+    materializes the observed DataFrame."""
+    import logging
+    import time
+
+    from pyspark.sql import functions as F
+
+    from olap_xtrctr_spark.operators import dedup as D
+
+    df = spark.range(100)
+    cond = F.col("id") < 30
+    with caplog.at_level(logging.WARNING,
+                         logger="olap_xtrctr_spark.operators.dedup"):
+        out = D._observe_dropped(df, cond, "dropped %d rows in test")
+        assert out.filter(~cond).count() == 70   # caller applies the filter
+        for _ in range(40):                      # observer thread is async
+            if any("dropped 30 rows" in r.getMessage()
+                   for r in caplog.records):
+                break
+            time.sleep(0.25)
+    messages = [r.getMessage() for r in caplog.records]
+    assert any("dropped 30 rows" in m for m in messages), messages
+
+
+def test_replay_rollup_refuses_reused_out_dir(spark, sf_dir, tmp_path):
+    """A reused sink dir would let a previous run's higher batch_id
+    directory win the max(batch_id) read-back (stale rollup data)."""
+    import os
+
+    import pytest
+
+    from olap_xtrctr_spark.session import events_schema
+
+    sink = tmp_path / "sink"
+    os.makedirs(sink / "batch_id=7")
+    with pytest.raises(ValueError, match="previous replay"):
+        EV.replay_rollup_to_parquet(
+            spark, sf_dir, events_schema(spark, sf_dir), str(sink))
