@@ -542,3 +542,31 @@ def keep_canonical(docs: DataFrame, clusters: DataFrame,
                  .filter(F.col("_rk") == 1)
                  .drop("_rk", "cluster", "_cid"))
     return untouched.unionByName(survivors)
+
+
+def cross_source_duplication(docs: DataFrame, text_col: str = "text",
+                             source_col: str = "source",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Cross-dump duplication diagnostic: per source, how many documents
+    carry content whose whitespace/punct-insensitive fingerprint (the
+    same md5 skeleton as ``text.fingerprint``) ALSO appears under at
+    least one other source.  The number a corpus-mixing decision needs:
+    two web dumps with 40% cross-duplication should not both enter the
+    mix at full weight.
+
+    Returns (source, n_docs, n_cross_dup) — exact integers.
+
+    Scale shape: one shuffle of the slim (id, source, fp) projection for
+    the per-fingerprint window, whose collect_set state is bounded by
+    the number of SOURCES (dozens) not rows, then a map-side-combinable
+    per-source rollup.  No join back against the corpus text.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    fp = docs.select(id_col, F.col(source_col).alias("source"),
+                     F.md5(F.encode(norm, "UTF-8")).alias("fp"))
+    n_sources = F.size(F.collect_set("source").over(Window.partitionBy("fp")))
+    return (fp.withColumn("n_sources", n_sources)
+              .groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum((F.col("n_sources") > 1).cast("long"))
+                    .alias("n_cross_dup")))

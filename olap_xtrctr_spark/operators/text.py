@@ -447,3 +447,29 @@ def token_familiarity(docs: DataFrame, text_col: str = "text",
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.sum("tok_freq").alias("familiarity_sum")))
+
+
+def lexical_diversity(docs: DataFrame, group_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """Per-group lexical diversity: distinct token types vs total tokens
+    (type-token ratio), the corpus-health number that separates a
+    boilerplate-heavy dump from genuine prose before mixing weights are
+    chosen.  Ratio reported as exact integer milli-units
+    ((types*1000) DIV tokens) so an external oracle matches bit-for-bit.
+
+    Scale shape: explode → two-level aggregation (group, token) → group,
+    both map-side combinable; no per-group token set is ever collected
+    into one place, so a group with a billion tokens costs the same
+    shuffle shape as one with a thousand.
+    """
+    toks = (docs.select(F.col(group_col).alias(group_col),
+                        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                          r"\s+")).alias("token"))
+            .filter(F.col("token") != ""))
+    per = toks.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("n"))
+    return (per.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_types"),
+                 F.sum("n").alias("n_tokens"))
+            .withColumn("ttr_milli",
+                        F.expr("CAST((n_types * 1000) DIV n_tokens "
+                               "AS BIGINT)")))

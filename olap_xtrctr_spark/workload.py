@@ -23,6 +23,7 @@ from .session import load_table
 from .metadata import cached_members_df
 from .oracle import _MES_CASE as MES_CASE
 from .oracle import members_cte, view_cte
+from .mdx import parse_mdx
 from .query import AxisItem, CubeQueryEngine, FilterSpec, QueryRequest
 from . import members as M
 from .operators import dedup as D
@@ -93,6 +94,10 @@ _R5_FRONT = [
     # now CAST to BIGINT) — need a fresh green driver row
     "events_stream_anomalies",
     "events_hourly_anomalies",
+    # new this round — need their first driver rows
+    "cube_mdx_named_properties",
+    "docs_cross_source_dup",
+    "docs_lexical_diversity",
     # everything else follows build order: cube_* → tpch_* → members_* —
     # the round-1/2 block whose driver rows are stale (VERDICT r4 item 2).
     # The r3/r4-graded block (docs_*/events_* extensions) rotates out; it
@@ -220,6 +225,21 @@ def build_workload() -> dict[str, QuerySpec]:
             CATALOG, measures=["Total Registros"],
             rows=[AxisItem("Dim Customer", "Geografía", level="Nation",
                            properties=True)])),
+        f"""WITH {_OW}
+        SELECT cust_region AS region, cust_nation AS nation,
+               COUNT(*) AS total_registros
+        FROM {_FACT_OW}
+        GROUP BY 1, 2""")
+
+    # the Q13 full-MDX form: named DIMENSION PROPERTIES list resolved to
+    # the specific ancestor level (reference scanner emits
+    # [Dim].[Hier].[Level] per superior level)
+    add("cube_mdx_named_properties",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "SELECT {[Measures].[Total Registros]} ON COLUMNS, "
+            "NON EMPTY [Dim Customer].[Geografía].[Nation].MEMBERS "
+            "DIMENSION PROPERTIES [Dim Customer].[Geografía].[Region] "
+            "ON ROWS FROM [sales]", CATALOG)),
         f"""WITH {_OW}
         SELECT cust_region AS region, cust_nation AS nation,
                COUNT(*) AS total_registros
@@ -1685,6 +1705,36 @@ def build_workload() -> dict[str, QuerySpec]:
           CAST(SUM(CASE WHEN token NOT IN (SELECT token FROM vocab)
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
         FROM ne GROUP BY doc_id""")
+
+    # cross-dump duplication diagnostic (mixing-weight input): per source,
+    # docs whose fingerprint also appears under another source
+    add("docs_cross_source_dup",
+        lambda spark, sf: D.cross_source_duplication(_docs(spark, sf)),
+        r"""WITH f AS (
+          SELECT doc_id, source,
+                 md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+          FROM documents),
+        s AS (SELECT fp, COUNT(DISTINCT source) AS n_sources
+              FROM f GROUP BY fp)
+        SELECT f.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN s.n_sources > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cross_dup
+        FROM f JOIN s USING (fp)
+        GROUP BY f.source""")
+
+    # per-source type-token ratio (integer milli-units for bit-equality)
+    add("docs_lexical_diversity",
+        lambda spark, sf: TX.lexical_diversity(_docs(spark, sf)),
+        r"""WITH toks AS (
+          SELECT source, unnest(regexp_split_to_array(
+            trim(lower(text)), '\s+')) AS token
+          FROM documents),
+        ne AS (SELECT * FROM toks WHERE token <> ''),
+        per AS (SELECT source, token, COUNT(*) AS n FROM ne GROUP BY 1, 2)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST((COUNT(*) * 1000) // SUM(n) AS BIGINT) AS ttr_milli
+        FROM per GROUP BY source""")
 
     def incr_dedup(spark, sf):
         docs = _docs(spark, sf)

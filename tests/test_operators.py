@@ -974,3 +974,26 @@ def test_replay_rollup_refuses_reused_out_dir(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="previous replay"):
         EV.replay_rollup_to_parquet(
             spark, sf_dir, events_schema(spark, sf_dir), str(sink))
+
+
+def test_cross_source_duplication(spark):
+    rows = [Row(doc_id=0, source="web", text="Hello,  World!"),
+            Row(doc_id=1, source="books", text="hello world"),   # same skeleton
+            Row(doc_id=2, source="web", text="unique web text"),
+            Row(doc_id=3, source="books", text="unique book text")]
+    out = {r["source"]: (r["n_docs"], r["n_cross_dup"])
+           for r in D.cross_source_duplication(
+               spark.createDataFrame(rows)).collect()}
+    assert out == {"web": (2, 1), "books": (2, 1)}
+
+
+def test_lexical_diversity_orders_boilerplate_below_prose(spark):
+    boiler = Row(doc_id=0, source="boiler",
+                 text="click here click here click here click here")
+    prose = Row(doc_id=1, source="prose",
+                text="every word in this sentence differs from all others")
+    out = {r["source"]: r for r in TX.lexical_diversity(
+        spark.createDataFrame([boiler, prose])).collect()}
+    assert out["boiler"]["n_types"] == 2 and out["boiler"]["n_tokens"] == 8
+    assert out["prose"]["ttr_milli"] == 1000        # all types distinct
+    assert out["boiler"]["ttr_milli"] == 250        # 2*1000 DIV 8
