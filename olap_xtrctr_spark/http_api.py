@@ -201,6 +201,7 @@ def _workload_list(service, m, qs, body):
 
 
 _WORKLOAD_RUN_LOCK = threading.Lock()
+_WORKLOAD_LOCK_TIMEOUT = 30.0   # seconds before a busy 503
 
 
 @ROUTES.add("GET", r"/api/workload/(?P<name>[A-Za-z0-9_]+)")
@@ -221,7 +222,7 @@ def _workload_run(service, m, qs, body):
     limit = min(int(_q1(qs, "limit", "100")), 1000)
     # bounded wait, not indefinite: one slow entry (a full streaming
     # replay) must not wedge every other workload request forever
-    if not _WORKLOAD_RUN_LOCK.acquire(timeout=30):
+    if not _WORKLOAD_RUN_LOCK.acquire(timeout=_WORKLOAD_LOCK_TIMEOUT):
         return 503, {"detail": "another workload entry is running; "
                                "retry shortly"}
     try:

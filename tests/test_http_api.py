@@ -172,3 +172,23 @@ def test_workload_run_unknown_404(base_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{base_url}/api/workload/not_a_real_entry")
     assert e.value.code == 404
+
+
+def test_workload_run_busy_503(base_url, monkeypatch):
+    """One wedged workload entry must not block other requests forever:
+    the route waits a bounded time for the serialization lock and then
+    answers 503."""
+    from olap_xtrctr_spark import http_api
+
+    monkeypatch.setattr(http_api, "_WORKLOAD_LOCK_TIMEOUT", 0.2)
+    assert http_api._WORKLOAD_RUN_LOCK.acquire(timeout=5)
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _get(f"{base_url}/api/workload/docs_length_histogram")
+        assert exc.value.code == 503
+        assert "running" in json.loads(exc.value.read())["detail"]
+    finally:
+        http_api._WORKLOAD_RUN_LOCK.release()
+    # lock released → the same request succeeds again
+    status, out = _get(f"{base_url}/api/workload/docs_length_histogram")
+    assert status == 200 and out["n_rows_returned"] > 0
