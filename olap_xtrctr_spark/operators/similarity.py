@@ -223,3 +223,60 @@ def dequantized_cosine_topk(emb: DataFrame, query_ids: list[int],
                     lambda c: c.cast("double") * F.col("q_scale"))
         .alias(vec_col))
     return cosine_topk(deq, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def lsh_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
+                       n_tables: int = 24, bits_per_table: int = 12,
+                       dim: int = 64, id_col: str = "vec_id",
+                       vec_col: str = "embedding", seed: int = 42,
+                       max_bucket_size: int = 100_000) -> DataFrame:
+    """ALL-PAIRS embedding near-dup via multi-table hyperplane LSH —
+    the scale path ``dedup.embedding_near_dups`` reroutes to when the
+    corpus exceeds its exact-GEMM broadcast bound.  Candidate pairs are
+    generated only INSIDE a (table, bucket) cell (self-join on the cell
+    key — cost Σ|cell|², never n²), deduped across tables, then
+    verified with the exact JVM cosine, so precision is 1.0 and only
+    recall is approximate.
+
+    Parameter physics (collision p = (1-θ/π)^bits per table, union
+    across tables): near-dup thresholds are TIGHT angles, so deep
+    buckets are cheap — at cosine 0.9 (θ≈26°), 12 bits give p≈0.16 and
+    24 tables reach ~0.98 recall while cells stay tiny.  For a LOOSE
+    threshold (cosine ~0.5) drop to ~4 bits / 16 tables and accept
+    bigger cells; at that angle bucketing fundamentally saves little —
+    that is the regime where exact GEMM or SemDeDup clustering is the
+    right tool, not LSH.
+
+    Cells larger than ``max_bucket_size`` (hot cells: duplicate-heavy
+    or degenerate vectors) are dropped from pair generation with an
+    observed (non-silent) count, bounding the worst cell at
+    max_bucket_size² — same backstop pattern as the blocked
+    Levenshtein and n-gram stop-shingle guards."""
+    from .dedup import _observe_dropped
+
+    planes = _hyperplanes(dim, n_tables * bits_per_table, seed)
+    bucketer = _lsh_bucket_udf(planes, n_tables, bits_per_table)
+    sig = emb.select(F.col(id_col), F.col(vec_col),
+                     F.posexplode(bucketer(F.col(vec_col)))
+                      .alias("tbl", "bucket"))
+    cell = Window.partitionBy("tbl", "bucket")
+    sized = sig.withColumn("_cell_n", F.count(F.lit(1)).over(cell))
+    sized = _observe_dropped(
+        sized, F.col("_cell_n") > max_bucket_size,
+        "lsh_near_dup_pairs: dropped %d signature rows in cells over "
+        "max_bucket_size — raise bits_per_table or max_bucket_size")
+    sized = sized.filter(F.col("_cell_n") <= max_bucket_size).drop("_cell_n")
+
+    a, b = sized.alias("a"), sized.alias("b")
+    cand = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col(f"a.{vec_col}").alias("va"),
+                     F.col(f"b.{vec_col}").alias("vb"))
+             .dropDuplicates(["id_a", "id_b"]))
+    return (cand.withColumn("cosine",
+                            F.round(_cosine(F.col("va"), F.col("vb")), 4))
+                .filter(F.col("cosine") >= threshold)
+                .select("id_a", "id_b", "cosine"))

@@ -98,6 +98,7 @@ _R5_FRONT = [
     "cube_mdx_named_properties",
     "docs_cross_source_dup",
     "docs_lexical_diversity",
+    "emb_lsh_near_dup_pairs",
     # everything else follows build order: cube_* → tpch_* → members_* —
     # the round-1/2 block whose driver rows are stale (VERDICT r4 item 2).
     # The r3/r4-graded block (docs_*/events_* extensions) rotates out; it
@@ -2056,6 +2057,15 @@ def build_workload() -> dict[str, QuerySpec]:
     add("emb_ivf_topk",
         lambda spark, sf: S.ivf_cosine_topk(_emb(spark, sf), [0, 1, 2, 3, 4],
                                             k=3),
+        None)
+    # all-pairs near-dup WITHOUT the GEMM broadcast bound (the scale path
+    # embedding_near_dups reroutes to); loose-threshold setting matches
+    # the planted cosine-0.5 pairs.  Approximate recall → rows-only;
+    # quality contract = tests/test_recall.py recall+precision floor
+    add("emb_lsh_near_dup_pairs",
+        lambda spark, sf: S.lsh_near_dup_pairs(_emb(spark, sf),
+                                               threshold=0.45, n_tables=16,
+                                               bits_per_table=4),
         None)
 
     # max_doc_freq: finite stop-shingle cap (well above the observed max

@@ -152,3 +152,17 @@ def test_ngram_candidates_then_edit_distance_verify(spark):
     # bucket of width 40) yet survive candidates->verify
     assert set(out) == {(1, 2)}
     assert 40 <= out[(1, 2)] <= 60
+
+
+def test_lsh_near_dup_pairs_recall_and_precision(emb, planted_embedding_pairs):
+    """All-pairs LSH near-dup at the loose-threshold setting (planted
+    pairs sit near cosine 0.5 -> 4 bits / 16 tables): >=85% of the
+    exact-GEMM pairs recovered, and every reported pair verified exact
+    (precision 1.0 by construction — assert the threshold holds)."""
+    got = S.lsh_near_dup_pairs(emb, threshold=0.45, n_tables=16,
+                               bits_per_table=4).collect()
+    found = {(r.id_a, r.id_b) for r in got}
+    truth = set(planted_embedding_pairs)
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.85, f"LSH near-dup recall collapsed: {recall:.2f}"
+    assert all(r.cosine >= 0.45 for r in got)
