@@ -148,3 +148,43 @@ def test_maintenance_rewrites_refuse_in_place(spark, tmp_path):
     # disjoint dirs still work
     assert compact_parquet(spark, src,
                            str(tmp_path / "out"))["files_after"] >= 1
+
+
+# ---- training-shard export (sources/shards.py) ---------------------------
+
+def test_write_training_shards_manifest_roundtrip(spark, sf_dir, tmp_path):
+    from olap_xtrctr_spark.session import load_table
+    from olap_xtrctr_spark.sources import shards as SH
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus")
+    manifest = SH.write_training_shards(docs, out, target_mb=1)
+    assert manifest["total_rows"] == docs.count()
+    assert manifest["n_shards"] == len(manifest["shards"]) >= 1
+    assert sum(s["rows"] for s in manifest["shards"]) \
+        == manifest["total_rows"]
+    assert set(manifest["columns"]) == set(docs.columns)
+
+    # a clean copy verifies...
+    assert SH.verify_training_shards(spark, out) == {"ok": True,
+                                                     "problems": []}
+    # ...an immutable-dir re-export refuses...
+    import pytest
+    with pytest.raises(ValueError, match="committed"):
+        SH.write_training_shards(docs, out)
+    # ...and tampering is caught (truncate one shard)
+    import os
+    victim = os.path.join(out, manifest["shards"][0]["file"])
+    with open(victim, "r+b") as f:
+        f.truncate(os.path.getsize(victim) - 64)
+    res = SH.verify_training_shards(spark, out)
+    assert not res["ok"] and any("size drift" in p for p in res["problems"])
+
+
+def test_verify_training_shards_requires_manifest(spark, tmp_path):
+    from olap_xtrctr_spark.sources import shards as SH
+
+    d = tmp_path / "uncommitted"
+    spark.range(10).write.parquet(str(d))      # data but no manifest
+    res = SH.verify_training_shards(spark, str(d))
+    assert not res["ok"] and "uncommitted" in res["problems"][0]
