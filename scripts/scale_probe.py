@@ -84,6 +84,11 @@ PROBE_QUERIES = [
     # the filter matches nothing and the stream is empty.
     "docs_prepare_chunks",
     "docs_temperature_mix_rates",
+    # round-5 additions (docs replicas keep their source value, so the
+    # per-fingerprint source sets stay small while dup counts grow 10x —
+    # the bounded-window-state claim is what the probe checks)
+    "docs_cross_source_dup",
+    "docs_lexical_diversity",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
