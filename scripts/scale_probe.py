@@ -78,10 +78,6 @@ PROBE_QUERIES = [
     "events_user_deciles",
     "events_rollup_incremental",
     "events_props_variant_stats",
-    # streaming entries are NOT probeable here: the replicator writes
-    # each table as a DIRECTORY of part files, and the streaming
-    # entries' pathGlobFilter targets the single-file driver layout —
-    # the filter matches nothing and the stream is empty.
     "docs_prepare_chunks",
     "docs_temperature_mix_rates",
     # round-5 additions (docs replicas keep their source value, so the
@@ -89,6 +85,12 @@ PROBE_QUERIES = [
     # the bounded-window-state claim is what the probe checks)
     "docs_cross_source_dup",
     "docs_lexical_diversity",
+    # streaming replays (probe-able since the replicator writes events as
+    # a single file matching the entries' pathGlobFilter): bounded-state
+    # and replay-overhead claims measured at scale
+    "events_stream_hourly",
+    "events_stream_dedup_bounded",
+    "events_stream_session_tracker",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
@@ -111,7 +113,18 @@ def build(spark) -> None:
         out = copies[0]
         for c in copies[1:]:
             out = out.unionByName(c)
-        out.write.mode("overwrite").parquet(f"{SCRATCH}/{t}.parquet")
+        if t == "events":
+            # single FILE named events.parquet (not a directory): the
+            # streaming entries' pathGlobFilter targets the driver's
+            # single-file layout, so this makes them probe-able at scale
+            tmp = f"{SCRATCH}/_events_tmp"
+            out.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp)
+                        if f.startswith("part-") and f.endswith(".parquet"))
+            shutil.move(f"{tmp}/{part}", f"{SCRATCH}/events.parquet")
+            shutil.rmtree(tmp)
+        else:
+            out.write.mode("overwrite").parquet(f"{SCRATCH}/{t}.parquet")
         print(f"# built {t}: x{FACTOR}", file=sys.stderr)
 
 
