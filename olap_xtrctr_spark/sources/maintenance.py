@@ -101,3 +101,88 @@ def compact_parquet(spark: SparkSession, src_dir: str, dst_dir: str,
     """
     return _rewrite(spark, src_dir, dst_dir,
                     lambda df, n: df.repartition(n), target_mb)
+
+
+def zorder_parquet(spark: SparkSession, src_dir: str, dst_dir: str,
+                   zorder_cols: list[str], target_mb: int = 128,
+                   bits: int = 8) -> dict:
+    """Rewrite ``src_dir`` in Z-ORDER over two or more columns: each
+    column is rank-bucketed to a ``bits``-bit integer against its
+    approx-quantile boundaries (so skewed keys still spread uniformly),
+    the bit patterns are interleaved into one Z-value, and files are
+    range-partitioned + sorted on it.  Every file then covers a small
+    HYPER-RECTANGLE of the key space, so a scan filtering on ANY
+    single clustered column — not just the first, which is all a
+    lexicographic ``cluster_parquet`` sort can serve — skips most
+    files from parquet min/max footer stats alone.
+
+    The trade: per-column spans are ~sqrt-of-file-fraction wide (for 2
+    columns) instead of cluster_parquet's near-disjoint single-key
+    spans, the classic space-filling-curve compromise.  Choose
+    cluster_parquet when queries filter one dominant column,
+    zorder_parquet when two or more columns genuinely share the filter
+    load.
+
+    Scale shape: bucket boundaries come from approxQuantile (a
+    distributed sketch, both columns in ONE pass, driver receives
+    2^bits doubles per column) — deliberately NOT a rank window, which
+    would funnel the whole table through a single task.  The Z-value is
+    then a map-side JVM expression and the only full shuffle is the
+    final repartitionByRange.  String columns are hashed first, which
+    preserves equality-filter pruning (the case that matters for
+    strings) but not range locality.  2^bits cells per column is
+    plenty: file-level pruning only needs resolution finer than the
+    file COUNT, not the row count."""
+    from pyspark.sql import functions as F
+
+    if len(zorder_cols) < 2:
+        raise ValueError("zorder needs >= 2 columns; use cluster_parquet "
+                         "for a single key")
+    if not 2 <= bits <= 12:
+        raise ValueError("bits must be in [2, 12] (2^bits boundary "
+                         "literals per column go into the bucket "
+                         "expression)")
+
+    def transform(df, n):
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        work, norm_cols = df, []
+        for c in zorder_cols:
+            nc = f"_zn_{c}"
+            t = types[c]
+            if t in ("timestamp", "timestamp_ntz", "date"):
+                col = F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+            elif t in ("string", "binary", "boolean"):
+                col = F.xxhash64(F.col(c)).cast("double")
+            else:
+                col = F.col(c).cast("double")
+            work = work.withColumn(nc, col)
+            norm_cols.append(nc)
+        n_buckets = 1 << bits
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = work.stat.approxQuantile(norm_cols, probs,
+                                          0.25 / n_buckets)
+        rank_cols = []
+        for nc, bs in zip(norm_cols, bounds):
+            rc = f"_zr_{nc}"
+            arr = F.array(*[F.lit(float(b)) for b in bs])
+            # bucket = #boundaries below the value: a fold over the
+            # boundary array — interpreted per element, but bounded by
+            # 2^bits terms and map-side only
+            work = work.withColumn(
+                rc, F.aggregate(
+                    arr, F.lit(0).cast("long"),
+                    lambda acc, b: acc
+                    + F.when(F.col(nc) > b, 1).otherwise(0).cast("long")))
+            rank_cols.append(rc)
+        z = F.lit(0).cast("long")
+        k = len(rank_cols)
+        for i in range(bits):
+            for j, rc in enumerate(rank_cols):
+                bit = F.shiftright(F.col(rc), i).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
+        return (work.withColumn("_z", z)
+                    .repartitionByRange(n, "_z")
+                    .sortWithinPartitions("_z")
+                    .drop("_z", *norm_cols, *rank_cols))
+
+    return _rewrite(spark, src_dir, dst_dir, transform, target_mb)

@@ -188,3 +188,62 @@ def test_verify_training_shards_requires_manifest(spark, tmp_path):
     spark.range(10).write.parquet(str(d))      # data but no manifest
     res = SH.verify_training_shards(spark, str(d))
     assert not res["ok"] and "uncommitted" in res["problems"][0]
+
+
+def test_zorder_parquet_prunes_both_dimensions(spark, tmp_path):
+    """Z-order: each output file covers a narrow span of BOTH clustered
+    columns (a lexicographic sort can only serve the first)."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from olap_xtrctr_spark.sources.maintenance import zorder_parquet
+
+    src = str(tmp_path / "plain")
+    dst = str(tmp_path / "zordered")
+    df = (spark.range(120_000)
+          .select((F.col("id") % 200).alias("k1"),
+                  ((F.col("id") * 7919) % 200).alias("k2"),
+                  F.sha2(F.col("id").cast("string"), 512).alias("payload")))
+    df.repartition(8).write.parquet(src)
+    stats = zorder_parquet(spark, src, dst, ["k1", "k2"], target_mb=1)
+    assert stats["files_after"] >= 8
+
+    def file_ranges(col_idx):
+        out = []
+        for f in sorted(g.glob(f"{dst}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo = min(md.row_group(i).column(col_idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(col_idx).statistics.max
+                     for i in range(md.num_row_groups))
+            out.append((lo, hi))
+        return out
+
+    # the property that matters: a 10%-of-domain filter on EITHER
+    # column alone skips files from footer stats (a round-robin layout
+    # skips zero; a lexicographic sort only serves its first column).
+    # Window [30, 50) sits inside one top-level z-quadrant — an
+    # interval straddling the median hits both halves by construction,
+    # the curve's known worst case.
+    for idx in (0, 1):
+        ranges = file_ranges(idx)
+        hit = sum(1 for lo, hi in ranges if not (hi < 30 or lo > 50))
+        assert hit <= 0.5 * len(ranges), (idx, ranges)
+    # data intact
+    assert spark.read.parquet(dst).count() == 120_000
+
+
+def test_zorder_parquet_validations(spark, tmp_path):
+    import pytest
+
+    from olap_xtrctr_spark.sources.maintenance import zorder_parquet
+
+    src = str(tmp_path / "zv")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="2 columns"):
+        zorder_parquet(spark, src, str(tmp_path / "o1"), ["id"])
+    with pytest.raises(ValueError, match="bits"):
+        zorder_parquet(spark, src, str(tmp_path / "o2"), ["id", "id"],
+                       bits=16)
