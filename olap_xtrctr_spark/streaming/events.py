@@ -578,3 +578,49 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
             .withColumn("weeks_later", F.col("weeks_later").cast("int"))
             .groupBy("cohort_week", "weeks_later")
             .agg(F.count_distinct("user_id").alias("n_users")))
+
+
+def hourly_rollup_gapfilled(events: DataFrame,
+                            fill: str = "zero") -> DataFrame:
+    """Gap-filled hourly rollup: a complete hour spine per event_type
+    (min..max observed hour) left-joined against the rollup, so
+    downstream time-series consumers (anomaly windows, charting,
+    forecasting) see EVERY hour — silent gaps in a rolling-window
+    calculation silently shrink the window.
+
+    fill='zero'  → absent hours get n_events=0, sum_value=0.0 (counts
+                   semantics: nothing happened);
+    fill='ffill' → absent hours carry the last observed values forward
+                   (gauge semantics), n_events still reported 0 for the
+                   filled rows via n_observed.
+
+    Scale shape: the spine is bounded by types × hours (metadata-sized
+    next to the event stream), the rollup is already aggregated before
+    the join, and the forward-fill window partitions by event_type —
+    no global window, no second pass over raw events."""
+    from pyspark.sql import Window
+
+    r = hourly_rollup(events)
+    spine = (r.groupBy("event_type")
+              .agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+              .select("event_type",
+                      F.explode(F.sequence(
+                          "lo", "hi",
+                          F.expr("INTERVAL 1 HOUR"))).alias("hour")))
+    out = spine.join(r, ["event_type", "hour"], "left")
+    if fill == "zero":
+        return (out.select("event_type", "hour",
+                           F.coalesce("n_events", F.lit(0))
+                            .alias("n_events"),
+                           F.coalesce("sum_value", F.lit(0.0))
+                            .alias("sum_value")))
+    if fill == "ffill":
+        w = (Window.partitionBy("event_type").orderBy("hour")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        return (out.select(
+            "event_type", "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_observed"),
+            F.last("n_events", ignorenulls=True).over(w).alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(w)
+             .alias("sum_value")))
+    raise ValueError(f"unknown fill mode {fill!r} (zero|ffill)")

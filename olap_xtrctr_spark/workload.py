@@ -99,6 +99,7 @@ _R5_FRONT = [
     "docs_cross_source_dup",
     "docs_lexical_diversity",
     "emb_lsh_near_dup_pairs",
+    "events_hourly_gapfilled",
     # everything else follows build order: cube_* → tpch_* → members_* —
     # the round-1/2 block whose driver rows are stale (VERDICT r4 item 2).
     # The r3/r4-graded block (docs_*/events_* extensions) rotates out; it
@@ -2196,6 +2197,25 @@ def build_workload() -> dict[str, QuerySpec]:
                {SUM_D('value')} AS sum_value
         FROM events
         GROUP BY 1, 2""")
+
+    # gap-filled time series: complete hour spine per type so rolling
+    # windows downstream never silently shrink over absent hours
+    add("events_hourly_gapfilled",
+        lambda spark, sf: EV.hourly_rollup_gapfilled(_events(spark, sf)),
+        f"""WITH r AS (
+          SELECT date_trunc('hour', ts) AS hour, event_type,
+                 COUNT(*) AS n_events, {SUM_D('value')} AS sum_value
+          FROM events GROUP BY 1, 2),
+        b AS (SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi
+              FROM r GROUP BY 1),
+        spine AS (SELECT event_type,
+                         unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                           AS hour
+                  FROM b)
+        SELECT s.event_type, s.hour,
+               CAST(COALESCE(r.n_events, 0) AS BIGINT) AS n_events,
+               COALESCE(r.sum_value, 0.0) AS sum_value
+        FROM spine s LEFT JOIN r USING (event_type, hour)""")
 
     def stream_hourly(spark, sf):
         return EV.replay_hourly_rollup(spark, sf, _events_schema(spark, sf))

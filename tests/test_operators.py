@@ -997,3 +997,24 @@ def test_lexical_diversity_orders_boilerplate_below_prose(spark):
     assert out["boiler"]["n_types"] == 2 and out["boiler"]["n_tokens"] == 8
     assert out["prose"]["ttr_milli"] == 1000        # all types distinct
     assert out["boiler"]["ttr_milli"] == 250        # 2*1000 DIV 8
+
+
+def test_hourly_rollup_gapfilled_modes(spark):
+    rows = [Row(event_id=i, user_id=1, ts=ts, event_type="x", value=2.0,
+                props="{}")
+            for i, ts in enumerate(["2024-01-01 00:15:00",
+                                    "2024-01-01 00:45:00",
+                                    "2024-01-01 03:10:00"])]   # 01/02 absent
+    df = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    zero = {str(r["hour"]): (r["n_events"], r["sum_value"])
+            for r in EV.hourly_rollup_gapfilled(df).collect()}
+    assert len(zero) == 4                        # 00..03 complete
+    assert zero["2024-01-01 01:00:00"] == (0, 0.0)
+    assert zero["2024-01-01 00:00:00"] == (2, 4.0)
+    ff = {str(r["hour"]): (r["n_observed"], r["n_events"], r["sum_value"])
+          for r in EV.hourly_rollup_gapfilled(df, fill="ffill").collect()}
+    assert ff["2024-01-01 01:00:00"] == (0, 2, 4.0)   # carried forward
+    assert ff["2024-01-01 03:00:00"] == (1, 1, 2.0)
+    import pytest
+    with pytest.raises(ValueError, match="fill"):
+        EV.hourly_rollup_gapfilled(df, fill="nope")
