@@ -68,6 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("diagnose")
 
     s = sub.add_parser(
+        "workbook",
+        help="export the metadata workbook (RESUMEN + one sheet per "
+             "DMV rowset) to an .xlsx file")
+    s.add_argument("--out", required=True)
+    s.add_argument("--catalog", default=None)
+
+    s = sub.add_parser(
         "action",
         help="one-shot env-var relay: reads ACTION/CATALOG/PARAMS/"
              "REQUEST_ID, writes the result.json envelope "
@@ -172,6 +179,10 @@ def run(args, service=None) -> dict:
         else:
             out["n_rows"] = df.count()
         return out
+    if args.cmd == "workbook":
+        counts = service.export_metadata_workbook(args.out,
+                                                  catalog=args.catalog)
+        return {"path": args.out, "sheets": counts}
     if args.cmd == "action":
         from .actions import RESULT_FILE, run_action_env
         return run_action_env(service, out_path=args.out or RESULT_FILE)

@@ -190,6 +190,19 @@ def _diag(service, m, qs, body):
     return 200, service.diagnose_schema()
 
 
+@ROUTES.add("POST", r"/api/export/workbook")
+def _export_workbook(service, m, qs, body):
+    """Metadata workbook export (the reference's catalog discovery
+    workbook) — writes server-side to the requested path and returns
+    the per-sheet row counts."""
+    path = body.get("path")
+    if not path or not path.endswith(".xlsx"):
+        return 400, {"detail": "body needs a 'path' ending in .xlsx"}
+    counts = service.export_metadata_workbook(path,
+                                              catalog=body.get("catalog"))
+    return 200, {"path": path, "sheets": counts}
+
+
 @ROUTES.add("GET", r"/api/workload")
 def _workload_list(service, m, qs, body):
     """Catalog of every analytics/pipeline operator the engine ships

@@ -137,3 +137,13 @@ def test_action_unknown_and_error_envelope(svc, tmp_path, monkeypatch):
     res = _run_action(svc, tmp_path, monkeypatch, "execute_mdx",
                       params={"mdx": "WITH MEMBER nope"})
     assert res["status"] == "error" and res["request_id"] == "req-1"
+
+
+def test_cli_workbook_export(svc, tmp_path):
+    out = str(tmp_path / "meta.xlsx")
+    res = _run(svc, "workbook", "--out", out)
+    assert res["path"] == out and res["sheets"]["RESUMEN"] == 3
+    import zipfile
+    with zipfile.ZipFile(out) as zf:
+        assert len([n for n in zf.namelist()
+                    if n.startswith("xl/worksheets/")]) == len(res["sheets"])

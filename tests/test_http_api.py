@@ -192,3 +192,14 @@ def test_workload_run_busy_503(base_url, monkeypatch):
     # lock released → the same request succeeds again
     status, out = _get(f"{base_url}/api/workload/docs_length_histogram")
     assert status == 200 and out["n_rows_returned"] > 0
+
+
+def test_export_workbook_route(base_url, tmp_path):
+    path = str(tmp_path / "wb.xlsx")
+    status, out = _post(f"{base_url}/api/export/workbook", {"path": path})
+    assert status == 200 and out["sheets"]["RESUMEN"] == 3
+    import os
+    assert os.path.exists(path)
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(f"{base_url}/api/export/workbook", {"path": "/tmp/x.csv"})
+    assert exc.value.code == 400
