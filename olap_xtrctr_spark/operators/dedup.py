@@ -79,9 +79,12 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # the bucket self-join; materializing it once via localCheckpoint was
     # tried and is ~30% SLOWER at sf0.1 (the double-computed shingle
     # stream stays inside whole-stage codegen and is cheaper than the
-    # materialize/read cycle).  On a real lake where the shingle explode
-    # dominates, persist the signature table explicitly at the call site
-    # instead — don't bake the trade into the operator.
+    # materialize/read cycle).  Round 5 measured persist(MEMORY_AND_DISK)
+    # on the banded table too: 2.17 s vs 2.27 s median at sf0.1 — inside
+    # run noise, not worth operator-level cache management.  On a real
+    # lake where the shingle explode dominates, persist the signature
+    # table explicitly at the call site instead — don't bake the trade
+    # into the operator.
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
