@@ -98,6 +98,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="preview row cap (0 = count only)")
     s.add_argument("--export", default=None,
                    help="write full result to this path (.csv or .json)")
+    s.add_argument("--audit", action="store_true",
+                   help="include a physical-plan audit (shuffles, join "
+                        "strategies, pushed filters, python-eval check)")
     return p
 
 
@@ -165,6 +168,9 @@ def run(args, service=None) -> dict:
                              f"(use --list)")
         df = spec.fn(service.spark, service.sf_dir)
         out: dict = {"name": args.name, "columns": df.columns}
+        if args.audit:
+            from .plans import audit
+            out["plan_audit"] = audit(df)
         if args.export:
             from .sinks import write_csv, write_json
             if args.export.endswith(".json"):

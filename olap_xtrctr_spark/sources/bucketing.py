@@ -64,12 +64,9 @@ def bucketed_join(spark: SparkSession,
 
 def join_has_no_shuffle(df: DataFrame) -> bool:
     """True when the executed join plan contains no shuffle Exchange
-    (broadcast exchanges don't count — they're not a data shuffle)."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    return not any(
-        line.strip().startswith("Exchange") or "+- Exchange" in line
-        for line in plan.splitlines()
-        if "BroadcastExchange" not in line)
+    (kept here for back-compat; canonical home is plans.py)."""
+    from ..plans import join_has_no_shuffle as _impl
+    return _impl(df)
 
 
 def write_seen_fingerprints(spark: SparkSession, docs: DataFrame,

@@ -9,7 +9,6 @@ Usage: python scripts/scale_probe.py [factor] [scratch_dir]
 from __future__ import annotations
 
 import os
-import re
 import shutil
 import sys
 import time
@@ -19,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from olap_xtrctr_spark import get_spark
+from olap_xtrctr_spark.plans import join_strategies
 from olap_xtrctr_spark.workload import WORKLOAD
 
 FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
@@ -126,17 +126,6 @@ def build(spark) -> None:
         else:
             out.write.mode("overwrite").parquet(f"{SCRATCH}/{t}.parquet")
         print(f"# built {t}: x{FACTOR}", file=sys.stderr)
-
-
-def join_strategies(df) -> dict[str, int]:
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    out: dict[str, int] = {}
-    for strat in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
-                  "BroadcastNestedLoopJoin"):
-        n = len(re.findall(strat, plan))
-        if n:
-            out[strat] = n
-    return out
 
 
 def main() -> None:

@@ -186,3 +186,23 @@ def test_variant_stats_no_python(spark, sf_dir):
           .select(F.expr("variant_get(v, '$.k', 'int')").alias("k")))
     plan = _plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_plans_audit_flagship(spark, sf_dir):
+    """plans.audit: the one-call summary agrees with the individual
+    pinned assertions on the flagship cube query."""
+    from olap_xtrctr_spark import (AxisItem, CubeQueryEngine, QueryRequest,
+                                   default_registry)
+    from olap_xtrctr_spark import plans as P
+
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    df = eng.execute(QueryRequest(
+        "VENTAS_2025", measures=["Sum Extendedprice"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation")]))
+    a = P.audit(df)
+    assert a["join_strategies"].get("BroadcastHashJoin", 0) >= 1
+    assert not a["python_eval"]
+    assert a["partial_aggregation"]
+    assert a["shuffle_exchanges"] >= 1        # the group-by exchange
+    assert any("l_orderkey" in s or "o_orderkey" in s
+               for s in a["read_schemas"])    # pruned scans visible
