@@ -100,6 +100,7 @@ _R5_FRONT = [
     "docs_lexical_diversity",
     "emb_lsh_near_dup_pairs",
     "events_hourly_gapfilled",
+    "docs_sql_function_stats",
     # everything else follows build order: cube_* → tpch_* → members_* —
     # the round-1/2 block whose driver rows are stale (VERDICT r4 item 2).
     # The r3/r4-graded block (docs_*/events_* extensions) rotates out; it
@@ -1397,6 +1398,33 @@ def build_workload() -> dict[str, QuerySpec]:
             '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
             AS BIGINT) AS n_tokens_bpe
         FROM documents""")
+
+    # the SQL-function surface driven end-to-end: an analyst's plain-SQL
+    # query over the registered scalar functions must match the DuckDB
+    # re-expression of the same semantics
+    def sql_fn_stats(spark, sf):
+        from .functions import register_sql_functions
+        register_sql_functions(spark)
+        _docs(spark, sf).createOrReplaceTempView("wq_sql_fn_docs")
+        return spark.sql(
+            "SELECT doc_id, doc_fingerprint(text) AS fingerprint, "
+            "token_count_ws(text) AS n_tokens_ws, "
+            "ttr_milli(text) AS ttr_milli "
+            "FROM wq_sql_fn_docs")
+
+    add("docs_sql_function_stats", sql_fn_stats,
+        r"""WITH toks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(
+            trim(lower(text)), '\s+'), x -> x <> '') AS tl
+          FROM documents)
+        SELECT d.doc_id,
+          md5(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g'))
+            AS fingerprint,
+          CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT)
+            AS n_tokens_ws,
+          CAST((len(list_distinct(t.tl)) * 1000)
+               // greatest(len(t.tl), 1) AS BIGINT) AS ttr_milli
+        FROM documents d JOIN toks t USING (doc_id)""")
 
     # Gopher-style intra-doc repetition (exact integer counts — callers
     # derive fractions; ints survive the Arrow edge bit-for-bit)
