@@ -186,3 +186,33 @@ def zorder_parquet(spark: SparkSession, src_dir: str, dst_dir: str,
                     .drop("_z", *norm_cols, *rank_cols))
 
     return _rewrite(spark, src_dir, dst_dir, transform, target_mb)
+
+
+def upsert_parquet(spark: SparkSession, target_dir: str, dst_dir: str,
+                   updates, key_cols: list[str],
+                   target_mb: int = 128) -> dict:
+    """SCD-1 upsert against a parquet directory without a table format:
+    rows of ``updates`` replace target rows sharing their key, new keys
+    append — the copy-on-write MERGE a lake runs when no Delta/Iceberg
+    layer is available.  Written to ``dst_dir`` under the same
+    write-new/verify/rename discipline as the other rewrites (the
+    caller swaps directories after validation), never in place.
+
+    Scale shape: one left-anti join on the key (the survivors) plus a
+    union with the updates — both sides shuffle once on the key; with
+    AQE the small updates side broadcasts and the target never
+    shuffles at all.  The rewrite cost is the true cost of
+    copy-on-write upserts; partition the lake so updates land in few
+    partitions and upsert per partition."""
+    def transform(df, n):
+        if set(key_cols) - set(df.columns) or \
+                set(df.columns) != set(updates.columns):
+            raise ValueError(
+                f"updates schema {sorted(updates.columns)} must match "
+                f"target {sorted(df.columns)} and contain {key_cols}")
+        survivors = df.join(updates.select(*key_cols).distinct(),
+                            on=key_cols, how="left_anti")
+        return (survivors.unionByName(updates)
+                .repartition(n))
+
+    return _rewrite(spark, target_dir, dst_dir, transform, target_mb)

@@ -624,3 +624,31 @@ def hourly_rollup_gapfilled(events: DataFrame,
             F.last("sum_value", ignorenulls=True).over(w)
              .alias("sum_value")))
     raise ValueError(f"unknown fill mode {fill!r} (zero|ffill)")
+
+
+def user_state_history(events: DataFrame,
+                       state_col: str = "event_type") -> DataFrame:
+    """SCD-2-shaped state history per user: collapse the event stream
+    into one row per RUN of consecutive equal ``state_col`` values,
+    with the run's validity range and event count — the
+    slowly-changing-dimension build (valid_from / valid_to per state
+    run) applied to an event stream.  The final open run carries
+    valid_to = the user's last event time.
+
+    lag → change flag → running sum = run id, then one groupBy — the
+    same deterministic lag+cumsum shape as ``sessionize``, one shuffle
+    on user_id, ties broken by event_id."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = F.when(
+        F.lag(state_col).over(w).isNull()
+        | (F.lag(state_col).over(w) != F.col(state_col)), 1).otherwise(0)
+    run = (events
+           .withColumn("_chg", changed)
+           .withColumn("_run", F.sum("_chg").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (run.groupBy("user_id", "_run")
+            .agg(F.min(state_col).alias("state"),   # all equal within a run
+                 F.min("ts").alias("valid_from"),
+                 F.max("ts").alias("valid_to"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .withColumnRenamed("_run", "run_id"))

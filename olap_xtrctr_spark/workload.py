@@ -101,6 +101,7 @@ _R5_FRONT = [
     "emb_lsh_near_dup_pairs",
     "events_hourly_gapfilled",
     "docs_sql_function_stats",
+    "events_user_state_history",
     # everything else follows build order: cube_* → tpch_* → members_* —
     # the round-1/2 block whose driver rows are stale (VERDICT r4 item 2).
     # The r3/r4-graded block (docs_*/events_* extensions) rotates out; it
@@ -2244,6 +2245,28 @@ def build_workload() -> dict[str, QuerySpec]:
                CAST(COALESCE(r.n_events, 0) AS BIGINT) AS n_events,
                COALESCE(r.sum_value, 0.0) AS sum_value
         FROM spine s LEFT JOIN r USING (event_type, hour)""")
+
+    # SCD-2-shaped per-user state history (run-length collapse of the
+    # event stream into validity ranges)
+    add("events_user_state_history",
+        lambda spark, sf: EV.user_state_history(_events(spark, sf)),
+        """WITH o AS (
+          SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN lag(event_type) OVER w IS NULL
+                           OR lag(event_type) OVER w <> event_type
+                      THEN 1 ELSE 0 END AS chg
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        r AS (
+          SELECT *, SUM(chg) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM o)
+        SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+               MIN(event_type) AS state,
+               MIN(ts) AS valid_from, MAX(ts) AS valid_to,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM r GROUP BY user_id, run_id""")
 
     def stream_hourly(spark, sf):
         return EV.replay_hourly_rollup(spark, sf, _events_schema(spark, sf))

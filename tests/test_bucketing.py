@@ -247,3 +247,27 @@ def test_zorder_parquet_validations(spark, tmp_path):
     with pytest.raises(ValueError, match="bits"):
         zorder_parquet(spark, src, str(tmp_path / "o2"), ["id", "id"],
                        bits=16)
+
+
+def test_upsert_parquet_replaces_and_appends(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from olap_xtrctr_spark.sources.maintenance import upsert_parquet
+
+    target = str(tmp_path / "t")
+    dst = str(tmp_path / "t2")
+    spark.range(10).select("id", F.lit("old").alias("v")) \
+        .write.parquet(target)
+    updates = spark.createDataFrame(
+        [(3, "new"), (7, "new"), (42, "brand")], "id long, v string")
+    stats = upsert_parquet(spark, target, dst, updates, ["id"])
+    got = {r["id"]: r["v"] for r in spark.read.parquet(dst).collect()}
+    assert len(got) == 11                       # 10 originals + 1 new key
+    assert got[3] == "new" and got[7] == "new" and got[42] == "brand"
+    assert got[0] == "old"
+    assert stats["files_before"] >= 1
+    # schema mismatch refused
+    import pytest
+    bad = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="schema"):
+        upsert_parquet(spark, target, str(tmp_path / "t3"), bad, ["id"])

@@ -1018,3 +1018,16 @@ def test_hourly_rollup_gapfilled_modes(spark):
     import pytest
     with pytest.raises(ValueError, match="fill"):
         EV.hourly_rollup_gapfilled(df, fill="nope")
+
+
+def test_user_state_history_runs(spark):
+    rows = [Row(event_id=i, user_id=1, ts=f"2024-01-01 00:0{i}:00",
+                event_type=t, value=1.0, props="{}")
+            for i, t in enumerate(["view", "view", "click", "view"])]
+    df = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    hist = sorted(EV.user_state_history(df).collect(),
+                  key=lambda r: r["run_id"])
+    assert [(r["state"], r["n_events"]) for r in hist] == \
+        [("view", 2), ("click", 1), ("view", 1)]
+    assert str(hist[0]["valid_from"]) == "2024-01-01 00:00:00"
+    assert str(hist[0]["valid_to"]) == "2024-01-01 00:01:00"
