@@ -68,6 +68,21 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("diagnose")
 
     s = sub.add_parser(
+        "maintain",
+        help="lake layout maintenance: compact / cluster / zorder a "
+             "parquet directory, or export size-targeted training "
+             "shards with a manifest")
+    s.add_argument("--op", required=True,
+                   choices=["compact", "cluster", "zorder", "shards",
+                            "verify-shards"])
+    s.add_argument("--src", required=True)
+    s.add_argument("--dst", default=None,
+                   help="output directory (not needed for verify-shards)")
+    s.add_argument("--cols", nargs="*", default=[],
+                   help="cluster/zorder key columns")
+    s.add_argument("--target-mb", type=int, default=128)
+
+    s = sub.add_parser(
         "workbook",
         help="export the metadata workbook (RESUMEN + one sheet per "
              "DMV rowset) to an .xlsx file")
@@ -185,6 +200,28 @@ def run(args, service=None) -> dict:
         else:
             out["n_rows"] = df.count()
         return out
+    if args.cmd == "maintain":
+        from .sources import maintenance as MT
+        from .sources import shards as SH
+        spark = service.spark
+        if args.op == "verify-shards":
+            return SH.verify_training_shards(spark, args.src)
+        if not args.dst:
+            raise SystemExit(f"--dst is required for --op {args.op}")
+        if args.op == "compact":
+            return MT.compact_parquet(spark, args.src, args.dst,
+                                      target_mb=args.target_mb)
+        if args.op == "cluster":
+            if not args.cols:
+                raise SystemExit("--cols required for cluster")
+            return MT.cluster_parquet(spark, args.src, args.dst, args.cols,
+                                      target_mb=args.target_mb)
+        if args.op == "zorder":
+            return MT.zorder_parquet(spark, args.src, args.dst, args.cols,
+                                     target_mb=args.target_mb)
+        return SH.write_training_shards(
+            spark.read.parquet(args.src), args.dst,
+            target_mb=args.target_mb)
     if args.cmd == "workbook":
         counts = service.export_metadata_workbook(args.out,
                                                   catalog=args.catalog)

@@ -147,3 +147,17 @@ def test_cli_workbook_export(svc, tmp_path):
     with zipfile.ZipFile(out) as zf:
         assert len([n for n in zf.namelist()
                     if n.startswith("xl/worksheets/")]) == len(res["sheets"])
+
+
+def test_cli_maintain_compact_and_shards(svc, tmp_path):
+    src = str(tmp_path / "frag")
+    svc.spark.range(5_000).repartition(16).write.parquet(src)
+    res = _run(svc, "maintain", "--op", "compact",
+               "--src", src, "--dst", str(tmp_path / "out"))
+    assert res["files_before"] == 16 and res["files_after"] == 1
+    res = _run(svc, "maintain", "--op", "shards",
+               "--src", src, "--dst", str(tmp_path / "shards"))
+    assert res["total_rows"] == 5_000
+    res = _run(svc, "maintain", "--op", "verify-shards",
+               "--src", str(tmp_path / "shards"))
+    assert res == {"ok": True, "problems": []}
