@@ -109,12 +109,18 @@ def run_action(service, action: str, catalog: str = "",
 
 
 def run_action_env(service, out_path: str = RESULT_FILE) -> dict:
-    """Read the env-var contract, run the action, write the envelope."""
+    """Read the env-var contract, run the action, write the envelope.
+    A malformed PARAMS payload still produces an error envelope (the
+    relay consumer reads result.json, not a stack trace)."""
     action = os.environ.get("ACTION", "get_catalogs")
     catalog = os.environ.get("CATALOG", "")
-    params = json.loads(os.environ.get("PARAMS", "{}"))
     request_id = os.environ.get("REQUEST_ID", "unknown")
-    result = run_action(service, action, catalog, params, request_id)
+    try:
+        params = json.loads(os.environ.get("PARAMS", "{}"))
+        result = run_action(service, action, catalog, params, request_id)
+    except ValueError as e:
+        result = {"request_id": request_id, "action": action,
+                  "status": "error", "error": f"bad PARAMS json: {e}"}
     with open(out_path, "w", encoding="utf-8") as f:
         json.dump(result, f, ensure_ascii=False, indent=2, default=str)
     return result

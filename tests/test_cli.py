@@ -161,3 +161,15 @@ def test_cli_maintain_compact_and_shards(svc, tmp_path):
     res = _run(svc, "maintain", "--op", "verify-shards",
                "--src", str(tmp_path / "shards"))
     assert res == {"ok": True, "problems": []}
+
+
+def test_action_bad_params_json_still_writes_envelope(svc, tmp_path,
+                                                      monkeypatch):
+    monkeypatch.setenv("ACTION", "execute_mdx")
+    monkeypatch.setenv("CATALOG", "VENTAS_2025")
+    monkeypatch.setenv("PARAMS", "{not json")
+    monkeypatch.setenv("REQUEST_ID", "req-bad")
+    out = str(tmp_path / "bad.json")
+    res = _run(svc, "action", "--out", out)
+    assert res["status"] == "error" and "PARAMS" in res["error"]
+    assert json.load(open(out))["request_id"] == "req-bad"

@@ -210,3 +210,21 @@ def test_members_cache_evicts_stale_fingerprints(spark, sf_dir):
     assert not os.path.exists(stale_dir)
     assert not os.path.exists(f"{stale_dir}_cards.json")
     assert os.path.exists(current)
+
+
+def test_card_spill_corruption_recovers(spark, sf_dir):
+    """A corrupt spill file must not break the guard — counts recompute
+    and the spill heals on the next write."""
+    from olap_xtrctr_spark.cube import sales_cube
+
+    cube = sales_cube()
+    dim = cube.dimension("Dim Customer")
+    lv = dim.hierarchy("Geografía").levels[1]
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    path = eng._card_spill_path(cube)
+    with open(path, "w") as f:
+        f.write("{corrupt")
+    assert eng.level_cardinality(cube, dim, lv) == 25   # recomputed
+    import json
+    healed = json.load(open(path))                      # rewritten valid
+    assert any(k.endswith("|Nation") for k in healed)
