@@ -652,3 +652,76 @@ def user_state_history(events: DataFrame,
                  F.max("ts").alias("valid_to"),
                  F.count(F.lit(1)).alias("n_events"))
             .withColumnRenamed("_run", "run_id"))
+
+
+def rfm_segments(events: DataFrame, n_bins: int = 5) -> DataFrame:
+    """RFM segmentation: per-user recency (days since the corpus' last
+    event), frequency (event count), monetary (value sum), each scored
+    into ``n_bins`` ntile buckets — the classic OLAP customer-value
+    rollup.  Ordering carries a user_id tiebreak so the binning is a
+    total order and reproduces bit-for-bit on any engine.
+
+    Scale shape: everything after the first groupBy operates on the
+    PER-USER table (dimension-sized, not event-sized); the global
+    reference timestamp joins in as a broadcast scalar, and the three
+    ntile windows sort that user table once each — acceptable for a
+    dimension, never applied to raw events."""
+    per_user = (events.groupBy("user_id")
+                .agg(F.max("ts").alias("last_ts"),
+                     F.count(F.lit(1)).alias("frequency"),
+                     F.sum(F.col("value").cast("decimal(18,4)"))
+                      .cast("double").alias("monetary")))
+    ref = events.agg(F.max("ts").alias("_ref_ts"))
+    scored = (per_user.crossJoin(F.broadcast(ref))
+              .withColumn("recency_days",
+                          F.datediff("_ref_ts", "last_ts"))
+              .drop("_ref_ts"))
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+    return (scored
+            .withColumn("r_score", F.ntile(n_bins).over(r_w))
+            .withColumn("f_score", F.ntile(n_bins).over(f_w))
+            .withColumn("m_score", F.ntile(n_bins).over(m_w))
+            .withColumn("segment",
+                        F.concat_ws("-", "r_score", "f_score", "m_score"))
+            .select("user_id", "recency_days", "frequency",
+                    F.round("monetary", 4).alias("monetary"),
+                    "r_score", "f_score", "m_score", "segment"))
+
+
+def type_cooccurrence_lift(events: DataFrame) -> DataFrame:
+    """Event-type co-occurrence lift: for each unordered type pair, how
+    much more often users do BOTH than independence predicts —
+    ``lift = P(a,b) / (P(a) P(b))`` over the user population, reported
+    in exact integer milli-units so external oracles match
+    bit-for-bit.
+
+    Scale shape: the stream collapses to DISTINCT (user, type) first
+    (bounded by users × type-vocabulary), the pair join is per-user
+    (each user contributes |types|² pairs with a small type
+    vocabulary), and the population size joins as a broadcast scalar.
+    No event-scale self-join anywhere."""
+    ut = events.select("user_id", "event_type").distinct()
+    n_users = ut.select(F.count_distinct("user_id").alias("n_users"))
+    per_type = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pair_counts = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                          & (F.col("a.event_type") < F.col("b.event_type")))
+                   .groupBy(F.col("a.event_type").alias("type_a"),
+                            F.col("b.event_type").alias("type_b"))
+                   .agg(F.count(F.lit(1)).alias("n_both")))
+    return (pair_counts
+            .join(F.broadcast(per_type
+                              .withColumnRenamed("event_type", "type_a")
+                              .withColumnRenamed("n", "n_a")), "type_a")
+            .join(F.broadcast(per_type
+                              .withColumnRenamed("event_type", "type_b")
+                              .withColumnRenamed("n", "n_b")), "type_b")
+            .crossJoin(F.broadcast(n_users))
+            .withColumn("lift_milli",
+                        F.expr("CAST((n_both * n_users * 1000) "
+                               "DIV (n_a * n_b) AS BIGINT)"))
+            .select("type_a", "type_b", "n_both", "n_a", "n_b",
+                    "lift_milli"))

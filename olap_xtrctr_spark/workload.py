@@ -102,6 +102,8 @@ _R5_FRONT = [
     "events_hourly_gapfilled",
     "docs_sql_function_stats",
     "events_user_state_history",
+    "events_rfm_segments",
+    "events_type_cooccurrence_lift",
     # everything else follows build order: cube_* → tpch_* → members_* —
     # the round-1/2 block whose driver rows are stale (VERDICT r4 item 2).
     # The r3/r4-graded block (docs_*/events_* extensions) rotates out; it
@@ -2245,6 +2247,58 @@ def build_workload() -> dict[str, QuerySpec]:
                CAST(COALESCE(r.n_events, 0) AS BIGINT) AS n_events,
                COALESCE(r.sum_value, 0.0) AS sum_value
         FROM spine s LEFT JOIN r USING (event_type, hour)""")
+
+    # RFM segmentation (dimension-sized windows only; total-order ntile
+    # with user_id tiebreak for cross-engine bit-equality)
+    add("events_rfm_segments",
+        lambda spark, sf: EV.rfm_segments(_events(spark, sf)),
+        f"""WITH pu AS (
+          SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+                 {SUM_D('value')} AS monetary
+          FROM events GROUP BY user_id),
+        ref AS (SELECT MAX(ts) AS ref_ts FROM events),
+        sc AS (
+          SELECT user_id,
+                 CAST(date_diff('day', CAST(last_ts AS DATE),
+                                CAST(ref_ts AS DATE)) AS INTEGER)
+                   AS recency_days,
+                 frequency, monetary
+          FROM pu, ref)
+        SELECT user_id, recency_days,
+               CAST(frequency AS BIGINT) AS frequency,
+               ROUND(monetary, 4) AS monetary,
+               CAST(ntile(5) OVER (ORDER BY recency_days, user_id)
+                    AS INTEGER) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
+                    AS INTEGER) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id)
+                    AS INTEGER) AS m_score,
+               concat_ws('-',
+                 ntile(5) OVER (ORDER BY recency_days, user_id),
+                 ntile(5) OVER (ORDER BY frequency DESC, user_id),
+                 ntile(5) OVER (ORDER BY monetary DESC, user_id))
+                 AS segment
+        FROM sc""")
+
+    # unordered event-type pair lift over the user population (exact
+    # integer milli-units)
+    add("events_type_cooccurrence_lift",
+        lambda spark, sf: EV.type_cooccurrence_lift(_events(spark, sf)),
+        """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+        pt AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both,
+               CAST(MIN(pa.n) AS BIGINT) AS n_a,
+               CAST(MIN(pb.n) AS BIGINT) AS n_b,
+               CAST((COUNT(*) * MIN(n.n_users) * 1000)
+                    // (MIN(pa.n) * MIN(pb.n)) AS BIGINT) AS lift_milli
+        FROM ut a
+        JOIN ut b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+        JOIN pt pa ON pa.event_type = a.event_type
+        JOIN pt pb ON pb.event_type = b.event_type, n
+        GROUP BY 1, 2""")
 
     # SCD-2-shaped per-user state history (run-length collapse of the
     # event stream into validity ranges)
