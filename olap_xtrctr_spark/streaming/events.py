@@ -725,3 +725,27 @@ def type_cooccurrence_lift(events: DataFrame) -> DataFrame:
                                "DIV (n_a * n_b) AS BIGINT)"))
             .select("type_a", "type_b", "n_both", "n_a", "n_b",
                     "lift_milli"))
+
+
+def type_transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transitions of event types per user sequence:
+    P(next = b | current = a) in exact integer milli-units, plus the
+    raw transition counts — the sequence-model sanity check (and the
+    input a next-event recommender baselines against).
+
+    lag window per user (one shuffle, event-scale but narrow columns),
+    then a types² aggregation — output bounded by the type vocabulary
+    squared."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (events
+             .withColumn("next_type", F.lead("event_type").over(w))
+             .filter(F.col("next_type").isNotNull())
+             .select(F.col("event_type").alias("type_from"),
+                     F.col("next_type").alias("type_to")))
+    counts = steps.groupBy("type_from", "type_to").agg(
+        F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("type_from").agg(F.sum("n").alias("n_from"))
+    return (counts.join(F.broadcast(totals), "type_from")
+            .withColumn("p_milli",
+                        F.expr("CAST((n * 1000) DIV n_from AS BIGINT)"))
+            .select("type_from", "type_to", "n", "n_from", "p_milli"))

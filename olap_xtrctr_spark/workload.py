@@ -2248,6 +2248,23 @@ def build_workload() -> dict[str, QuerySpec]:
                COALESCE(r.sum_value, 0.0) AS sum_value
         FROM spine s LEFT JOIN r USING (event_type, hour)""")
 
+    # first-order Markov transitions of event types (milli-probability
+    # integers; output bounded by type-vocabulary squared)
+    add("events_type_transitions",
+        lambda spark, sf: EV.type_transition_matrix(_events(spark, sf)),
+        """WITH steps AS (
+          SELECT event_type AS type_from,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS type_to
+          FROM events),
+        c AS (SELECT type_from, type_to, COUNT(*) AS n
+              FROM steps WHERE type_to IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT type_from, SUM(n) AS n_from FROM c GROUP BY 1)
+        SELECT c.type_from, c.type_to, CAST(c.n AS BIGINT) AS n,
+               CAST(t.n_from AS BIGINT) AS n_from,
+               CAST((c.n * 1000) // t.n_from AS BIGINT) AS p_milli
+        FROM c JOIN t USING (type_from)""")
+
     # RFM segmentation (dimension-sized windows only; total-order ntile
     # with user_id tiebreak for cross-engine bit-equality)
     add("events_rfm_segments",
@@ -2653,6 +2670,49 @@ def build_workload() -> dict[str, QuerySpec]:
                CAST(c.ts AS TIMESTAMP) AS click_ts, c.click_value
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.ts >= c.ts""")
+
+    # time-to-convert distribution: seconds from the attributed last
+    # click to the purchase, integer-exact quantiles (same asof shape)
+    def click_purchase_delay(spark, sf):
+        from pyspark.sql import Window
+
+        from .operators import joins as J
+        ev = _events(spark, sf)
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts")
+        cw = Window.partitionBy("user_id", "ts") \
+            .orderBy(F.col("event_id").desc())
+        clicks = (ev.filter(F.col("event_type") == "click")
+                  .withColumn("_rn", F.row_number().over(cw))
+                  .filter(F.col("_rn") == 1).select("user_id", "ts"))
+        joined = J.asof_join(purchases, clicks, key="user_id")
+        delays = (joined.filter(F.col("ts_right").isNotNull())
+                  .select((F.unix_timestamp("ts")
+                           - F.unix_timestamp("ts_right"))
+                          .alias("delay_sec")))
+        return delays.agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.percentile("delay_sec", 0.5).alias("p50_sec"),
+            F.percentile("delay_sec", 0.9).alias("p90_sec"),
+            F.max("delay_sec").alias("max_sec"))
+
+    add("events_click_purchase_delay", click_purchase_delay,
+        """WITH p AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, ts FROM events WHERE event_type = 'click'
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) = 1),
+        d AS (
+          SELECT date_diff('second', c.ts, p.ts) AS delay_sec
+          FROM p ASOF JOIN c
+            ON p.user_id = c.user_id AND p.ts >= c.ts)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_attributed,
+               quantile_cont(delay_sec, 0.5) AS p50_sec,
+               quantile_cont(delay_sec, 0.9) AS p90_sec,
+               CAST(MAX(delay_sec) AS BIGINT) AS max_sec
+        FROM d""")
 
     # binned range join: events bucketed into half-open value tiers via
     # bin-explode + equi-join (no BroadcastNestedLoopJoin), aggregated
