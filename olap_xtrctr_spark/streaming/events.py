@@ -749,3 +749,28 @@ def type_transition_matrix(events: DataFrame) -> DataFrame:
             .withColumn("p_milli",
                         F.expr("CAST((n * 1000) DIV n_from AS BIGINT)"))
             .select("type_from", "type_to", "n", "n_from", "p_milli"))
+
+
+def first_touch_attribution(events: DataFrame, touch: str = "click",
+                            convert: str = "purchase") -> DataFrame:
+    """First-touch attribution: each conversion is credited to the
+    EARLIEST touch event since the user's previous conversion (the
+    complement of the as-of join's last-touch model).  Epoch = running
+    count of PRIOR conversions per user, so every touch shares the
+    epoch of the conversion that closes it; one window pass + one
+    epoch-level aggregation + a join of two conversion-scale tables —
+    never an event-scale self-join."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prior_conv = F.coalesce(
+        F.sum((F.col("event_type") == convert).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+    epoched = events.withColumn("_epoch", prior_conv)
+    firsts = (epoched.filter(F.col("event_type") == touch)
+              .groupBy("user_id", "_epoch")
+              .agg(F.min("ts").alias("first_touch_ts")))
+    convs = (epoched.filter(F.col("event_type") == convert)
+             .select("event_id", "user_id", "ts", "_epoch",
+                     F.col("value").alias("conversion_value")))
+    return (convs.join(firsts, ["user_id", "_epoch"], "left")
+            .select("event_id", "user_id", "ts", "conversion_value",
+                    "first_touch_ts"))

@@ -2671,6 +2671,26 @@ def build_workload() -> dict[str, QuerySpec]:
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.ts >= c.ts""")
 
+    # first-touch attribution: earliest touch since the user's previous
+    # conversion (complement of the as-of last-touch model)
+    add("events_first_touch_attribution",
+        lambda spark, sf: EV.first_touch_attribution(_events(spark, sf)),
+        """WITH e AS (
+          SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS epoch
+          FROM events),
+        f AS (SELECT user_id, epoch, MIN(ts) AS first_touch_ts
+              FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+        SELECT c.event_id, c.user_id, c.ts,
+               c.value AS conversion_value, f.first_touch_ts
+        FROM e c LEFT JOIN f
+          ON c.user_id = f.user_id AND c.epoch = f.epoch
+        WHERE c.event_type = 'purchase'""")
+
     # time-to-convert distribution: seconds from the attributed last
     # click to the purchase, integer-exact quantiles (same asof shape)
     def click_purchase_delay(spark, sf):
