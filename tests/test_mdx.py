@@ -115,7 +115,12 @@ def _axis(draw):
     dim, hier = draw(_NAME), draw(_HIER)
     kind = draw(st.sampled_from(["level", "depth", "members", "whole"]))
     if kind == "level":
-        return AxisItem(dim, hier, level=draw(_LEVEL))
+        props = draw(st.one_of(
+            st.none(),
+            st.lists(st.sampled_from(["Region", "Nation"]), min_size=1,
+                     max_size=2, unique=True)))
+        return AxisItem(dim, hier, level=draw(_LEVEL),
+                        property_list=props)
     if kind == "depth":
         return AxisItem(dim, hier, depth=draw(st.integers(1, 3)))
     if kind == "members":
@@ -152,6 +157,8 @@ def test_build_parse_roundtrip(measures, rows, non_empty, slicer):
         for a, b in zip(back.rows, uniq):
             assert (a.dimension, a.hierarchy, a.level, a.depth, a.members) \
                 == (b.dimension, b.hierarchy, b.level, b.depth, b.members)
+            assert (a.property_list or None) == \
+                (getattr(b, "property_list", None) or None)
 
 
 def test_build_mdx_reference_shape():
