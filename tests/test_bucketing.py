@@ -271,3 +271,46 @@ def test_upsert_parquet_replaces_and_appends(spark, tmp_path):
     bad = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="schema"):
         upsert_parquet(spark, target, str(tmp_path / "t3"), bad, ["id"])
+
+
+# ---- checked CSV ingestion (sources/ingest.py) ---------------------------
+
+def test_read_csv_checked_splits_good_and_bad(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from olap_xtrctr_spark.sources import ingest as IN
+
+    csv = tmp_path / "in.csv"
+    csv.write_text("id,name,score\n"
+                   "1,alice,3.5\n"
+                   "2,bob,oops\n"          # non-numeric score
+                   "3,carol,9.25\n")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType())])
+    good, bad = IN.read_csv_checked(spark, str(csv), schema)
+    assert {r["id"] for r in good.collect()} == {1, 3}
+    bad_lines = [r["raw_line"] for r in bad.collect()]
+    assert bad_lines == ["2,bob,oops"]
+
+
+def test_ingest_csv_to_parquet_reconciles(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from olap_xtrctr_spark.sources import ingest as IN
+
+    csv = tmp_path / "in2.csv"
+    csv.write_text("id,v\n" + "\n".join(f"{i},{i*2}" for i in range(100))
+                   + "\nbadline,xx\n")
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.LongType())])
+    rep = IN.ingest_csv_to_parquet(spark, str(csv),
+                                   str(tmp_path / "out"), schema)
+    assert rep["n_good"] == 100 and rep["n_bad"] == 1 and rep["ok"]
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 100
+    # rescue column name collision refused
+    import pytest
+    s2 = T.StructType([T.StructField("_corrupt_record", T.StringType())])
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        IN.read_csv_checked(spark, str(csv), s2)
