@@ -774,3 +774,38 @@ def first_touch_attribution(events: DataFrame, touch: str = "click",
     return (convs.join(firsts, ["user_id", "_epoch"], "left")
             .select("event_id", "user_id", "ts", "conversion_value",
                     "first_touch_ts"))
+
+
+def linear_attribution(events: DataFrame, touch: str = "click",
+                       convert: str = "purchase") -> DataFrame:
+    """Linear (equal-credit) attribution: every touch since the user's
+    previous conversion shares the closing conversion's credit
+    equally — the third of the standard trio next to last-touch
+    (as-of join) and first-touch.  One row per (conversion, touch)
+    with weight_milli = 1000 DIV n_touches (floor semantics: 3 touches
+    get 333 each; callers needing the remainder assign it to a
+    designated touch).  Same epoch construction as first-touch; the
+    credit join matches conversion-scale to touch-scale tables on
+    (user, epoch)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prior_conv = F.coalesce(
+        F.sum((F.col("event_type") == convert).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+    epoched = events.withColumn("_epoch", prior_conv)
+    touches = (epoched.filter(F.col("event_type") == touch)
+               .select("user_id", "_epoch",
+                       F.col("event_id").alias("touch_event_id"),
+                       F.col("ts").alias("touch_ts")))
+    n_touches = touches.groupBy("user_id", "_epoch").agg(
+        F.count(F.lit(1)).alias("n_touches"))
+    convs = (epoched.filter(F.col("event_type") == convert)
+             .select(F.col("event_id").alias("conversion_event_id"),
+                     "user_id", "_epoch",
+                     F.col("value").alias("conversion_value")))
+    return (convs.join(n_touches, ["user_id", "_epoch"])
+            .join(touches, ["user_id", "_epoch"])
+            .withColumn("weight_milli",
+                        F.expr("CAST(1000 DIV n_touches AS BIGINT)"))
+            .select("conversion_event_id", "user_id", "touch_event_id",
+                    "touch_ts", "n_touches", "weight_milli",
+                    "conversion_value"))

@@ -2691,6 +2691,32 @@ def build_workload() -> dict[str, QuerySpec]:
           ON c.user_id = f.user_id AND c.epoch = f.epoch
         WHERE c.event_type = 'purchase'""")
 
+    # linear (equal-credit) attribution — the third standard model
+    add("events_linear_attribution",
+        lambda spark, sf: EV.linear_attribution(_events(spark, sf)),
+        """WITH e AS (
+          SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS epoch
+          FROM events),
+        t AS (SELECT user_id, epoch, event_id AS touch_event_id,
+                     ts AS touch_ts
+              FROM e WHERE event_type = 'click'),
+        nt AS (SELECT user_id, epoch, COUNT(*) AS n_touches
+               FROM t GROUP BY 1, 2),
+        c AS (SELECT event_id AS conversion_event_id, user_id, epoch,
+                     value AS conversion_value
+              FROM e WHERE event_type = 'purchase')
+        SELECT c.conversion_event_id, c.user_id, t.touch_event_id,
+               t.touch_ts, CAST(nt.n_touches AS BIGINT) AS n_touches,
+               CAST(1000 // nt.n_touches AS BIGINT) AS weight_milli,
+               c.conversion_value
+        FROM c JOIN nt USING (user_id, epoch)
+               JOIN t USING (user_id, epoch)""")
+
     # time-to-convert distribution: seconds from the attributed last
     # click to the purchase, integer-exact quantiles (same asof shape)
     def click_purchase_delay(spark, sf):
