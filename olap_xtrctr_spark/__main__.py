@@ -234,7 +234,21 @@ def run(args, service=None) -> dict:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    result = run(args)
+    try:
+        result = run(args)
+    except Exception as exc:  # noqa: BLE001
+        if getattr(args, "cmd", None) != "action":
+            raise
+        # the relay consumer reads result.json, never a stack trace —
+        # even a pre-dispatch failure (Spark startup, bad sf dir) must
+        # land in the envelope (backend/actions_runner.py contract)
+        import os
+        from .actions import RESULT_FILE
+        result = {"request_id": os.environ.get("REQUEST_ID", "unknown"),
+                  "action": os.environ.get("ACTION", ""),
+                  "status": "error", "error": f"startup failure: {exc}"}
+        with open(args.out or RESULT_FILE, "w", encoding="utf-8") as f:
+            json.dump(result, f, ensure_ascii=False, indent=2)
     print(json.dumps(result, ensure_ascii=False, default=str))
     # the relay contract exits non-zero on an error envelope
     # (backend/actions_runner.py:417-418)

@@ -44,8 +44,8 @@ def build_mdx_query(catalog: str, params: dict) -> str:
     return mdx
 
 
-def _dmv_rows(service, sql: str) -> list[dict[str, Any]]:
-    res = service.execute_dmv(sql)
+def _dmv_rows(service, sql: str, catalog: str = "") -> list[dict[str, Any]]:
+    res = service.execute_dmv(sql, catalog=catalog or None)
     return [dict(zip(res["columns"], row)) for row in res["data"]]
 
 
@@ -53,7 +53,7 @@ def _discover_structure(service, catalog: str) -> dict:
     # backend/actions_runner.py:85-111: dimensions of the main cube
     # (main cube = the one not prefixed with $)
     dims = _dmv_rows(service, "SELECT [CUBE_NAME], [DIMENSION_NAME] "
-                              "FROM $system.MDSCHEMA_DIMENSIONS")
+                              "FROM $system.MDSCHEMA_DIMENSIONS", catalog)
     main = next((d["CUBE_NAME"] for d in dims
                  if not str(d["CUBE_NAME"]).startswith("$")), catalog)
     return {"catalog": catalog, "main_cube": main,
@@ -65,12 +65,13 @@ def _discover_metadata(service, catalog: str) -> dict:
     levels = _dmv_rows(
         service,
         "SELECT [DIMENSION_UNIQUE_NAME], [HIERARCHY_UNIQUE_NAME], "
-        "[LEVEL_UNIQUE_NAME], [LEVEL_CAPTION] FROM $system.MDSCHEMA_LEVELS")
+        "[LEVEL_UNIQUE_NAME], [LEVEL_CAPTION] FROM $system.MDSCHEMA_LEVELS",
+        catalog)
     props = _dmv_rows(
         service,
         "SELECT [DIMENSION_UNIQUE_NAME], [LEVEL_UNIQUE_NAME], "
         "[PROPERTY_NAME], [PROPERTY_CAPTION] "
-        "FROM $system.MDSCHEMA_PROPERTIES")
+        "FROM $system.MDSCHEMA_PROPERTIES", catalog)
     return {"levels": levels, "properties": props}
 
 

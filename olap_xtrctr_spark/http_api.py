@@ -193,11 +193,24 @@ def _diag(service, m, qs, body):
 @ROUTES.add("POST", r"/api/export/workbook")
 def _export_workbook(service, m, qs, body):
     """Metadata workbook export (the reference's catalog discovery
-    workbook) — writes server-side to the requested path and returns
-    the per-sheet row counts."""
-    path = body.get("path")
-    if not path or not path.endswith(".xlsx"):
-        return 400, {"detail": "body needs a 'path' ending in .xlsx"}
+    workbook) — writes server-side into the export directory
+    ($OLAP_EXPORT_DIR, default ./exports) and returns the path plus
+    per-sheet row counts.  Only a bare FILENAME is accepted: an
+    arbitrary client-supplied path would be an arbitrary-file-write
+    primitive on the server."""
+    import os
+
+    filename = body.get("filename") or body.get("path", "")
+    if (not filename.endswith(".xlsx") or os.sep in filename
+            or (os.altsep and os.altsep in filename)
+            or filename.startswith(".")):
+        return 400, {"detail": "body needs a bare 'filename' ending in "
+                               ".xlsx (no directories — exports land in "
+                               "$OLAP_EXPORT_DIR)"}
+    base = os.environ.get("OLAP_EXPORT_DIR",
+                          os.path.join(os.getcwd(), "exports"))
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, filename)
     counts = service.export_metadata_workbook(path,
                                               catalog=body.get("catalog"))
     return 200, {"path": path, "sheets": counts}

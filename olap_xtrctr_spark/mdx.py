@@ -248,10 +248,16 @@ def build_mdx(req: QueryRequest, cube_name: str | None = None) -> str:
             f"[{item.dimension}].[{item.hierarchy}].[{p}]"
             for item in req.rows
             for p in (item.property_list or [])]
+        # an item with the all-ancestors flag but no named list still
+        # needs MEMBER_CAPTION emitted alongside any named terms — the
+        # parser applies the intrinsic flag to every axis item, and
+        # named lists take precedence at resolution, so the mixed
+        # emission round-trips semantics-preserving
+        if any(item.properties and not item.property_list
+               for item in req.rows):
+            prop_terms.insert(0, "MEMBER_CAPTION")
         if prop_terms:
             rows += " DIMENSION PROPERTIES " + ", ".join(prop_terms)
-        elif any(item.properties for item in req.rows):
-            rows += " DIMENSION PROPERTIES MEMBER_CAPTION"
         prefix = "NON EMPTY " if req.non_empty else ""
         parts.append(f", {prefix}{rows} ON ROWS")
     parts.append(f"FROM [{cube_name or req.cube or req.catalog}]")

@@ -209,15 +209,27 @@ def _evict_stale_spills(spark: SparkSession, cube: CubeDef,
     structure change (reference v2 invalidates on cache-name change,
     backend/DGIS_SCAN_2.py:700-702) would otherwise leave orphaned
     parquet dirs and _cards.json files accumulating forever."""
-    import glob
     import os
+    import re
     import shutil
 
     current = _disk_cache_path(spark, cube, sf_dir)
     base = os.path.dirname(current)
     tag = sf_dir.strip("/").replace("/", "_")
-    for p in glob.glob(f"{base}/{cube.name}_*_{tag}") + \
-            glob.glob(f"{base}/{cube.name}_*_{tag}_cards.json"):
+    # exact-fingerprint match (12 hex chars), NOT a glob: a '*' would
+    # span '{other_fp}_{other_tag_prefix}' and delete live caches of a
+    # different sf_dir whose tag merely ends with this tag
+    pat = re.compile(
+        rf"^{re.escape(cube.name)}_[0-9a-f]{{12}}_{re.escape(tag)}"
+        rf"(_cards\.json)?$")
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    for name in entries:
+        if not pat.match(name):
+            continue
+        p = os.path.join(base, name)
         if p not in (current, f"{current}_cards.json"):
             try:
                 shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)

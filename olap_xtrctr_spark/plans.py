@@ -21,13 +21,16 @@ def executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+_EXCHANGE_LINE = re.compile(r"^[\s:+|-]*Exchange ")
+
+
 def shuffle_exchanges(df: DataFrame) -> int:
     """Count of data-shuffle Exchanges (broadcast exchanges excluded —
-    they move a bounded build side, not the data)."""
+    they move a bounded build side, not the data).  Matches the node
+    at ANY tree position: '+- Exchange' (last child), ':- Exchange'
+    (non-last child, e.g. a join's build side), or root."""
     return sum(1 for line in executed_plan(df).splitlines()
-               if (line.strip().startswith("Exchange")
-                   or "+- Exchange" in line)
-               and "BroadcastExchange" not in line)
+               if _EXCHANGE_LINE.match(line))
 
 
 def join_has_no_shuffle(df: DataFrame) -> bool:

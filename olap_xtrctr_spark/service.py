@@ -181,8 +181,12 @@ class OlapService:
             sheets[rowset] = self.spark.table(f"system_{rowset}")
         return write_excel_workbook(path, sheets)
 
-    def execute_dmv(self, sql: str) -> dict[str, Any]:
-        cube = next(iter(self.registry._cubes.values()))
+    def execute_dmv(self, sql: str,
+                    catalog: Optional[str] = None) -> dict[str, Any]:
+        """Run a DMV query; ``catalog`` selects which cube's rowsets the
+        ``system_*`` views expose (default: first registered cube)."""
+        cube = (self.registry.resolve(catalog) if catalog
+                else next(iter(self.registry._cubes.values())))
         metadata.register_dmv_views(self.spark, self.registry, cube,
                                     self.sf_dir)
         df = execute_dmv(self.spark, sql)

@@ -101,15 +101,19 @@ def write_excel_workbook(path: str,
     an error rather than a silent overwrite.  Driver-side edge concern
     like write_excel — same per-sheet row guard, control-char strip, and
     NaN scrub.  Returns ``{sheet_name: row_count}``."""
-    named: list[tuple[str, DataFrame, int]] = []
+    # one collect per sheet: the guard reads limit(threshold + 1) and
+    # fails on overflow, so each sheet's plan executes ONCE (a count()
+    # followed by collect() would run every DMV/query plan twice)
+    named: list[tuple[str, list[str], list]] = []
     for name, df in sheets.items():
         short = name[:31]
-        n = df.count()
-        if n > LARGE_RESULT_THRESHOLD:
+        clean = strip_control_chars(sanitize(df))
+        rows = clean.limit(LARGE_RESULT_THRESHOLD + 1).collect()
+        if len(rows) > LARGE_RESULT_THRESHOLD:
             raise ValueError(
-                f"sheet {name!r}: {n:,} rows exceeds Excel export guard "
-                f"({LARGE_RESULT_THRESHOLD:,}); use CSV/Parquet")
-        named.append((short, strip_control_chars(sanitize(df)), n))
+                f"sheet {name!r}: over {LARGE_RESULT_THRESHOLD:,} rows "
+                f"exceeds Excel export guard; use CSV/Parquet")
+        named.append((short, clean.columns, rows))
     if len({s for s, _, _ in named}) != len(named):
         raise ValueError(
             f"sheet names collide after 31-char truncation: "
@@ -119,14 +123,15 @@ def write_excel_workbook(path: str,
     except ImportError:
         from .xlsx import write_xlsx_workbook
         return write_xlsx_workbook(path, [
-            (short, clean.columns,
-             [[row[c] for c in clean.columns] for row in clean.collect()])
-            for short, clean, _ in named])
+            (short, cols, [[row[c] for c in cols] for row in rows])
+            for short, cols, rows in named])
     import pandas as pd
     with pd.ExcelWriter(path, engine="openpyxl") as writer:
-        for short, clean, _ in named:
-            clean.toPandas().to_excel(writer, sheet_name=short, index=False)
-    return {short: n for short, _, n in named}
+        for short, cols, rows in named:
+            pd.DataFrame([[row[c] for c in cols] for row in rows],
+                         columns=cols).to_excel(writer, sheet_name=short,
+                                                index=False)
+    return {short: len(rows) for short, _, rows in named}
 
 
 def to_json_result(df: DataFrame, limit: int | None = None,

@@ -36,7 +36,10 @@ def read_csv_checked(spark: SparkSession, path: str,
     is the rescue column itself."""
     if RESCUE_COL in [f.name for f in schema.fields]:
         raise ValueError(f"schema must not define {RESCUE_COL!r}")
-    full = schema.add(T.StructField(RESCUE_COL, T.StringType()))
+    # a NEW StructType — StructType.add mutates in place, which would
+    # permanently grow the CALLER's schema object
+    full = T.StructType(list(schema.fields)
+                        + [T.StructField(RESCUE_COL, T.StringType())])
     df = (spark.read.schema(full)
           .option("header", header)
           .option("mode", "PERMISSIVE")

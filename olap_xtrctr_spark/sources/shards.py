@@ -77,11 +77,19 @@ def write_training_shards(df: DataFrame, out_dir: str,
     per_file = (back.groupBy(F.input_file_name().alias("path"))
                 .agg(F.count(F.lit(1)).alias("rows"))
                 .collect())                      # bounded by shard COUNT
+
+    def _local(uri: str) -> str:
+        # input_file_name() yields a percent-encoded file URI — decode
+        # it or paths with spaces break the getsize below
+        from urllib.parse import unquote, urlparse
+        p = urlparse(uri)
+        return unquote(p.path) if p.scheme else unquote(uri)
+
     n_rows, x_hash = _content_summary(back, cols)
     shards = sorted(
-        ({"file": os.path.basename(r["path"].removeprefix("file://")),
+        ({"file": os.path.basename(_local(r["path"])),
           "rows": r["rows"],
-          "bytes": os.path.getsize(r["path"].removeprefix("file://"))}
+          "bytes": os.path.getsize(_local(r["path"]))}
          for r in per_file), key=lambda s: s["file"])
     manifest = {
         "format": "parquet",

@@ -314,3 +314,18 @@ def test_ingest_csv_to_parquet_reconciles(spark, tmp_path):
     s2 = T.StructType([T.StructField("_corrupt_record", T.StringType())])
     with pytest.raises(ValueError, match="_corrupt_record"):
         IN.read_csv_checked(spark, str(csv), s2)
+
+
+def test_read_csv_checked_does_not_mutate_schema(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from olap_xtrctr_spark.sources import ingest as IN
+
+    csv = tmp_path / "m.csv"
+    csv.write_text("id\n1\n")
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    IN.read_csv_checked(spark, str(csv), schema)
+    assert [f.name for f in schema.fields] == ["id"]   # caller untouched
+    # and a second call with the same object works
+    good, _ = IN.read_csv_checked(spark, str(csv), schema)
+    assert good.count() == 1

@@ -194,12 +194,17 @@ def test_workload_run_busy_503(base_url, monkeypatch):
     assert status == 200 and out["n_rows_returned"] > 0
 
 
-def test_export_workbook_route(base_url, tmp_path):
-    path = str(tmp_path / "wb.xlsx")
-    status, out = _post(f"{base_url}/api/export/workbook", {"path": path})
-    assert status == 200 and out["sheets"]["RESUMEN"] == 3
+def test_export_workbook_route(base_url, tmp_path, monkeypatch):
     import os
-    assert os.path.exists(path)
-    with pytest.raises(urllib.error.HTTPError) as exc:
-        _post(f"{base_url}/api/export/workbook", {"path": "/tmp/x.csv"})
-    assert exc.value.code == 400
+
+    monkeypatch.setenv("OLAP_EXPORT_DIR", str(tmp_path))
+    status, out = _post(f"{base_url}/api/export/workbook",
+                        {"filename": "wb.xlsx"})
+    assert status == 200 and out["sheets"]["RESUMEN"] == 3
+    assert os.path.exists(tmp_path / "wb.xlsx")
+    # path traversal / absolute paths / wrong extension all rejected —
+    # the route must not be an arbitrary-file-write primitive
+    for bad in ("/tmp/x.xlsx", "../escape.xlsx", "x.csv", ".hidden.xlsx"):
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(f"{base_url}/api/export/workbook", {"filename": bad})
+        assert exc.value.code == 400, bad

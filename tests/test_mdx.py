@@ -265,3 +265,17 @@ def test_mdx_dimension_properties_matches_structured(spark, sf_dir):
                        properties=True)]))
     assert {tuple(r) for r in via_mdx.collect()} == \
         {tuple(r) for r in direct.collect()}
+
+
+def test_mixed_properties_roundtrip_preserved():
+    req = QueryRequest(
+        "VENTAS_2025", cube="sales", measures=["Total Registros"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation",
+                       property_list=["Region"]),
+              AxisItem("Dim Orders", "Estado", level="Estado",
+                       properties=True)])
+    mdx = build_mdx(req)
+    assert "MEMBER_CAPTION" in mdx and "[Region]" in mdx
+    back = parse_mdx(mdx, "VENTAS_2025")
+    assert back.rows[0].property_list == ["Region"]
+    assert back.rows[1].properties is True       # all-ancestors kept
