@@ -104,6 +104,10 @@ _R5_FRONT = [
     "events_user_state_history",
     "events_rfm_segments",
     "events_type_cooccurrence_lift",
+    "events_type_transitions",
+    "events_first_touch_attribution",
+    "events_linear_attribution",
+    "events_click_purchase_delay",
     # everything else follows build order: cube_* → tpch_* → members_* —
     # the round-1/2 block whose driver rows are stale (VERDICT r4 item 2).
     # The r3/r4-graded block (docs_*/events_* extensions) rotates out; it
