@@ -173,3 +173,22 @@ def test_action_bad_params_json_still_writes_envelope(svc, tmp_path,
     res = _run(svc, "action", "--out", out)
     assert res["status"] == "error" and "PARAMS" in res["error"]
     assert json.load(open(out))["request_id"] == "req-bad"
+
+
+def test_action_startup_failure_writes_envelope(tmp_path, monkeypatch):
+    """Even a pre-dispatch failure (Spark startup, bad sf dir) must land
+    in result.json — the relay consumer never reads stack traces."""
+    import olap_xtrctr_spark.__main__ as M
+
+    def boom(args, service=None):
+        raise RuntimeError("spark exploded")
+
+    monkeypatch.setattr(M, "run", boom)
+    monkeypatch.setenv("REQUEST_ID", "r-fail")
+    monkeypatch.setenv("ACTION", "get_catalogs")
+    out = str(tmp_path / "env.json")
+    rc = M.main(["action", "--out", out])
+    assert rc == 1
+    env = json.load(open(out))
+    assert env["status"] == "error" and env["request_id"] == "r-fail"
+    assert "spark exploded" in env["error"]
