@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("dmv")
     s.add_argument("--sql", required=True)
+    s.add_argument("--catalog", default=None,
+                   help="which catalog's cube the system_* rowsets "
+                        "expose (default: first registered)")
 
     s = sub.add_parser("diagnose")
 
@@ -166,7 +169,7 @@ def run(args, service=None) -> dict:
         from .mdx import parse_mdx
         return service.explain_query(parse_mdx(args.mdx, args.catalog))
     if args.cmd == "dmv":
-        return service.execute_dmv(args.sql)
+        return service.execute_dmv(args.sql, catalog=args.catalog)
     if args.cmd == "diagnose":
         return {"rowsets": service.diagnose_schema()}
     if args.cmd == "serve":

@@ -182,7 +182,8 @@ def _mdx(service, m, qs, body):
 
 @ROUTES.add("POST", r"/api/dmv")
 def _dmv(service, m, qs, body):
-    return 200, service.execute_dmv(body["sql"])
+    return 200, service.execute_dmv(body["sql"],
+                                    catalog=body.get("catalog"))
 
 
 @ROUTES.add("GET", r"/api/diagnostics/schema")

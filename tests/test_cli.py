@@ -192,3 +192,15 @@ def test_action_startup_failure_writes_envelope(tmp_path, monkeypatch):
     env = json.load(open(out))
     assert env["status"] == "error" and env["request_id"] == "r-fail"
     assert "spark exploded" in env["error"]
+
+
+def test_cli_dmv_catalog_selects_cube(svc):
+    r25 = _run(svc, "dmv", "--sql",
+               "SELECT [CUBE_NAME] FROM $system.MDSCHEMA_MEASURES",
+               "--catalog", "VENTAS_2025")
+    r98 = _run(svc, "dmv", "--sql",
+               "SELECT [CUBE_NAME] FROM $system.MDSCHEMA_MEASURES",
+               "--catalog", "VENTAS_1998")
+    cubes25 = {row[0] for row in r25["data"]}
+    cubes98 = {row[0] for row in r98["data"]}
+    assert cubes25 and cubes98 and cubes25 != cubes98
