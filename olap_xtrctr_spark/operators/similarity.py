@@ -280,3 +280,38 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
                             F.round(_cosine(F.col("va"), F.col("vb")), 4))
                 .filter(F.col("cosine") >= threshold)
                 .select("id_a", "id_b", "cosine"))
+
+
+def hybrid_search(docs: DataFrame, emb: DataFrame, query_terms: list[str],
+                  query_vec: list[float], k: int = 10,
+                  text_col: str = "text", doc_id_col: str = "doc_id",
+                  vec_id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Keyword-filtered vector search — the retrieval shape a RAG stack
+    runs: documents containing ALL ``query_terms`` (case-insensitive
+    substring) are joined to their embeddings and ranked by EXACT
+    cosine against ``query_vec``.
+
+    Scale shape: the keyword predicate prunes FIRST (a JVM filter on
+    the doc scan), so the vector math touches only the candidate set;
+    the query vector enters the plan as a broadcast literal array, the
+    doc↔embedding join is an equi-join on the id, and the final top-k
+    is TakeOrderedAndProject (no global sort materializes).  When the
+    candidate set itself is corpus-sized, swap the exact scoring for
+    ``lsh_cosine_topk`` over the same candidates — this operator is
+    the verification baseline and the selective-filter fast path."""
+    from functools import reduce
+
+    cond = reduce(lambda a, b: a & b,
+                  [F.lower(F.col(text_col)).contains(t.lower())
+                   for t in query_terms])
+    cands = docs.filter(cond).select(F.col(doc_id_col).alias("_cand_id"))
+    joined = emb.join(cands, emb[vec_id_col] == cands["_cand_id"])
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = joined.select(
+        F.col(vec_id_col).alias("doc_id"),
+        F.round(_cosine(F.col(vec_col), qlit), 4).alias("cosine"))
+    w = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    return (scored.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(k)
+            .withColumn("rank", F.row_number().over(w))
+            .select("rank", "doc_id", "cosine"))

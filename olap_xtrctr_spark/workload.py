@@ -1856,6 +1856,37 @@ def build_workload() -> dict[str, QuerySpec]:
           FROM scored)
         WHERE rank <= 3""")
 
+    # keyword-filtered exact vector search (the RAG retrieval shape);
+    # query vector = embedding 0, terms prune the candidate set first
+    def hybrid(spark, sf):
+        emb = _emb(spark, sf)
+        qvec = [float(x) for x in
+                emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return S.hybrid_search(_docs(spark, sf), emb,
+                               ["vector", "stream"], qvec, k=10)
+
+    add("docs_hybrid_search", hybrid,
+        """WITH q AS (SELECT embedding AS qvec FROM embeddings
+                      WHERE vec_id = 0),
+        cands AS (SELECT doc_id FROM documents
+                  WHERE lower(text) LIKE '%vector%'
+                    AND lower(text) LIKE '%stream%'),
+        scored AS (
+          SELECT e.vec_id AS doc_id,
+            ROUND(list_sum(list_transform(list_zip(e.embedding, q.qvec),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(q.qvec,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+              AS cosine
+          FROM embeddings e JOIN cands c ON e.vec_id = c.doc_id, q)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id)
+                    AS INTEGER) AS rank,
+               doc_id, cosine
+        FROM scored
+        ORDER BY cosine DESC, doc_id LIMIT 10""")
+
     add("emb_quantize",
         lambda spark, sf: S.quantize_embeddings(_emb(spark, sf))
         .select("vec_id",
