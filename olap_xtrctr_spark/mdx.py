@@ -281,8 +281,9 @@ _COND_RE = re.compile(
     r"(?P<val>'[^']*'|\S+)")
 
 
-def execute_dmv(spark: SparkSession, sql: str) -> DataFrame:
-    """Run a DMV query against the registered ``system_<ROWSET>`` views
+def execute_dmv(spark: SparkSession, sql: str,
+                view_prefix: str = "system") -> DataFrame:
+    """Run a DMV query against the registered ``<prefix>_<ROWSET>`` views
     (metadata.register_dmv_views).  Projection/restriction/ordering map to
     select/filter/orderBy — Catalyst pushes them down (M3-M5)."""
     m = _DMV_RE.match(" ".join(sql.split()))
@@ -290,7 +291,7 @@ def execute_dmv(spark: SparkSession, sql: str) -> DataFrame:
         raise MdxParseError(f"unsupported DMV query: {sql!r}")
     rowset = m.group("rowset").upper()
     try:
-        df = spark.table(f"system_{rowset}")
+        df = spark.table(f"{view_prefix}_{rowset}")
     except Exception as exc:
         raise MdxParseError(f"unknown DMV rowset $system.{rowset}") from exc
 

@@ -357,15 +357,26 @@ DMV_BUILDERS = {
 
 
 def register_dmv_views(spark: SparkSession, registry: CubeRegistry,
-                       cube: CubeDef, sf_dir: str) -> None:
-    """Expose the DMV rowsets as temp views named ``system_<ROWSET>`` so the
-    DMV SQL front-end (M2-M5) can scan them."""
-    catalogs_df(spark, registry).createOrReplaceTempView("system_DBSCHEMA_CATALOGS")
-    cubes_df(spark, registry).createOrReplaceTempView("system_MDSCHEMA_CUBES")
-    dimensions_df(spark, cube).createOrReplaceTempView("system_MDSCHEMA_DIMENSIONS")
-    hierarchies_df(spark, cube).createOrReplaceTempView("system_MDSCHEMA_HIERARCHIES")
-    levels_df(spark, cube).createOrReplaceTempView("system_MDSCHEMA_LEVELS")
-    measures_df(spark, cube).createOrReplaceTempView("system_MDSCHEMA_MEASURES")
+                       cube: CubeDef, sf_dir: str,
+                       prefix: str = "system") -> None:
+    """Expose the DMV rowsets as temp views named ``<prefix>_<ROWSET>``
+    so the DMV SQL front-end (M2-M5) can scan them.  Catalog-scoped
+    callers pass a per-cube prefix so CONCURRENT requests against
+    different catalogs never overwrite each other's shared view names
+    (temp views are session-global and the HTTP server is threaded)."""
+    catalogs_df(spark, registry).createOrReplaceTempView(
+        f"{prefix}_DBSCHEMA_CATALOGS")
+    cubes_df(spark, registry).createOrReplaceTempView(
+        f"{prefix}_MDSCHEMA_CUBES")
+    dimensions_df(spark, cube).createOrReplaceTempView(
+        f"{prefix}_MDSCHEMA_DIMENSIONS")
+    hierarchies_df(spark, cube).createOrReplaceTempView(
+        f"{prefix}_MDSCHEMA_HIERARCHIES")
+    levels_df(spark, cube).createOrReplaceTempView(
+        f"{prefix}_MDSCHEMA_LEVELS")
+    measures_df(spark, cube).createOrReplaceTempView(
+        f"{prefix}_MDSCHEMA_MEASURES")
     properties_df(spark, cube).createOrReplaceTempView(
-        "system_MDSCHEMA_PROPERTIES")
-    members_df(spark, cube, sf_dir).createOrReplaceTempView("system_MDSCHEMA_MEMBERS")
+        f"{prefix}_MDSCHEMA_PROPERTIES")
+    members_df(spark, cube, sf_dir).createOrReplaceTempView(
+        f"{prefix}_MDSCHEMA_MEMBERS")

@@ -283,10 +283,11 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
 
 
 def hybrid_search(docs: DataFrame, emb: DataFrame, query_terms: list[str],
-                  query_vec: list[float], k: int = 10,
+                  query_vec: list[float] | None = None, k: int = 10,
                   text_col: str = "text", doc_id_col: str = "doc_id",
                   vec_id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
+                  vec_col: str = "embedding",
+                  query_id: int | None = None) -> DataFrame:
     """Keyword-filtered vector search — the retrieval shape a RAG stack
     runs: documents containing ALL ``query_terms`` (case-insensitive
     substring) are joined to their embeddings and ranked by EXACT
@@ -302,15 +303,26 @@ def hybrid_search(docs: DataFrame, emb: DataFrame, query_terms: list[str],
     the verification baseline and the selective-filter fast path."""
     from functools import reduce
 
+    if (query_vec is None) == (query_id is None):
+        raise ValueError("pass exactly one of query_vec (a literal "
+                         "vector) or query_id (resolved lazily from the "
+                         "embedding table — no driver-side action)")
+    # no terms → no keyword filter (pure vector search), not a crash
     cond = reduce(lambda a, b: a & b,
                   [F.lower(F.col(text_col)).contains(t.lower())
-                   for t in query_terms])
+                   for t in query_terms], F.lit(True))
     cands = docs.filter(cond).select(F.col(doc_id_col).alias("_cand_id"))
     joined = emb.join(cands, emb[vec_id_col] == cands["_cand_id"])
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    if query_vec is not None:
+        qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    else:
+        qdf = (emb.filter(F.col(vec_id_col) == query_id)
+               .select(F.col(vec_col).alias("_qvec")))
+        joined = joined.crossJoin(F.broadcast(qdf))
+        qcol = F.col("_qvec")
     scored = joined.select(
         F.col(vec_id_col).alias("doc_id"),
-        F.round(_cosine(F.col(vec_col), qlit), 4).alias("cosine"))
+        F.round(_cosine(F.col(vec_col), qcol), 4).alias("cosine"))
     w = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
     return (scored.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(k)
             .withColumn("rank", F.row_number().over(w))

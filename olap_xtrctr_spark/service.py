@@ -183,13 +183,21 @@ class OlapService:
 
     def execute_dmv(self, sql: str,
                     catalog: Optional[str] = None) -> dict[str, Any]:
-        """Run a DMV query; ``catalog`` selects which cube's rowsets the
-        ``system_*`` views expose (default: first registered cube)."""
-        cube = (self.registry.resolve(catalog) if catalog
-                else next(iter(self.registry._cubes.values())))
+        """Run a DMV query; ``catalog`` selects which cube's rowsets
+        back the query (default: first registered cube).  Catalog-scoped
+        calls use per-cube view names so concurrent requests against
+        DIFFERENT catalogs never clobber each other's temp views on the
+        threaded server (same-catalog re-registration is idempotent)."""
+        if catalog:
+            import re
+            cube = self.registry.resolve(catalog)
+            prefix = "system_" + re.sub(r"\W+", "_", cube.name)
+        else:
+            cube = next(iter(self.registry._cubes.values()))
+            prefix = "system"
         metadata.register_dmv_views(self.spark, self.registry, cube,
-                                    self.sf_dir)
-        df = execute_dmv(self.spark, sql)
+                                    self.sf_dir, prefix=prefix)
+        df = execute_dmv(self.spark, sql, view_prefix=prefix)
         return to_json_result(df, limit=MEMBER_PAGE_SIZE, stringify=False)
 
     # ---- jobs --------------------------------------------------------------

@@ -1857,15 +1857,12 @@ def build_workload() -> dict[str, QuerySpec]:
         WHERE rank <= 3""")
 
     # keyword-filtered exact vector search (the RAG retrieval shape);
-    # query vector = embedding 0, terms prune the candidate set first
-    def hybrid(spark, sf):
-        emb = _emb(spark, sf)
-        qvec = [float(x) for x in
-                emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-        return S.hybrid_search(_docs(spark, sf), emb,
-                               ["vector", "stream"], qvec, k=10)
-
-    add("docs_hybrid_search", hybrid,
+    # query vector = embedding 0 resolved LAZILY in-plan (no driver
+    # action at construction), terms prune the candidate set first
+    add("docs_hybrid_search",
+        lambda spark, sf: S.hybrid_search(
+            _docs(spark, sf), _emb(spark, sf),
+            ["vector", "stream"], query_id=0, k=10),
         """WITH q AS (SELECT embedding AS qvec FROM embeddings
                       WHERE vec_id = 0),
         cands AS (SELECT doc_id FROM documents

@@ -166,3 +166,22 @@ def test_lsh_near_dup_pairs_recall_and_precision(emb, planted_embedding_pairs):
     recall = len(truth & found) / len(truth)
     assert recall >= 0.85, f"LSH near-dup recall collapsed: {recall:.2f}"
     assert all(r.cosine >= 0.45 for r in got)
+
+
+def test_hybrid_search_modes_agree(emb, docs):
+    """query_id (lazy, in-plan) and query_vec (literal) must score
+    identically; empty terms mean pure vector search, not a crash."""
+    qvec = [float(x) for x in
+            emb.filter(emb.vec_id == 0).first()["embedding"]]
+    by_id = S.hybrid_search(docs, emb, ["vector", "stream"],
+                            query_id=0, k=5).collect()
+    by_vec = S.hybrid_search(docs, emb, ["vector", "stream"],
+                             query_vec=qvec, k=5).collect()
+    assert [tuple(r) for r in by_id] == [tuple(r) for r in by_vec]
+    pure = S.hybrid_search(docs, emb, [], query_id=0, k=3).collect()
+    assert len(pure) == 3
+    import pytest
+    with pytest.raises(ValueError, match="exactly one"):
+        S.hybrid_search(docs, emb, ["x"])
+    with pytest.raises(ValueError, match="exactly one"):
+        S.hybrid_search(docs, emb, ["x"], query_vec=qvec, query_id=0)
