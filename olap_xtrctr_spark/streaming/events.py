@@ -809,3 +809,47 @@ def linear_attribution(events: DataFrame, touch: str = "click",
             .select("conversion_event_id", "user_id", "touch_event_id",
                     "touch_ts", "n_touches", "weight_milli",
                     "conversion_value"))
+
+
+def silence_report(events: DataFrame,
+                   min_gap_hours: int = 6) -> DataFrame:
+    """Ops diagnostic: intervals where an event type went SILENT —
+    consecutive active hours more than ``min_gap_hours`` apart.  A
+    pipeline that stops emitting shows up here before any dashboard
+    notices the flat line.  Works off the hourly rollup (already
+    aggregated), so the lag window shuffles type×hour rows, never raw
+    events."""
+    hours = hourly_rollup(events).select("event_type", "hour")
+    w = Window.partitionBy("event_type").orderBy("hour")
+    prev = F.lag("hour").over(w)
+    gap_h = (F.unix_timestamp("hour") - F.unix_timestamp(prev)) / 3600
+    return (hours
+            .withColumn("silent_from", prev)
+            .withColumn("gap_hours", gap_h.cast("int"))
+            .filter(F.col("gap_hours") > min_gap_hours)
+            .select("event_type", "silent_from",
+                    F.col("hour").alias("resumed_at"), "gap_hours"))
+
+
+def key_skew_report(events: DataFrame, key_col: str = "user_id",
+                    top_n: int = 5) -> DataFrame:
+    """Pre-join skew diagnostic for a key column: the top-N heaviest
+    keys with their share of rows in exact integer milli-units — the
+    number that decides between a plain shuffle join, AQE skew
+    handling, or the salting helpers in operators/skew.py.  One
+    map-side-combinable count per key, then a top-N over the key table
+    (TakeOrderedAndProject) with the total joined as a broadcast
+    scalar."""
+    per_key = events.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    total = events.agg(F.count(F.lit(1)).alias("n_total"))
+    # orderBy+limit FIRST (TakeOrderedAndProject over the key table —
+    # no global sort, no global window); the rank window then runs on
+    # top_n rows only
+    top = per_key.orderBy(F.desc("n"), F.asc(key_col)).limit(top_n)
+    w = Window.orderBy(F.desc("n"), F.asc(key_col))
+    return (top.crossJoin(F.broadcast(total))
+            .withColumn("rank", F.row_number().over(w))
+            .withColumn("share_milli",
+                        F.expr("CAST((n * 1000) DIV n_total AS BIGINT)"))
+            .select("rank", F.col(key_col).alias("key"), "n", "n_total",
+                    "share_milli"))

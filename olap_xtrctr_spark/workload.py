@@ -2280,6 +2280,39 @@ def build_workload() -> dict[str, QuerySpec]:
                COALESCE(r.sum_value, 0.0) AS sum_value
         FROM spine s LEFT JOIN r USING (event_type, hour)""")
 
+    # ops diagnostics: silence gaps per type, key-skew report
+    add("events_silence_report",
+        lambda spark, sf: EV.silence_report(_events(spark, sf),
+                                            min_gap_hours=2),
+        """WITH h AS (
+          SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour
+          FROM events),
+        g AS (
+          SELECT event_type,
+                 lag(hour) OVER (PARTITION BY event_type
+                                 ORDER BY hour) AS silent_from,
+                 hour AS resumed_at,
+                 CAST(date_diff('hour', lag(hour) OVER (
+                        PARTITION BY event_type ORDER BY hour), hour)
+                      AS INTEGER) AS gap_hours
+          FROM h)
+        SELECT event_type, silent_from, resumed_at, gap_hours
+        FROM g WHERE gap_hours > 2""")
+
+    add("events_key_skew_report",
+        lambda spark, sf: EV.key_skew_report(_events(spark, sf),
+                                             "event_type", top_n=5),
+        """WITH pk AS (SELECT event_type AS key, COUNT(*) AS n
+                       FROM events GROUP BY 1),
+        t AS (SELECT COUNT(*) AS n_total FROM events)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key)
+                    AS INTEGER) AS rank,
+               key, CAST(n AS BIGINT) AS n,
+               CAST(t.n_total AS BIGINT) AS n_total,
+               CAST((n * 1000) // t.n_total AS BIGINT) AS share_milli
+        FROM pk, t
+        ORDER BY n DESC, key LIMIT 5""")
+
     # first-order Markov transitions of event types (milli-probability
     # integers; output bounded by type-vocabulary squared)
     add("events_type_transitions",
