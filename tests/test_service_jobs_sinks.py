@@ -345,3 +345,18 @@ def test_service_metadata_workbook(svc, tmp_path):
     with zipfile.ZipFile(path) as zf:
         assert len([n for n in zf.namelist()
                     if n.startswith("xl/worksheets/")]) == len(counts)
+
+
+def test_dmv_catalog_scoped_views_coexist(svc):
+    """Catalog-scoped DMV calls register PER-CUBE view names, so two
+    catalogs' rowsets exist side by side — concurrent requests on the
+    threaded server can no longer clobber each other's views."""
+    svc.execute_dmv("SELECT [CUBE_NAME] FROM $system.MDSCHEMA_MEASURES",
+                    catalog="VENTAS_2025")
+    svc.execute_dmv("SELECT [CUBE_NAME] FROM $system.MDSCHEMA_MEASURES",
+                    catalog="VENTAS_1998")
+    a = {r["CUBE_NAME"] for r in
+         svc.spark.table("system_sales_MDSCHEMA_MEASURES").collect()}
+    b = {r["CUBE_NAME"] for r in
+         svc.spark.table("system_ventas1998_MDSCHEMA_MEASURES").collect()}
+    assert a == {"sales"} and b == {"ventas1998"}
