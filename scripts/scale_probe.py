@@ -91,6 +91,12 @@ PROBE_QUERIES = [
     "events_stream_hourly",
     "events_stream_dedup_bounded",
     "events_stream_session_tracker",
+    # round-5 closing additions
+    "docs_hybrid_search",
+    "events_silence_report",
+    "events_key_skew_report",
+    "events_rfm_segments",
+    "events_type_transitions",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
