@@ -15,7 +15,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .cube import sales_cube, default_registry
@@ -1152,6 +1152,60 @@ def build_workload() -> dict[str, QuerySpec]:
                COUNT(*) AS n_rows
         FROM {_FACT_OW}
         GROUP BY ROLLUP (cust_region, cust_nation)""")
+
+    # GROUPING SETS over events (hour-of-day × type, each-alone, grand
+    # total) — the cube-style subtotal lattice on the stream table
+    add("events_grouping_sets",
+        lambda spark, sf: (_events(spark, sf)
+            .withColumn("hod", F.hour("ts"))
+            .groupingSets([["hod", "event_type"], ["hod"],
+                           ["event_type"], []], "hod", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.coalesce(F.col("hod"), F.lit(-1)).alias("hod"),
+                    F.coalesce("event_type", F.lit("All"))
+                     .alias("event_type"),
+                    F.col("n").cast("bigint").alias("n"))),
+        """SELECT COALESCE(hod, -1) AS hod,
+               COALESCE(event_type, 'All') AS event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+                     event_type FROM events)
+        GROUP BY GROUPING SETS ((hod, event_type), (hod),
+                                (event_type), ())""")
+
+    # ratio-to-parent: each nation's revenue share of its region in
+    # exact integer milli-units (the classic percent-of-parent report)
+    add("cube_nation_share_of_region",
+        lambda spark, sf: (
+            _eng(spark, sf).execute(QueryRequest(
+                CATALOG, measures=["Sum Extendedprice"],
+                rows=[AxisItem("Dim Customer", "Geografía", level="Nation",
+                               properties=True)]))
+            .withColumn("region_total",
+                        F.sum("sum_extendedprice").over(
+                            Window.partitionBy("region")))
+            .withColumn("share_milli",
+                        F.floor(F.col("sum_extendedprice") * 1000
+                                / F.col("region_total")).cast("bigint"))
+            .select("region", "nation",
+                    F.round("sum_extendedprice", 4)
+                     .alias("sum_extendedprice"),
+                    F.round("region_total", 4).alias("region_total"),
+                    "share_milli")),
+        f"""WITH {_OW},
+        n AS (
+          SELECT cust_region AS region, cust_nation AS nation,
+                 {SUM_D('l_extendedprice')} AS sum_extendedprice
+          FROM {_FACT_OW}
+          GROUP BY 1, 2)
+        SELECT region, nation,
+               ROUND(sum_extendedprice, 4) AS sum_extendedprice,
+               ROUND(SUM(sum_extendedprice) OVER (PARTITION BY region), 4)
+                 AS region_total,
+               CAST(FLOOR(sum_extendedprice * 1000
+                    / SUM(sum_extendedprice) OVER (PARTITION BY region))
+                 AS BIGINT) AS share_milli
+        FROM n""")
 
     # ================= member navigation (SURVEY §2.3) ====================
 
