@@ -573,3 +573,107 @@ def cross_source_duplication(docs: DataFrame, text_col: str = "text",
               .agg(F.count(F.lit(1)).alias("n_docs"),
                    F.sum((F.col("n_sources") > 1).cast("long"))
                     .alias("n_cross_dup")))
+
+
+# ---- winnowing fingerprints (substring-level near-dup) ---------------------
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 4,
+                        w: int = 5) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram, slide
+    a window of ``w`` consecutive gram hashes, keep each window's MINIMUM
+    hash, and emit the distinct selected hashes per document.
+
+    The guarantee that makes this the substring-level complement to
+    whole-document MinHash: any shared token run of length >= w + k - 1
+    between two documents yields at least one SHARED fingerprint, while
+    the expected density of selected hashes is ~2/(w+1) of the grams —
+    a bounded, tunable sketch of local content.  (MinHash asks "are these
+    documents near-identical overall?"; winnowing asks "do they share any
+    substantial passage?" — the shape plagiarism / quote / template
+    detection needs.  Reference scope: the reference engine has no
+    substring-level dedup; this extends the dedup family beyond it.)
+
+    Fewer than ``w`` grams degrades to one window over all grams (the
+    whole short document contributes its single minimum); fewer than
+    ``k`` tokens yields no fingerprints.
+
+    Hashes are the repo's cross-engine 60-bit md5 integers so an external
+    ANSI/DuckDB oracle reproduces them bit-for-bit (`sampling.py` idiom);
+    pass a hot path through ``xxhash64`` instead by post-hashing the
+    grams yourself if oracle parity is not needed.
+
+    Scale shape: everything up to the distinct is PER-ROW array
+    arithmetic inside codegen — no explode of grams, no shuffle until the
+    final (doc_id, fp) distinct, whose width is ~2·n_grams/(w+1) per doc,
+    not n_grams.  O(n_grams · w) comparisons per row, w is small.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.select(id_col, toks.alias("_toks"))
+    # sequence(1, 0) is DESCENDING [1, 0], not empty — guard short docs
+    # (same pitfall as text._gram_expr; ANSI makes slice(_, 0, _) throw).
+    d = d.withColumn("_grams", F.expr(
+        f"if(size(_toks) < {k}, array(), "
+        f"transform(sequence(1, size(_toks) - {k} + 1), "
+        f"i -> concat_ws(' ', slice(_toks, i, {k}))))"))
+    d = d.withColumn("_h", F.expr(
+        "transform(_grams, g -> "
+        "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"))
+    # windows start at 1..max(n_grams-w+1, 1); slice() past the end
+    # returns the available tail, so n_grams < w is one whole-doc window.
+    d = d.withColumn("_fps", F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(_h) - {w} + 1, 1)), "
+        f"i -> array_min(slice(_h, i, {w}))))"))
+    return (d.filter(F.size("_h") > 0)
+             .select(id_col, F.explode("_fps").alias("fp"))
+             .distinct())
+
+
+def winnow_dup_pairs(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 4, w: int = 5,
+                     min_shared: int = 2,
+                     max_doc_freq: int | None = None) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints,
+    with an exact integer containment score: shared fingerprints vs the
+    SMALLER document's fingerprint count, in milli-units — high
+    containment flags a document embedded inside another (quotes,
+    templated boilerplate, partial copies) that whole-document Jaccard
+    dilutes away.
+
+    Same inverted-index shape as ``ngram_jaccard_pairs``: group the
+    fingerprint table into sorted posting lists, generate (i < j) pairs
+    per list JVM-side, count shared fingerprints, join per-doc totals
+    (AQE broadcasts the small side).  ``max_doc_freq`` is the
+    stop-fingerprint guard — template fragments shared by thousands of
+    documents would otherwise quadratically blow up one posting list;
+    drops are observed, never silent.
+    """
+    fps = winnow_fingerprints(docs, text_col, id_col, k, w)
+    posting = fps.groupBy("fp").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids"))
+    sizes = (posting.select(F.explode("ids").alias("_sid"))
+                    .groupBy("_sid").agg(F.count(F.lit(1)).alias("sz")))
+    posting = posting.filter(F.size("ids") > 1)
+    if max_doc_freq is not None:
+        posting = _observe_dropped(
+            posting, F.size("ids") > max_doc_freq,
+            "winnow_dup_pairs: max_doc_freq=%d dropped %d "
+            "stop-fingerprint posting lists (pairs co-occurring only "
+            "through those fingerprints are lost)", max_doc_freq)
+        posting = posting.filter(F.size("ids") <= max_doc_freq)
+    pairs = posting.select(F.explode(F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "b -> struct(a AS id_a, b AS id_b))))")).alias("p")
+    ).select("p.id_a", "p.id_b")
+    shared = pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_shared"))
+    sa = sizes.select(F.col("_sid").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("_sid").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (shared.filter(F.col("n_shared") >= min_shared)
+            .join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b", "n_shared",
+                    F.expr("CAST((n_shared * 1000) DIV least(sz_a, sz_b) "
+                           "AS BIGINT)").alias("containment_milli")))

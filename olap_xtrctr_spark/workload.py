@@ -95,6 +95,8 @@ _R5_FRONT = [
     "events_stream_anomalies",
     "events_hourly_anomalies",
     # new this round — need their first driver rows
+    "docs_winnow_fingerprints",
+    "docs_winnow_dup_pairs",
     "cube_mdx_named_properties",
     "docs_cross_source_dup",
     "docs_lexical_diversity",
@@ -2216,6 +2218,53 @@ def build_workload() -> dict[str, QuerySpec]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE i / (sa.sz + sb.sz - i) >= 0.2""")
+
+    # winnowing (Schleimer et al. 2003): substring-level fingerprints —
+    # shared token runs of length >= w+k-1 guarantee a shared fingerprint.
+    # Oracle mirrors the selection exactly: sliding-window MIN over the
+    # 60-bit md5 gram hashes via a ROWS window frame, then DISTINCT.
+    _WINNOW_FPS_SQL = r"""WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, i,
+                 TRY_CAST(concat('0x', substr(md5(
+                   array_to_string(t[i:i+3], ' ')), 1, 15)) AS BIGINT) AS h,
+                 len(t) - 3 AS n_grams
+          FROM toks, LATERAL (SELECT UNNEST(generate_series(
+            1, greatest(len(t) - 3, 0))) AS i) u),
+        wins AS (
+          SELECT doc_id,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW
+                              AND 4 FOLLOWING) AS fp,
+                 i, n_grams
+          FROM grams)
+        SELECT DISTINCT doc_id, fp
+        FROM wins WHERE i <= greatest(n_grams - 4, 1)"""
+
+    add("docs_winnow_fingerprints",
+        lambda spark, sf: D.winnow_fingerprints(_docs(spark, sf), k=4, w=5),
+        _WINNOW_FPS_SQL)
+
+    add("docs_winnow_dup_pairs",
+        lambda spark, sf: D.winnow_dup_pairs(_docs(spark, sf), k=4, w=5,
+                                             min_shared=2),
+        f"""WITH fps AS ({_WINNOW_FPS_SQL}),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM fps GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 COUNT(*) AS n_shared
+          FROM fps a JOIN fps b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, n_shared,
+               CAST((n_shared * 1000) // least(sa.sz, sb.sz)
+                    AS BIGINT) AS containment_milli
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_shared >= 2""")
 
     # multimodal plumbing: binary payloads → mapInPandas feature extraction
     # (deterministic fake codec — no media libs in this container; the

@@ -1031,3 +1031,55 @@ def test_user_state_history_runs(spark):
         [("view", 2), ("click", 1), ("view", 1)]
     assert str(hist[0]["valid_from"]) == "2024-01-01 00:00:00"
     assert str(hist[0]["valid_to"]) == "2024-01-01 00:01:00"
+
+
+def test_winnow_guarantee_shared_run_shares_fp(spark):
+    # shared token run of length >= w + k - 1 = 8 must share a fingerprint
+    shared = "uno dos tres cuatro cinco seis siete ocho"
+    df = _docs(spark, [f"alpha beta {shared} gamma delta",
+                       f"zz yy xx ww {shared} vv uu",
+                       "completely different tokens everywhere nothing "
+                       "matches at all ever once"])
+    fps = D.winnow_fingerprints(df, k=4, w=5)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared 8-token run must share a fp"
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+
+
+def test_winnow_short_doc_edges(spark):
+    # < k tokens -> no fingerprints; k..w+k-2 tokens -> exactly one
+    # whole-doc window (min over all gram hashes)
+    df = _docs(spark, ["a b c",                # 3 toks < k=4 -> none
+                       "a b c d e",            # 2 grams < w=5 -> 1 fp
+                       "a b c d e f g h i j"]) # 7 grams -> 3 windows
+    rows = D.winnow_fingerprints(df, k=4, w=5).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert 0 not in by_doc
+    assert len(by_doc[1]) == 1
+    assert 1 <= len(by_doc[2]) <= 3
+
+
+def test_winnow_dup_pairs_containment(spark):
+    # doc 1 is doc 0's text embedded in noise: every fp of the smaller
+    # doc should be shared -> containment_milli == 1000
+    base = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    df = _docs(spark, [base,
+                       f"pre1 pre2 pre3 {base} post1 post2 post3",
+                       "other words entirely unrelated to those runs ok"])
+    out = D.winnow_dup_pairs(df, k=4, w=5, min_shared=1).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)]["containment_milli"] == 1000
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_winnow_max_doc_freq_drops_hot_fps(spark):
+    df = _docs(spark, ["a b c d e f g h"] * 4)
+    uncapped = D.winnow_dup_pairs(df, k=4, w=5, min_shared=1)
+    capped = D.winnow_dup_pairs(df, k=4, w=5, min_shared=1, max_doc_freq=2)
+    assert uncapped.count() == 6    # all C(4,2) pairs
+    assert capped.count() == 0      # every fp appears in 4 docs > 2
