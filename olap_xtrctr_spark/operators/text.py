@@ -473,3 +473,93 @@ def lexical_diversity(docs: DataFrame, group_col: str = "source",
             .withColumn("ttr_milli",
                         F.expr("CAST((n_types * 1000) DIV n_tokens "
                                "AS BIGINT)")))
+
+
+# ---- corpus composition: distribution shift & distinctive terms ------------
+
+def _source_token_joint(docs: DataFrame, group_col: str, text_col: str):
+    """Shared intermediate for the corpus-composition diagnostics: the
+    per-(group, token) count joined with the corpus-wide token count,
+    per-group total, and grand total — every number a distribution
+    comparison needs, all as DECIMAL(19,0) so the cross-multiplied
+    products below stay exact far past BIGINT range (c·T at web scale is
+    ~1e25; the capped product type DECIMAL(38,0) holds it).
+
+    Plan shape: explode → (group, token) count → token-keyed join with
+    the corpus counts (the one real shuffle, keyed on the token
+    vocabulary, not rows) → broadcast of the per-group totals (dozens of
+    rows) and the grand-total scalar."""
+    toks = (docs.select(F.col(group_col).alias("source"),
+                        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                          r"\s+")).alias("token"))
+            .filter(F.col("token") != ""))
+    per = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("c"))
+    corpus = per.groupBy("token").agg(F.sum("c").alias("ct"))
+    src = per.groupBy("source").agg(F.sum("c").alias("ts"))
+    tot = src.agg(F.sum("ts").alias("t"))
+    return (per.join(corpus, "token")
+               .join(F.broadcast(src), "source")
+               .crossJoin(F.broadcast(tot)))
+
+
+def source_tv_distance(docs: DataFrame, group_col: str = "source",
+                       text_col: str = "text") -> DataFrame:
+    """Distribution shift per group: the total-variation distance between
+    each group's unigram distribution and the whole corpus's,
+    TV = 1/2 · Σ_t |p_group(t) − p_corpus(t)| — THE number a mixing
+    decision needs before reweighting sources (a dump whose token
+    distribution sits far from the blend target shifts the trained
+    model; Xie et al. 2023 DoReMi motivates exactly this measurement).
+
+    Everything is exact cross-multiplied integer arithmetic — no floats,
+    no logs — so any ANSI oracle agrees bit-for-bit:
+    |c·T − C_t·T_s| summed over the group's tokens, plus T_s·(T − Σ C_t)
+    for the mass of tokens the group never uses; reported as
+    ``tv_milli = (500·num) DIV (T_s·T)`` (exact milli-units of TV, which
+    lives in [0, 1]).  KL would need logarithms and a float tolerance;
+    TV bounds it (Pinsker) and stays integer-exact.
+
+    Output: (source, n_tokens, tv_milli), one row per group.
+    """
+    j = _source_token_joint(docs, group_col, text_col)
+    agg = j.groupBy("source").agg(
+        F.sum(F.abs(F.col("c") * F.col("t")
+                    - F.col("ct") * F.col("ts"))).alias("abs_part"),
+        F.sum("ct").alias("cov"),
+        F.first("ts").alias("ts"), F.first("t").alias("t"))
+    return agg.select(
+        "source",
+        F.col("ts").cast("bigint").alias("n_tokens"),
+        F.expr("CAST((500 * (abs_part + ts * (t - cov))) DIV (ts * t) "
+               "AS BIGINT)").alias("tv_milli"))
+
+
+def distinctive_terms(docs: DataFrame, group_col: str = "source",
+                      text_col: str = "text", top_n: int = 5,
+                      min_count: int = 5) -> DataFrame:
+    """Top distinctive terms per group by exact-integer lift: how many
+    times more frequent a token is inside the group than in the corpus,
+    ``lift_ppm = (c·T·1e6) DIV (C_t·T_s)`` (1,000,000 = corpus-average).
+    The TF-IDF idea with the log taken out so the score is
+    cross-engine-exact; ranking by a monotone transform preserves the
+    order anyway.  ``min_count`` suppresses one-off typos that would
+    otherwise dominate any lift ranking.
+
+    Ties rank deterministically (lift DESC, token ASC — row_number, not
+    rank) so pagination and oracles agree.  The per-group window state
+    is bounded by the group's vocabulary, not its rows.
+
+    Output: (source, token, n, lift_ppm, rn), top_n rows per group.
+    """
+    j = _source_token_joint(docs, group_col, text_col)
+    w = Window.partitionBy("source").orderBy(F.desc("lift_ppm"),
+                                             F.asc("token"))
+    return (j.filter(F.col("c") >= min_count)
+             .withColumn("lift_ppm",
+                         F.expr("CAST((c * t * 1000000) DIV (ct * ts) "
+                                "AS BIGINT)"))
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= top_n)
+             .select("source", "token", F.col("c").cast("bigint").alias("n"),
+                     "lift_ppm", "rn"))

@@ -97,6 +97,8 @@ _R5_FRONT = [
     # new this round — need their first driver rows
     "docs_winnow_fingerprints",
     "docs_winnow_dup_pairs",
+    "docs_source_tv_distance",
+    "docs_distinctive_terms",
     "cube_mdx_named_properties",
     "docs_cross_source_dup",
     "docs_lexical_diversity",
@@ -1828,6 +1830,49 @@ def build_workload() -> dict[str, QuerySpec]:
                CAST(SUM(n) AS BIGINT) AS n_tokens,
                CAST((COUNT(*) * 1000) // SUM(n) AS BIGINT) AS ttr_milli
         FROM per GROUP BY source""")
+
+    # corpus composition: shared CTE chain for the distribution-shift and
+    # distinctive-terms diagnostics (exact cross-multiplied integers —
+    # HUGEINT on the DuckDB side mirrors Spark's DECIMAL(19,0) lane)
+    _JOINT_SQL = r"""WITH toks AS (
+          SELECT source, unnest(regexp_split_to_array(
+            trim(lower(text)), '\s+')) AS token
+          FROM documents),
+        ne AS (SELECT * FROM toks WHERE token <> ''),
+        per AS (SELECT source, token, CAST(COUNT(*) AS HUGEINT) AS c
+                FROM ne GROUP BY 1, 2),
+        corpus AS (SELECT token, SUM(c) AS ct FROM per GROUP BY 1),
+        src AS (SELECT source, SUM(c) AS ts FROM per GROUP BY 1),
+        tot AS (SELECT SUM(ct) AS t FROM corpus),
+        j AS (SELECT p.source, p.token, p.c, co.ct, s.ts, tot.t
+              FROM per p JOIN corpus co USING (token)
+              JOIN src s USING (source), tot)"""
+
+    add("docs_source_tv_distance",
+        lambda spark, sf: TX.source_tv_distance(_docs(spark, sf)),
+        _JOINT_SQL + """,
+        agg AS (SELECT source, SUM(abs(c*t - ct*ts)) AS abs_part,
+                       SUM(ct) AS cov, any_value(ts) AS ts,
+                       any_value(t) AS t
+                FROM j GROUP BY source)
+        SELECT source, CAST(ts AS BIGINT) AS n_tokens,
+               CAST((500 * (abs_part + ts*(t - cov))) // (ts * t)
+                    AS BIGINT) AS tv_milli
+        FROM agg""")
+
+    add("docs_distinctive_terms",
+        lambda spark, sf: TX.distinctive_terms(_docs(spark, sf),
+                                               top_n=5, min_count=5),
+        _JOINT_SQL + """,
+        lift AS (SELECT source, token, c,
+                        CAST((c * t * 1000000) // (ct * ts) AS BIGINT)
+                          AS lift_ppm
+                 FROM j WHERE c >= 5),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY lift_ppm DESC, token ASC) AS rn FROM lift)
+        SELECT source, token, CAST(c AS BIGINT) AS n, lift_ppm,
+               CAST(rn AS INTEGER) AS rn
+        FROM r WHERE rn <= 5""")
 
     def incr_dedup(spark, sf):
         docs = _docs(spark, sf)

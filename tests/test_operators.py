@@ -1083,3 +1083,39 @@ def test_winnow_max_doc_freq_drops_hot_fps(spark):
     capped = D.winnow_dup_pairs(df, k=4, w=5, min_shared=1, max_doc_freq=2)
     assert uncapped.count() == 6    # all C(4,2) pairs
     assert capped.count() == 0      # every fp appears in 4 docs > 2
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(rows)],
+        "doc_id int, text string, source string")
+
+
+def test_source_tv_distance_exact(spark):
+    # s1 = (3/4 a, 1/4 b), s2 mirror; corpus = (1/2, 1/2) -> TV = 1/4
+    df = _src_docs(spark, [("a a a b", "s1"), ("b b b a", "s2")])
+    out = {r["source"]: (r["n_tokens"], r["tv_milli"])
+           for r in TX.source_tv_distance(df).collect()}
+    assert out == {"s1": (4, 250), "s2": (4, 250)}
+
+
+def test_source_tv_distance_absent_token_mass(spark):
+    # s2 never uses 'a': its missing-mass term is exercised
+    # s1 = (a:2, b:2), s2 = (b:4); corpus = (a:2, b:6), T=8
+    # TV(s2) = 1/2(|0-1/4| + |1-3/4|) = 1/4 -> 250
+    # TV(s1) = 1/2(|1/2-1/4| + |1/2-3/4|) = 1/4 -> 250
+    df = _src_docs(spark, [("a a b b", "s1"), ("b b b b", "s2")])
+    out = {r["source"]: r["tv_milli"]
+           for r in TX.source_tv_distance(df).collect()}
+    assert out == {"s1": 250, "s2": 250}
+
+
+def test_distinctive_terms_lift_and_rank(spark):
+    df = _src_docs(spark, [("a a a b", "s1"), ("b b b a", "s2")])
+    rows = TX.distinctive_terms(df, min_count=1, top_n=2).collect()
+    by = {(r["source"], r["rn"]): (r["token"], r["lift_ppm"])
+          for r in rows}
+    # lift(a|s1) = 3/4 over 1/2 = 1.5x corpus-average
+    assert by[("s1", 1)] == ("a", 1_500_000)
+    assert by[("s1", 2)] == ("b", 500_000)
+    assert by[("s2", 1)] == ("b", 1_500_000)
