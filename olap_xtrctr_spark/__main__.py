@@ -72,12 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser(
         "maintain",
-        help="lake layout maintenance: compact / cluster / zorder a "
+        help="lake layout maintenance: compact / cluster / zorder / hilbert a "
              "parquet directory, or export size-targeted training "
              "shards with a manifest")
     s.add_argument("--op", required=True,
-                   choices=["compact", "cluster", "zorder", "shards",
-                            "verify-shards"])
+                   choices=["compact", "cluster", "zorder", "hilbert",
+                            "shards", "verify-shards"])
     s.add_argument("--src", required=True)
     s.add_argument("--dst", default=None,
                    help="output directory (not needed for verify-shards)")
@@ -222,6 +222,9 @@ def run(args, service=None) -> dict:
         if args.op == "zorder":
             return MT.zorder_parquet(spark, args.src, args.dst, args.cols,
                                      target_mb=args.target_mb)
+        if args.op == "hilbert":
+            return MT.hilbert_parquet(spark, args.src, args.dst, args.cols,
+                                      target_mb=args.target_mb)
         return SH.write_training_shards(
             spark.read.parquet(args.src), args.dst,
             target_mb=args.target_mb)

@@ -329,3 +329,76 @@ def test_read_csv_checked_does_not_mutate_schema(spark, tmp_path):
     # and a second call with the same object works
     good, _ = IN.read_csv_checked(spark, str(csv), schema)
     assert good.count() == 1
+
+
+def test_hilbert_index_matches_reference_and_is_bijective(spark):
+    from pyspark.sql import functions as F
+
+    from olap_xtrctr_spark.sources.maintenance import (_hilbert_cols,
+                                                       _xy2d_ref)
+
+    bits, n = 4, 16
+    df = (spark.range(n * n)
+          .select((F.col("id") % n).cast("long").alias("x"),
+                  (F.col("id") / n).cast("long").alias("y")))
+    work, d_col, _aux = _hilbert_cols(df, "x", "y", bits)
+    got = {(r["x"], r["y"]): r[d_col] for r in work.collect()}
+    ref = {(x, y): _xy2d_ref(bits, x, y)
+           for x in range(n) for y in range(n)}
+    assert got == ref
+    assert len(set(got.values())) == n * n   # a true space-filling curve
+
+
+def test_hilbert_parquet_prunes_both_dimensions(spark, tmp_path):
+    """Same file-pruning contract as Z-order: a 10%-of-domain filter on
+    EITHER clustered column skips most files from footer stats."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from olap_xtrctr_spark.sources.maintenance import hilbert_parquet
+
+    src = str(tmp_path / "plain")
+    dst = str(tmp_path / "hilberted")
+    df = (spark.range(120_000)
+          .select((F.col("id") % 200).alias("k1"),
+                  ((F.col("id") * 7919) % 200).alias("k2"),
+                  F.sha2(F.col("id").cast("string"), 512).alias("payload")))
+    df.repartition(8).write.parquet(src)
+    stats = hilbert_parquet(spark, src, dst, ["k1", "k2"], target_mb=1)
+    assert stats["files_after"] >= 8
+
+    def file_ranges(col_idx):
+        out = []
+        for f in sorted(g.glob(f"{dst}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo = min(md.row_group(i).column(col_idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(col_idx).statistics.max
+                     for i in range(md.num_row_groups))
+            out.append((lo, hi))
+        return out
+
+    for idx in (0, 1):
+        ranges = file_ranges(idx)
+        hit = sum(1 for lo, hi in ranges if not (hi < 30 or lo > 50))
+        assert hit <= 0.5 * len(ranges), (idx, ranges)
+    assert spark.read.parquet(dst).count() == 120_000
+    # schema untouched: every helper column dropped
+    assert sorted(spark.read.parquet(dst).columns) == ["k1", "k2",
+                                                       "payload"]
+
+
+def test_hilbert_parquet_validations(spark, tmp_path):
+    import pytest
+
+    from olap_xtrctr_spark.sources.maintenance import hilbert_parquet
+
+    src = str(tmp_path / "hv")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="exactly 2"):
+        hilbert_parquet(spark, src, str(tmp_path / "o1"), ["id"])
+    with pytest.raises(ValueError, match="bits"):
+        hilbert_parquet(spark, src, str(tmp_path / "o2"), ["id", "id"],
+                        bits=16)
