@@ -97,6 +97,20 @@ PROBE_QUERIES = [
     "events_key_skew_report",
     "events_rfm_segments",
     "events_type_transitions",
+    # round-5 continuation: winnowing (exact-dup replicas concentrate
+    # each fingerprint's posting list ~FACTOR deep — pair gen grows
+    # ~FACTOR^2 inside dup groups, same documented shape as
+    # edit_distance), corpus-composition diagnostics (vocab-bounded),
+    # and the previously unprobed streaming variants (sessionize,
+    # unbounded dedup, interval join, anomalies)
+    "docs_winnow_fingerprints",
+    "docs_winnow_dup_pairs",
+    "docs_source_tv_distance",
+    "docs_distinctive_terms",
+    "events_stream_sessionize",
+    "events_stream_dedup",
+    "events_stream_click_purchase_join",
+    "events_stream_anomalies",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
