@@ -112,6 +112,13 @@ _R5_FRONT = [
     "events_first_touch_attribution",
     "events_linear_attribution",
     "events_click_purchase_delay",
+    # added after the manifest was written; ordered outside the window
+    # by build order, so they'd get no first driver row without a slot
+    "events_grouping_sets",
+    "cube_nation_share_of_region",
+    "docs_hybrid_search",
+    "events_silence_report",
+    "events_key_skew_report",
     # everything else follows build order: cube_* → tpch_* → members_* —
     # the round-1/2 block whose driver rows are stale (VERDICT r4 item 2).
     # The r3/r4-graded block (docs_*/events_* extensions) rotates out; it
