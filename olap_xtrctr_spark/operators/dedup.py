@@ -601,13 +601,19 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
 
     Hashes are the repo's cross-engine 60-bit md5 integers so an external
     ANSI/DuckDB oracle reproduces them bit-for-bit (`sampling.py` idiom);
-    pass a hot path through ``xxhash64`` instead by post-hashing the
-    grams yourself if oracle parity is not needed.
+    pass a hot path through ``xxhash64`` instead by swapping the hash
+    expression if oracle parity is not needed.
 
-    Scale shape: everything up to the distinct is PER-ROW array
-    arithmetic inside codegen — no explode of grams, no shuffle until the
-    final (doc_id, fp) distinct, whose width is ~2·n_grams/(w+1) per doc,
-    not n_grams.  O(n_grams · w) comparisons per row, w is small.
+    Scale shape: gram construction is one array transform per row, but
+    the HASHING and window-minimum run on EXPLODED rows — md5 inside a
+    higher-order transform is interpreted per element, and so is an
+    array_min/slice sliding window; the all-arrays version of this
+    operator measured 175 s where this one takes 6.7 s on the same
+    corpus (26x, SCALE.md).  The sliding minimum is a ROWS-frame window
+    over (doc, pos): its shuffle carries only (doc_id, pos, n_grams, h)
+    — the gram strings are projection-pruned before the exchange — and
+    the running-min frame is O(1) amortized per row.  The final
+    (doc_id, fp) distinct emits ~2·n_grams/(w+1) rows per doc.
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     d = docs.select(id_col, toks.alias("_toks"))
@@ -617,17 +623,19 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
         f"if(size(_toks) < {k}, array(), "
         f"transform(sequence(1, size(_toks) - {k} + 1), "
         f"i -> concat_ws(' ', slice(_toks, i, {k}))))"))
-    d = d.withColumn("_h", F.expr(
-        "transform(_grams, g -> "
-        "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"))
-    # windows start at 1..max(n_grams-w+1, 1); slice() past the end
-    # returns the available tail, so n_grams < w is one whole-doc window.
-    d = d.withColumn("_fps", F.expr(
-        f"array_distinct(transform("
-        f"sequence(1, greatest(size(_h) - {w} + 1, 1)), "
-        f"i -> array_min(slice(_h, i, {w}))))"))
-    return (d.filter(F.size("_h") > 0)
-             .select(id_col, F.explode("_fps").alias("fp"))
+    g = (d.select(id_col, F.size("_grams").alias("_n_grams"),
+                  F.posexplode("_grams").alias("_pos", "_gram"))
+          .withColumn("_h", F.expr(
+              "cast(conv(substring(md5(_gram), 1, 15), 16, 10) as bigint)")))
+    win = (Window.partitionBy(id_col).orderBy("_pos")
+           .rowsBetween(Window.currentRow, w - 1))
+    # window starts: 0..max(n_grams-w, 0) (0-based posexplode); the
+    # frame past the end shrinks to the available tail, so a doc with
+    # fewer than w grams contributes one whole-doc window.
+    return (g.withColumn("fp", F.min("_h").over(win))
+             .filter(F.col("_pos") <= F.greatest(F.col("_n_grams") - w,
+                                                 F.lit(0)))
+             .select(id_col, "fp")
              .distinct())
 
 
