@@ -114,6 +114,7 @@ _R5_FRONT = [
     "events_click_purchase_delay",
     # added after the manifest was written; ordered outside the window
     # by build order, so they'd get no first driver row without a slot
+    "docs_snapshot_diff",
     "events_grouping_sets",
     "cube_nation_share_of_region",
     "docs_hybrid_search",
@@ -2317,6 +2318,48 @@ def build_workload() -> dict[str, QuerySpec]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE n_shared >= 2""")
+
+    # snapshot diff: both versions derived deterministically from the one
+    # documents table (md5 buckets), so the oracle reconstructs them and
+    # the promotion-gate counts compare exactly
+    def snap_diff(spark, sf):
+        from .operators.diff import snapshot_diff_summary
+        from .operators.sampling import _hash_bucket
+        docs = _docs(spark, sf)
+        b = _hash_bucket(F.col("doc_id"), "snap-v1")
+        old = docs.filter(b % 10 < 9)
+        new = (docs.filter(b % 10 > 0)
+               .withColumn("text",
+                           F.when(b % 3 == 0,
+                                  F.concat(F.col("text"), F.lit(" v2")))
+                            .otherwise(F.col("text"))))
+        return snapshot_diff_summary(old, new, ["doc_id"])
+
+    _SB = SM.hash_bucket_sql("doc_id", "snap-v1")
+    _SNAP_FP = ("md5(concat_ws(chr(31), "
+                "coalesce(CAST({t} AS VARCHAR), chr(0)), "
+                "coalesce(CAST(lang AS VARCHAR), chr(0)), "
+                "coalesce(CAST(source AS VARCHAR), chr(0)), "
+                "coalesce(CAST(n_chars AS VARCHAR), chr(0))))")
+
+    add("docs_snapshot_diff", snap_diff,
+        f"""WITH old AS (
+          SELECT doc_id, {_SNAP_FP.format(t="text")} AS o
+          FROM documents WHERE {_SB} % 10 < 9),
+        new AS (
+          SELECT doc_id,
+                 {_SNAP_FP.format(
+                     t=f"CASE WHEN {_SB} % 3 = 0 THEN concat(text, ' v2') "
+                       "ELSE text END")} AS n
+          FROM documents WHERE {_SB} % 10 > 0),
+        j AS (SELECT old.o, new.n
+              FROM old FULL OUTER JOIN new USING (doc_id))
+        SELECT CASE WHEN o IS NULL THEN 'added'
+                    WHEN n IS NULL THEN 'removed'
+                    WHEN o <> n THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               COUNT(*) AS n_rows
+        FROM j GROUP BY 1""")
 
     # multimodal plumbing: binary payloads → mapInPandas feature extraction
     # (deterministic fake codec — no media libs in this container; the

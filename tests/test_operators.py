@@ -1119,3 +1119,36 @@ def test_distinctive_terms_lift_and_rank(spark):
     assert by[("s1", 1)] == ("a", 1_500_000)
     assert by[("s1", 2)] == ("b", 500_000)
     assert by[("s2", 1)] == ("b", 1_500_000)
+
+
+def test_snapshot_diff_statuses(spark):
+    from olap_xtrctr_spark.operators.diff import (snapshot_diff,
+                                                  snapshot_diff_summary)
+    old = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2), (3, "c", 3)],
+        "id int, text string, v int")
+    new = spark.createDataFrame(
+        [(2, "b", 2), (3, "CHANGED", 3), (4, "d", 4)],
+        "id int, text string, v int")
+    rows = {r["id"]: r["status"]
+            for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert rows == {1: "removed", 2: "unchanged", 3: "changed",
+                    4: "added"}
+    summ = {r["status"]: r["n_rows"]
+            for r in snapshot_diff_summary(old, new, ["id"]).collect()}
+    assert summ == {"removed": 1, "unchanged": 1, "changed": 1,
+                    "added": 1}
+
+
+def test_snapshot_diff_null_vs_empty_and_missing_col(spark):
+    import pytest
+
+    from olap_xtrctr_spark.operators.diff import snapshot_diff
+    old = spark.createDataFrame([(1, None)], "id int, text string")
+    new = spark.createDataFrame([(1, "")], "id int, text string")
+    # NULL -> "" must register as changed, not unchanged
+    assert snapshot_diff(old, new, ["id"]).collect()[0]["status"] == \
+        "changed"
+    with pytest.raises(ValueError, match="not present"):
+        snapshot_diff(old, new.withColumnRenamed("text", "t2"), ["id"],
+                      compare_cols=["text"])
