@@ -615,6 +615,16 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
     the running-min frame is O(1) amortized per row.  The final
     (doc_id, fp) distinct emits ~2·n_grams/(w+1) rows per doc.
     """
+    return (_winnow_windows(docs, text_col, id_col, k, w)
+            .select(id_col, "fp")
+            .distinct())
+
+
+def _winnow_windows(docs: DataFrame, text_col: str, id_col: str,
+                    k: int, w: int) -> DataFrame:
+    """One row per winnowing WINDOW: (id, _pos, fp) with _pos the
+    0-based window start — the position-carrying form the extent/span
+    diagnostics need (``winnow_fingerprints`` is its distinct)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     d = docs.select(id_col, toks.alias("_toks"))
     # sequence(1, 0) is DESCENDING [1, 0], not empty — guard short docs
@@ -635,8 +645,39 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
     return (g.withColumn("fp", F.min("_h").over(win))
              .filter(F.col("_pos") <= F.greatest(F.col("_n_grams") - w,
                                                  F.lit(0)))
-             .select(id_col, "fp")
-             .distinct())
+             .select(id_col, "_pos", "fp"))
+
+
+def winnow_dup_extent(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 4,
+                      w: int = 5) -> DataFrame:
+    """Per-document duplicated-passage EXTENT: how much of each document
+    is covered by winnowing windows whose fingerprint also appears in at
+    least one OTHER document.  Pair counting says which documents
+    collide; this says how much of each document is recycled text — the
+    curation number behind 'drop documents that are >50% boilerplate/
+    quotation' policies (cf. the duplicate-text-mass analyses of Lee et
+    al. 2022, 'Deduplicating Training Data Makes Language Models
+    Better').
+
+    Output: (id, n_windows, n_shared_windows, shared_milli) with
+    shared_milli = (n_shared·1000) DIV n_windows — exact integers.
+
+    Scale shape: the window table joins the per-fingerprint document
+    frequency (one shuffle keyed on fp, map-side-combinable counts; AQE
+    broadcasts it when small) and rolls up per document.  Within-doc
+    repeats do NOT count as shared — the frequency is distinct-doc."""
+    wins = _winnow_windows(docs, text_col, id_col, k, w)
+    dfreq = (wins.select(id_col, "fp").distinct()
+                 .groupBy("fp").agg(F.count(F.lit(1)).alias("_nd")))
+    return (wins.join(dfreq, "fp")
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_windows"),
+                     F.sum((F.col("_nd") >= 2).cast("long"))
+                      .alias("n_shared_windows"))
+                .withColumn("shared_milli",
+                            F.expr("CAST((n_shared_windows * 1000) DIV "
+                                   "n_windows AS BIGINT)")))
 
 
 def winnow_dup_pairs(docs: DataFrame, text_col: str = "text",

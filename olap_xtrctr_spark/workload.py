@@ -114,6 +114,7 @@ _R5_FRONT = [
     "events_click_purchase_delay",
     # added after the manifest was written; ordered outside the window
     # by build order, so they'd get no first driver row without a slot
+    "docs_winnow_dup_extent",
     "docs_snapshot_diff",
     "events_grouping_sets",
     "cube_nation_share_of_region",
@@ -2276,7 +2277,7 @@ def build_workload() -> dict[str, QuerySpec]:
     # shared token runs of length >= w+k-1 guarantee a shared fingerprint.
     # Oracle mirrors the selection exactly: sliding-window MIN over the
     # 60-bit md5 gram hashes via a ROWS window frame, then DISTINCT.
-    _WINNOW_FPS_SQL = r"""WITH toks AS (
+    _WINNOW_WINS_SQL = r"""WITH toks AS (
           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
           FROM documents),
         grams AS (
@@ -2292,9 +2293,13 @@ def build_workload() -> dict[str, QuerySpec]:
                               ROWS BETWEEN CURRENT ROW
                               AND 4 FOLLOWING) AS fp,
                  i, n_grams
-          FROM grams)
-        SELECT DISTINCT doc_id, fp
-        FROM wins WHERE i <= greatest(n_grams - 4, 1)"""
+          FROM grams),
+        wfil AS (
+          SELECT doc_id, i, fp
+          FROM wins WHERE i <= greatest(n_grams - 4, 1))"""
+
+    _WINNOW_FPS_SQL = _WINNOW_WINS_SQL + """
+        SELECT DISTINCT doc_id, fp FROM wfil"""
 
     add("docs_winnow_fingerprints",
         lambda spark, sf: D.winnow_fingerprints(_docs(spark, sf), k=4, w=5),
@@ -2318,6 +2323,19 @@ def build_workload() -> dict[str, QuerySpec]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE n_shared >= 2""")
+
+    add("docs_winnow_dup_extent",
+        lambda spark, sf: D.winnow_dup_extent(_docs(spark, sf), k=4, w=5),
+        _WINNOW_WINS_SQL + """,
+        dfreq AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd
+                  FROM wfil GROUP BY 1)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_shared_windows,
+               CAST((SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000)
+                    // COUNT(*) AS BIGINT) AS shared_milli
+        FROM wfil JOIN dfreq USING (fp)
+        GROUP BY doc_id""")
 
     # snapshot diff: both versions derived deterministically from the one
     # documents table (md5 buckets), so the oracle reconstructs them and

@@ -1152,3 +1152,18 @@ def test_snapshot_diff_null_vs_empty_and_missing_col(spark):
     with pytest.raises(ValueError, match="not present"):
         snapshot_diff(old, new.withColumnRenamed("text", "t2"), ["id"],
                       compare_cols=["text"])
+
+
+def test_winnow_dup_extent_full_vs_none(spark):
+    # doc 0 and 1 identical -> every window shared (milli=1000);
+    # doc 2 unrelated -> zero shared; within-doc repeats alone (doc 3
+    # repeats its own phrase, no other doc has it) stay unshared
+    base = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    df = _docs(spark, [base, base,
+                       "other words entirely unrelated to those runs ok",
+                       "rep one two three four rep one two three four"])
+    out = {r["doc_id"]: (r["n_shared_windows"], r["shared_milli"])
+           for r in D.winnow_dup_extent(df, k=4, w=5).collect()}
+    assert out[0][1] == 1000 and out[1][1] == 1000
+    assert out[2] == (0, 0)
+    assert out[3] == (0, 0)
