@@ -68,3 +68,42 @@ def snapshot_diff_summary(old: DataFrame, new: DataFrame,
     below a threshold) before swapping snapshot directories."""
     return (snapshot_diff(old, new, key_cols, compare_cols)
             .groupBy("status").agg(F.count(F.lit(1)).alias("n_rows")))
+
+
+def categorical_tv_distance(df: DataFrame, group_col: str,
+                            cat_col: str) -> DataFrame:
+    """Distribution drift per group over an arbitrary categorical
+    column: the total-variation distance between each group's category
+    distribution and the global one — ``text.source_tv_distance``
+    generalized past tokenized text (there the categories are tokens;
+    here they are whatever ``cat_col`` holds: event types, labels,
+    languages).  Grouped by day it is the drift monitor that catches a
+    mix shift (a producer going quiet, a new event type ramping)
+    before downstream models notice.
+
+    Exact cross-multiplied DECIMAL(19,0) arithmetic, including the
+    missing-mass term for categories a group never emits; output
+    (group_col, n_rows, tv_milli), tv in exact milli-units of [0, 1].
+
+    Scale shape: one (group, category) count, one category-keyed join
+    against the global counts, per-group totals and the grand total
+    broadcast — state bounded by |groups|·|categories|, never rows.
+    """
+    per = df.groupBy(group_col, cat_col).agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("c"))
+    cat = per.groupBy(cat_col).agg(F.sum("c").alias("ct"))
+    grp = per.groupBy(group_col).agg(F.sum("c").alias("ts"))
+    tot = grp.agg(F.sum("ts").alias("t"))
+    j = (per.join(cat, cat_col)
+            .join(F.broadcast(grp), group_col)
+            .crossJoin(F.broadcast(tot)))
+    agg = j.groupBy(group_col).agg(
+        F.sum(F.abs(F.col("c") * F.col("t")
+                    - F.col("ct") * F.col("ts"))).alias("abs_part"),
+        F.sum("ct").alias("cov"),
+        F.first("ts").alias("ts"), F.first("t").alias("t"))
+    return agg.select(
+        group_col,
+        F.col("ts").cast("bigint").alias("n_rows"),
+        F.expr("CAST((500 * (abs_part + ts * (t - cov))) DIV (ts * t) "
+               "AS BIGINT)").alias("tv_milli"))

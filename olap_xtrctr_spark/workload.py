@@ -116,6 +116,7 @@ _R5_FRONT = [
     # by build order, so they'd get no first driver row without a slot
     "docs_winnow_dup_extent",
     "docs_snapshot_diff",
+    "events_type_drift_daily",
     "events_grouping_sets",
     "cube_nation_share_of_region",
     "docs_hybrid_search",
@@ -2305,16 +2306,22 @@ def build_workload() -> dict[str, QuerySpec]:
         lambda spark, sf: D.winnow_fingerprints(_docs(spark, sf), k=4, w=5),
         _WINNOW_FPS_SQL)
 
+    # max_doc_freq mirrors the 100 TB stop-fingerprint guard in BOTH
+    # engines (no fp reaches it at this SF — the semantics contract is
+    # what's under test, like ngram_jaccard's 1000 cap)
     add("docs_winnow_dup_pairs",
         lambda spark, sf: D.winnow_dup_pairs(_docs(spark, sf), k=4, w=5,
-                                             min_shared=2),
+                                             min_shared=2,
+                                             max_doc_freq=1000),
         f"""WITH fps AS ({_WINNOW_FPS_SQL}),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM fps GROUP BY doc_id),
+        dfreq AS (SELECT fp, COUNT(*) AS nd FROM fps GROUP BY fp),
         shared AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  COUNT(*) AS n_shared
           FROM fps a JOIN fps b
             ON a.fp = b.fp AND a.doc_id < b.doc_id
+          JOIN dfreq d ON d.fp = a.fp AND d.nd <= 1000
           GROUP BY 1, 2)
         SELECT id_a, id_b, n_shared,
                CAST((n_shared * 1000) // least(sa.sz, sb.sz)
@@ -2476,6 +2483,33 @@ def build_workload() -> dict[str, QuerySpec]:
                {SUM_D('value')} AS sum_value
         FROM events
         GROUP BY 1, 2""")
+
+    # daily event-type mix drift: TV distance vs the whole-period distribution
+    def type_drift(spark, sf):
+        from .operators.diff import categorical_tv_distance
+        ev = _events(spark, sf).select(
+            F.col("ts").cast("date").alias("day"), "event_type")
+        return categorical_tv_distance(ev, "day", "event_type")
+
+    add("events_type_drift_daily", type_drift,
+        """WITH per AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 CAST(COUNT(*) AS HUGEINT) AS c
+          FROM events GROUP BY 1, 2),
+        cat AS (SELECT event_type, SUM(c) AS ct FROM per GROUP BY 1),
+        grp AS (SELECT day, SUM(c) AS ts FROM per GROUP BY 1),
+        tot AS (SELECT SUM(ct) AS t FROM cat),
+        j AS (SELECT p.day, p.c, ca.ct, g.ts, tot.t
+              FROM per p JOIN cat ca USING (event_type)
+              JOIN grp g USING (day), tot),
+        agg AS (SELECT day, SUM(abs(c*t - ct*ts)) AS abs_part,
+                       SUM(ct) AS cov, any_value(ts) AS ts,
+                       any_value(t) AS t
+                FROM j GROUP BY day)
+        SELECT day, CAST(ts AS BIGINT) AS n_rows,
+               CAST((500 * (abs_part + ts*(t - cov))) // (ts * t)
+                    AS BIGINT) AS tv_milli
+        FROM agg""")
 
     # gap-filled time series: complete hour spine per type so rolling
     # windows downstream never silently shrink over absent hours

@@ -1167,3 +1167,26 @@ def test_winnow_dup_extent_full_vs_none(spark):
     assert out[0][1] == 1000 and out[1][1] == 1000
     assert out[2] == (0, 0)
     assert out[3] == (0, 0)
+
+
+def test_categorical_tv_distance_mirror_groups(spark):
+    from olap_xtrctr_spark.operators.diff import categorical_tv_distance
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", "a"), ("g1", "a"), ("g1", "b"),
+         ("g2", "b"), ("g2", "b"), ("g2", "b"), ("g2", "a")],
+        "grp string, cat string")
+    out = {r["grp"]: (r["n_rows"], r["tv_milli"])
+           for r in categorical_tv_distance(df, "grp", "cat").collect()}
+    # each group is (3/4, 1/4) vs global (1/2, 1/2) -> TV = 1/4
+    assert out == {"g1": (4, 250), "g2": (4, 250)}
+
+
+def test_categorical_tv_distance_missing_category(spark):
+    from olap_xtrctr_spark.operators.diff import categorical_tv_distance
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", "b"), ("g2", "b"), ("g2", "b")],
+        "grp string, cat string")
+    # g2 never emits 'a': global (1/4, 3/4); g2 = (0, 1) -> TV = 1/4
+    out = {r["grp"]: r["tv_milli"]
+           for r in categorical_tv_distance(df, "grp", "cat").collect()}
+    assert out == {"g1": 250, "g2": 250}
