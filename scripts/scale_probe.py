@@ -111,6 +111,10 @@ PROBE_QUERIES = [
     "events_stream_dedup",
     "events_stream_click_purchase_join",
     "events_stream_anomalies",
+    # round-5 continuation, second wave
+    "docs_winnow_dup_extent",
+    "docs_snapshot_diff",
+    "events_type_drift_daily",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key

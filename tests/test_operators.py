@@ -1190,3 +1190,39 @@ def test_categorical_tv_distance_missing_category(spark):
     out = {r["grp"]: r["tv_milli"]
            for r in categorical_tv_distance(df, "grp", "cat").collect()}
     assert out == {"g1": 250, "g2": 250}
+
+
+def test_winnow_guarantee_randomized_corpus(spark):
+    """Winnowing contract over a seeded random corpus: every planted
+    shared run of length w+k-1 yields a shared fingerprint, and pairs
+    with no common k-gram share none (60-bit hash collisions aside)."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)]
+    rows, expect_share = [], set()
+    did = 0
+    for pair in range(10):
+        run = [rng.choice(vocab) for _ in range(8)]   # w + k - 1 = 8
+        for _ in range(2):
+            noise_a = [rng.choice(vocab) for _ in range(rng.randint(0, 6))]
+            noise_b = [rng.choice(vocab) for _ in range(rng.randint(0, 6))]
+            rows.append((did, " ".join(noise_a + run + noise_b)))
+            did += 1
+        expect_share.add((did - 2, did - 1))
+    # disjoint-vocab docs: can share nothing with anyone
+    for _ in range(4):
+        rows.append((did, " ".join(
+            f"x{rng.randint(100, 200)}" for _ in range(12))))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    by_doc = {}
+    for r in D.winnow_fingerprints(df, k=4, w=5).collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    for a, b in expect_share:
+        assert by_doc[a] & by_doc[b], (a, b)
+    # the disjoint-vocab docs must not collide with the paired block
+    paired = set().union(*(by_doc[i] for i in range(20)))
+    for i in range(20, 24):
+        grams_i = by_doc.get(i, set())
+        assert not (grams_i & paired), i
