@@ -726,3 +726,69 @@ def winnow_dup_pairs(docs: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "n_shared",
                     F.expr("CAST((n_shared * 1000) DIV least(sz_a, sz_b) "
                            "AS BIGINT)").alias("containment_milli")))
+
+
+def winnow_match_spans(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 4, w: int = 5,
+                       min_shared: int = 2,
+                       max_doc_freq: int | None = None) -> DataFrame:
+    """Matched-span localization for winnowing pairs — the MOSS display
+    step: for every qualifying document pair, WHERE the shared content
+    sits.  Matched windows (windows whose fingerprint is also selected
+    by the partner document) are clustered into token spans: a new span
+    starts when consecutive matched window positions are more than
+    ``w`` apart; a window at position p covers tokens [p, p+w+k-2].
+
+    Output, one row per span per direction:
+    (doc_id, other_id, span_start, span_end, n_windows) — token indexes
+    are 0-based inclusive; each unordered pair appears in both
+    directions because spans live in each document's own coordinates
+    (the reviewer highlights both sides).
+
+    Scale shape: pairs come from the same posting-list machinery as
+    ``winnow_dup_pairs`` over ONE window table; span extraction joins
+    the qualifying pairs back to the partner's fingerprint set and the
+    document's own windows (both fp-keyed, AQE broadcasts the small
+    pair side), then clusters with a lag/cumsum window partitioned by
+    pair — state bounded by matched windows per pair, the classic
+    sessionize shape."""
+    wins = _winnow_windows(docs, text_col, id_col, k, w)
+    fps = wins.select(id_col, "fp").distinct()
+    posting = fps.groupBy("fp").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids"))
+    posting = posting.filter(F.size("ids") > 1)
+    if max_doc_freq is not None:
+        posting = _observe_dropped(
+            posting, F.size("ids") > max_doc_freq,
+            "winnow_match_spans: max_doc_freq=%d dropped %d "
+            "stop-fingerprint posting lists", max_doc_freq)
+        posting = posting.filter(F.size("ids") <= max_doc_freq)
+    pairs = (posting.select(F.explode(F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "b -> struct(a AS id_a, b AS id_b))))")).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared))
+    both = (pairs.select(F.col("id_a").alias(id_col),
+                         F.col("id_b").alias("other_id"))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col),
+                                      F.col("id_a").alias("other_id"))))
+    partner_fps = (both.join(
+        fps.select(F.col(id_col).alias("other_id"), "fp"), "other_id"))
+    matched = partner_fps.join(wins, [id_col, "fp"])
+    pw = Window.partitionBy(id_col, "other_id").orderBy("_pos")
+    gap = (F.col("_pos") - F.lag("_pos").over(pw) > w).cast("int")
+    spans = (matched
+             .withColumn("_new", F.coalesce(gap, F.lit(0)))
+             .withColumn("_span", F.sum("_new").over(
+                 pw.rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow)))
+             .groupBy(id_col, "other_id", "_span")
+             .agg(F.min("_pos").cast("bigint").alias("span_start"),
+                  (F.max("_pos") + (w + k - 2)).cast("bigint")
+                   .alias("span_end"),
+                  F.count(F.lit(1)).alias("n_windows"))
+             .drop("_span"))
+    return spans

@@ -115,6 +115,7 @@ _R5_FRONT = [
     # added after the manifest was written; ordered outside the window
     # by build order, so they'd get no first driver row without a slot
     "docs_winnow_dup_extent",
+    "docs_winnow_match_spans",
     "docs_snapshot_diff",
     "events_type_drift_daily",
     "events_grouping_sets",
@@ -2330,6 +2331,45 @@ def build_workload() -> dict[str, QuerySpec]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE n_shared >= 2""")
+
+    add("docs_winnow_match_spans",
+        lambda spark, sf: D.winnow_match_spans(_docs(spark, sf), k=4,
+                                               w=5, min_shared=2,
+                                               max_doc_freq=1000),
+        _WINNOW_WINS_SQL + """,
+        fps AS (SELECT DISTINCT doc_id, fp FROM wfil),
+        dfreq AS (SELECT fp, COUNT(*) AS nd FROM fps GROUP BY 1),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM fps a JOIN fps b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id
+          JOIN dfreq d ON d.fp = a.fp AND d.nd <= 1000
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        dirs AS (
+          SELECT id_a AS doc_id, id_b AS other_id FROM shared
+          UNION ALL
+          SELECT id_b, id_a FROM shared),
+        matched AS (
+          SELECT b.doc_id, b.other_id, w.i - 1 AS pos
+          FROM dirs b
+          JOIN fps pf ON pf.doc_id = b.other_id
+          JOIN wfil w ON w.doc_id = b.doc_id AND w.fp = pf.fp),
+        sp AS (
+          SELECT doc_id, other_id, pos,
+                 CASE WHEN pos - lag(pos) OVER
+                        (PARTITION BY doc_id, other_id ORDER BY pos) > 5
+                      THEN 1 ELSE 0 END AS new_span
+          FROM matched),
+        sp2 AS (
+          SELECT *, SUM(new_span) OVER
+                   (PARTITION BY doc_id, other_id ORDER BY pos
+                    ROWS UNBOUNDED PRECEDING) AS span
+          FROM sp)
+        SELECT doc_id, other_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+               COUNT(*) AS n_windows
+        FROM sp2 GROUP BY doc_id, other_id, span""")
 
     add("docs_winnow_dup_extent",
         lambda spark, sf: D.winnow_dup_extent(_docs(spark, sf), k=4, w=5),

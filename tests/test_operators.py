@@ -1226,3 +1226,26 @@ def test_winnow_guarantee_randomized_corpus(spark):
     for i in range(20, 24):
         grams_i = by_doc.get(i, set())
         assert not (grams_i & paired), i
+
+
+def test_winnow_match_spans_localizes_two_copies(spark):
+    base = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    fill1 = " ".join(f"f{i}" for i in range(12))
+    fill2 = " ".join(f"g{i}" for i in range(12))
+    df = _docs(spark, [base,
+                       f"{fill1} {base} {fill2} {base} tail1 tail2"])
+    out = D.winnow_match_spans(df, k=4, w=5, min_shared=1)
+    by_dir = {}
+    for r in out.collect():
+        by_dir.setdefault((r["doc_id"], r["other_id"]), []).append(
+            (r["span_start"], r["span_end"], r["n_windows"]))
+    # doc 0 is one solid match: a single span covering the whole doc
+    assert len(by_dir[(0, 1)]) == 1
+    s0 = by_dir[(0, 1)][0]
+    assert s0[0] == 0 and s0[1] == 9
+    # doc 1 embeds the run twice, separated by > w windows: two spans
+    spans1 = sorted(by_dir[(1, 0)])
+    assert len(spans1) == 2
+    assert spans1[0][0] >= 10 and spans1[1][0] >= 30
+    # spans stay inside the document (46 tokens -> last index 45)
+    assert all(e <= 45 for _s, e, _n in spans1)
