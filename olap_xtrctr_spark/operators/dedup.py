@@ -36,18 +36,38 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text",
                         "keep_id", "copies"))
 
 
-def _shingles(text_col: str, n: int = 3):
-    """Word n-gram shingles from the lowercased text (empty-safe)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    # sliding word n-grams via transform over index range
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-
-
 def shingle_docs(docs: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    return docs.select(id_col, F.explode(
-        F.array_distinct(_shingles(text_col, n))).alias("shingle"))
+                 id_col: str = "doc_id", n: int = 3,
+                 distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles from the lowercased text, one row per
+    shingle.  Documents with fewer than ``n`` tokens contribute one
+    whole-document shingle (matching the ANSI oracles' slice semantics).
+
+    Built by posexploding the token array and concatenating ``lead``
+    values over a (doc, pos) window — NOT by a higher-order
+    ``transform`` building strings per array element: HOF lambdas are
+    interpreted per element, and the measured difference on a 260k-
+    shingle corpus is 2.9 s vs 0.6 s (the same pitfall the winnowing
+    and Z-order paths hit; SCALE.md).  The window's doc-keyed exchange
+    is narrow (doc_id, pos, token) and AQE-coalesced.
+
+    ``distinct=False`` skips the per-(doc, shingle) dedup shuffle for
+    consumers whose downstream aggregate is duplicate-insensitive
+    (MIN for minhash signatures)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.select(id_col, F.size(toks).alias("_nt"),
+                    F.posexplode(toks).alias("_p", "_tok"))
+    w = Window.partitionBy(id_col).orderBy("_p")
+    leads = [F.lead("_tok", j).over(w) for j in range(1, n)]
+    # concat_ws skips NULLs, so the short-doc row keeps whatever tokens
+    # exist; complete shingles require the last lead to be present
+    out = (d.withColumn("shingle",
+                        F.concat_ws(" ", F.col("_tok"), *leads))
+            .withColumn("_last", leads[-1] if leads else F.col("_tok"))
+            .filter(F.col("_last").isNotNull()
+                    | ((F.col("_p") == 0) & (F.col("_nt") < n)))
+            .select(id_col, "shingle"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
@@ -57,8 +77,10 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     take the per-hash-function minimum (map-side combinable — partial
     aggregation before the shuffle).  The hash family is two xxhash64
     evaluations combined affinely (h1 + i*h2, Kirsch-Mitzenmacher): same
-    min-wise guarantees, 2 hashes per shingle instead of num_hashes."""
-    ex = shingle_docs(docs, text_col, id_col, n)
+    min-wise guarantees, 2 hashes per shingle instead of num_hashes.
+    Shingles come through non-distinct — MIN is duplicate-insensitive,
+    so the per-(doc, shingle) dedup shuffle would be pure waste."""
+    ex = shingle_docs(docs, text_col, id_col, n, distinct=False)
     # mask to 48/32 bits so h1 + i*h2 stays overflow-free under ANSI mode
     h1 = F.xxhash64("shingle").bitwiseAND(F.lit(0xFFFFFFFFFFFF))
     h2 = F.xxhash64("shingle", F.lit(1)).bitwiseAND(F.lit(0xFFFFFFFF))
@@ -92,28 +114,37 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                                               (b + 1) * rows_per_band)]
         band_cols.append(F.struct(F.lit(b).alias("band"),
                                   F.xxhash64(*cols).alias("bucket")))
+    # the bucket self-join and the pair dedup run on the SLIM
+    # (id, band, bucket) projection — carrying the 32 signature columns
+    # through both join sides and a 34-column dropDuplicates measured
+    # 2x slower on a dup-heavy corpus (the shuffles move the wide rows,
+    # and every band-collision duplicate re-ships the whole signature).
+    # Signatures rejoin ONCE per side after the dedup, and on a
+    # candidate set that AQE broadcasts.
     banded = sig.select(
-        id_col, *[F.col(f"h{i}") for i in range(num_hashes)],
-        F.explode(F.array(*band_cols)).alias("bb"),
-    ).select(id_col, *[f"h{i}" for i in range(num_hashes)],
-             "bb.band", "bb.bucket")
+        id_col, F.explode(F.array(*band_cols)).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
 
-    left = banded.alias("a")
-    right = banded.alias("b")
-    pairs = (
-        left.join(right, (F.col("a.band") == F.col("b.band"))
+    cand = (banded.alias("a")
+            .join(banded.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
                   & (F.col("a.bucket") == F.col("b.bucket"))
                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                *[(F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int").alias(f"eq{i}")
-                  for i in range(num_hashes)])
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sim = sum([F.col(f"eq{i}") for i in range(num_hashes)]) / num_hashes
-    return (pairs.withColumn("est_jaccard", F.round(sim, 4))
-                 .filter(F.col("est_jaccard") >= threshold)
-                 .select("id_a", "id_b", "est_jaccard"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    sa = sig.select(F.col(id_col).alias("id_a"),
+                    *[F.col(f"h{i}").alias(f"a{i}")
+                      for i in range(num_hashes)])
+    sb = sig.select(F.col(id_col).alias("id_b"),
+                    *[F.col(f"h{i}").alias(f"b{i}")
+                      for i in range(num_hashes)])
+    scored = cand.join(sa, "id_a").join(sb, "id_b")
+    sim = sum([(F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+               for i in range(num_hashes)]) / num_hashes
+    return (scored.withColumn("est_jaccard", F.round(sim, 4))
+                  .filter(F.col("est_jaccard") >= threshold)
+                  .select("id_a", "id_b", "est_jaccard"))
 
 
 def simhash(docs: DataFrame, text_col: str = "text",

@@ -42,7 +42,13 @@ def get_spark(app_name: str = "olap-xtrctr-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", shuffle)
         # Arrow for every pandas_udf / toPandas edge.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # In local mode every task thread shares the DRIVER heap: 8g
+        # across 32 threads GC-thrashed the wide minhash aggregate in a
+        # long bench session (measured 14-16 s vs 3.1 s at 16 g for the
+        # identical query — BASELINE.md round-5 note).  24g leaves the
+        # 128 GiB box plenty of page cache; on a real cluster this knob
+        # sizes only the driver and executors get spark.executor.memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
