@@ -563,3 +563,38 @@ def distinctive_terms(docs: DataFrame, group_col: str = "source",
              .filter(F.col("rn") <= top_n)
              .select("source", "token", F.col("c").cast("bigint").alias("n"),
                      "lift_ppm", "rn"))
+
+
+def normalize_unicode(docs: DataFrame, text_col: str = "text",
+                      form: str = "NFC",
+                      out_col: str = "text_norm") -> DataFrame:
+    """Unicode normalization of the text column — the step that MUST
+    run before any hash-based dedup on real web text: 'e'+COMBINING
+    ACUTE and the precomposed 'é' hash differently, so un-normalized
+    corpora silently miss duplicates that differ only in encoding
+    form.  NFC/NFD/NFKC/NFKD per ``unicodedata``; NFKC additionally
+    folds compatibility characters (ligatures, full-width forms) and is
+    the common choice for training corpora.
+
+    Spark has no builtin for this, so it is the documented slow path
+    done right: an Arrow-batched pandas_udf (one Python call per batch,
+    not per row), narrow and shuffle-free — the same justification
+    envelope as ``compression_ratio``.  Idempotent: already-normalized
+    ASCII passes through byte-identical, so the oracle contract holds
+    on any corpus.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm_batch(texts):
+        import unicodedata
+
+        return texts.map(
+            lambda t: None if t is None
+            else unicodedata.normalize(form, t))
+
+    import pandas as pd
+    _norm_batch.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _norm = pandas_udf(_norm_batch, "string")
+    return docs.withColumn(out_col, _norm(F.col(text_col)))

@@ -117,6 +117,7 @@ _R5_FRONT = [
     "docs_winnow_dup_extent",
     "docs_winnow_match_spans",
     "docs_snapshot_diff",
+    "docs_unicode_normalize",
     "events_type_drift_daily",
     "events_grouping_sets",
     "cube_nation_share_of_region",
@@ -2383,6 +2384,29 @@ def build_workload() -> dict[str, QuerySpec]:
                     // COUNT(*) AS BIGINT) AS shared_milli
         FROM wfil JOIN dfreq USING (fp)
         GROUP BY doc_id""")
+
+    # unicode normalization: a combining-acute suffix is synthesized
+    # in-plan on BOTH engines, so the hashes only match if NFC really
+    # composed it (DuckDB ships nfc_normalize; NFKC has no DuckDB
+    # counterpart and stays pytest-covered)
+    def unicode_norm(spark, sf):
+        from .operators.text import normalize_unicode
+        d = _docs(spark, sf).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" café")))
+        return (normalize_unicode(d, form="NFC")
+                .select("doc_id",
+                        F.md5(F.encode(F.col("text_norm"), "UTF-8"))
+                         .alias("norm_hash"),
+                        F.length("text_norm").cast("bigint")
+                         .alias("n_chars_norm")))
+
+    add("docs_unicode_normalize", unicode_norm,
+        """SELECT doc_id,
+               md5(nfc_normalize(text || ' cafe' || chr(769)))
+                 AS norm_hash,
+               CAST(length(nfc_normalize(text || ' cafe' || chr(769)))
+                    AS BIGINT) AS n_chars_norm
+        FROM documents""")
 
     # snapshot diff: both versions derived deterministically from the one
     # documents table (md5 buckets), so the oracle reconstructs them and

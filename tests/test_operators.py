@@ -1249,3 +1249,24 @@ def test_winnow_match_spans_localizes_two_copies(spark):
     assert spans1[0][0] >= 10 and spans1[1][0] >= 30
     # spans stay inside the document (46 tokens -> last index 45)
     assert all(e <= 45 for _s, e, _n in spans1)
+
+
+def test_normalize_unicode_forms_and_identity(spark):
+    import pytest
+    df = spark.createDataFrame(
+        [(0, "café"),        # e + combining acute -> precomposed
+         (1, "ﬁle"),          # fi ligature (NFKC-only fold)
+         (2, "plain ascii"),
+         (3, None)],
+        "doc_id int, text string")
+    nfc = {r["doc_id"]: r["text_norm"]
+           for r in TX.normalize_unicode(df).collect()}
+    assert nfc[0] == "caf\u00e9" and len(nfc[0]) == 4
+    assert nfc[1] == "ﬁle"          # NFC keeps the ligature
+    assert nfc[2] == "plain ascii"       # idempotent on ASCII
+    assert nfc[3] is None
+    nfkc = {r["doc_id"]: r["text_norm"]
+            for r in TX.normalize_unicode(df, form="NFKC").collect()}
+    assert nfkc[1] == "file"             # NFKC folds it
+    with pytest.raises(ValueError, match="unknown normalization"):
+        TX.normalize_unicode(df, form="NFX")
