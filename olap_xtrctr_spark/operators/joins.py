@@ -93,3 +93,57 @@ def bin_range_join(left: DataFrame, ranges: DataFrame, value_col: str,
             .filter((F.col(value_col) >= F.col(lo_col))
                     & (F.col(value_col) < F.col(hi_col)))
             .drop("_bin"))
+
+
+def join_profile(left: DataFrame, right: DataFrame,
+                 keys: list[str]) -> DataFrame:
+    """Pre-join key diagnostics — the one-row report to read BEFORE
+    launching a 100 TB join: row and distinct-key counts per side, null
+    keys (rows that can never match but still shuffle), the worst
+    per-key multiplicity on each side (the skew hot spot), and the
+    EXACT output cardinality of the inner join
+    (sum over keys of count_left * count_right).  A many-to-many join
+    that would explode shows up here as est_output_rows orders of
+    magnitude above either input, for the price of two count
+    aggregations instead of the join itself.
+
+    Scale shape: each side collapses to per-key counts first (map-side
+    combinable, bounded by distinct keys), the two count tables join on
+    the key (AQE broadcasts the smaller), and everything rolls up to
+    one row.  The raw payloads never shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    def side(df, tag):
+        key = [F.col(c) for c in keys]
+        nullc = F.when(
+            F.greatest(*[F.col(c).isNull() for c in keys])
+            if len(keys) > 1 else F.col(keys[0]).isNull(), 1).otherwise(0)
+        per = (df.select(*keys, nullc.alias("_isnull"))
+                 .groupBy(*keys)
+                 .agg(F.count(F.lit(1)).alias(f"n_{tag}"),
+                      F.max("_isnull").alias("_null")))
+        return per
+
+    pl = side(left, "l")
+    pr = side(right, "r")
+    lstats = pl.agg(
+        F.sum("n_l").cast("bigint").alias("n_left"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_left"),
+        F.max("n_l").cast("bigint").alias("max_key_mult_left"),
+        F.sum(F.col("_null") * F.col("n_l")).cast("bigint")
+         .alias("null_key_rows_left"))
+    rstats = pr.agg(
+        F.sum("n_r").cast("bigint").alias("n_right"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_right"),
+        F.max("n_r").cast("bigint").alias("max_key_mult_right"),
+        F.sum(F.col("_null") * F.col("n_r")).cast("bigint")
+         .alias("null_key_rows_right"))
+    # inner-join cardinality: null keys never match, mirror SQL semantics
+    joined = (pl.filter(F.col("_null") == 0)
+                .join(pr.filter(F.col("_null") == 0), keys)
+                .agg(F.coalesce(
+                    F.sum(F.col("n_l").cast("decimal(19,0)")
+                          * F.col("n_r").cast("decimal(19,0)")),
+                    F.lit(0)).cast("bigint").alias("est_output_rows")))
+    return lstats.crossJoin(rstats).crossJoin(joined)

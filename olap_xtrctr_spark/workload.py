@@ -118,6 +118,7 @@ _R5_FRONT = [
     "docs_winnow_match_spans",
     "docs_snapshot_diff",
     "docs_unicode_normalize",
+    "tpch_join_profile_orders_customer",
     "events_type_drift_daily",
     "events_grouping_sets",
     "cube_nation_share_of_region",
@@ -2384,6 +2385,38 @@ def build_workload() -> dict[str, QuerySpec]:
                     // COUNT(*) AS BIGINT) AS shared_milli
         FROM wfil JOIN dfreq USING (fp)
         GROUP BY doc_id""")
+
+    # pre-join key profiling: exact inner-join cardinality + skew/null
+    # diagnostics from per-key counts only (payloads never shuffle)
+    def jprofile(spark, sf):
+        from .operators.joins import join_profile
+        o = load_table(spark, sf, "orders").select(
+            F.col("o_custkey").alias("custkey"))
+        c = load_table(spark, sf, "customer").select(
+            F.col("c_custkey").alias("custkey"))
+        return join_profile(o, c, ["custkey"])
+
+    add("tpch_join_profile_orders_customer", jprofile,
+        """WITH pl AS (
+          SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
+        pr AS (
+          SELECT c_custkey AS k, COUNT(*) AS n FROM customer GROUP BY 1),
+        l AS (SELECT CAST(SUM(n) AS BIGINT) AS n_left,
+                     CAST(COUNT(*) AS BIGINT) AS distinct_left,
+                     CAST(MAX(n) AS BIGINT) AS max_key_mult_left,
+                     CAST(SUM(CASE WHEN k IS NULL THEN n ELSE 0 END)
+                          AS BIGINT) AS null_key_rows_left
+              FROM pl),
+        r AS (SELECT CAST(SUM(n) AS BIGINT) AS n_right,
+                     CAST(COUNT(*) AS BIGINT) AS distinct_right,
+                     CAST(MAX(n) AS BIGINT) AS max_key_mult_right,
+                     CAST(SUM(CASE WHEN k IS NULL THEN n ELSE 0 END)
+                          AS BIGINT) AS null_key_rows_right
+              FROM pr),
+        j AS (SELECT CAST(coalesce(SUM(pl.n * pr.n), 0) AS BIGINT)
+                       AS est_output_rows
+              FROM pl JOIN pr USING (k) WHERE k IS NOT NULL)
+        SELECT * FROM l, r, j""")
 
     # unicode normalization: a combining-acute suffix is synthesized
     # in-plan on BOTH engines, so the hashes only match if NFC really

@@ -106,3 +106,28 @@ def test_bin_range_join_boundaries_and_spanning(spark):
     # lo inclusive, hi exclusive: every boundary value lands exactly once
     plan = _plan(J.bin_range_join(left, ranges, "v", bin_width=7.0))
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_profile_exact_cardinality_skew_and_nulls(spark):
+    from olap_xtrctr_spark.operators.joins import join_profile
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (None,)], "k int")
+    right = spark.createDataFrame(
+        [(1,), (1,), (3,), (None,), (None,)], "k int")
+    r = join_profile(left, right, ["k"]).collect()[0]
+    assert r["n_left"] == 5 and r["n_right"] == 5
+    assert r["distinct_left"] == 3 and r["distinct_right"] == 3  # incl. null group
+    assert r["max_key_mult_left"] == 3 and r["max_key_mult_right"] == 2
+    assert r["null_key_rows_left"] == 1 and r["null_key_rows_right"] == 2
+    # inner join output: key 1 -> 3*2 = 6; nulls never match
+    assert r["est_output_rows"] == 6
+    # cross-check against the actual join
+    assert left.join(right, "k").count() == 6
+
+
+def test_join_profile_disjoint_keys_zero_output(spark):
+    from olap_xtrctr_spark.operators.joins import join_profile
+    left = spark.createDataFrame([(1,), (2,)], "k int")
+    right = spark.createDataFrame([(3,)], "k int")
+    r = join_profile(left, right, ["k"]).collect()[0]
+    assert r["est_output_rows"] == 0
