@@ -22,6 +22,29 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
                   .cast("double").alias("sum_value")))
 
 
+def ohlc_hourly(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Hourly OHLC bars per event type: open/close are the first/last
+    value by deterministic event order (ts, then event_id for
+    same-timestamp ties), low/high the extremes — the standard
+    time-series downsampling shape for any metered value stream.
+
+    ONE aggregation via min_by/max_by with a struct ordering key — no
+    rank window, so partial aggregation runs map-side and nothing
+    funnels a whole (hour, type) group through a sort.  (An ANSI oracle
+    without struct-ordered arg_min reproduces it with a row_number
+    construction; same deterministic result, heavier plan.)"""
+    ordk = "struct(ts, event_id)"
+    return (events.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                           "event_type")
+            .agg(F.round(F.expr(f"min_by({value_col}, {ordk})"), 4)
+                  .alias("open"),
+                 F.round(F.expr(f"max_by({value_col}, {ordk})"), 4)
+                  .alias("close"),
+                 F.round(F.min(value_col), 4).alias("low"),
+                 F.round(F.max(value_col), 4).alias("high"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization per user via lag + cumulative sum —
     one shuffle on user_id, deterministic (ties broken by event_id)."""

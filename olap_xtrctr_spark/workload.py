@@ -119,6 +119,7 @@ _R5_FRONT = [
     "docs_snapshot_diff",
     "docs_unicode_normalize",
     "tpch_join_profile_orders_customer",
+    "events_ohlc_hourly",
     "events_type_drift_daily",
     "events_grouping_sets",
     "cube_nation_share_of_region",
@@ -2580,6 +2581,23 @@ def build_workload() -> dict[str, QuerySpec]:
                {SUM_D('value')} AS sum_value
         FROM events
         GROUP BY 1, 2""")
+
+    add("events_ohlc_hourly",
+        lambda spark, sf: EV.ohlc_hourly(_events(spark, sf)),
+        """WITH r AS (
+          SELECT date_trunc('hour', ts) AS hour, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts),
+                   event_type ORDER BY ts, event_id) AS rn_a,
+                 ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts),
+                   event_type ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events)
+        SELECT hour, event_type,
+               ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+               ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+               ROUND(MIN(value), 4) AS low,
+               ROUND(MAX(value), 4) AS high,
+               COUNT(*) AS n_events
+        FROM r GROUP BY 1, 2""")
 
     # daily event-type mix drift: TV distance vs the whole-period distribution
     def type_drift(spark, sf):

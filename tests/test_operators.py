@@ -1270,3 +1270,28 @@ def test_normalize_unicode_forms_and_identity(spark):
     assert nfkc[1] == "file"             # NFKC folds it
     with pytest.raises(ValueError, match="unknown normalization"):
         TX.normalize_unicode(df, form="NFX")
+
+
+def test_ohlc_hourly_deterministic_open_close(spark):
+    from olap_xtrctr_spark.streaming.events import ohlc_hourly
+    rows = [
+        # same hour, type A: ties on ts broken by event_id
+        (1, "2024-01-01 10:00:05", "A", 5.0),
+        (2, "2024-01-01 10:00:05", "A", 3.0),   # same ts, higher id
+        (3, "2024-01-01 10:30:00", "A", 9.0),
+        (4, "2024-01-01 10:45:00", "A", 1.0),
+        # hour 11, type A: single event
+        (5, "2024-01-01 11:00:00", "A", 7.0),
+    ]
+    df = spark.createDataFrame(rows,
+                               "event_id long, ts string, event_type "
+                               "string, value double") \
+              .withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["hour"]): r for r in ohlc_hourly(df).collect()}
+    h10 = out["2024-01-01 10:00:00"]
+    assert h10["open"] == 5.0      # id 1 wins the ts tie
+    assert h10["close"] == 1.0
+    assert h10["low"] == 1.0 and h10["high"] == 9.0
+    assert h10["n_events"] == 4
+    h11 = out["2024-01-01 11:00:00"]
+    assert (h11["open"], h11["close"]) == (7.0, 7.0)
