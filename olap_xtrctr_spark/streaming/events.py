@@ -121,6 +121,39 @@ def streaming_hourly_rollup(spark: SparkSession, source_dir: str,
                     "n_events", "sum_value"))
 
 
+def streaming_ohlc_hourly(spark: SparkSession, source_dir: str,
+                          schema, watermark: str = "2 hours",
+                          glob: str | None = None) -> DataFrame:
+    """Streaming form of ``ohlc_hourly``: readStream → watermark →
+    tumbling window → min_by/max_by bars.  The ordered-first/last
+    aggregates are watermark-compatible state (one (ordering key,
+    value) pair per open window per function — O(1) per group, not a
+    buffered event list), so the live path costs the same state as a
+    plain count."""
+    stream = event_stream(spark, source_dir, schema, glob)
+    ordk = "struct(ts, event_id)"
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.round(F.expr(f"min_by(value, {ordk})"), 4)
+                  .alias("open"),
+                 F.round(F.expr(f"max_by(value, {ordk})"), 4)
+                  .alias("close"),
+                 F.round(F.min("value"), 4).alias("low"),
+                 F.round(F.max("value"), 4).alias("high"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("window.start").alias("hour"), "event_type",
+                    "open", "close", "low", "high", "n_events"))
+
+
+def replay_ohlc_hourly(spark: SparkSession, source_dir: str,
+                       schema, glob: str = "events.parquet") -> DataFrame:
+    """Bounded availableNow replay of the streaming OHLC bars; equals
+    the batch ``ohlc_hourly``, so the same SQL oracle applies."""
+    sdf = streaming_ohlc_hourly(spark, source_dir, schema, glob=glob)
+    return drain_stream_to_table(spark, sdf, "events_stream_ohlc")
+
+
 def run_stream_to_memory(spark: SparkSession, streaming_df: DataFrame,
                          query_name: str = "events_rollup",
                          output_mode: str = "complete"):

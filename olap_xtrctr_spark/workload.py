@@ -120,6 +120,7 @@ _R5_FRONT = [
     "docs_unicode_normalize",
     "tpch_join_profile_orders_customer",
     "events_ohlc_hourly",
+    "events_stream_ohlc",
     "events_type_drift_daily",
     "events_grouping_sets",
     "cube_nation_share_of_region",
@@ -2781,6 +2782,25 @@ def build_workload() -> dict[str, QuerySpec]:
                {SUM_D('value')} AS sum_value
         FROM events
         GROUP BY 1, 2""")
+
+    # streaming OHLC replay equals the batch bars -> same oracle as
+    # events_ohlc_hourly
+    add("events_stream_ohlc", lambda spark, sf: EV.replay_ohlc_hourly(
+            spark, sf, _events_schema(spark, sf)),
+        """WITH r AS (
+          SELECT date_trunc('hour', ts) AS hour, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts),
+                   event_type ORDER BY ts, event_id) AS rn_a,
+                 ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts),
+                   event_type ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events)
+        SELECT hour, event_type,
+               ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+               ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+               ROUND(MIN(value), 4) AS low,
+               ROUND(MAX(value), 4) AS high,
+               COUNT(*) AS n_events
+        FROM r GROUP BY 1, 2""")
 
     add("events_sessionize",
         lambda spark, sf: EV.sessionize(_events(spark, sf)),

@@ -1295,3 +1295,17 @@ def test_ohlc_hourly_deterministic_open_close(spark):
     assert h10["n_events"] == 4
     h11 = out["2024-01-01 11:00:00"]
     assert (h11["open"], h11["close"]) == (7.0, 7.0)
+
+
+def test_streaming_ohlc_replay_equals_batch(spark, sf_dir):
+    from olap_xtrctr_spark.session import load_events
+    from olap_xtrctr_spark.streaming.events import (ohlc_hourly,
+                                                    replay_ohlc_hourly)
+    batch = {(str(r["hour"]), r["event_type"]):
+             (r["open"], r["close"], r["low"], r["high"], r["n_events"])
+             for r in ohlc_hourly(load_events(spark, sf_dir)).collect()}
+    schema = load_events(spark, sf_dir).schema
+    stream = {(str(r["hour"]), r["event_type"]):
+              (r["open"], r["close"], r["low"], r["high"], r["n_events"])
+              for r in replay_ohlc_hourly(spark, sf_dir, schema).collect()}
+    assert batch == stream and len(batch) > 0
