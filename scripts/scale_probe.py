@@ -115,6 +115,9 @@ PROBE_QUERIES = [
     "docs_winnow_dup_extent",
     "docs_snapshot_diff",
     "events_type_drift_daily",
+    "events_ohlc_hourly",
+    "events_stream_ohlc",
+    "tpch_join_profile_orders_customer",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
