@@ -103,6 +103,7 @@ _R5_FRONT = [
     "docs_cross_source_dup",
     "docs_lexical_diversity",
     "emb_lsh_near_dup_pairs",
+    "emb_pq_topk",
     "events_hourly_gapfilled",
     "docs_sql_function_stats",
     "events_user_state_history",
@@ -2237,6 +2238,14 @@ def build_workload() -> dict[str, QuerySpec]:
     add("emb_ivf_topk",
         lambda spark, sf: S.ivf_cosine_topk(_emb(spark, sf), [0, 1, 2, 3, 4],
                                             k=3),
+        None)
+    # product quantization + ADC shortlist + exact re-rank — the
+    # compressed-scan serving path (IVFPQ's PQ half).  KMeans codebooks →
+    # not SQL-expressible → rows-only; quality contract =
+    # tests/test_recall.py PQ floors (exact-top3 recovery + planted@1)
+    add("emb_pq_topk",
+        lambda spark, sf: S.pq_cosine_topk(_emb(spark, sf), [0, 1, 2, 3, 4],
+                                           k=3),
         None)
     # all-pairs near-dup WITHOUT the GEMM broadcast bound (the scale path
     # embedding_near_dups reroutes to); loose-threshold setting matches

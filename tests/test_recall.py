@@ -106,6 +106,32 @@ def test_ivf_topk_recall_on_planted_pairs(emb, planted_embedding_pairs):
     assert ok / n >= 0.9, f"IVF planted-pair recall collapsed: {ok}/{n}"
 
 
+def test_pq_topk_recall_vs_exact(emb):
+    """PQ-ADC shortlist + exact re-rank must recover >=80% of the exact
+    top-3 sets (measured 30/30 at the defaults on this fixture — the
+    floor leaves noise margin for KMeans tie-breaks across PySpark
+    versions).  Near-uniform random vectors are PQ's hardest case; the
+    default grid (m=16 × 64 centroids) is sized for it."""
+    qids = list(range(10))
+    exact = _topk_sets(S.cosine_topk(emb, qids, k=3).collect())
+    pq = _topk_sets(S.pq_cosine_topk(emb, qids, k=3).collect())
+    overlap = sum(len(exact[q] & pq[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert overlap / total >= 0.8, f"PQ overlap {overlap}/{total}"
+
+
+def test_pq_topk_recall_on_planted_pairs(emb, planted_embedding_pairs):
+    """PQ must find >=85% of planted near-dup partners at k=1 (measured
+    14/14 at the defaults; the re-rank stage makes the shortlist the
+    only recall risk)."""
+    qids = sorted({a for a, _ in planted_embedding_pairs})
+    found = _topk_sets(S.pq_cosine_topk(emb, qids, k=1).collect())
+    ok = sum(1 for a, b in planted_embedding_pairs
+             if b in found.get(a, set()))
+    n = len(planted_embedding_pairs)
+    assert ok / n >= 0.85, f"PQ planted-pair recall collapsed: {ok}/{n}"
+
+
 def test_quantized_topk_recall_vs_exact(emb):
     """int8 quantization must preserve the exact top-3 neighborhood
     almost perfectly (64-dim vectors, ~0.4% worst-case per-component
