@@ -298,6 +298,61 @@ def replay_interval_join(spark: SparkSession, source_dir: str, schema,
                                  output_mode="append")
 
 
+def streaming_unconverted_clicks(spark: SparkSession, source_dir: str,
+                                 schema, window_seconds: int = 3600,
+                                 watermark: str = "2 hours",
+                                 glob: str | None = None) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, null-filtered: clicks
+    that saw NO purchase by the same user within ``window_seconds`` —
+    the abandonment feed a marketing pipeline alerts on.
+
+    Outer joins add the semantics inner joins don't have: a
+    null-padded row can only be emitted once the watermark proves no
+    match can still arrive, so the unmatched rows surface with
+    watermark latency (inner matches emit immediately).  State is
+    evicted — and the null row released — when the click's whole match
+    window falls behind the watermark; clicks newer than that at
+    stream end stay in state and are NOT emitted, which is the
+    documented difference from the batch anti-join (the oracle mirrors
+    it with an explicit final-watermark clause)."""
+    def src():
+        return event_stream(spark, source_dir, schema, glob)
+
+    clicks = (src().filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"),
+                      F.col("value").alias("click_value"))
+              .withWatermark("click_ts", watermark))
+    purchases = (src().filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("user_id"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", watermark))
+    cond = ((F.col("c_user") == F.col("user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("click_ts")
+               + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")))
+    return (clicks.join(purchases, cond, "left_outer")
+            .filter(F.col("purchase_ts").isNull())
+            .select(F.col("click_id"), F.col("c_user").alias("user_id"),
+                    "click_ts", "click_value"))
+
+
+def replay_unconverted_clicks(spark: SparkSession, source_dir: str,
+                              schema, window_seconds: int = 3600,
+                              glob: str = "events.parquet") -> DataFrame:
+    """Bounded availableNow replay of the left-outer interval join
+    (append mode).  The final no-data micro-batch advances the
+    watermark to max(click_ts) - delay and flushes the evictable
+    unmatched state."""
+    sdf = streaming_unconverted_clicks(spark, source_dir, schema,
+                                       window_seconds=window_seconds,
+                                       glob=glob)
+    return drain_stream_to_table(spark, sdf, "events_stream_unconverted",
+                                 output_mode="append")
+
+
 VALUE_TIERS = (
     ("micro", 0.0, 10.0),
     ("small", 10.0, 50.0),

@@ -104,6 +104,7 @@ _R5_FRONT = [
     "docs_lexical_diversity",
     "emb_lsh_near_dup_pairs",
     "emb_pq_topk",
+    "events_stream_unconverted_clicks",
     "events_hourly_gapfilled",
     "docs_sql_function_stats",
     "events_user_state_history",
@@ -3074,6 +3075,33 @@ def build_workload() -> dict[str, QuerySpec]:
           ON p.user_id = c.user_id
          AND p.event_type = 'purchase' AND c.event_type = 'click'
          AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""")
+
+    # stream-stream LEFT OUTER interval join, null-filtered: clicks with
+    # no purchase in the following hour.  Unlike the inner join, the
+    # null-padded rows are released only on state EVICTION, so clicks
+    # whose match window hasn't fallen behind the final watermark
+    # (min of both sides' max event time - delay) stay in state and are
+    # never emitted in a bounded replay — the oracle encodes exactly
+    # that clause (verified set-equal at sf0.001 and sf0.01).
+    def stream_unconverted(spark, sf):
+        return EV.replay_unconverted_clicks(spark, sf,
+                                            _events_schema(spark, sf))
+
+    add("events_stream_unconverted_clicks", stream_unconverted,
+        """WITH w AS (SELECT LEAST(
+              (SELECT MAX(ts) FROM events WHERE event_type='click'),
+              (SELECT MAX(ts) FROM events WHERE event_type='purchase')
+            ) - INTERVAL 2 HOUR AS wm)
+        SELECT c.event_id AS click_id, c.user_id,
+               CAST(c.ts AS TIMESTAMP) AS click_ts,
+               c.value AS click_value
+        FROM events c, w
+        WHERE c.event_type = 'click'
+          AND c.ts + INTERVAL 1 HOUR < w.wm
+          AND NOT EXISTS (
+            SELECT 1 FROM events p
+            WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)""")
 
     # HLL distinct users per event type, built by MERGING per-hour
     # partial sketches (the persisted-state rollup path, not a direct

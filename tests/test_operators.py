@@ -322,6 +322,35 @@ def test_streaming_interval_join_equals_batch(spark, sf_dir):
     assert stream == batch and len(stream) > 0
 
 
+def test_streaming_unconverted_clicks_watermark_semantics(spark, sf_dir):
+    """LEFT OUTER stream-stream join, null-filtered: the bounded
+    replay emits exactly the batch anti-join RESTRICTED to clicks
+    whose match window fell behind the final watermark
+    (min(max click_ts, max purchase_ts) - 2h delay) — newer unmatched
+    clicks stay in state and must NOT appear."""
+    ev = load_events(spark, sf_dir)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"))
+    p = ev.filter(F.col("event_type") == "purchase")
+    matched = p.join(
+        c, (p.user_id == c.cu) & (p.ts >= c.cts)
+           & (p.ts <= c.cts + F.expr("INTERVAL 1 HOUR"))) \
+        .select("click_id").distinct()
+    wm = (ev.filter(F.col("event_type").isin("click", "purchase"))
+            .groupBy("event_type").agg(F.max("ts").alias("mx"))
+            .agg(F.min("mx")).collect()[0][0])
+    evictable = c.filter(
+        F.col("cts") + F.expr("INTERVAL 1 HOUR")
+        < F.lit(wm) - F.expr("INTERVAL 2 HOURS"))
+    batch = {r["click_id"] for r in
+             evictable.join(matched, "click_id", "left_anti").collect()}
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = {r["click_id"] for r in
+              EV.replay_unconverted_clicks(spark, sf_dir, schema).collect()}
+    assert stream == batch and len(stream) > 0
+
+
 def test_skew_safe_count_distinct_matches_direct(spark, sf_dir):
     from olap_xtrctr_spark.operators.skew import count_distinct_skew_safe
     ev = load_events(spark, sf_dir)
