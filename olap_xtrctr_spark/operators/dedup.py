@@ -330,6 +330,22 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     ``max_doc_freq`` caps posting-list length — the standard
     stop-shingle guard at corpus scale (off by default to keep
     semantics exact)."""
+    inter = _ngram_pair_counts(docs, text_col, id_col, n, max_doc_freq,
+                               "ngram_jaccard_pairs")
+    return (inter.withColumn("jaccard", F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def _ngram_pair_counts(docs: DataFrame, text_col: str, id_col: str,
+                       n: int, max_doc_freq: int | None,
+                       op_name: str) -> DataFrame:
+    """Shared inverted-index core for set-overlap pair metrics: returns
+    (id_a, id_b, inter, sz_a, sz_b) for every co-occurring pair —
+    Jaccard, containment, overlap coefficient are all final-expression
+    projections over this one plan."""
     ex = shingle_docs(docs, text_col, id_col, n)
     posting = ex.groupBy("shingle").agg(
         F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -341,7 +357,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         # guard drops (see _observe_dropped for the mechanics).
         posting = _observe_dropped(
             posting, F.size("ids") > max_doc_freq,
-            "ngram_jaccard_pairs: max_doc_freq=%d dropped %d "
+            op_name + ": max_doc_freq=%d dropped %d "
             "stop-shingle posting lists (pairs co-occurring only "
             "through those shingles are lost; intersections "
             "shrink accordingly)", max_doc_freq)
@@ -355,14 +371,33 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
     sa = sizes.select(F.col("_sid").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("_sid").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "id_a").join(sb, "id_b")
-             .withColumn("jaccard", F.round(
-                 F.col("inter")
-                 / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
-             .filter(F.col("jaccard") >= threshold)
-             .select("id_a", "id_b", "jaccard")
-    )
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 3,
+                            threshold: float = 0.8,
+                            max_doc_freq: int | None = None) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT |A∩B| / min(|A|,|B|)
+    (Broder's resemblance companion) — the doc-inside-doc detector.
+    A short document quoted whole inside a long one scores ~1.0 here
+    but near 0 on Jaccard (the union is dominated by the long side),
+    so a Jaccard-only dedup pass ships the duplicated passage to
+    training; this is the standard second filter for quote/boilerplate
+    inclusion.  ``contained_id`` names the smaller side (ties → id_a).
+
+    Same inverted-index plan as ``ngram_jaccard_pairs`` (shared core):
+    posting lists → JVM pair generation → count join — only the final
+    projection differs, so the scale story is already probed."""
+    inter = _ngram_pair_counts(docs, text_col, id_col, n, max_doc_freq,
+                               "ngram_containment_pairs")
+    return (inter.withColumn("containment", F.round(
+                F.col("inter") / F.least("sz_a", "sz_b"), 4))
+            .filter(F.col("containment") >= threshold)
+            .withColumn("contained_id",
+                        F.when(F.col("sz_b") < F.col("sz_a"),
+                               F.col("id_b")).otherwise(F.col("id_a")))
+            .select("id_a", "id_b", "containment", "contained_id"))
 
 
 def near_dup_clusters(pairs: DataFrame, max_iterations: int = 10,

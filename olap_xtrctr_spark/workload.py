@@ -105,6 +105,7 @@ _R5_FRONT = [
     "emb_lsh_near_dup_pairs",
     "emb_pq_topk",
     "events_stream_unconverted_clicks",
+    "docs_containment_pairs",
     "events_hourly_gapfilled",
     "docs_sql_function_stats",
     "events_user_state_history",
@@ -2288,6 +2289,37 @@ def build_workload() -> dict[str, QuerySpec]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE i / (sa.sz + sb.sz - i) >= 0.2""")
+
+    # asymmetric containment |A∩B| / min(|A|,|B|) over the same shingle
+    # sets — the doc-inside-doc detector Jaccard structurally misses
+    # when sizes differ.  contained_id = the smaller side (ties → id_a).
+    add("docs_containment_pairs",
+        lambda spark, sf: D.ngram_containment_pairs(_docs(spark, sf), n=3,
+                                                    threshold=0.5,
+                                                    max_doc_freq=1000),
+        r"""WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          FROM toks),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(i / LEAST(sa.sz, sb.sz), 4) AS containment,
+               CASE WHEN sb.sz < sa.sz THEN id_b ELSE id_a END
+                 AS contained_id
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i / LEAST(sa.sz, sb.sz) >= 0.5""")
 
     # winnowing (Schleimer et al. 2003): substring-level fingerprints —
     # shared token runs of length >= w+k-1 guarantee a shared fingerprint.

@@ -46,6 +46,21 @@ def test_ngram_jaccard_exact(spark):
     assert out[0]["jaccard"] == 1.0
 
 
+def test_ngram_containment_detects_doc_inside_doc(spark):
+    """A short doc quoted whole inside a long one: containment 1.0,
+    Jaccard well under the near-dup threshold — the case the
+    asymmetric metric exists for."""
+    short = "a b c d e f"
+    long = short + " g h i j k l m n o p q r s t u v w x y z " \
+                   "aa bb cc dd ee ff gg hh"
+    df = _docs(spark, [short, long])
+    out = D.ngram_containment_pairs(df, n=3, threshold=0.9).collect()
+    assert len(out) == 1
+    assert out[0]["containment"] == 1.0
+    assert out[0]["contained_id"] == 0
+    assert not D.ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+
+
 def test_simhash_identical_zero_distance(spark):
     df = _docs(spark, ["k l m n o p q r s t u v",
                        "k l m n o p q r s t u v"])
