@@ -189,3 +189,62 @@ def length_histogram(docs: DataFrame, bucket_chars: int = 200,
     return (docs.groupBy((b * bucket_chars).alias("bucket_lo"))
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(len_col).alias("total_chars")))
+
+
+def dsir_importance_weights(docs: DataFrame, target_cond,
+                            n_buckets: int = 1024,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023):
+    score every raw document by how target-like its hashed n-gram
+    feature distribution is, so a mixing step can resample the raw
+    pool toward a quality domain.  ``target_cond`` is a Column
+    predicate naming the in-domain slice (e.g. one source).
+
+    Features are unigrams + bigrams hashed into ``n_buckets`` via the
+    engine-portable 60-bit md5 bucket (same construction as
+    ``hash_split``); the per-bucket log-likelihood ratio
+    ln(p_target(f)) - ln(p_raw(f)) (add-one smoothed) is frozen to
+    integer MICRO-units once per bucket, so each document's weight —
+    Σ count(d,f) · llr_micro(f) — is exact integer arithmetic that any
+    oracle reproduces bit-for-bit (the one float op, ln, happens
+    n_buckets times per corpus, not per document).
+
+    Scale shape: two map-side-combinable aggregations over the
+    exploded features (per-doc-bucket counts, per-bucket corpus
+    counts); the LLR table is n_buckets rows — broadcast back; no
+    driver-side state.  At 100 TB this is one pass over the tokens
+    plus a broadcast join, the cheapest useful signal in the
+    data-selection family."""
+    t = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.select(id_col, F.col(text_col),
+                    target_cond.alias("_is_target")).withColumn("_t", t)
+    n = F.size("_t")
+    bigrams = F.zip_with(
+        F.slice("_t", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("_t", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    feats = d.select(
+        id_col, "_is_target",
+        F.explode(F.concat("_t", bigrams)).alias("feat"))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("f:"), F.col("feat"))), 1, 15), 16, 10)
+        .cast("bigint") % n_buckets)
+    feats = feats.select(id_col, "_is_target", bucket.alias("bucket"))
+
+    doc_counts = feats.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("c"))
+    corpus = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ct"))
+    totals = corpus.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    llr = (corpus.crossJoin(F.broadcast(totals))
+           .select("bucket", F.round(
+               (F.log(F.col("ct") + 1) - F.log(F.col("tt") + n_buckets)
+                - F.log(F.col("cr") + 1) + F.log(F.col("tr") + n_buckets))
+               * 1e6).cast("bigint").alias("llr_micro")))
+    return (doc_counts.join(F.broadcast(llr), "bucket")
+            .groupBy(id_col)
+            .agg(F.sum("c").alias("n_feats"),
+                 F.sum(F.col("c") * F.col("llr_micro"))
+                  .alias("weight_micro")))

@@ -106,6 +106,7 @@ _R5_FRONT = [
     "emb_pq_topk",
     "events_stream_unconverted_clicks",
     "docs_containment_pairs",
+    "docs_dsir_weights",
     "events_hourly_gapfilled",
     "docs_sql_function_stats",
     "events_user_state_history",
@@ -2289,6 +2290,46 @@ def build_workload() -> dict[str, QuerySpec]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE i / (sa.sz + sb.sz - i) >= 0.2""")
+
+    # DSIR data selection (hashed-ngram importance weights): per-bucket
+    # log-likelihood ratios frozen to integer micro-units once per
+    # corpus, so each doc's weight is exact integer arithmetic — the
+    # single ln happens n_buckets times, never per document, keeping the
+    # cross-engine comparison bit-exact.  DuckDB SUM(BIGINT) → HUGEINT,
+    # hence the final CASTs (the r4 anomalies lesson).
+    add("docs_dsir_weights",
+        lambda spark, sf: SM.dsir_importance_weights(
+            _docs(spark, sf), F.col("source") == "src0"),
+        r"""WITH d AS (
+          SELECT doc_id, source = 'src0' AS is_target,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        f AS (
+          SELECT doc_id, is_target, unnest(list_concat(t,
+                   list_transform(
+                     generate_series(1, greatest(len(t) - 1, 0)),
+                     i -> concat(t[i], ' ', t[i+1])))) AS feat
+          FROM d),
+        b AS (
+          SELECT doc_id, is_target,
+                 TRY_CAST(concat('0x', substr(md5(concat('f:', feat)),
+                   1, 15)) AS BIGINT) % 1024 AS bucket
+          FROM f),
+        dc AS (SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        corpus AS (
+          SELECT bucket, COUNT(*) AS cr,
+                 SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+          FROM b GROUP BY 1),
+        tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM corpus),
+        llr AS (
+          SELECT bucket, CAST(ROUND((LN(ct + 1) - LN(tt + 1024)
+                   - LN(cr + 1) + LN(tr + 1024)) * 1e6) AS BIGINT)
+                 AS llr_micro
+          FROM corpus, tot)
+        SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+               CAST(SUM(c * llr_micro) AS BIGINT) AS weight_micro
+        FROM dc JOIN llr USING (bucket)
+        GROUP BY 1""")
 
     # asymmetric containment |A∩B| / min(|A|,|B|) over the same shingle
     # sets — the doc-inside-doc detector Jaccard structurally misses

@@ -167,3 +167,38 @@ def test_temperature_mix_rates_boundaries(spark):
     t7 = {r["source"]: r["mix_rate"]
           for r in SM.temperature_mix_rates(docs, 0.7).collect()}
     assert 0.5 < t7["big"] < 0.8 and abs(sum(t7.values()) - 1.0) < 1e-6
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """Docs sharing the target slice's vocabulary must outscore docs
+    that don't: the importance weight is a hashed-ngram LLR, so a raw
+    doc written in the target's words has positive-leaning buckets."""
+    from pyspark.sql import Row
+    target_text = "solar panels convert sunlight into electric power"
+    rows = [
+        Row(doc_id=0, source="tgt", text=target_text),
+        Row(doc_id=1, source="tgt",
+            text="solar power systems store electric energy"),
+        Row(doc_id=2, source="raw",
+            text="solar panels and electric power at home"),
+        Row(doc_id=3, source="raw",
+            text="recipe for sourdough bread with olive oil"),
+    ]
+    df = spark.createDataFrame(rows)
+    w = {r["doc_id"]: r["weight_micro"]
+         for r in SM.dsir_importance_weights(
+             df, F.col("source") == "tgt", n_buckets=64).collect()}
+    assert set(w) == {0, 1, 2, 3}
+    assert w[2] > w[3], f"target-like doc not preferred: {w}"
+
+
+def test_dsir_weights_exact_integer_and_deterministic(spark, docs):
+    """Two runs produce identical integer weights (the ln is frozen to
+    micro-units per bucket before any per-doc math)."""
+    cond = F.col("source") == "src0"
+    a = sorted(map(tuple, SM.dsir_importance_weights(docs, cond)
+                   .collect()))
+    b = sorted(map(tuple, SM.dsir_importance_weights(docs, cond)
+                   .collect()))
+    assert a == b and len(a) > 0
+    assert all(isinstance(r[2], int) for r in a)
