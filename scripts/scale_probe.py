@@ -118,6 +118,14 @@ PROBE_QUERIES = [
     "events_ohlc_hourly",
     "events_stream_ohlc",
     "tpch_join_profile_orders_customer",
+    # round-5 third wave: containment shares the jaccard posting-list
+    # core (dup replicas concentrate pair gen ~FACTOR^2 inside groups,
+    # documented above for edit_distance/winnow); DSIR is explode + two
+    # map-side-combinable aggs — expected ~linear; the left-outer stream
+    # join measures outer-state eviction at 10x event density
+    "docs_containment_pairs",
+    "docs_dsir_weights",
+    "events_stream_unconverted_clicks",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
