@@ -248,3 +248,23 @@ def dsir_importance_weights(docs: DataFrame, target_cond,
             .agg(F.sum("c").alias("n_feats"),
                  F.sum(F.col("c") * F.col("llr_micro"))
                   .alias("weight_micro")))
+
+
+def dsir_select_top_k(docs: DataFrame, target_cond, k: int = 50,
+                      n_buckets: int = 1024, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """The selection half of DSIR: rank the raw pool by importance
+    weight and keep the top ``k`` (deterministic ties by id — the
+    hard-threshold variant of the paper's Gumbel resampling, which is
+    what a reproducible pipeline actually ships).
+
+    TakeOrderedAndProject shape: the global sort never materializes —
+    each partition keeps its local top-k and the driver merges k
+    rows, so selection cost is O(corpus) scan + O(k) merge at any
+    corpus size."""
+    w = dsir_importance_weights(docs, target_cond, n_buckets=n_buckets,
+                                text_col=text_col, id_col=id_col)
+    top = (w.orderBy(F.desc("weight_micro"), F.asc(id_col)).limit(k))
+    win = Window.orderBy(F.desc("weight_micro"), F.asc(id_col))
+    return (top.withColumn("rank", F.row_number().over(win))
+               .select("rank", id_col, "n_feats", "weight_micro"))
