@@ -371,7 +371,15 @@ def _ngram_pair_counts(docs: DataFrame, text_col: str, id_col: str,
     inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
     sa = sizes.select(F.col("_sid").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("_sid").alias("id_b"), F.col("sz").alias("sz_b"))
-    return inter.join(sa, "id_a").join(sb, "id_b")
+    # SHUFFLE_HASH on the sizes side: the static planner has no usable
+    # estimate for `inter` (aggregate over a generate) and on a
+    # duplicate-heavy corpus picks it as the BROADCAST side — measured
+    # at ~sf1 with 10x exact-dup replicas: 10 GiB build > the 8 GiB
+    # broadcast hard cap, query dies.  The hint builds the per-doc
+    # sizes table (one slim row per doc) partition-wise instead; the
+    # pair table only ever streams.
+    return (inter.join(sa.hint("shuffle_hash"), "id_a")
+                 .join(sb.hint("shuffle_hash"), "id_b"))
 
 
 def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",

@@ -381,7 +381,8 @@ def pq_codes(emb: DataFrame, m: int = 16, n_centroids: int = 64,
 def pq_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
                    m: int = 16, n_centroids: int = 64, dim: int = 64,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   seed: int = 42, refine: int = 8) -> DataFrame:
+                   seed: int = 42, refine: int = 8,
+                   _candidates: DataFrame | None = None) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes with exact
     re-ranking: each query keeps its EXACT vector and precomputes a
     lookup table of dot products against every subspace centroid
@@ -426,8 +427,17 @@ def pq_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
         "neighbor_id", "nnorm",
         F.posexplode(F.array(*[F.col(f"code_{s}") for s in range(m)]))
          .alias("subspace", "code"))
-    scored = (exploded
-              .join(F.broadcast(lut_df), ["subspace", "code"])
+    if _candidates is not None:
+        # IVF-restricted path (ivfpq_cosine_topk): the (query, neighbor)
+        # allow-list lands BEFORE the ADC join, so only probed cells'
+        # codes are scored; the LUT key gains query_id accordingly
+        scored = (exploded
+                  .join(_candidates, "neighbor_id")
+                  .join(F.broadcast(lut_df),
+                        ["query_id", "subspace", "code"]))
+    else:
+        scored = exploded.join(F.broadcast(lut_df), ["subspace", "code"])
+    scored = (scored
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .groupBy("query_id", "neighbor_id")
               .agg(F.sum("partial").alias("adc_dot"),
@@ -457,3 +467,58 @@ def pq_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
                     .filter(F.col("rank") <= k)
                     .select("query_id", "rank", "neighbor_id",
                             F.round("cos", 4).alias("cosine")))
+
+
+def ivfpq_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
+                      n_clusters: int = 8, n_probe: int = 3,
+                      m: int = 16, n_centroids: int = 64, dim: int = 64,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      seed: int = 42, refine: int = 8) -> DataFrame:
+    """The full IVFPQ index shape: coarse KMeans cells prune the
+    corpus (only ``n_probe`` cells per query are scanned), PQ-ADC
+    scores the survivors from their compressed codes, and the exact
+    cosine re-ranks the k·refine shortlist.  This is the composition
+    the two halves (``ivf_cosine_topk``, ``pq_cosine_topk``) document:
+    at a billion vectors neither pruning nor compression suffices
+    alone — IVF bounds how MANY codes are read, PQ bounds how BIG
+    each read is.
+
+    Scale shape: one distributed coarse KMeans + m subspace KMeans
+    (training); serving touches (corpus/n_clusters)·n_probe code rows
+    per query via the broadcast (query, cell) probe list, then the
+    broadcast ADC LUT join, then the |Q|·k·refine exact tail.  Only
+    query vectors, centroids, and codebooks ever reach the driver."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>"))
+        .alias("features"))
+    coarse = KMeans(k=n_clusters, seed=seed, maxIter=10,
+                    featuresCol="features", predictionCol="cell").fit(feats)
+    assigned = coarse.transform(feats).select(id_col, vec_col, "cell")
+
+    centers = coarse.clusterCenters()
+    qrows = (emb.filter(F.col(id_col).isin(query_ids))
+                .select(id_col, vec_col).collect())
+    probes = []
+    for r in qrows:
+        v = np.asarray(r[vec_col], dtype=float)
+        dists = [float(np.linalg.norm(v - c)) for c in centers]
+        for b in np.argsort(dists)[:n_probe]:
+            probes.append((r[id_col], int(b)))
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(probes, ["query_id", "cell"])
+
+    # PQ scores only the probed cells' vectors; cell survival rides
+    # along so the candidate restriction happens before the ADC join
+    cand_ids = (assigned.join(F.broadcast(probe_df), "cell")
+                .select(F.col(id_col).alias("neighbor_id"), "query_id")
+                .distinct())
+    scored = pq_cosine_topk(emb, [r[id_col] for r in qrows], k=k,
+                            m=m, n_centroids=n_centroids, dim=dim,
+                            id_col=id_col, vec_col=vec_col, seed=seed,
+                            refine=refine, _candidates=cand_ids)
+    return scored

@@ -104,6 +104,7 @@ _R5_FRONT = [
     "docs_lexical_diversity",
     "emb_lsh_near_dup_pairs",
     "emb_pq_topk",
+    "emb_ivfpq_topk",
     "events_stream_unconverted_clicks",
     "docs_containment_pairs",
     "docs_dsir_weights",
@@ -2250,6 +2251,13 @@ def build_workload() -> dict[str, QuerySpec]:
     add("emb_pq_topk",
         lambda spark, sf: S.pq_cosine_topk(_emb(spark, sf), [0, 1, 2, 3, 4],
                                            k=3),
+        None)
+    # the composed index: IVF cell pruning bounds how MANY codes are
+    # read, PQ bounds how BIG each read is; exact tail re-ranks.
+    # Rows-only (two KMeans stages); recall floor guards the composition
+    add("emb_ivfpq_topk",
+        lambda spark, sf: S.ivfpq_cosine_topk(_emb(spark, sf),
+                                              [0, 1, 2, 3, 4], k=3),
         None)
     # all-pairs near-dup WITHOUT the GEMM broadcast bound (the scale path
     # embedding_near_dups reroutes to); loose-threshold setting matches

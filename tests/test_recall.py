@@ -132,6 +132,20 @@ def test_pq_topk_recall_on_planted_pairs(emb, planted_embedding_pairs):
     assert ok / n >= 0.85, f"PQ planted-pair recall collapsed: {ok}/{n}"
 
 
+def test_ivfpq_topk_recall_on_planted_pairs(emb, planted_embedding_pairs):
+    """The composed IVFPQ index (coarse-cell pruning + PQ-ADC + exact
+    re-rank) must keep >=85% planted recall@1 with a majority of cells
+    probed — pruning and compression errors compound, so this floor
+    guards the COMPOSITION, not just the halves."""
+    qids = sorted({a for a, _ in planted_embedding_pairs})
+    found = _topk_sets(S.ivfpq_cosine_topk(emb, qids, k=1,
+                                           n_probe=5).collect())
+    ok = sum(1 for a, b in planted_embedding_pairs
+             if b in found.get(a, set()))
+    n = len(planted_embedding_pairs)
+    assert ok / n >= 0.85, f"IVFPQ planted-pair recall collapsed: {ok}/{n}"
+
+
 def test_quantized_topk_recall_vs_exact(emb):
     """int8 quantization must preserve the exact top-3 neighborhood
     almost perfectly (64-dim vectors, ~0.4% worst-case per-component
