@@ -268,3 +268,36 @@ def dsir_select_top_k(docs: DataFrame, target_cond, k: int = 50,
     win = Window.orderBy(F.desc("weight_micro"), F.asc(id_col))
     return (top.withColumn("rank", F.row_number().over(win))
                .select("rank", id_col, "n_feats", "weight_micro"))
+
+
+def dsir_gumbel_sample(docs: DataFrame, target_cond, k: int = 50,
+                       temperature: float = 1.0, n_buckets: int = 1024,
+                       salt: str = "dsir-gumbel-v1",
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """The paper's stochastic DSIR resampling via the Gumbel-top-k
+    trick: sampling k docs without replacement with probability
+    ∝ exp(weight/temperature) is exactly taking the top k of
+    weight/temperature + Gumbel noise.  The noise is DETERMINISTIC
+    across engines and retries — u ~ U(0,1) comes from the same md5
+    bucket construction as ``hash_split`` (bucket + ½ over the bucket
+    count, so u is never 0 or 1), g = -ln(-ln(u)) — which is what
+    makes a resampled corpus reproducible and oracle-checkable at all.
+    Everything lands in integer micro-units before the comparison, so
+    ties and ordering agree bit-for-bit.
+
+    Same TakeOrderedAndProject shape as ``dsir_select_top_k`` — the
+    noise is a projection, adding nothing to the shuffle."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive: {temperature}")
+    w = dsir_importance_weights(docs, target_cond, n_buckets=n_buckets,
+                                text_col=text_col, id_col=id_col)
+    u = (_hash_bucket(F.col(id_col), salt) + F.lit(0.5)) / float(_BUCKETS)
+    g_micro = F.round(-F.log(-F.log(u)) * 1e6).cast("bigint")
+    key = (F.round(F.col("weight_micro") / temperature).cast("bigint")
+           + g_micro)
+    keyed = w.withColumn("key_micro", key)
+    top = keyed.orderBy(F.desc("key_micro"), F.asc(id_col)).limit(k)
+    win = Window.orderBy(F.desc("key_micro"), F.asc(id_col))
+    return (top.withColumn("rank", F.row_number().over(win))
+               .select("rank", id_col, "weight_micro", "key_micro"))

@@ -109,6 +109,7 @@ _R5_FRONT = [
     "docs_containment_pairs",
     "docs_dsir_weights",
     "docs_dsir_top_docs",
+    "docs_dsir_gumbel_sample",
     "events_hourly_gapfilled",
     "docs_sql_function_stats",
     "events_user_state_history",
@@ -2381,6 +2382,56 @@ def build_workload() -> dict[str, QuerySpec]:
                doc_id, n_feats, weight_micro
         FROM base
         ORDER BY weight_micro DESC, doc_id
+        LIMIT 50""")
+
+    # stochastic DSIR via Gumbel-top-k with a DETERMINISTIC noise
+    # source (md5-bucket uniform -> -ln(-ln(u))), integer micro-units
+    # before comparison — reproducible resampling any engine replays
+    add("docs_dsir_gumbel_sample",
+        lambda spark, sf: SM.dsir_gumbel_sample(
+            _docs(spark, sf), F.col("source") == "src0", k=50),
+        r"""WITH base AS (WITH d AS (
+            SELECT doc_id, source = 'src0' AS is_target,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS t
+            FROM documents),
+          f AS (
+            SELECT doc_id, is_target, unnest(list_concat(t,
+                     list_transform(
+                       generate_series(1, greatest(len(t) - 1, 0)),
+                       i -> concat(t[i], ' ', t[i+1])))) AS feat
+            FROM d),
+          b AS (
+            SELECT doc_id, is_target,
+                   TRY_CAST(concat('0x', substr(md5(concat('f:', feat)),
+                     1, 15)) AS BIGINT) % 1024 AS bucket
+            FROM f),
+          dc AS (SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+          corpus AS (
+            SELECT bucket, COUNT(*) AS cr,
+                   SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+            FROM b GROUP BY 1),
+          tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM corpus),
+          llr AS (
+            SELECT bucket, CAST(ROUND((LN(ct + 1) - LN(tt + 1024)
+                     - LN(cr + 1) + LN(tr + 1024)) * 1e6) AS BIGINT)
+                   AS llr_micro
+            FROM corpus, tot)
+          SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+                 CAST(SUM(c * llr_micro) AS BIGINT) AS weight_micro
+          FROM dc JOIN llr USING (bucket)
+          GROUP BY 1
+          ),
+        keyed AS (
+          SELECT doc_id, weight_micro,
+                 CAST(ROUND(weight_micro / 1.0) AS BIGINT)
+                 + CAST(ROUND(-LN(-LN((TRY_CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':dsir-gumbel-v1')), 1, 15)) AS BIGINT) % 10000
+                     + 0.5) / 10000.0)) * 1e6) AS BIGINT) AS key_micro
+          FROM base)
+        SELECT CAST(ROW_NUMBER() OVER (
+                 ORDER BY key_micro DESC, doc_id) AS INTEGER) AS rank,
+               doc_id, weight_micro, key_micro
+        FROM keyed
+        ORDER BY key_micro DESC, doc_id
         LIMIT 50""")
 
     # asymmetric containment |A∩B| / min(|A|,|B|) over the same shingle

@@ -202,3 +202,25 @@ def test_dsir_weights_exact_integer_and_deterministic(spark, docs):
                    .collect()))
     assert a == b and len(a) > 0
     assert all(isinstance(r[2], int) for r in a)
+
+
+def test_dsir_gumbel_sample_deterministic_and_tempered(spark, docs):
+    """Gumbel resampling is deterministic across runs (md5 noise); at
+    tiny temperature weights dominate (matches the hard top-k set);
+    at huge temperature noise dominates (selection diverges)."""
+    cond = F.col("source") == "src0"
+    a = [tuple(r) for r in SM.dsir_gumbel_sample(docs, cond, k=20,
+                                                 temperature=1.0).collect()]
+    b = [tuple(r) for r in SM.dsir_gumbel_sample(docs, cond, k=20,
+                                                 temperature=1.0).collect()]
+    assert a == b and len(a) == 20
+    cold = {r["doc_id"] for r in SM.dsir_gumbel_sample(
+        docs, cond, k=20, temperature=1e-6).collect()}
+    hard = {r["doc_id"] for r in SM.dsir_select_top_k(
+        docs, cond, k=20).collect()}
+    assert cold == hard
+    hot = {r["doc_id"] for r in SM.dsir_gumbel_sample(
+        docs, cond, k=20, temperature=1e9).collect()}
+    assert hot != hard
+    with pytest.raises(ValueError):
+        SM.dsir_gumbel_sample(docs, cond, temperature=0)
