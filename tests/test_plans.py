@@ -206,3 +206,20 @@ def test_plans_audit_flagship(spark, sf_dir):
     assert a["shuffle_exchanges"] >= 1        # the group-by exchange
     assert any("l_orderkey" in s or "o_orderkey" in s
                for s in a["read_schemas"])    # pruned scans visible
+
+
+def test_ngram_pair_core_never_broadcasts_the_pair_table(spark, sf_dir):
+    """Probe #13 regression guard: the pair-count aggregate has no
+    usable size estimate, and letting the planner broadcast it dies at
+    the 8 GiB cap on duplicate-heavy corpora (measured 10 GiB at ~sf1).
+    The sizes side must carry the SHUFFLE_HASH hint — the size joins
+    must be ShuffledHashJoin, never a BroadcastExchange whose build is
+    the pair table."""
+    from olap_xtrctr_spark.operators import dedup as D
+    from olap_xtrctr_spark.session import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    for fn in (lambda: D.ngram_jaccard_pairs(docs, n=3, threshold=0.2),
+               lambda: D.ngram_containment_pairs(docs, n=3,
+                                                 threshold=0.5)):
+        plan = _plan(fn())
+        assert "ShuffledHashJoin" in plan, plan[:600]
