@@ -598,3 +598,58 @@ def normalize_unicode(docs: DataFrame, text_col: str = "text",
     _norm_batch.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     _norm = pandas_udf(_norm_batch, "string")
     return docs.withColumn(out_col, _norm(F.col(text_col)))
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Lucene idf variant) — the
+    lexical scorer ``hybrid_search``'s substring filter is not: term
+    frequency saturation (k1) and length normalization (b) over an
+    exact document-frequency idf.
+
+    Cross-engine exactness, same discipline as the DSIR family: idf is
+    frozen to integer micro-units ONCE PER TERM (the only ln); each
+    (doc, term) contribution — idf_micro × the tf/length fraction,
+    which uses only IEEE-exact +,×,/ on literals — rounds to integer
+    milli-units BEFORE the per-doc sum, so the final score is an
+    order-independent integer an oracle reproduces bit-for-bit.
+
+    Scale shape: one explode over matching tokens only (the isin
+    filter lands before the shuffle), per-doc length from a
+    map-side-combinable count, the per-term idf table and corpus
+    totals broadcast; top-k is TakeOrderedAndProject."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = docs.select(
+        id_col, F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                  r"\s+")).alias("token"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    tot = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("dl").alias("total_len"))
+    hits = toks.filter(F.col("token").isin([t.lower() for t in terms]))
+    dfreq = (hits.select(id_col, "token").distinct()
+             .groupBy("token").agg(F.count(F.lit(1)).alias("df")))
+    idf = (dfreq.crossJoin(F.broadcast(tot))
+           .select("token", F.round(F.log(
+               (F.col("n_docs") - F.col("df") + 0.5)
+               / (F.col("df") + 0.5) + 1.0) * 1e6)
+               .cast("bigint").alias("idf_micro")))
+    tf = hits.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (tf.join(dl, id_col)
+              .join(F.broadcast(idf), "token")
+              .crossJoin(F.broadcast(tot))
+              .withColumn("contrib_milli", F.round(
+                  F.col("idf_micro")
+                  * (F.col("tf") * (k1 + 1.0)
+                     / (F.col("tf") + k1 * (1.0 - b + b * (
+                         F.col("dl") * F.col("n_docs")
+                         / F.col("total_len")))))
+                  / 1000.0).cast("bigint"))
+              .groupBy(id_col)
+              .agg(F.sum("contrib_milli").alias("score_milli"),
+                   F.count(F.lit(1)).alias("n_terms_hit")))
+    top = scored.orderBy(F.desc("score_milli"), F.asc(id_col)).limit(k)
+    win = Window.orderBy(F.desc("score_milli"), F.asc(id_col))
+    return (top.withColumn("rank", F.row_number().over(win))
+               .select("rank", id_col, "n_terms_hit", "score_milli"))

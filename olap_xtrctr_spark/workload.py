@@ -110,6 +110,7 @@ _R5_FRONT = [
     "docs_dsir_weights",
     "docs_dsir_top_docs",
     "docs_dsir_gumbel_sample",
+    "docs_bm25_topk",
     "events_hourly_gapfilled",
     "docs_sql_function_stats",
     "events_user_state_history",
@@ -2433,6 +2434,48 @@ def build_workload() -> dict[str, QuerySpec]:
         FROM keyed
         ORDER BY key_micro DESC, doc_id
         LIMIT 50""")
+
+    # BM25 ranked retrieval — idf frozen to micro-units per TERM (the
+    # only ln), each (doc,term) contribution rounded to integer milli
+    # BEFORE the per-doc sum → order-independent exact integer score
+    add("docs_bm25_topk",
+        lambda spark, sf: TX.bm25_topk(_docs(spark, sf),
+                                       ["hash", "join", "stream"], k=10),
+        r"""WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(
+                   trim(lower(text)), '\s+')) AS token
+          FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT)
+                  AS total_len FROM dl),
+        hits AS (SELECT doc_id, token FROM toks
+                 WHERE token IN ('hash', 'join', 'stream')),
+        dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+                  FROM hits GROUP BY 1),
+        idf AS (
+          SELECT token, CAST(ROUND(LN((n_docs - df + 0.5) / (df + 0.5)
+                   + 1.0) * 1e6) AS BIGINT) AS idf_micro
+          FROM dfreq, tot),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf
+               FROM hits GROUP BY 1, 2),
+        contrib AS (
+          SELECT tf.doc_id, CAST(ROUND(
+                   idf_micro * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75
+                     * (dl * n_docs / total_len)))) / 1000.0)
+                 AS BIGINT) AS contrib_milli
+          FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+          JOIN idf ON idf.token = tf.token, tot),
+        scored AS (
+          SELECT doc_id, CAST(SUM(contrib_milli) AS BIGINT)
+                   AS score_milli,
+                 COUNT(*) AS n_terms_hit
+          FROM contrib GROUP BY 1)
+        SELECT CAST(ROW_NUMBER() OVER (
+                 ORDER BY score_milli DESC, doc_id) AS INTEGER) AS rank,
+               doc_id, n_terms_hit, score_milli
+        FROM scored
+        ORDER BY score_milli DESC, doc_id
+        LIMIT 10""")
 
     # asymmetric containment |A∩B| / min(|A|,|B|) over the same shingle
     # sets — the doc-inside-doc detector Jaccard structurally misses

@@ -1353,3 +1353,20 @@ def test_streaming_ohlc_replay_equals_batch(spark, sf_dir):
               (r["open"], r["close"], r["low"], r["high"], r["n_events"])
               for r in replay_ohlc_hourly(spark, sf_dir, schema).collect()}
     assert batch == stream and len(batch) > 0
+
+
+def test_bm25_ranks_relevance_and_respects_length_norm(spark):
+    from olap_xtrctr_spark.operators import text as TX
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="hash join hash join hash"),
+        Row(doc_id=1, text="hash table scan"),
+        Row(doc_id=2, text="sort merge only here"),
+        Row(doc_id=3, text="hash " + "filler " * 50),
+    ])
+    out = TX.bm25_topk(df, ["hash", "join"], k=10).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert 2 not in got                       # no query term -> absent
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    assert ranks[0] == 1                      # both terms, high tf
+    # same single term, but doc 3 is 17x longer -> length norm demotes
+    assert got[1]["score_milli"] > got[3]["score_milli"]
