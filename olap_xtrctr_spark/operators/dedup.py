@@ -142,8 +142,10 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     scored = cand.join(sa, "id_a").join(sb, "id_b")
     sim = sum([(F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
                for i in range(num_hashes)]) / num_hashes
-    return (scored.withColumn("est_jaccard", F.round(sim, 4))
-                  .filter(F.col("est_jaccard") >= threshold)
+    # Threshold on the unrounded estimate (consistent with the exact
+    # pair ops); the rounded value is only the reported column.
+    return (scored.filter(sim >= threshold)
+                  .withColumn("est_jaccard", F.round(sim, 4))
                   .select("id_a", "id_b", "est_jaccard"))
 
 
@@ -332,10 +334,12 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     semantics exact)."""
     inter = _ngram_pair_counts(docs, text_col, id_col, n, max_doc_freq,
                                "ngram_jaccard_pairs")
-    return (inter.withColumn("jaccard", F.round(
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
-            .filter(F.col("jaccard") >= threshold)
+    # Filter on the UNROUNDED ratio (the oracle does too) so both
+    # engines cut at the same boundary; round only the reported value.
+    ratio = (F.col("inter")
+             / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+    return (inter.filter(ratio >= threshold)
+            .withColumn("jaccard", F.round(ratio, 4))
             .select("id_a", "id_b", "jaccard"))
 
 
@@ -399,9 +403,11 @@ def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
     projection differs, so the scale story is already probed."""
     inter = _ngram_pair_counts(docs, text_col, id_col, n, max_doc_freq,
                                "ngram_containment_pairs")
-    return (inter.withColumn("containment", F.round(
-                F.col("inter") / F.least("sz_a", "sz_b"), 4))
-            .filter(F.col("containment") >= threshold)
+    # Filter on the UNROUNDED ratio (the oracle does too) so both
+    # engines cut at the same boundary; round only the reported value.
+    ratio = F.col("inter") / F.least("sz_a", "sz_b")
+    return (inter.filter(ratio >= threshold)
+            .withColumn("containment", F.round(ratio, 4))
             .withColumn("contained_id",
                         F.when(F.col("sz_b") < F.col("sz_a"),
                                F.col("id_b")).otherwise(F.col("id_a")))
@@ -696,9 +702,11 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
 
 def _winnow_windows(docs: DataFrame, text_col: str, id_col: str,
                     k: int, w: int) -> DataFrame:
-    """One row per winnowing WINDOW: (id, _pos, fp) with _pos the
-    0-based window start — the position-carrying form the extent/span
-    diagnostics need (``winnow_fingerprints`` is its distinct)."""
+    """One row per winnowing WINDOW: (id, _pos, fp, _n_grams) with
+    _pos the 0-based window start — the position-carrying form the
+    extent/span diagnostics need (``winnow_fingerprints`` is its
+    distinct).  ``_n_grams`` (constant per doc) lets span extraction
+    clamp to the real document extent for sub-w-gram documents."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     d = docs.select(id_col, toks.alias("_toks"))
     # sequence(1, 0) is DESCENDING [1, 0], not empty — guard short docs
@@ -719,7 +727,7 @@ def _winnow_windows(docs: DataFrame, text_col: str, id_col: str,
     return (g.withColumn("fp", F.min("_h").over(win))
              .filter(F.col("_pos") <= F.greatest(F.col("_n_grams") - w,
                                                  F.lit(0)))
-             .select(id_col, "_pos", "fp"))
+             .select(id_col, "_pos", "fp", "_n_grams"))
 
 
 def winnow_dup_extent(docs: DataFrame, text_col: str = "text",
@@ -860,8 +868,13 @@ def winnow_match_spans(docs: DataFrame, text_col: str = "text",
                  pw.rowsBetween(Window.unboundedPreceding,
                                 Window.currentRow)))
              .groupBy(id_col, "other_id", "_span")
+             # span covers tokens [min_pos, max_pos + w + k - 2] for a
+             # full w-gram window; a doc with fewer than w grams has one
+             # truncated window, so clamp to the last real token index
+             # (n_grams + k - 2; _n_grams is constant per doc).
              .agg(F.min("_pos").cast("bigint").alias("span_start"),
-                  (F.max("_pos") + (w + k - 2)).cast("bigint")
+                  F.least(F.max("_pos") + (w + k - 2),
+                          F.max("_n_grams") + (k - 2)).cast("bigint")
                    .alias("span_end"),
                   F.count(F.lit(1)).alias("n_windows"))
              .drop("_span"))

@@ -38,7 +38,15 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
     either snapshot, status in {added, removed, changed, unchanged}
     (added = only in ``new``).  ``compare_cols`` defaults to every
     shared non-key column; columns only one side has are ignored —
-    schema evolution is a different check (`operators/expectations`)."""
+    schema evolution is a different check (`operators/expectations`).
+
+    Keys need NOT be unique: each side collapses to ONE fingerprint
+    per key (md5 over the sorted multiset of row fingerprints), so a
+    key with duplicate rows compares as a multiset instead of fanning
+    out through the full-outer join and silently inflating
+    ``snapshot_diff_summary`` counts (the promotion gate).  For unique
+    keys this is bit-identical to comparing the row fingerprints
+    directly."""
     if compare_cols is None:
         compare_cols = [c for c in old.columns
                         if c not in key_cols and c in new.columns]
@@ -47,10 +55,17 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
     if missing:
         raise ValueError(f"columns {missing} not present in both "
                          f"snapshots")
-    o = old.select(*key_cols,
-                   _row_fingerprint(compare_cols).alias("_fp_old"))
-    n = new.select(*key_cols,
-                   _row_fingerprint(compare_cols).alias("_fp_new"))
+
+    def keyed_fp(df: DataFrame, alias: str) -> DataFrame:
+        return (df.select(*key_cols,
+                          _row_fingerprint(compare_cols).alias("_rfp"))
+                  .groupBy(*key_cols)
+                  .agg(F.md5(F.concat_ws(
+                      ",", F.sort_array(F.collect_list("_rfp"))))
+                        .alias(alias)))
+
+    o = keyed_fp(old, "_fp_old")
+    n = keyed_fp(new, "_fp_new")
     j = o.join(n, key_cols, "full_outer")
     status = (F.when(F.col("_fp_old").isNull(), "added")
                .when(F.col("_fp_new").isNull(), "removed")

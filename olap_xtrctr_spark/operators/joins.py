@@ -115,7 +115,6 @@ def join_profile(left: DataFrame, right: DataFrame,
     from pyspark.sql import functions as F
 
     def side(df, tag):
-        key = [F.col(c) for c in keys]
         nullc = F.when(
             F.greatest(*[F.col(c).isNull() for c in keys])
             if len(keys) > 1 else F.col(keys[0]).isNull(), 1).otherwise(0)

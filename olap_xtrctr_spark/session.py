@@ -27,6 +27,20 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _default_driver_mem() -> str:
+    """min(24g, half of physical RAM), floored at 2g — 24g is what the
+    wide minhash aggregate needs to avoid GC thrash across 32 local
+    task threads (BASELINE.md round-5 note), but baking it in
+    unconditionally would fail JVM launch on small hosts (ADVICE r5).
+    SPARK_GRAFT_DRIVER_MEM overrides either way."""
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        half_gb = int(total / (2 * 1024 ** 3))
+    except (ValueError, OSError, AttributeError):  # non-POSIX fallback
+        half_gb = 8
+    return f"{max(2, min(24, half_gb))}g"
+
+
 def get_spark(app_name: str = "olap-xtrctr-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(int(cpus), 8)))
@@ -45,10 +59,13 @@ def get_spark(app_name: str = "olap-xtrctr-spark") -> SparkSession:
         # In local mode every task thread shares the DRIVER heap: 8g
         # across 32 threads GC-thrashed the wide minhash aggregate in a
         # long bench session (measured 14-16 s vs 3.1 s at 16 g for the
-        # identical query — BASELINE.md round-5 note).  24g leaves the
-        # 128 GiB box plenty of page cache; on a real cluster this knob
-        # sizes only the driver and executors get spark.executor.memory.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # identical query — BASELINE.md round-5 note).  The default is
+        # RAM-derived (min(24g, half physical)) so small hosts still
+        # launch; on a real cluster this knob sizes only the driver and
+        # executors get spark.executor.memory.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                               _default_driver_mem()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized

@@ -47,7 +47,15 @@ def ohlc_hourly(events: DataFrame, value_col: str = "value") -> DataFrame:
 
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization per user via lag + cumulative sum —
-    one shuffle on user_id, deterministic (ties broken by event_id)."""
+    one shuffle on user_id, deterministic (ties broken by event_id).
+
+    Late-event semantics vs the streaming tracker: this batch form sees
+    all events at once, so a late event more than one gap before an
+    open session becomes its own earlier session; the stateful tracker
+    (``stateful.streaming_session_tracker``, note at
+    ``stateful.py:129``) instead folds it into the open session via
+    min/max so session bounds never regress — see
+    ``stateful.batch_closed_sessions`` for why both are intended."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # unix_timestamp, not cast("long"): same seconds semantics on TIMESTAMP
     # but it also resolves on timestamp_ntz input (no NTZ→BIGINT cast exists)

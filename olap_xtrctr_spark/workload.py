@@ -89,57 +89,65 @@ _FACT_OW = "lineitem JOIN orders_wide ON l_orderkey = o_orderkey"
 # for regression coverage.  Entries past the window all have green rows
 # from earlier rounds; WORKLOAD.md documents which round graded what.
 _GATE_WINDOW = 50
-_R5_FRONT = [
-    # oracle-typing fix this round (DuckDB windowed SUM → HUGEINT; oracles
-    # now CAST to BIGINT) — need a fresh green driver row
-    "events_stream_anomalies",
-    "events_hourly_anomalies",
-    # new this round — need their first driver rows
-    "docs_winnow_fingerprints",
-    "docs_winnow_dup_pairs",
-    "docs_source_tv_distance",
-    "docs_distinctive_terms",
-    "cube_mdx_named_properties",
-    "docs_cross_source_dup",
-    "docs_lexical_diversity",
-    "emb_lsh_near_dup_pairs",
-    "emb_pq_topk",
-    "emb_ivfpq_topk",
-    "events_stream_unconverted_clicks",
-    "docs_containment_pairs",
-    "docs_dsir_weights",
-    "docs_dsir_top_docs",
-    "docs_dsir_gumbel_sample",
-    "docs_bm25_topk",
-    "events_hourly_gapfilled",
-    "docs_sql_function_stats",
-    "events_user_state_history",
-    "events_rfm_segments",
-    "events_type_cooccurrence_lift",
-    "events_type_transitions",
-    "events_first_touch_attribution",
-    "events_linear_attribution",
-    "events_click_purchase_delay",
-    # added after the manifest was written; ordered outside the window
-    # by build order, so they'd get no first driver row without a slot
-    "docs_winnow_dup_extent",
-    "docs_winnow_match_spans",
-    "docs_snapshot_diff",
-    "docs_unicode_normalize",
-    "tpch_join_profile_orders_customer",
-    "events_ohlc_hourly",
-    "events_stream_ohlc",
-    "events_type_drift_daily",
-    "events_grouping_sets",
-    "cube_nation_share_of_region",
-    "docs_hybrid_search",
-    "events_silence_report",
-    "events_key_skew_report",
-    # everything else follows build order: cube_* → tpch_* → members_* —
-    # the round-1/2 block whose driver rows are stale (VERDICT r4 item 2).
-    # The r3/r4-graded block (docs_*/events_* extensions) rotates out; it
-    # keeps green rows from CORRECTNESS_r03/r04 and stays covered by the
-    # local all-entries gate (scripts/check_correctness.py).
+_GATE_FRONT = [
+    # Round-6 rotation (VERDICT r5 item 1): the 50 entries whose latest
+    # driver rows are the stalest — the whole r2-graded block (40 entries:
+    # tpch_*, members_*, cube_3dim/filter_set/catalog_1998/rollup_subtotals,
+    # docs_token_stats, docs_lang_id) plus the 10 oldest r3-graded docs_*
+    # entries, in build order within each staleness class.  Computed from
+    # CORRECTNESS_r01..r05 latest-pass rounds.  Everything rotated out
+    # keeps a green r4/r5 driver row and stays covered by the local
+    # all-entries gate (scripts/check_correctness.py).
+    "cube_3dim_crossjoin",
+    "cube_filter_set",
+    "cube_catalog_1998_nation",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q12_priority_shipping",
+    "tpch_q14_promo_revenue",
+    "tpch_q4_order_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_parts_supplier",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q18_large_orders",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q20_excess_shippers",
+    "tpch_q21_waiting_orders",
+    "cube_rollup_subtotals",
+    "members_nation_list",
+    "members_depth_filter",
+    "members_search",
+    "members_fulltext_search",
+    "members_children_exact",
+    "members_children_prefix",
+    "members_apartados",
+    "members_variables_of_apartados",
+    "members_ordinal_sort",
+    "members_pagination",
+    "members_full_view",
+    "members_level_cardinalities",
+    "docs_token_stats",
+    "docs_lang_id",
+    "docs_quality_score",
+    "docs_top_tokens",
+    "docs_fingerprint",
+    "docs_redact_pii",
+    "docs_pack_sequences",
+    "docs_strip_markup",
+    "docs_contamination_check",
+    "docs_mix_corpus",
+    "docs_hash_split",
+    "docs_stratified_sample",
 ]
 
 
@@ -2530,7 +2538,7 @@ def build_workload() -> dict[str, QuerySpec]:
                  i, n_grams
           FROM grams),
         wfil AS (
-          SELECT doc_id, i, fp
+          SELECT doc_id, i, fp, n_grams
           FROM wins WHERE i <= greatest(n_grams - 4, 1))"""
 
     _WINNOW_FPS_SQL = _WINNOW_WINS_SQL + """
@@ -2583,12 +2591,12 @@ def build_workload() -> dict[str, QuerySpec]:
           UNION ALL
           SELECT id_b, id_a FROM shared),
         matched AS (
-          SELECT b.doc_id, b.other_id, w.i - 1 AS pos
+          SELECT b.doc_id, b.other_id, w.i - 1 AS pos, w.n_grams
           FROM dirs b
           JOIN fps pf ON pf.doc_id = b.other_id
           JOIN wfil w ON w.doc_id = b.doc_id AND w.fp = pf.fp),
         sp AS (
-          SELECT doc_id, other_id, pos,
+          SELECT doc_id, other_id, pos, n_grams,
                  CASE WHEN pos - lag(pos) OVER
                         (PARTITION BY doc_id, other_id ORDER BY pos) > 5
                       THEN 1 ELSE 0 END AS new_span
@@ -2600,7 +2608,10 @@ def build_workload() -> dict[str, QuerySpec]:
           FROM sp)
         SELECT doc_id, other_id,
                CAST(MIN(pos) AS BIGINT) AS span_start,
-               CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+               -- clamp to the last real token index (n_grams + k - 2)
+               -- for sub-w-gram docs with one truncated window
+               CAST(least(MAX(pos) + 7, MAX(n_grams) + 2)
+                    AS BIGINT) AS span_end,
                COUNT(*) AS n_windows
         FROM sp2 GROUP BY doc_id, other_id, span""")
 
@@ -3860,13 +3871,13 @@ def build_workload() -> dict[str, QuerySpec]:
                     F.col("q50_q90_q99")[2].alias("q99"))),
         None)
 
-    # Order per the gate-window manifest (see _R5_FRONT above).
-    missing = [n for n in _R5_FRONT if n not in q]
+    # Order per the gate-window manifest (see _GATE_FRONT above).
+    missing = [n for n in _GATE_FRONT if n not in q]
     assert not missing, f"gate manifest names unknown entries: {missing}"
     assert len(q) > _GATE_WINDOW, \
         "workload shrank below the driver's grading window"
-    front = set(_R5_FRONT)
-    ordered = _R5_FRONT + [n for n in q if n not in front]
+    front = set(_GATE_FRONT)
+    ordered = _GATE_FRONT + [n for n in q if n not in front]
     return {n: q[n] for n in ordered}
 
 

@@ -1184,6 +1184,45 @@ def test_snapshot_diff_statuses(spark):
                     "added": 1}
 
 
+def test_snapshot_diff_duplicate_keys_multiset(spark):
+    # Duplicate keys must NOT fan out through the full-outer join
+    # (ADVICE r5): each key collapses to one row, compared as a
+    # multiset of row fingerprints.
+    from olap_xtrctr_spark.operators.diff import (snapshot_diff,
+                                                  snapshot_diff_summary)
+    old = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "x"), (3, "s")],
+        "id int, text string")
+    new = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "x"), (2, "x"), (3, "s")],
+        "id int, text string")
+    rows = {r["id"]: r["status"]
+            for r in snapshot_diff(old, new, ["id"]).collect()}
+    # key 1: same multiset -> unchanged; key 2: {x} vs {x,x} -> changed
+    assert rows == {1: "unchanged", 2: "changed", 3: "unchanged"}
+    # exactly one output row per key -> summary counts keys, not the
+    # cartesian fan-out
+    summ = {r["status"]: r["n_rows"]
+            for r in snapshot_diff_summary(old, new, ["id"]).collect()}
+    assert summ == {"unchanged": 2, "changed": 1}
+
+
+def test_winnow_match_spans_clamped_to_doc_extent(spark):
+    # A doc with fewer than w grams has one truncated window; span_end
+    # must clamp to its last real token index (ADVICE r5), not assume a
+    # full w-gram window.
+    base = "uno dos tres cuatro cinco"      # 5 toks, 2 grams (k=4) < w=5
+    df = _docs(spark, [base,
+                       f"{base} seis siete ocho nueve diez once doce"])
+    rows = D.winnow_match_spans(df, k=4, w=5, min_shared=1).collect()
+    spans = {(r["doc_id"], r["other_id"]): r for r in rows}
+    assert (0, 1) in spans
+    r = spans[(0, 1)]
+    # doc 0 has 5 tokens -> last token index 4; unclamped would be
+    # 0 + w + k - 2 = 7
+    assert r["span_start"] == 0 and r["span_end"] == 4
+
+
 def test_snapshot_diff_null_vs_empty_and_missing_col(spark):
     import pytest
 
