@@ -82,29 +82,50 @@ def main() -> None:
     except Exception as exc:
         print(f"# members-cache prime failed: {exc}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
+    # Three passes per query (pass-wise, so pass 1 stays comparable to
+    # the single-pass totals of earlier rounds): single-pass numbers let
+    # host noise masquerade as plan regressions (SCALE.md probe #14 — a
+    # 67.9 s end-of-session GC artifact got a whole operator flagged
+    # perf-weak).  The median is the self-describing per-query signal;
+    # min bounds the noise floor.
+    passes: dict[str, list[float]] = {}
     failed: list[str] = []
-    for name in HEADLINE:
-        spec = WORKLOAD[name]
-        t0 = time.perf_counter()
-        # One broken query must not zero the whole round's bench signal:
-        # record the failure and keep measuring the rest.
-        try:
-            df = spec.fn(spark, SF_DIR)
-            n = df.count()
-        except Exception as exc:
-            failed.append(name)
-            print(f"# {name}: FAILED ({exc})", file=sys.stderr)
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    for pass_i in range(n_passes):
+        for name in HEADLINE:
+            if name in failed:
+                continue
+            spec = WORKLOAD[name]
+            t0 = time.perf_counter()
+            # One broken query must not zero the whole round's bench
+            # signal: record the failure and keep measuring the rest.
+            try:
+                df = spec.fn(spark, SF_DIR)
+                n = df.count()
+            except Exception as exc:
+                failed.append(name)
+                print(f"# {name}: FAILED ({exc})", file=sys.stderr)
+                continue
+            t = round(time.perf_counter() - t0, 3)
+            passes.setdefault(name, []).append(t)
+            if pass_i == 0:
+                print(f"# {name}: {t:.3f}s ({n} rows)", file=sys.stderr)
 
+    def med(ts: list[float]) -> float:
+        return round(sorted(ts)[len(ts) // 2], 3)
+
+    timings = {n: ts[0] for n, ts in passes.items()}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_wall_clock",
+        # pass-1 total: continuity with BENCH_r01-r05 (cold-ish cache)
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_median": {n: med(ts) for n, ts in passes.items()},
+        "queries_min": {n: round(min(ts), 3) for n, ts in passes.items()},
+        "value_median": round(sum(med(ts) for ts in passes.values()), 3),
+        "n_passes": n_passes,
         "failed": failed,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

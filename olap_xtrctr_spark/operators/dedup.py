@@ -400,13 +400,115 @@ def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
 
     Same inverted-index plan as ``ngram_jaccard_pairs`` (shared core):
     posting lists → JVM pair generation → count join — only the final
-    projection differs, so the scale story is already probed."""
+    projection differs.  Probe #13's 67.9 s at ~sf1 turned out to be
+    end-of-session GC noise: a same-session A/B re-measure (SCALE.md
+    round-6 note) puts this core at 34.1 s vs 27.1 s for Jaccard on
+    the identical 10x-replica corpus.  The PPJoin-style prefix-filter
+    alternative (``ngram_containment_pairs_prefix``) was measured 10x
+    SLOWER there — exact replicas give every shingle the same df, so
+    prefixes prune nothing — and is kept for the corpus shape it does
+    win on (sparse duplication flooded by hot boilerplate)."""
     inter = _ngram_pair_counts(docs, text_col, id_col, n, max_doc_freq,
                                "ngram_containment_pairs")
     # Filter on the UNROUNDED ratio (the oracle does too) so both
     # engines cut at the same boundary; round only the reported value.
     ratio = F.col("inter") / F.least("sz_a", "sz_b")
     return (inter.filter(ratio >= threshold)
+            .withColumn("containment", F.round(ratio, 4))
+            .withColumn("contained_id",
+                        F.when(F.col("sz_b") < F.col("sz_a"),
+                               F.col("id_b")).otherwise(F.col("id_a")))
+            .select("id_a", "id_b", "containment", "contained_id"))
+
+
+def ngram_containment_pairs_prefix(docs: DataFrame,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id", n: int = 3,
+                                   threshold: float = 0.8,
+                                   max_doc_freq: int | None = None
+                                   ) -> DataFrame:
+    """``ngram_containment_pairs`` with PREFIX-FILTERED candidate
+    generation (the PPJoin family, Xiao et al. 2008) — bit-identical
+    output, different cost profile.
+
+    A containment threshold t is an overlap constraint
+    |A∩B| >= ceil(t * min(|A|,|B|)); order every document's shingles
+    by ascending corpus document-frequency (rarest first) and keep
+    each doc's PREFIX of length sz - ceil(t*sz) + 1.  Any qualifying
+    pair must share a shingle inside the SMALLER side's prefix (if it
+    missed the whole prefix, at most ceil(t*sz)-1 shingles would
+    remain to share — below the bound), so joining {prefix shingles
+    of the smaller side} x {all shingles} on the shingle finds every
+    true pair; candidates are then verified EXACTLY by re-counting
+    shared shingles.
+
+    When to use which (both measured at ~sf1, SCALE.md round-6 note):
+    hot boilerplate shingles sit at the END of the df-ascending order
+    and fall out of every prefix, so this variant keeps working where
+    the all-co-occurrences core would either quadratically explode a
+    posting list or need a semantics-changing ``max_doc_freq`` drop.
+    On a replica-heavy corpus it LOSES (34 s core vs ~318 s prefix at
+    ~sf1): exact duplicates give every shingle the same df, prefixes
+    prune nothing, and the ranked-shingle lineage is paid four times.
+    Default to the core; switch here when the df histogram is
+    boilerplate-shaped and you cannot afford the stop-shingle drop."""
+    sh = (shingle_docs(docs, text_col, id_col, n)
+          .select(F.col(id_col).alias("_id"), "shingle"))
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    if max_doc_freq is not None:
+        # Same stop-shingle guard as the Jaccard core: drop shingles
+        # shared by more docs than the cap from BOTH candidate
+        # generation and intersection counting (doc sizes stay
+        # pre-drop, matching _ngram_pair_counts).  Never silent.
+        dfreq = _observe_dropped(
+            dfreq, F.col("_df") > max_doc_freq,
+            "ngram_containment_pairs_prefix: max_doc_freq=%d dropped %d "
+            "stop-shingle posting lists (pairs co-occurring only "
+            "through those shingles are lost; intersections "
+            "shrink accordingly)", max_doc_freq)
+        dfreq = dfreq.filter(F.col("_df") <= max_doc_freq)
+    ranked = (sh.join(dfreq.hint("shuffle_hash"), "shingle")
+                .join(sizes.hint("shuffle_hash"), "_id")
+                .withColumn("_rk", F.row_number().over(
+                    Window.partitionBy("_id")
+                          .orderBy("_df", "shingle"))))
+    # ceil with a 1e-9 slack: a float t*sz landing a hair ABOVE an
+    # exact integer would shorten the prefix below the sound length;
+    # erring longer only adds candidates, never loses one.
+    alpha = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+    pref = ranked.filter(F.col("_rk") <= F.col("sz") - alpha + 1)
+    full = ranked.select(F.col("_id").alias("_fid"), "shingle",
+                         F.col("sz").alias("_fsz"))
+    cand = (pref.select(F.col("_id").alias("_pid"), "shingle",
+                        F.col("sz").alias("_psz"))
+            .join(full, "shingle")
+            # the guarantee needs only the SMALLER side's prefix hit
+            # (ties qualify from either side)
+            .filter((F.col("_pid") != F.col("_fid"))
+                    & (F.col("_psz") <= F.col("_fsz")))
+            .select(F.least("_pid", "_fid").alias("id_a"),
+                    F.greatest("_pid", "_fid").alias("id_b"))
+            .distinct())
+    # exact verification: count shared (df-surviving) shingles per
+    # candidate pair — output identical to the unfiltered core
+    shf = ranked.select("_id", "shingle")
+    inter = (cand
+             .join(shf.select(F.col("_id").alias("id_a"), "shingle"),
+                   "id_a")
+             .join(shf.select(F.col("_id").alias("id_b"), "shingle")
+                      .hint("shuffle_hash"),
+                   ["id_b", "shingle"])
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    scored = (inter.join(sa.hint("shuffle_hash"), "id_a")
+                   .join(sb.hint("shuffle_hash"), "id_b"))
+    # Filter on the UNROUNDED ratio (the oracle does too) so both
+    # engines cut at the same boundary; round only the reported value.
+    ratio = F.col("inter") / F.least("sz_a", "sz_b")
+    return (scored.filter(ratio >= threshold)
             .withColumn("containment", F.round(ratio, 4))
             .withColumn("contained_id",
                         F.when(F.col("sz_b") < F.col("sz_a"),

@@ -97,7 +97,10 @@ _GATE_FRONT = [
     # entries, in build order within each staleness class.  Computed from
     # CORRECTNESS_r01..r05 latest-pass rounds.  Everything rotated out
     # keeps a green r4/r5 driver row and stays covered by the local
-    # all-entries gate (scripts/check_correctness.py).
+    # all-entries gate (scripts/check_correctness.py).  New round-6
+    # entries (no driver row yet) lead; each displaces one r3-stale
+    # entry from the back of the front (still r3-green + local-gated).
+    "docs_containment_pairs_prefix",
     "cube_3dim_crossjoin",
     "cube_filter_set",
     "cube_catalog_1998_nation",
@@ -147,7 +150,6 @@ _GATE_FRONT = [
     "docs_contamination_check",
     "docs_mix_corpus",
     "docs_hash_split",
-    "docs_stratified_sample",
 ]
 
 
@@ -2488,11 +2490,7 @@ def build_workload() -> dict[str, QuerySpec]:
     # asymmetric containment |A∩B| / min(|A|,|B|) over the same shingle
     # sets — the doc-inside-doc detector Jaccard structurally misses
     # when sizes differ.  contained_id = the smaller side (ties → id_a).
-    add("docs_containment_pairs",
-        lambda spark, sf: D.ngram_containment_pairs(_docs(spark, sf), n=3,
-                                                    threshold=0.5,
-                                                    max_doc_freq=1000),
-        r"""WITH toks AS (
+    _CONTAINMENT_SQL = r"""WITH toks AS (
           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
           FROM documents),
         sh AS (
@@ -2514,7 +2512,21 @@ def build_workload() -> dict[str, QuerySpec]:
         FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
-        WHERE i / LEAST(sa.sz, sb.sz) >= 0.5""")
+        WHERE i / LEAST(sa.sz, sb.sz) >= 0.5"""
+
+    add("docs_containment_pairs",
+        lambda spark, sf: D.ngram_containment_pairs(_docs(spark, sf), n=3,
+                                                    threshold=0.5,
+                                                    max_doc_freq=1000),
+        _CONTAINMENT_SQL)
+
+    # PPJoin prefix-filtered variant: bit-identical contract (same
+    # oracle), different cost profile — see the operator docstring for
+    # the measured trade-off and when to pick which
+    add("docs_containment_pairs_prefix",
+        lambda spark, sf: D.ngram_containment_pairs_prefix(
+            _docs(spark, sf), n=3, threshold=0.5, max_doc_freq=1000),
+        _CONTAINMENT_SQL)
 
     # winnowing (Schleimer et al. 2003): substring-level fingerprints —
     # shared token runs of length >= w+k-1 guarantee a shared fingerprint.

@@ -61,6 +61,30 @@ def test_ngram_containment_detects_doc_inside_doc(spark):
     assert not D.ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
 
 
+def test_ngram_containment_prefix_variant_identical(spark):
+    """The PPJoin prefix-filtered variant must emit bit-identical rows
+    to the all-co-occurrences core — including under the stop-shingle
+    guard and with sub-n-token docs — on a corpus mixing containment,
+    boilerplate, and unrelated docs."""
+    boiler = "copyright terms apply see license for details"
+    short = "uno dos tres cuatro cinco seis"
+    docs = [short,                                  # contained in 1
+            f"{short} siete ocho nueve diez once doce trece " + boiler,
+            f"alpha beta gamma delta epsilon zeta " + boiler,
+            "totally different words here with no overlap at all",
+            "tiny doc",                             # < n tokens
+            "tiny doc"]                             # exact dup of 4
+    df = _docs(spark, docs)
+    for kw in ({"threshold": 0.5}, {"threshold": 0.9},
+               {"threshold": 0.5, "max_doc_freq": 2}):
+        core = sorted(map(tuple, D.ngram_containment_pairs(
+            df, n=3, **kw).collect()))
+        pref = sorted(map(tuple, D.ngram_containment_pairs_prefix(
+            df, n=3, **kw).collect()))
+        assert core == pref, (kw, core, pref)
+    assert any(r for r in core)   # the corpus actually produces pairs
+
+
 def test_simhash_identical_zero_distance(spark):
     df = _docs(spark, ["k l m n o p q r s t u v",
                        "k l m n o p q r s t u v"])
