@@ -331,7 +331,8 @@ def hybrid_search(docs: DataFrame, emb: DataFrame, query_terms: list[str],
 
 def pq_codes(emb: DataFrame, m: int = 16, n_centroids: int = 64,
              dim: int = 64, id_col: str = "vec_id",
-             vec_col: str = "embedding", seed: int = 42):
+             vec_col: str = "embedding", seed: int = 42,
+             norm_vec_col: str | None = None):
     """Product-quantization codebooks + codes (Jégou et al. 2011, the
     backbone of billion-scale ANN): the vector is split into ``m``
     contiguous subvectors; each subspace gets its own ``n_centroids``
@@ -361,9 +362,11 @@ def pq_codes(emb: DataFrame, m: int = 16, n_centroids: int = 64,
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_d = dim // m
+    # norm_vec_col: when the quantized column is a RESIDUAL (IVFPQ),
+    # the cosine denominator still needs the ORIGINAL vector's norm
     out = emb.select(F.col(id_col).alias("neighbor_id"),
                      F.col(vec_col).alias("_vec"),
-                     _norm(F.col(vec_col)).alias("nnorm"))
+                     _norm(F.col(norm_vec_col or vec_col)).alias("nnorm"))
     codebooks = []
     for s in range(m):
         sub = F.slice(F.col("_vec"), s * sub_d + 1, sub_d)
@@ -474,20 +477,39 @@ def ivfpq_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
                       m: int = 16, n_centroids: int = 64, dim: int = 64,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       seed: int = 42, refine: int = 8) -> DataFrame:
-    """The full IVFPQ index shape: coarse KMeans cells prune the
-    corpus (only ``n_probe`` cells per query are scanned), PQ-ADC
-    scores the survivors from their compressed codes, and the exact
-    cosine re-ranks the k·refine shortlist.  This is the composition
-    the two halves (``ivf_cosine_topk``, ``pq_cosine_topk``) document:
-    at a billion vectors neither pruning nor compression suffices
-    alone — IVF bounds how MANY codes are read, PQ bounds how BIG
-    each read is.
+    """The full IVFPQ index shape with RESIDUAL encoding (Jégou et
+    al. 2011 §IV): coarse KMeans cells prune the corpus (only
+    ``n_probe`` cells per query are scanned), PQ quantizes the
+    RESIDUAL v − c(v) rather than the raw vector, ADC scores the
+    survivors from their compressed codes plus the exact
+    query·centroid offset, and the exact cosine re-ranks the
+    k·refine shortlist.  Residuals are what the coarse quantizer
+    leaves unexplained: on clustered corpora their energy is a
+    fraction of the raw vectors', so the same m × n_centroids code
+    budget spends its resolution on a tighter distribution — the
+    FAISS-standard formulation.  Honest measurement (SCALE.md round-6
+    note): on THIS repo's near-uniform synthetic embeddings the
+    planted-pair recall is identical to raw-vector encoding at every
+    n_probe (13/14 at n_probe=3, 14/14 at 5) because the coarse
+    centroids explain almost no variance there — the gain is
+    proportional to what the coarse quantizer captures, which for
+    real embedding corpora (clustered by construction) is large.
+    tests/test_recall.py pins the floor at the tighter n_probe=3.
+
+    adc_dot(q, v) = q·c(v) [exact, per probed cell — n_probe terms
+    per query, computed driver-side with the probe list] + Σ_s
+    LUT[q][s][code_s(v)] [residual codebook lookups].  The corpus
+    norm in the cosine denominator stays the EXACT raw-vector norm
+    (``pq_codes(norm_vec_col=...)``).
 
     Scale shape: one distributed coarse KMeans + m subspace KMeans
-    (training); serving touches (corpus/n_clusters)·n_probe code rows
-    per query via the broadcast (query, cell) probe list, then the
-    broadcast ADC LUT join, then the |Q|·k·refine exact tail.  Only
-    query vectors, centroids, and codebooks ever reach the driver."""
+    over residuals (training); serving touches
+    (corpus/n_clusters)·n_probe code rows per query via the broadcast
+    (query, cell) probe list, then the broadcast ADC LUT join, then
+    the |Q|·k·refine exact tail.  Only query vectors, centroids, and
+    codebooks ever reach the driver; the residual column is computed
+    JVM-side (zip_with against a broadcast centers table) and never
+    materialized past PQ training."""
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -501,24 +523,82 @@ def ivfpq_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
     assigned = coarse.transform(feats).select(id_col, vec_col, "cell")
 
     centers = coarse.clusterCenters()
+    spark = emb.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        ["cell", "_center"])
+    # residual = v - c(v), JVM-side over the broadcast centers row
+    residuals = (assigned.join(F.broadcast(centers_df), "cell")
+                 .withColumn("_res", F.zip_with(
+                     F.col(vec_col).cast("array<double>"), "_center",
+                     lambda a, b: a - b))
+                 .select(id_col, vec_col, "cell", "_res"))
+    codes_df, codebooks = pq_codes(
+        residuals, m=m, n_centroids=n_centroids, dim=dim, id_col=id_col,
+        vec_col="_res", seed=seed, norm_vec_col=vec_col)
+    codes_df = codes_df.join(
+        residuals.select(F.col(id_col).alias("neighbor_id"), "cell"),
+        "neighbor_id")
+
     qrows = (emb.filter(F.col(id_col).isin(query_ids))
                 .select(id_col, vec_col).collect())
-    probes = []
+    sub_d = dim // m
+    probes, lut, qnorms = [], [], []
     for r in qrows:
         v = np.asarray(r[vec_col], dtype=float)
+        qnorms.append((r[id_col], float(np.linalg.norm(v))))
         dists = [float(np.linalg.norm(v - c)) for c in centers]
         for b in np.argsort(dists)[:n_probe]:
-            probes.append((r[id_col], int(b)))
-    spark = emb.sparkSession
-    probe_df = spark.createDataFrame(probes, ["query_id", "cell"])
+            # the exact q·centroid offset for every probed cell
+            probes.append((r[id_col], int(b),
+                           float(np.dot(v, centers[b]))))
+        for s in range(m):
+            qs = v[s * sub_d:(s + 1) * sub_d]
+            for c, cen in enumerate(codebooks[s]):
+                lut.append((r[id_col], s, c, float(np.dot(qs, cen))))
+    probe_df = spark.createDataFrame(probes,
+                                     ["query_id", "cell", "qc_dot"])
+    lut_df = spark.createDataFrame(
+        lut, ["query_id", "subspace", "code", "partial"])
+    qn_df = spark.createDataFrame(qnorms, ["query_id", "qnorm"])
 
-    # PQ scores only the probed cells' vectors; cell survival rides
-    # along so the candidate restriction happens before the ADC join
-    cand_ids = (assigned.join(F.broadcast(probe_df), "cell")
-                .select(F.col(id_col).alias("neighbor_id"), "query_id")
-                .distinct())
-    scored = pq_cosine_topk(emb, [r[id_col] for r in qrows], k=k,
-                            m=m, n_centroids=n_centroids, dim=dim,
-                            id_col=id_col, vec_col=vec_col, seed=seed,
-                            refine=refine, _candidates=cand_ids)
-    return scored
+    # cell restriction lands BEFORE the ADC join: only probed cells'
+    # codes are ever exploded/scored, and the probe row carries the
+    # exact q·c(v) term the residual decomposition needs
+    exploded = (codes_df.join(F.broadcast(probe_df), "cell")
+                .select("query_id", "neighbor_id", "nnorm", "qc_dot",
+                        F.posexplode(F.array(
+                            *[F.col(f"code_{s}") for s in range(m)]))
+                        .alias("subspace", "code")))
+    scored = (exploded
+              .join(F.broadcast(lut_df),
+                    ["query_id", "subspace", "code"])
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .groupBy("query_id", "neighbor_id")
+              .agg((F.first("qc_dot") + F.sum("partial")).alias("adc_dot"),
+                   F.first("nnorm").alias("nnorm"))
+              .join(F.broadcast(qn_df), "query_id")
+              .withColumn("adc_cos", F.col("adc_dot")
+                          / (F.col("qnorm") * F.col("nnorm"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cos"),
+                                               F.asc("neighbor_id"))
+    shortlist = (scored.withColumn("rank", F.row_number().over(w))
+                       .filter(F.col("rank") <= k * max(refine, 1))
+                       .select("query_id", "neighbor_id"))
+
+    # exact re-rank: only the shortlist touches full-precision vectors
+    qvec_df = (emb.filter(F.col(id_col).isin(query_ids))
+                  .select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("qvec")))
+    nvec_df = emb.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("nvec"))
+    rescored = (shortlist
+                .join(nvec_df, "neighbor_id")
+                .join(F.broadcast(qvec_df), "query_id")
+                .withColumn("cos", _cosine(F.col("qvec"), F.col("nvec"))))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                                F.asc("neighbor_id"))
+    return (rescored.withColumn("rank", F.row_number().over(w2))
+                    .filter(F.col("rank") <= k)
+                    .select("query_id", "rank", "neighbor_id",
+                            F.round("cos", 4).alias("cosine")))

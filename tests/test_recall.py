@@ -133,17 +133,26 @@ def test_pq_topk_recall_on_planted_pairs(emb, planted_embedding_pairs):
 
 
 def test_ivfpq_topk_recall_on_planted_pairs(emb, planted_embedding_pairs):
-    """The composed IVFPQ index (coarse-cell pruning + PQ-ADC + exact
-    re-rank) must keep >=85% planted recall@1 with a majority of cells
-    probed — pruning and compression errors compound, so this floor
-    guards the COMPOSITION, not just the halves."""
+    """The composed residual-encoded IVFPQ index (coarse-cell pruning
+    + residual PQ-ADC + exact re-rank) must keep >=85% planted
+    recall@1 at n_probe=3 of 8 cells — TIGHTER than the round-5 floor
+    (n_probe=5): pruning and compression errors compound, so this
+    floor guards the COMPOSITION, not just the halves.  Measured
+    13/14 at n_probe=3 and 14/14 at n_probe=5 (deterministic seeds;
+    SCALE.md round-6 note)."""
     qids = sorted({a for a, _ in planted_embedding_pairs})
+    n = len(planted_embedding_pairs)
     found = _topk_sets(S.ivfpq_cosine_topk(emb, qids, k=1,
-                                           n_probe=5).collect())
+                                           n_probe=3).collect())
     ok = sum(1 for a, b in planted_embedding_pairs
              if b in found.get(a, set()))
-    n = len(planted_embedding_pairs)
     assert ok / n >= 0.85, f"IVFPQ planted-pair recall collapsed: {ok}/{n}"
+    found5 = _topk_sets(S.ivfpq_cosine_topk(emb, qids, k=1,
+                                            n_probe=5).collect())
+    ok5 = sum(1 for a, b in planted_embedding_pairs
+              if b in found5.get(a, set()))
+    assert ok5 >= ok, "more probes must never lose recall"
+    assert ok5 / n >= 0.85, f"IVFPQ recall at n_probe=5: {ok5}/{n}"
 
 
 def test_quantized_topk_recall_vs_exact(emb):
