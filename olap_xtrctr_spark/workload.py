@@ -101,6 +101,7 @@ _GATE_FRONT = [
     # entries (no driver row yet) lead; each displaces one r3-stale
     # entry from the back of the front (still r3-green + local-gated).
     "docs_containment_pairs_prefix",
+    "events_clustered_scan_pruning",
     "cube_3dim_crossjoin",
     "cube_filter_set",
     "cube_catalog_1998_nation",
@@ -149,7 +150,6 @@ _GATE_FRONT = [
     "docs_strip_markup",
     "docs_contamination_check",
     "docs_mix_corpus",
-    "docs_hash_split",
 ]
 
 
@@ -3000,6 +3000,23 @@ def build_workload() -> dict[str, QuerySpec]:
                CAST((n * 1000) // t.n_total AS BIGINT) AS share_milli
         FROM pk, t
         ORDER BY n DESC, key LIMIT 5""")
+
+    # query-time file skipping over the clustered rewrite: the entry
+    # rewrites events range-clustered on (event_type, ts), ASSERTS the
+    # predicate reaches the scan AND that footer min/max stats exclude
+    # a majority of row groups (rowgroup_skip_stats — the same stats
+    # the reader prunes with), then returns the rollup for the oracle.
+    # This is the lake analog of the reference's btree indexes on its
+    # members snapshot (001_initial_schema.sql:81-88).
+    def _clustered_scan(spark, sf):
+        from .sources.maintenance import clustered_scan_demo
+        return clustered_scan_demo(spark, sf, event_type="click")
+
+    add("events_clustered_scan_pruning", _clustered_scan,
+        f"""SELECT date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n_events, {SUM_D('value')} AS sum_value
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1""")
 
     # first-order Markov transitions of event types (milli-probability
     # integers; output bounded by type-vocabulary squared)

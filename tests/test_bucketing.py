@@ -402,3 +402,45 @@ def test_hilbert_parquet_validations(spark, tmp_path):
     with pytest.raises(ValueError, match="bits"):
         hilbert_parquet(spark, src, str(tmp_path / "o2"), ["id", "id"],
                         bits=16)
+
+
+def test_clustered_scan_demo_skips_rowgroups(spark, tmp_path):
+    """The end-to-end file-skipping demo: clustered rewrite separates
+    the key, footer stats exclude a majority of row groups for the
+    point predicate, the predicate reaches the scan, and the rollup
+    result is identical to querying the original table."""
+    from pyspark.sql import functions as F
+
+    from olap_xtrctr_spark.session import load_events
+    from olap_xtrctr_spark.sources.maintenance import (
+        clustered_scan_demo, rowgroup_skip_stats)
+
+    sf = "/root/testdata/sf0.01"
+    out = clustered_scan_demo(spark, sf, event_type="click",
+                              scratch_dir=str(tmp_path / "demo"))
+    got = {r["hour"]: (r["n_events"], r["sum_value"])
+           for r in out.collect()}
+    exp_df = (load_events(spark, sf)
+              .filter(F.col("event_type") == "click")
+              .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.col("value").cast("decimal(18,4)"))
+                    .cast("double").alias("sum_value")))
+    exp = {r["hour"]: (r["n_events"], r["sum_value"])
+           for r in exp_df.collect()}
+    assert got == exp and got
+    stats = rowgroup_skip_stats(
+        str(tmp_path / "demo" / "events_clustered"),
+        "event_type", "click")
+    assert stats["n_row_groups"] >= 2
+    assert stats["n_skippable"] / stats["n_row_groups"] >= 0.5
+
+
+def test_rowgroup_skip_stats_unclustered_baseline():
+    """The original single-file layout can skip nothing for a value
+    present in the data — the baseline the demo improves on."""
+    from olap_xtrctr_spark.sources.maintenance import rowgroup_skip_stats
+
+    st = rowgroup_skip_stats("/root/testdata/sf0.01/events.parquet",
+                             "event_type", "click")
+    assert st["n_skippable"] == 0
