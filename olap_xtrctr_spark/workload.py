@@ -9,76 +9,20 @@ Cross-engine exactness strategy:
 * pivot/count cells coalesce to 0 on both sides;
 * ranked outputs carry an explicit deterministic rank (ties broken by
   unique ids) instead of relying on row order.
+
+Round-6 structure: the entry builders live in per-family modules under
+``olap_xtrctr_spark/workloads/`` (cube, tpch, members_nav, docs_text,
+similarity, events — moved verbatim; VERDICT r5 item 8) with the
+shared helpers in ``workload_shared``.  This module keeps the public
+surface: ``WORKLOAD``, ``build_workload``, the gate-window manifest,
+and compat re-exports.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Callable, Optional
-
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-from .cube import sales_cube, default_registry
-from .session import load_table
-from .metadata import cached_members_df
-from .oracle import _MES_CASE as MES_CASE
-from .oracle import members_cte, view_cte
-from .mdx import parse_mdx
-from .query import AxisItem, CubeQueryEngine, FilterSpec, QueryRequest
-from . import members as M
-from .operators import dedup as D
-from .operators import sampling as SM
-from .operators import similarity as S
-from .operators import text as TX
-from .streaming import events as EV
-
-CATALOG = "VENTAS_2025"
-
-
-def SUM_D(col: str) -> str:
-    """Oracle-side mirror of Measure.agg_expr's exact-decimal SUM."""
-    return f"CAST(SUM(CAST({col} AS DECIMAL(18,4))) AS DOUBLE)"
-
-
-def AVG_D(col: str) -> str:
-    return f"{SUM_D(col)} / COUNT({col})"
-
-
-@dataclass
-class QuerySpec:
-    name: str
-    fn: Callable[[SparkSession, str], DataFrame]
-    sql: Optional[str]       # None → driver records rows-only check
-
-
-_ENG_CACHE: dict[tuple[int, str], CubeQueryEngine] = {}
-
-
-def _eng(spark: SparkSession, sf_dir: str) -> CubeQueryEngine:
-    # One engine per (session, sf_dir): the engine's view/cardinality
-    # caches are per-instance, and rebuilding it per query repays the
-    # cardinality-guard distinct count on every single cube query.
-    key = (id(spark), sf_dir)
-    eng = _ENG_CACHE.get(key)
-    if eng is None:
-        eng = _ENG_CACHE[key] = CubeQueryEngine(
-            spark, default_registry(), sf_dir)
-    return eng
-
-
-def _members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cached_members_df(spark, sales_cube(), sf_dir)
-
-
-_CUBE = sales_cube()
-_MEMBERS_CTE = members_cte(_CUBE)
-
-_OW = view_cte("orders_wide")
-_OW_PART = view_cte("orders_wide", "part_view")
-_SUPP = view_cte("supplier_geo")
-
-_FACT_OW = "lineitem JOIN orders_wide ON l_orderkey = o_orderkey"
-
+from .workload_shared import (AVG_D, CATALOG, MES_CASE,  # noqa: F401
+                              QuerySpec, SUM_D)
+from .workloads import (cube, docs_text, events, members_nav,  # noqa: F401
+                        similarity, tpch)
 
 # ---- driver gate-window manifest -----------------------------------------
 # The external correctness gate grades the FIRST _GATE_WINDOW entries of
@@ -153,3822 +97,19 @@ _GATE_FRONT = [
 ]
 
 
+
+
 def build_workload() -> dict[str, QuerySpec]:
     q: dict[str, QuerySpec] = {}
 
     def add(name, fn, sql):
         q[name] = QuerySpec(name, fn, sql)
 
-    # ================= cube queries (SURVEY §2.4/§2.5) ====================
-
-    add("cube_nation_sales",
-        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
-            CATALOG,
-            measures=["Sum Extendedprice", "Total Registros", "Sum Quantity"],
-            rows=[AxisItem("Dim Customer", "Geografía", level="Nation")])),
-        f"""WITH {_OW}
-        SELECT cust_nation AS nation,
-               {SUM_D('l_extendedprice')} AS sum_extendedprice,
-               COUNT(*) AS total_registros,
-               {SUM_D('l_quantity')} AS sum_quantity
-        FROM {_FACT_OW}
-        GROUP BY cust_nation""")
-
-    add("cube_region_priority_crossjoin",
-        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
-            CATALOG, measures=["Sum Extendedprice"],
-            rows=[AxisItem("Dim Customer", "Geografía", level="Region"),
-                  AxisItem("Dim Orders", "Prioridad", level="Prioridad")])),
-        f"""WITH {_OW}
-        SELECT cust_region AS region, order_prioridad AS prioridad,
-               {SUM_D('l_extendedprice')} AS sum_extendedprice
-        FROM {_FACT_OW}
-        GROUP BY 1, 2""")
-
-    add("cube_member_literal_rows",
-        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
-            CATALOG, measures=["Sum Quantity"],
-            rows=[AxisItem("Dim Customer", "Geografía", members=[
-                "[Dim Customer].[Geografía].[Region].&[0]",
-                "[Dim Customer].[Geografía].[Region].&[2]"])])),
-        f"""WITH {_OW}
-        SELECT cust_region AS region, {SUM_D('l_quantity')} AS sum_quantity
-        FROM {_FACT_OW}
-        WHERE cust_region_key IN (0, 2)
-        GROUP BY 1""")
-
-    add("cube_slicer_where_tuple",
-        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
-            CATALOG, measures=["Sum Extendedprice", "Total Registros"],
-            rows=[AxisItem("Dim Producto", "Producto", level="Brand")],
-            slicers=["[Dim Orders].[Estado].[Estado].&[F]"])),
-        f"""WITH {_OW_PART}
-        SELECT prod_brand AS brand,
-               {SUM_D('l_extendedprice')} AS sum_extendedprice,
-               COUNT(*) AS total_registros
-        FROM {_FACT_OW}
-        JOIN part_view ON l_partkey = p_partkey
-        WHERE order_estado = 'F'
-        GROUP BY 1""")
-
-    add("cube_time_rollup",
-        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
-            CATALOG, measures=["Sum Quantity"],
-            rows=[AxisItem("D Tiempo", "Calendario", level="Mes",
-                           properties=True)])),
-        f"""SELECT anio, mes, {SUM_D('l_quantity')} AS sum_quantity
-        FROM (SELECT CAST(year(l_shipdate) AS INTEGER) AS anio,
-                     {MES_CASE} AS mes,
-                     l_quantity
-              FROM lineitem)
-        GROUP BY 1, 2""")
-
-    add("cube_all_measures_global",
-        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
-            CATALOG, all_measures=True)),
-        f"""SELECT {SUM_D('l_extendedprice')} AS sum_extendedprice,
-               COUNT(*) AS total_registros,
-               {SUM_D('l_quantity')} AS sum_quantity,
-               {AVG_D('l_discount')} AS avg_discount
-        FROM lineitem""")
-
-    add("cube_variables_pivot",
-        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
-            CATALOG,
-            variables=[
-                "[DIM VARIABLES2025].[Apartado y Variable].[Apartado].&[Brand#11]",
-                "[DIM VARIABLES2025].[Apartado y Variable].[Apartado].&[Brand#12]"],
-            rows=[AxisItem("Dim Customer", "Geografía", level="Region")])),
-        f"""WITH {_OW_PART}
-        SELECT cust_region AS region,
-               COUNT(CASE WHEN prod_brand = 'Brand#11' THEN 1 END) AS "Brand#11",
-               COUNT(CASE WHEN prod_brand = 'Brand#12' THEN 1 END) AS "Brand#12"
-        FROM {_FACT_OW}
-        JOIN part_view ON l_partkey = p_partkey
-        WHERE prod_brand IN ('Brand#11', 'Brand#12')
-        GROUP BY 1""")
-
-    add("cube_empty_preserving_axis",
-        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
-            CATALOG, measures=["Sum Extendedprice"], non_empty=False,
-            rows=[AxisItem("Dim Orders", "Estado", level="Estado"),
-                  AxisItem("D Tiempo", "Calendario", level="Año")]),
-            empty_preserving=True),
-        f"""WITH {view_cte('orders_wide', 'time_view')},
-        ax1 AS (SELECT DISTINCT order_estado AS estado FROM orders_wide),
-        ax2 AS (SELECT DISTINCT anio FROM time_view),
-        agg AS (
-          SELECT order_estado AS estado,
-                 CAST(year(l_shipdate) AS INTEGER) AS anio,
-                 {SUM_D('l_extendedprice')} AS sum_extendedprice
-          FROM {_FACT_OW}
-          GROUP BY 1, 2)
-        SELECT ax1.estado, ax2.anio, agg.sum_extendedprice
-        FROM ax1 CROSS JOIN ax2
-        LEFT JOIN agg ON agg.estado = ax1.estado AND agg.anio = ax2.anio""")
-
-    add("cube_dimension_properties",
-        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
-            CATALOG, measures=["Total Registros"],
-            rows=[AxisItem("Dim Customer", "Geografía", level="Nation",
-                           properties=True)])),
-        f"""WITH {_OW}
-        SELECT cust_region AS region, cust_nation AS nation,
-               COUNT(*) AS total_registros
-        FROM {_FACT_OW}
-        GROUP BY 1, 2""")
-
-    # the Q13 full-MDX form: named DIMENSION PROPERTIES list resolved to
-    # the specific ancestor level (reference scanner emits
-    # [Dim].[Hier].[Level] per superior level)
-    add("cube_mdx_named_properties",
-        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
-            "SELECT {[Measures].[Total Registros]} ON COLUMNS, "
-            "NON EMPTY [Dim Customer].[Geografía].[Nation].MEMBERS "
-            "DIMENSION PROPERTIES [Dim Customer].[Geografía].[Region] "
-            "ON ROWS FROM [sales]", CATALOG)),
-        f"""WITH {_OW}
-        SELECT cust_region AS region, cust_nation AS nation,
-               COUNT(*) AS total_registros
-        FROM {_FACT_OW}
-        GROUP BY 1, 2""")
-
-    add("cube_supplier_nation",
-        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
-            CATALOG, measures=["Sum Extendedprice", "Avg Discount"],
-            rows=[AxisItem("Dim Proveedor", "Geografía Proveedor",
-                           level="Nation")])),
-        f"""WITH {_SUPP}
-        SELECT supp_nation,
-               {SUM_D('l_extendedprice')} AS sum_extendedprice,
-               {AVG_D('l_discount')} AS avg_discount
-        FROM lineitem JOIN supplier_geo ON l_suppkey = s_suppkey
-        GROUP BY 1""")
-
-    add("cube_3dim_crossjoin",
-        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
-            CATALOG, measures=["Sum Quantity"],
-            rows=[AxisItem("Dim Customer", "Geografía", level="Region"),
-                  AxisItem("Dim Orders", "Estado", level="Estado"),
-                  AxisItem("D Tiempo", "Calendario", level="Año")])),
-        f"""WITH {_OW}
-        SELECT cust_region AS region, order_estado AS estado,
-               CAST(year(l_shipdate) AS INTEGER) AS anio,
-               {SUM_D('l_quantity')} AS sum_quantity
-        FROM {_FACT_OW}
-        GROUP BY 1, 2, 3""")
-
-    add("cube_filter_set",
-        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
-            CATALOG, measures=["Total Registros"],
-            rows=[AxisItem("Dim Customer", "Segmento", level="Segmento")],
-            filters=[FilterSpec("Dim Producto", "Producto", members=[
-                "[Dim Producto].[Producto].[Brand].&[Brand#21]",
-                "[Dim Producto].[Producto].[Brand].&[Brand#22]"])])),
-        f"""WITH {_OW_PART}
-        SELECT cust_segment AS segmento, COUNT(*) AS total_registros
-        FROM {_FACT_OW}
-        JOIN part_view ON l_partkey = p_partkey
-        WHERE prod_brand IN ('Brand#21', 'Brand#22')
-        GROUP BY 1""")
-
-    # multi-catalog resolution: the year-scoped VENTAS_1998 catalog routes
-    # to its own cube whose fact is filtered to anio <= 1998 (Q14 + the
-    # reference's one-catalog-per-year layout)
-    add("cube_catalog_1998_nation",
-        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
-            "VENTAS_1998", measures=["Total Registros", "Sum Quantity"],
-            rows=[AxisItem("Dim Customer", "Geografía", level="Nation")])),
-        f"""WITH {_OW}
-        SELECT cust_nation AS nation,
-               COUNT(*) AS total_registros,
-               {SUM_D('l_quantity')} AS sum_quantity
-        FROM {_FACT_OW}
-        WHERE year(l_shipdate) <= 1998
-        GROUP BY cust_nation""")
-
-    # ================= TPC-H-style headline queries =======================
-
-    def tpch_q1(spark, sf):
-        li = load_table(spark, sf, "lineitem")
-        dec = lambda c: c.cast("decimal(18,4)")
-        # Cross-engine exactness: double->decimal casts agree between Spark
-        # and DuckDB for SINGLE column values, but NOT for a multi-factor
-        # double product (its decimal expansion can land on a .00005
-        # boundary where the engines' conversion rules part ways), and
-        # decimal DOWNCASTS disagree on exact ties (Spark HALF_UP, DuckDB
-        # half-toward-zero).  So: cast each factor to a decimal sized so
-        # every product stays inside precision 38 WITHOUT any intermediate
-        # rounding — the whole chain is exact decimal arithmetic, identical
-        # on both engines.  (12,4)*(6,4) -> (19,8); *(6,4) -> (26,12).
-        ext_d = F.col("l_extendedprice").cast("decimal(12,4)")
-        disc_f = (F.lit(1.0) - F.col("l_discount")).cast("decimal(6,4)")
-        tax_f = (F.lit(1.0) + F.col("l_tax")).cast("decimal(6,4)")
-        disc_price = ext_d * disc_f
-        charge = disc_price * tax_f
-        return (li.filter(F.col("l_shipdate") <= "2000-09-02")
-                .groupBy("l_returnflag", "l_linestatus")
-                .agg(F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
-                     F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
-                     F.sum(disc_price).cast("double").alias("sum_disc_price"),
-                     F.sum(charge).cast("double").alias("sum_charge"),
-                     (F.sum(dec(F.col("l_quantity"))).cast("double")
-                      / F.count("l_quantity")).alias("avg_qty"),
-                     (F.sum(dec(F.col("l_discount"))).cast("double")
-                      / F.count("l_discount")).alias("avg_disc"),
-                     F.count(F.lit(1)).alias("count_order")))
-
-    # DuckDB's decimal->double cast is not correctly rounded at high scale
-    # (computed in float, can be 1 ulp off Spark's BigDecimal.doubleValue);
-    # the VARCHAR bridge makes it exact-decimal -> correctly-rounded double.
-    _DISC_PRICE_D = ("CAST(l_extendedprice AS DECIMAL(12,4))"
-                     " * CAST(1.0 - l_discount AS DECIMAL(6,4))")
-    _CHARGE_D = f"{_DISC_PRICE_D} * CAST(1.0 + l_tax AS DECIMAL(6,4))"
-
-    add("tpch_q1_pricing_summary", tpch_q1,
-        f"""SELECT l_returnflag, l_linestatus,
-               {SUM_D('l_quantity')} AS sum_qty,
-               {SUM_D('l_extendedprice')} AS sum_base_price,
-               CAST(CAST(SUM({_DISC_PRICE_D}) AS VARCHAR) AS DOUBLE)
-                   AS sum_disc_price,
-               CAST(CAST(SUM({_CHARGE_D}) AS VARCHAR) AS DOUBLE)
-                   AS sum_charge,
-               {AVG_D('l_quantity')} AS avg_qty,
-               {AVG_D('l_discount')} AS avg_disc,
-               COUNT(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
-        GROUP BY l_returnflag, l_linestatus""")
-
-    def tpch_q5(spark, sf):
-        li = load_table(spark, sf, "lineitem")
-        o = load_table(spark, sf, "orders")
-        c = load_table(spark, sf, "customer")
-        s = load_table(spark, sf, "supplier")
-        n = load_table(spark, sf, "nation")
-        r = load_table(spark, sf, "region")
-        revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
-            .cast("decimal(18,4)")
-        return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-                .join(c, F.col("o_custkey") == F.col("c_custkey"))
-                .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
-                      & (F.col("c_nationkey") == F.col("s_nationkey")))
-                .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-                .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-                .filter((F.col("r_name") == "ASIA")
-                        & (F.col("o_orderdate") >= "1996-01-01")
-                        & (F.col("o_orderdate") < "1998-01-01"))
-                .groupBy(F.col("n_name").alias("nation"))
-                .agg(F.sum(revenue).cast("double").alias("revenue")))
-
-    add("tpch_q5_local_supplier", tpch_q5,
-        f"""SELECT n_name AS nation,
-               {SUM_D('l_extendedprice * (1 - l_discount)')} AS revenue
-        FROM lineitem
-        JOIN orders   ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        JOIN nation   ON s_nationkey = n_nationkey
-        JOIN region   ON n_regionkey = r_regionkey
-        WHERE r_name = 'ASIA'
-          AND o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o_orderdate <  TIMESTAMP '1998-01-01'
-        GROUP BY n_name""")
-
-    def tpch_q3ish(spark, sf):
-        li = load_table(spark, sf, "lineitem")
-        o = load_table(spark, sf, "orders")
-        c = load_table(spark, sf, "customer")
-        revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
-            .cast("decimal(18,4)")
-        return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-                .join(c, F.col("o_custkey") == F.col("c_custkey"))
-                .filter((F.col("c_mktsegment") == "BUILDING")
-                        & (F.col("o_orderdate") < "1998-03-15")
-                        & (F.col("l_shipdate") > "1998-03-15"))
-                .groupBy("o_orderpriority")
-                .agg(F.sum(revenue).cast("double").alias("revenue"),
-                     F.count(F.lit(1)).alias("n_lines")))
-
-    add("tpch_q3_shipping_priority", tpch_q3ish,
-        f"""SELECT o_orderpriority,
-               {SUM_D('l_extendedprice * (1 - l_discount)')} AS revenue,
-               COUNT(*) AS n_lines
-        FROM lineitem
-        JOIN orders   ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '1998-03-15'
-          AND l_shipdate  > TIMESTAMP '1998-03-15'
-        GROUP BY o_orderpriority""")
-
-    def tpch_q6(spark, sf):
-        li = load_table(spark, sf, "lineitem")
-        return (li.filter((F.col("l_shipdate") >= "1996-01-01")
-                          & (F.col("l_shipdate") < "1997-01-01")
-                          & (F.col("l_discount") >= 0.02)
-                          & (F.col("l_discount") <= 0.06)
-                          & (F.col("l_quantity") < 24))
-                .agg(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
-                           .cast("decimal(18,4)"))
-                      .cast("double").alias("revenue")))
-
-    add("tpch_q6_forecast_revenue", tpch_q6,
-        f"""SELECT {SUM_D('l_extendedprice * l_discount')} AS revenue
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate <  TIMESTAMP '1997-01-01'
-          AND l_discount >= 0.02 AND l_discount <= 0.06
-          AND l_quantity < 24""")
-
-    def tpch_q12(spark, sf):
-        li = load_table(spark, sf, "lineitem")
-        o = load_table(spark, sf, "orders")
-        hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-        return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-                .filter((F.col("l_shipdate") >= "1997-01-01")
-                        & (F.col("l_shipdate") < "1998-01-01"))
-                .groupBy("l_returnflag")
-                .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
-                     F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count")))
-
-    # BIGINT casts: DuckDB SUM(int) yields HUGEINT (-> float64 at the
-    # arrow edge) while Spark SUM(int) is bigint; same values, different
-    # schema — cast the oracle side down.
-    add("tpch_q12_priority_shipping", tpch_q12,
-        """SELECT l_returnflag,
-               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-          AND l_shipdate <  TIMESTAMP '1998-01-01'
-        GROUP BY l_returnflag""")
-
-    def tpch_q14(spark, sf):
-        li = load_table(spark, sf, "lineitem")
-        p = load_table(spark, sf, "part")
-        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
-            .cast("decimal(18,4)")
-        promo = F.when(F.col("p_type") == "PROMO", rev) \
-            .otherwise(F.lit(0).cast("decimal(18,4)"))
-        return (li.join(p, F.col("l_partkey") == F.col("p_partkey"))
-                .filter((F.col("l_shipdate") >= "1997-06-01")
-                        & (F.col("l_shipdate") < "1997-07-01"))
-                .agg((F.lit(100.0) * F.sum(promo).cast("double")
-                      / F.sum(rev).cast("double")).alias("promo_revenue_pct")))
-
-    add("tpch_q14_promo_revenue", tpch_q14,
-        f"""SELECT 100.0
-               * {SUM_D("CASE WHEN p_type = 'PROMO' "
-                        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
-               / {SUM_D('l_extendedprice * (1 - l_discount)')}
-               AS promo_revenue_pct
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE l_shipdate >= TIMESTAMP '1997-06-01'
-          AND l_shipdate <  TIMESTAMP '1997-07-01'""")
-
-    def tpch_q4(spark, sf):
-        # EXISTS → left_semi join: no row multiplication, the join only
-        # probes — at scale this is the cheapest correlated-subquery shape
-        li = load_table(spark, sf, "lineitem")
-        o = load_table(spark, sf, "orders")
-        returned = li.filter(F.col("l_returnflag") == "R") \
-                     .select("l_orderkey")
-        return (o.filter((F.col("o_orderdate") >= "1996-07-01")
-                         & (F.col("o_orderdate") < "1996-10-01"))
-                 .join(returned, F.col("o_orderkey") == F.col("l_orderkey"),
-                       "left_semi")
-                 .groupBy("o_orderpriority")
-                 .agg(F.count(F.lit(1)).alias("order_count")))
-
-    add("tpch_q4_order_priority", tpch_q4,
-        """SELECT o_orderpriority, COUNT(*) AS order_count
-        FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
-          AND o_orderdate <  TIMESTAMP '1996-10-01'
-          AND EXISTS (SELECT 1 FROM lineitem
-                      WHERE l_orderkey = o_orderkey
-                        AND l_returnflag = 'R')
-        GROUP BY o_orderpriority""")
-
-    def tpch_q13(spark, sf):
-        # left outer join + two-level aggregation (count distribution);
-        # customers with zero orders must appear with c_count = 0
-        o = load_table(spark, sf, "orders") \
-            .filter(F.col("o_orderpriority") != "1-URGENT") \
-            .select("o_orderkey", "o_custkey")
-        c = load_table(spark, sf, "customer").select("c_custkey")
-        per_cust = (c.join(o, F.col("c_custkey") == F.col("o_custkey"),
-                           "left")
-                    .groupBy("c_custkey")
-                    .agg(F.count("o_orderkey").alias("c_count")))
-        return (per_cust.groupBy("c_count")
-                .agg(F.count(F.lit(1)).alias("custdist")))
-
-    add("tpch_q13_customer_distribution", tpch_q13,
-        """SELECT c_count, COUNT(*) AS custdist
-        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
-              FROM customer LEFT JOIN orders
-                ON c_custkey = o_custkey
-               AND o_orderpriority <> '1-URGENT'
-              GROUP BY c_custkey)
-        GROUP BY c_count""")
-
-    def tpch_q16(spark, sf):
-        # anti join (NOT IN supplier complaints) + distinct-count per group
-        p = load_table(spark, sf, "part")
-        ps = load_table(spark, sf, "supplier") \
-            .filter(F.col("s_acctbal") < 0).select("s_suppkey")
-        li = load_table(spark, sf, "lineitem") \
-            .select("l_partkey", "l_suppkey").dropDuplicates()
-        return (li.join(F.broadcast(ps),
-                        F.col("l_suppkey") == F.col("s_suppkey"),
-                        "left_anti")
-                .join(p.filter(F.col("p_type") != "PROMO"),
-                      F.col("l_partkey") == F.col("p_partkey"))
-                .groupBy("p_brand", "p_type")
-                .agg(F.count_distinct("l_suppkey").alias("supplier_cnt")))
-
-    add("tpch_q16_parts_supplier", tpch_q16,
-        """SELECT p_brand, p_type,
-               COUNT(DISTINCT l_suppkey) AS supplier_cnt
-        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li
-        JOIN part ON l_partkey = p_partkey
-        WHERE p_type <> 'PROMO'
-          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                                WHERE s_acctbal < 0)
-        GROUP BY p_brand, p_type""")
-
-    def tpch_q19(spark, sf):
-        # disjunction of conjunctive band predicates: Catalyst extracts
-        # the common l_partkey equi-key and pushes the residual OR below
-        # the join — the classic pushdown stress test
-        li = load_table(spark, sf, "lineitem")
-        p = load_table(spark, sf, "part")
-        j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
-        band = (
-            ((F.col("p_brand") == "Brand#12") & (F.col("l_quantity") >= 1)
-             & (F.col("l_quantity") <= 30) & (F.col("p_size") <= 10))
-            | ((F.col("p_brand") == "Brand#23") & (F.col("l_quantity") >= 5)
-               & (F.col("l_quantity") <= 35) & (F.col("p_size") <= 20))
-            | ((F.col("p_brand") == "Brand#34") & (F.col("l_quantity") >= 10)
-               & (F.col("l_quantity") <= 40) & (F.col("p_size") <= 30)))
-        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
-            .cast("decimal(18,4)")
-        return j.filter(band).agg(
-            F.sum(rev).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_lines"))
-
-    add("tpch_q19_discounted_revenue", tpch_q19,
-        f"""SELECT {SUM_D('l_extendedprice * (1 - l_discount)')} AS revenue,
-               COUNT(*) AS n_lines
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 30
-               AND p_size <= 10)
-           OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 5 AND 35
-               AND p_size <= 20)
-           OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 10 AND 40
-               AND p_size <= 30)""")
-
-    def tpch_q22(spark, sf):
-        # global-aggregate broadcast + anti join: customers above the
-        # average balance with no orders
-        c = load_table(spark, sf, "customer")
-        # anti-join against URGENT orders (this generator gives every
-        # customer at least one order, so the plain form selects nothing)
-        o = (load_table(spark, sf, "orders")
-             .filter(F.col("o_orderpriority") == "1-URGENT")
-             .select("o_custkey"))
-        # avg comparison as an exact-decimal cross-multiply (bal * n >
-        # total) — a float avg threshold could flip rows near the
-        # boundary differently per engine
-        dec_bal = F.col("c_acctbal").cast("decimal(18,4)")
-        agg = (c.filter(F.col("c_acctbal") > 0)
-               .agg(F.sum(dec_bal).alias("tot_bal"),
-                    F.count(F.lit(1)).alias("n_pos")))
-        return (c.crossJoin(F.broadcast(agg))
-                 .filter(dec_bal * F.col("n_pos") > F.col("tot_bal"))
-                 .join(o, F.col("c_custkey") == F.col("o_custkey"),
-                       "left_anti")
-                 .groupBy("c_mktsegment")
-                 .agg(F.count(F.lit(1)).alias("numcust"),
-                      F.sum(dec_bal).cast("double").alias("totacctbal")))
-
-    add("tpch_q22_global_sales_opportunity", tpch_q22,
-        f"""SELECT c_mktsegment, COUNT(*) AS numcust,
-               {SUM_D('c_acctbal')} AS totacctbal
-        FROM customer
-        WHERE CAST(c_acctbal AS DECIMAL(18,4))
-              * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
-              > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4)))
-                 FROM customer WHERE c_acctbal > 0)
-          AND NOT EXISTS (SELECT 1 FROM orders
-                          WHERE o_custkey = c_custkey
-                            AND o_orderpriority = '1-URGENT')
-        GROUP BY c_mktsegment""")
-
-    def tpch_q18(spark, sf):
-        li = load_table(spark, sf, "lineitem")
-        o = load_table(spark, sf, "orders")
-        big = (li.groupBy("l_orderkey")
-                 .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)"))
-                       .cast("double").alias("total_qty"))
-                 .filter(F.col("total_qty") > 120))
-        return (big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-                .select(F.col("o_orderkey").alias("orderkey"),
-                        F.col("o_orderpriority").alias("priority"),
-                        "total_qty"))
-
-    add("tpch_q18_large_orders", tpch_q18,
-        f"""SELECT o_orderkey AS orderkey, o_orderpriority AS priority,
-               total_qty
-        FROM (SELECT l_orderkey, {SUM_D('l_quantity')} AS total_qty
-              FROM lineitem GROUP BY l_orderkey) t
-        JOIN orders ON l_orderkey = o_orderkey
-        WHERE total_qty > 120""")
-
-    # The remaining TPC-H shapes, adapted to this schema (no partsupp, no
-    # commit/receipt dates — TESTDATA.md): each keeps the REFERENCE query's
-    # distinguishing plan shape (min-per-group join-back, nation-pair
-    # disjunction, market-share conditional agg, correlated-avg
-    # cross-multiply, multi-[anti-]semi self-join) on the columns we have.
-    # Exact-decimal sums bridge to double through VARCHAR on the DuckDB
-    # side (decimal->double there is float-computed, can be 1 ulp off).
-    def SUM_VB(expr: str) -> str:
-        return f"CAST(CAST(SUM({expr}) AS VARCHAR) AS DOUBLE)"
-
-    _DISC_D = ("CAST(l_extendedprice AS DECIMAL(12,4))"
-               " * CAST(1.0 - l_discount AS DECIMAL(6,4))")
-
-    def tpch_q2(spark, sf):
-        # min-cost-supplier-within-region: the part-supplier price list is
-        # derived from lineitem (min unit price per pair); min-per-group
-        # via window AFTER the part filter prunes partitions pre-shuffle
-        from pyspark.sql import Window
-        li = load_table(spark, sf, "lineitem")
-        s = load_table(spark, sf, "supplier")
-        n = load_table(spark, sf, "nation")
-        r = load_table(spark, sf, "region")
-        p = load_table(spark, sf, "part")
-        eur = (s.join(F.broadcast(n),
-                      F.col("s_nationkey") == F.col("n_nationkey"))
-               .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
-                     F.col("n_regionkey") == F.col("r_regionkey"))
-               .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
-        offers = (li.join(F.broadcast(eur),
-                          F.col("l_suppkey") == F.col("s_suppkey"))
-                  .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal",
-                           "n_name")
-                  .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
-                       .alias("unit_price")))
-        tgt = p.filter((F.col("p_size") == 10)
-                       & (F.col("p_type") == "SMALL")) \
-               .select("p_partkey", "p_name")
-        cand = offers.join(F.broadcast(tgt),
-                           F.col("l_partkey") == F.col("p_partkey"))
-        w = Window.partitionBy("l_partkey")
-        return (cand.withColumn("best", F.min("unit_price").over(w))
-                .filter(F.col("unit_price") == F.col("best"))
-                .select("p_partkey", "p_name", "s_name", "s_acctbal",
-                        "n_name", "unit_price"))
-
-    add("tpch_q2_min_cost_supplier", tpch_q2,
-        """WITH offers AS (
-          SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
-                 MIN(l_extendedprice / l_quantity) AS unit_price
-          FROM lineitem
-          JOIN supplier ON l_suppkey = s_suppkey
-          JOIN nation ON s_nationkey = n_nationkey
-          JOIN region ON n_regionkey = r_regionkey
-          WHERE r_name = 'EUROPE'
-          GROUP BY 1, 2, 3, 4, 5)
-        SELECT p_partkey, p_name, s_name, s_acctbal, n_name, unit_price
-        FROM offers JOIN part ON l_partkey = p_partkey
-        WHERE p_size = 10 AND p_type = 'SMALL'
-        QUALIFY unit_price = MIN(unit_price) OVER (PARTITION BY l_partkey)""")
-
-    def tpch_q7(spark, sf):
-        # volume shipping between a nation pair, both directions: the
-        # nation-pair disjunction sits above two independent dimension
-        # joins (supplier side broadcastable, customer side left to AQE)
-        li = load_table(spark, sf, "lineitem")
-        o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
-        c = load_table(spark, sf, "customer").select("c_custkey",
-                                                     "c_nationkey")
-        s = load_table(spark, sf, "supplier").select("s_suppkey",
-                                                     "s_nationkey")
-        n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
-        supp = s.join(F.broadcast(n),
-                      F.col("s_nationkey") == F.col("n_nationkey")) \
-                .select("s_suppkey", F.col("n_name").alias("supp_nation"))
-        cust = c.join(F.broadcast(n),
-                      F.col("c_nationkey") == F.col("n_nationkey")) \
-                .select("c_custkey", F.col("n_name").alias("cust_nation"))
-        rev = F.col("l_extendedprice").cast("decimal(12,4)") \
-            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(6,4)")
-        pair = (((F.col("supp_nation") == "NATION_3")
-                 & (F.col("cust_nation") == "NATION_7"))
-                | ((F.col("supp_nation") == "NATION_7")
-                   & (F.col("cust_nation") == "NATION_3")))
-        return (li.filter((F.col("l_shipdate") >= "1996-01-01")
-                          & (F.col("l_shipdate") < "1998-01-01"))
-                .join(F.broadcast(supp),
-                      F.col("l_suppkey") == F.col("s_suppkey"))
-                .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-                .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-                .filter(pair)
-                .groupBy("supp_nation", "cust_nation",
-                         F.year("l_shipdate").alias("l_year"))
-                .agg(F.sum(rev).cast("double").alias("revenue")))
-
-    add("tpch_q7_volume_shipping", tpch_q7,
-        f"""SELECT supp_nation, cust_nation, l_year,
-               CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue
-        FROM (
-          SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-                 CAST(year(l_shipdate) AS INTEGER) AS l_year,
-                 SUM({_DISC_D}) AS revenue
-          FROM lineitem
-          JOIN orders ON l_orderkey = o_orderkey
-          JOIN customer ON o_custkey = c_custkey
-          JOIN supplier ON l_suppkey = s_suppkey
-          JOIN nation sn ON s_nationkey = sn.n_nationkey
-          JOIN nation cn ON c_nationkey = cn.n_nationkey
-          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-            AND l_shipdate <  TIMESTAMP '1998-01-01'
-            AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7') OR
-                 (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
-          GROUP BY 1, 2, 3)""")
-
-    def tpch_q8(spark, sf):
-        # national market share: conditional share of an exact-decimal sum
-        # inside one aggregate pass (no second scan for the denominator)
-        li = load_table(spark, sf, "lineitem")
-        o = load_table(spark, sf, "orders")
-        c = load_table(spark, sf, "customer")
-        s = load_table(spark, sf, "supplier")
-        n = load_table(spark, sf, "nation")
-        r = load_table(spark, sf, "region")
-        p = load_table(spark, sf, "part")
-        cust_region = (c.join(F.broadcast(n), F.col("c_nationkey")
-                              == F.col("n_nationkey"))
-                       .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
-                             F.col("n_regionkey") == F.col("r_regionkey"))
-                       .select("c_custkey"))
-        supp = s.join(F.broadcast(n.select("n_nationkey",
-                                           F.col("n_name")
-                                           .alias("supp_nation"))),
-                      F.col("s_nationkey") == F.col("n_nationkey")) \
-                .select("s_suppkey", "supp_nation")
-        rev = F.col("l_extendedprice").cast("decimal(12,4)") \
-            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(6,4)")
-        tgt = F.when(F.col("supp_nation") == "NATION_5", rev) \
-            .otherwise(F.lit(0).cast("decimal(19,8)"))
-        return (li.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")
-                                    .select("p_partkey")),
-                        F.col("l_partkey") == F.col("p_partkey"))
-                .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
-                      F.col("l_orderkey") == F.col("o_orderkey"))
-                .join(cust_region, F.col("o_custkey") == F.col("c_custkey"),
-                      "left_semi")
-                .join(F.broadcast(supp),
-                      F.col("l_suppkey") == F.col("s_suppkey"))
-                .groupBy(F.year("o_orderdate").alias("o_year"))
-                .agg((F.sum(tgt).cast("double")
-                      / F.sum(rev).cast("double")).alias("mkt_share"),
-                     F.sum(rev).cast("double").alias("total_revenue")))
-
-    add("tpch_q8_market_share", tpch_q8,
-        f"""SELECT o_year,
-               CAST(CAST(tgt AS VARCHAR) AS DOUBLE)
-                 / CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS mkt_share,
-               CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS total_revenue
-        FROM (
-          SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-                 SUM(CASE WHEN n_name = 'NATION_5' THEN {_DISC_D}
-                          ELSE CAST(0 AS DECIMAL(19,8)) END) AS tgt,
-                 SUM({_DISC_D}) AS tot
-          FROM lineitem
-          JOIN part ON l_partkey = p_partkey
-          JOIN orders ON l_orderkey = o_orderkey
-          JOIN supplier ON l_suppkey = s_suppkey
-          JOIN nation ON s_nationkey = n_nationkey
-          WHERE p_type = 'PROMO'
-            AND o_custkey IN (
-              SELECT c_custkey FROM customer
-              JOIN nation cn ON c_nationkey = cn.n_nationkey
-              JOIN region ON cn.n_regionkey = r_regionkey
-              WHERE r_name = 'ASIA')
-          GROUP BY 1)""")
-
-    def tpch_q9(spark, sf):
-        # product-type profit: revenue minus an adapted cost term
-        # (p_retailprice * quantity stands in for ps_supplycost), whole
-        # chain exact decimal so both engines agree bit-for-bit
-        li = load_table(spark, sf, "lineitem")
-        s = load_table(spark, sf, "supplier")
-        n = load_table(spark, sf, "nation")
-        o = load_table(spark, sf, "orders").select("o_orderkey",
-                                                   "o_orderdate")
-        p = load_table(spark, sf, "part")
-        supp = s.join(F.broadcast(n), F.col("s_nationkey")
-                      == F.col("n_nationkey")) \
-                .select("s_suppkey", F.col("n_name").alias("nation"))
-        amount = (F.col("l_extendedprice").cast("decimal(12,4)")
-                  * (F.lit(1.0) - F.col("l_discount")).cast("decimal(6,4)")
-                  ).cast("decimal(25,8)") \
-            - (F.col("p_retailprice").cast("decimal(12,4)")
-               * F.col("l_quantity").cast("decimal(12,4)")).cast("decimal(25,8)")
-        return (li.join(F.broadcast(p.filter(F.col("p_name")
-                                             .contains("widget"))
-                                    .select("p_partkey", "p_retailprice")),
-                        F.col("l_partkey") == F.col("p_partkey"))
-                .join(F.broadcast(supp),
-                      F.col("l_suppkey") == F.col("s_suppkey"))
-                .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-                .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-                .agg(F.sum(amount).cast("double").alias("sum_profit")))
-
-    add("tpch_q9_product_profit", tpch_q9,
-        f"""SELECT n_name AS nation,
-               CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               CAST(CAST(SUM(
-                 CAST({_DISC_D} AS DECIMAL(25,8))
-                 - CAST(CAST(p_retailprice AS DECIMAL(12,4))
-                        * CAST(l_quantity AS DECIMAL(12,4))
-                        AS DECIMAL(25,8))) AS VARCHAR) AS DOUBLE)
-                   AS sum_profit
-        FROM lineitem
-        JOIN part ON l_partkey = p_partkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN nation ON s_nationkey = n_nationkey
-        JOIN orders ON l_orderkey = o_orderkey
-        WHERE p_name LIKE '%widget%'
-        GROUP BY 1, 2""")
-
-    def tpch_q10(spark, sf):
-        # returned-item revenue per customer, deterministic top 20: the
-        # ORDER BY+LIMIT compiles to TakeOrderedAndProject (per-partition
-        # top-20, k·P-row merge) so no task ever sorts the full
-        # per-customer table; the rank window then sees only 20 rows
-        from pyspark.sql import Window
-        li = load_table(spark, sf, "lineitem")
-        o = load_table(spark, sf, "orders")
-        c = load_table(spark, sf, "customer")
-        n = load_table(spark, sf, "nation")
-        rev = F.col("l_extendedprice").cast("decimal(12,4)") \
-            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(6,4)")
-        per_cust = (li.filter(F.col("l_returnflag") == "R")
-                    .join(o.filter((F.col("o_orderdate") >= "1997-10-01")
-                                   & (F.col("o_orderdate") < "1998-01-01"))
-                          .select("o_orderkey", "o_custkey"),
-                          F.col("l_orderkey") == F.col("o_orderkey"))
-                    .groupBy("o_custkey")
-                    .agg(F.sum(rev).cast("double").alias("revenue")))
-        w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
-        top = (per_cust.orderBy(F.desc("revenue"), F.asc("o_custkey"))
-               .limit(20)
-               .withColumn("rank", F.row_number().over(w).cast("int")))
-        return (top.join(c, F.col("o_custkey") == F.col("c_custkey"))
-                .join(F.broadcast(n),
-                      F.col("c_nationkey") == F.col("n_nationkey"))
-                .select("rank", F.col("c_custkey").alias("custkey"),
-                        "c_name", F.col("n_name").alias("nation"),
-                        "revenue", "c_acctbal"))
-
-    add("tpch_q10_returned_items", tpch_q10,
-        f"""WITH per_cust AS (
-          SELECT o_custkey, CAST(CAST(SUM({_DISC_D}) AS VARCHAR) AS DOUBLE)
-                   AS revenue
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          WHERE l_returnflag = 'R'
-            AND o_orderdate >= TIMESTAMP '1997-10-01'
-            AND o_orderdate <  TIMESTAMP '1998-01-01'
-          GROUP BY o_custkey),
-        top AS (
-          SELECT o_custkey, revenue,
-                 CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey)
-                      AS INTEGER) AS rank
-          FROM per_cust QUALIFY rank <= 20)
-        SELECT rank, c_custkey AS custkey, c_name, n_name AS nation,
-               revenue, c_acctbal
-        FROM top JOIN customer ON o_custkey = c_custkey
-        JOIN nation ON c_nationkey = n_nationkey""")
-
-    def tpch_q11(spark, sf):
-        # important-stock: per-part value from one nation's suppliers,
-        # kept when above a fixed fraction of the total — the global
-        # threshold rides a broadcast of a 1-row aggregate, and the
-        # fraction compare is an exact-decimal cross-multiply
-        li = load_table(spark, sf, "lineitem")
-        s = load_table(spark, sf, "supplier")
-        n = load_table(spark, sf, "nation")
-        nat_sup = (s.join(F.broadcast(n.filter(F.col("n_name")
-                                               == "NATION_3")),
-                          F.col("s_nationkey") == F.col("n_nationkey"))
-                   .select("s_suppkey"))
-        val = F.col("l_extendedprice").cast("decimal(12,4)") \
-            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(6,4)")
-        per_part = (li.join(F.broadcast(nat_sup),
-                            F.col("l_suppkey") == F.col("s_suppkey"),
-                            "left_semi")
-                    .groupBy("l_partkey")
-                    .agg(F.sum(val).alias("value_d")))
-        total = per_part.agg(F.sum("value_d").alias("total_d"))
-        return (per_part.crossJoin(F.broadcast(total))
-                .filter(F.col("value_d") * 300 > F.col("total_d"))
-                .select(F.col("l_partkey").alias("partkey"),
-                        F.col("value_d").cast("double").alias("value")))
-
-    add("tpch_q11_important_stock", tpch_q11,
-        f"""WITH per_part AS (
-          SELECT l_partkey, SUM({_DISC_D}) AS value_d
-          FROM lineitem
-          WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
-                              JOIN nation ON s_nationkey = n_nationkey
-                              WHERE n_name = 'NATION_3')
-          GROUP BY l_partkey)
-        SELECT l_partkey AS partkey,
-               CAST(CAST(value_d AS VARCHAR) AS DOUBLE) AS value
-        FROM per_part
-        WHERE value_d * 300 > (SELECT SUM(value_d) FROM per_part)""")
-
-    def tpch_q15(spark, sf):
-        # top supplier: max over the aggregated revenue table via a
-        # broadcast 1-row max join (no single-partition window)
-        li = load_table(spark, sf, "lineitem")
-        s = load_table(spark, sf, "supplier")
-        rev = F.col("l_extendedprice").cast("decimal(12,4)") \
-            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(6,4)")
-        per_supp = (li.filter((F.col("l_shipdate") >= "1997-01-01")
-                              & (F.col("l_shipdate") < "1997-04-01"))
-                    .groupBy("l_suppkey")
-                    .agg(F.sum(rev).alias("total_d")))
-        mx = per_supp.agg(F.max("total_d").alias("max_d"))
-        return (per_supp.crossJoin(F.broadcast(mx))
-                .filter(F.col("total_d") == F.col("max_d"))
-                .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-                .select(F.col("s_suppkey").alias("suppkey"), "s_name",
-                        F.col("total_d").cast("double")
-                        .alias("total_revenue")))
-
-    add("tpch_q15_top_supplier", tpch_q15,
-        f"""WITH per_supp AS (
-          SELECT l_suppkey, SUM({_DISC_D}) AS total_d
-          FROM lineitem
-          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-            AND l_shipdate <  TIMESTAMP '1997-04-01'
-          GROUP BY l_suppkey)
-        SELECT s_suppkey AS suppkey, s_name,
-               CAST(CAST(total_d AS VARCHAR) AS DOUBLE) AS total_revenue
-        FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
-        WHERE total_d = (SELECT MAX(total_d) FROM per_supp)""")
-
-    def tpch_q17(spark, sf):
-        # small-quantity-order revenue: the correlated per-part average
-        # becomes a broadcast join against the per-part aggregate, and
-        # `qty < 0.2 * avg` is cross-multiplied into exact integers
-        # (5 * n * qty < sum_qty) so no engine disagrees at the boundary
-        li = load_table(spark, sf, "lineitem")
-        p = load_table(spark, sf, "part")
-        tgt_parts = p.filter((F.col("p_brand") == "Brand#11")
-                             & (F.col("p_type") == "SMALL")) \
-                     .select("p_partkey")
-        li_t = li.join(F.broadcast(tgt_parts),
-                       F.col("l_partkey") == F.col("p_partkey"), "left_semi")
-        stats = (li_t.groupBy(F.col("l_partkey").alias("sp"))
-                 .agg(F.sum(F.col("l_quantity").cast("decimal(12,4)"))
-                      .alias("sum_qty"),
-                      F.count(F.lit(1)).alias("n_li")))
-        small = (li_t.join(F.broadcast(stats),
-                           F.col("l_partkey") == F.col("sp"))
-                 .filter(F.col("l_quantity").cast("decimal(12,4)")
-                         * 5 * F.col("n_li") < F.col("sum_qty")))
-        return small.agg(
-            (F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
-             .cast("double") / F.lit(7.0)).alias("avg_yearly"),
-            F.count(F.lit(1)).alias("n_small"))
-
-    add("tpch_q17_small_quantity", tpch_q17,
-        f"""WITH li_t AS (
-          SELECT l_partkey, l_quantity, l_extendedprice
-          FROM lineitem
-          WHERE l_partkey IN (SELECT p_partkey FROM part
-                              WHERE p_brand = 'Brand#11'
-                                AND p_type = 'SMALL')),
-        stats AS (
-          SELECT l_partkey AS sp,
-                 SUM(CAST(l_quantity AS DECIMAL(12,4))) AS sum_qty,
-                 COUNT(*) AS n_li
-          FROM li_t GROUP BY 1)
-        SELECT {SUM_D('l_extendedprice')} / 7.0 AS avg_yearly,
-               COUNT(*) AS n_small
-        FROM li_t JOIN stats ON l_partkey = sp
-        WHERE CAST(l_quantity AS DECIMAL(12,4)) * 5 * n_li < sum_qty""")
-
-    def tpch_q20(spark, sf):
-        # excess-shipment suppliers: semi-join chain part->lineitem agg->
-        # threshold->supplier, dimension sides broadcast
-        li = load_table(spark, sf, "lineitem")
-        s = load_table(spark, sf, "supplier")
-        n = load_table(spark, sf, "nation")
-        p = load_table(spark, sf, "part")
-        bolt = p.filter(F.col("p_name").contains("bolt")) \
-                .select("p_partkey")
-        shipped = (li.filter((F.col("l_shipdate") >= "1997-01-01")
-                             & (F.col("l_shipdate") < "1998-01-01"))
-                   .join(F.broadcast(bolt),
-                         F.col("l_partkey") == F.col("p_partkey"),
-                         "left_semi")
-                   .groupBy("l_suppkey")
-                   .agg(F.sum(F.col("l_quantity").cast("decimal(12,4)"))
-                        .alias("qty_d"))
-                   .filter(F.col("qty_d") > 150))
-        return (shipped.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-                .join(F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
-                      F.col("s_nationkey") == F.col("n_nationkey"),
-                      "left_semi")
-                .select("s_name", "s_acctbal",
-                        F.col("qty_d").cast("double").alias("total_qty")))
-
-    add("tpch_q20_excess_shippers", tpch_q20,
-        """SELECT s_name, s_acctbal,
-               CAST(CAST(qty_d AS VARCHAR) AS DOUBLE) AS total_qty
-        FROM (
-          SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,4))) AS qty_d
-          FROM lineitem
-          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-            AND l_shipdate <  TIMESTAMP '1998-01-01'
-            AND l_partkey IN (SELECT p_partkey FROM part
-                              WHERE p_name LIKE '%bolt%')
-          GROUP BY l_suppkey)
-        JOIN supplier ON l_suppkey = s_suppkey
-        WHERE qty_d > 150
-          AND s_nationkey IN (SELECT n_nationkey FROM nation
-                              WHERE n_name = 'NATION_7')""")
-
-    def tpch_q21(spark, sf):
-        # waiting-orders analogue without commit/receipt dates: on
-        # finished multi-supplier orders, suppliers who were the ONLY one
-        # with returned lines — the exists/not-exists pair collapses into
-        # one per-order aggregate (distinct suppliers vs distinct
-        # returned-suppliers) instead of two self-joins
-        li = load_table(spark, sf, "lineitem")
-        o = load_table(spark, sf, "orders")
-        s = load_table(spark, sf, "supplier")
-        li_f = li.join(o.filter(F.col("o_orderstatus") == "F")
-                       .select("o_orderkey"),
-                       F.col("l_orderkey") == F.col("o_orderkey"),
-                       "left_semi")
-        # pre-aggregate to (order, supplier) grain FIRST: one map-side-
-        # combinable groupBy replaces the double count_distinct (which
-        # would Expand every line 2x before the shuffle), and a hot order
-        # key partially combines on the scan side — measured ~20% faster
-        # and the skew-safe shape at scale
-        per_os = (li_f.groupBy("l_orderkey", "l_suppkey")
-                  .agg(F.max(F.when(F.col("l_returnflag") == "R", 1)
-                             .otherwise(0)).alias("has_ret")))
-        per_order = (per_os.groupBy("l_orderkey")
-                     .agg(F.count(F.lit(1)).alias("n_supp"),
-                          F.sum("has_ret").alias("n_ret_supp")))
-        blamed = (per_os.filter(F.col("has_ret") == 1)
-                  .join(per_order.filter((F.col("n_supp") > 1)
-                                         & (F.col("n_ret_supp") == 1)),
-                        "l_orderkey", "left_semi"))
-        return (blamed.join(F.broadcast(s),
-                            F.col("l_suppkey") == F.col("s_suppkey"))
-                .groupBy("s_name")
-                .agg(F.count(F.lit(1)).alias("numwait")))
-
-    add("tpch_q21_waiting_orders", tpch_q21,
-        """WITH li_f AS (
-          SELECT l_orderkey, l_suppkey, l_returnflag
-          FROM lineitem
-          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
-                               WHERE o_orderstatus = 'F')),
-        per_order AS (
-          SELECT l_orderkey,
-                 COUNT(DISTINCT l_suppkey) AS n_supp,
-                 COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
-                       THEN l_suppkey END) AS n_ret_supp
-          FROM li_f GROUP BY 1)
-        SELECT s_name, COUNT(*) AS numwait
-        FROM (SELECT DISTINCT l_orderkey, l_suppkey
-              FROM li_f WHERE l_returnflag = 'R') b
-        JOIN supplier ON l_suppkey = s_suppkey
-        WHERE l_orderkey IN (SELECT l_orderkey FROM per_order
-                             WHERE n_supp > 1 AND n_ret_supp = 1)
-        GROUP BY s_name""")
-
-    # OLAP subtotal rows via Spark rollup(): every aggregation level of
-    # the geography hierarchy in ONE pass (grouping-sets shuffle), the
-    # same machinery the members-cache build uses — exposed as a query
-    def cube_rollup(spark, sf):
-        from .cube import sales_cube
-        cube = sales_cube()
-        fact = cube.fact(spark, sf)
-        ow = cube.views["orders_wide"](spark, sf)
-        j = fact.join(ow, F.col("l_orderkey") == F.col("o_orderkey"))
-        return (j.rollup("cust_region", "cust_nation")
-                .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
-                     .cast("double").alias("sum_extendedprice"),
-                     F.count(F.lit(1)).alias("n_rows"))
-                .select(F.coalesce("cust_region", F.lit("All"))
-                        .alias("region"),
-                        F.coalesce("cust_nation", F.lit("All"))
-                        .alias("nation"),
-                        "sum_extendedprice", "n_rows"))
-
-    add("cube_rollup_subtotals", cube_rollup,
-        f"""WITH {_OW}
-        SELECT coalesce(cust_region, 'All') AS region,
-               coalesce(cust_nation, 'All') AS nation,
-               {SUM_D('l_extendedprice')} AS sum_extendedprice,
-               COUNT(*) AS n_rows
-        FROM {_FACT_OW}
-        GROUP BY ROLLUP (cust_region, cust_nation)""")
-
-    # GROUPING SETS over events (hour-of-day × type, each-alone, grand
-    # total) — the cube-style subtotal lattice on the stream table
-    add("events_grouping_sets",
-        lambda spark, sf: (_events(spark, sf)
-            .withColumn("hod", F.hour("ts"))
-            .groupingSets([["hod", "event_type"], ["hod"],
-                           ["event_type"], []], "hod", "event_type")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(F.coalesce(F.col("hod"), F.lit(-1)).alias("hod"),
-                    F.coalesce("event_type", F.lit("All"))
-                     .alias("event_type"),
-                    F.col("n").cast("bigint").alias("n"))),
-        """SELECT COALESCE(hod, -1) AS hod,
-               COALESCE(event_type, 'All') AS event_type,
-               CAST(COUNT(*) AS BIGINT) AS n
-        FROM (SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
-                     event_type FROM events)
-        GROUP BY GROUPING SETS ((hod, event_type), (hod),
-                                (event_type), ())""")
-
-    # ratio-to-parent: each nation's revenue share of its region in
-    # exact integer milli-units (the classic percent-of-parent report)
-    add("cube_nation_share_of_region",
-        lambda spark, sf: (
-            _eng(spark, sf).execute(QueryRequest(
-                CATALOG, measures=["Sum Extendedprice"],
-                rows=[AxisItem("Dim Customer", "Geografía", level="Nation",
-                               properties=True)]))
-            .withColumn("region_total",
-                        F.sum("sum_extendedprice").over(
-                            Window.partitionBy("region")))
-            .withColumn("share_milli",
-                        F.floor(F.col("sum_extendedprice") * 1000
-                                / F.col("region_total")).cast("bigint"))
-            .select("region", "nation",
-                    F.round("sum_extendedprice", 4)
-                     .alias("sum_extendedprice"),
-                    F.round("region_total", 4).alias("region_total"),
-                    "share_milli")),
-        f"""WITH {_OW},
-        n AS (
-          SELECT cust_region AS region, cust_nation AS nation,
-                 {SUM_D('l_extendedprice')} AS sum_extendedprice
-          FROM {_FACT_OW}
-          GROUP BY 1, 2)
-        SELECT region, nation,
-               ROUND(sum_extendedprice, 4) AS sum_extendedprice,
-               ROUND(SUM(sum_extendedprice) OVER (PARTITION BY region), 4)
-                 AS region_total,
-               CAST(FLOOR(sum_extendedprice * 1000
-                    / SUM(sum_extendedprice) OVER (PARTITION BY region))
-                 AS BIGINT) AS share_milli
-        FROM n""")
-
-    # ================= member navigation (SURVEY §2.3) ====================
-
-    add("members_nation_list",
-        lambda spark, sf: M.get_dimension_members(
-            _members(spark, sf), "Dim Customer",
-            "Dim Customer.Geografía", "Nation"),
-        _MEMBERS_CTE + """
-        SELECT MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME
-        FROM members
-        WHERE DIMENSION = 'Dim Customer'
-          AND JERARQUIA = 'Dim Customer.Geografía'
-          AND NIVEL_NOMBRE = 'Nation'
-          AND MIEMBRO_CAPTION <> 'All'""")
-
-    # old-cube path: level located via depth inference; inferred names are
-    # 'Nivel N' for unnamed depths (reference N6) — Nation sits at depth 2
-    add("members_depth_filter",
-        lambda spark, sf: M.get_dimension_members(
-            _members(spark, sf), "Dim Customer",
-            "Dim Customer.Geografía", "Nivel 2", use_depth=True),
-        _MEMBERS_CTE + """
-        SELECT MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME
-        FROM members
-        WHERE DIMENSION = 'Dim Customer'
-          AND JERARQUIA = 'Dim Customer.Geografía'
-          AND (length(MIEMBRO_UNIQUE_NAME)
-               - length(replace(MIEMBRO_UNIQUE_NAME, '.&[', ''))) / 3 = 2
-          AND MIEMBRO_CAPTION <> 'All'""")
-
-    add("members_search",
-        lambda spark, sf: M.search_members(
-            _members(spark, sf), "EUROPE", dimension="Dim Customer"),
-        _MEMBERS_CTE + """
-        SELECT DIMENSION, JERARQUIA, NIVEL_NOMBRE,
-               MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME
-        FROM members
-        WHERE upper(MIEMBRO_CAPTION) LIKE '%EUROPE%'
-          AND MIEMBRO_CAPTION <> 'All'
-          AND DIMENSION = 'Dim Customer'""")
-
-    # N17 tokenized full-text search: multi-term AND, order-independent
-    # ("east middle" finds UNITED STATES; substring contains cannot)
-    add("members_fulltext_search",
-        lambda spark, sf: M.fulltext_search_members(
-            _members(spark, sf), "east middle"),
-        _MEMBERS_CTE + """
-        SELECT DIMENSION, JERARQUIA, NIVEL_NOMBRE,
-               MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME
-        FROM members
-        WHERE MIEMBRO_CAPTION <> 'All'
-          AND list_has_all(
-                regexp_split_to_array(trim(translate(lower(
-                  MIEMBRO_CAPTION), 'áéíóúñü', 'aeiounu')), '[^a-z0-9]+'),
-                ['east', 'middle'])""")
-
-    # N17 stemmed variant: both sides pass through the shared Spanish
-    # suffix stripper (members.ES_STEM_PATTERN — same regex in Spark's
-    # Java engine, Python re, and DuckDB's RE2), so the plural query
-    # 'blue widgets' finds the singular caption 'blue widget', matching
-    # the reference's to_tsvector('spanish') lexeme behavior.
-    add("members_fulltext_stemmed",
-        lambda spark, sf: M.fulltext_search_members(
-            _members(spark, sf), "blue widgets", stem=True),
-        _MEMBERS_CTE + f"""
-        SELECT DIMENSION, JERARQUIA, NIVEL_NOMBRE,
-               MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME
-        FROM members
-        WHERE MIEMBRO_CAPTION <> 'All'
-          AND list_has_all(
-                list_transform(
-                  regexp_split_to_array(trim(translate(lower(
-                    MIEMBRO_CAPTION), 'áéíóúñü', 'aeiounu')), '[^a-z0-9]+'),
-                  t -> regexp_replace(t, '{M.ES_STEM_PATTERN}', '\\1')),
-                ['blue', 'widget'])""")
-
-    add("members_children_exact",
-        lambda spark, sf: M.children_of(
-            _members(spark, sf),
-            ["[Dim Customer].[Geografía].[Region].&[2]"]),
-        _MEMBERS_CTE + """
-        SELECT MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME, PARENT_UNIQUE_NAME
-        FROM members
-        WHERE PARENT_UNIQUE_NAME = '[Dim Customer].[Geografía].[Region].&[2]'
-          AND MIEMBRO_CAPTION <> 'All'""")
-
-    add("members_children_prefix",
-        lambda spark, sf: M.children_of(
-            _members(spark, sf),
-            ["[Dim Customer].[Geografía].[Region].&[2]"],
-            prefix_fallback=True),
-        _MEMBERS_CTE + """
-        SELECT MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME, PARENT_UNIQUE_NAME
-        FROM members
-        WHERE starts_with(MIEMBRO_UNIQUE_NAME,
-                          '[Dim Customer].[Geografía].[Region].&[2]')
-          AND MIEMBRO_UNIQUE_NAME <> '[Dim Customer].[Geografía].[Region].&[2]'
-          AND MIEMBRO_CAPTION <> 'All'""")
-
-    add("members_apartados",
-        lambda spark, sf: M.get_apartados(_members(spark, sf)),
-        _MEMBERS_CTE + """
-        SELECT MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME, CHILDREN_CARDINALITY
-        FROM members
-        WHERE upper(JERARQUIA) LIKE '%APARTADO%'
-          AND MIEMBRO_CAPTION <> 'All'
-          AND NIVEL_NOMBRE = 'Apartado'""")
-
-    add("members_variables_of_apartados",
-        lambda spark, sf: M.children_of(
-            _members(spark, sf),
-            ["[DIM VARIABLES2025].[Apartado y Variable].[Apartado].&[Brand#11]",
-             "[DIM VARIABLES2025].[Apartado y Variable].[Apartado].&[Brand#12]"]),
-        _MEMBERS_CTE + """
-        SELECT MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME, PARENT_UNIQUE_NAME
-        FROM members
-        WHERE PARENT_UNIQUE_NAME IN (
-            '[DIM VARIABLES2025].[Apartado y Variable].[Apartado].&[Brand#11]',
-            '[DIM VARIABLES2025].[Apartado y Variable].[Apartado].&[Brand#12]')
-          AND MIEMBRO_CAPTION <> 'All'""")
-
-    add("members_ordinal_sort",
-        lambda spark, sf: M.members_sorted(
-            _members(spark, sf), "D Tiempo", "D Tiempo.Calendario", "Mes"),
-        _MEMBERS_CTE + """
-        SELECT MIEMBRO_CAPTION, MIEMBRO_ORDINAL,
-               CAST(ROW_NUMBER() OVER (ORDER BY
-                   coalesce(CAST(MIEMBRO_ORDINAL AS BIGINT),
-                            TRY_CAST(MIEMBRO_KEY AS BIGINT)) NULLS LAST,
-                   MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME) AS INTEGER) AS rn
-        FROM members
-        WHERE DIMENSION = 'D Tiempo'
-          AND JERARQUIA = 'D Tiempo.Calendario'
-          AND NIVEL_NOMBRE = 'Mes'
-          AND MIEMBRO_CAPTION <> 'All'""")
-
-    add("members_pagination",
-        lambda spark, sf: M.paginate_members(
-            _members(spark, sf), "Dim Customer", "Dim Customer.Geografía",
-            "Nation", limit=10, offset=10),
-        _MEMBERS_CTE + """
-        SELECT rn, MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME FROM (
-          SELECT CAST(ROW_NUMBER() OVER (
-                   ORDER BY MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME) AS INTEGER) AS rn,
-                 MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME
-          FROM members
-          WHERE DIMENSION = 'Dim Customer'
-            AND JERARQUIA = 'Dim Customer.Geografía'
-            AND NIVEL_NOMBRE = 'Nation'
-            AND MIEMBRO_CAPTION <> 'All')
-        WHERE rn > 10 AND rn <= 20""")
-
-    def members_full(spark, sf):
-        from .normalized import normalize_members, v_members_full
-        return v_members_full(normalize_members(_members(spark, sf)))
-
-    # J1: normalized 5-table snapshot reconstructed through the FK join
-    # chain (reference v_members_full, 001_initial_schema.sql:95-116);
-    # round-trip must reproduce the denormalized members projection
-    add("members_full_view", members_full,
-        _MEMBERS_CTE + """
-        SELECT CATALOGO AS catalog_code,
-               DIMENSION AS dimension_name,
-               JERARQUIA AS hierarchy_name,
-               NIVEL_NOMBRE AS level_name,
-               NIVEL_NUMERO AS level_number,
-               MIEMBRO_CAPTION AS member_caption,
-               MIEMBRO_UNIQUE_NAME AS member_unique_name,
-               PARENT_UNIQUE_NAME AS parent_unique_name,
-               CHILDREN_CARDINALITY AS children_cardinality
-        FROM members""")
-
-    add("members_level_cardinalities",
-        lambda spark, sf: M.level_cardinalities(_members(spark, sf)),
-        _MEMBERS_CTE + """
-        SELECT DIMENSION, JERARQUIA, NIVEL_NOMBRE, COUNT(*) AS n_members
-        FROM members
-        WHERE MIEMBRO_CAPTION <> 'All'
-        GROUP BY 1, 2, 3""")
-
-    # ================= extensions: text analysis ==========================
-
-    _docs = lambda spark, sf: load_table(spark, sf, "documents")
-
-    add("docs_token_stats",
-        lambda spark, sf: TX.token_stats(_docs(spark, sf)),
-        r"""SELECT doc_id,
-               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INTEGER)
-                   AS n_punct,
-               length(text) AS len_chars,
-               ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-                     / greatest(length(text), 1), 4) AS punct_ratio
-        FROM documents""")
-
-    add("docs_lang_id",
-        lambda spark, sf: TX.lang_id(_docs(spark, sf)),
-        r"""WITH h AS (
-          SELECT doc_id, lang,
-            CAST(len(regexp_extract_all(lower(text),
-              '\b(the|and|of|to|in|is)\b')) AS INTEGER) AS hits_en,
-            CAST(len(regexp_extract_all(lower(text),
-              '\b(el|la|de|que|los|una)\b')) AS INTEGER) AS hits_es,
-            CAST(len(regexp_extract_all(lower(text),
-              '\b(le|la|les|des|est|une)\b')) AS INTEGER) AS hits_fr,
-            CAST(len(regexp_extract_all(lower(text),
-              '\b(der|die|und|das|ist|ein)\b')) AS INTEGER) AS hits_de
-          FROM documents)
-        SELECT doc_id, lang, hits_en, hits_es, hits_fr, hits_de,
-               CASE WHEN greatest(hits_en, hits_es, hits_fr, hits_de) = 0
-                    THEN 'und'
-                    WHEN hits_en = greatest(hits_en, hits_es, hits_fr, hits_de)
-                    THEN 'en'
-                    WHEN hits_es = greatest(hits_en, hits_es, hits_fr, hits_de)
-                    THEN 'es'
-                    WHEN hits_fr = greatest(hits_en, hits_es, hits_fr, hits_de)
-                    THEN 'fr'
-                    ELSE 'de' END AS lang_guess
-        FROM h""")
-
-    add("docs_quality_score",
-        lambda spark, sf: TX.quality_score(_docs(spark, sf)),
-        r"""WITH q AS (
-          SELECT doc_id,
-            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-            greatest(length(text), 1) AS n_chars,
-            CAST(len(regexp_extract_all(lower(text),
-              '\b(the|and|of|to|in|is)\b')) AS INTEGER) AS stop_hits,
-            CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-                 AS INTEGER) AS punct
-          FROM documents)
-        SELECT doc_id, n_tokens,
-          ROUND(
-            (CASE WHEN n_tokens >= 10 AND n_tokens <= 5000
-                  THEN 0.4 ELSE 0.0 END)
-            + least(stop_hits / greatest(n_tokens, 1) * 2.0, 0.4)
-            - least(punct / n_chars * 5.0, 0.2)
-            + (CASE WHEN n_chars / greatest(n_tokens, 1) >= 3.0
-                     AND n_chars / greatest(n_tokens, 1) <= 12.0
-                    THEN 0.2 ELSE 0.0 END), 4) AS quality_score
-        FROM q""")
-
-    # whitespace + BPE-ish token counting (pretrain-budget proxy); the
-    # shared pattern is Java-regex/RE2-safe so the oracle runs it verbatim
-    add("docs_token_count_bpe",
-        lambda spark, sf: TX.token_count_bpe(_docs(spark, sf)),
-        r"""SELECT doc_id,
-          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-            AS n_tokens_ws,
-          CAST(len(regexp_extract_all(text,
-            '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
-            AS BIGINT) AS n_tokens_bpe
-        FROM documents""")
-
-    # the SQL-function surface driven end-to-end: an analyst's plain-SQL
-    # query over the registered scalar functions must match the DuckDB
-    # re-expression of the same semantics
-    def sql_fn_stats(spark, sf):
-        from .functions import register_sql_functions
-        register_sql_functions(spark)
-        _docs(spark, sf).createOrReplaceTempView("wq_sql_fn_docs")
-        return spark.sql(
-            "SELECT doc_id, doc_fingerprint(text) AS fingerprint, "
-            "token_count_ws(text) AS n_tokens_ws, "
-            "ttr_milli(text) AS ttr_milli "
-            "FROM wq_sql_fn_docs")
-
-    add("docs_sql_function_stats", sql_fn_stats,
-        r"""WITH toks AS (
-          SELECT doc_id, list_filter(regexp_split_to_array(
-            trim(lower(text)), '\s+'), x -> x <> '') AS tl
-          FROM documents)
-        SELECT d.doc_id,
-          md5(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g'))
-            AS fingerprint,
-          CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT)
-            AS n_tokens_ws,
-          CAST((len(list_distinct(t.tl)) * 1000)
-               // greatest(len(t.tl), 1) AS BIGINT) AS ttr_milli
-        FROM documents d JOIN toks t USING (doc_id)""")
-
-    # Gopher-style intra-doc repetition (exact integer counts — callers
-    # derive fractions; ints survive the Arrow edge bit-for-bit)
-    add("docs_repetition_stats",
-        lambda spark, sf: TX.repetition_stats(_docs(spark, sf)),
-        r"""WITH t AS (
-          SELECT doc_id,
-                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-          FROM documents)
-        SELECT doc_id,
-          CAST(len(toks) AS BIGINT) AS n_tokens,
-          CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
-          CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_2grams,
-          CAST(len(list_distinct(list_transform(
-                range(1, greatest(len(toks) - 1, 0) + 1),
-                i -> toks[i] || ' ' || toks[i+1]))) AS BIGINT)
-            AS n_distinct_2grams,
-          CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_3grams,
-          CAST(len(list_distinct(list_transform(
-                range(1, greatest(len(toks) - 2, 0) + 1),
-                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
-               AS BIGINT) AS n_distinct_3grams
-        FROM t""")
-
-    add("docs_repetition_filter",
-        lambda spark, sf: TX.repetition_filter(
-            _docs(spark, sf), max_dup_token_frac=0.5501,
-            max_dup_2gram_frac=0.2501, min_tokens=20),
-        r"""WITH t AS (
-          SELECT *, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-          FROM documents)
-        SELECT doc_id, text, lang, source, n_chars
-        FROM t
-        WHERE len(toks) >= 20
-          AND 1.0 - len(list_distinct(toks)) * 1.0 / len(toks) <= 0.5501
-          AND 1.0 - len(list_distinct(list_transform(
-                range(1, greatest(len(toks) - 1, 0) + 1),
-                i -> toks[i] || ' ' || toks[i+1]))) * 1.0
-              / greatest(len(toks) - 1, 1) <= 0.2501""")
-
-    add("docs_top_tokens",
-        lambda spark, sf: TX.top_tokens(_docs(spark, sf), k=20),
-        r"""WITH toks AS (
-          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
-                 AS token
-          FROM documents),
-        counts AS (
-          SELECT token, COUNT(*) AS n FROM toks
-          WHERE token <> '' GROUP BY token)
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INTEGER)
-                 AS rank, token, n
-        FROM counts
-        ORDER BY n DESC, token
-        LIMIT 20""")
-
-    add("docs_fingerprint",
-        lambda spark, sf: TX.fingerprint(_docs(spark, sf)),
-        """SELECT doc_id,
-               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
-                   AS fingerprint
-        FROM documents""")
-
-    add("docs_redact_pii",
-        lambda spark, sf: TX.redact_pii(_docs(spark, sf))
-        .select("doc_id", "n_email", "n_phone", "n_ipv4",
-                F.sha2(F.encode("text_redacted", "UTF-8"), 256)
-                .alias("redacted_sha")),
-        r"""SELECT doc_id,
-               CAST(length(regexp_extract_all(text,
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-                 AS INTEGER) AS n_email,
-               CAST(length(regexp_extract_all(text,
-                 '\+?\d[\d\s().-]{7,}\d')) AS INTEGER) AS n_phone,
-               CAST(length(regexp_extract_all(text,
-                 '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INTEGER) AS n_ipv4,
-               sha256(regexp_replace(regexp_replace(regexp_replace(text,
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                 '[EMAIL]', 'g'),
-                 '\+?\d[\d\s().-]{7,}\d', '[PHONE]', 'g'),
-                 '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g'))
-                 AS redacted_sha
-        FROM documents""")
-
-    add("docs_pack_sequences",
-        lambda spark, sf: TX.pack_sequences(_docs(spark, sf), 2048),
-        """SELECT doc_id,
-               CAST(length(regexp_split_to_array(trim(text), '\\s+'))
-                    AS INTEGER) AS n_tokens,
-               CAST(FLOOR((SUM(length(regexp_split_to_array(trim(text),
-                        '\\s+'))) OVER (ORDER BY doc_id)
-                    - length(regexp_split_to_array(trim(text), '\\s+')))
-                    / 2048) AS BIGINT) AS pack_bin
-        FROM documents""")
-
-    # the scale path: per-shard packing windows (no single-reducer cumsum)
-    add("docs_pack_sequences_sharded",
-        lambda spark, sf: TX.pack_sequences(_docs(spark, sf), 2048,
-                                            shard_col="source"),
-        """SELECT doc_id, source,
-               CAST(length(regexp_split_to_array(trim(text), '\\s+'))
-                    AS INTEGER) AS n_tokens,
-               CAST(FLOOR((SUM(length(regexp_split_to_array(trim(text),
-                        '\\s+'))) OVER (PARTITION BY source ORDER BY doc_id)
-                    - length(regexp_split_to_array(trim(text), '\\s+')))
-                    / 2048) AS BIGINT) AS pack_bin
-        FROM documents""")
-
-    add("docs_strip_markup",
-        lambda spark, sf: TX.strip_markup(_docs(spark, sf))
-        .select("doc_id",
-                F.sha2(F.encode("text_clean", "UTF-8"), 256)
-                .alias("clean_sha"),
-                F.length("text_clean").alias("clean_len")),
-        r"""SELECT doc_id,
-               sha256(trim(regexp_replace(
-                 replace(replace(replace(replace(replace(
-                   regexp_replace(text, '<[^>]*>', ' ', 'g'),
-                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                   '&apos;', ''''), '&amp;', '&'),
-                 '\s+', ' ', 'g'))) AS clean_sha,
-               length(trim(regexp_replace(
-                 replace(replace(replace(replace(replace(
-                   regexp_replace(text, '<[^>]*>', ' ', 'g'),
-                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                   '&apos;', ''''), '&amp;', '&'),
-                 '\s+', ' ', 'g'))) AS clean_len
-        FROM documents""")
-
-    add("docs_token_familiarity",
-        lambda spark, sf: TX.token_familiarity(_docs(spark, sf)),
-        r"""WITH toks AS (
-          SELECT doc_id,
-                 unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
-                   AS token
-          FROM documents),
-        vocab AS (
-          SELECT token, COUNT(*) AS tok_freq FROM toks GROUP BY token)
-        SELECT doc_id, COUNT(*) AS n_tokens,
-               CAST(SUM(tok_freq) AS BIGINT) AS familiarity_sum
-        FROM toks JOIN vocab USING (token)
-        GROUP BY doc_id""")
-
-    def contamination(spark, sf):
-        from .operators.sampling import _hash_bucket
-        docs = _docs(spark, sf)
-        b = _hash_bucket(F.col("doc_id"), "contam-v1")
-        test = docs.filter(b < 1000)          # held-out 10%
-        train = docs.filter(b >= 1000)
-        return D.contamination_check(train, test)
-
-    _CB = SM.hash_bucket_sql("doc_id", "contam-v1")
-
-    # eval-leakage detector: distinct-shingle vocabulary of TRAIN joined
-    # against the held-out TEST split's shingles; exact integer outputs
-    add("docs_contamination_check", contamination,
-        rf"""WITH toks AS (
-          SELECT doc_id, {_CB} AS b,
-                 regexp_split_to_array(trim(lower(text)), '\s+') AS t
-          FROM documents),
-        sh AS (
-          SELECT doc_id, b,
-                 unnest(list_distinct(list_transform(
-                   generate_series(1, greatest(len(t) - 2, 1)),
-                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
-          FROM toks),
-        vocab AS (SELECT DISTINCT shingle FROM sh WHERE b >= 1000)
-        SELECT s.doc_id, COUNT(*) AS n_shingles,
-               CAST(SUM(CASE WHEN v.shingle IS NOT NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_contaminated
-        FROM sh s LEFT JOIN vocab v ON s.shingle = v.shingle
-        WHERE s.b < 1000
-        GROUP BY s.doc_id""")
-
-    def mixing(spark, sf):
-        return D.mix_corpus(_docs(spark, sf),
-                            {"src0": 0.6, "src1": 0.3, "src2": 0.1},
-                            token_budget=20_000) \
-            .select("doc_id", "source")
-
-    _MB = SM.hash_bucket_sql("doc_id", "mix-v1")
-
-    # budgeted domain mixing: per-source rate = budget*weight/source_tokens
-    # derived in-plan, keep decision by the deterministic id hash
-    add("docs_mix_corpus", mixing,
-        rf"""WITH ntok AS (
-          SELECT doc_id, source,
-                 length(regexp_split_to_array(trim(text), '\s+')) AS n_tok
-          FROM documents),
-        totals AS (
-          SELECT source, SUM(n_tok) AS stok FROM ntok GROUP BY source),
-        rates AS (
-          SELECT source,
-                 LEAST(10000, CAST(FLOOR(20000.0 *
-                   CASE source WHEN 'src0' THEN 0.6 WHEN 'src1' THEN 0.3
-                        WHEN 'src2' THEN 0.1 ELSE 0.0 END
-                   * 10000 / stok) AS BIGINT)) AS rate_b
-          FROM totals)
-        SELECT d.doc_id, d.source
-        FROM documents d JOIN rates r ON d.source = r.source
-        WHERE {_MB} < r.rate_b""")
-
-    # ---- deterministic sampling / splitting (training-data mixing) -------
-    # All hash-derived (md5(id:salt)), so the DuckDB oracle recomputes the
-    # exact same sample — reproducibility across engines IS the oracle.
-    _BUCKET = SM.hash_bucket_sql("doc_id", "split-v1")
-
-    add("docs_hash_split",
-        lambda spark, sf: SM.hash_split(
-            _docs(spark, sf), {"train": 0.8, "val": 0.1, "test": 0.1})
-        .select("doc_id", "split"),
-        f"""SELECT doc_id,
-               CASE WHEN {_BUCKET} < 8000 THEN 'train'
-                    WHEN {_BUCKET} < 9000 THEN 'val'
-                    ELSE 'test' END AS split
-        FROM documents""")
-
-    _SBUCKET = SM.hash_bucket_sql("doc_id", "strat-v1")
-
-    add("docs_stratified_sample",
-        lambda spark, sf: SM.stratified_sample(
-            _docs(spark, sf), {"en": 0.5, "es": 0.25}, default_rate=0.1)
-        .select("doc_id", "lang"),
-        f"""SELECT doc_id, lang
-        FROM documents
-        WHERE {_SBUCKET} < CASE lang WHEN 'en' THEN 5000
-                                     WHEN 'es' THEN 2500
-                                     ELSE 1000 END""")
-
-    add("docs_uniform_sample_k",
-        lambda spark, sf: SM.uniform_sample_k(_docs(spark, sf), 100)
-        .select("doc_id", "lang"),
-        """SELECT doc_id, lang
-        FROM documents
-        ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':topk-v1'))
-        LIMIT 100""")
-
-    # zlib compression-ratio quality signal — rows-only: zlib is not
-    # SQL-expressible (the one Arrow-batched pandas_udf in the text
-    # family); tests pin repetitive << prose << random ordering
-    add("docs_compression_ratio",
-        lambda spark, sf: TX.compression_ratio(_docs(spark, sf)), None)
-
-    # data-contract check: every rule is a conditional sum in ONE
-    # aggregate pass (50 rules cost the same scan as one)
-    def doc_contracts(spark, sf):
-        from .operators import expectations as EX
-        return EX.check(_docs(spark, sf), {
-            "doc_id_not_null": EX.not_null("doc_id"),
-            "text_non_empty": EX.non_empty("text"),
-            "lang_known": EX.isin("lang", ["en", "es", "fr", "de"]),
-            "n_chars_range": EX.in_range("n_chars", 1, 10_000),
-            "n_chars_consistent":
-                F.col("n_chars").eqNullSafe(F.length("text")),
-        }).orderBy("rule")
-
-    add("docs_contract_check", doc_contracts,
-        """WITH m AS (SELECT
-            CAST(COUNT(*) AS BIGINT) AS n_rows,
-            CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
-                 AS BIGINT) AS v_id,
-            CAST(SUM(CASE WHEN NOT coalesce(text IS NOT NULL
-                 AND length(text) > 0, FALSE) THEN 1 ELSE 0 END)
-                 AS BIGINT) AS v_text,
-            CAST(SUM(CASE WHEN NOT coalesce(
-                 lang IN ('en','es','fr','de'), FALSE) THEN 1 ELSE 0 END)
-                 AS BIGINT) AS v_lang,
-            CAST(SUM(CASE WHEN NOT coalesce(
-                 n_chars BETWEEN 1 AND 10000, FALSE) THEN 1 ELSE 0 END)
-                 AS BIGINT) AS v_range,
-            CAST(SUM(CASE WHEN NOT coalesce(
-                 n_chars = length(text), FALSE) THEN 1 ELSE 0 END)
-                 AS BIGINT) AS v_cons
-          FROM documents)
-        SELECT rule, n_rows, n_violations FROM (
-          SELECT 'doc_id_not_null' AS rule, n_rows, v_id AS n_violations
-            FROM m
-          UNION ALL SELECT 'text_non_empty', n_rows, v_text FROM m
-          UNION ALL SELECT 'lang_known', n_rows, v_lang FROM m
-          UNION ALL SELECT 'n_chars_range', n_rows, v_range FROM m
-          UNION ALL SELECT 'n_chars_consistent', n_rows, v_cons FROM m)
-        ORDER BY rule""")
-
-    # exact-k deterministic sample per group (eval sets / per-domain
-    # probes): hash-ranked inside each stratum, engine-independent
-    add("docs_sample_k_per_group",
-        lambda spark, sf: SM.sample_k_per_group(_docs(spark, sf), 10)
-        .select("doc_id", "lang"),
-        """SELECT doc_id, lang FROM documents
-        QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
-            ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':grpk-v1')))
-            <= 10""")
-
-    # tokenizer-prep vocab coverage: per-doc OOV mass against the
-    # top-30 corpus vocabulary, exact integers
-    add("docs_vocab_coverage",
-        lambda spark, sf: TX.vocab_coverage(_docs(spark, sf),
-                                            vocab_size=30),
-        r"""WITH toks AS (
-          SELECT doc_id, unnest(regexp_split_to_array(
-            trim(lower(text)), '\s+')) AS token
-          FROM documents),
-        ne AS (SELECT * FROM toks WHERE token <> ''),
-        vocab AS (
-          SELECT token FROM ne GROUP BY token
-          ORDER BY COUNT(*) DESC, token LIMIT 30)
-        SELECT doc_id,
-          CAST(COUNT(*) AS BIGINT) AS n_tokens,
-          CAST(SUM(CASE WHEN token NOT IN (SELECT token FROM vocab)
-                        THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
-        FROM ne GROUP BY doc_id""")
-
-    # cross-dump duplication diagnostic (mixing-weight input): per source,
-    # docs whose fingerprint also appears under another source
-    add("docs_cross_source_dup",
-        lambda spark, sf: D.cross_source_duplication(_docs(spark, sf)),
-        r"""WITH f AS (
-          SELECT doc_id, source,
-                 md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
-          FROM documents),
-        s AS (SELECT fp, COUNT(DISTINCT source) AS n_sources
-              FROM f GROUP BY fp)
-        SELECT f.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(CASE WHEN s.n_sources > 1 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_cross_dup
-        FROM f JOIN s USING (fp)
-        GROUP BY f.source""")
-
-    # per-source type-token ratio (integer milli-units for bit-equality)
-    add("docs_lexical_diversity",
-        lambda spark, sf: TX.lexical_diversity(_docs(spark, sf)),
-        r"""WITH toks AS (
-          SELECT source, unnest(regexp_split_to_array(
-            trim(lower(text)), '\s+')) AS token
-          FROM documents),
-        ne AS (SELECT * FROM toks WHERE token <> ''),
-        per AS (SELECT source, token, COUNT(*) AS n FROM ne GROUP BY 1, 2)
-        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
-               CAST(SUM(n) AS BIGINT) AS n_tokens,
-               CAST((COUNT(*) * 1000) // SUM(n) AS BIGINT) AS ttr_milli
-        FROM per GROUP BY source""")
-
-    # corpus composition: shared CTE chain for the distribution-shift and
-    # distinctive-terms diagnostics (exact cross-multiplied integers —
-    # HUGEINT on the DuckDB side mirrors Spark's DECIMAL(19,0) lane)
-    _JOINT_SQL = r"""WITH toks AS (
-          SELECT source, unnest(regexp_split_to_array(
-            trim(lower(text)), '\s+')) AS token
-          FROM documents),
-        ne AS (SELECT * FROM toks WHERE token <> ''),
-        per AS (SELECT source, token, CAST(COUNT(*) AS HUGEINT) AS c
-                FROM ne GROUP BY 1, 2),
-        corpus AS (SELECT token, SUM(c) AS ct FROM per GROUP BY 1),
-        src AS (SELECT source, SUM(c) AS ts FROM per GROUP BY 1),
-        tot AS (SELECT SUM(ct) AS t FROM corpus),
-        j AS (SELECT p.source, p.token, p.c, co.ct, s.ts, tot.t
-              FROM per p JOIN corpus co USING (token)
-              JOIN src s USING (source), tot)"""
-
-    add("docs_source_tv_distance",
-        lambda spark, sf: TX.source_tv_distance(_docs(spark, sf)),
-        _JOINT_SQL + """,
-        agg AS (SELECT source, SUM(abs(c*t - ct*ts)) AS abs_part,
-                       SUM(ct) AS cov, any_value(ts) AS ts,
-                       any_value(t) AS t
-                FROM j GROUP BY source)
-        SELECT source, CAST(ts AS BIGINT) AS n_tokens,
-               CAST((500 * (abs_part + ts*(t - cov))) // (ts * t)
-                    AS BIGINT) AS tv_milli
-        FROM agg""")
-
-    add("docs_distinctive_terms",
-        lambda spark, sf: TX.distinctive_terms(_docs(spark, sf),
-                                               top_n=5, min_count=5),
-        _JOINT_SQL + """,
-        lift AS (SELECT source, token, c,
-                        CAST((c * t * 1000000) // (ct * ts) AS BIGINT)
-                          AS lift_ppm
-                 FROM j WHERE c >= 5),
-        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
-                ORDER BY lift_ppm DESC, token ASC) AS rn FROM lift)
-        SELECT source, token, CAST(c AS BIGINT) AS n, lift_ppm,
-               CAST(rn AS INTEGER) AS rn
-        FROM r WHERE rn <= 5""")
-
-    def incr_dedup(spark, sf):
-        docs = _docs(spark, sf)
-        from .operators.sampling import _hash_bucket
-        b = _hash_bucket(F.col("doc_id"), "batch-v1")
-        seen = docs.filter(b % 2 == 0)
-        new = docs.filter(b % 2 == 1)
-        return SM.incremental_dedup(new, seen).select("doc_id", "lang")
-
-    _BB = SM.hash_bucket_sql("doc_id", "batch-v1")
-
-    add("docs_incremental_dedup", incr_dedup,
-        f"""WITH fp AS (
-          SELECT doc_id, lang, {_BB} % 2 AS batch,
-                 md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
-                   AS fingerprint
-          FROM documents)
-        SELECT doc_id, lang FROM fp
-        WHERE batch = 1
-          AND fingerprint NOT IN (SELECT fingerprint FROM fp
-                                  WHERE batch = 0)
-          AND doc_id = (SELECT MIN(doc_id) FROM fp f2
-                        WHERE f2.batch = 1
-                          AND f2.fingerprint = fp.fingerprint)""")
-
-    add("docs_length_histogram",
-        lambda spark, sf: SM.length_histogram(_docs(spark, sf)),
-        """SELECT CAST(n_chars // 200 AS BIGINT) * 200 AS bucket_lo,
-               COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
-        FROM documents
-        GROUP BY 1""")
-
-    add("docs_exact_dup_groups",
-        lambda spark, sf: D.exact_dup_groups(_docs(spark, sf)),
-        """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
-               COUNT(*) AS copies
-        FROM documents
-        GROUP BY text""")
-
-    def exact_dedup_keep(spark, sf):
-        return D.exact_dedup(_docs(spark, sf), ["text"], "doc_id") \
-            .select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8"))
-                    .alias("text_hash"))
-
-    # deterministic survivor choice: first doc_id per duplicate text group
-    add("docs_exact_dedup_keep", exact_dedup_keep,
-        """SELECT doc_id, md5(text) AS text_hash
-        FROM (SELECT doc_id, text,
-                     ROW_NUMBER() OVER (PARTITION BY text
-                                        ORDER BY doc_id) AS rn
-              FROM documents)
-        WHERE rn = 1""")
-
-    # ================= extensions: similarity =============================
-
-    _emb = lambda spark, sf: load_table(spark, sf, "embeddings")
-
-    add("emb_norms",
-        lambda spark, sf: S.embedding_norms(_emb(spark, sf)),
-        """SELECT vec_id,
-               ROUND(sqrt(list_sum(list_transform(embedding,
-                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
-        FROM embeddings""")
-
-    add("emb_cosine_topk",
-        lambda spark, sf: S.cosine_topk(_emb(spark, sf), [0, 1, 2, 3, 4], k=3),
-        """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
-                      FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
-        scored AS (
-          SELECT q.query_id, e.vec_id AS neighbor_id,
-            list_sum(list_transform(list_zip(q.qvec, e.embedding),
-              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-            / (sqrt(list_sum(list_transform(q.qvec,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-             * sqrt(list_sum(list_transform(e.embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-          FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
-        SELECT query_id, rank, neighbor_id, ROUND(cos, 4) AS cosine FROM (
-          SELECT query_id, neighbor_id, cos,
-                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
-          FROM scored)
-        WHERE rank <= 3""")
-
-    # keyword-filtered exact vector search (the RAG retrieval shape);
-    # query vector = embedding 0 resolved LAZILY in-plan (no driver
-    # action at construction), terms prune the candidate set first
-    add("docs_hybrid_search",
-        lambda spark, sf: S.hybrid_search(
-            _docs(spark, sf), _emb(spark, sf),
-            ["vector", "stream"], query_id=0, k=10),
-        """WITH q AS (SELECT embedding AS qvec FROM embeddings
-                      WHERE vec_id = 0),
-        cands AS (SELECT doc_id FROM documents
-                  WHERE lower(text) LIKE '%vector%'
-                    AND lower(text) LIKE '%stream%'),
-        scored AS (
-          SELECT e.vec_id AS doc_id,
-            ROUND(list_sum(list_transform(list_zip(e.embedding, q.qvec),
-              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-            / (sqrt(list_sum(list_transform(e.embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-             * sqrt(list_sum(list_transform(q.qvec,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
-              AS cosine
-          FROM embeddings e JOIN cands c ON e.vec_id = c.doc_id, q)
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id)
-                    AS INTEGER) AS rank,
-               doc_id, cosine
-        FROM scored
-        ORDER BY cosine DESC, doc_id LIMIT 10""")
-
-    add("emb_quantize",
-        lambda spark, sf: S.quantize_embeddings(_emb(spark, sf))
-        .select("vec_id",
-                F.concat_ws(",", F.col("q_codes").cast("array<string>"))
-                .alias("codes"),
-                F.col("q_scale")),
-        """SELECT vec_id,
-               array_to_string(list_transform(embedding, x ->
-                 CAST(greatest(-127, least(127, CAST(floor(
-                   CAST(x AS DOUBLE) /
-                   (greatest(list_max(list_transform(embedding,
-                      v -> abs(CAST(v AS DOUBLE)))), 1e-30) / 127.0))
-                   AS INTEGER))) AS VARCHAR)), ',') AS codes,
-               greatest(list_max(list_transform(embedding,
-                  v -> abs(CAST(v AS DOUBLE)))), 1e-30) / 127.0 AS q_scale
-        FROM embeddings""")
-
-    add("emb_quantized_topk",
-        lambda spark, sf: S.dequantized_cosine_topk(
-            _emb(spark, sf), [0, 1, 2, 3, 4], k=3),
-        """WITH deq AS (
-          SELECT vec_id,
-                 list_transform(embedding, x ->
-                   CAST(greatest(-127, least(127, CAST(floor(
-                     CAST(x AS DOUBLE) /
-                     (greatest(list_max(list_transform(embedding,
-                        v -> abs(CAST(v AS DOUBLE)))), 1e-30) / 127.0))
-                     AS INTEGER))) AS DOUBLE)
-                   * (greatest(list_max(list_transform(embedding,
-                        v -> abs(CAST(v AS DOUBLE)))), 1e-30) / 127.0))
-                   AS e
-          FROM embeddings),
-        q AS (SELECT vec_id AS query_id, e AS qvec FROM deq
-              WHERE vec_id IN (0,1,2,3,4)),
-        scored AS (
-          SELECT q.query_id, d.vec_id AS neighbor_id,
-            list_sum(list_transform(list_zip(q.qvec, d.e),
-              p -> p[1] * p[2]))
-            / (sqrt(list_sum(list_transform(q.qvec, x -> x * x)))
-             * sqrt(list_sum(list_transform(d.e, x -> x * x)))) AS cos
-          FROM deq d JOIN q ON d.vec_id <> q.query_id)
-        SELECT query_id, rank, neighbor_id, ROUND(cos, 4) AS cosine FROM (
-          SELECT query_id, neighbor_id, cos,
-                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
-          FROM scored)
-        WHERE rank <= 3""")
-
-    add("emb_near_dup_pairs",
-        lambda spark, sf: D.embedding_near_dups(_emb(spark, sf),
-                                                threshold=0.45),
-        """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(
-                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-                 / (sqrt(list_sum(list_transform(a.embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                  * sqrt(list_sum(list_transform(b.embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
-                 AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-              / (sqrt(list_sum(list_transform(a.embedding,
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-               * sqrt(list_sum(list_transform(b.embedding,
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-              >= 0.45""")
-
-    # SemDeDup-style semantic dedup (Abbas et al. 2023): exact-cosine
-    # near-dup pairs → connected components; cluster == vec_id marks the
-    # canonical keeper.  Same min-label propagation as the text path;
-    # the oracle closes the identical edge set with a recursive CTE.
-    _COS = """list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-              / (sqrt(list_sum(list_transform(a.embedding,
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-               * sqrt(list_sum(list_transform(b.embedding,
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
-    add("emb_semantic_dedup_clusters",
-        lambda spark, sf: D.near_dup_clusters(
-            D.embedding_near_dups(_emb(spark, sf), threshold=0.45))
-            .withColumnRenamed("doc_id", "vec_id"),
-        f"""WITH RECURSIVE pairs AS (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          WHERE {_COS} >= 0.45),
-        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                  UNION SELECT id_b, id_a FROM pairs),
-        reach(src, dst) AS (
-          SELECT src, dst FROM edges
-          UNION SELECT src, src FROM edges
-          UNION SELECT r.src, e.dst
-          FROM reach r JOIN edges e ON r.dst = e.src)
-        SELECT src AS vec_id, MIN(dst) AS cluster FROM reach GROUP BY src""")
-
-    # end-to-end dedup pipeline: exact jaccard pairs → connected
-    # components.  Spark runs distributed min-label propagation; the
-    # oracle computes the same components as a recursive-CTE transitive
-    # closure over the identical exact-jaccard edge set.
-    add("docs_near_dup_clusters",
-        lambda spark, sf: D.near_dup_clusters(
-            D.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.2)),
-        r"""WITH RECURSIVE toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-          FROM documents),
-        sh AS (
-          SELECT doc_id, unnest(list_distinct(list_transform(
-            generate_series(1, greatest(len(t) - 2, 1)),
-            i -> array_to_string(t[i:i+2], ' ')))) AS shingle
-          FROM toks),
-        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        pairs AS (
-          SELECT id_a, id_b FROM inter
-          JOIN sizes sa ON sa.doc_id = id_a
-          JOIN sizes sb ON sb.doc_id = id_b
-          WHERE i / (sa.sz + sb.sz - i) >= 0.2),
-        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                  UNION SELECT id_b, id_a FROM pairs),
-        reach(src, dst) AS (
-          SELECT src, dst FROM edges
-          UNION SELECT src, src FROM edges
-          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-        SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src""")
-
-    def corpus_prep(spark, sf):
-        from .operators.pipeline import prepare_corpus
-        return prepare_corpus(_docs(spark, sf), min_quality=0.5)
-
-    # the canonical corpus-prep composition: quality gate -> keep-first
-    # exact dedup -> deterministic split, one lineage, full SQL oracle
-    add("docs_prepare_corpus", corpus_prep,
-        rf"""WITH q AS (
-          SELECT doc_id,
-            len(regexp_split_to_array(trim(text), '\s+')) AS q_tok,
-            greatest(length(text), 1) AS q_chr,
-            CAST(len(regexp_extract_all(lower(text),
-              '\b(the|and|of|to|in|is)\b')) AS INTEGER) AS q_stop,
-            CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-                 AS INTEGER) AS q_punct
-          FROM documents),
-        passed AS (
-          SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
-          WHERE ROUND(
-            (CASE WHEN q_tok >= 10 AND q_tok <= 5000
-                  THEN 0.4 ELSE 0.0 END)
-            + least(q_stop / greatest(q_tok, 1) * 2.0, 0.4)
-            - least(q_punct / q_chr * 5.0, 0.2)
-            + (CASE WHEN q_chr / greatest(q_tok, 1) >= 3.0
-                     AND q_chr / greatest(q_tok, 1) <= 12.0
-                    THEN 0.2 ELSE 0.0 END), 4) >= 0.5),
-        fp AS (
-          SELECT doc_id,
-                 md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
-                   AS fingerprint
-          FROM passed),
-        kept AS (
-          SELECT doc_id FROM fp
-          WHERE doc_id = (SELECT MIN(f2.doc_id) FROM fp f2
-                          WHERE f2.fingerprint = fp.fingerprint))
-        SELECT doc_id,
-               CASE WHEN {SM.hash_bucket_sql('doc_id', 'split-v1')} < 9000
-                    THEN 'train' ELSE 'val' END AS split
-        FROM kept""")
-
-    # the full dedup pipeline: exact-jaccard pairs → connected
-    # components → one canonical survivor per cluster (keep-min-id),
-    # singletons untouched — corpus size in, deduped corpus out
-    add("docs_keep_canonical",
-        lambda spark, sf: D.keep_canonical(
-            _docs(spark, sf),
-            D.near_dup_clusters(
-                D.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.2)))
-        .select("doc_id", "lang", "source"),
-        r"""WITH RECURSIVE toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-          FROM documents),
-        sh AS (
-          SELECT doc_id, unnest(list_distinct(list_transform(
-            generate_series(1, greatest(len(t) - 2, 1)),
-            i -> array_to_string(t[i:i+2], ' ')))) AS shingle
-          FROM toks),
-        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        pairs AS (
-          SELECT id_a, id_b FROM inter
-          JOIN sizes sa ON sa.doc_id = id_a
-          JOIN sizes sb ON sb.doc_id = id_b
-          WHERE i / (sa.sz + sb.sz - i) >= 0.2),
-        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                  UNION SELECT id_b, id_a FROM pairs),
-        reach(src, dst) AS (
-          SELECT src, dst FROM edges
-          UNION SELECT src, src FROM edges
-          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        comp AS (SELECT src AS doc_id, MIN(dst) AS cluster
-                 FROM reach GROUP BY src)
-        SELECT d.doc_id, d.lang, d.source
-        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
-        WHERE c.doc_id IS NULL OR d.doc_id = c.cluster""")
-
-    # rows-only checks (hash functions are engine-specific → no SQL oracle)
-    add("docs_minhash_lsh_pairs",
-        lambda spark, sf: D.minhash_lsh_pairs(_docs(spark, sf), threshold=0.3),
-        None)
-    # the SCALE-path dedup pipeline: banded MinHash-LSH candidates (never
-    # all-pairs) -> components -> canonical corpus.  Probabilistic, so
-    # rows-only here; its recall vs the exact pipeline is pinned in
-    # tests/test_recall.py
-    add("docs_minhash_dedup_corpus",
-        lambda spark, sf: D.keep_canonical(
-            _docs(spark, sf),
-            D.near_dup_clusters(
-                D.minhash_lsh_pairs(_docs(spark, sf), threshold=0.3)))
-        .select("doc_id", "lang", "source"),
-        None)
-    # hamming <= 6: inside the multi-block pigeonhole guarantee (n_blocks-1)
-    # and tight enough to mean "near-dup" on vocabulary-overlapping corpora
-    # (hamming 16 admits ~24% of ALL pairs of this fixture)
-    add("docs_simhash_pairs",
-        lambda spark, sf: D.simhash_near_pairs(_docs(spark, sf),
-                                               max_hamming=6),
-        None)
-    add("emb_lsh_topk",
-        lambda spark, sf: S.lsh_cosine_topk(_emb(spark, sf), [0, 1, 2, 3, 4],
-                                            k=3),
-        None)
-    add("emb_ivf_topk",
-        lambda spark, sf: S.ivf_cosine_topk(_emb(spark, sf), [0, 1, 2, 3, 4],
-                                            k=3),
-        None)
-    # product quantization + ADC shortlist + exact re-rank — the
-    # compressed-scan serving path (IVFPQ's PQ half).  KMeans codebooks →
-    # not SQL-expressible → rows-only; quality contract =
-    # tests/test_recall.py PQ floors (exact-top3 recovery + planted@1)
-    # ---- in-entry differential gates for the rows-only ANN family ----
-    # The driver's rows-only check proves only "ran and returned rows";
-    # these wrappers make that row carry REAL signal (VERDICT r5 item 4)
-    # by computing recall against the oracle-green exact operator INSIDE
-    # the entry and failing loudly below the floor.  Gated behind a
-    # corpus-size cap so the exact pass can't become the scale
-    # bottleneck the approximate operator exists to avoid; the skip is
-    # logged, never silent.  Documented in PARITY.md.
-    _ANN_GATE_MAX_VECS = 100_000
-
-    def _ann_gate_skipped(n_vecs: int, name: str) -> bool:
-        if n_vecs > _ANN_GATE_MAX_VECS:
-            import logging
-            logging.getLogger(__name__).warning(
-                "%s: differential recall gate skipped (%d vectors > "
-                "cap %d) — covered by tests/test_recall.py floors",
-                name, n_vecs, _ANN_GATE_MAX_VECS)
-            return True
-        return False
-
-    def _pq_topk_gated(spark, sf, composed: bool):
-        emb = _emb(spark, sf)
-        qids = [0, 1, 2, 3, 4]
-        if composed:
-            # n_probe=5 of 8: on this NEAR-UNIFORM corpus an arbitrary
-            # query's true top-1 sits in a random cell (measured
-            # in-top-3 rate: 2/5 at n_probe=3, 4/5 at 5), so the entry
-            # probes a majority of cells and the gate floor is 0.7
-            # (>=4/5) — cell pruning bounds what the composed index
-            # can promise for NON-planted neighbors on uniform data,
-            # unlike the planted near-dups tests/test_recall.py pins
-            # at n_probe=3.
-            out = S.ivfpq_cosine_topk(emb, qids, k=3, n_probe=5)
-            name, floor = "emb_ivfpq_topk", 0.7
-        else:
-            out = S.pq_cosine_topk(emb, qids, k=3)
-            name, floor = "emb_pq_topk", 0.8
-        if not _ann_gate_skipped(emb.count(), name):
-            exact1 = {r["query_id"]: r["neighbor_id"]
-                      for r in S.cosine_topk(emb, qids, k=1).collect()}
-            approx = {}
-            for r in out.collect():
-                approx.setdefault(r["query_id"], set()).add(
-                    r["neighbor_id"])
-            hits = sum(1 for q, n1 in exact1.items()
-                       if n1 in approx.get(q, set()))
-            if exact1 and hits / len(exact1) < floor:
-                raise AssertionError(
-                    f"{name}: exact top-1 in approx top-3 for only "
-                    f"{hits}/{len(exact1)} queries (floor {floor})")
-        return out
-
-    add("emb_pq_topk",
-        lambda spark, sf: _pq_topk_gated(spark, sf, composed=False),
-        None)
-    # the composed index: IVF cell pruning bounds how MANY codes are
-    # read, PQ bounds how BIG each read is; exact tail re-ranks.
-    # Rows-only (two KMeans stages); recall floor guards the composition
-    add("emb_ivfpq_topk",
-        lambda spark, sf: _pq_topk_gated(spark, sf, composed=True),
-        None)
-
-    def _lsh_near_dup_gated(spark, sf):
-        emb = _emb(spark, sf)
-        out = S.lsh_near_dup_pairs(emb, threshold=0.45, n_tables=16,
-                                   bits_per_table=4)
-        if not _ann_gate_skipped(emb.count(), "emb_lsh_near_dup_pairs"):
-            exact = {(r["id_a"], r["id_b"]) for r in
-                     D.embedding_near_dups(emb, threshold=0.45).collect()}
-            got = {(r["id_a"], r["id_b"]) for r in out.collect()}
-            # the operator exact-verifies candidates, so precision is
-            # 1.0 by construction — assert it, then gate recall
-            stray = got - exact
-            if stray:
-                raise AssertionError(
-                    f"emb_lsh_near_dup_pairs: {len(stray)} pairs not in "
-                    f"the exact GEMM output — verification broke")
-            if exact and len(got) / len(exact) < 0.7:
-                raise AssertionError(
-                    f"emb_lsh_near_dup_pairs: recall "
-                    f"{len(got)}/{len(exact)} vs exact pairs "
-                    f"(floor 0.7)")
-        return out
-
-    # all-pairs near-dup WITHOUT the GEMM broadcast bound (the scale path
-    # embedding_near_dups reroutes to); loose-threshold setting matches
-    # the planted cosine-0.5 pairs.  Approximate recall → rows-only;
-    # quality contract = the in-entry differential gate above plus
-    # tests/test_recall.py recall+precision floors
-    add("emb_lsh_near_dup_pairs", _lsh_near_dup_gated, None)
-
-    # max_doc_freq: finite stop-shingle cap (well above the observed max
-    # df at test SFs — 25 at sf0.1 — so results here are exact; at corpus
-    # scale it bounds the O(df^2) pair blowup and logs what it drops).
-    # Oracle shingles use clamped list slicing (t[i:i+2]) to match Spark's
-    # F.slice truncation for docs shorter than n tokens.
-    add("docs_ngram_jaccard_pairs",
-        lambda spark, sf: D.ngram_jaccard_pairs(_docs(spark, sf), n=3,
-                                                threshold=0.2,
-                                                max_doc_freq=1000),
-        r"""WITH toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-          FROM documents),
-        sh AS (
-          SELECT doc_id,
-                 unnest(list_distinct(list_transform(
-                   generate_series(1, greatest(len(t) - 2, 1)),
-                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
-          FROM toks),
-        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-          FROM sh a JOIN sh b
-            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-        SELECT id_a, id_b,
-               ROUND(i / (sa.sz + sb.sz - i), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE i / (sa.sz + sb.sz - i) >= 0.2""")
-
-    # DSIR data selection (hashed-ngram importance weights): per-bucket
-    # log-likelihood ratios frozen to integer micro-units once per
-    # corpus, so each doc's weight is exact integer arithmetic — the
-    # single ln happens n_buckets times, never per document, keeping the
-    # cross-engine comparison bit-exact.  DuckDB SUM(BIGINT) → HUGEINT,
-    # hence the final CASTs (the r4 anomalies lesson).
-    add("docs_dsir_weights",
-        lambda spark, sf: SM.dsir_importance_weights(
-            _docs(spark, sf), F.col("source") == "src0"),
-        r"""WITH d AS (
-          SELECT doc_id, source = 'src0' AS is_target,
-                 regexp_split_to_array(trim(lower(text)), '\s+') AS t
-          FROM documents),
-        f AS (
-          SELECT doc_id, is_target, unnest(list_concat(t,
-                   list_transform(
-                     generate_series(1, greatest(len(t) - 1, 0)),
-                     i -> concat(t[i], ' ', t[i+1])))) AS feat
-          FROM d),
-        b AS (
-          SELECT doc_id, is_target,
-                 TRY_CAST(concat('0x', substr(md5(concat('f:', feat)),
-                   1, 15)) AS BIGINT) % 1024 AS bucket
-          FROM f),
-        dc AS (SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
-        corpus AS (
-          SELECT bucket, COUNT(*) AS cr,
-                 SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
-          FROM b GROUP BY 1),
-        tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM corpus),
-        llr AS (
-          SELECT bucket, CAST(ROUND((LN(ct + 1) - LN(tt + 1024)
-                   - LN(cr + 1) + LN(tr + 1024)) * 1e6) AS BIGINT)
-                 AS llr_micro
-          FROM corpus, tot)
-        SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
-               CAST(SUM(c * llr_micro) AS BIGINT) AS weight_micro
-        FROM dc JOIN llr USING (bucket)
-        GROUP BY 1""")
-
-    # the selection half of DSIR: top-k docs by importance weight,
-    # deterministic ties by id (TakeOrderedAndProject — no global sort)
-    add("docs_dsir_top_docs",
-        lambda spark, sf: SM.dsir_select_top_k(
-            _docs(spark, sf), F.col("source") == "src0", k=50),
-        r"""WITH base AS (WITH d AS (
-            SELECT doc_id, source = 'src0' AS is_target,
-                   regexp_split_to_array(trim(lower(text)), '\s+') AS t
-            FROM documents),
-          f AS (
-            SELECT doc_id, is_target, unnest(list_concat(t,
-                     list_transform(
-                       generate_series(1, greatest(len(t) - 1, 0)),
-                       i -> concat(t[i], ' ', t[i+1])))) AS feat
-            FROM d),
-          b AS (
-            SELECT doc_id, is_target,
-                   TRY_CAST(concat('0x', substr(md5(concat('f:', feat)),
-                     1, 15)) AS BIGINT) % 1024 AS bucket
-            FROM f),
-          dc AS (SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
-          corpus AS (
-            SELECT bucket, COUNT(*) AS cr,
-                   SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
-            FROM b GROUP BY 1),
-          tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM corpus),
-          llr AS (
-            SELECT bucket, CAST(ROUND((LN(ct + 1) - LN(tt + 1024)
-                     - LN(cr + 1) + LN(tr + 1024)) * 1e6) AS BIGINT)
-                   AS llr_micro
-            FROM corpus, tot)
-          SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
-                 CAST(SUM(c * llr_micro) AS BIGINT) AS weight_micro
-          FROM dc JOIN llr USING (bucket)
-          GROUP BY 1
-          )
-        SELECT CAST(ROW_NUMBER() OVER (
-                 ORDER BY weight_micro DESC, doc_id) AS INTEGER) AS rank,
-               doc_id, n_feats, weight_micro
-        FROM base
-        ORDER BY weight_micro DESC, doc_id
-        LIMIT 50""")
-
-    # stochastic DSIR via Gumbel-top-k with a DETERMINISTIC noise
-    # source (md5-bucket uniform -> -ln(-ln(u))), integer micro-units
-    # before comparison — reproducible resampling any engine replays
-    add("docs_dsir_gumbel_sample",
-        lambda spark, sf: SM.dsir_gumbel_sample(
-            _docs(spark, sf), F.col("source") == "src0", k=50),
-        r"""WITH base AS (WITH d AS (
-            SELECT doc_id, source = 'src0' AS is_target,
-                   regexp_split_to_array(trim(lower(text)), '\s+') AS t
-            FROM documents),
-          f AS (
-            SELECT doc_id, is_target, unnest(list_concat(t,
-                     list_transform(
-                       generate_series(1, greatest(len(t) - 1, 0)),
-                       i -> concat(t[i], ' ', t[i+1])))) AS feat
-            FROM d),
-          b AS (
-            SELECT doc_id, is_target,
-                   TRY_CAST(concat('0x', substr(md5(concat('f:', feat)),
-                     1, 15)) AS BIGINT) % 1024 AS bucket
-            FROM f),
-          dc AS (SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
-          corpus AS (
-            SELECT bucket, COUNT(*) AS cr,
-                   SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
-            FROM b GROUP BY 1),
-          tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM corpus),
-          llr AS (
-            SELECT bucket, CAST(ROUND((LN(ct + 1) - LN(tt + 1024)
-                     - LN(cr + 1) + LN(tr + 1024)) * 1e6) AS BIGINT)
-                   AS llr_micro
-            FROM corpus, tot)
-          SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
-                 CAST(SUM(c * llr_micro) AS BIGINT) AS weight_micro
-          FROM dc JOIN llr USING (bucket)
-          GROUP BY 1
-          ),
-        keyed AS (
-          SELECT doc_id, weight_micro,
-                 CAST(ROUND(weight_micro / 1.0) AS BIGINT)
-                 + CAST(ROUND(-LN(-LN((TRY_CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':dsir-gumbel-v1')), 1, 15)) AS BIGINT) % 10000
-                     + 0.5) / 10000.0)) * 1e6) AS BIGINT) AS key_micro
-          FROM base)
-        SELECT CAST(ROW_NUMBER() OVER (
-                 ORDER BY key_micro DESC, doc_id) AS INTEGER) AS rank,
-               doc_id, weight_micro, key_micro
-        FROM keyed
-        ORDER BY key_micro DESC, doc_id
-        LIMIT 50""")
-
-    # BM25 ranked retrieval — idf frozen to micro-units per TERM (the
-    # only ln), each (doc,term) contribution rounded to integer milli
-    # BEFORE the per-doc sum → order-independent exact integer score
-    add("docs_bm25_topk",
-        lambda spark, sf: TX.bm25_topk(_docs(spark, sf),
-                                       ["hash", "join", "stream"], k=10),
-        r"""WITH toks AS (
-          SELECT doc_id, unnest(regexp_split_to_array(
-                   trim(lower(text)), '\s+')) AS token
-          FROM documents),
-        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
-        tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT)
-                  AS total_len FROM dl),
-        hits AS (SELECT doc_id, token FROM toks
-                 WHERE token IN ('hash', 'join', 'stream')),
-        dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df
-                  FROM hits GROUP BY 1),
-        idf AS (
-          SELECT token, CAST(ROUND(LN((n_docs - df + 0.5) / (df + 0.5)
-                   + 1.0) * 1e6) AS BIGINT) AS idf_micro
-          FROM dfreq, tot),
-        tf AS (SELECT doc_id, token, COUNT(*) AS tf
-               FROM hits GROUP BY 1, 2),
-        contrib AS (
-          SELECT tf.doc_id, CAST(ROUND(
-                   idf_micro * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75
-                     * (dl * n_docs / total_len)))) / 1000.0)
-                 AS BIGINT) AS contrib_milli
-          FROM tf JOIN dl ON dl.doc_id = tf.doc_id
-          JOIN idf ON idf.token = tf.token, tot),
-        scored AS (
-          SELECT doc_id, CAST(SUM(contrib_milli) AS BIGINT)
-                   AS score_milli,
-                 COUNT(*) AS n_terms_hit
-          FROM contrib GROUP BY 1)
-        SELECT CAST(ROW_NUMBER() OVER (
-                 ORDER BY score_milli DESC, doc_id) AS INTEGER) AS rank,
-               doc_id, n_terms_hit, score_milli
-        FROM scored
-        ORDER BY score_milli DESC, doc_id
-        LIMIT 10""")
-
-    # asymmetric containment |A∩B| / min(|A|,|B|) over the same shingle
-    # sets — the doc-inside-doc detector Jaccard structurally misses
-    # when sizes differ.  contained_id = the smaller side (ties → id_a).
-    _CONTAINMENT_SQL = r"""WITH toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-          FROM documents),
-        sh AS (
-          SELECT doc_id,
-                 unnest(list_distinct(list_transform(
-                   generate_series(1, greatest(len(t) - 2, 1)),
-                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
-          FROM toks),
-        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-          FROM sh a JOIN sh b
-            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-        SELECT id_a, id_b,
-               ROUND(i / LEAST(sa.sz, sb.sz), 4) AS containment,
-               CASE WHEN sb.sz < sa.sz THEN id_b ELSE id_a END
-                 AS contained_id
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE i / LEAST(sa.sz, sb.sz) >= 0.5"""
-
-    add("docs_containment_pairs",
-        lambda spark, sf: D.ngram_containment_pairs(_docs(spark, sf), n=3,
-                                                    threshold=0.5,
-                                                    max_doc_freq=1000),
-        _CONTAINMENT_SQL)
-
-    # PPJoin prefix-filtered variant: bit-identical contract (same
-    # oracle), different cost profile — see the operator docstring for
-    # the measured trade-off and when to pick which
-    add("docs_containment_pairs_prefix",
-        lambda spark, sf: D.ngram_containment_pairs_prefix(
-            _docs(spark, sf), n=3, threshold=0.5, max_doc_freq=1000),
-        _CONTAINMENT_SQL)
-
-    # winnowing (Schleimer et al. 2003): substring-level fingerprints —
-    # shared token runs of length >= w+k-1 guarantee a shared fingerprint.
-    # Oracle mirrors the selection exactly: sliding-window MIN over the
-    # 60-bit md5 gram hashes via a ROWS window frame, then DISTINCT.
-    _WINNOW_WINS_SQL = r"""WITH toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-          FROM documents),
-        grams AS (
-          SELECT doc_id, i,
-                 TRY_CAST(concat('0x', substr(md5(
-                   array_to_string(t[i:i+3], ' ')), 1, 15)) AS BIGINT) AS h,
-                 len(t) - 3 AS n_grams
-          FROM toks, LATERAL (SELECT UNNEST(generate_series(
-            1, greatest(len(t) - 3, 0))) AS i) u),
-        wins AS (
-          SELECT doc_id,
-                 MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-                              ROWS BETWEEN CURRENT ROW
-                              AND 4 FOLLOWING) AS fp,
-                 i, n_grams
-          FROM grams),
-        wfil AS (
-          SELECT doc_id, i, fp, n_grams
-          FROM wins WHERE i <= greatest(n_grams - 4, 1))"""
-
-    _WINNOW_FPS_SQL = _WINNOW_WINS_SQL + """
-        SELECT DISTINCT doc_id, fp FROM wfil"""
-
-    add("docs_winnow_fingerprints",
-        lambda spark, sf: D.winnow_fingerprints(_docs(spark, sf), k=4, w=5),
-        _WINNOW_FPS_SQL)
-
-    # max_doc_freq mirrors the 100 TB stop-fingerprint guard in BOTH
-    # engines (no fp reaches it at this SF — the semantics contract is
-    # what's under test, like ngram_jaccard's 1000 cap)
-    add("docs_winnow_dup_pairs",
-        lambda spark, sf: D.winnow_dup_pairs(_docs(spark, sf), k=4, w=5,
-                                             min_shared=2,
-                                             max_doc_freq=1000),
-        f"""WITH fps AS ({_WINNOW_FPS_SQL}),
-        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM fps GROUP BY doc_id),
-        dfreq AS (SELECT fp, COUNT(*) AS nd FROM fps GROUP BY fp),
-        shared AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 COUNT(*) AS n_shared
-          FROM fps a JOIN fps b
-            ON a.fp = b.fp AND a.doc_id < b.doc_id
-          JOIN dfreq d ON d.fp = a.fp AND d.nd <= 1000
-          GROUP BY 1, 2)
-        SELECT id_a, id_b, n_shared,
-               CAST((n_shared * 1000) // least(sa.sz, sb.sz)
-                    AS BIGINT) AS containment_milli
-        FROM shared
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE n_shared >= 2""")
-
-    add("docs_winnow_match_spans",
-        lambda spark, sf: D.winnow_match_spans(_docs(spark, sf), k=4,
-                                               w=5, min_shared=2,
-                                               max_doc_freq=1000),
-        _WINNOW_WINS_SQL + """,
-        fps AS (SELECT DISTINCT doc_id, fp FROM wfil),
-        dfreq AS (SELECT fp, COUNT(*) AS nd FROM fps GROUP BY 1),
-        shared AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM fps a JOIN fps b
-            ON a.fp = b.fp AND a.doc_id < b.doc_id
-          JOIN dfreq d ON d.fp = a.fp AND d.nd <= 1000
-          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        dirs AS (
-          SELECT id_a AS doc_id, id_b AS other_id FROM shared
-          UNION ALL
-          SELECT id_b, id_a FROM shared),
-        matched AS (
-          SELECT b.doc_id, b.other_id, w.i - 1 AS pos, w.n_grams
-          FROM dirs b
-          JOIN fps pf ON pf.doc_id = b.other_id
-          JOIN wfil w ON w.doc_id = b.doc_id AND w.fp = pf.fp),
-        sp AS (
-          SELECT doc_id, other_id, pos, n_grams,
-                 CASE WHEN pos - lag(pos) OVER
-                        (PARTITION BY doc_id, other_id ORDER BY pos) > 5
-                      THEN 1 ELSE 0 END AS new_span
-          FROM matched),
-        sp2 AS (
-          SELECT *, SUM(new_span) OVER
-                   (PARTITION BY doc_id, other_id ORDER BY pos
-                    ROWS UNBOUNDED PRECEDING) AS span
-          FROM sp)
-        SELECT doc_id, other_id,
-               CAST(MIN(pos) AS BIGINT) AS span_start,
-               -- clamp to the last real token index (n_grams + k - 2)
-               -- for sub-w-gram docs with one truncated window
-               CAST(least(MAX(pos) + 7, MAX(n_grams) + 2)
-                    AS BIGINT) AS span_end,
-               COUNT(*) AS n_windows
-        FROM sp2 GROUP BY doc_id, other_id, span""")
-
-    add("docs_winnow_dup_extent",
-        lambda spark, sf: D.winnow_dup_extent(_docs(spark, sf), k=4, w=5),
-        _WINNOW_WINS_SQL + """,
-        dfreq AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd
-                  FROM wfil GROUP BY 1)
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
-               CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_shared_windows,
-               CAST((SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000)
-                    // COUNT(*) AS BIGINT) AS shared_milli
-        FROM wfil JOIN dfreq USING (fp)
-        GROUP BY doc_id""")
-
-    # pre-join key profiling: exact inner-join cardinality + skew/null
-    # diagnostics from per-key counts only (payloads never shuffle)
-    def jprofile(spark, sf):
-        from .operators.joins import join_profile
-        o = load_table(spark, sf, "orders").select(
-            F.col("o_custkey").alias("custkey"))
-        c = load_table(spark, sf, "customer").select(
-            F.col("c_custkey").alias("custkey"))
-        return join_profile(o, c, ["custkey"])
-
-    add("tpch_join_profile_orders_customer", jprofile,
-        """WITH pl AS (
-          SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
-        pr AS (
-          SELECT c_custkey AS k, COUNT(*) AS n FROM customer GROUP BY 1),
-        l AS (SELECT CAST(SUM(n) AS BIGINT) AS n_left,
-                     CAST(COUNT(*) AS BIGINT) AS distinct_left,
-                     CAST(MAX(n) AS BIGINT) AS max_key_mult_left,
-                     CAST(SUM(CASE WHEN k IS NULL THEN n ELSE 0 END)
-                          AS BIGINT) AS null_key_rows_left
-              FROM pl),
-        r AS (SELECT CAST(SUM(n) AS BIGINT) AS n_right,
-                     CAST(COUNT(*) AS BIGINT) AS distinct_right,
-                     CAST(MAX(n) AS BIGINT) AS max_key_mult_right,
-                     CAST(SUM(CASE WHEN k IS NULL THEN n ELSE 0 END)
-                          AS BIGINT) AS null_key_rows_right
-              FROM pr),
-        j AS (SELECT CAST(coalesce(SUM(pl.n * pr.n), 0) AS BIGINT)
-                       AS est_output_rows
-              FROM pl JOIN pr USING (k) WHERE k IS NOT NULL)
-        SELECT * FROM l, r, j""")
-
-    # unicode normalization: a combining-acute suffix is synthesized
-    # in-plan on BOTH engines, so the hashes only match if NFC really
-    # composed it (DuckDB ships nfc_normalize; NFKC has no DuckDB
-    # counterpart and stays pytest-covered)
-    def unicode_norm(spark, sf):
-        from .operators.text import normalize_unicode
-        d = _docs(spark, sf).withColumn(
-            "text", F.concat(F.col("text"), F.lit(" café")))
-        return (normalize_unicode(d, form="NFC")
-                .select("doc_id",
-                        F.md5(F.encode(F.col("text_norm"), "UTF-8"))
-                         .alias("norm_hash"),
-                        F.length("text_norm").cast("bigint")
-                         .alias("n_chars_norm")))
-
-    add("docs_unicode_normalize", unicode_norm,
-        """SELECT doc_id,
-               md5(nfc_normalize(text || ' cafe' || chr(769)))
-                 AS norm_hash,
-               CAST(length(nfc_normalize(text || ' cafe' || chr(769)))
-                    AS BIGINT) AS n_chars_norm
-        FROM documents""")
-
-    # snapshot diff: both versions derived deterministically from the one
-    # documents table (md5 buckets), so the oracle reconstructs them and
-    # the promotion-gate counts compare exactly
-    def snap_diff(spark, sf):
-        from .operators.diff import snapshot_diff_summary
-        from .operators.sampling import _hash_bucket
-        docs = _docs(spark, sf)
-        b = _hash_bucket(F.col("doc_id"), "snap-v1")
-        old = docs.filter(b % 10 < 9)
-        new = (docs.filter(b % 10 > 0)
-               .withColumn("text",
-                           F.when(b % 3 == 0,
-                                  F.concat(F.col("text"), F.lit(" v2")))
-                            .otherwise(F.col("text"))))
-        return snapshot_diff_summary(old, new, ["doc_id"])
-
-    _SB = SM.hash_bucket_sql("doc_id", "snap-v1")
-    _SNAP_FP = ("md5(concat_ws(chr(31), "
-                "coalesce(CAST({t} AS VARCHAR), chr(0)), "
-                "coalesce(CAST(lang AS VARCHAR), chr(0)), "
-                "coalesce(CAST(source AS VARCHAR), chr(0)), "
-                "coalesce(CAST(n_chars AS VARCHAR), chr(0))))")
-
-    add("docs_snapshot_diff", snap_diff,
-        f"""WITH old AS (
-          SELECT doc_id, {_SNAP_FP.format(t="text")} AS o
-          FROM documents WHERE {_SB} % 10 < 9),
-        new AS (
-          SELECT doc_id,
-                 {_SNAP_FP.format(
-                     t=f"CASE WHEN {_SB} % 3 = 0 THEN concat(text, ' v2') "
-                       "ELSE text END")} AS n
-          FROM documents WHERE {_SB} % 10 > 0),
-        j AS (SELECT old.o, new.n
-              FROM old FULL OUTER JOIN new USING (doc_id))
-        SELECT CASE WHEN o IS NULL THEN 'added'
-                    WHEN n IS NULL THEN 'removed'
-                    WHEN o <> n THEN 'changed'
-                    ELSE 'unchanged' END AS status,
-               COUNT(*) AS n_rows
-        FROM j GROUP BY 1""")
-
-    # multimodal plumbing: binary payloads → mapInPandas feature extraction
-    # (deterministic fake codec — no media libs in this container; the
-    # Spark-side schema/batching/partitioning is the real thing under test)
-    from .operators.multimodal import extract_features, synthetic_media
-
-    def multimodal_canon(spark, sf):
-        # Library callers get the raw array<float> feature column from
-        # extract_features; the harness entry serializes it (floor-
-        # quantized to 1e-6, comma-joined) because the driver's
-        # canonicalizer hashes cell values and an array cell is
-        # unhashable.  floor (not round) so there is no tie-breaking
-        # rule to disagree on cross-engine; the float32 -> double
-        # promotion and the multiply are IEEE-exact on both.
-        feats = extract_features(synthetic_media(spark, 256), dim=8)
-        return feats.select(
-            "media_id", "kind", "n_bytes", "digest",
-            F.concat_ws(",", F.transform(
-                F.col("feature"),
-                lambda x: F.floor(x.cast("double") * F.lit(1000000.0))
-                           .cast("bigint").cast("string")))
-             .alias("feature_q"))
-
-    def multimodal_resize(spark, sf):
-        from .operators.multimodal import resize_images, synthetic_media
-        media = synthetic_media(spark, 256).filter(F.col("kind") == "image")
-        return resize_images(media, 64, 64).select(
-            "media_id", "kind", "target_w", "target_h", "digest")
-
-    # resize: stub codec is a digest chain over (payload_hex, WxH), so
-    # the oracle rebuilds the fixture and recomputes the chain
-    add("multimodal_resize", multimodal_resize,
-        """WITH m AS (SELECT unnest(generate_series(0, 255)) AS i),
-        p AS (SELECT i, repeat(md5(CAST(i AS VARCHAR)), 1 + i % 4) AS ph
-              FROM m WHERE i % 3 = 0)
-        SELECT CAST(i AS BIGINT) AS media_id, 'image' AS kind,
-               CAST(64 AS INTEGER) AS target_w,
-               CAST(64 AS INTEGER) AS target_h,
-               sha256(concat(ph, ':64x64')) AS digest
-        FROM p""")
-
-    def multimodal_frames(spark, sf):
-        from .operators.multimodal import sample_frames, synthetic_media
-        return sample_frames(synthetic_media(spark, 256), stride=2)
-
-    # frame sampling: 1->N fan-out; n_frames = 1 + n_bytes % 5 with
-    # n_bytes = 16*(1+i%4), stride 2, frame digest chained off the
-    # payload digest
-    add("multimodal_frames", multimodal_frames,
-        """WITH m AS (SELECT unnest(generate_series(0, 255)) AS i),
-        p AS (SELECT i, repeat(md5(CAST(i AS VARCHAR)), 1 + i % 4) AS ph,
-                     16 * (1 + i % 4) AS n_bytes
-              FROM m WHERE i % 3 = 2),
-        f AS (SELECT i, ph,
-                     unnest(generate_series(0, n_bytes % 5, 2)) AS frame_idx
-              FROM p)
-        SELECT CAST(i AS BIGINT) AS media_id,
-               CAST(frame_idx AS INTEGER) AS frame_idx,
-               sha256(concat(sha256(ph), ':', CAST(frame_idx AS VARCHAR)))
-                   AS frame_digest
-        FROM f""")
-
-    # Full oracle: the synthetic fixture and the fake codec are both
-    # hex-string hash chains precisely so DuckDB (VARCHAR-only hash
-    # functions) can recompute every column, including the per-element
-    # float32 feature quantization.
-    add("multimodal_features", multimodal_canon,
-        """WITH m AS (SELECT unnest(generate_series(0, 255)) AS i),
-        p AS (SELECT i,
-                     repeat(md5(CAST(i AS VARCHAR)), 1 + i % 4) AS ph
-              FROM m),
-        d AS (SELECT i, ph, sha256(ph) AS dg, sha256(sha256(ph)) AS fd
-              FROM p)
-        SELECT CAST(i AS BIGINT) AS media_id,
-               CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image'
-                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-               CAST(length(ph) / 2 AS INTEGER) AS n_bytes,
-               dg AS digest,
-               array_to_string(list_transform(generate_series(0, 7), j ->
-                 CAST(FLOOR(CAST(CAST(CAST(TRY_CAST(concat('0x',
-                        substr(fd, 8*j+7, 2) || substr(fd, 8*j+5, 2) ||
-                        substr(fd, 8*j+3, 2) || substr(fd, 8*j+1, 2))
-                      AS BIGINT) AS DOUBLE) / 4294967296 AS REAL) AS DOUBLE)
-                      * 1000000.0) AS BIGINT)), ',') AS feature_q
-        FROM d""")
-
-    # ================= extensions: events / streaming =====================
-
-    from .session import events_schema as _events_schema
-    from .session import load_events as _events
-
-    add("events_hourly_rollup",
-        lambda spark, sf: EV.hourly_rollup(_events(spark, sf)),
-        f"""SELECT date_trunc('hour', ts) AS hour, event_type,
-               COUNT(*) AS n_events,
-               {SUM_D('value')} AS sum_value
-        FROM events
-        GROUP BY 1, 2""")
-
-    add("events_ohlc_hourly",
-        lambda spark, sf: EV.ohlc_hourly(_events(spark, sf)),
-        """WITH r AS (
-          SELECT date_trunc('hour', ts) AS hour, event_type, value,
-                 ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts),
-                   event_type ORDER BY ts, event_id) AS rn_a,
-                 ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts),
-                   event_type ORDER BY ts DESC, event_id DESC) AS rn_d
-          FROM events)
-        SELECT hour, event_type,
-               ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
-               ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
-               ROUND(MIN(value), 4) AS low,
-               ROUND(MAX(value), 4) AS high,
-               COUNT(*) AS n_events
-        FROM r GROUP BY 1, 2""")
-
-    # daily event-type mix drift: TV distance vs the whole-period distribution
-    def type_drift(spark, sf):
-        from .operators.diff import categorical_tv_distance
-        ev = _events(spark, sf).select(
-            F.col("ts").cast("date").alias("day"), "event_type")
-        return categorical_tv_distance(ev, "day", "event_type")
-
-    add("events_type_drift_daily", type_drift,
-        """WITH per AS (
-          SELECT CAST(ts AS DATE) AS day, event_type,
-                 CAST(COUNT(*) AS HUGEINT) AS c
-          FROM events GROUP BY 1, 2),
-        cat AS (SELECT event_type, SUM(c) AS ct FROM per GROUP BY 1),
-        grp AS (SELECT day, SUM(c) AS ts FROM per GROUP BY 1),
-        tot AS (SELECT SUM(ct) AS t FROM cat),
-        j AS (SELECT p.day, p.c, ca.ct, g.ts, tot.t
-              FROM per p JOIN cat ca USING (event_type)
-              JOIN grp g USING (day), tot),
-        agg AS (SELECT day, SUM(abs(c*t - ct*ts)) AS abs_part,
-                       SUM(ct) AS cov, any_value(ts) AS ts,
-                       any_value(t) AS t
-                FROM j GROUP BY day)
-        SELECT day, CAST(ts AS BIGINT) AS n_rows,
-               CAST((500 * (abs_part + ts*(t - cov))) // (ts * t)
-                    AS BIGINT) AS tv_milli
-        FROM agg""")
-
-    # gap-filled time series: complete hour spine per type so rolling
-    # windows downstream never silently shrink over absent hours
-    add("events_hourly_gapfilled",
-        lambda spark, sf: EV.hourly_rollup_gapfilled(_events(spark, sf)),
-        f"""WITH r AS (
-          SELECT date_trunc('hour', ts) AS hour, event_type,
-                 COUNT(*) AS n_events, {SUM_D('value')} AS sum_value
-          FROM events GROUP BY 1, 2),
-        b AS (SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi
-              FROM r GROUP BY 1),
-        spine AS (SELECT event_type,
-                         unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
-                           AS hour
-                  FROM b)
-        SELECT s.event_type, s.hour,
-               CAST(COALESCE(r.n_events, 0) AS BIGINT) AS n_events,
-               COALESCE(r.sum_value, 0.0) AS sum_value
-        FROM spine s LEFT JOIN r USING (event_type, hour)""")
-
-    # ops diagnostics: silence gaps per type, key-skew report
-    add("events_silence_report",
-        lambda spark, sf: EV.silence_report(_events(spark, sf),
-                                            min_gap_hours=2),
-        """WITH h AS (
-          SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour
-          FROM events),
-        g AS (
-          SELECT event_type,
-                 lag(hour) OVER (PARTITION BY event_type
-                                 ORDER BY hour) AS silent_from,
-                 hour AS resumed_at,
-                 CAST(date_diff('hour', lag(hour) OVER (
-                        PARTITION BY event_type ORDER BY hour), hour)
-                      AS INTEGER) AS gap_hours
-          FROM h)
-        SELECT event_type, silent_from, resumed_at, gap_hours
-        FROM g WHERE gap_hours > 2""")
-
-    add("events_key_skew_report",
-        lambda spark, sf: EV.key_skew_report(_events(spark, sf),
-                                             "event_type", top_n=5),
-        """WITH pk AS (SELECT event_type AS key, COUNT(*) AS n
-                       FROM events GROUP BY 1),
-        t AS (SELECT COUNT(*) AS n_total FROM events)
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key)
-                    AS INTEGER) AS rank,
-               key, CAST(n AS BIGINT) AS n,
-               CAST(t.n_total AS BIGINT) AS n_total,
-               CAST((n * 1000) // t.n_total AS BIGINT) AS share_milli
-        FROM pk, t
-        ORDER BY n DESC, key LIMIT 5""")
-
-    # query-time file skipping over the clustered rewrite: the entry
-    # rewrites events range-clustered on (event_type, ts), ASSERTS the
-    # predicate reaches the scan AND that footer min/max stats exclude
-    # a majority of row groups (rowgroup_skip_stats — the same stats
-    # the reader prunes with), then returns the rollup for the oracle.
-    # This is the lake analog of the reference's btree indexes on its
-    # members snapshot (001_initial_schema.sql:81-88).
-    def _clustered_scan(spark, sf):
-        from .sources.maintenance import clustered_scan_demo
-        return clustered_scan_demo(spark, sf, event_type="click")
-
-    add("events_clustered_scan_pruning", _clustered_scan,
-        f"""SELECT date_trunc('hour', ts) AS hour,
-               COUNT(*) AS n_events, {SUM_D('value')} AS sum_value
-        FROM events WHERE event_type = 'click'
-        GROUP BY 1""")
-
-    # first-order Markov transitions of event types (milli-probability
-    # integers; output bounded by type-vocabulary squared)
-    add("events_type_transitions",
-        lambda spark, sf: EV.type_transition_matrix(_events(spark, sf)),
-        """WITH steps AS (
-          SELECT event_type AS type_from,
-                 lead(event_type) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id) AS type_to
-          FROM events),
-        c AS (SELECT type_from, type_to, COUNT(*) AS n
-              FROM steps WHERE type_to IS NOT NULL GROUP BY 1, 2),
-        t AS (SELECT type_from, SUM(n) AS n_from FROM c GROUP BY 1)
-        SELECT c.type_from, c.type_to, CAST(c.n AS BIGINT) AS n,
-               CAST(t.n_from AS BIGINT) AS n_from,
-               CAST((c.n * 1000) // t.n_from AS BIGINT) AS p_milli
-        FROM c JOIN t USING (type_from)""")
-
-    # RFM segmentation (dimension-sized windows only; total-order ntile
-    # with user_id tiebreak for cross-engine bit-equality)
-    add("events_rfm_segments",
-        lambda spark, sf: EV.rfm_segments(_events(spark, sf)),
-        f"""WITH pu AS (
-          SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
-                 {SUM_D('value')} AS monetary
-          FROM events GROUP BY user_id),
-        ref AS (SELECT MAX(ts) AS ref_ts FROM events),
-        sc AS (
-          SELECT user_id,
-                 CAST(date_diff('day', CAST(last_ts AS DATE),
-                                CAST(ref_ts AS DATE)) AS INTEGER)
-                   AS recency_days,
-                 frequency, monetary
-          FROM pu, ref)
-        SELECT user_id, recency_days,
-               CAST(frequency AS BIGINT) AS frequency,
-               ROUND(monetary, 4) AS monetary,
-               CAST(ntile(5) OVER (ORDER BY recency_days, user_id)
-                    AS INTEGER) AS r_score,
-               CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
-                    AS INTEGER) AS f_score,
-               CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id)
-                    AS INTEGER) AS m_score,
-               concat_ws('-',
-                 ntile(5) OVER (ORDER BY recency_days, user_id),
-                 ntile(5) OVER (ORDER BY frequency DESC, user_id),
-                 ntile(5) OVER (ORDER BY monetary DESC, user_id))
-                 AS segment
-        FROM sc""")
-
-    # unordered event-type pair lift over the user population (exact
-    # integer milli-units)
-    add("events_type_cooccurrence_lift",
-        lambda spark, sf: EV.type_cooccurrence_lift(_events(spark, sf)),
-        """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
-        n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
-        pt AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1)
-        SELECT a.event_type AS type_a, b.event_type AS type_b,
-               CAST(COUNT(*) AS BIGINT) AS n_both,
-               CAST(MIN(pa.n) AS BIGINT) AS n_a,
-               CAST(MIN(pb.n) AS BIGINT) AS n_b,
-               CAST((COUNT(*) * MIN(n.n_users) * 1000)
-                    // (MIN(pa.n) * MIN(pb.n)) AS BIGINT) AS lift_milli
-        FROM ut a
-        JOIN ut b ON a.user_id = b.user_id
-                 AND a.event_type < b.event_type
-        JOIN pt pa ON pa.event_type = a.event_type
-        JOIN pt pb ON pb.event_type = b.event_type, n
-        GROUP BY 1, 2""")
-
-    # SCD-2-shaped per-user state history (run-length collapse of the
-    # event stream into validity ranges)
-    add("events_user_state_history",
-        lambda spark, sf: EV.user_state_history(_events(spark, sf)),
-        """WITH o AS (
-          SELECT user_id, event_id, ts, event_type,
-                 CASE WHEN lag(event_type) OVER w IS NULL
-                           OR lag(event_type) OVER w <> event_type
-                      THEN 1 ELSE 0 END AS chg
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        r AS (
-          SELECT *, SUM(chg) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS run_id
-          FROM o)
-        SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
-               MIN(event_type) AS state,
-               MIN(ts) AS valid_from, MAX(ts) AS valid_to,
-               CAST(COUNT(*) AS BIGINT) AS n_events
-        FROM r GROUP BY user_id, run_id""")
-
-    def stream_hourly(spark, sf):
-        return EV.replay_hourly_rollup(spark, sf, _events_schema(spark, sf))
-
-    # Structured Streaming end-to-end (readStream → watermark → window →
-    # availableNow replay): bounded replay of the events table equals the
-    # batch rollup, so the SAME SQL oracle applies to the streaming path.
-    add("events_stream_hourly", stream_hourly,
-        f"""SELECT date_trunc('hour', ts) AS hour, event_type,
-               COUNT(*) AS n_events,
-               {SUM_D('value')} AS sum_value
-        FROM events
-        GROUP BY 1, 2""")
-
-    # streaming OHLC replay equals the batch bars -> same oracle as
-    # events_ohlc_hourly
-    add("events_stream_ohlc", lambda spark, sf: EV.replay_ohlc_hourly(
-            spark, sf, _events_schema(spark, sf)),
-        """WITH r AS (
-          SELECT date_trunc('hour', ts) AS hour, event_type, value,
-                 ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts),
-                   event_type ORDER BY ts, event_id) AS rn_a,
-                 ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts),
-                   event_type ORDER BY ts DESC, event_id DESC) AS rn_d
-          FROM events)
-        SELECT hour, event_type,
-               ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
-               ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
-               ROUND(MIN(value), 4) AS low,
-               ROUND(MAX(value), 4) AS high,
-               COUNT(*) AS n_events
-        FROM r GROUP BY 1, 2""")
-
-    add("events_sessionize",
-        lambda spark, sf: EV.sessionize(_events(spark, sf)),
-        """WITH secs AS (
-          SELECT user_id, event_id, ts,
-                 CAST(floor(epoch(ts)) AS BIGINT) AS sec
-          FROM events),
-        flagged AS (
-          SELECT user_id,
-                 CASE WHEN sec - lag(sec) OVER
-                          (PARTITION BY user_id ORDER BY ts, event_id)
-                      IS NULL THEN 1
-                      WHEN sec - lag(sec) OVER
-                          (PARTITION BY user_id ORDER BY ts, event_id) > 1800
-                      THEN 1 ELSE 0 END AS new_session
-          FROM secs)
-        SELECT user_id,
-               CAST(SUM(new_session) AS BIGINT) AS n_sessions,
-               COUNT(*) AS n_events
-        FROM flagged
-        GROUP BY user_id""")
-
-    def stream_sessions(spark, sf):
-        sess = EV.replay_sessionize(spark, sf, _events_schema(spark, sf),
-                                    second_resolution=True)
-        return (sess.groupBy("user_id")
-                .agg(F.count(F.lit(1)).alias("n_sessions")))
-
-    # stateful streaming sessionization (session_window merging state);
-    # merging is boundary-INCLUSIVE, so the 30-min gap over second-truncated
-    # timestamps equals the batch strict-> convention -> oracle-checkable
-    add("events_stream_sessionize", stream_sessions,
-        """WITH secs AS (
-          SELECT user_id, event_id, ts,
-                 CAST(floor(epoch(ts)) AS BIGINT) AS sec
-          FROM events),
-        flagged AS (
-          SELECT user_id,
-                 CASE WHEN sec - lag(sec) OVER
-                          (PARTITION BY user_id ORDER BY ts, event_id)
-                      IS NULL THEN 1
-                      WHEN sec - lag(sec) OVER
-                          (PARTITION BY user_id ORDER BY ts, event_id) > 1800
-                      THEN 1 ELSE 0 END AS new_session
-          FROM secs)
-        SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
-        FROM flagged
-        GROUP BY user_id""")
-
-    def stream_user_totals(spark, sf):
-        from .streaming.stateful import replay_user_totals
-        return replay_user_totals(spark, sf, _events_schema(spark, sf))
-
-    # custom stateful operator (applyInPandasWithState): per-user running
-    # totals in explicit GroupState; integer-milli accumulation makes the
-    # bounded replay exactly equal a batch SQL aggregate
-    add("events_stream_user_totals", stream_user_totals,
-        """SELECT user_id, COUNT(*) AS n_events,
-               CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 1000) AS BIGINT))
-                    AS BIGINT) AS sum_value_milli
-        FROM events
-        GROUP BY user_id""")
-
-    # trailing-window burst detector in exact integer arithmetic
-    # (cross-multiplied z-score — no float stddev/sqrt to diverge on)
-    add("events_hourly_anomalies",
-        lambda spark, sf: EV.hourly_anomalies(_events(spark, sf),
-                                              window_hours=24,
-                                              threshold_sq=9),
-        """WITH h AS (
-          SELECT date_trunc('hour', ts) AS hour, event_type,
-                 COUNT(*) AS n_events
-          FROM events GROUP BY 1, 2),
-        win AS (
-          SELECT event_type, hour, n_events,
-                 SUM(n_events) OVER w AS win_sum,
-                 SUM(n_events * n_events) OVER w AS win_sq,
-                 COUNT(*) OVER w AS win_n
-          FROM h
-          WINDOW w AS (PARTITION BY event_type ORDER BY hour
-                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
-        SELECT event_type, hour, n_events,
-               CAST(win_sum AS BIGINT) AS win_sum,
-               CAST(win_n AS INTEGER) AS win_n
-        FROM win
-        WHERE win_n >= 24
-          AND (win_n * n_events - win_sum) * (win_n * n_events - win_sum)
-              > 9 * (win_n * win_sq - win_sum * win_sum)
-          AND win_n * n_events > win_sum""")
-
-    # percentiles on the milli-quantized integer domain: both engines run
-    # the same linear interpolation over the same exact bigints
-    add("events_value_percentiles",
-        lambda spark, sf: _events(spark, sf)
-        .withColumn("milli", F.floor(F.col("value") * 1000).cast("bigint"))
-        .groupBy("event_type")
-        .agg(F.percentile("milli", 0.5).alias("p50_milli"),
-             F.percentile("milli", 0.9).alias("p90_milli"),
-             F.min("milli").alias("min_milli"),
-             F.max("milli").alias("max_milli")),
-        """SELECT event_type,
-               quantile_cont(milli, 0.5) AS p50_milli,
-               quantile_cont(milli, 0.9) AS p90_milli,
-               MIN(milli) AS min_milli,
-               MAX(milli) AS max_milli
-        FROM (SELECT event_type,
-                     CAST(FLOOR(value * 1000) AS BIGINT) AS milli
-              FROM events)
-        GROUP BY event_type""")
-
-    # join-free funnel: running last-click timestamp carried by a window,
-    # conversion is a row-local comparison (k+m rows per user, never k*m)
-    add("events_funnel_conversion",
-        lambda spark, sf: EV.funnel_conversion(_events(spark, sf),
-                                               "click", "purchase", 60),
-        """WITH flagged AS (
-          SELECT user_id, ts, event_type,
-                 last_value(CASE WHEN event_type = 'click' THEN ts END
-                            IGNORE NULLS)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS last_click
-          FROM events)
-        SELECT user_id,
-               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_first,
-               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_then,
-               CAST(SUM(CASE WHEN event_type = 'purchase'
-                         AND last_click IS NOT NULL
-                         AND epoch(ts) - epoch(last_click) <= 3600
-                         AND ts >= last_click THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_converted,
-               MIN(CASE WHEN event_type = 'purchase'
-                         AND last_click IS NOT NULL
-                         AND epoch(ts) - epoch(last_click) <= 3600
-                         AND ts >= last_click THEN ts END)
-                   AS first_conversion_ts
-        FROM flagged
-        GROUP BY user_id
-        HAVING SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0""")
-
-    # weekly retention triangle over the (user, week) distinct grain
-    add("events_retention_cohorts",
-        lambda spark, sf: EV.retention_cohorts(_events(spark, sf)),
-        """WITH uw AS (
-          SELECT DISTINCT user_id,
-                 CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
-          FROM events),
-        first AS (
-          SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1)
-        SELECT cohort_week,
-               CAST(date_diff('day', cohort_week, week) / 7 AS INTEGER)
-                   AS weeks_later,
-               COUNT(DISTINCT uw.user_id) AS n_users
-        FROM uw JOIN first ON uw.user_id = first.user_id
-        GROUP BY 1, 2""")
-
-    def stream_anomalies(spark, sf):
-        rolled = EV.replay_hourly_rollup(spark, sf,
-                                         _events_schema(spark, sf))
-        return EV.anomalies_from_rollup(
-            rolled.select("hour", "event_type", "n_events"),
-            threshold_sq=9)
-
-    # the same detector over the REPLAYED streaming rollup — stream and
-    # batch rollups are provably equal, so one oracle covers both
-    add("events_stream_anomalies", stream_anomalies,
-        """WITH h AS (
-          SELECT date_trunc('hour', ts) AS hour, event_type,
-                 COUNT(*) AS n_events
-          FROM events GROUP BY 1, 2),
-        win AS (
-          SELECT event_type, hour, n_events,
-                 SUM(n_events) OVER w AS win_sum,
-                 SUM(n_events * n_events) OVER w AS win_sq,
-                 COUNT(*) OVER w AS win_n
-          FROM h
-          WINDOW w AS (PARTITION BY event_type ORDER BY hour
-                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
-        SELECT event_type, hour, n_events,
-               CAST(win_sum AS BIGINT) AS win_sum,
-               CAST(win_n AS INTEGER) AS win_n
-        FROM win
-        WHERE win_n >= 24
-          AND (win_n * n_events - win_sum) * (win_n * n_events - win_sum)
-              > 9 * (win_n * win_sq - win_sum * win_sum)
-          AND win_n * n_events > win_sum""")
-
-    def stream_dedup(spark, sf):
-        return EV.replay_dedup_counts(spark, sf, _events_schema(spark, sf))
-
-    # streaming exactly-once ingestion: the self-unioned (redelivered)
-    # stream deduped on event_id must count exactly the batch distinct
-    add("events_stream_dedup", stream_dedup,
-        """SELECT event_type, COUNT(DISTINCT event_id) AS n_events
-        FROM events
-        GROUP BY event_type""")
-
-    def stream_dedup_bounded(spark, sf):
-        return EV.replay_dedup_counts_bounded(spark, sf,
-                                              _events_schema(spark, sf))
-
-    # bounded-state exactly-once dedup (dropDuplicatesWithinWatermark):
-    # keys evict once the watermark passes their event time + delay, so
-    # state is O(watermark window), not O(stream) — the form that
-    # survives an unbounded deployment; instant self-union redelivery
-    # is inside any delay, so the replay equals the batch distinct
-    add("events_stream_dedup_bounded", stream_dedup_bounded,
-        """SELECT event_type, COUNT(DISTINCT event_id) AS n_events
-        FROM events
-        GROUP BY event_type""")
-
-    def skew_distinct(spark, sf):
-        from .operators.skew import count_distinct_skew_safe
-        return count_distinct_skew_safe(_events(spark, sf), ["event_type"],
-                                        "user_id", out_name="n_users")
-
-    # skew-safe exact COUNT(DISTINCT): dedup-then-count so a hot key's
-    # distinct set never lands on a single reducer
-    add("events_type_user_distinct", skew_distinct,
-        """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
-        FROM events
-        GROUP BY event_type""")
-
-    add("events_top_hours_per_type",
-        lambda spark, sf: EV.top_hours_per_type(_events(spark, sf), k=3),
-        """WITH h AS (
-          SELECT date_trunc('hour', ts) AS hour, event_type,
-                 COUNT(*) AS n_events
-          FROM events GROUP BY 1, 2)
-        SELECT event_type,
-               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
-                    ORDER BY n_events DESC, hour) AS INTEGER) AS rank,
-               hour, n_events
-        FROM h
-        QUALIFY rank <= 3""")
-
-    add("events_user_activity",
-        lambda spark, sf: EV.user_activity(_events(spark, sf)),
-        f"""SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-               COUNT(*) AS n_events,
-               COUNT(DISTINCT event_type) AS n_types,
-               {SUM_D('value')} AS sum_value
-        FROM events
-        GROUP BY 1, 2""")
-
-    # stream-stream interval join: purchases ⋈ preceding-hour clicks per
-    # user, both sides watermarked, event time bounded in both
-    # directions (state = O(window·rate)); bounded append-mode replay
-    # equals the batch interval join, so a plain SQL join is the oracle.
-    def stream_ssjoin(spark, sf):
-        return EV.replay_interval_join(spark, sf, _events_schema(spark, sf))
-
-    add("events_stream_click_purchase_join", stream_ssjoin,
-        """SELECT p.event_id, p.user_id,
-               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
-               p.value AS purchase_value,
-               CAST(c.ts AS TIMESTAMP) AS click_ts,
-               c.value AS click_value
-        FROM events p JOIN events c
-          ON p.user_id = c.user_id
-         AND p.event_type = 'purchase' AND c.event_type = 'click'
-         AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""")
-
-    # stream-stream LEFT OUTER interval join, null-filtered: clicks with
-    # no purchase in the following hour.  Unlike the inner join, the
-    # null-padded rows are released only on state EVICTION, so clicks
-    # whose match window hasn't fallen behind the final watermark
-    # (min of both sides' max event time - delay) stay in state and are
-    # never emitted in a bounded replay — the oracle encodes exactly
-    # that clause (verified set-equal at sf0.001 and sf0.01).
-    def stream_unconverted(spark, sf):
-        return EV.replay_unconverted_clicks(spark, sf,
-                                            _events_schema(spark, sf))
-
-    add("events_stream_unconverted_clicks", stream_unconverted,
-        """WITH w AS (SELECT LEAST(
-              (SELECT MAX(ts) FROM events WHERE event_type='click'),
-              (SELECT MAX(ts) FROM events WHERE event_type='purchase')
-            ) - INTERVAL 2 HOUR AS wm)
-        SELECT c.event_id AS click_id, c.user_id,
-               CAST(c.ts AS TIMESTAMP) AS click_ts,
-               c.value AS click_value
-        FROM events c, w
-        WHERE c.event_type = 'click'
-          AND c.ts + INTERVAL 1 HOUR < w.wm
-          AND NOT EXISTS (
-            SELECT 1 FROM events p
-            WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
-              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)""")
-
-    # HLL distinct users per event type, built by MERGING per-hour
-    # partial sketches (the persisted-state rollup path, not a direct
-    # pass) — rows-only: DataSketches estimates are deterministic for
-    # Spark but no SQL oracle reproduces them; tests/test_operators.py
-    # pins the estimate within 2% of exact.
-    def hll_users(spark, sf):
-        from .operators import sketches as SK
-        ev = _events(spark, sf).withColumn(
-            "hour", F.date_trunc("hour", F.col("ts")))
-        partials = SK.hll_partial(ev, ["event_type", "hour"], "user_id")
-        return SK.hll_rollup(partials, ["event_type"]).orderBy("event_type")
-
-    add("events_hll_users_by_type", hll_users, None)
-
-    # ---- temporal / range joins (operators/joins.py) -----------------
-
-    # as-of click attribution: each purchase gets the latest prior click
-    # of the same user (inclusive).  Spark side = union+window asof_join;
-    # oracle = DuckDB's native ASOF LEFT JOIN over the same deduped
-    # click stream (same-ts clicks deduped identically on both sides so
-    # the tie choice is engine-independent).
-    def asof_attribution(spark, sf):
-        from pyspark.sql import Window
-        from .operators import joins as J
-        ev = _events(spark, sf)
-        purchases = ev.filter(F.col("event_type") == "purchase").select(
-            "event_id", "user_id", "ts",
-            F.col("value").alias("purchase_value"))
-        cw = Window.partitionBy("user_id", "ts") \
-            .orderBy(F.col("event_id").desc())
-        clicks = (ev.filter(F.col("event_type") == "click")
-                  .withColumn("_rn", F.row_number().over(cw))
-                  .filter(F.col("_rn") == 1)
-                  .select("user_id", "ts", F.col("value").alias("cv")))
-        out = J.asof_join(purchases, clicks, key="user_id")
-        return out.select(
-            "event_id", "user_id", "ts", "purchase_value",
-            F.col("ts_right").alias("click_ts"),
-            F.col("cv_right").alias("click_value"))
-
-    add("events_asof_click_attribution", asof_attribution,
-        """WITH p AS (
-          SELECT event_id, user_id, ts, value AS purchase_value
-          FROM events WHERE event_type = 'purchase'),
-        c AS (
-          SELECT user_id, ts, value AS click_value
-          FROM events WHERE event_type = 'click'
-          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
-                                     ORDER BY event_id DESC) = 1)
-        SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
-               p.purchase_value,
-               CAST(c.ts AS TIMESTAMP) AS click_ts, c.click_value
-        FROM p ASOF LEFT JOIN c
-          ON p.user_id = c.user_id AND p.ts >= c.ts""")
-
-    # first-touch attribution: earliest touch since the user's previous
-    # conversion (complement of the as-of last-touch model)
-    add("events_first_touch_attribution",
-        lambda spark, sf: EV.first_touch_attribution(_events(spark, sf)),
-        """WITH e AS (
-          SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase'
-                                      THEN 1 ELSE 0 END)
-                             OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING
-                                        AND 1 PRECEDING), 0) AS epoch
-          FROM events),
-        f AS (SELECT user_id, epoch, MIN(ts) AS first_touch_ts
-              FROM e WHERE event_type = 'click' GROUP BY 1, 2)
-        SELECT c.event_id, c.user_id, c.ts,
-               c.value AS conversion_value, f.first_touch_ts
-        FROM e c LEFT JOIN f
-          ON c.user_id = f.user_id AND c.epoch = f.epoch
-        WHERE c.event_type = 'purchase'""")
-
-    # linear (equal-credit) attribution — the third standard model
-    add("events_linear_attribution",
-        lambda spark, sf: EV.linear_attribution(_events(spark, sf)),
-        """WITH e AS (
-          SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase'
-                                      THEN 1 ELSE 0 END)
-                             OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING
-                                        AND 1 PRECEDING), 0) AS epoch
-          FROM events),
-        t AS (SELECT user_id, epoch, event_id AS touch_event_id,
-                     ts AS touch_ts
-              FROM e WHERE event_type = 'click'),
-        nt AS (SELECT user_id, epoch, COUNT(*) AS n_touches
-               FROM t GROUP BY 1, 2),
-        c AS (SELECT event_id AS conversion_event_id, user_id, epoch,
-                     value AS conversion_value
-              FROM e WHERE event_type = 'purchase')
-        SELECT c.conversion_event_id, c.user_id, t.touch_event_id,
-               t.touch_ts, CAST(nt.n_touches AS BIGINT) AS n_touches,
-               CAST(1000 // nt.n_touches AS BIGINT) AS weight_milli,
-               c.conversion_value
-        FROM c JOIN nt USING (user_id, epoch)
-               JOIN t USING (user_id, epoch)""")
-
-    # time-to-convert distribution: seconds from the attributed last
-    # click to the purchase, integer-exact quantiles (same asof shape)
-    def click_purchase_delay(spark, sf):
-        from pyspark.sql import Window
-
-        from .operators import joins as J
-        ev = _events(spark, sf)
-        purchases = ev.filter(F.col("event_type") == "purchase").select(
-            "event_id", "user_id", "ts")
-        cw = Window.partitionBy("user_id", "ts") \
-            .orderBy(F.col("event_id").desc())
-        clicks = (ev.filter(F.col("event_type") == "click")
-                  .withColumn("_rn", F.row_number().over(cw))
-                  .filter(F.col("_rn") == 1).select("user_id", "ts"))
-        joined = J.asof_join(purchases, clicks, key="user_id")
-        delays = (joined.filter(F.col("ts_right").isNotNull())
-                  .select((F.unix_timestamp("ts")
-                           - F.unix_timestamp("ts_right"))
-                          .alias("delay_sec")))
-        return delays.agg(
-            F.count(F.lit(1)).alias("n_attributed"),
-            F.percentile("delay_sec", 0.5).alias("p50_sec"),
-            F.percentile("delay_sec", 0.9).alias("p90_sec"),
-            F.max("delay_sec").alias("max_sec"))
-
-    add("events_click_purchase_delay", click_purchase_delay,
-        """WITH p AS (
-          SELECT event_id, user_id, ts FROM events
-          WHERE event_type = 'purchase'),
-        c AS (
-          SELECT user_id, ts FROM events WHERE event_type = 'click'
-          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
-                                     ORDER BY event_id DESC) = 1),
-        d AS (
-          SELECT date_diff('second', c.ts, p.ts) AS delay_sec
-          FROM p ASOF JOIN c
-            ON p.user_id = c.user_id AND p.ts >= c.ts)
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_attributed,
-               quantile_cont(delay_sec, 0.5) AS p50_sec,
-               quantile_cont(delay_sec, 0.9) AS p90_sec,
-               CAST(MAX(delay_sec) AS BIGINT) AS max_sec
-        FROM d""")
-
-    # binned range join: events bucketed into half-open value tiers via
-    # bin-explode + equi-join (no BroadcastNestedLoopJoin), aggregated
-    # per tier; oracle uses the plain inequality join.
-    _TIERS = [("micro", 0.0, 10.0), ("small", 10.0, 50.0),
-              ("mid", 50.0, 150.0), ("large", 150.0, 300.0),
-              ("huge", 300.0, 1000.0)]
-
-    def range_tiers(spark, sf):
-        from .operators import joins as J
-        ev = _events(spark, sf).select("event_id", "value")
-        ranges = spark.createDataFrame(
-            _TIERS, "tier string, lo double, hi double")
-        joined = J.bin_range_join(ev, ranges, "value", bin_width=50.0)
-        return (joined.groupBy("tier")
-                .agg(F.count(F.lit(1)).alias("n_events"),
-                     F.sum(F.col("value").cast("decimal(18,4)"))
-                      .cast("double").alias("sum_value")))
-
-    add("events_value_range_tiers", range_tiers,
-        f"""WITH tiers(tier, lo, hi) AS (VALUES
-          ('micro', 0.0, 10.0), ('small', 10.0, 50.0),
-          ('mid', 50.0, 150.0), ('large', 150.0, 300.0),
-          ('huge', 300.0, 1000.0))
-        SELECT tier, COUNT(*) AS n_events, {SUM_D('value')} AS sum_value
-        FROM events JOIN tiers ON value >= lo AND value < hi
-        GROUP BY tier""")
-
-    # ---- round-4 second wave ------------------------------------------
-
-    # semi-structured extraction: the events `props` JSON column parsed
-    # JVM-side (get_json_object stays in codegen — no Python, no UDF),
-    # aggregated, and top-10'd with an explicit deterministic rank.
-    def props_topk(spark, sf):
-        from pyspark.sql import Window
-        agg = (_events(spark, sf)
-               .select(F.get_json_object("props", "$.k").cast("int")
-                        .alias("k"), "value")
-               .groupBy("k")
-               .agg(F.count(F.lit(1)).alias("n_events"),
-                    F.sum(F.col("value").cast("decimal(18,4)"))
-                     .cast("double").alias("sum_value")))
-        # nulls LAST to match DuckDB's ASC default (Spark's asc puts
-        # nulls first) — latent k-less-props hardening, no effect today
-        top = agg.orderBy(F.desc("n_events"),
-                          F.asc_nulls_last("k")).limit(10)
-        w = Window.orderBy(F.desc("n_events"),
-                           F.asc_nulls_last("k"))  # 10 rows only
-        return (top.withColumn("rank", F.row_number().over(w))
-                .select("rank", "k", "n_events", "sum_value"))
-
-    add("events_props_topk", props_topk,
-        f"""WITH e AS (
-          SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-                 value
-          FROM events),
-        c AS (
-          SELECT k, COUNT(*) AS n_events, {SUM_D('value')} AS sum_value
-          FROM e GROUP BY k)
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, k)
-                    AS INTEGER) AS rank, k, n_events, sum_value
-        FROM c ORDER BY n_events DESC, k LIMIT 10""")
-
-    # stream-static broadcast join (the enrichment shape: unbounded
-    # stream ⋈ bounded dimension, no state, no watermark); the bounded
-    # replay equals the batch tier aggregate so the same SQL is the oracle
-    def stream_tiers(spark, sf):
-        return EV.replay_enriched_tiers(spark, sf, _events_schema(spark, sf))
-
-    add("events_stream_enriched_tiers", stream_tiers,
-        f"""WITH tiers(tier, lo, hi) AS (VALUES
-          ('micro', 0.0, 10.0), ('small', 10.0, 50.0),
-          ('mid', 50.0, 150.0), ('large', 150.0, 300.0),
-          ('huge', 300.0, 1000.0))
-        SELECT tier, COUNT(*) AS n_events, {SUM_D('value')} AS sum_value
-        FROM events JOIN tiers ON value >= lo AND value < hi
-        GROUP BY tier""")
-
-    # fixed-size overlapping token chunks (context-window prep):
-    # narrow rowwise posexplode, no shuffle
-    add("docs_chunk_overlap",
-        lambda spark, sf: TX.chunk_overlap(_docs(spark, sf),
-                                           chunk_tokens=32, stride=24),
-        r"""WITH t AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-          FROM documents),
-        s AS (
-          SELECT doc_id, toks,
-                 unnest(generate_series(0, greatest(len(toks) - 1, 0), 24))
-                   AS chunk_start
-          FROM t)
-        SELECT doc_id,
-               CAST(chunk_start / 24 AS INTEGER) AS chunk_idx,
-               CAST(chunk_start AS BIGINT) AS chunk_start,
-               CAST(len(toks[chunk_start + 1 : chunk_start + 32])
-                    AS BIGINT) AS n_chunk_tokens,
-               array_to_string(toks[chunk_start + 1 : chunk_start + 32], ' ')
-                 AS chunk_text
-        FROM s""")
-
-    # intra-corpus boilerplate: verbatim 8-gram spans shared by >= 3
-    # distinct documents (RefinedWeb-style repeated-span detector)
-    add("docs_boilerplate_ngrams",
-        lambda spark, sf: TX.boilerplate_ngrams(_docs(spark, sf),
-                                                n=8, min_docs=3),
-        r"""WITH t AS (
-          SELECT doc_id,
-                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-          FROM documents),
-        g AS (
-          SELECT doc_id,
-                 unnest(list_transform(
-                   range(1, greatest(len(toks) - 7, 0) + 1),
-                   i -> array_to_string(toks[i : i + 7], ' '))) AS ngram
-          FROM t)
-        SELECT ngram, COUNT(DISTINCT doc_id) AS n_docs,
-               COUNT(*) AS n_occurrences
-        FROM g GROUP BY ngram
-        HAVING COUNT(DISTINCT doc_id) >= 3""")
-
-    # the actionable boilerplate op: drop documents that are MOSTLY
-    # corpus-shared 8-gram spans (template pages that no exact dedup
-    # catches); short docs with no 8-grams are kept
-    add("docs_boilerplate_filter",
-        lambda spark, sf: TX.boilerplate_filter(_docs(spark, sf),
-                                                n=8, min_docs=3,
-                                                max_frac=0.5),
-        r"""WITH t AS (
-          SELECT doc_id,
-                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-          FROM documents),
-        g AS (
-          SELECT doc_id,
-                 unnest(list_transform(
-                   range(1, greatest(len(toks) - 7, 0) + 1),
-                   i -> array_to_string(toks[i : i + 7], ' '))) AS ngram
-          FROM t),
-        boiler AS (
-          SELECT ngram FROM g GROUP BY ngram
-          HAVING COUNT(DISTINCT doc_id) >= 3),
-        per_doc AS (
-          SELECT g.doc_id, COUNT(*) AS n_grams,
-                 CAST(SUM(CASE WHEN b.ngram IS NOT NULL
-                               THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
-          FROM g LEFT JOIN boiler b USING (ngram)
-          GROUP BY g.doc_id)
-        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
-        FROM documents d LEFT JOIN per_doc p USING (doc_id)
-        WHERE p.doc_id IS NULL OR p.n_boiler <= 0.5 * p.n_grams""")
-
-    # blocked exact Levenshtein near-dup pairs (the VERIFY-step edit
-    # distance, bounded by (lang, length-bucket) blocking)
-    add("docs_edit_distance_pairs",
-        lambda spark, sf: D.edit_distance_pairs(_docs(spark, sf),
-                                                max_dist=20,
-                                                prefix_chars=80,
-                                                block_width=100),
-        """WITH b AS (
-          SELECT doc_id, lang, substring(text, 1, 80) AS pre,
-                 CAST(floor(length(text) / 100.0) AS BIGINT) AS blk_len
-          FROM documents)
-        SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
-               CAST(levenshtein(a.pre, b2.pre) AS INTEGER) AS edit_dist
-        FROM b a JOIN b b2
-          ON a.lang = b2.lang AND a.blk_len = b2.blk_len
-         AND a.doc_id < b2.doc_id
-        WHERE levenshtein(a.pre, b2.pre) <= 20""")
-
-    def chunks_prep(spark, sf):
-        from .operators.pipeline import prepare_chunks
-        return prepare_chunks(_docs(spark, sf), min_quality=0.63,
-                              chunk_tokens=32, stride=24)
-
-    # chunk-level continuation of prepare_corpus: quality gate ->
-    # keep-first exact dedup -> overlapping chunks, one lineage
-    add("docs_prepare_chunks", chunks_prep,
-        r"""WITH q AS (
-          SELECT doc_id,
-            len(regexp_split_to_array(trim(text), '\s+')) AS q_tok,
-            greatest(length(text), 1) AS q_chr,
-            CAST(len(regexp_extract_all(lower(text),
-              '\b(the|and|of|to|in|is)\b')) AS INTEGER) AS q_stop,
-            CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-                 AS INTEGER) AS q_punct
-          FROM documents),
-        passed AS (
-          SELECT d.doc_id, d.text, d.source
-          FROM documents d JOIN q USING (doc_id)
-          WHERE ROUND(
-            (CASE WHEN q_tok >= 10 AND q_tok <= 5000
-                  THEN 0.4 ELSE 0.0 END)
-            + least(q_stop / greatest(q_tok, 1) * 2.0, 0.4)
-            - least(q_punct / q_chr * 5.0, 0.2)
-            + (CASE WHEN q_chr / greatest(q_tok, 1) >= 3.0
-                     AND q_chr / greatest(q_tok, 1) <= 12.0
-                    THEN 0.2 ELSE 0.0 END), 4) >= 0.63),
-        fp AS (
-          SELECT doc_id, text, source,
-                 md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
-                   AS fingerprint
-          FROM passed),
-        kept AS (
-          SELECT doc_id, text, source FROM fp
-          WHERE doc_id = (SELECT MIN(f2.doc_id) FROM fp f2
-                          WHERE f2.fingerprint = fp.fingerprint)),
-        t AS (
-          SELECT doc_id, source,
-                 regexp_split_to_array(trim(text), '\s+') AS toks
-          FROM kept),
-        s AS (
-          SELECT doc_id, source, toks,
-                 unnest(generate_series(0, greatest(len(toks) - 1, 0), 24))
-                   AS chunk_start
-          FROM t)
-        SELECT doc_id, source,
-               CAST(chunk_start / 24 AS INTEGER) AS chunk_idx,
-               CAST(chunk_start AS BIGINT) AS chunk_start,
-               CAST(len(toks[chunk_start + 1 : chunk_start + 32])
-                    AS BIGINT) AS n_chunk_tokens,
-               array_to_string(toks[chunk_start + 1 : chunk_start + 32], ' ')
-                 AS chunk_text
-        FROM s""")
-
-    # temperature re-weighted source mixing rates (weight ∝ n_tokens^T):
-    # one bounded-domain aggregation + broadcast scalar normalizer
-    add("docs_temperature_mix_rates",
-        lambda spark, sf: SM.temperature_mix_rates(_docs(spark, sf),
-                                                   temperature=0.7),
-        r"""WITH per_src AS (
-          SELECT source, COUNT(*) AS n_docs,
-                 CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
-                      AS BIGINT) AS n_tokens
-          FROM documents GROUP BY source),
-        w AS (
-          SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.7) AS _w
-          FROM per_src),
-        tot AS (SELECT SUM(_w) AS _wsum FROM w)
-        SELECT source, n_docs, n_tokens,
-               ROUND(_w / _wsum, 6) AS mix_rate
-        FROM w, tot""")
-
-    def stream_session_tracker(spark, sf):
-        from .streaming.stateful import streaming_session_tracker
-        sdf = streaming_session_tracker(
-            spark, sf, _events_schema(spark, sf), gap_seconds=1800,
-            glob="events.parquet")
-        return EV.drain_stream_to_table(
-            spark, sdf, "events_stream_session_tracker",
-            output_mode="append")
-
-    # custom stateful operator with EVENT-TIME TIMEOUT
-    # (applyInPandasWithState): emits each closed session exactly once —
-    # closed in-batch by a later event, or flushed by the timeout
-    # callback once the watermark passes last_event + gap.  The bounded
-    # replay's emission set is deterministic, so a full SQL oracle
-    # applies: all sessions except each user's final one, UNLESS the
-    # final watermark (max ts - 1 s, in engine milliseconds) passed its
-    # deadline — the exact ms arithmetic the state store uses.
-    add("events_stream_session_tracker", stream_session_tracker,
-        """WITH s AS (
-          SELECT user_id, event_id, ts,
-                 CASE WHEN lag(epoch_us(ts)) OVER
-                          (PARTITION BY user_id ORDER BY ts, event_id)
-                      IS NULL THEN 1
-                      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
-                          (PARTITION BY user_id ORDER BY ts, event_id)
-                          > 1800000000 THEN 1 ELSE 0 END AS new_s
-          FROM events),
-        sess AS (
-          SELECT user_id, ts,
-                 SUM(new_s) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS sid
-          FROM s),
-        agg AS (
-          SELECT user_id, sid,
-                 MIN(ts) AS session_start, MAX(ts) AS session_end,
-                 COUNT(*) AS n_events
-          FROM sess GROUP BY user_id, sid),
-        agg2 AS (
-          SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS max_sid
-          FROM agg),
-        mx AS (SELECT MAX(ts) AS max_ts FROM events)
-        SELECT user_id, session_start, session_end,
-               CAST(n_events AS BIGINT) AS n_events
-        FROM agg2, mx
-        WHERE sid < max_sid
-           OR (epoch_us(session_end) + 1800000000) // 1000
-              < epoch_us(max_ts) // 1000 - 1000""")
-
-    # incremental materialized-view discipline: two partial rollups
-    # (disjoint halves of the corpus) merged on the rollup grain must
-    # equal the single-pass rollup — the oracle IS the full rollup
-    def rollup_incremental(spark, sf):
-        ev = _events(spark, sf)
-        old = EV.hourly_rollup(ev.filter(F.col("event_id") % 2 == 0))
-        delta = EV.hourly_rollup(ev.filter(F.col("event_id") % 2 == 1))
-        return EV.merge_rollup(old, delta)
-
-    add("events_rollup_incremental", rollup_incremental,
-        f"""SELECT date_trunc('hour', ts) AS hour, event_type,
-               COUNT(*) AS n_events,
-               {SUM_D('value')} AS sum_value
-        FROM events
-        GROUP BY 1, 2""")
-
-    # VARIANT semi-structured path (Spark 4 binary-encoded JSON): parse
-    # once, typed variant_get extraction, aggregate per key range — the
-    # modern lakehouse alternative to per-query string JSON parsing
-    add("events_props_variant_stats",
-        lambda spark, sf: (_events(spark, sf)
-            .select(F.parse_json("props").alias("v"), "value")
-            .select(F.expr("variant_get(v, '$.k', 'int')").alias("k"),
-                    "value")
-            .groupBy(F.floor(F.col("k") / 10).cast("int")
-                      .alias("k_bucket"))
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.count_distinct("k").alias("n_distinct_k"),
-                 F.sum(F.col("value").cast("decimal(18,4)"))
-                  .cast("double").alias("sum_value"))),
-        f"""WITH e AS (
-          SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-                 value
-          FROM events)
-        SELECT CAST(FLOOR(k / 10.0) AS INTEGER) AS k_bucket,
-               COUNT(*) AS n_events,
-               COUNT(DISTINCT k) AS n_distinct_k,
-               {SUM_D('value')} AS sum_value
-        FROM e GROUP BY 1""")
-
-    # value-based activity deciles: the cumulative window runs over
-    # DISTINCT event-count values (bounded), never over users — the
-    # scalable replacement for a global NTILE ranking
-    add("events_user_deciles",
-        lambda spark, sf: EV.user_activity_deciles(_events(spark, sf)),
-        """WITH ua AS (
-          SELECT user_id, COUNT(*) AS n_events FROM events
-          GROUP BY user_id),
-        vc AS (
-          SELECT n_events, COUNT(*) AS n_users_v FROM ua
-          GROUP BY n_events),
-        tot AS (SELECT COUNT(*) AS _total FROM ua),
-        vd AS (
-          SELECT n_events, n_users_v,
-                 CAST(least(CEIL((SUM(n_users_v) OVER
-                     (ORDER BY n_events DESC
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     * 10) / _total), 10) AS INTEGER) AS decile
-          FROM vc, tot)
-        SELECT decile,
-               CAST(SUM(n_users_v) AS BIGINT) AS n_users,
-               MIN(n_events) AS min_events,
-               MAX(n_events) AS max_events,
-               CAST(SUM(n_events * n_users_v) AS BIGINT) AS total_events
-        FROM vd GROUP BY decile""")
-
-    # sequential-pattern mining lite: most common consecutive event-type
-    # trigrams across user timelines (one user_id shuffle + bounded-key
-    # count + TakeOrderedAndProject — no self-join)
-    add("events_type_trigrams",
-        lambda spark, sf: EV.event_type_sequences(_events(spark, sf),
-                                                  n=3, k=15),
-        """WITH s AS (
-          SELECT event_type AS t1,
-                 lead(event_type, 1) OVER
-                   (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
-                 lead(event_type, 2) OVER
-                   (PARTITION BY user_id ORDER BY ts, event_id) AS t3
-          FROM events),
-        c AS (
-          SELECT t1 || ' > ' || t2 || ' > ' || t3 AS seq,
-                 COUNT(*) AS n_occurrences
-          FROM s WHERE t3 IS NOT NULL
-          GROUP BY 1)
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, seq)
-                    AS INTEGER) AS rank, seq, n_occurrences
-        FROM c ORDER BY n_occurrences DESC, seq LIMIT 15""")
-
-    # mergeable one-pass approximate quantiles (approx_percentile = GK
-    # sketch): the 100 TB path where the exact milli-quantized sort of
-    # events_value_percentiles is too hot.  Rows-only: the sketch's
-    # merge error is engine-specific; tests/test_operators.py pins each
-    # estimate within 1% of the exact quantile.
-    add("events_value_quantiles_approx",
-        lambda spark, sf: (_events(spark, sf)
-            .groupBy("event_type")
-            .agg(F.percentile_approx(
-                    "value", [0.5, 0.9, 0.99], 10_000)
-                  .alias("q50_q90_q99"))
-            .select("event_type",
-                    F.col("q50_q90_q99")[0].alias("q50"),
-                    F.col("q50_q90_q99")[1].alias("q90"),
-                    F.col("q50_q90_q99")[2].alias("q99"))),
-        None)
+    # Registration order == the pre-split file's build order (cube ->
+    # tpch -> members -> text -> similarity -> events); each module's
+    # internal order is verbatim, so build order is byte-stable.
+    for mod in (cube, tpch, members_nav, docs_text, similarity, events):
+        mod.register(add)
 
     # Order per the gate-window manifest (see _GATE_FRONT above).
     missing = [n for n in _GATE_FRONT if n not in q]
@@ -3981,3 +122,4 @@ def build_workload() -> dict[str, QuerySpec]:
 
 
 WORKLOAD = build_workload()
+
