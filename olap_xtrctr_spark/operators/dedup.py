@@ -757,6 +757,34 @@ def cross_source_duplication(docs: DataFrame, text_col: str = "text",
                     .alias("n_cross_dup")))
 
 
+def ngram_novelty(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction (exact milli-units) of
+    a document's distinct shingles whose corpus-wide FIRST owner (the
+    minimum ``id_col`` among documents containing the shingle) is this
+    document.  A crawl-ordered corpus read through this lens separates
+    originators from echoes: boilerplate-heavy late copies score near
+    0, first appearances near 1000 — the per-document complement of
+    the pairwise dedup metrics, usable as a streaming-friendly
+    keep/drop signal without generating any pairs at all.
+
+    Scale shape: one shuffle to the per-shingle MIN(id) (map-side
+    combinable), one shuffle to roll novelty up per document — both on
+    slim projections; there is NO pair generation, so cost is linear
+    in corpus shingles regardless of duplication depth (the regime
+    where the pairwise operators go quadratic inside dup groups)."""
+    sh = shingle_docs(docs, text_col, id_col, n)
+    first = sh.groupBy("shingle").agg(F.min(id_col).alias("_first"))
+    return (sh.join(first, "shingle")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_shingles"),
+                   F.sum((F.col(id_col) == F.col("_first")).cast("long"))
+                    .alias("n_novel"))
+              .withColumn("novelty_milli",
+                          F.expr("CAST((n_novel * 1000) DIV n_shingles "
+                                 "AS BIGINT)")))
+
+
 # ---- winnowing fingerprints (substring-level near-dup) ---------------------
 
 def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
@@ -981,3 +1009,67 @@ def winnow_match_spans(docs: DataFrame, text_col: str = "text",
                   F.count(F.lit(1)).alias("n_windows"))
              .drop("_span"))
     return spans
+
+
+def winnow_span_dedup(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 4, w: int = 5,
+                      min_shared: int = 2,
+                      max_doc_freq: int | None = None) -> DataFrame:
+    """SPAN-level dedup (the Lee et al. 2022 "deduplicating training
+    data" move, winnowing-backed): wherever ``winnow_match_spans``
+    finds a shared run between two documents, the LATER document (the
+    larger ``id_col`` — ids are crawl order in this corpus) loses the
+    covered tokens; the earliest occurrence keeps its text.  Unlike
+    document-level dedup this removes the quoted paragraph and keeps
+    the rest of the page — the difference between dropping 30% of a
+    crawl and dropping 3%.
+
+    Returns every document as (id, clean_text, n_tokens,
+    n_tokens_removed) where ``clean_text`` is the surviving tokens in
+    original order, whitespace-normalized and LOWERCASED (the
+    winnowing tokenization — span offsets index those tokens, so the
+    cleaned text is defined over them).
+
+    Granularity caveat: span bounds have WINDOW resolution — a match
+    window whose minimum-hash fingerprint lies in the shared run may
+    START up to w-1 grams before it, so up to ~w+k-2 tokens adjacent
+    to the true duplicate run are swept into the removal on each
+    side.  That bias (remove slightly more context around a verified
+    duplicate) is the safe direction for training-data cleaning;
+    tighten w for finer spans at more fingerprints/doc.
+
+    Scale shape: spans come from the posting-list machinery (no
+    all-pairs), the token×span coverage join is equi-keyed on the doc
+    id (spans per doc are few — AQE broadcasts the span side), and
+    reassembly is one per-doc aggregation of (pos, token) structs.
+    State per doc is bounded by its own token count."""
+    spans = winnow_match_spans(docs, text_col, id_col, k, w,
+                               min_shared=min_shared,
+                               max_doc_freq=max_doc_freq)
+    # the later doc of each matched pair loses the span
+    mine = (spans.filter(F.col(id_col) > F.col("other_id"))
+            .select(id_col, "span_start", "span_end"))
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok_rows = docs.select(id_col, F.posexplode(toks)
+                           .alias("_pos", "_tok"))
+    covered = (tok_rows.join(mine, id_col)
+               .filter((F.col("_pos") >= F.col("span_start"))
+                       & (F.col("_pos") <= F.col("span_end")))
+               .select(id_col, "_pos").distinct())
+    kept = tok_rows.join(covered, [id_col, "_pos"], "left_anti")
+    agg = (kept.groupBy(id_col)
+           .agg(F.concat_ws(" ", F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct(F.col("_pos"), F.col("_tok")))),
+                   lambda s: s["_tok"])).alias("clean_text"),
+                F.count(F.lit(1)).alias("n_kept")))
+    # LEFT join from docs: a fully-covered document (a whole-doc
+    # duplicate) must still appear, with empty text
+    return (docs.select(id_col, F.size(toks).alias("_orig"))
+            .join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_kept", F.lit(0)).cast("bigint")
+                     .alias("n_tokens"),
+                    (F.col("_orig") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("bigint").alias("n_tokens_removed")))

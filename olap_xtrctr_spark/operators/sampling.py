@@ -126,6 +126,91 @@ def uniform_sample_k(docs: DataFrame, k: int,
             .drop("_h"))
 
 
+def shuffle_corpus(docs: DataFrame, n_shards: int,
+                   id_col: str = "doc_id",
+                   salt: str = "shuffle-v1") -> DataFrame:
+    """Deterministic global training order WITHOUT a global sort: the
+    60-bit md5(id:salt) key fixes one pseudo-random permutation of the
+    corpus; ``shard = key % n_shards`` and ``shard_pos`` = rank within
+    the shard by (key, id).  A trainer reading shards 0..n-1, each
+    ordered by shard_pos, consumes that permutation — reproducible
+    across partitionings, retries, and engines (the property rand()
+    loses the moment a plan re-executes), and re-saltable per epoch.
+
+    Scale shape: the rank window partitions BY SHARD, so no task ever
+    sees more than corpus/n_shards rows — pick n_shards so a shard fits
+    a task, exactly how training shards are sized anyway
+    (``sources/shards.py``).  A single global row_number would funnel
+    the whole corpus through one reducer; this never does."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    key = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    return (docs.withColumn("_key", key)
+            .withColumn("shard", (F.col("_key") % n_shards).cast("int"))
+            .withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
+            .drop("_key"))
+
+
+def token_budget_fill(scored: DataFrame, budget_tokens: int,
+                      score_col: str = "score_milli",
+                      token_col: str = "n_tokens",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Fill a token budget with the best-scoring documents: order by
+    (score desc, id asc) and keep every document whose RUNNING token
+    total stays within ``budget_tokens`` (the first document that
+    would cross the boundary — and everything after it — is out; the
+    running total is monotone, so the kept set is a prefix).  This is
+    the data-selection endgame: "give me the best 10B tokens", not a
+    rate or a count.  ``score_col`` must be integer (milli-units per
+    repo discipline) so the boundary is engine-exact.
+
+    Returns the selected rows plus ``cum_tokens`` (the global running
+    total through this document).
+
+    Scale shape: a naive SUM() OVER (ORDER BY ...) funnels the corpus
+    through ONE reducer.  Instead: (1) per-score token totals (map-side
+    combinable, rows = score cardinality — bounded, these are
+    milli-unit ints), (2) a running total over that TINY table finds
+    the boundary score, (3) every doc strictly above it is selected
+    with no window at all, and (4) only the boundary score's documents
+    pay a rank window (partitioned by that single score value).  The
+    full-corpus sort never happens."""
+    sc, tk = F.col(score_col), F.col(token_col)
+    per_score = (scored.groupBy(score_col)
+                 .agg(F.sum(tk).cast("bigint").alias("_stok")))
+    wsc = (Window.orderBy(F.desc(score_col))
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cums = (per_score
+            .withColumn("_cum_through", F.sum("_stok").over(wsc))
+            .withColumn("_cum_before",
+                        F.col("_cum_through") - F.col("_stok")))
+    joined = scored.join(F.broadcast(cums), score_col)
+    # scores whose whole block fits: no per-row window needed
+    full = (joined.filter(F.col("_cum_through") <= budget_tokens)
+            .withColumn("_doc_cum",
+                        F.col("_cum_before") + F.sum(tk).over(
+                            Window.partitionBy(score_col)
+                                  .orderBy(id_col)
+                                  .rowsBetween(Window.unboundedPreceding,
+                                               Window.currentRow))))
+    # the single boundary score: rank within it, stop at the budget
+    boundary = (joined.filter((F.col("_cum_before") <= budget_tokens)
+                              & (F.col("_cum_through") > budget_tokens))
+                .withColumn("_doc_cum",
+                            F.col("_cum_before") + F.sum(tk).over(
+                                Window.partitionBy(score_col)
+                                      .orderBy(id_col)
+                                      .rowsBetween(
+                                          Window.unboundedPreceding,
+                                          Window.currentRow)))
+                .filter(F.col("_doc_cum") <= budget_tokens))
+    return (full.unionByName(boundary)
+            .select(*scored.columns,
+                    F.col("_doc_cum").cast("bigint").alias("cum_tokens")))
+
+
 def temperature_mix_rates(docs: DataFrame, temperature: float = 0.7,
                           text_col: str = "text",
                           source_col: str = "source") -> DataFrame:

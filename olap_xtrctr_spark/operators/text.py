@@ -104,6 +104,33 @@ def top_tokens(docs: DataFrame, k: int = 20,
                 .select("rank", "token", "n"))
 
 
+def build_vocab(docs: DataFrame, max_size: int = 1000,
+                min_count: int = 2,
+                text_col: str = "text") -> DataFrame:
+    """Frequency vocabulary for tokenizer prep: whitespace-lowercase
+    tokens with corpus count >= ``min_count``, the ``max_size`` most
+    frequent, ids assigned by (count desc, token asc) so the mapping
+    is total-order deterministic across engines and partitionings —
+    token_id 0 is the most frequent token.
+
+    Scale shape: one map-side-combinable count aggregation, then
+    ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-partition
+    top-k, k·P-row merge — the same never-sort-the-vocab shape as
+    ``top_tokens``); the id window runs over max_size survivors only."""
+    from pyspark.sql import Window
+    toks = docs.select(F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"))
+    counts = (toks.filter(F.col("token") != "")
+              .groupBy("token")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .filter(F.col("n") >= min_count))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(max_size)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))   # max_size rows only
+    return (top.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("bigint"))
+        .select("token_id", "token", "n"))
+
+
 # GPT-2-style pre-tokenizer, constrained to syntax BOTH Java regex (Spark)
 # and RE2 (the DuckDB oracle) accept: \p{L}/\p{N} classes yes, but NO
 # lookahead — the canonical pattern's trailing `\s+(?!\S)` branch is

@@ -46,6 +46,11 @@ _GATE_FRONT = [
     # entry from the back of the front (still r3-green + local-gated).
     "docs_containment_pairs_prefix",
     "events_clustered_scan_pruning",
+    "docs_shuffle_corpus",
+    "docs_vocab_build",
+    "docs_token_budget_fill",
+    "docs_ngram_novelty",
+    "docs_winnow_span_dedup",
     "cube_3dim_crossjoin",
     "cube_filter_set",
     "cube_catalog_1998_nation",
@@ -89,11 +94,6 @@ _GATE_FRONT = [
     "docs_quality_score",
     "docs_top_tokens",
     "docs_fingerprint",
-    "docs_redact_pii",
-    "docs_pack_sequences",
-    "docs_strip_markup",
-    "docs_contamination_check",
-    "docs_mix_corpus",
 ]
 
 

@@ -338,6 +338,82 @@ def register(add) -> None:
                     ELSE 'test' END AS split
         FROM documents""")
 
+    # deterministic sharded training order: md5-keyed permutation, rank
+    # windows partitioned per shard (never a global sort)
+    add("docs_shuffle_corpus",
+        lambda spark, sf: SM.shuffle_corpus(_docs(spark, sf), n_shards=8)
+        .select("doc_id", "shard", "shard_pos"),
+        """WITH keyed AS (
+          SELECT doc_id,
+                 TRY_CAST(concat('0x', substr(md5(concat(
+                   CAST(doc_id AS VARCHAR), ':shuffle-v1')), 1, 15))
+                   AS BIGINT) AS key
+          FROM documents)
+        SELECT doc_id, CAST(key % 8 AS INTEGER) AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY key % 8
+                    ORDER BY key, doc_id) AS BIGINT) AS shard_pos
+        FROM keyed""")
+
+    # frequency vocabulary with deterministic ids (count desc, token) —
+    # TakeOrderedAndProject, never a full-vocab sort
+    add("docs_vocab_build",
+        lambda spark, sf: TX.build_vocab(_docs(spark, sf), max_size=500,
+                                         min_count=2),
+        r"""WITH toks AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                 '\s+')) AS token
+          FROM documents),
+        counts AS (
+          SELECT token, COUNT(*) AS n FROM toks
+          WHERE token <> '' GROUP BY 1 HAVING COUNT(*) >= 2)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1
+                    AS BIGINT) AS token_id,
+               token, CAST(n AS BIGINT) AS n
+        FROM counts ORDER BY n DESC, token LIMIT 500""")
+
+    # "the best 20k tokens": greedy quality-ordered prefix under a hard
+    # token budget; integer milli scores make the boundary engine-exact
+    def _budget_fill(spark, sf):
+        qs = TX.quality_score(_docs(spark, sf))
+        scored = qs.select(
+            "doc_id", "n_tokens",
+            F.round(F.col("quality_score") * 1000).cast("bigint")
+             .alias("score_milli"))
+        return SM.token_budget_fill(scored, budget_tokens=20_000)
+
+    add("docs_token_budget_fill", _budget_fill,
+        r"""WITH q AS (
+          SELECT doc_id,
+            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+            greatest(length(text), 1) AS n_chars,
+            CAST(len(regexp_extract_all(lower(text),
+              '\b(the|and|of|to|in|is)\b')) AS INTEGER) AS stop_hits,
+            CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                 AS INTEGER) AS punct
+          FROM documents),
+        scored AS (
+          -- two-stage rounding mirrors the Spark side exactly: the
+          -- quality score is rounded to 4 decimals FIRST (that is the
+          -- operator's published value), then scaled to milli
+          SELECT doc_id, n_tokens,
+            CAST(ROUND(ROUND((
+              (CASE WHEN n_tokens >= 10 AND n_tokens <= 5000
+                    THEN 0.4 ELSE 0.0 END)
+              + least(stop_hits / greatest(n_tokens, 1) * 2.0, 0.4)
+              - least(punct / n_chars * 5.0, 0.2)
+              + (CASE WHEN n_chars / greatest(n_tokens, 1) >= 3.0
+                       AND n_chars / greatest(n_tokens, 1) <= 12.0
+                      THEN 0.2 ELSE 0.0 END)), 4) * 1000)
+              AS BIGINT) AS score_milli
+          FROM q),
+        cum AS (
+          SELECT *, SUM(n_tokens) OVER (ORDER BY score_milli DESC,
+                                        doc_id) AS cum_tokens
+          FROM scored)
+        SELECT doc_id, n_tokens, score_milli,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM cum WHERE cum_tokens <= 20000""")
+
     _SBUCKET = SM.hash_bucket_sql("doc_id", "strat-v1")
 
     add("docs_stratified_sample",

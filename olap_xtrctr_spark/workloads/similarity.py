@@ -760,6 +760,100 @@ def register(add) -> None:
                COUNT(*) AS n_windows
         FROM sp2 GROUP BY doc_id, other_id, span""")
 
+    # span-LEVEL dedup (Lee et al. 2022 move): the later doc of every
+    # matched span loses the covered tokens; earliest occurrence keeps
+    # its text.  Cleaned text is over the winnowing tokenization
+    # (lowercased, whitespace-normalized) — span offsets index those
+    # tokens.  Fully-covered duplicates stay present with empty text.
+    add("docs_winnow_span_dedup",
+        lambda spark, sf: D.winnow_span_dedup(_docs(spark, sf), k=4,
+                                              w=5, min_shared=2,
+                                              max_doc_freq=1000),
+        _WINNOW_WINS_SQL + """,
+        fps AS (SELECT DISTINCT doc_id, fp FROM wfil),
+        dfreq AS (SELECT fp, COUNT(*) AS nd FROM fps GROUP BY 1),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM fps a JOIN fps b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id
+          JOIN dfreq d ON d.fp = a.fp AND d.nd <= 1000
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        dirs AS (
+          SELECT id_a AS doc_id, id_b AS other_id FROM shared
+          UNION ALL
+          SELECT id_b, id_a FROM shared),
+        matched AS (
+          SELECT b.doc_id, b.other_id, w.i - 1 AS pos, w.n_grams
+          FROM dirs b
+          JOIN fps pf ON pf.doc_id = b.other_id
+          JOIN wfil w ON w.doc_id = b.doc_id AND w.fp = pf.fp),
+        sp AS (
+          SELECT doc_id, other_id, pos, n_grams,
+                 CASE WHEN pos - lag(pos) OVER
+                        (PARTITION BY doc_id, other_id ORDER BY pos) > 5
+                      THEN 1 ELSE 0 END AS new_span
+          FROM matched),
+        sp2 AS (
+          SELECT *, SUM(new_span) OVER
+                   (PARTITION BY doc_id, other_id ORDER BY pos
+                    ROWS UNBOUNDED PRECEDING) AS span
+          FROM sp),
+        spans AS (
+          SELECT doc_id, other_id,
+                 MIN(pos) AS span_start,
+                 least(MAX(pos) + 7, MAX(n_grams) + 2) AS span_end
+          FROM sp2 GROUP BY doc_id, other_id, span),
+        myspans AS (
+          SELECT doc_id, span_start, span_end
+          FROM spans WHERE doc_id > other_id),
+        tok AS (
+          SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok, len(t) AS orig
+          FROM toks, LATERAL (SELECT UNNEST(generate_series(
+            1, len(t))) AS i) u),
+        removed AS (
+          SELECT DISTINCT t.doc_id, t.pos
+          FROM tok t JOIN myspans s
+            ON s.doc_id = t.doc_id
+           AND t.pos BETWEEN s.span_start AND s.span_end),
+        kept AS (
+          SELECT t.* FROM tok t
+          LEFT JOIN removed r ON r.doc_id = t.doc_id AND r.pos = t.pos
+          WHERE r.doc_id IS NULL),
+        agg AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                 COUNT(*) AS n_kept
+          FROM kept GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(a.clean_text, '') AS clean_text,
+               CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_split_to_array(trim(lower(d.text)),
+                    '\\s+')) - COALESCE(a.n_kept, 0) AS BIGINT)
+                 AS n_tokens_removed
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""")
+
+    # per-doc n-gram novelty: fraction of a doc's shingles it is the
+    # corpus-wide FIRST owner of — originator-vs-echo signal with NO
+    # pair generation (linear in shingles at any duplication depth)
+    add("docs_ngram_novelty",
+        lambda spark, sf: D.ngram_novelty(_docs(spark, sf), n=3),
+        r"""WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          FROM toks),
+        first AS (SELECT shingle, MIN(doc_id) AS f FROM sh GROUP BY 1)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN doc_id = f THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST((SUM(CASE WHEN doc_id = f THEN 1 ELSE 0 END) * 1000)
+                    // COUNT(*) AS BIGINT) AS novelty_milli
+        FROM sh JOIN first USING (shingle)
+        GROUP BY doc_id""")
+
     add("docs_winnow_dup_extent",
         lambda spark, sf: D.winnow_dup_extent(_docs(spark, sf), k=4, w=5),
         _WINNOW_WINS_SQL + """,

@@ -1433,3 +1433,55 @@ def test_bm25_ranks_relevance_and_respects_length_norm(spark):
     assert ranks[0] == 1                      # both terms, high tf
     # same single term, but doc 3 is 17x longer -> length norm demotes
     assert got[1]["score_milli"] > got[3]["score_milli"]
+
+
+def test_ngram_novelty_originator_vs_echo(spark):
+    base = "uno dos tres cuatro cinco seis siete ocho"
+    df = _docs(spark, [base,                          # originator
+                       base,                          # exact echo
+                       base + " nueve diez once doce",  # partial echo
+                       "fresh totally different words here now ok"])
+    out = {r["doc_id"]: r for r in D.ngram_novelty(df, n=3).collect()}
+    assert out[0]["novelty_milli"] == 1000    # first owner of all
+    assert out[1]["novelty_milli"] == 0       # owns nothing
+    assert 0 < out[2]["novelty_milli"] < 1000
+    assert out[3]["novelty_milli"] == 1000
+
+
+def test_winnow_span_dedup_removes_later_copy(spark):
+    base = ("uno dos tres cuatro cinco seis siete ocho nueve diez "
+            "once doce trece catorce quince")
+    df = _docs(spark, [base,
+                       f"prefix words here {base} suffix words there",
+                       "unrelated content entirely different words "
+                       "and more of them to shingle with"])
+    out = {r["doc_id"]: r
+           for r in D.winnow_span_dedup(df, k=4, w=5,
+                                        min_shared=1).collect()}
+    assert len(out) == 3                       # every doc present
+    assert out[0]["n_tokens_removed"] == 0     # earliest keeps text
+    assert out[0]["clean_text"] == base
+    assert out[1]["n_tokens_removed"] > 0      # later copy loses span
+    assert "cinco seis siete" not in out[1]["clean_text"]
+    # span bounds have window resolution (docstring caveat): the
+    # neighbors of the duplicated run may be swept in, but the clean
+    # text must keep the far prefix/suffix context
+    assert out[1]["clean_text"].startswith("prefix")
+    assert out[1]["clean_text"].endswith("words there")
+    assert out[2]["n_tokens_removed"] == 0
+    # exact whole-doc duplicate of doc 0 stays present, emptied
+    df2 = _docs(spark, [base, base])
+    out2 = {r["doc_id"]: r
+            for r in D.winnow_span_dedup(df2, k=4, w=5,
+                                         min_shared=1).collect()}
+    assert out2[0]["clean_text"] == base
+    assert out2[1]["n_tokens"] == 0 and out2[1]["clean_text"] == ""
+
+
+def test_build_vocab_ids_and_floors(spark):
+    df = _docs(spark, ["aa bb aa cc", "aa bb dd", "aa ee"])
+    rows = {r["token"]: (r["token_id"], r["n"])
+            for r in TX.build_vocab(df, max_size=2,
+                                    min_count=2).collect()}
+    # aa:4, bb:2 survive min_count=2 and the size cap; cc/dd/ee out
+    assert rows == {"aa": (0, 4), "bb": (1, 2)}

@@ -224,3 +224,52 @@ def test_dsir_gumbel_sample_deterministic_and_tempered(spark, docs):
     assert hot != hard
     with pytest.raises(ValueError):
         SM.dsir_gumbel_sample(docs, cond, temperature=0)
+
+
+def test_shuffle_corpus_deterministic_and_sharded(spark):
+    from olap_xtrctr_spark.operators.sampling import shuffle_corpus
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(100)],
+                                 "doc_id long, text string")
+    a = shuffle_corpus(docs, n_shards=4).collect()
+    b = shuffle_corpus(docs.repartition(7), n_shards=4).collect()
+    ka = sorted((r["doc_id"], r["shard"], r["shard_pos"]) for r in a)
+    kb = sorted((r["doc_id"], r["shard"], r["shard_pos"]) for r in b)
+    assert ka == kb                       # partitioning-independent
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    assert set(by_shard) <= set(range(4))
+    for positions in by_shard.values():   # dense 1..n per shard
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # different salt -> different permutation
+    c = shuffle_corpus(docs, n_shards=4, salt="epoch-2").collect()
+    kc = sorted((r["doc_id"], r["shard"], r["shard_pos"]) for r in c)
+    assert kc != ka
+    import pytest
+    with pytest.raises(ValueError, match="n_shards"):
+        shuffle_corpus(docs, n_shards=0)
+
+
+def test_token_budget_fill_prefix_and_boundary(spark):
+    from olap_xtrctr_spark.operators.sampling import token_budget_fill
+
+    rows = [(1, 10, 900), (2, 10, 900), (3, 10, 800),
+            (4, 10, 700), (5, 10, 700)]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, score_milli long")
+    # budget 25: docs 1, 2 fit (cum 10, 20); doc 3 would cross -> out
+    out = {r["doc_id"]: r["cum_tokens"]
+           for r in token_budget_fill(scored, 25).collect()}
+    assert out == {1: 10, 2: 20}
+    # budget 35: boundary lands INSIDE score 800's block
+    out = {r["doc_id"]: r["cum_tokens"]
+           for r in token_budget_fill(scored, 35).collect()}
+    assert out == {1: 10, 2: 20, 3: 30}
+    # ties at the boundary score break by id: budget 45 admits doc 4
+    # (id-ordered) but not doc 5
+    out = {r["doc_id"]: r["cum_tokens"]
+           for r in token_budget_fill(scored, 45).collect()}
+    assert out == {1: 10, 2: 20, 3: 30, 4: 40}
+    # budget below the first doc -> empty
+    assert token_budget_fill(scored, 5).count() == 0
