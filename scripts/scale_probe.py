@@ -118,6 +118,14 @@ PROBE_QUERIES = [
     "events_ohlc_hourly",
     "events_stream_ohlc",
     "tpch_join_profile_orders_customer",
+    # round-6 additions: novelty/span-dedup concentrate posting lists
+    # ~FACTOR deep inside dup groups (novelty must stay LINEAR there —
+    # that is its design claim); shuffle/budget-fill must not global-sort
+    "docs_ngram_novelty",
+    "docs_winnow_span_dedup",
+    "docs_shuffle_corpus",
+    "docs_token_budget_fill",
+    "docs_containment_pairs_prefix",
     # round-5 third wave: containment shares the jaccard posting-list
     # core (dup replicas concentrate pair gen ~FACTOR^2 inside groups,
     # documented above for edit_distance/winnow); DSIR is explode + two
