@@ -223,3 +223,48 @@ def test_ngram_pair_core_never_broadcasts_the_pair_table(spark, sf_dir):
                                                  threshold=0.5)):
         plan = _plan(fn())
         assert "ShuffledHashJoin" in plan, plan[:600]
+
+
+def test_shuffle_corpus_single_shard_exchange_no_sort_merge(spark, sf_dir):
+    """shuffle_corpus's claim: no global sort, no join — one hash
+    exchange on the shard key feeding per-shard rank windows."""
+    from olap_xtrctr_spark.operators.sampling import shuffle_corpus
+    from olap_xtrctr_spark.session import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(shuffle_corpus(docs, n_shards=8))
+    assert "Join" not in plan
+    # the one exchange is hashpartitioning by shard (window prep), not
+    # a rangepartitioning (which would mean a global sort)
+    assert "rangepartitioning" not in plan
+    assert plan.count("hashpartitioning(shard") >= 1
+
+
+def test_token_budget_fill_never_globally_sorts_the_corpus(spark, sf_dir):
+    """token_budget_fill's claim: the corpus-row windows are PARTITIONED
+    (by score); only the per-score aggregate table — bounded by score
+    cardinality — sees an unpartitioned running-total window."""
+    from olap_xtrctr_spark.operators.sampling import token_budget_fill
+    from olap_xtrctr_spark.operators.text import quality_score
+    from olap_xtrctr_spark.session import load_table
+    scored = quality_score(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens",
+        (F.round(F.col("quality_score") * 1000)).cast("bigint")
+        .alias("score_milli"))
+    plan = _plan(token_budget_fill(scored, 20_000))
+    # corpus-row running totals are per-score windows
+    assert "windowspecdefinition(score_milli" in plan
+    # the only single-partition exchange feeds the per-score aggregate
+    # (SinglePartition appears for it), and no corpus-wide
+    # rangepartitioning sort exists anywhere in the plan
+    assert "rangepartitioning" not in plan
+
+
+def test_ngram_novelty_no_pair_generation(spark, sf_dir):
+    """novelty's claim: linear — no posting-list pair explosion.  The
+    plan must contain no Generate over collected id lists (the pair
+    generators' signature) beyond the shingle posexplode itself."""
+    from olap_xtrctr_spark.operators.dedup import ngram_novelty
+    from olap_xtrctr_spark.session import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(ngram_novelty(docs))
+    assert "collect_list" not in plan and "slice" not in plan
