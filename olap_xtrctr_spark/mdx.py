@@ -37,7 +37,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .query import AxisItem, QueryRequest
+from .query import AxisItem, CalcMeasure, QueryRequest, TopCountSpec
 
 
 class MdxParseError(ValueError):
@@ -116,8 +116,27 @@ def _parse_set(expr: str, properties: bool) -> list[AxisItem]:
     raise MdxParseError(f"unsupported set expression: {expr!r}")
 
 
+_CALC_DEF = re.compile(
+    r"MEMBER\s+\[Measures\]\s*\.\s*\[([^\]]+)\]\s+AS\s+'?(.*?)'?\s*"
+    r"(?=MEMBER\s+\[Measures\]|$)",
+    re.IGNORECASE | re.DOTALL)
+
+
 def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
     flat = " ".join(mdx.split())
+
+    # -- WITH MEMBER calculated measures (extension beyond the
+    # reference's emitted subset; arithmetic validated by the engine's
+    # measure-expression parser, never eval) --------------------------
+    calcs: list[CalcMeasure] = []
+    mw = re.match(r"WITH\s+(?P<defs>MEMBER\s+.*?)\s*(?=SELECT\s)(?P<rest>.*)$",
+                  flat, re.IGNORECASE)
+    if mw:
+        for name, expr in _CALC_DEF.findall(mw.group("defs")):
+            calcs.append(CalcMeasure(name.strip(), expr.strip()))
+        if not calcs:
+            raise MdxParseError(f"WITH clause without MEMBER defs: {mdx!r}")
+        flat = mw.group("rest").strip()
 
     m = re.match(
         r"SELECT\s+(?P<cols>.*?)\s+ON\s+COLUMNS\s*,\s*(?P<rows>.*?)\s+ON\s+ROWS"
@@ -138,7 +157,8 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
     else:
         rows_raw = m.group("rows")
 
-    req = QueryRequest(catalog=catalog, cube=m.group("cube").strip("[]"))
+    req = QueryRequest(catalog=catalog, cube=m.group("cube").strip("[]"),
+                       calculated=calcs)
 
     # -- columns: measures / AllMembers / variables ------------------------
     cols = m.group("cols").strip()
@@ -176,6 +196,54 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
                     prop_paths.append(segs)
                 else:
                     props = True
+        # -- set functions wrapping the rows set (extensions):
+        # TOPCOUNT(set, n, [Measures].[X]) / ORDER(set, [Measures].[X],
+        # DESC|ASC) / FILTER(set, <measure condition>) — unwrap
+        # outermost-first; arbitrary nesting composes.
+        def _measure_name(s: str) -> str:
+            segs = _segs(s)
+            if len(segs) != 2 or segs[0].lower() != "measures":
+                raise MdxParseError(f"expected [Measures].[X], got {s!r}")
+            return segs[1]
+
+        while True:
+            rs = r.strip()
+            up = rs.upper()
+            fn = next((f for f in ("TOPCOUNT", "ORDER", "FILTER")
+                       if up.startswith(f + "(")
+                       or up.startswith(f + " (")), None)
+            if fn is None:
+                break
+            inner = rs[rs.index("(") + 1:rs.rindex(")")]
+            parts = _split_top(inner)
+            if fn == "TOPCOUNT":
+                if len(parts) != 3:
+                    raise MdxParseError(f"TOPCOUNT needs 3 args: {rs!r}")
+                if req.topcount is not None:
+                    raise MdxParseError("nested TOPCOUNT is unsupported")
+                if not parts[1].isdigit():
+                    raise MdxParseError(
+                        f"TOPCOUNT count must be an integer: {parts[1]!r}")
+                req.topcount = TopCountSpec(int(parts[1]),
+                                            _measure_name(parts[2]))
+            elif fn == "ORDER":
+                if len(parts) not in (2, 3):
+                    raise MdxParseError(f"ORDER needs 2-3 args: {rs!r}")
+                direction = (parts[2].strip().upper()
+                             if len(parts) == 3 else "ASC")
+                if direction not in ("ASC", "DESC", "BASC", "BDESC"):
+                    raise MdxParseError(
+                        f"ORDER direction {direction!r} unsupported")
+                if req.order_by is not None:
+                    raise MdxParseError("nested ORDER is unsupported")
+                req.order_by = (_measure_name(parts[1]),
+                                direction.endswith("DESC"))
+            else:                      # FILTER
+                if len(parts) != 2:
+                    raise MdxParseError(f"FILTER needs 2 args: {rs!r}")
+                req.having.append(parts[1].strip())
+            r = parts[0]
+
         req.rows = _parse_set(r, props)
         if prop_paths:
             matched = [False] * len(prop_paths)
@@ -238,12 +306,30 @@ def build_mdx(req: QueryRequest, cube_name: str | None = None) -> str:
         cols = "{ " + ", ".join(
             f"[Measures].[{m}]" for m in req.measures) + " }"
 
-    parts = [f"SELECT {cols} ON COLUMNS"]
+    with_clause = ""
+    if req.calculated:
+        defs = " ".join(f"MEMBER [Measures].[{c.name}] AS {c.expr}"
+                        for c in req.calculated)
+        with_clause = f"WITH {defs} "
+
+    parts = [f"{with_clause}SELECT {cols} ON COLUMNS"]
     if req.rows:
         sets = [_axis_set(item) for item in req.rows]
         rows = sets[-1]
         for s in reversed(sets[:-1]):       # right-folded, as the reference
             rows = f"CROSSJOIN({s}, {rows})"
+        # set-function wrappers (extensions): FILTER innermost (emitted
+        # in reverse so re-parsing, which unwraps outermost-first and
+        # appends, preserves condition order), then ORDER, then TOPCOUNT
+        for cond in reversed(req.having):
+            rows = f"FILTER({rows}, {cond})"
+        if req.order_by is not None:
+            name, desc = req.order_by
+            rows = (f"ORDER({rows}, [Measures].[{name}], "
+                    f"{'DESC' if desc else 'ASC'})")
+        if req.topcount is not None:
+            rows = (f"TOPCOUNT({rows}, {req.topcount.n}, "
+                    f"[Measures].[{req.topcount.measure}])")
         prop_terms = [
             f"[{item.dimension}].[{item.hierarchy}].[{p}]"
             for item in req.rows

@@ -29,6 +29,7 @@ collects to the driver except bounded metadata (pivot captions).
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field
 from functools import reduce
 from typing import Optional
@@ -73,6 +74,149 @@ class FilterSpec:
 
 
 @dataclass
+class CalcMeasure:
+    """WITH MEMBER [Measures].[name] AS <expr> — a calculated measure:
+    post-aggregation arithmetic over base measures.  ``expr`` is the
+    MDX arithmetic subset ([Measures].[X] refs, numeric literals,
+    + - * / and parentheses); division yields NULL on a zero
+    denominator (both engines — the SSAS-like safe-divide)."""
+    name: str
+    expr: str
+    out_name: str = ""
+
+    @property
+    def alias(self) -> str:
+        return self.out_name or self.name.lower().replace(" ", "_")
+
+
+@dataclass
+class TopCountSpec:
+    """TOPCOUNT(<set>, n, [Measures].[X]): keep the n axis rows with
+    the largest values of the named (base or calculated) measure; ties
+    break on the group columns so the selection is deterministic."""
+    n: int
+    measure: str
+
+
+# ---------------------------------------------------------------------------
+# Measure-expression parser (calculated measures, FILTER conditions).
+# A tiny recursive-descent parser — NEVER eval() — over:
+#     cmp   := add (('>'|'>='|'<'|'<='|'='|'<>') add)?
+#     add   := mul (('+'|'-') mul)*
+#     mul   := unary (('*'|'/') unary)*
+#     unary := '-' unary | '(' cmp ')' | NUMBER | '[Measures].[name]'
+# ---------------------------------------------------------------------------
+
+_EXPR_TOKEN = re.compile(
+    r"\s*(\[Measures\]\s*\.\s*\[[^\]]+\]|\d+\.\d+|\d+|>=|<=|<>|[-+*/()><=])")
+_MEASURE_REF = re.compile(r"\[Measures\]\s*\.\s*\[([^\]]+)\]")
+
+
+class MeasureExprError(QueryValidationError):
+    pass
+
+
+def _tokenize_measure_expr(expr: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(expr):
+        m = _EXPR_TOKEN.match(expr, pos)
+        if not m:
+            if expr[pos:].strip():
+                raise MeasureExprError(
+                    f"bad token at {expr[pos:pos+20]!r} in {expr!r}")
+            break
+        out.append(m.group(1))
+        pos = m.end()
+    return out
+
+
+def parse_measure_expr(expr: str):
+    """Compile a measure arithmetic/comparison expression into
+    ``(builder, referenced_names)`` where ``builder(resolve)`` returns
+    a Column given ``resolve(measure_name) -> Column``."""
+    toks = _tokenize_measure_expr(expr)
+    refs: list[str] = []
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = peek()
+        pos += 1
+        return t
+
+    def unary():
+        t = peek()
+        if t == "-":
+            take()
+            f = unary()
+            return lambda r: -f(r)
+        if t == "(":
+            take()
+            f = cmp_()
+            if take() != ")":
+                raise MeasureExprError(f"unbalanced parens in {expr!r}")
+            return f
+        if t is None:
+            raise MeasureExprError(f"truncated expression: {expr!r}")
+        take()
+        m = _MEASURE_REF.fullmatch(t)
+        if m:
+            name = m.group(1)
+            refs.append(name)
+            return lambda r, name=name: r(name)
+        try:
+            v = float(t)
+        except ValueError:
+            raise MeasureExprError(f"unexpected token {t!r} in {expr!r}")
+        return lambda r, v=v: F.lit(v)
+
+    def mul():
+        f = unary()
+        while peek() in ("*", "/"):
+            op = take()
+            g = unary()
+            if op == "*":
+                f = (lambda a, b: lambda r: a(r) * b(r))(f, g)
+            else:
+                # safe divide: NULL on zero denominator (mirrors the
+                # oracle's x / NULLIF(y, 0))
+                f = (lambda a, b: lambda r: F.when(
+                    b(r) == 0, F.lit(None)).otherwise(a(r) / b(r)))(f, g)
+        return f
+
+    def add():
+        f = mul()
+        while peek() in ("+", "-"):
+            op = take()
+            g = mul()
+            if op == "+":
+                f = (lambda a, b: lambda r: a(r) + b(r))(f, g)
+            else:
+                f = (lambda a, b: lambda r: a(r) - b(r))(f, g)
+        return f
+
+    def cmp_():
+        f = add()
+        t = peek()
+        if t in (">", ">=", "<", "<=", "=", "<>"):
+            take()
+            g = add()
+            ops = {">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+                   "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+                   "=": lambda a, b: a == b, "<>": lambda a, b: a != b}
+            f = (lambda a, b, o: lambda r: o(a(r), b(r)))(f, g, ops[t])
+        return f
+
+    builder = cmp_()
+    if pos != len(toks):
+        raise MeasureExprError(f"trailing tokens in {expr!r}")
+    return builder, refs
+
+
+@dataclass
 class QueryRequest:
     catalog: str
     cube: Optional[str] = None
@@ -83,6 +227,11 @@ class QueryRequest:
     slicers: list[str] = field(default_factory=list)    # WHERE tuple (Q11)
     non_empty: bool = True
     all_measures: bool = False                          # [Measures].AllMembers
+    # MDX extensions beyond the reference's emitted subset:
+    calculated: list[CalcMeasure] = field(default_factory=list)
+    having: list[str] = field(default_factory=list)     # FILTER(set, cond)
+    topcount: Optional[TopCountSpec] = None             # TOPCOUNT(set, n, m)
+    order_by: Optional[tuple[str, bool]] = None         # ORDER(set, m, DESC)
 
 
 @dataclass
@@ -214,6 +363,66 @@ class CubeQueryEngine:
             return [cube.measures[cube.default_measure]]
         return [cube.measure(m) for m in req.measures]
 
+    def _resolve_measure_plan(self, cube: CubeDef, req: QueryRequest):
+        """Measure resolution with calculated-measure support: returns
+        (base_measures_to_aggregate, selected_output_aliases,
+        calc_plan) where calc_plan is [(CalcMeasure, builder)] in
+        dependency-free order (calcs reference BASE measures only —
+        calc-over-calc would need topological ordering the MDX subset
+        does not emit)."""
+        calc_by_name = {c.name: c for c in req.calculated}
+        if req.all_measures and req.calculated:
+            raise QueryValidationError(
+                "calculated measures cannot combine with "
+                "[Measures].AllMembers")
+        if not (req.calculated or req.having or req.topcount):
+            bases = self._resolve_measures(cube, req)
+            return bases, [m.out_name or m.name for m in bases], []
+
+        selected = req.measures or (list(calc_by_name) if calc_by_name
+                                    else [cube.default_measure])
+        base_names: list[str] = []
+        calc_plan = []
+        out_aliases: list[str] = []
+        extra_exprs = req.having + (
+            [f"[Measures].[{req.topcount.measure}]"] if req.topcount else [])
+
+        def need_base(name: str) -> None:
+            if name in calc_by_name:
+                return
+            if name not in base_names:
+                base_names.append(name)
+
+        for name in selected:
+            if name in calc_by_name:
+                c = calc_by_name[name]
+                builder, refs = parse_measure_expr(c.expr)
+                for r in refs:
+                    if r in calc_by_name:
+                        raise QueryValidationError(
+                            f"calculated measure {name!r} references "
+                            f"calculated {r!r}: calc-over-calc is not "
+                            f"in the supported MDX subset")
+                    need_base(r)
+                calc_plan.append((c, builder))
+                out_aliases.append(c.alias)
+            else:
+                need_base(name)
+                m = cube.measure(name)
+                out_aliases.append(m.out_name or m.name)
+        for cond in extra_exprs:
+            _, refs = parse_measure_expr(cond)
+            for r in refs:
+                need_base(r)
+        # unreferenced declared calcs still compile (fail fast on typos)
+        for c in req.calculated:
+            if c.name not in selected:
+                builder, refs = parse_measure_expr(c.expr)
+                for r in refs:
+                    need_base(r)
+        bases = [cube.measure(n) for n in base_names]
+        return bases, out_aliases, calc_plan
+
     # ---- cardinality guard (N18) ------------------------------------------
 
     def _card_spill_path(self, cube: CubeDef) -> str:
@@ -329,7 +538,17 @@ class CubeQueryEngine:
             var_dim = cube.dimension(variables[0].dimension)
             var_hier = var_dim.hierarchy(variables[0].hierarchy)
 
-        measures = self._resolve_measures(cube, req)
+        if (req.calculated or req.having or req.topcount) and variables:
+            raise QueryValidationError(
+                "calculated measures / FILTER / TOPCOUNT do not combine "
+                "with a variables pivot")
+        if (req.having or req.topcount) and empty_preserving:
+            raise QueryValidationError(
+                "FILTER / TOPCOUNT over an empty-preserving axis is "
+                "ambiguous (filter before or after the preserved empty "
+                "rows?) — run one or the other")
+        measures, out_aliases, calc_plan = self._resolve_measure_plan(
+            cube, req)
 
         # cardinality guard (reference warns >100k, N18)
         est = self.estimate_cardinality(cube, axes)
@@ -409,6 +628,40 @@ class CubeQueryEngine:
                           [F.col(m.out_name or m.name).isNotNull()
                            for m in measures])
             out = out.filter(cond)
+
+        # ---- MDX extensions: WITH MEMBER / FILTER / TOPCOUNT / ORDER ------
+        # All post-aggregation: they see one column per base measure and
+        # never touch fact rows, so their cost is bounded by axis
+        # cardinality (the same rows the guard above already estimated).
+        def resolve(name: str):
+            m = cube.measure(name)
+            return F.col(m.out_name or m.name)
+
+        for c, builder in calc_plan:
+            out = out.withColumn(c.alias, builder(resolve))
+
+        def resolve_out(name: str):
+            calc = {c.name: c for c in req.calculated}.get(name)
+            if calc is not None:
+                return F.col(calc.alias)
+            return resolve(name)
+
+        for cond_expr in req.having:     # FILTER(set, condition)
+            builder, _ = parse_measure_expr(cond_expr)
+            out = out.filter(builder(resolve_out))
+        if req.topcount is not None:     # TOPCOUNT(set, n, measure)
+            out = (out.orderBy(resolve_out(req.topcount.measure).desc(),
+                               *[F.col(g) for g in group_names])
+                   .limit(req.topcount.n))
+        if req.order_by is not None:     # ORDER(set, measure, DESC|ASC)
+            name, desc = req.order_by
+            key = resolve_out(name)
+            out = out.orderBy(key.desc() if desc else key.asc(),
+                              *[F.col(g) for g in group_names])
+        if calc_plan or req.having or req.topcount:
+            # project LAST to the SELECTED measures, so FILTER/TOPCOUNT
+            # could reference bases that are not in the output
+            out = out.select(*group_names, *out_aliases)
 
         if empty_preserving and group_names:
             out = self._preserve_empty(cube, axes, out, group_names)

@@ -51,6 +51,9 @@ _GATE_FRONT = [
     "docs_token_budget_fill",
     "docs_ngram_novelty",
     "docs_winnow_span_dedup",
+    "cube_calc_measure_avg_price",
+    "cube_topcount_nations",
+    "cube_filter_measure_condition",
     "cube_3dim_crossjoin",
     "cube_filter_set",
     "cube_catalog_1998_nation",
@@ -91,9 +94,6 @@ _GATE_FRONT = [
     "members_level_cardinalities",
     "docs_token_stats",
     "docs_lang_id",
-    "docs_quality_score",
-    "docs_top_tokens",
-    "docs_fingerprint",
 ]
 
 

@@ -159,6 +159,58 @@ def register(add) -> None:
         FROM {_FACT_OW}
         GROUP BY 1, 2""")
 
+    # ---- MDX extensions beyond the reference's emitted subset --------
+    # WITH MEMBER calculated measure: post-aggregation arithmetic with
+    # SSAS-like safe divide (NULL on zero denominator), through the
+    # full parser (query.parse_measure_expr — recursive descent, no
+    # eval).  Exact: both engines divide the identical decimal-exact
+    # sums, so the double quotients are bit-equal.
+    add("cube_calc_measure_avg_price",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "WITH MEMBER [Measures].[Avg Price] AS "
+            "[Measures].[Sum Extendedprice] / [Measures].[Sum Quantity] "
+            "SELECT { [Measures].[Avg Price], [Measures].[Sum Quantity] } "
+            "ON COLUMNS, NON EMPTY [Dim Customer].[Geografía].[Nation]"
+            ".MEMBERS ON ROWS FROM [sales]", CATALOG)),
+        f"""WITH {_OW}
+        SELECT cust_nation AS nation,
+               {SUM_D('l_extendedprice')}
+                 / NULLIF({SUM_D('l_quantity')}, 0) AS avg_price,
+               {SUM_D('l_quantity')} AS sum_quantity
+        FROM {_FACT_OW}
+        GROUP BY 1""")
+
+    # TOPCOUNT(set, n, measure): post-aggregation top-k, ties broken on
+    # the group columns so the selection is engine-deterministic
+    add("cube_topcount_nations",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+            "NON EMPTY TOPCOUNT([Dim Customer].[Geografía].[Nation]"
+            ".MEMBERS, 5, [Measures].[Sum Quantity]) ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH {_OW}, agg AS (
+          SELECT cust_nation AS nation,
+                 {SUM_D('l_quantity')} AS sum_quantity
+          FROM {_FACT_OW}
+          GROUP BY 1)
+        SELECT nation, sum_quantity FROM agg
+        ORDER BY sum_quantity DESC NULLS LAST, nation LIMIT 5""")
+
+    # FILTER(set, condition): a measure predicate over the aggregated
+    # axis (HAVING), referencing a measure that is NOT in the output
+    add("cube_filter_measure_condition",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "SELECT { [Measures].[Sum Extendedprice] } ON COLUMNS, "
+            "NON EMPTY FILTER([Dim Customer].[Geografía].[Nation]"
+            ".MEMBERS, [Measures].[Sum Quantity] > 65000) ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH {_OW}
+        SELECT cust_nation AS nation,
+               {SUM_D('l_extendedprice')} AS sum_extendedprice
+        FROM {_FACT_OW}
+        GROUP BY 1
+        HAVING {SUM_D('l_quantity')} > 65000""")
+
     add("cube_supplier_nation",
         lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
             CATALOG, measures=["Sum Extendedprice", "Avg Discount"],

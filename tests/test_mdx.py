@@ -279,3 +279,78 @@ def test_mixed_properties_roundtrip_preserved():
     back = parse_mdx(mdx, "VENTAS_2025")
     assert back.rows[0].property_list == ["Region"]
     assert back.rows[1].properties is True       # all-ancestors kept
+
+
+def test_parse_with_member_and_roundtrip():
+    from olap_xtrctr_spark.mdx import build_mdx, parse_mdx
+
+    req = parse_mdx(
+        "WITH MEMBER [Measures].[Margin] AS "
+        "([Measures].[Sum Extendedprice] - [Measures].[Sum Tax]) / "
+        "[Measures].[Sum Extendedprice] "
+        "MEMBER [Measures].[Double Qty] AS [Measures].[Sum Quantity] * 2 "
+        "SELECT { [Measures].[Margin], [Measures].[Double Qty] } "
+        "ON COLUMNS, [Dim Customer].[Geografía].[Nation].MEMBERS ON ROWS "
+        "FROM [sales]", "VENTAS_2025")
+    assert [c.name for c in req.calculated] == ["Margin", "Double Qty"]
+    assert req.measures == ["Margin", "Double Qty"]
+    assert parse_mdx(build_mdx(req), "VENTAS_2025") == req
+
+
+def test_parse_set_functions_nested_and_roundtrip():
+    from olap_xtrctr_spark.mdx import build_mdx, parse_mdx
+    from olap_xtrctr_spark.query import TopCountSpec
+
+    req = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "NON EMPTY TOPCOUNT(ORDER(FILTER("
+        "[Dim Customer].[Geografía].[Nation].MEMBERS, "
+        "[Measures].[Sum Quantity] > 1000), "
+        "[Measures].[Sum Quantity], DESC), 3, [Measures].[Sum Quantity]) "
+        "ON ROWS FROM [sales]", "VENTAS_2025")
+    assert req.topcount == TopCountSpec(3, "Sum Quantity")
+    assert req.order_by == ("Sum Quantity", True)
+    assert req.having == ["[Measures].[Sum Quantity] > 1000"]
+    assert req.rows[0].level == "Nation"
+    assert parse_mdx(build_mdx(req), "VENTAS_2025") == req
+
+
+def test_parse_set_function_errors():
+    import pytest
+
+    from olap_xtrctr_spark.mdx import MdxParseError, parse_mdx
+
+    bad = [
+        # TOPCOUNT wrong arity
+        "SELECT {[Measures].[Sum Quantity]} ON COLUMNS, TOPCOUNT("
+        "[Dim Customer].[Geografía].[Nation].MEMBERS, 5) ON ROWS "
+        "FROM [sales]",
+        # non-integer count
+        "SELECT {[Measures].[Sum Quantity]} ON COLUMNS, TOPCOUNT("
+        "[Dim Customer].[Geografía].[Nation].MEMBERS, x, "
+        "[Measures].[Sum Quantity]) ON ROWS FROM [sales]",
+        # ORDER with a bogus direction
+        "SELECT {[Measures].[Sum Quantity]} ON COLUMNS, ORDER("
+        "[Dim Customer].[Geografía].[Nation].MEMBERS, "
+        "[Measures].[Sum Quantity], SIDEWAYS) ON ROWS FROM [sales]",
+        # WITH but no MEMBER defs
+        "WITH SELECT {[Measures].[Sum Quantity]} ON COLUMNS "
+        "FROM [sales]",
+    ]
+    for mdx in bad:
+        with pytest.raises(MdxParseError):
+            parse_mdx(mdx, "VENTAS_2025")
+
+
+def test_measure_expr_parser_safety_and_shape():
+    import pytest
+
+    from olap_xtrctr_spark.query import MeasureExprError, parse_measure_expr
+
+    _, refs = parse_measure_expr(
+        "([Measures].[A] + 2) * [Measures].[B] / [Measures].[A]")
+    assert refs == ["A", "B", "A"]
+    for bad in ("__import__('os')", "[Measures].[A] ;",
+                "1 +", "([Measures].[A]", "[Dim].[X]"):
+        with pytest.raises(MeasureExprError):
+            parse_measure_expr(bad)

@@ -228,3 +228,58 @@ def test_card_spill_corruption_recovers(spark, sf_dir):
     import json
     healed = json.load(open(path))                      # rewritten valid
     assert any(k.endswith("|Nation") for k in healed)
+
+
+def test_calculated_measure_safe_divide_and_validation(spark, sf_dir):
+    import pytest
+
+    from olap_xtrctr_spark.cube import default_registry
+    from olap_xtrctr_spark.query import (CalcMeasure, CubeQueryEngine,
+                                         QueryRequest,
+                                         QueryValidationError, AxisItem)
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    # zero denominator -> NULL, not Infinity/error (safe divide)
+    req = QueryRequest(
+        "VENTAS_2025",
+        measures=["Zero Div", "Sum Quantity"],
+        calculated=[CalcMeasure(
+            "Zero Div",
+            "[Measures].[Sum Quantity] / "
+            "([Measures].[Sum Quantity] - [Measures].[Sum Quantity])")],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Region")])
+    rows = eng.execute(req).collect()
+    assert rows and all(r["zero_div"] is None for r in rows)
+    assert all(r["sum_quantity"] is not None for r in rows)
+    # calc-over-calc is rejected
+    req2 = QueryRequest(
+        "VENTAS_2025", measures=["B"],
+        calculated=[CalcMeasure("A", "[Measures].[Sum Quantity] * 2"),
+                    CalcMeasure("B", "[Measures].[A] + 1")],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Region")])
+    with pytest.raises(QueryValidationError, match="calc-over-calc"):
+        eng.execute(req2)
+
+
+def test_topcount_ties_and_filter_on_unselected_base(spark, sf_dir):
+    from olap_xtrctr_spark.cube import default_registry
+    from olap_xtrctr_spark.query import (AxisItem, CubeQueryEngine,
+                                         QueryRequest, TopCountSpec)
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    base = QueryRequest(
+        "VENTAS_2025", measures=["Sum Extendedprice"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation")])
+    all_rows = {r["nation"]: r["sum_extendedprice"]
+                for r in eng.execute(base).collect()}
+    req = QueryRequest(
+        "VENTAS_2025", measures=["Sum Extendedprice"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation")],
+        having=["[Measures].[Sum Quantity] > 0"],
+        topcount=TopCountSpec(3, "Sum Extendedprice"))
+    out = eng.execute(req)
+    # FILTER referenced Sum Quantity but the output schema has only the
+    # selected measure
+    assert out.columns == ["nation", "sum_extendedprice"]
+    got = {r["nation"]: r["sum_extendedprice"] for r in out.collect()}
+    expect = dict(sorted(all_rows.items(),
+                         key=lambda kv: (-kv[1], kv[0]))[:3])
+    assert got == expect
