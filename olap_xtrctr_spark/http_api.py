@@ -17,7 +17,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Callable, Optional
 from urllib.parse import parse_qs, unquote, urlparse
 
-from .query import AxisItem, FilterSpec, QueryRequest
+from .query import (AxisItem, CalcMeasure, FilterSpec, QueryRequest,
+                    TopCountSpec)
 from .service import OlapService
 from .validators import parse_range_list
 
@@ -42,6 +43,10 @@ def query_request_from_json(payload: dict[str, Any]) -> QueryRequest:
     filters = [FilterSpec(dimension=f["dimension"], hierarchy=f["hierarchy"],
                           members=list(f.get("members", [])))
                for f in payload.get("filters", [])]
+    calculated = [CalcMeasure(name=c["name"], expr=c["expr"],
+                              out_name=c.get("out_name", ""))
+                  for c in payload.get("calculated", [])]
+    tc = payload.get("topcount")
     return QueryRequest(
         catalog=payload["catalog"],
         cube=payload.get("cube"),
@@ -52,6 +57,12 @@ def query_request_from_json(payload: dict[str, Any]) -> QueryRequest:
         slicers=list(payload.get("slicers", [])),
         non_empty=bool(payload.get("non_empty", True)),
         all_measures=bool(payload.get("all_measures", False)),
+        calculated=calculated,
+        having=list(payload.get("having", [])),
+        topcount=(TopCountSpec(int(tc["n"]), tc["measure"])
+                  if tc else None),
+        order_by=(tuple(payload["order_by"])
+                  if payload.get("order_by") else None),
     )
 
 

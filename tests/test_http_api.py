@@ -208,3 +208,31 @@ def test_export_workbook_route(base_url, tmp_path, monkeypatch):
         with pytest.raises(urllib.error.HTTPError) as exc:
             _post(f"{base_url}/api/export/workbook", {"filename": bad})
         assert exc.value.code == 400, bad
+
+
+def test_query_json_accepts_mdx_extensions(spark, sf_dir):
+    """The structured JSON request surface carries the round-6 MDX
+    extensions (calculated measures, FILTER/TOPCOUNT/ORDER)."""
+    from olap_xtrctr_spark.http_api import query_request_from_json
+    from olap_xtrctr_spark.query import TopCountSpec
+
+    req = query_request_from_json({
+        "catalog": "VENTAS_2025",
+        "measures": ["Avg Price"],
+        "rows": [{"dimension": "Dim Customer", "hierarchy": "Geografía",
+                  "level": "Nation"}],
+        "calculated": [{"name": "Avg Price",
+                        "expr": "[Measures].[Sum Extendedprice] / "
+                                "[Measures].[Sum Quantity]"}],
+        "having": ["[Measures].[Sum Quantity] > 0"],
+        "topcount": {"n": 3, "measure": "Avg Price"},
+        "order_by": ["Avg Price", True],
+    })
+    assert req.calculated[0].name == "Avg Price"
+    assert req.topcount == TopCountSpec(3, "Avg Price")
+    assert req.order_by == ("Avg Price", True)
+    from olap_xtrctr_spark.cube import default_registry
+    from olap_xtrctr_spark.query import CubeQueryEngine
+    out = CubeQueryEngine(spark, default_registry(), sf_dir).execute(req)
+    assert out.columns == ["nation", "avg_price"]
+    assert out.count() == 3
