@@ -209,23 +209,25 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
         while True:
             rs = r.strip()
             up = rs.upper()
-            fn = next((f for f in ("TOPCOUNT", "ORDER", "FILTER")
+            fn = next((f for f in ("BOTTOMCOUNT", "TOPCOUNT", "ORDER",
+                                   "FILTER")
                        if up.startswith(f + "(")
                        or up.startswith(f + " (")), None)
             if fn is None:
                 break
             inner = rs[rs.index("(") + 1:rs.rindex(")")]
             parts = _split_top(inner)
-            if fn == "TOPCOUNT":
+            if fn in ("TOPCOUNT", "BOTTOMCOUNT"):
                 if len(parts) != 3:
-                    raise MdxParseError(f"TOPCOUNT needs 3 args: {rs!r}")
+                    raise MdxParseError(f"{fn} needs 3 args: {rs!r}")
                 if req.topcount is not None:
-                    raise MdxParseError("nested TOPCOUNT is unsupported")
+                    raise MdxParseError(f"nested {fn} is unsupported")
                 if not parts[1].isdigit():
                     raise MdxParseError(
-                        f"TOPCOUNT count must be an integer: {parts[1]!r}")
+                        f"{fn} count must be an integer: {parts[1]!r}")
                 req.topcount = TopCountSpec(int(parts[1]),
-                                            _measure_name(parts[2]))
+                                            _measure_name(parts[2]),
+                                            bottom=fn == "BOTTOMCOUNT")
             elif fn == "ORDER":
                 if len(parts) not in (2, 3):
                     raise MdxParseError(f"ORDER needs 2-3 args: {rs!r}")
@@ -328,7 +330,8 @@ def build_mdx(req: QueryRequest, cube_name: str | None = None) -> str:
             rows = (f"ORDER({rows}, [Measures].[{name}], "
                     f"{'DESC' if desc else 'ASC'})")
         if req.topcount is not None:
-            rows = (f"TOPCOUNT({rows}, {req.topcount.n}, "
+            tfn = "BOTTOMCOUNT" if req.topcount.bottom else "TOPCOUNT"
+            rows = (f"{tfn}({rows}, {req.topcount.n}, "
                     f"[Measures].[{req.topcount.measure}])")
         prop_terms = [
             f"[{item.dimension}].[{item.hierarchy}].[{p}]"

@@ -93,9 +93,11 @@ class CalcMeasure:
 class TopCountSpec:
     """TOPCOUNT(<set>, n, [Measures].[X]): keep the n axis rows with
     the largest values of the named (base or calculated) measure; ties
-    break on the group columns so the selection is deterministic."""
+    break on the group columns so the selection is deterministic.
+    ``bottom=True`` is BOTTOMCOUNT (smallest values first)."""
     n: int
     measure: str
+    bottom: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -649,9 +651,11 @@ class CubeQueryEngine:
         for cond_expr in req.having:     # FILTER(set, condition)
             builder, _ = parse_measure_expr(cond_expr)
             out = out.filter(builder(resolve_out))
-        if req.topcount is not None:     # TOPCOUNT(set, n, measure)
-            out = (out.orderBy(resolve_out(req.topcount.measure).desc(),
-                               *[F.col(g) for g in group_names])
+        if req.topcount is not None:     # TOPCOUNT/BOTTOMCOUNT
+            key = resolve_out(req.topcount.measure)
+            key = (key.asc_nulls_last() if req.topcount.bottom
+                   else key.desc())
+            out = (out.orderBy(key, *[F.col(g) for g in group_names])
                    .limit(req.topcount.n))
         if req.order_by is not None:     # ORDER(set, measure, DESC|ASC)
             name, desc = req.order_by

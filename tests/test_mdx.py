@@ -354,3 +354,15 @@ def test_measure_expr_parser_safety_and_shape():
                 "1 +", "([Measures].[A]", "[Dim].[X]"):
         with pytest.raises(MeasureExprError):
             parse_measure_expr(bad)
+
+
+def test_parse_bottomcount_and_roundtrip():
+    from olap_xtrctr_spark.mdx import build_mdx, parse_mdx
+    from olap_xtrctr_spark.query import TopCountSpec
+
+    req = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "BOTTOMCOUNT([Dim Customer].[Geografía].[Nation].MEMBERS, 2, "
+        "[Measures].[Sum Quantity]) ON ROWS FROM [sales]", "VENTAS_2025")
+    assert req.topcount == TopCountSpec(2, "Sum Quantity", bottom=True)
+    assert parse_mdx(build_mdx(req), "VENTAS_2025") == req
