@@ -757,6 +757,40 @@ def cross_source_duplication(docs: DataFrame, text_col: str = "text",
                     .alias("n_cross_dup")))
 
 
+def dedup_impact_report(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        source_col: str = "source") -> DataFrame:
+    """Per-source exact-dedup impact: documents and whitespace tokens
+    kept vs dropped when every exact-text duplicate group keeps its
+    minimum-id member — the before/after table every dedup run reports
+    ("dropped 31% of source X's tokens") so the mixing weights can be
+    recomputed on the POST-dedup masses, not the raw ones.  Shares are
+    exact integer milli-units.
+
+    Scale shape: one window over the (text-hash)-keyed groups carrying
+    only (id, source, n_tokens) — text itself is hashed before the
+    exchange — then a per-source map-side-combinable rollup."""
+    h = F.md5(F.encode(F.col(text_col), "UTF-8"))
+    n_toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    slim = docs.select(F.col(id_col).alias("_id"),
+                       F.col(source_col).alias("source"),
+                       h.alias("_h"), n_toks.alias("_nt"))
+    keep = F.min("_id").over(Window.partitionBy("_h"))
+    flagged = slim.withColumn("_kept", (F.col("_id") == keep).cast("long"))
+    return (flagged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_kept").cast("bigint").alias("n_docs_kept"),
+                 F.sum("_nt").cast("bigint").alias("n_tokens"),
+                 F.sum(F.col("_nt") * F.col("_kept")).cast("bigint")
+                  .alias("n_tokens_kept"))
+            .withColumn("docs_kept_milli",
+                        F.expr("CAST((n_docs_kept * 1000) DIV n_docs "
+                               "AS BIGINT)"))
+            .withColumn("tokens_kept_milli",
+                        F.expr("CAST((n_tokens_kept * 1000) DIV "
+                               "greatest(n_tokens, 1) AS BIGINT)")))
+
+
 def ngram_novelty(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Per-document n-gram NOVELTY: the fraction (exact milli-units) of

@@ -104,6 +104,41 @@ def top_tokens(docs: DataFrame, k: int = 20,
                 .select("rank", "token", "n"))
 
 
+def quality_threshold_sweep(docs: DataFrame,
+                            text_col: str = "text") -> DataFrame:
+    """The cutoff-picking curve: for every DISTINCT quality score
+    (milli-units), how many documents and whitespace tokens survive a
+    ``quality >= threshold`` filter — the table a pipeline owner reads
+    before committing to a quality cutoff, instead of guessing one and
+    re-running the corpus.  Shares are exact integer milli-units.
+
+    Scale shape: one map-side-combinable aggregation to (score,
+    n_docs, n_tokens) — rows bounded by score cardinality (milli ints,
+    <= a few thousand) — then running totals over that TINY table.
+    The corpus is touched once; the window never sees corpus rows."""
+    scored = quality_score(docs, text_col).select(
+        "n_tokens",
+        F.round(F.col("quality_score") * 1000).cast("bigint")
+         .alias("threshold_milli"))
+    per = (scored.groupBy("threshold_milli")
+           .agg(F.count(F.lit(1)).alias("_d"),
+                F.sum("n_tokens").cast("bigint").alias("_t")))
+    w = (Window.orderBy(F.desc("threshold_milli"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return (per
+            .withColumn("kept_docs", F.sum("_d").over(w).cast("bigint"))
+            .withColumn("kept_tokens", F.sum("_t").over(w).cast("bigint"))
+            .withColumn("total_docs", F.sum("_d").over(wt).cast("bigint"))
+            .withColumn("total_tokens", F.sum("_t").over(wt).cast("bigint"))
+            .select("threshold_milli", "kept_docs", "kept_tokens",
+                    F.expr("CAST((kept_docs * 1000) DIV total_docs "
+                           "AS BIGINT)").alias("kept_docs_milli"),
+                    F.expr("CAST((kept_tokens * 1000) DIV total_tokens "
+                           "AS BIGINT)").alias("kept_tokens_milli")))
+
+
 def build_vocab(docs: DataFrame, max_size: int = 1000,
                 min_count: int = 2,
                 text_col: str = "text") -> DataFrame:

@@ -54,6 +54,8 @@ _GATE_FRONT = [
     "cube_calc_measure_avg_price",
     "cube_topcount_nations",
     "cube_filter_measure_condition",
+    "docs_quality_threshold_sweep",
+    "docs_dedup_impact_report",
     "cube_3dim_crossjoin",
     "cube_filter_set",
     "cube_catalog_1998_nation",
@@ -92,8 +94,6 @@ _GATE_FRONT = [
     "members_pagination",
     "members_full_view",
     "members_level_cardinalities",
-    "docs_token_stats",
-    "docs_lang_id",
 ]
 
 

@@ -338,6 +338,49 @@ def register(add) -> None:
                     ELSE 'test' END AS split
         FROM documents""")
 
+    # the cutoff-picking curve: per distinct quality score, surviving
+    # docs/tokens for a >= filter — corpus touched once, windows only
+    # over the bounded per-score table
+    add("docs_quality_threshold_sweep",
+        lambda spark, sf: TX.quality_threshold_sweep(_docs(spark, sf)),
+        r"""WITH q AS (
+          SELECT doc_id,
+            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+            greatest(length(text), 1) AS n_chars,
+            CAST(len(regexp_extract_all(lower(text),
+              '\b(the|and|of|to|in|is)\b')) AS INTEGER) AS stop_hits,
+            CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                 AS INTEGER) AS punct
+          FROM documents),
+        scored AS (
+          SELECT n_tokens,
+            CAST(ROUND(ROUND((
+              (CASE WHEN n_tokens >= 10 AND n_tokens <= 5000
+                    THEN 0.4 ELSE 0.0 END)
+              + least(stop_hits / greatest(n_tokens, 1) * 2.0, 0.4)
+              - least(punct / n_chars * 5.0, 0.2)
+              + (CASE WHEN n_chars / greatest(n_tokens, 1) >= 3.0
+                       AND n_chars / greatest(n_tokens, 1) <= 12.0
+                      THEN 0.2 ELSE 0.0 END)), 4) * 1000)
+              AS BIGINT) AS threshold_milli
+          FROM q),
+        per AS (
+          SELECT threshold_milli, COUNT(*) AS d,
+                 SUM(n_tokens) AS t
+          FROM scored GROUP BY 1),
+        c AS (
+          SELECT threshold_milli,
+                 SUM(d) OVER (ORDER BY threshold_milli DESC) AS kd,
+                 SUM(t) OVER (ORDER BY threshold_milli DESC) AS kt,
+                 SUM(d) OVER () AS td, SUM(t) OVER () AS tt
+          FROM per)
+        SELECT threshold_milli,
+               CAST(kd AS BIGINT) AS kept_docs,
+               CAST(kt AS BIGINT) AS kept_tokens,
+               CAST((kd * 1000) // td AS BIGINT) AS kept_docs_milli,
+               CAST((kt * 1000) // tt AS BIGINT) AS kept_tokens_milli
+        FROM c""")
+
     # deterministic sharded training order: md5-keyed permutation, rank
     # windows partitioned per shard (never a global sort)
     add("docs_shuffle_corpus",

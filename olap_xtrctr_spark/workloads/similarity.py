@@ -831,6 +831,29 @@ def register(add) -> None:
                  AS n_tokens_removed
         FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""")
 
+    # per-source before/after table of an exact-dedup run, for
+    # recomputing mixing weights on POST-dedup token masses
+    add("docs_dedup_impact_report",
+        lambda spark, sf: D.dedup_impact_report(_docs(spark, sf)),
+        r"""WITH slim AS (
+          SELECT doc_id, source, md5(text) AS h,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS nt
+          FROM documents),
+        fl AS (
+          SELECT source, nt,
+                 CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY h)
+                      THEN 1 ELSE 0 END AS kept
+          FROM slim)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(kept) AS BIGINT) AS n_docs_kept,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens,
+               CAST(SUM(nt * kept) AS BIGINT) AS n_tokens_kept,
+               CAST((SUM(kept) * 1000) // COUNT(*) AS BIGINT)
+                 AS docs_kept_milli,
+               CAST((SUM(nt * kept) * 1000) // greatest(SUM(nt), 1)
+                    AS BIGINT) AS tokens_kept_milli
+        FROM fl GROUP BY source""")
+
     # per-doc n-gram novelty: fraction of a doc's shingles it is the
     # corpus-wide FIRST owner of — originator-vs-echo signal with NO
     # pair generation (linear in shingles at any duplication depth)

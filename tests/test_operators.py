@@ -1485,3 +1485,34 @@ def test_build_vocab_ids_and_floors(spark):
                                     min_count=2).collect()}
     # aa:4, bb:2 survive min_count=2 and the size cap; cc/dd/ee out
     assert rows == {"aa": (0, 4), "bb": (1, 2)}
+
+
+def test_quality_threshold_sweep_monotone_and_totals(spark):
+    df = _docs(spark, ["a " * 50, "b! ! ! !", "the of to in is and " * 10,
+                       "zz"])
+    rows = sorted(TX.quality_threshold_sweep(df).collect(),
+                  key=lambda r: -r["threshold_milli"])
+    # kept counts are monotone non-decreasing as the threshold drops,
+    # and the loosest threshold keeps everything
+    kd = [r["kept_docs"] for r in rows]
+    assert kd == sorted(kd)
+    assert rows[-1]["kept_docs"] == 4
+    assert rows[-1]["kept_docs_milli"] == 1000
+    assert rows[-1]["kept_tokens_milli"] == 1000
+
+
+def test_dedup_impact_report_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "one two three", "a"), (1, "one two three", "a"),
+         (2, "four five", "a"), (3, "one two three", "b")],
+        "doc_id long, text string, source string")
+    rows = {r["source"]: r
+            for r in D.dedup_impact_report(df).collect()}
+    a, b = rows["a"], rows["b"]
+    # source a: 3 docs, dup pair keeps min id -> 2 kept; tokens 8 -> 5
+    assert (a["n_docs"], a["n_docs_kept"]) == (3, 2)
+    assert (a["n_tokens"], a["n_tokens_kept"]) == (8, 5)
+    assert a["tokens_kept_milli"] == 625
+    # source b's only doc duplicates a's id-0 text -> dropped entirely
+    assert (b["n_docs"], b["n_docs_kept"]) == (1, 0)
+    assert b["docs_kept_milli"] == 0
