@@ -99,7 +99,7 @@ def test_dmv_star_and_errors(spark, sf_dir):
 
 # ---- builder round-trip (parse ∘ build = identity) -----------------------
 
-from hypothesis import given, strategies as st
+from hypothesis import given, settings, strategies as st
 
 from olap_xtrctr_spark.mdx import build_mdx
 from olap_xtrctr_spark.query import AxisItem, QueryRequest
@@ -366,3 +366,74 @@ def test_parse_bottomcount_and_roundtrip():
         "[Measures].[Sum Quantity]) ON ROWS FROM [sales]", "VENTAS_2025")
     assert req.topcount == TopCountSpec(2, "Sum Quantity", bottom=True)
     assert parse_mdx(build_mdx(req), "VENTAS_2025") == req
+
+
+# ---- property: the measure-expression parser agrees with a direct
+# Python evaluation of the same tree (including safe-divide-to-NULL) ----
+
+_expr_leaf = st.one_of(
+    st.sampled_from(["[Measures].[A]", "[Measures].[B]"]),
+    st.integers(min_value=0, max_value=9).map(str))
+
+
+def _expr_tree(depth):
+    if depth == 0:
+        return _expr_leaf
+    sub = _expr_tree(depth - 1)
+    return st.one_of(
+        _expr_leaf,
+        st.tuples(sub, st.sampled_from("+-*/"), sub).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"))
+
+
+def _py_eval(expr, a, b):
+    import re as _re
+
+    def rec(s):
+        s = s.strip()
+        if s.startswith("(") and s.endswith(")"):
+            # split on the top-level operator
+            depth = 0
+            for i, ch in enumerate(s[1:-1], 1):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif depth == 0 and ch in "+-*/" and i > 1:
+                    lhs, rhs = rec(s[1:i]), rec(s[i + 1:-1])
+                    if lhs is None or rhs is None:
+                        return None
+                    if ch == "+":
+                        return lhs + rhs
+                    if ch == "-":
+                        return lhs - rhs
+                    if ch == "*":
+                        return lhs * rhs
+                    return None if rhs == 0 else lhs / rhs
+        if s == "[Measures].[A]":
+            return a
+        if s == "[Measures].[B]":
+            return b
+        return float(s)
+    return rec(expr)
+
+
+@settings(deadline=None, max_examples=25)
+@given(_expr_tree(3), st.integers(-5, 5), st.integers(-5, 5))
+def test_measure_expr_matches_python_eval(expr, a, b):
+    from pyspark.sql import functions as F
+
+    from olap_xtrctr_spark import get_spark
+    from olap_xtrctr_spark.query import parse_measure_expr
+
+    spark = get_spark("pytest")     # getOrCreate: reuses the session
+    builder, _ = parse_measure_expr(expr)
+    cols = {"A": F.lit(float(a)), "B": F.lit(float(b))}
+    got = spark.range(1).select(
+        builder(lambda n: cols[n]).alias("v")).first()["v"]
+    want = _py_eval(expr, float(a), float(b))
+    if want is None:
+        assert got is None
+    else:
+        assert got is not None and abs(got - want) < 1e-9 * max(
+            1.0, abs(want))
