@@ -442,16 +442,19 @@ def ngram_containment_pairs_prefix(docs: DataFrame,
     true pair; candidates are then verified EXACTLY by re-counting
     shared shingles.
 
-    When to use which (both measured at ~sf1, SCALE.md round-6 note):
-    hot boilerplate shingles sit at the END of the df-ascending order
-    and fall out of every prefix, so this variant keeps working where
-    the all-co-occurrences core would either quadratically explode a
-    posting list or need a semantics-changing ``max_doc_freq`` drop.
-    On a replica-heavy corpus it LOSES (34 s core vs ~318 s prefix at
-    ~sf1): exact duplicates give every shingle the same df, prefixes
-    prune nothing, and the ranked-shingle lineage is paid four times.
-    Default to the core; switch here when the df histogram is
-    boilerplate-shaped and you cannot afford the stop-shingle drop."""
+    When to use which (both regimes MEASURED, SCALE.md probes #14 and
+    #16): hot boilerplate shingles sit at the END of the df-ascending
+    order and fall out of every prefix, so this variant keeps working
+    where the all-co-occurrences core would either quadratically
+    explode a posting list or need a semantics-changing
+    ``max_doc_freq`` drop — measured 73 s vs the core's 151 s
+    (identical 4.3M-pair output) on 5k docs all sharing a 28-token
+    boilerplate tail, no cap.  On a replica-heavy corpus it LOSES
+    (34 s core vs ~318 s prefix at ~sf1): exact duplicates give every
+    shingle the same df, prefixes prune nothing, and the
+    ranked-shingle lineage is paid four times.  Default to the core;
+    switch here when the df histogram is boilerplate-shaped and you
+    cannot afford the stop-shingle drop."""
     sh = (shingle_docs(docs, text_col, id_col, n)
           .select(F.col(id_col).alias("_id"), "shingle"))
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
