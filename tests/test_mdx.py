@@ -437,3 +437,27 @@ def test_measure_expr_matches_python_eval(expr, a, b):
     else:
         assert got is not None and abs(got - want) < 1e-9 * max(
             1.0, abs(want))
+
+
+@settings(deadline=None, max_examples=300)
+@given(st.text(max_size=120))
+def test_parse_mdx_rejects_garbage_cleanly(s):
+    """Fuzz: arbitrary input either parses or raises MdxParseError —
+    never an unrelated exception (IndexError/AttributeError/...)."""
+    from olap_xtrctr_spark.mdx import MdxParseError, parse_mdx
+    try:
+        parse_mdx(s, "C")
+    except MdxParseError:
+        pass
+
+
+@settings(deadline=None, max_examples=200)
+@given(st.text(alphabet="SELECT{}[].&, ONCLUMSROWFM()TOPBID0123456789",
+               max_size=150))
+def test_parse_mdx_rejects_mdx_shaped_garbage_cleanly(s):
+    """Same, biased toward MDX-shaped token soup."""
+    from olap_xtrctr_spark.mdx import MdxParseError, parse_mdx
+    try:
+        parse_mdx("SELECT " + s, "C")
+    except MdxParseError:
+        pass
