@@ -972,3 +972,89 @@ def key_skew_report(events: DataFrame, key_col: str = "user_id",
                         F.expr("CAST((n * 1000) DIV n_total AS BIGINT)"))
             .select("rank", F.col(key_col).alias("key"), "n", "n_total",
                     "share_milli"))
+
+
+# ---- streaming drift monitor (stream rollup + static baseline) ------------
+
+def streaming_daily_type_counts(spark: SparkSession, source_dir: str,
+                                schema, watermark: str = "2 hours",
+                                glob: str | None = None) -> DataFrame:
+    """The STREAMING half of the drift monitor: watermarked daily
+    tumbling-window counts per event type — one legal streaming
+    aggregation, append-capable, state bounded by open windows x type
+    vocabulary.  Drift scoring is a BATCH view over this rollup
+    (``type_drift_vs_baseline``): chaining a second aggregation inside
+    the stream is not append-mode-expressible, and the monitor read
+    path wants the rollup table anyway."""
+    stream = event_stream(spark, source_dir, schema, glob)
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 day"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").cast("date").alias("day"),
+                    "event_type", "n"))
+
+
+def type_drift_vs_baseline(day_counts: DataFrame, baseline: DataFrame,
+                           alert_milli: int = 100) -> DataFrame:
+    """Per-day total-variation distance of the event-type mix against a
+    STATIC baseline distribution, exact integer milli-units, plus the
+    alert flag — the ingestion-quality monitor read over the streamed
+    rollup.  ``baseline`` is (event_type, n) from a reference period;
+    types absent on either side count fully toward the distance (the
+    complete grid is days x baseline-union-observed types, built from
+    two BOUNDED dimension tables, never from raw events).
+
+    tv_milli = 500 * Σ_t |c_t·B − b_t·C_day| // (C_day·B) over the
+    UNION of types, computed in one pass with the missing-mass
+    identity (types in the baseline but absent from the day
+    contribute (B − Σ_{t∈day} b_t)·C_day — the same completion trick
+    as ``text.source_tv_distance``), so the day-counts table is read
+    ONCE: no day×type grid, no self-join — which also matters
+    mechanically, because the day counts arrive as a streaming memory
+    sink and Spark's attribute dedup cannot resolve that relation on
+    both sides of a join.  Cross-multiplied integers throughout —
+    no floating point, so any engine agrees bit-for-bit."""
+    base = baseline.select(F.col("event_type").alias("_t"),
+                           F.col("n").cast("bigint").alias("b"))
+    b_tot = base.agg(F.sum("b").cast("bigint").alias("b_total"))
+    wday = Window.partitionBy("day")
+    j = (day_counts
+         .select("day", F.col("event_type").alias("_t"),
+                 F.col("n").cast("bigint").alias("c"))
+         .withColumn("c_total", F.sum("c").over(wday))
+         .join(F.broadcast(base), "_t", "left")
+         .crossJoin(F.broadcast(b_tot))
+         .select("day", "c_total", "b_total", "c",
+                 F.coalesce("b", F.lit(0)).alias("b")))
+    return (j.groupBy("day")
+            .agg(F.first("c_total").alias("n_events"),
+                 F.sum(F.abs(F.col("c") * F.col("b_total")
+                             - F.col("b") * F.col("c_total")))
+                  .alias("_num_observed"),
+                 F.sum("b").alias("_b_covered"),
+                 F.first("b_total").alias("_bt"),
+                 F.first(F.col("c_total") * F.col("b_total"))
+                  .alias("_den"))
+            .select("day", F.col("n_events").cast("bigint").alias("n_events"),
+                    (F.col("_num_observed")
+                     + (F.col("_bt") - F.col("_b_covered"))
+                     * F.col("n_events")).alias("_num"),
+                    "_den")
+            .select("day", "n_events",
+                    F.expr("CAST((500 * _num) DIV _den AS BIGINT)")
+                     .alias("tv_milli"))
+            .withColumn("alert",
+                        (F.col("tv_milli") >= alert_milli)))
+
+
+def replay_type_drift(spark: SparkSession, source_dir: str, schema,
+                      baseline: DataFrame, alert_milli: int = 100,
+                      glob: str = "events.parquet") -> DataFrame:
+    """Bounded availableNow replay of the daily rollup, then the batch
+    drift scoring over the drained table — equals computing the same
+    thing from the batch events table, so one SQL oracle covers it."""
+    counts = streaming_daily_type_counts(spark, source_dir, schema,
+                                         glob=glob)
+    drained = drain_stream_to_table(spark, counts, "drift_daily_counts")
+    return type_drift_vs_baseline(drained, baseline, alert_milli)

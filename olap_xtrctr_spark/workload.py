@@ -56,6 +56,7 @@ _GATE_FRONT = [
     "cube_filter_measure_condition",
     "docs_quality_threshold_sweep",
     "docs_dedup_impact_report",
+    "events_stream_type_drift",
     "cube_3dim_crossjoin",
     "cube_filter_set",
     "cube_catalog_1998_nation",
@@ -93,7 +94,6 @@ _GATE_FRONT = [
     "members_ordinal_sort",
     "members_pagination",
     "members_full_view",
-    "members_level_cardinalities",
 ]
 
 

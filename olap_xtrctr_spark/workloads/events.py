@@ -471,6 +471,54 @@ def register(add) -> None:
         FROM events
         GROUP BY event_type""")
 
+    # streaming ingestion-quality drift monitor: watermarked daily
+    # type-mix rollup streamed (one legal streaming agg), then batch TV
+    # scoring vs a STATIC baseline period (first 10 days) with an alert
+    # flag — exact cross-multiplied integers, no floats anywhere
+    def stream_type_drift(spark, sf):
+        ev = _events(spark, sf)
+        baseline = (ev.filter(F.col("ts").cast("date")
+                              < F.lit("2024-01-11").cast("date"))
+                    .groupBy("event_type")
+                    .agg(F.count(F.lit(1)).alias("n")))
+        out = EV.replay_type_drift(spark, sf,
+                                   _events_schema(spark, sf), baseline,
+                                   alert_milli=25)
+        return out.select("day", "n_events", "tv_milli",
+                          F.col("alert").cast("int").alias("alert"))
+
+    add("events_stream_type_drift", stream_type_drift,
+        """WITH c AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        b AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS b
+          FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-11'
+          GROUP BY 1),
+        bt AS (SELECT CAST(SUM(b) AS BIGINT) AS b_total FROM b),
+        days AS (SELECT day, CAST(SUM(c) AS BIGINT) AS c_total
+                 FROM c GROUP BY 1),
+        types AS (SELECT DISTINCT event_type FROM c
+                  UNION SELECT event_type FROM b),
+        grid AS (SELECT * FROM days CROSS JOIN types CROSS JOIN bt),
+        j AS (
+          SELECT g.day, g.c_total, g.b_total,
+                 COALESCE(c.c, 0) AS c, COALESCE(b.b, 0) AS b
+          FROM grid g
+          LEFT JOIN c ON c.day = g.day AND c.event_type = g.event_type
+          LEFT JOIN b ON b.event_type = g.event_type)
+        SELECT day, CAST(any_value(c_total) AS BIGINT) AS n_events,
+               CAST((500 * CAST(SUM(abs(c * b_total - b * c_total))
+                                AS HUGEINT))
+                    // (any_value(c_total) * any_value(b_total))
+                    AS BIGINT) AS tv_milli,
+               CAST(CASE WHEN (500 * CAST(SUM(abs(c * b_total
+                                 - b * c_total)) AS HUGEINT))
+                    // (any_value(c_total) * any_value(b_total)) >= 25
+                    THEN 1 ELSE 0 END AS INTEGER) AS alert
+        FROM j GROUP BY day""")
+
     def stream_dedup_bounded(spark, sf):
         return EV.replay_dedup_counts_bounded(spark, sf,
                                               _events_schema(spark, sf))

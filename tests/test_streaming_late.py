@@ -257,3 +257,24 @@ def test_session_tracker_survives_late_event(spark, tmp_path):
     assert rows[10]["n_events"] == 3
     assert str(rows[10]["session_start"]) == "2024-06-01 00:00:00"
     assert str(rows[10]["session_end"]) == "2024-06-01 00:10:00"
+
+
+def test_type_drift_vs_baseline_missing_types_and_alert(spark):
+    """Types absent from a day (or from the baseline) count fully
+    toward the distance via the missing-mass completion; the alert
+    flag trips at the threshold."""
+    from olap_xtrctr_spark.streaming.events import type_drift_vs_baseline
+
+    counts = spark.createDataFrame(
+        [("d1", "a", 5), ("d1", "b", 5),        # same mix as baseline
+         ("d2", "c", 10)],                      # disjoint types
+        "day string, event_type string, n long")
+    baseline = spark.createDataFrame(
+        [("a", 50), ("b", 50)], "event_type string, n long")
+    rows = {r["day"]: r for r in
+            type_drift_vs_baseline(counts, baseline,
+                                   alert_milli=500).collect()}
+    assert rows["d1"]["tv_milli"] == 0 and not rows["d1"]["alert"]
+    # d2: total variation 1.0 -> 1000 milli (disjoint distributions)
+    assert rows["d2"]["tv_milli"] == 1000 and rows["d2"]["alert"]
+    assert rows["d2"]["n_events"] == 10
