@@ -126,6 +126,9 @@ PROBE_QUERIES = [
     "docs_shuffle_corpus",
     "docs_token_budget_fill",
     "docs_containment_pairs_prefix",
+    "events_stream_type_drift",
+    "docs_quality_threshold_sweep",
+    "docs_dedup_impact_report",
     # round-5 third wave: containment shares the jaccard posting-list
     # core (dup replicas concentrate pair gen ~FACTOR^2 inside groups,
     # documented above for edit_distance/winnow); DSIR is explode + two
