@@ -449,8 +449,9 @@ def ngram_containment_pairs_prefix(docs: DataFrame,
     explode a posting list or need a semantics-changing
     ``max_doc_freq`` drop — measured 73 s vs the core's 151 s
     (identical 4.3M-pair output) on 5k docs all sharing a 28-token
-    boilerplate tail, no cap.  On a replica-heavy corpus it LOSES
-    (34 s core vs ~318 s prefix at ~sf1): exact duplicates give every
+    boilerplate tail, no cap (82 s vs 151 s after the windowless-probe
+    rework).  On a replica-heavy corpus it LOSES
+    (34 s core vs ~450 s prefix at ~sf1): exact duplicates give every
     shingle the same df, prefixes prune nothing, and the
     ranked-shingle lineage is paid four times.  Default to the core;
     switch here when the df histogram is boilerplate-shaped and you
@@ -481,8 +482,14 @@ def ngram_containment_pairs_prefix(docs: DataFrame,
     # erring longer only adds candidates, never loses one.
     alpha = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
     pref = ranked.filter(F.col("_rk") <= F.col("sz") - alpha + 1)
-    full = ranked.select(F.col("_id").alias("_fid"), "shingle",
-                         F.col("sz").alias("_fsz"))
+    # ONLY the prefix side needs the rank window; the probe and verify
+    # sides re-derive from the cheaper windowless lineage (sh ⋈ dfreq
+    # [⋈ sizes]) — recomputing the per-doc sort for all four consumers
+    # measured 12.4 s -> 4.5 s at sf0.01 for identical output
+    surviving = sh.join(dfreq.select("shingle"), "shingle")
+    full = surviving.join(sizes.hint("shuffle_hash"), "_id").select(
+        F.col("_id").alias("_fid"), "shingle",
+        F.col("sz").alias("_fsz"))
     cand = (pref.select(F.col("_id").alias("_pid"), "shingle",
                         F.col("sz").alias("_psz"))
             .join(full, "shingle")
@@ -495,7 +502,7 @@ def ngram_containment_pairs_prefix(docs: DataFrame,
             .distinct())
     # exact verification: count shared (df-surviving) shingles per
     # candidate pair — output identical to the unfiltered core
-    shf = ranked.select("_id", "shingle")
+    shf = surviving.select("_id", "shingle")
     inter = (cand
              .join(shf.select(F.col("_id").alias("id_a"), "shingle"),
                    "id_a")
