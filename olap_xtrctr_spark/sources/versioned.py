@@ -1,0 +1,137 @@
+"""Versioned parquet snapshots: numbered immutable table versions with
+manifest commit markers — the lakehouse-lite "time travel" a corpus
+pipeline needs to answer "what exactly did the run three weeks ago
+train on?" and to diff/promote dataset versions safely
+(``operators/diff.snapshot_diff`` composes over two reads).
+
+Layout:
+
+    table_dir/
+      v00001/              parquet data files (written FIRST)
+      v00001.manifest.json commit marker (written LAST)
+      v00002/ ...
+
+A data directory without its manifest is an UNCOMMITTED crash remnant:
+readers ignore it, and the next writer of that version number
+overwrites it — the same marker discipline as ``shards.py``.  Versions
+are immutable once committed; an update is a new version.  Optimistic
+concurrency: ``write_version(expected_parent=n)`` refuses to commit if
+someone else committed version n+1 first — the cheap
+compare-and-swap that prevents two pipelines from silently forking a
+table (files are still written before the check, but never
+manifested, so readers are safe either way).
+
+Scale shape: the data write is one Spark job (caller controls
+partitioning); manifests are a driver-side file each, listing cost is
+bounded by version COUNT.  On a real lake the manifest write becomes a
+conditional put — the layout maps 1:1.
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VDIR = re.compile(r"^v(\d{5})$")
+
+
+class VersionConflict(RuntimeError):
+    pass
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, f"v{version:05d}.manifest.json")
+
+
+def _data_dir(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, f"v{version:05d}")
+
+
+def list_versions(table_dir: str) -> list[dict]:
+    """Committed versions, ascending.  Uncommitted data dirs (no
+    manifest) are not listed."""
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for name in sorted(os.listdir(table_dir)):
+        m = _VDIR.match(name)
+        if not m:
+            continue
+        mp = _manifest_path(table_dir, int(m.group(1)))
+        if os.path.exists(mp):
+            with open(mp) as fh:
+                out.append(json.load(fh))
+    return sorted(out, key=lambda d: d["version"])
+
+
+def latest_version(table_dir: str) -> int | None:
+    vs = list_versions(table_dir)
+    return vs[-1]["version"] if vs else None
+
+
+def write_version(df: DataFrame, table_dir: str,
+                  expected_parent: int | None = None) -> dict:
+    """Commit ``df`` as the next version.  Returns the manifest dict.
+
+    ``expected_parent``: refuse (VersionConflict) if the latest
+    committed version is not exactly this — opt-in optimistic
+    concurrency for read-modify-write flows (diff v_n, write v_n+1).
+    """
+    os.makedirs(table_dir, exist_ok=True)
+    parent = latest_version(table_dir)
+    if expected_parent is not None and parent != expected_parent:
+        raise VersionConflict(
+            f"expected parent version {expected_parent}, table is at "
+            f"{parent}: concurrent writer won — re-read and retry")
+    version = (parent or 0) + 1
+    data = _data_dir(table_dir, version)
+    df.write.mode("overwrite").parquet(data)      # data FIRST
+    n_rows = df.sparkSession.read.parquet(data).count()
+    manifest = {"version": version, "parent": parent,
+                "n_rows": n_rows, "columns": df.columns}
+    tmp = _manifest_path(table_dir, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _manifest_path(table_dir, version))  # marker LAST
+    return manifest
+
+
+def read_version(spark: SparkSession, table_dir: str,
+                 version: int | None = None,
+                 verify_count: bool = False) -> DataFrame:
+    """Read a committed version (default: latest).  ``verify_count``
+    re-counts the data against the manifest — the reconcile check for
+    promotion gates (costs one count job)."""
+    if version is None:
+        version = latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no committed versions in {table_dir}")
+    mp = _manifest_path(table_dir, version)
+    if not os.path.exists(mp):
+        raise FileNotFoundError(
+            f"version {version} is not committed in {table_dir} "
+            f"(data without a manifest is a crash remnant)")
+    df = spark.read.parquet(_data_dir(table_dir, version))
+    if verify_count:
+        with open(mp) as fh:
+            manifest = json.load(fh)
+        n = df.count()
+        if n != manifest["n_rows"]:
+            raise ValueError(
+                f"version {version} row count {n} != manifest "
+                f"{manifest['n_rows']}: data corrupted after commit")
+    return df
+
+
+def version_diff_summary(spark: SparkSession, table_dir: str,
+                         v_old: int, v_new: int,
+                         key_cols: list[str]) -> DataFrame:
+    """added/removed/changed/unchanged counts between two committed
+    versions — ``snapshot_diff_summary`` over two reads; the promotion
+    gate for replacing v_old with v_new."""
+    from ..operators.diff import snapshot_diff_summary
+    return snapshot_diff_summary(
+        read_version(spark, table_dir, v_old),
+        read_version(spark, table_dir, v_new), key_cols)

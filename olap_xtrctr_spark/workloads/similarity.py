@@ -961,6 +961,42 @@ def register(add) -> None:
                             .otherwise(F.col("text"))))
         return snapshot_diff_summary(old, new, ["doc_id"])
 
+    # the same old/new pair driven through the VERSIONED table surface:
+    # write v1, write v2 (optimistic parent check), read both back,
+    # diff — the whole write→commit-marker→time-travel-read chain is
+    # what the oracle match certifies (scratch keyed by source size,
+    # rebuilt only when the source changes)
+    def versioned_travel(spark, sf):
+        import os
+
+        from ..operators.diff import snapshot_diff_summary
+        from ..operators.sampling import _hash_bucket
+        from ..sources import versioned as V
+        docs = _docs(spark, sf)
+        b = _hash_bucket(F.col("doc_id"), "snap-v1")
+        old = docs.filter(b % 10 < 9)
+        new = (docs.filter(b % 10 > 0)
+               .withColumn("text",
+                           F.when(b % 3 == 0,
+                                  F.concat(F.col("text"), F.lit(" v2")))
+                            .otherwise(F.col("text"))))
+        sig = str(os.path.getsize(f"{sf}/documents.parquet"))
+        t = os.path.join("/tmp", "olap_xtrctr_versioned_demo",
+                         os.path.basename(os.path.normpath(sf)))
+        marker = os.path.join(t, "_DEMO_SRC")
+        if not (os.path.exists(marker)
+                and open(marker).read().strip() == sig):
+            import shutil
+            shutil.rmtree(t, ignore_errors=True)
+            V.write_version(old, t)
+            V.write_version(new, t, expected_parent=1)
+            os.makedirs(t, exist_ok=True)
+            with open(marker, "w") as fh:
+                fh.write(sig)
+        return snapshot_diff_summary(
+            V.read_version(spark, t, 1, verify_count=True),
+            V.read_version(spark, t, 2, verify_count=True), ["doc_id"])
+
     _SB = SM.hash_bucket_sql("doc_id", "snap-v1")
     _SNAP_FP = ("md5(concat_ws(chr(31), "
                 "coalesce(CAST({t} AS VARCHAR), chr(0)), "
@@ -968,8 +1004,7 @@ def register(add) -> None:
                 "coalesce(CAST(source AS VARCHAR), chr(0)), "
                 "coalesce(CAST(n_chars AS VARCHAR), chr(0))))")
 
-    add("docs_snapshot_diff", snap_diff,
-        f"""WITH old AS (
+    _SNAP_DIFF_SQL = f"""WITH old AS (
           SELECT doc_id, {_SNAP_FP.format(t="text")} AS o
           FROM documents WHERE {_SB} % 10 < 9),
         new AS (
@@ -985,7 +1020,10 @@ def register(add) -> None:
                     WHEN o <> n THEN 'changed'
                     ELSE 'unchanged' END AS status,
                COUNT(*) AS n_rows
-        FROM j GROUP BY 1""")
+        FROM j GROUP BY 1"""
+
+    add("docs_snapshot_diff", snap_diff, _SNAP_DIFF_SQL)
+    add("docs_versioned_time_travel", versioned_travel, _SNAP_DIFF_SQL)
 
     # multimodal plumbing: binary payloads → mapInPandas feature extraction
     # (deterministic fake codec — no media libs in this container; the

@@ -444,3 +444,53 @@ def test_rowgroup_skip_stats_unclustered_baseline():
     st = rowgroup_skip_stats("/root/testdata/sf0.01/events.parquet",
                              "event_type", "click")
     assert st["n_skippable"] == 0
+
+
+def test_versioned_snapshots_lifecycle(spark, tmp_path):
+    """write -> list -> read -> time travel; uncommitted remnants are
+    invisible; optimistic concurrency refuses a stale parent."""
+    import os
+
+    import pytest
+
+    from olap_xtrctr_spark.sources import versioned as V
+
+    t = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, x string")
+    v2 = spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")],
+                               "id long, x string")
+    m1 = V.write_version(v1, t)
+    assert (m1["version"], m1["parent"], m1["n_rows"]) == (1, None, 2)
+    m2 = V.write_version(v2, t, expected_parent=1)
+    assert (m2["version"], m2["n_rows"]) == (2, 3)
+    assert [m["version"] for m in V.list_versions(t)] == [1, 2]
+    # time travel: v1 still reads exactly as written
+    assert {tuple(r) for r in V.read_version(spark, t, 1).collect()} \
+        == {(1, "a"), (2, "b")}
+    assert V.read_version(spark, t, verify_count=True).count() == 3
+    # stale parent -> conflict
+    with pytest.raises(V.VersionConflict, match="concurrent"):
+        V.write_version(v1, t, expected_parent=1)
+    # crash remnant: data dir without manifest is invisible
+    spark.range(5).write.parquet(os.path.join(t, "v00003"))
+    assert V.latest_version(t) == 2
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        V.read_version(spark, t, 3)
+    # ...and the next committed write takes over that version number
+    m3 = V.write_version(v1, t, expected_parent=2)
+    assert m3["version"] == 3 and V.read_version(spark, t, 3).count() == 2
+
+
+def test_versioned_diff_summary_promotion_gate(spark, tmp_path):
+    from olap_xtrctr_spark.sources import versioned as V
+
+    t = str(tmp_path / "tbl")
+    V.write_version(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (4, "d")], "id long, x string"), t)
+    V.write_version(spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c")], "id long, x string"), t)
+    summ = {r["status"]: r["n_rows"]
+            for r in V.version_diff_summary(spark, t, 1, 2,
+                                            ["id"]).collect()}
+    assert summ == {"unchanged": 1, "changed": 1, "added": 1,
+                    "removed": 1}
