@@ -135,3 +135,20 @@ def version_diff_summary(spark: SparkSession, table_dir: str,
     return snapshot_diff_summary(
         read_version(spark, table_dir, v_old),
         read_version(spark, table_dir, v_new), key_cols)
+
+
+def version_schema_changes(table_dir: str) -> list[dict]:
+    """Column-level schema evolution across the committed chain,
+    driver-side from manifests alone (no data reads): one dict per
+    consecutive version pair with added/removed column names.  The
+    promotion gate's cheap first check — a surprise column drop should
+    stop a rollout before anyone pays for the row-level diff."""
+    vs = list_versions(table_dir)
+    out = []
+    for prev, cur in zip(vs, vs[1:]):
+        a, b = set(prev["columns"]), set(cur["columns"])
+        out.append({"from_version": prev["version"],
+                    "to_version": cur["version"],
+                    "added": sorted(b - a),
+                    "removed": sorted(a - b)})
+    return out

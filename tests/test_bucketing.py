@@ -494,3 +494,23 @@ def test_versioned_diff_summary_promotion_gate(spark, tmp_path):
                                             ["id"]).collect()}
     assert summ == {"unchanged": 1, "changed": 1, "added": 1,
                     "removed": 1}
+
+
+def test_version_schema_changes_from_manifests(spark, tmp_path):
+    from olap_xtrctr_spark.sources import versioned as V
+
+    t = str(tmp_path / "tbl")
+    V.write_version(spark.createDataFrame([(1, "a")],
+                                          "id long, x string"), t)
+    V.write_version(spark.createDataFrame([(1, "a", 2.0)],
+                                          "id long, x string, y double"),
+                    t)
+    V.write_version(spark.createDataFrame([(1, 2.0)],
+                                          "id long, y double"), t)
+    ch = V.version_schema_changes(t)
+    assert ch == [
+        {"from_version": 1, "to_version": 2, "added": ["y"],
+         "removed": []},
+        {"from_version": 2, "to_version": 3, "added": [],
+         "removed": ["x"]},
+    ]
