@@ -77,7 +77,8 @@ def build_parser() -> argparse.ArgumentParser:
              "shards with a manifest")
     s.add_argument("--op", required=True,
                    choices=["compact", "cluster", "zorder", "hilbert",
-                            "shards", "verify-shards"])
+                            "shards", "verify-shards",
+                            "commit-version", "versions"])
     s.add_argument("--src", required=True)
     s.add_argument("--dst", default=None,
                    help="output directory (not needed for verify-shards)")
@@ -209,6 +210,18 @@ def run(args, service=None) -> dict:
         spark = service.spark
         if args.op == "verify-shards":
             return SH.verify_training_shards(spark, args.src)
+        if args.op == "versions":
+            # --src is the versioned table dir; lists the committed
+            # chain plus column-level schema changes (manifests only)
+            from .sources import versioned as V
+            return {"versions": V.list_versions(args.src),
+                    "schema_changes": V.version_schema_changes(args.src)}
+        if args.op == "commit-version":
+            from .sources import versioned as V
+            if not args.dst:
+                raise SystemExit("--dst (table dir) required for "
+                                 "commit-version")
+            return V.write_version(spark.read.parquet(args.src), args.dst)
         if not args.dst:
             raise SystemExit(f"--dst is required for --op {args.op}")
         if args.op == "compact":

@@ -204,3 +204,25 @@ def test_cli_dmv_catalog_selects_cube(svc):
     cubes25 = {row[0] for row in r25["data"]}
     cubes98 = {row[0] for row in r98["data"]}
     assert cubes25 and cubes98 and cubes25 != cubes98
+
+
+def test_cli_versioned_table_roundtrip(tmp_path, spark):
+    """commit-version twice, then list the chain via the CLI dispatch."""
+    from olap_xtrctr_spark.__main__ import build_parser, run
+
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    spark.createDataFrame([(1, "a")], "id long, x string") \
+         .write.parquet(src1)
+    spark.createDataFrame([(1, "a", 2.0)], "id long, x string, y double") \
+         .write.parquet(src2)
+    tbl = str(tmp_path / "tbl")
+    p = build_parser()
+    m1 = run(p.parse_args(["maintain", "--op", "commit-version",
+                           "--src", src1, "--dst", tbl]))
+    m2 = run(p.parse_args(["maintain", "--op", "commit-version",
+                           "--src", src2, "--dst", tbl]))
+    assert (m1["version"], m2["version"]) == (1, 2)
+    listing = run(p.parse_args(["maintain", "--op", "versions",
+                                "--src", tbl]))
+    assert [v["version"] for v in listing["versions"]] == [1, 2]
+    assert listing["schema_changes"][0]["added"] == ["y"]
