@@ -32,8 +32,6 @@ subset, error on the rest).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 

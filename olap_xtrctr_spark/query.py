@@ -28,7 +28,6 @@ collects to the driver except bounded metadata (pivot captions).
 """
 from __future__ import annotations
 
-import math
 import re
 from dataclasses import dataclass, field
 from functools import reduce

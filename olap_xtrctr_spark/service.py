@@ -18,7 +18,7 @@ from . import metadata
 from .cube import CubeRegistry, default_registry
 from .jobs import JobRegistry
 from .mdx import execute_dmv, parse_mdx
-from .query import AxisItem, CubeQueryEngine, FilterSpec, QueryRequest
+from .query import CubeQueryEngine, QueryRequest
 from .sinks import (ag_grid_columns, sanitize, to_json_result,
                     write_excel_workbook)
 from .validators import sanitize_search

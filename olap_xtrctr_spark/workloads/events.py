@@ -5,22 +5,14 @@ build order inside this module is unchanged.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..mdx import parse_mdx
-from ..metadata import cached_members_df
-from ..query import AxisItem, FilterSpec, QueryRequest
-from ..session import load_table
-from .. import members as M
 from ..operators import dedup as D
 from ..operators import sampling as SM
-from ..operators import similarity as S
 from ..operators import text as TX
 from ..streaming import events as EV
-from ..workload_shared import (AVG_D, CATALOG, MES_CASE, SUM_D,
-                               _FACT_OW, _MEMBERS_CTE, _OW, _OW_PART,
-                               _SUPP, _docs, _emb, _eng, _members)
+from ..workload_shared import SUM_D, _docs
 
 
 def register(add) -> None:
