@@ -268,3 +268,18 @@ def test_ngram_novelty_no_pair_generation(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = _plan(ngram_novelty(docs))
     assert "collect_list" not in plan and "slice" not in plan
+
+
+def test_topcount_compiles_to_take_ordered(spark, sf_dir):
+    """TOPCOUNT = orderBy + limit over the aggregated axis, which
+    Catalyst must compile to TakeOrderedAndProject (per-partition
+    top-k) — never a global Sort of the axis."""
+    from olap_xtrctr_spark.query import (AxisItem, CubeQueryEngine,
+                                         QueryRequest, TopCountSpec)
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    df = eng.execute(QueryRequest(
+        "VENTAS_2025", measures=["Sum Quantity"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation")],
+        topcount=TopCountSpec(5, "Sum Quantity")))
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:600]
