@@ -72,13 +72,15 @@ def latest_version(table_dir: str) -> int | None:
 
 
 def write_version(df: DataFrame, table_dir: str,
-                  expected_parent: int | None = None) -> dict:
+                  expected_parent: int | None = None,
+                  extra: dict | None = None) -> dict:
     """Commit ``df`` as the next version.  Returns the manifest dict.
 
     ``expected_parent``: refuse (VersionConflict) if the latest
     committed version is not exactly this — opt-in optimistic
     concurrency for read-modify-write flows (diff v_n, write v_n+1).
-    """
+    ``extra``: caller metadata merged into the manifest (e.g. the
+    streaming upsert's batch_id idempotence key)."""
     os.makedirs(table_dir, exist_ok=True)
     parent = latest_version(table_dir)
     if expected_parent is not None and parent != expected_parent:
@@ -90,7 +92,8 @@ def write_version(df: DataFrame, table_dir: str,
     df.write.mode("overwrite").parquet(data)      # data FIRST
     n_rows = df.sparkSession.read.parquet(data).count()
     manifest = {"version": version, "parent": parent,
-                "n_rows": n_rows, "columns": df.columns}
+                "n_rows": n_rows, "columns": df.columns,
+                **(extra or {})}
     tmp = _manifest_path(table_dir, version) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -152,3 +155,62 @@ def version_schema_changes(table_dir: str) -> list[dict]:
                     "added": sorted(b - a),
                     "removed": sorted(a - b)})
     return out
+
+
+def upsert_batch(spark: SparkSession, batch_df: DataFrame,
+                 table_dir: str, key_cols: list[str],
+                 order_col: str, batch_id: int) -> dict | None:
+    """Apply ONE micro-batch as a copy-on-write upsert committed as a
+    new version, idempotently: a ``batch_id`` already present in the
+    committed chain is a redelivery (foreachBatch re-runs after a
+    failed epoch) and is skipped — returns None.  Within the batch,
+    duplicate keys keep the max-``order_col`` row (deterministic,
+    ties broken by the key) so replayed partial inputs converge.
+
+    Survivor rows (current version anti-joined on the batch's keys)
+    union the deduped batch = the next version; the manifest carries
+    ``batch_id`` as the idempotence key and the write demands the
+    observed parent (optimistic concurrency), so two racing appliers
+    cannot both commit."""
+    committed = {m.get("batch_id") for m in list_versions(table_dir)}
+    if batch_id in committed:
+        return None
+    parent = latest_version(table_dir)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(order_col), *[F.col(c) for c in key_cols])
+    deduped = (batch_df.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1).drop("_rn"))
+    if parent is None:
+        merged = deduped
+    else:
+        cur = read_version(spark, table_dir, parent)
+        keys = deduped.select(*key_cols)
+        merged = cur.join(keys, key_cols, "left_anti") \
+                    .unionByName(deduped)
+    return write_version(merged, table_dir, expected_parent=parent,
+                         extra={"batch_id": batch_id})
+
+
+def stream_upsert_versioned(sdf: DataFrame, table_dir: str,
+                            key_cols: list[str], order_col: str,
+                            checkpoint_dir: str):
+    """Structured-Streaming MERGE into the versioned table: each
+    micro-batch commits one new version through ``upsert_batch`` —
+    exactly-once BY CONSTRUCTION even on a non-transactional file
+    sink, because the epoch's idempotence key (batchId) rides the
+    version manifest and redeliveries no-op.  availableNow-capable;
+    the checkpoint carries the stream's own progress, the manifest
+    chain carries the sink's."""
+    spark = sdf.sparkSession
+
+    def apply(batch_df, batch_id):
+        upsert_batch(spark, batch_df, table_dir, key_cols, order_col,
+                     int(batch_id))
+
+    return (sdf.writeStream
+            .foreachBatch(apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -514,3 +514,54 @@ def test_version_schema_changes_from_manifests(spark, tmp_path):
         {"from_version": 2, "to_version": 3, "added": [],
          "removed": ["x"]},
     ]
+
+
+def test_upsert_batch_idempotent_and_merging(spark, tmp_path):
+    from olap_xtrctr_spark.sources import versioned as V
+
+    t = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (2, 11, "b2")],   # dup key 2
+        "id long, seq long, x string")
+    m0 = V.upsert_batch(spark, b0, t, ["id"], "seq", batch_id=0)
+    assert m0["version"] == 1 and m0["batch_id"] == 0
+    assert {tuple(r) for r in V.read_version(spark, t).collect()} \
+        == {(1, 10, "a"), (2, 11, "b2")}      # max-seq wins in-batch
+    # redelivery of the same epoch is a no-op
+    assert V.upsert_batch(spark, b0, t, ["id"], "seq", batch_id=0) is None
+    assert V.latest_version(t) == 1
+    # next epoch updates key 2, inserts key 3
+    b1 = spark.createDataFrame([(2, 20, "B"), (3, 20, "c")],
+                               "id long, seq long, x string")
+    m1 = V.upsert_batch(spark, b1, t, ["id"], "seq", batch_id=1)
+    assert m1["version"] == 2
+    assert {tuple(r) for r in V.read_version(spark, t).collect()} \
+        == {(1, 10, "a"), (2, 20, "B"), (3, 20, "c")}
+    # time travel still sees the pre-upsert state
+    assert {tuple(r) for r in V.read_version(spark, t, 1).collect()} \
+        == {(1, 10, "a"), (2, 11, "b2")}
+
+
+def test_stream_upsert_versioned_end_to_end(spark, tmp_path):
+    """availableNow stream -> one committed version per micro-batch;
+    the table converges to one row per key (latest by seq)."""
+    import pyspark.sql.functions as F
+
+    from olap_xtrctr_spark.sources import versioned as V
+
+    src = str(tmp_path / "src")
+    (spark.range(20)
+     .select((F.col("id") % 5).alias("k"), F.col("id").alias("seq"),
+             F.concat(F.lit("v"), F.col("id")).alias("x"))
+     .write.parquet(src))
+    sdf = spark.readStream.schema("k long, seq long, x string").parquet(src)
+    q = V.stream_upsert_versioned(sdf, str(tmp_path / "tbl"),
+                                  ["k"], "seq",
+                                  str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    out = {r["k"]: (r["seq"], r["x"])
+           for r in V.read_version(spark, str(tmp_path / "tbl")).collect()}
+    # latest seq per key: 15..19
+    assert out == {k: (15 + k, f"v{15 + k}") for k in range(5)}
+    vs = V.list_versions(str(tmp_path / "tbl"))
+    assert vs and all("batch_id" in m for m in vs)
