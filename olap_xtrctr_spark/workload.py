@@ -58,6 +58,7 @@ _GATE_FRONT = [
     "docs_dedup_impact_report",
     "events_stream_type_drift",
     "docs_versioned_time_travel",
+    "events_stream_upsert_latest",
     "cube_3dim_crossjoin",
     "cube_filter_set",
     "cube_catalog_1998_nation",
@@ -93,7 +94,6 @@ _GATE_FRONT = [
     "members_apartados",
     "members_variables_of_apartados",
     "members_ordinal_sort",
-    "members_pagination",
 ]
 
 

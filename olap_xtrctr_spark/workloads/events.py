@@ -511,6 +511,48 @@ def register(add) -> None:
                     THEN 1 ELSE 0 END AS INTEGER) AS alert
         FROM j GROUP BY day""")
 
+    # exactly-once streaming MERGE: availableNow stream upserted into a
+    # versioned table (one CoW version per epoch, batchId idempotence),
+    # then the converged per-user latest state read back — the oracle
+    # is the plain arg-max SQL, so the driver certifies the whole
+    # stream→merge→commit→read chain.  Scratch keyed by source size;
+    # re-runs with an existing checkpoint see no new data and no-op.
+    def stream_upsert_latest(spark, sf):
+        import os
+
+        from ..sources import versioned as V
+        sig = str(os.path.getsize(f"{sf}/events.parquet"))
+        root = os.path.join("/tmp", "olap_xtrctr_upsert_demo",
+                            os.path.basename(os.path.normpath(sf)))
+        marker = os.path.join(root, "_DEMO_SRC")
+        if not (os.path.exists(marker)
+                and open(marker).read().strip() == sig):
+            import shutil
+            shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(root, exist_ok=True)
+            with open(marker, "w") as fh:
+                fh.write(sig)
+        sdf = (EV.event_stream(spark, sf, _events_schema(spark, sf),
+                               glob="events.parquet")
+               .withColumn("_ord", F.struct("ts", "event_id")))
+        q = V.stream_upsert_versioned(
+            sdf, os.path.join(root, "tbl"), ["user_id"], "_ord",
+            os.path.join(root, "ckpt"))
+        q.awaitTermination()
+        return (V.read_version(spark, os.path.join(root, "tbl"))
+                .select("user_id", "event_id", "event_type",
+                        F.round("value", 4).alias("value")))
+
+    add("events_stream_upsert_latest", stream_upsert_latest,
+        """WITH r AS (
+          SELECT user_id, event_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, event_id, event_type,
+               ROUND(value, 4) AS value
+        FROM r WHERE rn = 1""")
+
     def stream_dedup_bounded(spark, sf):
         return EV.replay_dedup_counts_bounded(spark, sf,
                                               _events_schema(spark, sf))
