@@ -184,6 +184,20 @@ def register(add) -> None:
         SELECT nation, sum_quantity FROM agg
         ORDER BY sum_quantity DESC NULLS LAST, nation LIMIT 5""")
 
+    add("cube_bottomcount_nations",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+            "NON EMPTY BOTTOMCOUNT([Dim Customer].[Geografía].[Nation]"
+            ".MEMBERS, 5, [Measures].[Sum Quantity]) ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH {_OW}, agg AS (
+          SELECT cust_nation AS nation,
+                 {SUM_D('l_quantity')} AS sum_quantity
+          FROM {_FACT_OW}
+          GROUP BY 1)
+        SELECT nation, sum_quantity FROM agg
+        ORDER BY sum_quantity ASC NULLS LAST, nation LIMIT 5""")
+
     # FILTER(set, condition): a measure predicate over the aggregated
     # axis (HAVING), referencing a measure that is NOT in the output
     add("cube_filter_measure_condition",
