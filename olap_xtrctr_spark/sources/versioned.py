@@ -159,7 +159,8 @@ def version_schema_changes(table_dir: str) -> list[dict]:
 
 def upsert_batch(spark: SparkSession, batch_df: DataFrame,
                  table_dir: str, key_cols: list[str],
-                 order_col: str, batch_id: int) -> dict | None:
+                 order_col: str, batch_id: int,
+                 delete_col: str | None = None) -> dict | None:
     """Apply ONE micro-batch as a copy-on-write upsert committed as a
     new version, idempotently: a ``batch_id`` already present in the
     committed chain is a redelivery (foreachBatch re-runs after a
@@ -171,7 +172,13 @@ def upsert_batch(spark: SparkSession, batch_df: DataFrame,
     union the deduped batch = the next version; the manifest carries
     ``batch_id`` as the idempotence key and the write demands the
     observed parent (optimistic concurrency), so two racing appliers
-    cannot both commit."""
+    cannot both commit.
+
+    ``delete_col``: CDC mode — a boolean column on the batch; a key
+    whose LATEST batch row has it true is removed from the table
+    instead of upserted (the column itself never lands in the data).
+    Late non-delete rows behind the tombstone lose by the same
+    max-``order_col`` rule that makes replays converge."""
     committed = {m.get("batch_id") for m in list_versions(table_dir)}
     if batch_id in committed:
         return None
@@ -182,13 +189,19 @@ def upsert_batch(spark: SparkSession, batch_df: DataFrame,
         F.desc(order_col), *[F.col(c) for c in key_cols])
     deduped = (batch_df.withColumn("_rn", F.row_number().over(w))
                .filter(F.col("_rn") == 1).drop("_rn"))
+    if delete_col is not None:
+        upserts = deduped.filter(~F.coalesce(F.col(delete_col),
+                                             F.lit(False))) \
+                         .drop(delete_col)
+    else:
+        upserts = deduped
     if parent is None:
-        merged = deduped
+        merged = upserts
     else:
         cur = read_version(spark, table_dir, parent)
-        keys = deduped.select(*key_cols)
+        keys = deduped.select(*key_cols)      # deletes clear keys too
         merged = cur.join(keys, key_cols, "left_anti") \
-                    .unionByName(deduped)
+                    .unionByName(upserts)
     return write_version(merged, table_dir, expected_parent=parent,
                          extra={"batch_id": batch_id})
 
@@ -214,3 +227,18 @@ def stream_upsert_versioned(sdf: DataFrame, table_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def rollback(spark: SparkSession, table_dir: str,
+             to_version: int) -> dict:
+    """Roll the table back WITHOUT rewriting history: commit a NEW
+    version whose data is the old version's — readers at any point see
+    a committed chain, past versions stay addressable, and the audit
+    trail records the rollback (``rolled_back_from``/``to`` in the
+    manifest).  The destructive alternative (deleting newer versions)
+    would break concurrent readers mid-query."""
+    cur = latest_version(table_dir)
+    df = read_version(spark, table_dir, to_version)
+    return write_version(df, table_dir, expected_parent=cur,
+                         extra={"rolled_back_from": cur,
+                                "rolled_back_to": to_version})

@@ -565,3 +565,37 @@ def test_stream_upsert_versioned_end_to_end(spark, tmp_path):
     assert out == {k: (15 + k, f"v{15 + k}") for k in range(5)}
     vs = V.list_versions(str(tmp_path / "tbl"))
     assert vs and all("batch_id" in m for m in vs)
+
+
+def test_upsert_batch_cdc_deletes(spark, tmp_path):
+    from olap_xtrctr_spark.sources import versioned as V
+
+    t = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame(
+        [(1, 10, "a", False), (2, 10, "b", False)],
+        "id long, seq long, x string, deleted boolean")
+    V.upsert_batch(spark, b0, t, ["id"], "seq", 0, delete_col="deleted")
+    # tombstone for key 1; stale non-delete behind it loses by order
+    b1 = spark.createDataFrame(
+        [(1, 20, "zz", True), (1, 15, "late", False), (3, 20, "c", False)],
+        "id long, seq long, x string, deleted boolean")
+    V.upsert_batch(spark, b1, t, ["id"], "seq", 1, delete_col="deleted")
+    rows = {tuple(r) for r in V.read_version(spark, t).collect()}
+    assert rows == {(2, 10, "b"), (3, 20, "c")}
+    assert "deleted" not in V.read_version(spark, t).columns
+
+
+def test_versioned_rollback_is_append_only(spark, tmp_path):
+    from olap_xtrctr_spark.sources import versioned as V
+
+    t = str(tmp_path / "tbl")
+    V.write_version(spark.createDataFrame([(1, "good")],
+                                          "id long, x string"), t)
+    V.write_version(spark.createDataFrame([(1, "bad")],
+                                          "id long, x string"), t)
+    m = V.rollback(spark, t, 1)
+    assert m["version"] == 3
+    assert (m["rolled_back_from"], m["rolled_back_to"]) == (2, 1)
+    assert V.read_version(spark, t).collect()[0]["x"] == "good"
+    # history intact: the bad version is still addressable
+    assert V.read_version(spark, t, 2).collect()[0]["x"] == "bad"
