@@ -78,13 +78,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--op", required=True,
                    choices=["compact", "cluster", "zorder", "hilbert",
                             "shards", "verify-shards",
-                            "commit-version", "versions"])
+                            "commit-version", "versions",
+                            "rollback-version"])
     s.add_argument("--src", required=True)
     s.add_argument("--dst", default=None,
                    help="output directory (not needed for verify-shards)")
     s.add_argument("--cols", nargs="*", default=[],
                    help="cluster/zorder key columns")
     s.add_argument("--target-mb", type=int, default=128)
+    s.add_argument("--to-version", type=int, default=None,
+                   help="rollback-version target")
 
     s = sub.add_parser(
         "workbook",
@@ -216,6 +219,12 @@ def run(args, service=None) -> dict:
             from .sources import versioned as V
             return {"versions": V.list_versions(args.src),
                     "schema_changes": V.version_schema_changes(args.src)}
+        if args.op == "rollback-version":
+            from .sources import versioned as V
+            if args.to_version is None:
+                raise SystemExit("--to-version required for "
+                                 "rollback-version")
+            return V.rollback(spark, args.src, args.to_version)
         if args.op == "commit-version":
             from .sources import versioned as V
             if not args.dst:

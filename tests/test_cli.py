@@ -226,3 +226,18 @@ def test_cli_versioned_table_roundtrip(tmp_path, spark):
                                 "--src", tbl]))
     assert [v["version"] for v in listing["versions"]] == [1, 2]
     assert listing["schema_changes"][0]["added"] == ["y"]
+
+
+def test_cli_rollback_version(tmp_path, spark):
+    from olap_xtrctr_spark.__main__ import build_parser, run
+    from olap_xtrctr_spark.sources import versioned as V
+
+    tbl = str(tmp_path / "tbl")
+    V.write_version(spark.createDataFrame([(1, "good")],
+                                          "id long, x string"), tbl)
+    V.write_version(spark.createDataFrame([(1, "bad")],
+                                          "id long, x string"), tbl)
+    m = run(build_parser().parse_args(
+        ["maintain", "--op", "rollback-version", "--src", tbl,
+         "--to-version", "1"]))
+    assert m["version"] == 3 and m["rolled_back_to"] == 1
