@@ -72,3 +72,52 @@ def ingest_csv_to_parquet(spark: SparkSession, csv_path: str,
             "n_good": n_good, "n_bad": n_bad,
             "n_written": n_written,
             "ok": True}
+
+
+def read_jsonl_checked(spark: SparkSession, path: str,
+                       schema: T.StructType
+                       ) -> tuple[DataFrame, DataFrame]:
+    """Checked JSONL (one JSON object per line — THE interchange format
+    for LLM corpora): same explicit-schema PERMISSIVE contract as
+    ``read_csv_checked`` — typed good rows, raw text of every
+    unparseable line, nothing silently dropped.  ``inferSchema``-style
+    sampling is refused for the same reason: a type that flips between
+    loads is a silent corpus change.
+
+    JSON-specific caveat handled here: Spark also routes rows that
+    parse as JSON but MISMATCH the schema (e.g. a string where a long
+    is declared) into the rescue column — so ``bad`` covers both
+    malformed lines and schema drift, which is exactly what an
+    ingestion gate wants to see."""
+    if RESCUE_COL in [f.name for f in schema.fields]:
+        raise ValueError(f"schema must not define {RESCUE_COL!r}")
+    full = T.StructType(list(schema.fields)
+                        + [T.StructField(RESCUE_COL, T.StringType())])
+    df = (spark.read.schema(full)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", RESCUE_COL)
+          .json(path)).cache()
+    good = (df.filter(F.col(RESCUE_COL).isNull())
+            .drop(RESCUE_COL))
+    bad = (df.filter(F.col(RESCUE_COL).isNotNull())
+           .select(F.col(RESCUE_COL).alias("raw_line")))
+    return good, bad
+
+
+def ingest_jsonl_to_parquet(spark: SparkSession, jsonl_path: str,
+                            out_dir: str,
+                            schema: T.StructType) -> dict:
+    """JSONL → parquet with the same verify-counts discipline as the
+    CSV path: parse, split, write good rows, read back, reconcile."""
+    good, bad = read_jsonl_checked(spark, jsonl_path, schema)
+    n_good, n_bad = good.count(), bad.count()
+    good.write.mode("overwrite").parquet(out_dir)
+    n_written = spark.read.parquet(out_dir).count()
+    if n_written != n_good:
+        raise ValueError(
+            f"ingest reconciliation failed: wrote {n_written} rows but "
+            f"parsed {n_good} good rows")
+    return {"jsonl_path": jsonl_path, "out_dir": out_dir,
+            "n_good": n_good, "n_bad": n_bad,
+            "n_written": n_written,
+            "ok": True}

@@ -599,3 +599,38 @@ def test_versioned_rollback_is_append_only(spark, tmp_path):
     assert V.read_version(spark, t).collect()[0]["x"] == "good"
     # history intact: the bad version is still addressable
     assert V.read_version(spark, t, 2).collect()[0]["x"] == "bad"
+
+
+def test_read_jsonl_checked_catches_malformed_and_drifted(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from olap_xtrctr_spark.sources import ingest as IN
+
+    p = tmp_path / "c.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\n'
+                 'not json at all\n'
+                 '{"doc_id": "not-a-number", "text": "drift"}\n'
+                 '{"doc_id": 2, "text": "fine"}\n')
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    good, bad = IN.read_jsonl_checked(spark, str(p), schema)
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    raws = [r["raw_line"] for r in bad.collect()]
+    assert len(raws) == 2
+    assert any("not json" in r for r in raws)
+    assert any("not-a-number" in r for r in raws)
+
+
+def test_ingest_jsonl_to_parquet_reconciles(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from olap_xtrctr_spark.sources import ingest as IN
+
+    p = tmp_path / "c.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\nbroken\n')
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    rep = IN.ingest_jsonl_to_parquet(spark, str(p),
+                                     str(tmp_path / "out"), schema)
+    assert rep["ok"] and rep["n_good"] == 1 and rep["n_bad"] == 1
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 1
