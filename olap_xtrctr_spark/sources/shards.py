@@ -34,10 +34,15 @@ MANIFEST_NAME = "_MANIFEST.json"
 def _estimated_bytes(df: DataFrame) -> int:
     """Catalyst's size estimate for the plan (parquet file statistics
     propagated through the operators) — the same number AQE plans
-    with.  Falls back to 0 (→ one shard) if the JVM API moves."""
+    with.  Falls back to 0 (→ one shard) if the JVM API moves, and
+    treats plainly-absurd estimates (>= 1 PiB — plans without file
+    statistics report the defaultSizeInBytes sentinel, near
+    Long.MaxValue) as unknown too: a sentinel fed into the shard-count
+    ceil would ask repartition for billions of partitions."""
     try:
-        return int(df._jdf.queryExecution().optimizedPlan()
-                   .stats().sizeInBytes())
+        est = int(df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+        return est if est < (1 << 50) else 0
     except Exception:
         return 0
 
@@ -56,12 +61,21 @@ def _content_summary(df: DataFrame, cols: list[str]):
 
 
 def write_training_shards(df: DataFrame, out_dir: str,
-                          target_mb: int = 256) -> dict:
-    """Export ``df`` as round-robin parquet shards sized near
-    ``target_mb`` (count from Catalyst's size estimate — one code path
-    from a test corpus to a multi-TB one) and write the manifest:
-    shard files with per-shard rows and bytes, corpus totals, and the
-    (count, xor-hash) content summary.  Returns the manifest dict."""
+                          target_mb: int = 256,
+                          fmt: str = "parquet") -> dict:
+    """Export ``df`` as round-robin shards sized near ``target_mb``
+    (count from Catalyst's size estimate — one code path from a test
+    corpus to a multi-TB one) and write the manifest: shard files with
+    per-shard rows and bytes, corpus totals, and the (count, xor-hash)
+    content summary.  Returns the manifest dict.
+
+    ``fmt``: ``parquet`` (default) or ``jsonl`` — JSON-lines is the
+    interchange format most trainer data loaders consume directly; the
+    manifest then also carries the schema (JSONL files cannot), and the
+    content summary is computed from a READ-BACK of the written files,
+    so verify reproduces it from disk alone."""
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"fmt must be parquet or jsonl, got {fmt!r}")
     if os.path.exists(os.path.join(out_dir, MANIFEST_NAME)):
         raise ValueError(
             f"{out_dir!r} already holds a committed shard export; "
@@ -69,10 +83,14 @@ def write_training_shards(df: DataFrame, out_dir: str,
             f"their manifest exists)")
     est = _estimated_bytes(df)
     n_shards = max(1, math.ceil(est / (target_mb * 1024 * 1024)))
-    df.repartition(n_shards).write.mode("overwrite").parquet(out_dir)
-
+    writer = df.repartition(n_shards).write.mode("overwrite")
     spark = df.sparkSession
-    back = spark.read.parquet(out_dir)
+    if fmt == "parquet":
+        writer.parquet(out_dir)
+        back = spark.read.parquet(out_dir)
+    else:
+        writer.json(out_dir)
+        back = spark.read.schema(df.schema).json(out_dir)
     cols = back.columns
     per_file = (back.groupBy(F.input_file_name().alias("path"))
                 .agg(F.count(F.lit(1)).alias("rows"))
@@ -92,14 +110,16 @@ def write_training_shards(df: DataFrame, out_dir: str,
           "bytes": os.path.getsize(_local(r["path"]))}
          for r in per_file), key=lambda s: s["file"])
     manifest = {
-        "format": "parquet",
+        "format": fmt,
         "columns": cols,
         "n_shards": len(shards),
         "total_rows": n_rows,
-        "total_bytes": parquet_dir_stats(out_dir)["total_bytes"],
+        "total_bytes": sum(sh["bytes"] for sh in shards),
         "content_xor64": x_hash,
         "shards": shards,
     }
+    if fmt == "jsonl":
+        manifest["schema_json"] = df.schema.json()
     # manifest LAST = commit marker
     with open(os.path.join(out_dir, MANIFEST_NAME), "w",
               encoding="utf-8") as f:
@@ -126,7 +146,15 @@ def verify_training_shards(spark: SparkSession, out_dir: str) -> dict:
         elif os.path.getsize(fp) != s["bytes"]:
             problems.append(f"size drift in {s['file']}")
     if not problems:
-        back = spark.read.parquet(out_dir)
+        if manifest.get("format", "parquet") == "jsonl":
+            from pyspark.sql import types as T
+            schema = T.StructType.fromJson(
+                json.loads(manifest["schema_json"]))
+            back = (spark.read.schema(schema)
+                    .option("pathGlobFilter", "part-*")
+                    .json(out_dir))
+        else:
+            back = spark.read.parquet(out_dir)
         n_rows, x_hash = _content_summary(back, manifest["columns"])
         if n_rows != manifest["total_rows"]:
             problems.append(

@@ -634,3 +634,24 @@ def test_ingest_jsonl_to_parquet_reconciles(spark, tmp_path):
                                      str(tmp_path / "out"), schema)
     assert rep["ok"] and rep["n_good"] == 1 and rep["n_bad"] == 1
     assert spark.read.parquet(str(tmp_path / "out")).count() == 1
+
+
+def test_jsonl_training_shards_roundtrip_and_verify(spark, tmp_path):
+    from olap_xtrctr_spark.sources import shards as SH
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)],
+        "doc_id long, text string")
+    out = str(tmp_path / "jl")
+    m = SH.write_training_shards(df, out, target_mb=1, fmt="jsonl")
+    assert m["format"] == "jsonl" and m["total_rows"] == 100
+    assert "schema_json" in m
+    res = SH.verify_training_shards(spark, out)
+    assert res["ok"], res
+    # tamper with a shard -> verify must fail
+    import os
+    fp = os.path.join(out, m["shards"][0]["file"])
+    with open(fp, "a") as fh:
+        fh.write('{"doc_id": 999, "text": "injected"}\n')
+    res2 = SH.verify_training_shards(spark, out)
+    assert not res2["ok"]
