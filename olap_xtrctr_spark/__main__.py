@@ -88,6 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--target-mb", type=int, default=128)
     s.add_argument("--to-version", type=int, default=None,
                    help="rollback-version target")
+    s.add_argument("--fmt", default="parquet",
+                   choices=["parquet", "jsonl"],
+                   help="shards output format")
 
     s = sub.add_parser(
         "workbook",
@@ -249,7 +252,7 @@ def run(args, service=None) -> dict:
                                       target_mb=args.target_mb)
         return SH.write_training_shards(
             spark.read.parquet(args.src), args.dst,
-            target_mb=args.target_mb)
+            target_mb=args.target_mb, fmt=args.fmt)
     if args.cmd == "workbook":
         counts = service.export_metadata_workbook(args.out,
                                                   catalog=args.catalog)
