@@ -242,3 +242,152 @@ def rollback(spark: SparkSession, table_dir: str,
     return write_version(df, table_dir, expected_parent=cur,
                          extra={"rolled_back_from": cur,
                                 "rolled_back_to": to_version})
+
+
+# ---- bucketed incremental merge (partition-pruned copy-on-write) ----------
+
+def _bucket_expr(key_cols: list[str], n_buckets: int):
+    from pyspark.sql import functions as F
+    return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+
+
+def upsert_batch_bucketed(spark: SparkSession, batch_df: DataFrame,
+                          table_dir: str, key_cols: list[str],
+                          order_col: str, batch_id: int,
+                          n_buckets: int = 16) -> dict | None:
+    """``upsert_batch`` with PARTITION-PRUNED copy-on-write: table data
+    is hash-bucketed on the key, each version's manifest maps every
+    bucket to the DATA PATH holding its current contents (possibly in
+    an ancestor version's directory), and an epoch rewrites ONLY the
+    buckets its batch touches — per-epoch cost is
+    O(touched buckets' data), not O(table), which is what makes the
+    merge viable when the keyed table itself is fact-sized.
+
+    Same contracts as the simple form: batchId idempotence, in-batch
+    max-``order_col`` convergence, expected-parent compare-and-swap.
+    ``n_buckets`` is fixed at table creation (recorded in the first
+    manifest; later calls must match or raise).  Ancestor versions
+    stay REFERENCED by newer manifests — deleting an old version
+    directory requires a reachability sweep first (the Delta-vacuum
+    discipline), which ``gc_unreachable`` implements."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    committed = list_versions(table_dir)
+    if batch_id in {m.get("batch_id") for m in committed}:
+        return None
+    parent_m = committed[-1] if committed else None
+    if parent_m is not None and "bucket_data" in parent_m:
+        if parent_m["n_buckets"] != n_buckets:
+            raise ValueError(
+                f"table was created with n_buckets="
+                f"{parent_m['n_buckets']}, got {n_buckets}")
+    parent = parent_m["version"] if parent_m else None
+    version = (parent or 0) + 1
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(order_col), *[F.col(c) for c in key_cols])
+    deduped = (batch_df.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1).drop("_rn")
+               .withColumn("_bucket", _bucket_expr(key_cols, n_buckets)))
+    touched = sorted(r["_bucket"]
+                     for r in deduped.select("_bucket").distinct()
+                     .collect())                 # bounded by n_buckets
+    bucket_data = dict(parent_m.get("bucket_data", {})) if parent_m else {}
+    bucket_rows = dict(parent_m.get("bucket_rows", {})) if parent_m else {}
+
+    # survivors come ONLY from the touched buckets' current files
+    parent_paths = [os.path.join(table_dir, bucket_data[str(b)])
+                    for b in touched if str(b) in bucket_data]
+    if parent_paths:
+        # one read per bucket path, unioned: the paths live under
+        # DIFFERENT version roots, which Spark's partition discovery
+        # refuses to treat as one table (bounded by n_buckets reads)
+        frames = [spark.read.parquet(pp) for pp in parent_paths]
+        cur = frames[0]
+        for f in frames[1:]:
+            cur = cur.unionByName(f)
+        cur = cur.withColumn("_bucket",
+                             _bucket_expr(key_cols, n_buckets))
+        keys = deduped.select(*key_cols)
+        merged = cur.join(keys, key_cols, "left_anti") \
+                    .unionByName(deduped)
+    else:
+        merged = deduped
+    vdir_rel = f"v{version:05d}"
+    vdir = os.path.join(table_dir, vdir_rel)
+    merged.write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
+
+    written = (spark.read.option("basePath", vdir).parquet(vdir)
+               .groupBy("_bucket").count().collect())
+    for r in written:
+        b = str(r["_bucket"])
+        bucket_data[b] = f"{vdir_rel}/_bucket={r['_bucket']}"
+        bucket_rows[b] = r["count"]
+    manifest = {"version": version, "parent": parent,
+                "n_rows": int(sum(bucket_rows.values())),
+                "columns": [c for c in batch_df.columns],
+                "batch_id": batch_id, "n_buckets": n_buckets,
+                "bucket_data": bucket_data, "bucket_rows": bucket_rows}
+    # CAS: someone may have committed while we wrote; data without a
+    # manifest is invisible, so losing the race is clean
+    if latest_version(table_dir) != parent:
+        raise VersionConflict(
+            f"version {latest_version(table_dir)} committed while "
+            f"writing epoch {batch_id}: retry against the new parent")
+    os.makedirs(table_dir, exist_ok=True)
+    tmp = _manifest_path(table_dir, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _manifest_path(table_dir, version))
+    return manifest
+
+
+def read_version_bucketed(spark: SparkSession, table_dir: str,
+                          version: int | None = None) -> DataFrame:
+    """Assemble a bucketed version from its manifest's bucket → path
+    map (paths may live in ancestor version directories — that is the
+    point: untouched buckets are never copied)."""
+    if version is None:
+        version = latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no committed versions in {table_dir}")
+    mp = _manifest_path(table_dir, version)
+    if not os.path.exists(mp):
+        raise FileNotFoundError(f"version {version} is not committed")
+    with open(mp) as fh:
+        manifest = json.load(fh)
+    if "bucket_data" not in manifest:
+        return read_version(spark, table_dir, version)
+    paths = [os.path.join(table_dir, p)
+             for p in manifest["bucket_data"].values()]
+    frames = [spark.read.parquet(pp) for pp in paths]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def gc_unreachable(table_dir: str, keep_from: int) -> list[str]:
+    """Delete version DATA directories not referenced by any manifest
+    >= ``keep_from`` (manifests themselves are kept — history stays
+    auditable, time travel older than keep_from stops working).  The
+    reachability sweep the bucketed layout requires before any delete:
+    an old version's directory may still hold the CURRENT copy of an
+    untouched bucket."""
+    vs = [m for m in list_versions(table_dir)
+          if m["version"] >= keep_from]
+    reachable = set()
+    for m in vs:
+        if "bucket_data" in m:
+            for rel in m["bucket_data"].values():
+                reachable.add(rel.split("/", 1)[0])
+        else:
+            reachable.add(f"v{m['version']:05d}")
+    removed = []
+    import shutil
+    for name in sorted(os.listdir(table_dir)):
+        if _VDIR.match(name) and name not in reachable:
+            shutil.rmtree(os.path.join(table_dir, name))
+            removed.append(name)
+    return removed

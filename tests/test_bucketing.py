@@ -655,3 +655,67 @@ def test_jsonl_training_shards_roundtrip_and_verify(spark, tmp_path):
         fh.write('{"doc_id": 999, "text": "injected"}\n')
     res2 = SH.verify_training_shards(spark, out)
     assert not res2["ok"]
+
+
+def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    import os
+
+    from olap_xtrctr_spark.sources import versioned as V
+
+    t = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame(
+        [(i, 10, f"v{i}") for i in range(40)],
+        "id long, seq long, x string")
+    m0 = V.upsert_batch_bucketed(spark, b0, t, ["id"], "seq", 0,
+                                 n_buckets=8)
+    assert m0["version"] == 1 and m0["n_rows"] == 40
+    # epoch 1 touches ONE key -> at most one bucket dir in v2
+    b1 = spark.createDataFrame([(7, 20, "updated")],
+                               "id long, seq long, x string")
+    m1 = V.upsert_batch_bucketed(spark, b1, t, ["id"], "seq", 1,
+                                 n_buckets=8)
+    v2_buckets = [d for d in os.listdir(os.path.join(t, "v00002"))
+                  if d.startswith("_bucket=")]
+    assert len(v2_buckets) == 1
+    # untouched buckets still reference v1 paths in the manifest
+    assert sum(p.startswith("v00001/") for p in
+               m1["bucket_data"].values()) == 7
+    out = {r["id"]: (r["seq"], r["x"])
+           for r in V.read_version_bucketed(spark, t).collect()}
+    assert len(out) == 40 and out[7] == (20, "updated")
+    assert out[3] == (10, "v3")
+    # redelivery no-ops; time travel to v1 sees the pre-update row
+    assert V.upsert_batch_bucketed(spark, b1, t, ["id"], "seq", 1,
+                                   n_buckets=8) is None
+    old = {r["id"]: r["x"]
+           for r in V.read_version_bucketed(spark, t, 1).collect()}
+    assert old[7] == "v7"
+
+
+def test_bucketed_gc_respects_reachability(spark, tmp_path):
+    import os
+
+    from olap_xtrctr_spark.sources import versioned as V
+
+    t = str(tmp_path / "tbl")
+    V.upsert_batch_bucketed(
+        spark, spark.createDataFrame([(i, 1, "a") for i in range(40)],
+                                     "id long, seq long, x string"),
+        t, ["id"], "seq", 0, n_buckets=8)
+    V.upsert_batch_bucketed(
+        spark, spark.createDataFrame([(7, 2, "b")],
+                                     "id long, seq long, x string"),
+        t, ["id"], "seq", 1, n_buckets=8)
+    # v1 is PARTLY live (7 untouched buckets) -> GC from v2 must keep it
+    assert V.gc_unreachable(t, keep_from=2) == []
+    assert os.path.isdir(os.path.join(t, "v00001"))
+    # rewrite everything in epoch 2 -> v1 and v2 become unreachable
+    V.upsert_batch_bucketed(
+        spark, spark.createDataFrame([(i, 3, "c") for i in range(40)],
+                                     "id long, seq long, x string"),
+        t, ["id"], "seq", 2, n_buckets=8)
+    removed = V.gc_unreachable(t, keep_from=3)
+    assert set(removed) == {"v00001", "v00002"}
+    out = {r["id"]: r["x"]
+           for r in V.read_version_bucketed(spark, t).collect()}
+    assert len(out) == 40 and set(out.values()) == {"c"}
