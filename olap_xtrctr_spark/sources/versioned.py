@@ -263,6 +263,16 @@ def upsert_batch_bucketed(spark: SparkSession, batch_df: DataFrame,
     O(touched buckets' data), not O(table), which is what makes the
     merge viable when the keyed table itself is fact-sized.
 
+    MEASURED trade-off (SCALE.md round-6 bucketed-merge probe): the
+    pruning factor is ~min(1, epoch_distinct_keys / n_buckets) —
+    hash bucketing destroys locality by design, so an epoch whose key
+    set is large relative to n_buckets touches every bucket and the
+    simple ``upsert_batch`` is strictly better.  Use THIS form when
+    small epochs hit a large table (measured 3.5x less data rewritten
+    per epoch at 10 keys vs 32 buckets) and size n_buckets well above
+    the per-epoch distinct-key count; the win is rewrite VOLUME (the
+    object-store bill), not local wall-clock at toy sizes.
+
     Same contracts as the simple form: batchId idempotence, in-batch
     max-``order_col`` convergence, expected-parent compare-and-swap.
     ``n_buckets`` is fixed at table creation (recorded in the first
