@@ -303,14 +303,6 @@ def register(add) -> None:
         lambda spark, sf: D.simhash_near_pairs(_docs(spark, sf),
                                                max_hamming=6),
         None)
-    add("emb_lsh_topk",
-        lambda spark, sf: S.lsh_cosine_topk(_emb(spark, sf), [0, 1, 2, 3, 4],
-                                            k=3),
-        None)
-    add("emb_ivf_topk",
-        lambda spark, sf: S.ivf_cosine_topk(_emb(spark, sf), [0, 1, 2, 3, 4],
-                                            k=3),
-        None)
     # product quantization + ADC shortlist + exact re-rank — the
     # compressed-scan serving path (IVFPQ's PQ half).  KMeans codebooks →
     # not SQL-expressible → rows-only; quality contract =
@@ -334,6 +326,41 @@ def register(add) -> None:
                 name, n_vecs, _ANN_GATE_MAX_VECS)
             return True
         return False
+
+    def _hash_index_topk_gated(spark, sf, which: str):
+        emb = _emb(spark, sf)
+        qids = [0, 1, 2, 3, 4]
+        if which == "lsh":
+            out = S.lsh_cosine_topk(emb, qids, k=3)
+            floor = 0.8                   # measured 5/5 at sf0.01
+        else:
+            # n_probe=5 of 8 for the same uniform-corpus reason as the
+            # composed index (measured: 2/5 at the default n_probe=2,
+            # 4/5 at 5); floor >=4/5
+            out = S.ivf_cosine_topk(emb, qids, k=3, n_probe=5)
+            floor = 0.7
+        name = f"emb_{which}_topk"
+        if not _ann_gate_skipped(emb.count(), name):
+            exact1 = {r["query_id"]: r["neighbor_id"]
+                      for r in S.cosine_topk(emb, qids, k=1).collect()}
+            approx = {}
+            for r in out.collect():
+                approx.setdefault(r["query_id"], set()).add(
+                    r["neighbor_id"])
+            hits = sum(1 for q, n1 in exact1.items()
+                       if n1 in approx.get(q, set()))
+            if exact1 and hits / len(exact1) < floor:
+                raise AssertionError(
+                    f"{name}: exact top-1 in approx top-3 for only "
+                    f"{hits}/{len(exact1)} queries (floor {floor})")
+        return out
+
+    add("emb_lsh_topk",
+        lambda spark, sf: _hash_index_topk_gated(spark, sf, "lsh"),
+        None)
+    add("emb_ivf_topk",
+        lambda spark, sf: _hash_index_topk_gated(spark, sf, "ivf"),
+        None)
 
     def _pq_topk_gated(spark, sf, composed: bool):
         emb = _emb(spark, sf)
