@@ -461,3 +461,21 @@ def test_parse_mdx_rejects_mdx_shaped_garbage_cleanly(s):
         parse_mdx("SELECT " + s, "C")
     except MdxParseError:
         pass
+
+
+@settings(deadline=None, max_examples=200)
+@given(st.text(alphabet="SELECT*FROM$system.WHEREORDBYASC[]'=<>, _",
+               max_size=120))
+def test_execute_dmv_rejects_garbage_cleanly(s):
+    """Fuzz the DMV SQL dialect: anything that is not the supported
+    subset raises MdxParseError, never an unrelated exception.
+    (Executed lazily — no SparkSession needed to hit the parser.)"""
+    from olap_xtrctr_spark.mdx import MdxParseError, execute_dmv
+    try:
+        execute_dmv(None, s)           # parser rejects before spark use
+    except MdxParseError:
+        pass
+    except AttributeError:
+        # reached actual execution with spark=None: the string PARSED —
+        # fine, parsing robustness is what this fuzz pins
+        pass
