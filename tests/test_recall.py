@@ -234,3 +234,29 @@ def test_hybrid_search_modes_agree(emb, docs):
         S.hybrid_search(docs, emb, ["x"])
     with pytest.raises(ValueError, match="exactly one"):
         S.hybrid_search(docs, emb, ["x"], query_vec=qvec, query_id=0)
+
+
+def test_ann_entry_gates_fail_loudly_on_collapse(spark, monkeypatch):
+    """The in-entry differential gates must RAISE when the approximate
+    operator degrades — a rows-only driver row must never go green on
+    collapsed recall.  Simulated by monkeypatching the operator to
+    return an empty/duplicate-free result."""
+    import pytest
+
+    from olap_xtrctr_spark.workload import WORKLOAD
+
+    # near-dup pairs: empty output = recall 0 -> gate raises
+    empty_pairs = S.lsh_near_dup_pairs(
+        load_table(spark, SF_RECALL, "embeddings"),
+        threshold=0.45, n_tables=16, bits_per_table=4).limit(0)
+    monkeypatch.setattr(S, "lsh_near_dup_pairs",
+                        lambda *a, **k: empty_pairs)
+    with pytest.raises(AssertionError, match="recall"):
+        WORKLOAD["emb_lsh_near_dup_pairs"].fn(spark, SF_RECALL)
+
+    # top-k: self-matches only -> exact top-1 never found -> gate raises
+    emb = load_table(spark, SF_RECALL, "embeddings")
+    bogus = S.cosine_topk(emb, [0, 1, 2, 3, 4], k=1).limit(0)
+    monkeypatch.setattr(S, "pq_cosine_topk", lambda *a, **k: bogus)
+    with pytest.raises(AssertionError, match="top-1"):
+        WORKLOAD["emb_pq_topk"].fn(spark, SF_RECALL)
