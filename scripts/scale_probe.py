@@ -129,6 +129,11 @@ PROBE_QUERIES = [
     "events_stream_type_drift",
     "docs_quality_threshold_sweep",
     "docs_dedup_impact_report",
+    "cube_calc_measure_avg_price",
+    "cube_topcount_nations",
+    "cube_filter_measure_condition",
+    "events_stream_upsert_latest",
+    "docs_versioned_time_travel",
     # round-5 third wave: containment shares the jaccard posting-list
     # core (dup replicas concentrate pair gen ~FACTOR^2 inside groups,
     # documented above for edit_distance/winnow); DSIR is explode + two
