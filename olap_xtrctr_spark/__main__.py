@@ -79,7 +79,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["compact", "cluster", "zorder", "hilbert",
                             "shards", "verify-shards",
                             "commit-version", "versions",
-                            "rollback-version"])
+                            "rollback-version", "gc-versions"])
     s.add_argument("--src", required=True)
     s.add_argument("--dst", default=None,
                    help="output directory (not needed for verify-shards)")
@@ -88,6 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--target-mb", type=int, default=128)
     s.add_argument("--to-version", type=int, default=None,
                    help="rollback-version target")
+    s.add_argument("--keep-from", type=int, default=None,
+                   help="gc-versions: drop data unreachable from "
+                        "manifests >= this version")
     s.add_argument("--fmt", default="parquet",
                    choices=["parquet", "jsonl"],
                    help="shards output format")
@@ -222,6 +225,12 @@ def run(args, service=None) -> dict:
             from .sources import versioned as V
             return {"versions": V.list_versions(args.src),
                     "schema_changes": V.version_schema_changes(args.src)}
+        if args.op == "gc-versions":
+            from .sources import versioned as V
+            if args.keep_from is None:
+                raise SystemExit("--keep-from required for gc-versions")
+            return {"removed": V.gc_unreachable(args.src,
+                                                args.keep_from)}
         if args.op == "rollback-version":
             from .sources import versioned as V
             if args.to_version is None:

@@ -241,3 +241,19 @@ def test_cli_rollback_version(tmp_path, spark):
         ["maintain", "--op", "rollback-version", "--src", tbl,
          "--to-version", "1"]))
     assert m["version"] == 3 and m["rolled_back_to"] == 1
+
+
+def test_cli_gc_versions(tmp_path, spark):
+    from olap_xtrctr_spark.__main__ import build_parser, run
+    from olap_xtrctr_spark.sources import versioned as V
+
+    tbl = str(tmp_path / "tbl")
+    V.write_version(spark.createDataFrame([(1, "a")],
+                                          "id long, x string"), tbl)
+    V.write_version(spark.createDataFrame([(1, "b")],
+                                          "id long, x string"), tbl)
+    out = run(build_parser().parse_args(
+        ["maintain", "--op", "gc-versions", "--src", tbl,
+         "--keep-from", "2"]))
+    assert out["removed"] == ["v00001"]
+    assert V.read_version(spark, tbl).collect()[0]["x"] == "b"
