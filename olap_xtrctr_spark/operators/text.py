@@ -6,6 +6,8 @@ scale linearly with partitions.
 """
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -80,6 +82,52 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", "lang",
         *[hits[lg].cast("int").alias(f"hits_{lg}") for lg in LANG_STOPWORDS],
+        guess.alias("lang_guess"),
+    )
+
+
+# Character-trigram profiles per language (Cavnar & Trenkle 1994
+# style, hand-distilled to the highest-frequency DISTINCTIVE trigrams
+# of each language — the same closed {en,es,fr,de} universe as the
+# stopword voter).  Spaces mark word boundaries, the signal the
+# original paper leans on.
+LANG_TRIGRAMS = {
+    "en": [" th", "the", "he ", "ing", "nd ", " of", "of ", " an",
+           "and", "ion"],
+    "es": [" de", "de ", " la", "la ", "os ", " qu", "que", "ue ",
+           "ión", " el"],
+    "fr": [" le", "le ", " de", "es ", "ent", " et", "et ", "ion",
+           " la", "que"],
+    "de": ["en ", "er ", " de", "der", "ie ", "ein", "ich", "sch",
+           "und", "ch "],
+}
+
+
+def lang_id_ngram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-n-gram language ID (the Cavnar-Trenkle family, the
+    brief's literal "n-gram heuristic"): count occurrences of each
+    language's distinctive trigram set in the lowercased text and vote
+    — robust where the stopword voter (``lang_id``) is blind, e.g.
+    agglutinated or punctuation-stripped text where word-boundary
+    stopwords never match as whole words.  'und' when nothing hits;
+    ties break by fixed language order.  Pure JVM regexp_count over
+    literal patterns — no Python, no UDF."""
+    t = F.lower(F.col(text_col))
+    hits = {}
+    for lg, grams in LANG_TRIGRAMS.items():
+        pat = "|".join(re.escape(g) for g in grams)
+        hits[lg] = F.regexp_count(t, F.lit(pat))
+    best = F.greatest(*hits.values())
+    guess = (
+        F.when(best == 0, F.lit("und"))
+         .when(hits["en"] == best, F.lit("en"))
+         .when(hits["es"] == best, F.lit("es"))
+         .when(hits["fr"] == best, F.lit("fr"))
+         .otherwise(F.lit("de"))
+    )
+    return docs.select(
+        "doc_id", "lang",
+        *[hits[lg].cast("int").alias(f"tri_{lg}") for lg in LANG_TRIGRAMS],
         guess.alias("lang_guess"),
     )
 

@@ -52,6 +52,34 @@ def register(add) -> None:
                     ELSE 'de' END AS lang_guess
         FROM h""")
 
+    # char-trigram language ID (Cavnar-Trenkle family) — the n-gram
+    # counterpart of the stopword voter; JVM regexp_count vs DuckDB
+    # regexp_extract_all over the identical literal alternations
+    add("docs_lang_id_ngram",
+        lambda spark, sf: TX.lang_id_ngram(_docs(spark, sf)),
+        r"""WITH h AS (
+          SELECT doc_id, lang,
+            CAST(len(regexp_extract_all(lower(text), '\ th|the|he\ |ing|nd\ |\ of|of\ |\ an|and|ion'))
+                 AS INTEGER) AS tri_en,
+            CAST(len(regexp_extract_all(lower(text), '\ de|de\ |\ la|la\ |os\ |\ qu|que|ue\ |ión|\ el'))
+                 AS INTEGER) AS tri_es,
+            CAST(len(regexp_extract_all(lower(text), '\ le|le\ |\ de|es\ |ent|\ et|et\ |ion|\ la|que'))
+                 AS INTEGER) AS tri_fr,
+            CAST(len(regexp_extract_all(lower(text), 'en\ |er\ |\ de|der|ie\ |ein|ich|sch|und|ch\ '))
+                 AS INTEGER) AS tri_de
+          FROM documents)
+        SELECT doc_id, lang, tri_en, tri_es, tri_fr, tri_de,
+               CASE WHEN greatest(tri_en, tri_es, tri_fr, tri_de) = 0
+                    THEN 'und'
+                    WHEN tri_en = greatest(tri_en, tri_es, tri_fr, tri_de)
+                    THEN 'en'
+                    WHEN tri_es = greatest(tri_en, tri_es, tri_fr, tri_de)
+                    THEN 'es'
+                    WHEN tri_fr = greatest(tri_en, tri_es, tri_fr, tri_de)
+                    THEN 'fr'
+                    ELSE 'de' END AS lang_guess
+        FROM h""")
+
     add("docs_quality_score",
         lambda spark, sf: TX.quality_score(_docs(spark, sf)),
         r"""WITH q AS (

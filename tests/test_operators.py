@@ -1516,3 +1516,19 @@ def test_dedup_impact_report_counts(spark):
     # source b's only doc duplicates a's id-0 text -> dropped entirely
     assert (b["n_docs"], b["n_docs_kept"]) == (1, 0)
     assert b["docs_kept_milli"] == 0
+
+
+def test_lang_id_ngram_beats_stopwords_on_stripped_text(spark):
+    """The trigram voter's reason to exist: word-boundary stopwords
+    never match in punctuation-stripped/agglutinated text, trigram
+    substrings still do."""
+    df = spark.createDataFrame(
+        [(0, "theunitedkingdomandthecommonwealthofnations", "en"),
+         (1, "la casa de la gente que vive en el campo", "es")],
+        "doc_id long, text string, lang string")
+    tri = {r["doc_id"]: r["lang_guess"]
+           for r in TX.lang_id_ngram(df).collect()}
+    assert tri[0] == "en" and tri[1] == "es"
+    stop = {r["doc_id"]: r["lang_guess"]
+            for r in TX.lang_id(df).collect()}
+    assert stop[0] == "und"     # the stopword voter is blind here
