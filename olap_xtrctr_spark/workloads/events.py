@@ -686,6 +686,51 @@ def register(add) -> None:
             F.col("ts_right").alias("click_ts"),
             F.col("cv_right").alias("click_value"))
 
+    # same model with a 1-hour staleness tolerance: clicks older than
+    # the window are nulled out, the purchase rows survive — the
+    # asof_join(tolerance_seconds=...) parameter under a full oracle
+    def asof_attribution_tol(spark, sf):
+        from pyspark.sql import Window
+        from ..operators import joins as J
+        ev = _events(spark, sf)
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts",
+            F.col("value").alias("purchase_value"))
+        cw = Window.partitionBy("user_id", "ts") \
+            .orderBy(F.col("event_id").desc())
+        clicks = (ev.filter(F.col("event_type") == "click")
+                  .withColumn("_rn", F.row_number().over(cw))
+                  .filter(F.col("_rn") == 1)
+                  .select("user_id", "ts", F.col("value").alias("cv")))
+        out = J.asof_join(purchases, clicks, key="user_id",
+                          tolerance_seconds=3600)
+        return out.select(
+            "event_id", "user_id", "ts", "purchase_value",
+            F.col("ts_right").alias("click_ts"),
+            F.col("cv_right").alias("click_value"))
+
+    add("events_asof_attribution_tolerance", asof_attribution_tol,
+        """WITH p AS (
+          SELECT event_id, user_id, ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, ts, value AS click_value
+          FROM events WHERE event_type = 'click'
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) = 1),
+        j AS (
+          SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+                 c.ts AS click_ts, c.click_value
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND p.ts >= c.ts)
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               purchase_value,
+               CASE WHEN date_diff('second', click_ts, ts) <= 3600
+                    THEN CAST(click_ts AS TIMESTAMP) END AS click_ts,
+               CASE WHEN date_diff('second', click_ts, ts) <= 3600
+                    THEN click_value END AS click_value
+        FROM j""")
+
     add("events_asof_click_attribution", asof_attribution,
         """WITH p AS (
           SELECT event_id, user_id, ts, value AS purchase_value
