@@ -117,6 +117,13 @@ def build_workload() -> dict[str, QuerySpec]:
     # Order per the gate-window manifest (see _GATE_FRONT above).
     missing = [n for n in _GATE_FRONT if n not in q]
     assert not missing, f"gate manifest names unknown entries: {missing}"
+    assert len(_GATE_FRONT) == _GATE_WINDOW, (
+        f"gate manifest must fill the driver's window exactly: "
+        f"{len(_GATE_FRONT)} names for {_GATE_WINDOW} slots — a short "
+        f"front silently burns slots on build-order entries, a long "
+        f"one silently drops its tail from grading")
+    assert len(set(_GATE_FRONT)) == len(_GATE_FRONT), \
+        "gate manifest contains duplicates"
     assert len(q) > _GATE_WINDOW, \
         "workload shrank below the driver's grading window"
     front = set(_GATE_FRONT)
