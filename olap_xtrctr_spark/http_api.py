@@ -202,6 +202,11 @@ def _diag(service, m, qs, body):
     return 200, service.diagnose_schema()
 
 
+@ROUTES.add("GET", r"/api/diagnostics/properties")
+def _diag_props(service, m, qs, body):
+    return 200, service.get_server_properties()
+
+
 @ROUTES.add("POST", r"/api/export/workbook")
 def _export_workbook(service, m, qs, body):
     """Metadata workbook export (the reference's catalog discovery

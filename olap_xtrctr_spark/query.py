@@ -376,17 +376,28 @@ class CubeQueryEngine:
             raise QueryValidationError(
                 "calculated measures cannot combine with "
                 "[Measures].AllMembers")
-        if not (req.calculated or req.having or req.topcount):
+        if not (req.calculated or req.having or req.topcount
+                or req.order_by):
             bases = self._resolve_measures(cube, req)
             return bases, [m.out_name or m.name for m in bases], []
 
-        selected = req.measures or (list(calc_by_name) if calc_by_name
-                                    else [cube.default_measure])
+        if req.all_measures:    # Q2 AllMembers + FILTER/TOPCOUNT/ORDER
+            selected = [m.name for m in cube.visible_measures()]
+        else:
+            selected = req.measures or (list(calc_by_name) if calc_by_name
+                                        else [cube.default_measure])
         base_names: list[str] = []
         calc_plan = []
         out_aliases: list[str] = []
-        extra_exprs = req.having + (
-            [f"[Measures].[{req.topcount.measure}]"] if req.topcount else [])
+        # Every measure a post-aggregation clause can reference must be
+        # aggregated (or, for a calc, materialized) even when it is not
+        # on the columns axis: FILTER conditions, the TOPCOUNT key, and
+        # the ORDER key alike.
+        extra_exprs = req.having \
+            + ([f"[Measures].[{req.topcount.measure}]"]
+               if req.topcount else []) \
+            + ([f"[Measures].[{req.order_by[0]}]"]
+               if req.order_by else [])
 
         def need_base(name: str) -> None:
             if name in calc_by_name:
@@ -394,30 +405,43 @@ class CubeQueryEngine:
             if name not in base_names:
                 base_names.append(name)
 
+        def compile_calc(name: str):
+            c = calc_by_name[name]
+            builder, refs = parse_measure_expr(c.expr)
+            for r in refs:
+                if r in calc_by_name:
+                    raise QueryValidationError(
+                        f"calculated measure {name!r} references "
+                        f"calculated {r!r}: calc-over-calc is not "
+                        f"in the supported MDX subset")
+                need_base(r)
+            return c, builder
+
         for name in selected:
             if name in calc_by_name:
-                c = calc_by_name[name]
-                builder, refs = parse_measure_expr(c.expr)
-                for r in refs:
-                    if r in calc_by_name:
-                        raise QueryValidationError(
-                            f"calculated measure {name!r} references "
-                            f"calculated {r!r}: calc-over-calc is not "
-                            f"in the supported MDX subset")
-                    need_base(r)
+                c, builder = compile_calc(name)
                 calc_plan.append((c, builder))
                 out_aliases.append(c.alias)
             else:
                 need_base(name)
                 m = cube.measure(name)
                 out_aliases.append(m.out_name or m.name)
+        materialized = {c.name for c, _ in calc_plan}
         for cond in extra_exprs:
             _, refs = parse_measure_expr(cond)
             for r in refs:
-                need_base(r)
+                if r in calc_by_name:
+                    # a clause references a declared calc that is not on
+                    # the columns axis: materialize it anyway (projected
+                    # away in the final select)
+                    if r not in materialized:
+                        calc_plan.append(compile_calc(r))
+                        materialized.add(r)
+                else:
+                    need_base(r)
         # unreferenced declared calcs still compile (fail fast on typos)
         for c in req.calculated:
-            if c.name not in selected:
+            if c.name not in materialized:
                 builder, refs = parse_measure_expr(c.expr)
                 for r in refs:
                     need_base(r)
@@ -539,10 +563,11 @@ class CubeQueryEngine:
             var_dim = cube.dimension(variables[0].dimension)
             var_hier = var_dim.hierarchy(variables[0].hierarchy)
 
-        if (req.calculated or req.having or req.topcount) and variables:
+        if (req.calculated or req.having or req.topcount
+                or req.order_by) and variables:
             raise QueryValidationError(
-                "calculated measures / FILTER / TOPCOUNT do not combine "
-                "with a variables pivot")
+                "calculated measures / FILTER / TOPCOUNT / ORDER do not "
+                "combine with a variables pivot")
         if (req.having or req.topcount) and empty_preserving:
             raise QueryValidationError(
                 "FILTER / TOPCOUNT over an empty-preserving axis is "
@@ -661,9 +686,10 @@ class CubeQueryEngine:
             key = resolve_out(name)
             out = out.orderBy(key.desc() if desc else key.asc(),
                               *[F.col(g) for g in group_names])
-        if calc_plan or req.having or req.topcount:
-            # project LAST to the SELECTED measures, so FILTER/TOPCOUNT
-            # could reference bases that are not in the output
+        if calc_plan or req.having or req.topcount or req.order_by:
+            # project LAST to the SELECTED measures, so FILTER/TOPCOUNT/
+            # ORDER can reference bases or calcs that are not in the
+            # output (Spark keeps the sort order across the projection)
             out = out.select(*group_names, *out_aliases)
 
         if empty_preserving and group_names:

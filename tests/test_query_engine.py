@@ -283,3 +283,97 @@ def test_topcount_ties_and_filter_on_unselected_base(spark, sf_dir):
     expect = dict(sorted(all_rows.items(),
                          key=lambda kv: (-kv[1], kv[0]))[:3])
     assert got == expect
+
+def test_order_by_unselected_measure(spark, sf_dir):
+    """ADVICE r6: ORDER(set, [Measures].[X]) where X is NOT on the
+    columns axis must aggregate X anyway (then project it away)."""
+    from olap_xtrctr_spark.cube import default_registry
+    from olap_xtrctr_spark.query import (AxisItem, CubeQueryEngine,
+                                         QueryRequest)
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    base = QueryRequest(
+        "VENTAS_2025", measures=["Sum Quantity"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation")])
+    qty = {r["nation"]: r["sum_quantity"]
+           for r in eng.execute(base).collect()}
+    req = QueryRequest(
+        "VENTAS_2025", measures=["Sum Extendedprice"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation")],
+        order_by=("Sum Quantity", True))
+    out = eng.execute(req)
+    assert out.columns == ["nation", "sum_extendedprice"]
+    got = [r["nation"] for r in out.collect()]
+    expect = [n for n, _ in sorted(qty.items(),
+                                   key=lambda kv: (-kv[1], kv[0]))]
+    assert got == expect
+
+
+def test_filter_and_topcount_reference_unselected_calc(spark, sf_dir):
+    """ADVICE r6: FILTER/TOPCOUNT referencing a WITH MEMBER calc that
+    is not on the columns axis must materialize the calc column."""
+    from olap_xtrctr_spark.cube import default_registry
+    from olap_xtrctr_spark.query import (AxisItem, CalcMeasure,
+                                         CubeQueryEngine, QueryRequest,
+                                         TopCountSpec)
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    calc = CalcMeasure("Avg Price",
+                       "[Measures].[Sum Extendedprice] / "
+                       "[Measures].[Sum Quantity]")
+    base = QueryRequest(
+        "VENTAS_2025", measures=["Sum Quantity", "Avg Price"],
+        calculated=[calc],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation")])
+    ref = {r["nation"]: (r["sum_quantity"], r["avg_price"])
+           for r in eng.execute(base).collect()}
+    # TOPCOUNT keyed on the unselected calc
+    req = QueryRequest(
+        "VENTAS_2025", measures=["Sum Quantity"], calculated=[calc],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation")],
+        topcount=TopCountSpec(4, "Avg Price"))
+    out = eng.execute(req)
+    assert out.columns == ["nation", "sum_quantity"]
+    got = {r["nation"]: r["sum_quantity"] for r in out.collect()}
+    top4 = sorted(ref.items(), key=lambda kv: (-kv[1][1], kv[0]))[:4]
+    assert got == {n: v[0] for n, v in top4}
+    # FILTER conditioned on the unselected calc
+    req2 = QueryRequest(
+        "VENTAS_2025", measures=["Sum Quantity"], calculated=[calc],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation")],
+        having=["[Measures].[Avg Price] > 0"])
+    out2 = eng.execute(req2)
+    assert out2.columns == ["nation", "sum_quantity"]
+    assert {r["nation"] for r in out2.collect()} \
+        == {n for n, v in ref.items() if v[1] > 0}
+
+
+def test_all_measures_with_topcount_keeps_all_columns(spark, sf_dir):
+    """AllMembers + TOPCOUNT previously silently collapsed to the
+    default measure in the full resolution path."""
+    from olap_xtrctr_spark.cube import default_registry
+    from olap_xtrctr_spark.query import (AxisItem, CubeQueryEngine,
+                                         QueryRequest, TopCountSpec)
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    n_meas = len(default_registry().resolve("VENTAS_2025")
+                 .visible_measures())
+    req = QueryRequest(
+        "VENTAS_2025", all_measures=True,
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation")],
+        topcount=TopCountSpec(3, "Sum Quantity"))
+    out = eng.execute(req)
+    assert len(out.columns) == 1 + n_meas
+    assert out.count() == 3
+
+
+def test_order_by_rejected_with_variables_pivot(spark, sf_dir):
+    from olap_xtrctr_spark.cube import default_registry
+    from olap_xtrctr_spark.query import (AxisItem, CubeQueryEngine,
+                                         QueryRequest,
+                                         QueryValidationError)
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    req = QueryRequest(
+        "VENTAS_2025", measures=["Sum Quantity"],
+        variables=["[DIM VARIABLES2025].[Apartado y Variable].[Apartado].&[Brand#11]"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation")],
+        order_by=("Sum Quantity", True))
+    with pytest.raises(QueryValidationError, match="variables pivot"):
+        eng.execute(req)

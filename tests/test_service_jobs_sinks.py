@@ -277,10 +277,13 @@ def test_diagnose_schema_lists_rowsets(spark, sf_dir):
     assert set(out) == {"DBSCHEMA_CATALOGS", "MDSCHEMA_CUBES",
                         "MDSCHEMA_DIMENSIONS", "MDSCHEMA_HIERARCHIES",
                         "MDSCHEMA_LEVELS", "MDSCHEMA_MEASURES",
-                        "MDSCHEMA_MEMBERS", "MDSCHEMA_PROPERTIES"}
+                        "MDSCHEMA_MEMBERS", "MDSCHEMA_PROPERTIES",
+                        "DISCOVER_SCHEMA_ROWSETS", "DISCOVER_SESSIONS",
+                        "DISCOVER_CONNECTIONS", "DISCOVER_PROPERTIES"}
     assert "PROPERTY_NAME" in out["MDSCHEMA_PROPERTIES"]
     assert "MIEMBRO_UNIQUE_NAME" in out["MDSCHEMA_MEMBERS"]
     assert "LEVEL_NUMBER" in out["MDSCHEMA_LEVELS"]
+    assert "SCHEMA_COLUMNS" in out["DISCOVER_SCHEMA_ROWSETS"]
 
 
 def test_excel_workbook_multi_sheet(spark, tmp_path):
@@ -360,3 +363,57 @@ def test_dmv_catalog_scoped_views_coexist(svc):
     b = {r["CUBE_NAME"] for r in
          svc.spark.table("system_ventas1998_MDSCHEMA_MEASURES").collect()}
     assert a == {"sales"} and b == {"ventas1998"}
+
+
+def test_discover_sessions_reflects_jobs(spark, sf_dir):
+    """DISCOVER_SESSIONS = the jobs registry projected to the rowset the
+    reference's server scan probes (DGIS_SCAN_2_stable.py:266)."""
+    from olap_xtrctr_spark.service import OlapService
+    svc = OlapService(spark, sf_dir)
+    mdx = ("SELECT {[Measures].[Total Registros]} ON COLUMNS "
+           "FROM [sales]")
+    jid = svc.submit_job("VENTAS_2025", mdx)
+    svc.jobs.wait(jid, timeout=60)
+    res = svc.execute_dmv(
+        "SELECT [SESSION_ID], [SESSION_STATUS], "
+        "[SESSION_CURRENT_DATABASE], [SESSION_LAST_COMMAND] "
+        "FROM $system.DISCOVER_SESSIONS "
+        "WHERE [SESSION_CURRENT_DATABASE] = 'VENTAS_2025'")
+    rows = [dict(zip(res["columns"], r)) for r in res["data"]]
+    assert any(r["SESSION_ID"] == jid and r["SESSION_STATUS"] == "COMPLETED"
+               and r["SESSION_LAST_COMMAND"] == mdx for r in rows)
+
+
+def test_discover_connections_and_properties_rowsets(spark, sf_dir):
+    from olap_xtrctr_spark.service import OlapService
+    svc = OlapService(spark, sf_dir)
+    res = svc.execute_dmv("SELECT * FROM $system.DISCOVER_CONNECTIONS")
+    conn = [dict(zip(res["columns"], r)) for r in res["data"]]
+    assert len(conn) == 1
+    assert conn[0]["CONNECTION_ID"] == spark.sparkContext.applicationId
+    assert conn[0]["CONNECTION_HOST_NAME"] == spark.sparkContext.master
+    # DISCOVER_PROPERTIES restriction pushes down like any DMV (M4)
+    props = svc.execute_dmv(
+        "SELECT [PROPERTY_NAME], [VALUE] FROM $system.DISCOVER_PROPERTIES "
+        "WHERE [PROPERTY_NAME] = 'MemberPageSize'")
+    assert props["data"] == [["MemberPageSize", "1000"]]
+    # service-level diagnostics payload (reference full_discovery order)
+    names = {p["PROPERTY_NAME"] for p in svc.get_server_properties()}
+    assert {"ProviderName", "ProviderVersion", "PreviewLimit",
+            "MemberPageSize"} <= names
+
+
+def test_discover_schema_rowsets_lists_itself(spark, sf_dir):
+    from olap_xtrctr_spark.service import OlapService
+    svc = OlapService(spark, sf_dir)
+    res = svc.execute_dmv(
+        "SELECT [SCHEMA_NAME], [SCHEMA_COLUMNS] "
+        "FROM $system.DISCOVER_SCHEMA_ROWSETS")
+    by_name = dict(res["data"])
+    assert "DISCOVER_SCHEMA_ROWSETS" in by_name       # self-describing
+    assert by_name["DBSCHEMA_CATALOGS"] == "CATALOG_NAME,DESCRIPTION"
+    # every advertised rowset is actually queryable through execute_dmv,
+    # with exactly the advertised columns
+    for name in by_name:
+        got = svc.execute_dmv(f"SELECT * FROM $system.{name}")
+        assert got["columns"] == by_name[name].split(",")
