@@ -339,15 +339,8 @@ def upsert_batch_bucketed(spark: SparkSession, batch_df: DataFrame,
     parent_paths = [os.path.join(table_dir, bucket_data[str(b)])
                     for b in touched if str(b) in bucket_data]
     if parent_paths:
-        # one read per bucket path, unioned: the paths live under
-        # DIFFERENT version roots, which Spark's partition discovery
-        # refuses to treat as one table (bounded by n_buckets reads)
-        frames = [spark.read.parquet(pp) for pp in parent_paths]
-        cur = frames[0]
-        for f in frames[1:]:
-            cur = cur.unionByName(f)
-        cur = cur.withColumn("_bucket",
-                             _bucket_expr(key_cols, n_buckets))
+        cur = _read_bucket_paths(spark, parent_paths) \
+            .withColumn("_bucket", _bucket_expr(key_cols, n_buckets))
         keys = deduped.select(*key_cols)
         merged = cur.join(keys, key_cols, "left_anti") \
                     .unionByName(deduped)
@@ -382,6 +375,20 @@ def upsert_batch_bucketed(spark: SparkSession, batch_df: DataFrame,
     return manifest
 
 
+def _read_bucket_paths(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """ONE parquet relation over bucket directories that live under
+    DIFFERENT version roots.  ``recursiveFileLookup`` disables partition
+    discovery (which would otherwise refuse the mixed ``v*/_bucket=*``
+    roots), so the n paths become a single multi-path scan node instead
+    of an n-way union of separate reads — one plan, one scan, one pass
+    of fixed per-read costs (the round-6 probe measured the 32-way
+    union's fixed costs eating the bytes win on small tables).  The
+    ``_bucket`` partition column is NOT inferred in either shape;
+    callers that need it recompute it from the keys."""
+    return (spark.read.option("recursiveFileLookup", "true")
+            .parquet(*paths))
+
+
 def read_version_bucketed(spark: SparkSession, table_dir: str,
                           version: int | None = None) -> DataFrame:
     """Assemble a bucketed version from its manifest's bucket → path
@@ -400,11 +407,7 @@ def read_version_bucketed(spark: SparkSession, table_dir: str,
         return read_version(spark, table_dir, version)
     paths = [os.path.join(table_dir, p)
              for p in manifest["bucket_data"].values()]
-    frames = [spark.read.parquet(pp) for pp in paths]
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    return _read_bucket_paths(spark, paths)
 
 
 def gc_unreachable(table_dir: str, keep_from: int) -> list[str]:

@@ -1,0 +1,388 @@
+"""Events: round-4 second-wave entries.
+
+Entry builders moved VERBATIM from the round-6 ``workloads/events.py``
+(round-7 split, VERDICT r6 task 7); build order inside this module is
+unchanged.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import sampling as SM
+from ..operators import text as TX
+from ..streaming import events as EV
+from ..workload_shared import SUM_D, _docs
+
+
+
+def register(add) -> None:
+    from ..session import load_events as _events
+    from ..session import events_schema as _events_schema
+    # ---- round-4 second wave ------------------------------------------
+
+    # semi-structured extraction: the events `props` JSON column parsed
+    # JVM-side (get_json_object stays in codegen — no Python, no UDF),
+    # aggregated, and top-10'd with an explicit deterministic rank.
+    def props_topk(spark, sf):
+        from pyspark.sql import Window
+        agg = (_events(spark, sf)
+               .select(F.get_json_object("props", "$.k").cast("int")
+                        .alias("k"), "value")
+               .groupBy("k")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(18,4)"))
+                     .cast("double").alias("sum_value")))
+        # nulls LAST to match DuckDB's ASC default (Spark's asc puts
+        # nulls first) — latent k-less-props hardening, no effect today
+        top = agg.orderBy(F.desc("n_events"),
+                          F.asc_nulls_last("k")).limit(10)
+        w = Window.orderBy(F.desc("n_events"),
+                           F.asc_nulls_last("k"))  # 10 rows only
+        return (top.withColumn("rank", F.row_number().over(w))
+                .select("rank", "k", "n_events", "sum_value"))
+
+    add("events_props_topk", props_topk,
+        f"""WITH e AS (
+          SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                 value
+          FROM events),
+        c AS (
+          SELECT k, COUNT(*) AS n_events, {SUM_D('value')} AS sum_value
+          FROM e GROUP BY k)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, k)
+                    AS INTEGER) AS rank, k, n_events, sum_value
+        FROM c ORDER BY n_events DESC, k LIMIT 10""")
+
+    # stream-static broadcast join (the enrichment shape: unbounded
+    # stream ⋈ bounded dimension, no state, no watermark); the bounded
+    # replay equals the batch tier aggregate so the same SQL is the oracle
+    def stream_tiers(spark, sf):
+        return EV.replay_enriched_tiers(spark, sf, _events_schema(spark, sf))
+
+    add("events_stream_enriched_tiers", stream_tiers,
+        f"""WITH tiers(tier, lo, hi) AS (VALUES
+          ('micro', 0.0, 10.0), ('small', 10.0, 50.0),
+          ('mid', 50.0, 150.0), ('large', 150.0, 300.0),
+          ('huge', 300.0, 1000.0))
+        SELECT tier, COUNT(*) AS n_events, {SUM_D('value')} AS sum_value
+        FROM events JOIN tiers ON value >= lo AND value < hi
+        GROUP BY tier""")
+
+    # fixed-size overlapping token chunks (context-window prep):
+    # narrow rowwise posexplode, no shuffle
+    add("docs_chunk_overlap",
+        lambda spark, sf: TX.chunk_overlap(_docs(spark, sf),
+                                           chunk_tokens=32, stride=24),
+        r"""WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0, greatest(len(toks) - 1, 0), 24))
+                   AS chunk_start
+          FROM t)
+        SELECT doc_id,
+               CAST(chunk_start / 24 AS INTEGER) AS chunk_idx,
+               CAST(chunk_start AS BIGINT) AS chunk_start,
+               CAST(len(toks[chunk_start + 1 : chunk_start + 32])
+                    AS BIGINT) AS n_chunk_tokens,
+               array_to_string(toks[chunk_start + 1 : chunk_start + 32], ' ')
+                 AS chunk_text
+        FROM s""")
+
+    # intra-corpus boilerplate: verbatim 8-gram spans shared by >= 3
+    # distinct documents (RefinedWeb-style repeated-span detector)
+    add("docs_boilerplate_ngrams",
+        lambda spark, sf: TX.boilerplate_ngrams(_docs(spark, sf),
+                                                n=8, min_docs=3),
+        r"""WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, greatest(len(toks) - 7, 0) + 1),
+                   i -> array_to_string(toks[i : i + 7], ' '))) AS ngram
+          FROM t)
+        SELECT ngram, COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_occurrences
+        FROM g GROUP BY ngram
+        HAVING COUNT(DISTINCT doc_id) >= 3""")
+
+    # the actionable boilerplate op: drop documents that are MOSTLY
+    # corpus-shared 8-gram spans (template pages that no exact dedup
+    # catches); short docs with no 8-grams are kept
+    add("docs_boilerplate_filter",
+        lambda spark, sf: TX.boilerplate_filter(_docs(spark, sf),
+                                                n=8, min_docs=3,
+                                                max_frac=0.5),
+        r"""WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, greatest(len(toks) - 7, 0) + 1),
+                   i -> array_to_string(toks[i : i + 7], ' '))) AS ngram
+          FROM t),
+        boiler AS (
+          SELECT ngram FROM g GROUP BY ngram
+          HAVING COUNT(DISTINCT doc_id) >= 3),
+        per_doc AS (
+          SELECT g.doc_id, COUNT(*) AS n_grams,
+                 CAST(SUM(CASE WHEN b.ngram IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+          FROM g LEFT JOIN boiler b USING (ngram)
+          GROUP BY g.doc_id)
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        WHERE p.doc_id IS NULL OR p.n_boiler <= 0.5 * p.n_grams""")
+
+    # blocked exact Levenshtein near-dup pairs (the VERIFY-step edit
+    # distance, bounded by (lang, length-bucket) blocking)
+    add("docs_edit_distance_pairs",
+        lambda spark, sf: D.edit_distance_pairs(_docs(spark, sf),
+                                                max_dist=20,
+                                                prefix_chars=80,
+                                                block_width=100),
+        """WITH b AS (
+          SELECT doc_id, lang, substring(text, 1, 80) AS pre,
+                 CAST(floor(length(text) / 100.0) AS BIGINT) AS blk_len
+          FROM documents)
+        SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+               CAST(levenshtein(a.pre, b2.pre) AS INTEGER) AS edit_dist
+        FROM b a JOIN b b2
+          ON a.lang = b2.lang AND a.blk_len = b2.blk_len
+         AND a.doc_id < b2.doc_id
+        WHERE levenshtein(a.pre, b2.pre) <= 20""")
+
+    def chunks_prep(spark, sf):
+        from ..operators.pipeline import prepare_chunks
+        return prepare_chunks(_docs(spark, sf), min_quality=0.63,
+                              chunk_tokens=32, stride=24)
+
+    # chunk-level continuation of prepare_corpus: quality gate ->
+    # keep-first exact dedup -> overlapping chunks, one lineage
+    add("docs_prepare_chunks", chunks_prep,
+        r"""WITH q AS (
+          SELECT doc_id,
+            len(regexp_split_to_array(trim(text), '\s+')) AS q_tok,
+            greatest(length(text), 1) AS q_chr,
+            CAST(len(regexp_extract_all(lower(text),
+              '\b(the|and|of|to|in|is)\b')) AS INTEGER) AS q_stop,
+            CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                 AS INTEGER) AS q_punct
+          FROM documents),
+        passed AS (
+          SELECT d.doc_id, d.text, d.source
+          FROM documents d JOIN q USING (doc_id)
+          WHERE ROUND(
+            (CASE WHEN q_tok >= 10 AND q_tok <= 5000
+                  THEN 0.4 ELSE 0.0 END)
+            + least(q_stop / greatest(q_tok, 1) * 2.0, 0.4)
+            - least(q_punct / q_chr * 5.0, 0.2)
+            + (CASE WHEN q_chr / greatest(q_tok, 1) >= 3.0
+                     AND q_chr / greatest(q_tok, 1) <= 12.0
+                    THEN 0.2 ELSE 0.0 END), 4) >= 0.63),
+        fp AS (
+          SELECT doc_id, text, source,
+                 md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                   AS fingerprint
+          FROM passed),
+        kept AS (
+          SELECT doc_id, text, source FROM fp
+          WHERE doc_id = (SELECT MIN(f2.doc_id) FROM fp f2
+                          WHERE f2.fingerprint = fp.fingerprint)),
+        t AS (
+          SELECT doc_id, source,
+                 regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM kept),
+        s AS (
+          SELECT doc_id, source, toks,
+                 unnest(generate_series(0, greatest(len(toks) - 1, 0), 24))
+                   AS chunk_start
+          FROM t)
+        SELECT doc_id, source,
+               CAST(chunk_start / 24 AS INTEGER) AS chunk_idx,
+               CAST(chunk_start AS BIGINT) AS chunk_start,
+               CAST(len(toks[chunk_start + 1 : chunk_start + 32])
+                    AS BIGINT) AS n_chunk_tokens,
+               array_to_string(toks[chunk_start + 1 : chunk_start + 32], ' ')
+                 AS chunk_text
+        FROM s""")
+
+    # temperature re-weighted source mixing rates (weight ∝ n_tokens^T):
+    # one bounded-domain aggregation + broadcast scalar normalizer
+    add("docs_temperature_mix_rates",
+        lambda spark, sf: SM.temperature_mix_rates(_docs(spark, sf),
+                                                   temperature=0.7),
+        r"""WITH per_src AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                      AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        w AS (
+          SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.7) AS _w
+          FROM per_src),
+        tot AS (SELECT SUM(_w) AS _wsum FROM w)
+        SELECT source, n_docs, n_tokens,
+               ROUND(_w / _wsum, 6) AS mix_rate
+        FROM w, tot""")
+
+    def stream_session_tracker(spark, sf):
+        from ..streaming.stateful import streaming_session_tracker
+        sdf = streaming_session_tracker(
+            spark, sf, _events_schema(spark, sf), gap_seconds=1800,
+            glob="events.parquet")
+        return EV.drain_stream_to_table(
+            spark, sdf, "events_stream_session_tracker",
+            output_mode="append")
+
+    # custom stateful operator with EVENT-TIME TIMEOUT
+    # (applyInPandasWithState): emits each closed session exactly once —
+    # closed in-batch by a later event, or flushed by the timeout
+    # callback once the watermark passes last_event + gap.  The bounded
+    # replay's emission set is deterministic, so a full SQL oracle
+    # applies: all sessions except each user's final one, UNLESS the
+    # final watermark (max ts - 1 s, in engine milliseconds) passed its
+    # deadline — the exact ms arithmetic the state store uses.
+    add("events_stream_session_tracker", stream_session_tracker,
+        """WITH s AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(epoch_us(ts)) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)
+                      IS NULL THEN 1
+                      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800000000 THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        sess AS (
+          SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM s),
+        agg AS (
+          SELECT user_id, sid,
+                 MIN(ts) AS session_start, MAX(ts) AS session_end,
+                 COUNT(*) AS n_events
+          FROM sess GROUP BY user_id, sid),
+        agg2 AS (
+          SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+          FROM agg),
+        mx AS (SELECT MAX(ts) AS max_ts FROM events)
+        SELECT user_id, session_start, session_end,
+               CAST(n_events AS BIGINT) AS n_events
+        FROM agg2, mx
+        WHERE sid < max_sid
+           OR (epoch_us(session_end) + 1800000000) // 1000
+              < epoch_us(max_ts) // 1000 - 1000""")
+
+    # incremental materialized-view discipline: two partial rollups
+    # (disjoint halves of the corpus) merged on the rollup grain must
+    # equal the single-pass rollup — the oracle IS the full rollup
+    def rollup_incremental(spark, sf):
+        ev = _events(spark, sf)
+        old = EV.hourly_rollup(ev.filter(F.col("event_id") % 2 == 0))
+        delta = EV.hourly_rollup(ev.filter(F.col("event_id") % 2 == 1))
+        return EV.merge_rollup(old, delta)
+
+    add("events_rollup_incremental", rollup_incremental,
+        f"""SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(*) AS n_events,
+               {SUM_D('value')} AS sum_value
+        FROM events
+        GROUP BY 1, 2""")
+
+    # VARIANT semi-structured path (Spark 4 binary-encoded JSON): parse
+    # once, typed variant_get extraction, aggregate per key range — the
+    # modern lakehouse alternative to per-query string JSON parsing
+    add("events_props_variant_stats",
+        lambda spark, sf: (_events(spark, sf)
+            .select(F.parse_json("props").alias("v"), "value")
+            .select(F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+                    "value")
+            .groupBy(F.floor(F.col("k") / 10).cast("int")
+                      .alias("k_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count_distinct("k").alias("n_distinct_k"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                  .cast("double").alias("sum_value"))),
+        f"""WITH e AS (
+          SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                 value
+          FROM events)
+        SELECT CAST(FLOOR(k / 10.0) AS INTEGER) AS k_bucket,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT k) AS n_distinct_k,
+               {SUM_D('value')} AS sum_value
+        FROM e GROUP BY 1""")
+
+    # value-based activity deciles: the cumulative window runs over
+    # DISTINCT event-count values (bounded), never over users — the
+    # scalable replacement for a global NTILE ranking
+    add("events_user_deciles",
+        lambda spark, sf: EV.user_activity_deciles(_events(spark, sf)),
+        """WITH ua AS (
+          SELECT user_id, COUNT(*) AS n_events FROM events
+          GROUP BY user_id),
+        vc AS (
+          SELECT n_events, COUNT(*) AS n_users_v FROM ua
+          GROUP BY n_events),
+        tot AS (SELECT COUNT(*) AS _total FROM ua),
+        vd AS (
+          SELECT n_events, n_users_v,
+                 CAST(least(CEIL((SUM(n_users_v) OVER
+                     (ORDER BY n_events DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     * 10) / _total), 10) AS INTEGER) AS decile
+          FROM vc, tot)
+        SELECT decile,
+               CAST(SUM(n_users_v) AS BIGINT) AS n_users,
+               MIN(n_events) AS min_events,
+               MAX(n_events) AS max_events,
+               CAST(SUM(n_events * n_users_v) AS BIGINT) AS total_events
+        FROM vd GROUP BY decile""")
+
+    # sequential-pattern mining lite: most common consecutive event-type
+    # trigrams across user timelines (one user_id shuffle + bounded-key
+    # count + TakeOrderedAndProject — no self-join)
+    add("events_type_trigrams",
+        lambda spark, sf: EV.event_type_sequences(_events(spark, sf),
+                                                  n=3, k=15),
+        """WITH s AS (
+          SELECT event_type AS t1,
+                 lead(event_type, 1) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+                 lead(event_type, 2) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+          FROM events),
+        c AS (
+          SELECT t1 || ' > ' || t2 || ' > ' || t3 AS seq,
+                 COUNT(*) AS n_occurrences
+          FROM s WHERE t3 IS NOT NULL
+          GROUP BY 1)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, seq)
+                    AS INTEGER) AS rank, seq, n_occurrences
+        FROM c ORDER BY n_occurrences DESC, seq LIMIT 15""")
+
+    # mergeable one-pass approximate quantiles (approx_percentile = GK
+    # sketch): the 100 TB path where the exact milli-quantized sort of
+    # events_value_percentiles is too hot.  Rows-only: the sketch's
+    # merge error is engine-specific; tests/test_operators.py pins each
+    # estimate within 1% of the exact quantile.
+    add("events_value_quantiles_approx",
+        lambda spark, sf: (_events(spark, sf)
+            .groupBy("event_type")
+            .agg(F.percentile_approx(
+                    "value", [0.5, 0.9, 0.99], 10_000)
+                  .alias("q50_q90_q99"))
+            .select("event_type",
+                    F.col("q50_q90_q99")[0].alias("q50"),
+                    F.col("q50_q90_q99")[1].alias("q90"),
+                    F.col("q50_q90_q99")[2].alias("q99"))),
+        None)

@@ -1,0 +1,494 @@
+"""Token-level pair generators: jaccard / DSIR / BM25 / containment / winnowing.
+
+Entry builders moved VERBATIM from the round-6 ``workloads/similarity.py``
+(round-7 split, VERDICT r6 task 7); build order inside this module is
+unchanged.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from ..operators import dedup as D
+from ..operators import sampling as SM
+from ..operators import similarity as S
+from ..operators import text as TX
+from ..workload_shared import (_docs, _emb)
+
+
+def register(add) -> None:
+    # max_doc_freq: finite stop-shingle cap (well above the observed max
+    # df at test SFs — 25 at sf0.1 — so results here are exact; at corpus
+    # scale it bounds the O(df^2) pair blowup and logs what it drops).
+    # Oracle shingles use clamped list slicing (t[i:i+2]) to match Spark's
+    # F.slice truncation for docs shorter than n tokens.
+    add("docs_ngram_jaccard_pairs",
+        lambda spark, sf: D.ngram_jaccard_pairs(_docs(spark, sf), n=3,
+                                                threshold=0.2,
+                                                max_doc_freq=1000),
+        r"""WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          FROM toks),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(i / (sa.sz + sb.sz - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i / (sa.sz + sb.sz - i) >= 0.2""")
+
+    # DSIR data selection (hashed-ngram importance weights): per-bucket
+    # log-likelihood ratios frozen to integer micro-units once per
+    # corpus, so each doc's weight is exact integer arithmetic — the
+    # single ln happens n_buckets times, never per document, keeping the
+    # cross-engine comparison bit-exact.  DuckDB SUM(BIGINT) → HUGEINT,
+    # hence the final CASTs (the r4 anomalies lesson).
+    add("docs_dsir_weights",
+        lambda spark, sf: SM.dsir_importance_weights(
+            _docs(spark, sf), F.col("source") == "src0"),
+        r"""WITH d AS (
+          SELECT doc_id, source = 'src0' AS is_target,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        f AS (
+          SELECT doc_id, is_target, unnest(list_concat(t,
+                   list_transform(
+                     generate_series(1, greatest(len(t) - 1, 0)),
+                     i -> concat(t[i], ' ', t[i+1])))) AS feat
+          FROM d),
+        b AS (
+          SELECT doc_id, is_target,
+                 TRY_CAST(concat('0x', substr(md5(concat('f:', feat)),
+                   1, 15)) AS BIGINT) % 1024 AS bucket
+          FROM f),
+        dc AS (SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        corpus AS (
+          SELECT bucket, COUNT(*) AS cr,
+                 SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+          FROM b GROUP BY 1),
+        tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM corpus),
+        llr AS (
+          SELECT bucket, CAST(ROUND((LN(ct + 1) - LN(tt + 1024)
+                   - LN(cr + 1) + LN(tr + 1024)) * 1e6) AS BIGINT)
+                 AS llr_micro
+          FROM corpus, tot)
+        SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+               CAST(SUM(c * llr_micro) AS BIGINT) AS weight_micro
+        FROM dc JOIN llr USING (bucket)
+        GROUP BY 1""")
+
+    # the selection half of DSIR: top-k docs by importance weight,
+    # deterministic ties by id (TakeOrderedAndProject — no global sort)
+    add("docs_dsir_top_docs",
+        lambda spark, sf: SM.dsir_select_top_k(
+            _docs(spark, sf), F.col("source") == "src0", k=50),
+        r"""WITH base AS (WITH d AS (
+            SELECT doc_id, source = 'src0' AS is_target,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS t
+            FROM documents),
+          f AS (
+            SELECT doc_id, is_target, unnest(list_concat(t,
+                     list_transform(
+                       generate_series(1, greatest(len(t) - 1, 0)),
+                       i -> concat(t[i], ' ', t[i+1])))) AS feat
+            FROM d),
+          b AS (
+            SELECT doc_id, is_target,
+                   TRY_CAST(concat('0x', substr(md5(concat('f:', feat)),
+                     1, 15)) AS BIGINT) % 1024 AS bucket
+            FROM f),
+          dc AS (SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+          corpus AS (
+            SELECT bucket, COUNT(*) AS cr,
+                   SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+            FROM b GROUP BY 1),
+          tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM corpus),
+          llr AS (
+            SELECT bucket, CAST(ROUND((LN(ct + 1) - LN(tt + 1024)
+                     - LN(cr + 1) + LN(tr + 1024)) * 1e6) AS BIGINT)
+                   AS llr_micro
+            FROM corpus, tot)
+          SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+                 CAST(SUM(c * llr_micro) AS BIGINT) AS weight_micro
+          FROM dc JOIN llr USING (bucket)
+          GROUP BY 1
+          )
+        SELECT CAST(ROW_NUMBER() OVER (
+                 ORDER BY weight_micro DESC, doc_id) AS INTEGER) AS rank,
+               doc_id, n_feats, weight_micro
+        FROM base
+        ORDER BY weight_micro DESC, doc_id
+        LIMIT 50""")
+
+    # stochastic DSIR via Gumbel-top-k with a DETERMINISTIC noise
+    # source (md5-bucket uniform -> -ln(-ln(u))), integer micro-units
+    # before comparison — reproducible resampling any engine replays
+    add("docs_dsir_gumbel_sample",
+        lambda spark, sf: SM.dsir_gumbel_sample(
+            _docs(spark, sf), F.col("source") == "src0", k=50),
+        r"""WITH base AS (WITH d AS (
+            SELECT doc_id, source = 'src0' AS is_target,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS t
+            FROM documents),
+          f AS (
+            SELECT doc_id, is_target, unnest(list_concat(t,
+                     list_transform(
+                       generate_series(1, greatest(len(t) - 1, 0)),
+                       i -> concat(t[i], ' ', t[i+1])))) AS feat
+            FROM d),
+          b AS (
+            SELECT doc_id, is_target,
+                   TRY_CAST(concat('0x', substr(md5(concat('f:', feat)),
+                     1, 15)) AS BIGINT) % 1024 AS bucket
+            FROM f),
+          dc AS (SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+          corpus AS (
+            SELECT bucket, COUNT(*) AS cr,
+                   SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+            FROM b GROUP BY 1),
+          tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM corpus),
+          llr AS (
+            SELECT bucket, CAST(ROUND((LN(ct + 1) - LN(tt + 1024)
+                     - LN(cr + 1) + LN(tr + 1024)) * 1e6) AS BIGINT)
+                   AS llr_micro
+            FROM corpus, tot)
+          SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+                 CAST(SUM(c * llr_micro) AS BIGINT) AS weight_micro
+          FROM dc JOIN llr USING (bucket)
+          GROUP BY 1
+          ),
+        keyed AS (
+          SELECT doc_id, weight_micro,
+                 CAST(ROUND(weight_micro / 1.0) AS BIGINT)
+                 + CAST(ROUND(-LN(-LN((TRY_CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':dsir-gumbel-v1')), 1, 15)) AS BIGINT) % 10000
+                     + 0.5) / 10000.0)) * 1e6) AS BIGINT) AS key_micro
+          FROM base)
+        SELECT CAST(ROW_NUMBER() OVER (
+                 ORDER BY key_micro DESC, doc_id) AS INTEGER) AS rank,
+               doc_id, weight_micro, key_micro
+        FROM keyed
+        ORDER BY key_micro DESC, doc_id
+        LIMIT 50""")
+
+    # BM25 ranked retrieval — idf frozen to micro-units per TERM (the
+    # only ln), each (doc,term) contribution rounded to integer milli
+    # BEFORE the per-doc sum → order-independent exact integer score
+    add("docs_bm25_topk",
+        lambda spark, sf: TX.bm25_topk(_docs(spark, sf),
+                                       ["hash", "join", "stream"], k=10),
+        r"""WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(
+                   trim(lower(text)), '\s+')) AS token
+          FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT)
+                  AS total_len FROM dl),
+        hits AS (SELECT doc_id, token FROM toks
+                 WHERE token IN ('hash', 'join', 'stream')),
+        dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+                  FROM hits GROUP BY 1),
+        idf AS (
+          SELECT token, CAST(ROUND(LN((n_docs - df + 0.5) / (df + 0.5)
+                   + 1.0) * 1e6) AS BIGINT) AS idf_micro
+          FROM dfreq, tot),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf
+               FROM hits GROUP BY 1, 2),
+        contrib AS (
+          SELECT tf.doc_id, CAST(ROUND(
+                   idf_micro * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75
+                     * (dl * n_docs / total_len)))) / 1000.0)
+                 AS BIGINT) AS contrib_milli
+          FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+          JOIN idf ON idf.token = tf.token, tot),
+        scored AS (
+          SELECT doc_id, CAST(SUM(contrib_milli) AS BIGINT)
+                   AS score_milli,
+                 COUNT(*) AS n_terms_hit
+          FROM contrib GROUP BY 1)
+        SELECT CAST(ROW_NUMBER() OVER (
+                 ORDER BY score_milli DESC, doc_id) AS INTEGER) AS rank,
+               doc_id, n_terms_hit, score_milli
+        FROM scored
+        ORDER BY score_milli DESC, doc_id
+        LIMIT 10""")
+
+    # asymmetric containment |A∩B| / min(|A|,|B|) over the same shingle
+    # sets — the doc-inside-doc detector Jaccard structurally misses
+    # when sizes differ.  contained_id = the smaller side (ties → id_a).
+    _CONTAINMENT_SQL = r"""WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          FROM toks),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(i / LEAST(sa.sz, sb.sz), 4) AS containment,
+               CASE WHEN sb.sz < sa.sz THEN id_b ELSE id_a END
+                 AS contained_id
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i / LEAST(sa.sz, sb.sz) >= 0.5"""
+
+    add("docs_containment_pairs",
+        lambda spark, sf: D.ngram_containment_pairs(_docs(spark, sf), n=3,
+                                                    threshold=0.5,
+                                                    max_doc_freq=1000),
+        _CONTAINMENT_SQL)
+
+    # PPJoin prefix-filtered variant: bit-identical contract (same
+    # oracle), different cost profile — see the operator docstring for
+    # the measured trade-off and when to pick which
+    add("docs_containment_pairs_prefix",
+        lambda spark, sf: D.ngram_containment_pairs_prefix(
+            _docs(spark, sf), n=3, threshold=0.5, max_doc_freq=1000),
+        _CONTAINMENT_SQL)
+
+    # winnowing (Schleimer et al. 2003): substring-level fingerprints —
+    # shared token runs of length >= w+k-1 guarantee a shared fingerprint.
+    # Oracle mirrors the selection exactly: sliding-window MIN over the
+    # 60-bit md5 gram hashes via a ROWS window frame, then DISTINCT.
+    _WINNOW_WINS_SQL = r"""WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, i,
+                 TRY_CAST(concat('0x', substr(md5(
+                   array_to_string(t[i:i+3], ' ')), 1, 15)) AS BIGINT) AS h,
+                 len(t) - 3 AS n_grams
+          FROM toks, LATERAL (SELECT UNNEST(generate_series(
+            1, greatest(len(t) - 3, 0))) AS i) u),
+        wins AS (
+          SELECT doc_id,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW
+                              AND 4 FOLLOWING) AS fp,
+                 i, n_grams
+          FROM grams),
+        wfil AS (
+          SELECT doc_id, i, fp, n_grams
+          FROM wins WHERE i <= greatest(n_grams - 4, 1))"""
+
+    _WINNOW_FPS_SQL = _WINNOW_WINS_SQL + """
+        SELECT DISTINCT doc_id, fp FROM wfil"""
+
+    add("docs_winnow_fingerprints",
+        lambda spark, sf: D.winnow_fingerprints(_docs(spark, sf), k=4, w=5),
+        _WINNOW_FPS_SQL)
+
+    # max_doc_freq mirrors the 100 TB stop-fingerprint guard in BOTH
+    # engines (no fp reaches it at this SF — the semantics contract is
+    # what's under test, like ngram_jaccard's 1000 cap)
+    add("docs_winnow_dup_pairs",
+        lambda spark, sf: D.winnow_dup_pairs(_docs(spark, sf), k=4, w=5,
+                                             min_shared=2,
+                                             max_doc_freq=1000),
+        f"""WITH fps AS ({_WINNOW_FPS_SQL}),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM fps GROUP BY doc_id),
+        dfreq AS (SELECT fp, COUNT(*) AS nd FROM fps GROUP BY fp),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 COUNT(*) AS n_shared
+          FROM fps a JOIN fps b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id
+          JOIN dfreq d ON d.fp = a.fp AND d.nd <= 1000
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, n_shared,
+               CAST((n_shared * 1000) // least(sa.sz, sb.sz)
+                    AS BIGINT) AS containment_milli
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_shared >= 2""")
+
+    add("docs_winnow_match_spans",
+        lambda spark, sf: D.winnow_match_spans(_docs(spark, sf), k=4,
+                                               w=5, min_shared=2,
+                                               max_doc_freq=1000),
+        _WINNOW_WINS_SQL + """,
+        fps AS (SELECT DISTINCT doc_id, fp FROM wfil),
+        dfreq AS (SELECT fp, COUNT(*) AS nd FROM fps GROUP BY 1),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM fps a JOIN fps b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id
+          JOIN dfreq d ON d.fp = a.fp AND d.nd <= 1000
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        dirs AS (
+          SELECT id_a AS doc_id, id_b AS other_id FROM shared
+          UNION ALL
+          SELECT id_b, id_a FROM shared),
+        matched AS (
+          SELECT b.doc_id, b.other_id, w.i - 1 AS pos, w.n_grams
+          FROM dirs b
+          JOIN fps pf ON pf.doc_id = b.other_id
+          JOIN wfil w ON w.doc_id = b.doc_id AND w.fp = pf.fp),
+        sp AS (
+          SELECT doc_id, other_id, pos, n_grams,
+                 CASE WHEN pos - lag(pos) OVER
+                        (PARTITION BY doc_id, other_id ORDER BY pos) > 5
+                      THEN 1 ELSE 0 END AS new_span
+          FROM matched),
+        sp2 AS (
+          SELECT *, SUM(new_span) OVER
+                   (PARTITION BY doc_id, other_id ORDER BY pos
+                    ROWS UNBOUNDED PRECEDING) AS span
+          FROM sp)
+        SELECT doc_id, other_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               -- clamp to the last real token index (n_grams + k - 2)
+               -- for sub-w-gram docs with one truncated window
+               CAST(least(MAX(pos) + 7, MAX(n_grams) + 2)
+                    AS BIGINT) AS span_end,
+               COUNT(*) AS n_windows
+        FROM sp2 GROUP BY doc_id, other_id, span""")
+
+    # span-LEVEL dedup (Lee et al. 2022 move): the later doc of every
+    # matched span loses the covered tokens; earliest occurrence keeps
+    # its text.  Cleaned text is over the winnowing tokenization
+    # (lowercased, whitespace-normalized) — span offsets index those
+    # tokens.  Fully-covered duplicates stay present with empty text.
+    add("docs_winnow_span_dedup",
+        lambda spark, sf: D.winnow_span_dedup(_docs(spark, sf), k=4,
+                                              w=5, min_shared=2,
+                                              max_doc_freq=1000),
+        _WINNOW_WINS_SQL + """,
+        fps AS (SELECT DISTINCT doc_id, fp FROM wfil),
+        dfreq AS (SELECT fp, COUNT(*) AS nd FROM fps GROUP BY 1),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM fps a JOIN fps b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id
+          JOIN dfreq d ON d.fp = a.fp AND d.nd <= 1000
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        dirs AS (
+          SELECT id_a AS doc_id, id_b AS other_id FROM shared
+          UNION ALL
+          SELECT id_b, id_a FROM shared),
+        matched AS (
+          SELECT b.doc_id, b.other_id, w.i - 1 AS pos, w.n_grams
+          FROM dirs b
+          JOIN fps pf ON pf.doc_id = b.other_id
+          JOIN wfil w ON w.doc_id = b.doc_id AND w.fp = pf.fp),
+        sp AS (
+          SELECT doc_id, other_id, pos, n_grams,
+                 CASE WHEN pos - lag(pos) OVER
+                        (PARTITION BY doc_id, other_id ORDER BY pos) > 5
+                      THEN 1 ELSE 0 END AS new_span
+          FROM matched),
+        sp2 AS (
+          SELECT *, SUM(new_span) OVER
+                   (PARTITION BY doc_id, other_id ORDER BY pos
+                    ROWS UNBOUNDED PRECEDING) AS span
+          FROM sp),
+        spans AS (
+          SELECT doc_id, other_id,
+                 MIN(pos) AS span_start,
+                 least(MAX(pos) + 7, MAX(n_grams) + 2) AS span_end
+          FROM sp2 GROUP BY doc_id, other_id, span),
+        myspans AS (
+          SELECT doc_id, span_start, span_end
+          FROM spans WHERE doc_id > other_id),
+        tok AS (
+          SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok, len(t) AS orig
+          FROM toks, LATERAL (SELECT UNNEST(generate_series(
+            1, len(t))) AS i) u),
+        removed AS (
+          SELECT DISTINCT t.doc_id, t.pos
+          FROM tok t JOIN myspans s
+            ON s.doc_id = t.doc_id
+           AND t.pos BETWEEN s.span_start AND s.span_end),
+        kept AS (
+          SELECT t.* FROM tok t
+          LEFT JOIN removed r ON r.doc_id = t.doc_id AND r.pos = t.pos
+          WHERE r.doc_id IS NULL),
+        agg AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                 COUNT(*) AS n_kept
+          FROM kept GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(a.clean_text, '') AS clean_text,
+               CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_split_to_array(trim(lower(d.text)),
+                    '\\s+')) - COALESCE(a.n_kept, 0) AS BIGINT)
+                 AS n_tokens_removed
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""")
+
+    # per-source before/after table of an exact-dedup run, for
+    # recomputing mixing weights on POST-dedup token masses
+    add("docs_dedup_impact_report",
+        lambda spark, sf: D.dedup_impact_report(_docs(spark, sf)),
+        r"""WITH slim AS (
+          SELECT doc_id, source, md5(text) AS h,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS nt
+          FROM documents),
+        fl AS (
+          SELECT source, nt,
+                 CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY h)
+                      THEN 1 ELSE 0 END AS kept
+          FROM slim)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(kept) AS BIGINT) AS n_docs_kept,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens,
+               CAST(SUM(nt * kept) AS BIGINT) AS n_tokens_kept,
+               CAST((SUM(kept) * 1000) // COUNT(*) AS BIGINT)
+                 AS docs_kept_milli,
+               CAST((SUM(nt * kept) * 1000) // greatest(SUM(nt), 1)
+                    AS BIGINT) AS tokens_kept_milli
+        FROM fl GROUP BY source""")
+
+    # per-doc n-gram novelty: fraction of a doc's shingles it is the
+    # corpus-wide FIRST owner of — originator-vs-echo signal with NO
+    # pair generation (linear in shingles at any duplication depth)
+    add("docs_ngram_novelty",
+        lambda spark, sf: D.ngram_novelty(_docs(spark, sf), n=3),
+        r"""WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          FROM toks),
+        first AS (SELECT shingle, MIN(doc_id) AS f FROM sh GROUP BY 1)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN doc_id = f THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST((SUM(CASE WHEN doc_id = f THEN 1 ELSE 0 END) * 1000)
+                    // COUNT(*) AS BIGINT) AS novelty_milli
+        FROM sh JOIN first USING (shingle)
+        GROUP BY doc_id""")
+
+    add("docs_winnow_dup_extent",
+        lambda spark, sf: D.winnow_dup_extent(_docs(spark, sf), k=4, w=5),
+        _WINNOW_WINS_SQL + """,
+        dfreq AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd
+                  FROM wfil GROUP BY 1)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_shared_windows,
+               CAST((SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000)
+                    // COUNT(*) AS BIGINT) AS shared_milli
+        FROM wfil JOIN dfreq USING (fp)
+        GROUP BY doc_id""")

@@ -283,3 +283,19 @@ def test_topcount_compiles_to_take_ordered(spark, sf_dir):
         topcount=TopCountSpec(5, "Sum Quantity")))
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan, plan[:600]
+
+def test_workload_module_size_budget():
+    """Round-7 split guard: no workloads module grows past 900 lines
+    again (the size that forced the r5 workload.py split), and the
+    aggregator modules re-export the verbatim sections in the same
+    build order (asserted structurally at import by the gate-window
+    manifest checks in workload.py)."""
+    import glob
+    import os
+
+    import olap_xtrctr_spark.workloads as W
+
+    for path in glob.glob(os.path.join(os.path.dirname(W.__file__),
+                                       "*.py")):
+        n = sum(1 for _ in open(path, encoding="utf-8"))
+        assert n <= 900, f"{os.path.basename(path)} has {n} lines"
