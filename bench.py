@@ -63,11 +63,29 @@ def main() -> None:
     # to the measured sf0.1 runs (the warm-up reads DIFFERENT files, so no
     # data from the measured scale factor is pre-cached).
     spark.range(1).count()
+    t_warm = time.perf_counter()
     for name in HEADLINE:
         try:
             WORKLOAD[name].fn(spark, WARMUP_SF_DIR).count()
         except Exception as exc:  # a broken warm-up must not kill the bench
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+    warmup_sec = round(time.perf_counter() - t_warm, 3)
+
+    # Host-state calibration (VERDICT r6 task 8): a fixed synthetic job
+    # whose cost is independent of the workload under test.  Comparing
+    # calibration_job_sec across BENCH_rN files separates host drift
+    # (calibration moved too) from plan regressions (calibration stable,
+    # query moved) without cross-referencing BASELINE.md prose.  Median
+    # of 3 shuffling aggregations over 50M generated rows — CPU + shuffle
+    # bound, no file I/O, deterministic input.
+    def calib_once() -> float:
+        t0 = time.perf_counter()
+        (spark.range(50_000_000)
+         .selectExpr("id % 1000 AS k", "id AS v")
+         .groupBy("k").sum("v").count())
+        return time.perf_counter() - t0
+
+    calib = sorted(calib_once() for _ in range(3))[1]
 
     # Prime the persistent members/guard caches for the measured SF —
     # they are cross-process infrastructure (fingerprint-keyed parquet
@@ -127,6 +145,10 @@ def main() -> None:
         "value_median": round(sum(med(ts) for ts in passes.values()), 3),
         "n_passes": n_passes,
         "failed": failed,
+        # host-state covariates: compare against other rounds' values
+        # before reading any total as a plan change
+        "calibration_job_sec": round(calib, 3),
+        "calibration_warmup_sec": warmup_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -142,6 +142,14 @@ PROBE_QUERIES = [
     "docs_containment_pairs",
     "docs_dsir_weights",
     "events_stream_unconverted_clicks",
+    # round-7: the as-of family (VERDICT r6 task 5) — as-of joins are
+    # the classic skew trap; key-shifted users keep per-user click
+    # streams narrow while the user count grows FACTOR x, so the probe
+    # checks the union+window shape scales with users, not pairs
+    "events_asof_click_attribution",
+    "events_asof_attribution_tolerance",
+    "events_first_touch_attribution",
+    "events_linear_attribution",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
