@@ -124,6 +124,45 @@ def ivf_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
                           F.round("cos", 4).alias("cosine")))
 
 
+def cluster_balanced_sample(emb: DataFrame, k_per_cluster: int,
+                            n_clusters: int = 16,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            seed: int = 42,
+                            salt: str = "cbal-v1") -> DataFrame:
+    """Diversity-preserving subsample: KMeans the embedding space into
+    ``n_clusters`` cells, keep a DETERMINISTIC hash-rank sample of at
+    most ``k_per_cluster`` vectors per cell — the cluster-balanced
+    curation move (sample per semantic region instead of uniformly, so
+    a head-heavy corpus cannot crowd the tail out of the training mix;
+    the per-cell companion of SemDeDup's drop-within-cell).
+
+    Scale shape: clustering is distributed (pyspark.ml KMeans, only the
+    n_clusters x dim centroids on the driver); the per-cell rank is one
+    window over the cell key (hash order = reproducible permutation,
+    same discipline as ``sampling.sample_k_per_group``); cells smaller
+    than k are returned whole.  Output: (id, cluster, rank) — rows-only
+    with in-entry structural checks (KMeans cell ids are not
+    SQL-expressible)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>"))
+        .alias("features"))
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10,
+                   featuresCol="features").fit(feats)
+    assigned = model.transform(feats).select(
+        F.col(id_col), F.col("prediction").alias("cluster"))
+    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                          F.lit(salt)))
+    w = Window.partitionBy("cluster").orderBy(h.asc(), F.col(id_col))
+    return (assigned.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_per_cluster)
+            .select(id_col, "cluster", "rank"))
+
+
 def _lsh_bucket_udf(planes, n_tables: int, bits: int):
     """Arrow-batched bucket kernel: one float64 GEMM against all
     n_tables*bits hyperplanes per batch, sign bits packed into one

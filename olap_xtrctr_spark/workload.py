@@ -53,6 +53,8 @@ _GATE_FRONT = [
     "events_asof_attribution_tolerance",  # never driver-graded (added r6)
     "dmv_discover_schema_rowsets",    # NEW r7 (VERDICT r6 task 4)
     "dmv_discover_properties",        # NEW r7 (VERDICT r6 task 9)
+    "docs_quality_classifier",        # NEW r7 (trained quality filter)
+    "emb_cluster_balanced_sample",    # NEW r7 (diversity subsample)
     # r3-latest block, build order:
     "docs_quality_score",
     "docs_top_tokens",
@@ -93,8 +95,6 @@ _GATE_FRONT = [
     "members_fulltext_stemmed",
     "docs_token_count_bpe",
     "docs_repetition_stats",
-    "docs_repetition_filter",
-    "docs_pack_sequences_sharded",
 ]
 
 

@@ -694,3 +694,17 @@ def register(add) -> None:
                                         ORDER BY doc_id) AS rn
               FROM documents)
         WHERE rn = 1""")
+
+    # ---- trained quality classifier (round 7, beyond-reference) -------
+    # The GPT-3-style classifier filter: hashed-BoW logistic regression
+    # trained on weak labels from the oracle-green quality heuristic,
+    # holdout-AUC-gated INSIDE the entry (raises below 0.75 — a
+    # returned row proves separation, not just execution), scored over
+    # the full corpus, reported as a per-decile histogram.  Iterative
+    # ML training → not SQL-expressible → rows-only; negative path
+    # (gate fires on shuffled labels) in tests/test_operators.py.
+    def quality_classifier(spark, sf):
+        from ..operators.classifier import classifier_quality_report
+        return classifier_quality_report(_docs(spark, sf))
+
+    add("docs_quality_classifier", quality_classifier, None)

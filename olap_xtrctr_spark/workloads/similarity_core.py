@@ -308,3 +308,30 @@ def register(add) -> None:
     # compressed-scan serving path (IVFPQ's PQ half).  KMeans codebooks →
     # not SQL-expressible → rows-only; quality contract =
     # tests/test_recall.py PQ floors (exact-top3 recovery + planted@1)
+
+    # ---- cluster-balanced subsample (round 7, beyond-reference) -------
+    # Diversity-preserving curation: at most k vectors per KMeans cell,
+    # deterministic hash-rank within the cell.  KMeans cell ids are not
+    # SQL-expressible → rows-only; the wrapper enforces the structural
+    # contract in-entry (rank bound, cluster-id range, id uniqueness)
+    # and raises on violation, so a returned row carries real signal.
+    def cluster_balanced(spark, sf):
+        from pyspark.sql import functions as FF
+
+        from ..operators.similarity import cluster_balanced_sample
+        out = cluster_balanced_sample(_emb(spark, sf), k_per_cluster=40,
+                                      n_clusters=16).cache()
+        chk = out.agg(
+            FF.count(FF.lit(1)).alias("n"),
+            FF.countDistinct("vec_id").alias("n_ids"),
+            FF.max("rank").alias("max_rank"),
+            FF.min("cluster").alias("min_c"),
+            FF.max("cluster").alias("max_c")).first()
+        if not (chk.n == chk.n_ids and chk.max_rank <= 40
+                and 0 <= chk.min_c and chk.max_c < 16):
+            raise RuntimeError(
+                f"cluster_balanced_sample structural contract violated: "
+                f"{chk.asDict()}")
+        return out
+
+    add("emb_cluster_balanced_sample", cluster_balanced, None)

@@ -1532,3 +1532,83 @@ def test_lang_id_ngram_beats_stopwords_on_stripped_text(spark):
     stop = {r["doc_id"]: r["lang_guess"]
             for r in TX.lang_id(df).collect()}
     assert stop[0] == "und"     # the stopword voter is blind here
+
+
+def test_quality_classifier_report_and_gate(spark, monkeypatch):
+    """Round-7 classifier filter: the report separates held-out weak
+    labels (AUC gate passes, deciles' heuristic means rise with the
+    classifier score), and the gate FAILS LOUDLY when the labels carry
+    no signal (the negative path that keeps a rows-only entry honest)."""
+    from olap_xtrctr_spark.operators import classifier as C
+    from olap_xtrctr_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rep = C.classifier_quality_report(docs).collect()
+    by_decile = {r["decile"]: r for r in rep}
+    assert all(r["holdout_auc_milli"] >= 750 for r in rep)
+    lo, hi = min(by_decile), max(by_decile)
+    assert by_decile[hi]["avg_heuristic"] >= by_decile[lo]["avg_heuristic"]
+    assert sum(r["n_docs"] for r in rep) == docs.count()
+
+    # negative path: random labels -> no separation -> gate raises
+    real = C.weak_quality_labels
+
+    def noise_labels(d, text_col="text", **kw):
+        lab = real(d, text_col, **kw)
+        return lab.withColumn(
+            "label", (F.pmod(F.xxhash64("doc_id", F.lit("noise")), 2))
+            .cast("double"))
+
+    monkeypatch.setattr(C, "weak_quality_labels", noise_labels)
+    with pytest.raises(RuntimeError, match="holdout AUC"):
+        C.classifier_quality_report(docs)
+
+
+def test_train_quality_classifier_sample_cap(spark):
+    """The trainer's max_train_rows cap is a deterministic hash sample
+    and is LOGGED (no silent caps)."""
+    import logging
+
+    from olap_xtrctr_spark.operators import classifier as C
+    from olap_xtrctr_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    labeled = C.weak_quality_labels(docs)
+    records = []
+
+    class Cap(logging.Handler):
+        def emit(self, r):
+            records.append(r.getMessage())
+
+    logging.getLogger("olap_xtrctr_spark.operators.classifier") \
+        .addHandler(h := Cap())
+    try:
+        model = C.train_quality_classifier(labeled, max_train_rows=50)
+    finally:
+        logging.getLogger("olap_xtrctr_spark.operators.classifier") \
+            .removeHandler(h)
+    assert any("sampled training set" in m for m in records)
+    # the capped model still scores the full corpus
+    assert C.score_quality_classifier(docs, model).count() == docs.count()
+
+
+def test_cluster_balanced_sample_contract(spark):
+    """Structural contract: <=k per cell, deterministic across runs,
+    small cells returned whole, and a head-heavy corpus cannot crowd
+    out the tail (each cell keeps its own quota)."""
+    from olap_xtrctr_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = S.cluster_balanced_sample(emb, k_per_cluster=10, n_clusters=8)
+    b = S.cluster_balanced_sample(emb, k_per_cluster=10, n_clusters=8)
+    ra, rb = (sorted(map(tuple, d.collect())) for d in (a, b))
+    assert ra == rb                       # deterministic end-to-end
+    per_cell = {}
+    for vec_id, cluster, rank in ra:
+        per_cell.setdefault(cluster, []).append(rank)
+    assert all(0 <= c < 8 for c in per_cell)
+    for ranks in per_cell.values():
+        assert max(ranks) <= 10
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    n_ids = len({t[0] for t in ra})
+    assert n_ids == len(ra)               # no vector sampled twice
