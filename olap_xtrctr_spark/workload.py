@@ -54,6 +54,7 @@ _GATE_FRONT = [
     "dmv_discover_schema_rowsets",    # NEW r7 (VERDICT r6 task 4)
     "dmv_discover_properties",        # NEW r7 (VERDICT r6 task 9)
     "docs_quality_classifier",        # NEW r7 (trained quality filter)
+    "docs_quality_weak_labels",       # NEW r7 (its full-oracle anchor)
     "emb_cluster_balanced_sample",    # NEW r7 (diversity subsample)
     # r3-latest block, build order:
     "docs_quality_score",
@@ -94,7 +95,6 @@ _GATE_FRONT = [
     # oldest r4-latest full-oracle entries, build order:
     "members_fulltext_stemmed",
     "docs_token_count_bpe",
-    "docs_repetition_stats",
 ]
 
 

@@ -708,3 +708,40 @@ def register(add) -> None:
         return classifier_quality_report(_docs(spark, sf))
 
     add("docs_quality_classifier", quality_classifier, None)
+
+    # the classifier's label step stands alone as a FULL oracle: exact
+    # interpolated percentiles over the (identically rounded) heuristic
+    # scores, keep the tails, label = top-tail membership.  Anchors the
+    # rows-only classifier entry to an oracle-checked input contract.
+    def weak_labels(spark, sf):
+        from ..operators.classifier import weak_quality_labels
+        return weak_quality_labels(_docs(spark, sf))
+
+    add("docs_quality_weak_labels", weak_labels,
+        r"""WITH q AS (
+          SELECT doc_id, text,
+            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+            greatest(length(text), 1) AS n_chars,
+            CAST(len(regexp_extract_all(lower(text),
+              '\b(the|and|of|to|in|is)\b')) AS INTEGER) AS stop_hits,
+            CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                 AS INTEGER) AS punct
+          FROM documents),
+        scored AS (
+          SELECT doc_id, text,
+            ROUND(
+              (CASE WHEN n_tokens >= 10 AND n_tokens <= 5000
+                    THEN 0.4 ELSE 0.0 END)
+              + least(stop_hits / greatest(n_tokens, 1) * 2.0, 0.4)
+              - least(punct / n_chars * 5.0, 0.2)
+              + (CASE WHEN n_chars / greatest(n_tokens, 1) >= 3.0
+                       AND n_chars / greatest(n_tokens, 1) <= 12.0
+                      THEN 0.2 ELSE 0.0 END), 4) AS quality_score
+          FROM q),
+        th AS (SELECT quantile_cont(quality_score, 0.25) AS lo,
+                      quantile_cont(quality_score, 0.75) AS hi
+               FROM scored)
+        SELECT s.doc_id, s.text,
+               CAST(s.quality_score >= th.hi AS DOUBLE) AS label
+        FROM scored s, th
+        WHERE s.quality_score <= th.lo OR s.quality_score >= th.hi""")

@@ -150,6 +150,12 @@ PROBE_QUERIES = [
     "events_asof_attribution_tolerance",
     "events_first_touch_attribution",
     "events_linear_attribution",
+    # round-7 curation ops: classifier trains distributed (per-iteration
+    # treeAggregate over the weak-label set), cluster sample is one
+    # KMeans + one window — both must stay minutes-free at ~sf1
+    "docs_quality_classifier",
+    "docs_quality_weak_labels",
+    "emb_cluster_balanced_sample",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
