@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "weak_quality_labels",
+    "classifier_filter",
     "train_quality_classifier",
     "score_quality_classifier",
     "classifier_quality_report",
@@ -107,6 +108,37 @@ def score_quality_classifier(docs: DataFrame, model,
     return scored.select(
         "doc_id",
         F.round(vector_to_array("probability")[1], 6).alias("quality_prob"))
+
+
+def classifier_filter(scored: DataFrame, threshold: float | None = None,
+                      lottery_alpha: float | None = None,
+                      prob_col: str = "quality_prob",
+                      id_col: str = "doc_id",
+                      salt: str = "clf-keep-v1") -> DataFrame:
+    """Keep/drop decision over classifier scores — the last step of the
+    filter loop.  Two standard modes:
+
+    * ``threshold``: keep iff prob >= threshold (hard cut);
+    * ``lottery_alpha``: probabilistic keep with acceptance probability
+      ``prob ** alpha`` — the GPT-3-style score lottery that keeps a
+      thin high-quality tail of the low-scoring mass instead of a
+      cliff, made DETERMINISTIC by drawing the uniform variate from a
+      hash of the id (reproducible across engines, partitionings and
+      retries — the same discipline as the sampling family).
+
+    Exactly one mode must be set.  Returns the kept rows with a
+    ``keep_reason`` column."""
+    if (threshold is None) == (lottery_alpha is None):
+        raise ValueError("set exactly one of threshold / lottery_alpha")
+    if threshold is not None:
+        return (scored.filter(F.col(prob_col) >= threshold)
+                .withColumn("keep_reason", F.lit("threshold")))
+    u = (F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.lit(salt))), 1, 15),
+        16, 10).cast("double") / F.lit(float(16 ** 15)))
+    return (scored.filter(u < F.pow(F.col(prob_col),
+                                    F.lit(float(lottery_alpha))))
+            .withColumn("keep_reason", F.lit("lottery")))
 
 
 def classifier_quality_report(docs: DataFrame, text_col: str = "text",

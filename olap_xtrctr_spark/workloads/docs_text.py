@@ -745,3 +745,47 @@ def register(add) -> None:
                CAST(s.quality_score >= th.hi AS DOUBLE) AS label
         FROM scored s, th
         WHERE s.quality_score <= th.lo OR s.quality_score >= th.hi""")
+
+    # the keep/drop lottery primitive, oracle-anchored: acceptance
+    # probability q01^2 with the uniform variate drawn from md5(id:salt)
+    # — both engines compute the identical 60-bit hash prefix, so the
+    # kept set is value-exact (the trained-classifier filter applies the
+    # SAME primitive to model scores; this entry proves the primitive)
+    def quality_lottery(spark, sf):
+        from ..operators.classifier import classifier_filter
+        from ..operators.text import quality_score
+        scored = quality_score(_docs(spark, sf)).select(
+            "doc_id",
+            F.greatest(F.least(F.col("quality_score"), F.lit(1.0)),
+                       F.lit(0.0)).alias("q01"))
+        return (classifier_filter(scored, lottery_alpha=2.0,
+                                  prob_col="q01")
+                .select("doc_id", F.round("q01", 4).alias("q01"),
+                        "keep_reason"))
+
+    add("docs_quality_lottery", quality_lottery,
+        r"""WITH q AS (
+          SELECT doc_id,
+            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+            greatest(length(text), 1) AS n_chars,
+            CAST(len(regexp_extract_all(lower(text),
+              '\b(the|and|of|to|in|is)\b')) AS INTEGER) AS stop_hits,
+            CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                 AS INTEGER) AS punct
+          FROM documents),
+        scored AS (
+          SELECT doc_id,
+            greatest(least(ROUND(
+              (CASE WHEN n_tokens >= 10 AND n_tokens <= 5000
+                    THEN 0.4 ELSE 0.0 END)
+              + least(stop_hits / greatest(n_tokens, 1) * 2.0, 0.4)
+              - least(punct / n_chars * 5.0, 0.2)
+              + (CASE WHEN n_chars / greatest(n_tokens, 1) >= 3.0
+                       AND n_chars / greatest(n_tokens, 1) <= 12.0
+                      THEN 0.2 ELSE 0.0 END), 4), 1.0), 0.0) AS q01
+          FROM q)
+        SELECT doc_id, ROUND(q01, 4) AS q01, 'lottery' AS keep_reason
+        FROM scored
+        WHERE (('0x' || substring(md5(doc_id::VARCHAR || ':clf-keep-v1'),
+                                  1, 15))::UBIGINT
+               / POWER(16, 15)) < POWER(q01, 2.0)""")

@@ -1612,3 +1612,36 @@ def test_cluster_balanced_sample_contract(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
     n_ids = len({t[0] for t in ra})
     assert n_ids == len(ra)               # no vector sampled twice
+
+
+def test_classifier_filter_modes(spark):
+    """Hard threshold vs deterministic score lottery: the lottery keeps
+    MORE of the mid-mass than the same-rate cliff, both are exactly
+    reproducible, and mode misuse raises."""
+    from olap_xtrctr_spark.operators.classifier import classifier_filter
+
+    scored = spark.createDataFrame(
+        [(i, i / 999.0) for i in range(1000)],
+        "doc_id long, quality_prob double")
+    hard = classifier_filter(scored, threshold=0.8)
+    assert hard.count() == sum(1 for i in range(1000) if i / 999.0 >= 0.8)
+    assert hard.select("keep_reason").distinct().collect()[0][0] \
+        == "threshold"
+    lot1 = sorted(r.doc_id for r in
+                  classifier_filter(scored, lottery_alpha=2.0).collect())
+    lot2 = sorted(r.doc_id for r in
+                  classifier_filter(scored, lottery_alpha=2.0).collect())
+    assert lot1 == lot2                       # deterministic lottery
+    # E[kept] = sum(p^2) ~ 333; loose band
+    assert 230 <= len(lot1) <= 440
+    # the lottery admits some sub-threshold docs a cliff at the same
+    # keep-rate would drop
+    cliff = {r.doc_id for r in
+             scored.orderBy(F.desc("quality_prob")).limit(len(lot1))
+             .collect()}
+    assert any(d not in cliff for d in lot1)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="exactly one"):
+        classifier_filter(scored)
+    with _pt.raises(ValueError, match="exactly one"):
+        classifier_filter(scored, threshold=0.5, lottery_alpha=1.0)
