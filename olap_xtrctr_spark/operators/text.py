@@ -763,3 +763,85 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
     win = Window.orderBy(F.desc("score_milli"), F.asc(id_col))
     return (top.withColumn("rank", F.row_number().over(win))
                .select("rank", id_col, "n_terms_hit", "score_milli"))
+
+
+def ngram_lm_score(docs: DataFrame, reference_cond=None,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style n-gram LM scoring (Wenzek et al. 2020 filter corpora
+    by the perplexity of a small LM trained on a clean reference): an
+    add-one-smoothed BIGRAM model is trained distributedly on the
+    ``reference_cond`` slice (default: the whole corpus — self-scoring,
+    which still separates fluent text from boilerplate/noise) and every
+    document is scored with its mean negative log-likelihood per
+    bigram.
+
+    Exactness discipline (the DSIR move, ``sampling.py``): the only
+    float op — ln — happens once per DISTINCT observed bigram plus one
+    backoff constant, frozen to integer MICRO-units; a document's score
+    is then exact integer arithmetic (sum of micro-NLLs DIV bigram
+    count), so DuckDB reproduces it bit-for-bit.
+
+    Scale shape: one map-side-combinable count over reference bigrams
+    and unigrams; the model is a (bigram -> nll_micro) table joined
+    back to the corpus bigram stream — a shuffle join on the bigram
+    key (the model table is corpus-vocabulary-sized, NOT broadcastable
+    at 100 TB; Spark picks SMJ/SHJ as sizes dictate), plus one rollup
+    per doc.  Unseen bigrams take the per-context backoff
+    ln(C(w1)+V) cost via the unigram table — also a join, no driver
+    state anywhere."""
+    t = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.select(id_col, F.col(text_col)).withColumn("_t", t)
+    n = F.size("_t")
+    bigrams = F.zip_with(
+        F.slice("_t", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("_t", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    doc_big = d.select(id_col, F.explode(bigrams).alias("bg"))
+    w1 = F.split(F.col("bg"), " ")[0]
+
+    ref = docs.filter(reference_cond) if reference_cond is not None \
+        else docs
+    rt = ref.select(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                    .alias("_t"))
+    rn = F.size("_t")
+    ref_big = rt.select(F.explode(F.zip_with(
+        F.slice("_t", 1, F.greatest(rn - 1, F.lit(0))),
+        F.slice("_t", 2, F.greatest(rn - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b))).alias("bg"))
+    ref_uni = rt.select(F.explode("_t").alias("w"))
+
+    vocab = ref_uni.agg(F.countDistinct("w").alias("v"))
+    c1 = ref_uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    c12 = ref_big.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    # nll(w2|w1) = ln(C(w1)+V) - ln(C12+1); unseen contexts fall back
+    # to C(w1)=0.  Freeze each term to micro-units SEPARATELY so the
+    # unseen-bigram path (c12=0 -> ln(1)=0) needs only the context
+    # term, computable from the unigram table alone.
+    ctx = (c1.crossJoin(F.broadcast(vocab))
+           .select(F.col("w"),
+                   F.round(F.log(F.col("c1") + F.col("v")) * 1e6)
+                    .cast("bigint").alias("ctx_micro")))
+    seen = (c12.select("bg",
+                       F.round(F.log(F.col("c12") + 1) * 1e6)
+                        .cast("bigint").alias("hit_micro")))
+    unseen_ctx = (vocab.select(
+        F.round(F.log(F.col("v").cast("double")) * 1e6)
+        .cast("bigint").alias("oov_ctx_micro")))
+
+    scored = (doc_big
+              .withColumn("w1", w1)
+              .join(seen, "bg", "left")
+              .join(ctx.withColumnRenamed("w", "w1"), "w1", "left")
+              .crossJoin(F.broadcast(unseen_ctx))
+              .select(
+                  id_col,
+                  (F.coalesce(F.col("ctx_micro"),
+                              F.col("oov_ctx_micro"))
+                   - F.coalesce(F.col("hit_micro"), F.lit(0)))
+                  .alias("nll_micro")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("nll_micro").alias("nll_sum_micro"))
+            .withColumn("mean_nll_micro",
+                        F.expr("nll_sum_micro DIV n_bigrams")))

@@ -36,15 +36,14 @@ _GATE_WINDOW = 50
 _GATE_FRONT = [
     # Round-7 rotation (VERDICT r6 task 1): drain the driver-verification
     # backlog.  Computed from CORRECTNESS_r01..r06 latest-grade rounds:
-    # the 5 r2-latest entries, the 3 never-graded r6 additions, the 6
-    # NEW round-7 entries (DISCOVER rowsets + classifier/curation
-    # family), the whole 35-entry r3-latest block (build order), and
-    # the oldest full-oracle r4-latest entry.  Everything rotated out
-    # keeps a green r4/r5/r6 driver row and stays covered by the local
-    # all-entries gate (scripts/check_correctness.py).
-    # members_pagination leads: the first gate entry absorbs session
-    # warmup, and it is both cheap and itself r2-stale — the warmup
-    # slot does rotation work too.
+    # the 5 r2-latest entries, the 3 never-graded r6 additions, the 7
+    # NEW round-7 entries (DISCOVER rowsets + classifier / curation /
+    # LM-scoring family), and the whole 35-entry r3-latest block (build
+    # order).  Everything rotated out keeps a green r4/r5/r6 driver row
+    # and stays covered by the local all-entries gate
+    # (scripts/check_correctness.py).  members_pagination leads: the
+    # first gate entry absorbs session warmup, and it is both cheap and
+    # itself r2-stale — the warmup slot does rotation work too.
     "members_pagination",             # r2-latest (warmup absorber)
     "members_full_view",              # r2-latest
     "members_level_cardinalities",    # r2-latest
@@ -59,6 +58,7 @@ _GATE_FRONT = [
     "docs_quality_weak_labels",       # NEW r7 (its full-oracle anchor)
     "emb_cluster_balanced_sample",    # NEW r7 (diversity subsample)
     "docs_quality_lottery",           # NEW r7 (keep-lottery primitive)
+    "docs_ngram_lm_score",            # NEW r7 (bigram-LM perplexity)
     # r3-latest block, build order:
     "docs_quality_score",
     "docs_top_tokens",
@@ -95,8 +95,6 @@ _GATE_FRONT = [
     "events_type_user_distinct",
     "events_top_hours_per_type",
     "events_user_activity",
-    # oldest r4-latest full-oracle entries, build order:
-    "members_fulltext_stemmed",
 ]
 
 

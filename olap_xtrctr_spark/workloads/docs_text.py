@@ -789,3 +789,55 @@ def register(add) -> None:
         WHERE (('0x' || substring(md5(doc_id::VARCHAR || ':clf-keep-v1'),
                                   1, 15))::UBIGINT
                / POWER(16, 15)) < POWER(q01, 2.0)""")
+
+    # CCNet-style bigram-LM scoring (train on a clean reference slice,
+    # score everything by mean NLL): the DSIR micro-unit freeze makes
+    # the one float op (ln, once per distinct reference bigram/context)
+    # reproducible, so the per-doc scores are bit-exact integers on
+    # both engines.  Docs with <2 tokens have no bigrams and are
+    # absent on both sides by construction.
+    add("docs_ngram_lm_score",
+        lambda spark, sf: TX.ngram_lm_score(
+            _docs(spark, sf), reference_cond=F.col("source") == "src0"),
+        r"""WITH tok AS (
+          SELECT doc_id, source,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        bigs AS (
+          SELECT doc_id, source,
+                 list_transform(list_zip(t[1:len(t) - 1], t[2:]),
+                                p -> p[1] || ' ' || p[2]) AS bgs
+          FROM tok),
+        doc_big AS (
+          SELECT doc_id, unnest(bgs) AS bg FROM bigs),
+        doc_big_w AS (
+          SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1
+          FROM doc_big),
+        ref_uni AS (
+          SELECT unnest(t) AS w FROM tok WHERE source = 'src0'),
+        ref_big AS (
+          SELECT unnest(bgs) AS bg FROM bigs WHERE source = 'src0'),
+        vocab AS (SELECT COUNT(DISTINCT w) AS v FROM ref_uni),
+        c1 AS (SELECT w, COUNT(*) AS c1 FROM ref_uni GROUP BY w),
+        c12 AS (SELECT bg, COUNT(*) AS c12 FROM ref_big GROUP BY bg),
+        ctx AS (SELECT w, CAST(ROUND(ln(c1 + v) * 1e6) AS BIGINT)
+                         AS ctx_micro
+                FROM c1, vocab),
+        seen AS (SELECT bg, CAST(ROUND(ln(c12 + 1) * 1e6) AS BIGINT)
+                          AS hit_micro
+                 FROM c12),
+        oov AS (SELECT CAST(ROUND(ln(CAST(v AS DOUBLE)) * 1e6)
+                            AS BIGINT) AS oov_ctx_micro FROM vocab),
+        nll AS (
+          SELECT d.doc_id,
+                 COALESCE(ctx.ctx_micro, oov.oov_ctx_micro)
+                 - COALESCE(seen.hit_micro, 0) AS nll_micro
+          FROM doc_big_w d
+          LEFT JOIN seen ON d.bg = seen.bg
+          LEFT JOIN ctx ON d.w1 = ctx.w
+          CROSS JOIN oov)
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               SUM(nll_micro) AS nll_sum_micro,
+               SUM(nll_micro) // COUNT(*) AS mean_nll_micro
+        FROM nll GROUP BY doc_id""")

@@ -1645,3 +1645,34 @@ def test_classifier_filter_modes(spark):
         classifier_filter(scored)
     with _pt.raises(ValueError, match="exactly one"):
         classifier_filter(scored, threshold=0.5, lottery_alpha=1.0)
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    """Bigram LM micro-unit arithmetic on a hand-built corpus: seen
+    bigrams cost ln(C(w1)+V)-ln(C12+1), unseen bigrams keep the
+    context term, out-of-vocab contexts back off to ln(V), and docs
+    with <2 tokens are absent."""
+    import math
+
+    from pyspark.sql import functions as FF
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b", "ref"), (1, "a b", "ref"),
+         (2, "a c", "raw"), (3, "z q", "raw"), (4, "solo", "raw")],
+        "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in
+           TX.ngram_lm_score(docs, reference_cond=FF.col("source")
+                             == "ref").collect()}
+    # reference = docs 0,1: unigrams a,b,a,b,a,b -> V=2, C(a)=3, C(b)=3
+    # bigrams: "a b" x3, "b a" x1
+    V, Ca, Cab, Cba = 2, 3, 3, 1
+    m = lambda x: round(math.log(x) * 1e6)
+    # doc 0: "a b","b a","a b" -> 2*(m(Ca+V)-m(Cab+1)) + (m(3+V)-m(Cba+1))
+    exp0 = 2 * (m(Ca + V) - m(Cab + 1)) + (m(3 + V) - m(Cba + 1))
+    assert (out[0].n_bigrams, out[0].nll_sum_micro) == (3, exp0)
+    # doc 2: "a c" unseen bigram, known context a -> m(Ca+V) - 0
+    assert (out[2].n_bigrams, out[2].nll_sum_micro) == (1, m(Ca + V))
+    # doc 3: "z q" -> OOV context -> ln(V)
+    assert (out[3].n_bigrams, out[3].nll_sum_micro) == (1, m(V))
+    assert 4 not in out                   # single token, no bigrams
+    assert out[0].mean_nll_micro == exp0 // 3
