@@ -36,14 +36,16 @@ _GATE_WINDOW = 50
 _GATE_FRONT = [
     # Round-7 rotation (VERDICT r6 task 1): drain the driver-verification
     # backlog.  Computed from CORRECTNESS_r01..r06 latest-grade rounds:
-    # the 5 r2-latest entries, the 3 never-graded r6 additions, the 7
+    # the 5 r2-latest entries, the 3 never-graded r6 additions, the 8
     # NEW round-7 entries (DISCOVER rowsets + classifier / curation /
-    # LM-scoring family), and the whole 35-entry r3-latest block (build
-    # order).  Everything rotated out keeps a green r4/r5/r6 driver row
-    # and stays covered by the local all-entries gate
-    # (scripts/check_correctness.py).  members_pagination leads: the
-    # first gate entry absorbs session warmup, and it is both cheap and
-    # itself r2-stale — the warmup slot does rotation work too.
+    # LM-scoring family + the ADVICE-r6 ORDER path), and 34 of the 35
+    # r3-latest entries (build order; events_user_activity yields its
+    # slot to the new entries — it keeps its green r3 row and the local
+    # all-entries gate).  Everything rotated out keeps a green r3-r6
+    # driver row and stays covered by scripts/check_correctness.py.
+    # members_pagination leads: the first gate entry absorbs session
+    # warmup, and it is both cheap and itself r2-stale — the warmup
+    # slot does rotation work too.
     "members_pagination",             # r2-latest (warmup absorber)
     "members_full_view",              # r2-latest
     "members_level_cardinalities",    # r2-latest
@@ -59,6 +61,7 @@ _GATE_FRONT = [
     "emb_cluster_balanced_sample",    # NEW r7 (diversity subsample)
     "docs_quality_lottery",           # NEW r7 (keep-lottery primitive)
     "docs_ngram_lm_score",            # NEW r7 (bigram-LM perplexity)
+    "cube_order_by_unselected_measure",  # NEW r7 (ADVICE-r6 ORDER path)
     # r3-latest block, build order:
     "docs_quality_score",
     "docs_top_tokens",
@@ -94,7 +97,6 @@ _GATE_FRONT = [
     "events_stream_dedup",
     "events_type_user_distinct",
     "events_top_hours_per_type",
-    "events_user_activity",
 ]
 
 

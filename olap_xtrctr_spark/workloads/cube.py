@@ -266,3 +266,23 @@ def register(add) -> None:
         FROM {_FACT_OW}
         WHERE year(l_shipdate) <= 1998
         GROUP BY cust_nation""")
+    register_r7(add)
+
+
+def register_r7(add) -> None:
+    # ---- round 7: ORDER by a measure NOT on the columns axis ----------
+    # Exercises the ADVICE-r6 resolution path: the ORDER key (Sum
+    # Quantity) must be aggregated as an extra base and projected away,
+    # leaving only the selected measure.  The driver compare is
+    # order-insensitive, so the oracle checks the row SET + values;
+    # ordering itself is pinned by t:test_order_by_unselected_measure.
+    add("cube_order_by_unselected_measure",
+        lambda spark, sf: _eng(spark, sf).execute(QueryRequest(
+            CATALOG, measures=["Sum Extendedprice"],
+            rows=[AxisItem("Dim Customer", "Geografía", level="Nation")],
+            order_by=("Sum Quantity", True))),
+        f"""WITH {_OW}
+        SELECT cust_nation AS nation,
+               {SUM_D('l_extendedprice')} AS sum_extendedprice
+        FROM {_FACT_OW}
+        GROUP BY cust_nation""")
