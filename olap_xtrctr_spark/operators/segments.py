@@ -1,0 +1,100 @@
+"""Segment-level corpus dedup: drop repeated text *segments* (fixed
+token windows standing in for sentences/lines) across the whole corpus
+while keeping each document's remaining text in order.
+
+Two standard curation moves from the LLM-data literature:
+
+* ``segment_dedup`` — corpus-wide first-occurrence segment dedup
+  (CCNet / Lee et al. 2022 line-level dedup): every distinct segment
+  survives exactly once, in the earliest (doc_id, position) it appears;
+  later occurrences are cut out of their documents.
+* ``segment_freq_filter`` — frequency-based boilerplate removal
+  (RefinedWeb-style): segments appearing in more than ``max_docs``
+  distinct documents are dropped from *all* of them (navigation bars,
+  headers, license blurbs).
+
+Both reuse :func:`..operators.text.chunk_overlap` with
+``stride == chunk_tokens`` so segments are the non-overlapping token
+windows ``[i*k, (i+1)*k)`` — deterministic on both engines, and the
+final short window is kept (every token belongs to exactly one
+segment).
+
+Scale shape (100 TB posture): segmentation is a narrow per-row
+explode (no shuffle).  ``segment_dedup`` adds ONE shuffle — the
+first-occurrence window partitions by the segment text (tiny groups:
+a segment's own occurrence list) — and one groupBy(doc_id) to
+reassemble.  ``segment_freq_filter`` aggregates per-segment distinct
+doc counts (map-side combinable) and the >max_docs survivors form a
+small hot list that broadcasts back, so the corpus itself shuffles
+only for the reassembly groupBy.  Neither materializes pairs, so hot
+segments (the power-law case) cost their own group size, not a
+quadratic blow-up.  At 100 TB you would window on xxhash64(segment)
+instead of the string to shrink shuffle bytes (a 2^-64 collision
+wrongly merges two segments — acceptable for dedup); the string form
+here keeps the external oracle bit-exact.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import chunk_overlap
+
+
+def _segments(docs: DataFrame, seg_tokens: int,
+              text_col: str, id_col: str) -> DataFrame:
+    return chunk_overlap(docs, chunk_tokens=seg_tokens, stride=seg_tokens,
+                         text_col=text_col, id_col=id_col)
+
+
+def _reassemble(segs: DataFrame, id_col: str) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_text, _keep) -> one row per doc with
+    the kept segments re-joined in position order.  collect_list skips
+    the NULLs produced for dropped segments; array_sort on the
+    (chunk_idx, chunk_text) struct restores document order."""
+    kept = F.when(F.col("_keep"), F.struct("chunk_idx", "chunk_text"))
+    return (segs.groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_segments"),
+                 F.sum(F.col("_keep").cast("long")).cast("bigint")
+                  .alias("n_kept"),
+                 F.array_sort(F.collect_list(kept)).alias("_ks"))
+            .select(id_col, "n_segments", "n_kept",
+                    F.concat_ws(
+                        " ", F.transform(F.col("_ks"),
+                                         lambda s: s["chunk_text"]))
+                     .alias("kept_text")))
+
+
+def segment_dedup(docs: DataFrame, seg_tokens: int = 8,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide first-occurrence segment dedup.
+
+    A segment survives only at its globally earliest (doc_id, position);
+    every later occurrence anywhere in the corpus is removed.  Output:
+    (doc_id, n_segments, n_kept, kept_text) — one row per input doc,
+    kept_text empty when every segment was seen earlier elsewhere.
+    """
+    segs = _segments(docs, seg_tokens, text_col, id_col)
+    w = (Window.partitionBy("chunk_text")
+         .orderBy(F.col(id_col), F.col("chunk_idx")))
+    segs = segs.withColumn("_keep", F.row_number().over(w) == 1)
+    return _reassemble(segs, id_col)
+
+
+def segment_freq_filter(docs: DataFrame, seg_tokens: int = 8,
+                        max_docs: int = 2, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Drop segments occurring in more than ``max_docs`` distinct
+    documents — from every document, including the first (boilerplate
+    has no canonical owner).  Output (doc_id, n_segments, n_kept,
+    kept_text)."""
+    segs = _segments(docs, seg_tokens, text_col, id_col)
+    hot = (segs.groupBy("chunk_text")
+           .agg(F.countDistinct(id_col).alias("_nd"))
+           .filter(F.col("_nd") > max_docs)
+           .select("chunk_text"))
+    segs = (segs.join(F.broadcast(hot.withColumn("_hot", F.lit(True))),
+                      "chunk_text", "left")
+            .withColumn("_keep", F.col("_hot").isNull()))
+    return _reassemble(segs, id_col)

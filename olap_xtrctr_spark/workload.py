@@ -21,8 +21,8 @@ from __future__ import annotations
 
 from .workload_shared import (AVG_D, CATALOG, MES_CASE,  # noqa: F401
                               QuerySpec, SUM_D)
-from .workloads import (cube, docs_text, events, members_nav,  # noqa: F401
-                        similarity, tpch)
+from .workloads import (cube, docs_segments, docs_text, events,  # noqa: F401
+                        members_nav, similarity, tpch)
 
 # ---- driver gate-window manifest -----------------------------------------
 # The external correctness gate grades the FIRST _GATE_WINDOW entries of
@@ -111,7 +111,10 @@ def build_workload() -> dict[str, QuerySpec]:
     # Registration order == the pre-split file's build order (cube ->
     # tpch -> members -> text -> similarity -> events); each module's
     # internal order is verbatim, so build order is byte-stable.
-    for mod in (cube, tpch, members_nav, docs_text, similarity, events):
+    # docs_segments (round-7 additions) registers last: existing build
+    # order stays byte-stable, new entries appear past the legacy tail.
+    for mod in (cube, tpch, members_nav, docs_text, similarity, events,
+                docs_segments):
         mod.register(add)
 
     # Order per the gate-window manifest (see _GATE_FRONT above).

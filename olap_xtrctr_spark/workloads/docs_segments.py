@@ -1,0 +1,67 @@
+"""Segment-level corpus dedup entries (round 7): first-occurrence
+segment dedup and frequency-based boilerplate segment removal, both
+full-oracle (the 8-token non-overlapping window segmentation is
+deterministic on both engines).
+"""
+from __future__ import annotations
+
+from ..operators import segments as SEG
+from ..workload_shared import _docs
+
+# Shared oracle CTE: tokenize, enumerate non-overlapping 8-token
+# windows (final short window kept), render each window back to text.
+# Mirrors chunk_overlap(stride == chunk_tokens) exactly: a doc with n
+# tokens has greatest(ceil(n/8), 1) segments (split('') yields ['']).
+_SEG_CTE = r"""t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents),
+    s0 AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(
+                 0, CAST(greatest(ceil(len(toks) / 8.0), 1) AS BIGINT) - 1))
+               AS i
+      FROM t),
+    s AS (
+      SELECT doc_id, i,
+             array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ')
+               AS seg
+      FROM s0)"""
+
+
+def register(add) -> None:
+
+    # corpus-wide first-occurrence segment dedup (CCNet / Lee et al.
+    # line dedup): a segment survives only at its earliest
+    # (doc_id, position); later occurrences are cut from their docs
+    add("docs_segment_dedup",
+        lambda spark, sf: SEG.segment_dedup(_docs(spark, sf), seg_tokens=8),
+        f"""WITH {_SEG_CTE},
+        r AS (
+          SELECT doc_id, i, seg,
+                 row_number() OVER (PARTITION BY seg ORDER BY doc_id, i)
+                   AS rn
+          FROM s)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+               coalesce(string_agg(seg, ' ' ORDER BY i)
+                          FILTER (WHERE rn = 1), '') AS kept_text
+        FROM r GROUP BY doc_id""")
+
+    # RefinedWeb-style boilerplate removal: segments present in more
+    # than 2 distinct docs are dropped from ALL of them
+    add("docs_segment_freq_filter",
+        lambda spark, sf: SEG.segment_freq_filter(
+            _docs(spark, sf), seg_tokens=8, max_docs=2),
+        f"""WITH {_SEG_CTE},
+        hot AS (
+          SELECT seg FROM s GROUP BY seg
+          HAVING COUNT(DISTINCT doc_id) > 2)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(COUNT(*) FILTER (WHERE h.seg IS NULL) AS BIGINT)
+                 AS n_kept,
+               coalesce(string_agg(s.seg, ' ' ORDER BY i)
+                          FILTER (WHERE h.seg IS NULL), '') AS kept_text
+        FROM s LEFT JOIN hot h ON s.seg = h.seg
+        GROUP BY doc_id""")

@@ -1,0 +1,58 @@
+"""Segment-level dedup operators — hand-computed frames.
+
+Segments are non-overlapping ``seg_tokens``-token windows; with
+seg_tokens=2 a 4-token doc "a b c d" has segments ["a b", "c d"].
+"""
+from pyspark.sql import Row
+
+from olap_xtrctr_spark.operators import segments as SEG
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t)
+                                  for i, t in enumerate(rows)])
+
+
+def _by_id(out):
+    return {r["doc_id"]: (r["n_segments"], r["n_kept"], r["kept_text"])
+            for r in out.collect()}
+
+
+def test_segment_dedup_first_occurrence_wins(spark):
+    # "a b" appears in docs 0, 1, 2 — only doc 0 (earliest) keeps it;
+    # doc 1 additionally repeats it internally (positions 0 and 2):
+    # both later occurrences are cut.
+    df = _docs(spark, ["a b c d", "a b x y a b", "a b", "p q"])
+    got = _by_id(SEG.segment_dedup(df, seg_tokens=2))
+    assert got == {0: (2, 2, "a b c d"),
+                   1: (3, 1, "x y"),
+                   2: (1, 0, ""),
+                   3: (1, 1, "p q")}
+
+
+def test_segment_dedup_final_short_window_kept(spark):
+    # 5 tokens with seg_tokens=2 -> segments "a b", "c d", "e": the
+    # trailing 1-token window is its own segment and dedups separately
+    df = _docs(spark, ["a b c d e", "e"])
+    got = _by_id(SEG.segment_dedup(df, seg_tokens=2))
+    assert got == {0: (3, 3, "a b c d e"), 1: (1, 0, "")}
+
+
+def test_segment_freq_filter_drops_from_all_docs(spark):
+    # "x y" is in 3 distinct docs (> max_docs=2): removed everywhere,
+    # including its first occurrence; "a b" (2 docs) survives.
+    df = _docs(spark, ["x y a b", "x y c d", "x y", "a b"])
+    got = _by_id(SEG.segment_freq_filter(df, seg_tokens=2, max_docs=2))
+    assert got == {0: (2, 1, "a b"),
+                   1: (2, 1, "c d"),
+                   2: (1, 0, ""),
+                   3: (1, 1, "a b")}
+
+
+def test_segment_freq_filter_counts_docs_not_occurrences(spark):
+    # "q r" occurs 3 times but in only 2 distinct docs -> kept
+    df = _docs(spark, ["q r q r", "q r", "z z"])
+    got = _by_id(SEG.segment_freq_filter(df, seg_tokens=2, max_docs=2))
+    assert got == {0: (2, 2, "q r q r"),
+                   1: (1, 1, "q r"),
+                   2: (1, 1, "z z")}
