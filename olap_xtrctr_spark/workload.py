@@ -22,7 +22,7 @@ from __future__ import annotations
 from .workload_shared import (AVG_D, CATALOG, MES_CASE,  # noqa: F401
                               QuerySpec, SUM_D)
 from .workloads import (cube, docs_segments, docs_text, events,  # noqa: F401
-                        members_nav, similarity, tpch)
+                        members_nav, multimodal_real, similarity, tpch)
 
 # ---- driver gate-window manifest -----------------------------------------
 # The external correctness gate grades the FIRST _GATE_WINDOW entries of
@@ -111,10 +111,11 @@ def build_workload() -> dict[str, QuerySpec]:
     # Registration order == the pre-split file's build order (cube ->
     # tpch -> members -> text -> similarity -> events); each module's
     # internal order is verbatim, so build order is byte-stable.
-    # docs_segments (round-7 additions) registers last: existing build
-    # order stays byte-stable, new entries appear past the legacy tail.
+    # docs_segments / multimodal_real (round-7 additions) register
+    # last: existing build order stays byte-stable, new entries appear
+    # past the legacy tail.
     for mod in (cube, tpch, members_nav, docs_text, similarity, events,
-                docs_segments):
+                docs_segments, multimodal_real):
         mod.register(add)
 
     # Order per the gate-window manifest (see _GATE_FRONT above).
