@@ -65,3 +65,55 @@ def register(add) -> None:
                           FILTER (WHERE h.seg IS NULL), '') AS kept_text
         FROM s LEFT JOIN hot h ON s.seg = h.seg
         GROUP BY doc_id""")
+
+    # ---- distributed BPE tokenizer training (rows-only + exact gate) ----
+    # Iterative global-argmax training is not expressible in one SQL
+    # statement, so the driver records rows-only — but the entry gates
+    # itself on EXACT equality against the pure-Python reference
+    # implementation over the same (word, freq) table (vocabulary-sized;
+    # capped with a logged skip so the gate can't become the scale
+    # bottleneck).  A wrong merge order, count, or tie-break fails the
+    # entry loudly rather than shipping plausible-looking merges.
+    _BPE_MERGES = 24
+    _BPE_GATE_MAX_VOCAB = 200_000
+    _BPE_CACHE: dict = {}
+
+    def _trained(spark, sf):
+        import os
+
+        from ..operators import bpe as B
+        key = (sf, os.path.getsize(f"{sf}/documents.parquet"))
+        if key not in _BPE_CACHE:
+            merges, syms = B.gated_train_bpe(
+                _docs(spark, sf), num_merges=_BPE_MERGES,
+                gate_max_vocab=_BPE_GATE_MAX_VOCAB)
+            _BPE_CACHE[key] = (merges, syms.localCheckpoint())
+        return _BPE_CACHE[key]
+
+    def bpe_train(spark, sf):
+        merges, _ = _trained(spark, sf)
+        return spark.createDataFrame(
+            [(r, a, b, a + b, c) for r, a, b, c in merges],
+            "rank int, left string, right string, merged string, "
+            "pair_count bigint")
+
+    add("docs_bpe_train", bpe_train, None)
+
+    # corpus encoded with the trained segmentation: per-doc BPE token
+    # counts via a broadcast join of per-word segment lengths from the
+    # training table — the corpus itself never enters Python
+    def bpe_token_count(spark, sf):
+        from pyspark.sql import functions as F
+        _, syms = _trained(spark, sf)
+        vocab = syms.select("word", F.size("syms").alias("n_sub"))
+        toks = (_docs(spark, sf).select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+             .alias("word"))
+            .filter(F.col("word") != ""))
+        return (toks.join(F.broadcast(vocab), "word")
+                .groupBy("doc_id")
+                .agg(F.count("*").cast("bigint").alias("n_words"),
+                     F.sum("n_sub").cast("bigint").alias("n_bpe_tokens")))
+
+    add("docs_bpe_token_count", bpe_token_count, None)
