@@ -31,6 +31,7 @@ __all__ = [
     "classifier_filter",
     "train_quality_classifier",
     "score_quality_classifier",
+    "auc_rank_sum",
     "classifier_quality_report",
 ]
 
@@ -141,6 +142,42 @@ def classifier_filter(scored: DataFrame, threshold: float | None = None,
             .withColumn("keep_reason", F.lit("lottery")))
 
 
+def auc_rank_sum(scored: DataFrame, label_col: str = "label",
+                 score_col: str = "score") -> float:
+    """Exact ROC AUC as the Mann-Whitney rank-sum statistic, computed
+    with DataFrame ops only — no MLlib evaluator (whose RDD conversion
+    path breaks under a shared session with registered Observations:
+    CollectMetrics state is not task-serializable) and no driver-side
+    score collection.
+
+    Ties get average ranks (the standard definition):
+    AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos · n_neg), R_pos = sum of
+    positive ranks ascending by score.  Phase 1 groups by score
+    (map-side combinable), so the global-order window runs over the
+    DISTINCT-score table, not the examples; for a holdout whose score
+    set is itself huge, quantize scores to fixed bins first (AUC is
+    insensitive to order-preserving binning at reasonable width)."""
+    from pyspark.sql import Window
+
+    g = (scored.groupBy(F.col(score_col).alias("_s"))
+         .agg(F.count("*").cast("double").alias("_n"),
+              F.sum(F.col(label_col).cast("double")).alias("_np")))
+    w = (Window.orderBy("_s")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    g = g.withColumn("_cum", F.sum("_n").over(w))
+    row = g.agg(
+        F.sum(F.col("_np") * (F.col("_cum") - F.col("_n")
+                              + (F.col("_n") + 1) / 2)).alias("r_pos"),
+        F.sum("_np").alias("n_pos"),
+        F.sum("_n").alias("n_all")).first()
+    n_pos, n_neg = row["n_pos"] or 0.0, (row["n_all"] or 0.0) - (
+        row["n_pos"] or 0.0)
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"AUC undefined: n_pos={n_pos:g}, n_neg={n_neg:g}")
+    return (row["r_pos"] - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+
+
 def classifier_quality_report(docs: DataFrame, text_col: str = "text",
                               auc_floor: float = 0.75,
                               seed: int = 42) -> DataFrame:
@@ -153,16 +190,17 @@ def classifier_quality_report(docs: DataFrame, text_col: str = "text",
     the ANN family): a returned row PROVES the trained model separates
     the held-out weak labels, not merely that the pipeline ran.  Fails
     loudly below ``auc_floor``."""
-    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.functions import vector_to_array
 
     labeled = weak_quality_labels(docs, text_col).cache()
     is_holdout = F.pmod(F.xxhash64("doc_id", F.lit(seed)), 5) == 0
     train, holdout = (labeled.filter(~is_holdout),
                       labeled.filter(is_holdout))
     model = train_quality_classifier(train, text_col)
-    auc = BinaryClassificationEvaluator(
-        labelCol="label", rawPredictionCol="rawPrediction",
-        metricName="areaUnderROC").evaluate(model.transform(holdout))
+    auc = auc_rank_sum(
+        model.transform(holdout).select(
+            "label", vector_to_array("probability")[1].alias("score")),
+        label_col="label", score_col="score")
     if auc < auc_floor:
         raise RuntimeError(
             f"classifier_quality_report: holdout AUC {auc:.3f} below "

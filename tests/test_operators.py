@@ -1676,3 +1676,43 @@ def test_ngram_lm_score_hand_computed(spark):
     assert (out[3].n_bigrams, out[3].nll_sum_micro) == (1, m(V))
     assert 4 not in out                   # single token, no bigrams
     assert out[0].mean_nll_micro == exp0 // 3
+
+
+def test_auc_rank_sum_hand_computed(spark):
+    """DataFrame-native Mann-Whitney AUC: exact value incl. average
+    ranks for ties, and the degenerate single-class error path."""
+    import pytest
+
+    from olap_xtrctr_spark.operators.classifier import auc_rank_sum
+    rows = [(0.9, 1.0), (0.8, 1.0), (0.8, 0.0), (0.3, 0.0)]
+    df = spark.createDataFrame(rows, "score double, label double")
+    # pairwise: 3 wins + 1 tie (0.5) over 4 pos/neg pairs = 0.875
+    assert abs(auc_rank_sum(df, "label", "score") - 0.875) < 1e-12
+    perfect = spark.createDataFrame(
+        [(0.9, 1.0), (0.7, 1.0), (0.2, 0.0)], "score double, label double")
+    assert auc_rank_sum(perfect, "label", "score") == 1.0
+    inverted = spark.createDataFrame(
+        [(0.1, 1.0), (0.9, 0.0)], "score double, label double")
+    assert auc_rank_sum(inverted, "label", "score") == 0.0
+    with pytest.raises(ValueError, match="AUC undefined"):
+        auc_rank_sum(spark.createDataFrame(
+            [(0.5, 1.0)], "score double, label double"), "label", "score")
+
+
+def test_auc_rank_sum_survives_registered_observation(spark):
+    """Regression: MLlib's RDD-based evaluator dies with
+    'NotSerializableException: ObservationManager' when the shared
+    session holds a registered Observation from an earlier pipeline
+    (the no-silent-caps watcher).  The rank-sum AUC is pure DataFrame
+    ops and must not care."""
+    from pyspark.sql import Observation
+
+    from olap_xtrctr_spark.operators.classifier import auc_rank_sum
+    df = spark.createDataFrame(
+        [(0.9, 1.0), (0.2, 0.0)], "score double, label double")
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    # leave the observation registered but unmaterialized, like a
+    # parked _observe_dropped watcher — then evaluate a separate frame
+    assert auc_rank_sum(df, "label", "score") == 1.0
+    observed.count()            # resolve it so the session stays clean
