@@ -35,7 +35,8 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .query import AxisItem, CalcMeasure, QueryRequest, TopCountSpec
+from .query import (AxisItem, CalcMeasure, HeadTailSpec, QueryRequest,
+                    TopCountSpec)
 
 
 class MdxParseError(ValueError):
@@ -208,14 +209,24 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
             rs = r.strip()
             up = rs.upper()
             fn = next((f for f in ("BOTTOMCOUNT", "TOPCOUNT", "ORDER",
-                                   "FILTER")
+                                   "FILTER", "HEAD", "TAIL")
                        if up.startswith(f + "(")
                        or up.startswith(f + " (")), None)
             if fn is None:
                 break
             inner = rs[rs.index("(") + 1:rs.rindex(")")]
             parts = _split_top(inner)
-            if fn in ("TOPCOUNT", "BOTTOMCOUNT"):
+            if fn in ("HEAD", "TAIL"):
+                if len(parts) != 2:
+                    raise MdxParseError(f"{fn} needs 2 args: {rs!r}")
+                if req.head_tail is not None:
+                    raise MdxParseError(f"nested {fn} is unsupported")
+                if not parts[1].strip().isdigit():
+                    raise MdxParseError(
+                        f"{fn} count must be an integer: {parts[1]!r}")
+                req.head_tail = HeadTailSpec(int(parts[1]),
+                                             tail=fn == "TAIL")
+            elif fn in ("TOPCOUNT", "BOTTOMCOUNT"):
                 if len(parts) != 3:
                     raise MdxParseError(f"{fn} needs 3 args: {rs!r}")
                 if req.topcount is not None:
@@ -331,6 +342,9 @@ def build_mdx(req: QueryRequest, cube_name: str | None = None) -> str:
             tfn = "BOTTOMCOUNT" if req.topcount.bottom else "TOPCOUNT"
             rows = (f"{tfn}({rows}, {req.topcount.n}, "
                     f"[Measures].[{req.topcount.measure}])")
+        if req.head_tail is not None:   # outermost: executes last
+            hfn = "TAIL" if req.head_tail.tail else "HEAD"
+            rows = f"{hfn}({rows}, {req.head_tail.n})"
         prop_terms = [
             f"[{item.dimension}].[{item.hierarchy}].[{p}]"
             for item in req.rows

@@ -99,6 +99,16 @@ class TopCountSpec:
     bottom: bool = False
 
 
+@dataclass
+class HeadTailSpec:
+    """HEAD(<set>, n) / TAIL(<set>, n): keep the first / last n axis
+    rows in set order.  Set order is the ORDER(...) key when present,
+    else the canonical group-column ascending order (MDX's natural
+    member ordering for level sets) — deterministic either way."""
+    n: int
+    tail: bool = False
+
+
 # ---------------------------------------------------------------------------
 # Measure-expression parser (calculated measures, FILTER conditions).
 # A tiny recursive-descent parser — NEVER eval() — over:
@@ -233,6 +243,7 @@ class QueryRequest:
     having: list[str] = field(default_factory=list)     # FILTER(set, cond)
     topcount: Optional[TopCountSpec] = None             # TOPCOUNT(set, n, m)
     order_by: Optional[tuple[str, bool]] = None         # ORDER(set, m, DESC)
+    head_tail: Optional[HeadTailSpec] = None            # HEAD/TAIL(set, n)
 
 
 @dataclass
@@ -564,15 +575,19 @@ class CubeQueryEngine:
             var_hier = var_dim.hierarchy(variables[0].hierarchy)
 
         if (req.calculated or req.having or req.topcount
-                or req.order_by) and variables:
+                or req.order_by or req.head_tail) and variables:
             raise QueryValidationError(
-                "calculated measures / FILTER / TOPCOUNT / ORDER do not "
-                "combine with a variables pivot")
-        if (req.having or req.topcount) and empty_preserving:
+                "calculated measures / FILTER / TOPCOUNT / ORDER / "
+                "HEAD / TAIL do not combine with a variables pivot")
+        if req.head_tail is not None and not req.rows:
             raise QueryValidationError(
-                "FILTER / TOPCOUNT over an empty-preserving axis is "
-                "ambiguous (filter before or after the preserved empty "
-                "rows?) — run one or the other")
+                "HEAD / TAIL need a rows axis to order")
+        if (req.having or req.topcount or req.head_tail) \
+                and empty_preserving:
+            raise QueryValidationError(
+                "FILTER / TOPCOUNT / HEAD / TAIL over an "
+                "empty-preserving axis is ambiguous (filter before or "
+                "after the preserved empty rows?) — run one or the other")
         measures, out_aliases, calc_plan = self._resolve_measure_plan(
             cube, req)
 
@@ -686,7 +701,27 @@ class CubeQueryEngine:
             key = resolve_out(name)
             out = out.orderBy(key.desc() if desc else key.asc(),
                               *[F.col(g) for g in group_names])
-        if calc_plan or req.having or req.topcount or req.order_by:
+        if req.head_tail is not None:    # HEAD/TAIL(set, n)
+            # set order = the ORDER key when present, else canonical
+            # group-column ascending.  TAIL = TakeOrderedAndProject on
+            # the REVERSED key, then restore forward order on n rows.
+            if req.order_by is not None:
+                name, desc = req.order_by
+                key = resolve_out(name)
+                fwd = [key.desc() if desc else key.asc(),
+                       *[F.col(g) for g in group_names]]
+                rev = [key.asc() if desc else key.desc(),
+                       *[F.col(g).desc() for g in group_names]]
+            else:
+                fwd = [F.col(g) for g in group_names]
+                rev = [F.col(g).desc() for g in group_names]
+            if req.head_tail.tail:
+                out = (out.orderBy(*rev).limit(req.head_tail.n)
+                       .orderBy(*fwd))
+            else:
+                out = out.orderBy(*fwd).limit(req.head_tail.n)
+        if calc_plan or req.having or req.topcount or req.order_by \
+                or req.head_tail:
             # project LAST to the SELECTED measures, so FILTER/TOPCOUNT/
             # ORDER can reference bases or calcs that are not in the
             # output (Spark keeps the sort order across the projection)

@@ -286,3 +286,37 @@ def register_r7(add) -> None:
                {SUM_D('l_extendedprice')} AS sum_extendedprice
         FROM {_FACT_OW}
         GROUP BY cust_nation""")
+
+    # ---- round 7: HEAD / TAIL set functions ---------------------------
+    # HEAD without ORDER keeps the first n rows of the canonical
+    # group-column ascending order (MDX's natural member order).
+    add("cube_head_nations",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+            "NON EMPTY HEAD([Dim Customer].[Geografía].[Nation]"
+            ".MEMBERS, 7) ON ROWS FROM [sales]", CATALOG)),
+        f"""WITH {_OW}, agg AS (
+          SELECT cust_nation AS nation,
+                 {SUM_D('l_quantity')} AS sum_quantity
+          FROM {_FACT_OW}
+          GROUP BY 1)
+        SELECT nation, sum_quantity FROM agg
+        ORDER BY nation LIMIT 7""")
+
+    # TAIL composed over ORDER: the last 5 of the descending measure
+    # order == the 5 smallest (reversed key, ties on nation reversed);
+    # the driver compare is order-insensitive, so the oracle pins the
+    # row SET — forward-order restoration is pinned by t:test_head_tail.
+    add("cube_tail_ordered_nations",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+            "NON EMPTY TAIL(ORDER([Dim Customer].[Geografía].[Nation]"
+            ".MEMBERS, [Measures].[Sum Quantity], DESC), 5) ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH {_OW}, agg AS (
+          SELECT cust_nation AS nation,
+                 {SUM_D('l_quantity')} AS sum_quantity
+          FROM {_FACT_OW}
+          GROUP BY 1)
+        SELECT nation, sum_quantity FROM agg
+        ORDER BY sum_quantity ASC, nation DESC LIMIT 5""")

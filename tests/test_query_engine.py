@@ -377,3 +377,73 @@ def test_order_by_rejected_with_variables_pivot(spark, sf_dir):
         order_by=("Sum Quantity", True))
     with pytest.raises(QueryValidationError, match="variables pivot"):
         eng.execute(req)
+
+
+def test_head_tail(eng):
+    """HEAD/TAIL: first/last n in set order — canonical caption order
+    without ORDER, the ORDER key with it; TAIL restores forward order."""
+    from olap_xtrctr_spark.query import HeadTailSpec
+    base = QueryRequest(
+        "VENTAS_2025", measures=["Sum Quantity"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation")])
+    all_rows = {r["nation"]: r["sum_quantity"]
+                for r in eng.execute(base).collect()}
+    nations_sorted = sorted(all_rows)
+
+    head = eng.execute(QueryRequest(
+        "VENTAS_2025", measures=["Sum Quantity"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation")],
+        head_tail=HeadTailSpec(3)))
+    assert [r["nation"] for r in head.collect()] == nations_sorted[:3]
+
+    tail = eng.execute(QueryRequest(
+        "VENTAS_2025", measures=["Sum Quantity"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation")],
+        head_tail=HeadTailSpec(3, tail=True)))
+    # last 3 of caption order, RE-EMITTED in forward caption order
+    assert [r["nation"] for r in tail.collect()] == nations_sorted[-3:]
+
+    # TAIL over ORDER(measure DESC) = the 3 smallest, forward order
+    # restored (largest of the 3 first)
+    tail_ord = eng.execute(QueryRequest(
+        "VENTAS_2025", measures=["Sum Quantity"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation")],
+        order_by=("Sum Quantity", True),
+        head_tail=HeadTailSpec(3, tail=True)))
+    by_qty = sorted(all_rows.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [r["nation"] for r in tail_ord.collect()] == \
+        [n for n, _ in by_qty[-3:]]
+
+
+def test_head_tail_validation(eng):
+    from olap_xtrctr_spark.query import HeadTailSpec
+    with pytest.raises(QueryValidationError, match="rows axis"):
+        eng.execute(QueryRequest(
+            "VENTAS_2025", measures=["Sum Quantity"],
+            head_tail=HeadTailSpec(3)))
+
+
+def test_head_tail_mdx_roundtrip():
+    from olap_xtrctr_spark.mdx import build_mdx, parse_mdx
+    mdx = ("SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+           "NON EMPTY TAIL(ORDER([Dim Customer].[Geografía].[Nation]"
+           ".MEMBERS, [Measures].[Sum Quantity], DESC), 5) ON ROWS "
+           "FROM [sales]")
+    req = parse_mdx(mdx, "VENTAS_2025")
+    assert req.head_tail is not None
+    assert (req.head_tail.n, req.head_tail.tail) == (5, True)
+    assert req.order_by == ("Sum Quantity", True)
+    back = parse_mdx(build_mdx(req), "VENTAS_2025")
+    assert (back.head_tail, back.order_by) == (req.head_tail, req.order_by)
+
+
+def test_head_rejects_bad_args():
+    from olap_xtrctr_spark.mdx import MdxParseError, parse_mdx
+    with pytest.raises(MdxParseError, match="integer"):
+        parse_mdx("SELECT {[Measures].[Sum Quantity]} ON COLUMNS, "
+                  "HEAD([D].[H].MEMBERS, x) ON ROWS FROM [c]",
+                  "VENTAS_2025")
+    with pytest.raises(MdxParseError, match="2 args"):
+        parse_mdx("SELECT {[Measures].[Sum Quantity]} ON COLUMNS, "
+                  "TAIL([D].[H].MEMBERS) ON ROWS FROM [c]",
+                  "VENTAS_2025")
