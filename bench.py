@@ -41,6 +41,7 @@ HEADLINE = [
     "docs_hash_split",
     "docs_incremental_dedup",
     "docs_pack_sequences",
+    "docs_segment_dedup",           # round-7 addition: segment-level dedup
     "emb_cosine_topk",
     "emb_near_dup_pairs",
     "multimodal_features",

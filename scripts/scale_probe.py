@@ -156,6 +156,16 @@ PROBE_QUERIES = [
     "docs_quality_classifier",
     "docs_quality_weak_labels",
     "emb_cluster_balanced_sample",
+    # round-7 second wave: segment dedup sees exact-dup replicas (every
+    # segment's occurrence list grows FACTOR deep — the window stays
+    # per-segment, no pairs, so cost must stay ~linear); BPE touches
+    # the corpus once then iterates on the (unchanged-size) vocab, so
+    # 10x corpus should cost ~1 extra corpus pass, not 10x iterations
+    "docs_segment_dedup",
+    "docs_segment_freq_filter",
+    "docs_bpe_train",
+    "docs_bpe_token_count",
+    "multimodal_wav_decode_stats",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
