@@ -299,3 +299,40 @@ def test_workload_module_size_budget():
                                        "*.py")):
         n = sum(1 for _ in open(path, encoding="utf-8"))
         assert n <= 900, f"{os.path.basename(path)} has {n} lines"
+
+
+def test_segment_dedup_plan_no_joins_one_window(spark, sf_dir):
+    """segment_dedup's scale claim: NO join operator anywhere (pairs
+    never materialize), one Window for first-occurrence, JVM-only."""
+    from olap_xtrctr_spark.operators import segments as SEG
+    from olap_xtrctr_spark.session import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(SEG.segment_dedup(docs, seg_tokens=8))
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_segment_freq_filter_hot_list_broadcasts(spark, sf_dir):
+    """The >max_docs hot-segment list must come back as a broadcast
+    join, never a SortMergeJoin over the corpus."""
+    from olap_xtrctr_spark.operators import segments as SEG
+    from olap_xtrctr_spark.session import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(SEG.segment_freq_filter(docs, seg_tokens=8, max_docs=2))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_encode_corpus_stays_jvm_side(spark, sf_dir):
+    """bpe_encode: Python may touch only the distinct-word vocab side;
+    the corpus joins it via broadcast."""
+    from olap_xtrctr_spark.operators import bpe as B
+    from olap_xtrctr_spark.session import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [(0, "a", "b", 9)]
+    plan = _plan(B.bpe_encode(docs, merges))
+    assert "BroadcastHashJoin" in plan
+    # the one ArrowEvalPython runs on the vocab (distinct) branch —
+    # above it sits the Aggregate for distinct, never the raw explode
+    assert plan.count("ArrowEvalPython") == 1
