@@ -82,6 +82,47 @@ def segment_dedup(docs: DataFrame, seg_tokens: int = 8,
     return _reassemble(segs, id_col)
 
 
+def segment_dedup_incremental(new_docs: DataFrame,
+                              seen: DataFrame | None,
+                              seg_tokens: int = 8,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              ) -> tuple[DataFrame, DataFrame]:
+    """One ingestion step of ONLINE segment dedup: drop segments seen
+    in any earlier batch (via the ``seen`` store) or earlier in this
+    batch (within-batch first-occurrence window), reassemble the
+    survivors per document, and return ``(result, updated_seen)``.
+
+    When batches arrive in ``id_col`` order, folding this over the
+    batches equals the one-shot :func:`segment_dedup` of their union —
+    the exactness contract the oracle entry checks.
+
+    Scale shape: the seen-store probe is an equi-join on the segment
+    text — at steady state the store is large, so this is a shuffle
+    hash join, and the 100 TB path is the bucketed seen-store
+    discipline of ``sources/bucketing.py`` (store pre-partitioned on
+    the segment key; only the new batch shuffles).  The returned
+    ``updated_seen`` is a lazy plan — persist or checkpoint it between
+    batches so the store's lineage does not grow with batch count."""
+    segs = _segments(new_docs, seg_tokens, text_col, id_col)
+    w = (Window.partitionBy("chunk_text")
+         .orderBy(F.col(id_col), F.col("chunk_idx")))
+    segs = segs.withColumn("_first", F.row_number().over(w) == 1)
+    if seen is not None:
+        segs = segs.join(seen.withColumn("_seen", F.lit(True)),
+                         "chunk_text", "left")
+        segs = segs.withColumn("_keep",
+                               F.col("_first") & F.col("_seen").isNull())
+    else:
+        segs = segs.withColumn("_keep", F.col("_first"))
+    result = _reassemble(segs, id_col)
+    new_segs = segs.select("chunk_text").distinct()
+    updated = (new_segs if seen is None
+               else seen.select("chunk_text").unionByName(new_segs)
+               .distinct())
+    return result, updated
+
+
 def segment_freq_filter(docs: DataFrame, seg_tokens: int = 8,
                         max_docs: int = 2, text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:

@@ -117,3 +117,44 @@ def register(add) -> None:
                      F.sum("n_sub").cast("bigint").alias("n_bpe_tokens")))
 
     add("docs_bpe_token_count", bpe_token_count, None)
+
+    # ---- online (cross-batch) segment dedup -----------------------------
+    # Three id-ordered ingestion batches folded through the seen-segment
+    # store must equal the one-shot corpus-wide segment dedup — so the
+    # oracle IS the one-shot SQL.  The store is checkpointed between
+    # batches (lineage must not grow with batch count).
+    def seg_dedup_incr(spark, sf):
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        from ..operators import segments as SEG
+        docs = _docs(spark, sf)
+        b1, b2 = docs.agg(
+            F.expr("percentile(doc_id, 0.3333)"),
+            F.expr("percentile(doc_id, 0.6667)")).first()
+        batches = [docs.filter(F.col("doc_id") <= b1),
+                   docs.filter((F.col("doc_id") > b1)
+                               & (F.col("doc_id") <= b2)),
+                   docs.filter(F.col("doc_id") > b2)]
+        seen, outs = None, []
+        for b in batches:
+            res, seen = SEG.segment_dedup_incremental(b, seen,
+                                                      seg_tokens=8)
+            seen = seen.localCheckpoint()
+            outs.append(res)
+        return reduce(lambda a, c: a.unionByName(c), outs)
+
+    add("docs_segment_dedup_incremental", seg_dedup_incr,
+        f"""WITH {_SEG_CTE},
+        r AS (
+          SELECT doc_id, i, seg,
+                 row_number() OVER (PARTITION BY seg ORDER BY doc_id, i)
+                   AS rn
+          FROM s)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+               coalesce(string_agg(seg, ' ' ORDER BY i)
+                          FILTER (WHERE rn = 1), '') AS kept_text
+        FROM r GROUP BY doc_id""")

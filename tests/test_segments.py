@@ -56,3 +56,31 @@ def test_segment_freq_filter_counts_docs_not_occurrences(spark):
     assert got == {0: (2, 2, "q r q r"),
                    1: (1, 1, "q r"),
                    2: (1, 1, "z z")}
+
+
+def test_segment_dedup_incremental_equals_one_shot(spark):
+    """Folding id-ordered batches through the seen store == one-shot
+    corpus dedup; a later batch loses segments the earlier one owns."""
+    texts = ["a b c d", "a b x y a b", "a b", "p q", "x y z w", "c d"]
+    df = _docs(spark, texts)
+    want = _by_id(SEG.segment_dedup(df, seg_tokens=2))
+
+    seen, got = None, {}
+    for lo, hi in ((0, 2), (2, 4), (4, 6)):
+        batch = df.filter((df.doc_id >= lo) & (df.doc_id < hi))
+        res, seen = SEG.segment_dedup_incremental(batch, seen,
+                                                  seg_tokens=2)
+        seen = seen.localCheckpoint()
+        got.update(_by_id(res))
+    assert got == want
+    # the store holds every distinct segment exactly once
+    segs = [r["chunk_text"] for r in seen.collect()]
+    assert len(segs) == len(set(segs))
+    assert "a b" in segs and "z w" in segs
+
+
+def test_segment_dedup_incremental_first_batch_no_store(spark):
+    df = _docs(spark, ["a b a b"])
+    res, seen = SEG.segment_dedup_incremental(df, None, seg_tokens=2)
+    assert _by_id(res) == {0: (2, 1, "a b")}
+    assert seen.count() == 1
