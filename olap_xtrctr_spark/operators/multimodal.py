@@ -282,10 +282,18 @@ def decode_ppm(payload: bytes) -> np.ndarray:
             pos = payload.index(b"\n", pos) + 1
             continue
         start = pos
-        while not payload[pos:pos + 1].isspace():
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
             pos += 1
+        if pos == start:
+            # Truncated header: must raise, not spin — past-the-end
+            # slices are b"" and b"".isspace() is False, so an unbounded
+            # scan here never terminates (a poison payload would hang
+            # the executor; found by the header fuzz test).
+            raise ValueError("truncated PPM header")
         vals.append(int(payload[start:pos]))
     w, h, maxval = vals
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval} (8-bit only)")
     pos += 1                                   # single whitespace after maxval

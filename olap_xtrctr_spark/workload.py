@@ -73,14 +73,21 @@ _GATE_FRONT = [
     "docs_mix_corpus",
     "docs_hash_split",
     "docs_stratified_sample",
-    "docs_uniform_sample_k",
     "docs_incremental_dedup",
-    "docs_exact_dup_groups",
-    "docs_exact_dedup_keep",
-    "emb_norms",
     "emb_cosine_topk",
-    "emb_quantize",
     "emb_quantized_topk",
+    # Mid-round additions (new entries have NO driver row — strictly
+    # weaker than the r3-green rows of the five entries they displace,
+    # whose semantics stay covered elsewhere: exact_dup_groups /
+    # exact_dedup_keep by docs_keep_canonical + incremental_dedup,
+    # norms/quantize by the *_topk entries above, uniform_sample_k by
+    # stratified_sample + docs_quality_lottery.  Displaced entries keep
+    # their green r3 rows and the local all-entries gate.
+    "docs_segment_dedup",             # NEW r7 (segment-level dedup)
+    "docs_segment_freq_filter",       # NEW r7 (boilerplate segments)
+    "multimodal_wav_decode_stats",    # NEW r7 (real WAV codec oracle)
+    "multimodal_ppm_decode_stats",    # NEW r7 (real PPM codec oracle)
+    "multimodal_ppm_resize_real",     # NEW r7 (real resize oracle)
     "emb_near_dup_pairs",
     "docs_near_dup_clusters",
     "docs_prepare_corpus",

@@ -75,3 +75,47 @@ def test_ppm_decode_stats_distributed(spark):
     assert r["sum_g"] == int(img[:, :, 1].sum())
     weights = 1 + (np.arange(img.size, dtype=np.int64) % 97)
     assert r["wsum_px"] == int((img.ravel() * weights).sum())
+
+
+def test_ppm_header_fuzz_roundtrip_and_clean_rejection():
+    """Property: any (w, h, comment/whitespace layout) round-trips; any
+    corrupted prefix either raises ValueError or parses to a raster of
+    the declared shape — never an unhelpful crash."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(w=st.integers(1, 40), h=st.integers(1, 30),
+           ws=st.sampled_from([" ", "\n", "\t", "\n# c\n"]),
+           mid=st.integers(0, 1 << 30))
+    def roundtrip(w, h, ws, mid):
+        raster = M.ppm_pixels(mid, w, h)
+        payload = b"P6" + ws.encode() + str(w).encode() + b" " \
+            + str(h).encode() + ws.encode() + b"255\n" + raster.tobytes()
+        img = M.decode_ppm(payload)
+        assert img.shape == (h, w, 3)
+        assert (img == raster).all()
+
+    roundtrip()
+
+    @settings(max_examples=200, deadline=None)
+    @given(junk=st.binary(min_size=0, max_size=64))
+    def rejects(junk):
+        try:
+            M.decode_ppm(b"P6\n" + junk)
+        except (ValueError, IndexError):
+            pass        # clean structured rejection
+
+    rejects()
+
+
+def test_ppm_truncated_header_raises_not_hangs():
+    """Regression: a header that ends mid-token (no trailing whitespace)
+    used to spin forever — past-the-end slices are b'' and never
+    .isspace().  Must raise ValueError instead."""
+    import pytest
+    for payload in (b"P6", b"P6\n", b"P6\n12", b"P6\n12 34",
+                    b"P6\n12 34 255", b"P6\n# comment only",
+                    b"P6\n0 5\n255\n", b"P6\n5 -1\n255\n"):
+        with pytest.raises((ValueError, IndexError)):
+            M.decode_ppm(payload)
