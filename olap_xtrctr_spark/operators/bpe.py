@@ -202,3 +202,53 @@ def bpe_encode(docs: DataFrame, merges: list,
             .groupBy(id_col)
             .agg(F.count("*").cast("bigint").alias("n_words"),
                  F.sum("n_sub").cast("bigint").alias("n_bpe_tokens")))
+
+
+def bpe_roundtrip(docs: DataFrame, merges: list,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Tokenizer integrity gate: encode every word, reconstruct it from
+    its own segments (concatenate, strip the end-of-word marker), and
+    report per document how many words FAILED to round-trip plus the
+    total reconstructed character count.  BPE merges only concatenate,
+    so the contract is zero losses and recon_chars == the document's
+    non-whitespace character count — an independent oracle states that
+    contract directly, and any segmentation bug (dropped symbol,
+    double-merge, marker leak) breaks the match.
+
+    Output: (doc_id, n_words, n_bad_words, recon_chars).
+
+    Same scale shape as ``bpe_encode``: Python touches only the
+    DISTINCT words; the corpus pays one broadcast join, no Python."""
+    rank_of = {(left, right): rank for rank, left, right, _ in merges}
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("bad", T.IntegerType()),
+        T.StructField("rlen", T.IntegerType())]))
+    def check(words):
+        import pandas as pd
+
+        def one(w):
+            segs = _segment_word(w, rank_of)
+            recon = "".join(segs)
+            recon = recon[:-len(END_WORD)] \
+                if recon.endswith(END_WORD) else recon
+            return (0 if recon == w else 1, len(recon))
+
+        res = words.map(one)
+        return pd.DataFrame({"bad": res.map(lambda t: t[0]).astype("int32"),
+                             "rlen": res.map(lambda t: t[1]).astype("int32")})
+
+    toks = (docs.select(
+        id_col,
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
+        .filter(F.col("word") != ""))
+    vocab = toks.select("word").distinct() \
+        .withColumn("_c", check(F.col("word"))) \
+        .select("word", F.col("_c.bad").alias("_bad"),
+                F.col("_c.rlen").alias("_rlen"))
+    return (toks.join(F.broadcast(vocab), "word")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_words"),
+                 F.sum("_bad").cast("bigint").alias("n_bad_words"),
+                 F.sum("_rlen").cast("bigint").alias("recon_chars")))

@@ -667,6 +667,41 @@ def contamination_check(train: DataFrame, test: DataFrame,
                  .cast("bigint").alias("n_contaminated")))
 
 
+def cross_split_leakage(emb: DataFrame, weights: dict[str, float],
+                        threshold: float = 0.995,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        salt: str = "split-v1") -> DataFrame:
+    """Embedding-level split-leakage detector: assign train/eval splits
+    (deterministic hash split, same rule as ``sampling.hash_split``),
+    then report every near-duplicate pair that CROSSES splits — an eval
+    vector with a >=threshold-cosine twin in train is a leaked eval
+    item, the failure mode n-gram contamination checks miss when the
+    duplicate is a paraphrase/re-encode rather than a verbatim copy.
+
+    Output: (id_a, id_b, split_a, split_b, cosine) with id_a < id_b and
+    split_a != split_b — exact values, fully oracle-checkable.
+
+    Scale shape: pair generation is delegated to the exact GEMM kernel
+    (bounded corpora; its pre-collect size guard points to the LSH path
+    beyond that), and the split columns attach via two slim
+    (id, split) projections joined AFTER pair filtering — splits are
+    never carried through the cross-product."""
+    from .sampling import hash_split
+
+    pairs = embedding_near_dups(emb, id_col=id_col, vec_col=vec_col,
+                                threshold=threshold)
+    splits = hash_split(emb.select(id_col), weights, id_col=id_col,
+                        salt=salt).select(id_col, "split")
+    a = splits.select(F.col(id_col).alias("id_a"),
+                      F.col("split").alias("split_a"))
+    b = splits.select(F.col(id_col).alias("id_b"),
+                      F.col("split").alias("split_b"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .filter(F.col("split_a") != F.col("split_b"))
+            .select("id_a", "id_b", "split_a", "split_b", "cosine"))
+
+
 # ---- corpus mixing ---------------------------------------------------------
 
 def mix_corpus(docs: DataFrame, weights: dict[str, float],

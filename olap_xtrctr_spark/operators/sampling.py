@@ -211,6 +211,53 @@ def token_budget_fill(scored: DataFrame, budget_tokens: int,
                     F.col("_doc_cum").cast("bigint").alias("cum_tokens")))
 
 
+def grouped_token_cap(scored: DataFrame, cap_tokens: int,
+                      group_col: str = "source",
+                      score_col: str = "score_milli",
+                      token_col: str = "n_tokens",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Domain balancing: cap EVERY group (source / domain / language) at
+    ``cap_tokens`` tokens, keeping each group's best-scoring documents —
+    the standard defense against one crawl domain swamping the mix.
+    Selection rule per group mirrors ``token_budget_fill``: order by
+    (score desc, id asc), keep the prefix whose running token total
+    stays within the cap.  Returns the kept rows plus ``cum_tokens``
+    (the running total within the document's group).
+
+    Scale shape: the same two-phase trick as ``token_budget_fill`` with
+    every window additionally keyed by the group, so no single-reducer
+    global sort AND no full per-group sort: (1) per-(group, score)
+    token totals — map-side combinable, bounded by |groups| x |distinct
+    milli scores|; (2) a running total over that small table finds each
+    group's boundary score; (3) whole-block scores join back with no
+    per-row window; (4) only boundary-score rows pay a rank window,
+    partitioned by (group, score).  A hot domain with billions of rows
+    costs one agg + one join, not a sort of the domain."""
+    tk = F.col(token_col)
+    per_score = (scored.groupBy(group_col, score_col)
+                 .agg(F.sum(tk).cast("bigint").alias("_stok")))
+    wsc = (Window.partitionBy(group_col).orderBy(F.desc(score_col))
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cums = (per_score
+            .withColumn("_cum_through", F.sum("_stok").over(wsc))
+            .withColumn("_cum_before",
+                        F.col("_cum_through") - F.col("_stok")))
+    joined = scored.join(F.broadcast(cums), [group_col, score_col])
+    wdoc = (Window.partitionBy(group_col, score_col).orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    full = (joined.filter(F.col("_cum_through") <= cap_tokens)
+            .withColumn("_doc_cum",
+                        F.col("_cum_before") + F.sum(tk).over(wdoc)))
+    boundary = (joined.filter((F.col("_cum_before") <= cap_tokens)
+                              & (F.col("_cum_through") > cap_tokens))
+                .withColumn("_doc_cum",
+                            F.col("_cum_before") + F.sum(tk).over(wdoc))
+                .filter(F.col("_doc_cum") <= cap_tokens))
+    return (full.unionByName(boundary)
+            .select(*scored.columns,
+                    F.col("_doc_cum").cast("bigint").alias("cum_tokens")))
+
+
 def temperature_mix_rates(docs: DataFrame, temperature: float = 0.7,
                           text_col: str = "text",
                           source_col: str = "source") -> DataFrame:

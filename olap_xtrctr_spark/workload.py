@@ -21,8 +21,9 @@ from __future__ import annotations
 
 from .workload_shared import (AVG_D, CATALOG, MES_CASE,  # noqa: F401
                               QuerySpec, SUM_D)
-from .workloads import (cube, docs_segments, docs_text, events,  # noqa: F401
-                        members_nav, multimodal_real, similarity, tpch)
+from .workloads import (cube, curation, docs_segments,  # noqa: F401
+                        docs_text, events, members_nav, multimodal_real,
+                        similarity, tpch)
 
 # ---- driver gate-window manifest -----------------------------------------
 # The external correctness gate grades the FIRST _GATE_WINDOW entries of
@@ -122,7 +123,7 @@ def build_workload() -> dict[str, QuerySpec]:
     # last: existing build order stays byte-stable, new entries appear
     # past the legacy tail.
     for mod in (cube, tpch, members_nav, docs_text, similarity, events,
-                docs_segments, multimodal_real):
+                docs_segments, multimodal_real, curation):
         mod.register(add)
 
     # Order per the gate-window manifest (see _GATE_FRONT above).

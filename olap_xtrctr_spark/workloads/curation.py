@@ -1,0 +1,94 @@
+"""Corpus-curation entries (round 7, wave 3): per-source token capping
+(domain balancing) and embedding-level cross-split leakage detection.
+Both full-oracle.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import sampling as SM
+from ..operators import text as TX
+from ..workload_shared import _docs, _emb
+
+# Quality-score CTE shared with docs_token_budget_fill's oracle: the
+# operator's published 4-decimal score, scaled to exact milli units.
+_SCORED_CTE = r"""q AS (
+      SELECT doc_id, source,
+        len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        greatest(length(text), 1) AS n_chars,
+        CAST(len(regexp_extract_all(lower(text),
+          '\b(the|and|of|to|in|is)\b')) AS INTEGER) AS stop_hits,
+        CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+             AS INTEGER) AS punct
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source, n_tokens,
+        CAST(ROUND(ROUND((
+          (CASE WHEN n_tokens >= 10 AND n_tokens <= 5000
+                THEN 0.4 ELSE 0.0 END)
+          + least(stop_hits / greatest(n_tokens, 1) * 2.0, 0.4)
+          - least(punct / n_chars * 5.0, 0.2)
+          + (CASE WHEN n_chars / greatest(n_tokens, 1) >= 3.0
+                   AND n_chars / greatest(n_tokens, 1) <= 12.0
+                  THEN 0.2 ELSE 0.0 END)), 4) * 1000)
+          AS BIGINT) AS score_milli
+      FROM q)"""
+
+_COS = """list_sum(list_transform(list_zip(a.embedding, b.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+
+
+def register(add) -> None:
+
+    # domain balancing: cap every source at 5k tokens, keeping its
+    # best-scoring documents — per-group prefix under a running token
+    # total, same boundary rule as docs_token_budget_fill but windowed
+    # inside the group (no global sort, no per-group full sort)
+    def _source_cap(spark, sf):
+        qs = TX.quality_score(_docs(spark, sf))
+        docs = _docs(spark, sf).select("doc_id", "source")
+        scored = (qs.select(
+            "doc_id", "n_tokens",
+            F.round(F.col("quality_score") * 1000).cast("bigint")
+             .alias("score_milli"))
+            .join(docs, "doc_id")
+            .select("doc_id", "source", "n_tokens", "score_milli"))
+        return SM.grouped_token_cap(scored, cap_tokens=5_000,
+                                    group_col="source")
+
+    add("docs_source_capped_corpus", _source_cap,
+        f"""WITH {_SCORED_CTE},
+        cum AS (
+          SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+                      ORDER BY score_milli DESC, doc_id) AS cum_tokens
+          FROM scored)
+        SELECT doc_id, source, n_tokens, score_milli,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM cum WHERE cum_tokens <= 5000""")
+
+    # split-leakage audit: eval vectors with a >=0.40-cosine twin in
+    # train — the paraphrase/re-encode leak that verbatim n-gram
+    # contamination checks miss.  Split assignment is the deterministic
+    # md5 split rule, recomputed by the oracle.
+    _B = SM.hash_bucket_sql("a.vec_id", "split-v1")
+    _B2 = SM.hash_bucket_sql("b.vec_id", "split-v1")
+
+    add("emb_cross_split_leakage",
+        lambda spark, sf: D.cross_split_leakage(
+            _emb(spark, sf), {"train": 0.8, "eval": 0.2}, threshold=0.40),
+        f"""WITH pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 CASE WHEN {_B} < 8000 THEN 'train' ELSE 'eval' END
+                   AS split_a,
+                 CASE WHEN {_B2} < 8000 THEN 'train' ELSE 'eval' END
+                   AS split_b,
+                 ROUND({_COS}, 4) AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE {_COS} >= 0.40)
+        SELECT id_a, id_b, split_a, split_b, cosine
+        FROM pairs WHERE split_a <> split_b""")

@@ -158,3 +158,22 @@ def register(add) -> None:
                coalesce(string_agg(seg, ' ' ORDER BY i)
                           FILTER (WHERE rn = 1), '') AS kept_text
         FROM r GROUP BY doc_id""")
+
+    # tokenizer integrity gate: every word must reconstruct exactly from
+    # its own BPE segments.  The oracle states the lossless contract
+    # independently (BPE merges only concatenate): zero bad words and
+    # recon_chars == the document's non-whitespace character count — a
+    # dropped symbol, double-merge or marker leak breaks the hash.
+    def bpe_roundtrip(spark, sf):
+        from ..operators import bpe as B
+        merges, _ = _trained(spark, sf)
+        return B.bpe_roundtrip(_docs(spark, sf), merges)
+
+    add("docs_bpe_roundtrip", bpe_roundtrip,
+        r"""SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS n_words,
+               CAST(0 AS BIGINT) AS n_bad_words,
+               CAST(length(regexp_replace(text, '\s', '', 'g'))
+                    AS BIGINT) AS recon_chars
+        FROM documents""")

@@ -1,6 +1,7 @@
 """Distributed BPE trainer/encoder vs the pure-Python reference."""
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from olap_xtrctr_spark.operators import bpe as B
 
@@ -95,3 +96,31 @@ def test_encode_handles_oov_words():
     rank_of = {(left, right): r for r, left, right, _ in merges}
     assert B._segment_word("ab", rank_of) == ["ab</w>"]
     assert B._segment_word("zq", rank_of) == ["z", "q", "</w>"]
+
+
+def test_bpe_roundtrip_lossless_and_gate_fails_loudly(spark, monkeypatch):
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "new newer low"), (3, "a")],
+        "doc_id long, text string")
+    merges, _ = B.train_bpe(docs, num_merges=6)
+    out = {r["doc_id"]: r for r in B.bpe_roundtrip(docs, merges).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(r["n_bad_words"] == 0 for r in out.values())
+    # recon_chars == non-whitespace char count, per doc
+    assert out[1]["recon_chars"] == len("lowlowerlowest")
+    assert out[2]["recon_chars"] == len("newnewerlow")
+    assert out[3]["recon_chars"] == 1
+    assert out[1]["n_words"] == 3 and out[3]["n_words"] == 1
+
+    # negative path: a segmenter that drops a symbol must surface as
+    # n_bad_words > 0 (the gate detects implementation breakage)
+    real = B._segment_word
+
+    def broken(word, rank_of):
+        segs = real(word, rank_of)
+        return segs[1:] if len(segs) > 1 else segs
+
+    monkeypatch.setattr(B, "_segment_word", broken)
+    bad = B.bpe_roundtrip(docs, merges).agg(
+        F.sum("n_bad_words").alias("b")).first()["b"]
+    assert bad > 0

@@ -273,3 +273,76 @@ def test_token_budget_fill_prefix_and_boundary(spark):
     assert out == {1: 10, 2: 20, 3: 30, 4: 40}
     # budget below the first doc -> empty
     assert token_budget_fill(scored, 5).count() == 0
+
+
+def test_grouped_token_cap_per_group_prefix_and_boundary(spark):
+    from olap_xtrctr_spark.operators.sampling import grouped_token_cap
+
+    rows = [  # (doc_id, source, n_tokens, score_milli)
+        (1, "a", 10, 900), (2, "a", 10, 900), (3, "a", 10, 800),
+        (4, "b", 10, 700), (5, "b", 10, 700), (6, "b", 10, 600)]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long, score_milli long")
+    # cap 25: each group keeps its best 2 docs (cum 10, 20); the third
+    # would cross and is out — independently per group
+    out = {r["doc_id"]: (r["source"], r["cum_tokens"])
+           for r in grouped_token_cap(scored, 25, group_col="source")
+           .collect()}
+    assert out == {1: ("a", 10), 2: ("a", 20),
+                   4: ("b", 10), 5: ("b", 20)}
+    # ties at a group's boundary score break by id (4 in, 5 out at 15)
+    out = grouped_token_cap(scored, 15, group_col="source")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 4]
+    # a cap larger than any group keeps everything
+    assert grouped_token_cap(scored, 1000, group_col="source").count() == 6
+
+
+def test_grouped_token_cap_windows_stay_inside_the_group(spark, sf_dir):
+    """Scale claim: every window is keyed by the group (plus score for
+    the per-row pass) — no global running total, no corpus range sort."""
+    from olap_xtrctr_spark.operators.sampling import grouped_token_cap
+    from olap_xtrctr_spark.operators.text import quality_score
+    from olap_xtrctr_spark.session import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select(
+        "doc_id", "n_tokens",
+        F.round(F.col("quality_score") * 1000).cast("bigint")
+         .alias("score_milli")) \
+        .join(docs.select("doc_id", "source"), "doc_id")
+    plan = grouped_token_cap(scored, 5_000, group_col="source") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(source" in plan
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_cross_split_leakage_flags_only_cross_split_twins(spark):
+    import hashlib
+
+    from olap_xtrctr_spark.operators.dedup import cross_split_leakage
+
+    def bucket(i):
+        h = hashlib.md5(f"{i}:split-v1".encode()).hexdigest()
+        return int(h[:15], 16) % 10_000
+
+    train = [i for i in range(60) if bucket(i) < 8000]
+    evalid = [i for i in range(60) if bucket(i) >= 8000]
+    assert len(train) >= 3 and len(evalid) >= 1
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    rows = [(train[0], base), (evalid[0], near),   # cross-split twin
+            (train[1], base), (train[2], base),    # in-split dups only
+            (train[3] if len(train) > 3 else train[0] + 100, far)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cross_split_leakage(emb, {"train": 0.8, "eval": 0.2},
+                              threshold=0.99).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    expected = {(min(train[0], evalid[0]), max(train[0], evalid[0])),
+                (min(train[1], evalid[0]), max(train[1], evalid[0])),
+                (min(train[2], evalid[0]), max(train[2], evalid[0]))}
+    assert pairs == expected
+    for r in got:
+        assert {r["split_a"], r["split_b"]} == {"train", "eval"}
+        assert r["cosine"] >= 0.99
