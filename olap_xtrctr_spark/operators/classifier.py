@@ -96,7 +96,28 @@ def train_quality_classifier(labeled: DataFrame, text_col: str = "text",
                            maxIter=max_iter, regParam=reg_param,
                            standardization=False),
     ])
-    return pipe.fit(labeled)
+    model = pipe.fit(labeled)
+    # Spark pins the fit-time SparkSession inside the LR model's
+    # training summary, and the summary rides into every later
+    # model.transform task closure.  Once ANY Observation has been
+    # registered in the session — the engine's own no-silent-caps
+    # watchers (_observe_dropped) do exactly that — the session's
+    # lazily-created ObservationManager is not java-serializable and
+    # scoring dies with NotSerializableException.  A persist/reload
+    # round-trip is the public-API way to shed the summary (ML writers
+    # never persist summaries), leaving a closure-clean model of just
+    # coefficients.  Local temp suffices on local[*]; on a multi-node
+    # cluster route this through a shared persist dir (the durable jobs
+    # store) since ML persistence writes through the cluster FS.
+    import os
+    import tempfile
+
+    from pyspark.ml import PipelineModel
+    with tempfile.TemporaryDirectory(prefix="olap-clf-") as tmp:
+        path = os.path.join(tmp, "model")
+        model.write().overwrite().save(path)
+        model = PipelineModel.load(path)
+    return model
 
 
 def score_quality_classifier(docs: DataFrame, model,

@@ -148,6 +148,15 @@ PROBE_QUERIES = [
     # checks the union+window shape scales with users, not pairs
     "events_asof_click_attribution",
     "events_asof_attribution_tolerance",
+    # round-7 third wave: grouped cap must stay group-windowed (hot
+    # domains grow 10x deep here since replicas keep their source);
+    # leakage rides the guarded exact-GEMM kernel (embeddings stay
+    # as-is — the probe confirms the pair+split join shape, not corpus
+    # growth); bpe_roundtrip's Python stays distinct-word-sized while
+    # the corpus grows FACTOR x (replicas share vocabulary)
+    "docs_source_capped_corpus",
+    "emb_cross_split_leakage",
+    "docs_bpe_roundtrip",
     "events_first_touch_attribution",
     "events_linear_attribution",
     # round-7 curation ops: classifier trains distributed (per-iteration

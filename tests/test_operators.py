@@ -1716,3 +1716,27 @@ def test_auc_rank_sum_survives_registered_observation(spark):
     # parked _observe_dropped watcher — then evaluate a separate frame
     assert auc_rank_sum(df, "label", "score") == 1.0
     observed.count()            # resolve it so the session stays clean
+
+
+def test_classifier_scores_with_parked_observation(spark):
+    """Regression: LR models carry a training summary that pins the
+    fit-time SparkSession; with any Observation ever registered in the
+    session (our _observe_dropped watchers do this), the session's
+    ObservationManager is not java-serializable and scoring closures
+    died with NotSerializableException.  train_quality_classifier now
+    sheds the summary via a persist/reload round-trip."""
+    from pyspark.sql import Observation
+
+    from olap_xtrctr_spark.operators import classifier as C
+    from olap_xtrctr_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    obs = Observation()
+    parked = docs.observe(obs, F.count(F.lit(1)).alias("n"))
+    labeled = C.weak_quality_labels(docs)
+    model = C.train_quality_classifier(labeled)
+    out = C.score_quality_classifier(docs, model)
+    assert out.count() == docs.count()
+    assert out.filter((F.col("quality_prob") < 0)
+                      | (F.col("quality_prob") > 1)).count() == 0
+    parked.count()              # resolve so the session stays clean
