@@ -89,14 +89,18 @@ _GATE_FRONT = [
     "multimodal_wav_decode_stats",    # NEW r7 (real WAV codec oracle)
     "multimodal_ppm_decode_stats",    # NEW r7 (real PPM codec oracle)
     "multimodal_ppm_resize_real",     # NEW r7 (real resize oracle)
+    # Wave-3 additions displace the three digest-chain multimodal
+    # stubs (green r3 rows; their decode/resize semantics are now
+    # covered IN-window by the real-codec entries above, and they stay
+    # in the local all-entries gate).
+    "docs_source_capped_corpus",      # NEW r7 (domain balancing)
+    "emb_cross_split_leakage",        # NEW r7 (split-leakage audit)
+    "docs_bpe_roundtrip",             # NEW r7 (tokenizer integrity)
     "emb_near_dup_pairs",
     "docs_near_dup_clusters",
     "docs_prepare_corpus",
     "docs_keep_canonical",
     "docs_ngram_jaccard_pairs",
-    "multimodal_resize",
-    "multimodal_frames",
-    "multimodal_features",
     "events_hourly_rollup",
     "events_stream_sessionize",
     "events_stream_user_totals",
