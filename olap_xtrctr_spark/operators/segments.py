@@ -139,3 +139,83 @@ def segment_freq_filter(docs: DataFrame, seg_tokens: int = 8,
                       "chunk_text", "left")
             .withColumn("_keep", F.col("_hot").isNull()))
     return _reassemble(segs, id_col)
+
+
+def duplicate_span_removal(docs: DataFrame, k: int = 8,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """EXACT duplicated-span detection at stride 1 (Lee et al. 2022
+    exact-substring dedup, token granularity): every maximal run of
+    tokens that contains a k-token window already seen earlier in the
+    corpus (earlier = smaller (doc_id, position)) is reported as a
+    duplicate span.  This is the strongest dedup guarantee in the
+    family — ``segment_dedup`` only catches duplicates aligned to its
+    non-overlapping k-grid, and the winnowing operators SAMPLE
+    fingerprints; here every k-token window counts, so a copied
+    passage is caught at any offset.
+
+    Output one row per document: (doc_id, n_tokens, n_dup_spans,
+    n_dup_tokens, dup_spans) with dup_spans the position-sorted
+    "start-end" list (0-based inclusive token indices).  Documents
+    with no duplicated window report 0/0/''.  Matching is lowercased
+    (family convention); documents shorter than k tokens have no
+    complete window and never match — k is the minimum match length,
+    exactly as in the suffix-array formulation.
+
+    Scale shape: stride-1 shingling is a narrow lead-window per doc
+    (one doc-keyed exchange); first-occurrence marking is ONE shuffle
+    keyed by the shingle text (a shingle's group is its own occurrence
+    list — linear in duplication depth, no pairs); span merging is a
+    per-document interval-merge window over only the MARKED positions
+    (duplicate-mass-sized, not corpus-sized).  At 100 TB, key the
+    marking window on xxhash64(shingle) to shrink shuffle bytes — the
+    same documented trade-off as segment_dedup."""
+    if k < 2:
+        raise ValueError("duplicate_span_removal needs k >= 2 "
+                         "(k=1 would mark every repeated token)")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.select(id_col, F.size(toks).alias("_nt"),
+                    F.posexplode(toks).alias("_p", "_tok"))
+    wdoc = Window.partitionBy(id_col).orderBy("_p")
+    leads = [F.lead("_tok", j).over(wdoc) for j in range(1, k)]
+    grams = (d.withColumn("_sh", F.concat_ws(" ", F.col("_tok"), *leads))
+             .withColumn("_last", leads[-1])
+             .filter(F.col("_last").isNotNull())     # complete windows only
+             .select(id_col, "_p", "_sh"))
+    wsh = Window.partitionBy("_sh").orderBy(F.col(id_col), F.col("_p"))
+    marked = (grams.withColumn("_rn", F.row_number().over(wsh))
+              .filter(F.col("_rn") > 1)
+              .select(id_col, F.col("_p").alias("_s"),
+                      (F.col("_p") + F.lit(k - 1)).alias("_e")))
+    wrun = Window.partitionBy(id_col).orderBy("_s")
+    prev_end = F.max("_e").over(
+        wrun.rowsBetween(Window.unboundedPreceding, -1))
+    spans = (marked
+             .withColumn("_brk", (prev_end.isNull()
+                                  | (F.col("_s") > prev_end + 1))
+                         .cast("long"))
+             .withColumn("_sid", F.sum("_brk").over(
+                 wrun.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)))
+             .groupBy(id_col, "_sid")
+             .agg(F.min("_s").alias("_ss"), F.max("_e").alias("_se")))
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+                    F.sum(F.col("_se") - F.col("_ss") + 1).cast("bigint")
+                     .alias("n_dup_tokens"),
+                    F.array_join(F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("_ss", "_se"))),
+                        lambda x: F.concat_ws(
+                            "-", x["_ss"].cast("string"),
+                            x["_se"].cast("string"))), ",")
+                    .alias("dup_spans")))
+    base = docs.select(id_col, F.size(toks).cast("bigint")
+                       .alias("n_tokens"))
+    return (base.join(per_doc, id_col, "left")
+            .select(id_col, "n_tokens",
+                    F.coalesce("n_dup_spans", F.lit(0)).cast("bigint")
+                     .alias("n_dup_spans"),
+                    F.coalesce("n_dup_tokens", F.lit(0)).cast("bigint")
+                     .alias("n_dup_tokens"),
+                    F.coalesce("dup_spans", F.lit("")).alias("dup_spans")))

@@ -96,6 +96,10 @@ _GATE_FRONT = [
     "docs_source_capped_corpus",      # NEW r7 (domain balancing)
     "emb_cross_split_leakage",        # NEW r7 (split-leakage audit)
     "docs_bpe_roundtrip",             # NEW r7 (tokenizer integrity)
+    # docs_duplicate_spans displaces events_top_hours_per_type (green
+    # r3 row; plain grouped top-k whose semantics stay exercised by
+    # events_hourly_rollup in-window and the local all-entries gate).
+    "docs_duplicate_spans",           # NEW r7 (exact stride-1 spans)
     "emb_near_dup_pairs",
     "docs_near_dup_clusters",
     "docs_prepare_corpus",
@@ -108,7 +112,6 @@ _GATE_FRONT = [
     "events_retention_cohorts",
     "events_stream_dedup",
     "events_type_user_distinct",
-    "events_top_hours_per_type",
 ]
 
 

@@ -177,3 +177,49 @@ def register(add) -> None:
                CAST(length(regexp_replace(text, '\s', '', 'g'))
                     AS BIGINT) AS recon_chars
         FROM documents""")
+
+    # EXACT stride-1 duplicated-span detection (Lee et al. exact-substring
+    # dedup): every maximal token run containing an already-seen 8-token
+    # window, at any offset — the guarantee the grid-aligned and sampled
+    # variants only approximate.  Full oracle: the span lists must match
+    # byte-for-byte.
+    add("docs_duplicate_spans",
+        lambda spark, sf: SEG.duplicate_span_removal(_docs(spark, sf), k=8),
+        r"""WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(list_slice(toks, i, i + 7), ' ') AS sh
+          FROM t, LATERAL unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+        m AS (
+          SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY sh
+                                    ORDER BY doc_id, pos) AS rn
+          FROM g),
+        mk AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM m WHERE rn > 1),
+        r AS (
+          SELECT doc_id, s, e,
+                 CASE WHEN s > coalesce(max(e) OVER (
+                          PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), -2) + 1
+                      THEN 1 ELSE 0 END AS brk
+          FROM mk),
+        sp AS (SELECT doc_id, s, e,
+                      SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS sid
+               FROM r),
+        ag AS (SELECT doc_id, sid, MIN(s) AS ss, MAX(e) AS se
+               FROM sp GROUP BY 1, 2),
+        pd AS (SELECT doc_id,
+                      CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+                      CAST(SUM(se - ss + 1) AS BIGINT) AS n_dup_tokens,
+                      string_agg(ss || '-' || se, ',' ORDER BY ss)
+                        AS dup_spans
+               FROM ag GROUP BY 1)
+        SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               coalesce(pd.n_dup_spans, 0) AS n_dup_spans,
+               coalesce(pd.n_dup_tokens, 0) AS n_dup_tokens,
+               coalesce(pd.dup_spans, '') AS dup_spans
+        FROM t LEFT JOIN pd USING (doc_id)""")

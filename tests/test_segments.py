@@ -84,3 +84,41 @@ def test_segment_dedup_incremental_first_batch_no_store(spark):
     res, seen = SEG.segment_dedup_incremental(df, None, seg_tokens=2)
     assert _by_id(res) == {0: (2, 1, "a b")}
     assert seen.count() == 1
+
+
+def test_duplicate_span_removal_hand_computed(spark):
+    out = {r["doc_id"]: (r["n_tokens"], r["n_dup_spans"],
+                         r["n_dup_tokens"], r["dup_spans"])
+           for r in SEG.duplicate_span_removal(
+               _docs(spark, ["a b c d e",     # first owner of everything
+                             "x b c d y",     # interior copy at offset 1
+                             "A B c d E",     # full copy (case-folded)
+                             "a b q a b",     # two disjoint copies
+                             "z",             # shorter than k: no window
+                             "m m m"]),       # within-doc repeat
+               k=2).collect()}
+    assert out[0] == (5, 0, 0, "")
+    assert out[1] == (5, 1, 3, "1-3")        # [1,2]+[2,3] merge to 1-3
+    assert out[2] == (5, 1, 5, "0-4")
+    assert out[3] == (5, 2, 4, "0-1,3-4")    # disjoint spans stay split
+    assert out[4] == (1, 0, 0, "")
+    assert out[5] == (3, 1, 2, "1-2")        # second "m m" window
+
+
+def test_duplicate_span_removal_rejects_k1_and_stays_pair_free(spark):
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    with pytest.raises(ValueError, match="k >= 2"):
+        SEG.duplicate_span_removal(_docs(spark, ["a"]), k=1)
+
+    from olap_xtrctr_spark.session import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    df = SEG.duplicate_span_removal(docs, k=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # no posting-list pair generation (collect_list+slice signature) and
+    # no global sort: marking windows key on the shingle, runs on doc_id
+    assert "slice" not in plan
+    assert "rangepartitioning" not in plan
+    assert "windowspecdefinition(_sh" in plan
+    assert "windowspecdefinition(doc_id" in plan
