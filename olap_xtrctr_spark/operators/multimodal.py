@@ -208,14 +208,24 @@ def make_wav(media_id: int, n_samples: int, rate: int) -> bytes:
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """REAL decode: parse the RIFF/WAVE header with the stdlib reader
     and return (sample_rate, int16 sample array).  Mono PCM16 only —
-    the supported-subset contract is explicit, not silent."""
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        if w.getsampwidth() != 2 or w.getnchannels() != 1:
-            raise ValueError(
-                f"unsupported WAV: {w.getnchannels()}ch "
-                f"{8 * w.getsampwidth()}-bit (PCM16 mono only)")
-        rate = w.getframerate()
-        frames = w.readframes(w.getnframes())
+    the supported-subset contract is explicit, not silent.  Malformed
+    containers surface as ValueError (one structured rejection type
+    across the codec family, fuzz-tested), never as a hang or a raw
+    library internal."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                raise ValueError(
+                    f"unsupported WAV: {w.getnchannels()}ch "
+                    f"{8 * w.getsampwidth()}-bit (PCM16 mono only)")
+            rate = w.getframerate()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError, RuntimeError) as exc:
+        # RuntimeError: CPython's wave module raises it BARE when a
+        # corrupted chunk header seeks past the end of the payload
+        # (wave.py _Chunk.seek) — found by the corruption fuzz test.
+        raise ValueError(f"not a decodable RIFF/WAVE payload: {exc}") \
+            from exc
     return rate, np.frombuffer(frames, dtype="<i2")
 
 

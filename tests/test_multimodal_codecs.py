@@ -119,3 +119,40 @@ def test_ppm_truncated_header_raises_not_hangs():
                     b"P6\n0 5\n255\n", b"P6\n5 -1\n255\n"):
         with pytest.raises((ValueError, IndexError)):
             M.decode_ppm(payload)
+
+
+def test_wav_decode_rejects_corruption_cleanly():
+    """Corrupted/truncated RIFF containers must raise ValueError (the
+    family's single structured rejection type) — never a raw stdlib
+    internal or a hang."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pytest
+
+    good = M.make_wav(7, 256, 8000)
+
+    @settings(max_examples=200, deadline=None)
+    @given(cut=st.integers(0, len(good) - 1),
+           junk=st.binary(min_size=0, max_size=32))
+    def fuzz(cut, junk):
+        payload = good[:cut] + junk
+        try:
+            rate, s = M.decode_wav(payload)
+            assert rate > 0                 # parsed => sane header
+        except ValueError:
+            pass                            # clean structured rejection
+
+    fuzz()
+
+    # stereo/8-bit contract rejections stay explicit
+    import io
+    import wave as wv
+    buf = io.BytesIO()
+    with wv.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="PCM16 mono"):
+        M.decode_wav(buf.getvalue())
