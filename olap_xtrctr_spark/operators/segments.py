@@ -170,52 +170,54 @@ def duplicate_span_removal(docs: DataFrame, k: int = 8,
     (duplicate-mass-sized, not corpus-sized).  At 100 TB, key the
     marking window on xxhash64(shingle) to shrink shuffle bytes — the
     same documented trade-off as segment_dedup."""
-    if k < 2:
-        raise ValueError("duplicate_span_removal needs k >= 2 "
-                         "(k=1 would mark every repeated token)")
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    d = docs.select(id_col, F.size(toks).alias("_nt"),
-                    F.posexplode(toks).alias("_p", "_tok"))
-    wdoc = Window.partitionBy(id_col).orderBy("_p")
-    leads = [F.lead("_tok", j).over(wdoc) for j in range(1, k)]
-    grams = (d.withColumn("_sh", F.concat_ws(" ", F.col("_tok"), *leads))
-             .withColumn("_last", leads[-1])
-             .filter(F.col("_last").isNotNull())     # complete windows only
-             .select(id_col, "_p", "_sh"))
+    from .segments_spans import merged_span_report, stride1_grams
+
+    grams = stride1_grams(docs, k, text_col, id_col)
     wsh = Window.partitionBy("_sh").orderBy(F.col(id_col), F.col("_p"))
     marked = (grams.withColumn("_rn", F.row_number().over(wsh))
               .filter(F.col("_rn") > 1)
-              .select(id_col, F.col("_p").alias("_s"),
-                      (F.col("_p") + F.lit(k - 1)).alias("_e")))
-    wrun = Window.partitionBy(id_col).orderBy("_s")
-    prev_end = F.max("_e").over(
-        wrun.rowsBetween(Window.unboundedPreceding, -1))
-    spans = (marked
-             .withColumn("_brk", (prev_end.isNull()
-                                  | (F.col("_s") > prev_end + 1))
-                         .cast("long"))
-             .withColumn("_sid", F.sum("_brk").over(
-                 wrun.rowsBetween(Window.unboundedPreceding,
-                                  Window.currentRow)))
-             .groupBy(id_col, "_sid")
-             .agg(F.min("_s").alias("_ss"), F.max("_e").alias("_se")))
-    per_doc = (spans.groupBy(id_col)
-               .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
-                    F.sum(F.col("_se") - F.col("_ss") + 1).cast("bigint")
-                     .alias("n_dup_tokens"),
-                    F.array_join(F.transform(
-                        F.array_sort(F.collect_list(
-                            F.struct("_ss", "_se"))),
-                        lambda x: F.concat_ws(
-                            "-", x["_ss"].cast("string"),
-                            x["_se"].cast("string"))), ",")
-                    .alias("dup_spans")))
-    base = docs.select(id_col, F.size(toks).cast("bigint")
-                       .alias("n_tokens"))
-    return (base.join(per_doc, id_col, "left")
-            .select(id_col, "n_tokens",
-                    F.coalesce("n_dup_spans", F.lit(0)).cast("bigint")
-                     .alias("n_dup_spans"),
-                    F.coalesce("n_dup_tokens", F.lit(0)).cast("bigint")
-                     .alias("n_dup_tokens"),
-                    F.coalesce("dup_spans", F.lit("")).alias("dup_spans")))
+              .select(id_col, "_p"))
+    return merged_span_report(docs, marked, k, text_col, id_col)
+
+
+def duplicate_spans_incremental(new_docs: DataFrame,
+                                seen: DataFrame | None,
+                                k: int = 8,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                ) -> tuple[DataFrame, DataFrame]:
+    """One ingestion step of ONLINE exact-substring dedup: mark every
+    k-token window already present in the ``seen`` gram store (earlier
+    batches) or earlier in this batch, merge marks into maximal spans,
+    and return ``(report, updated_seen)``.  When batches arrive in
+    ``id_col`` order, folding this over the batches equals the one-shot
+    :func:`duplicate_span_removal` of their union — the exactness
+    contract the oracle entry checks.
+
+    Scale shape: the store probe is an equi-join on the gram text (at
+    steady state a large store — the bucketed seen-store discipline of
+    ``sources/bucketing.py`` applies: store pre-partitioned on the gram
+    key, only the new batch shuffles); within-batch marking reuses the
+    gram-keyed first-occurrence window on batch-sized input.  The
+    returned store is a lazy plan — persist/checkpoint it between
+    batches so lineage does not grow with batch count.  At 100 TB the
+    store holds xxhash64(gram) instead of text (documented trade-off,
+    same as segment_dedup)."""
+    from .segments_spans import merged_span_report, stride1_grams
+
+    grams = stride1_grams(new_docs, k, text_col, id_col)
+    wsh = Window.partitionBy("_sh").orderBy(F.col(id_col), F.col("_p"))
+    grams = grams.withColumn("_rn", F.row_number().over(wsh))
+    if seen is not None:
+        grams = grams.join(seen.withColumn("_seen", F.lit(True)),
+                           grams["_sh"] == seen["gram"], "left") \
+            .drop("gram")
+        dup = (F.col("_rn") > 1) | F.col("_seen").isNotNull()
+    else:
+        dup = F.col("_rn") > 1
+    marked = grams.filter(dup).select(id_col, "_p")
+    report = merged_span_report(new_docs, marked, k, text_col, id_col)
+    new_grams = grams.select(F.col("_sh").alias("gram")).distinct()
+    updated = (new_grams if seen is None
+               else seen.unionByName(new_grams).distinct())
+    return report, updated

@@ -1,0 +1,69 @@
+"""Shared internals for the exact stride-1 duplicated-span operators
+(one-shot and online variants live in ``segments.py``; the helpers sit
+here so both keep one definition of gram extraction and span merging).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stride1_grams(docs: DataFrame, k: int, text_col: str,
+                  id_col: str) -> DataFrame:
+    """(id, _p, _sh): every complete lowercased k-token window at
+    stride 1, built with the lead-window trick (one doc-keyed
+    exchange, no per-element HOF string building)."""
+    if k < 2:
+        raise ValueError("duplicate_span_removal needs k >= 2 "
+                         "(k=1 would mark every repeated token)")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.select(id_col, F.posexplode(toks).alias("_p", "_tok"))
+    wdoc = Window.partitionBy(id_col).orderBy("_p")
+    leads = [F.lead("_tok", j).over(wdoc) for j in range(1, k)]
+    return (d.withColumn("_sh", F.concat_ws(" ", F.col("_tok"), *leads))
+            .withColumn("_last", leads[-1])
+            .filter(F.col("_last").isNotNull())      # complete windows only
+            .select(id_col, "_p", "_sh"))
+
+
+def merged_span_report(docs: DataFrame, marked: DataFrame, k: int,
+                       text_col: str, id_col: str) -> DataFrame:
+    """Interval-merge MARKED window starts (id, _p) into maximal spans
+    and report per document: (id, n_tokens, n_dup_spans, n_dup_tokens,
+    dup_spans).  The merge window runs over marked positions only —
+    duplicate-mass-sized, not corpus-sized."""
+    marked = marked.select(id_col, F.col("_p").alias("_s"),
+                           (F.col("_p") + F.lit(k - 1)).alias("_e"))
+    wrun = Window.partitionBy(id_col).orderBy("_s")
+    prev_end = F.max("_e").over(
+        wrun.rowsBetween(Window.unboundedPreceding, -1))
+    spans = (marked
+             .withColumn("_brk", (prev_end.isNull()
+                                  | (F.col("_s") > prev_end + 1))
+                         .cast("long"))
+             .withColumn("_sid", F.sum("_brk").over(
+                 wrun.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)))
+             .groupBy(id_col, "_sid")
+             .agg(F.min("_s").alias("_ss"), F.max("_e").alias("_se")))
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+                    F.sum(F.col("_se") - F.col("_ss") + 1).cast("bigint")
+                     .alias("n_dup_tokens"),
+                    F.array_join(F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("_ss", "_se"))),
+                        lambda x: F.concat_ws(
+                            "-", x["_ss"].cast("string"),
+                            x["_se"].cast("string"))), ",")
+                    .alias("dup_spans")))
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = docs.select(id_col, F.size(toks).cast("bigint")
+                       .alias("n_tokens"))
+    return (base.join(per_doc, id_col, "left")
+            .select(id_col, "n_tokens",
+                    F.coalesce("n_dup_spans", F.lit(0)).cast("bigint")
+                     .alias("n_dup_spans"),
+                    F.coalesce("n_dup_tokens", F.lit(0)).cast("bigint")
+                     .alias("n_dup_tokens"),
+                    F.coalesce("dup_spans", F.lit("")).alias("dup_spans")))

@@ -28,6 +28,48 @@ _SEG_CTE = r"""t AS (
       FROM s0)"""
 
 
+# One-shot stride-1 duplicated-span oracle (shared by the one-shot
+# and online entries: the fold contract makes them value-identical).
+_DUP_SPAN_SQL = r"""WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(list_slice(toks, i, i + 7), ' ') AS sh
+          FROM t, LATERAL unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+        m AS (
+          SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY sh
+                                    ORDER BY doc_id, pos) AS rn
+          FROM g),
+        mk AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM m WHERE rn > 1),
+        r AS (
+          SELECT doc_id, s, e,
+                 CASE WHEN s > coalesce(max(e) OVER (
+                          PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), -2) + 1
+                      THEN 1 ELSE 0 END AS brk
+          FROM mk),
+        sp AS (SELECT doc_id, s, e,
+                      SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS sid
+               FROM r),
+        ag AS (SELECT doc_id, sid, MIN(s) AS ss, MAX(e) AS se
+               FROM sp GROUP BY 1, 2),
+        pd AS (SELECT doc_id,
+                      CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+                      CAST(SUM(se - ss + 1) AS BIGINT) AS n_dup_tokens,
+                      string_agg(ss || '-' || se, ',' ORDER BY ss)
+                        AS dup_spans
+               FROM ag GROUP BY 1)
+        SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               coalesce(pd.n_dup_spans, 0) AS n_dup_spans,
+               coalesce(pd.n_dup_tokens, 0) AS n_dup_tokens,
+               coalesce(pd.dup_spans, '') AS dup_spans
+        FROM t LEFT JOIN pd USING (doc_id)"""
+
+
 def register(add) -> None:
 
     # corpus-wide first-occurrence segment dedup (CCNet / Lee et al.
@@ -185,41 +227,32 @@ def register(add) -> None:
     # byte-for-byte.
     add("docs_duplicate_spans",
         lambda spark, sf: SEG.duplicate_span_removal(_docs(spark, sf), k=8),
-        r"""WITH t AS (
-          SELECT doc_id,
-                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-          FROM documents),
-        g AS (
-          SELECT doc_id, i - 1 AS pos,
-                 array_to_string(list_slice(toks, i, i + 7), ' ') AS sh
-          FROM t, LATERAL unnest(generate_series(1, len(toks) - 7)) AS u(i)),
-        m AS (
-          SELECT doc_id, pos,
-                 row_number() OVER (PARTITION BY sh
-                                    ORDER BY doc_id, pos) AS rn
-          FROM g),
-        mk AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM m WHERE rn > 1),
-        r AS (
-          SELECT doc_id, s, e,
-                 CASE WHEN s > coalesce(max(e) OVER (
-                          PARTITION BY doc_id ORDER BY s
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND 1 PRECEDING), -2) + 1
-                      THEN 1 ELSE 0 END AS brk
-          FROM mk),
-        sp AS (SELECT doc_id, s, e,
-                      SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS sid
-               FROM r),
-        ag AS (SELECT doc_id, sid, MIN(s) AS ss, MAX(e) AS se
-               FROM sp GROUP BY 1, 2),
-        pd AS (SELECT doc_id,
-                      CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
-                      CAST(SUM(se - ss + 1) AS BIGINT) AS n_dup_tokens,
-                      string_agg(ss || '-' || se, ',' ORDER BY ss)
-                        AS dup_spans
-               FROM ag GROUP BY 1)
-        SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-               coalesce(pd.n_dup_spans, 0) AS n_dup_spans,
-               coalesce(pd.n_dup_tokens, 0) AS n_dup_tokens,
-               coalesce(pd.dup_spans, '') AS dup_spans
-        FROM t LEFT JOIN pd USING (doc_id)""")
+        _DUP_SPAN_SQL)
+
+    # ONLINE exact-substring dedup: three id-ordered ingestion batches
+    # folded through the gram seen-store must equal the one-shot
+    # stride-1 span report — so the oracle IS the one-shot SQL above.
+    def dup_spans_incr(spark, sf):
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        from ..operators import segments as SEG
+        docs = _docs(spark, sf)
+        b1, b2 = docs.agg(
+            F.expr("percentile(doc_id, 0.3333)"),
+            F.expr("percentile(doc_id, 0.6667)")).first()
+        batches = [docs.filter(F.col("doc_id") <= b1),
+                   docs.filter((F.col("doc_id") > b1)
+                               & (F.col("doc_id") <= b2)),
+                   docs.filter(F.col("doc_id") > b2)]
+        seen, outs = None, []
+        for b in batches:
+            res, seen = SEG.duplicate_spans_incremental(b, seen, k=8)
+            seen = seen.localCheckpoint()
+            outs.append(res)
+        return reduce(lambda a, c: a.unionByName(c), outs)
+
+    add("docs_duplicate_spans_incremental", dup_spans_incr,
+        _DUP_SPAN_SQL)
+

@@ -122,3 +122,30 @@ def test_duplicate_span_removal_rejects_k1_and_stays_pair_free(spark):
     assert "rangepartitioning" not in plan
     assert "windowspecdefinition(_sh" in plan
     assert "windowspecdefinition(doc_id" in plan
+
+
+def test_duplicate_spans_incremental_equals_one_shot(spark):
+    rows = ["a b c d e", "x b c d y", "p q r s", "a b c d e z"]
+    docs = _docs(spark, rows)
+    one_shot = {r["doc_id"]: r for r in
+                SEG.duplicate_span_removal(docs, k=2).collect()}
+    seen, outs = None, {}
+    for lo, hi in ((0, 1), (2, 3)):       # id-ordered batches
+        b = docs.filter((docs.doc_id >= lo) & (docs.doc_id <= hi))
+        res, seen = SEG.duplicate_spans_incremental(b, seen, k=2)
+        seen = seen.localCheckpoint()
+        outs.update({r["doc_id"]: r for r in res.collect()})
+    assert set(outs) == set(one_shot)
+    for i in one_shot:
+        for c in ("n_tokens", "n_dup_spans", "n_dup_tokens", "dup_spans"):
+            assert outs[i][c] == one_shot[i][c], (i, c)
+    # doc 3 duplicates doc 0 ACROSS batches: the store must catch it
+    assert outs[3]["n_dup_spans"] >= 1
+
+
+def test_duplicate_spans_incremental_first_batch_no_store(spark):
+    res, seen = SEG.duplicate_spans_incremental(
+        _docs(spark, ["a b a b"]), None, k=2)
+    out = res.collect()[0]
+    assert (out["n_dup_spans"], out["dup_spans"]) == (1, "2-3")
+    assert seen.count() == 2               # distinct grams: "a b", "b a"
