@@ -157,6 +157,10 @@ PROBE_QUERIES = [
     "docs_source_capped_corpus",
     "emb_cross_split_leakage",
     "docs_bpe_roundtrip",
+    # exact stride-1 spans: replica flood marks ~90% of windows — the
+    # worst case for span-merge state; online variant adds store probes
+    "docs_duplicate_spans",
+    "docs_duplicate_spans_incremental",
     "events_first_touch_attribution",
     "events_linear_attribution",
     # round-7 curation ops: classifier trains distributed (per-iteration
