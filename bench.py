@@ -42,6 +42,7 @@ HEADLINE = [
     "docs_incremental_dedup",
     "docs_pack_sequences",
     "docs_segment_dedup",           # round-7 addition: segment-level dedup
+    "docs_duplicate_spans",         # round-7 addition: exact stride-1 spans
     "emb_cosine_topk",
     "emb_near_dup_pairs",
     "multimodal_features",

@@ -67,16 +67,25 @@ def _reassemble(segs: DataFrame, id_col: str) -> DataFrame:
 
 def segment_dedup(docs: DataFrame, seg_tokens: int = 8,
                   text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  hash_keys: bool = False) -> DataFrame:
     """Corpus-wide first-occurrence segment dedup.
 
     A segment survives only at its globally earliest (doc_id, position);
     every later occurrence anywhere in the corpus is removed.  Output:
     (doc_id, n_segments, n_kept, kept_text) — one row per input doc,
     kept_text empty when every segment was seen earlier elsewhere.
-    """
+
+    ``hash_keys=True`` keys the first-occurrence window on
+    xxhash64(segment) instead of the segment text — the 100 TB shuffle
+    trade-off (8-byte keys instead of whole segments on the wire; a
+    2^-64 collision wrongly merges two segments, acceptable for dedup).
+    Output is byte-identical barring such a collision — equivalence is
+    unit-tested; the string form stays the default so the external
+    oracle comparison is collision-free by construction."""
     segs = _segments(docs, seg_tokens, text_col, id_col)
-    w = (Window.partitionBy("chunk_text")
+    key = F.xxhash64("chunk_text") if hash_keys else F.col("chunk_text")
+    w = (Window.partitionBy(key)
          .orderBy(F.col(id_col), F.col("chunk_idx")))
     segs = segs.withColumn("_keep", F.row_number().over(w) == 1)
     return _reassemble(segs, id_col)
@@ -143,7 +152,8 @@ def segment_freq_filter(docs: DataFrame, seg_tokens: int = 8,
 
 def duplicate_span_removal(docs: DataFrame, k: int = 8,
                            text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           hash_keys: bool = False) -> DataFrame:
     """EXACT duplicated-span detection at stride 1 (Lee et al. 2022
     exact-substring dedup, token granularity): every maximal run of
     tokens that contains a k-token window already seen earlier in the
@@ -167,13 +177,16 @@ def duplicate_span_removal(docs: DataFrame, k: int = 8,
     keyed by the shingle text (a shingle's group is its own occurrence
     list — linear in duplication depth, no pairs); span merging is a
     per-document interval-merge window over only the MARKED positions
-    (duplicate-mass-sized, not corpus-sized).  At 100 TB, key the
-    marking window on xxhash64(shingle) to shrink shuffle bytes — the
-    same documented trade-off as segment_dedup."""
+    (duplicate-mass-sized, not corpus-sized).  ``hash_keys=True`` keys
+    the marking window on xxhash64(shingle) — the 100 TB shuffle
+    trade-off (8-byte keys on the wire; a 2^-64 collision wrongly
+    marks a window, acceptable for dedup; equivalence unit-tested) —
+    while the string default keeps the external oracle collision-free."""
     from .segments_spans import merged_span_report, stride1_grams
 
     grams = stride1_grams(docs, k, text_col, id_col)
-    wsh = Window.partitionBy("_sh").orderBy(F.col(id_col), F.col("_p"))
+    key = F.xxhash64("_sh") if hash_keys else F.col("_sh")
+    wsh = Window.partitionBy(key).orderBy(F.col(id_col), F.col("_p"))
     marked = (grams.withColumn("_rn", F.row_number().over(wsh))
               .filter(F.col("_rn") > 1)
               .select(id_col, "_p"))

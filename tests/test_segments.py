@@ -149,3 +149,22 @@ def test_duplicate_spans_incremental_first_batch_no_store(spark):
     out = res.collect()[0]
     assert (out["n_dup_spans"], out["dup_spans"]) == (1, "2-3")
     assert seen.count() == 2               # distinct grams: "a b", "b a"
+
+
+def test_hash_keyed_windows_match_string_keyed(spark):
+    """The 100 TB shuffle trade-off (xxhash64 window keys instead of
+    segment/shingle text) must be output-identical on real data —
+    collisions aside, which 500 docs cannot produce."""
+    from olap_xtrctr_spark.session import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    a = {tuple(r) for r in SEG.segment_dedup(docs, seg_tokens=8).collect()}
+    b = {tuple(r) for r in SEG.segment_dedup(docs, seg_tokens=8,
+                                             hash_keys=True).collect()}
+    assert a == b
+
+    c = {tuple(r) for r in
+         SEG.duplicate_span_removal(docs, k=8).collect()}
+    d = {tuple(r) for r in
+         SEG.duplicate_span_removal(docs, k=8, hash_keys=True).collect()}
+    assert c == d
