@@ -256,3 +256,77 @@ def register(add) -> None:
     add("docs_duplicate_spans_incremental", dup_spans_incr,
         _DUP_SPAN_SQL)
 
+
+    # STREAMING exact-substring dedup at ingestion: an availableNow file
+    # stream (one id-ordered batch file per micro-batch) folds each
+    # micro-batch through duplicate_spans_incremental inside
+    # foreachBatch; the gram store is persisted per batch (restart
+    # recovery reloads the last committed store) and per-batch reports
+    # are written idempotently (overwrite by batch id).  With id-ordered
+    # arrival the fold equals the one-shot operator, so the driver
+    # certifies the whole stream→store→report chain against the same
+    # byte-exact span oracle.
+    def stream_span_dedup(spark, sf):
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from ..operators import segments as SEG
+        docs = _docs(spark, sf)
+        sig = str(os.path.getsize(f"{sf}/documents.parquet"))
+        root = os.path.join("/tmp", "olap_xtrctr_span_stream",
+                            os.path.basename(os.path.normpath(sf)))
+        marker = os.path.join(root, "_DEMO_SRC")
+        if not (os.path.exists(marker)
+                and open(marker).read().strip() == sig):
+            shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(os.path.join(root, "src"), exist_ok=True)
+            b1, b2 = docs.agg(
+                F.expr("percentile(doc_id, 0.3333)"),
+                F.expr("percentile(doc_id, 0.6667)")).first()
+            conds = [F.col("doc_id") <= b1,
+                     (F.col("doc_id") > b1) & (F.col("doc_id") <= b2),
+                     F.col("doc_id") > b2]
+            for i, cond in enumerate(conds):
+                tmp = os.path.join(root, f"_tmp{i}")
+                docs.filter(cond).coalesce(1).write.mode(
+                    "overwrite").parquet(tmp)
+                part = next(f for f in os.listdir(tmp)
+                            if f.startswith("part-")
+                            and f.endswith(".parquet"))
+                dst = os.path.join(root, "src", f"batch{i}.parquet")
+                shutil.move(os.path.join(tmp, part), dst)
+                shutil.rmtree(tmp)
+                # explicit mtimes pin the file source's arrival order
+                os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+            with open(marker, "w") as fh:
+                fh.write(sig)
+        out = os.path.join(root, "out")
+        state: dict = {"seen": None}
+
+        def fold(batch, batch_id: int) -> None:
+            bspark = batch.sparkSession
+            store_dir = os.path.join(out, f"store_b{batch_id}")
+            prev_dir = os.path.join(out, f"store_b{batch_id - 1}")
+            seen = state["seen"]
+            if seen is None and batch_id > 0:   # restart recovery
+                seen = bspark.read.parquet(prev_dir)
+            report, seen = SEG.duplicate_spans_incremental(batch, seen,
+                                                           k=8)
+            report.write.mode("overwrite").parquet(
+                os.path.join(out, f"report_b{batch_id}"))
+            seen.write.mode("overwrite").parquet(store_dir)
+            state["seen"] = bspark.read.parquet(store_dir)
+
+        q = (spark.readStream.schema(docs.schema)
+             .option("maxFilesPerTrigger", 1)
+             .parquet(os.path.join(root, "src"))
+             .writeStream.foreachBatch(fold)
+             .option("checkpointLocation", os.path.join(root, "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return spark.read.parquet(os.path.join(out, "report_b*"))
+
+    add("docs_stream_span_dedup", stream_span_dedup, _DUP_SPAN_SQL)
