@@ -671,7 +671,9 @@ def cross_split_leakage(emb: DataFrame, weights: dict[str, float],
                         threshold: float = 0.995,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        salt: str = "split-v1") -> DataFrame:
+                        salt: str = "split-v1",
+                        method: str = "exact",
+                        **lsh_kwargs) -> DataFrame:
     """Embedding-level split-leakage detector: assign train/eval splits
     (deterministic hash split, same rule as ``sampling.hash_split``),
     then report every near-duplicate pair that CROSSES splits — an eval
@@ -682,15 +684,27 @@ def cross_split_leakage(emb: DataFrame, weights: dict[str, float],
     Output: (id_a, id_b, split_a, split_b, cosine) with id_a < id_b and
     split_a != split_b — exact values, fully oracle-checkable.
 
-    Scale shape: pair generation is delegated to the exact GEMM kernel
-    (bounded corpora; its pre-collect size guard points to the LSH path
-    beyond that), and the split columns attach via two slim
-    (id, split) projections joined AFTER pair filtering — splits are
-    never carried through the cross-product."""
+    Scale shape: ``method="exact"`` delegates pair generation to the
+    exact GEMM kernel (bounded corpora; its pre-collect size guard
+    points here when exceeded); ``method="lsh"`` uses the bucketed
+    multi-table LSH pair generator (no driver collect, candidates
+    exact-verified so precision stays 1.0, recall approximate —
+    ``lsh_kwargs`` forward n_tables/bits_per_table).  Either way the
+    split columns attach via two slim (id, split) projections joined
+    AFTER pair filtering — splits never ride through the
+    cross-product."""
     from .sampling import hash_split
 
-    pairs = embedding_near_dups(emb, id_col=id_col, vec_col=vec_col,
-                                threshold=threshold)
+    if method == "exact":
+        pairs = embedding_near_dups(emb, id_col=id_col, vec_col=vec_col,
+                                    threshold=threshold)
+    elif method == "lsh":
+        from .similarity import lsh_near_dup_pairs
+        pairs = lsh_near_dup_pairs(emb, threshold=threshold,
+                                   id_col=id_col, vec_col=vec_col,
+                                   **lsh_kwargs)
+    else:
+        raise ValueError(f"unknown method {method!r} (exact | lsh)")
     splits = hash_split(emb.select(id_col), weights, id_col=id_col,
                         salt=salt).select(id_col, "split")
     a = splits.select(F.col(id_col).alias("id_a"),

@@ -92,3 +92,39 @@ def register(add) -> None:
           WHERE {_COS} >= 0.40)
         SELECT id_a, id_b, split_a, split_b, cosine
         FROM pairs WHERE split_a <> split_b""")
+
+    # the 100 TB path for the same audit: LSH-bucketed pair generation
+    # (no driver collect) + the identical split join.  Rows-only by
+    # construction (LSH recall is approximate) — the quality contract
+    # is the in-entry differential gate vs the exact path: precision
+    # must be 1.0 (candidates are exact-verified) and recall >= 0.7,
+    # with a logged skip above the gate's vector cap (no silent caps).
+    _LSH_GATE_MAX_VECS = 100_000
+
+    def _leakage_lsh_gated(spark, sf):
+        emb = _emb(spark, sf)
+        out = D.cross_split_leakage(
+            emb, {"train": 0.8, "eval": 0.2}, threshold=0.40,
+            method="lsh", n_tables=16, bits_per_table=4)
+        n = emb.count()
+        if n > _LSH_GATE_MAX_VECS:
+            import logging
+            logging.getLogger(__name__).warning(
+                "emb_cross_split_leakage_lsh: differential gate skipped "
+                "(%d vectors > cap %d)", n, _LSH_GATE_MAX_VECS)
+            return out
+        exact = {(r["id_a"], r["id_b"]) for r in D.cross_split_leakage(
+            emb, {"train": 0.8, "eval": 0.2}, threshold=0.40).collect()}
+        got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        stray = got - exact
+        if stray:
+            raise AssertionError(
+                f"emb_cross_split_leakage_lsh: {len(stray)} pairs not "
+                f"in the exact audit — verification or split join broke")
+        if exact and len(got) / len(exact) < 0.7:
+            raise AssertionError(
+                f"emb_cross_split_leakage_lsh: recall {len(got)}/"
+                f"{len(exact)} vs the exact audit (floor 0.7)")
+        return out
+
+    add("emb_cross_split_leakage_lsh", _leakage_lsh_gated, None)

@@ -326,3 +326,18 @@ def test_residual_ivfpq_beats_global_pq_on_clustered_corpus(clustered_emb):
         f"residual IVFPQ ({r_ivfpq:.3f}) must beat global-codebook PQ "
         f"({r_pq:.3f}) on clustered vectors")
     assert r_ivfpq >= 0.55, f"residual IVFPQ recall {r_ivfpq:.3f} too low"
+
+
+def test_cross_split_leakage_lsh_gate_fails_loudly(spark, monkeypatch):
+    """The LSH leakage audit's differential gate must raise on recall
+    collapse — same contract as the other rows-only ANN entries."""
+    import pytest
+
+    from olap_xtrctr_spark.workload import WORKLOAD
+
+    empty = S.lsh_near_dup_pairs(
+        load_table(spark, SF_RECALL, "embeddings"),
+        threshold=0.40, n_tables=16, bits_per_table=4).limit(0)
+    monkeypatch.setattr(S, "lsh_near_dup_pairs", lambda *a, **k: empty)
+    with pytest.raises(AssertionError, match="recall"):
+        WORKLOAD["emb_cross_split_leakage_lsh"].fn(spark, SF_RECALL)
