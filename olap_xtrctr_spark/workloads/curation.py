@@ -128,3 +128,82 @@ def register(add) -> None:
         return out
 
     add("emb_cross_split_leakage_lsh", _leakage_lsh_gated, None)
+
+    # corpus card: the dataset-datasheet table (one row per language) —
+    # size, token/char mass, source spread, exact-dup share (corpus-wide
+    # normalized fingerprint), and mean quality, all exact integers.
+    # The report a data curator attaches to a release; composes the
+    # fingerprint/quality operators in ONE pass over the corpus plus a
+    # fingerprint-keyed count and a broadcast total.
+    def _corpus_card(spark, sf):
+        from ..operators import text as TXo
+        docs = _docs(spark, sf)
+        qs = TXo.quality_score(docs).select(
+            "doc_id",
+            F.round(F.col("quality_score") * 1000).cast("bigint")
+             .alias("q_milli"))
+        fp = F.md5(F.regexp_replace(F.lower(F.col("text")),
+                                    "[^a-z0-9]", ""))
+        base = (docs.select(
+            "doc_id", "lang", "source",
+            F.length("text").cast("bigint").alias("_nc"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+             .cast("bigint").alias("_ntok"),
+            fp.alias("_fp"))
+            .join(qs, "doc_id"))
+        dupc = base.groupBy("_fp").agg(
+            F.count(F.lit(1)).alias("_fpn"))
+        total = base.agg(F.count(F.lit(1)).alias("_total"))
+        return (base.join(dupc, "_fp")
+                .crossJoin(F.broadcast(total))
+                .groupBy("lang")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                     F.sum("_ntok").cast("bigint").alias("n_tokens"),
+                     F.sum("_nc").cast("bigint").alias("n_chars"),
+                     F.countDistinct("source").cast("bigint")
+                      .alias("n_sources"),
+                     F.sum((F.col("_fpn") > 1).cast("long"))
+                      .cast("bigint").alias("n_dup_docs"),
+                     F.expr("CAST(sum(q_milli) DIV count(1) AS BIGINT)")
+                      .alias("mean_quality_milli"),
+                     F.expr("CAST((count(1) * 1000) DIV any_value(_total) "
+                            "AS BIGINT)").alias("share_milli")))
+
+    add("docs_corpus_card", _corpus_card,
+        r"""WITH q AS (
+          SELECT doc_id, lang, source,
+            CAST(length(text) AS BIGINT) AS nc,
+            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+            greatest(length(text), 1) AS n_chars_q,
+            CAST(len(regexp_extract_all(lower(text),
+              '\b(the|and|of|to|in|is)\b')) AS INTEGER) AS stop_hits,
+            CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                 AS INTEGER) AS punct,
+            md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+          FROM documents),
+        scored AS (
+          SELECT *, CAST(ROUND(ROUND((
+              (CASE WHEN n_tokens >= 10 AND n_tokens <= 5000
+                    THEN 0.4 ELSE 0.0 END)
+              + least(stop_hits / greatest(n_tokens, 1) * 2.0, 0.4)
+              - least(punct / n_chars_q * 5.0, 0.2)
+              + (CASE WHEN n_chars_q / greatest(n_tokens, 1) >= 3.0
+                       AND n_chars_q / greatest(n_tokens, 1) <= 12.0
+                      THEN 0.2 ELSE 0.0 END)), 4) * 1000)
+              AS BIGINT) AS q_milli
+          FROM q),
+        fpc AS (SELECT fp, COUNT(*) AS fpn FROM q GROUP BY fp),
+        tot AS (SELECT COUNT(*) AS total FROM q)
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(nc) AS BIGINT) AS n_chars,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(*) FILTER (WHERE fpn > 1) AS BIGINT)
+                 AS n_dup_docs,
+               CAST(SUM(q_milli) // COUNT(*) AS BIGINT)
+                 AS mean_quality_milli,
+               CAST((COUNT(*) * 1000) // any_value(total) AS BIGINT)
+                 AS share_milli
+        FROM scored JOIN fpc USING (fp) CROSS JOIN tot
+        GROUP BY lang""")

@@ -1740,3 +1740,35 @@ def test_classifier_scores_with_parked_observation(spark):
     assert out.filter((F.col("quality_prob") < 0)
                       | (F.col("quality_prob") > 1)).count() == 0
     parked.count()              # resolve so the session stays clean
+
+
+def test_redact_pii_leaves_no_matchable_pii_behind(spark):
+    """Privacy property: after redaction NONE of the PII patterns may
+    still match anywhere in text_redacted — checked differentially with
+    Python re over the same patterns, on an adversarial corpus (PII at
+    string edges, adjacent to punctuation, doubled, nested in parens,
+    IPv4s long enough for the phone pattern to eat — mislabeling is
+    acceptable, a survivor is not)."""
+    import itertools
+    import re
+
+    from olap_xtrctr_spark.operators.text import PII_PATTERNS
+
+    pii = ["a.b+c@ex-ample.co.uk", "x@y.io", "+52 (55) 1234-5678",
+           "555-123-4567", "192.168.001.100", "8.8.8.8"]
+    ctx = ["", " ", ",", "(", ")", "word", "—", ".", "\n"]
+    rows, i = [], 0
+    for p, a, b in itertools.product(pii, ctx, ctx):
+        rows.append((i, f"{a}{p}{b}"))
+        i += 1
+    for p, q in itertools.combinations(pii, 2):
+        rows.append((i, f"contact {p} or {q} now"))
+        i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TX.redact_pii(docs).select("doc_id", "text_redacted").collect()
+    assert len(out) == len(rows)
+    for r in out:
+        for name, pat in PII_PATTERNS:
+            m = re.search(pat, r["text_redacted"])
+            assert m is None, (r["doc_id"], name, m.group(0),
+                               r["text_redacted"])
