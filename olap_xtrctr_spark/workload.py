@@ -100,6 +100,12 @@ _GATE_FRONT = [
     # r3 row; plain grouped top-k whose semantics stay exercised by
     # events_hourly_rollup in-window and the local all-entries gate).
     "docs_duplicate_spans",           # NEW r7 (exact stride-1 spans)
+    # Third-wave swaps: the streaming span chain and the corpus card
+    # displace events_value_percentiles / events_retention_cohorts
+    # (green r3 rows; percentile and cohort semantics stay exercised by
+    # events_user_deciles / events_rfm_segments and the local gate).
+    "docs_stream_span_dedup",         # NEW r7 (streaming span chain)
+    "docs_corpus_card",               # NEW r7 (release datasheet)
     "emb_near_dup_pairs",
     "docs_near_dup_clusters",
     "docs_prepare_corpus",
@@ -108,8 +114,6 @@ _GATE_FRONT = [
     "events_hourly_rollup",
     "events_stream_sessionize",
     "events_stream_user_totals",
-    "events_value_percentiles",
-    "events_retention_cohorts",
     "events_stream_dedup",
     "events_type_user_distinct",
 ]
