@@ -433,3 +433,53 @@ def dsir_gumbel_sample(docs: DataFrame, target_cond, k: int = 50,
     win = Window.orderBy(F.desc("key_micro"), F.asc(id_col))
     return (top.withColumn("rank", F.row_number().over(win))
                .select("rank", id_col, "weight_micro", "key_micro"))
+
+
+def kanon_release(df: DataFrame, parent_col: str, child_col: str,
+                  k: int = 5, value_col: str | None = None) -> DataFrame:
+    """k-anonymity cell suppression for a released aggregate table —
+    the privacy discipline public-health/statistical releases apply
+    before publishing small-area counts (and the reference's domain is
+    exactly such a ministry reporting stack):
+
+    * PRIMARY suppression: any (parent, child) cell with fewer than
+      ``k`` contributing rows is suppressed (measures nulled, flag on);
+    * COMPLEMENTARY suppression: if EXACTLY ONE cell in a parent group
+      was primary-suppressed, the smallest remaining cell (ties by
+      child key) is suppressed too — otherwise the parent total minus
+      the visible cells reconstructs the hidden value (the subtraction
+      attack).  Two or more suppressed cells cannot be isolated.
+
+    Output: (parent, child, n, [sum_value], suppressed) with measures
+    NULL on suppressed cells — the cell stays visible so a reader can
+    see that data exists but is withheld.
+
+    Scale shape: one groupBy to cells (map-side combinable), then two
+    windows over the CELL table keyed by the parent — cell-count-sized
+    work, nothing corpus-sized."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col).cast("decimal(18,4)")
+                            .cast("double"), 4).alias("sum_value"))
+    cells = df.groupBy(parent_col, child_col).agg(*aggs)
+    primary = F.col("n") < k
+    wpar = Window.partitionBy(parent_col)
+    n_primary = F.sum(primary.cast("long")).over(wpar)
+    wrank = (Window.partitionBy(parent_col, primary)
+             .orderBy(F.col("n"), F.col(child_col)))
+    rn = F.row_number().over(wrank)
+    out = (cells
+           .withColumn("_prim", primary)
+           .withColumn("_npar", n_primary)
+           .withColumn("_rn", rn)
+           .withColumn("suppressed",
+                       F.col("_prim")
+                       | ((F.col("_npar") == 1) & (~F.col("_prim"))
+                          & (F.col("_rn") == 1))))
+    keep = [parent_col, child_col,
+            F.when(~F.col("suppressed"), F.col("n")).alias("n")]
+    if value_col is not None:
+        keep.append(F.when(~F.col("suppressed"),
+                           F.col("sum_value")).alias("sum_value"))
+    keep.append(F.col("suppressed"))
+    return out.select(*keep)

@@ -207,3 +207,44 @@ def register(add) -> None:
                  AS share_milli
         FROM scored JOIN fpc USING (fp) CROSS JOIN tot
         GROUP BY lang""")
+
+    # k-anonymity release suppression over a published aggregate (the
+    # reference's domain — a health ministry reporting stack — is
+    # exactly where this discipline applies): cells under k=8
+    # contributors are primary-suppressed, and a parent group with
+    # exactly ONE primary suppression also hides its smallest remaining
+    # cell (complementary suppression — otherwise parent total minus
+    # visible cells reconstructs the hidden value).  On this data k=8
+    # exercises BOTH rules: 8 primaries across 4 parents, one of which
+    # triggers the complementary path.
+    def _kanon(spark, sf):
+        from ..session import load_events
+        ev = load_events(spark, sf).withColumn(
+            "user_cohort", (F.col("user_id") % 97).cast("bigint"))
+        return SM.kanon_release(ev, "event_type", "user_cohort",
+                                k=8, value_col="value")
+
+    add("events_kanon_release", _kanon,
+        """WITH c AS (
+          SELECT event_type, CAST(user_id % 97 AS BIGINT) AS user_cohort,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE),
+                       4) AS sum_value
+          FROM events GROUP BY 1, 2),
+        m AS (
+          SELECT *, (n < 8) AS prim,
+                 SUM(CASE WHEN n < 8 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY event_type) AS npar,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, (n < 8)
+                                    ORDER BY n, user_cohort) AS rn
+          FROM c),
+        s AS (
+          SELECT *, (prim OR (npar = 1 AND NOT prim AND rn = 1))
+                      AS suppressed
+          FROM m)
+        SELECT event_type, user_cohort,
+               CASE WHEN suppressed THEN NULL ELSE n END AS n,
+               CASE WHEN suppressed THEN NULL ELSE sum_value END
+                 AS sum_value,
+               suppressed
+        FROM s""")

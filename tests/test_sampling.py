@@ -346,3 +346,34 @@ def test_cross_split_leakage_flags_only_cross_split_twins(spark):
     for r in got:
         assert {r["split_a"], r["split_b"]} == {"train", "eval"}
         assert r["cosine"] >= 0.99
+
+
+def test_kanon_release_primary_and_complementary_rules(spark):
+    from olap_xtrctr_spark.operators.sampling import kanon_release
+
+    rows = []
+    for parent, child, cnt in (("A", 1, 3), ("A", 2, 10), ("A", 3, 7),
+                               ("B", 1, 2), ("B", 2, 4), ("B", 3, 9),
+                               ("C", 1, 6), ("C", 2, 8)):
+        rows += [(parent, child, 1.0)] * cnt
+    df = spark.createDataFrame(rows, "p string, c long, value double")
+    out = {(r["p"], r["c"]): r for r in
+           kanon_release(df, "p", "c", k=5, value_col="value").collect()}
+    assert len(out) == 8
+    # A: one primary (c=1, n=3) -> complementary hides the smallest
+    # remaining cell (c=3, n=7); c=2 stays visible
+    assert out[("A", 1)]["suppressed"] and out[("A", 1)]["n"] is None
+    assert out[("A", 3)]["suppressed"] and out[("A", 3)]["sum_value"] is None
+    assert not out[("A", 2)]["suppressed"] and out[("A", 2)]["n"] == 10
+    # B: TWO primaries -> no complementary needed; c=3 stays visible
+    assert out[("B", 1)]["suppressed"] and out[("B", 2)]["suppressed"]
+    assert not out[("B", 3)]["suppressed"] and out[("B", 3)]["n"] == 9
+    # C: nothing under k -> nothing suppressed
+    assert not out[("C", 1)]["suppressed"]
+    assert not out[("C", 2)]["suppressed"]
+    # the subtraction attack is actually closed: per parent, either 0
+    # or >= 2 suppressed cells
+    for p in ("A", "B", "C"):
+        hidden = sum(1 for (pp, _), r in out.items()
+                     if pp == p and r["suppressed"])
+        assert hidden in (0, 2)
