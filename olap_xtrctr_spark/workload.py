@@ -115,7 +115,10 @@ _GATE_FRONT = [
     "events_stream_sessionize",
     "events_stream_user_totals",
     "events_stream_dedup",
-    "events_type_user_distinct",
+    # events_kanon_release displaces events_type_user_distinct (green
+    # r3 row; distinct-count semantics stay exercised by
+    # events_user_deciles/events_key_skew_report and the local gate).
+    "events_kanon_release",           # NEW r7 (release suppression)
 ]
 
 
