@@ -43,9 +43,15 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  extra: dict | None = None) -> DataFrame:
     """Composite quality heuristic: length band + stopword density -
-    punctuation noise.  Deterministic arithmetic over builtins only."""
+    punctuation noise.  Deterministic arithmetic over builtins only.
+
+    ``extra``: {name: Column} evaluated in the SAME projection, so a
+    consumer needing both the score and other text-derived columns
+    (corpus card, budget fill) pays one scan of the wide text column
+    instead of a self-join of two scans."""
     t = F.col(text_col)
     n_tokens = F.size(F.split(F.trim(t), r"\s+"))
     n_chars = F.greatest(F.length(t), F.lit(1))
@@ -59,11 +65,11 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 12.0), F.lit(0.2))
            .otherwise(0.0)
     )
-    return docs.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.round(score, 4).alias("quality_score"),
-    )
+    cols = ["doc_id", n_tokens.alias("n_tokens"),
+            F.round(score, 4).alias("quality_score")]
+    if extra:
+        cols += [c.alias(name) for name, c in extra.items()]
+    return docs.select(*cols)
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -136,38 +136,45 @@ def register(add) -> None:
     # fingerprint/quality operators in ONE pass over the corpus plus a
     # fingerprint-keyed count and a broadcast total.
     def _corpus_card(spark, sf):
+        # ONE scan of the wide text column (score + card columns in the
+        # same projection), ONE fingerprint-keyed window for dup counts
+        # (group = the dup family, no self-join), ONE lang aggregation;
+        # the corpus-share denominator is a window over the 5-row
+        # per-lang aggregate, never the corpus.  Plan-audited: a prior
+        # join-based draft scanned documents six times.
+        from pyspark.sql import Window
+
         from ..operators import text as TXo
         docs = _docs(spark, sf)
-        qs = TXo.quality_score(docs).select(
-            "doc_id",
-            F.round(F.col("quality_score") * 1000).cast("bigint")
-             .alias("q_milli"))
         fp = F.md5(F.regexp_replace(F.lower(F.col("text")),
                                     "[^a-z0-9]", ""))
-        base = (docs.select(
-            "doc_id", "lang", "source",
-            F.length("text").cast("bigint").alias("_nc"),
-            F.size(F.split(F.trim(F.col("text")), r"\s+"))
-             .cast("bigint").alias("_ntok"),
-            fp.alias("_fp"))
-            .join(qs, "doc_id"))
-        dupc = base.groupBy("_fp").agg(
-            F.count(F.lit(1)).alias("_fpn"))
-        total = base.agg(F.count(F.lit(1)).alias("_total"))
-        return (base.join(dupc, "_fp")
-                .crossJoin(F.broadcast(total))
-                .groupBy("lang")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                     F.sum("_ntok").cast("bigint").alias("n_tokens"),
-                     F.sum("_nc").cast("bigint").alias("n_chars"),
-                     F.countDistinct("source").cast("bigint")
-                      .alias("n_sources"),
-                     F.sum((F.col("_fpn") > 1).cast("long"))
-                      .cast("bigint").alias("n_dup_docs"),
-                     F.expr("CAST(sum(q_milli) DIV count(1) AS BIGINT)")
-                      .alias("mean_quality_milli"),
-                     F.expr("CAST((count(1) * 1000) DIV any_value(_total) "
-                            "AS BIGINT)").alias("share_milli")))
+        base = TXo.quality_score(docs, extra={
+            "lang": F.col("lang"), "source": F.col("source"),
+            "_nc": F.length("text").cast("bigint"), "_fp": fp,
+        }).withColumn("q_milli",
+                      F.round(F.col("quality_score") * 1000)
+                      .cast("bigint"))
+        base = base.withColumn(
+            "_fpn", F.count(F.lit(1)).over(Window.partitionBy("_fp")))
+        per_lang = (base.groupBy("lang")
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                         F.sum("n_tokens").cast("bigint")
+                          .alias("n_tokens"),
+                         F.sum("_nc").cast("bigint").alias("n_chars"),
+                         F.countDistinct("source").cast("bigint")
+                          .alias("n_sources"),
+                         F.sum((F.col("_fpn") > 1).cast("long"))
+                          .cast("bigint").alias("n_dup_docs"),
+                         F.expr("CAST(sum(q_milli) DIV count(1) "
+                                "AS BIGINT)").alias("mean_quality_milli")))
+        tot = Window.rowsBetween(Window.unboundedPreceding,
+                                 Window.unboundedFollowing)
+        return (per_lang
+                .withColumn("_total", F.sum("n_docs").over(tot))
+                .select("lang", "n_docs", "n_tokens", "n_chars",
+                        "n_sources", "n_dup_docs", "mean_quality_milli",
+                        F.expr("CAST((n_docs * 1000) DIV _total "
+                               "AS BIGINT)").alias("share_milli")))
 
     add("docs_corpus_card", _corpus_card,
         r"""WITH q AS (
