@@ -234,3 +234,43 @@ def duplicate_spans_incremental(new_docs: DataFrame,
     updated = (new_grams if seen is None
                else seen.unionByName(new_grams).distinct())
     return report, updated
+
+
+def duplicate_span_strip(docs: DataFrame, k: int = 8,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         hash_keys: bool = False) -> DataFrame:
+    """The REWRITE form of :func:`duplicate_span_removal`: cut every
+    duplicated span out of the token stream and return the surviving
+    text — (doc_id, n_tokens, n_kept, kept_text) with kept tokens
+    re-joined in position order (lowercased, the matching form; a
+    production pipeline would map spans back to raw offsets).
+
+    Scale shape: detection is the span operator's (no pairs); removal
+    explodes only the SPANS into covered positions (duplicate-mass-
+    sized) and anti-joins the token stream on (id, position) — an
+    equi-join, never a per-doc range predicate (which would plan as a
+    nested-loop join)."""
+    from .segments_spans import merged_spans, stride1_grams
+
+    grams = stride1_grams(docs, k, text_col, id_col)
+    key = F.xxhash64("_sh") if hash_keys else F.col("_sh")
+    wsh = Window.partitionBy(key).orderBy(F.col(id_col), F.col("_p"))
+    marked = (grams.withColumn("_rn", F.row_number().over(wsh))
+              .filter(F.col("_rn") > 1)
+              .select(id_col, "_p"))
+    covered = merged_spans(marked, k, id_col).select(
+        id_col, F.explode(F.sequence("_ss", "_se")).alias("_p")) \
+        .withColumn("_cut", F.lit(True))
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    stream = docs.select(id_col, F.posexplode(toks).alias("_p", "_tok"))
+    kept = F.when(~F.coalesce(F.col("_cut"), F.lit(False)),
+                  F.struct("_p", "_tok"))
+    return (stream.join(covered, [id_col, "_p"], "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.sum((~F.coalesce(F.col("_cut"), F.lit(False)))
+                       .cast("long")).cast("bigint").alias("n_kept"),
+                 F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(kept)),
+                     lambda s: s["_tok"])).alias("kept_text")))

@@ -26,26 +26,31 @@ def stride1_grams(docs: DataFrame, k: int, text_col: str,
             .select(id_col, "_p", "_sh"))
 
 
-def merged_span_report(docs: DataFrame, marked: DataFrame, k: int,
-                       text_col: str, id_col: str) -> DataFrame:
-    """Interval-merge MARKED window starts (id, _p) into maximal spans
-    and report per document: (id, n_tokens, n_dup_spans, n_dup_tokens,
-    dup_spans).  The merge window runs over marked positions only —
-    duplicate-mass-sized, not corpus-sized."""
+def merged_spans(marked: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Interval-merge MARKED window starts (id, _p) into maximal spans:
+    (id, _sid, _ss, _se).  The merge window runs over marked positions
+    only — duplicate-mass-sized, not corpus-sized."""
     marked = marked.select(id_col, F.col("_p").alias("_s"),
                            (F.col("_p") + F.lit(k - 1)).alias("_e"))
     wrun = Window.partitionBy(id_col).orderBy("_s")
     prev_end = F.max("_e").over(
         wrun.rowsBetween(Window.unboundedPreceding, -1))
-    spans = (marked
-             .withColumn("_brk", (prev_end.isNull()
-                                  | (F.col("_s") > prev_end + 1))
-                         .cast("long"))
-             .withColumn("_sid", F.sum("_brk").over(
-                 wrun.rowsBetween(Window.unboundedPreceding,
-                                  Window.currentRow)))
-             .groupBy(id_col, "_sid")
-             .agg(F.min("_s").alias("_ss"), F.max("_e").alias("_se")))
+    return (marked
+            .withColumn("_brk", (prev_end.isNull()
+                                 | (F.col("_s") > prev_end + 1))
+                        .cast("long"))
+            .withColumn("_sid", F.sum("_brk").over(
+                wrun.rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow)))
+            .groupBy(id_col, "_sid")
+            .agg(F.min("_s").alias("_ss"), F.max("_e").alias("_se")))
+
+
+def merged_span_report(docs: DataFrame, marked: DataFrame, k: int,
+                       text_col: str, id_col: str) -> DataFrame:
+    """Per-document span report: (id, n_tokens, n_dup_spans,
+    n_dup_tokens, dup_spans)."""
+    spans = merged_spans(marked, k, id_col)
     per_doc = (spans.groupBy(id_col)
                .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
                     F.sum(F.col("_se") - F.col("_ss") + 1).cast("bigint")

@@ -330,3 +330,52 @@ def register(add) -> None:
         return spark.read.parquet(os.path.join(out, "report_b*"))
 
     add("docs_stream_span_dedup", stream_span_dedup, _DUP_SPAN_SQL)
+
+    # the REWRITE form: duplicated spans cut from the token stream,
+    # surviving text re-joined in order — byte-exact kept_text oracle.
+    add("docs_duplicate_span_strip",
+        lambda spark, sf: SEG.duplicate_span_strip(_docs(spark, sf), k=8),
+        r"""WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(list_slice(toks, i, i + 7), ' ') AS sh
+          FROM t, LATERAL unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+        m AS (
+          SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY sh
+                                    ORDER BY doc_id, pos) AS rn
+          FROM g),
+        mk AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM m WHERE rn > 1),
+        r AS (
+          SELECT doc_id, s, e,
+                 CASE WHEN s > coalesce(max(e) OVER (
+                          PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), -2) + 1
+                      THEN 1 ELSE 0 END AS brk
+          FROM mk),
+        sp AS (SELECT doc_id, s, e,
+                      SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS sid
+               FROM r),
+        ag AS (SELECT doc_id, sid, MIN(s) AS ss, MAX(e) AS se
+               FROM sp GROUP BY 1, 2),
+        cov AS (SELECT doc_id, unnest(generate_series(ss, se)) AS p
+                FROM ag),
+        tok AS (
+          SELECT doc_id, i - 1 AS p, toks[i] AS tk
+          FROM t, LATERAL unnest(generate_series(1, len(toks))) AS u(i)),
+        kept AS (
+          SELECT tok.doc_id, tok.p, tok.tk
+          FROM tok
+          WHERE NOT EXISTS (SELECT 1 FROM cov
+                            WHERE cov.doc_id = tok.doc_id
+                              AND cov.p = tok.p))
+        SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(COUNT(kept.p) AS BIGINT) AS n_kept,
+               coalesce(string_agg(kept.tk, ' ' ORDER BY kept.p), '')
+                 AS kept_text
+        FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id
+        GROUP BY t.doc_id, len(t.toks)""")

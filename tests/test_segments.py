@@ -168,3 +168,26 @@ def test_hash_keyed_windows_match_string_keyed(spark):
     d = {tuple(r) for r in
          SEG.duplicate_span_removal(docs, k=8, hash_keys=True).collect()}
     assert c == d
+
+
+def test_duplicate_span_strip_hand_computed_and_consistent(spark):
+    out = {r["doc_id"]: (r["n_tokens"], r["n_kept"], r["kept_text"])
+           for r in SEG.duplicate_span_strip(
+               _docs(spark, ["a b c d e", "x b c d y",
+                             "a b q a b", "m m m"]), k=2).collect()}
+    assert out[0] == (5, 5, "a b c d e")      # first owner keeps all
+    assert out[1] == (5, 2, "x y")            # interior span 1-3 cut
+    assert out[2] == (5, 1, "q")              # both "a b" copies cut
+    assert out[3] == (3, 1, "m")              # within-doc repeat cut
+
+    # consistency with the report on real data: kept == total - dup
+    from olap_xtrctr_spark.session import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rep = {r["doc_id"]: r for r in
+           SEG.duplicate_span_removal(docs, k=8).collect()}
+    stp = {r["doc_id"]: r for r in
+           SEG.duplicate_span_strip(docs, k=8).collect()}
+    assert set(rep) == set(stp)
+    for i in rep:
+        assert stp[i]["n_kept"] == rep[i]["n_tokens"] \
+            - rep[i]["n_dup_tokens"], i
