@@ -191,3 +191,15 @@ def test_duplicate_span_strip_hand_computed_and_consistent(spark):
     for i in rep:
         assert stp[i]["n_kept"] == rep[i]["n_tokens"] \
             - rep[i]["n_dup_tokens"], i
+
+
+def test_duplicate_span_strip_uses_equi_join_not_nested_loop(spark):
+    """The removal anti-join must be an equi-join on (id, position) —
+    a per-document BETWEEN predicate would plan as a nested-loop join
+    and melt at corpus scale."""
+    from olap_xtrctr_spark.session import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = SEG.duplicate_span_strip(docs, k=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
