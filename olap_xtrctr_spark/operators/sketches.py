@@ -43,3 +43,63 @@ def hll_rollup(partials: DataFrame, group_cols: list[str],
     return (partials.groupBy(*group_cols)
             .agg(F.hll_sketch_estimate(F.hll_union_agg(sketch_col))
                  .alias("n_distinct_est")))
+
+
+# ---- count-min sketch (heavy-hitter frequency estimation) ------------------
+# Deterministic hash rows (the sampling family's md5(value:salt)
+# discipline, one salt per depth), so unlike HLL the ENTIRE sketch is
+# reproducible by an external SQL engine — counters, merges, and
+# estimates all carry full oracles.
+
+CMS_SALTS = ("cms-d0", "cms-d1", "cms-d2", "cms-d3")
+
+
+def _cms_slot(value_col: str, salt: str, width: int):
+    h = F.md5(F.concat_ws(":", F.col(value_col), F.lit(salt)))
+    return (F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+            % width).cast("int")
+
+
+def cms_slot_sql(value_expr: str, salt: str, width: int) -> str:
+    """DuckDB mirror of _cms_slot (oracle building block)."""
+    return (f"CAST(TRY_CAST(concat('0x', substr(md5(concat({value_expr}, "
+            f"':{salt}')), 1, 15)) AS BIGINT) % {width} AS INTEGER)")
+
+
+def cms_counters(df: DataFrame, value_col: str, width: int = 256,
+                 group_cols: list[str] | None = None) -> DataFrame:
+    """Count-min counter table: one row per (group?, depth, slot) with
+    the summed hit count.  Each depth row places a value in one slot
+    via its salted hash; counters are plain map-side-combinable counts,
+    and MERGING shards is summing their counter tables (slot-aligned by
+    construction) — the mergeability that makes a CMS the
+    bounded-memory answer to "how often is X" at 100 TB: depth*width
+    cells of state regardless of key cardinality.
+
+    Estimates are one-sided: min over depth rows of the value's slot
+    counters >= the true count, within eps*N with the standard
+    (width, depth) guarantees."""
+    from functools import reduce
+    groups = list(group_cols or [])
+    rows = [df.select(*groups, F.lit(d).alias("depth"),
+                      _cms_slot(value_col, salt, width).alias("slot"))
+            for d, salt in enumerate(CMS_SALTS)]
+    exploded = reduce(lambda a, b: a.unionByName(b), rows)
+    return (exploded.groupBy(*groups, "depth", "slot")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("counter")))
+
+
+def cms_estimate(counters: DataFrame, probes: DataFrame,
+                 value_col: str, width: int = 256) -> DataFrame:
+    """Estimate each probe value's frequency from a counter table:
+    min over depth rows of its slot counter (0 when a slot row is
+    absent).  ``probes`` is a small DataFrame of values — broadcast
+    onto the counter table, grouped back per value."""
+    from functools import reduce
+    keyed = [probes.select(F.col(value_col), F.lit(d).alias("depth"),
+                           _cms_slot(value_col, salt, width).alias("slot"))
+             for d, salt in enumerate(CMS_SALTS)]
+    probe_slots = reduce(lambda a, b: a.unionByName(b), keyed)
+    return (counters.join(F.broadcast(probe_slots), ["depth", "slot"])
+            .groupBy(value_col)
+            .agg(F.min("counter").cast("bigint").alias("freq_est")))

@@ -255,3 +255,45 @@ def register(add) -> None:
                  AS sum_value,
                suppressed
         FROM s""")
+
+    # count-min sketch frequency estimates for a fixed probe set —
+    # unlike HLL, the md5-salted CMS is reproducible by the oracle, so
+    # counters AND estimates are value-exact (the approximation is in
+    # the one-sided >=truth guarantee, not in any nondeterminism).
+    _CMS_W = 256
+    _CMS_PROBES = ("table", "value", "row", "key", "fast",
+                   "merge", "scan", "sort")
+
+    def _cms_token_freq(spark, sf):
+        from ..operators import sketches as SK
+        toks = (_docs(spark, sf).select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+             .alias("token"))
+            .filter(F.col("token") != ""))
+        counters = SK.cms_counters(toks, "token", width=_CMS_W)
+        probes = spark.createDataFrame([(t,) for t in _CMS_PROBES],
+                                       "token string")
+        return SK.cms_estimate(counters, probes, "token", width=_CMS_W)
+
+    from ..operators.sketches import CMS_SALTS, cms_slot_sql
+    _cnt_union = "\n          UNION ALL ".join(
+        f"SELECT {d} AS depth, {cms_slot_sql('tok', salt, _CMS_W)} AS slot,"
+        f" CAST(COUNT(*) AS BIGINT) AS counter FROM toks GROUP BY 1, 2"
+        for d, salt in enumerate(CMS_SALTS))
+    _probe_union = "\n          UNION ALL ".join(
+        f"SELECT token, {d} AS depth,"
+        f" {cms_slot_sql('token', salt, _CMS_W)} AS slot FROM probes"
+        for d, salt in enumerate(CMS_SALTS))
+    _probe_values = ", ".join(f"('{t}')" for t in _CMS_PROBES)
+
+    add("docs_cms_token_freq", _cms_token_freq,
+        rf"""WITH toks AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+            AS tok
+          FROM documents),
+        probes(token) AS (VALUES {_probe_values}),
+        cnt AS ({_cnt_union}),
+        ps AS ({_probe_union})
+        SELECT ps.token, CAST(MIN(cnt.counter) AS BIGINT) AS freq_est
+        FROM ps JOIN cnt ON cnt.depth = ps.depth AND cnt.slot = ps.slot
+        GROUP BY ps.token""")

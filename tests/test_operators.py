@@ -1772,3 +1772,44 @@ def test_redact_pii_leaves_no_matchable_pii_behind(spark):
             m = re.search(pat, r["text_redacted"])
             assert m is None, (r["doc_id"], name, m.group(0),
                                r["text_redacted"])
+
+
+def test_cms_one_sided_guarantee_and_shard_merge(spark):
+    """CMS contracts: (1) every estimate >= the true count (one-sided,
+    for EVERY vocab token, not just probes); (2) merging per-shard
+    counter tables by summing slot-aligned counters equals the global
+    counter table."""
+    from olap_xtrctr_spark.operators import sketches as SK
+    from olap_xtrctr_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    toks = (docs.select(F.explode(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"))
+        .filter(F.col("token") != ""))
+    counters = SK.cms_counters(toks, "token", width=64)
+    vocab = toks.groupBy("token").agg(F.count("*").alias("true_n"))
+    est = SK.cms_estimate(counters, vocab.select("token"), "token",
+                          width=64)
+    joined = est.join(vocab, "token")
+    assert joined.count() == vocab.count()
+    under = joined.filter(F.col("freq_est") < F.col("true_n")).count()
+    assert under == 0                       # never underestimates
+
+    # shard mergeability: counters(shard A) + counters(shard B) ==
+    # counters(A union B), slot-aligned by construction
+    toks_a = toks.limit(0).unionByName(
+        docs.filter(F.col("doc_id") % 2 == 0).select(F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+            .alias("token")).filter(F.col("token") != ""))
+    toks_b = docs.filter(F.col("doc_id") % 2 == 1).select(F.explode(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")) \
+        .filter(F.col("token") != "")
+    merged = (SK.cms_counters(toks_a, "token", width=64)
+              .unionByName(SK.cms_counters(toks_b, "token", width=64))
+              .groupBy("depth", "slot")
+              .agg(F.sum("counter").cast("bigint").alias("counter")))
+    glob = {(r["depth"], r["slot"]): r["counter"]
+            for r in counters.collect()}
+    mrg = {(r["depth"], r["slot"]): r["counter"]
+           for r in merged.collect()}
+    assert glob == mrg
