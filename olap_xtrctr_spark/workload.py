@@ -106,14 +106,19 @@ _GATE_FRONT = [
     # events_user_deciles / events_rfm_segments and the local gate).
     "docs_stream_span_dedup",         # NEW r7 (streaming span chain)
     "docs_corpus_card",               # NEW r7 (release datasheet)
-    "emb_near_dup_pairs",
+    # Final swaps: the strip's byte-exact kept_text oracle and the CMS
+    # displace emb_near_dup_pairs / events_stream_user_totals (green r3
+    # rows; the GEMM pair kernel is exercised in-window through
+    # emb_cross_split_leakage, streaming state through
+    # events_stream_sessionize/dedup and the span chain).
+    "docs_duplicate_span_strip",      # NEW r7 (rewrite form)
+    "docs_cms_token_freq",            # NEW r7 (oracle-exact CMS)
     "docs_near_dup_clusters",
     "docs_prepare_corpus",
     "docs_keep_canonical",
     "docs_ngram_jaccard_pairs",
     "events_hourly_rollup",
     "events_stream_sessionize",
-    "events_stream_user_totals",
     "events_stream_dedup",
     # events_kanon_release displaces events_type_user_distinct (green
     # r3 row; distinct-count semantics stay exercised by
