@@ -182,9 +182,17 @@ def bpe_encode(docs: DataFrame, merges: list,
                id_col: str = "doc_id") -> DataFrame:
     """Encode the corpus with learned merges.  Python touches only the
     DISTINCT words (pandas_udf over the vocab table); per-doc BPE token
-    counts come from a broadcast join of the per-word segment lengths —
-    the corpus itself stays JVM-side.  Output: (doc_id, n_words,
-    n_bpe_tokens)."""
+    counts come from a join of the per-word segment lengths — the
+    corpus itself stays JVM-side.  Output: (doc_id, n_words,
+    n_bpe_tokens); a document with no non-empty tokens (empty /
+    whitespace-only text) still gets a row with zero counts.
+
+    The vocab join carries NO forced broadcast hint: at web scale the
+    distinct-word table is 10^7–10^8 rows and a forced broadcast would
+    blow the broadcast limit instead of degrading; the vocab side is an
+    aggregation output whose runtime size AQE sees exactly, so small
+    vocabs still get a broadcast join and huge ones degrade to a
+    shuffle join gracefully."""
     rank_of = {(left, right): rank for rank, left, right, _ in merges}
 
     @F.pandas_udf(T.IntegerType())
@@ -198,10 +206,16 @@ def bpe_encode(docs: DataFrame, merges: list,
         .filter(F.col("word") != ""))
     vocab = toks.select("word").distinct().withColumn(
         "n_sub", seg_len(F.col("word")))
-    return (toks.join(F.broadcast(vocab), "word")
-            .groupBy(id_col)
-            .agg(F.count("*").cast("bigint").alias("n_words"),
-                 F.sum("n_sub").cast("bigint").alias("n_bpe_tokens")))
+    agg = (toks.join(vocab, "word")
+           .groupBy(id_col)
+           .agg(F.count("*").cast("bigint").alias("n_words"),
+                F.sum("n_sub").cast("bigint").alias("n_bpe_tokens")))
+    return (docs.select(id_col).join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_words", F.lit(0)).cast("bigint")
+                     .alias("n_words"),
+                    F.coalesce("n_bpe_tokens", F.lit(0)).cast("bigint")
+                     .alias("n_bpe_tokens")))
 
 
 def bpe_roundtrip(docs: DataFrame, merges: list,
@@ -216,10 +230,13 @@ def bpe_roundtrip(docs: DataFrame, merges: list,
     contract directly, and any segmentation bug (dropped symbol,
     double-merge, marker leak) breaks the match.
 
-    Output: (doc_id, n_words, n_bad_words, recon_chars).
+    Output: (doc_id, n_words, n_bad_words, recon_chars); a document
+    with no non-empty tokens still gets a row with zero counts.
 
     Same scale shape as ``bpe_encode``: Python touches only the
-    DISTINCT words; the corpus pays one broadcast join, no Python."""
+    DISTINCT words; the corpus pays one vocab join (no forced
+    broadcast — AQE picks broadcast vs shuffle from the vocab's
+    runtime size, see ``bpe_encode``), no Python."""
     rank_of = {(left, right): rank for rank, left, right, _ in merges}
 
     @F.pandas_udf(T.StructType([
@@ -247,8 +264,16 @@ def bpe_roundtrip(docs: DataFrame, merges: list,
         .withColumn("_c", check(F.col("word"))) \
         .select("word", F.col("_c.bad").alias("_bad"),
                 F.col("_c.rlen").alias("_rlen"))
-    return (toks.join(F.broadcast(vocab), "word")
-            .groupBy(id_col)
-            .agg(F.count("*").cast("bigint").alias("n_words"),
-                 F.sum("_bad").cast("bigint").alias("n_bad_words"),
-                 F.sum("_rlen").cast("bigint").alias("recon_chars")))
+    agg = (toks.join(vocab, "word")
+           .groupBy(id_col)
+           .agg(F.count("*").cast("bigint").alias("n_words"),
+                F.sum("_bad").cast("bigint").alias("n_bad_words"),
+                F.sum("_rlen").cast("bigint").alias("recon_chars")))
+    return (docs.select(id_col).join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_words", F.lit(0)).cast("bigint")
+                     .alias("n_words"),
+                    F.coalesce("n_bad_words", F.lit(0)).cast("bigint")
+                     .alias("n_bad_words"),
+                    F.coalesce("recon_chars", F.lit(0)).cast("bigint")
+                     .alias("recon_chars")))

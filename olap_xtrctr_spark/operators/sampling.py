@@ -17,8 +17,12 @@ possible for cross-batch exact dedup).
 """
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from .hostmath import lookup_df, micro
 
 # 60 bits of md5 → uniform integer in [0, 2^60); modulo 10_000 gives a
 # per-key permille-of-ten bucket with negligible bias (2^60 % 10^4 ≈ 0).
@@ -340,7 +344,10 @@ def dsir_importance_weights(docs: DataFrame, target_cond,
     integer MICRO-units once per bucket, so each document's weight —
     Σ count(d,f) · llr_micro(f) — is exact integer arithmetic that any
     oracle reproduces bit-for-bit (the one float op, ln, happens
-    n_buckets times per corpus, not per document).
+    n_buckets times per corpus, not per document, and is computed on
+    the DRIVER with the host libm — ``hostmath.py`` — over the
+    collected n_buckets-row corpus table, so the frozen values are
+    independent of the JVM's ``Math.log`` ulp quirks).
 
     Scale shape: two map-side-combinable aggregations over the
     exploded features (per-doc-bucket counts, per-bucket corpus
@@ -369,12 +376,18 @@ def dsir_importance_weights(docs: DataFrame, target_cond,
     corpus = feats.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ct"))
-    totals = corpus.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
-    llr = (corpus.crossJoin(F.broadcast(totals))
-           .select("bucket", F.round(
-               (F.log(F.col("ct") + 1) - F.log(F.col("tt") + n_buckets)
-                - F.log(F.col("cr") + 1) + F.log(F.col("tr") + n_buckets))
-               * 1e6).cast("bigint").alias("llr_micro")))
+    # n_buckets rows + two scalars: collect, freeze the llr on the
+    # driver with the host libm (hostmath.py), op-for-op the oracle's
+    # (LN(ct+1) - LN(tt+nb) - LN(cr+1) + LN(tr+nb)) * 1e6.
+    rows = corpus.collect()
+    tr = sum(r["cr"] for r in rows)
+    tt = sum(r["ct"] for r in rows)
+    llr_pairs = [(r["bucket"],
+                  micro(math.log(r["ct"] + 1) - math.log(tt + n_buckets)
+                        - math.log(r["cr"] + 1)
+                        + math.log(tr + n_buckets)))
+                 for r in rows]
+    llr = lookup_df(docs.sparkSession, llr_pairs, "bucket", "llr_micro")
     return (doc_counts.join(F.broadcast(llr), "bucket")
             .groupBy(id_col)
             .agg(F.sum("c").alias("n_feats"),
@@ -419,16 +432,28 @@ def dsir_gumbel_sample(docs: DataFrame, target_cond, k: int = 50,
     ties and ordering agree bit-for-bit.
 
     Same TakeOrderedAndProject shape as ``dsir_select_top_k`` — the
-    noise is a projection, adding nothing to the shuffle."""
+    noise arrives via a 10 000-row broadcast lookup (frozen on the
+    driver with the host libm, ``hostmath.py``), adding nothing to the
+    shuffle."""
     if temperature <= 0:
         raise ValueError(f"temperature must be positive: {temperature}")
     w = dsir_importance_weights(docs, target_cond, n_buckets=n_buckets,
                                 text_col=text_col, id_col=id_col)
-    u = (_hash_bucket(F.col(id_col), salt) + F.lit(0.5)) / float(_BUCKETS)
-    g_micro = F.round(-F.log(-F.log(u)) * 1e6).cast("bigint")
-    key = (F.round(F.col("weight_micro") / temperature).cast("bigint")
-           + g_micro)
-    keyed = w.withColumn("key_micro", key)
+    # The noise domain is the closed 10 000-value hash-bucket range, so
+    # freeze -ln(-ln(u)) per bucket on the driver (host libm,
+    # hostmath.py) and broadcast-join on the bucket key — the JVM's
+    # Math.log never touches a frozen value.
+    g_pairs = [(bkt,
+                micro(-math.log(-math.log((bkt + 0.5)
+                                          / float(_BUCKETS)))))
+               for bkt in range(_BUCKETS)]
+    g_lut = lookup_df(docs.sparkSession, g_pairs, "_gb", "g_micro")
+    keyed = (w.withColumn("_gb", _hash_bucket(F.col(id_col), salt))
+             .join(F.broadcast(g_lut), "_gb")
+             .withColumn("key_micro",
+                         F.round(F.col("weight_micro") / temperature)
+                          .cast("bigint") + F.col("g_micro"))
+             .drop("_gb", "g_micro"))
     top = keyed.orderBy(F.desc("key_micro"), F.asc(id_col)).limit(k)
     win = Window.orderBy(F.desc("key_micro"), F.asc(id_col))
     return (top.withColumn("rank", F.row_number().over(win))

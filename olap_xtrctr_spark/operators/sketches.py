@@ -90,16 +90,41 @@ def cms_counters(df: DataFrame, value_col: str, width: int = 256,
 
 
 def cms_estimate(counters: DataFrame, probes: DataFrame,
-                 value_col: str, width: int = 256) -> DataFrame:
+                 value_col: str, width: int = 256,
+                 group_cols: list[str] | None = None) -> DataFrame:
     """Estimate each probe value's frequency from a counter table:
-    min over depth rows of its slot counter (0 when a slot row is
-    absent).  ``probes`` is a small DataFrame of values — broadcast
-    onto the counter table, grouped back per value."""
+    min over ALL depth rows of its slot counter, with an absent slot
+    row counting as exactly 0 — so a probe that was never inserted
+    reports ``freq_est = 0`` instead of vanishing or inheriting a
+    looser populated-depths-only min (the probe side of the join is
+    preserved).
+
+    ``group_cols`` must name the counter table's group columns (the
+    same list passed to ``cms_counters``); probes then carry those
+    columns too and estimates are per (group, value).  The column sets
+    are checked so a grouped counter table can never be silently
+    estimated ungrouped (which would min across groups sharing a
+    slot).
+
+    Plan shape: the counter table is the CMS's bounded state —
+    depth*width cells per group regardless of key cardinality — so it
+    broadcasts onto the probe side."""
     from functools import reduce
-    keyed = [probes.select(F.col(value_col), F.lit(d).alias("depth"),
+    groups = list(group_cols or [])
+    expected = set(groups) | {"depth", "slot", "counter"}
+    if set(counters.columns) != expected:
+        raise ValueError(
+            f"cms_estimate: counter table columns "
+            f"{sorted(counters.columns)} do not match group_cols"
+            f"={groups} (expected exactly {sorted(expected)}); pass "
+            f"the same group_cols used for cms_counters")
+    keyed = [probes.select(*groups, F.col(value_col),
+                           F.lit(d).alias("depth"),
                            _cms_slot(value_col, salt, width).alias("slot"))
              for d, salt in enumerate(CMS_SALTS)]
     probe_slots = reduce(lambda a, b: a.unionByName(b), keyed)
-    return (counters.join(F.broadcast(probe_slots), ["depth", "slot"])
-            .groupBy(value_col)
-            .agg(F.min("counter").cast("bigint").alias("freq_est")))
+    joined = probe_slots.join(F.broadcast(counters),
+                              groups + ["depth", "slot"], "left")
+    return (joined.groupBy(*groups, value_col)
+            .agg(F.min(F.coalesce(F.col("counter"), F.lit(0)))
+                 .cast("bigint").alias("freq_est")))

@@ -6,10 +6,13 @@ scale linearly with partitions.
 """
 from __future__ import annotations
 
+import math
 import re
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from .hostmath import ln_micro, lookup_df, micro
 
 PUNCT_CLASS = "[.,;:!?]"
 
@@ -725,11 +728,14 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
     exact document-frequency idf.
 
     Cross-engine exactness, same discipline as the DSIR family: idf is
-    frozen to integer micro-units ONCE PER TERM (the only ln); each
+    frozen to integer micro-units ONCE PER TERM (the only ln),
+    computed on the DRIVER with the host libm (``hostmath.py`` — the
+    per-term df table is |terms| rows, trivially collectable); each
     (doc, term) contribution — idf_micro × the tf/length fraction,
     which uses only IEEE-exact +,×,/ on literals — rounds to integer
     milli-units BEFORE the per-doc sum, so the final score is an
-    order-independent integer an oracle reproduces bit-for-bit.
+    order-independent integer an oracle reproduces bit-for-bit on any
+    host, independent of the JVM's libm.
 
     Scale shape: one explode over matching tokens only (the isin
     filter lands before the shuffle), per-doc length from a
@@ -746,11 +752,17 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
     hits = toks.filter(F.col("token").isin([t.lower() for t in terms]))
     dfreq = (hits.select(id_col, "token").distinct()
              .groupBy("token").agg(F.count(F.lit(1)).alias("df")))
-    idf = (dfreq.crossJoin(F.broadcast(tot))
-           .select("token", F.round(F.log(
-               (F.col("n_docs") - F.col("df") + 0.5)
-               / (F.col("df") + 0.5) + 1.0) * 1e6)
-               .cast("bigint").alias("idf_micro")))
+    # |terms| rows + one scalar: freeze idf on the driver (host libm),
+    # mirroring the oracle's LN((n_docs - df + 0.5)/(df + 0.5) + 1.0)
+    # op-for-op so the doubles agree bit-for-bit before ROUND.
+    spark = docs.sparkSession
+    n_docs_v = int(tot.first()["n_docs"] or 0)
+    idf_pairs = [(r["token"],
+                  micro(math.log(
+                      (n_docs_v - r["df"] + 0.5) / (r["df"] + 0.5)
+                      + 1.0)))
+                 for r in dfreq.collect()]
+    idf = lookup_df(spark, idf_pairs, "token", "idf_micro", "string")
     tf = hits.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     scored = (tf.join(dl, id_col)
               .join(F.broadcast(idf), "token")
@@ -783,10 +795,15 @@ def ngram_lm_score(docs: DataFrame, reference_cond=None,
     bigram.
 
     Exactness discipline (the DSIR move, ``sampling.py``): the only
-    float op — ln — happens once per DISTINCT observed bigram plus one
-    backoff constant, frozen to integer MICRO-units; a document's score
-    is then exact integer arithmetic (sum of micro-NLLs DIV bigram
-    count), so DuckDB reproduces it bit-for-bit.
+    float op — ln — happens once per DISTINCT count value (count-of-
+    counts, bounded driver metadata) plus one backoff constant, frozen
+    to integer MICRO-units ON THE DRIVER with the host libm
+    (``hostmath.py`` — the JVM's ``Math.log`` disagrees with the libm
+    DuckDB links in the last ulp for ~1% of integer args, which flips
+    ``ROUND`` near .5 boundaries; the round-7 driver caught exactly
+    that).  A document's score is then exact integer arithmetic (sum
+    of micro-NLLs DIV bigram count), so DuckDB reproduces it
+    bit-for-bit on any host.
 
     Scale shape: one map-side-combinable count over reference bigrams
     and unigrams; the model is a (bigram -> nll_micro) table joined
@@ -824,26 +841,38 @@ def ngram_lm_score(docs: DataFrame, reference_cond=None,
     # to C(w1)=0.  Freeze each term to micro-units SEPARATELY so the
     # unseen-bigram path (c12=0 -> ln(1)=0) needs only the context
     # term, computable from the unigram table alone.
-    ctx = (c1.crossJoin(F.broadcast(vocab))
-           .select(F.col("w"),
-                   F.round(F.log(F.col("c1") + F.col("v")) * 1e6)
-                    .cast("bigint").alias("ctx_micro")))
-    seen = (c12.select("bg",
-                       F.round(F.log(F.col("c12") + 1) * 1e6)
-                        .cast("bigint").alias("hit_micro")))
-    unseen_ctx = (vocab.select(
-        F.round(F.log(F.col("v").cast("double")) * 1e6)
-        .cast("bigint").alias("oov_ctx_micro")))
+    #
+    # The ln arguments are DISTINCT COUNT VALUES (count-of-counts): a
+    # Zipfian corpus has thousands of distinct counts at any scale, so
+    # collecting them is bounded metadata (the model tables themselves
+    # — vocabulary-sized — never leave the cluster).  Computing the
+    # frozen micro-values on the driver with the host libm
+    # (hostmath.py) is what makes the freeze engine-portable; the cost
+    # is one extra pass over the (already aggregated) count tables.
+    spark = docs.sparkSession
+    v = int(vocab.first()["v"] or 0)
+    if v == 0:
+        raise ValueError(
+            "ngram_lm_score: reference slice has no tokens to train on")
+    c1_vals = [r["c1"] for r in c1.select("c1").distinct().collect()]
+    c12_vals = [r["c12"] for r in c12.select("c12").distinct().collect()]
+    ctx_lut = lookup_df(spark, ((c, ln_micro(c + v)) for c in c1_vals),
+                        "c1", "ctx_micro")
+    hit_lut = lookup_df(spark, ((c, ln_micro(c + 1)) for c in c12_vals),
+                        "c12", "hit_micro")
+    ctx = c1.join(F.broadcast(ctx_lut), "c1").select("w", "ctx_micro")
+    seen = (c12.join(F.broadcast(hit_lut), "c12")
+            .select("bg", "hit_micro"))
+    oov_ctx_micro = ln_micro(float(v))
 
     scored = (doc_big
               .withColumn("w1", w1)
               .join(seen, "bg", "left")
               .join(ctx.withColumnRenamed("w", "w1"), "w1", "left")
-              .crossJoin(F.broadcast(unseen_ctx))
               .select(
                   id_col,
                   (F.coalesce(F.col("ctx_micro"),
-                              F.col("oov_ctx_micro"))
+                              F.lit(oov_ctx_micro))
                    - F.coalesce(F.col("hit_micro"), F.lit(0)))
                   .alias("nll_micro")))
     return (scored.groupBy(id_col)

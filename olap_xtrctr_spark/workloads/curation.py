@@ -261,8 +261,12 @@ def register(add) -> None:
     # counters AND estimates are value-exact (the approximation is in
     # the one-sided >=truth guarantee, not in any nondeterminism).
     _CMS_W = 256
+    # "zz-absent-zz" is (deliberately) not a corpus token: it pins the
+    # probe-preserving semantics — an uninserted probe must report
+    # freq_est = 0 (min over all depths with absent slots counting 0),
+    # not vanish from the output.
     _CMS_PROBES = ("table", "value", "row", "key", "fast",
-                   "merge", "scan", "sort")
+                   "merge", "scan", "sort", "zz-absent-zz")
 
     def _cms_token_freq(spark, sf):
         from ..operators import sketches as SK
@@ -287,13 +291,16 @@ def register(add) -> None:
     _probe_values = ", ".join(f"('{t}')" for t in _CMS_PROBES)
 
     add("docs_cms_token_freq", _cms_token_freq,
-        rf"""WITH toks AS (
+        rf"""WITH tok0 AS (
           SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
             AS tok
           FROM documents),
+        toks AS (SELECT tok FROM tok0 WHERE tok != ''),
         probes(token) AS (VALUES {_probe_values}),
         cnt AS ({_cnt_union}),
         ps AS ({_probe_union})
-        SELECT ps.token, CAST(MIN(cnt.counter) AS BIGINT) AS freq_est
-        FROM ps JOIN cnt ON cnt.depth = ps.depth AND cnt.slot = ps.slot
+        SELECT ps.token,
+               CAST(MIN(COALESCE(cnt.counter, 0)) AS BIGINT) AS freq_est
+        FROM ps LEFT JOIN cnt
+          ON cnt.depth = ps.depth AND cnt.slot = ps.slot
         GROUP BY ps.token""")

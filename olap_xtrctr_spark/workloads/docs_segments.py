@@ -213,8 +213,9 @@ def register(add) -> None:
 
     add("docs_bpe_roundtrip", bpe_roundtrip,
         r"""SELECT doc_id,
-               CAST(len(regexp_split_to_array(trim(text), '\s+'))
-                    AS BIGINT) AS n_words,
+               CAST(len(list_filter(
+                      regexp_split_to_array(trim(text), '\s+'),
+                      w -> w != '')) AS BIGINT) AS n_words,
                CAST(0 AS BIGINT) AS n_bad_words,
                CAST(length(regexp_replace(text, '\s', '', 'g'))
                     AS BIGINT) AS recon_chars

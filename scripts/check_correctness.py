@@ -22,10 +22,14 @@ FILT = sys.argv[2] if len(sys.argv) > 2 else ""
 
 
 def norm(v):
+    # 12 significant digits, not 6: the driver hashes full values, and
+    # %.6g silently truncates e.g. 10000.1234 -> "10000.1", passing
+    # locally what the driver would fail.  12g keeps every ROUND(x,4)
+    # output exact while still absorbing sub-ulp double noise.
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}" if abs(v) < 1e15 else f"{v:.6e}"
+        return f"{v:.12g}" if abs(v) < 1e15 else f"{v:.12e}"
     return str(v)
 
 

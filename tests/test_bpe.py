@@ -124,3 +124,29 @@ def test_bpe_roundtrip_lossless_and_gate_fails_loudly(spark, monkeypatch):
     bad = B.bpe_roundtrip(docs, merges).agg(
         F.sum("n_bad_words").alias("b")).first()["b"]
     assert bad > 0
+
+def test_encode_and_roundtrip_emit_rows_for_empty_docs(spark):
+    """Round-7 ADVICE fix: documents with no non-empty tokens (empty or
+    whitespace-only text) still get an output row with zero counts from
+    bpe_encode and bpe_roundtrip — matching the oracle's row-per-doc
+    shape instead of silently dropping them."""
+    from olap_xtrctr_spark.operators import bpe as B
+
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, ""), (3, "   "), (4, "low")],
+        "doc_id int, text string")
+    merges, _ = B.train_bpe(docs, num_merges=3)
+
+    enc = {r["doc_id"]: r for r in B.bpe_encode(docs, merges).collect()}
+    assert set(enc) == {1, 2, 3, 4}
+    assert enc[2]["n_words"] == 0 and enc[2]["n_bpe_tokens"] == 0
+    assert enc[3]["n_words"] == 0 and enc[3]["n_bpe_tokens"] == 0
+    assert enc[1]["n_words"] == 2 and enc[4]["n_words"] == 1
+
+    rt = {r["doc_id"]: r
+          for r in B.bpe_roundtrip(docs, merges).collect()}
+    assert set(rt) == {1, 2, 3, 4}
+    assert rt[2]["n_words"] == 0 and rt[2]["recon_chars"] == 0
+    assert rt[3]["n_bad_words"] == 0 and rt[3]["recon_chars"] == 0
+    assert rt[1]["n_bad_words"] == 0
+    assert rt[1]["recon_chars"] == len("lowlower")

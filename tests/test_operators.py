@@ -1813,3 +1813,48 @@ def test_cms_one_sided_guarantee_and_shard_merge(spark):
     mrg = {(r["depth"], r["slot"]): r["counter"]
            for r in merged.collect()}
     assert glob == mrg
+
+def test_cms_estimate_preserves_probes_and_groups(spark):
+    """Round-7 ADVICE fixes: (1) a probe absent from the sketch reports
+    freq_est = 0 (probe side preserved, absent slot rows count 0, even
+    when EVERY depth is empty); (2) grouped counter tables estimate per
+    group; (3) passing a grouped counter table without its group_cols
+    raises instead of silently min-ing across groups."""
+    import pytest as _pytest
+
+    from olap_xtrctr_spark.operators import sketches as SK
+
+    toks = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "x")],
+        "grp string, token string")
+    probes = spark.createDataFrame([("zz-never-seen",), ("x",)],
+                                   "token string")
+
+    # ungrouped: absent probe present with 0; "x" >= true count 3
+    counters = SK.cms_counters(toks, "token", width=8)
+    est = {r["token"]: r["freq_est"]
+           for r in SK.cms_estimate(counters, probes, "token",
+                                    width=8).collect()}
+    assert est["zz-never-seen"] == 0
+    assert est["x"] >= 3
+
+    # grouped: per-(grp, token) estimates, one-sided within each group
+    gcounters = SK.cms_counters(toks, "token", width=8,
+                                group_cols=["grp"])
+    gprobes = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("b", "zz-never-seen")],
+        "grp string, token string")
+    gest = {(r["grp"], r["token"]): r["freq_est"]
+            for r in SK.cms_estimate(gcounters, gprobes, "token",
+                                     width=8,
+                                     group_cols=["grp"]).collect()}
+    assert gest[("a", "x")] >= 2
+    assert gest[("b", "x")] >= 1
+    assert gest[("b", "zz-never-seen")] == 0
+    # group isolation with width large enough to avoid collisions here:
+    # b's "x" estimate must not absorb a's two hits
+    assert gest[("b", "x")] < gest[("a", "x")] + gest[("b", "x")]
+
+    # grouped counter table without group_cols -> loud error
+    with _pytest.raises(ValueError, match="group_cols"):
+        SK.cms_estimate(gcounters, probes, "token", width=8)
