@@ -16,6 +16,8 @@ backend/actions_runner.py:220-249, frontend/src/utils/mdxBuilder.ts:4-40):
             | [Hier].[Level]
 
     <set> := CROSSJOIN(<set>, <set>)
+           | DESCENDANTS(<member> | { <member>, ... }, <level path>)
+           | ANCESTOR(<member>, <level path>)
            | { <member unique name>, ... }
            | [Dim].[Hier].[Level].MEMBERS
            | [Dim].[Hier].Levels(n).MEMBERS
@@ -81,6 +83,52 @@ def _parse_set(expr: str, properties: bool) -> list[AxisItem]:
             raise MdxParseError(f"CROSSJOIN needs 2 args: {expr!r}")
         return (_parse_set(parts[0], properties)
                 + _parse_set(parts[1], properties))
+
+    # DESCENDANTS(member | {set}, [Dim].[Hier].[Level]) /
+    # ANCESTOR(member, [Dim].[Hier].[Level]) — member-tree navigation
+    # (the parent/child chains the reference scanner walks in pandas,
+    # scanner/DGIS_SCAN_2_stable.py:1041-1049), expressed in-query.
+    fn = next((f for f in ("DESCENDANTS", "ANCESTOR")
+               if up.startswith(f + "(") or up.startswith(f + " (")), None)
+    if fn is not None:
+        inner = expr[expr.index("(") + 1:expr.rindex(")")]
+        parts = _split_top(inner)
+        if len(parts) != 2:
+            raise MdxParseError(f"{fn} needs 2 args: {expr!r}")
+        marg, larg = parts
+        if marg.startswith("{"):
+            if fn == "ANCESTOR":
+                raise MdxParseError(
+                    f"ANCESTOR takes a single member, not a set: {expr!r}")
+            members = _split_top(marg.strip("{} \n\t"))
+            if not members:
+                raise MdxParseError(f"empty member set in {fn}: {expr!r}")
+        else:
+            members = [marg]
+        seg_lists = [_segs(m) for m in members]
+        if any(len(s) < 2 for s in seg_lists):
+            raise MdxParseError(f"{fn} member needs [Dim].[Hier]: {expr!r}")
+        dims = {(s[0].lower(), s[1].lower()) for s in seg_lists}
+        if len(dims) != 1:
+            raise MdxParseError(
+                f"{fn} member set spans multiple hierarchies: {expr!r}")
+        dim, hier = seg_lists[0][0], seg_lists[0][1]
+        lsegs = _segs(larg)
+        if not lsegs or ".&[" in larg:
+            raise MdxParseError(
+                f"{fn} level must be a level path, got {larg!r}")
+        if len(lsegs) >= 3 and (lsegs[0].lower() != dim.lower()
+                                or lsegs[1].lower() != hier.lower()):
+            raise MdxParseError(
+                f"{fn} level {larg!r} names a different hierarchy than "
+                f"its member argument")
+        if len(lsegs) == 2 and lsegs[0].lower() not in (dim.lower(),
+                                                        hier.lower()):
+            raise MdxParseError(
+                f"{fn} level {larg!r} names a different hierarchy than "
+                f"its member argument")
+        return [AxisItem(dim, hier, level=lsegs[-1], members=members,
+                         properties=properties, ancestor=fn == "ANCESTOR")]
 
     if expr.startswith("{"):
         members = _split_top(expr.strip("{} \n\t"))
@@ -293,6 +341,20 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
 # ---------------------------------------------------------------------------
 
 def _axis_set(item: AxisItem) -> str:
+    if item.members and (item.level is not None
+                         or item.depth is not None):
+        if item.depth is not None:
+            raise ValueError(
+                "DESCENDANTS/ANCESTOR emit by level name only; "
+                "resolve depth to a level before building MDX")
+        lvl = f"[{item.dimension}].[{item.hierarchy}].[{item.level}]"
+        if item.ancestor:
+            if len(item.members) != 1:
+                raise ValueError("ANCESTOR takes a single member")
+            return f"ANCESTOR({item.members[0]}, {lvl})"
+        ms = (item.members[0] if len(item.members) == 1
+              else "{ " + ", ".join(item.members) + " }")
+        return f"DESCENDANTS({ms}, {lvl})"
     if item.members:
         return "{ " + ", ".join(item.members) + " }"
     if item.depth is not None:

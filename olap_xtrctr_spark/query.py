@@ -50,7 +50,22 @@ class QueryValidationError(ValueError):
 
 @dataclass
 class AxisItem:
-    """One row-axis entry: a level set (Q4/Q5) or member-literal set (Q3)."""
+    """One row-axis entry: a level set (Q4/Q5) or member-literal set
+    (Q3).  ``members`` together with ``level``/``depth`` is the
+    member-tree navigation the reference's scanner walks in pandas
+    (scanner/DGIS_SCAN_2_stable.py:1041-1049 parent/child chains),
+    expressed in-query:
+
+    * ``members`` + ``level`` (``ancestor=False``) = MDX
+      ``DESCENDANTS(member, level)``: the set of members AT ``level``
+      under the named member(s) — lowered to a grouping at ``level``
+      constrained by the members' key-path prefixes (parquet-
+      pushdown-able, like every member filter).
+    * ``members`` + ``level`` + ``ancestor=True`` = MDX
+      ``ANCESTOR(member, level)``: the single member at the SHALLOWER
+      ``level`` on the member's path — its cell value is the full
+      rollup of that ancestor (path truncated to the level's depth).
+    """
     dimension: str
     hierarchy: str
     level: Optional[str] = None
@@ -62,6 +77,7 @@ class AxisItem:
     # [Dim].[Hier].[Level] per superior level); None → all ancestors when
     # `properties` is set, no ancestors otherwise.
     property_list: Optional[list[str]] = None
+    ancestor: bool = False               # ANCESTOR(member, level)
 
 
 @dataclass
@@ -318,7 +334,44 @@ class CubeQueryEngine:
         constraints = None
         if item.members:
             constraints = self._member_paths(cube, dim, hier, item.members)
-            level = hier.levels[max(len(p) for p in constraints) - 1]
+            if item.level is not None or item.depth is not None:
+                # DESCENDANTS / ANCESTOR: an explicit target level
+                # navigates the member tree instead of inferring the
+                # level from the members' own depth.
+                level = self._resolve_level(hier, item)
+                lidx = hier.levels.index(level) + 1
+                if item.ancestor:
+                    if len(item.members) != 1:
+                        raise QueryValidationError(
+                            "ANCESTOR takes a single member")
+                    shallow = [p for p in constraints if len(p) < lidx]
+                    if shallow:
+                        raise QueryValidationError(
+                            f"ANCESTOR level {level.name!r} is below the "
+                            f"member's own level in hierarchy "
+                            f"{hier.name!r}")
+                    # truncate each path to the ancestor's depth (the
+                    # unique-name prefix IS the ancestor); dedup —
+                    # siblings share ancestors
+                    seen, trunc = set(), []
+                    for p in constraints:
+                        key = tuple(k for _, k in p[:lidx])
+                        if key not in seen:
+                            seen.add(key)
+                            trunc.append(p[:lidx])
+                    constraints = trunc
+                else:
+                    deeper = [p for p in constraints if len(p) > lidx]
+                    if deeper:
+                        raise QueryValidationError(
+                            f"DESCENDANTS level {level.name!r} is above "
+                            f"the named member's level in hierarchy "
+                            f"{hier.name!r} (use ANCESTOR)")
+            elif item.ancestor:
+                raise QueryValidationError(
+                    "ANCESTOR requires an explicit target level")
+            else:
+                level = hier.levels[max(len(p) for p in constraints) - 1]
         else:
             level = self._resolve_level(hier, item)
         idx = hier.levels.index(level)

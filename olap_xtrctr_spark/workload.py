@@ -35,96 +35,83 @@ from .workloads import (cube, curation, docs_segments,  # noqa: F401
 # from earlier rounds; WORKLOAD.md documents which round graded what.
 _GATE_WINDOW = 50
 _GATE_FRONT = [
-    # Round-7 rotation (VERDICT r6 task 1): drain the driver-verification
-    # backlog.  Computed from CORRECTNESS_r01..r06 latest-grade rounds:
-    # the 5 r2-latest entries, the 3 never-graded r6 additions, the 8
-    # NEW round-7 entries (DISCOVER rowsets + classifier / curation /
-    # LM-scoring family + the ADVICE-r6 ORDER path), and 34 of the 35
-    # r3-latest entries (build order; events_user_activity yields its
-    # slot to the new entries — it keeps its green r3 row and the local
-    # all-entries gate).  Everything rotated out keeps a green r3-r6
-    # driver row and stays covered by scripts/check_correctness.py.
-    # members_pagination leads: the first gate entry absorbs session
-    # warmup, and it is both cheap and itself r2-stale — the warmup
-    # slot does rotation work too.
-    "members_pagination",             # r2-latest (warmup absorber)
-    "members_full_view",              # r2-latest
-    "members_level_cardinalities",    # r2-latest
-    "docs_token_stats",               # r2-latest
-    "docs_lang_id",                   # r2-latest
-    "cube_bottomcount_nations",       # never driver-graded (added r6)
-    "docs_lang_id_ngram",             # never driver-graded (added r6)
-    "events_asof_attribution_tolerance",  # never driver-graded (added r6)
-    "dmv_discover_schema_rowsets",    # NEW r7 (VERDICT r6 task 4)
-    "dmv_discover_properties",        # NEW r7 (VERDICT r6 task 9)
-    "docs_quality_classifier",        # NEW r7 (trained quality filter)
-    "docs_quality_weak_labels",       # NEW r7 (its full-oracle anchor)
-    "emb_cluster_balanced_sample",    # NEW r7 (diversity subsample)
-    "docs_quality_lottery",           # NEW r7 (keep-lottery primitive)
-    "docs_ngram_lm_score",            # NEW r7 (bigram-LM perplexity)
-    "cube_order_by_unselected_measure",  # NEW r7 (ADVICE-r6 ORDER path)
-    # r3-latest block, build order:
-    "docs_quality_score",
-    "docs_top_tokens",
-    "docs_fingerprint",
-    "docs_redact_pii",
-    "docs_pack_sequences",
-    "docs_strip_markup",
-    "docs_contamination_check",
-    "docs_mix_corpus",
-    "docs_hash_split",
-    "docs_stratified_sample",
-    "docs_incremental_dedup",
-    "emb_cosine_topk",
-    "emb_quantized_topk",
-    # Mid-round additions (new entries have NO driver row — strictly
-    # weaker than the r3-green rows of the five entries they displace,
-    # whose semantics stay covered elsewhere: exact_dup_groups /
-    # exact_dedup_keep by docs_keep_canonical + incremental_dedup,
-    # norms/quantize by the *_topk entries above, uniform_sample_k by
-    # stratified_sample + docs_quality_lottery.  Displaced entries keep
-    # their green r3 rows and the local all-entries gate.
-    "docs_segment_dedup",             # NEW r7 (segment-level dedup)
-    "docs_segment_freq_filter",       # NEW r7 (boilerplate segments)
-    "multimodal_wav_decode_stats",    # NEW r7 (real WAV codec oracle)
-    "multimodal_ppm_decode_stats",    # NEW r7 (real PPM codec oracle)
-    "multimodal_ppm_resize_real",     # NEW r7 (real resize oracle)
-    # Wave-3 additions displace the three digest-chain multimodal
-    # stubs (green r3 rows; their decode/resize semantics are now
-    # covered IN-window by the real-codec entries above, and they stay
-    # in the local all-entries gate).
-    "docs_source_capped_corpus",      # NEW r7 (domain balancing)
-    "emb_cross_split_leakage",        # NEW r7 (split-leakage audit)
-    "docs_bpe_roundtrip",             # NEW r7 (tokenizer integrity)
-    # docs_duplicate_spans displaces events_top_hours_per_type (green
-    # r3 row; plain grouped top-k whose semantics stay exercised by
-    # events_hourly_rollup in-window and the local all-entries gate).
-    "docs_duplicate_spans",           # NEW r7 (exact stride-1 spans)
-    # Third-wave swaps: the streaming span chain and the corpus card
-    # displace events_value_percentiles / events_retention_cohorts
-    # (green r3 rows; percentile and cohort semantics stay exercised by
-    # events_user_deciles / events_rfm_segments and the local gate).
-    "docs_stream_span_dedup",         # NEW r7 (streaming span chain)
-    "docs_corpus_card",               # NEW r7 (release datasheet)
-    # Final swaps: the strip's byte-exact kept_text oracle and the CMS
-    # displace emb_near_dup_pairs / events_stream_user_totals (green r3
-    # rows; the GEMM pair kernel is exercised in-window through
-    # emb_cross_split_leakage, streaming state through
-    # events_stream_sessionize/dedup and the span chain).
-    "docs_duplicate_span_strip",      # NEW r7 (rewrite form)
-    "docs_cms_token_freq",            # NEW r7 (oracle-exact CMS)
-    "docs_near_dup_clusters",
-    "docs_prepare_corpus",
-    "docs_keep_canonical",
-    "docs_ngram_jaccard_pairs",
-    "events_hourly_rollup",
-    "events_stream_sessionize",
-    "events_stream_dedup",
-    # events_kanon_release displaces events_type_user_distinct (green
-    # r3 row; distinct-count semantics stay exercised by
-    # events_user_deciles/events_key_skew_report and the local gate).
-    "events_kanon_release",           # NEW r7 (release suppression)
+    # Round-8 rotation (VERDICT r7 tasks 2+3): every slot is a
+    # full-oracle entry the driver can hash-match — the two r7
+    # rows-only entries (docs_quality_classifier,
+    # emb_cluster_balanced_sample) move behind the window (their
+    # in-entry gates + pytest still verify them; the driver's weaker
+    # rows-only check added nothing).  Slots go to: (a) the 7 entries
+    # whose semantics changed this round (the host-libm ln freeze fix
+    # — lm_score/dsir*/bm25 — plus the CMS absent-probe and BPE
+    # empty-doc oracle fixes), (b) the 4 never-driver-graded
+    # full-oracle entries (the other 3 never-graded are rows-only by
+    # nature — BPE train/token-count and the LSH leakage path — and
+    # stay behind the window), (c) the full r3-latest block (15), and
+    # (d) 24 of the 31 r4-latest entries in build order (the last 7
+    # r4 entries wait for round 9; they keep green r4 rows and the
+    # local all-entries gate).
+    "cube_head_nations",              # never graded (cheap warmup absorber)
+    "cube_tail_ordered_nations",      # never graded
+    "docs_ngram_lm_score",            # RED r7 -> host-libm lookup fix
+    "docs_dsir_weights",              # impl changed (host-libm llr)
+    "docs_dsir_top_docs",             # impl changed (host-libm llr)
+    "docs_dsir_gumbel_sample",        # impl changed (host-libm noise)
+    "docs_bm25_topk",                 # impl changed (host-libm idf)
+    "docs_cms_token_freq",            # semantics changed (absent probe row)
+    "docs_bpe_roundtrip",             # oracle changed (empty-doc rows)
+    "docs_segment_dedup_incremental",     # never graded
+    "docs_duplicate_spans_incremental",   # never graded
+    # r3-latest block (all 15, build order):
+    "docs_uniform_sample_k",
+    "docs_exact_dup_groups",
+    "docs_exact_dedup_keep",
+    "emb_norms",
+    "emb_quantize",
+    "emb_near_dup_pairs",
+    "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_features",
+    "events_stream_user_totals",
+    "events_value_percentiles",
+    "events_retention_cohorts",
+    "events_type_user_distinct",
+    "events_top_hours_per_type",
+    "events_user_activity",
+    # r4-latest block (first 24 in build order):
+    "members_fulltext_stemmed",
+    "docs_token_count_bpe",
+    "docs_repetition_stats",
+    "docs_repetition_filter",
+    "docs_pack_sequences_sharded",
+    "docs_token_familiarity",
+    "docs_contract_check",
+    "docs_sample_k_per_group",
+    "docs_vocab_coverage",
+    "docs_length_histogram",
+    "emb_semantic_dedup_clusters",
+    "events_stream_hourly",
+    "events_sessionize",
+    "events_funnel_conversion",
+    "events_stream_dedup_bounded",
+    "events_stream_click_purchase_join",
+    "events_asof_click_attribution",
+    "events_value_range_tiers",
+    "events_props_topk",
+    "events_stream_enriched_tiers",
+    "docs_chunk_overlap",
+    "docs_boilerplate_ngrams",
+    "docs_boilerplate_filter",
+    "docs_edit_distance_pairs",
 ]
+
+# NEW round-8 entries enter the front as they land, displacing the r4
+# tail (displaced entries keep their green r4 rows + the local gate and
+# rotate next round).
+_R8_NEW = [
+    "cube_descendants_region_nations",   # NEW r8 (DESCENDANTS nav)
+    "cube_ancestor_region_rollup",       # NEW r8 (ANCESTOR rollup)
+]
+_GATE_FRONT = _GATE_FRONT[:-len(_R8_NEW)] + _R8_NEW
 
 
 

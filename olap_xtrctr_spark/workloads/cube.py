@@ -320,3 +320,46 @@ def register_r7(add) -> None:
           GROUP BY 1)
         SELECT nation, sum_quantity FROM agg
         ORDER BY sum_quantity ASC, nation DESC LIMIT 5""")
+
+    # ---- round 8: member-tree navigation in-query (VERDICT r7 task 6)
+    # DESCENDANTS(member, level): the members at `level` under the
+    # named member — the parent→children walk the reference scanner
+    # does in pandas (scanner/DGIS_SCAN_2_stable.py:1041-1049),
+    # lowered to a grouping at the target level constrained by the
+    # member's key-path prefix (parquet-pushdown-able).  Parsed from
+    # MDX so the parse → engine → build_mdx round-trip is the thing
+    # driver-graded.
+    add("cube_descendants_region_nations",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "SELECT { [Measures].[Sum Extendedprice], "
+            "[Measures].[Total Registros] } ON COLUMNS, "
+            "DESCENDANTS([Dim Customer].[Geografía].[Region].&[2], "
+            "[Dim Customer].[Geografía].[Nation]) ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH {_OW}
+        SELECT cust_nation AS nation,
+               {SUM_D('l_extendedprice')} AS sum_extendedprice,
+               COUNT(*) AS total_registros
+        FROM {_FACT_OW}
+        WHERE cust_region_key = 2
+        GROUP BY 1""")
+
+    # ANCESTOR(member, level): the single member at the shallower
+    # level on the member's unique-name path; its cell is the FULL
+    # rollup of the ancestor (all of region 2, not just nation 2) —
+    # the SSAS cell semantics the scanner reproduces by re-querying
+    # the parent.
+    add("cube_ancestor_region_rollup",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "SELECT { [Measures].[Sum Quantity], "
+            "[Measures].[Total Registros] } ON COLUMNS, "
+            "ANCESTOR([Dim Customer].[Geografía].[Nation].&[2].&[2], "
+            "[Dim Customer].[Geografía].[Region]) ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH {_OW}
+        SELECT cust_region AS region,
+               {SUM_D('l_quantity')} AS sum_quantity,
+               COUNT(*) AS total_registros
+        FROM {_FACT_OW}
+        WHERE cust_region_key = 2
+        GROUP BY 1""")

@@ -113,7 +113,8 @@ _MEASURE = st.sampled_from(["Sum Quantity", "Total Registros", "Avg Discount"])
 @st.composite
 def _axis(draw):
     dim, hier = draw(_NAME), draw(_HIER)
-    kind = draw(st.sampled_from(["level", "depth", "members", "whole"]))
+    kind = draw(st.sampled_from(["level", "depth", "members", "whole",
+                                 "descendants", "ancestor"]))
     if kind == "level":
         props = draw(st.one_of(
             st.none(),
@@ -128,6 +129,17 @@ def _axis(draw):
                              unique=True))
         return AxisItem(dim, hier, members=[
             f"[{dim}].[{hier}].[L1].&[{k}]" for k in keys])
+    if kind == "descendants":
+        keys = draw(st.lists(st.integers(0, 9), min_size=1, max_size=3,
+                             unique=True))
+        return AxisItem(dim, hier, level=draw(_LEVEL), members=[
+            f"[{dim}].[{hier}].[L1].&[{k}]" for k in keys])
+    if kind == "ancestor":
+        return AxisItem(
+            dim, hier, level=draw(_LEVEL), ancestor=True,
+            members=[f"[{dim}].[{hier}].[L1]"
+                     f".&[{draw(st.integers(0, 9))}]"
+                     f".&[{draw(st.integers(0, 9))}]"])
     return AxisItem(dim, hier)
 
 
@@ -155,8 +167,10 @@ def test_build_parse_roundtrip(measures, rows, non_empty, slicer):
         assert back.non_empty == req.non_empty
         assert len(back.rows) == len(uniq)
         for a, b in zip(back.rows, uniq):
-            assert (a.dimension, a.hierarchy, a.level, a.depth, a.members) \
-                == (b.dimension, b.hierarchy, b.level, b.depth, b.members)
+            assert (a.dimension, a.hierarchy, a.level, a.depth,
+                    a.members, a.ancestor) \
+                == (b.dimension, b.hierarchy, b.level, b.depth,
+                    b.members, b.ancestor)
             assert (a.property_list or None) == \
                 (getattr(b, "property_list", None) or None)
 
@@ -479,3 +493,125 @@ def test_execute_dmv_rejects_garbage_cleanly(s):
         # reached actual execution with spark=None: the string PARSED —
         # fine, parsing robustness is what this fuzz pins
         pass
+
+
+# ---- DESCENDANTS / ANCESTOR (round 8, VERDICT r7 task 6) ----------------
+
+def test_parse_descendants_and_ancestor_shapes():
+    req = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "DESCENDANTS({ [Dim Customer].[Geografía].[Region].&[0], "
+        "[Dim Customer].[Geografía].[Region].&[2] }, "
+        "[Dim Customer].[Geografía].[Nation]) ON ROWS FROM [sales]",
+        "VENTAS_2025")
+    (item,) = req.rows
+    assert item.level == "Nation" and len(item.members) == 2
+    assert not item.ancestor
+
+    req2 = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "ANCESTOR([Dim Customer].[Geografía].[Nation].&[2].&[2], "
+        "[Geografía].[Region]) ON ROWS FROM [sales]", "VENTAS_2025")
+    (it2,) = req2.rows
+    assert it2.ancestor and it2.level == "Region"
+    assert it2.members == ["[Dim Customer].[Geografía].[Nation].&[2].&[2]"]
+    # short [Hier].[Level] path resolved against the member's hierarchy
+    assert it2.dimension == "Dim Customer" and it2.hierarchy == "Geografía"
+
+    # round-trips through build_mdx
+    for r in (req, req2):
+        back = parse_mdx(build_mdx(r), "VENTAS_2025")
+        assert back.rows == r.rows
+
+
+def test_parse_descendants_ancestor_errors():
+    import pytest
+    head = "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+    tail = " ON ROWS FROM [sales]"
+    bad = [
+        # ANCESTOR over a set
+        "ANCESTOR({ [D].[H].[L].&[1], [D].[H].[L].&[2] }, [D].[H].[L])",
+        # wrong arity
+        "DESCENDANTS([D].[H].[L].&[1])",
+        # level arg is a member, not a level path
+        "DESCENDANTS([D].[H].[L].&[1], [D].[H].[L].&[2])",
+        # level path names a different hierarchy
+        "DESCENDANTS([D].[H].[L].&[1], [Other].[Hier2].[L2])",
+        # member set spanning hierarchies
+        "DESCENDANTS({ [D].[H].[L].&[1], [D].[H2].[L].&[2] }, [D].[H].[L])",
+    ]
+    for b in bad:
+        with pytest.raises(MdxParseError):
+            parse_mdx(head + b + tail, "VENTAS_2025")
+
+
+def test_descendants_execution_matches_member_filter(spark, sf_dir):
+    """DESCENDANTS(region 2, Nation) == the Nation-level aggregate
+    filtered to region 2 by an explicit member set — and its plan
+    pushes the region-key constraint into the scan, not a post-agg
+    filter."""
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    via_desc = eng.execute(parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "DESCENDANTS([Dim Customer].[Geografía].[Region].&[2], "
+        "[Dim Customer].[Geografía].[Nation]) ON ROWS FROM [sales]",
+        "VENTAS_2025"))
+    rows = {r["nation"]: r["sum_quantity"] for r in via_desc.collect()}
+    assert len(rows) == 5
+
+    # same cells as grouping all nations then keeping region-2 ones
+    all_n = eng.execute(QueryRequest(
+        "VENTAS_2025", measures=["Sum Quantity"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation",
+                       properties=True)]))
+    keep = {r["nation"]: r["sum_quantity"] for r in all_n.collect()
+            if r["region"] == "ASIA"}
+    assert rows == keep
+
+
+def test_ancestor_execution_full_rollup(spark, sf_dir):
+    """ANCESTOR(nation in region 2, Region) is ONE row whose cell is
+    the rollup of the whole region (not just the named nation)."""
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    anc = eng.execute(parse_mdx(
+        "SELECT { [Measures].[Total Registros] } ON COLUMNS, "
+        "ANCESTOR([Dim Customer].[Geografía].[Nation].&[2].&[2], "
+        "[Dim Customer].[Geografía].[Region]) ON ROWS FROM [sales]",
+        "VENTAS_2025"))
+    rows = anc.collect()
+    assert len(rows) == 1 and rows[0]["region"] == "ASIA"
+    regions = eng.execute(QueryRequest(
+        "VENTAS_2025", measures=["Total Registros"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Region")]))
+    want = {r["region"]: r["total_registros"] for r in regions.collect()}
+    assert rows[0]["total_registros"] == want["ASIA"]
+
+
+def test_descendants_ancestor_validation_errors(spark, sf_dir):
+    import pytest
+
+    from olap_xtrctr_spark.query import QueryValidationError
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    # DESCENDANTS target above the member's level -> loud error
+    with pytest.raises(QueryValidationError, match="DESCENDANTS"):
+        eng.execute(QueryRequest(
+            "VENTAS_2025", measures=["Sum Quantity"],
+            rows=[AxisItem(
+                "Dim Customer", "Geografía", level="Region",
+                members=["[Dim Customer].[Geografía].[Nation].&[2].&[2]"]
+            )]))
+    # ANCESTOR target below the member's level -> loud error
+    with pytest.raises(QueryValidationError, match="ANCESTOR"):
+        eng.execute(QueryRequest(
+            "VENTAS_2025", measures=["Sum Quantity"],
+            rows=[AxisItem(
+                "Dim Customer", "Geografía", level="Customer",
+                ancestor=True,
+                members=["[Dim Customer].[Geografía].[Region].&[2]"])]))
+    # ANCESTOR without a level -> loud error
+    with pytest.raises(QueryValidationError, match="ANCESTOR"):
+        eng.execute(QueryRequest(
+            "VENTAS_2025", measures=["Sum Quantity"],
+            rows=[AxisItem(
+                "Dim Customer", "Geografía", ancestor=True,
+                members=["[Dim Customer].[Geografía].[Region].&[2]"])]))
