@@ -79,7 +79,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["compact", "cluster", "zorder", "hilbert",
                             "shards", "verify-shards",
                             "commit-version", "versions",
-                            "rollback-version", "gc-versions"])
+                            "rollback-version", "gc-versions",
+                            "retention"])
     s.add_argument("--src", required=True)
     s.add_argument("--dst", default=None,
                    help="output directory (not needed for verify-shards)")
@@ -88,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--target-mb", type=int, default=128)
     s.add_argument("--to-version", type=int, default=None,
                    help="rollback-version target")
+    s.add_argument("--keep-last", type=int, default=None,
+                   help="retention: keep the N most recent versions")
+    s.add_argument("--keep-newer-than", type=float, default=None,
+                   help="retention: keep versions committed at/after "
+                        "this epoch-seconds timestamp")
     s.add_argument("--keep-from", type=int, default=None,
                    help="gc-versions: drop data unreachable from "
                         "manifests >= this version")
@@ -225,6 +231,14 @@ def run(args, service=None) -> dict:
             from .sources import versioned as V
             return {"versions": V.list_versions(args.src),
                     "schema_changes": V.version_schema_changes(args.src)}
+        if args.op == "retention":
+            from .sources import versioned as V
+            if args.keep_last is None and args.keep_newer_than is None:
+                raise SystemExit("retention needs --keep-last and/or "
+                                 "--keep-newer-than")
+            return V.retention_sweep(
+                args.src, keep_last=args.keep_last,
+                keep_newer_than=args.keep_newer_than)
         if args.op == "gc-versions":
             from .sources import versioned as V
             if args.keep_from is None:

@@ -236,6 +236,84 @@ def duplicate_spans_incremental(new_docs: DataFrame,
     return report, updated
 
 
+def duplicate_spans_incremental_bucketed(
+        spark, new_docs: DataFrame, store_dir: str, k: int = 8,
+        n_buckets: int = 64, text_col: str = "text",
+        id_col: str = "doc_id") -> DataFrame:
+    """:func:`duplicate_spans_incremental` against an ON-DISK gram
+    store hash-bucketed on the gram key (VERDICT r7 task 4) — the
+    shape that survives 100 TB, where the monolithic in-memory fold
+    re-unions and re-distincts the ENTIRE store every batch:
+
+    * the store is a parquet directory partitioned by
+      ``_bucket = pmod(xxhash64(gram), n_buckets)`` — a seen-store is
+      APPEND-ONLY (grams are only ever added), so an epoch never
+      rewrites existing files, unlike the copy-on-write merge of
+      ``sources/versioned.py``;
+    * the probe scans ONLY the buckets the batch's grams hash into
+      (partition-pruned by the ``_bucket isin touched`` filter — the
+      same pruning discipline as ``versioned.upsert_batch_bucketed``),
+      then joins batch-side; AQE broadcasts the batch side when it is
+      small (the steady-state case), so the store is neither fully
+      scanned nor reshuffled;
+    * the update appends ONLY the batch's genuinely-new grams into
+      their bucket partitions — per-batch write cost is O(new grams),
+      store growth is exactly the corpus's distinct-gram count.
+
+    Size ``n_buckets`` well above the per-batch distinct-gram bucket
+    spread for real pruning (thousands at 100 TB; the pruning factor
+    is ~min(1, batch_buckets / n_buckets), same caveat as the
+    versioned bucketed merge).  Same ordering contract as the
+    monolithic fold: batches arriving in ``id_col`` order reproduce
+    the one-shot :func:`duplicate_span_removal` (parity-tested in
+    tests/test_segments.py).
+
+    Returns the per-document span report; the store update is a side
+    effect on ``store_dir``."""
+    import os
+
+    from .segments_spans import merged_span_report, stride1_grams
+
+    bucket_of = F.pmod(F.xxhash64(F.col("_sh")), F.lit(n_buckets)) \
+        .cast("int")
+    grams = (stride1_grams(new_docs, k, text_col, id_col)
+             .withColumn("_bucket", bucket_of))
+    wsh = Window.partitionBy("_sh").orderBy(F.col(id_col), F.col("_p"))
+    grams = grams.withColumn("_rn", F.row_number().over(wsh))
+    # one bounded collect: the touched-bucket list (≤ n_buckets ints)
+    batch_keys = (grams.select("_sh", "_bucket").distinct()
+                  .localCheckpoint(eager=True))
+    touched = [r["_bucket"]
+               for r in batch_keys.select("_bucket").distinct().collect()]
+
+    have_store = os.path.isdir(store_dir) and any(
+        e.startswith("_bucket=") for e in os.listdir(store_dir))
+    if have_store:
+        present = (spark.read.parquet(store_dir)
+                   .filter(F.col("_bucket").isin(touched))
+                   .join(batch_keys.select(F.col("_sh").alias("gram")),
+                         "gram")
+                   .select("gram").distinct())
+        grams = grams.join(
+            present.withColumnRenamed("gram", "_sh")
+            .withColumn("_seen", F.lit(True)), "_sh", "left")
+        dup = (F.col("_rn") > 1) | F.col("_seen").isNotNull()
+        new_grams = (batch_keys
+                     .join(present.withColumnRenamed("gram", "_sh"),
+                           "_sh", "left_anti"))
+    else:
+        dup = F.col("_rn") > 1
+        new_grams = batch_keys
+    marked = grams.filter(dup).select(id_col, "_p")
+    report = merged_span_report(new_docs, marked, k, text_col, id_col)
+    # materialize the report BEFORE the store append: both read the
+    # batch grams, and the append must not see its own output
+    report = report.localCheckpoint(eager=True)
+    (new_grams.select(F.col("_sh").alias("gram"), "_bucket")
+     .write.partitionBy("_bucket").mode("append").parquet(store_dir))
+    return report
+
+
 def duplicate_span_strip(docs: DataFrame, k: int = 8,
                          text_col: str = "text",
                          id_col: str = "doc_id",

