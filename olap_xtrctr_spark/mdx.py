@@ -17,6 +17,8 @@ backend/actions_runner.py:220-249, frontend/src/utils/mdxBuilder.ts:4-40):
 
     <set> := CROSSJOIN(<set>, <set>)
            | DESCENDANTS(<member> | { <member>, ... }, <level path>)
+           | DESCENDANTS(<member>, <distance n>)
+           | <member>.CHILDREN                  (== DESCENDANTS(m, 1))
            | ANCESTOR(<member>, <level path>)
            | { <member unique name>, ... }
            | [Dim].[Hier].[Level].MEMBERS
@@ -88,6 +90,21 @@ def _parse_set(expr: str, properties: bool) -> list[AxisItem]:
     # ANCESTOR(member, [Dim].[Hier].[Level]) — member-tree navigation
     # (the parent/child chains the reference scanner walks in pandas,
     # scanner/DGIS_SCAN_2_stable.py:1041-1049), expressed in-query.
+    # <member>.CHILDREN — sugar for DESCENDANTS(<member>, distance 1);
+    # the target depth is computable from the unique name alone.
+    if up.endswith(".CHILDREN"):
+        marg = expr[: -len(".CHILDREN")]
+        from . import naming as _naming
+        try:
+            parsed = _naming.parse(marg)
+        except ValueError as e:
+            raise MdxParseError(str(e)) from e
+        segs = _segs(marg)
+        if len(segs) < 2:
+            raise MdxParseError(f"CHILDREN needs [Dim].[Hier]: {expr!r}")
+        return [AxisItem(segs[0], segs[1], depth=parsed.depth + 1,
+                         members=[marg], properties=properties)]
+
     fn = next((f for f in ("DESCENDANTS", "ANCESTOR")
                if up.startswith(f + "(") or up.startswith(f + " (")), None)
     if fn is not None:
@@ -96,6 +113,23 @@ def _parse_set(expr: str, properties: bool) -> list[AxisItem]:
         if len(parts) != 2:
             raise MdxParseError(f"{fn} needs 2 args: {expr!r}")
         marg, larg = parts
+        # numeric second arg: DESCENDANTS(member, n) — members at
+        # DISTANCE n below the member (SSAS distance form; n=1 is what
+        # build_mdx emits for .CHILDREN items)
+        if fn == "DESCENDANTS" and larg.strip().isdigit():
+            from . import naming as _naming
+            try:
+                parsed = _naming.parse(marg.strip())
+            except ValueError as e:
+                raise MdxParseError(str(e)) from e
+            segs = _segs(marg)
+            if len(segs) < 2:
+                raise MdxParseError(
+                    f"DESCENDANTS member needs [Dim].[Hier]: {expr!r}")
+            return [AxisItem(segs[0], segs[1],
+                             depth=parsed.depth + int(larg.strip()),
+                             members=[marg.strip()],
+                             properties=properties)]
         if marg.startswith("{"):
             if fn == "ANCESTOR":
                 raise MdxParseError(
@@ -344,9 +378,21 @@ def _axis_set(item: AxisItem) -> str:
     if item.members and (item.level is not None
                          or item.depth is not None):
         if item.depth is not None:
-            raise ValueError(
-                "DESCENDANTS/ANCESTOR emit by level name only; "
-                "resolve depth to a level before building MDX")
+            # depth-targeted navigation: the SSAS distance form
+            # DESCENDANTS(m, n); .CHILDREN parses to distance 1
+            from . import naming as _naming
+            if item.ancestor:
+                raise ValueError(
+                    "ANCESTOR emits by level name only; resolve depth "
+                    "to a level before building MDX")
+            if len(item.members) != 1:
+                raise ValueError(
+                    "distance-form DESCENDANTS takes a single member")
+            dist = item.depth - _naming.parse(item.members[0]).depth
+            if dist < 1:
+                raise ValueError(
+                    f"DESCENDANTS distance must be >= 1, got {dist}")
+            return f"DESCENDANTS({item.members[0]}, {dist})"
         lvl = f"[{item.dimension}].[{item.hierarchy}].[{item.level}]"
         if item.ancestor:
             if len(item.members) != 1:

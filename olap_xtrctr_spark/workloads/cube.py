@@ -363,3 +363,19 @@ def register_r7(add) -> None:
         FROM {_FACT_OW}
         WHERE cust_region_key = 2
         GROUP BY 1""")
+
+    # .CHILDREN sugar (== DESCENDANTS distance 1) — behind the gate
+    # window this round (semantics already driver-graded through
+    # cube_descendants_region_nations; execution equivalence pinned in
+    # tests/test_mdx.py); rotates into the window round 9.
+    add("cube_children_of_region",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+            "[Dim Customer].[Geografía].[Region].&[0].CHILDREN ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH {_OW}
+        SELECT cust_nation AS nation,
+               {SUM_D('l_quantity')} AS sum_quantity
+        FROM {_FACT_OW}
+        WHERE cust_region_key = 0
+        GROUP BY 1""")

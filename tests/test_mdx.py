@@ -615,3 +615,41 @@ def test_descendants_ancestor_validation_errors(spark, sf_dir):
             rows=[AxisItem(
                 "Dim Customer", "Geografía", ancestor=True,
                 members=["[Dim Customer].[Geografía].[Region].&[2]"])]))
+
+
+def test_parse_children_and_distance_descendants():
+    req = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "[Dim Customer].[Geografía].[Region].&[0].CHILDREN ON ROWS "
+        "FROM [sales]", "VENTAS_2025")
+    (item,) = req.rows
+    assert item.members == ["[Dim Customer].[Geografía].[Region].&[0]"]
+    assert item.depth == 2 and not item.ancestor
+
+    # builder emits the distance form; parse round-trips it
+    back = parse_mdx(build_mdx(req), "VENTAS_2025")
+    assert "DESCENDANTS(" in build_mdx(req)
+    assert back.rows == req.rows
+
+    # explicit distance form, deeper than 1
+    r2 = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "DESCENDANTS([Dim Customer].[Geografía].[Region].&[0], 2) "
+        "ON ROWS FROM [sales]", "VENTAS_2025")
+    assert r2.rows[0].depth == 3
+
+
+def test_children_execution_equals_descendants_level(spark, sf_dir):
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    via_children = eng.execute(parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "[Dim Customer].[Geografía].[Region].&[2].CHILDREN ON ROWS "
+        "FROM [sales]", "VENTAS_2025"))
+    via_level = eng.execute(parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "DESCENDANTS([Dim Customer].[Geografía].[Region].&[2], "
+        "[Dim Customer].[Geografía].[Nation]) ON ROWS FROM [sales]",
+        "VENTAS_2025"))
+    a = {tuple(r) for r in via_children.collect()}
+    b = {tuple(r) for r in via_level.collect()}
+    assert a == b and len(a) == 5
