@@ -880,3 +880,47 @@ def ngram_lm_score(docs: DataFrame, reference_cond=None,
                  F.sum("nll_micro").alias("nll_sum_micro"))
             .withColumn("mean_nll_micro",
                         F.expr("nll_sum_micro DIV n_bigrams")))
+
+
+def ccnet_perplexity_buckets(docs: DataFrame, reference_cond=None,
+                             n_buckets: int = 3,
+                             lang_col: str = "lang",
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3
+    — the step after LM scoring): each language's documents are ranked
+    by reference-LM mean NLL and cut into ``n_buckets`` equal-count
+    perplexity buckets; "head" (most reference-like) feeds high-quality
+    training mixes, "tail" is the usual drop set.
+
+    Exactness: scores are :func:`ngram_lm_score`'s frozen integers
+    (host-libm lookups, ``hostmath.py``); bucketing is pure integer
+    rank arithmetic — ``bucket = ((rank-1) * n) DIV count`` with ties
+    broken on ``id_col`` — so any engine reproduces the split
+    bit-for-bit.  Documents with <2 tokens have no bigrams and are
+    absent, same as the scorer.
+
+    Scale shape: scoring is the LM scorer's shape; the split adds ONE
+    window keyed on the language (never a global sort) plus the
+    per-language count as a window aggregate over the same partition —
+    a single exchange on ``lang_col``."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2: {n_buckets}")
+    scores = ngram_lm_score(docs, reference_cond, text_col, id_col)
+    scored = docs.select(id_col, lang_col).join(scores, id_col)
+    w = Window.partitionBy(lang_col).orderBy("mean_nll_micro", id_col)
+    wl = Window.partitionBy(lang_col)
+    idx = F.expr(f"CAST(((_rn - 1) * {int(n_buckets)}) DIV _n AS INT)")
+    if n_buckets == 3:
+        label = (F.when(F.col("bucket_idx") == 0, "head")
+                 .when(F.col("bucket_idx") == 1, "middle")
+                 .otherwise("tail"))
+    else:
+        label = F.concat(F.lit("b"), F.col("bucket_idx").cast("string"))
+    return (scored
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(wl))
+            .withColumn("bucket_idx", idx)
+            .withColumn("bucket", label)
+            .select(id_col, lang_col, "mean_nll_micro", "bucket_idx",
+                    "bucket"))

@@ -110,6 +110,7 @@ _GATE_FRONT = [
 _R8_NEW = [
     "cube_descendants_region_nations",   # NEW r8 (DESCENDANTS nav)
     "cube_ancestor_region_rollup",       # NEW r8 (ANCESTOR rollup)
+    "docs_ccnet_buckets",                # NEW r8 (CCNet ppl split)
 ]
 _GATE_FRONT = _GATE_FRONT[:-len(_R8_NEW)] + _R8_NEW
 

@@ -796,10 +796,9 @@ def register(add) -> None:
     # reproducible, so the per-doc scores are bit-exact integers on
     # both engines.  Docs with <2 tokens have no bigrams and are
     # absent on both sides by construction.
-    add("docs_ngram_lm_score",
-        lambda spark, sf: TX.ngram_lm_score(
-            _docs(spark, sf), reference_cond=F.col("source") == "src0"),
-        r"""WITH tok AS (
+    # Shared CTE chain for the LM-scoring family (score + CCNet
+    # perplexity-bucket split reuse it verbatim).
+    _LM_CORE = r"""WITH tok AS (
           SELECT doc_id, source,
                  regexp_split_to_array(trim(lower(text)), '\s+') AS t
           FROM documents),
@@ -835,9 +834,37 @@ def register(add) -> None:
           FROM doc_big_w d
           LEFT JOIN seen ON d.bg = seen.bg
           LEFT JOIN ctx ON d.w1 = ctx.w
-          CROSS JOIN oov)
+          CROSS JOIN oov)"""
+
+    add("docs_ngram_lm_score",
+        lambda spark, sf: TX.ngram_lm_score(
+            _docs(spark, sf), reference_cond=F.col("source") == "src0"),
+        _LM_CORE + r"""
         SELECT doc_id,
                COUNT(*) AS n_bigrams,
                SUM(nll_micro) AS nll_sum_micro,
                SUM(nll_micro) // COUNT(*) AS mean_nll_micro
         FROM nll GROUP BY doc_id""")
+
+    # CCNet head/middle/tail split (Wenzek et al. 2020 §4.3): rank each
+    # language's docs by the frozen mean NLL, cut into 3 equal-count
+    # buckets by pure integer rank arithmetic — ties on doc_id, so the
+    # split is bit-exact on both engines.
+    add("docs_ccnet_buckets",
+        lambda spark, sf: TX.ccnet_perplexity_buckets(
+            _docs(spark, sf), reference_cond=F.col("source") == "src0"),
+        _LM_CORE + r""",
+        sc AS (
+          SELECT doc_id, SUM(nll_micro) // COUNT(*) AS mean_nll_micro
+          FROM nll GROUP BY doc_id),
+        ranked AS (
+          SELECT d.doc_id, d.lang, sc.mean_nll_micro,
+                 ROW_NUMBER() OVER (PARTITION BY d.lang
+                     ORDER BY sc.mean_nll_micro, d.doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY d.lang) AS n
+          FROM documents d JOIN sc ON d.doc_id = sc.doc_id)
+        SELECT doc_id, lang, mean_nll_micro,
+               CAST(((rn - 1) * 3) // n AS INTEGER) AS bucket_idx,
+               CASE ((rn - 1) * 3) // n WHEN 0 THEN 'head'
+                    WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+        FROM ranked""")

@@ -1858,3 +1858,32 @@ def test_cms_estimate_preserves_probes_and_groups(spark):
     # grouped counter table without group_cols -> loud error
     with _pytest.raises(ValueError, match="group_cols"):
         SK.cms_estimate(gcounters, probes, "token", width=8)
+
+def test_ccnet_buckets_equal_counts_and_determinism(spark):
+    """CCNet split contracts: per-language bucket sizes differ by at
+    most 1 (equal-count cut), every scored doc lands in exactly one
+    bucket, head has the LOWEST mean NLL, and the split is a pure
+    function of (score, doc_id) — rerunning yields identical rows."""
+    from olap_xtrctr_spark.operators.text import ccnet_perplexity_buckets
+    from olap_xtrctr_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = ccnet_perplexity_buckets(docs, F.col("source") == "src0")
+    rows = out.collect()
+    assert {r["bucket"] for r in rows} <= {"head", "middle", "tail"}
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = {}
+        for r in rs:
+            sizes[r["bucket_idx"]] = sizes.get(r["bucket_idx"], 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        # head NLL <= tail NLL within the language
+        head = [r["mean_nll_micro"] for r in rs if r["bucket"] == "head"]
+        tail = [r["mean_nll_micro"] for r in rs if r["bucket"] == "tail"]
+        assert max(head) <= min(tail), lang
+    again = {(r["doc_id"], r["bucket_idx"])
+             for r in ccnet_perplexity_buckets(
+                 docs, F.col("source") == "src0").collect()}
+    assert again == {(r["doc_id"], r["bucket_idx"]) for r in rows}
