@@ -38,6 +38,7 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 # oracle uses ln/log/exp without the lookup pattern fails the lint.
 FROZEN_HOSTLIBM_ENTRIES = {
     "docs_ngram_lm_score",      # operators/text.py ngram_lm_score
+    "docs_ccnet_buckets",       # ... ccnet_perplexity_buckets (same model)
     "docs_dsir_weights",        # operators/sampling.py dsir_importance_weights
     "docs_dsir_top_docs",       # ... dsir_select_top_k (same llr table)
     "docs_dsir_gumbel_sample",  # ... dsir_gumbel_sample (+ noise lookup)
