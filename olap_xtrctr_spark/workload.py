@@ -111,6 +111,7 @@ _R8_NEW = [
     "cube_descendants_region_nations",   # NEW r8 (DESCENDANTS nav)
     "cube_ancestor_region_rollup",       # NEW r8 (ANCESTOR rollup)
     "docs_ccnet_buckets",                # NEW r8 (CCNet ppl split)
+    "docs_minhash_lsh_pairs_exact",      # NEW r8 (oracle-exact MinHash)
 ]
 _GATE_FRONT = _GATE_FRONT[:-len(_R8_NEW)] + _R8_NEW
 

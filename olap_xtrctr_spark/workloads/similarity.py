@@ -14,3 +14,6 @@ def register(add) -> None:
     similarity_gates.register(add)
     similarity_textpairs.register(add)
     similarity_misc.register(add)
+    # round-8 additions append LAST so legacy build order stays
+    # byte-stable (same discipline as docs_segments/multimodal_real)
+    similarity_textpairs.register_r8(add)

@@ -492,3 +492,56 @@ def register(add) -> None:
                     // COUNT(*) AS BIGINT) AS shared_milli
         FROM wfil JOIN dfreq USING (fp)
         GROUP BY doc_id""")
+
+
+def register_r8(add) -> None:
+    from ..operators import dedup as D
+
+    # ORACLE-EXACT MinHash-LSH (round 8): md5-derived hash family makes
+    # banding, the bucket self-join, and the signature-similarity
+    # estimate bit-reproducible in SQL — upgrading the minhash family
+    # from rows-only to a full value oracle (the xxhash64 operator
+    # stays the fast path; this is the audit/verification variant).
+    add("docs_minhash_lsh_pairs_exact",
+        lambda spark, sf: D.minhash_lsh_pairs_md5(
+            _docs(spark, sf), n=3, num_hashes=16, bands=4,
+            threshold=0.5),
+        r"""WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+            AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          FROM toks),
+        hs AS (
+          SELECT doc_id,
+                 TRY_CAST(concat('0x', substr(md5(shingle), 1, 12))
+                   AS BIGINT) AS h1,
+                 TRY_CAST(concat('0x', substr(md5(concat(shingle, ':2')),
+                   1, 8)) AS BIGINT) AS h2
+          FROM sh),
+        sig AS (
+          SELECT doc_id, r.i, MIN(h1 + r.i * h2) AS m
+          FROM hs, range(16) r(i) GROUP BY 1, 2),
+        bnd AS (
+          SELECT doc_id, i // 4 AS band,
+                 md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i))
+                   AS bucket
+          FROM sig GROUP BY doc_id, i // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bnd a JOIN bnd b
+            ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+        eq AS (
+          SELECT c.id_a, c.id_b,
+                 SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS k
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, ROUND(k / 16.0, 4) AS est_jaccard
+        FROM eq WHERE k / 16.0 >= 0.5""")

@@ -1887,3 +1887,24 @@ def test_ccnet_buckets_equal_counts_and_determinism(spark):
              for r in ccnet_perplexity_buckets(
                  docs, F.col("source") == "src0").collect()}
     assert again == {(r["doc_id"], r["bucket_idx"]) for r in rows}
+
+def test_minhash_md5_variant_contracts(spark):
+    """Oracle-exact MinHash (md5 family): exact-duplicate docs always
+    collide in every band and score est_jaccard == 1.0; disjoint docs
+    never pair; bands must divide num_hashes."""
+    import pytest as _pytest
+
+    from olap_xtrctr_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+         (3, "one two three four five six seven"),
+         (4, "totally different words entirely here now")],
+        "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in D.minhash_lsh_pairs_md5(docs).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert all({a, b} == {1, 2} for a, b in pairs), pairs
+    with _pytest.raises(ValueError, match="divide"):
+        D.minhash_lsh_pairs_md5(docs, num_hashes=16, bands=5)
