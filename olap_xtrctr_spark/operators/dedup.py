@@ -1235,3 +1235,73 @@ def minhash_lsh_pairs_md5(docs: DataFrame, text_col: str = "text",
     return (scored.filter(sim >= threshold)
                   .withColumn("est_jaccard", F.round(sim, 4))
                   .select("id_a", "id_b", "est_jaccard"))
+
+
+def simhash_near_pairs_md5(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           max_hamming: int = 5,
+                           bits: int = 60,
+                           n_blocks: int | None = None) -> DataFrame:
+    """ORACLE-EXACT SimHash near-dup pairs (round 8): the same per-bit
+    sign-vote signature and pigeonhole block join as
+    :func:`simhash_near_pairs`, with a 60-bit md5-derived token hash
+    (the engine-portable 60-bit prefix every md5 primitive here uses)
+    so the WHOLE pipeline — votes, signature, blocks, Hamming
+    distances — is bit-reproducible in SQL.
+
+    60 bits keep every intermediate positive in a signed 64-bit int,
+    so block extraction is plain div/mod on BOTH engines (no
+    engine-specific shift/sign semantics); Hamming distance is
+    bit_count(xor(a, b)), available on both.  Recall guarantee is the
+    Manku pigeonhole: exact for hamming <= n_blocks - 1.
+
+    The xxhash64 variant stays the fast path (md5 is ~3x per token);
+    this one exists for driver gates and cross-engine audits."""
+    if bits < 1 or bits > 60:
+        raise ValueError(f"bits must be in [1, 60]: {bits}")
+    if n_blocks is None:
+        n_blocks = min(max_hamming + 1, 6)
+    if bits % n_blocks != 0:
+        raise ValueError(f"n_blocks ({n_blocks}) must divide bits "
+                         f"({bits})")
+    width = bits // n_blocks
+    toks = docs.select(
+        id_col, F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                  r"\s+")).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10) \
+        .cast("bigint")
+    toks = toks.select(id_col, h.alias("_h"))
+    # integer DIV, not `/`: double division loses bits above 2^53
+    votes = [
+        F.sum(F.when(F.expr(f"(_h DIV {2 ** i}) % 2") == 1, 1)
+               .otherwise(-1)).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = sum([
+        F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long"))
+         .otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    ])
+    sigs = agg.select(id_col, sig.alias("simhash"))
+    blocks = F.array(*[
+        F.struct(F.lit(i).alias("blk_id"),
+                 F.expr(f"(simhash DIV {2 ** (i * width)}) "
+                        f"% {2 ** width}").alias("blk_val"))
+        for i in range(n_blocks)])
+    blocked = sigs.select(id_col, "simhash",
+                          F.explode(blocks).alias("b")) \
+                  .select(id_col, "simhash", "b.blk_id", "b.blk_val")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (a.join(b, (F.col("a.blk_id") == F.col("b.blk_id"))
+                    & (F.col("a.blk_val") == F.col("b.blk_val"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col("a.simhash").alias("sig_a"),
+                     F.col("b.simhash").alias("sig_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (pairs.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

