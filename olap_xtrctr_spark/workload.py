@@ -113,6 +113,7 @@ _R8_NEW = [
     "docs_ccnet_buckets",                # NEW r8 (CCNet ppl split)
     "docs_minhash_lsh_pairs_exact",      # NEW r8 (oracle-exact MinHash)
     "docs_simhash_pairs_exact",          # NEW r8 (oracle-exact SimHash)
+    "docs_minhash_dedup_corpus_exact",   # NEW r8 (exact LSH dedup e2e)
 ]
 _GATE_FRONT = _GATE_FRONT[:-len(_R8_NEW)] + _R8_NEW
 

@@ -590,3 +590,68 @@ def register_r8(add) -> None:
                CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
         FROM cand
         WHERE bit_count(xor(sig_a, sig_b)) <= 5""")
+
+    # the full SCALE-path dedup pipeline, ORACLE-EXACT end to end
+    # (round 8): md5 MinHash-LSH candidates -> min-label connected
+    # components -> canonical corpus.  The recursive-CTE components +
+    # keep-canonical tail is the docs_near_dup_clusters pattern; the
+    # pair stage is docs_minhash_lsh_pairs_exact's CTE chain verbatim.
+    add("docs_minhash_dedup_corpus_exact",
+        lambda spark, sf: D.keep_canonical(
+            _docs(spark, sf),
+            D.near_dup_clusters(
+                D.minhash_lsh_pairs_md5(_docs(spark, sf), n=3,
+                                        num_hashes=16, bands=4,
+                                        threshold=0.5)))
+        .select("doc_id", "lang", "source"),
+        r"""WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+            AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          FROM toks),
+        hs AS (
+          SELECT doc_id,
+                 TRY_CAST(concat('0x', substr(md5(shingle), 1, 12))
+                   AS BIGINT) AS h1,
+                 TRY_CAST(concat('0x', substr(md5(concat(shingle, ':2')),
+                   1, 8)) AS BIGINT) AS h2
+          FROM sh),
+        sig AS (
+          SELECT doc_id, r.i, MIN(h1 + r.i * h2) AS m
+          FROM hs, range(16) r(i) GROUP BY 1, 2),
+        bnd AS (
+          SELECT doc_id, i // 4 AS band,
+                 md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i))
+                   AS bucket
+          FROM sig GROUP BY doc_id, i // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bnd a JOIN bnd b
+            ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+        eq AS (
+          SELECT c.id_a, c.id_b,
+                 SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS k
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM eq WHERE k / 16.0 >= 0.5),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION SELECT src, src FROM edges
+          UNION SELECT r.src, e.dst FROM reach r
+                JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS doc_id, MIN(dst) AS cluster
+                 FROM reach GROUP BY src)
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        WHERE c.doc_id IS NULL OR d.doc_id = c.cluster""")
