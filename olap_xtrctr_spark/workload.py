@@ -47,9 +47,10 @@ _GATE_FRONT = [
     # full-oracle entries (the other 3 never-graded are rows-only by
     # nature — BPE train/token-count and the LSH leakage path — and
     # stay behind the window), (c) the full r3-latest block (15), and
-    # (d) 24 of the 31 r4-latest entries in build order (the last 7
-    # r4 entries wait for round 9; they keep green r4 rows and the
-    # local all-entries gate).
+    # (d) the oldest r4-latest entries in build order — each NEW
+    # round-8 entry appended via _R8_NEW below displaces one more from
+    # the r4 tail (displaced entries keep green r4 rows and the local
+    # all-entries gate, and rotate in round 9).
     "cube_head_nations",              # never graded (cheap warmup absorber)
     "cube_tail_ordered_nations",      # never graded
     "docs_ngram_lm_score",            # RED r7 -> host-libm lookup fix
@@ -77,7 +78,7 @@ _GATE_FRONT = [
     "events_type_user_distinct",
     "events_top_hours_per_type",
     "events_user_activity",
-    # r4-latest block (first 24 in build order):
+    # r4-latest block (build order; the tail yields to _R8_NEW):
     "members_fulltext_stemmed",
     "docs_token_count_bpe",
     "docs_repetition_stats",
