@@ -115,6 +115,7 @@ _R8_NEW = [
     "docs_minhash_lsh_pairs_exact",      # NEW r8 (oracle-exact MinHash)
     "docs_simhash_pairs_exact",          # NEW r8 (oracle-exact SimHash)
     "docs_minhash_dedup_corpus_exact",   # NEW r8 (exact LSH dedup e2e)
+    "docs_cms_token_freq_by_lang",       # NEW r8 (grouped CMS path)
 ]
 _GATE_FRONT = _GATE_FRONT[:-len(_R8_NEW)] + _R8_NEW
 
@@ -136,6 +137,7 @@ def build_workload() -> dict[str, QuerySpec]:
     for mod in (cube, tpch, members_nav, docs_text, similarity, events,
                 docs_segments, multimodal_real, curation):
         mod.register(add)
+    curation.register_r8(add)     # round-8 additions append last
 
     # Order per the gate-window manifest (see _GATE_FRONT above).
     missing = [n for n in _GATE_FRONT if n not in q]

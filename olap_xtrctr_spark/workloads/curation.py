@@ -304,3 +304,61 @@ def register(add) -> None:
         FROM ps LEFT JOIN cnt
           ON cnt.depth = ps.depth AND cnt.slot = ps.slot
         GROUP BY ps.token""")
+
+
+def register_r8(add) -> None:
+    from ..operators.sketches import CMS_SALTS, cms_slot_sql
+
+    # GROUPED count-min sketch (round 8: cms_estimate group_cols path,
+    # the ADVICE-r7 fix): one counter table per language, per-(lang,
+    # token) estimates, probe side preserved — a language where a probe
+    # token never occurs reports freq_est = 0 instead of vanishing or
+    # min-ing across languages.
+    _W = 256
+    _PROBES = ("table", "value", "row", "zz-absent-zz")
+
+    def _cms_by_lang(spark, sf):
+        from ..operators import sketches as SK
+        docs = _docs(spark, sf)
+        toks = (docs.select(
+            "lang",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+             .alias("token"))
+            .filter(F.col("token") != ""))
+        counters = SK.cms_counters(toks, "token", width=_W,
+                                   group_cols=["lang"])
+        langs = docs.select("lang").distinct()
+        probes = langs.crossJoin(spark.createDataFrame(
+            [(t,) for t in _PROBES], "token string"))
+        return SK.cms_estimate(counters, probes, "token", width=_W,
+                               group_cols=["lang"])
+
+    cnt_union = "\n          UNION ALL ".join(
+        f"SELECT lang, {d} AS depth, "
+        f"{cms_slot_sql('tok', salt, _W)} AS slot,"
+        f" CAST(COUNT(*) AS BIGINT) AS counter FROM toks GROUP BY 1, 2, 3"
+        for d, salt in enumerate(CMS_SALTS))
+    probe_union = "\n          UNION ALL ".join(
+        f"SELECT lang, token, {d} AS depth,"
+        f" {cms_slot_sql('token', salt, _W)} AS slot FROM probes"
+        for d, salt in enumerate(CMS_SALTS))
+    probe_values = ", ".join(f"('{t}')" for t in _PROBES)
+
+    add("docs_cms_token_freq_by_lang", _cms_by_lang,
+        rf"""WITH tok0 AS (
+          SELECT lang,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                   AS tok
+          FROM documents),
+        toks AS (SELECT lang, tok FROM tok0 WHERE tok != ''),
+        pv(token) AS (VALUES {probe_values}),
+        probes AS (
+          SELECT DISTINCT d.lang, pv.token FROM documents d, pv),
+        cnt AS ({cnt_union}),
+        ps AS ({probe_union})
+        SELECT ps.lang, ps.token,
+               CAST(MIN(COALESCE(cnt.counter, 0)) AS BIGINT) AS freq_est
+        FROM ps LEFT JOIN cnt
+          ON cnt.lang = ps.lang AND cnt.depth = ps.depth
+             AND cnt.slot = ps.slot
+        GROUP BY ps.lang, ps.token""")

@@ -179,6 +179,20 @@ PROBE_QUERIES = [
     "docs_bpe_train",
     "docs_bpe_token_count",
     "multimodal_wav_decode_stats",
+    # round-8: host-libm lookups must stay bounded-metadata at scale
+    # (LM count-of-counts ~ thousands; bm25 |terms| rows); the md5
+    # oracle-exact sketch variants concentrate dup replicas ~FACTOR
+    # deep per bucket (same documented posting shape as the xxhash
+    # fast paths); ccnet adds one lang-keyed window over the LM scores
+    "docs_ngram_lm_score",
+    "docs_ccnet_buckets",
+    "docs_bm25_topk",
+    "docs_dsir_gumbel_sample",
+    "docs_minhash_lsh_pairs_exact",
+    "docs_simhash_pairs_exact",
+    "docs_minhash_dedup_corpus_exact",
+    "cube_descendants_region_nations",
+    "cube_ancestor_region_rollup",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
