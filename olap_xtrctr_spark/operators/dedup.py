@@ -212,10 +212,19 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                      F.col(f"b.{id_col}").alias("id_b"),
                      F.col("a.simhash").alias("sig_a"),
                      F.col("b.simhash").alias("sig_b"))
+             # Hamming filter BEFORE the pair dedup (measured at ~sf1,
+             # round 8: the block join emits ~10x more random-collision
+             # candidates than true pairs, and dropDuplicates was
+             # shuffling all of them; hamming is a projection on the
+             # joined row and independent of which block matched, so
+             # filtering first is semantics-preserving and cuts the
+             # dedup shuffle to the true-pair volume — 291 s -> see
+             # SCALE.md round-8 A/B)
+             .withColumn("hamming", F.bit_count(
+                 F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+             .filter(F.col("hamming") <= max_hamming)
              .dropDuplicates(["id_a", "id_b"]))
-    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
-    return (pairs.select("id_a", "id_b", F.bit_count(xor).alias("hamming"))
-                 .filter(F.col("hamming") <= max_hamming))
+    return pairs.select("id_a", "id_b", "hamming")
 
 
 def _observe_dropped(df: DataFrame, dropped_cond, msg: str,
@@ -1300,8 +1309,10 @@ def simhash_near_pairs_md5(docs: DataFrame, text_col: str = "text",
                      F.col(f"b.{id_col}").alias("id_b"),
                      F.col("a.simhash").alias("sig_a"),
                      F.col("b.simhash").alias("sig_b"))
+             # hamming filter before the dedup shuffle — see the
+             # fast-path comment above
+             .withColumn("hamming", F.bit_count(
+                 F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"))
+             .filter(F.col("hamming") <= max_hamming)
              .dropDuplicates(["id_a", "id_b"]))
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (pairs.withColumn("hamming", ham.cast("int"))
-            .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+    return pairs.select("id_a", "id_b", "hamming")
