@@ -14,7 +14,7 @@ combined, one shuffle on the group keys.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -128,3 +128,71 @@ def cms_estimate(counters: DataFrame, probes: DataFrame,
     return (joined.groupBy(*groups, value_col)
             .agg(F.min(F.coalesce(F.col("counter"), F.lit(0)))
                  .cast("bigint").alias("freq_est")))
+
+
+# ---- KMV (k-minimum-values) distinct-count sketch --------------------------
+# The oracle-exact complement to HLL: the sketch is the k smallest
+# DISTINCT 60-bit md5 values of the key, the estimate is pure integer
+# arithmetic ((k-1) * 2^60) DIV h_k — so counters, merges, and
+# estimates all carry full SQL oracles, the same discipline as the CMS.
+
+KMV_SPACE = 1 << 60
+
+
+def _kmv_hash(value_col: str):
+    h = F.md5(F.concat_ws(":", F.col(value_col), F.lit("kmv-v1")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+
+
+def kmv_hash_sql(value_expr: str) -> str:
+    """DuckDB mirror of _kmv_hash (oracle building block)."""
+    return (f"TRY_CAST(concat('0x', substr(md5(concat({value_expr}, "
+            f"':kmv-v1')), 1, 15)) AS BIGINT)")
+
+
+def kmv_partial(df: DataFrame, group_cols: list[str], value_col: str,
+                k: int = 64) -> DataFrame:
+    """Per-group KMV state: the k smallest distinct hash values, one
+    row per (group, hash).  The corpus pass is a map-side-combinable
+    distinct on (group, hash) — the shuffle carries DISTINCT pairs
+    only, never raw rows — then a group-keyed window over that
+    (cardinality-sized) table keeps the k minima.  MERGING shards is
+    unioning their partials and re-taking the k minima
+    (:func:`kmv_merge`) — the mergeability that lets per-shard/hour
+    state roll up without touching raw data again."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    dh = (df.select(*group_cols, _kmv_hash(value_col).alias("kmv_h"))
+          .groupBy(*group_cols, "kmv_h").agg(F.lit(1).alias("_one"))
+          .drop("_one"))
+    w = Window.partitionBy(*group_cols).orderBy("kmv_h")
+    return (dh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def kmv_merge(partials: DataFrame, group_cols: list[str],
+              k: int = 64) -> DataFrame:
+    """Union per-shard KMV partials up to a coarser grain: distinct
+    hashes, re-take the k minima per group."""
+    dh = partials.select(*group_cols, "kmv_h").distinct()
+    w = Window.partitionBy(*group_cols).orderBy("kmv_h")
+    return (dh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def kmv_estimate(partials: DataFrame, group_cols: list[str],
+                 k: int = 64) -> DataFrame:
+    """Distinct-count estimates from KMV state: when a group holds
+    fewer than k hashes the count is EXACT (the sketch saw every
+    distinct value); otherwise est = ((k-1) * 2^60) DIV h_k — integer
+    division on the k-th smallest hash, reproducible bit-for-bit by
+    any SQL engine.  Standard guarantees: unbiased, rel. error
+    ~ 1/sqrt(k-2)."""
+    agg = (partials.groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.max("kmv_h").alias("_hk")))
+    est = F.when(
+        F.col("_n") < k, F.col("_n").cast("bigint")).otherwise(
+        F.expr(f"CAST(({k - 1} * CAST({KMV_SPACE} AS DECIMAL(38,0))) "
+               f"DIV _hk AS BIGINT)"))
+    return agg.select(*group_cols, est.alias("n_distinct_est"))

@@ -362,3 +362,36 @@ def register_r8(add) -> None:
           ON cnt.lang = ps.lang AND cnt.depth = ps.depth
              AND cnt.slot = ps.slot
         GROUP BY ps.lang, ps.token""")
+
+    # KMV distinct-count sketch (round 8): the oracle-exact complement
+    # to HLL — state is the 64 smallest distinct md5-60bit user hashes
+    # per event type, the estimate is ((k-1) * 2^60) DIV h_k, all
+    # integer arithmetic any engine reproduces; groups seen fewer than
+    # k distinct values report their EXACT count.
+    from ..operators.sketches import kmv_hash_sql
+    from ..session import load_table as _load
+
+    def _kmv_users(spark, sf):
+        from ..operators import sketches as SK
+        ev = _load(spark, sf, "events")
+        part = SK.kmv_partial(ev, ["event_type"], "user_id", k=64)
+        return SK.kmv_estimate(part, ["event_type"], k=64)
+
+    add("events_kmv_users_by_type", _kmv_users,
+        rf"""WITH h AS (
+          SELECT DISTINCT event_type,
+                 {kmv_hash_sql('user_id')} AS kmv_h
+          FROM events),
+        r AS (
+          SELECT event_type, kmv_h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY kmv_h) AS rn
+          FROM h),
+        p AS (SELECT event_type, kmv_h FROM r WHERE rn <= 64),
+        a AS (SELECT event_type, COUNT(*) AS n, MAX(kmv_h) AS hk
+              FROM p GROUP BY 1)
+        SELECT event_type,
+               CAST(CASE WHEN n < 64 THEN n
+                    ELSE (63 * CAST(1152921504606846976 AS HUGEINT))
+                         // hk END AS BIGINT) AS n_distinct_est
+        FROM a""")

@@ -1934,3 +1934,42 @@ def test_simhash_md5_variant_contracts(spark):
         D.simhash_near_pairs_md5(docs, n_blocks=7)
     with _pytest.raises(ValueError, match="bits"):
         D.simhash_near_pairs_md5(docs, bits=64)
+
+def test_kmv_sketch_contracts(spark):
+    """KMV contracts: (1) below k the estimate IS the exact distinct
+    count; (2) above k the estimate is within the standard error bound
+    (generous 5/sqrt(k-2) here); (3) merging shard partials then
+    estimating equals sketching the union; (4) k<2 is rejected."""
+    import pytest as _pytest
+
+    from olap_xtrctr_spark.operators import sketches as SK
+
+    rows = [(i % 7, f"u{i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "g int, user string")
+
+    # small-group exactness: 40 distinct < k=64
+    small = spark.createDataFrame([(1, f"v{i}") for i in range(40)],
+                                  "g int, user string")
+    est_small = SK.kmv_estimate(
+        SK.kmv_partial(small, ["g"], "user", k=64), ["g"], k=64)
+    assert est_small.collect()[0]["n_distinct_est"] == 40
+
+    # big-group error bound (each g has ~429 distinct users)
+    part = SK.kmv_partial(df, ["g"], "user", k=64)
+    est = {r["g"]: r["n_distinct_est"]
+           for r in SK.kmv_estimate(part, ["g"], k=64).collect()}
+    exact = {r["g"]: r["n"] for r in df.groupBy("g").agg(
+        F.countDistinct("user").alias("n")).collect()}
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n < 5 / (62 ** 0.5), (g, est[g], n)
+
+    # shard-merge == union sketch
+    a = SK.kmv_partial(df.filter("g < 3"), ["g"], "user", k=64)
+    b = SK.kmv_partial(df.filter("g >= 3"), ["g"], "user", k=64)
+    merged = {tuple(r) for r in
+              SK.kmv_merge(a.unionByName(b), ["g"], k=64).collect()}
+    direct = {tuple(r) for r in part.collect()}
+    assert merged == direct
+
+    with _pytest.raises(ValueError, match="k must be"):
+        SK.kmv_partial(df, ["g"], "user", k=1)
