@@ -117,6 +117,7 @@ _R8_NEW = [
     "docs_minhash_dedup_corpus_exact",   # NEW r8 (exact LSH dedup e2e)
     "docs_cms_token_freq_by_lang",       # NEW r8 (grouped CMS path)
     "events_kmv_users_by_type",          # NEW r8 (oracle-exact KMV)
+    "events_value_quantiles_sampled",    # NEW r8 (det-sample quantiles)
 ]
 _GATE_FRONT = _GATE_FRONT[:-len(_R8_NEW)] + _R8_NEW
 

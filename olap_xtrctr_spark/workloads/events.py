@@ -11,3 +11,4 @@ def register(add) -> None:
     events_batch.register(add)
     events_joins.register(add)
     events_wave4.register(add)
+    events_wave4.register_r8(add)     # round-8 additions append last

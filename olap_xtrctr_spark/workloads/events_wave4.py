@@ -386,3 +386,54 @@ def register(add) -> None:
                     F.col("q50_q90_q99")[1].alias("q90"),
                     F.col("q50_q90_q99")[2].alias("q99"))),
         None)
+
+
+def register_r8(add) -> None:
+    from pyspark.sql import Window
+
+    from ..operators.sampling import _hash_bucket, hash_bucket_sql
+    from ..session import load_events as _events
+
+    # Deterministic-sample exact quantiles (round 8): the ORACLE-EXACT
+    # complement to events_value_quantiles_approx — a 10% md5 sample of
+    # events (reproducible across engines/retries, the hash_split
+    # discipline) then percentile_disc-style rank picks (value at rank
+    # ceil(p*n), ties broken by event_id).  ceil(p*n) is the same IEEE
+    # product on both engines; everything else is integer rank
+    # comparison — no interpolation, no engine-specific sketch: the
+    # picked values are stored doubles compared bit-exact.
+    # Scale shape: the sample filter is a pushdown-able projection; one
+    # window per event_type over the 10% sample.
+    def _quant_sampled(spark, sf):
+        ev = _events(spark, sf).filter(
+            _hash_bucket(F.col("event_id"), "qsample-v1") < 1000)
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        wn = Window.partitionBy("event_type")
+        ranked = (ev.select("event_type", "value", "event_id")
+                  .withColumn("_rn", F.row_number().over(w))
+                  .withColumn("_n", F.count(F.lit(1)).over(wn)))
+        picks = [
+            F.max(F.when(F.col("_rn") == F.expr(
+                f"CAST(ceil({p} * _n) AS BIGINT)"), F.col("value")))
+            .alias(name)
+            for p, name in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99"))]
+        return ranked.groupBy("event_type").agg(*picks)
+
+    add("events_value_quantiles_sampled", _quant_sampled,
+        rf"""WITH s AS (
+          SELECT event_type, value, event_id FROM events
+          WHERE {hash_bucket_sql('event_id', 'qsample-v1')} < 1000),
+        r AS (
+          SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY value, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM s)
+        SELECT event_type,
+               MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                        THEN value END) AS q50,
+               MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                        THEN value END) AS q90,
+               MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                        THEN value END) AS q99
+        FROM r GROUP BY event_type""")
