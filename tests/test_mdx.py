@@ -653,3 +653,25 @@ def test_children_execution_equals_descendants_level(spark, sf_dir):
     a = {tuple(r) for r in via_children.collect()}
     b = {tuple(r) for r in via_level.collect()}
     assert a == b and len(a) == 5
+
+
+def test_set_functions_compose_over_descendants(spark, sf_dir):
+    """TOPCOUNT over DESCENDANTS: the outermost-first unwrapper hands
+    the inner navigation set to _parse_set, so compositions work."""
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    req = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "TOPCOUNT(DESCENDANTS([Dim Customer].[Geografía].[Region].&[2], "
+        "[Dim Customer].[Geografía].[Nation]), 2, "
+        "[Measures].[Sum Quantity]) ON ROWS FROM [sales]", "VENTAS_2025")
+    assert req.topcount is not None and req.rows[0].level == "Nation"
+    rows = eng.execute(req).collect()
+    assert len(rows) == 2
+    # the two kept nations are the top-2 of the 5 region-2 nations
+    all5 = eng.execute(parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "DESCENDANTS([Dim Customer].[Geografía].[Region].&[2], "
+        "[Dim Customer].[Geografía].[Nation]) ON ROWS FROM [sales]",
+        "VENTAS_2025")).collect()
+    top2 = sorted((r["sum_quantity"] for r in all5), reverse=True)[:2]
+    assert sorted((r["sum_quantity"] for r in rows), reverse=True) == top2
