@@ -118,6 +118,7 @@ _R8_NEW = [
     "docs_cms_token_freq_by_lang",       # NEW r8 (grouped CMS path)
     "events_kmv_users_by_type",          # NEW r8 (oracle-exact KMV)
     "events_value_quantiles_sampled",    # NEW r8 (det-sample quantiles)
+    "events_stream_kmv_users",           # NEW r8 (streaming KMV fold)
 ]
 _GATE_FRONT = _GATE_FRONT[:-len(_R8_NEW)] + _R8_NEW
 

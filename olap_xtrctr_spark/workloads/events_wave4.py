@@ -392,6 +392,7 @@ def register_r8(add) -> None:
     from pyspark.sql import Window
 
     from ..operators.sampling import _hash_bucket, hash_bucket_sql
+    from ..operators.sketches import kmv_hash_sql
     from ..session import load_events as _events
 
     # Deterministic-sample exact quantiles (round 8): the ORACLE-EXACT
@@ -437,3 +438,93 @@ def register_r8(add) -> None:
                MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
                         THEN value END) AS q99
         FROM r GROUP BY event_type""")
+
+    # STREAMING KMV fold (round 8): per-micro-batch KMV partials merged
+    # into a durable store — the sketch is order-insensitive and its
+    # merge is exact (kmv_merge == sketching the union, pytest-pinned),
+    # so the stream fold provably equals the one-shot sketch and SHARES
+    # its full oracle.  The replay harness is the span-fold pattern:
+    # three ts-ordered file batches, store checkpointed per batch with
+    # restart recovery, availableNow drain.
+    def _stream_kmv(spark, sf):
+        import os
+        import shutil
+
+        from ..operators import sketches as SK
+        ev = _events(spark, sf)
+        sig = str(os.path.getsize(f"{sf}/events.parquet"))
+        root = os.path.join("/tmp", "olap_xtrctr_kmv_stream",
+                            os.path.basename(os.path.normpath(sf)))
+        marker = os.path.join(root, "_DEMO_SRC")
+        if not (os.path.exists(marker)
+                and open(marker).read().strip() == sig):
+            shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(os.path.join(root, "src"), exist_ok=True)
+            b1, b2 = ev.agg(
+                F.expr("percentile(event_id, 0.3333)"),
+                F.expr("percentile(event_id, 0.6667)")).first()
+            conds = [F.col("event_id") <= b1,
+                     (F.col("event_id") > b1) & (F.col("event_id") <= b2),
+                     F.col("event_id") > b2]
+            for i, cond in enumerate(conds):
+                tmp = os.path.join(root, f"_tmp{i}")
+                ev.filter(cond).coalesce(1).write.mode(
+                    "overwrite").parquet(tmp)
+                part = next(f for f in os.listdir(tmp)
+                            if f.startswith("part-")
+                            and f.endswith(".parquet"))
+                dst = os.path.join(root, "src", f"batch{i}.parquet")
+                shutil.move(os.path.join(tmp, part), dst)
+                shutil.rmtree(tmp)
+                os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+            with open(marker, "w") as fh:
+                fh.write(sig)
+        out = os.path.join(root, "out")
+        state: dict = {"part": None, "last": None}
+
+        def fold(batch, batch_id: int) -> None:
+            bspark = batch.sparkSession
+            store_dir = os.path.join(out, f"store_b{batch_id}")
+            prev_dir = os.path.join(out, f"store_b{batch_id - 1}")
+            part = state["part"]
+            if part is None and batch_id > 0:    # restart recovery
+                part = bspark.read.parquet(prev_dir)
+            new = SK.kmv_partial(batch, ["event_type"], "user_id", k=64)
+            merged = new if part is None else SK.kmv_merge(
+                part.unionByName(new), ["event_type"], k=64)
+            merged.write.mode("overwrite").parquet(store_dir)
+            state["part"] = bspark.read.parquet(store_dir)
+            state["last"] = store_dir
+
+        q = (spark.readStream.schema(ev.schema)
+             .option("maxFilesPerTrigger", 1)
+             .parquet(os.path.join(root, "src"))
+             .writeStream.foreachBatch(fold)
+             .option("checkpointLocation", os.path.join(root, "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        import glob as _glob
+        last = state["last"] or sorted(
+            _glob.glob(os.path.join(out, "store_b*")))[-1]
+        return SK.kmv_estimate(spark.read.parquet(last),
+                               ["event_type"], k=64)
+
+    add("events_stream_kmv_users", _stream_kmv,
+        rf"""WITH h AS (
+          SELECT DISTINCT event_type,
+                 {kmv_hash_sql('user_id')} AS kmv_h
+          FROM events),
+        r AS (
+          SELECT event_type, kmv_h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY kmv_h) AS rn
+          FROM h),
+        p AS (SELECT event_type, kmv_h FROM r WHERE rn <= 64),
+        a AS (SELECT event_type, COUNT(*) AS n, MAX(kmv_h) AS hk
+              FROM p GROUP BY 1)
+        SELECT event_type,
+               CAST(CASE WHEN n < 64 THEN n
+                    ELSE (63 * CAST(1152921504606846976 AS HUGEINT))
+                         // hk END AS BIGINT) AS n_distinct_est
+        FROM a""")
