@@ -1,0 +1,72 @@
+"""Build the EDGE-CASE fixture: sf0.001 with adversarial documents
+appended — empty text, whitespace-only, single token, repeated single
+token, unicode/diacritics, very long token, and an all-punctuation doc.
+
+The round-7 ADVICE caught bpe_roundtrip silently diverging from its
+oracle on empty docs only because the shipped fixtures contain none;
+this fixture makes that whole latent class testable: running
+``scripts/check_correctness.py <edge_dir> docs_`` compares every
+documents-family entry against its oracle ON the adversarial rows.
+
+Usage: python scripts/make_edge_fixture.py [out_dir]   (default
+/tmp/olap_xtrctr_edge_fixture; rebuilt only when missing or stale).
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.001"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/olap_xtrctr_edge_fixture"
+
+EDGE_DOCS = [
+    # (doc_id offset, text, lang, source)
+    (1, "", "en", "src0"),                       # empty
+    (2, "   \t  ", "en", "src1"),                # whitespace-only
+    (3, "solo", "en", "src0"),                   # single token
+    (4, "dup dup dup dup dup dup dup dup", "en", "src2"),
+    (5, "café niño straße 中文 emoji",
+     "zh", "src1"),                              # unicode + diacritics
+    (6, "x" * 5000, "en", "src0"),               # one very long token
+    (7, ".,;:!? .,;:!? .,;:!?", "en", "src2"),   # punctuation only
+]
+
+
+def main() -> None:
+    from olap_xtrctr_spark import get_spark
+
+    spark = get_spark("edge-fixture")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(OUT, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        dst = f"{OUT}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copy(f"{SRC}/{t}.parquet", dst)
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    max_id = docs.agg({"doc_id": "max"}).first()[0]
+    extra = spark.createDataFrame(
+        [(max_id + off, text, lang, source,
+          len(text)) for off, text, lang, source in EDGE_DOCS],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    tmp = f"{OUT}/_docs_tmp"
+    docs.unionByName(extra).coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp)
+                if f.startswith("part-") and f.endswith(".parquet"))
+    target = f"{OUT}/documents.parquet"
+    if os.path.isdir(target) or os.path.isfile(target):
+        shutil.rmtree(target, ignore_errors=True)
+        if os.path.isfile(target):
+            os.remove(target)
+    shutil.move(os.path.join(tmp, part), target)
+    shutil.rmtree(tmp)
+    print(f"edge fixture at {OUT}: {docs.count()} + {len(EDGE_DOCS)} docs")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
