@@ -327,9 +327,15 @@ def register_r8(add) -> None:
             .filter(F.col("token") != ""))
         counters = SK.cms_counters(toks, "token", width=_W,
                                    group_cols=["lang"])
-        langs = docs.select("lang").distinct()
-        probes = langs.crossJoin(spark.createDataFrame(
-            [(t,) for t in _PROBES], "token string"))
+        # bounded metadata: collect the distinct langs ONCE instead of
+        # riding a langs subquery into each of the 4 probe-union
+        # branches (plan-audited: that shape rescanned the lang column
+        # 4x through BroadcastNestedLoopJoins)
+        langs = sorted(r["lang"]
+                       for r in docs.select("lang").distinct().collect())
+        probes = spark.createDataFrame(
+            [(lg, t) for lg in langs for t in _PROBES],
+            "lang string, token string")
         return SK.cms_estimate(counters, probes, "token", width=_W,
                                group_cols=["lang"])
 
