@@ -352,3 +352,70 @@ def duplicate_span_strip(docs: DataFrame, k: int = 8,
                  F.concat_ws(" ", F.transform(
                      F.array_sort(F.collect_list(kept)),
                      lambda s: s["_tok"])).alias("kept_text")))
+
+
+def cdc_segments(docs: DataFrame, divisor: int = 8,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """CONTENT-DEFINED segmentation (the storage-dedup CDC idea at
+    token granularity): a chunk ends at every token whose 60-bit md5
+    hash is ≡ 0 (mod ``divisor``), and at end-of-document.  Mean chunk
+    length is ``divisor`` tokens, but boundaries are a pure function
+    of CONTENT — inserting or deleting one token early in a document
+    shifts the fixed ``[i*k, (i+1)*k)`` grid of :func:`segment_dedup`
+    across the whole tail (every later segment changes), while CDC
+    boundaries re-synchronize at the next boundary token, so shared
+    text keeps producing identical chunks.  This is the gear/Rabin
+    chunking of dedup storage systems, md5-keyed so both engines
+    reproduce it bit-for-bit.
+
+    Output: (doc_id, chunk_idx, chunk_text) — same shape as the grid
+    segmenter, so the dedup window and reassembly are shared.
+
+    Scale shape: tokenization is a narrow posexplode; the chunk id is
+    a per-doc running count of boundary tokens (one doc-keyed window,
+    same exchange the grid segmenter's chunker uses); chunk assembly
+    is one groupBy (doc, chunk_idx)."""
+    if divisor < 1:
+        raise ValueError(f"divisor must be >= 1: {divisor}")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = (docs.select(id_col, F.posexplode(toks).alias("_p", "_tok"))
+         .filter(F.col("_tok") != ""))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col("_tok"), F.lit(":cdc-v1"))), 1, 15), 16, 10) \
+        .cast("bigint")
+    d = d.withColumn("_b", (h % divisor == 0).cast("long"))
+    w = (Window.partitionBy(id_col).orderBy("_p")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    d = d.withColumn("chunk_idx",
+                     F.coalesce(F.sum("_b").over(w), F.lit(0))
+                      .cast("int"))
+    return (d.groupBy(id_col, "chunk_idx")
+            .agg(F.concat_ws(" ", F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_tok"))),
+                lambda s: s["_tok"])).alias("chunk_text")))
+
+
+def cdc_segment_dedup(docs: DataFrame, divisor: int = 8,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide first-occurrence dedup over CONTENT-DEFINED chunks
+    — the shift-robust sibling of :func:`segment_dedup` (whose fixed
+    grid misses every duplicate that is offset by an insertion).  Same
+    first-occurrence window + reassembly; documents with no non-empty
+    tokens still get a zero-count row (the BPE empty-doc discipline).
+
+    Output: (doc_id, n_segments, n_kept, kept_text)."""
+    segs = cdc_segments(docs, divisor, text_col, id_col)
+    w = (Window.partitionBy("chunk_text")
+         .orderBy(F.col(id_col), F.col("chunk_idx")))
+    segs = segs.withColumn("_keep", F.row_number().over(w) == 1)
+    out = _reassemble(segs, id_col)
+    return (docs.select(id_col).join(out, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_segments", F.lit(0)).cast("bigint")
+                     .alias("n_segments"),
+                    F.coalesce("n_kept", F.lit(0)).cast("bigint")
+                     .alias("n_kept"),
+                    F.coalesce("kept_text", F.lit(""))
+                     .alias("kept_text")))

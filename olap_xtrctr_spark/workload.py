@@ -119,6 +119,7 @@ _R8_NEW = [
     "events_kmv_users_by_type",          # NEW r8 (oracle-exact KMV)
     "events_value_quantiles_sampled",    # NEW r8 (det-sample quantiles)
     "events_stream_kmv_users",           # NEW r8 (streaming KMV fold)
+    "docs_cdc_segment_dedup",            # NEW r8 (content-defined chunks)
 ]
 _GATE_FRONT = _GATE_FRONT[:-len(_R8_NEW)] + _R8_NEW
 
@@ -141,6 +142,7 @@ def build_workload() -> dict[str, QuerySpec]:
                 docs_segments, multimodal_real, curation):
         mod.register(add)
     curation.register_r8(add)     # round-8 additions append last
+    docs_segments.register_r8(add)
 
     # Order per the gate-window manifest (see _GATE_FRONT above).
     missing = [n for n in _GATE_FRONT if n not in q]

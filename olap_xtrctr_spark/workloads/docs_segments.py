@@ -380,3 +380,62 @@ def register(add) -> None:
                  AS kept_text
         FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id
         GROUP BY t.doc_id, len(t.toks)""")
+
+
+def register_r8(add) -> None:
+    from pyspark.sql import functions as F  # noqa: F401 (parity w/ siblings)
+
+    from ..operators import segments as SEG
+    from ..workload_shared import _docs
+
+    # CONTENT-DEFINED chunk dedup (round 8): boundaries at tokens whose
+    # md5-60bit % 8 == 0, so chunking re-synchronizes after insertions
+    # — the shift-robust sibling of the fixed-grid docs_segment_dedup
+    # (robustness pinned in tests/test_segments.py).  Fully md5-keyed,
+    # hence a full oracle; empty docs keep their zero-count row.
+    add("docs_cdc_segment_dedup",
+        lambda spark, sf: SEG.cdc_segment_dedup(_docs(spark, sf),
+                                                divisor=8),
+        r"""WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        tok AS (
+          SELECT doc_id, i - 1 AS p, toks[i] AS tok
+          FROM t, LATERAL unnest(generate_series(1, len(toks))) AS u(i)
+          WHERE toks[i] != ''),
+        b AS (
+          SELECT doc_id, p, tok,
+                 CASE WHEN TRY_CAST(concat('0x',
+                        substr(md5(concat(tok, ':cdc-v1')), 1, 15))
+                        AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END AS bnd
+          FROM tok),
+        c AS (
+          SELECT doc_id, p, tok,
+                 CAST(COALESCE(SUM(bnd) OVER (
+                     PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS INTEGER) AS chunk_idx
+          FROM b),
+        seg AS (
+          SELECT doc_id, chunk_idx,
+                 string_agg(tok, ' ' ORDER BY p) AS chunk_text
+          FROM c GROUP BY 1, 2),
+        r AS (
+          SELECT doc_id, chunk_idx, chunk_text,
+                 row_number() OVER (PARTITION BY chunk_text
+                                    ORDER BY doc_id, chunk_idx) AS rn
+          FROM seg),
+        agg AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_segments,
+                 CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT)
+                   AS n_kept,
+                 COALESCE(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                            FILTER (WHERE rn = 1), '') AS kept_text
+          FROM r GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(a.n_segments, 0) AS n_segments,
+               COALESCE(a.n_kept, 0) AS n_kept,
+               COALESCE(a.kept_text, '') AS kept_text
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""")

@@ -242,3 +242,49 @@ def test_duplicate_spans_bucketed_store_parity_and_pruning(spark, tmp_path):
         spark, b2, store, k=2, n_buckets=8)
     assert spark.read.parquet(store).count() == len(want)
     # and every window of the re-ingested batch is now a duplicate
+
+
+def test_cdc_dedup_is_shift_robust_where_grid_is_not(spark):
+    """The CDC claim, demonstrated: doc 1 is doc 0 with ONE token
+    prepended.  The fixed 8-token grid shifts every segment, so
+    grid dedup keeps (almost) everything in doc 1; CDC boundaries
+    re-synchronize at the next boundary token, so CDC removes most of
+    doc 1's chunks as duplicates of doc 0's."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+            "psi omega one two three four five six seven eight nine "
+            "ten eleven twelve thirteen fourteen fifteen sixteen")
+    docs = spark.createDataFrame(
+        [(0, base), (1, "INSERTED " + base)],
+        "doc_id long, text string")
+
+    grid = {r["doc_id"]: r for r in
+            SEG.segment_dedup(docs, seg_tokens=8).collect()}
+    cdc = {r["doc_id"]: r for r in
+           SEG.cdc_segment_dedup(docs, divisor=4).collect()}
+
+    # grid: the one-token shift changes every 8-token window of doc 1,
+    # so nothing (or near nothing) is removed
+    assert grid[1]["n_kept"] >= grid[1]["n_segments"] - 1
+    # cdc: boundaries re-sync, so a majority of doc 1's chunks are
+    # recognized as duplicates and removed
+    assert cdc[1]["n_kept"] <= cdc[1]["n_segments"] // 2, cdc[1]
+    # doc 0 (first occurrence) keeps everything under both schemes
+    assert grid[0]["n_kept"] == grid[0]["n_segments"]
+    assert cdc[0]["n_kept"] == cdc[0]["n_segments"]
+
+
+def test_cdc_segments_empty_docs_and_validation(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "   ")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           SEG.cdc_segment_dedup(docs, divisor=4).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["n_segments"] == 0 and out[2]["kept_text"] == ""
+    assert out[3]["n_kept"] == 0
+    assert out[1]["kept_text"] == "hello world"
+    with _pytest.raises(ValueError, match="divisor"):
+        SEG.cdc_segments(docs, divisor=0)
