@@ -196,3 +196,62 @@ def kmv_estimate(partials: DataFrame, group_cols: list[str],
         F.expr(f"CAST(({k - 1} * CAST({KMV_SPACE} AS DECIMAL(38,0))) "
                f"DIV _hk AS BIGINT)"))
     return agg.select(*group_cols, est.alias("n_distinct_est"))
+
+
+def kmv_overlap(partials: DataFrame, group_col: str,
+                k: int = 64) -> DataFrame:
+    """Set-operation cardinalities from KMV state alone (the theta-sketch
+    union/intersection estimator, Beyer et al. 2007): for every
+    unordered group pair (g_a < g_b) estimate ``union_est`` and
+    ``inter_est`` of the two groups' underlying value sets — WITHOUT
+    touching the raw data again.  This is the 100 TB point of keeping
+    sketch state: per-group state is <= k rows, so G groups' pairwise
+    overlap matrix costs O(G^2 * k) sketch rows total, vs a raw-data
+    self-join that reshuffles the corpus per pair.
+
+    Estimator: pool both groups' hashes, keep the k smallest of the
+    union (threshold tau = k-th smallest, INCLUDED — the convention is
+    pinned here and mirrored by the oracle); below tau, membership in a
+    group's sketch <=> membership in its set, so
+    ``rho = |{h <= tau : h in K_a and h in K_b}|`` and
+    ``inter_est = rho/k * union_est``, evaluated as the overflow-free
+    integer decomposition ``(u DIV k)*rho + ((u % k)*rho) DIV k``.
+    When the pooled union holds fewer than k distinct hashes both
+    sketches are complete sets and BOTH estimates are exact counts.
+    All arithmetic is integer on md5-derived hashes — any SQL engine
+    reproduces it bit-for-bit."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    pa = partials.select(F.col(group_col).alias("g_a"), "kmv_h")
+    pb = partials.select(F.col(group_col).alias("g_b"), "kmv_h")
+    pairs = (pa.select("g_a").distinct()
+             .join(pb.select("g_b").distinct(),
+                   F.col("g_a") < F.col("g_b")))
+    ha = (pairs.join(pa, "g_a")
+          .select("g_a", "g_b", "kmv_h",
+                  F.lit(1).alias("in_a"), F.lit(0).alias("in_b")))
+    hb = (pairs.join(pb, "g_b")
+          .select("g_a", "g_b", "kmv_h",
+                  F.lit(0).alias("in_a"), F.lit(1).alias("in_b")))
+    pooled = (ha.unionByName(hb)
+              .groupBy("g_a", "g_b", "kmv_h")
+              .agg(F.max("in_a").alias("in_a"),
+                   F.max("in_b").alias("in_b")))
+    w = Window.partitionBy("g_a", "g_b").orderBy("kmv_h")
+    sk = (pooled.withColumn("_rn", F.row_number().over(w))
+          .filter(F.col("_rn") <= k))
+    agg = (sk.groupBy("g_a", "g_b")
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.max("kmv_h").alias("_hk"),
+                F.sum((F.col("in_a") * F.col("in_b")).cast("bigint"))
+                 .alias("_rho")))
+    union_est = F.when(
+        F.col("_n") < k, F.col("_n").cast("bigint")).otherwise(
+        F.expr(f"CAST(({k - 1} * CAST({KMV_SPACE} AS DECIMAL(38,0))) "
+               f"DIV _hk AS BIGINT)"))
+    agg = agg.withColumn("union_est", union_est)
+    inter_est = F.when(F.col("_n") < k, F.col("_rho")).otherwise(
+        (F.expr(f"union_est DIV {k}") * F.col("_rho"))
+        + F.expr(f"((union_est % {k}) * _rho) DIV {k}"))
+    return agg.select("g_a", "g_b", "union_est",
+                      inter_est.cast("bigint").alias("inter_est"))

@@ -401,3 +401,62 @@ def register_r8(add) -> None:
                     ELSE (63 * CAST(1152921504606846976 AS HUGEINT))
                          // hk END AS BIGINT) AS n_distinct_est
         FROM a""")
+
+    # KMV set-operation estimates (round 8, wave 3): pairwise audience
+    # overlap between event types computed from SKETCH STATE ONLY —
+    # union/intersection cardinality per unordered type pair via the
+    # theta-sketch estimator (operators/sketches.kmv_overlap).  The
+    # raw data is touched exactly once (the kmv_partial distinct pass);
+    # the G^2 pair matrix then costs O(G^2 * k) sketch rows.  Fully
+    # integer arithmetic on md5 hashes => the oracle reproduces every
+    # estimate bit-for-bit.
+    def _kmv_overlap(spark, sf):
+        from ..operators import sketches as SK
+        ev = _load(spark, sf, "events")
+        part = SK.kmv_partial(ev, ["event_type"], "user_id", k=64)
+        return SK.kmv_overlap(part, "event_type", k=64)
+
+    add("events_kmv_type_overlap", _kmv_overlap,
+        rf"""WITH h AS (
+          SELECT DISTINCT event_type,
+                 {kmv_hash_sql('user_id')} AS kmv_h
+          FROM events),
+        r AS (
+          SELECT event_type, kmv_h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY kmv_h) AS rn
+          FROM h),
+        p AS (SELECT event_type, kmv_h FROM r WHERE rn <= 64),
+        g AS (SELECT DISTINCT event_type FROM p),
+        prs AS (SELECT a.event_type AS g_a, b.event_type AS g_b
+                FROM g a, g b WHERE a.event_type < b.event_type),
+        pooled AS (
+          SELECT g_a, g_b, kmv_h,
+                 MAX(in_a) AS in_a, MAX(in_b) AS in_b
+          FROM (
+            SELECT prs.g_a, prs.g_b, p.kmv_h, 1 AS in_a, 0 AS in_b
+            FROM prs JOIN p ON p.event_type = prs.g_a
+            UNION ALL
+            SELECT prs.g_a, prs.g_b, p.kmv_h, 0 AS in_a, 1 AS in_b
+            FROM prs JOIN p ON p.event_type = prs.g_b)
+          GROUP BY 1, 2, 3),
+        sk AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY g_a, g_b
+                                       ORDER BY kmv_h) AS rn
+          FROM pooled),
+        a AS (
+          SELECT g_a, g_b, COUNT(*) AS n, MAX(kmv_h) AS hk,
+                 SUM(in_a * in_b) AS rho
+          FROM sk WHERE rn <= 64 GROUP BY 1, 2),
+        u AS (
+          SELECT g_a, g_b, n, rho,
+                 CAST(CASE WHEN n < 64 THEN n
+                      ELSE (63 * CAST(1152921504606846976 AS HUGEINT))
+                           // hk END AS BIGINT) AS union_est
+          FROM a)
+        SELECT g_a, g_b, union_est,
+               CAST(CASE WHEN n < 64 THEN rho
+                    ELSE (union_est // 64) * rho
+                         + ((union_est % 64) * rho) // 64
+                    END AS BIGINT) AS inter_est
+        FROM u""")

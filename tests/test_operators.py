@@ -1973,3 +1973,40 @@ def test_kmv_sketch_contracts(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         SK.kmv_partial(df, ["g"], "user", k=1)
+
+
+def test_kmv_overlap_contracts(spark):
+    """kmv_overlap contracts: (1) when the pooled union fits under k
+    both estimates are EXACT set cardinalities; (2) at scale the
+    union/intersection estimates land within the standard error bound;
+    (3) disjoint sets report inter_est == 0; (4) pairs are unordered
+    (g_a < g_b, each pair once); (5) k<2 rejected."""
+    import pytest as _pytest
+
+    from olap_xtrctr_spark.operators import sketches as SK
+
+    # exact regime: |A|=30, |B|=25, |A∩B|=15 — union 40 < k=64
+    rows = ([("a", f"u{i}") for i in range(30)]
+            + [("b", f"u{i}") for i in range(15, 40)]
+            + [("c", f"w{i}") for i in range(10)])
+    df = spark.createDataFrame(rows, "g string, user string")
+    part = SK.kmv_partial(df, ["g"], "user", k=64)
+    out = {(r["g_a"], r["g_b"]): (r["union_est"], r["inter_est"])
+           for r in SK.kmv_overlap(part, "g", k=64).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "b")] == (40, 15)
+    assert out[("a", "c")] == (40, 0)        # disjoint: exact zeros
+    assert out[("b", "c")] == (35, 0)
+
+    # estimate regime: two 2000-element sets sharing 1000
+    big = ([("x", f"u{i}") for i in range(2000)]
+           + [("y", f"u{i}") for i in range(1000, 3000)])
+    bpart = SK.kmv_partial(
+        spark.createDataFrame(big, "g string, user string"),
+        ["g"], "user", k=64)
+    r = SK.kmv_overlap(bpart, "g", k=64).collect()[0]
+    assert abs(r["union_est"] - 3000) / 3000 < 5 / (62 ** 0.5)
+    assert abs(r["inter_est"] - 1000) / 1000 < 10 / (62 ** 0.5)
+
+    with _pytest.raises(ValueError, match="k must be"):
+        SK.kmv_overlap(part, "g", k=1)
