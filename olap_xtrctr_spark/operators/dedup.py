@@ -1316,3 +1316,31 @@ def simhash_near_pairs_md5(docs: DataFrame, text_col: str = "text",
              .filter(F.col("hamming") <= max_hamming)
              .dropDuplicates(["id_a", "id_b"]))
     return pairs.select("id_a", "id_b", "hamming")
+
+
+def dedup_weights(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", source_col: str = "source",
+                  cap: int = 4) -> DataFrame:
+    """Soft dedup with repeat weights (the data-constrained-scaling
+    discipline: drop the copies but KEEP the duplication evidence as a
+    per-survivor training weight).  One row per distinct text:
+    canonical keeper id, raw multiplicity (``weight``), the capped
+    epoch-repeat weight (``weight_capped`` — repeating data beyond ~4
+    epochs stops helping, so the cap is the usable training weight),
+    and the distinct-source spread (cross-source duplication is a
+    quality PRIOR — independently collected copies signal value, same-
+    source copies signal crawler artifacts).
+
+    Scale shape: a single groupBy on the md5 text hash — the shuffle
+    carries the 32-char digest, never the document body, and the
+    aggregate is map-side combinable.  No pair generation."""
+    key = F.md5(F.encode(F.col(text_col), "UTF-8"))
+    return (docs.select(F.col(id_col), key.alias("text_hash"),
+                        F.col(source_col))
+            .groupBy("text_hash")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).cast("bigint").alias("weight"),
+                 F.least(F.count(F.lit(1)), F.lit(cap))
+                  .cast("bigint").alias("weight_capped"),
+                 F.countDistinct(source_col).cast("bigint")
+                  .alias("n_sources")))

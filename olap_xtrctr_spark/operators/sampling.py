@@ -508,3 +508,36 @@ def kanon_release(df: DataFrame, parent_col: str, child_col: str,
                            F.col("sum_value")).alias("sum_value"))
     keep.append(F.col("suppressed"))
     return out.select(*keep)
+
+
+def cluster_split(docs: DataFrame, weights: dict[str, float],
+                  cluster_col: str, id_col: str = "doc_id",
+                  salt: str = "split-v1") -> DataFrame:
+    """Leakage-free train/val/test split: the split decision hashes the
+    CLUSTER key (e.g. the canonical member id of a duplicate group)
+    instead of the row id, so every member of a cluster lands in the
+    same split — duplicates and near-duplicates can never straddle
+    train/eval (the contamination mode docs_contamination_check /
+    emb_cross_split_leakage audit for; this operator prevents it by
+    construction).
+
+    Same bucket arithmetic as :func:`hash_split` (md5(cluster:salt)
+    permille buckets), so the assignment is a pure projection once the
+    cluster key is on the row; reproducible by any engine."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"weights sum to {total} > 1")
+    bucket = _hash_bucket(F.col(cluster_col), salt)
+    expr = None
+    lo = 0
+    names = list(weights)
+    for name in names[:-1]:
+        lo += int(round(weights[name] * _BUCKETS))
+        cond = bucket < lo
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", expr)

@@ -460,3 +460,49 @@ def register_r8(add) -> None:
                          + ((union_est % 64) * rho) // 64
                     END AS BIGINT) AS inter_est
         FROM u""")
+
+    # Soft dedup with repeat weights (round 8, wave 3): drop exact
+    # copies but keep the duplication evidence as per-survivor training
+    # weights — raw multiplicity, the capped epoch-repeat weight (the
+    # data-constrained-scaling signal: repeats beyond ~4 epochs stop
+    # helping), and the distinct-source spread (cross-source copies are
+    # a quality prior, same-source copies a crawler artifact).  One
+    # md5-keyed groupBy; the shuffle never carries document bodies.
+    add("docs_dedup_weighted_keep",
+        lambda spark, sf: D.dedup_weights(_docs(spark, sf)),
+        """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS weight,
+               CAST(LEAST(COUNT(*), 4) AS BIGINT) AS weight_capped,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM documents GROUP BY md5(text)""")
+
+    # Leakage-free split (round 8, wave 3): the split decision hashes
+    # the duplicate group's CANONICAL id, so exact copies can never
+    # straddle train/eval — the contamination mode the audit entries
+    # (docs_contamination_check, emb_cross_split_leakage) detect is
+    # prevented by construction.  One text-hash shuffle to pin the
+    # canonical id; the split itself is a projection.
+    def _cluster_split(spark, sf):
+        from pyspark.sql import Window
+        docs = _docs(spark, sf)
+        key = F.md5(F.encode(F.col("text"), "UTF-8"))
+        w = Window.partitionBy("text_hash")
+        canon = (docs.select("doc_id", key.alias("text_hash"))
+                 .withColumn("canon", F.min("doc_id").over(w)))
+        return (SM.cluster_split(
+                    canon, {"train": 0.8, "val": 0.1, "test": 0.1},
+                    "canon")
+                .select("doc_id", "split"))
+
+    _CB = SM.hash_bucket_sql("canon", "split-v1")
+    add("docs_cluster_split",
+        lambda spark, sf: _cluster_split(spark, sf),
+        f"""WITH c AS (
+          SELECT doc_id,
+                 MIN(doc_id) OVER (PARTITION BY text) AS canon
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN {_CB} < 8000 THEN 'train'
+                    WHEN {_CB} < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM c""")

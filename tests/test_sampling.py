@@ -377,3 +377,45 @@ def test_kanon_release_primary_and_complementary_rules(spark):
         hidden = sum(1 for (pp, _), r in out.items()
                      if pp == p and r["suppressed"])
         assert hidden in (0, 2)
+
+
+def test_cluster_split_no_straddle(spark):
+    """cluster_split contracts: (1) members of a cluster always share a
+    split; (2) the assignment matches hash_split applied to the cluster
+    key; (3) empty / over-1 weights rejected."""
+    import pytest as _pytest
+
+    from olap_xtrctr_spark.operators import sampling as SM
+
+    rows = [(i, f"c{i % 50}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id int, canon string")
+    out = SM.cluster_split(df, {"train": 0.8, "val": 0.1, "test": 0.1},
+                           "canon")
+    per_cluster = (out.groupBy("canon")
+                   .agg(F.countDistinct("split").alias("n")).collect())
+    assert all(r["n"] == 1 for r in per_cluster)
+    # equals hash_split on the cluster key itself
+    ref = {r["canon"]: r["split"] for r in SM.hash_split(
+        df.select("canon").distinct(),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        id_col="canon").collect()}
+    assert all(r["split"] == ref[r["canon"]] for r in out.collect())
+    with _pytest.raises(ValueError, match="non-empty"):
+        SM.cluster_split(df, {}, "canon")
+    with _pytest.raises(ValueError, match="> 1"):
+        SM.cluster_split(df, {"a": 0.9, "b": 0.3}, "canon")
+
+
+def test_dedup_weights(spark):
+    """dedup_weights: multiplicity, capped weight, and distinct-source
+    spread per surviving text, keyed by md5 digest."""
+    from olap_xtrctr_spark.operators import dedup as D
+
+    rows = ([(i, "same text", f"s{i % 2}") for i in range(6)]
+            + [(10, "unique", "s0")])
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    out = {r["keep_id"]: r for r in D.dedup_weights(df).collect()}
+    assert out[0]["weight"] == 6 and out[0]["weight_capped"] == 4
+    assert out[0]["n_sources"] == 2
+    assert out[10]["weight"] == 1 and out[10]["weight_capped"] == 1
+    assert out[10]["n_sources"] == 1
