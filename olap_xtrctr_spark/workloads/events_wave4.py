@@ -528,3 +528,112 @@ def register_r8(add) -> None:
                     ELSE (63 * CAST(1152921504606846976 AS HUGEINT))
                          // hk END AS BIGINT) AS n_distinct_est
         FROM a""")
+
+    # STREAMING CMS fold (round 8, wave 3): heavy-hitter detection over
+    # an unbounded stream with BOUNDED state — per-micro-batch CMS
+    # counters summed into a durable 4x256-cell store (counter addition
+    # is the CMS merge, exact and order/batch-insensitive, so the
+    # folded counters provably equal the one-shot batch sketch and the
+    # entry SHARES the batch CMS's full oracle).  Candidates come from
+    # a deterministic 20% hash sample of users (candidate tracking is
+    # the part a pure CMS cannot do; the hash-sample discipline keeps
+    # it engine-reproducible), each scored by the sketch and flagged
+    # heavy at >= 80 events.  Same replay harness as the KMV fold:
+    # three ts-ordered file batches, per-batch store with restart
+    # recovery, availableNow drain.
+    def _stream_cms_heavy(spark, sf):
+        import os
+        import shutil
+
+        from ..operators import sketches as SK
+        ev = _events(spark, sf)
+        sig = str(os.path.getsize(f"{sf}/events.parquet"))
+        root = os.path.join("/tmp", "olap_xtrctr_cms_stream",
+                            os.path.basename(os.path.normpath(sf)))
+        marker = os.path.join(root, "_DEMO_SRC")
+        if not (os.path.exists(marker)
+                and open(marker).read().strip() == sig):
+            shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(os.path.join(root, "src"), exist_ok=True)
+            b1, b2 = ev.agg(
+                F.expr("percentile(event_id, 0.3333)"),
+                F.expr("percentile(event_id, 0.6667)")).first()
+            conds = [F.col("event_id") <= b1,
+                     (F.col("event_id") > b1) & (F.col("event_id") <= b2),
+                     F.col("event_id") > b2]
+            for i, cond in enumerate(conds):
+                tmp = os.path.join(root, f"_tmp{i}")
+                ev.filter(cond).coalesce(1).write.mode(
+                    "overwrite").parquet(tmp)
+                part = next(f for f in os.listdir(tmp)
+                            if f.startswith("part-")
+                            and f.endswith(".parquet"))
+                dst = os.path.join(root, "src", f"batch{i}.parquet")
+                shutil.move(os.path.join(tmp, part), dst)
+                shutil.rmtree(tmp)
+                os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+            with open(marker, "w") as fh:
+                fh.write(sig)
+        out = os.path.join(root, "out")
+        state: dict = {"cnt": None, "last": None}
+
+        def fold(batch, batch_id: int) -> None:
+            bspark = batch.sparkSession
+            store_dir = os.path.join(out, f"store_b{batch_id}")
+            prev_dir = os.path.join(out, f"store_b{batch_id - 1}")
+            cnt = state["cnt"]
+            if cnt is None and batch_id > 0:     # restart recovery
+                cnt = bspark.read.parquet(prev_dir)
+            new = SK.cms_counters(batch, "user_id", width=256)
+            merged = new if cnt is None else (
+                cnt.unionByName(new).groupBy("depth", "slot")
+                .agg(F.sum("counter").cast("bigint").alias("counter")))
+            merged.write.mode("overwrite").parquet(store_dir)
+            state["cnt"] = bspark.read.parquet(store_dir)
+            state["last"] = store_dir
+
+        q = (spark.readStream.schema(ev.schema)
+             .option("maxFilesPerTrigger", 1)
+             .parquet(os.path.join(root, "src"))
+             .writeStream.foreachBatch(fold)
+             .option("checkpointLocation", os.path.join(root, "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        import glob as _glob
+        last = state["last"] or sorted(
+            _glob.glob(os.path.join(out, "store_b*")))[-1]
+        counters = spark.read.parquet(last)
+        probes = (ev.select("user_id").distinct()
+                  .filter(_hash_bucket(F.col("user_id"),
+                                       "cms-cand-v1") < 2000))
+        est = SK.cms_estimate(counters, probes, "user_id", width=256)
+        return est.select("user_id", "freq_est",
+                          (F.col("freq_est") >= 80).alias("is_heavy"))
+
+    from ..operators.sketches import CMS_SALTS, cms_slot_sql
+    _cnt_union = "\n          UNION ALL ".join(
+        f"SELECT {d} AS depth, "
+        f"{cms_slot_sql('user_id', salt, 256)} AS slot,"
+        f" CAST(COUNT(*) AS BIGINT) AS counter FROM events GROUP BY 1, 2"
+        for d, salt in enumerate(CMS_SALTS))
+    _probe_union = "\n          UNION ALL ".join(
+        f"SELECT user_id, {d} AS depth,"
+        f" {cms_slot_sql('user_id', salt, 256)} AS slot FROM probes"
+        for d, salt in enumerate(CMS_SALTS))
+
+    add("events_stream_cms_heavy_users", _stream_cms_heavy,
+        rf"""WITH probes AS (
+          SELECT DISTINCT user_id FROM events
+          WHERE {hash_bucket_sql('user_id', 'cms-cand-v1')} < 2000),
+        cnt AS ({_cnt_union}),
+        ps AS ({_probe_union}),
+        est AS (
+          SELECT ps.user_id,
+                 CAST(MIN(COALESCE(cnt.counter, 0)) AS BIGINT)
+                   AS freq_est
+          FROM ps LEFT JOIN cnt
+            ON cnt.depth = ps.depth AND cnt.slot = ps.slot
+          GROUP BY ps.user_id)
+        SELECT user_id, freq_est, (freq_est >= 80) AS is_heavy
+        FROM est""")
