@@ -120,6 +120,11 @@ _R8_NEW = [
     "events_value_quantiles_sampled",    # NEW r8 (det-sample quantiles)
     "events_stream_kmv_users",           # NEW r8 (streaming KMV fold)
     "docs_cdc_segment_dedup",            # NEW r8 (content-defined chunks)
+    "cube_children_of_region",           # never graded (full-oracle nav)
+    "events_kmv_type_overlap",           # NEW r8 (KMV set-op estimates)
+    "docs_dedup_weighted_keep",          # NEW r8 (repeat-weight soft dedup)
+    "docs_cluster_split",                # NEW r8 (leakage-free split)
+    "events_stream_cms_heavy_users",     # NEW r8 (streaming CMS fold)
 ]
 _GATE_FRONT = _GATE_FRONT[:-len(_R8_NEW)] + _R8_NEW
 
