@@ -25,6 +25,14 @@ backend/actions_runner.py:220-249, frontend/src/utils/mdxBuilder.ts:4-40):
            | [Dim].[Hier].Levels(n).MEMBERS
            | [Dim].[Hier].MEMBERS
 
+    WITH MEMBER [Measures].[name] AS <arith over [Measures].[X] refs>
+      — extension; the arithmetic subset also accepts the SSAS
+      period-over-period tuple
+      ([Measures].[X], [Dim].[Hier][.CurrentMember].PrevMember)
+      (query.LagRef: one lag() window over the axis rows, ordered by
+      the named hierarchy's level ordinals, partitioned by the other
+      row hierarchies)
+
 DMV dialect:
 
     SELECT [c1],[c2] | * FROM $system.<ROWSET>

@@ -34,6 +34,7 @@ from functools import reduce
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as SqlWindow
 from pyspark.sql import functions as F
 
 from . import naming
@@ -135,8 +136,34 @@ class HeadTailSpec:
 # ---------------------------------------------------------------------------
 
 _EXPR_TOKEN = re.compile(
-    r"\s*(\[Measures\]\s*\.\s*\[[^\]]+\]|\d+\.\d+|\d+|>=|<=|<>|[-+*/()><=])")
+    r"\s*(\[Measures\]\s*\.\s*\[[^\]]+\]"
+    r"|\[[^\]]+\]\s*\.\s*\[[^\]]+\](?:\s*\.\s*(?i:CURRENTMEMBER))?"
+    r"\s*\.\s*(?i:PREVMEMBER)"
+    r"|\d+\.\d+|\d+|>=|<=|<>|[-+*/(),><=])")
 _MEASURE_REF = re.compile(r"\[Measures\]\s*\.\s*\[([^\]]+)\]")
+_PREV_REF = re.compile(
+    r"\[([^\]]+)\]\s*\.\s*\[([^\]]+)\](?:\s*\.\s*CURRENTMEMBER)?"
+    r"\s*\.\s*PREVMEMBER", re.IGNORECASE)
+
+
+@dataclass(eq=False)
+class LagRef:
+    """A ``([Measures].[X], [Dim].[Hier].PrevMember)`` tuple inside a
+    calculated-measure expression — SSAS time intelligence (the
+    PARALLELPERIOD / period-over-period pattern): the referenced
+    expression evaluated at the PREVIOUS member of the named row-axis
+    hierarchy.  The engine realizes it as one ``lag()`` window over the
+    materialized axis rows — partitioned by every OTHER row hierarchy,
+    ordered by the named hierarchy's level columns — so the cost is
+    bounded by axis cardinality, never fact rows.  The first member of
+    each partition reports NULL (no previous period), matching SSAS's
+    empty cell.  Note the lag runs over the rows the axis actually
+    materialized (post NON-EMPTY): a period with no fact rows is
+    skipped, exactly as the SQL ``LAG() OVER (ORDER BY period)`` on an
+    aggregated table skips it."""
+    dimension: str
+    hierarchy: str
+    col: Column
 
 
 class MeasureExprError(QueryValidationError):
@@ -183,7 +210,26 @@ def parse_measure_expr(expr: str):
         if t == "(":
             take()
             f = cmp_()
-            if take() != ")":
+            nxt = take()
+            if nxt == ",":
+                # tuple form: (expr, [Dim].[Hier].PrevMember)
+                pm = take()
+                mm = _PREV_REF.fullmatch(pm or "")
+                if not mm:
+                    raise MeasureExprError(
+                        f"tuple second element must be "
+                        f"[Dim].[Hier].PrevMember, got {pm!r} in {expr!r}")
+                if take() != ")":
+                    raise MeasureExprError(f"unbalanced parens in {expr!r}")
+                dim, hier = mm.group(1).strip(), mm.group(2).strip()
+                # non-string ref marker: consumers that resolve measure
+                # NAMES must skip it; the engine uses it to know which
+                # axis orders the lag window (and to group by that
+                # axis's ordinal columns for chronological order)
+                refs.append(("__prevmember__", dim, hier))
+                return (lambda inner, d=dim, h=hier:
+                        lambda r: r(LagRef(d, h, inner(r))))(f)
+            if nxt != ")":
                 raise MeasureExprError(f"unbalanced parens in {expr!r}")
             return f
         if t is None:
@@ -473,6 +519,8 @@ class CubeQueryEngine:
             c = calc_by_name[name]
             builder, refs = parse_measure_expr(c.expr)
             for r in refs:
+                if not isinstance(r, str):
+                    continue        # PrevMember hierarchy marker
                 if r in calc_by_name:
                     raise QueryValidationError(
                         f"calculated measure {name!r} references "
@@ -494,6 +542,8 @@ class CubeQueryEngine:
         for cond in extra_exprs:
             _, refs = parse_measure_expr(cond)
             for r in refs:
+                if not isinstance(r, str):
+                    continue        # PrevMember hierarchy marker
                 if r in calc_by_name:
                     # a clause references a declared calc that is not on
                     # the columns axis: materialize it anyway (projected
@@ -508,7 +558,8 @@ class CubeQueryEngine:
             if c.name not in materialized:
                 builder, refs = parse_measure_expr(c.expr)
                 for r in refs:
-                    need_base(r)
+                    if isinstance(r, str):
+                        need_base(r)
         bases = [cube.measure(n) for n in base_names]
         return bases, out_aliases, calc_plan
 
@@ -681,12 +732,44 @@ class CubeQueryEngine:
             joined = joined.filter(self._paths_predicate(joined, vpaths))
 
         # ---- group / aggregate --------------------------------------------
+        # PrevMember lag windows order by the axis's ORDINAL columns
+        # when the level declares one (SSAS member order is key/ordinal
+        # order, not caption order — months must lag chronologically,
+        # not alphabetically), so those ordinals ride the groupBy under
+        # reserved aliases and are projected away after the calc step.
+        # Caption<->ordinal is 1:1 within a well-formed level, so the
+        # extra keys never change group cardinality.
+        prev_hiers: set[tuple[str, str]] = set()
+        for c in req.calculated:
+            try:
+                _, prefs = parse_measure_expr(c.expr)
+            except MeasureExprError:
+                prefs = []
+            for r in prefs:
+                if not isinstance(r, str):
+                    prev_hiers.add((r[1].upper(), r[2].upper()))
+
+        def _is_lag_axis(ax) -> bool:
+            for d, h in prev_hiers:
+                if h == ax.hierarchy.name.upper() and (
+                        d == ax.dimension.name.upper()
+                        or all(d != a.dimension.name.upper()
+                               for a in axes)):
+                    return True
+            return False
+
         group_cols: list[Column] = []
         group_names: list[str] = []
+        ordinal_names: dict[str, str] = {}   # out_name -> ordinal alias
         for ax in axes:
+            lag_axis = prev_hiers and _is_lag_axis(ax)
             for lv in ax.ancestors + [ax.level]:
                 group_cols.append(F.col(lv.caption_col).alias(lv.out_name))
                 group_names.append(lv.out_name)
+                if lag_axis and lv.ordinal_col:
+                    alias = f"_ord_{lv.out_name}"
+                    group_cols.append(F.col(lv.ordinal_col).alias(alias))
+                    ordinal_names[lv.out_name] = alias
 
         if variables:
             # Q17: variables take the COLUMNS role → pivot on the leaf
@@ -727,14 +810,44 @@ class CubeQueryEngine:
         # All post-aggregation: they see one column per base measure and
         # never touch fact rows, so their cost is bounded by axis
         # cardinality (the same rows the guard above already estimated).
-        def resolve(name: str):
+        # per-axis output columns, for PrevMember lag windows: the named
+        # hierarchy orders the window, every other row hierarchy
+        # partitions it (period-over-period within each crossjoined
+        # group)
+        axis_order = {
+            (ax.dimension.name.upper(), ax.hierarchy.name.upper()):
+            [lv.out_name for lv in ax.ancestors + [ax.level]]
+            for ax in axes}
+
+        def resolve(name):
+            if isinstance(name, LagRef):
+                order = axis_order.get(
+                    (name.dimension.upper(), name.hierarchy.upper()))
+                if order is None:
+                    # lenient fallback: a uniquely-named hierarchy
+                    # resolves without its dimension qualifier matching
+                    # the post-rewrite name
+                    hits = [v for (d, h), v in axis_order.items()
+                            if h == name.hierarchy.upper()]
+                    if len(hits) != 1:
+                        raise QueryValidationError(
+                            f"PrevMember hierarchy [{name.dimension}]."
+                            f"[{name.hierarchy}] is not on ROWS")
+                    order = hits[0]
+                others = [g for g in group_names if g not in order]
+                w = SqlWindow.partitionBy(
+                    *[F.col(g) for g in others]).orderBy(
+                    *[F.col(ordinal_names.get(g, g)) for g in order])
+                return F.lag(name.col).over(w)
             m = cube.measure(name)
             return F.col(m.out_name or m.name)
 
         for c, builder in calc_plan:
             out = out.withColumn(c.alias, builder(resolve))
 
-        def resolve_out(name: str):
+        def resolve_out(name):
+            if isinstance(name, LagRef):
+                return resolve(name)
             calc = {c.name: c for c in req.calculated}.get(name)
             if calc is not None:
                 return F.col(calc.alias)

@@ -125,6 +125,8 @@ _R8_NEW = [
     "docs_dedup_weighted_keep",          # NEW r8 (repeat-weight soft dedup)
     "docs_cluster_split",                # NEW r8 (leakage-free split)
     "events_stream_cms_heavy_users",     # NEW r8 (streaming CMS fold)
+    "cube_month_delta",                  # NEW r8 (PrevMember time intel)
+    "cube_region_yoy_delta",             # NEW r8 (partitioned PrevMember)
 ]
 _GATE_FRONT = _GATE_FRONT[:-len(_R8_NEW)] + _R8_NEW
 

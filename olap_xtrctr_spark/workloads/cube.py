@@ -379,3 +379,57 @@ def register_r7(add) -> None:
         FROM {_FACT_OW}
         WHERE cust_region_key = 0
         GROUP BY 1""")
+
+    # PrevMember time intelligence (round 8, wave 3): the SSAS
+    # period-over-period pattern — WITH MEMBER ... AS [Measures].[X] -
+    # ([Measures].[X], <hier>.PrevMember) — realized as one lag()
+    # window over the materialized axis rows, ordered by the level's
+    # ORDINAL (months lag chronologically, not alphabetically; see
+    # query.LagRef).  Cost is bounded by axis cardinality, never fact
+    # rows.  First period reports NULL (SSAS's empty cell).
+    add("cube_month_delta",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "WITH MEMBER [Measures].[Qty Delta] AS "
+            "[Measures].[Sum Quantity] - "
+            "([Measures].[Sum Quantity], [D Tiempo].[Calendario]"
+            ".PrevMember) "
+            "SELECT { [Measures].[Sum Quantity], [Measures].[Qty Delta] } "
+            "ON COLUMNS, [D Tiempo].[Calendario].[Mes].MEMBERS "
+            "DIMENSION PROPERTIES MEMBER_CAPTION ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH m AS (
+          SELECT CAST(year(l_shipdate) AS INTEGER) AS anio,
+                 {MES_CASE} AS mes,
+                 month(l_shipdate) AS mn, l_quantity
+          FROM lineitem),
+        a AS (
+          SELECT anio, mes, mn, {SUM_D('l_quantity')} AS sum_quantity
+          FROM m GROUP BY 1, 2, 3)
+        SELECT anio, mes, sum_quantity,
+               sum_quantity - LAG(sum_quantity)
+                 OVER (ORDER BY anio, mn) AS qty_delta
+        FROM a""")
+
+    # crossjoined form: the lag window PARTITIONS by every other row
+    # hierarchy — year-over-year delta within each region.
+    add("cube_region_yoy_delta",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "WITH MEMBER [Measures].[YoY Delta] AS "
+            "[Measures].[Sum Quantity] - "
+            "([Measures].[Sum Quantity], [D Tiempo].[Calendario]"
+            ".CurrentMember.PrevMember) "
+            "SELECT { [Measures].[Sum Quantity], [Measures].[YoY Delta] } "
+            "ON COLUMNS, CROSSJOIN("
+            "[Dim Customer].[Geografía].[Region].MEMBERS, "
+            "[D Tiempo].[Calendario].[Año].MEMBERS) ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH {_OW}
+        SELECT region, anio, sum_quantity,
+               sum_quantity - LAG(sum_quantity)
+                 OVER (PARTITION BY region ORDER BY anio) AS yoy_delta
+        FROM (
+          SELECT cust_region AS region,
+                 CAST(year(l_shipdate) AS INTEGER) AS anio,
+                 {SUM_D('l_quantity')} AS sum_quantity
+          FROM {_FACT_OW}
+          GROUP BY 1, 2)""")

@@ -675,3 +675,27 @@ def test_set_functions_compose_over_descendants(spark, sf_dir):
         "VENTAS_2025")).collect()
     top2 = sorted((r["sum_quantity"] for r in all5), reverse=True)[:2]
     assert sorted((r["sum_quantity"] for r in rows), reverse=True) == top2
+
+
+def test_parse_prevmember_tuple_roundtrip():
+    """The PrevMember tuple flows through WITH MEMBER verbatim:
+    parse -> build_mdx -> parse is a fixpoint, and the expression
+    compiles (records the hierarchy marker, not a measure ref)."""
+    from olap_xtrctr_spark.mdx import build_mdx, parse_mdx
+    from olap_xtrctr_spark.query import parse_measure_expr
+
+    req = parse_mdx(
+        "WITH MEMBER [Measures].[Qty Delta] AS "
+        "[Measures].[Sum Quantity] - "
+        "([Measures].[Sum Quantity], [D Tiempo].[Calendario].PrevMember) "
+        "SELECT { [Measures].[Qty Delta] } ON COLUMNS, "
+        "[D Tiempo].[Calendario].[Mes].MEMBERS ON ROWS FROM [sales]",
+        "VENTAS_2025")
+    assert [c.name for c in req.calculated] == ["Qty Delta"]
+    assert "PrevMember" in req.calculated[0].expr
+    assert parse_mdx(build_mdx(req), "VENTAS_2025") == req
+
+    _, refs = parse_measure_expr(req.calculated[0].expr)
+    assert "Sum Quantity" in [r for r in refs if isinstance(r, str)]
+    assert ("__prevmember__", "D Tiempo", "Calendario") in [
+        r for r in refs if not isinstance(r, str)]

@@ -447,3 +447,72 @@ def test_head_rejects_bad_args():
         parse_mdx("SELECT {[Measures].[Sum Quantity]} ON COLUMNS, "
                   "TAIL([D].[H].MEMBERS) ON ROWS FROM [c]",
                   "VENTAS_2025")
+
+
+def test_prevmember_lag_calc(spark, sf_dir):
+    """PrevMember tuple calc: (1) months lag CHRONOLOGICALLY (level
+    ordinal order, not caption order); (2) a crossjoined axis
+    partitions the lag by the other hierarchy; (3) first period is
+    NULL; (4) naming a hierarchy that is not on ROWS fails loudly;
+    (5) a malformed tuple is a parse error."""
+    import pytest
+
+    from olap_xtrctr_spark.cube import default_registry
+    from olap_xtrctr_spark.mdx import parse_mdx
+    from olap_xtrctr_spark.query import (CubeQueryEngine, MeasureExprError,
+                                         QueryValidationError,
+                                         parse_measure_expr)
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+
+    out = eng.execute(parse_mdx(
+        "WITH MEMBER [Measures].[Qty Delta] AS "
+        "[Measures].[Sum Quantity] - "
+        "([Measures].[Sum Quantity], [D Tiempo].[Calendario].PrevMember) "
+        "SELECT { [Measures].[Sum Quantity], [Measures].[Qty Delta] } "
+        "ON COLUMNS, [D Tiempo].[Calendario].[Mes].MEMBERS "
+        "DIMENSION PROPERTIES MEMBER_CAPTION ON ROWS FROM [sales]",
+        "VENTAS_2025")).collect()
+    months = ["Enero", "Febrero", "Marzo", "Abril", "Mayo", "Junio",
+              "Julio", "Agosto", "Septiembre", "Octubre", "Noviembre",
+              "Diciembre"]
+    by_key = {(r["anio"], r["mes"]): r for r in out}
+    ordered = sorted(by_key, key=lambda k: (k[0], months.index(k[1])))
+    # chronological deltas: row i's delta == qty_i - qty_{i-1}
+    first = ordered[0]
+    assert by_key[first]["qty_delta"] is None
+    for prev, cur in zip(ordered, ordered[1:]):
+        d = by_key[cur]["qty_delta"]
+        assert d == pytest.approx(
+            by_key[cur]["sum_quantity"] - by_key[prev]["sum_quantity"])
+
+    # crossjoin: partition per region, NULL on each region's first year
+    out2 = eng.execute(parse_mdx(
+        "WITH MEMBER [Measures].[YoY] AS "
+        "[Measures].[Sum Quantity] - ([Measures].[Sum Quantity], "
+        "[D Tiempo].[Calendario].CurrentMember.PrevMember) "
+        "SELECT { [Measures].[YoY] } ON COLUMNS, "
+        "CROSSJOIN([Dim Customer].[Geografía].[Region].MEMBERS, "
+        "[D Tiempo].[Calendario].[Año].MEMBERS) ON ROWS FROM [sales]",
+        "VENTAS_2025")).collect()
+    regions = {}
+    for r in out2:
+        regions.setdefault(r["region"], []).append((r["anio"], r["yoy"]))
+    assert len(regions) == 5
+    for rows in regions.values():
+        rows.sort()
+        assert rows[0][1] is None
+        assert all(v is not None for _, v in rows[1:])
+
+    # hierarchy not on rows -> loud validation error
+    with pytest.raises(QueryValidationError, match="not on ROWS"):
+        eng.execute(parse_mdx(
+            "WITH MEMBER [Measures].[D] AS ([Measures].[Sum Quantity], "
+            "[D Tiempo].[Calendario].PrevMember) "
+            "SELECT { [Measures].[D] } ON COLUMNS, "
+            "[Dim Customer].[Geografía].[Region].MEMBERS ON ROWS "
+            "FROM [sales]", "VENTAS_2025")).collect()
+
+    # malformed tuple second element -> parse error
+    with pytest.raises(MeasureExprError, match="PrevMember"):
+        parse_measure_expr(
+            "([Measures].[Sum Quantity], [Measures].[Sum Quantity])")
