@@ -193,6 +193,19 @@ PROBE_QUERIES = [
     "docs_minhash_dedup_corpus_exact",
     "cube_descendants_region_nations",
     "cube_ancestor_region_rollup",
+    # round-8 wave 3: KMV overlap runs on sketch state only (G^2*k
+    # rows — cost must be flat vs corpus growth after the one distinct
+    # pass); dedup weights / cluster split are single text-hash
+    # shuffles (replica flood makes every group FACTOR deep — both
+    # must stay linear, no pairs); the CMS stream fold's store is
+    # 4x256 cells regardless of user count; the PrevMember lags are
+    # axis-cardinality windows over the star join
+    "events_kmv_type_overlap",
+    "docs_dedup_weighted_keep",
+    "docs_cluster_split",
+    "events_stream_cms_heavy_users",
+    "cube_month_delta",
+    "cube_region_yoy_delta",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
