@@ -31,7 +31,10 @@ backend/actions_runner.py:220-249, frontend/src/utils/mdxBuilder.ts:4-40):
       ([Measures].[X], [Dim].[Hier][.CurrentMember].PrevMember)
       (query.LagRef: one lag() window over the axis rows, ordered by
       the named hierarchy's level ordinals, partitioned by the other
-      row hierarchies)
+      row hierarchies) and the year-to-date running total
+      SUM(YTD([Dim].[Hier][.CurrentMember]), <expr>)
+      (query.YtdRef: ancestor levels partition, leaf ordinal orders,
+      DECIMAL(18,4) accumulation)
 
 DMV dialect:
 

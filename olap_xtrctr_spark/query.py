@@ -139,6 +139,8 @@ _EXPR_TOKEN = re.compile(
     r"\s*(\[Measures\]\s*\.\s*\[[^\]]+\]"
     r"|\[[^\]]+\]\s*\.\s*\[[^\]]+\](?:\s*\.\s*(?i:CURRENTMEMBER))?"
     r"\s*\.\s*(?i:PREVMEMBER)"
+    r"|\[[^\]]+\]\s*\.\s*\[[^\]]+\](?:\s*\.\s*(?i:CURRENTMEMBER))?"
+    r"|[A-Za-z_]+"
     r"|\d+\.\d+|\d+|>=|<=|<>|[-+*/(),><=])")
 _MEASURE_REF = re.compile(r"\[Measures\]\s*\.\s*\[([^\]]+)\]")
 _PREV_REF = re.compile(
@@ -161,6 +163,22 @@ class LagRef:
     materialized (post NON-EMPTY): a period with no fact rows is
     skipped, exactly as the SQL ``LAG() OVER (ORDER BY period)`` on an
     aggregated table skips it."""
+    dimension: str
+    hierarchy: str
+    col: Column
+
+
+@dataclass(eq=False)
+class YtdRef:
+    """``SUM(YTD([Dim].[Hier][.CurrentMember]), [Measures].[X])`` — the
+    SSAS year-to-date running total: the referenced expression
+    accumulated from the start of the current PARENT member (the
+    axis's ancestor levels partition the window — months accumulate
+    within their year) through the current member in level-ordinal
+    order.  Realized as one running-sum window over the materialized
+    axis rows; the accumulation runs in DECIMAL(18,4) (the engine's
+    double-freeze discipline) so it is order-independent and
+    bit-reproducible by the SQL oracle."""
     dimension: str
     hierarchy: str
     col: Column
@@ -234,6 +252,30 @@ def parse_measure_expr(expr: str):
             return f
         if t is None:
             raise MeasureExprError(f"truncated expression: {expr!r}")
+        if t.upper() == "SUM":
+            # SUM(YTD([Dim].[Hier][.CurrentMember]), <expr>)
+            take()
+            if take() != "(" or (take() or "").upper() != "YTD" \
+                    or take() != "(":
+                raise MeasureExprError(
+                    f"expected SUM(YTD([Dim].[Hier]), ...): {expr!r}")
+            ht = take()
+            hm = re.fullmatch(
+                r"\[([^\]]+)\]\s*\.\s*\[([^\]]+)\]"
+                r"(?:\s*\.\s*CURRENTMEMBER)?", ht or "", re.IGNORECASE)
+            if not hm:
+                raise MeasureExprError(
+                    f"YTD takes [Dim].[Hier], got {ht!r} in {expr!r}")
+            if take() != ")" or take() != ",":
+                raise MeasureExprError(
+                    f"expected SUM(YTD(...), <expr>): {expr!r}")
+            inner = add()
+            if take() != ")":
+                raise MeasureExprError(f"unbalanced parens in {expr!r}")
+            dim, hier = hm.group(1).strip(), hm.group(2).strip()
+            refs.append(("__ytd__", dim, hier))
+            return (lambda i, d=dim, h=hier:
+                    lambda r: r(YtdRef(d, h, i(r))))(inner)
         take()
         m = _MEASURE_REF.fullmatch(t)
         if m:
@@ -820,7 +862,7 @@ class CubeQueryEngine:
             for ax in axes}
 
         def resolve(name):
-            if isinstance(name, LagRef):
+            if isinstance(name, (LagRef, YtdRef)):
                 order = axis_order.get(
                     (name.dimension.upper(), name.hierarchy.upper()))
                 if order is None:
@@ -831,14 +873,28 @@ class CubeQueryEngine:
                             if h == name.hierarchy.upper()]
                     if len(hits) != 1:
                         raise QueryValidationError(
-                            f"PrevMember hierarchy [{name.dimension}]."
+                            f"PrevMember/YTD hierarchy "
+                            f"[{name.dimension}]."
                             f"[{name.hierarchy}] is not on ROWS")
                     order = hits[0]
                 others = [g for g in group_names if g not in order]
-                w = SqlWindow.partitionBy(
-                    *[F.col(g) for g in others]).orderBy(
-                    *[F.col(ordinal_names.get(g, g)) for g in order])
-                return F.lag(name.col).over(w)
+                if isinstance(name, LagRef):
+                    w = SqlWindow.partitionBy(
+                        *[F.col(g) for g in others]).orderBy(
+                        *[F.col(ordinal_names.get(g, g)) for g in order])
+                    return F.lag(name.col).over(w)
+                # YTD: the axis's ancestor levels PARTITION (months
+                # accumulate within their year), the leaf level orders;
+                # DECIMAL(18,4) accumulation => order-independent,
+                # oracle-reproducible running sums
+                leaf = order[-1]
+                w = (SqlWindow.partitionBy(
+                        *[F.col(g) for g in others + order[:-1]])
+                     .orderBy(F.col(ordinal_names.get(leaf, leaf)))
+                     .rowsBetween(SqlWindow.unboundedPreceding,
+                                  SqlWindow.currentRow))
+                return (F.sum(name.col.cast("decimal(18,4)")).over(w)
+                        .cast("double"))
             m = cube.measure(name)
             return F.col(m.out_name or m.name)
 
@@ -846,7 +902,7 @@ class CubeQueryEngine:
             out = out.withColumn(c.alias, builder(resolve))
 
         def resolve_out(name):
-            if isinstance(name, LagRef):
+            if isinstance(name, (LagRef, YtdRef)):
                 return resolve(name)
             calc = {c.name: c for c in req.calculated}.get(name)
             if calc is not None:

@@ -127,6 +127,7 @@ _R8_NEW = [
     "events_stream_cms_heavy_users",     # NEW r8 (streaming CMS fold)
     "cube_month_delta",                  # NEW r8 (PrevMember time intel)
     "cube_region_yoy_delta",             # NEW r8 (partitioned PrevMember)
+    "cube_region_ytd",                   # NEW r8 (SUM(YTD) running total)
 ]
 _GATE_FRONT = _GATE_FRONT[:-len(_R8_NEW)] + _R8_NEW
 

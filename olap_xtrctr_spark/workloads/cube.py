@@ -433,3 +433,34 @@ def register_r7(add) -> None:
                  {SUM_D('l_quantity')} AS sum_quantity
           FROM {_FACT_OW}
           GROUP BY 1, 2)""")
+
+    # SUM(YTD(...)) running totals (round 8, wave 4): months accumulate
+    # within their year (the axis's ancestor level partitions the
+    # window), regions partition independently; accumulation runs in
+    # DECIMAL(18,4) so the running sums are order-independent and
+    # oracle-exact (query.YtdRef).
+    add("cube_region_ytd",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "WITH MEMBER [Measures].[Ytd Qty] AS "
+            "SUM(YTD([D Tiempo].[Calendario].CurrentMember), "
+            "[Measures].[Sum Quantity]) "
+            "SELECT { [Measures].[Sum Quantity], [Measures].[Ytd Qty] } "
+            "ON COLUMNS, CROSSJOIN("
+            "[Dim Customer].[Geografía].[Region].MEMBERS, "
+            "[D Tiempo].[Calendario].[Mes].MEMBERS) "
+            "DIMENSION PROPERTIES MEMBER_CAPTION ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH {_OW},
+        a AS (
+          SELECT cust_region AS region,
+                 CAST(year(l_shipdate) AS INTEGER) AS anio,
+                 {MES_CASE} AS mes, month(l_shipdate) AS mn,
+                 {SUM_D('l_quantity')} AS sum_quantity
+          FROM {_FACT_OW}
+          GROUP BY 1, 2, 3, 4)
+        SELECT region, anio, mes, sum_quantity,
+               CAST(SUM(CAST(sum_quantity AS DECIMAL(18,4))) OVER (
+                 PARTITION BY region, anio ORDER BY mn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS ytd_qty
+        FROM a""")

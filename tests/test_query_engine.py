@@ -516,3 +516,43 @@ def test_prevmember_lag_calc(spark, sf_dir):
     with pytest.raises(MeasureExprError, match="PrevMember"):
         parse_measure_expr(
             "([Measures].[Sum Quantity], [Measures].[Sum Quantity])")
+
+
+def test_ytd_running_total(spark, sf_dir):
+    """SUM(YTD(...), measure): accumulates chronologically within the
+    year partition, resets at year boundaries, and the crossjoined
+    hierarchy partitions independently; malformed YTD is a parse
+    error."""
+    import pytest
+
+    from olap_xtrctr_spark.cube import default_registry
+    from olap_xtrctr_spark.mdx import parse_mdx
+    from olap_xtrctr_spark.query import (CubeQueryEngine,
+                                         MeasureExprError,
+                                         parse_measure_expr)
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    out = eng.execute(parse_mdx(
+        "WITH MEMBER [Measures].[Ytd Qty] AS "
+        "SUM(YTD([D Tiempo].[Calendario]), [Measures].[Sum Quantity]) "
+        "SELECT { [Measures].[Sum Quantity], [Measures].[Ytd Qty] } "
+        "ON COLUMNS, [D Tiempo].[Calendario].[Mes].MEMBERS "
+        "DIMENSION PROPERTIES MEMBER_CAPTION ON ROWS FROM [sales]",
+        "VENTAS_2025")).collect()
+    months = ["Enero", "Febrero", "Marzo", "Abril", "Mayo", "Junio",
+              "Julio", "Agosto", "Septiembre", "Octubre", "Noviembre",
+              "Diciembre"]
+    years = {}
+    for r in out:
+        years.setdefault(r["anio"], []).append(r)
+    assert len(years) > 1
+    for rows in years.values():
+        rows.sort(key=lambda r: months.index(r["mes"]))
+        run = 0.0
+        for r in rows:               # resets each year, accumulates
+            run += r["sum_quantity"]
+            assert r["ytd_qty"] == pytest.approx(run)
+
+    with pytest.raises(MeasureExprError, match="YTD"):
+        parse_measure_expr("SUM(YTD(5), [Measures].[Sum Quantity])")
+    with pytest.raises(MeasureExprError, match="SUM"):
+        parse_measure_expr("SUM([Measures].[Sum Quantity])")
