@@ -1058,3 +1058,34 @@ def replay_type_drift(spark: SparkSession, source_dir: str, schema,
                                          glob=glob)
     drained = drain_stream_to_table(spark, counts, "drift_daily_counts")
     return type_drift_vs_baseline(drained, baseline, alert_milli)
+
+
+def hourly_moving_avg(events: DataFrame, window_rows: int = 7) -> DataFrame:
+    """Trailing moving average over the hourly rollup, per event type —
+    the standard dashboard smoothing for metered streams (pairs with
+    hourly_anomalies' robust z-scores; this is the presentation-grade
+    trend line).  ``window_rows`` trailing hours (ragged at the series
+    head: early rows average over however many hours exist, the usual
+    plotting convention).
+
+    Exactness discipline: the window carries the exact integer /
+    DECIMAL(18,4) SUMs and divides ONCE at the end by the window row
+    count — a single IEEE division on identical operands, so any SQL
+    engine reproduces the doubles bit-for-bit (a naive AVG() would
+    expose each engine's summation order).
+
+    Scale shape: input is the already-aggregated hourly table (hours x
+    types rows, tiny vs raw events); one type-keyed window, no second
+    scan of the corpus."""
+    if window_rows < 1:
+        raise ValueError(f"window_rows must be >= 1: {window_rows}")
+    base = hourly_rollup(events)
+    w = (Window.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(-(window_rows - 1), Window.currentRow))
+    n_w = F.count(F.lit(1)).over(w).cast("double")
+    return base.select(
+        "hour", "event_type", "n_events",
+        (F.sum("n_events").over(w).cast("double") / n_w)
+        .alias("ma_events"),
+        (F.sum(F.col("sum_value").cast("decimal(18,4)")).over(w)
+         .cast("double") / n_w).alias("ma_value"))

@@ -637,3 +637,48 @@ def register_r8(add) -> None:
           GROUP BY ps.user_id)
         SELECT user_id, freq_est, (freq_est >= 80) AS is_heavy
         FROM est""")
+
+    # Trailing moving average (round 8, wave 4): dashboard smoothing
+    # over the hourly rollup — exact window SUMs divided once, so the
+    # doubles are engine-identical (streaming/events.hourly_moving_avg).
+    from ..streaming import events as EV
+
+    add("events_hourly_moving_avg",
+        lambda spark, sf: EV.hourly_moving_avg(_events(spark, sf)),
+        f"""WITH b AS (
+          SELECT date_trunc('hour', ts) AS hour, event_type,
+                 COUNT(*) AS n_events,
+                 {SUM_D('value')} AS sum_value
+          FROM events GROUP BY 1, 2)
+        SELECT hour, event_type, n_events,
+               CAST(SUM(n_events) OVER w AS DOUBLE)
+                 / CAST(COUNT(*) OVER w AS DOUBLE) AS ma_events,
+               CAST(SUM(CAST(sum_value AS DECIMAL(18,4))) OVER w
+                    AS DOUBLE)
+                 / CAST(COUNT(*) OVER w AS DOUBLE) AS ma_value
+        FROM b
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""")
+
+    # Bloom-prefiltered semi-join (round 8, wave 4): big-spender
+    # activity — events of users who ever posted value > 250, via the
+    # deterministic bloom prefilter ahead of the exact semi-join
+    # (operators/joins.bloom_semi_join).  The bloom stage is plan
+    # shape, not semantics, so the oracle is the plain semi-join.
+    def _bloom_semijoin(spark, sf):
+        from ..operators import joins as J
+        ev = _events(spark, sf)
+        build = ev.filter(F.col("value") > 250).select("user_id")
+        joined = J.bloom_semi_join(ev, build, "user_id")
+        return (joined.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum(F.col("value").cast("decimal(18,4)"))
+                      .cast("double").alias("sum_value")))
+
+    add("events_bloom_semijoin", _bloom_semijoin,
+        f"""WITH b AS (
+          SELECT DISTINCT user_id FROM events WHERE value > 250)
+        SELECT e.user_id, COUNT(*) AS n_events,
+               {SUM_D('value')} AS sum_value
+        FROM events e JOIN b USING (user_id)
+        GROUP BY 1""")

@@ -131,3 +131,35 @@ def test_join_profile_disjoint_keys_zero_output(spark):
     right = spark.createDataFrame([(3,)], "k int")
     r = join_profile(left, right, ["k"]).collect()[0]
     assert r["est_output_rows"] == 0
+
+
+def test_bloom_semi_join_exact_and_bounded(spark):
+    """bloom_semi_join contracts: (1) result EXACTLY equals the plain
+    semi-join (the bloom stage is plan shape, not semantics) across a
+    key universe big enough to force false positives through the
+    prefilter; (2) the bit-position table is bounded by m_bits and
+    deterministic; (3) k_hashes is validated."""
+    import pytest as _pytest
+
+    from olap_xtrctr_spark.operators import joins as J
+
+    probe = spark.createDataFrame(
+        [(i, f"u{i % 997}") for i in range(5000)], "row_id int, k string")
+    build = spark.createDataFrame(
+        [(f"u{i}",) for i in range(0, 997, 13)], "k string")
+
+    got = {r["row_id"] for r in
+           J.bloom_semi_join(probe, build, "k", m_bits=256).collect()}
+    want = {r["row_id"] for r in
+            probe.join(build.distinct(), "k", "left_semi").collect()}
+    assert got == want and want      # small m -> many FPs, still exact
+
+    bits1 = sorted(r["pos"] for r in
+                   J.bloom_positions(build, "k", m_bits=256).collect())
+    bits2 = sorted(r["pos"] for r in
+                   J.bloom_positions(build, "k", m_bits=256).collect())
+    assert bits1 == bits2
+    assert 0 < len(bits1) <= 256
+
+    with _pytest.raises(ValueError, match="k_hashes"):
+        J.bloom_positions(build, "k", k_hashes=0)
