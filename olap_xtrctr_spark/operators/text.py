@@ -924,3 +924,76 @@ def ccnet_perplexity_buckets(docs: DataFrame, reference_cond=None,
             .withColumn("bucket", label)
             .select(id_col, lang_col, "mean_nll_micro", "bucket_idx",
                     "bucket"))
+
+
+def token_pmi_top(docs: DataFrame, text_col: str = "text",
+                  k: int = 50, min_count: int = 5) -> DataFrame:
+    """Collocation extraction: the top-k adjacent-token pairs by
+    pointwise mutual information (Church & Hanks 1990) — the standard
+    distributional statistic for finding multi-word expressions in a
+    corpus ("new york"-style units a tokenizer or vocab builder should
+    treat as one).  ``min_count`` guards the classic PMI low-count
+    pathology.
+
+    Exactness discipline (the ngram_lm_score pattern): PMI decomposes
+    into ln's of INTEGER counts only —
+        pmi = ln(c_xy) + 2*ln(N_tok) - ln(N_big) - ln(c_x) - ln(c_y)
+    — so each term is frozen to integer micro-units on the driver with
+    the host libm (hostmath.py) over the DISTINCT count values
+    (count-of-counts, bounded metadata) and a document's pair score is
+    pure integer arithmetic both engines reproduce bit-for-bit.
+
+    Scale shape: one corpus pass each for unigram and bigram counts
+    (map-side combinable); the PMI join runs on the aggregated
+    vocabulary-sized tables (pair table joins the unigram table twice
+    on the word key — Spark picks SMJ/SHJ as sizes dictate; the micro
+    lookups broadcast); top-k is a TakeOrderedAndProject tail."""
+    from .hostmath import ln_micro, lookup_df
+    t = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.select(t.alias("_t"))
+    n = F.size("_t")
+    bigrams = F.zip_with(
+        F.slice("_t", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("_t", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    uni = d.select(F.explode("_t").alias("w")).filter(F.col("w") != "")
+    bg = d.select(F.explode(bigrams).alias("bg"))
+
+    c_uni = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    c_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_xy"))
+    totals = c_uni.agg(F.sum("c").alias("nt")).crossJoin(
+        c_bg.agg(F.sum("c_xy").alias("nb"))).first()
+    n_tok, n_big = int(totals["nt"] or 0), int(totals["nb"] or 0)
+    if n_big == 0:
+        raise ValueError("token_pmi_top: corpus has no bigrams")
+    pairs = c_bg.filter(F.col("c_xy") >= min_count)
+
+    spark = docs.sparkSession
+    cx_vals = [r["c"] for r in c_uni.select("c").distinct().collect()]
+    cxy_vals = [r["c_xy"] for r in
+                pairs.select("c_xy").distinct().collect()]
+    uni_lut = lookup_df(spark, ((c, ln_micro(c)) for c in cx_vals),
+                        "c", "l_c")
+    pair_lut = lookup_df(spark, ((c, ln_micro(c)) for c in cxy_vals),
+                         "c_xy", "l_xy")
+    const = 2 * ln_micro(n_tok) - ln_micro(n_big)
+
+    w_split = F.split(F.col("bg"), " ")
+    out = (pairs
+           .withColumn("w1", w_split[0]).withColumn("w2", w_split[1])
+           .join(F.broadcast(pair_lut), "c_xy")
+           .join(c_uni.select(F.col("w").alias("w1"),
+                              F.col("c").alias("cx")), "w1")
+           .join(c_uni.select(F.col("w").alias("w2"),
+                              F.col("c").alias("cy")), "w2")
+           .join(F.broadcast(uni_lut.select(F.col("c").alias("cx"),
+                                            F.col("l_c").alias("l_x"))),
+                 "cx")
+           .join(F.broadcast(uni_lut.select(F.col("c").alias("cy"),
+                                            F.col("l_c").alias("l_y"))),
+                 "cy")
+           .select("w1", "w2", F.col("c_xy").cast("bigint").alias("c_xy"),
+                   (F.col("l_xy") + F.lit(const)
+                    - F.col("l_x") - F.col("l_y")).cast("bigint")
+                   .alias("pmi_micro")))
+    return (out.orderBy(F.desc("pmi_micro"), "w1", "w2").limit(k))

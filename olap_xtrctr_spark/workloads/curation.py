@@ -506,3 +506,42 @@ def register_r8(add) -> None:
                     WHEN {_CB} < 9000 THEN 'val'
                     ELSE 'test' END AS split
         FROM c""")
+
+    # PMI collocations (round 8, wave 4): top-k adjacent-token pairs
+    # by pointwise mutual information — multi-word-expression mining
+    # for vocab/tokenizer construction.  PMI decomposes into ln's of
+    # integer counts, each frozen via the host-libm lookup discipline
+    # (operators/hostmath.py), so the scores are engine-exact; the
+    # oracle computes the same per-term ROUND(ln(k)*1e6) freeze.
+    add("docs_token_pmi_top",
+        lambda spark, sf: TX.token_pmi_top(_docs(spark, sf)),
+        r"""WITH tok AS (
+          SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        uni AS (
+          SELECT w FROM (SELECT unnest(t) AS w FROM tok) WHERE w != ''),
+        bg AS (
+          SELECT unnest(list_transform(
+                   list_zip(t[1:len(t) - 1], t[2:]),
+                   p -> p[1] || ' ' || p[2])) AS bg
+          FROM tok),
+        cu AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+        cb AS (SELECT bg, COUNT(*) AS c_xy FROM bg GROUP BY bg),
+        nt AS (SELECT SUM(c) AS n FROM cu),
+        nb AS (SELECT SUM(c_xy) AS n FROM cb),
+        p AS (
+          SELECT bg, c_xy,
+                 string_split(bg, ' ')[1] AS w1,
+                 string_split(bg, ' ')[2] AS w2
+          FROM cb WHERE c_xy >= 5)
+        SELECT p.w1, p.w2, CAST(p.c_xy AS BIGINT) AS c_xy,
+               CAST(ROUND(ln(p.c_xy) * 1e6) AS BIGINT)
+               + 2 * CAST(ROUND(ln(nt.n) * 1e6) AS BIGINT)
+               - CAST(ROUND(ln(nb.n) * 1e6) AS BIGINT)
+               - CAST(ROUND(ln(cx.c) * 1e6) AS BIGINT)
+               - CAST(ROUND(ln(cy.c) * 1e6) AS BIGINT) AS pmi_micro
+        FROM p
+        JOIN cu cx ON p.w1 = cx.w
+        JOIN cu cy ON p.w2 = cy.w
+        CROSS JOIN nt CROSS JOIN nb
+        ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""")

@@ -43,6 +43,7 @@ FROZEN_HOSTLIBM_ENTRIES = {
     "docs_dsir_top_docs",       # ... dsir_select_top_k (same llr table)
     "docs_dsir_gumbel_sample",  # ... dsir_gumbel_sample (+ noise lookup)
     "docs_bm25_topk",           # operators/text.py bm25_topk
+    "docs_token_pmi_top",       # ... token_pmi_top (per-term ln freeze)
 }
 
 _TRANSCENDENTAL = re.compile(r"\b(ln|log|log10|log2|exp)\s*\(",
