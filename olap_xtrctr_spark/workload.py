@@ -128,6 +128,9 @@ _R8_NEW = [
     "cube_month_delta",                  # NEW r8 (PrevMember time intel)
     "cube_region_yoy_delta",             # NEW r8 (partitioned PrevMember)
     "cube_region_ytd",                   # NEW r8 (SUM(YTD) running total)
+    "events_hourly_moving_avg",          # NEW r8 (exact-window smoothing)
+    "events_bloom_semijoin",             # NEW r8 (bloom-prefiltered join)
+    "docs_token_pmi_top",                # NEW r8 (PMI collocations)
 ]
 _GATE_FRONT = _GATE_FRONT[:-len(_R8_NEW)] + _R8_NEW
 
