@@ -206,6 +206,16 @@ PROBE_QUERIES = [
     "events_stream_cms_heavy_users",
     "cube_month_delta",
     "cube_region_yoy_delta",
+    # round-8 wave 4: moving avg runs on the aggregated hourly table
+    # (type-keyed window, corpus-linear base agg); bloom prefilter is
+    # k broadcast semi-probes ahead of the exact join (probe-side
+    # pruning must not add a shuffle); PMI joins are vocab-sized after
+    # two map-side-combinable count passes (replica flood multiplies
+    # counts, not vocab); YTD is an axis-cardinality window
+    "events_hourly_moving_avg",
+    "events_bloom_semijoin",
+    "docs_token_pmi_top",
+    "cube_region_ytd",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
