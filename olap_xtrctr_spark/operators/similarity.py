@@ -641,3 +641,47 @@ def ivfpq_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
                     .filter(F.col("rank") <= k)
                     .select("query_id", "rank", "neighbor_id",
                             F.round("cos", 4).alias("cosine")))
+
+
+def jl_sign_matrix(out_dims: int = 16, in_dims: int = 64,
+                   salt: str = "jl-v1") -> list[list[int]]:
+    """Deterministic Rademacher (+-1) projection matrix from md5 — the
+    Achlioptas/JL database-friendly construction: entry (j, i) is the
+    parity of md5(j:i:salt).  Built on the driver (out*in ints of
+    bounded metadata) so any engine, and any later run, regenerates
+    the identical matrix."""
+    import hashlib
+    return [[1 if int(hashlib.md5(
+                f"{j}:{i}:{salt}".encode()).hexdigest()[:2], 16) % 2 == 0
+             else -1
+             for i in range(in_dims)]
+            for j in range(out_dims)]
+
+
+def random_projection(emb: DataFrame, out_dims: int = 16,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      salt: str = "jl-v1") -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    embedding onto ``out_dims`` deterministic +-1 directions (sign
+    matrix from :func:`jl_sign_matrix`), preserving pairwise distances
+    within the standard JL bound — the cheap pre-reduction step ahead
+    of ANN indexing / clustering when the native dimension is wasteful.
+
+    Purely a projection: no shuffle, no UDF — each output dimension is
+    one JVM-side fold over the vector (the emb-family discipline:
+    sequential F.aggregate matches the oracle's list_sum order, and
+    ROUND(.,4) freezes the result like emb_norms/cosine).  At 100 TB
+    this runs at scan speed and composes with every downstream ANN
+    path."""
+    in_dims = len(emb.select(vec_col).first()[0])
+    mat = jl_sign_matrix(out_dims, in_dims, salt)
+    cols = []
+    for j, row in enumerate(mat):
+        signs = F.array(*[F.lit(float(s)) for s in row])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), signs,
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, v: acc + v)
+        cols.append(F.round(dot, 4).alias(f"p{j}"))
+    return emb.select(id_col, *cols)

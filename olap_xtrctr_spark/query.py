@@ -169,6 +169,22 @@ class LagRef:
 
 
 @dataclass(eq=False)
+class LastPeriodsRef:
+    """``SUM(LASTPERIODS(n, [Dim].[Hier][.CurrentMember]), <expr>)`` —
+    the SSAS trailing-window aggregate: the expression summed over the
+    n members ending at the current member, in level-ordinal order,
+    CROSSING parent boundaries (Jan's 3-period window reaches back
+    into the previous year's Nov-Dec — the SSAS LastPeriods contract,
+    unlike YTD which resets at the parent).  One rows-frame window
+    over the materialized axis; DECIMAL(18,4) accumulation keeps the
+    running sums engine-exact."""
+    dimension: str
+    hierarchy: str
+    n: int
+    col: Column
+
+
+@dataclass(eq=False)
 class YtdRef:
     """``SUM(YTD([Dim].[Hier][.CurrentMember]), [Measures].[X])`` — the
     SSAS year-to-date running total: the referenced expression
@@ -254,28 +270,48 @@ def parse_measure_expr(expr: str):
             raise MeasureExprError(f"truncated expression: {expr!r}")
         if t.upper() == "SUM":
             # SUM(YTD([Dim].[Hier][.CurrentMember]), <expr>)
+            # SUM(LASTPERIODS(n, [Dim].[Hier][.CurrentMember]), <expr>)
             take()
-            if take() != "(" or (take() or "").upper() != "YTD" \
-                    or take() != "(":
+            if take() != "(":
                 raise MeasureExprError(
-                    f"expected SUM(YTD([Dim].[Hier]), ...): {expr!r}")
+                    f"expected SUM(YTD(...)|LASTPERIODS(...), ...): "
+                    f"{expr!r}")
+            fn = (take() or "").upper()
+            if fn not in ("YTD", "LASTPERIODS") or take() != "(":
+                raise MeasureExprError(
+                    f"expected SUM(YTD(...)|LASTPERIODS(...), ...): "
+                    f"{expr!r}")
+            nper = None
+            if fn == "LASTPERIODS":
+                nt = take()
+                if not (nt or "").isdigit() or take() != ",":
+                    raise MeasureExprError(
+                        f"LASTPERIODS takes (n, [Dim].[Hier]): {expr!r}")
+                nper = int(nt)
+                if nper < 1:
+                    raise MeasureExprError(
+                        f"LASTPERIODS n must be >= 1: {expr!r}")
             ht = take()
             hm = re.fullmatch(
                 r"\[([^\]]+)\]\s*\.\s*\[([^\]]+)\]"
                 r"(?:\s*\.\s*CURRENTMEMBER)?", ht or "", re.IGNORECASE)
             if not hm:
                 raise MeasureExprError(
-                    f"YTD takes [Dim].[Hier], got {ht!r} in {expr!r}")
+                    f"{fn} takes [Dim].[Hier], got {ht!r} in {expr!r}")
             if take() != ")" or take() != ",":
                 raise MeasureExprError(
-                    f"expected SUM(YTD(...), <expr>): {expr!r}")
+                    f"expected SUM({fn}(...), <expr>): {expr!r}")
             inner = add()
             if take() != ")":
                 raise MeasureExprError(f"unbalanced parens in {expr!r}")
             dim, hier = hm.group(1).strip(), hm.group(2).strip()
-            refs.append(("__ytd__", dim, hier))
-            return (lambda i, d=dim, h=hier:
-                    lambda r: r(YtdRef(d, h, i(r))))(inner)
+            if fn == "YTD":
+                refs.append(("__ytd__", dim, hier))
+                return (lambda i, d=dim, h=hier:
+                        lambda r: r(YtdRef(d, h, i(r))))(inner)
+            refs.append(("__lastperiods__", dim, hier))
+            return (lambda i, d=dim, h=hier, np=nper:
+                    lambda r: r(LastPeriodsRef(d, h, np, i(r))))(inner)
         take()
         m = _MEASURE_REF.fullmatch(t)
         if m:
@@ -862,7 +898,7 @@ class CubeQueryEngine:
             for ax in axes}
 
         def resolve(name):
-            if isinstance(name, (LagRef, YtdRef)):
+            if isinstance(name, (LagRef, YtdRef, LastPeriodsRef)):
                 order = axis_order.get(
                     (name.dimension.upper(), name.hierarchy.upper()))
                 if order is None:
@@ -883,6 +919,18 @@ class CubeQueryEngine:
                         *[F.col(g) for g in others]).orderBy(
                         *[F.col(ordinal_names.get(g, g)) for g in order])
                     return F.lag(name.col).over(w)
+                if isinstance(name, LastPeriodsRef):
+                    # trailing n members at the level, crossing parent
+                    # boundaries: the FULL axis order (ancestors then
+                    # leaf ordinal) sequences the window
+                    w = (SqlWindow.partitionBy(
+                            *[F.col(g) for g in others])
+                         .orderBy(*[F.col(ordinal_names.get(g, g))
+                                    for g in order])
+                         .rowsBetween(-(name.n - 1),
+                                      SqlWindow.currentRow))
+                    return (F.sum(name.col.cast("decimal(18,4)"))
+                            .over(w).cast("double"))
                 # YTD: the axis's ancestor levels PARTITION (months
                 # accumulate within their year), the leaf level orders;
                 # DECIMAL(18,4) accumulation => order-independent,
@@ -902,7 +950,7 @@ class CubeQueryEngine:
             out = out.withColumn(c.alias, builder(resolve))
 
         def resolve_out(name):
-            if isinstance(name, (LagRef, YtdRef)):
+            if isinstance(name, (LagRef, YtdRef, LastPeriodsRef)):
                 return resolve(name)
             calc = {c.name: c for c in req.calculated}.get(name)
             if calc is not None:

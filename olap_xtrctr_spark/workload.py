@@ -131,6 +131,9 @@ _R8_NEW = [
     "events_hourly_moving_avg",          # NEW r8 (exact-window smoothing)
     "events_bloom_semijoin",             # NEW r8 (bloom-prefiltered join)
     "docs_token_pmi_top",                # NEW r8 (PMI collocations)
+    "cube_rolling_quarter",              # NEW r8 (LASTPERIODS window)
+    "events_sliding_distinct_users",     # NEW r8 (sliding KMV merge)
+    "emb_random_projection",             # NEW r8 (JL sign projection)
 ]
 _GATE_FRONT = _GATE_FRONT[:-len(_R8_NEW)] + _R8_NEW
 

@@ -464,3 +464,29 @@ def register_r7(add) -> None:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS DOUBLE) AS ytd_qty
         FROM a""")
+
+    # SUM(LASTPERIODS(3, ...)) rolling window (round 8, wave 5): the
+    # trailing-quarter sum on the month axis — unlike YTD it CROSSES
+    # year boundaries (Jan's window reaches the previous Nov-Dec), the
+    # SSAS LastPeriods contract (query.LastPeriodsRef).
+    add("cube_rolling_quarter",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "WITH MEMBER [Measures].[Roll3 Qty] AS "
+            "SUM(LASTPERIODS(3, [D Tiempo].[Calendario].CurrentMember), "
+            "[Measures].[Sum Quantity]) "
+            "SELECT { [Measures].[Sum Quantity], [Measures].[Roll3 Qty] } "
+            "ON COLUMNS, [D Tiempo].[Calendario].[Mes].MEMBERS "
+            "DIMENSION PROPERTIES MEMBER_CAPTION ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH a AS (
+          SELECT CAST(year(l_shipdate) AS INTEGER) AS anio,
+                 {MES_CASE} AS mes, month(l_shipdate) AS mn,
+                 {SUM_D('l_quantity')} AS sum_quantity
+          FROM lineitem
+          GROUP BY 1, 2, 3)
+        SELECT anio, mes, sum_quantity,
+               CAST(SUM(CAST(sum_quantity AS DECIMAL(18,4))) OVER (
+                 ORDER BY anio, mn
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS roll3_qty
+        FROM a""")

@@ -545,3 +545,62 @@ def register_r8(add) -> None:
         JOIN cu cy ON p.w2 = cy.w
         CROSS JOIN nt CROSS JOIN nb
         ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""")
+
+    # Sliding-window distinct users (round 8, wave 5): hourly KMV
+    # partials re-merged per trailing 6 h window position — window
+    # repositioning costs sketch-sized work, never a corpus re-scan
+    # (operators/sketches.kmv_sliding_estimate).
+    def _kmv_sliding(spark, sf):
+        from ..operators import sketches as SK
+        return SK.kmv_sliding_estimate(
+            _load(spark, sf, "events"), "ts", "user_id",
+            window_hours=6, k=64)
+
+    add("events_sliding_distinct_users", _kmv_sliding,
+        rf"""WITH h AS (
+          SELECT DISTINCT date_trunc('hour', ts) AS hr,
+                 {kmv_hash_sql('user_id')} AS kmv_h
+          FROM events),
+        r AS (
+          SELECT hr, kmv_h,
+                 ROW_NUMBER() OVER (PARTITION BY hr
+                                    ORDER BY kmv_h) AS rn
+          FROM h),
+        p AS (SELECT hr, kmv_h FROM r WHERE rn <= 64),
+        t AS (SELECT DISTINCT hr AS hour FROM p),
+        u AS (
+          SELECT DISTINCT t.hour, p.kmv_h
+          FROM t JOIN p ON p.hr <= t.hour
+                       AND p.hr >= t.hour - INTERVAL 5 HOUR),
+        rr AS (
+          SELECT hour, kmv_h,
+                 ROW_NUMBER() OVER (PARTITION BY hour
+                                    ORDER BY kmv_h) AS rn
+          FROM u),
+        a AS (SELECT hour, COUNT(*) AS n, MAX(kmv_h) AS hk
+              FROM rr WHERE rn <= 64 GROUP BY 1)
+        SELECT hour,
+               CAST(CASE WHEN n < 64 THEN n
+                    ELSE (63 * CAST(1152921504606846976 AS HUGEINT))
+                         // hk END AS BIGINT) AS n_distinct_est
+        FROM a""")
+
+    # JL random projection (round 8, wave 5): Rademacher +-1 projection
+    # to 16 dims from the deterministic md5 sign matrix
+    # (operators/similarity.jl_sign_matrix) — distance-preserving
+    # pre-reduction ahead of ANN/clustering; a pure per-row fold, no
+    # shuffle, no UDF.  The oracle regenerates the identical matrix.
+    from ..operators.similarity import jl_sign_matrix, random_projection
+
+    _JL = jl_sign_matrix(16, 64)
+    _jl_cols = ",\n               ".join(
+        "ROUND(list_sum(list_transform(list_zip(embedding, ["
+        + ", ".join(f"{float(s)}" for s in row)
+        + "]), p -> CAST(p[1] AS DOUBLE) * p[2])), 4) AS p" + str(j)
+        for j, row in enumerate(_JL))
+
+    add("emb_random_projection",
+        lambda spark, sf: random_projection(_emb(spark, sf), 16),
+        f"""SELECT vec_id,
+               {_jl_cols}
+        FROM embeddings""")

@@ -2010,3 +2010,49 @@ def test_kmv_overlap_contracts(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         SK.kmv_overlap(part, "g", k=1)
+
+
+def test_kmv_sliding_estimate(spark):
+    """kmv_sliding_estimate: below-k windows are EXACT trailing
+    distinct counts (values active in several trailing hours count
+    once); one output row per active hour."""
+    import datetime as dt
+
+    from olap_xtrctr_spark.operators import sketches as SK
+
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    rows = []
+    # hour h has users u{h*3}..u{h*3+4} -> overlap of 2 with next hour
+    for h in range(8):
+        for i in range(6):
+            rows.append((base + dt.timedelta(hours=h, minutes=i),
+                         f"u{h * 3 + i}"))
+    df = spark.createDataFrame(rows, "ts timestamp, user string")
+    out = {r["hour"].hour: r["n_distinct_est"]
+           for r in SK.kmv_sliding_estimate(df, "ts", "user",
+                                            window_hours=3).collect()}
+    assert len(out) == 8
+    for h in range(8):
+        lo = max(0, h - 2) * 3
+        exact = len({f"u{j * 3 + i}" for j in range(max(0, h - 2), h + 1)
+                     for i in range(6)})
+        assert out[h] == exact, (h, out[h], exact)
+
+
+def test_jl_random_projection(spark):
+    """random_projection: deterministic across calls, and the JL map
+    roughly preserves relative distances (identical vectors stay
+    identical, far vectors stay far)."""
+    from olap_xtrctr_spark.operators.similarity import (jl_sign_matrix,
+                                                        random_projection)
+
+    assert jl_sign_matrix(2, 4) == jl_sign_matrix(2, 4)
+    vecs = [(0, [1.0] * 8), (1, [1.0] * 8), (2, [-1.0] * 8)]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
+    out = {r["vec_id"]: [r[f"p{j}"] for j in range(4)]
+           for r in random_projection(df, 4).collect()}
+    assert out[0] == out[1]                      # identical stays identical
+    assert out[2] == [-v for v in out[0]]        # linearity
+    out2 = {r["vec_id"]: [r[f"p{j}"] for j in range(4)]
+            for r in random_projection(df, 4).collect()}
+    assert out == out2

@@ -556,3 +556,43 @@ def test_ytd_running_total(spark, sf_dir):
         parse_measure_expr("SUM(YTD(5), [Measures].[Sum Quantity])")
     with pytest.raises(MeasureExprError, match="SUM"):
         parse_measure_expr("SUM([Measures].[Sum Quantity])")
+
+
+def test_lastperiods_rolling_window(spark, sf_dir):
+    """SUM(LASTPERIODS(3, ...)): trailing window CROSSES year
+    boundaries (unlike YTD) — January's window includes the previous
+    year's Nov+Dec; head rows are ragged (1- and 2-row windows)."""
+    import pytest
+
+    from olap_xtrctr_spark.cube import default_registry
+    from olap_xtrctr_spark.mdx import parse_mdx
+    from olap_xtrctr_spark.query import (CubeQueryEngine,
+                                         MeasureExprError,
+                                         parse_measure_expr)
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    out = eng.execute(parse_mdx(
+        "WITH MEMBER [Measures].[R3] AS "
+        "SUM(LASTPERIODS(3, [D Tiempo].[Calendario].CurrentMember), "
+        "[Measures].[Sum Quantity]) "
+        "SELECT { [Measures].[Sum Quantity], [Measures].[R3] } "
+        "ON COLUMNS, [D Tiempo].[Calendario].[Mes].MEMBERS "
+        "DIMENSION PROPERTIES MEMBER_CAPTION ON ROWS FROM [sales]",
+        "VENTAS_2025")).collect()
+    months = ["Enero", "Febrero", "Marzo", "Abril", "Mayo", "Junio",
+              "Julio", "Agosto", "Septiembre", "Octubre", "Noviembre",
+              "Diciembre"]
+    rows = sorted(out, key=lambda r: (r["anio"], months.index(r["mes"])))
+    qty = [r["sum_quantity"] for r in rows]
+    for i, r in enumerate(rows):
+        want = sum(qty[max(0, i - 2):i + 1])
+        assert r["r3"] == pytest.approx(want), (r["anio"], r["mes"])
+    # January (beyond the first year) must include prior-year months
+    jan_idx = next(i for i, r in enumerate(rows)
+                   if r["mes"] == "Enero" and i >= 2)
+    assert rows[jan_idx]["r3"] == pytest.approx(
+        sum(qty[jan_idx - 2:jan_idx + 1]))
+
+    with pytest.raises(MeasureExprError, match="LASTPERIODS"):
+        parse_measure_expr(
+            "SUM(LASTPERIODS(0, [D Tiempo].[Calendario]), "
+            "[Measures].[Sum Quantity])")
