@@ -34,7 +34,9 @@ backend/actions_runner.py:220-249, frontend/src/utils/mdxBuilder.ts:4-40):
       row hierarchies) and the year-to-date running total
       SUM(YTD([Dim].[Hier][.CurrentMember]), <expr>)
       (query.YtdRef: ancestor levels partition, leaf ordinal orders,
-      DECIMAL(18,4) accumulation)
+      DECIMAL(18,4) accumulation) and the trailing window
+      SUM(LASTPERIODS(n, [Dim].[Hier][.CurrentMember]), <expr>)
+      (query.LastPeriodsRef: crosses parent boundaries, n-row frame)
 
 DMV dialect:
 

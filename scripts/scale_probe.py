@@ -216,6 +216,13 @@ PROBE_QUERIES = [
     "events_bloom_semijoin",
     "docs_token_pmi_top",
     "cube_region_ytd",
+    # round-8 wave 5: sliding KMV re-merges sketch state per window
+    # position (hours x 64 x 6 rows, corpus-independent after the one
+    # distinct pass); LASTPERIODS is an axis window; JL projection is
+    # a scan-speed per-row fold (10x rows -> ~10x, no shuffle)
+    "events_sliding_distinct_users",
+    "cube_rolling_quarter",
+    "emb_random_projection",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
