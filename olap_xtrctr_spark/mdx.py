@@ -25,6 +25,10 @@ backend/actions_runner.py:220-249, frontend/src/utils/mdxBuilder.ts:4-40):
            | [Dim].[Hier].Levels(n).MEMBERS
            | [Dim].[Hier].MEMBERS
 
+    WITH SET [Name] AS '{ <member>, ... }'
+      — named set, expanded into its [Name] references before set
+      parsing (SSAS query-scoped named sets; build_mdx emits the
+      expanded form)
     WITH MEMBER [Measures].[name] AS <arith over [Measures].[X] refs>
       — extension; the arithmetic subset also accepts the SSAS
       period-over-period tuple
@@ -215,6 +219,15 @@ _CALC_DEF = re.compile(
     r"(?=MEMBER\s+\[Measures\]|$)",
     re.IGNORECASE | re.DOTALL)
 
+# WITH SET [Name] AS '{...}' — a named set is pure syntax sugar: its
+# text replaces every [Name] reference in the SELECT before set parsing
+# (SSAS scopes named sets to the query; no engine state needed).
+# build_mdx emits the EXPANDED set, so parse -> build -> parse is a
+# fixpoint even though the name itself is not round-tripped.
+_SET_DEF = re.compile(
+    r"SET\s+\[([^\]]+)\]\s+AS\s+'?(\{[^{}]*\})'?\s*",
+    re.IGNORECASE | re.DOTALL)
+
 
 def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
     flat = " ".join(mdx.split())
@@ -223,14 +236,21 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
     # reference's emitted subset; arithmetic validated by the engine's
     # measure-expression parser, never eval) --------------------------
     calcs: list[CalcMeasure] = []
-    mw = re.match(r"WITH\s+(?P<defs>MEMBER\s+.*?)\s*(?=SELECT\s)(?P<rest>.*)$",
-                  flat, re.IGNORECASE)
+    mw = re.match(
+        r"WITH\s+(?P<defs>(?:MEMBER|SET)\s+.*?)\s*(?=SELECT\s)(?P<rest>.*)$",
+        flat, re.IGNORECASE)
     if mw:
-        for name, expr in _CALC_DEF.findall(mw.group("defs")):
+        defs = mw.group("defs")
+        set_defs = _SET_DEF.findall(defs)
+        defs = _SET_DEF.sub("", defs)
+        for name, expr in _CALC_DEF.findall(defs):
             calcs.append(CalcMeasure(name.strip(), expr.strip()))
-        if not calcs:
-            raise MdxParseError(f"WITH clause without MEMBER defs: {mdx!r}")
+        if not calcs and not set_defs:
+            raise MdxParseError(
+                f"WITH clause without MEMBER/SET defs: {mdx!r}")
         flat = mw.group("rest").strip()
+        for sname, sexpr in set_defs:
+            flat = flat.replace(f"[{sname}]", sexpr.strip())
 
     m = re.match(
         r"SELECT\s+(?P<cols>.*?)\s+ON\s+COLUMNS\s*,\s*(?P<rows>.*?)\s+ON\s+ROWS"

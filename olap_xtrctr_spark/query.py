@@ -138,14 +138,14 @@ class HeadTailSpec:
 _EXPR_TOKEN = re.compile(
     r"\s*(\[Measures\]\s*\.\s*\[[^\]]+\]"
     r"|\[[^\]]+\]\s*\.\s*\[[^\]]+\](?:\s*\.\s*(?i:CURRENTMEMBER))?"
-    r"\s*\.\s*(?i:PREVMEMBER)"
+    r"\s*\.\s*(?i:PREVMEMBER|NEXTMEMBER)"
     r"|\[[^\]]+\]\s*\.\s*\[[^\]]+\](?:\s*\.\s*(?i:CURRENTMEMBER))?"
     r"|[A-Za-z_]+"
     r"|\d+\.\d+|\d+|>=|<=|<>|[-+*/(),><=])")
 _MEASURE_REF = re.compile(r"\[Measures\]\s*\.\s*\[([^\]]+)\]")
 _PREV_REF = re.compile(
     r"\[([^\]]+)\]\s*\.\s*\[([^\]]+)\](?:\s*\.\s*CURRENTMEMBER)?"
-    r"\s*\.\s*PREVMEMBER", re.IGNORECASE)
+    r"\s*\.\s*(PREVMEMBER|NEXTMEMBER)", re.IGNORECASE)
 
 
 @dataclass(eq=False)
@@ -162,10 +162,12 @@ class LagRef:
     empty cell.  Note the lag runs over the rows the axis actually
     materialized (post NON-EMPTY): a period with no fact rows is
     skipped, exactly as the SQL ``LAG() OVER (ORDER BY period)`` on an
-    aggregated table skips it."""
+    aggregated table skips it.  ``forward=True`` is the NextMember
+    tuple (lead(): the last member of each partition reports NULL)."""
     dimension: str
     hierarchy: str
     col: Column
+    forward: bool = False
 
 
 @dataclass(eq=False)
@@ -252,17 +254,19 @@ def parse_measure_expr(expr: str):
                 if not mm:
                     raise MeasureExprError(
                         f"tuple second element must be "
-                        f"[Dim].[Hier].PrevMember, got {pm!r} in {expr!r}")
+                        f"[Dim].[Hier].PrevMember/NextMember, "
+                        f"got {pm!r} in {expr!r}")
                 if take() != ")":
                     raise MeasureExprError(f"unbalanced parens in {expr!r}")
                 dim, hier = mm.group(1).strip(), mm.group(2).strip()
+                fwd = mm.group(3).upper() == "NEXTMEMBER"
                 # non-string ref marker: consumers that resolve measure
                 # NAMES must skip it; the engine uses it to know which
                 # axis orders the lag window (and to group by that
                 # axis's ordinal columns for chronological order)
                 refs.append(("__prevmember__", dim, hier))
-                return (lambda inner, d=dim, h=hier:
-                        lambda r: r(LagRef(d, h, inner(r))))(f)
+                return (lambda inner, d=dim, h=hier, fw=fwd:
+                        lambda r: r(LagRef(d, h, inner(r), fw)))(f)
             if nxt != ")":
                 raise MeasureExprError(f"unbalanced parens in {expr!r}")
             return f
@@ -918,7 +922,8 @@ class CubeQueryEngine:
                     w = SqlWindow.partitionBy(
                         *[F.col(g) for g in others]).orderBy(
                         *[F.col(ordinal_names.get(g, g)) for g in order])
-                    return F.lag(name.col).over(w)
+                    step = F.lead if name.forward else F.lag
+                    return step(name.col).over(w)
                 if isinstance(name, LastPeriodsRef):
                     # trailing n members at the level, crossing parent
                     # boundaries: the FULL axis order (ancestors then

@@ -134,6 +134,8 @@ _R8_NEW = [
     "cube_rolling_quarter",              # NEW r8 (LASTPERIODS window)
     "events_sliding_distinct_users",     # NEW r8 (sliding KMV merge)
     "emb_random_projection",             # NEW r8 (JL sign projection)
+    "cube_next_month_delta",             # NEW r8 (NextMember lead)
+    "cube_named_set_rows",               # NEW r8 (WITH SET expansion)
 ]
 _GATE_FRONT = _GATE_FRONT[:-len(_R8_NEW)] + _R8_NEW
 

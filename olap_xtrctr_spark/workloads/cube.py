@@ -490,3 +490,45 @@ def register_r7(add) -> None:
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                  AS DOUBLE) AS roll3_qty
         FROM a""")
+
+    # NextMember (round 8, wave 6): the forward tuple — next period's
+    # value minus the current one (lead(); the last period reports
+    # NULL, SSAS's empty cell).
+    add("cube_next_month_delta",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "WITH MEMBER [Measures].[Next Delta] AS "
+            "([Measures].[Sum Quantity], [D Tiempo].[Calendario]"
+            ".NextMember) - [Measures].[Sum Quantity] "
+            "SELECT { [Measures].[Sum Quantity], "
+            "[Measures].[Next Delta] } ON COLUMNS, "
+            "[D Tiempo].[Calendario].[Mes].MEMBERS "
+            "DIMENSION PROPERTIES MEMBER_CAPTION ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH a AS (
+          SELECT CAST(year(l_shipdate) AS INTEGER) AS anio,
+                 {MES_CASE} AS mes, month(l_shipdate) AS mn,
+                 {SUM_D('l_quantity')} AS sum_quantity
+          FROM lineitem
+          GROUP BY 1, 2, 3)
+        SELECT anio, mes, sum_quantity,
+               LEAD(sum_quantity) OVER (ORDER BY anio, mn)
+                 - sum_quantity AS next_delta
+        FROM a""")
+
+    # WITH SET named sets (round 8, wave 6): query-scoped set
+    # definition referenced on the row axis — expanded at parse time
+    # (the SSAS named-set sugar), so the engine sees the member
+    # literals and the plan is the usual pushed key filter.
+    add("cube_named_set_rows",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "WITH SET [Mis Regiones] AS "
+            "'{ [Dim Customer].[Geografía].[Region].&[1], "
+            "[Dim Customer].[Geografía].[Region].&[3] }' "
+            "SELECT { [Measures].[Sum Extendedprice] } ON COLUMNS, "
+            "[Mis Regiones] ON ROWS FROM [sales]", CATALOG)),
+        f"""WITH {_OW}
+        SELECT cust_region AS region,
+               {SUM_D('l_extendedprice')} AS sum_extendedprice
+        FROM {_FACT_OW}
+        WHERE cust_region_key IN (1, 3)
+        GROUP BY 1""")

@@ -40,9 +40,15 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    # "@window" replicates the driver's grading scope: the first 50
+    # entries of queries() at the given sf_dir.
+    window = set(list(qs)[:50]) if FILT == "@window" else None
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
-        if FILT and FILT not in name:
+        if window is not None:
+            if name not in window:
+                continue
+        elif FILT and FILT not in name:
             continue
         try:
             df = fn(spark, SF)

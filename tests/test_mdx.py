@@ -699,3 +699,35 @@ def test_parse_prevmember_tuple_roundtrip():
     assert "Sum Quantity" in [r for r in refs if isinstance(r, str)]
     assert ("__prevmember__", "D Tiempo", "Calendario") in [
         r for r in refs if not isinstance(r, str)]
+
+
+def test_named_set_expansion_and_nextmember():
+    """WITH SET expands into its axis references (build_mdx emits the
+    expanded form — parse->build->parse is a fixpoint); NextMember
+    parses as the forward LagRef."""
+    from olap_xtrctr_spark.mdx import build_mdx, parse_mdx
+    from olap_xtrctr_spark.query import parse_measure_expr
+
+    req = parse_mdx(
+        "WITH SET [Two] AS '{ [Dim Customer].[Geografía].[Region].&[1], "
+        "[Dim Customer].[Geografía].[Region].&[3] }' "
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "[Two] ON ROWS FROM [sales]", "VENTAS_2025")
+    assert req.rows[0].members == [
+        "[Dim Customer].[Geografía].[Region].&[1]",
+        "[Dim Customer].[Geografía].[Region].&[3]"]
+    assert parse_mdx(build_mdx(req), "VENTAS_2025") == req
+
+    # SET + MEMBER interleaved in one WITH clause
+    req2 = parse_mdx(
+        "WITH SET [Two] AS '{ [Dim Customer].[Geografía].[Region].&[1] }' "
+        "MEMBER [Measures].[Dbl] AS [Measures].[Sum Quantity] * 2 "
+        "SELECT { [Measures].[Dbl] } ON COLUMNS, [Two] ON ROWS "
+        "FROM [sales]", "VENTAS_2025")
+    assert [c.name for c in req2.calculated] == ["Dbl"]
+    assert req2.rows[0].members
+
+    _, refs = parse_measure_expr(
+        "([Measures].[Sum Quantity], [D Tiempo].[Calendario].NextMember)")
+    assert ("__prevmember__", "D Tiempo", "Calendario") in [
+        r for r in refs if not isinstance(r, str)]
