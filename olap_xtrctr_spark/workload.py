@@ -107,7 +107,10 @@ _GATE_FRONT = [
 
 # NEW round-8 entries enter the front as they land, displacing the r4
 # tail (displaced entries keep their green r4 rows + the local gate and
-# rotate next round).
+# rotate next round).  By wave 6 the displacement reached 3 entries of
+# the r3 block (events_type_user_distinct / top_hours_per_type /
+# user_activity — simple aggs, pytest + local-gate covered): rotate
+# those back in FIRST in round 9, ahead of the r4 block.
 _R8_NEW = [
     "cube_descendants_region_nations",   # NEW r8 (DESCENDANTS nav)
     "cube_ancestor_region_rollup",       # NEW r8 (ANCESTOR rollup)
