@@ -223,6 +223,10 @@ PROBE_QUERIES = [
     "events_sliding_distinct_users",
     "cube_rolling_quarter",
     "emb_random_projection",
+    # round-8 wave 6: lead() mirror of the PrevMember window; named
+    # set expands to the pushed region-key filter
+    "cube_next_month_delta",
+    "cube_named_set_rows",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
