@@ -195,7 +195,12 @@ def bloom_semi_join(probe: DataFrame, build: DataFrame, key_col: str,
     False-positive rate at default (m=8192, k=4): standard
     (1 - e^{-kn/m})^k — ~2.4% at n=1000 keys; saturation degrades
     gracefully toward a no-op prefilter, never wrong results."""
-    bits = bloom_positions(build, key_col, m_bits, k_hashes, salt)
+    if "_bloom_pos" in probe.columns or "_bpos" in probe.columns:
+        raise ValueError(
+            "bloom_semi_join: probe side may not carry reserved "
+            "columns _bloom_pos/_bpos")
+    bits = (bloom_positions(build, key_col, m_bits, k_hashes, salt)
+            .withColumnRenamed("pos", "_bloom_pos"))
     filtered = probe
     for i in range(k_hashes):
         h = F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
@@ -204,7 +209,8 @@ def bloom_semi_join(probe: DataFrame, build: DataFrame, key_col: str,
                % m_bits)
         filtered = (filtered.withColumn("_bpos", pos)
                     .join(F.broadcast(bits),
-                          F.col("_bpos") == F.col("pos"), "left_semi")
+                          F.col("_bpos") == F.col("_bloom_pos"),
+                          "left_semi")
                     .drop("_bpos"))
     keys = build.select(key_col).distinct()
     return filtered.join(keys, key_col, "left_semi")

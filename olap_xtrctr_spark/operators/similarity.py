@@ -674,7 +674,10 @@ def random_projection(emb: DataFrame, out_dims: int = 16,
     ROUND(.,4) freezes the result like emb_norms/cosine).  At 100 TB
     this runs at scan speed and composes with every downstream ANN
     path."""
-    in_dims = len(emb.select(vec_col).first()[0])
+    head = emb.select(vec_col).first()
+    if head is None:
+        raise ValueError("random_projection: empty embedding table")
+    in_dims = len(head[0])
     mat = jl_sign_matrix(out_dims, in_dims, salt)
     cols = []
     for j, row in enumerate(mat):
