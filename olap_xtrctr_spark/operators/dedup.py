@@ -1177,6 +1177,40 @@ def winnow_span_dedup(docs: DataFrame, text_col: str = "text",
                     .cast("bigint").alias("n_tokens_removed")))
 
 
+def _minhash_sig_md5(docs: DataFrame, text_col: str, id_col: str,
+                     n: int, num_hashes: int) -> DataFrame:
+    """md5-family MinHash signature table (one wide row per doc):
+    h1 = 48-bit md5 prefix of the shingle, h2 = 32-bit md5 prefix of
+    shingle||':2', minhash_i = MIN(h1 + i*h2) — Kirsch-Mitzenmacher,
+    overflow-free in a signed 64-bit int, bit-reproducible in SQL."""
+    ex = shingle_docs(docs, text_col, id_col, n, distinct=False)
+    h1 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10) \
+        .cast("bigint")
+    h2 = F.conv(F.substring(
+        F.md5(F.concat(F.col("shingle"), F.lit(":2"))), 1, 8), 16, 10) \
+        .cast("bigint")
+    ex = ex.select(id_col, h1.alias("_h1"), h2.alias("_h2"))
+    mins = [F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"h{i}")
+            for i in range(num_hashes)]
+    return ex.groupBy(id_col).agg(*mins)
+
+
+def _minhash_bands_md5(sig: DataFrame, id_col: str, num_hashes: int,
+                       bands: int) -> DataFrame:
+    """(id, band, bucket) rows from a signature table: bucket = md5 of
+    the comma-joined band slice."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}").cast("string")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *cols)).alias("bucket")))
+    return (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bb"))
+            .select(id_col, "bb.band", "bb.bucket"))
+
+
 def minhash_lsh_pairs_md5(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", n: int = 3,
                           num_hashes: int = 16, bands: int = 4,
@@ -1202,28 +1236,8 @@ def minhash_lsh_pairs_md5(docs: DataFrame, text_col: str = "text",
     if num_hashes % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_hashes "
                          f"({num_hashes})")
-    ex = shingle_docs(docs, text_col, id_col, n, distinct=False)
-    h1 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10) \
-        .cast("bigint")
-    h2 = F.conv(F.substring(
-        F.md5(F.concat(F.col("shingle"), F.lit(":2"))), 1, 8), 16, 10) \
-        .cast("bigint")
-    ex = ex.select(id_col, h1.alias("_h1"), h2.alias("_h2"))
-    mins = [F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"h{i}")
-            for i in range(num_hashes)]
-    sig = ex.groupBy(id_col).agg(*mins)
-
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"h{i}").cast("string")
-                for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws(",", *cols)).alias("bucket")))
-    banded = sig.select(
-        id_col, F.explode(F.array(*band_cols)).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    sig = _minhash_sig_md5(docs, text_col, id_col, n, num_hashes)
+    banded = _minhash_bands_md5(sig, id_col, num_hashes, bands)
     cand = (banded.alias("a")
             .join(banded.alias("b"),
                   (F.col("a.band") == F.col("b.band"))
@@ -1344,3 +1358,69 @@ def dedup_weights(docs: DataFrame, text_col: str = "text",
                   .cast("bigint").alias("weight_capped"),
                  F.countDistinct(source_col).cast("bigint")
                   .alias("n_sources")))
+
+
+def minhash_incremental_pairs_md5(new_docs: DataFrame,
+                                  seen_docs: DataFrame,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id", n: int = 3,
+                                  num_hashes: int = 16, bands: int = 4,
+                                  threshold: float = 0.5) -> DataFrame:
+    """Incremental near-dup detection: score a NEW batch against an
+    EXISTING corpus — the daily-crawl pattern — with NO self-join on
+    either side.  Both sides carry md5 MinHash signatures
+    (:func:`_minhash_sig_md5`); candidates come from joining the new
+    batch's band buckets against the seen side's banded table only, so
+    the work is |new batch| x bucket-hit-rate, never |corpus|^2.  At
+    100 TB the seen side's (id, band, bucket) + signature tables are
+    the PERSISTED artifact (append per ingested batch — the bucketed
+    seen-store discipline of ``sources/bucketing``); each new batch
+    shingles itself, probes the store, and appends its own rows.
+
+    Output: (new_id, seen_id, est_jaccard) with the same
+    signature-agreement estimate and ``threshold`` as the batch
+    operator.  Oracle-exact (md5 family)."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes "
+                         f"({num_hashes})")
+    sig_new = _minhash_sig_md5(new_docs, text_col, id_col, n, num_hashes)
+    sig_seen = _minhash_sig_md5(seen_docs, text_col, id_col, n,
+                                num_hashes)
+    bn = _minhash_bands_md5(sig_new, id_col, num_hashes, bands)
+    bs = _minhash_bands_md5(sig_seen, id_col, num_hashes, bands)
+    cand = (bn.alias("a")
+            .join(bs.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.bucket") == F.col("b.bucket")))
+            .select(F.col(f"a.{id_col}").alias("new_id"),
+                    F.col(f"b.{id_col}").alias("seen_id"))
+            .dropDuplicates(["new_id", "seen_id"]))
+    sa = sig_new.select(F.col(id_col).alias("new_id"),
+                        *[F.col(f"h{i}").alias(f"a{i}")
+                          for i in range(num_hashes)])
+    sb = sig_seen.select(F.col(id_col).alias("seen_id"),
+                         *[F.col(f"h{i}").alias(f"b{i}")
+                           for i in range(num_hashes)])
+    scored = cand.join(sa, "new_id").join(sb, "seen_id")
+    sim = sum([(F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+               for i in range(num_hashes)]) / num_hashes
+    return (scored.filter(sim >= threshold)
+                  .withColumn("est_jaccard", F.round(sim, 4))
+                  .select("new_id", "seen_id", "est_jaccard"))
+
+
+def keep_best(docs: DataFrame, score_col: str, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Quality-priority exact dedup: one survivor per duplicate text
+    group — the HIGHEST-``score_col`` copy (ties by lowest id), not
+    the first-seen one.  The curation-correct survivor rule when
+    copies differ in metadata quality (a clean mirror beats a
+    boilerplate-wrapped crawl of the same body).  One md5-keyed
+    window; shuffle carries (digest, score, id), never bodies twice."""
+    key = F.md5(F.encode(F.col(text_col), "UTF-8"))
+    w = Window.partitionBy("text_hash").orderBy(
+        F.desc(score_col), F.asc(id_col))
+    return (docs.withColumn("text_hash", key)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "text_hash", F.col(score_col)))

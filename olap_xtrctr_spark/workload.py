@@ -139,6 +139,8 @@ _R8_NEW = [
     "emb_random_projection",             # NEW r8 (JL sign projection)
     "cube_next_month_delta",             # NEW r8 (NextMember lead)
     "cube_named_set_rows",               # NEW r8 (WITH SET expansion)
+    "docs_incremental_near_dups",        # NEW r8 (batch-vs-corpus LSH)
+    "docs_dedup_keep_best",              # NEW r8 (quality-priority keep)
 ]
 _GATE_FRONT = _GATE_FRONT[:-len(_R8_NEW)] + _R8_NEW
 

@@ -604,3 +604,84 @@ def register_r8(add) -> None:
         f"""SELECT vec_id,
                {_jl_cols}
         FROM embeddings""")
+
+    # Incremental near-dup detection (round 8, wave 6): the daily-crawl
+    # pattern — the NEW half of the corpus (hash-split) scored against
+    # the SEEN half via band-bucket probes only; no self-join on either
+    # side (operators/dedup.minhash_incremental_pairs_md5).  Same md5
+    # family as docs_minhash_lsh_pairs_exact, so fully oracle-exact.
+    _INCB = SM.hash_bucket_sql("doc_id", "incr-near-v1")
+
+    def _incr_near(spark, sf):
+        from ..operators.sampling import _hash_bucket
+        docs = _docs(spark, sf)
+        b = _hash_bucket(F.col("doc_id"), "incr-near-v1")
+        return D.minhash_incremental_pairs_md5(
+            docs.filter(b >= 5000), docs.filter(b < 5000),
+            n=3, num_hashes=16, bands=4, threshold=0.5)
+
+    add("docs_incremental_near_dups", _incr_near,
+        rf"""WITH toks AS (
+          SELECT doc_id, ({_INCB} >= 5000) AS is_new,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, is_new,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          FROM toks),
+        hs AS (
+          SELECT doc_id, is_new,
+                 TRY_CAST(concat('0x', substr(md5(shingle), 1, 12))
+                   AS BIGINT) AS h1,
+                 TRY_CAST(concat('0x', substr(md5(concat(shingle, ':2')),
+                   1, 8)) AS BIGINT) AS h2
+          FROM sh),
+        sig AS (
+          SELECT doc_id, is_new, r.i, MIN(h1 + r.i * h2) AS m
+          FROM hs, range(16) r(i) GROUP BY 1, 2, 3),
+        bnd AS (
+          SELECT doc_id, is_new, i // 4 AS band,
+                 md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i))
+                   AS bucket
+          FROM sig GROUP BY doc_id, is_new, i // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS seen_id
+          FROM bnd a JOIN bnd b
+            ON a.band = b.band AND a.bucket = b.bucket
+          WHERE a.is_new AND NOT b.is_new),
+        eq AS (
+          SELECT c.new_id, c.seen_id,
+                 SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS k
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.new_id
+          JOIN sig sb ON sb.doc_id = c.seen_id AND sb.i = sa.i
+          GROUP BY 1, 2)
+        SELECT new_id, seen_id, ROUND(k / 16.0, 4) AS est_jaccard
+        FROM eq WHERE k / 16.0 >= 0.5""")
+
+    # Quality-priority dedup survivor (round 8, wave 6): keep the
+    # highest-priority copy per duplicate text (curated source beats
+    # crawl), not the first-seen one (operators/dedup.keep_best).
+    def _keep_best(spark, sf):
+        docs = _docs(spark, sf).withColumn(
+            "src_priority",
+            F.when(F.col("source") == "src0", F.lit(2))
+             .when(F.col("source") == "src1", F.lit(1))
+             .otherwise(F.lit(0)))
+        return D.keep_best(docs, "src_priority")
+
+    add("docs_dedup_keep_best", _keep_best,
+        """SELECT doc_id, md5(text) AS text_hash, src_priority
+        FROM (
+          SELECT doc_id, text,
+                 CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+                      ELSE 0 END AS src_priority,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY text
+                   ORDER BY CASE source WHEN 'src0' THEN 2
+                                 WHEN 'src1' THEN 1 ELSE 0 END DESC,
+                            doc_id) AS rn
+          FROM documents)
+        WHERE rn = 1""")

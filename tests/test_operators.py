@@ -2056,3 +2056,39 @@ def test_jl_random_projection(spark):
     out2 = {r["vec_id"]: [r[f"p{j}"] for j in range(4)]
             for r in random_projection(df, 4).collect()}
     assert out == out2
+
+
+def test_minhash_incremental_and_keep_best(spark):
+    """(1) minhash_incremental_pairs_md5 finds new-vs-seen near-dups
+    without self-pairs on either side and matches the batch operator's
+    cross-side pairs; (2) keep_best keeps the highest-score copy per
+    duplicate text (ties by id); (3) bands must divide num_hashes."""
+    import pytest as _pytest
+
+    from olap_xtrctr_spark.operators import dedup as D
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, text, "s0"), (2, text + " iota", "s1"),
+            (10, text, "s2"), (11, "totally different words here now",
+                               "s0")]
+    docs = spark.createDataFrame(
+        rows, "doc_id int, text string, source string")
+    new = docs.filter("doc_id >= 10")
+    seen = docs.filter("doc_id < 10")
+    out = {(r["new_id"], r["seen_id"])
+           for r in D.minhash_incremental_pairs_md5(new, seen).collect()}
+    batch = {(max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+             for r in D.minhash_lsh_pairs_md5(docs).collect()
+             if (r["id_a"] >= 10) != (r["id_b"] >= 10)}
+    assert out == batch and (10, 1) in out
+    assert all(a >= 10 > b for a, b in out)      # strictly cross-side
+
+    with _pytest.raises(ValueError, match="divide"):
+        D.minhash_incremental_pairs_md5(new, seen, bands=5)
+
+    scored = docs.withColumn(
+        "prio", F.col("doc_id") % 10)       # doc 2's text unique; 1 vs 10
+    best = {r["doc_id"] for r in D.keep_best(scored, "prio").collect()}
+    # dup group {1, 10} (same text): doc 1 has prio 1, doc 10 prio 0
+    assert 1 in best and 10 not in best
+    assert 2 in best and 11 in best
