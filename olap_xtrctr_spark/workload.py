@@ -107,8 +107,9 @@ _GATE_FRONT = [
 
 # NEW round-8 entries enter the front as they land, displacing the r4
 # tail (displaced entries keep their green r4 rows + the local gate and
-# rotate next round).  By wave 6 the displacement reached 3 entries of
-# the r3 block (events_type_user_distinct / top_hours_per_type /
+# rotate next round).  By the end of round 8 the displacement reached
+# 5 entries of the r3 block (events_value_percentiles /
+# retention_cohorts / type_user_distinct / top_hours_per_type /
 # user_activity — simple aggs, pytest + local-gate covered): rotate
 # those back in FIRST in round 9, ahead of the r4 block.
 _R8_NEW = [
