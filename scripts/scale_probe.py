@@ -227,6 +227,11 @@ PROBE_QUERIES = [
     # set expands to the pushed region-key filter
     "cube_next_month_delta",
     "cube_named_set_rows",
+    # round-8 wave 6 dedup: incremental LSH probes seen-side buckets
+    # only (no self-join; replica flood deepens buckets ~FACTOR — the
+    # documented posting shape); keep_best is one digest-keyed window
+    "docs_incremental_near_dups",
+    "docs_dedup_keep_best",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
