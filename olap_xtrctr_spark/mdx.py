@@ -249,8 +249,19 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
             raise MdxParseError(
                 f"WITH clause without MEMBER/SET defs: {mdx!r}")
         flat = mw.group("rest").strip()
+        # Replace only STANDALONE [Name] references, and only in the
+        # axis text (before FROM): a set name that collides with a
+        # level/hierarchy segment ([D Tiempo].[Calendario].[Mes]) or
+        # the cube name must not be rewritten — path segments are
+        # always adjacent to a '.', standalone set refs never are.
+        mfrom = re.search(r"\sFROM\s", flat, re.IGNORECASE)
+        cut = mfrom.start() if mfrom else len(flat)
+        axes_part, rest_part = flat[:cut], flat[cut:]
         for sname, sexpr in set_defs:
-            flat = flat.replace(f"[{sname}]", sexpr.strip())
+            pat = re.compile(r"(?<!\.)\[" + re.escape(sname)
+                             + r"\](?!\s*\.)")
+            axes_part = pat.sub(lambda _m: sexpr.strip(), axes_part)
+        flat = axes_part + rest_part
 
     m = re.match(
         r"SELECT\s+(?P<cols>.*?)\s+ON\s+COLUMNS\s*,\s*(?P<rows>.*?)\s+ON\s+ROWS"

@@ -1360,22 +1360,44 @@ def dedup_weights(docs: DataFrame, text_col: str = "text",
                   .alias("n_sources")))
 
 
+def minhash_store_md5(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      num_hashes: int = 16,
+                      bands: int = 4) -> tuple[DataFrame, DataFrame]:
+    """The persistable seen-store for incremental near-dup detection:
+    ``(signatures, banded)`` for a corpus slice.  Write both once per
+    ingested batch (append-only); later batches probe them via
+    :func:`minhash_incremental_pairs_md5` without re-shingling the
+    corpus."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes "
+                         f"({num_hashes})")
+    sig = _minhash_sig_md5(docs, text_col, id_col, n, num_hashes)
+    return sig, _minhash_bands_md5(sig, id_col, num_hashes, bands)
+
+
 def minhash_incremental_pairs_md5(new_docs: DataFrame,
-                                  seen_docs: DataFrame,
+                                  seen_docs: DataFrame = None,
                                   text_col: str = "text",
                                   id_col: str = "doc_id", n: int = 3,
                                   num_hashes: int = 16, bands: int = 4,
-                                  threshold: float = 0.5) -> DataFrame:
+                                  threshold: float = 0.5,
+                                  seen_store: tuple | None = None
+                                  ) -> DataFrame:
     """Incremental near-dup detection: score a NEW batch against an
     EXISTING corpus — the daily-crawl pattern — with NO self-join on
-    either side.  Both sides carry md5 MinHash signatures
-    (:func:`_minhash_sig_md5`); candidates come from joining the new
-    batch's band buckets against the seen side's banded table only, so
-    the work is |new batch| x bucket-hit-rate, never |corpus|^2.  At
-    100 TB the seen side's (id, band, bucket) + signature tables are
-    the PERSISTED artifact (append per ingested batch — the bucketed
-    seen-store discipline of ``sources/bucketing``); each new batch
-    shingles itself, probes the store, and appends its own rows.
+    either side.  Candidates come from joining the new batch's band
+    buckets against the seen side's banded table only, so the join is
+    |new batch| x bucket-hit-rate, never |corpus|^2.
+
+    The seen side comes in one of two forms: ``seen_docs`` (raw
+    documents — convenient, but re-shingles the corpus every call) or
+    ``seen_store`` (the ``(signatures, banded)`` pair from
+    :func:`minhash_store_md5`, read back from its persisted parquet).
+    At 100 TB ALWAYS pass ``seen_store``: the store is the append-only
+    artifact each ingested batch extends, and the per-batch cost is
+    then the new batch's shingling plus the bucket probe — the corpus
+    is never re-read.
 
     Output: (new_id, seen_id, est_jaccard) with the same
     signature-agreement estimate and ``threshold`` as the batch
@@ -1383,11 +1405,17 @@ def minhash_incremental_pairs_md5(new_docs: DataFrame,
     if num_hashes % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_hashes "
                          f"({num_hashes})")
+    if (seen_docs is None) == (seen_store is None):
+        raise ValueError(
+            "pass exactly one of seen_docs / seen_store")
     sig_new = _minhash_sig_md5(new_docs, text_col, id_col, n, num_hashes)
-    sig_seen = _minhash_sig_md5(seen_docs, text_col, id_col, n,
-                                num_hashes)
     bn = _minhash_bands_md5(sig_new, id_col, num_hashes, bands)
-    bs = _minhash_bands_md5(sig_seen, id_col, num_hashes, bands)
+    if seen_store is not None:
+        sig_seen, bs = seen_store
+    else:
+        sig_seen = _minhash_sig_md5(seen_docs, text_col, id_col, n,
+                                    num_hashes)
+        bs = _minhash_bands_md5(sig_seen, id_col, num_hashes, bands)
     cand = (bn.alias("a")
             .join(bs.alias("b"),
                   (F.col("a.band") == F.col("b.band"))

@@ -212,5 +212,6 @@ def bloom_semi_join(probe: DataFrame, build: DataFrame, key_col: str,
                           F.col("_bpos") == F.col("_bloom_pos"),
                           "left_semi")
                     .drop("_bpos"))
-    keys = build.select(key_col).distinct()
-    return filtered.join(keys, key_col, "left_semi")
+    # left_semi is already existential: no distinct() on the build side
+    # (it would add a full exchange+aggregate for no semantic effect)
+    return filtered.join(build.select(key_col), key_col, "left_semi")

@@ -511,7 +511,7 @@ def kanon_release(df: DataFrame, parent_col: str, child_col: str,
 
 
 def cluster_split(docs: DataFrame, weights: dict[str, float],
-                  cluster_col: str, id_col: str = "doc_id",
+                  cluster_col: str,
                   salt: str = "split-v1") -> DataFrame:
     """Leakage-free train/val/test split: the split decision hashes the
     CLUSTER key (e.g. the canonical member id of a duplicate group)
@@ -521,23 +521,6 @@ def cluster_split(docs: DataFrame, weights: dict[str, float],
     emb_cross_split_leakage audit for; this operator prevents it by
     construction).
 
-    Same bucket arithmetic as :func:`hash_split` (md5(cluster:salt)
-    permille buckets), so the assignment is a pure projection once the
-    cluster key is on the row; reproducible by any engine."""
-    if not weights:
-        raise ValueError("weights must be non-empty")
-    total = sum(weights.values())
-    if total > 1.0 + 1e-9:
-        raise ValueError(f"weights sum to {total} > 1")
-    bucket = _hash_bucket(F.col(cluster_col), salt)
-    expr = None
-    lo = 0
-    names = list(weights)
-    for name in names[:-1]:
-        lo += int(round(weights[name] * _BUCKETS))
-        cond = bucket < lo
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
-            cond, F.lit(name))
-    last = F.lit(names[-1])
-    expr = last if expr is None else expr.otherwise(last)
-    return docs.withColumn("split", expr)
+    Exactly :func:`hash_split` keyed on the cluster column (delegates,
+    so the bucket arithmetic cannot drift between the two)."""
+    return hash_split(docs, weights, id_col=cluster_col, salt=salt)

@@ -939,10 +939,15 @@ class CubeQueryEngine:
                 # YTD: the axis's ancestor levels PARTITION (months
                 # accumulate within their year), the leaf level orders;
                 # DECIMAL(18,4) accumulation => order-independent,
-                # oracle-reproducible running sums
+                # oracle-reproducible running sums.  At the hierarchy's
+                # TOP level there is no parent period to accumulate
+                # within, and SSAS PeriodsToDate at the member's own
+                # grain yields {member} — partition by the leaf itself
+                # so each member reports its own value, never a
+                # cross-parent running total.
                 leaf = order[-1]
-                w = (SqlWindow.partitionBy(
-                        *[F.col(g) for g in others + order[:-1]])
+                part = others + (order[:-1] or [leaf])
+                w = (SqlWindow.partitionBy(*[F.col(g) for g in part])
                      .orderBy(F.col(ordinal_names.get(leaf, leaf)))
                      .rowsBetween(SqlWindow.unboundedPreceding,
                                   SqlWindow.currentRow))
@@ -996,10 +1001,13 @@ class CubeQueryEngine:
             else:
                 out = out.orderBy(*fwd).limit(req.head_tail.n)
         if calc_plan or req.having or req.topcount or req.order_by \
-                or req.head_tail:
+                or req.head_tail or ordinal_names:
             # project LAST to the SELECTED measures, so FILTER/TOPCOUNT/
             # ORDER can reference bases or calcs that are not in the
-            # output (Spark keeps the sort order across the projection)
+            # output (Spark keeps the sort order across the projection).
+            # ordinal_names forces the projection even when no declared
+            # calc was selected (calc_plan empty): the reserved _ord_*
+            # groupBy columns must never reach the result schema.
             out = out.select(*group_names, *out_aliases)
 
         if empty_preserving and group_names:

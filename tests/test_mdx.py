@@ -731,3 +731,25 @@ def test_named_set_expansion_and_nextmember():
         "([Measures].[Sum Quantity], [D Tiempo].[Calendario].NextMember)")
     assert ("__prevmember__", "D Tiempo", "Calendario") in [
         r for r in refs if not isinstance(r, str)]
+
+
+def test_named_set_no_collision_with_path_segments():
+    """A set name that collides with a level segment or the cube name
+    must not corrupt path references (only STANDALONE [Name] refs in
+    the axis text expand)."""
+    from olap_xtrctr_spark.mdx import parse_mdx
+
+    req = parse_mdx(
+        "WITH SET [Mes] AS '{ [Dim Customer].[Geografía].[Region].&[1] }' "
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "[D Tiempo].[Calendario].[Mes].MEMBERS ON ROWS FROM [sales]",
+        "VENTAS_2025")
+    # the [Mes] LEVEL path survived; the set was simply unused
+    assert req.rows[0].level == "Mes" and not req.rows[0].members
+
+    req2 = parse_mdx(
+        "WITH SET [sales] AS '{ [Dim Customer].[Geografía].[Region].&[1] }' "
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "[sales] ON ROWS FROM [sales]", "VENTAS_2025")
+    # the axis ref expanded, the FROM cube name did not
+    assert req2.rows[0].members

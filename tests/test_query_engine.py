@@ -596,3 +596,34 @@ def test_lastperiods_rolling_window(spark, sf_dir):
         parse_measure_expr(
             "SUM(LASTPERIODS(0, [D Tiempo].[Calendario]), "
             "[Measures].[Sum Quantity])")
+
+
+def test_prevmember_unselected_calc_no_ordinal_leak(spark, sf_dir):
+    """A declared-but-unselected PrevMember calc must not leak the
+    reserved _ord_* groupBy columns into the result schema; YTD at the
+    hierarchy's TOP level yields each member's own value (SSAS
+    PeriodsToDate at the member's grain), not a cross-year total."""
+    import pytest
+
+    from olap_xtrctr_spark.cube import default_registry
+    from olap_xtrctr_spark.mdx import parse_mdx
+    from olap_xtrctr_spark.query import CubeQueryEngine
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    out = eng.execute(parse_mdx(
+        "WITH MEMBER [Measures].[Unused] AS ([Measures].[Sum Quantity], "
+        "[D Tiempo].[Calendario].PrevMember) "
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "[D Tiempo].[Calendario].[Mes].MEMBERS "
+        "DIMENSION PROPERTIES MEMBER_CAPTION ON ROWS FROM [sales]",
+        "VENTAS_2025"))
+    assert out.columns == ["anio", "mes", "sum_quantity"]
+
+    ytd = eng.execute(parse_mdx(
+        "WITH MEMBER [Measures].[Y] AS "
+        "SUM(YTD([D Tiempo].[Calendario]), [Measures].[Sum Quantity]) "
+        "SELECT { [Measures].[Sum Quantity], [Measures].[Y] } "
+        "ON COLUMNS, [D Tiempo].[Calendario].[Año].MEMBERS "
+        "ON ROWS FROM [sales]", "VENTAS_2025")).collect()
+    assert len(ytd) > 1
+    for r in ytd:
+        assert r["y"] == pytest.approx(r["sum_quantity"])
