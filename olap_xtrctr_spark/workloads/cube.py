@@ -532,3 +532,32 @@ def register_r7(add) -> None:
         FROM {_FACT_OW}
         WHERE cust_region_key IN (1, 3)
         GROUP BY 1""")
+
+    # Composition (round 8, wave 7): FILTER over a PrevMember calc —
+    # the months whose quantity DECLINED vs the previous month.  The
+    # lag computes over the full axis first, the filter prunes after
+    # (the engine's calc -> having ordering), matching the oracle's
+    # window-then-WHERE.
+    add("cube_declining_months",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "WITH MEMBER [Measures].[Qty Delta] AS "
+            "[Measures].[Sum Quantity] - ([Measures].[Sum Quantity], "
+            "[D Tiempo].[Calendario].PrevMember) "
+            "SELECT { [Measures].[Sum Quantity], [Measures].[Qty Delta] } "
+            "ON COLUMNS, FILTER([D Tiempo].[Calendario].[Mes].MEMBERS, "
+            "[Measures].[Qty Delta] < 0) "
+            "DIMENSION PROPERTIES MEMBER_CAPTION ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH a AS (
+          SELECT CAST(year(l_shipdate) AS INTEGER) AS anio,
+                 {MES_CASE} AS mes, month(l_shipdate) AS mn,
+                 {SUM_D('l_quantity')} AS sum_quantity
+          FROM lineitem
+          GROUP BY 1, 2, 3),
+        d AS (
+          SELECT anio, mes, sum_quantity,
+                 sum_quantity - LAG(sum_quantity)
+                   OVER (ORDER BY anio, mn) AS qty_delta
+          FROM a)
+        SELECT anio, mes, sum_quantity, qty_delta
+        FROM d WHERE qty_delta < 0""")
