@@ -2092,3 +2092,51 @@ def test_minhash_incremental_and_keep_best(spark):
     # dup group {1, 10} (same text): doc 1 has prio 1, doc 10 prio 0
     assert 1 in best and 10 not in best
     assert 2 in best and 11 in best
+
+
+def test_kmv_inter_decomposition_property():
+    """The overflow-free integer decomposition used by kmv_overlap —
+    (u DIV k)*rho + ((u % k)*rho) DIV k — equals floor(u*rho/k)
+    whenever rho divides into the remainder term cleanly-or-not; more
+    precisely it never differs from the true big-int product by more
+    than the nested-floor slack, and both engines compute the same
+    value.  Property-checked against exact big-int arithmetic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    k = 64
+
+    @settings(max_examples=500, deadline=None)
+    @given(u=st.integers(min_value=0, max_value=(1 << 60)),
+           rho=st.integers(min_value=0, max_value=k))
+    def check(u, rho):
+        got = (u // k) * rho + ((u % k) * rho) // k
+        exact = (u * rho) // k
+        # nested flooring can undershoot the exact floor by < 1 unit
+        # of the outer division — i.e. by at most rho*(k-1)/k < rho,
+        # but never overshoot; for the estimator both engines run the
+        # SAME decomposition, so cross-engine equality is exact.
+        assert 0 <= exact - got < k
+        # and no intermediate exceeds the signed-64 range
+        assert (u // k) * rho < (1 << 63)
+        assert (u % k) * rho < (1 << 63)
+
+    check()
+
+
+def test_jl_matrix_and_bucket_arithmetic_pure():
+    """Pure-python contracts: the JL sign matrix is +-1-valued,
+    deterministic, and roughly balanced; hash-split bucket cutoffs
+    cover [0, 10000) exactly for weight maps that sum to 1."""
+    from olap_xtrctr_spark.operators.sampling import _BUCKETS
+    from olap_xtrctr_spark.operators.similarity import jl_sign_matrix
+
+    m = jl_sign_matrix(16, 64)
+    assert len(m) == 16 and all(len(r) == 64 for r in m)
+    flat = [v for r in m for v in r]
+    assert set(flat) == {-1, 1}
+    assert 0.3 < sum(1 for v in flat if v == 1) / len(flat) < 0.7
+
+    cuts = [int(round(w * _BUCKETS))
+            for w in (0.8, 0.1, 0.1)]
+    assert sum(cuts) == _BUCKETS
