@@ -232,6 +232,7 @@ PROBE_QUERIES = [
     # documented posting shape); keep_best is one digest-keyed window
     "docs_incremental_near_dups",
     "docs_dedup_keep_best",
+    "cube_declining_months",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
