@@ -289,3 +289,64 @@ def kmv_sliding_estimate(df: DataFrame, ts_col: str, value_col: str,
                        ["_h"], k=k)
     return (kmv_estimate(merged, ["_h"], k=k)
             .withColumnRenamed("_h", "hour"))
+
+
+# ---- bottom-k sample sketch (mergeable quantiles) --------------------------
+# The quantile complement to KMV: state is the k rows with the SMALLEST
+# md5 row-key hashes per group — a deterministic uniform row sample of
+# fixed size whose merge (k minima of the union) is exact, so per-shard
+# or per-hour state rolls up without re-reading raw data, and quantile
+# estimates are rank picks over the sampled values — pure integer
+# arithmetic + stored doubles, fully oracle-reproducible.
+
+def bottomk_partial(df: DataFrame, group_cols: list[str], key_col: str,
+                    value_col: str, k: int = 64,
+                    salt: str = "bk-v1") -> DataFrame:
+    """Per-group bottom-k sample state: the rows whose md5(key:salt)
+    hash is among the group's k smallest, carried as (group, bk_h,
+    value).  Because the hash order is a reproducible uniform
+    permutation of ROWS, the retained values are a uniform size-k
+    sample; merging shards re-takes the k minima of the union
+    (:func:`bottomk_merge`) — same discipline as KMV, but keeping the
+    VALUE alongside the hash so quantiles (not just cardinality) come
+    out of the sketch."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    h = F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
+                          F.lit(salt)))
+    hv = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+    w = Window.partitionBy(*group_cols).orderBy("bk_h")
+    return (df.select(*group_cols, hv.alias("bk_h"),
+                      F.col(value_col).alias("value"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def bottomk_merge(partials: DataFrame, group_cols: list[str],
+                  k: int = 64) -> DataFrame:
+    """Union per-shard bottom-k partials: re-take the k hash-minima
+    per group (rows are keyed by distinct row hashes, so the union
+    never double-counts a row)."""
+    dh = partials.select(*group_cols, "bk_h", "value").distinct()
+    w = Window.partitionBy(*group_cols).orderBy("bk_h")
+    return (dh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def bottomk_quantiles(partials: DataFrame, group_cols: list[str],
+                      ps: tuple = (0.5, 0.9, 0.99),
+                      names: tuple = ("q50", "q90", "q99")) -> DataFrame:
+    """Quantile estimates from bottom-k state: percentile_disc-style
+    rank picks over the sampled values (rank ceil(p*n), ties broken by
+    the row hash) — the deterministic-sample discipline of
+    events_value_quantiles_sampled applied to MERGEABLE bounded state.
+    Standard error ~ O(1/sqrt(k)) in rank space."""
+    w = Window.partitionBy(*group_cols).orderBy("value", "bk_h")
+    wn = Window.partitionBy(*group_cols)
+    ranked = (partials.withColumn("_rn", F.row_number().over(w))
+              .withColumn("_n", F.count(F.lit(1)).over(wn)))
+    picks = [F.max(F.when(
+        F.col("_rn") == F.expr(f"CAST(ceil({p} * _n) AS BIGINT)"),
+        F.col("value"))).alias(name)
+        for p, name in zip(ps, names)]
+    return ranked.groupBy(*group_cols).agg(*picks)

@@ -685,3 +685,42 @@ def register_r8(add) -> None:
                             doc_id) AS rn
           FROM documents)
         WHERE rn = 1""")
+
+    # Mergeable bottom-k quantile sketch (round 8, wave 7): the
+    # quantile complement to KMV — state is the k rows with smallest
+    # md5 row hashes per event type (a deterministic uniform sample
+    # whose shard merge is exact), estimates are rank picks over the
+    # sampled values (operators/sketches.bottomk_*).  Behind the gate
+    # window; rotates round 9.
+    def _bottomk_quant(spark, sf):
+        from ..operators import sketches as SK
+        ev = _load(spark, sf, "events")
+        part = SK.bottomk_partial(ev, ["event_type"], "event_id",
+                                  "value", k=64)
+        return SK.bottomk_quantiles(part, ["event_type"])
+
+    _BKH = ("TRY_CAST(concat('0x', substr(md5(concat(CAST(event_id AS "
+            "VARCHAR), ':bk-v1')), 1, 15)) AS BIGINT)")
+    add("events_bottomk_value_quantiles", _bottomk_quant,
+        rf"""WITH h AS (
+          SELECT event_type, {_BKH} AS bk_h, value FROM events),
+        r AS (
+          SELECT event_type, bk_h, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY bk_h) AS rn
+          FROM h),
+        p AS (SELECT event_type, bk_h, value FROM r WHERE rn <= 64),
+        rk AS (
+          SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value, bk_h) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM p)
+        SELECT event_type,
+               MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                        THEN value END) AS q50,
+               MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                        THEN value END) AS q90,
+               MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                        THEN value END) AS q99
+        FROM rk GROUP BY event_type""")

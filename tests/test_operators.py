@@ -2140,3 +2140,33 @@ def test_jl_matrix_and_bucket_arithmetic_pure():
     cuts = [int(round(w * _BUCKETS))
             for w in (0.8, 0.1, 0.1)]
     assert sum(cuts) == _BUCKETS
+
+
+def test_bottomk_sketch_merge_and_accuracy(spark):
+    """bottom-k sample sketch: (1) merging shard partials == sketching
+    the union (exact mergeability); (2) the sampled-median estimate
+    lands near the true median for a big group; (3) k<2 rejected."""
+    import pytest as _pytest
+
+    from olap_xtrctr_spark.operators import sketches as SK
+
+    rows = [(i % 3, i, float(i % 1000)) for i in range(6000)]
+    df = spark.createDataFrame(rows, "g int, k int, value double")
+
+    part = SK.bottomk_partial(df, ["g"], "k", "value", k=64)
+    a = SK.bottomk_partial(df.filter("k < 3000"), ["g"], "k", "value",
+                           k=64)
+    b = SK.bottomk_partial(df.filter("k >= 3000"), ["g"], "k", "value",
+                           k=64)
+    merged = {tuple(r) for r in
+              SK.bottomk_merge(a.unionByName(b), ["g"], k=64).collect()}
+    direct = {tuple(r) for r in part.collect()}
+    assert merged == direct
+
+    est = {r["g"]: r["q50"]
+           for r in SK.bottomk_quantiles(part, ["g"]).collect()}
+    for g, v in est.items():       # true median ~499.5; ~1/sqrt(64) err
+        assert abs(v - 499.5) < 150, (g, v)
+
+    with _pytest.raises(ValueError, match="k must be"):
+        SK.bottomk_partial(df, ["g"], "k", "value", k=1)
