@@ -233,6 +233,9 @@ PROBE_QUERIES = [
     "docs_incremental_near_dups",
     "docs_dedup_keep_best",
     "cube_declining_months",
+    # bottom-k quantile sketch: one distinct-free window over (type, hash)
+    # — state 64 rows/type regardless of corpus size
+    "events_bottomk_value_quantiles",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
