@@ -682,3 +682,102 @@ def register_r8(add) -> None:
                {SUM_D('value')} AS sum_value
         FROM events e JOIN b USING (user_id)
         GROUP BY 1""")
+
+    # STREAMING bottom-k fold (round 8, wave 7): quantiles over an
+    # unbounded stream with bounded state — per-batch bottom-k sample
+    # partials re-merged into a durable <=64-rows-per-type store (the
+    # merge is exact k-minima-of-union, order/batch-insensitive, so
+    # the folded state provably equals the one-shot batch sketch and
+    # the entry SHARES the batch oracle).  Completes the fold family:
+    # KMV (cardinality), CMS (frequency), bottom-k (quantiles).
+    def _stream_bottomk(spark, sf):
+        import os
+        import shutil
+
+        from ..operators import sketches as SK
+        ev = _events(spark, sf)
+        sig = str(os.path.getsize(f"{sf}/events.parquet"))
+        root = os.path.join("/tmp", "olap_xtrctr_bk_stream",
+                            os.path.basename(os.path.normpath(sf)))
+        marker = os.path.join(root, "_DEMO_SRC")
+        if not (os.path.exists(marker)
+                and open(marker).read().strip() == sig):
+            shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(os.path.join(root, "src"), exist_ok=True)
+            b1, b2 = ev.agg(
+                F.expr("percentile(event_id, 0.3333)"),
+                F.expr("percentile(event_id, 0.6667)")).first()
+            conds = [F.col("event_id") <= b1,
+                     (F.col("event_id") > b1) & (F.col("event_id") <= b2),
+                     F.col("event_id") > b2]
+            for i, cond in enumerate(conds):
+                tmp = os.path.join(root, f"_tmp{i}")
+                ev.filter(cond).coalesce(1).write.mode(
+                    "overwrite").parquet(tmp)
+                part = next(f for f in os.listdir(tmp)
+                            if f.startswith("part-")
+                            and f.endswith(".parquet"))
+                dst = os.path.join(root, "src", f"batch{i}.parquet")
+                shutil.move(os.path.join(tmp, part), dst)
+                shutil.rmtree(tmp)
+                os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+            with open(marker, "w") as fh:
+                fh.write(sig)
+        out = os.path.join(root, "out")
+        state: dict = {"part": None, "last": None}
+
+        def fold(batch, batch_id: int) -> None:
+            bspark = batch.sparkSession
+            store_dir = os.path.join(out, f"store_b{batch_id}")
+            prev_dir = os.path.join(out, f"store_b{batch_id - 1}")
+            part = state["part"]
+            if part is None and batch_id > 0:    # restart recovery
+                part = bspark.read.parquet(prev_dir)
+            new = SK.bottomk_partial(batch, ["event_type"], "event_id",
+                                     "value", k=64)
+            merged = new if part is None else SK.bottomk_merge(
+                part.unionByName(new), ["event_type"], k=64)
+            merged.write.mode("overwrite").parquet(store_dir)
+            state["part"] = bspark.read.parquet(store_dir)
+            state["last"] = store_dir
+
+        q = (spark.readStream.schema(ev.schema)
+             .option("maxFilesPerTrigger", 1)
+             .parquet(os.path.join(root, "src"))
+             .writeStream.foreachBatch(fold)
+             .option("checkpointLocation", os.path.join(root, "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        import glob as _glob
+        last = state["last"] or sorted(
+            _glob.glob(os.path.join(out, "store_b*")))[-1]
+        from ..operators import sketches as SK2
+        return SK2.bottomk_quantiles(spark.read.parquet(last),
+                                     ["event_type"])
+
+    _BKH2 = ("TRY_CAST(concat('0x', substr(md5(concat(CAST(event_id AS "
+             "VARCHAR), ':bk-v1')), 1, 15)) AS BIGINT)")
+    add("events_stream_bottomk_quantiles", _stream_bottomk,
+        rf"""WITH h AS (
+          SELECT event_type, {_BKH2} AS bk_h, value FROM events),
+        r AS (
+          SELECT event_type, bk_h, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY bk_h) AS rn
+          FROM h),
+        p AS (SELECT event_type, bk_h, value FROM r WHERE rn <= 64),
+        rk AS (
+          SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value, bk_h) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM p)
+        SELECT event_type,
+               MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                        THEN value END) AS q50,
+               MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                        THEN value END) AS q90,
+               MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                        THEN value END) AS q99
+        FROM rk GROUP BY event_type""")
