@@ -33,6 +33,9 @@ backend/actions_runner.py:220-249, frontend/src/utils/mdxBuilder.ts:4-40):
       — extension; the arithmetic subset also accepts the SSAS
       period-over-period tuple
       ([Measures].[X], [Dim].[Hier][.CurrentMember].PrevMember)
+      (NextMember for the lead form;
+      PARALLELPERIOD([Dim].[Hier], n) for lag distance n — n=12 at
+      month grain is same-month-last-year)
       (query.LagRef: one lag() window over the axis rows, ordered by
       the named hierarchy's level ordinals, partitioned by the other
       row hierarchies) and the year-to-date running total

@@ -163,11 +163,14 @@ class LagRef:
     materialized (post NON-EMPTY): a period with no fact rows is
     skipped, exactly as the SQL ``LAG() OVER (ORDER BY period)`` on an
     aggregated table skips it.  ``forward=True`` is the NextMember
-    tuple (lead(): the last member of each partition reports NULL)."""
+    tuple (lead(): the last member of each partition reports NULL);
+    ``n`` generalizes to the PARALLELPERIOD distance — n=12 at the
+    month grain is month-vs-same-month-last-year."""
     dimension: str
     hierarchy: str
     col: Column
     forward: bool = False
+    n: int = 1
 
 
 @dataclass(eq=False)
@@ -250,12 +253,37 @@ def parse_measure_expr(expr: str):
             if nxt == ",":
                 # tuple form: (expr, [Dim].[Hier].PrevMember)
                 pm = take()
+                if (pm or "").upper() == "PARALLELPERIOD":
+                    # (expr, PARALLELPERIOD([Dim].[Hier], n)) — the
+                    # generalized lag distance (n=12 at month grain is
+                    # same-month-last-year)
+                    if take() != "(":
+                        raise MeasureExprError(
+                            f"PARALLELPERIOD needs ([Dim].[Hier], n): "
+                            f"{expr!r}")
+                    ht = take()
+                    hm2 = re.fullmatch(
+                        r"\[([^\]]+)\]\s*\.\s*\[([^\]]+)\]"
+                        r"(?:\s*\.\s*CURRENTMEMBER)?", ht or "",
+                        re.IGNORECASE)
+                    nt = (take() == "," and take()) or None
+                    if not hm2 or not (nt or "").isdigit() \
+                            or int(nt) < 1 or take() != ")" \
+                            or take() != ")":
+                        raise MeasureExprError(
+                            f"PARALLELPERIOD needs ([Dim].[Hier], "
+                            f"n >= 1): {expr!r}")
+                    dim, hier = hm2.group(1).strip(), hm2.group(2).strip()
+                    refs.append(("__prevmember__", dim, hier))
+                    return (lambda inner, d=dim, h=hier, np=int(nt):
+                            lambda r: r(LagRef(d, h, inner(r),
+                                               False, np)))(f)
                 mm = _PREV_REF.fullmatch(pm or "")
                 if not mm:
                     raise MeasureExprError(
                         f"tuple second element must be "
-                        f"[Dim].[Hier].PrevMember/NextMember, "
-                        f"got {pm!r} in {expr!r}")
+                        f"[Dim].[Hier].PrevMember/NextMember or "
+                        f"PARALLELPERIOD(...), got {pm!r} in {expr!r}")
                 if take() != ")":
                     raise MeasureExprError(f"unbalanced parens in {expr!r}")
                 dim, hier = mm.group(1).strip(), mm.group(2).strip()
@@ -923,7 +951,7 @@ class CubeQueryEngine:
                         *[F.col(g) for g in others]).orderBy(
                         *[F.col(ordinal_names.get(g, g)) for g in order])
                     step = F.lead if name.forward else F.lag
-                    return step(name.col).over(w)
+                    return step(name.col, name.n).over(w)
                 if isinstance(name, LastPeriodsRef):
                     # trailing n members at the level, crossing parent
                     # boundaries: the FULL axis order (ancestors then

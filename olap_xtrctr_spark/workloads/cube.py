@@ -561,3 +561,27 @@ def register_r7(add) -> None:
           FROM a)
         SELECT anio, mes, sum_quantity, qty_delta
         FROM d WHERE qty_delta < 0""")
+
+    # PARALLELPERIOD distance form (round 8, wave 7): month vs the
+    # SAME month last year — lag 12 over the chronological month axis
+    # (query.LagRef.n), the canonical SSAS year-over-year-at-month-
+    # grain comparison.
+    add("cube_month_vs_last_year",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "WITH MEMBER [Measures].[Yoy Month] AS "
+            "[Measures].[Sum Quantity] - ([Measures].[Sum Quantity], "
+            "PARALLELPERIOD([D Tiempo].[Calendario], 12)) "
+            "SELECT { [Measures].[Sum Quantity], [Measures].[Yoy Month] } "
+            "ON COLUMNS, [D Tiempo].[Calendario].[Mes].MEMBERS "
+            "DIMENSION PROPERTIES MEMBER_CAPTION ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH a AS (
+          SELECT CAST(year(l_shipdate) AS INTEGER) AS anio,
+                 {MES_CASE} AS mes, month(l_shipdate) AS mn,
+                 {SUM_D('l_quantity')} AS sum_quantity
+          FROM lineitem
+          GROUP BY 1, 2, 3)
+        SELECT anio, mes, sum_quantity,
+               sum_quantity - LAG(sum_quantity, 12)
+                 OVER (ORDER BY anio, mn) AS yoy_month
+        FROM a""")

@@ -627,3 +627,37 @@ def test_prevmember_unselected_calc_no_ordinal_leak(spark, sf_dir):
     assert len(ytd) > 1
     for r in ytd:
         assert r["y"] == pytest.approx(r["sum_quantity"])
+
+
+def test_parallelperiod_distance(spark, sf_dir):
+    """PARALLELPERIOD([hier], 12) at month grain == same month last
+    year (lag 12 over the chronological axis); bad args are parse
+    errors."""
+    import pytest
+
+    from olap_xtrctr_spark.cube import default_registry
+    from olap_xtrctr_spark.mdx import parse_mdx
+    from olap_xtrctr_spark.query import (CubeQueryEngine,
+                                         MeasureExprError,
+                                         parse_measure_expr)
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    out = eng.execute(parse_mdx(
+        "WITH MEMBER [Measures].[Y] AS ([Measures].[Sum Quantity], "
+        "PARALLELPERIOD([D Tiempo].[Calendario], 12)) "
+        "SELECT { [Measures].[Sum Quantity], [Measures].[Y] } "
+        "ON COLUMNS, [D Tiempo].[Calendario].[Mes].MEMBERS "
+        "DIMENSION PROPERTIES MEMBER_CAPTION ON ROWS FROM [sales]",
+        "VENTAS_2025")).collect()
+    by = {(r["anio"], r["mes"]): r for r in out}
+    hits = 0
+    for (anio, mes), r in by.items():
+        prev = by.get((anio - 1, mes))
+        if prev is not None and r["y"] is not None:
+            assert r["y"] == pytest.approx(prev["sum_quantity"])
+            hits += 1
+    assert hits > 10
+
+    with pytest.raises(MeasureExprError, match="PARALLELPERIOD"):
+        parse_measure_expr(
+            "([Measures].[Sum Quantity], "
+            "PARALLELPERIOD([D Tiempo].[Calendario], 0))")
