@@ -350,3 +350,34 @@ def bottomk_quantiles(partials: DataFrame, group_cols: list[str],
         F.col("value"))).alias(name)
         for p, name in zip(ps, names)]
     return ranked.groupBy(*group_cols).agg(*picks)
+
+
+def bottomk_sliding_quantiles(df: DataFrame, ts_col: str, key_col: str,
+                              value_col: str, window_hours: int = 6,
+                              k: int = 64,
+                              ps: tuple = (0.5, 0.9, 0.99),
+                              names: tuple = ("q50", "q90", "q99")
+                              ) -> DataFrame:
+    """Sliding-window quantiles from per-hour bottom-k state: for each
+    hour, rank-pick quantile estimates over the trailing
+    ``window_hours`` hours' pooled samples — rolling latency/size
+    percentiles (the SRE dashboard staple) WITHOUT re-scanning raw
+    data per window position (the kmv_sliding_estimate discipline
+    applied to the quantile sketch: raw stream touched once for the
+    hourly partials, each window position re-merges <= window_hours*k
+    sketch rows)."""
+    hourly = bottomk_partial(
+        df.select(F.date_trunc("hour", F.col(ts_col)).alias("_h"),
+                  F.col(key_col), F.col(value_col)),
+        ["_h"], key_col, value_col, k=k)
+    hours = hourly.select(F.col("_h").alias("hour")).distinct()
+    span = (hourly.alias("s").join(
+        hours.alias("t"),
+        (F.col("s._h") <= F.col("t.hour"))
+        & (F.col("s._h") >= F.col("t.hour")
+           - F.expr(f"INTERVAL {window_hours - 1} HOURS")))
+        .select("hour", "bk_h", "value").distinct())
+    merged = bottomk_merge(span.withColumnRenamed("hour", "_h"),
+                           ["_h"], k=k)
+    return (bottomk_quantiles(merged, ["_h"], ps, names)
+            .withColumnRenamed("_h", "hour"))

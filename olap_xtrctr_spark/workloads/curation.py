@@ -724,3 +724,51 @@ def register_r8(add) -> None:
                MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
                         THEN value END) AS q99
         FROM rk GROUP BY event_type""")
+
+    # Sliding-window quantiles (round 8, wave 7): rolling value
+    # percentiles per hour from trailing 6 h of bottom-k sample state
+    # (operators/sketches.bottomk_sliding_quantiles) — window
+    # repositioning is sketch-sized work, never a corpus re-scan.
+    def _bk_sliding(spark, sf):
+        from ..operators import sketches as SK
+        return SK.bottomk_sliding_quantiles(
+            _load(spark, sf, "events"), "ts", "event_id", "value",
+            window_hours=6, k=64)
+
+    _BKH3 = ("TRY_CAST(concat('0x', substr(md5(concat(CAST(event_id AS "
+             "VARCHAR), ':bk-v1')), 1, 15)) AS BIGINT)")
+    add("events_sliding_value_quantiles", _bk_sliding,
+        rf"""WITH h AS (
+          SELECT date_trunc('hour', ts) AS hr, {_BKH3} AS bk_h, value
+          FROM events),
+        r AS (
+          SELECT hr, bk_h, value,
+                 ROW_NUMBER() OVER (PARTITION BY hr
+                                    ORDER BY bk_h) AS rn
+          FROM h),
+        p AS (SELECT hr, bk_h, value FROM r WHERE rn <= 64),
+        t AS (SELECT DISTINCT hr AS hour FROM p),
+        u AS (
+          SELECT DISTINCT t.hour, p.bk_h, p.value
+          FROM t JOIN p ON p.hr <= t.hour
+                       AND p.hr >= t.hour - INTERVAL 5 HOUR),
+        m AS (
+          SELECT hour, bk_h, value,
+                 ROW_NUMBER() OVER (PARTITION BY hour
+                                    ORDER BY bk_h) AS rn
+          FROM u),
+        keep AS (SELECT hour, bk_h, value FROM m WHERE rn <= 64),
+        rk AS (
+          SELECT hour, value,
+                 ROW_NUMBER() OVER (PARTITION BY hour
+                                    ORDER BY value, bk_h) AS rn,
+                 COUNT(*) OVER (PARTITION BY hour) AS n
+          FROM keep)
+        SELECT hour,
+               MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                        THEN value END) AS q50,
+               MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                        THEN value END) AS q90,
+               MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                        THEN value END) AS q99
+        FROM rk GROUP BY hour""")

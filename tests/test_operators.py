@@ -2170,3 +2170,31 @@ def test_bottomk_sketch_merge_and_accuracy(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         SK.bottomk_partial(df, ["g"], "k", "value", k=1)
+
+
+def test_bottomk_sliding_quantiles(spark):
+    """Sliding bottom-k quantiles: when every trailing window fits
+    under k, the picks are EXACT rank statistics over the pooled
+    trailing rows; one output row per active hour."""
+    import datetime as dt
+
+    from olap_xtrctr_spark.operators import sketches as SK
+
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    rows = []
+    # hour h carries values h*10 .. h*10+9 (10 rows/hour, distinct keys)
+    for h in range(6):
+        for i in range(10):
+            rows.append((base + dt.timedelta(hours=h, minutes=i),
+                         h * 100 + i, float(h * 10 + i)))
+    df = spark.createDataFrame(rows, "ts timestamp, k int, value double")
+    out = {r["hour"].hour: r for r in SK.bottomk_sliding_quantiles(
+        df, "ts", "k", "value", window_hours=3, k=64).collect()}
+    assert len(out) == 6
+    for h in range(6):
+        lo = max(0, h - 2)
+        pool = sorted(float(j * 10 + i)
+                      for j in range(lo, h + 1) for i in range(10))
+        import math
+        assert out[h]["q50"] == pool[math.ceil(0.5 * len(pool)) - 1]
+        assert out[h]["q90"] == pool[math.ceil(0.9 * len(pool)) - 1]
