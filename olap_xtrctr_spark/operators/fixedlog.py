@@ -294,19 +294,40 @@ def ladder_sql(inner: str, lns=(), exps=()) -> str:
 
     ``lns``/``exps``: iterables of (arg_sql, out_col).  Each out_col
     lands as a DOUBLE named ``<out_col>``; intermediates are
-    ``<out_col>_<step>`` (callers project explicit columns above the
-    ladder, so intermediates never leak into results).  arg_sql for a
-    later entry may reference an earlier entry's out_col (nested
-    ln(ln(x)) composes).  Nested single-column SELECTs — no lateral
-    aliases, no CTE features — parse on any SQL engine and flatten to
-    one projection in both DuckDB's and Catalyst's optimizers."""
-    sql = inner if inner.upper().startswith("SELECT") \
+    ``_fx_<out_col>_<step>`` (callers project explicit columns above
+    the ladder, so intermediates never leak into results).  arg_sql
+    for a later entry may reference an earlier entry's out_col
+    (nested ln(ln(x)) composes) and ``exps`` chains see ``lns``
+    outputs (pow(x,a) = exp(a·ln x) composes).
+
+    Emitted as one subquery holding a sibling-CTE chain of CHUNKED
+    nested projections: each CTE nests at most ``_CHUNK`` one-column
+    SELECTs over the previous CTE.  Both failure modes are real and
+    were hit in round 9: fully-nested subqueries blow DuckDB's
+    recursive-descent parser stack at ~120 levels (the 5-chain PMI
+    ladder), and one-CTE-per-step blows Catalyst's analyzer iteration
+    cap at ~60 CTEs.  Chunking keeps parse depth <= ~10 AND CTE count
+    <= ~20 for every ladder in the repo — portable 1992 SQL, no
+    lateral aliases; both optimizers collapse it to one projection."""
+    head = inner.lstrip().upper()
+    base = inner if head.startswith(("SELECT", "WITH")) \
         else f"SELECT * FROM {inner}"
     chains = [(a, o, _LN_STEPS) for a, o in lns] + \
              [(a, o, _EXP_STEPS) for a, o in exps]
+    _CHUNK = 8
+    ctes = [f"_fx_base AS ({base})"]
+    prev = "_fx_base"
+    n_cte = 0
     for arg_sql, out_col, steps in chains:
-        for col, expr in _emit(steps, arg_sql, f"_fx_{out_col}"):
-            sql = f"SELECT *, {expr} AS {col} FROM ({sql})"
-        sql = (f"SELECT *, _fx_{out_col}_res AS {out_col} "
-               f"FROM ({sql})")
-    return sql
+        cols = _emit(steps, arg_sql, f"_fx_{out_col}")
+        cols.append((out_col, f"_fx_{out_col}_res"))
+        for ci in range(0, len(cols), _CHUNK):
+            chunk = cols[ci:ci + _CHUNK]
+            sql = f"SELECT * FROM {prev}"
+            for col, expr in chunk:
+                sql = f"SELECT *, {expr} AS {col} FROM ({sql})"
+            n_cte += 1
+            name = f"_fx_{out_col}_g{n_cte}"
+            ctes.append(f"{name} AS ({sql})")
+            prev = name
+    return "WITH " + ",\n ".join(ctes) + f" SELECT * FROM {prev}"

@@ -1,56 +1,42 @@
-"""Host-libm frozen transcendental lookups.
+"""Frozen transcendental lookups — now libm-free (round 9).
 
-Why this module exists: the engine's exactness discipline freezes every
-float-valued score to integer micro-units (``ROUND(f(x) * 1e6)``) so a
-DuckDB oracle can reproduce results bit-for-bit.  That freeze is sound
-for md5-derived integers (exact on both engines) but NOT for ``ln``:
-Spark evaluates ``ln`` with the JVM's ``Math.log`` while DuckDB calls
-the host libm, and the two disagree in the last ulp for ~1% of integer
-arguments (measured: 18 532 bitwise mismatches over the first 2M ints
-on this box).  Whenever the true value sits within ~1e-10 of a rounding
-boundary, that ulp flips ``ROUND`` and the frozen integers diverge —
-the exact rows-match/hash-mismatch signature the round-7 driver
-recorded for ``docs_ngram_lm_score``.
+History: the engine's exactness discipline freezes every float-valued
+score to integer micro-units (``ROUND(f(x) * 1e6)``) so a DuckDB
+oracle can reproduce results bit-for-bit.  Round 7 moved the engine's
+``ln`` off the JVM's ``Math.log`` onto driver-computed CPython values
+(this module), on the premise that CPython's libm == DuckDB's libm.
+The round-8 driver FALSIFIED that premise: ``docs_ngram_lm_score``
+passed the local DuckDB 1.0.0 oracle bit-exactly yet stayed red on
+the driver, whose DuckDB build resolves ``ln`` differently in the
+last ulp.  Any libm anywhere in the contract is environment-dependent.
 
-The fix: every ``ln`` the engine needs is applied to a BOUNDED set of
-driver-visible arguments — distinct integer counts (count-of-counts for
-the LM model, ``n_buckets`` rows for DSIR, |terms| rows for BM25, the
-10 000-bucket noise domain for Gumbel).  So we compute those values
-ONCE on the driver with CPython's ``math.log`` — which links the same
-host libm DuckDB links (measured bit-identical over 2M integer args) —
-and ship them to executors as broadcast lookup tables / literals.  The
-JVM's libm never touches a frozen value, so the freeze is
-libm-independent by construction on any driver host.
+Round 9 closes the class: both sides now evaluate ONE fixed sequence
+of IEEE-754 double ops (``fixedlog.py``) — the engine through these
+driver-built lookups (CPython floats are IEEE doubles; every op in
+the sequence is exactly specified), the oracle through the paired SQL
+ladder ``fixedlog.ladder_sql`` emits.  No ``ln``/``exp``/``pow`` call
+reaches any libm on either side; ``tests/test_hostmath.py`` lints all
+oracle SQL for transcendentals, ``tests/test_fixedlog.py`` sweeps
+CPython vs DuckDB vs Spark for bit-equality.
 
 Rounding: SQL ``ROUND(x)`` (Spark HALF_UP, DuckDB std::round) is
-half-away-from-zero; CPython's ``round`` is banker's.  ``micro`` below
-implements half-away-from-zero explicitly so the lookup mirrors the SQL
-the oracles run.
+half-away-from-zero ON THE EXACT BINARY VALUE; ``fixedlog.micro``
+mirrors it via ``Decimal`` (exact double conversion), not
+``floor(x+0.5)`` (which misrounds 0.49999999999999994 — ADVICE r8).
 """
 from __future__ import annotations
 
-import math
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .fixedlog import fxln, fxln_micro, micro, round_half_away
 
-def round_half_away(x: float) -> int:
-    """SQL ROUND(x): round-half-away-from-zero to an int."""
-    if x >= 0:
-        return int(math.floor(x + 0.5))
-    return -int(math.floor(-x + 0.5))
+__all__ = ["fxln", "fxln_micro", "ln_micro", "lookup_df", "micro",
+           "round_half_away"]
 
-
-def micro(x: float) -> int:
-    """Freeze a float to integer micro-units the way the oracles do:
-    ``CAST(ROUND(x * 1e6) AS BIGINT)``."""
-    return round_half_away(x * 1e6)
-
-
-def ln_micro(x: float) -> int:
-    """``CAST(ROUND(ln(x) * 1e6) AS BIGINT)`` via the host libm."""
-    return micro(math.log(x))
+# Back-compat alias: every pre-round-9 call site freezes via ln_micro.
+ln_micro = fxln_micro
 
 
 def lookup_df(spark: SparkSession, pairs: Iterable[tuple],

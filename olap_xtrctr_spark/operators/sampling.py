@@ -17,11 +17,11 @@ possible for cross-batch exact dedup).
 """
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .fixedlog import fxexp, fxln
 from .hostmath import lookup_df, micro
 
 # 60 bits of md5 → uniform integer in [0, 2^60); modulo 10_000 gives a
@@ -270,23 +270,39 @@ def temperature_mix_rates(docs: DataFrame, temperature: float = 0.7,
     n_tokens^T, T<1 up-weights small sources; T=1 is proportional,
     T=0 uniform; e.g. mT5, Xue et al. 2021).
 
-    Output per source: n_docs, n_tokens, and the normalized mix rate
-    ROUND(n_tokens^T / Σ n_tokens^T, 6).  One aggregation (map-side
-    combined over the bounded source domain) plus a broadcast scalar
-    total — nothing here scales with corpus size.  The only float op
-    is pow(), identically expressible on any SQL engine; the 6-decimal
-    round is the same cross-engine tolerance the cosine kernels use."""
+    Output per source: n_docs, n_tokens, the frozen weight
+    weight_micro = ROUND(n_tokens^T * 1e6) and the normalized rate
+    mix_rate_ppm = weight_micro*1e6 DIV Σ weight_micro — all integer
+    arithmetic after the freeze, so the result is order-independent
+    and bit-identical on any engine.  n_tokens^T itself is computed as
+    fxexp(T * fxln(n_tokens)) (fixedlog.py, libm-free): the round-8
+    driver proved that libm-backed transcendentals (here ``pow``)
+    diverge across DuckDB builds, so the float never touches a libm
+    and the float SUM (whose order differs per engine) is gone.
+
+    One aggregation (map-side combined over the bounded source
+    domain); the per-source weights freeze on the driver (sources are
+    bounded metadata — dozens at 100 TB) and broadcast back."""
     ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     per_src = (docs.groupBy(source_col)
                .agg(F.count(F.lit(1)).alias("n_docs"),
                     F.sum(ntok).alias("n_tokens")))
-    weighted = per_src.withColumn(
-        "_w", F.pow(F.col("n_tokens").cast("double"), F.lit(temperature)))
-    tot = weighted.agg(F.sum("_w").alias("_wsum"))
-    return (weighted.crossJoin(F.broadcast(tot))
-            .select(source_col, "n_docs", "n_tokens",
-                    F.round(F.col("_w") / F.col("_wsum"), 6)
-                     .alias("mix_rate")))
+    rows = per_src.select(source_col, "n_tokens").collect()
+    w_micro = {r[source_col]: micro(fxexp(temperature
+                                          * fxln(float(r["n_tokens"]))))
+               for r in rows}
+    wsum = sum(w_micro.values())
+    lut = lookup_df(docs.sparkSession,
+                    ((s, w) for s, w in w_micro.items()),
+                    source_col, "weight_micro", "string")
+    rate = lookup_df(docs.sparkSession,
+                     ((s, (w * 1_000_000) // wsum)
+                      for s, w in w_micro.items()),
+                     source_col, "mix_rate_ppm", "string")
+    return (per_src.join(F.broadcast(lut), source_col)
+            .join(F.broadcast(rate), source_col)
+            .select(source_col, "n_docs", "n_tokens", "weight_micro",
+                    "mix_rate_ppm"))
 
 
 def incremental_dedup(new_batch: DataFrame, seen: DataFrame,
@@ -345,7 +361,7 @@ def dsir_importance_weights(docs: DataFrame, target_cond,
     Σ count(d,f) · llr_micro(f) — is exact integer arithmetic that any
     oracle reproduces bit-for-bit (the one float op, ln, happens
     n_buckets times per corpus, not per document, and is computed on
-    the DRIVER with the host libm — ``hostmath.py`` — over the
+    the DRIVER with the fixed-op ln — ``fixedlog.py`` — over the
     collected n_buckets-row corpus table, so the frozen values are
     independent of the JVM's ``Math.log`` ulp quirks).
 
@@ -377,15 +393,16 @@ def dsir_importance_weights(docs: DataFrame, target_cond,
         F.count(F.lit(1)).alias("cr"),
         F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ct"))
     # n_buckets rows + two scalars: collect, freeze the llr on the
-    # driver with the host libm (hostmath.py), op-for-op the oracle's
-    # (LN(ct+1) - LN(tt+nb) - LN(cr+1) + LN(tr+nb)) * 1e6.
+    # driver with the fixed-op ln (fixedlog.py — libm-free, so the
+    # frozen value is identical on ANY engine/host), op-for-op the
+    # oracle's ((l1 - l2) - l3) + l4 combination before the round.
     rows = corpus.collect()
     tr = sum(r["cr"] for r in rows)
     tt = sum(r["ct"] for r in rows)
     llr_pairs = [(r["bucket"],
-                  micro(math.log(r["ct"] + 1) - math.log(tt + n_buckets)
-                        - math.log(r["cr"] + 1)
-                        + math.log(tr + n_buckets)))
+                  micro(fxln(r["ct"] + 1) - fxln(tt + n_buckets)
+                        - fxln(r["cr"] + 1)
+                        + fxln(tr + n_buckets)))
                  for r in rows]
     llr = lookup_df(docs.sparkSession, llr_pairs, "bucket", "llr_micro")
     return (doc_counts.join(F.broadcast(llr), "bucket")
@@ -433,19 +450,19 @@ def dsir_gumbel_sample(docs: DataFrame, target_cond, k: int = 50,
 
     Same TakeOrderedAndProject shape as ``dsir_select_top_k`` — the
     noise arrives via a 10 000-row broadcast lookup (frozen on the
-    driver with the host libm, ``hostmath.py``), adding nothing to the
+    driver with the fixed-op ln, ``fixedlog.py``), adding nothing to the
     shuffle."""
     if temperature <= 0:
         raise ValueError(f"temperature must be positive: {temperature}")
     w = dsir_importance_weights(docs, target_cond, n_buckets=n_buckets,
                                 text_col=text_col, id_col=id_col)
     # The noise domain is the closed 10 000-value hash-bucket range, so
-    # freeze -ln(-ln(u)) per bucket on the driver (host libm,
-    # hostmath.py) and broadcast-join on the bucket key — the JVM's
-    # Math.log never touches a frozen value.
+    # freeze -ln(-ln(u)) per bucket on the driver with the fixed-op ln
+    # (fixedlog.py — libm-free, engine-independent) and broadcast-join
+    # on the bucket key.  0.0-x mirrors the oracle ladder's negation.
     g_pairs = [(bkt,
-                micro(-math.log(-math.log((bkt + 0.5)
-                                          / float(_BUCKETS)))))
+                micro(0.0 - fxln(0.0 - fxln((bkt + 0.5)
+                                            / float(_BUCKETS)))))
                for bkt in range(_BUCKETS)]
     g_lut = lookup_df(docs.sparkSession, g_pairs, "_gb", "g_micro")
     keyed = (w.withColumn("_gb", _hash_bucket(F.col(id_col), salt))

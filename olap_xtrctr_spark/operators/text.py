@@ -6,12 +6,12 @@ scale linearly with partitions.
 """
 from __future__ import annotations
 
-import math
 import re
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .fixedlog import fxln
 from .hostmath import ln_micro, lookup_df, micro
 
 PUNCT_CLASS = "[.,;:!?]"
@@ -729,7 +729,7 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
 
     Cross-engine exactness, same discipline as the DSIR family: idf is
     frozen to integer micro-units ONCE PER TERM (the only ln),
-    computed on the DRIVER with the host libm (``hostmath.py`` — the
+    computed on the DRIVER with the fixed-op ln (``fixedlog.py`` — the
     per-term df table is |terms| rows, trivially collectable); each
     (doc, term) contribution — idf_micro × the tf/length fraction,
     which uses only IEEE-exact +,×,/ on literals — rounds to integer
@@ -752,13 +752,14 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
     hits = toks.filter(F.col("token").isin([t.lower() for t in terms]))
     dfreq = (hits.select(id_col, "token").distinct()
              .groupBy("token").agg(F.count(F.lit(1)).alias("df")))
-    # |terms| rows + one scalar: freeze idf on the driver (host libm),
-    # mirroring the oracle's LN((n_docs - df + 0.5)/(df + 0.5) + 1.0)
-    # op-for-op so the doubles agree bit-for-bit before ROUND.
+    # |terms| rows + one scalar: freeze idf on the driver with the
+    # fixed-op ln (fixedlog.py — libm-free), mirroring the oracle
+    # ladder's ((n_docs - df + 0.5)/(df + 0.5) + 1.0) arg op-for-op
+    # so the doubles agree bit-for-bit before ROUND on ANY engine.
     spark = docs.sparkSession
     n_docs_v = int(tot.first()["n_docs"] or 0)
     idf_pairs = [(r["token"],
-                  micro(math.log(
+                  micro(fxln(
                       (n_docs_v - r["df"] + 0.5) / (r["df"] + 0.5)
                       + 1.0)))
                  for r in dfreq.collect()]
@@ -798,10 +799,11 @@ def ngram_lm_score(docs: DataFrame, reference_cond=None,
     float op — ln — happens once per DISTINCT count value (count-of-
     counts, bounded driver metadata) plus one backoff constant, frozen
     to integer MICRO-units ON THE DRIVER with the host libm
-    (``hostmath.py`` — the JVM's ``Math.log`` disagrees with the libm
-    DuckDB links in the last ulp for ~1% of integer args, which flips
-    ``ROUND`` near .5 boundaries; the round-7 driver caught exactly
-    that).  A document's score is then exact integer arithmetic (sum
+    (``fixedlog.py`` via ``hostmath.py`` — LIBM-FREE: the JVM's
+    ``Math.log``, CPython's libm and each DuckDB build's libm all
+    disagree in the last ulp for some args, which flips ``ROUND`` near
+    .5 boundaries; the round-7 and round-8 drivers each caught one
+    layer of that, so no frozen value touches any libm now).  A document's score is then exact integer arithmetic (sum
     of micro-NLLs DIV bigram count), so DuckDB reproduces it
     bit-for-bit on any host.
 
@@ -846,8 +848,9 @@ def ngram_lm_score(docs: DataFrame, reference_cond=None,
     # Zipfian corpus has thousands of distinct counts at any scale, so
     # collecting them is bounded metadata (the model tables themselves
     # — vocabulary-sized — never leave the cluster).  Computing the
-    # frozen micro-values on the driver with the host libm
-    # (hostmath.py) is what makes the freeze engine-portable; the cost
+    # frozen micro-values on the driver with the fixed-op ln
+    # (fixedlog.py fixed-op ln) is what makes the freeze
+    # engine-portable on ANY host/build; the cost
     # is one extra pass over the (already aggregated) count tables.
     spark = docs.sparkSession
     v = int(vocab.first()["v"] or 0)
@@ -894,7 +897,7 @@ def ccnet_perplexity_buckets(docs: DataFrame, reference_cond=None,
     training mixes, "tail" is the usual drop set.
 
     Exactness: scores are :func:`ngram_lm_score`'s frozen integers
-    (host-libm lookups, ``hostmath.py``); bucketing is pure integer
+    (fixed-op-ln lookups, ``fixedlog.py``); bucketing is pure integer
     rank arithmetic — ``bucket = ((rank-1) * n) DIV count`` with ties
     broken on ``id_col`` — so any engine reproduces the split
     bit-for-bit.  Documents with <2 tokens have no bigrams and are
@@ -939,7 +942,7 @@ def token_pmi_top(docs: DataFrame, text_col: str = "text",
     into ln's of INTEGER counts only —
         pmi = ln(c_xy) + 2*ln(N_tok) - ln(N_big) - ln(c_x) - ln(c_y)
     — so each term is frozen to integer micro-units on the driver with
-    the host libm (hostmath.py) over the DISTINCT count values
+    the fixed-op ln (fixedlog.py) over the DISTINCT count values
     (count-of-counts, bounded metadata) and a document's pair score is
     pure integer arithmetic both engines reproduce bit-for-bit.
 

@@ -10,6 +10,16 @@ from ..operators import dedup as D
 from ..operators import sampling as SM
 from ..operators import text as TX
 from ..workload_shared import _docs, _emb
+from ..operators.fixedlog import ladder_sql
+
+# Fixed-op ln oracle ladder for PMI (libm-free; operators/fixedlog.py).
+_PMI_LADDER = ladder_sql(
+    "SELECT p.w1, p.w2, p.c_xy, nt.n AS ntn, nb.n AS nbn, "
+    "cx.c AS cxc, cy.c AS cyc FROM p "
+    "JOIN cu cx ON p.w1 = cx.w JOIN cu cy ON p.w2 = cy.w "
+    "CROSS JOIN nt CROSS JOIN nb",
+    lns=[("c_xy", "l_xy"), ("ntn", "l_nt"), ("nbn", "l_nb"),
+         ("cxc", "l_cx"), ("cyc", "l_cy")])
 
 # Quality-score CTE shared with docs_token_budget_fill's oracle: the
 # operator's published 4-decimal score, scaled to exact milli units.
@@ -511,11 +521,12 @@ def register_r8(add) -> None:
     # by pointwise mutual information — multi-word-expression mining
     # for vocab/tokenizer construction.  PMI decomposes into ln's of
     # integer counts, each frozen via the host-libm lookup discipline
-    # (operators/hostmath.py), so the scores are engine-exact; the
-    # oracle computes the same per-term ROUND(ln(k)*1e6) freeze.
+    # (operators/fixedlog.py — libm-free), so the scores are
+    # engine-exact on ANY host; the oracle runs the identical
+    # fixed-op ladder per term before the same ROUND(l*1e6) freeze.
     add("docs_token_pmi_top",
         lambda spark, sf: TX.token_pmi_top(_docs(spark, sf)),
-        r"""WITH tok AS (
+        rf"""WITH tok AS (
           SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
           FROM documents),
         uni AS (
@@ -534,16 +545,13 @@ def register_r8(add) -> None:
                  string_split(bg, ' ')[1] AS w1,
                  string_split(bg, ' ')[2] AS w2
           FROM cb WHERE c_xy >= 5)
-        SELECT p.w1, p.w2, CAST(p.c_xy AS BIGINT) AS c_xy,
-               CAST(ROUND(ln(p.c_xy) * 1e6) AS BIGINT)
-               + 2 * CAST(ROUND(ln(nt.n) * 1e6) AS BIGINT)
-               - CAST(ROUND(ln(nb.n) * 1e6) AS BIGINT)
-               - CAST(ROUND(ln(cx.c) * 1e6) AS BIGINT)
-               - CAST(ROUND(ln(cy.c) * 1e6) AS BIGINT) AS pmi_micro
-        FROM p
-        JOIN cu cx ON p.w1 = cx.w
-        JOIN cu cy ON p.w2 = cy.w
-        CROSS JOIN nt CROSS JOIN nb
+        SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+               CAST(ROUND(l_xy * 1e6) AS BIGINT)
+               + 2 * CAST(ROUND(l_nt * 1e6) AS BIGINT)
+               - CAST(ROUND(l_nb * 1e6) AS BIGINT)
+               - CAST(ROUND(l_cx * 1e6) AS BIGINT)
+               - CAST(ROUND(l_cy * 1e6) AS BIGINT) AS pmi_micro
+        FROM ({_PMI_LADDER})
         ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""")
 
     # Sliding-window distinct users (round 8, wave 5): hourly KMV

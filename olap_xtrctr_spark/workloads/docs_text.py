@@ -12,6 +12,16 @@ from ..operators import sampling as SM
 from ..operators import text as TX
 from ..workload_shared import _docs
 
+from ..operators.fixedlog import ladder_sql
+
+# Fixed-op ln oracle ladders for the LM family (libm-free;
+# operators/fixedlog.py) — built once at import.
+_CTX_LADDER = ladder_sql("SELECT w, c1, v FROM c1, vocab",
+                         lns=[("c1 + v", "lnv")])
+_SEEN_LADDER = ladder_sql("SELECT bg, c12 FROM c12",
+                          lns=[("c12 + 1", "lnv")])
+_OOV_LADDER = ladder_sql("SELECT v FROM vocab", lns=[("v", "lnv")])
+
 
 def register(add) -> None:
     # ================= extensions: text analysis ==========================
@@ -798,7 +808,7 @@ def register(add) -> None:
     # absent on both sides by construction.
     # Shared CTE chain for the LM-scoring family (score + CCNet
     # perplexity-bucket split reuse it verbatim).
-    _LM_CORE = r"""WITH tok AS (
+    _LM_CORE = rf"""WITH tok AS (
           SELECT doc_id, source,
                  regexp_split_to_array(trim(lower(text)), '\s+') AS t
           FROM documents),
@@ -819,14 +829,14 @@ def register(add) -> None:
         vocab AS (SELECT COUNT(DISTINCT w) AS v FROM ref_uni),
         c1 AS (SELECT w, COUNT(*) AS c1 FROM ref_uni GROUP BY w),
         c12 AS (SELECT bg, COUNT(*) AS c12 FROM ref_big GROUP BY bg),
-        ctx AS (SELECT w, CAST(ROUND(ln(c1 + v) * 1e6) AS BIGINT)
+        ctx AS (SELECT w, CAST(ROUND(lnv * 1e6) AS BIGINT)
                          AS ctx_micro
-                FROM c1, vocab),
-        seen AS (SELECT bg, CAST(ROUND(ln(c12 + 1) * 1e6) AS BIGINT)
+                FROM ({_CTX_LADDER})),
+        seen AS (SELECT bg, CAST(ROUND(lnv * 1e6) AS BIGINT)
                           AS hit_micro
-                 FROM c12),
-        oov AS (SELECT CAST(ROUND(ln(CAST(v AS DOUBLE)) * 1e6)
-                            AS BIGINT) AS oov_ctx_micro FROM vocab),
+                 FROM ({_SEEN_LADDER})),
+        oov AS (SELECT CAST(ROUND(lnv * 1e6) AS BIGINT)
+                  AS oov_ctx_micro FROM ({_OOV_LADDER})),
         nll AS (
           SELECT d.doc_id,
                  COALESCE(ctx.ctx_micro, oov.oov_ctx_micro)

@@ -14,6 +14,13 @@ from ..operators import sampling as SM
 from ..operators import text as TX
 from ..streaming import events as EV
 from ..workload_shared import SUM_D, _docs
+from ..operators.fixedlog import ladder_sql
+
+# Fixed-op pow(x, 0.7) = exp(0.7*ln(x)) oracle ladder (libm-free;
+# operators/fixedlog.py — libm pow diverges across DuckDB builds).
+_TEMP_LADDER = ladder_sql(
+    "SELECT source, n_docs, n_tokens FROM per_src",
+    lns=[("n_tokens", "lnn")], exps=[("0.7e0 * lnn", "wexp")])
 
 
 
@@ -216,21 +223,26 @@ def register(add) -> None:
         FROM s""")
 
     # temperature re-weighted source mixing rates (weight ∝ n_tokens^T):
-    # one bounded-domain aggregation + broadcast scalar normalizer
+    # one bounded-domain aggregation + broadcast scalar normalizer.
+    # n_tokens^T = fxexp(T·fxln(n)) via the fixed-op ladder, frozen to
+    # weight_micro BEFORE the sum so the normalizer is an
+    # order-independent integer
     add("docs_temperature_mix_rates",
         lambda spark, sf: SM.temperature_mix_rates(_docs(spark, sf),
                                                    temperature=0.7),
-        r"""WITH per_src AS (
+        rf"""WITH per_src AS (
           SELECT source, COUNT(*) AS n_docs,
                  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
                       AS BIGINT) AS n_tokens
           FROM documents GROUP BY source),
         w AS (
-          SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.7) AS _w
-          FROM per_src),
-        tot AS (SELECT SUM(_w) AS _wsum FROM w)
-        SELECT source, n_docs, n_tokens,
-               ROUND(_w / _wsum, 6) AS mix_rate
+          SELECT source, n_docs, n_tokens,
+                 CAST(ROUND(wexp * 1e6) AS BIGINT) AS weight_micro
+          FROM ({_TEMP_LADDER})),
+        tot AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS wsum FROM w)
+        SELECT source, n_docs, n_tokens, weight_micro,
+               CAST((weight_micro * 1000000) // wsum AS BIGINT)
+                 AS mix_rate_ppm
         FROM w, tot""")
 
     def stream_session_tracker(spark, sf):

@@ -15,6 +15,27 @@ from ..operators import similarity as S
 from ..operators import text as TX
 from ..workload_shared import (_docs, _emb)
 
+from ..operators.fixedlog import ladder_sql
+
+# Fixed-op ln oracle ladders (libm-free; operators/fixedlog.py) —
+# built once at import, interpolated into the oracle SQL below.  The
+# round-8 driver proved libm-backed ln() diverges across DuckDB
+# builds; these ladders make oracle and engine evaluate the identical
+# IEEE-double op sequence.
+_LLR_LADDER = ladder_sql(
+    "SELECT * FROM corpus, tot",
+    lns=[("ct + 1", "l1"), ("tt + 1024", "l2"),
+         ("cr + 1", "l3"), ("tr + 1024", "l4")])
+_GUMBEL_BUCKET = ("TRY_CAST(concat('0x', substr(md5(concat(CAST(doc_id AS "
+                  "VARCHAR), ':dsir-gumbel-v1')), 1, 15)) AS BIGINT) % 10000")
+_GUMBEL_LADDER = ladder_sql(
+    "SELECT doc_id, weight_micro, (CAST(" + _GUMBEL_BUCKET +
+    " AS DOUBLE) + 0.5e0) / 10000.0e0 AS u FROM base",
+    lns=[("u", "l1"), ("0.0e0 - l1", "l2")])
+_IDF_LADDER = ladder_sql(
+    "SELECT token, df, n_docs FROM dfreq, tot",
+    lns=[("((n_docs - df + 0.5e0) / (df + 0.5e0) + 1.0e0)", "lnv")])
+
 
 def register(add) -> None:
     # max_doc_freq: finite stop-shingle cap (well above the observed max
@@ -57,7 +78,7 @@ def register(add) -> None:
     add("docs_dsir_weights",
         lambda spark, sf: SM.dsir_importance_weights(
             _docs(spark, sf), F.col("source") == "src0"),
-        r"""WITH d AS (
+        rf"""WITH d AS (
           SELECT doc_id, source = 'src0' AS is_target,
                  regexp_split_to_array(trim(lower(text)), '\s+') AS t
           FROM documents),
@@ -79,10 +100,9 @@ def register(add) -> None:
           FROM b GROUP BY 1),
         tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM corpus),
         llr AS (
-          SELECT bucket, CAST(ROUND((LN(ct + 1) - LN(tt + 1024)
-                   - LN(cr + 1) + LN(tr + 1024)) * 1e6) AS BIGINT)
-                 AS llr_micro
-          FROM corpus, tot)
+          SELECT bucket, CAST(ROUND((((l1 - l2) - l3) + l4) * 1e6)
+                   AS BIGINT) AS llr_micro
+          FROM ({_LLR_LADDER}))
         SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
                CAST(SUM(c * llr_micro) AS BIGINT) AS weight_micro
         FROM dc JOIN llr USING (bucket)
@@ -93,7 +113,7 @@ def register(add) -> None:
     add("docs_dsir_top_docs",
         lambda spark, sf: SM.dsir_select_top_k(
             _docs(spark, sf), F.col("source") == "src0", k=50),
-        r"""WITH base AS (WITH d AS (
+        rf"""WITH base AS (WITH d AS (
             SELECT doc_id, source = 'src0' AS is_target,
                    regexp_split_to_array(trim(lower(text)), '\s+') AS t
             FROM documents),
@@ -115,10 +135,9 @@ def register(add) -> None:
             FROM b GROUP BY 1),
           tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM corpus),
           llr AS (
-            SELECT bucket, CAST(ROUND((LN(ct + 1) - LN(tt + 1024)
-                     - LN(cr + 1) + LN(tr + 1024)) * 1e6) AS BIGINT)
-                   AS llr_micro
-            FROM corpus, tot)
+            SELECT bucket, CAST(ROUND((((l1 - l2) - l3) + l4) * 1e6)
+                     AS BIGINT) AS llr_micro
+            FROM ({_LLR_LADDER}))
           SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
                  CAST(SUM(c * llr_micro) AS BIGINT) AS weight_micro
           FROM dc JOIN llr USING (bucket)
@@ -137,7 +156,7 @@ def register(add) -> None:
     add("docs_dsir_gumbel_sample",
         lambda spark, sf: SM.dsir_gumbel_sample(
             _docs(spark, sf), F.col("source") == "src0", k=50),
-        r"""WITH base AS (WITH d AS (
+        rf"""WITH base AS (WITH d AS (
             SELECT doc_id, source = 'src0' AS is_target,
                    regexp_split_to_array(trim(lower(text)), '\s+') AS t
             FROM documents),
@@ -159,10 +178,9 @@ def register(add) -> None:
             FROM b GROUP BY 1),
           tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM corpus),
           llr AS (
-            SELECT bucket, CAST(ROUND((LN(ct + 1) - LN(tt + 1024)
-                     - LN(cr + 1) + LN(tr + 1024)) * 1e6) AS BIGINT)
-                   AS llr_micro
-            FROM corpus, tot)
+            SELECT bucket, CAST(ROUND((((l1 - l2) - l3) + l4) * 1e6)
+                     AS BIGINT) AS llr_micro
+            FROM ({_LLR_LADDER}))
           SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
                  CAST(SUM(c * llr_micro) AS BIGINT) AS weight_micro
           FROM dc JOIN llr USING (bucket)
@@ -171,9 +189,8 @@ def register(add) -> None:
         keyed AS (
           SELECT doc_id, weight_micro,
                  CAST(ROUND(weight_micro / 1.0) AS BIGINT)
-                 + CAST(ROUND(-LN(-LN((TRY_CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':dsir-gumbel-v1')), 1, 15)) AS BIGINT) % 10000
-                     + 0.5) / 10000.0)) * 1e6) AS BIGINT) AS key_micro
-          FROM base)
+                 + CAST(ROUND((0.0e0 - l2) * 1e6) AS BIGINT) AS key_micro
+          FROM ({_GUMBEL_LADDER}))
         SELECT CAST(ROW_NUMBER() OVER (
                  ORDER BY key_micro DESC, doc_id) AS INTEGER) AS rank,
                doc_id, weight_micro, key_micro
@@ -187,7 +204,7 @@ def register(add) -> None:
     add("docs_bm25_topk",
         lambda spark, sf: TX.bm25_topk(_docs(spark, sf),
                                        ["hash", "join", "stream"], k=10),
-        r"""WITH toks AS (
+        rf"""WITH toks AS (
           SELECT doc_id, unnest(regexp_split_to_array(
                    trim(lower(text)), '\s+')) AS token
           FROM documents),
@@ -199,9 +216,8 @@ def register(add) -> None:
         dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df
                   FROM hits GROUP BY 1),
         idf AS (
-          SELECT token, CAST(ROUND(LN((n_docs - df + 0.5) / (df + 0.5)
-                   + 1.0) * 1e6) AS BIGINT) AS idf_micro
-          FROM dfreq, tot),
+          SELECT token, CAST(ROUND(lnv * 1e6) AS BIGINT) AS idf_micro
+          FROM ({_IDF_LADDER})),
         tf AS (SELECT doc_id, token, COUNT(*) AS tf
                FROM hits GROUP BY 1, 2),
         contrib AS (

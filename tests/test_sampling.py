@@ -155,18 +155,19 @@ def test_temperature_mix_rates_boundaries(spark):
         [(1, "a b c d", "big"), (2, "e f g h", "big"),
          (3, "i j", "small")],
         "doc_id long, text string, source string")
-    # T=1: proportional to tokens (8 vs 2 -> 0.8 / 0.2)
-    t1 = {r["source"]: r["mix_rate"]
+    # T=1: proportional to tokens (8 vs 2 -> 800000 / 200000 ppm)
+    t1 = {r["source"]: r["mix_rate_ppm"]
           for r in SM.temperature_mix_rates(docs, 1.0).collect()}
-    assert t1 == {"big": 0.8, "small": 0.2}
-    # T=0: uniform across sources
-    t0 = {r["source"]: r["mix_rate"]
+    assert t1 == {"big": 800000, "small": 200000}
+    # T=0: uniform across sources (fxexp(0) == 1 exactly)
+    t0 = {r["source"]: r["mix_rate_ppm"]
           for r in SM.temperature_mix_rates(docs, 0.0).collect()}
-    assert t0 == {"big": 0.5, "small": 0.5}
-    # 0<T<1 sits strictly between
-    t7 = {r["source"]: r["mix_rate"]
+    assert t0 == {"big": 500000, "small": 500000}
+    # 0<T<1 sits strictly between; ppm sum within DIV-floor slack
+    t7 = {r["source"]: r["mix_rate_ppm"]
           for r in SM.temperature_mix_rates(docs, 0.7).collect()}
-    assert 0.5 < t7["big"] < 0.8 and abs(sum(t7.values()) - 1.0) < 1e-6
+    assert 500000 < t7["big"] < 800000
+    assert 1_000_000 - len(t7) <= sum(t7.values()) <= 1_000_000
 
 
 def test_dsir_weights_rank_target_like_docs_higher(spark):
