@@ -309,6 +309,12 @@ def duplicate_spans_incremental_bucketed(
     # materialize the report BEFORE the store append: both read the
     # batch grams, and the append must not see its own output
     report = report.localCheckpoint(eager=True)
+    # materialize new_grams too: its plan (via ``present``) lazily
+    # scans store_dir, and the append below writes INTO store_dir —
+    # relying on the scan's captured file listing is fragile across
+    # Spark versions / listing caches (ADVICE r8), so sever the
+    # lineage before the write job runs.
+    new_grams = new_grams.localCheckpoint(eager=True)
     (new_grams.select(F.col("_sh").alias("gram"), "_bucket")
      .write.partitionBy("_bucket").mode("append").parquet(store_dir))
     return report

@@ -661,7 +661,8 @@ def jl_sign_matrix(out_dims: int = 16, in_dims: int = 64,
 def random_projection(emb: DataFrame, out_dims: int = 16,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding",
-                      salt: str = "jl-v1") -> DataFrame:
+                      salt: str = "jl-v1",
+                      in_dims: int | None = None) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality reduction: project each
     embedding onto ``out_dims`` deterministic +-1 directions (sign
     matrix from :func:`jl_sign_matrix`), preserving pairwise distances
@@ -673,17 +674,30 @@ def random_projection(emb: DataFrame, out_dims: int = 16,
     sequential F.aggregate matches the oracle's list_sum order, and
     ROUND(.,4) freezes the result like emb_norms/cosine).  At 100 TB
     this runs at scan speed and composes with every downstream ANN
-    path."""
-    head = emb.select(vec_col).first()
-    if head is None:
-        raise ValueError("random_projection: empty embedding table")
-    in_dims = len(head[0])
+    path.
+
+    ``in_dims``: pass explicitly when known; otherwise inferred from
+    one row.  Either way every row is ASSERTED to match — zip_with
+    pads length mismatches with nulls, which would silently poison
+    the fold into NULL projections (ADVICE r8), so a ragged vector
+    column fails loudly instead."""
+    if in_dims is None:
+        head = emb.select(vec_col).first()
+        if head is None:
+            raise ValueError("random_projection: empty embedding table")
+        in_dims = len(head[0])
     mat = jl_sign_matrix(out_dims, in_dims, salt)
+    guard = F.raise_error(F.concat(
+        F.lit(f"random_projection: expected size({vec_col}) == "
+              f"{in_dims}, got "),
+        F.size(vec_col).cast("string")))
+    checked = F.when(F.size(vec_col) == in_dims,
+                     F.col(vec_col)).otherwise(guard)
     cols = []
     for j, row in enumerate(mat):
         signs = F.array(*[F.lit(float(s)) for s in row])
         dot = F.aggregate(
-            F.zip_with(F.col(vec_col), signs,
+            F.zip_with(checked, signs,
                        lambda a, b: a.cast("double") * b),
             F.lit(0.0), lambda acc, v: acc + v)
         cols.append(F.round(dot, 4).alias(f"p{j}"))

@@ -273,7 +273,15 @@ def kmv_sliding_estimate(df: DataFrame, ts_col: str, value_col: str,
     estimate is the same integer arithmetic any SQL engine reproduces.
     At 100 TB the hourly partials are the durable artifact (64 rows/h)
     and window repositioning costs sketch-sized work, not corpus
-    scans."""
+    scans.
+
+    Gap contract (ADVICE r8): window positions are emitted only for
+    CALENDAR HOURS PRESENT IN THE DATA — an hour with zero events
+    yields no output row (and contributes nothing to later windows),
+    rather than a row estimating the trailing hours around it.  The
+    oracle encodes the same contract.  A consumer needing a gap-free
+    spine should join against an explicit hour sequence (the
+    hourly_rollup_gapfilled discipline in streaming/events.py)."""
     hourly = kmv_partial(
         df.select(F.date_trunc("hour", F.col(ts_col)).alias("_h"),
                   F.col(value_col)),
@@ -309,13 +317,19 @@ def bottomk_partial(df: DataFrame, group_cols: list[str], key_col: str,
     sample; merging shards re-takes the k minima of the union
     (:func:`bottomk_merge`) — same discipline as KMV, but keeping the
     VALUE alongside the hash so quantiles (not just cardinality) come
-    out of the sketch."""
+    out of the sketch.
+
+    Determinism at the k-boundary: duplicate ``key_col`` values hash
+    to the SAME bk_h but may carry different values, so ordering by
+    the hash alone would make which row survives rank k
+    engine-dependent (ADVICE r8).  The (bk_h, value) tiebreak pins
+    it — same discipline in :func:`bottomk_merge`."""
     if k < 2:
         raise ValueError(f"k must be >= 2: {k}")
     h = F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
                           F.lit(salt)))
     hv = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
-    w = Window.partitionBy(*group_cols).orderBy("bk_h")
+    w = Window.partitionBy(*group_cols).orderBy("bk_h", "value")
     return (df.select(*group_cols, hv.alias("bk_h"),
                       F.col(value_col).alias("value"))
             .withColumn("_rn", F.row_number().over(w))
@@ -326,9 +340,11 @@ def bottomk_merge(partials: DataFrame, group_cols: list[str],
                   k: int = 64) -> DataFrame:
     """Union per-shard bottom-k partials: re-take the k hash-minima
     per group (rows are keyed by distinct row hashes, so the union
-    never double-counts a row)."""
+    never double-counts a row).  Ordered by (bk_h, value) so the
+    k-boundary row is deterministic even when distinct keys collide
+    on bk_h with different values (ADVICE r8)."""
     dh = partials.select(*group_cols, "bk_h", "value").distinct()
-    w = Window.partitionBy(*group_cols).orderBy("bk_h")
+    w = Window.partitionBy(*group_cols).orderBy("bk_h", "value")
     return (dh.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k).drop("_rn"))
 
@@ -365,7 +381,8 @@ def bottomk_sliding_quantiles(df: DataFrame, ts_col: str, key_col: str,
     data per window position (the kmv_sliding_estimate discipline
     applied to the quantile sketch: raw stream touched once for the
     hourly partials, each window position re-merges <= window_hours*k
-    sketch rows)."""
+    sketch rows).  Same gap contract as kmv_sliding_estimate: hours
+    absent from the data produce no window position row."""
     hourly = bottomk_partial(
         df.select(F.date_trunc("hour", F.col(ts_col)).alias("_h"),
                   F.col(key_col), F.col(value_col)),

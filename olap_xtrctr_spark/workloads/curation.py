@@ -715,7 +715,7 @@ def register_r8(add) -> None:
         r AS (
           SELECT event_type, bk_h, value,
                  ROW_NUMBER() OVER (PARTITION BY event_type
-                                    ORDER BY bk_h) AS rn
+                                    ORDER BY bk_h, value) AS rn
           FROM h),
         p AS (SELECT event_type, bk_h, value FROM r WHERE rn <= 64),
         rk AS (
@@ -752,7 +752,7 @@ def register_r8(add) -> None:
         r AS (
           SELECT hr, bk_h, value,
                  ROW_NUMBER() OVER (PARTITION BY hr
-                                    ORDER BY bk_h) AS rn
+                                    ORDER BY bk_h, value) AS rn
           FROM h),
         p AS (SELECT hr, bk_h, value FROM r WHERE rn <= 64),
         t AS (SELECT DISTINCT hr AS hour FROM p),
@@ -763,7 +763,7 @@ def register_r8(add) -> None:
         m AS (
           SELECT hour, bk_h, value,
                  ROW_NUMBER() OVER (PARTITION BY hour
-                                    ORDER BY bk_h) AS rn
+                                    ORDER BY bk_h, value) AS rn
           FROM u),
         keep AS (SELECT hour, bk_h, value FROM m WHERE rn <= 64),
         rk AS (

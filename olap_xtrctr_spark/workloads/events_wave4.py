@@ -776,7 +776,7 @@ def register_r8(add) -> None:
         r AS (
           SELECT event_type, bk_h, value,
                  ROW_NUMBER() OVER (PARTITION BY event_type
-                                    ORDER BY bk_h) AS rn
+                                    ORDER BY bk_h, value) AS rn
           FROM h),
         p AS (SELECT event_type, bk_h, value FROM r WHERE rn <= 64),
         rk AS (
