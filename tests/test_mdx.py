@@ -753,3 +753,140 @@ def test_named_set_no_collision_with_path_segments():
         "[sales] ON ROWS FROM [sales]", "VENTAS_2025")
     # the axis ref expanded, the FROM cube name did not
     assert req2.rows[0].members
+
+
+# ---- round-9 time-intelligence fuzz + negatives (VERDICT r8 task 4) -----
+
+
+@settings(deadline=None, max_examples=60)
+@given(st.integers(1, 400))
+def test_parallelperiod_distance_fuzz_parse(spark, n):
+    """Every distance n >= 1 parses into LagRef(n) and survives the
+    parse -> build_mdx -> parse fixpoint inside WITH MEMBER."""
+    from olap_xtrctr_spark.mdx import build_mdx, parse_mdx
+    from olap_xtrctr_spark.query import LagRef, parse_measure_expr
+
+    expr = (f"[Measures].[Sum Quantity] - ([Measures].[Sum Quantity], "
+            f"PARALLELPERIOD([D Tiempo].[Calendario], {n}))")
+    builder, refs = parse_measure_expr(expr)
+    assert ("__prevmember__", "D Tiempo", "Calendario") in [
+        r for r in refs if not isinstance(r, str)]
+    seen = []
+
+    def resolve(x):
+        if isinstance(x, LagRef):
+            seen.append((x.n, x.forward))
+            return x.col
+        from pyspark.sql import functions as F
+        return F.lit(1.0)
+    builder(resolve)
+    assert seen == [(n, False)]
+
+    mdx = (f"WITH MEMBER [Measures].[Yoy] AS {expr} "
+           "SELECT { [Measures].[Yoy] } ON COLUMNS, "
+           "[D Tiempo].[Calendario].[Mes].MEMBERS ON ROWS FROM [sales]")
+    req = parse_mdx(mdx, "VENTAS_2025")
+    assert parse_mdx(build_mdx(req), "VENTAS_2025") == req
+
+
+@settings(deadline=None, max_examples=40)
+@given(st.sampled_from(["0", "-1", "-12", "x", "1.5", "", "[n]"]),
+       st.sampled_from(["PARALLELPERIOD", "parallelperiod"]))
+def test_parallelperiod_bad_distance_rejected(bad, kw):
+    """Distances that are not integers >= 1 raise MeasureExprError,
+    never an unrelated exception."""
+    from olap_xtrctr_spark.query import MeasureExprError, parse_measure_expr
+
+    expr = (f"([Measures].[Sum Quantity], "
+            f"{kw}([D Tiempo].[Calendario], {bad}))")
+    with pytest.raises(MeasureExprError):
+        parse_measure_expr(expr)
+
+
+def test_parallelperiod_malformed_shapes_rejected():
+    from olap_xtrctr_spark.query import MeasureExprError, parse_measure_expr
+
+    bad = [
+        # missing n
+        "([Measures].[X], PARALLELPERIOD([D Tiempo].[Calendario]))",
+        # missing hierarchy
+        "([Measures].[X], PARALLELPERIOD(12))",
+        # level path instead of [Dim].[Hier]
+        "([Measures].[X], PARALLELPERIOD("
+        "[D Tiempo].[Calendario].[Mes], 12))",
+        # unbalanced parens
+        "([Measures].[X], PARALLELPERIOD([D Tiempo].[Calendario], 12)",
+        # trailing junk inside the tuple
+        "([Measures].[X], PARALLELPERIOD([D Tiempo].[Calendario], 12, 3))",
+    ]
+    for expr in bad:
+        with pytest.raises(MeasureExprError):
+            parse_measure_expr(expr)
+
+
+@settings(deadline=None, max_examples=40)
+@given(st.integers(1, 6), st.sampled_from(["<", ">", "<=", ">="]))
+def test_filter_over_prevmember_composition_parses(n, op):
+    """FILTER over a PrevMember/PARALLELPERIOD calc (the declining-
+    months composition) parses and round-trips for any distance and
+    comparison direction."""
+    from olap_xtrctr_spark.mdx import build_mdx, parse_mdx
+
+    mdx = (
+        "WITH MEMBER [Measures].[Qty Delta] AS "
+        "[Measures].[Sum Quantity] - ([Measures].[Sum Quantity], "
+        f"PARALLELPERIOD([D Tiempo].[Calendario], {n})) "
+        "SELECT { [Measures].[Sum Quantity], [Measures].[Qty Delta] } "
+        "ON COLUMNS, FILTER([D Tiempo].[Calendario].[Mes].MEMBERS, "
+        f"[Measures].[Qty Delta] {op} 0) "
+        "DIMENSION PROPERTIES MEMBER_CAPTION ON ROWS FROM [sales]")
+    req = parse_mdx(mdx, "VENTAS_2025")
+    assert [c.name for c in req.calculated] == ["Qty Delta"]
+    assert parse_mdx(build_mdx(req), "VENTAS_2025") == req
+
+
+def test_parallelperiod_distance_beyond_axis_all_null(spark, sf_dir):
+    """Negative (distance beyond axis): every cell of the lagged
+    expression is NULL — the calc column exists, no row errors, and a
+    FILTER on it prunes everything rather than failing."""
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    res = eng.execute(parse_mdx(
+        "WITH MEMBER [Measures].[Yoy] AS "
+        "[Measures].[Sum Quantity] - ([Measures].[Sum Quantity], "
+        "PARALLELPERIOD([D Tiempo].[Calendario], 9999)) "
+        "SELECT { [Measures].[Sum Quantity], [Measures].[Yoy] } "
+        "ON COLUMNS, [D Tiempo].[Calendario].[Mes].MEMBERS "
+        "ON ROWS FROM [sales]", "VENTAS_2025"))
+    rows = res.collect()
+    assert rows and all(r["yoy"] is None for r in rows)
+    assert all(r["sum_quantity"] is not None for r in rows)
+
+    filtered = eng.execute(parse_mdx(
+        "WITH MEMBER [Measures].[Yoy] AS "
+        "[Measures].[Sum Quantity] - ([Measures].[Sum Quantity], "
+        "PARALLELPERIOD([D Tiempo].[Calendario], 9999)) "
+        "SELECT { [Measures].[Yoy] } ON COLUMNS, "
+        "FILTER([D Tiempo].[Calendario].[Mes].MEMBERS, "
+        "[Measures].[Yoy] < 0) ON ROWS FROM [sales]", "VENTAS_2025"))
+    assert filtered.count() == 0
+
+
+def test_lastperiods_beyond_axis_equals_running_total(spark, sf_dir):
+    """Negative (window beyond axis): LASTPERIODS(n) with n larger
+    than the axis clamps to the rows that exist — the first member's
+    window is itself, the last member's window is the whole axis, so
+    the result equals the unbounded running total."""
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    big = eng.execute(parse_mdx(
+        "WITH MEMBER [Measures].[Roll] AS "
+        "SUM(LASTPERIODS(99999, [D Tiempo].[Calendario]), "
+        "[Measures].[Sum Quantity]) "
+        "SELECT { [Measures].[Sum Quantity], [Measures].[Roll] } "
+        "ON COLUMNS, [D Tiempo].[Calendario].[Mes].MEMBERS "
+        "ON ROWS FROM [sales]", "VENTAS_2025")).collect()
+    assert big
+    # rebuild the expected running total in chronological result order
+    run = 0.0
+    for r in big:
+        run += r["sum_quantity"]
+        assert abs(r["roll"] - run) < 1e-6, r
