@@ -236,6 +236,12 @@ PROBE_QUERIES = [
     # bottom-k quantile sketch: one distinct-free window over (type, hash)
     # — state 64 rows/type regardless of corpus size
     "events_bottomk_value_quantiles",
+    # round-9: sliding re-merge A/B (hourly partials once, <=6x64 sketch
+    # rows per window position) + streaming bucketed span-store fold
+    # (per-batch store writes O(new grams), probes touch _bucket=
+    # partitions only)
+    "events_sliding_value_quantiles",
+    "docs_stream_span_dedup_bucketed",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key

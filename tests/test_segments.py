@@ -288,3 +288,19 @@ def test_cdc_segments_empty_docs_and_validation(spark):
     assert out[1]["kept_text"] == "hello world"
     with _pytest.raises(ValueError, match="divisor"):
         SEG.cdc_segments(docs, divisor=0)
+
+
+def test_stream_span_dedup_bucketed_idempotent_rerun(spark, sf_dir):
+    """The streaming bucketed span fold (workloads/docs_segments.py)
+    is idempotent end-to-end: a second invocation finds the committed
+    checkpoint + batch markers and returns byte-identical reports
+    without re-folding (re-folding against the populated store would
+    mark EVERYTHING duplicate — the exact failure the _COMMITTED
+    markers prevent)."""
+    from olap_xtrctr_spark.workload import WORKLOAD
+
+    fn = WORKLOAD["docs_stream_span_dedup_bucketed"].fn
+    first = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    second = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert first == second
+    assert first  # non-empty report
