@@ -60,7 +60,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .query import (AxisItem, CalcMeasure, HeadTailSpec, QueryRequest,
-                    TopCountSpec)
+                    TopCountSpec, TopPercentSpec)
 
 
 class MdxParseError(ValueError):
@@ -264,6 +264,12 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
             pat = re.compile(r"(?<!\.)\[" + re.escape(sname)
                              + r"\](?!\s*\.)")
             axes_part = pat.sub(lambda _m: sexpr.strip(), axes_part)
+            # calc-member expressions expand too: SUM([MySet],
+            # [Measures].[X]) becomes the set-literal form the
+            # measure-expression grammar accepts (query.SetAggRef);
+            # build_mdx emits the expanded expr, so the fixpoint holds
+            for c in calcs:
+                c.expr = pat.sub(lambda _m: sexpr.strip(), c.expr)
         flat = axes_part + rest_part
 
     m = re.match(
@@ -337,7 +343,9 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
         while True:
             rs = r.strip()
             up = rs.upper()
-            fn = next((f for f in ("BOTTOMCOUNT", "TOPCOUNT", "ORDER",
+            fn = next((f for f in ("BOTTOMCOUNT", "TOPCOUNT",
+                                   "BOTTOMPERCENT", "TOPPERCENT",
+                                   "BOTTOMSUM", "TOPSUM", "ORDER",
                                    "FILTER", "HEAD", "TAIL")
                        if up.startswith(f + "(")
                        or up.startswith(f + " (")), None)
@@ -355,6 +363,25 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
                         f"{fn} count must be an integer: {parts[1]!r}")
                 req.head_tail = HeadTailSpec(int(parts[1]),
                                              tail=fn == "TAIL")
+            elif fn in ("TOPPERCENT", "BOTTOMPERCENT",
+                        "TOPSUM", "BOTTOMSUM"):
+                if len(parts) != 3:
+                    raise MdxParseError(f"{fn} needs 3 args: {rs!r}")
+                if req.toppercent is not None:
+                    raise MdxParseError(f"nested {fn} is unsupported")
+                if not parts[1].strip().isdigit():
+                    raise MdxParseError(
+                        f"{fn} threshold must be a positive integer "
+                        f"(exact-DECIMAL contract): {parts[1]!r}")
+                thr = int(parts[1])
+                is_pct = fn.endswith("PERCENT")
+                if thr < 1 or (is_pct and thr > 100):
+                    raise MdxParseError(
+                        f"{fn} threshold out of range: {thr}")
+                req.toppercent = TopPercentSpec(
+                    thr, _measure_name(parts[2]),
+                    bottom=fn.startswith("BOTTOM"),
+                    absolute=not is_pct)
             elif fn in ("TOPCOUNT", "BOTTOMCOUNT"):
                 if len(parts) != 3:
                     raise MdxParseError(f"{fn} needs 3 args: {rs!r}")
@@ -497,6 +524,12 @@ def build_mdx(req: QueryRequest, cube_name: str | None = None) -> str:
             tfn = "BOTTOMCOUNT" if req.topcount.bottom else "TOPCOUNT"
             rows = (f"{tfn}({rows}, {req.topcount.n}, "
                     f"[Measures].[{req.topcount.measure}])")
+        if req.toppercent is not None:
+            tp = req.toppercent
+            pfn = ("BOTTOM" if tp.bottom else "TOP") + \
+                ("SUM" if tp.absolute else "PERCENT")
+            rows = (f"{pfn}({rows}, {tp.threshold}, "
+                    f"[Measures].[{tp.measure}])")
         if req.head_tail is not None:   # outermost: executes last
             hfn = "TAIL" if req.head_tail.tail else "HEAD"
             rows = f"{hfn}({rows}, {req.head_tail.n})"

@@ -126,6 +126,27 @@ class HeadTailSpec:
     tail: bool = False
 
 
+@dataclass
+class TopPercentSpec:
+    """TOPPERCENT(<set>, p, [Measures].[X]) — keep the largest-valued
+    axis rows whose CUMULATIVE measure total first reaches p percent
+    of the set's total (the SSAS contract: the smallest top prefix
+    whose running sum >= p% — a row enters while the sum of everything
+    ABOVE it is still short of the threshold).  ``absolute=True`` is
+    TOPSUM (threshold in measure units instead of percent);
+    ``bottom=True`` flips to BOTTOMPERCENT/BOTTOMSUM (smallest values
+    accumulate first).  Ties break on the group columns; NULL cells
+    sort last and contribute 0.  Thresholds are INTEGER so the
+    cumulative comparison stays in exact DECIMAL arithmetic on both
+    engines (cum*100 < total*p — no float division anywhere).
+    Cost: one window pass over the aggregated axis rows, the same
+    axis-bounded class as TOPCOUNT."""
+    threshold: int
+    measure: str
+    bottom: bool = False
+    absolute: bool = False
+
+
 # ---------------------------------------------------------------------------
 # Measure-expression parser (calculated measures, FILTER conditions).
 # A tiny recursive-descent parser — NEVER eval() — over:
@@ -139,9 +160,13 @@ _EXPR_TOKEN = re.compile(
     r"\s*(\[Measures\]\s*\.\s*\[[^\]]+\]"
     r"|\[[^\]]+\]\s*\.\s*\[[^\]]+\](?:\s*\.\s*(?i:CURRENTMEMBER))?"
     r"\s*\.\s*(?i:PREVMEMBER|NEXTMEMBER)"
+    # full member path with key ref — the set-literal element form
+    # ([Dim].[Hier].[Level].&[key]); must precede the 2-segment
+    # alternative or it would match only the path's prefix
+    r"|\[[^\]]+\](?:\s*\.\s*\[[^\]]+\]){1,3}\s*\.\s*&\s*\[[^\]]+\]"
     r"|\[[^\]]+\]\s*\.\s*\[[^\]]+\](?:\s*\.\s*(?i:CURRENTMEMBER))?"
     r"|[A-Za-z_]+"
-    r"|\d+\.\d+|\d+|>=|<=|<>|[-+*/(),><=])")
+    r"|\d+\.\d+|\d+|>=|<=|<>|[-+*/(),><={}])")
 _MEASURE_REF = re.compile(r"\[Measures\]\s*\.\s*\[([^\]]+)\]")
 _PREV_REF = re.compile(
     r"\[([^\]]+)\]\s*\.\s*\[([^\]]+)\](?:\s*\.\s*CURRENTMEMBER)?"
@@ -187,6 +212,29 @@ class LastPeriodsRef:
     hierarchy: str
     n: int
     col: Column
+
+
+@dataclass(eq=False)
+class SetAggRef:
+    """``SUM({<member>, ...}, [Measures].[X])`` / ``AGGREGATE(...)``
+    inside a calculated-measure expression — a measure aggregated over
+    an explicit member SET (usually a WITH SET name the MDX layer
+    expanded): the SSAS aggregate-a-named-set-into-a-member pattern.
+
+    The engine realizes it as ONE CONDITIONAL AGGREGATE in the same
+    groupBy that computes the base measures — SUM(CASE WHEN <member
+    predicate> THEN src END) — so the fact table is still scanned
+    exactly once and the set restriction composes with every axis,
+    filter and slicer (each axis row shows the aggregate over the set
+    members within that row's coordinate).  ``forced_sum`` is the
+    SUM(...) spelling: valid only for additive base measures
+    (SUM/COUNT aggregators) where summing per-member values equals
+    aggregating the combined slice; AGGREGATE(...) uses the measure's
+    OWN aggregator and therefore composes with MIN/MAX/AVG too (the
+    SSAS Aggregate contract)."""
+    members: tuple
+    measure: str
+    forced_sum: bool = True
 
 
 @dataclass(eq=False)
@@ -300,13 +348,60 @@ def parse_measure_expr(expr: str):
             return f
         if t is None:
             raise MeasureExprError(f"truncated expression: {expr!r}")
-        if t.upper() == "SUM":
+        if t.upper() in ("SUM", "AGGREGATE"):
             # SUM(YTD([Dim].[Hier][.CurrentMember]), <expr>)
             # SUM(LASTPERIODS(n, [Dim].[Hier][.CurrentMember]), <expr>)
+            # SUM({<member>, ...}, [Measures].[X])        (set literal)
+            # AGGREGATE({<member>, ...}, [Measures].[X])
+            kw = t.upper()
             take()
             if take() != "(":
                 raise MeasureExprError(
-                    f"expected SUM(YTD(...)|LASTPERIODS(...), ...): "
+                    f"expected {kw}(YTD(...)|LASTPERIODS(...)|"
+                    f"{{set}}, ...): {expr!r}")
+            if peek() == "{":
+                # set-literal form: members are full key paths, the
+                # shape WITH SET expansion emits
+                take()
+                members: list[str] = []
+                while True:
+                    mt = take()
+                    if mt is None:
+                        raise MeasureExprError(
+                            f"unterminated set literal in {expr!r}")
+                    if not re.fullmatch(
+                            r"\[[^\]]+\](?:\s*\.\s*\[[^\]]+\])+"
+                            r"\s*\.\s*&\s*\[[^\]]+\]", mt):
+                        raise MeasureExprError(
+                            f"set elements must be "
+                            f"[Dim].[Hier]...&[key] members, got "
+                            f"{mt!r} in {expr!r}")
+                    members.append(mt)
+                    sep = take()
+                    if sep == "}":
+                        break
+                    if sep != ",":
+                        raise MeasureExprError(
+                            f"bad set literal separator {sep!r} in "
+                            f"{expr!r}")
+                if take() != ",":
+                    raise MeasureExprError(
+                        f"expected {kw}({{set}}, [Measures].[X]): "
+                        f"{expr!r}")
+                mt = take()
+                mm = _MEASURE_REF.fullmatch(mt or "")
+                if not mm or take() != ")":
+                    raise MeasureExprError(
+                        f"{kw} over a set aggregates ONE base "
+                        f"measure ref: {expr!r}")
+                mem_t, meas = tuple(members), mm.group(1)
+                forced = kw == "SUM"
+                refs.append(("__setagg__", mem_t, meas, forced))
+                return (lambda ms=mem_t, mn=meas, fs=forced:
+                        lambda r: r(SetAggRef(ms, mn, fs)))()
+            if kw == "AGGREGATE":
+                raise MeasureExprError(
+                    f"AGGREGATE takes ({{set}}, [Measures].[X]): "
                     f"{expr!r}")
             fn = (take() or "").upper()
             if fn not in ("YTD", "LASTPERIODS") or take() != "(":
@@ -416,6 +511,7 @@ class QueryRequest:
     topcount: Optional[TopCountSpec] = None             # TOPCOUNT(set, n, m)
     order_by: Optional[tuple[str, bool]] = None         # ORDER(set, m, DESC)
     head_tail: Optional[HeadTailSpec] = None            # HEAD/TAIL(set, n)
+    toppercent: Optional[TopPercentSpec] = None         # TOPPERCENT/TOPSUM
 
 
 @dataclass
@@ -597,7 +693,7 @@ class CubeQueryEngine:
                 "calculated measures cannot combine with "
                 "[Measures].AllMembers")
         if not (req.calculated or req.having or req.topcount
-                or req.order_by):
+                or req.order_by or req.toppercent):
             bases = self._resolve_measures(cube, req)
             return bases, [m.out_name or m.name for m in bases], []
 
@@ -616,6 +712,8 @@ class CubeQueryEngine:
         extra_exprs = req.having \
             + ([f"[Measures].[{req.topcount.measure}]"]
                if req.topcount else []) \
+            + ([f"[Measures].[{req.toppercent.measure}]"]
+               if req.toppercent else []) \
             + ([f"[Measures].[{req.order_by[0]}]"]
                if req.order_by else [])
 
@@ -788,18 +886,59 @@ class CubeQueryEngine:
             var_dim = cube.dimension(variables[0].dimension)
             var_hier = var_dim.hierarchy(variables[0].hierarchy)
 
+        # ---- SUM/AGGREGATE over a set literal (SetAggRef) -----------------
+        # Collected up front: each distinct (members, measure, forced)
+        # becomes ONE conditional aggregate column in the main groupBy
+        # (single fact scan — the set restriction is a CASE predicate,
+        # never a second aggregation job), and its dimension's view
+        # must join like any filter dimension.
+        setagg_specs: dict[tuple, str] = {}    # spec key -> alias
+        setagg_dims: list = []                  # (dim, hier, members)
+        for c in req.calculated:
+            try:
+                _, prefs = parse_measure_expr(c.expr)
+            except MeasureExprError:
+                prefs = []
+            for r in prefs:
+                if isinstance(r, str) or r[0] != "__setagg__":
+                    continue
+                key = (r[1], r[2], r[3])
+                if key in setagg_specs:
+                    continue
+                parsed = [naming.parse(m) for m in r[1]]
+                dh = {(p.dimension, p.hierarchy) for p in parsed}
+                if len(dh) != 1:
+                    raise QueryValidationError(
+                        f"set-aggregate members must share one "
+                        f"[Dim].[Hier], got {sorted(dh)}")
+                dim = cube.dimension(parsed[0].dimension)
+                hier = dim.hierarchy(parsed[0].hierarchy)
+                base = cube.measure(r[2])
+                if r[3] and base.aggregator.upper() not in ("SUM",
+                                                            "COUNT"):
+                    raise QueryValidationError(
+                        f"SUM over a set needs an additive base "
+                        f"measure (SUM/COUNT); "
+                        f"[Measures].[{r[2]}] aggregates with "
+                        f"{base.aggregator} — use AGGREGATE(...)")
+                alias = f"_setagg_{len(setagg_specs)}"
+                setagg_specs[key] = alias
+                setagg_dims.append((dim, hier, list(r[1])))
+
         if (req.calculated or req.having or req.topcount
-                or req.order_by or req.head_tail) and variables:
+                or req.order_by or req.head_tail
+                or req.toppercent) and variables:
             raise QueryValidationError(
-                "calculated measures / FILTER / TOPCOUNT / ORDER / "
-                "HEAD / TAIL do not combine with a variables pivot")
+                "calculated measures / FILTER / TOPCOUNT / TOPPERCENT "
+                "/ ORDER / HEAD / TAIL do not combine with a "
+                "variables pivot")
         if req.head_tail is not None and not req.rows:
             raise QueryValidationError(
                 "HEAD / TAIL need a rows axis to order")
-        if (req.having or req.topcount or req.head_tail) \
-                and empty_preserving:
+        if (req.having or req.topcount or req.head_tail
+                or req.toppercent) and empty_preserving:
             raise QueryValidationError(
-                "FILTER / TOPCOUNT / HEAD / TAIL over an "
+                "FILTER / TOPCOUNT / TOPPERCENT / HEAD / TAIL over an "
                 "empty-preserving axis is ambiguous (filter before or "
                 "after the preserved empty rows?) — run one or the other")
         measures, out_aliases, calc_plan = self._resolve_measure_plan(
@@ -817,6 +956,7 @@ class CubeQueryEngine:
         for dim in ([a.dimension for a in axes]
                     + [d for d, _, _ in filters]
                     + [d for d, _, _ in slicer_parsed]
+                    + [d for d, _, _ in setagg_dims]
                     + ([var_dim] if var_dim else [])):
             if dim.view is not None:
                 needed_views.setdefault(dim.view, dim)
@@ -856,7 +996,7 @@ class CubeQueryEngine:
             except MeasureExprError:
                 prefs = []
             for r in prefs:
-                if not isinstance(r, str):
+                if not isinstance(r, str) and r[0] != "__setagg__":
                     prev_hiers.add((r[1].upper(), r[2].upper()))
 
         def _is_lag_axis(ax) -> bool:
@@ -880,6 +1020,37 @@ class CubeQueryEngine:
                     alias = f"_ord_{lv.out_name}"
                     group_cols.append(F.col(lv.ordinal_col).alias(alias))
                     ordinal_names[lv.out_name] = alias
+
+        # conditional aggregate columns for set-aggregate calc members:
+        # CASE WHEN <member-path predicate> THEN src END through the
+        # base measure's own aggregator (DECIMAL(18,4) for SUM/AVG —
+        # the Measure.agg_expr discipline)
+        setagg_aggs: list[Column] = []
+        for (members, meas_name, _forced), alias in setagg_specs.items():
+            dim, hier, mlist = next(
+                (d, h, ms) for d, h, ms in setagg_dims
+                if tuple(ms) == members)
+            paths = self._member_paths(cube, dim, hier, mlist)
+            pred = self._paths_predicate(joined, paths)
+            m = cube.measure(meas_name)
+            agg = m.aggregator.upper()
+            if agg == "COUNT" and m.source_col is None:
+                setagg_aggs.append(
+                    F.count(F.when(pred, F.lit(1))).alias(alias))
+            else:
+                col = F.when(pred, F.col(m.source_col))
+                if agg == "SUM":
+                    setagg_aggs.append(
+                        F.sum(col.cast("decimal(18,4)")).cast("double")
+                        .alias(alias))
+                elif agg == "AVG":
+                    setagg_aggs.append(
+                        (F.sum(col.cast("decimal(18,4)")).cast("double")
+                         / F.count(col)).alias(alias))
+                else:
+                    fn = {"COUNT": F.count, "MIN": F.min,
+                          "MAX": F.max}[agg]
+                    setagg_aggs.append(fn(col).alias(alias))
 
         if variables:
             # Q17: variables take the COLUMNS role → pivot on the leaf
@@ -905,9 +1076,10 @@ class CubeQueryEngine:
 
         if group_cols:
             out = joined.groupBy(*group_cols).agg(
-                *[m.agg_expr() for m in measures])
+                *[m.agg_expr() for m in measures], *setagg_aggs)
         else:
-            out = joined.agg(*[m.agg_expr() for m in measures])
+            out = joined.agg(*[m.agg_expr() for m in measures],
+                             *setagg_aggs)
 
         # NON EMPTY: drop rows whose measure cells are all NULL (Q12).
         if req.non_empty and not any(m.never_null for m in measures):
@@ -930,6 +1102,9 @@ class CubeQueryEngine:
             for ax in axes}
 
         def resolve(name):
+            if isinstance(name, SetAggRef):
+                return F.col(setagg_specs[
+                    (name.members, name.measure, name.forced_sum)])
             if isinstance(name, (LagRef, YtdRef, LastPeriodsRef)):
                 order = axis_order.get(
                     (name.dimension.upper(), name.hierarchy.upper()))
@@ -1004,6 +1179,37 @@ class CubeQueryEngine:
                    else key.desc())
             out = (out.orderBy(key, *[F.col(g) for g in group_names])
                    .limit(req.topcount.n))
+        if req.toppercent is not None:   # TOPPERCENT/TOPSUM (+BOTTOM)
+            # One cumulative window over the aggregated axis rows: a
+            # row survives while the running total ABOVE it is still
+            # short of the threshold (the minimal prefix whose sum
+            # reaches it — SSAS TopPercent/TopSum).  All arithmetic is
+            # exact DECIMAL: NULL cells coalesce to 0 and sort last,
+            # percent compares as cum*100 < total*p (no division), so
+            # the oracle reproduces the cut bit-for-bit.
+            tp = req.toppercent
+            key = resolve_out(tp.measure)
+            kdec = F.coalesce(key, F.lit(0)).cast("decimal(18,4)")
+            order_cols = ([key.asc_nulls_last() if tp.bottom
+                           else key.desc_nulls_last()]
+                          + [F.col(g) for g in group_names])
+            wcum = (SqlWindow.orderBy(*order_cols)
+                    .rowsBetween(SqlWindow.unboundedPreceding, -1))
+            cum_before = F.coalesce(
+                F.sum(kdec).over(wcum),
+                F.lit(0).cast("decimal(18,4)"))
+            if tp.absolute:
+                keep = cum_before < F.lit(int(tp.threshold))
+            else:
+                wtot = SqlWindow.orderBy(*order_cols).rowsBetween(
+                    SqlWindow.unboundedPreceding,
+                    SqlWindow.unboundedFollowing)
+                total = F.sum(kdec).over(wtot)
+                keep = (cum_before * 100) < (total
+                                             * int(tp.threshold))
+            out = (out.withColumn("_tp_keep", keep)
+                   .filter(F.col("_tp_keep")).drop("_tp_keep")
+                   .orderBy(*order_cols))
         if req.order_by is not None:     # ORDER(set, measure, DESC|ASC)
             name, desc = req.order_by
             key = resolve_out(name)
@@ -1029,7 +1235,8 @@ class CubeQueryEngine:
             else:
                 out = out.orderBy(*fwd).limit(req.head_tail.n)
         if calc_plan or req.having or req.topcount or req.order_by \
-                or req.head_tail or ordinal_names:
+                or req.head_tail or req.toppercent or ordinal_names \
+                or setagg_aggs:
             # project LAST to the SELECTED measures, so FILTER/TOPCOUNT/
             # ORDER can reference bases or calcs that are not in the
             # output (Spark keeps the sort order across the projection).

@@ -165,6 +165,7 @@ def build_workload() -> dict[str, QuerySpec]:
         mod.register(add)
     curation.register_r8(add)     # round-8 additions append last
     docs_segments.register_r8(add)
+    cube.register_r9(add)         # round-9 additions append after r8
 
     # Order per the gate-window manifest (see _GATE_FRONT above).
     missing = [n for n in _GATE_FRONT if n not in q]

@@ -585,3 +585,131 @@ def register_r7(add) -> None:
                sum_quantity - LAG(sum_quantity, 12)
                  OVER (ORDER BY anio, mn) AS yoy_month
         FROM a""")
+
+
+def register_r9(add) -> None:
+    """Round-9 MDX surface: aggregate a named set into a calculated
+    member (SUM/AGGREGATE over a set literal -> query.SetAggRef, ONE
+    conditional aggregate in the same fact scan) and the
+    TOPPERCENT/TOPSUM cumulative-cut family (query.TopPercentSpec, one
+    exact-DECIMAL window over the aggregated axis)."""
+
+    # SUM over a WITH SET name: per-year total next to the same total
+    # restricted to the named region set — single scan, the set is a
+    # CASE predicate inside the aggregate.
+    add("cube_named_set_sum_member",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "WITH SET [Mis Regiones] AS "
+            "'{ [Dim Customer].[Geografía].[Region].&[1], "
+            "[Dim Customer].[Geografía].[Region].&[3] }' "
+            "MEMBER [Measures].[Region Sales] AS "
+            "SUM([Mis Regiones], [Measures].[Sum Extendedprice]) "
+            "SELECT { [Measures].[Sum Extendedprice], "
+            "[Measures].[Region Sales] } ON COLUMNS, "
+            "[D Tiempo].[Calendario].[Año].MEMBERS ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH {_OW}
+        SELECT CAST(year(l_shipdate) AS INTEGER) AS anio,
+               {SUM_D('l_extendedprice')} AS sum_extendedprice,
+               CAST(SUM(CASE WHEN cust_region_key IN (1, 3)
+                        THEN CAST(l_extendedprice AS DECIMAL(18,4)) END)
+                    AS DOUBLE) AS region_sales
+        FROM {_FACT_OW}
+        GROUP BY 1""")
+
+    # AGGREGATE over a set uses the base measure's OWN aggregator
+    # (here COUNT) — per-region row, the set-restricted count is
+    # non-zero exactly on the set's members (per-coordinate compose).
+    add("cube_aggregate_set_member",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "WITH SET [Dos] AS "
+            "'{ [Dim Customer].[Geografía].[Region].&[1], "
+            "[Dim Customer].[Geografía].[Region].&[3] }' "
+            "MEMBER [Measures].[Set Rows] AS "
+            "AGGREGATE([Dos], [Measures].[Total Registros]) "
+            "SELECT { [Measures].[Total Registros], "
+            "[Measures].[Set Rows] } ON COLUMNS, "
+            "[Dim Customer].[Geografía].[Region].MEMBERS ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH {_OW}
+        SELECT cust_region AS region,
+               COUNT(*) AS total_registros,
+               COUNT(CASE WHEN cust_region_key IN (1, 3) THEN 1 END)
+                 AS set_rows
+        FROM {_FACT_OW}
+        GROUP BY 1""")
+
+    # TOPPERCENT: the smallest top prefix of nations whose cumulative
+    # quantity reaches 50% of the total — exact-DECIMAL cumulative cut
+    # (cum*100 < total*50, no float division), ties on (region,
+    # nation) ascending, identical window logic in the oracle.
+    _TP_CUM = """
+        r AS (
+          SELECT nation, sum_quantity,
+                 COALESCE(SUM(CAST(COALESCE(sum_quantity, 0)
+                              AS DECIMAL(18,4))) OVER (
+                     ORDER BY sum_quantity DESC NULLS LAST, nation
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING),
+                   CAST(0 AS DECIMAL(18,4))) AS cumb,
+                 SUM(CAST(COALESCE(sum_quantity, 0)
+                          AS DECIMAL(18,4))) OVER () AS tot
+          FROM a)"""
+    add("cube_toppercent_nations",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+            "TOPPERCENT([Dim Customer].[Geografía].[Nation].MEMBERS, "
+            "50, [Measures].[Sum Quantity]) ON ROWS FROM [sales]",
+            CATALOG)),
+        f"""WITH {_OW},
+        a AS (
+          SELECT cust_nation AS nation,
+                 {SUM_D('l_quantity')} AS sum_quantity
+          FROM {_FACT_OW}
+          GROUP BY 1),{_TP_CUM}
+        SELECT nation, sum_quantity
+        FROM r WHERE cumb * 100 < tot * 50""")
+
+    # BOTTOMPERCENT: same machinery, smallest values accumulate first.
+    _BP_CUM = _TP_CUM.replace("DESC NULLS LAST", "ASC NULLS LAST")
+    add("cube_bottompercent_nations",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+            "BOTTOMPERCENT([Dim Customer].[Geografía].[Nation].MEMBERS,"
+            " 25, [Measures].[Sum Quantity]) ON ROWS FROM [sales]",
+            CATALOG)),
+        f"""WITH {_OW},
+        a AS (
+          SELECT cust_nation AS nation,
+                 {SUM_D('l_quantity')} AS sum_quantity
+          FROM {_FACT_OW}
+          GROUP BY 1),{_BP_CUM}
+        SELECT nation, sum_quantity
+        FROM r WHERE cumb * 100 < tot * 25""")
+
+    # TOPSUM: absolute threshold in measure units — the month axis
+    # keeps the largest months until their running total reaches
+    # 500 000 units (all months when the corpus is smaller than the
+    # threshold; a strict ~4-month subset at the gate SF).
+    add("cube_topsum_months",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+            "TOPSUM([D Tiempo].[Calendario].[Mes].MEMBERS, 500000, "
+            "[Measures].[Sum Quantity]) ON ROWS FROM [sales]",
+            CATALOG)),
+        f"""WITH a AS (
+          SELECT {MES_CASE} AS mes,
+                 {SUM_D('l_quantity')} AS sum_quantity
+          FROM lineitem
+          GROUP BY 1),
+        r AS (
+          SELECT mes, sum_quantity,
+                 COALESCE(SUM(CAST(COALESCE(sum_quantity, 0)
+                              AS DECIMAL(18,4))) OVER (
+                     ORDER BY sum_quantity DESC NULLS LAST, mes
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING),
+                   CAST(0 AS DECIMAL(18,4))) AS cumb
+          FROM a)
+        SELECT mes, sum_quantity
+        FROM r WHERE cumb < 500000""")

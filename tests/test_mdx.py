@@ -890,3 +890,140 @@ def test_lastperiods_beyond_axis_equals_running_total(spark, sf_dir):
     for r in big:
         run += r["sum_quantity"]
         assert abs(r["roll"] - run) < 1e-6, r
+
+
+# ---- round-9 MDX surface: set aggregation + TOPPERCENT family ----------
+
+
+def test_parse_sum_over_named_set_roundtrip():
+    """SUM([MySet], [Measures].[X]) expands the named set into the
+    set-literal form inside the calc expr; parse -> build -> parse is
+    a fixpoint and the compiled expr records the setagg marker."""
+    from olap_xtrctr_spark.mdx import build_mdx, parse_mdx
+    from olap_xtrctr_spark.query import parse_measure_expr
+
+    req = parse_mdx(
+        "WITH SET [Mis Regiones] AS "
+        "'{ [Dim Customer].[Geografía].[Region].&[1], "
+        "[Dim Customer].[Geografía].[Region].&[3] }' "
+        "MEMBER [Measures].[Region Sales] AS "
+        "SUM([Mis Regiones], [Measures].[Sum Extendedprice]) "
+        "SELECT { [Measures].[Region Sales] } ON COLUMNS, "
+        "[D Tiempo].[Calendario].[Año].MEMBERS ON ROWS FROM [sales]",
+        "VENTAS_2025")
+    expr = req.calculated[0].expr
+    assert "{" in expr and ".&[1]" in expr and ".&[3]" in expr
+    assert parse_mdx(build_mdx(req), "VENTAS_2025") == req
+    _, refs = parse_measure_expr(expr)
+    markers = [r for r in refs if not isinstance(r, str)]
+    assert markers and markers[0][0] == "__setagg__"
+    assert markers[0][2] == "Sum Extendedprice"
+    assert markers[0][3] is True        # SUM spelling -> forced_sum
+
+
+def test_setagg_parse_negatives():
+    from olap_xtrctr_spark.query import MeasureExprError, parse_measure_expr
+
+    bad = [
+        # empty set
+        "SUM({}, [Measures].[X])",
+        # caption path without key ref
+        "SUM({ [D].[H].[L].[Cap] }, [Measures].[X])",
+        # missing measure
+        "SUM({ [D].[H].[L].&[1] })",
+        # arithmetic instead of a single measure ref
+        "SUM({ [D].[H].[L].&[1] }, [Measures].[X] + 1)",
+        # AGGREGATE only takes the set form
+        "AGGREGATE(YTD([D].[H]), [Measures].[X])",
+        # bad separator
+        "SUM({ [D].[H].[L].&[1]; [D].[H].[L].&[2] }, [Measures].[X])",
+    ]
+    for expr in bad:
+        with pytest.raises(MeasureExprError):
+            parse_measure_expr(expr)
+
+
+def test_setagg_validation_errors(spark, sf_dir):
+    from olap_xtrctr_spark.query import QueryValidationError
+
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    # mixed hierarchies in one set
+    with pytest.raises(QueryValidationError, match="share one"):
+        eng.execute(parse_mdx(
+            "WITH MEMBER [Measures].[Bad] AS "
+            "SUM({ [Dim Customer].[Geografía].[Region].&[1], "
+            "[Dim Product].[Producto].[Brand].&[x] }, "
+            "[Measures].[Sum Quantity]) "
+            "SELECT { [Measures].[Bad] } ON COLUMNS, "
+            "[D Tiempo].[Calendario].[Año].MEMBERS ON ROWS "
+            "FROM [sales]", "VENTAS_2025"))
+
+
+def test_toppercent_parse_and_negatives():
+    from olap_xtrctr_spark.mdx import MdxParseError, build_mdx, parse_mdx
+
+    req = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "TOPSUM([Dim Customer].[Geografía].[Nation].MEMBERS, 42, "
+        "[Measures].[Sum Quantity]) ON ROWS FROM [sales]",
+        "VENTAS_2025")
+    assert req.toppercent.absolute and req.toppercent.threshold == 42
+    assert parse_mdx(build_mdx(req), "VENTAS_2025") == req
+
+    req2 = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "BOTTOMPERCENT([Dim Customer].[Geografía].[Nation].MEMBERS, "
+        "25, [Measures].[Sum Quantity]) ON ROWS FROM [sales]",
+        "VENTAS_2025")
+    assert req2.toppercent.bottom and not req2.toppercent.absolute
+    assert parse_mdx(build_mdx(req2), "VENTAS_2025") == req2
+
+    bad = [
+        # percent out of range
+        "TOPPERCENT([D].[H].[L].MEMBERS, 101, [Measures].[X])",
+        "TOPPERCENT([D].[H].[L].MEMBERS, 0, [Measures].[X])",
+        # non-integer threshold (exact-DECIMAL contract)
+        "TOPPERCENT([D].[H].[L].MEMBERS, 12.5, [Measures].[X])",
+        # missing args
+        "TOPSUM([D].[H].[L].MEMBERS, [Measures].[X])",
+    ]
+    for rows in bad:
+        with pytest.raises(MdxParseError):
+            parse_mdx(f"SELECT {{ [Measures].[X] }} ON COLUMNS, "
+                      f"{rows} ON ROWS FROM [sales]", "VENTAS_2025")
+
+
+@settings(deadline=None, max_examples=30)
+@given(st.integers(1, 100), st.sampled_from(["TOPPERCENT",
+                                             "BOTTOMPERCENT"]))
+def test_toppercent_fuzz_thresholds(p, fn):
+    from olap_xtrctr_spark.mdx import build_mdx, parse_mdx
+
+    req = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        f"{fn}([Dim Customer].[Geografía].[Nation].MEMBERS, {p}, "
+        "[Measures].[Sum Quantity]) ON ROWS FROM [sales]",
+        "VENTAS_2025")
+    assert req.toppercent.threshold == p
+    assert parse_mdx(build_mdx(req), "VENTAS_2025") == req
+
+
+def test_toppercent_minimal_prefix_property(spark, sf_dir):
+    """The kept prefix reaches the threshold and is minimal: dropping
+    its smallest row goes below the threshold (SSAS TopPercent)."""
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    top = eng.execute(parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "TOPPERCENT([Dim Customer].[Geografía].[Nation].MEMBERS, 50, "
+        "[Measures].[Sum Quantity]) ON ROWS FROM [sales]",
+        "VENTAS_2025")).collect()
+    allr = eng.execute(parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "[Dim Customer].[Geografía].[Nation].MEMBERS ON ROWS "
+        "FROM [sales]", "VENTAS_2025")).collect()
+    tot = sum(r["sum_quantity"] for r in allr)
+    kept = sum(r["sum_quantity"] for r in top)
+    assert 0 < len(top) < len(allr)
+    assert kept * 100 >= tot * 50
+    assert (kept - min(r["sum_quantity"] for r in top)) * 100 \
+        < tot * 50
