@@ -35,50 +35,46 @@ from .workloads import (cube, curation, docs_segments,  # noqa: F401
 # from earlier rounds; WORKLOAD.md documents which round graded what.
 _GATE_WINDOW = 50
 _GATE_FRONT = [
-    # Round-8 rotation (VERDICT r7 tasks 2+3): every slot is a
-    # full-oracle entry the driver can hash-match — the two r7
-    # rows-only entries (docs_quality_classifier,
-    # emb_cluster_balanced_sample) move behind the window (their
-    # in-entry gates + pytest still verify them; the driver's weaker
-    # rows-only check added nothing).  Slots go to: (a) the 7 entries
-    # whose semantics changed this round (the host-libm ln freeze fix
-    # — lm_score/dsir*/bm25 — plus the CMS absent-probe and BPE
-    # empty-doc oracle fixes), (b) the 4 never-driver-graded
-    # full-oracle entries (the other 3 never-graded are rows-only by
-    # nature — BPE train/token-count and the LSH leakage path — and
-    # stay behind the window), (c) the full r3-latest block (15), and
-    # (d) the oldest r4-latest entries in build order — each NEW
-    # round-8 entry appended via _R8_NEW below displaces one more from
-    # the r4 tail (displaced entries keep green r4 rows and the local
-    # all-entries gate, and rotate in round 9).
-    "cube_head_nations",              # never graded (cheap warmup absorber)
-    "cube_tail_ordered_nations",      # never graded
-    "docs_ngram_lm_score",            # RED r7 -> host-libm lookup fix
-    "docs_dsir_weights",              # impl changed (host-libm llr)
-    "docs_dsir_top_docs",             # impl changed (host-libm llr)
-    "docs_dsir_gumbel_sample",        # impl changed (host-libm noise)
-    "docs_bm25_topk",                 # impl changed (host-libm idf)
-    "docs_cms_token_freq",            # semantics changed (absent probe row)
-    "docs_bpe_roundtrip",             # oracle changed (empty-doc rows)
-    "docs_segment_dedup_incremental",     # never graded
-    "docs_duplicate_spans_incremental",   # never graded
-    # r3-latest block (all 15, build order):
-    "docs_uniform_sample_k",
-    "docs_exact_dup_groups",
-    "docs_exact_dedup_keep",
-    "emb_norms",
-    "emb_quantize",
-    "emb_near_dup_pairs",
-    "multimodal_resize",
-    "multimodal_frames",
-    "multimodal_features",
-    "events_stream_user_totals",
+    # ---- Round-9 rotation (VERDICT r8 task 2) ----------------------
+    # (a) the 2 r8-RED rows, re-graded after the libm-free fixedlog
+    #     oracle rewrite;
+    "docs_ngram_lm_score",            # RED r7+r8 -> fixed-op ladder
+    "docs_ccnet_buckets",             # RED r8 (same LM scores)
+    # (b) every entry whose ORACLE changed this round (ladder rewrite
+    #     / schema change) — green r8 rows are stale for them;
+    "docs_dsir_weights",
+    "docs_dsir_top_docs",
+    "docs_dsir_gumbel_sample",
+    "docs_bm25_topk",
+    "docs_token_pmi_top",
+    "docs_temperature_mix_rates",     # also r4-stale; mix_rate_ppm now
+    # (c) never-graded full-oracle entries: r8 leftovers (bottom-k
+    #     quantile family got the deterministic tiebreak this round,
+    #     so their oracles changed too) + the round-9 additions;
+    "cube_declining_months",
+    "cube_month_vs_last_year",
+    "events_bottomk_value_quantiles",
+    "events_sliding_value_quantiles",
+    "events_stream_bottomk_quantiles",
+    "docs_stream_span_dedup_bucketed",   # NEW r9 (bucketed span stream)
+    "cube_named_set_sum_member",         # NEW r9 (SUM over named set)
+    "cube_aggregate_set_member",         # NEW r9 (AGGREGATE over set)
+    "cube_toppercent_nations",           # NEW r9 (cumulative cut)
+    "cube_bottompercent_nations",        # NEW r9
+    "cube_topsum_months",                # NEW r9 (absolute threshold)
+    # (d) the 5 r3-displaced entries (workload.py r8 note: rotate
+    #     these back FIRST);
     "events_value_percentiles",
     "events_retention_cohorts",
     "events_type_user_distinct",
     "events_top_hours_per_type",
     "events_user_activity",
-    # r4-latest block (build order; the tail yields to _R8_NEW):
+    # (e) the 26 oldest r4-latest FULL-ORACLE entries in build order
+    #     (rows-only r4 entries stay behind the window — the driver's
+    #     weaker check adds nothing, r8 lesson; the remaining 4 r4
+    #     full-oracle entries rotate in round 10: events_rollup_
+    #     incremental, events_props_variant_stats, events_user_deciles,
+    #     events_type_trigrams).
     "members_fulltext_stemmed",
     "docs_token_count_bpe",
     "docs_repetition_stats",
@@ -103,47 +99,10 @@ _GATE_FRONT = [
     "docs_boilerplate_ngrams",
     "docs_boilerplate_filter",
     "docs_edit_distance_pairs",
+    "docs_prepare_chunks",
+    "events_stream_session_tracker",
 ]
 
-# NEW round-8 entries enter the front as they land, displacing the r4
-# tail (displaced entries keep their green r4 rows + the local gate and
-# rotate next round).  By the end of round 8 the displacement reached
-# 5 entries of the r3 block (events_value_percentiles /
-# retention_cohorts / type_user_distinct / top_hours_per_type /
-# user_activity — simple aggs, pytest + local-gate covered): rotate
-# those back in FIRST in round 9, ahead of the r4 block.
-_R8_NEW = [
-    "cube_descendants_region_nations",   # NEW r8 (DESCENDANTS nav)
-    "cube_ancestor_region_rollup",       # NEW r8 (ANCESTOR rollup)
-    "docs_ccnet_buckets",                # NEW r8 (CCNet ppl split)
-    "docs_minhash_lsh_pairs_exact",      # NEW r8 (oracle-exact MinHash)
-    "docs_simhash_pairs_exact",          # NEW r8 (oracle-exact SimHash)
-    "docs_minhash_dedup_corpus_exact",   # NEW r8 (exact LSH dedup e2e)
-    "docs_cms_token_freq_by_lang",       # NEW r8 (grouped CMS path)
-    "events_kmv_users_by_type",          # NEW r8 (oracle-exact KMV)
-    "events_value_quantiles_sampled",    # NEW r8 (det-sample quantiles)
-    "events_stream_kmv_users",           # NEW r8 (streaming KMV fold)
-    "docs_cdc_segment_dedup",            # NEW r8 (content-defined chunks)
-    "cube_children_of_region",           # never graded (full-oracle nav)
-    "events_kmv_type_overlap",           # NEW r8 (KMV set-op estimates)
-    "docs_dedup_weighted_keep",          # NEW r8 (repeat-weight soft dedup)
-    "docs_cluster_split",                # NEW r8 (leakage-free split)
-    "events_stream_cms_heavy_users",     # NEW r8 (streaming CMS fold)
-    "cube_month_delta",                  # NEW r8 (PrevMember time intel)
-    "cube_region_yoy_delta",             # NEW r8 (partitioned PrevMember)
-    "cube_region_ytd",                   # NEW r8 (SUM(YTD) running total)
-    "events_hourly_moving_avg",          # NEW r8 (exact-window smoothing)
-    "events_bloom_semijoin",             # NEW r8 (bloom-prefiltered join)
-    "docs_token_pmi_top",                # NEW r8 (PMI collocations)
-    "cube_rolling_quarter",              # NEW r8 (LASTPERIODS window)
-    "events_sliding_distinct_users",     # NEW r8 (sliding KMV merge)
-    "emb_random_projection",             # NEW r8 (JL sign projection)
-    "cube_next_month_delta",             # NEW r8 (NextMember lead)
-    "cube_named_set_rows",               # NEW r8 (WITH SET expansion)
-    "docs_incremental_near_dups",        # NEW r8 (batch-vs-corpus LSH)
-    "docs_dedup_keep_best",              # NEW r8 (quality-priority keep)
-]
-_GATE_FRONT = _GATE_FRONT[:-len(_R8_NEW)] + _R8_NEW
 
 
 

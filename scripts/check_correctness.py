@@ -3,6 +3,22 @@ entry on Spark AND its oracle_sql() on DuckDB at the given SF, compare
 row count, schema (column names), and order-insensitive values.
 
 Usage: python scripts/check_correctness.py [sf_dir] [name_filter]
+       (name_filter "@window" = the driver's exact first-50 scope)
+
+KNOWN LIMITATION (round-9 note): this gate runs ONE DuckDB build (the
+container's), while the driver runs ITS OWN — and round 8 proved the
+two can disagree bitwise on libm transcendentals (ln), turning
+local-green entries driver-red.  A second-DuckDB-version cross-check
+would have caught that a round earlier, but the container has no
+network (pip cannot fetch another duckdb wheel — verified r9).  The
+durable mitigation is structural instead: NO oracle may call
+ln/log/exp at all and pow only in measured-exact forms
+(tests/test_hostmath.py lint); every float score goes through the
+fixed-op IEEE ladders in operators/fixedlog.py, which are
+engine-version-independent by construction (bit-equality swept across
+CPython/DuckDB/Spark in tests/test_fixedlog.py).  If a future
+container gains network or a second duckdb wheel appears in the image,
+run this gate under both versions and diff the oracle halves.
 """
 from __future__ import annotations
 
