@@ -115,6 +115,13 @@ class Measure:
         if agg == "AVG":
             return (F.sum(col.cast("decimal(18,4)")).cast("double")
                     / F.count(col)).alias(name)
+        if agg == "DISTINCTCOUNT":
+            # the SSAS DistinctCount aggregator: exact per-cell
+            # distinct keys.  Spark plans it as a two-phase
+            # expand/partial-distinct aggregate (map-side dedup before
+            # the shuffle), so the cost is bounded by distinct keys
+            # per group, not fact rows.
+            return F.countDistinct(col).alias(name)
         fn = {"COUNT": F.count, "MIN": F.min, "MAX": F.max}[agg]
         return fn(col).alias(name)
 
@@ -124,7 +131,7 @@ class Measure:
 
     @property
     def never_null(self) -> bool:
-        return self.aggregator.upper() == "COUNT"
+        return self.aggregator.upper() in ("COUNT", "DISTINCTCOUNT")
 
 
 ViewBuilder = Callable[[SparkSession, str], DataFrame]
@@ -387,6 +394,12 @@ def sales_cube(catalog: str = "VENTAS_2025", name: str = "sales",
             "Avg Discount", "AVG", "l_discount", out_name="avg_discount"),
         "Sum Tax": Measure(  # invisible fixture (MEASURE_IS_VISIBLE=false)
             "Sum Tax", "SUM", "l_tax", visible=False, out_name="sum_tax"),
+        # round 9: the SSAS DistinctCount aggregator — distinct order
+        # keys contributing to each cell (a fact-local key, so no
+        # measure-driven dimension join is ever needed)
+        "Distinct Orders": Measure(
+            "Distinct Orders", "DISTINCTCOUNT", "l_orderkey",
+            out_name="distinct_orders"),
     }
 
     deriver: Deriver = _derive_time

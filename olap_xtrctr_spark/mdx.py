@@ -106,6 +106,49 @@ def _parse_set(expr: str, properties: bool) -> list[AxisItem]:
         return (_parse_set(parts[0], properties)
                 + _parse_set(parts[1], properties))
 
+    # UNION / EXCEPT / INTERSECT over member-literal sets of ONE
+    # hierarchy (round 9): pure parse-time set algebra — the result is
+    # a member-literal AxisItem, so build_mdx emits the RESOLVED set
+    # and parse -> build -> parse is a fixpoint.  SSAS order contract:
+    # first operand's order wins; UNION dedups (the ALL variant is not
+    # in the subset); an empty result is rejected at parse time (the
+    # engine's member constraints cannot express "no members" — an
+    # empty constraint list means UNCONSTRAINED, the opposite).
+    setop = next((f for f in ("UNION", "EXCEPT", "INTERSECT")
+                  if up.startswith(f + "(") or up.startswith(f + " (")),
+                 None)
+    if setop is not None:
+        inner = expr[expr.index("(") + 1:expr.rindex(")")]
+        parts = _split_top(inner)
+        if len(parts) != 2:
+            raise MdxParseError(f"{setop} needs 2 set args: {expr!r}")
+        sides = []
+        for part in parts:
+            items = _parse_set(part, properties)
+            if (len(items) != 1 or not items[0].members
+                    or items[0].level or items[0].depth
+                    or items[0].ancestor):
+                raise MdxParseError(
+                    f"{setop} operands must be member-literal sets "
+                    f"of one hierarchy: {part!r}")
+            sides.append(items[0])
+        a, b = sides
+        if (a.dimension.lower(), a.hierarchy.lower()) !=                 (b.dimension.lower(), b.hierarchy.lower()):
+            raise MdxParseError(
+                f"{setop} operands must share [Dim].[Hier]: {expr!r}")
+        aset, bset = set(a.members), set(b.members)
+        if setop == "UNION":
+            out = a.members + [m for m in b.members if m not in aset]
+        elif setop == "EXCEPT":
+            out = [m for m in a.members if m not in bset]
+        else:
+            out = [m for m in a.members if m in bset]
+        if not out:
+            raise MdxParseError(
+                f"{setop} produced an empty set: {expr!r}")
+        return [AxisItem(a.dimension, a.hierarchy, members=out,
+                         properties=properties)]
+
     # DESCENDANTS(member | {set}, [Dim].[Hier].[Level]) /
     # ANCESTOR(member, [Dim].[Hier].[Level]) — member-tree navigation
     # (the parent/child chains the reference scanner walks in pandas,

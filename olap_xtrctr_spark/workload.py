@@ -69,11 +69,20 @@ _GATE_FRONT = [
     "events_type_user_distinct",
     "events_top_hours_per_type",
     "events_user_activity",
-    # (e) the 26 oldest r4-latest FULL-ORACLE entries in build order
+    # (c2) round-9 wave 2: the DistinctCount measure (which also
+    #     changed cube_all_measures_global's schema — re-grade) and
+    #     the UNION/EXCEPT/INTERSECT set operators;
+    "cube_distinct_orders_by_region",    # NEW r9 (SSAS DistinctCount)
+    "cube_set_except_regions",           # NEW r9 (set operators)
+    "cube_set_union_intersect_regions",  # NEW r9 (nested set algebra)
+    "cube_all_measures_global",          # schema changed (+distinct_orders)
+    # (e) the 22 oldest r4-latest FULL-ORACLE entries in build order
     #     (rows-only r4 entries stay behind the window — the driver's
-    #     weaker check adds nothing, r8 lesson; the remaining 4 r4
-    #     full-oracle entries rotate in round 10: events_rollup_
-    #     incremental, events_props_variant_stats, events_user_deciles,
+    #     weaker check adds nothing, r8 lesson; the remaining 8 r4
+    #     full-oracle entries rotate in round 10: docs_boilerplate_
+    #     filter, docs_edit_distance_pairs, docs_prepare_chunks,
+    #     events_stream_session_tracker, events_rollup_incremental,
+    #     events_props_variant_stats, events_user_deciles,
     #     events_type_trigrams).
     "members_fulltext_stemmed",
     "docs_token_count_bpe",
@@ -97,10 +106,6 @@ _GATE_FRONT = [
     "events_stream_enriched_tiers",
     "docs_chunk_overlap",
     "docs_boilerplate_ngrams",
-    "docs_boilerplate_filter",
-    "docs_edit_distance_pairs",
-    "docs_prepare_chunks",
-    "events_stream_session_tracker",
 ]
 
 

@@ -83,7 +83,8 @@ def register(add) -> None:
         f"""SELECT {SUM_D('l_extendedprice')} AS sum_extendedprice,
                COUNT(*) AS total_registros,
                {SUM_D('l_quantity')} AS sum_quantity,
-               {AVG_D('l_discount')} AS avg_discount
+               {AVG_D('l_discount')} AS avg_discount,
+               COUNT(DISTINCT l_orderkey) AS distinct_orders
         FROM lineitem""")
 
     add("cube_variables_pivot",
@@ -713,3 +714,57 @@ def register_r9(add) -> None:
           FROM a)
         SELECT mes, sum_quantity
         FROM r WHERE cumb < 500000""")
+
+    # DistinctCount measure (SSAS aggregator, round 9): distinct order
+    # keys per region cell next to the raw row count — Spark plans the
+    # exact distinct as a two-phase partial-distinct aggregate.
+    add("cube_distinct_orders_by_region",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "SELECT { [Measures].[Total Registros], "
+            "[Measures].[Distinct Orders] } ON COLUMNS, "
+            "[Dim Customer].[Geografía].[Region].MEMBERS ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH {_OW}
+        SELECT cust_region AS region,
+               COUNT(*) AS total_registros,
+               COUNT(DISTINCT l_orderkey) AS distinct_orders
+        FROM {_FACT_OW}
+        GROUP BY 1""")
+
+    # Set operators on member-literal sets (round 9): EXCEPT prunes,
+    # UNION(INTERSECT(...)) composes — resolved at parse time into one
+    # member-constraint list (key-predicate pushdown like any member
+    # filter; no extra plan nodes at all).
+    add("cube_set_except_regions",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+            "EXCEPT({ [Dim Customer].[Geografía].[Region].&[0], "
+            "[Dim Customer].[Geografía].[Region].&[1], "
+            "[Dim Customer].[Geografía].[Region].&[2], "
+            "[Dim Customer].[Geografía].[Region].&[3] }, "
+            "{ [Dim Customer].[Geografía].[Region].&[1], "
+            "[Dim Customer].[Geografía].[Region].&[3] }) ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH {_OW}
+        SELECT cust_region AS region,
+               {SUM_D('l_quantity')} AS sum_quantity
+        FROM {_FACT_OW}
+        WHERE cust_region_key IN (0, 2)
+        GROUP BY 1""")
+
+    add("cube_set_union_intersect_regions",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+            "UNION(INTERSECT("
+            "{ [Dim Customer].[Geografía].[Region].&[0], "
+            "[Dim Customer].[Geografía].[Region].&[1] }, "
+            "{ [Dim Customer].[Geografía].[Region].&[1], "
+            "[Dim Customer].[Geografía].[Region].&[2] }), "
+            "{ [Dim Customer].[Geografía].[Region].&[4] }) ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH {_OW}
+        SELECT cust_region AS region,
+               {SUM_D('l_quantity')} AS sum_quantity
+        FROM {_FACT_OW}
+        WHERE cust_region_key IN (1, 4)
+        GROUP BY 1""")

@@ -90,7 +90,7 @@ def test_dmv_star_and_errors(spark, sf_dir):
     reg = default_registry()
     register_dmv_views(spark, reg, sales_cube(), sf_dir)
     assert execute_dmv(
-        spark, "SELECT * FROM $system.MDSCHEMA_MEASURES").count() == 5
+        spark, "SELECT * FROM $system.MDSCHEMA_MEASURES").count() == 6
     with pytest.raises(MdxParseError):
         execute_dmv(spark, "SELECT * FROM $system.NOPE_ROWSET")
     with pytest.raises(MdxParseError):
@@ -1027,3 +1027,77 @@ def test_toppercent_minimal_prefix_property(spark, sf_dir):
     assert kept * 100 >= tot * 50
     assert (kept - min(r["sum_quantity"] for r in top)) * 100 \
         < tot * 50
+
+
+# ---- round-9 wave 2: set operators + DistinctCount measure --------------
+
+
+def test_set_operators_parse_algebra_and_roundtrip():
+    from olap_xtrctr_spark.mdx import build_mdx, parse_mdx
+
+    R = "[Dim Customer].[Geografía].[Region]"
+    req = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        f"UNION({{ {R}.&[0], {R}.&[1] }}, {{ {R}.&[1], {R}.&[2] }}) "
+        "ON ROWS FROM [sales]", "VENTAS_2025")
+    assert req.rows[0].members == [f"{R}.&[0]", f"{R}.&[1]", f"{R}.&[2]"]
+    assert parse_mdx(build_mdx(req), "VENTAS_2025") == req
+
+    req = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        f"INTERSECT({{ {R}.&[0], {R}.&[1] }}, {{ {R}.&[1] }}) "
+        "ON ROWS FROM [sales]", "VENTAS_2025")
+    assert req.rows[0].members == [f"{R}.&[1]"]
+
+    req = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        f"EXCEPT({{ {R}.&[0], {R}.&[1] }}, {{ {R}.&[1] }}) "
+        "ON ROWS FROM [sales]", "VENTAS_2025")
+    assert req.rows[0].members == [f"{R}.&[0]"]
+
+
+def test_set_operators_negatives():
+    from olap_xtrctr_spark.mdx import parse_mdx
+
+    R = "[Dim Customer].[Geografía].[Region]"
+    bad = [
+        # empty result
+        f"EXCEPT({{ {R}.&[1] }}, {{ {R}.&[1] }})",
+        f"INTERSECT({{ {R}.&[1] }}, {{ {R}.&[2] }})",
+        # mixed hierarchies
+        f"UNION({{ {R}.&[1] }}, {{ [Dim Orders].[Estado].[Estado]"
+        f".&[F] }})",
+        # non-member operand (level set)
+        f"UNION([Dim Customer].[Geografía].[Region].MEMBERS, "
+        f"{{ {R}.&[1] }})",
+        # arity
+        f"UNION({{ {R}.&[1] }})",
+    ]
+    for rows in bad:
+        with pytest.raises(MdxParseError):
+            parse_mdx("SELECT { [Measures].[Sum Quantity] } ON COLUMNS,"
+                      f" {rows} ON ROWS FROM [sales]", "VENTAS_2025")
+
+
+def test_distinct_count_measure(spark, sf_dir):
+    """DISTINCTCOUNT aggregates exact per-cell distinct keys and is
+    never NULL; the global cell equals the table-level distinct."""
+    from pyspark.sql import functions as F
+
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    per_region = eng.execute(parse_mdx(
+        "SELECT { [Measures].[Distinct Orders] } ON COLUMNS, "
+        "[Dim Customer].[Geografía].[Region].MEMBERS ON ROWS "
+        "FROM [sales]", "VENTAS_2025")).collect()
+    assert len(per_region) == 5
+    assert all(r["distinct_orders"] > 0 for r in per_region)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    want = li.select(F.countDistinct("l_orderkey")).first()[0]
+    got = eng.execute(parse_mdx(
+        "SELECT { [Measures].[Distinct Orders] } ON COLUMNS "
+        "FROM [sales]", "VENTAS_2025")).first()["distinct_orders"]
+    assert got == want
+    # regions overlap in orders only if an order spans regions — it
+    # cannot (one customer per order), so per-region sums to global
+    assert sum(r["distinct_orders"] for r in per_region) == want
