@@ -20,7 +20,8 @@ def test_cli_catalogs_measures(svc):
     names = [c["CATALOG_NAME"] for c in _run(svc, "catalogs")["catalogs"]]
     assert names == ["VENTAS_1998", "VENTAS_2025"]
     ms = _run(svc, "measures", "--catalog", "VENTAS_2025")["measures"]
-    assert {m["aggregator"] for m in ms} <= {"SUM", "COUNT", "AVG"}
+    assert {m["aggregator"] for m in ms} <= {"SUM", "COUNT", "AVG",
+                                         "DISTINCTCOUNT"}
 
 
 def test_cli_members_page(svc):
@@ -49,7 +50,7 @@ def test_cli_explain_and_dmv(svc):
     assert ex["estimated_rows"] == 3 and "plan" in ex
     dmv = _run(svc, "dmv", "--sql",
                "SELECT [MEASURE_NAME] FROM $system.MDSCHEMA_MEASURES")
-    assert dmv["count"] == 5
+    assert dmv["count"] == 6   # incl. hidden Sum Tax + r9 Distinct Orders
     diag = _run(svc, "diagnose")
     assert "MDSCHEMA_MEMBERS" in diag["rowsets"]
 

@@ -37,7 +37,8 @@ def test_catalog_and_dimension_listing(svc):
 def test_measures_listing_visible_only(svc):
     ms = svc.get_measures("VENTAS_2025")
     assert {m["name"] for m in ms} == {
-        "Sum Extendedprice", "Total Registros", "Sum Quantity", "Avg Discount"}
+        "Sum Extendedprice", "Total Registros", "Sum Quantity",
+        "Avg Discount", "Distinct Orders"}
 
 
 def test_members_paged_and_apartados(svc):
