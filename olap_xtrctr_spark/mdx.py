@@ -21,9 +21,22 @@ backend/actions_runner.py:220-249, frontend/src/utils/mdxBuilder.ts:4-40):
            | <member>.CHILDREN                  (== DESCENDANTS(m, 1))
            | ANCESTOR(<member>, <level path>)
            | { <member unique name>, ... }
+           | UNION(<member set>, <member set>)      (dedup, 1st order)
+           | EXCEPT(<member set>, <member set>)
+           | INTERSECT(<member set>, <member set>)
            | [Dim].[Hier].[Level].MEMBERS
            | [Dim].[Hier].Levels(n).MEMBERS
            | [Dim].[Hier].MEMBERS
+
+    Rows-set wrappers (composable, outermost-first unwrap):
+      FILTER(set, <measure cond>) / ORDER(set, m, ASC|DESC)
+      / TOPCOUNT|BOTTOMCOUNT(set, n, m) / HEAD|TAIL(set, n)
+      / TOPPERCENT|BOTTOMPERCENT(set, p, m)   (integer p, 1..100)
+      / TOPSUM|BOTTOMSUM(set, t, m)           (integer t >= 1)
+
+    WHERE ( <member> | { <member>, ... }, ... )
+      — slicer tuple; a brace-wrapped element is a SET slicer whose
+      members OR within their hierarchy (AND across hierarchies)
 
     WITH SET [Name] AS '{ <member>, ... }'
       — named set, expanded into its [Name] references before set
@@ -44,6 +57,11 @@ backend/actions_runner.py:220-249, frontend/src/utils/mdxBuilder.ts:4-40):
       DECIMAL(18,4) accumulation) and the trailing window
       SUM(LASTPERIODS(n, [Dim].[Hier][.CurrentMember]), <expr>)
       (query.LastPeriodsRef: crosses parent boundaries, n-row frame)
+      and set aggregation
+      SUM({ <member>, ... }, [Measures].[X]) — additive bases only —
+      / AGGREGATE({ <member>, ... }, [Measures].[X]) — the base's own
+      aggregator (query.SetAggRef: ONE conditional aggregate in the
+      fact scan; WITH SET names expand inside calc expressions)
 
 DMV dialect:
 
@@ -480,7 +498,17 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
     # -- WHERE slicer tuple (Q11) ------------------------------------------
     where = m.group("where")
     if where:
-        req.slicers = _split_top(where)
+        # tuple elements; a brace-wrapped element is a SET slicer
+        # (round 9): its members land as individual slicer strings and
+        # the engine ORs members WITHIN a hierarchy while ANDing
+        # ACROSS hierarchies (the SSAS set-in-slicer contract).
+        out = []
+        for part in _split_top(where):
+            if part.startswith("{") and part.endswith("}"):
+                out.extend(_split_top(part[1:-1]))
+            else:
+                out.append(part)
+        req.slicers = out
 
     return req
 

@@ -873,12 +873,24 @@ class CubeQueryEngine:
                 continue
             filters.append((dim, hier, f.members))
 
-        slicer_parsed = []
-        for s in req.slicers:           # Q11 WHERE tuple, conjunctive
+        # Q11 WHERE tuple: members GROUP by hierarchy — OR within a
+        # hierarchy (the SSAS set-in-slicer contract, round 9), AND
+        # across hierarchies (each group contributes one conjunctive
+        # key-path predicate, same pushdown shape as member filters).
+        slicer_groups: dict[tuple, list] = {}
+        slicer_order: list[tuple] = []
+        for s in req.slicers:
             p = naming.parse(s)
-            dim = cube.dimension(p.dimension)
-            hier = dim.hierarchy(p.hierarchy)
-            slicer_parsed.append((dim, hier, [s]))
+            key = (p.dimension, p.hierarchy)
+            if key not in slicer_groups:
+                slicer_groups[key] = []
+                slicer_order.append(key)
+            slicer_groups[key].append(s)
+        slicer_parsed = []
+        for key in slicer_order:
+            dim = cube.dimension(key[0])
+            hier = dim.hierarchy(key[1])
+            slicer_parsed.append((dim, hier, slicer_groups[key]))
 
         variables = [naming.parse(v) for v in req.variables]
         var_dim = var_hier = None

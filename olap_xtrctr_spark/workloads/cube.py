@@ -768,3 +768,23 @@ def register_r9(add) -> None:
         FROM {_FACT_OW}
         WHERE cust_region_key IN (1, 4)
         GROUP BY 1""")
+
+    # SET in the WHERE slicer (round 9): members of one hierarchy OR
+    # inside the slicer tuple (the SSAS set-in-slicer contract) while
+    # a second hierarchy's member ANDs across — one conjunctive
+    # key-predicate per hierarchy, pushdown shape unchanged.
+    add("cube_slicer_set",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+            "[Dim Customer].[Geografía].[Region].MEMBERS ON ROWS "
+            "FROM [sales] "
+            "WHERE ({ [Dim Orders].[Prioridad].[Prioridad].&[1-URGENT],"
+            " [Dim Orders].[Prioridad].[Prioridad].&[2-HIGH] }, "
+            "[Dim Orders].[Estado].[Estado].&[F])", CATALOG)),
+        f"""WITH {_OW}
+        SELECT cust_region AS region,
+               {SUM_D('l_quantity')} AS sum_quantity
+        FROM {_FACT_OW}
+        WHERE order_prioridad IN ('1-URGENT', '2-HIGH')
+          AND order_estado = 'F'
+        GROUP BY 1""")

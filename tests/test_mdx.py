@@ -1101,3 +1101,39 @@ def test_distinct_count_measure(spark, sf_dir):
     # regions overlap in orders only if an order spans regions — it
     # cannot (one customer per order), so per-region sums to global
     assert sum(r["distinct_orders"] for r in per_region) == want
+
+
+def test_set_slicer_or_within_and_across(spark, sf_dir):
+    """A brace-wrapped slicer element ORs its members (set-in-slicer);
+    distinct hierarchies still AND.  The OR pair equals the sum of the
+    two single-member slices."""
+    from pyspark.sql import functions as F
+
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+
+    def total(*slicers):
+        from olap_xtrctr_spark.query import QueryRequest
+        df = eng.execute(QueryRequest(
+            "VENTAS_2025", measures=["Total Registros"],
+            slicers=list(slicers)))
+        return df.first()["total_registros"]
+
+    urgent = total("[Dim Orders].[Prioridad].[Prioridad].&[1-URGENT]")
+    high = total("[Dim Orders].[Prioridad].[Prioridad].&[2-HIGH]")
+    both = total("[Dim Orders].[Prioridad].[Prioridad].&[1-URGENT]",
+                 "[Dim Orders].[Prioridad].[Prioridad].&[2-HIGH]")
+    assert both == urgent + high       # OR within one hierarchy
+
+    f_only = total("[Dim Orders].[Estado].[Estado].&[F]")
+    mixed = total("[Dim Orders].[Prioridad].[Prioridad].&[1-URGENT]",
+                  "[Dim Orders].[Estado].[Estado].&[F]")
+    assert mixed < min(urgent, f_only)  # AND across hierarchies
+
+    # MDX brace form parses to the same request
+    req = parse_mdx(
+        "SELECT { [Measures].[Total Registros] } ON COLUMNS "
+        "FROM [sales] WHERE "
+        "({ [Dim Orders].[Prioridad].[Prioridad].&[1-URGENT], "
+        "[Dim Orders].[Prioridad].[Prioridad].&[2-HIGH] })",
+        "VENTAS_2025")
+    assert eng.execute(req).first()["total_registros"] == both
