@@ -242,6 +242,13 @@ PROBE_QUERIES = [
     # partitions only)
     "events_sliding_value_quantiles",
     "docs_stream_span_dedup_bucketed",
+    # round-9 wave 2: conditional set-aggregate (single fact scan),
+    # exact distinct-count (two-phase partial distinct), cumulative
+    # TOPPERCENT cut (axis-bounded window), libm-free temperature mix
+    "cube_named_set_sum_member",
+    "cube_distinct_orders_by_region",
+    "cube_toppercent_nations",
+    "docs_temperature_mix_rates",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
