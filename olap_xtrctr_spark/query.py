@@ -684,9 +684,10 @@ class CubeQueryEngine:
         """Measure resolution with calculated-measure support: returns
         (base_measures_to_aggregate, selected_output_aliases,
         calc_plan) where calc_plan is [(CalcMeasure, builder)] in
-        dependency-free order (calcs reference BASE measures only —
-        calc-over-calc would need topological ordering the MDX subset
-        does not emit)."""
+        DEPENDENCY order: a calc may reference other calcs
+        (calc-over-calc, round 9) — dependencies materialize first via
+        DFS topological ordering, cycles fail with the reference
+        chain."""
         calc_by_name = {c.name: c for c in req.calculated}
         if req.all_measures and req.calculated:
             raise QueryValidationError(
@@ -723,42 +724,50 @@ class CubeQueryEngine:
             if name not in base_names:
                 base_names.append(name)
 
-        def compile_calc(name: str):
+        materialized: set[str] = set()
+        _stack: list[str] = []
+
+        def ensure_calc(name: str) -> None:
+            """DFS-materialize ``name`` after its calc dependencies
+            (calc-over-calc); a reference cycle fails with the chain."""
+            if name in materialized:
+                return
+            if name in _stack:
+                chain = " -> ".join(_stack[_stack.index(name):] + [name])
+                raise QueryValidationError(
+                    f"calculated measure reference cycle: {chain}")
+            _stack.append(name)
             c = calc_by_name[name]
             builder, refs = parse_measure_expr(c.expr)
             for r in refs:
                 if not isinstance(r, str):
-                    continue        # PrevMember hierarchy marker
+                    continue        # PrevMember / setagg marker
                 if r in calc_by_name:
-                    raise QueryValidationError(
-                        f"calculated measure {name!r} references "
-                        f"calculated {r!r}: calc-over-calc is not "
-                        f"in the supported MDX subset")
-                need_base(r)
-            return c, builder
+                    ensure_calc(r)
+                else:
+                    need_base(r)
+            _stack.pop()
+            calc_plan.append((c, builder))
+            materialized.add(name)
 
         for name in selected:
             if name in calc_by_name:
-                c, builder = compile_calc(name)
-                calc_plan.append((c, builder))
-                out_aliases.append(c.alias)
+                ensure_calc(name)
+                out_aliases.append(calc_by_name[name].alias)
             else:
                 need_base(name)
                 m = cube.measure(name)
                 out_aliases.append(m.out_name or m.name)
-        materialized = {c.name for c, _ in calc_plan}
         for cond in extra_exprs:
             _, refs = parse_measure_expr(cond)
             for r in refs:
                 if not isinstance(r, str):
-                    continue        # PrevMember hierarchy marker
+                    continue        # PrevMember / setagg marker
                 if r in calc_by_name:
                     # a clause references a declared calc that is not on
                     # the columns axis: materialize it anyway (projected
                     # away in the final select)
-                    if r not in materialized:
-                        calc_plan.append(compile_calc(r))
-                        materialized.add(r)
+                    ensure_calc(r)
                 else:
                     need_base(r)
         # unreferenced declared calcs still compile (fail fast on typos)
@@ -766,7 +775,7 @@ class CubeQueryEngine:
             if c.name not in materialized:
                 builder, refs = parse_measure_expr(c.expr)
                 for r in refs:
-                    if isinstance(r, str):
+                    if isinstance(r, str) and r not in calc_by_name:
                         need_base(r)
         bases = [cube.measure(n) for n in base_names]
         return bases, out_aliases, calc_plan
@@ -1171,8 +1180,20 @@ class CubeQueryEngine:
             m = cube.measure(name)
             return F.col(m.out_name or m.name)
 
+        done_calcs: dict[str, str] = {}
+
+        def resolve_chain(name):
+            # calc-over-calc: an already-materialized calc resolves to
+            # its column; everything else falls through to the base /
+            # window resolver (an out-of-order calc ref would raise on
+            # cube.measure — the topological order above prevents it)
+            if isinstance(name, str) and name in done_calcs:
+                return F.col(done_calcs[name])
+            return resolve(name)
+
         for c, builder in calc_plan:
-            out = out.withColumn(c.alias, builder(resolve))
+            out = out.withColumn(c.alias, builder(resolve_chain))
+            done_calcs[c.name] = c.alias
 
         def resolve_out(name):
             if isinstance(name, (LagRef, YtdRef, LastPeriodsRef)):

@@ -77,14 +77,16 @@ _GATE_FRONT = [
     "cube_set_union_intersect_regions",  # NEW r9 (nested set algebra)
     "cube_all_measures_global",          # schema changed (+distinct_orders)
     "cube_slicer_set",                   # NEW r9 (SET in WHERE slicer)
-    # (e) the 21 oldest r4-latest FULL-ORACLE entries in build order
+    "cube_calc_over_calc",               # NEW r9 (dependency-ordered calcs)
+    # (e) the 20 oldest r4-latest FULL-ORACLE entries in build order
     #     (rows-only r4 entries stay behind the window — the driver's
-    #     weaker check adds nothing, r8 lesson; the remaining 9 r4
-    #     full-oracle entries rotate in round 10: docs_boilerplate_
-    #     ngrams, docs_boilerplate_filter, docs_edit_distance_pairs,
-    #     docs_prepare_chunks, events_stream_session_tracker,
-    #     events_rollup_incremental, events_props_variant_stats,
-    #     events_user_deciles, events_type_trigrams).
+    #     weaker check adds nothing, r8 lesson; the remaining 10 r4
+    #     full-oracle entries rotate in round 10: docs_chunk_overlap,
+    #     docs_boilerplate_ngrams, docs_boilerplate_filter,
+    #     docs_edit_distance_pairs, docs_prepare_chunks,
+    #     events_stream_session_tracker, events_rollup_incremental,
+    #     events_props_variant_stats, events_user_deciles,
+    #     events_type_trigrams).
     "members_fulltext_stemmed",
     "docs_token_count_bpe",
     "docs_repetition_stats",
@@ -105,7 +107,6 @@ _GATE_FRONT = [
     "events_value_range_tiers",
     "events_props_topk",
     "events_stream_enriched_tiers",
-    "docs_chunk_overlap",
 ]
 
 

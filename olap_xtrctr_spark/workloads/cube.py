@@ -788,3 +788,30 @@ def register_r9(add) -> None:
         WHERE order_prioridad IN ('1-URGENT', '2-HIGH')
           AND order_estado = 'F'
         GROUP BY 1""")
+
+    # calc-over-calc (round 9): a calculated measure referencing
+    # another — materialized in DFS dependency order, so [Discounted
+    # Avg] sees [Avg Price]'s column.  Both stay pure arithmetic over
+    # DECIMAL-frozen bases, so every division is one double op each
+    # engine reproduces bit-for-bit.
+    add("cube_calc_over_calc",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "WITH MEMBER [Measures].[Avg Price] AS "
+            "[Measures].[Sum Extendedprice] / [Measures].[Sum Quantity]"
+            " MEMBER [Measures].[Discounted Avg] AS "
+            "[Measures].[Avg Price] * (1 - [Measures].[Avg Discount]) "
+            "SELECT { [Measures].[Avg Price], "
+            "[Measures].[Discounted Avg] } ON COLUMNS, "
+            "[Dim Customer].[Geografía].[Region].MEMBERS ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH {_OW},
+        a AS (
+          SELECT cust_region AS region,
+                 {SUM_D('l_extendedprice')} AS se,
+                 {SUM_D('l_quantity')} AS sq,
+                 {AVG_D('l_discount')} AS ad
+          FROM {_FACT_OW}
+          GROUP BY 1)
+        SELECT region, se / sq AS avg_price,
+               (se / sq) * (1 - ad) AS discounted_avg
+        FROM a""")

@@ -250,14 +250,15 @@ def test_calculated_measure_safe_divide_and_validation(spark, sf_dir):
     rows = eng.execute(req).collect()
     assert rows and all(r["zero_div"] is None for r in rows)
     assert all(r["sum_quantity"] is not None for r in rows)
-    # calc-over-calc is rejected
+    # calc-over-calc resolves in dependency order (round 9 —
+    # previously rejected)
     req2 = QueryRequest(
-        "VENTAS_2025", measures=["B"],
+        "VENTAS_2025", measures=["B", "Sum Quantity"],
         calculated=[CalcMeasure("A", "[Measures].[Sum Quantity] * 2"),
                     CalcMeasure("B", "[Measures].[A] + 1")],
         rows=[AxisItem("Dim Customer", "Geografía", level="Region")])
-    with pytest.raises(QueryValidationError, match="calc-over-calc"):
-        eng.execute(req2)
+    for r in eng.execute(req2).collect():
+        assert r["b"] == 2 * r["sum_quantity"] + 1
 
 
 def test_topcount_ties_and_filter_on_unselected_base(spark, sf_dir):
@@ -661,3 +662,43 @@ def test_parallelperiod_distance(spark, sf_dir):
         parse_measure_expr(
             "([Measures].[Sum Quantity], "
             "PARALLELPERIOD([D Tiempo].[Calendario], 0))")
+
+
+def test_calc_over_calc_chain_and_cycle(spark, sf_dir):
+    """Calculated measures may reference other calcs (round 9): DFS
+    dependency order materializes [A] before [B]=f([A]); a reference
+    cycle fails with the chain, not a stack overflow."""
+    from olap_xtrctr_spark.mdx import parse_mdx
+    from olap_xtrctr_spark.query import QueryValidationError
+
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    rows = eng.execute(parse_mdx(
+        "WITH MEMBER [Measures].[Avg Price] AS "
+        "[Measures].[Sum Extendedprice] / [Measures].[Sum Quantity] "
+        "MEMBER [Measures].[Double Avg] AS [Measures].[Avg Price] * 2 "
+        "MEMBER [Measures].[Quad Avg] AS [Measures].[Double Avg] * 2 "
+        "SELECT { [Measures].[Avg Price], [Measures].[Quad Avg] } "
+        "ON COLUMNS, [Dim Customer].[Geografía].[Region].MEMBERS "
+        "ON ROWS FROM [sales]", "VENTAS_2025")).collect()
+    assert rows
+    for r in rows:
+        assert r["quad_avg"] == pytest.approx(4 * r["avg_price"])
+
+    # a clause (FILTER) referencing a calc chain also materializes it
+    filtered = eng.execute(parse_mdx(
+        "WITH MEMBER [Measures].[Avg Price] AS "
+        "[Measures].[Sum Extendedprice] / [Measures].[Sum Quantity] "
+        "MEMBER [Measures].[Double Avg] AS [Measures].[Avg Price] * 2 "
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "FILTER([Dim Customer].[Geografía].[Region].MEMBERS, "
+        "[Measures].[Double Avg] > 0) ON ROWS FROM [sales]",
+        "VENTAS_2025")).collect()
+    assert len(filtered) == 5
+
+    with pytest.raises(QueryValidationError, match="cycle"):
+        eng.execute(parse_mdx(
+            "WITH MEMBER [Measures].[A] AS [Measures].[B] + 1 "
+            "MEMBER [Measures].[B] AS [Measures].[A] + 1 "
+            "SELECT { [Measures].[A] } ON COLUMNS, "
+            "[Dim Customer].[Geografía].[Region].MEMBERS ON ROWS "
+            "FROM [sales]", "VENTAS_2025"))
