@@ -1000,3 +1000,50 @@ def token_pmi_top(docs: DataFrame, text_col: str = "text",
                     - F.col("l_x") - F.col("l_y")).cast("bigint")
                    .alias("pmi_micro")))
     return (out.orderBy(F.desc("pmi_micro"), "w1", "w2").limit(k))
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document character entropy in integer micro-nats — the
+    classic gibberish/compressibility quality signal (low entropy =
+    repeated characters/boilerplate, suspiciously high = random
+    noise; the same family Gopher's repetition rules target from the
+    n-gram side).
+
+    Exactness discipline (fixedlog.py, the round-9 libm-free freeze):
+        H = ln(N) - (Σ c·ln(c)) / N       over per-doc char counts c
+    decomposes into ln's of INTEGER counts only.  Each distinct count
+    value (count-of-counts over the corpus — bounded driver metadata)
+    freezes ONCE to micro-units via the fixed-op ladder, and the
+    per-doc score is then pure integer arithmetic:
+        entropy_micro = (micro(ln N)·N − Σ c·micro(ln c)) DIV N
+    which any engine reproduces bit-for-bit (the oracle runs the
+    identical ladder over the same distinct counts).
+
+    Scale shape: one explode over characters with a map-side-combined
+    (doc, char) count, a per-doc rollup, and two broadcast lookup
+    joins (distinct-count tables) — a single corpus pass; no driver
+    state beyond the count-of-counts."""
+    from .hostmath import ln_micro, lookup_df
+
+    ch = F.explode(F.split(F.col(text_col), "")).alias("ch")
+    per = (docs.select(id_col, ch)
+           .filter(F.col("ch") != "")
+           .groupBy(id_col, "ch")
+           .agg(F.count(F.lit(1)).alias("c")))
+    totals = per.groupBy(id_col).agg(F.sum("c").alias("n"))
+
+    spark = docs.sparkSession
+    c_vals = [r["c"] for r in per.select("c").distinct().collect()]
+    n_vals = [r["n"] for r in totals.select("n").distinct().collect()]
+    lut_c = lookup_df(spark, ((c, ln_micro(float(c))) for c in c_vals),
+                      "c", "lc_micro")
+    lut_n = lookup_df(spark, ((n, ln_micro(float(n))) for n in n_vals),
+                      "n", "ln_micro")
+    sums = (per.join(F.broadcast(lut_c), "c")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("c") * F.col("lc_micro")).alias("_clc")))
+    return (totals.join(F.broadcast(lut_n), "n").join(sums, id_col)
+            .select(id_col, F.col("n").cast("bigint").alias("n_chars"),
+                    F.expr("(ln_micro * n - _clc) DIV n")
+                    .cast("bigint").alias("entropy_micro")))
