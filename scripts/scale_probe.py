@@ -249,6 +249,7 @@ PROBE_QUERIES = [
     "cube_distinct_orders_by_region",
     "cube_toppercent_nations",
     "docs_temperature_mix_rates",
+    "docs_char_entropy",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key

@@ -2198,3 +2198,23 @@ def test_bottomk_sliding_quantiles(spark):
         import math
         assert out[h]["q50"] == pool[math.ceil(0.5 * len(pool)) - 1]
         assert out[h]["q90"] == pool[math.ceil(0.9 * len(pool)) - 1]
+
+
+def test_char_entropy_known_values(spark):
+    """Uniform text -> ln(k) exactly in micro-nats; constant text ->
+    0; empty docs are absent (no characters, both engines)."""
+    from olap_xtrctr_spark.operators.hostmath import fxln, micro
+    from olap_xtrctr_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "aaaa"), (3, ""), (4, "aab")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_chars"], r["entropy_micro"])
+           for r in char_entropy(docs).collect()}
+    assert 3 not in got                       # empty doc absent
+    assert got[1] == (4, micro(fxln(4.0)))    # uniform over 4 chars
+    assert got[2] == (4, 0)                   # single repeated char
+    # "aab": H = ln(3) - (2 ln 2 + 1 ln 1)/3 in frozen integer algebra
+    want = (micro(fxln(3.0)) * 3 - 2 * micro(fxln(2.0))) // 3
+    assert got[4] == (3, want)
+    assert 0 < got[4][1] < got[1][1]          # between constant and uniform
