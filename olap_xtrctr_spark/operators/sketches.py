@@ -398,3 +398,105 @@ def bottomk_sliding_quantiles(df: DataFrame, ts_col: str, key_col: str,
                            ["_h"], k=k)
     return (bottomk_quantiles(merged, ["_h"], ps, names)
             .withColumnRenamed("_h", "hour"))
+
+
+# ---- oracle-exact HLL (md5 registers + fixed-op corrections) --------------
+# The DataSketches HLL above is the production fast path; this twin is
+# the r8 MinHash move applied to HyperLogLog: every step — the 60-bit
+# md5 hash, the register index/rank split, the harmonic sum, and the
+# small-range linear-counting correction — is either exact integer
+# arithmetic or a FIXED sequence of IEEE-double ops (fixedlog.py), so
+# an external SQL engine reproduces the ESTIMATES bit-for-bit.  With
+# KMV (cardinality + set ops), CMS (frequency) and bottom-k
+# (quantiles), this completes oracle-exactness across the whole
+# sketch family, HLL included.
+
+HLL_SALT = "hll-v1"
+_HLL_P = 10                      # 2^10 = 1024 registers (~3.2% rse)
+
+
+def _hll_alpha_num(p: int) -> float:
+    """alpha_m * m^2 * 2^60 as ONE double literal (the raw-estimate
+    numerator): computed once here, emitted via repr into the oracle,
+    so both engines parse the identical double."""
+    m = float(1 << p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * 18446744073709551616.0 / 16.0  # * 2^60
+
+
+def hll_md5_registers(df: DataFrame, group_cols: list[str],
+                      value_col: str, p: int = _HLL_P) -> DataFrame:
+    """Per-group HLL register table (group, reg, max_rank): the
+    mergeable state.  60-bit md5 hash splits into p low bits (the
+    register) and 60-p high bits (rank = leading zeros + 1, via the
+    bin()-length trick — bin() drops leading zeros on both engines, so
+    rank needs no loops and no logs).  Merge = MAX per register."""
+    m = 1 << p
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col(value_col).cast("string"),
+                          F.lit(HLL_SALT))), 1, 15), 16, 10).cast("bigint")
+    # no pre-dedup: MAX per register absorbs duplicates, and the
+    # groupBy's map-side combine caps shuffle rows at m per group per
+    # partition — one shuffle total
+    d = (df.select(*group_cols, h.alias("_h"))
+         .withColumn("reg", (F.col("_h") % m).cast("int"))
+         .withColumn("_w", F.expr(f"_h DIV {m}")))
+    rank = (F.when(F.col("_w") == 0, F.lit(60 - p + 1))
+            .otherwise(F.lit(60 - p + 1)
+                       - F.length(F.expr("bin(_w)")))).cast("int")
+    return (d.withColumn("_r", rank)
+            .groupBy(*group_cols, "reg")
+            .agg(F.max("_r").alias("max_rank")))
+
+
+def hll_md5_estimate(registers: DataFrame, group_cols: list[str],
+                     p: int = _HLL_P) -> DataFrame:
+    """Cardinality estimates from register state, oracle-exact:
+
+    * harmonic sum as an INTEGER: S = Σ 2^(60 - max_rank) over present
+      registers + (m - |present|)·2^60 for the zero registers —
+      DECIMAL(38,0) accumulation (2^70 max at p=10, past BIGINT);
+    * raw estimate = (alpha·m²·2^60) / CAST(S AS DOUBLE) — one
+      correctly-rounded cast + one division, same bits everywhere;
+    * small-range correction (raw <= 2.5m, zero registers exist):
+      linear counting m·ln(m/V) through the fixedlog fixed-op ln,
+      frozen per distinct V on the driver (V has at most m+1 values —
+      bounded metadata).  The standard large-range correction starts
+      at 2^32/30 ≈ 1.4e8 — far above any 60-bit-hash workload here —
+      and is deliberately omitted (documented contract)."""
+    from .fixedlog import fxln, round_half_away
+    from .hostmath import lookup_df
+
+    m = 1 << p
+    num = _hll_alpha_num(p)
+    agg = (registers.groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).alias("_nreg"),
+                F.sum(F.expr("CAST(power(2, 60 - max_rank) "
+                             "AS DECIMAL(38,0))")).alias("_s_used")))
+    two60 = "1152921504606846976"            # 2^60 exact
+    s_total = F.expr(
+        f"_s_used + CAST({m} - _nreg AS DECIMAL(38,0)) * {two60}")
+    est_raw = F.lit(num) / s_total.cast("double")
+    # linear-counting freeze: V -> ROUND(m * fxln(m / V)), all m
+    # possible V values precomputed on the driver
+    spark = registers.sparkSession
+    lin = lookup_df(
+        spark,
+        ((v, round_half_away(float(m) * fxln(float(m) / float(v))))
+         for v in range(1, m + 1)),
+        "_v", "_lin_est")
+    out = (agg.withColumn("_v", (F.lit(m) - F.col("_nreg")).cast("bigint"))
+           .withColumn("_raw", est_raw)
+           .join(F.broadcast(lin), "_v", "left"))
+    est = (F.when((F.col("_raw") <= F.lit(2.5 * m))
+                  & (F.col("_v") > 0), F.col("_lin_est"))
+           .otherwise(F.round(F.col("_raw")).cast("bigint")))
+    return out.select(*group_cols, est.alias("n_distinct_est"))
+
+
+def hll_md5_distinct(df: DataFrame, group_cols: list[str],
+                     value_col: str, p: int = _HLL_P) -> DataFrame:
+    """One-call convenience: registers -> estimate, single pass."""
+    return hll_md5_estimate(
+        hll_md5_registers(df, group_cols, value_col, p),
+        group_cols, p)

@@ -79,10 +79,11 @@ _GATE_FRONT = [
     "cube_slicer_set",                   # NEW r9 (SET in WHERE slicer)
     "cube_calc_over_calc",               # NEW r9 (dependency-ordered calcs)
     "docs_char_entropy",                 # NEW r9 (fixedlog entropy)
-    # (e) the 19 oldest r4-latest FULL-ORACLE entries in build order
+    "events_hll_md5_users_by_type",      # NEW r9 (oracle-exact HLL)
+    # (e) the 18 oldest r4-latest FULL-ORACLE entries in build order
     #     (rows-only r4 entries stay behind the window — the driver's
-    #     weaker check adds nothing, r8 lesson; the remaining 11 r4
-    #     full-oracle entries rotate in round 10:
+    #     weaker check adds nothing, r8 lesson; the remaining 12 r4
+    #     full-oracle entries rotate in round 10: events_props_topk,
     #     events_stream_enriched_tiers, docs_chunk_overlap,
     #     docs_boilerplate_ngrams, docs_boilerplate_filter,
     #     docs_edit_distance_pairs, docs_prepare_chunks,
@@ -107,7 +108,6 @@ _GATE_FRONT = [
     "events_stream_click_purchase_join",
     "events_asof_click_attribution",
     "events_value_range_tiers",
-    "events_props_topk",
 ]
 
 
@@ -133,6 +133,7 @@ def build_workload() -> dict[str, QuerySpec]:
     docs_segments.register_r8(add)
     cube.register_r9(add)         # round-9 additions append after r8
     docs_text.register_r9(add)
+    curation.register_r9(add)
 
     # Order per the gate-window manifest (see _GATE_FRONT above).
     missing = [n for n in _GATE_FRONT if n not in q]

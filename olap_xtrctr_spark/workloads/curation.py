@@ -780,3 +780,52 @@ def register_r8(add) -> None:
                MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
                         THEN value END) AS q99
         FROM rk GROUP BY hour""")
+
+
+def register_r9(add) -> None:
+    """Round-9 additions: the oracle-exact md5 HyperLogLog — with KMV
+    (cardinality + set ops), CMS (frequency) and bottom-k (quantiles)
+    this makes the WHOLE sketch family value-exact against the SQL
+    oracle, corrections included (fixedlog linear counting)."""
+
+    def _hll_md5(spark, sf):
+        from ..operators import sketches as SK
+        from ..session import load_table
+        return SK.hll_md5_distinct(
+            load_table(spark, sf, "events"), ["event_type"], "user_id")
+
+    add("events_hll_md5_users_by_type", _hll_md5,
+        rf"""WITH h AS (
+          SELECT event_type,
+                 TRY_CAST(concat('0x', substr(md5(concat(
+                   CAST(user_id AS VARCHAR), ':hll-v1')), 1, 15))
+                   AS BIGINT) AS hv
+          FROM events),
+        rk AS (
+          SELECT event_type, CAST(hv % 1024 AS INTEGER) AS reg,
+                 CASE WHEN hv // 1024 = 0 THEN 51
+                      ELSE 51 - length(bin(hv // 1024)) END AS rnk
+          FROM h),
+        mx AS (SELECT event_type, reg, MAX(rnk) AS max_rank
+               FROM rk GROUP BY 1, 2),
+        agg AS (
+          SELECT event_type, COUNT(*) AS nreg,
+                 SUM(CAST(power(2, 60 - max_rank) AS HUGEINT)) AS s_used
+          FROM mx GROUP BY 1),
+        est AS (
+          SELECT event_type, nreg, 1024 - nreg AS v,
+                 8.710803268202205e+23
+                 / CAST(s_used + CAST(1024 - nreg AS HUGEINT)
+                        * 1152921504606846976 AS DOUBLE) AS raw
+          FROM agg)
+        SELECT event_type,
+               CASE WHEN raw <= 2560.0e0 AND v > 0
+                    THEN CAST(ROUND(1024.0e0 * lnv) AS BIGINT)
+                    ELSE CAST(ROUND(raw) AS BIGINT) END
+                 AS n_distinct_est
+        FROM (WITH _fx_base AS (SELECT event_type, nreg, v, raw, (1024.0e0 / CAST(CASE WHEN v = 0 THEN 1 ELSE v END AS DOUBLE)) AS lnarg FROM est),
+ _fx_lnv_g1 AS (SELECT *, CASE WHEN _fx_lnv_m16 >= 256.0e0 THEN _fx_lnv_m16 / 256.0e0 ELSE _fx_lnv_m16 END AS _fx_lnv_m8 FROM (SELECT *, CASE WHEN _fx_lnv_m32 >= 65536.0e0 THEN _fx_lnv_e32 + 16.0e0 ELSE _fx_lnv_e32 END AS _fx_lnv_e16 FROM (SELECT *, CASE WHEN _fx_lnv_m32 >= 65536.0e0 THEN _fx_lnv_m32 / 65536.0e0 ELSE _fx_lnv_m32 END AS _fx_lnv_m16 FROM (SELECT *, CASE WHEN _fx_lnv_xp >= 4294967296.0e0 THEN _fx_lnv_ep + 32.0e0 ELSE _fx_lnv_ep END AS _fx_lnv_e32 FROM (SELECT *, CASE WHEN _fx_lnv_xp >= 4294967296.0e0 THEN _fx_lnv_xp / 4294967296.0e0 ELSE _fx_lnv_xp END AS _fx_lnv_m32 FROM (SELECT *, CASE WHEN _fx_lnv_x0 < 1.0e0 THEN -64.0e0 ELSE 0.0e0 END AS _fx_lnv_ep FROM (SELECT *, CASE WHEN _fx_lnv_x0 < 1.0e0 THEN _fx_lnv_x0 * 1.8446744073709552e+19 ELSE _fx_lnv_x0 END AS _fx_lnv_xp FROM (SELECT *, CAST(lnarg AS DOUBLE) AS _fx_lnv_x0 FROM (SELECT * FROM _fx_base))))))))),
+ _fx_lnv_g2 AS (SELECT *, CASE WHEN _fx_lnv_m1 > 1.4142135623730951e0 THEN _fx_lnv_m1 * 0.5e0 ELSE _fx_lnv_m1 END AS _fx_lnv_mf FROM (SELECT *, CASE WHEN _fx_lnv_m2 >= 2.0e0 THEN _fx_lnv_e2 + 1.0e0 ELSE _fx_lnv_e2 END AS _fx_lnv_e1 FROM (SELECT *, CASE WHEN _fx_lnv_m2 >= 2.0e0 THEN _fx_lnv_m2 / 2.0e0 ELSE _fx_lnv_m2 END AS _fx_lnv_m1 FROM (SELECT *, CASE WHEN _fx_lnv_m4 >= 4.0e0 THEN _fx_lnv_e4 + 2.0e0 ELSE _fx_lnv_e4 END AS _fx_lnv_e2 FROM (SELECT *, CASE WHEN _fx_lnv_m4 >= 4.0e0 THEN _fx_lnv_m4 / 4.0e0 ELSE _fx_lnv_m4 END AS _fx_lnv_m2 FROM (SELECT *, CASE WHEN _fx_lnv_m8 >= 16.0e0 THEN _fx_lnv_e8 + 4.0e0 ELSE _fx_lnv_e8 END AS _fx_lnv_e4 FROM (SELECT *, CASE WHEN _fx_lnv_m8 >= 16.0e0 THEN _fx_lnv_m8 / 16.0e0 ELSE _fx_lnv_m8 END AS _fx_lnv_m4 FROM (SELECT *, CASE WHEN _fx_lnv_m16 >= 256.0e0 THEN _fx_lnv_e16 + 8.0e0 ELSE _fx_lnv_e16 END AS _fx_lnv_e8 FROM (SELECT * FROM _fx_lnv_g1))))))))),
+ _fx_lnv_g3 AS (SELECT *, 0.07692307692307693e0 + _fx_lnv_t2 * _fx_lnv_s3 AS _fx_lnv_s4 FROM (SELECT *, 0.06666666666666667e0 + _fx_lnv_t2 * _fx_lnv_s2 AS _fx_lnv_s3 FROM (SELECT *, 0.058823529411764705e0 + _fx_lnv_t2 * _fx_lnv_s1 AS _fx_lnv_s2 FROM (SELECT *, 0.05263157894736842e0 + _fx_lnv_t2 * _fx_lnv_s0 AS _fx_lnv_s1 FROM (SELECT *, 0.047619047619047616e0 AS _fx_lnv_s0 FROM (SELECT *, _fx_lnv_t * _fx_lnv_t AS _fx_lnv_t2 FROM (SELECT *, (_fx_lnv_mf - 1.0e0) / (_fx_lnv_mf + 1.0e0) AS _fx_lnv_t FROM (SELECT *, CASE WHEN _fx_lnv_m1 > 1.4142135623730951e0 THEN _fx_lnv_e1 + 1.0e0 ELSE _fx_lnv_e1 END AS _fx_lnv_ef FROM (SELECT * FROM _fx_lnv_g2))))))))),
+ _fx_lnv_g4 AS (SELECT *, _fx_lnv_lnm + _fx_lnv_ef * 0.6931471805599453e0 AS _fx_lnv_res FROM (SELECT *, (_fx_lnv_t + _fx_lnv_t) * _fx_lnv_ser AS _fx_lnv_lnm FROM (SELECT *, 1.0e0 + _fx_lnv_t2 * _fx_lnv_s9 AS _fx_lnv_ser FROM (SELECT *, 0.3333333333333333e0 + _fx_lnv_t2 * _fx_lnv_s8 AS _fx_lnv_s9 FROM (SELECT *, 0.2e0 + _fx_lnv_t2 * _fx_lnv_s7 AS _fx_lnv_s8 FROM (SELECT *, 0.14285714285714285e0 + _fx_lnv_t2 * _fx_lnv_s6 AS _fx_lnv_s7 FROM (SELECT *, 0.1111111111111111e0 + _fx_lnv_t2 * _fx_lnv_s5 AS _fx_lnv_s6 FROM (SELECT *, 0.09090909090909091e0 + _fx_lnv_t2 * _fx_lnv_s4 AS _fx_lnv_s5 FROM (SELECT * FROM _fx_lnv_g3))))))))),
+ _fx_lnv_g5 AS (SELECT *, _fx_lnv_res AS lnv FROM (SELECT * FROM _fx_lnv_g4)) SELECT * FROM _fx_lnv_g5)""")

@@ -341,3 +341,46 @@ def test_cross_split_leakage_lsh_gate_fails_loudly(spark, monkeypatch):
     monkeypatch.setattr(S, "lsh_near_dup_pairs", lambda *a, **k: empty)
     with pytest.raises(AssertionError, match="recall"):
         WORKLOAD["emb_cross_split_leakage_lsh"].fn(spark, SF_RECALL)
+
+
+def test_hll_md5_accuracy_and_merge(spark):
+    """Oracle-exact md5 HLL: estimates within the expected rse band of
+    the truth (p=10 -> ~3.2% rse; allow 4 sigma), the linear-counting
+    branch exact for tiny cardinalities, and sharded register merges
+    equal to the one-shot registers (max per register is associative)."""
+    from pyspark.sql import functions as F
+
+    from olap_xtrctr_spark.operators.sketches import (
+        hll_md5_distinct, hll_md5_estimate, hll_md5_registers)
+
+    n = 20000
+    df = spark.range(n).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.concat(F.lit("u"), (F.col("id"))).alias("uid"))
+    truth = {r["g"]: r["c"] for r in
+             df.groupBy("g").agg(F.countDistinct("uid").alias("c"))
+             .collect()}
+    est = {r["g"]: r["n_distinct_est"] for r in
+           hll_md5_distinct(df, ["g"], "uid").collect()}
+    for g, t in truth.items():
+        assert abs(est[g] - t) / t < 0.13, (g, est[g], t)
+
+    # tiny cardinality -> linear counting is near-exact
+    tiny = spark.range(25).select(
+        F.lit("t").alias("g"),
+        F.concat(F.lit("v"), F.col("id")).alias("uid"))
+    e = hll_md5_distinct(tiny, ["g"], "uid").first()["n_distinct_est"]
+    # register collisions make linear counting undercount by the
+    # number of colliding pairs (3 here for this salt) — still within
+    # the sketch's contract for 25 keys over 1024 registers
+    assert abs(e - 25) <= 3
+
+    # shard merge: max-per-register over shard registers == one-shot
+    sharded = df.withColumn("_shard", F.col("uid").substr(-1, 1))
+    regs = hll_md5_registers(
+        sharded, ["g", "_shard"], "uid")
+    merged = (regs.groupBy("g", "reg")
+              .agg(F.max("max_rank").alias("max_rank")))
+    via_merge = {r["g"]: r["n_distinct_est"] for r in
+                 hll_md5_estimate(merged, ["g"]).collect()}
+    assert via_merge == est
