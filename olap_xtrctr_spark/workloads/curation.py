@@ -11,6 +11,7 @@ from ..operators import sampling as SM
 from ..operators import text as TX
 from ..workload_shared import _docs, _emb
 from ..operators.fixedlog import ladder_sql
+from ..operators.sketches import _hll_alpha_num
 
 # Fixed-op ln oracle ladder for PMI (libm-free; operators/fixedlog.py).
 _PMI_LADDER = ladder_sql(
@@ -794,8 +795,13 @@ def register_r9(add) -> None:
         return SK.hll_md5_distinct(
             load_table(spark, sf, "events"), ["event_type"], "user_id")
 
-    add("events_hll_md5_users_by_type", _hll_md5,
-        rf"""WITH h AS (
+    _HLL_NUM = repr(_hll_alpha_num(10))
+    _HLL_LADDER = ladder_sql(
+        "SELECT event_type, nreg, v, raw, "
+        "(1024.0e0 / CAST(CASE WHEN v = 0 THEN 1 ELSE v END AS DOUBLE))"
+        " AS lnarg FROM est",
+        lns=[("lnarg", "lnv")])
+    _HLL_ORACLE = rf"""WITH h AS (
           SELECT event_type,
                  TRY_CAST(concat('0x', substr(md5(concat(
                    CAST(user_id AS VARCHAR), ':hll-v1')), 1, 15))
@@ -814,7 +820,7 @@ def register_r9(add) -> None:
           FROM mx GROUP BY 1),
         est AS (
           SELECT event_type, nreg, 1024 - nreg AS v,
-                 8.710803268202205e+23
+                 {_HLL_NUM}
                  / CAST(s_used + CAST(1024 - nreg AS HUGEINT)
                         * 1152921504606846976 AS DOUBLE) AS raw
           FROM agg)
@@ -823,9 +829,87 @@ def register_r9(add) -> None:
                     THEN CAST(ROUND(1024.0e0 * lnv) AS BIGINT)
                     ELSE CAST(ROUND(raw) AS BIGINT) END
                  AS n_distinct_est
-        FROM (WITH _fx_base AS (SELECT event_type, nreg, v, raw, (1024.0e0 / CAST(CASE WHEN v = 0 THEN 1 ELSE v END AS DOUBLE)) AS lnarg FROM est),
- _fx_lnv_g1 AS (SELECT *, CASE WHEN _fx_lnv_m16 >= 256.0e0 THEN _fx_lnv_m16 / 256.0e0 ELSE _fx_lnv_m16 END AS _fx_lnv_m8 FROM (SELECT *, CASE WHEN _fx_lnv_m32 >= 65536.0e0 THEN _fx_lnv_e32 + 16.0e0 ELSE _fx_lnv_e32 END AS _fx_lnv_e16 FROM (SELECT *, CASE WHEN _fx_lnv_m32 >= 65536.0e0 THEN _fx_lnv_m32 / 65536.0e0 ELSE _fx_lnv_m32 END AS _fx_lnv_m16 FROM (SELECT *, CASE WHEN _fx_lnv_xp >= 4294967296.0e0 THEN _fx_lnv_ep + 32.0e0 ELSE _fx_lnv_ep END AS _fx_lnv_e32 FROM (SELECT *, CASE WHEN _fx_lnv_xp >= 4294967296.0e0 THEN _fx_lnv_xp / 4294967296.0e0 ELSE _fx_lnv_xp END AS _fx_lnv_m32 FROM (SELECT *, CASE WHEN _fx_lnv_x0 < 1.0e0 THEN -64.0e0 ELSE 0.0e0 END AS _fx_lnv_ep FROM (SELECT *, CASE WHEN _fx_lnv_x0 < 1.0e0 THEN _fx_lnv_x0 * 1.8446744073709552e+19 ELSE _fx_lnv_x0 END AS _fx_lnv_xp FROM (SELECT *, CAST(lnarg AS DOUBLE) AS _fx_lnv_x0 FROM (SELECT * FROM _fx_base))))))))),
- _fx_lnv_g2 AS (SELECT *, CASE WHEN _fx_lnv_m1 > 1.4142135623730951e0 THEN _fx_lnv_m1 * 0.5e0 ELSE _fx_lnv_m1 END AS _fx_lnv_mf FROM (SELECT *, CASE WHEN _fx_lnv_m2 >= 2.0e0 THEN _fx_lnv_e2 + 1.0e0 ELSE _fx_lnv_e2 END AS _fx_lnv_e1 FROM (SELECT *, CASE WHEN _fx_lnv_m2 >= 2.0e0 THEN _fx_lnv_m2 / 2.0e0 ELSE _fx_lnv_m2 END AS _fx_lnv_m1 FROM (SELECT *, CASE WHEN _fx_lnv_m4 >= 4.0e0 THEN _fx_lnv_e4 + 2.0e0 ELSE _fx_lnv_e4 END AS _fx_lnv_e2 FROM (SELECT *, CASE WHEN _fx_lnv_m4 >= 4.0e0 THEN _fx_lnv_m4 / 4.0e0 ELSE _fx_lnv_m4 END AS _fx_lnv_m2 FROM (SELECT *, CASE WHEN _fx_lnv_m8 >= 16.0e0 THEN _fx_lnv_e8 + 4.0e0 ELSE _fx_lnv_e8 END AS _fx_lnv_e4 FROM (SELECT *, CASE WHEN _fx_lnv_m8 >= 16.0e0 THEN _fx_lnv_m8 / 16.0e0 ELSE _fx_lnv_m8 END AS _fx_lnv_m4 FROM (SELECT *, CASE WHEN _fx_lnv_m16 >= 256.0e0 THEN _fx_lnv_e16 + 8.0e0 ELSE _fx_lnv_e16 END AS _fx_lnv_e8 FROM (SELECT * FROM _fx_lnv_g1))))))))),
- _fx_lnv_g3 AS (SELECT *, 0.07692307692307693e0 + _fx_lnv_t2 * _fx_lnv_s3 AS _fx_lnv_s4 FROM (SELECT *, 0.06666666666666667e0 + _fx_lnv_t2 * _fx_lnv_s2 AS _fx_lnv_s3 FROM (SELECT *, 0.058823529411764705e0 + _fx_lnv_t2 * _fx_lnv_s1 AS _fx_lnv_s2 FROM (SELECT *, 0.05263157894736842e0 + _fx_lnv_t2 * _fx_lnv_s0 AS _fx_lnv_s1 FROM (SELECT *, 0.047619047619047616e0 AS _fx_lnv_s0 FROM (SELECT *, _fx_lnv_t * _fx_lnv_t AS _fx_lnv_t2 FROM (SELECT *, (_fx_lnv_mf - 1.0e0) / (_fx_lnv_mf + 1.0e0) AS _fx_lnv_t FROM (SELECT *, CASE WHEN _fx_lnv_m1 > 1.4142135623730951e0 THEN _fx_lnv_e1 + 1.0e0 ELSE _fx_lnv_e1 END AS _fx_lnv_ef FROM (SELECT * FROM _fx_lnv_g2))))))))),
- _fx_lnv_g4 AS (SELECT *, _fx_lnv_lnm + _fx_lnv_ef * 0.6931471805599453e0 AS _fx_lnv_res FROM (SELECT *, (_fx_lnv_t + _fx_lnv_t) * _fx_lnv_ser AS _fx_lnv_lnm FROM (SELECT *, 1.0e0 + _fx_lnv_t2 * _fx_lnv_s9 AS _fx_lnv_ser FROM (SELECT *, 0.3333333333333333e0 + _fx_lnv_t2 * _fx_lnv_s8 AS _fx_lnv_s9 FROM (SELECT *, 0.2e0 + _fx_lnv_t2 * _fx_lnv_s7 AS _fx_lnv_s8 FROM (SELECT *, 0.14285714285714285e0 + _fx_lnv_t2 * _fx_lnv_s6 AS _fx_lnv_s7 FROM (SELECT *, 0.1111111111111111e0 + _fx_lnv_t2 * _fx_lnv_s5 AS _fx_lnv_s6 FROM (SELECT *, 0.09090909090909091e0 + _fx_lnv_t2 * _fx_lnv_s4 AS _fx_lnv_s5 FROM (SELECT * FROM _fx_lnv_g3))))))))),
- _fx_lnv_g5 AS (SELECT *, _fx_lnv_res AS lnv FROM (SELECT * FROM _fx_lnv_g4)) SELECT * FROM _fx_lnv_g5)""")
+        FROM ({_HLL_LADDER})"""
+
+    add("events_hll_md5_users_by_type", _hll_md5, _HLL_ORACLE)
+
+    # STREAMING HLL fold: per-micro-batch register tables max-merged
+    # into a durable <=1024-rows-per-type store (register max is the
+    # HLL union — associative and idempotent, so the folded registers
+    # provably equal the one-shot sketch and the entry SHARES the
+    # batch HLL's full oracle).  Completes the streaming fold family:
+    # KMV cardinality, CMS frequency, bottom-k quantiles, HLL.  Same
+    # replay harness as the KMV fold: three id-ordered file batches,
+    # per-batch store with restart recovery, availableNow drain.
+    def _stream_hll(spark, sf):
+        import glob as _glob
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from ..operators import sketches as SK
+        from ..session import load_table
+        ev = load_table(spark, sf, "events")
+        sig = str(os.path.getsize(f"{sf}/events.parquet"))
+        root = os.path.join("/tmp", "olap_xtrctr_hll_stream",
+                            os.path.basename(os.path.normpath(sf)))
+        marker = os.path.join(root, "_DEMO_SRC")
+        if not (os.path.exists(marker)
+                and open(marker).read().strip() == sig):
+            shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(os.path.join(root, "src"), exist_ok=True)
+            b1, b2 = ev.agg(
+                F.expr("percentile(event_id, 0.3333)"),
+                F.expr("percentile(event_id, 0.6667)")).first()
+            conds = [F.col("event_id") <= b1,
+                     (F.col("event_id") > b1)
+                     & (F.col("event_id") <= b2),
+                     F.col("event_id") > b2]
+            for i, cond in enumerate(conds):
+                tmp = os.path.join(root, f"_tmp{i}")
+                ev.filter(cond).coalesce(1).write.mode(
+                    "overwrite").parquet(tmp)
+                part = next(f for f in os.listdir(tmp)
+                            if f.startswith("part-")
+                            and f.endswith(".parquet"))
+                dst = os.path.join(root, "src", f"batch{i}.parquet")
+                shutil.move(os.path.join(tmp, part), dst)
+                shutil.rmtree(tmp)
+                os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+            with open(marker, "w") as fh:
+                fh.write(sig)
+        out = os.path.join(root, "out")
+        state: dict = {"regs": None, "last": None}
+
+        def fold(batch, batch_id: int) -> None:
+            bspark = batch.sparkSession
+            store_dir = os.path.join(out, f"store_b{batch_id}")
+            prev_dir = os.path.join(out, f"store_b{batch_id - 1}")
+            regs = state["regs"]
+            if regs is None and batch_id > 0:    # restart recovery
+                regs = bspark.read.parquet(prev_dir)
+            new = SK.hll_md5_registers(batch, ["event_type"],
+                                       "user_id")
+            merged = new if regs is None else (
+                regs.unionByName(new)
+                .groupBy("event_type", "reg")
+                .agg(F.max("max_rank").alias("max_rank")))
+            merged.write.mode("overwrite").parquet(store_dir)
+            state["regs"] = bspark.read.parquet(store_dir)
+            state["last"] = store_dir
+
+        q = (spark.readStream.schema(ev.schema)
+             .option("maxFilesPerTrigger", 1)
+             .parquet(os.path.join(root, "src"))
+             .writeStream.foreachBatch(fold)
+             .option("checkpointLocation", os.path.join(root, "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        last = state["last"] or sorted(
+            _glob.glob(os.path.join(out, "store_b*")))[-1]
+        return SK.hll_md5_estimate(spark.read.parquet(last),
+                                   ["event_type"])
+
+    add("events_stream_hll_md5_users", _stream_hll, _HLL_ORACLE)
