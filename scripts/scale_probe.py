@@ -250,6 +250,7 @@ PROBE_QUERIES = [
     "cube_toppercent_nations",
     "docs_temperature_mix_rates",
     "docs_char_entropy",
+    "events_hll_md5_users_by_type",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
