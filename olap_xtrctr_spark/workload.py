@@ -23,7 +23,7 @@ from .workload_shared import (AVG_D, CATALOG, MES_CASE,  # noqa: F401
                               QuerySpec, SUM_D)
 from .workloads import (cube, curation, docs_segments,  # noqa: F401
                         docs_text, events, members_nav, multimodal_real,
-                        similarity, tpch)
+                        similarity, tpch, wave9)
 
 # ---- driver gate-window manifest -----------------------------------------
 # The external correctness gate grades the FIRST _GATE_WINDOW entries of
@@ -133,8 +133,7 @@ def build_workload() -> dict[str, QuerySpec]:
     curation.register_r8(add)     # round-8 additions append last
     docs_segments.register_r8(add)
     cube.register_r9(add)         # round-9 additions append after r8
-    docs_text.register_r9(add)
-    curation.register_r9(add)
+    wave9.register(add)
 
     # Order per the gate-window manifest (see _GATE_FRONT above).
     missing = [n for n in _GATE_FRONT if n not in q]

@@ -11,7 +11,6 @@ from ..operators import sampling as SM
 from ..operators import text as TX
 from ..workload_shared import _docs, _emb
 from ..operators.fixedlog import ladder_sql
-from ..operators.sketches import _hll_alpha_num
 
 # Fixed-op ln oracle ladder for PMI (libm-free; operators/fixedlog.py).
 _PMI_LADDER = ladder_sql(
@@ -782,134 +781,3 @@ def register_r8(add) -> None:
                         THEN value END) AS q99
         FROM rk GROUP BY hour""")
 
-
-def register_r9(add) -> None:
-    """Round-9 additions: the oracle-exact md5 HyperLogLog — with KMV
-    (cardinality + set ops), CMS (frequency) and bottom-k (quantiles)
-    this makes the WHOLE sketch family value-exact against the SQL
-    oracle, corrections included (fixedlog linear counting)."""
-
-    def _hll_md5(spark, sf):
-        from ..operators import sketches as SK
-        from ..session import load_table
-        return SK.hll_md5_distinct(
-            load_table(spark, sf, "events"), ["event_type"], "user_id")
-
-    _HLL_NUM = repr(_hll_alpha_num(10))
-    _HLL_LADDER = ladder_sql(
-        "SELECT event_type, nreg, v, raw, "
-        "(1024.0e0 / CAST(CASE WHEN v = 0 THEN 1 ELSE v END AS DOUBLE))"
-        " AS lnarg FROM est",
-        lns=[("lnarg", "lnv")])
-    _HLL_ORACLE = rf"""WITH h AS (
-          SELECT event_type,
-                 TRY_CAST(concat('0x', substr(md5(concat(
-                   CAST(user_id AS VARCHAR), ':hll-v1')), 1, 15))
-                   AS BIGINT) AS hv
-          FROM events),
-        rk AS (
-          SELECT event_type, CAST(hv % 1024 AS INTEGER) AS reg,
-                 CASE WHEN hv // 1024 = 0 THEN 51
-                      ELSE 51 - length(bin(hv // 1024)) END AS rnk
-          FROM h),
-        mx AS (SELECT event_type, reg, MAX(rnk) AS max_rank
-               FROM rk GROUP BY 1, 2),
-        agg AS (
-          SELECT event_type, COUNT(*) AS nreg,
-                 SUM(CAST(power(2, 60 - max_rank) AS HUGEINT)) AS s_used
-          FROM mx GROUP BY 1),
-        est AS (
-          SELECT event_type, nreg, 1024 - nreg AS v,
-                 {_HLL_NUM}
-                 / CAST(s_used + CAST(1024 - nreg AS HUGEINT)
-                        * 1152921504606846976 AS DOUBLE) AS raw
-          FROM agg)
-        SELECT event_type,
-               CASE WHEN raw <= 2560.0e0 AND v > 0
-                    THEN CAST(ROUND(1024.0e0 * lnv) AS BIGINT)
-                    ELSE CAST(ROUND(raw) AS BIGINT) END
-                 AS n_distinct_est
-        FROM ({_HLL_LADDER})"""
-
-    add("events_hll_md5_users_by_type", _hll_md5, _HLL_ORACLE)
-
-    # STREAMING HLL fold: per-micro-batch register tables max-merged
-    # into a durable <=1024-rows-per-type store (register max is the
-    # HLL union — associative and idempotent, so the folded registers
-    # provably equal the one-shot sketch and the entry SHARES the
-    # batch HLL's full oracle).  Completes the streaming fold family:
-    # KMV cardinality, CMS frequency, bottom-k quantiles, HLL.  Same
-    # replay harness as the KMV fold: three id-ordered file batches,
-    # per-batch store with restart recovery, availableNow drain.
-    def _stream_hll(spark, sf):
-        import glob as _glob
-        import os
-        import shutil
-
-        from pyspark.sql import functions as F
-
-        from ..operators import sketches as SK
-        from ..session import load_table
-        ev = load_table(spark, sf, "events")
-        sig = str(os.path.getsize(f"{sf}/events.parquet"))
-        root = os.path.join("/tmp", "olap_xtrctr_hll_stream",
-                            os.path.basename(os.path.normpath(sf)))
-        marker = os.path.join(root, "_DEMO_SRC")
-        if not (os.path.exists(marker)
-                and open(marker).read().strip() == sig):
-            shutil.rmtree(root, ignore_errors=True)
-            os.makedirs(os.path.join(root, "src"), exist_ok=True)
-            b1, b2 = ev.agg(
-                F.expr("percentile(event_id, 0.3333)"),
-                F.expr("percentile(event_id, 0.6667)")).first()
-            conds = [F.col("event_id") <= b1,
-                     (F.col("event_id") > b1)
-                     & (F.col("event_id") <= b2),
-                     F.col("event_id") > b2]
-            for i, cond in enumerate(conds):
-                tmp = os.path.join(root, f"_tmp{i}")
-                ev.filter(cond).coalesce(1).write.mode(
-                    "overwrite").parquet(tmp)
-                part = next(f for f in os.listdir(tmp)
-                            if f.startswith("part-")
-                            and f.endswith(".parquet"))
-                dst = os.path.join(root, "src", f"batch{i}.parquet")
-                shutil.move(os.path.join(tmp, part), dst)
-                shutil.rmtree(tmp)
-                os.utime(dst, (1_000_000 + i, 1_000_000 + i))
-            with open(marker, "w") as fh:
-                fh.write(sig)
-        out = os.path.join(root, "out")
-        state: dict = {"regs": None, "last": None}
-
-        def fold(batch, batch_id: int) -> None:
-            bspark = batch.sparkSession
-            store_dir = os.path.join(out, f"store_b{batch_id}")
-            prev_dir = os.path.join(out, f"store_b{batch_id - 1}")
-            regs = state["regs"]
-            if regs is None and batch_id > 0:    # restart recovery
-                regs = bspark.read.parquet(prev_dir)
-            new = SK.hll_md5_registers(batch, ["event_type"],
-                                       "user_id")
-            merged = new if regs is None else (
-                regs.unionByName(new)
-                .groupBy("event_type", "reg")
-                .agg(F.max("max_rank").alias("max_rank")))
-            merged.write.mode("overwrite").parquet(store_dir)
-            state["regs"] = bspark.read.parquet(store_dir)
-            state["last"] = store_dir
-
-        q = (spark.readStream.schema(ev.schema)
-             .option("maxFilesPerTrigger", 1)
-             .parquet(os.path.join(root, "src"))
-             .writeStream.foreachBatch(fold)
-             .option("checkpointLocation", os.path.join(root, "ckpt"))
-             .trigger(availableNow=True)
-             .start())
-        q.awaitTermination()
-        last = state["last"] or sorted(
-            _glob.glob(os.path.join(out, "store_b*")))[-1]
-        return SK.hll_md5_estimate(spark.read.parquet(last),
-                                   ["event_type"])
-
-    add("events_stream_hll_md5_users", _stream_hll, _HLL_ORACLE)

@@ -879,35 +879,3 @@ def register(add) -> None:
                     WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
         FROM ranked""")
 
-
-def register_r9(add) -> None:
-    """Round-9 additions: character entropy — the fixedlog ladder
-    generalizing to a NEW ln-derived score (the freeze discipline is
-    reusable, not bespoke to the LM family)."""
-    _ENT_LC = ladder_sql("SELECT c FROM dc", lns=[("c", "lnv")])
-    _ENT_LN = ladder_sql("SELECT n FROM dn", lns=[("n", "lnv")])
-    add("docs_char_entropy",
-        lambda spark, sf: __import__(
-            "olap_xtrctr_spark.operators.text", fromlist=["char_entropy"]
-        ).char_entropy(_docs(spark, sf)),
-        rf"""WITH chars AS (
-          SELECT doc_id, unnest(string_split(text, '')) AS ch
-          FROM documents),
-        counts AS (
-          SELECT doc_id, ch, COUNT(*) AS c
-          FROM chars WHERE ch != '' GROUP BY 1, 2),
-        tot AS (SELECT doc_id, SUM(c) AS n FROM counts GROUP BY 1),
-        dc AS (SELECT DISTINCT c FROM counts),
-        dn AS (SELECT DISTINCT n FROM tot),
-        lc AS (SELECT c, CAST(ROUND(lnv * 1e6) AS BIGINT) AS lc_micro
-               FROM ({_ENT_LC})),
-        lnn AS (SELECT n, CAST(ROUND(lnv * 1e6) AS BIGINT) AS ln_micro
-                FROM ({_ENT_LN})),
-        s AS (SELECT counts.doc_id,
-                     CAST(SUM(c * lc_micro) AS BIGINT) AS clc
-              FROM counts JOIN lc USING (c) GROUP BY 1)
-        SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_chars,
-               CAST((lnn.ln_micro * t.n - s.clc) // t.n AS BIGINT)
-                 AS entropy_micro
-        FROM tot t JOIN lnn ON lnn.n = t.n
-        JOIN s ON s.doc_id = t.doc_id""")
