@@ -1137,3 +1137,25 @@ def test_set_slicer_or_within_and_across(spark, sf_dir):
         "[Dim Orders].[Prioridad].[Prioridad].&[2-HIGH] })",
         "VENTAS_2025")
     assert eng.execute(req).first()["total_registros"] == both
+
+
+def test_toppercent_over_calculated_measure(spark, sf_dir):
+    """TOPPERCENT keyed by a CALCULATED measure: the cumulative cut
+    resolves through resolve_out (calc alias), and the kept set equals
+    the base-measure cut scaled by a constant (monotone key)."""
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    via_calc = eng.execute(parse_mdx(
+        "WITH MEMBER [Measures].[Qty K] AS "
+        "[Measures].[Sum Quantity] / 1000 "
+        "SELECT { [Measures].[Qty K] } ON COLUMNS, "
+        "TOPPERCENT([Dim Customer].[Geografía].[Nation].MEMBERS, 40, "
+        "[Measures].[Qty K]) ON ROWS FROM [sales]",
+        "VENTAS_2025")).collect()
+    via_base = eng.execute(parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "TOPPERCENT([Dim Customer].[Geografía].[Nation].MEMBERS, 40, "
+        "[Measures].[Sum Quantity]) ON ROWS FROM [sales]",
+        "VENTAS_2025")).collect()
+    assert {r["nation"] for r in via_calc} == \
+        {r["nation"] for r in via_base}
+    assert 0 < len(via_calc) < 25
