@@ -278,3 +278,45 @@ def test_type_drift_vs_baseline_missing_types_and_alert(spark):
     # d2: total variation 1.0 -> 1000 milli (disjoint distributions)
     assert rows["d2"]["tv_milli"] == 1000 and rows["d2"]["alert"]
     assert rows["d2"]["n_events"] == 10
+
+
+def test_hll_stream_fold_restart_recovery(spark, sf_dir, tmp_path):
+    """The streaming HLL fold's restart path: a fresh process (state
+    reset) folding batch 1 must reload batch 0's register store and
+    produce the same registers as an uninterrupted two-batch fold."""
+    from pyspark.sql import functions as F
+
+    from olap_xtrctr_spark.operators import sketches as SK
+    from olap_xtrctr_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).first()[0]
+    b0 = ev.filter(F.col("event_id") <= mid)
+    b1 = ev.filter(F.col("event_id") > mid)
+
+    def merge(a, b):
+        return (a.unionByName(b).groupBy("event_type", "reg")
+                .agg(F.max("max_rank").alias("max_rank")))
+
+    # uninterrupted fold
+    r0 = SK.hll_md5_registers(b0, ["event_type"], "user_id")
+    want = sorted(map(tuple, merge(
+        r0, SK.hll_md5_registers(b1, ["event_type"], "user_id"))
+        .collect()))
+
+    # crash after batch 0: store persisted, in-memory state lost
+    store0 = str(tmp_path / "store_b0")
+    r0.write.mode("overwrite").parquet(store0)
+    recovered = spark.read.parquet(store0)          # the restart read
+    got = sorted(map(tuple, merge(
+        recovered, SK.hll_md5_registers(b1, ["event_type"], "user_id"))
+        .collect()))
+    assert got == want
+    # and the estimates off the recovered fold match the one-shot sketch
+    one_shot = sorted(map(tuple, SK.hll_md5_distinct(
+        ev, ["event_type"], "user_id").collect()))
+    via_fold = sorted(map(tuple, SK.hll_md5_estimate(
+        merge(recovered,
+              SK.hll_md5_registers(b1, ["event_type"], "user_id")),
+        ["event_type"]).collect()))
+    assert via_fold == one_shot
