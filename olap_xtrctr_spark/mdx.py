@@ -296,6 +296,19 @@ _SET_DEF = re.compile(
 def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
     flat = " ".join(mdx.split())
 
+    # DRILLTHROUGH [MAXROWS n] SELECT ... — strip the prefix, parse
+    # the inner SELECT normally, mark the request (engine returns the
+    # underlying fact rows instead of aggregates)
+    dt = re.match(r"DRILLTHROUGH\s+(?:MAXROWS\s+(\d+)\s+)?(?=SELECT\s)",
+                  flat, re.IGNORECASE)
+    if dt:
+        req = parse_mdx(flat[dt.end():], catalog)
+        req.drillthrough = True
+        req.max_rows = int(dt.group(1)) if dt.group(1) else None
+        if req.max_rows is not None and req.max_rows < 1:
+            raise MdxParseError(f"MAXROWS must be >= 1: {mdx!r}")
+        return req
+
     # -- WITH MEMBER calculated measures (extension beyond the
     # reference's emitted subset; arithmetic validated by the engine's
     # measure-expression parser, never eval) --------------------------
@@ -576,7 +589,11 @@ def build_mdx(req: QueryRequest, cube_name: str | None = None) -> str:
                         for c in req.calculated)
         with_clause = f"WITH {defs} "
 
-    parts = [f"{with_clause}SELECT {cols} ON COLUMNS"]
+    dt_prefix = ""
+    if getattr(req, "drillthrough", False):
+        dt_prefix = "DRILLTHROUGH " + (
+            f"MAXROWS {req.max_rows} " if req.max_rows else "")
+    parts = [f"{dt_prefix}{with_clause}SELECT {cols} ON COLUMNS"]
     if req.rows:
         sets = [_axis_set(item) for item in req.rows]
         rows = sets[-1]

@@ -512,6 +512,8 @@ class QueryRequest:
     order_by: Optional[tuple[str, bool]] = None         # ORDER(set, m, DESC)
     head_tail: Optional[HeadTailSpec] = None            # HEAD/TAIL(set, n)
     toppercent: Optional[TopPercentSpec] = None         # TOPPERCENT/TOPSUM
+    drillthrough: bool = False                          # DRILLTHROUGH SELECT
+    max_rows: Optional[int] = None                      # ... MAXROWS n
 
 
 @dataclass
@@ -850,11 +852,81 @@ class CubeQueryEngine:
                 est *= max(self.level_cardinality(cube, ax.dimension, ax.level), 1)
         return est
 
+    # ---- DRILLTHROUGH ------------------------------------------------------
+
+    def _drillthrough(self, cube: CubeDef, req: QueryRequest) -> DataFrame:
+        """``DRILLTHROUGH [MAXROWS n] SELECT ...`` — the underlying
+        FACT rows behind the selected cells (the SSAS drillthrough
+        contract: the cube's measures dissolve back into source rows;
+        axis member sets, filters and slicers all become row
+        predicates).  Returns the fact table's natural columns.
+
+        Scale shape: the identical predicate pushdown as the
+        aggregate path (key-column constraints reach the parquet
+        scan), no groupBy at all; MAXROWS bounds the result via a
+        deterministic (first fact-key columns) rank so retries and
+        engines agree on WHICH rows survive — a bare LIMIT would be
+        partition-order-dependent."""
+        if req.calculated or req.having or req.topcount \
+                or req.order_by or req.head_tail or req.toppercent \
+                or req.variables or req.all_measures:
+            raise QueryValidationError(
+                "DRILLTHROUGH takes a plain cell selection — no "
+                "calculated measures, set functions or variables")
+        axes = [self._resolve_axis(cube, item) for item in req.rows]
+        filters = [(cube.dimension(f.dimension),
+                    cube.dimension(f.dimension).hierarchy(f.hierarchy),
+                    f.members) for f in req.filters]
+        slicers = []
+        for sl in req.slicers:
+            pth = naming.parse(sl)
+            dim = cube.dimension(pth.dimension)
+            slicers.append((dim, dim.hierarchy(pth.hierarchy), [sl]))
+
+        from .session import load_table
+        fact = cube.fact(self.spark, self.sf_dir)
+        # natural columns = the raw fact table's (derived degenerate-
+        # dim columns like anio/mes are query-time sugar, not source)
+        fact_cols = load_table(self.spark, self.sf_dir,
+                               cube.fact_table).columns
+        joined = fact
+        needed: dict[str, Dimension] = {}
+        for dim in ([a.dimension for a in axes]
+                    + [d for d, _, _ in filters]
+                    + [d for d, _, _ in slicers]):
+            if dim.view is not None:
+                needed.setdefault(dim.view, dim)
+        for view_name, dim in needed.items():
+            view = self._view(cube, view_name)
+            joined = joined.join(
+                view, F.col(dim.fact_key) == view[dim.view_key],
+                "inner")
+        for ax in axes:
+            if ax.member_constraints:
+                joined = joined.filter(
+                    self._paths_predicate(joined, ax.member_constraints))
+        for dim, hier, members in filters + slicers:
+            paths = self._member_paths(cube, dim, hier, members)
+            if paths:
+                joined = joined.filter(
+                    self._paths_predicate(joined, paths))
+        out = joined.select(*fact_cols)
+        if req.max_rows is not None:
+            if req.max_rows < 1:
+                raise QueryValidationError(
+                    f"MAXROWS must be >= 1: {req.max_rows}")
+            w = SqlWindow.orderBy(*[F.col(c) for c in fact_cols[:2]])
+            out = (out.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") <= req.max_rows).drop("_rn"))
+        return out
+
     # ---- main lowering -----------------------------------------------------
 
     def execute(self, req: QueryRequest, empty_preserving: bool = False,
                 warn=print) -> DataFrame:
         cube = self.registry.resolve(req.catalog, req.cube)
+        if req.drillthrough:
+            return self._drillthrough(cube, req)
 
         if len(req.rows) > MAX_ROW_DIMS:
             raise QueryValidationError(

@@ -81,10 +81,12 @@ _GATE_FRONT = [
     "docs_char_entropy",                 # NEW r9 (fixedlog entropy)
     "events_hll_md5_users_by_type",      # NEW r9 (oracle-exact HLL)
     "events_stream_hll_md5_users",       # NEW r9 (streaming HLL fold)
-    # (e) the 17 oldest r4-latest FULL-ORACLE entries in build order
+    "cube_drillthrough_region",          # NEW r9 (DRILLTHROUGH)
+    # (e) the 16 oldest r4-latest FULL-ORACLE entries in build order
     #     (rows-only r4 entries stay behind the window — the driver's
-    #     weaker check adds nothing, r8 lesson; the remaining 13 r4
+    #     weaker check adds nothing, r8 lesson; the remaining 14 r4
     #     full-oracle entries rotate in round 10:
+    #     events_asof_click_attribution,
     #     events_value_range_tiers, events_props_topk,
     #     events_stream_enriched_tiers, docs_chunk_overlap,
     #     docs_boilerplate_ngrams, docs_boilerplate_filter,
@@ -108,7 +110,6 @@ _GATE_FRONT = [
     "events_funnel_conversion",
     "events_stream_dedup_bounded",
     "events_stream_click_purchase_join",
-    "events_asof_click_attribution",
 ]
 
 

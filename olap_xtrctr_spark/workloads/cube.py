@@ -815,3 +815,18 @@ def register_r9(add) -> None:
         SELECT region, se / sq AS avg_price,
                (se / sq) * (1 - ad) AS discounted_avg
         FROM a""")
+
+    # DRILLTHROUGH (round 9): the fact rows behind a cell — member
+    # sets / filters / slicers become row predicates (same pushdown as
+    # the aggregate path), no groupBy, natural fact columns returned.
+    add("cube_drillthrough_region",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "DRILLTHROUGH SELECT { [Measures].[Sum Quantity] } "
+            "ON COLUMNS, "
+            "{ [Dim Customer].[Geografía].[Region].&[2] } ON ROWS "
+            "FROM [sales] "
+            "WHERE ([Dim Orders].[Estado].[Estado].&[F])", CATALOG)),
+        f"""WITH {_OW}
+        SELECT l.*
+        FROM lineitem l JOIN orders_wide ON l.l_orderkey = o_orderkey
+        WHERE cust_region_key = 2 AND order_estado = 'F'""")

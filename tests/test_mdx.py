@@ -1159,3 +1159,50 @@ def test_toppercent_over_calculated_measure(spark, sf_dir):
     assert {r["nation"] for r in via_calc} == \
         {r["nation"] for r in via_base}
     assert 0 < len(via_calc) < 25
+
+
+def test_drillthrough_parse_execute_and_negatives(spark, sf_dir):
+    """DRILLTHROUGH returns the fact rows behind the selected cell
+    (natural fact columns, predicates pushed); MAXROWS bounds it
+    deterministically; set functions/calcs are rejected."""
+    from olap_xtrctr_spark.query import QueryValidationError
+
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    req = parse_mdx(
+        "DRILLTHROUGH SELECT { [Measures].[Sum Quantity] } ON COLUMNS,"
+        " { [Dim Customer].[Geografía].[Region].&[2] } ON ROWS "
+        "FROM [sales]", "VENTAS_2025")
+    assert req.drillthrough
+    from olap_xtrctr_spark.mdx import build_mdx
+    assert parse_mdx(build_mdx(req), "VENTAS_2025") == req
+    df = eng.execute(req)
+    assert set(df.columns) >= {"l_orderkey", "l_quantity", "l_shipdate"}
+    n_all = df.count()
+    assert n_all > 0
+
+    # the drillthrough row count equals the cell's COUNT measure
+    cell = eng.execute(parse_mdx(
+        "SELECT { [Measures].[Total Registros] } ON COLUMNS, "
+        "{ [Dim Customer].[Geografía].[Region].&[2] } ON ROWS "
+        "FROM [sales]", "VENTAS_2025")).first()["total_registros"]
+    assert n_all == cell
+
+    # MAXROWS: deterministic subset, repeatable across runs
+    req_m = parse_mdx(
+        "DRILLTHROUGH MAXROWS 7 SELECT { [Measures].[Sum Quantity] } "
+        "ON COLUMNS, { [Dim Customer].[Geografía].[Region].&[2] } "
+        "ON ROWS FROM [sales]", "VENTAS_2025")
+    a = sorted(map(tuple, eng.execute(req_m).collect()))
+    b = sorted(map(tuple, eng.execute(req_m).collect()))
+    assert len(a) == 7 and a == b
+
+    with pytest.raises(QueryValidationError, match="plain cell"):
+        eng.execute(parse_mdx(
+            "DRILLTHROUGH SELECT { [Measures].[Sum Quantity] } "
+            "ON COLUMNS, TOPCOUNT("
+            "[Dim Customer].[Geografía].[Region].MEMBERS, 2, "
+            "[Measures].[Sum Quantity]) ON ROWS FROM [sales]",
+            "VENTAS_2025"))
+    with pytest.raises(MdxParseError):
+        parse_mdx("DRILLTHROUGH MAXROWS 0 SELECT { [Measures].[X] } "
+                  "ON COLUMNS FROM [sales]", "VENTAS_2025")
