@@ -38,6 +38,10 @@ backend/actions_runner.py:220-249, frontend/src/utils/mdxBuilder.ts:4-40):
       — slicer tuple; a brace-wrapped element is a SET slicer whose
       members OR within their hierarchy (AND across hierarchies)
 
+    DRILLTHROUGH [MAXROWS n] SELECT ...
+      — the underlying fact rows behind the selected cells (natural
+      fact columns; MAXROWS bounds deterministically)
+
     WITH SET [Name] AS '{ <member>, ... }'
       — named set, expanded into its [Name] references before set
       parsing (SSAS query-scoped named sets; build_mdx emits the
