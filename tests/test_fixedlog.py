@@ -176,3 +176,36 @@ def test_spark_micro_freeze_matches_python(spark):
     ).collect()
     for r in rows:
         assert r["m"] == fxln_micro(float(r["n"])), r["n"]
+
+
+def test_duckdb_hll_linear_domain_bit_equal():
+    """The HLL linear-counting argument domain (1024/V for every
+    possible zero-register count V) — the lookup the engine freezes
+    must match the oracle ladder bit-for-bit over the WHOLE domain,
+    not just the values a given dataset happens to hit."""
+    con = duckdb.connect()
+    sql = ladder_sql(
+        "SELECT CAST(range AS BIGINT) AS v, 1024.0e0 / CAST(range AS "
+        "DOUBLE) AS r FROM range(1, 1025)",
+        lns=[("r", "lnv")])
+    rows = con.execute(
+        f"SELECT v, CAST(ROUND(1024.0e0 * lnv) AS BIGINT) FROM ({sql})"
+    ).fetchall()
+    assert len(rows) == 1024
+    for v, want in rows:
+        got = round_half_away(1024.0 * fxln(1024.0 / float(v)))
+        assert got == want, v
+
+
+def test_spark_hll_linear_domain_bit_equal(spark):
+    sql = ladder_sql(
+        "SELECT CAST(id AS BIGINT) AS v, 1024.0e0 / CAST(id AS DOUBLE)"
+        " AS r FROM range(1, 1025)",
+        lns=[("r", "lnv")])
+    rows = spark.sql(
+        f"SELECT v, CAST(ROUND(1024.0e0 * lnv) AS BIGINT) AS m "
+        f"FROM ({sql})").collect()
+    assert len(rows) == 1024
+    for r in rows:
+        got = round_half_away(1024.0 * fxln(1024.0 / float(r["v"])))
+        assert got == r["m"], r["v"]
