@@ -806,6 +806,11 @@ def register(add) -> None:
     # reproducible, so the per-doc scores are bit-exact integers on
     # both engines.  Docs with <2 tokens have no bigrams and are
     # absent on both sides by construction.
+    # Output columns derived from SUM(BIGINT) or `//` MUST be CAST to
+    # BIGINT: DuckDB types them HUGEINT, and an Arrow/pandas-fetching
+    # harness renders HUGEINT differently from BIGINT (rows/schema
+    # match, value-hash mismatch — the r8/r9 driver-red signature).
+    # tests/test_oracle_types.py lints every oracle for this.
     # Shared CTE chain for the LM-scoring family (score + CCNet
     # perplexity-bucket split reuse it verbatim).
     _LM_CORE = rf"""WITH tok AS (
@@ -852,8 +857,8 @@ def register(add) -> None:
         _LM_CORE + r"""
         SELECT doc_id,
                COUNT(*) AS n_bigrams,
-               SUM(nll_micro) AS nll_sum_micro,
-               SUM(nll_micro) // COUNT(*) AS mean_nll_micro
+               CAST(SUM(nll_micro) AS BIGINT) AS nll_sum_micro,
+               CAST(SUM(nll_micro) // COUNT(*) AS BIGINT) AS mean_nll_micro
         FROM nll GROUP BY doc_id""")
 
     # CCNet head/middle/tail split (Wenzek et al. 2020 §4.3): rank each
@@ -865,7 +870,9 @@ def register(add) -> None:
             _docs(spark, sf), reference_cond=F.col("source") == "src0"),
         _LM_CORE + r""",
         sc AS (
-          SELECT doc_id, SUM(nll_micro) // COUNT(*) AS mean_nll_micro
+          SELECT doc_id,
+                 CAST(SUM(nll_micro) // COUNT(*) AS BIGINT)
+                     AS mean_nll_micro
           FROM nll GROUP BY doc_id),
         ranked AS (
           SELECT d.doc_id, d.lang, sc.mean_nll_micro,

@@ -19,6 +19,12 @@ engine-version-independent by construction (bit-equality swept across
 CPython/DuckDB/Spark in tests/test_fixedlog.py).  If a future
 container gains network or a second duckdb wheel appears in the image,
 run this gate under both versions and diff the oracle halves.
+
+ROUND-10 ADDITION: every passing entry is ALSO fetched via
+``fetchdf()`` (pandas) and the two fetch paths must agree — the r8/r9
+red class (HUGEINT output columns rendering as float64 in Arrow/pandas
+harnesses) was invisible to the ``fetchall`` path alone.  See
+``pandas_path_check`` and tests/test_oracle_types.py.
 """
 from __future__ import annotations
 
@@ -47,6 +53,66 @@ def norm(v):
             return "nan"
         return f"{v:.12g}" if abs(v) < 1e15 else f"{v:.12e}"
     return str(v)
+
+
+_INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT"}
+
+
+def pandas_path_check(con, sql, dcols, dset):
+    """Second harness path (VERDICT r9 task 2): fetch the oracle via
+    ``fetchdf()`` (pandas/Arrow, the way a driver-style harness fetches)
+    and assert it agrees with the ``fetchall`` path.
+
+    The r8/r9 driver-red class was invisible to ``fetchall`` → ``str``:
+    DuckDB types ``SUM(BIGINT)`` / integer ``//`` as HUGEINT, which
+    ``fetchdf`` silently renders as float64 EVEN WITH NO NULLS —
+    rows/schema match, value rendering diverges.  Two checks:
+
+    1. dtype check — any integer-declared column arriving float64 with
+       zero NULLs is the HUGEINT signature (NULL-coerced int columns
+       are a known pandas artifact shared by both paths, exempt);
+    2. value check — normalized pandas values (NaN/NaT→None,
+       DATE→date) must equal the fetchall-path set.
+
+    Returns an error string, or None if both paths agree.
+    """
+    import pandas as pd
+
+    desc = con.execute("DESCRIBE " + sql).fetchall()
+    typ_by_col = {d[0]: d[1].upper() for d in desc}
+    pdf = con.execute(sql).fetchdf()
+    for col in pdf.columns:
+        t = typ_by_col.get(col, "")
+        if (t in _INT_TYPES and str(pdf[col].dtype) == "float64"
+                and pdf[col].notna().all()):
+            return (f"column {col} ({t}) renders float64 via pandas "
+                    "with no NULLs — HUGEINT-class type divergence")
+
+    def pnorm(v, t):
+        if v is None or v is pd.NaT or (isinstance(v, float)
+                                        and math.isnan(v)):
+            return "None"
+        if t == "DATE" and hasattr(v, "date"):
+            return str(v.date())
+        return norm(float(v) if isinstance(v, float) else v)
+
+    cols = list(pdf.columns)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    pset = sorted(
+        tuple(pnorm(r[i], typ_by_col.get(cols[i], "")) for i in order)
+        for r in pdf.itertuples(index=False, name=None))
+    # fetchall-side None renders "None"; NaN stays "nan" there but the
+    # pandas path cannot distinguish NULL from NaN, so fold both.
+    dset_folded = [tuple("None" if x == "nan" else x for x in row)
+                   for row in dset]
+    pset_folded = [tuple("None" if x == "nan" else x for x in row)
+                   for row in pset]
+    if dset_folded != pset_folded:
+        diff = [(a, b) for a, b in zip(dset_folded, pset_folded)
+                if a != b][:3]
+        return f"fetchdf path disagrees with fetchall path, e.g. {diff}"
+    return None
 
 
 def main() -> int:
@@ -100,6 +166,11 @@ def main() -> int:
         if sset != dset:
             diff = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
             print(f"FAIL  {name}: value mismatch, e.g. {diff}")
+            n_fail += 1
+            continue
+        err = pandas_path_check(con, oracles[name], dcols, dset)
+        if err:
+            print(f"FAIL  {name}: {err}")
             n_fail += 1
             continue
         print(f"PASS  {name}: {len(srows)} rows")
