@@ -158,13 +158,36 @@ def _parse_set(expr: str, properties: bool) -> list[AxisItem]:
         if (a.dimension.lower(), a.hierarchy.lower()) !=                 (b.dimension.lower(), b.hierarchy.lower()):
             raise MdxParseError(
                 f"{setop} operands must share [Dim].[Hier]: {expr!r}")
-        aset, bset = set(a.members), set(b.members)
+        # Membership/dedup compares PARSED identity, not raw strings:
+        # the [Dim].[Hier].[Level] segments are case-insensitive (like
+        # the operand check above) while &[key] values stay exact
+        # (data values).  Raw-string sets would let UNION emit the
+        # same member twice when the operands spell the hierarchy in
+        # different case.
+        def _mkey(m: str) -> tuple:
+            from . import naming as _naming
+            try:
+                p = _naming.parse(m)
+            except ValueError:
+                return ("?", m.strip().casefold())
+            return (p.dimension.casefold(), p.hierarchy.casefold(),
+                    p.level1.casefold() if p.level1 else None,
+                    tuple(p.keys))
+
+        aset = {_mkey(m) for m in a.members}
+        bset = {_mkey(m) for m in b.members}
         if setop == "UNION":
-            out = a.members + [m for m in b.members if m not in aset]
+            out = list(a.members)
+            seen = set(aset)
+            for m in b.members:
+                k = _mkey(m)
+                if k not in seen:
+                    seen.add(k)
+                    out.append(m)
         elif setop == "EXCEPT":
-            out = [m for m in a.members if m not in bset]
+            out = [m for m in a.members if _mkey(m) not in bset]
         else:
-            out = [m for m in a.members if m in bset]
+            out = [m for m in a.members if _mkey(m) in bset]
         if not out:
             raise MdxParseError(
                 f"{setop} produced an empty set: {expr!r}")

@@ -160,10 +160,11 @@ _EXPR_TOKEN = re.compile(
     r"\s*(\[Measures\]\s*\.\s*\[[^\]]+\]"
     r"|\[[^\]]+\]\s*\.\s*\[[^\]]+\](?:\s*\.\s*(?i:CURRENTMEMBER))?"
     r"\s*\.\s*(?i:PREVMEMBER|NEXTMEMBER)"
-    # full member path with key ref — the set-literal element form
-    # ([Dim].[Hier].[Level].&[key]); must precede the 2-segment
-    # alternative or it would match only the path's prefix
-    r"|\[[^\]]+\](?:\s*\.\s*\[[^\]]+\]){1,3}\s*\.\s*&\s*\[[^\]]+\]"
+    # full member path with key ref(s) — the set-literal element form
+    # ([Dim].[Hier].[Level].&[k1](.&[k2]...)); must precede the
+    # 2-segment alternative or it would match only the path's prefix
+    r"|\[[^\]]+\](?:\s*\.\s*\[[^\]]+\]){1,3}"
+    r"(?:\s*\.\s*&\s*\[[^\]]+\])+"
     r"|\[[^\]]+\]\s*\.\s*\[[^\]]+\](?:\s*\.\s*(?i:CURRENTMEMBER))?"
     r"|[A-Za-z_]+"
     r"|\d+\.\d+|\d+|>=|<=|<>|[-+*/(),><={}])")
@@ -371,7 +372,7 @@ def parse_measure_expr(expr: str):
                             f"unterminated set literal in {expr!r}")
                     if not re.fullmatch(
                             r"\[[^\]]+\](?:\s*\.\s*\[[^\]]+\])+"
-                            r"\s*\.\s*&\s*\[[^\]]+\]", mt):
+                            r"(?:\s*\.\s*&\s*\[[^\]]+\])+", mt):
                         raise MeasureExprError(
                             f"set elements must be "
                             f"[Dim].[Hier]...&[key] members, got "
@@ -877,11 +878,26 @@ class CubeQueryEngine:
         filters = [(cube.dimension(f.dimension),
                     cube.dimension(f.dimension).hierarchy(f.hierarchy),
                     f.members) for f in req.filters]
-        slicers = []
+        # WHERE slicers GROUP by (dimension, hierarchy) exactly as the
+        # aggregate path does (the SSAS set-in-slicer contract): a
+        # flattened WHERE set {m1, m2} must OR within its hierarchy —
+        # one _member_paths call per hierarchy group.  Building one
+        # conjunct per member here would AND them (key='A' AND key='B')
+        # and silently return zero rows.
+        slicer_groups: dict[tuple, list] = {}
+        slicer_order: list[tuple] = []
         for sl in req.slicers:
             pth = naming.parse(sl)
-            dim = cube.dimension(pth.dimension)
-            slicers.append((dim, dim.hierarchy(pth.hierarchy), [sl]))
+            key = (pth.dimension, pth.hierarchy)
+            if key not in slicer_groups:
+                slicer_groups[key] = []
+                slicer_order.append(key)
+            slicer_groups[key].append(sl)
+        slicers = []
+        for key in slicer_order:
+            dim = cube.dimension(key[0])
+            slicers.append((dim, dim.hierarchy(key[1]),
+                            slicer_groups[key]))
 
         from .session import load_table
         fact = cube.fact(self.spark, self.sf_dir)
@@ -915,9 +931,17 @@ class CubeQueryEngine:
             if req.max_rows < 1:
                 raise QueryValidationError(
                     f"MAXROWS must be >= 1: {req.max_rows}")
-            w = SqlWindow.orderBy(*[F.col(c) for c in fact_cols[:2]])
-            out = (out.withColumn("_rn", F.row_number().over(w))
-                   .filter(F.col("_rn") <= req.max_rows).drop("_rn"))
+            # Deterministic bound: total order over ALL fact columns
+            # (the first two alone are not a key — lineitem repeats
+            # (l_orderkey, l_partkey); ties there made the cut
+            # partition/retry-dependent).  Ties under the full order
+            # are identical rows, so WHICH survive is immaterial.
+            # orderBy().limit() compiles to TakeOrderedAndProject —
+            # per-partition top-n then a single merge of n-row heaps —
+            # unlike a row_number window, which funnels the entire
+            # filtered scan through one partition.
+            out = out.orderBy(*[F.col(c) for c in fact_cols]) \
+                     .limit(req.max_rows)
         return out
 
     # ---- main lowering -----------------------------------------------------
@@ -1004,9 +1028,41 @@ class CubeQueryEngine:
                     raise QueryValidationError(
                         f"set-aggregate members must share one "
                         f"[Dim].[Hier], got {sorted(dh)}")
-                dim = cube.dimension(parsed[0].dimension)
-                hier = dim.hierarchy(parsed[0].hierarchy)
-                base = cube.measure(r[2])
+                # The set is realized as ONE OR-predicate conditional
+                # aggregate, which counts a fact row once even when
+                # members overlap — whereas SSAS SUM over a set sums
+                # per-member values and double-counts.  The two agree
+                # only for sets disjoint by construction: distinct
+                # members, all at the same depth (an ancestor contains
+                # its descendants' rows).  Reject anything else rather
+                # than silently diverge from the SSAS contract.
+                mkeys = [tuple(p.keys) for p in parsed]
+                if len(set(mkeys)) != len(mkeys):
+                    dup = sorted({k for k in mkeys
+                                  if mkeys.count(k) > 1})
+                    raise QueryValidationError(
+                        f"set-aggregate members must be distinct "
+                        f"(duplicate keys {dup} would double-count "
+                        f"in SSAS but not here)")
+                if len({p.depth for p in parsed}) != 1:
+                    raise QueryValidationError(
+                        "set-aggregate members must share one depth "
+                        "(an ancestor overlaps its descendants, and "
+                        "overlapping members double-count in SSAS "
+                        "but not here)")
+                try:
+                    dim = cube.dimension(parsed[0].dimension)
+                    hier = dim.hierarchy(parsed[0].hierarchy)
+                except KeyError as e:
+                    raise QueryValidationError(
+                        f"unknown dimension/hierarchy in set-"
+                        f"aggregate: {e.args[0]!r}") from e
+                try:
+                    base = cube.measure(r[2])
+                except KeyError as e:
+                    raise QueryValidationError(
+                        f"unknown measure in set-aggregate: "
+                        f"{e.args[0]!r}") from e
                 if r[3] and base.aggregator.upper() not in ("SUM",
                                                             "COUNT"):
                     raise QueryValidationError(

@@ -958,6 +958,40 @@ def test_setagg_validation_errors(spark, sf_dir):
             "[D Tiempo].[Calendario].[Año].MEMBERS ON ROWS "
             "FROM [sales]", "VENTAS_2025"))
 
+    G = "[Dim Customer].[Geografía]"
+    tail = (", [Measures].[Sum Quantity]) "
+            "SELECT { [Measures].[Bad] } ON COLUMNS, "
+            "[D Tiempo].[Calendario].[Año].MEMBERS ON ROWS "
+            "FROM [sales]")
+    # duplicate members: the OR-predicate realization counts a fact
+    # row once, SSAS SUM over the set would double-count — rejected
+    with pytest.raises(QueryValidationError, match="distinct"):
+        eng.execute(parse_mdx(
+            "WITH MEMBER [Measures].[Bad] AS "
+            f"SUM({{ {G}.[Region].&[1], {G}.[Region].&[1] }}"
+            + tail, "VENTAS_2025"))
+    # ancestor + descendant (mixed depth) overlap the same way
+    with pytest.raises(QueryValidationError, match="depth"):
+        eng.execute(parse_mdx(
+            "WITH MEMBER [Measures].[Bad] AS "
+            f"SUM({{ {G}.[Region].&[1], {G}.[Nation].&[1].&[5] }}"
+            + tail, "VENTAS_2025"))
+    # unknown measure/dimension inside the set-aggregate surface as
+    # QueryValidationError like every other MDX typo, not bare KeyError
+    with pytest.raises(QueryValidationError, match="unknown measure"):
+        eng.execute(parse_mdx(
+            "WITH MEMBER [Measures].[Bad] AS "
+            f"SUM({{ {G}.[Region].&[1] }}, [Measures].[No Such]) "
+            "SELECT { [Measures].[Bad] } ON COLUMNS, "
+            "[D Tiempo].[Calendario].[Año].MEMBERS ON ROWS "
+            "FROM [sales]", "VENTAS_2025"))
+    with pytest.raises(QueryValidationError,
+                       match="unknown dimension"):
+        eng.execute(parse_mdx(
+            "WITH MEMBER [Measures].[Bad] AS "
+            "SUM({ [No Dim].[X].[Y].&[1] }"
+            + tail, "VENTAS_2025"))
+
 
 def test_toppercent_parse_and_negatives():
     from olap_xtrctr_spark.mdx import MdxParseError, build_mdx, parse_mdx
@@ -1054,6 +1088,43 @@ def test_set_operators_parse_algebra_and_roundtrip():
         f"EXCEPT({{ {R}.&[0], {R}.&[1] }}, {{ {R}.&[1] }}) "
         "ON ROWS FROM [sales]", "VENTAS_2025")
     assert req.rows[0].members == [f"{R}.&[0]"]
+
+
+def test_set_operators_case_insensitive_membership():
+    """Set algebra compares PARSED member identity: [Dim].[Hier].[Level]
+    segments case-insensitively (matching the operand hierarchy check),
+    &[key] values exactly.  Raw-string sets let UNION duplicate a
+    member spelled in different case and EXCEPT miss one."""
+    from olap_xtrctr_spark.mdx import build_mdx, parse_mdx
+
+    R = "[Dim Customer].[Geografía].[Region]"
+    RLO = "[dim customer].[geografía].[region]"
+    req = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        f"UNION({{ {R}.&[0], {R}.&[1] }}, {{ {RLO}.&[1], {RLO}.&[2] }})"
+        " ON ROWS FROM [sales]", "VENTAS_2025")
+    # &[1] dedups across spellings; first operand's spelling wins
+    assert req.rows[0].members == [f"{R}.&[0]", f"{R}.&[1]",
+                                   f"{RLO}.&[2]"]
+
+    req = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        f"EXCEPT({{ {R}.&[0], {R}.&[1] }}, {{ {RLO}.&[1] }}) "
+        "ON ROWS FROM [sales]", "VENTAS_2025")
+    assert req.rows[0].members == [f"{R}.&[0]"]
+
+    req = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        f"INTERSECT({{ {R}.&[1] }}, {{ {RLO}.&[1] }}) "
+        "ON ROWS FROM [sales]", "VENTAS_2025")
+    assert req.rows[0].members == [f"{R}.&[1]"]
+
+    # key values stay case-SENSITIVE (they are data values)
+    E = "[Dim Orders].[Estado].[Estado]"
+    with pytest.raises(MdxParseError, match="empty"):
+        parse_mdx("SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+                  f"INTERSECT({{ {E}.&[F] }}, {{ {E}.&[f] }}) "
+                  "ON ROWS FROM [sales]", "VENTAS_2025")
 
 
 def test_set_operators_negatives():
@@ -1206,3 +1277,37 @@ def test_drillthrough_parse_execute_and_negatives(spark, sf_dir):
     with pytest.raises(MdxParseError):
         parse_mdx("DRILLTHROUGH MAXROWS 0 SELECT { [Measures].[X] } "
                   "ON COLUMNS FROM [sales]", "VENTAS_2025")
+
+
+def test_drillthrough_set_in_slicer_ors(spark, sf_dir):
+    """A WHERE set slicer ORs within its hierarchy in DRILLTHROUGH
+    exactly as in the aggregate path (parse_mdx flattens the set into
+    individual slicer strings; ANDing them returns zero rows for any
+    1:1 attribute).  Cross-hierarchy slicers still AND."""
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    P = "[Dim Orders].[Prioridad].[Prioridad]"
+    head = ("DRILLTHROUGH SELECT { [Measures].[Sum Quantity] } "
+            "ON COLUMNS, { [Dim Customer].[Geografía].[Region].&[2] } "
+            "ON ROWS FROM [sales] WHERE ")
+
+    def n(where):
+        return eng.execute(parse_mdx(head + where, "VENTAS_2025")).count()
+
+    both = n(f"({{ {P}.&[1-URGENT], {P}.&[2-HIGH] }})")
+    urgent = n(f"({P}.&[1-URGENT])")
+    high = n(f"({P}.&[2-HIGH])")
+    assert urgent > 0 and high > 0
+    assert both == urgent + high  # priorities partition the fact rows
+
+    # agrees with the aggregate path's COUNT cell for the same WHERE
+    cell = eng.execute(parse_mdx(
+        "SELECT { [Measures].[Total Registros] } ON COLUMNS, "
+        "{ [Dim Customer].[Geografía].[Region].&[2] } ON ROWS "
+        f"FROM [sales] WHERE ({{ {P}.&[1-URGENT], {P}.&[2-HIGH] }})",
+        "VENTAS_2025")).first()["total_registros"]
+    assert both == cell
+
+    # AND across hierarchies is preserved
+    mixed = n(f"({P}.&[1-URGENT], "
+              "[Dim Orders].[Estado].[Estado].&[F])")
+    assert 0 < mixed < urgent
