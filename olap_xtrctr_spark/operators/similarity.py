@@ -321,6 +321,83 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
                 .select("id_a", "id_b", "cosine"))
 
 
+def lsh_near_dup_pairs_md5(emb: DataFrame, threshold: float = 0.45,
+                           n_tables: int = 16, bits_per_table: int = 4,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           quant_scale: int = 1000) -> DataFrame:
+    """ORACLE-EXACT random-hyperplane LSH near-dup pairs (round 10):
+    the same multi-table bucket/verify pipeline as
+    :func:`lsh_near_dup_pairs`, rebuilt on the md5-derived-integer
+    discipline (``dedup.minhash_lsh_pairs_md5`` /
+    ``simhash_near_pairs_md5``) so every stage — hyperplanes, signature
+    bits, buckets, candidate set — is bit-reproducible by an external
+    SQL engine and the entry carries a FULL value oracle.
+
+    Exactness design:
+
+    * hyperplane coefficients are ±1 from the first md5 nibble of
+      ``lshplane:<table>:<bit>:<dim>`` (sign test of a Rademacher
+      projection — the standard binary-code LSH family, same collision
+      physics as Gaussian planes);
+    * vectors are frozen to integers first
+      (``CAST(floor(x*1e3 + 0.5) AS BIGINT)``), so every projection is
+      an INTEGER dot product — order-independent, no float summation
+      for engines to disagree on;
+    * only the final verification cosine is floating point, computed
+      on the ORIGINAL vectors with the same sequential fold the
+      oracle-green exact entries use, rounded to 4 decimals on both
+      sides before the threshold.
+
+    The seeded-float variant stays the fast path (bucket bits come
+    from one vectorized Arrow batch instead of an n×dim×bits shuffle);
+    this is the audit/driver-gate twin.  Scale shape is unchanged:
+    candidates only inside a (table, bucket) cell, dedup before the
+    verify join, never n²."""
+    import hashlib
+
+    spark = emb.sparkSession
+    dim = emb.select(F.size(vec_col).alias("d")).first()["d"]
+    rows = []
+    for t in range(n_tables):
+        for b in range(bits_per_table):
+            for i in range(dim):
+                nib = int(hashlib.md5(
+                    f"lshplane:{t}:{b}:{i}".encode()).hexdigest()[0], 16)
+                rows.append((t, b, i, 1 if nib >= 8 else -1))
+    planes = spark.createDataFrame(rows, "t int, b int, i int, c long")
+
+    q = emb.select(
+        F.col(id_col),
+        F.posexplode(F.expr(
+            f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * {quant_scale} + 0.5) AS BIGINT))")).alias("i", "qv"))
+    dots = (q.join(F.broadcast(planes), "i")
+             .groupBy(id_col, "t", "b")
+             .agg(F.sum(F.col("c") * F.col("qv")).alias("d")))
+    buckets = (dots.groupBy(id_col, "t")
+               .agg(F.sum(F.when(F.col("d") >= 0,
+                                 F.expr("CAST(power(2, b) AS BIGINT)"))
+                          .otherwise(F.lit(0).cast("long")))
+                    .alias("bucket")))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (a.join(b, (F.col("a.t") == F.col("b.t"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    va = emb.select(F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("id_b"),
+                    F.col(vec_col).alias("_vb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cosine",
+                        F.round(_cosine(F.col("_va"), F.col("_vb")), 4))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
 def hybrid_search(docs: DataFrame, emb: DataFrame, query_terms: list[str],
                   query_vec: list[float] | None = None, k: int = 10,
                   text_col: str = "text", doc_id_col: str = "doc_id",

@@ -135,6 +135,7 @@ def build_workload() -> dict[str, QuerySpec]:
     docs_segments.register_r8(add)
     cube.register_r9(add)         # round-9 additions append after r8
     wave9.register(add)
+    similarity.similarity_textpairs.register_r10(add)  # round-10 tail
 
     # Order per the gate-window manifest (see _GATE_FRONT above).
     missing = [n for n in _GATE_FRONT if n not in q]

@@ -671,3 +671,60 @@ def register_r8(add) -> None:
         SELECT d.doc_id, d.lang, d.source
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         WHERE c.doc_id IS NULL OR d.doc_id = c.cluster""")
+
+
+def register_r10(add) -> None:
+    from ..operators import similarity as S
+
+    # ORACLE-EXACT embedding LSH near-dup (round 10, VERDICT r9 task
+    # 6): the last rows-only near-dup family member gets a full-oracle
+    # md5 twin like the minhash/simhash ones.  ±1 hyperplanes from md5
+    # nibbles, integer-frozen projections (no float sums until the
+    # final verify cosine, which both engines round to 4 decimals
+    # before the threshold) — the SQL mirrors every stage, so result
+    # sets match bit-for-bit.
+    add("emb_lsh_near_dup_pairs_exact",
+        lambda spark, sf: S.lsh_near_dup_pairs_md5(
+            _emb(spark, sf), threshold=0.45, n_tables=16,
+            bits_per_table=4),
+        r"""WITH qv AS (
+          SELECT vec_id, embedding,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1e3 + 5e-1)
+                        AS BIGINT)) AS q
+          FROM embeddings),
+        planes AS (
+          SELECT t.t, b.b, i.i,
+                 CASE WHEN TRY_CAST(concat('0x', substr(md5(concat(
+                        'lshplane:', t.t, ':', b.b, ':', i.i)), 1, 1))
+                      AS INTEGER) >= 8 THEN 1 ELSE -1 END AS c
+          FROM range(16) t(t), range(4) b(b), range(64) i(i)),
+        dots AS (
+          SELECT v.vec_id, p.t, p.b,
+                 CAST(SUM(p.c * v.q[p.i + 1]) AS BIGINT) AS d
+          FROM qv v, planes p GROUP BY 1, 2, 3),
+        buckets AS (
+          SELECT vec_id, t,
+                 CAST(SUM(CASE WHEN d >= 0 THEN power(2, b)::BIGINT
+                          ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM buckets a JOIN buckets b
+            ON a.t = b.t AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cosine FROM (
+          SELECT c.id_a, c.id_b,
+                 ROUND(
+                   list_sum(list_transform(
+                     list_zip(a.embedding, b.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                   4) AS cosine
+          FROM cand c
+          JOIN embeddings a ON a.vec_id = c.id_a
+          JOIN embeddings b ON b.vec_id = c.id_b)
+        WHERE cosine >= 0.45""")

@@ -217,6 +217,22 @@ def test_lsh_near_dup_pairs_recall_and_precision(emb, planted_embedding_pairs):
     assert all(r.cosine >= 0.45 for r in got)
 
 
+def test_lsh_near_dup_md5_twin_recall_and_precision(
+        emb, planted_embedding_pairs):
+    """The oracle-exact md5 twin holds the same quality contract as the
+    fast path at the loose-threshold setting: planted pairs recovered
+    above the floor, every reported pair above the verify threshold
+    (precision 1.0 — candidates are exact-verified)."""
+    got = S.lsh_near_dup_pairs_md5(emb, threshold=0.45, n_tables=16,
+                                   bits_per_table=4).collect()
+    found = {(r.id_a, r.id_b) for r in got}
+    truth = set(planted_embedding_pairs)
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.85, \
+        f"md5-LSH near-dup recall collapsed: {recall:.2f}"
+    assert all(r.cosine >= 0.45 for r in got)
+
+
 def test_hybrid_search_modes_agree(emb, docs):
     """query_id (lazy, in-plan) and query_vec (literal) must score
     identically; empty terms mean pure vector search, not a crash."""
