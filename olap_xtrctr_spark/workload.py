@@ -35,81 +35,74 @@ from .workloads import (cube, curation, docs_segments,  # noqa: F401
 # from earlier rounds; WORKLOAD.md documents which round graded what.
 _GATE_WINDOW = 50
 _GATE_FRONT = [
-    # ---- Round-9 rotation (VERDICT r8 task 2) ----------------------
-    # (a) the 2 r8-RED rows, re-graded after the libm-free fixedlog
-    #     oracle rewrite;
-    "docs_ngram_lm_score",            # RED r7+r8 -> fixed-op ladder
-    "docs_ccnet_buckets",             # RED r8 (same LM scores)
-    # (b) every entry whose ORACLE changed this round (ladder rewrite
-    #     / schema change) — green r8 rows are stale for them;
-    "docs_dsir_weights",
-    "docs_dsir_top_docs",
-    "docs_dsir_gumbel_sample",
-    "docs_bm25_topk",
-    "docs_token_pmi_top",
-    "docs_temperature_mix_rates",     # also r4-stale; mix_rate_ppm now
-    # (c) never-graded full-oracle entries: r8 leftovers (bottom-k
-    #     quantile family got the deterministic tiebreak this round,
-    #     so their oracles changed too) + the round-9 additions;
-    "cube_declining_months",
-    "cube_month_vs_last_year",
-    "events_bottomk_value_quantiles",
-    "events_sliding_value_quantiles",
-    "events_stream_bottomk_quantiles",
-    "docs_stream_span_dedup_bucketed",   # NEW r9 (bucketed span stream)
-    "cube_named_set_sum_member",         # NEW r9 (SUM over named set)
-    "cube_aggregate_set_member",         # NEW r9 (AGGREGATE over set)
-    "cube_toppercent_nations",           # NEW r9 (cumulative cut)
-    "cube_bottompercent_nations",        # NEW r9
-    "cube_topsum_months",                # NEW r9 (absolute threshold)
-    # (d) the 5 r3-displaced entries (workload.py r8 note: rotate
-    #     these back FIRST);
-    "events_value_percentiles",
-    "events_retention_cohorts",
-    "events_type_user_distinct",
-    "events_top_hours_per_type",
-    "events_user_activity",
-    # (c2) round-9 wave 2: the DistinctCount measure (which also
-    #     changed cube_all_measures_global's schema — re-grade) and
-    #     the UNION/EXCEPT/INTERSECT set operators;
-    "cube_distinct_orders_by_region",    # NEW r9 (SSAS DistinctCount)
-    "cube_set_except_regions",           # NEW r9 (set operators)
-    "cube_set_union_intersect_regions",  # NEW r9 (nested set algebra)
-    "cube_all_measures_global",          # schema changed (+distinct_orders)
-    "cube_slicer_set",                   # NEW r9 (SET in WHERE slicer)
-    "cube_calc_over_calc",               # NEW r9 (dependency-ordered calcs)
-    "docs_char_entropy",                 # NEW r9 (fixedlog entropy)
-    "events_hll_md5_users_by_type",      # NEW r9 (oracle-exact HLL)
-    "events_stream_hll_md5_users",       # NEW r9 (streaming HLL fold)
-    "cube_drillthrough_region",          # NEW r9 (DRILLTHROUGH)
-    # (e) the 16 oldest r4-latest FULL-ORACLE entries in build order
-    #     (rows-only r4 entries stay behind the window — the driver's
-    #     weaker check adds nothing, r8 lesson; the remaining 14 r4
-    #     full-oracle entries rotate in round 10:
-    #     events_asof_click_attribution,
-    #     events_value_range_tiers, events_props_topk,
-    #     events_stream_enriched_tiers, docs_chunk_overlap,
-    #     docs_boilerplate_ngrams, docs_boilerplate_filter,
-    #     docs_edit_distance_pairs, docs_prepare_chunks,
-    #     events_stream_session_tracker, events_rollup_incremental,
-    #     events_props_variant_stats, events_user_deciles,
-    #     events_type_trigrams).
-    "members_fulltext_stemmed",
-    "docs_token_count_bpe",
-    "docs_repetition_stats",
-    "docs_repetition_filter",
-    "docs_pack_sequences_sharded",
-    "docs_token_familiarity",
-    "docs_contract_check",
-    "docs_sample_k_per_group",
-    "docs_vocab_coverage",
-    "docs_length_histogram",
-    "emb_semantic_dedup_clusters",
-    "events_stream_hourly",
-    "events_sessionize",
-    "events_funnel_conversion",
-    "events_stream_dedup_bounded",
-    "events_stream_click_purchase_join",
+    # ---- Round-10 rotation (VERDICT r9 tasks 1+3+6) ----------------
+    # (a) the 2 rows red since r7/r8, re-graded after the output-type
+    #     fix (HUGEINT -> BIGINT casts; the r9 judge's root cause):
+    "docs_ngram_lm_score",
+    "docs_ccnet_buckets",
+    # (b) entries whose ENGINE path changed this round (drillthrough
+    #     slicer grouping + MAXROWS rank, mdx set algebra, setagg
+    #     validation) — gate-window discipline: changed paths re-enter
+    #     the same round even when results should be identical;
+    "cube_drillthrough_region",
+    "cube_named_set_sum_member",
+    "cube_aggregate_set_member",
+    "cube_set_except_regions",
+    "cube_set_union_intersect_regions",
+    # (c) NEW round-10 full-oracle entry (md5-exact LSH near-dup twin,
+    #     VERDICT r9 task 6);
+    "emb_lsh_near_dup_pairs_exact",
+    # (d) the 3 never-graded entries (VERDICT r9 task 3 — the driver
+    #     must finally record rows for them, rows-only or not);
+    "docs_bpe_train",
+    "docs_bpe_token_count",
+    "emb_cross_split_leakage_lsh",
+    # (e) ALL 22 entries whose latest driver row is round 4 (14
+    #     full-oracle + 8 rows-only; VERDICT r9 task 3's done-bar is
+    #     "oldest remaining row is r5", which needs the rows-only ones
+    #     too — their differential gates make the row meaningful);
+    "docs_boilerplate_filter",
+    "docs_boilerplate_ngrams",
+    "docs_chunk_overlap",
+    "docs_compression_ratio",
+    "docs_edit_distance_pairs",
+    "docs_minhash_dedup_corpus",
+    "docs_minhash_lsh_pairs",
+    "docs_prepare_chunks",
+    "docs_simhash_pairs",
+    "emb_ivf_topk",
+    "emb_lsh_topk",
+    "events_asof_click_attribution",
+    "events_hll_users_by_type",
+    "events_props_topk",
+    "events_props_variant_stats",
+    "events_rollup_incremental",
+    "events_stream_enriched_tiers",
+    "events_stream_session_tracker",
+    "events_type_trigrams",
+    "events_user_deciles",
+    "events_value_quantiles_approx",
+    "events_value_range_tiers",
+    # (f) the 17 oldest remaining (r5-latest) FULL-ORACLE entries in
+    #     build order — keeps the whole-inventory staleness bound
+    #     moving (after this round the oldest row is r5's tail);
+    "cube_nation_sales",
+    "cube_region_priority_crossjoin",
+    "cube_member_literal_rows",
+    "cube_slicer_where_tuple",
+    "cube_time_rollup",
+    "cube_variables_pivot",
+    "cube_empty_preserving_axis",
+    "cube_dimension_properties",
+    "cube_mdx_named_properties",
+    "cube_supplier_nation",
+    "events_grouping_sets",
+    "cube_nation_share_of_region",
+    "docs_sql_function_stats",
+    "docs_cross_source_dup",
+    "docs_lexical_diversity",
+    "docs_source_tv_distance",
+    "docs_distinctive_terms",
 ]
 
 
