@@ -251,6 +251,14 @@ PROBE_QUERIES = [
     "docs_temperature_mix_rates",
     "docs_char_entropy",
     "events_hll_md5_users_by_type",
+    # round-10: DRILLTHROUGH must stay a filter+limit over the fact
+    # scan (no axis materialization, no groupBy); calc-over-calc adds
+    # only post-agg projections over the same single-scan plan; the
+    # md5 LSH twin's n x dim x bits explode must stay linear (embeddings
+    # stay as-is in the replicator — shape check, not corpus growth)
+    "cube_drillthrough_region",
+    "cube_calc_over_calc",
+    "emb_lsh_near_dup_pairs_exact",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
