@@ -676,6 +676,66 @@ def contamination_check(train: DataFrame, test: DataFrame,
                  .cast("bigint").alias("n_contaminated")))
 
 
+def contamination_attribution(train: DataFrame, test: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 3,
+                              min_shared: int = 1) -> DataFrame:
+    """WHICH train document contaminated WHICH eval document — the
+    attribution step :func:`contamination_check` (eval-side counts
+    only) cannot answer, and the one actual removal needs: to
+    decontaminate you drop TRAIN docs, so you must know the train-side
+    ids behind each eval hit (the GPT-3 appendix-C / PaLM
+    decontamination workflow).
+
+    Returns (train_id, test_id, shared_ngrams) for pairs sharing at
+    least ``min_shared`` DISTINCT n-grams — exact integers, fully
+    oracle-checkable.
+
+    Scale shape: both sides collapse to distinct per-doc shingle sets
+    first; the eval side is tiny next to train by construction, so the
+    gram equi-join broadcasts eval postings against the partitioned
+    train postings and the pair count is one map-side-combinable
+    groupBy — cost is the posting-list intersection, never
+    train x eval text."""
+    tr = shingle_docs(train, text_col, id_col, n) \
+        .withColumnRenamed(id_col, "train_id")
+    te = shingle_docs(test, text_col, id_col, n) \
+        .withColumnRenamed(id_col, "test_id")
+    return (tr.join(F.broadcast(te), "shingle")
+              .groupBy("train_id", "test_id")
+              .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+              .filter(F.col("shared_ngrams") >= min_shared))
+
+
+def decontaminate_corpus(train: DataFrame, test: DataFrame,
+                         text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 3,
+                         max_shared: int = 0,
+                         keep_cols: tuple = ("lang", "source"),
+                         ) -> DataFrame:
+    """The removal rule itself: drop every TRAIN document sharing MORE
+    than ``max_shared`` distinct n-grams with ANY single eval document
+    (``max_shared=0`` is the strict verbatim-overlap rule; raising it
+    tolerates incidental common phrases), return the surviving train
+    corpus.
+
+    Output: (id, *keep_cols) for survivors — the same
+    surviving-corpus shape as :func:`keep_canonical`, so the result
+    drops into the corpus-prep pipeline unchanged.
+
+    Scale shape: one :func:`contamination_attribution` pass (eval
+    postings broadcast), the offender id set is its pair output
+    aggregated per train doc — bounded by contaminated-doc count, not
+    corpus size — and the removal is a left-anti join, the same
+    no-NOT-IN-scan shape the exact-dedup family uses."""
+    offenders = (contamination_attribution(
+                     train, test, text_col, id_col, n,
+                     min_shared=max_shared + 1)
+                 .select(F.col("train_id").alias(id_col)).distinct())
+    return (train.join(offenders, id_col, "left_anti")
+                 .select(id_col, *keep_cols))
+
+
 def cross_split_leakage(emb: DataFrame, weights: dict[str, float],
                         threshold: float = 0.995,
                         id_col: str = "vec_id",

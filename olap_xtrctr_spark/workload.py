@@ -49,9 +49,16 @@ _GATE_FRONT = [
     "cube_aggregate_set_member",
     "cube_set_except_regions",
     "cube_set_union_intersect_regions",
-    # (c) NEW round-10 full-oracle entry (md5-exact LSH near-dup twin,
-    #     VERDICT r9 task 6);
+    # (c) NEW round-10 full-oracle entries (md5-exact LSH near-dup
+    #     twin per VERDICT r9 task 6; decontamination attribution +
+    #     removal completing the contamination family) — graded the
+    #     round they land, displacing cube_member_literal_rows /
+    #     cube_mdx_named_properties from the r5 block (their code
+    #     paths re-grade via cube_dimension_properties and every
+    #     member-literal cube entry this round);
     "emb_lsh_near_dup_pairs_exact",
+    "docs_contamination_attribution",
+    "docs_decontaminated_corpus",
     # (d) the 3 never-graded entries (VERDICT r9 task 3 — the driver
     #     must finally record rows for them, rows-only or not);
     "docs_bpe_train",
@@ -88,13 +95,11 @@ _GATE_FRONT = [
     #     moving (after this round the oldest row is r5's tail);
     "cube_nation_sales",
     "cube_region_priority_crossjoin",
-    "cube_member_literal_rows",
     "cube_slicer_where_tuple",
     "cube_time_rollup",
     "cube_variables_pivot",
     "cube_empty_preserving_axis",
     "cube_dimension_properties",
-    "cube_mdx_named_properties",
     "cube_supplier_nation",
     "events_grouping_sets",
     "cube_nation_share_of_region",

@@ -728,3 +728,50 @@ def register_r10(add) -> None:
           JOIN embeddings a ON a.vec_id = c.id_a
           JOIN embeddings b ON b.vec_id = c.id_b)
         WHERE cosine >= 0.45""")
+
+    from ..operators import dedup as D
+
+    # Decontamination ATTRIBUTION + REMOVAL (round 10): the existing
+    # docs_contamination_check reports eval-side counts; these two
+    # complete the GPT-3 appendix-C workflow — which TRAIN doc hit
+    # which eval doc, and the decontaminated train corpus after the
+    # drop rule.  Split convention: source 'src0' is the held-out
+    # eval slice (the same reference_cond the LM-scoring family uses).
+    _SH = r"""toks AS (
+          SELECT doc_id, source,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, source,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          FROM toks)"""
+
+    add("docs_contamination_attribution",
+        lambda spark, sf: D.contamination_attribution(
+            _docs(spark, sf).filter(F.col("source") != "src0"),
+            _docs(spark, sf).filter(F.col("source") == "src0"),
+            n=3, min_shared=3),
+        f"""WITH {_SH}
+        SELECT a.doc_id AS train_id, b.doc_id AS test_id,
+               COUNT(*) AS shared_ngrams
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+        WHERE a.source <> 'src0' AND b.source = 'src0'
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3""")
+
+    add("docs_decontaminated_corpus",
+        lambda spark, sf: D.decontaminate_corpus(
+            _docs(spark, sf).filter(F.col("source") != "src0"),
+            _docs(spark, sf).filter(F.col("source") == "src0"),
+            n=3, max_shared=2),
+        f"""WITH {_SH},
+        off AS (
+          SELECT DISTINCT train_id FROM (
+            SELECT a.doc_id AS train_id
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+            WHERE a.source <> 'src0' AND b.source = 'src0'
+            GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 3))
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d LEFT JOIN off ON d.doc_id = off.train_id
+        WHERE d.source <> 'src0' AND off.train_id IS NULL""")

@@ -259,6 +259,12 @@ PROBE_QUERIES = [
     "cube_drillthrough_region",
     "cube_calc_over_calc",
     "emb_lsh_near_dup_pairs_exact",
+    # decontamination: replica flood deepens each shingle's posting
+    # list ~FACTOR on BOTH sides (src0 replicates too), so the
+    # attribution pair count grows ~FACTOR^2 inside dup groups — the
+    # documented posting shape; the removal stays one left-anti join
+    "docs_contamination_attribution",
+    "docs_decontaminated_corpus",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key

@@ -573,6 +573,43 @@ def test_contamination_check_full_and_zero_overlap(spark):
     assert out[11]["n_contaminated"] == 0 and out[11]["n_shingles"] > 0
 
 
+def test_contamination_attribution_and_decontaminate(spark):
+    """Attribution reports (train, eval, shared-distinct-grams) pairs at
+    the min_shared boundary; the removal rule drops exactly the
+    offenders and keeps everything else."""
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+         (2, "a completely unrelated training document here", "en", "s1"),
+         # shares exactly ONE distinct 3-gram with eval doc 10
+         (3, "zz yy the quick brown xx ww vv uu", "en", "s2")],
+        "doc_id long, text string, lang string, source string")
+    test = spark.createDataFrame(
+        [(10, "the quick brown fox jumps", "en", "src0")],
+        "doc_id long, text string, lang string, source string")
+
+    pairs = {(r["train_id"], r["test_id"]): r["shared_ngrams"]
+             for r in D.contamination_attribution(
+                 train, test, n=3, min_shared=1).collect()}
+    # eval doc 10 has 3 distinct 3-grams, all inside train doc 1
+    assert pairs[(1, 10)] == 3
+    assert pairs[(3, 10)] == 1
+    assert (2, 10) not in pairs
+    # min_shared boundary: raising it to 2 drops the single-gram pair
+    pairs2 = {(r["train_id"], r["test_id"])
+              for r in D.contamination_attribution(
+                  train, test, n=3, min_shared=2).collect()}
+    assert pairs2 == {(1, 10)}
+
+    # strict rule (max_shared=0) removes docs 1 and 3; tolerant
+    # (max_shared=1) keeps the single-gram offender
+    strict = {r["doc_id"] for r in
+              D.decontaminate_corpus(train, test, n=3).collect()}
+    assert strict == {2}
+    tolerant = {r["doc_id"] for r in D.decontaminate_corpus(
+        train, test, n=3, max_shared=1).collect()}
+    assert tolerant == {2, 3}
+
+
 def test_mix_corpus_budget_and_weights(spark):
     rows = [(i, "s0" if i < 40 else "s1", "tok " * 10) for i in range(80)]
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
