@@ -38,9 +38,11 @@ backend/actions_runner.py:220-249, frontend/src/utils/mdxBuilder.ts:4-40):
       — slicer tuple; a brace-wrapped element is a SET slicer whose
       members OR within their hierarchy (AND across hierarchies)
 
-    DRILLTHROUGH [MAXROWS n] SELECT ...
+    DRILLTHROUGH [MAXROWS n] SELECT ... [RETURN <col>, ...]
       — the underlying fact rows behind the selected cells (natural
-      fact columns; MAXROWS bounds deterministically)
+      fact columns; MAXROWS bounds deterministically; RETURN projects
+      a subset — [l_shipdate] fact columns or [Measures].[X] source
+      columns, the SSAS RETURN contract)
 
     WITH SET [Name] AS '{ <member>, ... }'
       — named set, expanded into its [Name] references before set
@@ -323,15 +325,30 @@ _SET_DEF = re.compile(
 def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
     flat = " ".join(mdx.split())
 
-    # DRILLTHROUGH [MAXROWS n] SELECT ... — strip the prefix, parse
-    # the inner SELECT normally, mark the request (engine returns the
-    # underlying fact rows instead of aggregates)
+    # DRILLTHROUGH [MAXROWS n] SELECT ... [RETURN c1, c2] — strip the
+    # prefix (and the trailing RETURN column list), parse the inner
+    # SELECT normally, mark the request (engine returns the underlying
+    # fact rows instead of aggregates)
     dt = re.match(r"DRILLTHROUGH\s+(?:MAXROWS\s+(\d+)\s+)?(?=SELECT\s)",
                   flat, re.IGNORECASE)
     if dt:
-        req = parse_mdx(flat[dt.end():], catalog)
+        body = flat[dt.end():]
+        # the RETURN list must run to end-of-statement with a strict
+        # column-list shape, so bracketed captions containing the word
+        # RETURN mid-query can never match
+        ret_cols = None
+        rm = re.search(
+            r"\s+RETURN\s+((?:\[[^\]]+\](?:\s*\.\s*\[[^\]]+\])?)"
+            r"(?:\s*,\s*\[[^\]]+\](?:\s*\.\s*\[[^\]]+\])?)*)\s*$",
+            body, re.IGNORECASE)
+        if rm:
+            ret_cols = [c.strip() for c in re.split(r",(?![^\[]*\])",
+                                                    rm.group(1))]
+            body = body[:rm.start()]
+        req = parse_mdx(body, catalog)
         req.drillthrough = True
         req.max_rows = int(dt.group(1)) if dt.group(1) else None
+        req.return_cols = ret_cols
         if req.max_rows is not None and req.max_rows < 1:
             raise MdxParseError(f"MAXROWS must be >= 1: {mdx!r}")
         return req
@@ -667,6 +684,8 @@ def build_mdx(req: QueryRequest, cube_name: str | None = None) -> str:
     parts.append(f"FROM [{cube_name or req.cube or req.catalog}]")
     if req.slicers:
         parts.append("WHERE (" + ", ".join(req.slicers) + ")")
+    if getattr(req, "return_cols", None):
+        parts.append("RETURN " + ", ".join(req.return_cols))
     return " ".join(parts)
 
 

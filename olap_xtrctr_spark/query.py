@@ -515,6 +515,7 @@ class QueryRequest:
     toppercent: Optional[TopPercentSpec] = None         # TOPPERCENT/TOPSUM
     drillthrough: bool = False                          # DRILLTHROUGH SELECT
     max_rows: Optional[int] = None                      # ... MAXROWS n
+    return_cols: Optional[list[str]] = None             # ... RETURN c1, c2
 
 
 @dataclass
@@ -926,21 +927,56 @@ class CubeQueryEngine:
             if paths:
                 joined = joined.filter(
                     self._paths_predicate(joined, paths))
-        out = joined.select(*fact_cols)
+        # RETURN clause (SSAS: project a subset of the underlying
+        # columns): fact column names in brackets, or [Measures].[X]
+        # resolving to the measure's SOURCE column (the SSAS
+        # drillthrough-RETURN contract — measures dissolve back into
+        # the raw column, so COUNT(*) measures have nothing to return).
+        out_cols = fact_cols
+        if req.return_cols:
+            resolved: list[str] = []
+            for rc in req.return_cols:
+                m = re.fullmatch(r"\[Measures\]\s*\.\s*\[([^\]]+)\]",
+                                 rc.strip(), re.IGNORECASE)
+                if m:
+                    try:
+                        meas = cube.measure(m.group(1))
+                    except KeyError as e:
+                        raise QueryValidationError(
+                            f"unknown measure in RETURN: "
+                            f"{e.args[0]!r}") from e
+                    if meas.source_col is None:
+                        raise QueryValidationError(
+                            f"RETURN [Measures].[{meas.name}]: a "
+                            f"COUNT(*) measure has no source column "
+                            f"to return")
+                    col = meas.source_col
+                else:
+                    col = rc.strip().strip("[]")
+                if col not in fact_cols:
+                    raise QueryValidationError(
+                        f"RETURN column {rc!r} is not a fact column "
+                        f"of {cube.fact_table!r} (have {fact_cols})")
+                if col not in resolved:   # dedup, first spelling wins
+                    resolved.append(col)
+            out_cols = resolved
+        out = joined.select(*out_cols)
         if req.max_rows is not None:
             if req.max_rows < 1:
                 raise QueryValidationError(
                     f"MAXROWS must be >= 1: {req.max_rows}")
-            # Deterministic bound: total order over ALL fact columns
+            # Deterministic bound: total order over ALL output columns
             # (the first two alone are not a key — lineitem repeats
             # (l_orderkey, l_partkey); ties there made the cut
             # partition/retry-dependent).  Ties under the full order
-            # are identical rows, so WHICH survive is immaterial.
-            # orderBy().limit() compiles to TakeOrderedAndProject —
-            # per-partition top-n then a single merge of n-row heaps —
-            # unlike a row_number window, which funnels the entire
-            # filtered scan through one partition.
-            out = out.orderBy(*[F.col(c) for c in fact_cols]) \
+            # are identical rows, so WHICH survive is immaterial —
+            # the output MULTISET is deterministic even under a
+            # RETURN projection.  orderBy().limit() compiles to
+            # TakeOrderedAndProject — per-partition top-n then a
+            # single merge of n-row heaps — unlike a row_number
+            # window, which funnels the entire filtered scan through
+            # one partition.
+            out = out.orderBy(*[F.col(c) for c in out_cols]) \
                      .limit(req.max_rows)
         return out
 

@@ -51,14 +51,16 @@ _GATE_FRONT = [
     "cube_set_union_intersect_regions",
     # (c) NEW round-10 full-oracle entries (md5-exact LSH near-dup
     #     twin per VERDICT r9 task 6; decontamination attribution +
-    #     removal completing the contamination family) — graded the
-    #     round they land, displacing cube_member_literal_rows /
-    #     cube_mdx_named_properties from the r5 block (their code
-    #     paths re-grade via cube_dimension_properties and every
-    #     member-literal cube entry this round);
+    #     removal completing the contamination family; DRILLTHROUGH
+    #     RETURN) — graded the round they land, displacing
+    #     cube_member_literal_rows / cube_mdx_named_properties /
+    #     cube_supplier_nation from the r5 block (their code paths
+    #     re-grade via cube_dimension_properties, every member-literal
+    #     cube entry, and cube_nation_sales this round);
     "emb_lsh_near_dup_pairs_exact",
     "docs_contamination_attribution",
     "docs_decontaminated_corpus",
+    "cube_drillthrough_return",
     # (d) the 3 never-graded entries (VERDICT r9 task 3 — the driver
     #     must finally record rows for them, rows-only or not);
     "docs_bpe_train",
@@ -100,7 +102,6 @@ _GATE_FRONT = [
     "cube_variables_pivot",
     "cube_empty_preserving_axis",
     "cube_dimension_properties",
-    "cube_supplier_nation",
     "events_grouping_sets",
     "cube_nation_share_of_region",
     "docs_sql_function_stats",
@@ -134,6 +135,7 @@ def build_workload() -> dict[str, QuerySpec]:
     cube.register_r9(add)         # round-9 additions append after r8
     wave9.register(add)
     similarity.similarity_textpairs.register_r10(add)  # round-10 tail
+    cube.register_r10(add)
 
     # Order per the gate-window manifest (see _GATE_FRONT above).
     missing = [n for n in _GATE_FRONT if n not in q]

@@ -830,3 +830,28 @@ def register_r9(add) -> None:
         SELECT l.*
         FROM lineitem l JOIN orders_wide ON l.l_orderkey = o_orderkey
         WHERE cust_region_key = 2 AND order_estado = 'F'""")
+
+
+def register_r10(add) -> None:
+    # DRILLTHROUGH RETURN + MAXROWS (round 10): projected drillthrough
+    # with a deterministic bound — the engine orders by ALL output
+    # columns before the limit (TakeOrderedAndProject), so the output
+    # MULTISET is engine- and retry-independent even though ties at
+    # the cut are interchangeable identical rows; the oracle applies
+    # the same total order + LIMIT.  [Measures].[Sum Quantity]
+    # resolves to its source column l_quantity (the SSAS RETURN
+    # contract).
+    add("cube_drillthrough_return",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "DRILLTHROUGH MAXROWS 100 SELECT "
+            "{ [Measures].[Sum Quantity] } ON COLUMNS, "
+            "{ [Dim Customer].[Geografía].[Region].&[2] } ON ROWS "
+            "FROM [sales] "
+            "WHERE ([Dim Orders].[Estado].[Estado].&[F]) "
+            "RETURN [Measures].[Sum Quantity], [l_shipdate], "
+            "[l_orderkey]", CATALOG)),
+        f"""WITH {_OW}
+        SELECT l_quantity, l_shipdate, l_orderkey
+        FROM lineitem l JOIN orders_wide ON l.l_orderkey = o_orderkey
+        WHERE cust_region_key = 2 AND order_estado = 'F'
+        ORDER BY l_quantity, l_shipdate, l_orderkey LIMIT 100""")

@@ -1279,6 +1279,45 @@ def test_drillthrough_parse_execute_and_negatives(spark, sf_dir):
                   "ON COLUMNS FROM [sales]", "VENTAS_2025")
 
 
+def test_drillthrough_return_clause(spark, sf_dir):
+    """RETURN projects a subset of the natural fact columns:
+    [Measures].[X] resolves to the measure's SOURCE column, bracketed
+    names are fact columns; duplicates dedup; unknowns and COUNT(*)
+    measures are clear errors; parse -> build -> parse round-trips."""
+    from olap_xtrctr_spark.mdx import build_mdx
+    from olap_xtrctr_spark.query import QueryValidationError
+
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    head = ("DRILLTHROUGH MAXROWS 5 SELECT "
+            "{ [Measures].[Sum Quantity] } ON COLUMNS, "
+            "{ [Dim Customer].[Geografía].[Region].&[2] } ON ROWS "
+            "FROM [sales]")
+    req = parse_mdx(head + " RETURN [Measures].[Sum Quantity], "
+                    "[l_shipdate], [l_quantity]", "VENTAS_2025")
+    assert req.return_cols == ["[Measures].[Sum Quantity]",
+                               "[l_shipdate]", "[l_quantity]"]
+    assert parse_mdx(build_mdx(req), "VENTAS_2025") == req
+    df = eng.execute(req)
+    # Sum Quantity's source column is l_quantity — dedup keeps one
+    assert df.columns == ["l_quantity", "l_shipdate"]
+    rows = df.collect()
+    assert len(rows) == 5
+    # deterministic multiset across runs
+    assert sorted(map(tuple, rows)) == \
+        sorted(map(tuple, eng.execute(req).collect()))
+
+    with pytest.raises(QueryValidationError, match="not a fact column"):
+        eng.execute(parse_mdx(head + " RETURN [no_such_col]",
+                              "VENTAS_2025"))
+    with pytest.raises(QueryValidationError, match="unknown measure"):
+        eng.execute(parse_mdx(head + " RETURN [Measures].[No Such]",
+                              "VENTAS_2025"))
+    with pytest.raises(QueryValidationError, match="no source column"):
+        eng.execute(parse_mdx(
+            head + " RETURN [Measures].[Total Registros]",
+            "VENTAS_2025"))
+
+
 def test_drillthrough_set_in_slicer_ors(spark, sf_dir):
     """A WHERE set slicer ORs within its hierarchy in DRILLTHROUGH
     exactly as in the aggregate path (parse_mdx flattens the set into
