@@ -32,6 +32,14 @@ EDGE_DOCS = [
      "zh", "src1"),                              # unicode + diacritics
     (6, "x" * 5000, "en", "src0"),               # one very long token
     (7, ".,;:!? .,;:!? .,;:!?", "en", "src2"),   # punctuation only
+    # planted PII (round 10): the synthetic corpus is PII-free by
+    # construction, so the docs_pii_* hit paths are value-checked HERE
+    (8, "contact alice.smith+work@example-mail.co or bob@x.io now",
+     "en", "src1"),                              # emails
+    (9, "server 10.0.0.1 peer 192.168.001.255 id 123456789012 end",
+     "en", "src2"),                              # ipv4 + digit-run id
+    (10, "user12345678901@host.com embedded digits stay inside",
+     "en", "src0"),                              # id-run inside email
 ]
 
 
