@@ -44,6 +44,12 @@ backend/actions_runner.py:220-249, frontend/src/utils/mdxBuilder.ts:4-40):
       a subset — [l_shipdate] fact columns or [Measures].[X] source
       columns, the SSAS RETURN contract)
 
+    FROM (SELECT <set>[, <set>...] ON COLUMNS FROM [cube])
+      — subselect space restriction (the Excel-client form): each
+      member-literal set restricts its hierarchy across the whole
+      outer query — axes AND totals (VisualTotals), unlike a WHERE
+      slicer it also restricts a hierarchy that is on rows
+
     WITH SET [Name] AS '{ <member>, ... }'
       — named set, expanded into its [Name] references before set
       parsing (SSAS query-scoped named sets; build_mdx emits the
@@ -83,8 +89,8 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .query import (AxisItem, CalcMeasure, HeadTailSpec, QueryRequest,
-                    TopCountSpec, TopPercentSpec)
+from .query import (AxisItem, CalcMeasure, FilterSpec, HeadTailSpec,
+                    QueryRequest, TopCountSpec, TopPercentSpec)
 
 
 class MdxParseError(ValueError):
@@ -390,6 +396,53 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
                 c.expr = pat.sub(lambda _m: sexpr.strip(), c.expr)
         flat = axes_part + rest_part
 
+    # -- FROM (SELECT <sets> ON COLUMNS FROM [cube]) subselect -------------
+    # The SSAS space restriction Excel-style clients emit: each inner
+    # member-literal set restricts its hierarchy across the WHOLE outer
+    # query (axes, totals, slicers — VisualTotals semantics).  The
+    # inner text is cut out and replaced by the plain FROM before the
+    # outer shape match; the sets ride QueryRequest.subselects.
+    subselects: list[FilterSpec] = []
+    sfrom = re.search(r"\bFROM\s*\(", flat, re.IGNORECASE)
+    if sfrom:
+        i = sfrom.end() - 1
+        depth = 0
+        for j in range(i, len(flat)):
+            if flat[j] == "(":
+                depth += 1
+            elif flat[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            raise MdxParseError(f"unbalanced subselect parens: {mdx!r}")
+        inner = flat[i + 1:j].strip()
+        sm = re.match(
+            r"SELECT\s+(?P<sets>.*?)\s+ON\s+COLUMNS\s+FROM\s+"
+            r"(?P<cube>\[[^\]]*\]|\w+)\s*$", inner, re.IGNORECASE)
+        if not sm:
+            raise MdxParseError(
+                f"unsupported subselect (need SELECT <sets> ON COLUMNS "
+                f"FROM [cube], one level deep): {inner!r}")
+        sets_txt = sm.group("sets").strip()
+        if sets_txt.startswith("(") and sets_txt.endswith(")"):
+            sets_txt = sets_txt[1:-1]
+        for part in _split_top(sets_txt):
+            items = _parse_set(part, False)
+            if (len(items) != 1 or not items[0].members
+                    or items[0].level or items[0].depth
+                    or items[0].ancestor):
+                raise MdxParseError(
+                    f"subselect sets must be member-literal sets of "
+                    f"one hierarchy: {part!r}")
+            it = items[0]
+            subselects.append(
+                FilterSpec(it.dimension, it.hierarchy,
+                           list(it.members)))
+        flat = " ".join((flat[:sfrom.start()]
+                         + f" FROM {sm.group('cube')} "
+                         + flat[j + 1:]).split())
+
     m = re.match(
         r"SELECT\s+(?P<cols>.*?)\s+ON\s+COLUMNS\s*,\s*(?P<rows>.*?)\s+ON\s+ROWS"
         r"\s+FROM\s+(?P<cube>\[[^\]]*\]|\w+)"
@@ -410,7 +463,7 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
         rows_raw = m.group("rows")
 
     req = QueryRequest(catalog=catalog, cube=m.group("cube").strip("[]"),
-                       calculated=calcs)
+                       calculated=calcs, subselects=subselects)
 
     # -- columns: measures / AllMembers / variables ------------------------
     cols = m.group("cols").strip()
@@ -681,7 +734,15 @@ def build_mdx(req: QueryRequest, cube_name: str | None = None) -> str:
             rows += " DIMENSION PROPERTIES " + ", ".join(prop_terms)
         prefix = "NON EMPTY " if req.non_empty else ""
         parts.append(f", {prefix}{rows} ON ROWS")
-    parts.append(f"FROM [{cube_name or req.cube or req.catalog}]")
+    cube_ref = f"[{cube_name or req.cube or req.catalog}]"
+    if getattr(req, "subselects", None):
+        sets = ", ".join(
+            "{ " + ", ".join(f.members) + " }" for f in req.subselects)
+        if len(req.subselects) > 1:
+            sets = f"({sets})"
+        parts.append(f"FROM (SELECT {sets} ON COLUMNS FROM {cube_ref})")
+    else:
+        parts.append(f"FROM {cube_ref}")
     if req.slicers:
         parts.append("WHERE (" + ", ".join(req.slicers) + ")")
     if getattr(req, "return_cols", None):

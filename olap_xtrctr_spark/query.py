@@ -516,6 +516,12 @@ class QueryRequest:
     drillthrough: bool = False                          # DRILLTHROUGH SELECT
     max_rows: Optional[int] = None                      # ... MAXROWS n
     return_cols: Optional[list[str]] = None             # ... RETURN c1, c2
+    # FROM (SELECT <sets> ON COLUMNS FROM [cube]) — subselect space
+    # restriction: each set becomes an unconditional key-path
+    # predicate (VisualTotals semantics: totals AND axes restrict,
+    # and unlike Q10 filters it is NOT dropped when its hierarchy is
+    # on rows — restricting a rows hierarchy is the main use)
+    subselects: list[FilterSpec] = field(default_factory=list)
 
 
 @dataclass
@@ -878,7 +884,7 @@ class CubeQueryEngine:
         axes = [self._resolve_axis(cube, item) for item in req.rows]
         filters = [(cube.dimension(f.dimension),
                     cube.dimension(f.dimension).hierarchy(f.hierarchy),
-                    f.members) for f in req.filters]
+                    f.members) for f in req.filters + req.subselects]
         # WHERE slicers GROUP by (dimension, hierarchy) exactly as the
         # aggregate path does (the SSAS set-in-slicer contract): a
         # flattened WHERE set {m1, m2} must OR within its hierarchy —
@@ -1032,6 +1038,15 @@ class CubeQueryEngine:
             dim = cube.dimension(key[0])
             hier = dim.hierarchy(key[1])
             slicer_parsed.append((dim, hier, slicer_groups[key]))
+
+        # Subselect restrictions predicate like slicers (members OR
+        # within their set, AND across sets) but are exempt from the
+        # Q10 on-rows drop rule — restricting a rows hierarchy's
+        # member space is the subselect's primary use (VisualTotals).
+        for f in req.subselects:
+            dim = cube.dimension(f.dimension)
+            slicer_parsed.append((dim, dim.hierarchy(f.hierarchy),
+                                  f.members))
 
         variables = [naming.parse(v) for v in req.variables]
         var_dim = var_hier = None

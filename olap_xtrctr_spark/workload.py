@@ -61,6 +61,7 @@ _GATE_FRONT = [
     "docs_contamination_attribution",
     "docs_decontaminated_corpus",
     "cube_drillthrough_return",
+    "cube_subselect_regions",
     # (d) the 3 never-graded entries (VERDICT r9 task 3 — the driver
     #     must finally record rows for them, rows-only or not);
     "docs_bpe_train",
@@ -97,7 +98,6 @@ _GATE_FRONT = [
     #     moving (after this round the oldest row is r5's tail);
     "cube_nation_sales",
     "cube_region_priority_crossjoin",
-    "cube_slicer_where_tuple",
     "cube_time_rollup",
     "cube_variables_pivot",
     "cube_empty_preserving_axis",

@@ -855,3 +855,26 @@ def register_r10(add) -> None:
         FROM lineitem l JOIN orders_wide ON l.l_orderkey = o_orderkey
         WHERE cust_region_key = 2 AND order_estado = 'F'
         ORDER BY l_quantity, l_shipdate, l_orderkey LIMIT 100""")
+
+    # Subselect space restriction (round 10): FROM (SELECT {members}
+    # ON COLUMNS FROM [cube]) restricts its hierarchy on the rows axis
+    # AND in the totals (VisualTotals semantics — unlike a Q10 filter
+    # it is NOT dropped when its hierarchy is on rows), composing with
+    # a WHERE slicer on another hierarchy.
+    add("cube_subselect_regions",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "SELECT { [Measures].[Sum Quantity], "
+            "[Measures].[Total Registros] } ON COLUMNS, "
+            "[Dim Customer].[Geografía].[Region].MEMBERS ON ROWS "
+            "FROM (SELECT { [Dim Customer].[Geografía].[Region].&[1], "
+            "[Dim Customer].[Geografía].[Region].&[3], "
+            "[Dim Customer].[Geografía].[Region].&[4] } ON COLUMNS "
+            "FROM [sales]) "
+            "WHERE ([Dim Orders].[Estado].[Estado].&[F])", CATALOG)),
+        f"""WITH {_OW}
+        SELECT cust_region AS region,
+               {SUM_D('l_quantity')} AS sum_quantity,
+               COUNT(*) AS total_registros
+        FROM {_FACT_OW}
+        WHERE cust_region_key IN (1, 3, 4) AND order_estado = 'F'
+        GROUP BY 1""")

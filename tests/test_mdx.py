@@ -1279,6 +1279,58 @@ def test_drillthrough_parse_execute_and_negatives(spark, sf_dir):
                   "ON COLUMNS FROM [sales]", "VENTAS_2025")
 
 
+def test_subselect_restricts_axis_and_totals(spark, sf_dir):
+    """FROM (SELECT {members} ON COLUMNS FROM [cube]): the subselect
+    restricts its hierarchy even ON the rows axis (unlike Q10 filters,
+    which drop there) and restricts totals (VisualTotals); multiple
+    sets AND across hierarchies; round-trips through build_mdx."""
+    from olap_xtrctr_spark.mdx import build_mdx
+
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    R = "[Dim Customer].[Geografía].[Region]"
+    req = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "[Dim Customer].[Geografía].[Region].MEMBERS ON ROWS "
+        f"FROM (SELECT {{ {R}.&[1], {R}.&[3] }} ON COLUMNS "
+        "FROM [sales])", "VENTAS_2025")
+    assert [f.members for f in req.subselects] == \
+        [[f"{R}.&[1]", f"{R}.&[3]"]]
+    assert parse_mdx(build_mdx(req), "VENTAS_2025") == req
+    rows = eng.execute(req).collect()
+    # rows axis shows ONLY the subselect members
+    assert len(rows) == 2
+
+    # restricted global total == sum over the two kept members
+    total = eng.execute(parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS "
+        f"FROM (SELECT {{ {R}.&[1], {R}.&[3] }} ON COLUMNS "
+        "FROM [sales])", "VENTAS_2025")).first()["sum_quantity"]
+    assert abs(total - sum(r["sum_quantity"] for r in rows)) < 1e-6
+
+    # two sets AND across hierarchies (tuple form)
+    E = "[Dim Orders].[Estado].[Estado]"
+    both = eng.execute(parse_mdx(
+        "SELECT { [Measures].[Total Registros] } ON COLUMNS "
+        f"FROM (SELECT ({{ {R}.&[1] }}, {{ {E}.&[F] }}) ON COLUMNS "
+        "FROM [sales])", "VENTAS_2025")).first()["total_registros"]
+    only_r = eng.execute(parse_mdx(
+        "SELECT { [Measures].[Total Registros] } ON COLUMNS "
+        f"FROM (SELECT {{ {R}.&[1] }} ON COLUMNS FROM [sales])",
+        "VENTAS_2025")).first()["total_registros"]
+    assert 0 < both < only_r
+
+    # negatives: non-member-literal set, nested subselect
+    with pytest.raises(MdxParseError, match="member-literal"):
+        parse_mdx("SELECT { [Measures].[X] } ON COLUMNS FROM "
+                  f"(SELECT {R}.MEMBERS ON COLUMNS FROM [sales])",
+                  "VENTAS_2025")
+    with pytest.raises(MdxParseError, match="one level deep"):
+        parse_mdx("SELECT { [Measures].[X] } ON COLUMNS FROM "
+                  f"(SELECT {{ {R}.&[1] }} ON COLUMNS FROM "
+                  f"(SELECT {{ {R}.&[1] }} ON COLUMNS FROM [sales]))",
+                  "VENTAS_2025")
+
+
 def test_drillthrough_return_clause(spark, sf_dir):
     """RETURN projects a subset of the natural fact columns:
     [Measures].[X] resolves to the measure's SOURCE column, bracketed
