@@ -19,6 +19,8 @@ backend/actions_runner.py:220-249, frontend/src/utils/mdxBuilder.ts:4-40):
            | DESCENDANTS(<member> | { <member>, ... }, <level path>)
            | DESCENDANTS(<member>, <distance n>)
            | <member>.CHILDREN                  (== DESCENDANTS(m, 1))
+           | <member>.PARENT | <member>.SIBLINGS  (path navigation;
+             SIBLINGS includes the member; root SIBLINGS = level 1)
            | ANCESTOR(<member>, <level path>)
            | { <member unique name>, ... }
            | UNION(<member set>, <member set>)      (dedup, 1st order)
@@ -220,6 +222,44 @@ def _parse_set(expr: str, properties: bool) -> list[AxisItem]:
             raise MdxParseError(f"CHILDREN needs [Dim].[Hier]: {expr!r}")
         return [AxisItem(segs[0], segs[1], depth=parsed.depth + 1,
                          members=[marg], properties=properties)]
+
+    # <member>.PARENT / <member>.SIBLINGS — static path navigation
+    # (SSAS member functions): PARENT truncates the last key segment;
+    # SIBLINGS is the parent's children INCLUDING the member itself
+    # (root-level members' siblings = the whole first level, since the
+    # All member is suppressed in this model).  Both lower to the same
+    # member-literal / distance forms CHILDREN uses, so build_mdx
+    # round-trips them as plain members / DESCENDANTS.
+    for sfn in ("PARENT", "SIBLINGS"):
+        if up.endswith("." + sfn):
+            marg = expr[: -len("." + sfn)].strip()
+            from . import naming as _naming
+            try:
+                parsed = _naming.parse(marg)
+            except ValueError as e:
+                raise MdxParseError(str(e)) from e
+            segs = _segs(marg)
+            if len(segs) < 2:
+                raise MdxParseError(
+                    f"{sfn} needs [Dim].[Hier]: {expr!r}")
+            if parsed.depth == 0:
+                raise MdxParseError(
+                    f"{sfn} of a level path (no member keys): {expr!r}")
+            cut = marg.rindex(".&[")
+            parent = marg[:cut]
+            if sfn == "PARENT":
+                if parsed.depth < 2:
+                    raise MdxParseError(
+                        f"PARENT of a root-level member (the All "
+                        f"member is suppressed in this subset): "
+                        f"{expr!r}")
+                return [AxisItem(segs[0], segs[1], members=[parent],
+                                 properties=properties)]
+            if parsed.depth < 2:      # SIBLINGS at the root level
+                return [AxisItem(segs[0], segs[1], depth=1,
+                                 properties=properties)]
+            return [AxisItem(segs[0], segs[1], depth=parsed.depth,
+                             members=[parent], properties=properties)]
 
     fn = next((f for f in ("DESCENDANTS", "ANCESTOR")
                if up.startswith(f + "(") or up.startswith(f + " (")), None)

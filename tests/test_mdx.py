@@ -569,6 +569,52 @@ def test_descendants_execution_matches_member_filter(spark, sf_dir):
     assert rows == keep
 
 
+def test_parent_and_siblings_member_functions(spark, sf_dir):
+    """<m>.PARENT truncates the last key (one member, full rollup);
+    <m>.SIBLINGS is the parent's children INCLUDING the member; a
+    root-level member's SIBLINGS is the whole first level; PARENT of a
+    root member errors (All member suppressed); round-trips."""
+    from olap_xtrctr_spark.mdx import build_mdx
+
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    N = "[Dim Customer].[Geografía].[Nation].&[2].&[2]"
+    head = ("SELECT { [Measures].[Total Registros] } ON COLUMNS, ")
+    tail = " ON ROWS FROM [sales]"
+
+    # PARENT == ANCESTOR(member, Region): one row, whole-region rollup
+    req = parse_mdx(head + f"{N}.PARENT" + tail, "VENTAS_2025")
+    assert req.rows[0].members == \
+        ["[Dim Customer].[Geografía].[Nation].&[2]"]
+    assert parse_mdx(build_mdx(req), "VENTAS_2025") == req
+    par = eng.execute(req).collect()
+    via_anc = eng.execute(parse_mdx(
+        head + f"ANCESTOR({N}, [Dim Customer].[Geografía].[Region])"
+        + tail, "VENTAS_2025")).collect()
+    assert [tuple(r) for r in par] == [tuple(r) for r in via_anc]
+
+    # SIBLINGS == CHILDREN of the parent (5 nations in region 2,
+    # including nation &[2].&[2] itself)
+    req_s = parse_mdx(head + f"{N}.SIBLINGS" + tail, "VENTAS_2025")
+    assert parse_mdx(build_mdx(req_s), "VENTAS_2025") == req_s
+    sib = eng.execute(req_s).collect()
+    via_children = eng.execute(parse_mdx(
+        head + "[Dim Customer].[Geografía].[Region].&[2].CHILDREN"
+        + tail, "VENTAS_2025")).collect()
+    assert sorted(map(tuple, sib)) == sorted(map(tuple, via_children))
+    assert len(sib) == 5
+
+    # root-level member: SIBLINGS = all regions; PARENT errors
+    R1 = "[Dim Customer].[Geografía].[Region].&[1]"
+    roots = eng.execute(parse_mdx(head + f"{R1}.SIBLINGS" + tail,
+                                  "VENTAS_2025")).collect()
+    assert len(roots) == 5
+    with pytest.raises(MdxParseError, match="PARENT of a root-level"):
+        parse_mdx(head + f"{R1}.PARENT" + tail, "VENTAS_2025")
+    with pytest.raises(MdxParseError, match="level path"):
+        parse_mdx(head + "[Dim Customer].[Geografía].[Region].PARENT"
+                  + tail, "VENTAS_2025")
+
+
 def test_ancestor_execution_full_rollup(spark, sf_dir):
     """ANCESTOR(nation in region 2, Region) is ONE row whose cell is
     the rollup of the whole region (not just the named nation)."""
