@@ -265,6 +265,11 @@ PROBE_QUERIES = [
     # documented posting shape; the removal stays one left-anti join
     "docs_contamination_attribution",
     "docs_decontaminated_corpus",
+    # RETURN projection must prune the fact ReadSchema to the returned
+    # columns; subselect restriction must push its keys into the scan
+    # exactly like a slicer
+    "cube_drillthrough_return",
+    "cube_subselect_regions",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
