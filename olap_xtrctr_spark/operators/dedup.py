@@ -707,6 +707,33 @@ def contamination_attribution(train: DataFrame, test: DataFrame,
               .filter(F.col("shared_ngrams") >= min_shared))
 
 
+def contamination_spans(train: DataFrame, test: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 5) -> DataFrame:
+    """SPAN-level decontamination report — the surgical alternative to
+    :func:`decontaminate_corpus`'s whole-document drop: every maximal
+    train-doc token run covered by eval-matching stride-1 k-token
+    windows (the Lee-et-al exact-substring machinery pointed across
+    the split instead of at the corpus itself).  Callers excise the
+    reported spans and keep the rest of the document.
+
+    Output: (doc_id, n_tokens, n_dup_spans, n_dup_tokens, dup_spans) —
+    identical shape to ``duplicate_span_removal``, spans as
+    "start-end" token offsets, byte-exact against the oracle.
+
+    Scale shape: train grams mark by one broadcast semi-join against
+    the eval gram vocabulary (eval is tiny next to train by
+    construction); the interval merge then runs over MARKED positions
+    only — contaminated-mass-sized, not corpus-sized."""
+    from .segments_spans import merged_span_report, stride1_grams
+
+    tr = stride1_grams(train, k, text_col, id_col)
+    ev = (stride1_grams(test, k, text_col, id_col)
+          .select("_sh").distinct())
+    marked = tr.join(F.broadcast(ev), "_sh").select(id_col, "_p")
+    return merged_span_report(train, marked, k, text_col, id_col)
+
+
 def decontaminate_corpus(train: DataFrame, test: DataFrame,
                          text_col: str = "text",
                          id_col: str = "doc_id", n: int = 3,

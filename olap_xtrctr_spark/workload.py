@@ -62,6 +62,7 @@ _GATE_FRONT = [
     "docs_decontaminated_corpus",
     "cube_drillthrough_return",
     "cube_subselect_regions",
+    "docs_contamination_spans",
     # (d) the 3 never-graded entries (VERDICT r9 task 3 — the driver
     #     must finally record rows for them, rows-only or not);
     "docs_bpe_train",
@@ -106,7 +107,6 @@ _GATE_FRONT = [
     "cube_nation_share_of_region",
     "docs_sql_function_stats",
     "docs_cross_source_dup",
-    "docs_lexical_diversity",
     "docs_source_tv_distance",
     "docs_distinctive_terms",
 ]

@@ -775,3 +775,52 @@ def register_r10(add) -> None:
         SELECT d.doc_id, d.lang, d.source
         FROM documents d LEFT JOIN off ON d.doc_id = off.train_id
         WHERE d.source <> 'src0' AND off.train_id IS NULL""")
+
+    # SPAN-level decontamination (surgical excision instead of the
+    # whole-doc drop): the exact stride-1 span machinery pointed
+    # across the train/eval split — k=5 windows, interval-merged into
+    # maximal spans, byte-exact span lists on both engines.
+    add("docs_contamination_spans",
+        lambda spark, sf: D.contamination_spans(
+            _docs(spark, sf).filter(F.col("source") != "src0"),
+            _docs(spark, sf).filter(F.col("source") == "src0"),
+            k=5),
+        r"""WITH t AS (
+          SELECT doc_id, source,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, source, i - 1 AS pos,
+                 array_to_string(list_slice(toks, i, i + 4), ' ') AS sh
+          FROM t, LATERAL unnest(generate_series(1, len(toks) - 4))
+               AS u(i)),
+        ev AS (SELECT DISTINCT sh FROM g WHERE source = 'src0'),
+        mk AS (
+          SELECT g.doc_id, pos AS s, pos + 4 AS e
+          FROM g JOIN ev USING (sh) WHERE g.source <> 'src0'),
+        r AS (
+          SELECT doc_id, s, e,
+                 CASE WHEN s > coalesce(max(e) OVER (
+                          PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), -2) + 1
+                      THEN 1 ELSE 0 END AS brk
+          FROM mk),
+        sp AS (SELECT doc_id, s, e,
+                      SUM(brk) OVER (PARTITION BY doc_id ORDER BY s)
+                        AS sid
+               FROM r),
+        ag AS (SELECT doc_id, sid, MIN(s) AS ss, MAX(e) AS se
+               FROM sp GROUP BY 1, 2),
+        pd AS (SELECT doc_id,
+                      CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+                      CAST(SUM(se - ss + 1) AS BIGINT) AS n_dup_tokens,
+                      string_agg(ss || '-' || se, ',' ORDER BY ss)
+                        AS dup_spans
+               FROM ag GROUP BY 1)
+        SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               coalesce(pd.n_dup_spans, 0) AS n_dup_spans,
+               coalesce(pd.n_dup_tokens, 0) AS n_dup_tokens,
+               coalesce(pd.dup_spans, '') AS dup_spans
+        FROM t LEFT JOIN pd USING (doc_id)
+        WHERE t.source <> 'src0'""")

@@ -270,6 +270,10 @@ PROBE_QUERIES = [
     # exactly like a slicer
     "cube_drillthrough_return",
     "cube_subselect_regions",
+    # span-level decontamination: marked-position interval merge must
+    # stay contaminated-mass-sized (replica flood multiplies the eval
+    # gram hits ~FACTOR on both sides)
+    "docs_contamination_spans",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key

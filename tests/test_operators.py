@@ -610,6 +610,25 @@ def test_contamination_attribution_and_decontaminate(spark):
     assert tolerant == {2, 3}
 
 
+def test_contamination_spans_interval_merge(spark):
+    """Span-level decontamination: overlapping eval-matching k-windows
+    merge into one maximal span with exact token offsets; clean docs
+    report zero spans but stay visible."""
+    train = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg xx yy zz"),   # eval run at tokens 0-6
+         (2, "totally clean training text here with enough tokens")],
+        "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(10, "aa bb cc dd ee ff gg")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           D.contamination_spans(train, test, k=5).collect()}
+    # windows 0-4, 1-5, 2-6 all match -> one merged span 0-6 (7 tokens)
+    assert (out[1]["n_dup_spans"], out[1]["n_dup_tokens"],
+            out[1]["dup_spans"]) == (1, 7, "0-6")
+    assert out[1]["n_tokens"] == 10
+    assert (out[2]["n_dup_spans"], out[2]["dup_spans"]) == (0, "")
+
+
 def test_mix_corpus_budget_and_weights(spark):
     rows = [(i, "s0" if i < 40 else "s1", "tok " * 10) for i in range(80)]
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
