@@ -321,6 +321,80 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
                 .select("id_a", "id_b", "cosine"))
 
 
+def _md5_lsh_buckets(emb: DataFrame, n_tables: int, bits_per_table: int,
+                     id_col: str, vec_col: str,
+                     quant_scale: int) -> DataFrame:
+    """(id, t, bucket): the md5-derived-integer LSH signature shared by
+    the oracle-exact twins — ±1 plane coefficients from the first md5
+    nibble of ``lshplane:<table>:<bit>:<dim>``, vectors frozen to
+    integers (``CAST(floor(x*scale + 0.5) AS BIGINT)``) so every
+    projection is an INTEGER dot product (order-independent, engine-
+    portable), bucket = the bits_per_table sign bits of table t."""
+    import hashlib
+
+    spark = emb.sparkSession
+    dim = emb.select(F.size(vec_col).alias("d")).first()["d"]
+    rows = []
+    for t in range(n_tables):
+        for b in range(bits_per_table):
+            for i in range(dim):
+                nib = int(hashlib.md5(
+                    f"lshplane:{t}:{b}:{i}".encode()).hexdigest()[0], 16)
+                rows.append((t, b, i, 1 if nib >= 8 else -1))
+    planes = spark.createDataFrame(rows, "t int, b int, i int, c long")
+
+    q = emb.select(
+        F.col(id_col),
+        F.posexplode(F.expr(
+            f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * {quant_scale} + 0.5) AS BIGINT))")).alias("i", "qv"))
+    dots = (q.join(F.broadcast(planes), "i")
+             .groupBy(id_col, "t", "b")
+             .agg(F.sum(F.col("c") * F.col("qv")).alias("d")))
+    return (dots.groupBy(id_col, "t")
+            .agg(F.sum(F.when(F.col("d") >= 0,
+                              F.expr("CAST(power(2, b) AS BIGINT)"))
+                       .otherwise(F.lit(0).cast("long")))
+                 .alias("bucket")))
+
+
+def lsh_cosine_topk_md5(emb: DataFrame, query_ids: list[int],
+                        k: int = 3, n_tables: int = 16,
+                        bits_per_table: int = 4,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        quant_scale: int = 1000) -> DataFrame:
+    """ORACLE-EXACT LSH top-k (round 10): :func:`lsh_cosine_topk`'s
+    bucket/candidate/exact-rank pipeline on the md5-derived-integer
+    signature (``_md5_lsh_buckets``), upgrading the last rows-only ANN
+    family member to a value-exact sibling.  Candidates are corpus
+    vectors sharing ANY (table, bucket) cell with a query; ranking is
+    the exact cosine with the deterministic (cos DESC, neighbor_id)
+    tiebreak every exact top-k entry uses.  Output schema matches
+    ``cosine_topk``: (query_id, rank, neighbor_id, cosine)."""
+    buckets = _md5_lsh_buckets(emb, n_tables, bits_per_table, id_col,
+                               vec_col, quant_scale)
+    qb = (buckets.filter(F.col(id_col).isin(query_ids))
+          .select(F.col(id_col).alias("query_id"), "t", "bucket"))
+    cand = (buckets.join(F.broadcast(qb), ["t", "bucket"])
+            .filter(F.col(id_col) != F.col("query_id"))
+            .select("query_id", F.col(id_col).alias("neighbor_id"))
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    qv = emb.select(F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("_qv"))
+    nv = emb.select(F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("_nv"))
+    scored = (cand.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id")
+              .withColumn("cos", _cosine(F.col("_qv"), F.col("_nv"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w)
+                              .cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id",
+                    F.round("cos", 4).alias("cosine")))
+
+
 def lsh_near_dup_pairs_md5(emb: DataFrame, threshold: float = 0.45,
                            n_tables: int = 16, bits_per_table: int = 4,
                            id_col: str = "vec_id",
@@ -354,32 +428,8 @@ def lsh_near_dup_pairs_md5(emb: DataFrame, threshold: float = 0.45,
     this is the audit/driver-gate twin.  Scale shape is unchanged:
     candidates only inside a (table, bucket) cell, dedup before the
     verify join, never n²."""
-    import hashlib
-
-    spark = emb.sparkSession
-    dim = emb.select(F.size(vec_col).alias("d")).first()["d"]
-    rows = []
-    for t in range(n_tables):
-        for b in range(bits_per_table):
-            for i in range(dim):
-                nib = int(hashlib.md5(
-                    f"lshplane:{t}:{b}:{i}".encode()).hexdigest()[0], 16)
-                rows.append((t, b, i, 1 if nib >= 8 else -1))
-    planes = spark.createDataFrame(rows, "t int, b int, i int, c long")
-
-    q = emb.select(
-        F.col(id_col),
-        F.posexplode(F.expr(
-            f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
-            f" * {quant_scale} + 0.5) AS BIGINT))")).alias("i", "qv"))
-    dots = (q.join(F.broadcast(planes), "i")
-             .groupBy(id_col, "t", "b")
-             .agg(F.sum(F.col("c") * F.col("qv")).alias("d")))
-    buckets = (dots.groupBy(id_col, "t")
-               .agg(F.sum(F.when(F.col("d") >= 0,
-                                 F.expr("CAST(power(2, b) AS BIGINT)"))
-                          .otherwise(F.lit(0).cast("long")))
-                    .alias("bucket")))
+    buckets = _md5_lsh_buckets(emb, n_tables, bits_per_table, id_col,
+                               vec_col, quant_scale)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (a.join(b, (F.col("a.t") == F.col("b.t"))
                    & (F.col("a.bucket") == F.col("b.bucket"))

@@ -58,6 +58,7 @@ _GATE_FRONT = [
     #     re-grade via cube_dimension_properties, every member-literal
     #     cube entry, and cube_nation_sales this round);
     "emb_lsh_near_dup_pairs_exact",
+    "emb_lsh_topk_exact",
     "docs_contamination_attribution",
     "docs_decontaminated_corpus",
     "cube_drillthrough_return",
@@ -106,7 +107,6 @@ _GATE_FRONT = [
     "events_grouping_sets",
     "cube_nation_share_of_region",
     "docs_sql_function_stats",
-    "docs_cross_source_dup",
     "docs_source_tv_distance",
     "docs_distinctive_terms",
 ]

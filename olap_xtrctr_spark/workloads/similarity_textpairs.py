@@ -683,11 +683,10 @@ def register_r10(add) -> None:
     # final verify cosine, which both engines round to 4 decimals
     # before the threshold) — the SQL mirrors every stage, so result
     # sets match bit-for-bit.
-    add("emb_lsh_near_dup_pairs_exact",
-        lambda spark, sf: S.lsh_near_dup_pairs_md5(
-            _emb(spark, sf), threshold=0.45, n_tables=16,
-            bits_per_table=4),
-        r"""WITH qv AS (
+    # CTE chain shared by both md5-LSH twins (near-dup pairs + top-k):
+    # quantized vectors -> md5 planes -> integer dots -> (vec, table,
+    # bucket) signatures.
+    _MD5_LSH = r"""qv AS (
           SELECT vec_id, embedding,
                  list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1e3 + 5e-1)
@@ -707,27 +706,64 @@ def register_r10(add) -> None:
           SELECT vec_id, t,
                  CAST(SUM(CASE WHEN d >= 0 THEN power(2, b)::BIGINT
                           ELSE 0 END) AS BIGINT) AS bucket
-          FROM dots GROUP BY 1, 2),
+          FROM dots GROUP BY 1, 2)"""
+
+    _COS_AB = """list_sum(list_transform(
+                     list_zip(a.embedding, b.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+
+    add("emb_lsh_near_dup_pairs_exact",
+        lambda spark, sf: S.lsh_near_dup_pairs_md5(
+            _emb(spark, sf), threshold=0.45, n_tables=16,
+            bits_per_table=4),
+        f"""WITH {_MD5_LSH},
         cand AS (
           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
           FROM buckets a JOIN buckets b
             ON a.t = b.t AND a.bucket = b.bucket
                AND a.vec_id < b.vec_id)
         SELECT id_a, id_b, cosine FROM (
-          SELECT c.id_a, c.id_b,
-                 ROUND(
-                   list_sum(list_transform(
-                     list_zip(a.embedding, b.embedding),
-                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-                   / (sqrt(list_sum(list_transform(a.embedding,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                    * sqrt(list_sum(list_transform(b.embedding,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-                   4) AS cosine
+          SELECT c.id_a, c.id_b, ROUND({_COS_AB}, 4) AS cosine
           FROM cand c
           JOIN embeddings a ON a.vec_id = c.id_a
           JOIN embeddings b ON b.vec_id = c.id_b)
         WHERE cosine >= 0.45""")
+
+    # ORACLE-EXACT LSH top-k: the same signature chain serving the
+    # query side — candidates share ANY (table, bucket) cell with a
+    # query, exact-cosine ranked with the deterministic
+    # (cos DESC, neighbor_id) tiebreak.  Upgrades the last rows-only
+    # ANN family member (emb_lsh_topk) with a value-exact sibling.
+    add("emb_lsh_topk_exact",
+        lambda spark, sf: S.lsh_cosine_topk_md5(
+            _emb(spark, sf), [0, 1, 2, 3, 4], k=3, n_tables=16,
+            bits_per_table=4),
+        f"""WITH {_MD5_LSH},
+        qb AS (
+          SELECT vec_id AS query_id, t, bucket FROM buckets
+          WHERE vec_id IN (0, 1, 2, 3, 4)),
+        cand AS (
+          SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+          FROM buckets s JOIN qb q
+            ON s.t = q.t AND s.bucket = q.bucket
+               AND s.vec_id <> q.query_id),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id, {_COS_AB} AS cos
+          FROM cand c
+          JOIN embeddings a ON a.vec_id = c.query_id
+          JOIN embeddings b ON b.vec_id = c.neighbor_id)
+        SELECT query_id, rank, neighbor_id, ROUND(cos, 4) AS cosine
+        FROM (
+          SELECT query_id, neighbor_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id) AS INTEGER)
+                   AS rank
+          FROM scored)
+        WHERE rank <= 3""")
 
     from ..operators import dedup as D
 

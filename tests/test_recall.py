@@ -93,6 +93,31 @@ def test_lsh_topk_recall_vs_exact(emb, planted_embedding_pairs):
     assert ok / n >= 0.85, f"LSH planted-pair recall collapsed: {ok}/{n}"
 
 
+def test_lsh_topk_md5_twin_recall(emb, planted_embedding_pairs):
+    """The oracle-exact md5 top-k twin holds the fast path's quality
+    contract: exact-top-3 recall above the floor for random queries,
+    planted partners found at k=1."""
+    qids = [0, 1, 2, 3, 4]
+    exact = _topk_sets(S.cosine_topk(emb, qids, k=3).collect())
+    approx = _topk_sets(
+        S.lsh_cosine_topk_md5(emb, qids, k=3, n_tables=16,
+                              bits_per_table=4).collect())
+    total = sum(len(v) for v in exact.values())
+    hit = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    assert hit / total >= 0.8, \
+        f"md5 LSH top-k recall collapsed: {hit}/{total}"
+
+    pq = sorted({a for a, _ in planted_embedding_pairs})
+    found = _topk_sets(
+        S.lsh_cosine_topk_md5(emb, pq, k=1, n_tables=16,
+                              bits_per_table=4).collect())
+    ok = sum(1 for a, b in planted_embedding_pairs
+             if b in found.get(a, set()))
+    n = len(planted_embedding_pairs)
+    assert ok / n >= 0.85, \
+        f"md5 LSH planted-pair recall collapsed: {ok}/{n}"
+
+
 def test_ivf_topk_recall_on_planted_pairs(emb, planted_embedding_pairs):
     """IVF with a majority of cells probed must find >=90% of planted
     near-dup partners at k=1.  (These fixtures are near-uniform random,
