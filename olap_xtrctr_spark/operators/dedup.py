@@ -799,8 +799,16 @@ def cross_split_leakage(emb: DataFrame, weights: dict[str, float],
         pairs = lsh_near_dup_pairs(emb, threshold=threshold,
                                    id_col=id_col, vec_col=vec_col,
                                    **lsh_kwargs)
+    elif method == "lsh_md5":
+        # the ORACLE-EXACT scale path (round 10): same bucketed
+        # no-collect shape as "lsh", every stage SQL-reproducible
+        from .similarity import lsh_near_dup_pairs_md5
+        pairs = lsh_near_dup_pairs_md5(emb, threshold=threshold,
+                                       id_col=id_col, vec_col=vec_col,
+                                       **lsh_kwargs)
     else:
-        raise ValueError(f"unknown method {method!r} (exact | lsh)")
+        raise ValueError(
+            f"unknown method {method!r} (exact | lsh | lsh_md5)")
     splits = hash_split(emb.select(id_col), weights, id_col=id_col,
                         salt=salt).select(id_col, "split")
     a = splits.select(F.col(id_col).alias("id_a"),

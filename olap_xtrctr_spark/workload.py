@@ -59,6 +59,7 @@ _GATE_FRONT = [
     #     cube entry, and cube_nation_sales this round);
     "emb_lsh_near_dup_pairs_exact",
     "emb_lsh_topk_exact",
+    "emb_cross_split_leakage_lsh_exact",
     "docs_contamination_attribution",
     "docs_decontaminated_corpus",
     "cube_drillthrough_return",
@@ -108,7 +109,6 @@ _GATE_FRONT = [
     "cube_nation_share_of_region",
     "docs_sql_function_stats",
     "docs_source_tv_distance",
-    "docs_distinctive_terms",
 ]
 
 

@@ -767,6 +767,37 @@ def register_r10(add) -> None:
 
     from ..operators import dedup as D
 
+    # ORACLE-EXACT cross-split leakage on the LSH scale path (round
+    # 10): the md5 twin pipeline + the deterministic md5 split rule —
+    # the 100 TB no-collect audit shape, now with a full value oracle
+    # (the seeded-float "lsh" variant keeps its differential gate and
+    # stays the fast path).
+    _BA = SM.hash_bucket_sql("a.vec_id", "split-v1")
+    _BB = SM.hash_bucket_sql("b.vec_id", "split-v1")
+    add("emb_cross_split_leakage_lsh_exact",
+        lambda spark, sf: D.cross_split_leakage(
+            _emb(spark, sf), {"train": 0.8, "eval": 0.2},
+            threshold=0.40, method="lsh_md5", n_tables=16,
+            bits_per_table=4),
+        f"""WITH {_MD5_LSH},
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM buckets a JOIN buckets b
+            ON a.t = b.t AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id),
+        pairs AS (
+          SELECT c.id_a, c.id_b,
+                 CASE WHEN {_BA} < 8000 THEN 'train' ELSE 'eval' END
+                   AS split_a,
+                 CASE WHEN {_BB} < 8000 THEN 'train' ELSE 'eval' END
+                   AS split_b,
+                 ROUND({_COS_AB}, 4) AS cosine
+          FROM cand c
+          JOIN embeddings a ON a.vec_id = c.id_a
+          JOIN embeddings b ON b.vec_id = c.id_b)
+        SELECT id_a, id_b, split_a, split_b, cosine
+        FROM pairs WHERE cosine >= 0.40 AND split_a <> split_b""")
+
     # Decontamination ATTRIBUTION + REMOVAL (round 10): the existing
     # docs_contamination_check reports eval-side counts; these two
     # complete the GPT-3 appendix-C workflow — which TRAIN doc hit
