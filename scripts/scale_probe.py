@@ -274,6 +274,10 @@ PROBE_QUERIES = [
     # stay contaminated-mass-sized (replica flood multiplies the eval
     # gram hits ~FACTOR on both sides)
     "docs_contamination_spans",
+    # md5-LSH twins over the query/split sides: n x dim x bits
+    # signature cost (documented linear), no all-pairs anywhere
+    "emb_lsh_topk_exact",
+    "emb_cross_split_leakage_lsh_exact",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
