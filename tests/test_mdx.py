@@ -1365,6 +1365,22 @@ def test_subselect_restricts_axis_and_totals(spark, sf_dir):
         "VENTAS_2025")).first()["total_registros"]
     assert 0 < both < only_r
 
+    # composes with DRILLTHROUGH (+ RETURN): the restriction becomes a
+    # row predicate, so drillthrough row count == the restricted cell
+    P = "[Dim Orders].[Prioridad].[Prioridad]"
+    dt = eng.execute(parse_mdx(
+        "DRILLTHROUGH SELECT { [Measures].[Total Registros] } "
+        "ON COLUMNS "
+        f"FROM (SELECT ({{ {R}.&[1] }}, {{ {P}.&[1-URGENT] }}) "
+        "ON COLUMNS FROM [sales]) RETURN [l_orderkey]", "VENTAS_2025"))
+    assert dt.columns == ["l_orderkey"]
+    cell = eng.execute(parse_mdx(
+        "SELECT { [Measures].[Total Registros] } ON COLUMNS "
+        f"FROM (SELECT ({{ {R}.&[1] }}, {{ {P}.&[1-URGENT] }}) "
+        "ON COLUMNS FROM [sales])",
+        "VENTAS_2025")).first()["total_registros"]
+    assert dt.count() == cell > 0
+
     # negatives: non-member-literal set, nested subselect
     with pytest.raises(MdxParseError, match="member-literal"):
         parse_mdx("SELECT { [Measures].[X] } ON COLUMNS FROM "
