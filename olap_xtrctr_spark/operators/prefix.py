@@ -1,0 +1,157 @@
+"""Distributed global prefix (running) aggregation and the interval
+sweep-line built on it.
+
+The naive Spark form of a GLOBAL running total —
+``F.sum(v).over(Window.orderBy(ts))`` — has no partition spec, so
+Catalyst funnels the ENTIRE input through one task: the canonical
+single-partition scale trap (at 100 TB that task never finishes).  The
+classic distributed fix is the two-phase prefix sum:
+
+* Phase 1 (parallel): rows carry an order-aligned ``bucket`` (any
+  non-decreasing function of the order key — hour of a timestamp,
+  value range, file id).  One ``groupBy(bucket)`` computes per-bucket
+  totals; that aggregate is tiny (one row per bucket).
+* Phase 2 (tiny + parallel): a window ORDERED BY BUCKET over the
+  bucket totals — |buckets| rows, not |input| rows — yields each
+  bucket's carry-in offset; broadcast it back and run the in-bucket
+  running sum with ``Window.partitionBy(bucket)`` (parallel across
+  buckets).  ``running = carry_in + in_bucket_prefix``.
+
+Wall-clock at scale is therefore max(bucket size), not |input|; the
+only serial step touches |buckets| rows.  The same shape is how the
+sweep line scales: interval endpoints become +1/−1 deltas, deltas are
+pre-aggregated per distinct instant (which also erases tie-order
+ambiguity — the running sum only ever sees one row per instant), and
+the global running sum of deltas IS the concurrency curve.
+
+Exactness contract: callers pass integral (BIGINT) value columns —
+frozen units, no float accumulation order to diverge on.  All outputs
+are integers, so the DuckDB oracles match bit-for-bit.
+
+Reference parity note: the reference engine has no running-total or
+concurrency operator (verified — SURVEY §2.10); this family is part of
+the beyond-reference large-scale pipeline surface, where cumulative
+milestones (corpus token budgets crossing shard boundaries) and
+occupancy curves (concurrent sessions/jobs) are everyday asks.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_CARRY = "__carry_in"
+_BTOT = "__bucket_total"
+
+
+def running_total(df: DataFrame, bucket_col: str, order_cols: list[str],
+                  value_col: str, out_col: str = "running") -> DataFrame:
+    """Exact global running sum of ``value_col`` over the total order
+    ``(bucket_col, *order_cols)`` without a single-partition window.
+
+    ``bucket_col`` must be order-aligned: for any two rows, a smaller
+    bucket value implies the row sorts earlier globally (hour buckets
+    over a timestamp order, range buckets over a numeric order).
+    ``order_cols`` must be a within-bucket tiebreak down to a unique
+    key, or equal-key rows make ``out_col`` order-dependent.
+    """
+    totals = df.groupBy(bucket_col).agg(F.sum(value_col).alias(_BTOT))
+    # |buckets| rows only: this unpartitioned window is the intended
+    # tiny serial step of the two-phase prefix sum, not the trap.
+    wb = (Window.orderBy(bucket_col)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        bucket_col,
+        F.coalesce(F.sum(_BTOT).over(wb), F.lit(0)).alias(_CARRY))
+    win = (Window.partitionBy(bucket_col).orderBy(*order_cols)
+           .rowsBetween(Window.unboundedPreceding, 0))
+    return (df.join(F.broadcast(offsets), bucket_col)
+            .withColumn(out_col,
+                        F.sum(value_col).over(win) + F.col(_CARRY))
+            .drop(_CARRY))
+
+
+def running_milestones(df: DataFrame, bucket_col: str,
+                       order_cols: list[str], value_col: str,
+                       step: int, id_cols: list[str] | None = None
+                       ) -> DataFrame:
+    """Rows whose arrival pushes the global running total past one or
+    more multiples of ``step`` (all-positive integral values).
+
+    Output per crossing row: the highest milestone index reached
+    (``milestone = running div step``), how many multiples this single
+    row crossed, and the exact running total — compact (≈ total/step
+    rows) no matter how large the input, which is what makes the
+    global prefix sum oracle-checkable at any scale.
+    """
+    run = running_total(df, bucket_col, order_cols, value_col)
+    # all-integer div: running totals can pass 2**53, where a double
+    # division would silently lose the crossing
+    hi = F.expr(f"running div {int(step)}")
+    lo = F.expr(f"(running - {value_col}) div {int(step)}")
+    keep = list(id_cols or order_cols)
+    return (run.filter(hi > lo)
+            .select(*keep, hi.alias("milestone"),
+                    (hi - lo).alias("n_crossed"), F.col("running")))
+
+
+def session_intervals(events: DataFrame, gap_minutes: int = 30
+                      ) -> DataFrame:
+    """Per-user gap sessions as half-open second intervals
+    ``[start_sec, end_sec)`` with ``end_sec = last event + 1`` (a
+    single-event session occupies one second).
+
+    Same gap convention as ``streaming.events.sessionize``
+    (strict ``> gap`` on floor-epoch seconds, ties by event_id) so the
+    two agree on session COUNTS; this form keeps the bounds instead of
+    collapsing to per-user aggregates.  One shuffle on user_id.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.unix_timestamp(F.col("ts"))
+    gap = secs - F.lag(secs).over(w)
+    sid = F.sum(
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (events
+            .withColumn("__sec", secs).withColumn("__sid", sid)
+            .groupBy("user_id", "__sid")
+            .agg(F.min("__sec").alias("start_sec"),
+                 (F.max("__sec") + 1).alias("end_sec"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .withColumnRenamed("__sid", "session_seq"))
+
+
+def peak_concurrency_hourly(intervals: DataFrame,
+                            start_col: str = "start_sec",
+                            end_col: str = "end_sec") -> DataFrame:
+    """Per-hour peak and end-of-hour interval concurrency via the
+    distributed sweep line.
+
+    Endpoints fold to ±1 deltas, deltas pre-aggregate per distinct
+    second (one row per instant → the running sum is tie-free), the
+    global running sum rides ``running_total`` with hour buckets, and
+    the per-hour peak is ``max(concurrency after each change point,
+    concurrency carried into the hour)`` — the carry-in term covers
+    the plateau before an hour's first change point.  Hours with no
+    change points carry the previous curve value and emit no row (the
+    curve is constant there by construction).
+    """
+    starts = intervals.select(F.col(start_col).alias("sec"),
+                              F.lit(1).alias("delta"))
+    ends = intervals.select(F.col(end_col).alias("sec"),
+                            F.lit(-1).alias("delta"))
+    net = (starts.unionByName(ends)
+           .groupBy("sec").agg(F.sum("delta").alias("net"))
+           .withColumn("hour", F.expr("sec div 3600")))
+    curve = running_total(net, "hour", ["sec"], "net",
+                          out_col="concurrent")
+    return (curve
+            .groupBy("hour")
+            .agg(F.greatest(
+                     F.max("concurrent"),
+                     # carry into the hour = first row's value minus its
+                     # own delta (= running at the prior change point)
+                     F.min_by(F.col("concurrent") - F.col("net"), "sec")
+                 ).alias("peak_concurrent"),
+                 F.max_by("concurrent", "sec").alias("end_concurrent"))
+            .select((F.col("hour") * 3600).cast("timestamp").alias("hour"),
+                    "peak_concurrent", "end_concurrent"))

@@ -1,0 +1,109 @@
+"""The distributed global-prefix family (operators/prefix.py): exact
+equivalence with the naive single-window spec, boundary/milestone edge
+cases, sweep-line semantics, and the plan guard that keeps the row-level
+window PARTITIONED (the whole point of the two-phase form)."""
+import datetime as dt
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from olap_xtrctr_spark.operators import prefix as P
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v long, bucket long")
+
+
+def test_running_total_matches_single_window_spec(spark):
+    rows = [(i, (i * 37) % 11 - 3, i // 4) for i in range(40)]
+    got = P.running_total(_df(spark, rows), "bucket", ["id"], "v")
+    naive = _df(spark, rows).withColumn(
+        "want", F.sum("v").over(
+            Window.orderBy("id").rowsBetween(
+                Window.unboundedPreceding, 0)))
+    joined = got.join(naive.select("id", "want"), "id")
+    assert joined.filter(F.col("running") != F.col("want")).count() == 0
+    assert got.count() == 40
+
+
+def test_running_total_single_bucket_and_single_row(spark):
+    rows = [(1, 5, 0)]
+    out = P.running_total(_df(spark, rows), "bucket", ["id"], "v").collect()
+    assert out[0]["running"] == 5
+    rows = [(i, 1, 7) for i in range(5)]  # all one bucket
+    out = P.running_total(_df(spark, rows), "bucket", ["id"], "v")
+    assert [r["running"] for r in out.orderBy("id").collect()] == [
+        1, 2, 3, 4, 5]
+
+
+def test_milestones_multi_cross_and_exact_boundary(spark):
+    # running: 30, 100 (crosses 1,2 -> wait: 30->100 crosses 50 and 100:
+    # hi=2, lo=0, n_crossed=2), 150 (exact multiple: hi=3, lo=2 -> 1)
+    rows = [(1, 30, 0), (2, 70, 0), (3, 50, 1)]
+    out = P.running_milestones(
+        _df(spark, rows), "bucket", ["id"], "v", step=50,
+        id_cols=["id"]).orderBy("id").collect()
+    assert [(r["id"], r["milestone"], r["n_crossed"], r["running"])
+            for r in out] == [(2, 2, 2, 100), (3, 3, 1, 150)]
+
+
+def test_session_intervals_gap_and_bounds(spark):
+    rows = [
+        (1, _ts(10, 0, 0), 100), (2, _ts(10, 10, 0), 100),
+        (3, _ts(11, 0, 0), 100),   # 50 min gap -> new session
+        (4, _ts(10, 5, 0), 200),   # single-event session
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long")
+    iv = {(r["user_id"], r["session_seq"]):
+          (r["start_sec"], r["end_sec"], r["n_events"])
+          for r in P.session_intervals(ev).collect()}
+    base = int(_ts(10).replace(tzinfo=dt.timezone.utc).timestamp())
+    off = iv[(100, 1)][0] - base  # local-tz epoch offset, if any
+    assert iv[(100, 1)] == (base + off, base + off + 601, 2)
+    assert iv[(100, 2)] == (base + off + 3600, base + off + 3601, 1)
+    assert iv[(200, 1)][1] - iv[(200, 1)][0] == 1
+
+
+def test_peak_concurrency_carry_in_plateau(spark):
+    # Session A spans hours 1-3; hour 2 has NO change points (no row);
+    # hour 3's only change is A's end -> max(concurrent)=0 in-hour, but
+    # the carried-in plateau (1) must win the peak.
+    iv = spark.createDataFrame(
+        [(3600, 3 * 3600 + 100)], "start_sec long, end_sec long")
+    out = {int(r["hour"].timestamp()) // 3600:
+           (r["peak_concurrent"], r["end_concurrent"])
+           for r in P.peak_concurrency_hourly(iv).collect()}
+    assert out[1] == (1, 1)
+    assert 2 not in out          # constant curve, no change points
+    assert out[3] == (1, 0)      # plateau carry-in beats in-hour max
+
+
+def test_peak_concurrency_overlap_and_ties(spark):
+    # two sessions starting the SAME second + one ending there: the
+    # per-instant delta pre-aggregation makes the curve tie-free.
+    iv = spark.createDataFrame(
+        [(0, 1000), (1000, 2000), (1000, 1500)],
+        "start_sec long, end_sec long")
+    out = {int(r["hour"].timestamp()) // 3600:
+           (r["peak_concurrent"], r["end_concurrent"])
+           for r in P.peak_concurrency_hourly(iv).collect()}
+    assert out[0] == (2, 0)      # at t=1000: -1 +1 +1 -> 2 concurrent
+
+
+def test_plan_row_level_window_is_partitioned(spark, sf_dir):
+    from olap_xtrctr_spark.workload import WORKLOAD
+    df = WORKLOAD["events_revenue_milestones"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    row_level = [l for l in specs if "event_id" in l]
+    assert row_level, "row-level running-sum window missing from plan"
+    # the big-input window partitions by the hour bucket; only the
+    # |buckets|-row carry window may be unpartitioned
+    assert all("windowspecdefinition(hb" in l for l in row_level), \
+        "row-level window lost its bucket partition spec (single-" \
+        "partition global sort trap)"
