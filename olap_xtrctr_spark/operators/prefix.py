@@ -135,11 +135,14 @@ def peak_concurrency_hourly(intervals: DataFrame,
     change points carry the previous curve value and emit no row (the
     curve is constant there by construction).
     """
-    starts = intervals.select(F.col(start_col).alias("sec"),
-                              F.lit(1).alias("delta"))
-    ends = intervals.select(F.col(end_col).alias("sec"),
-                            F.lit(-1).alias("delta"))
-    net = (starts.unionByName(ends)
+    # explode, not a 2-branch union: the interval subplan (often a
+    # sessionize shuffle) is consumed exactly ONCE by construction
+    # instead of relying on ReuseExchange to dedup the two branches
+    pts = intervals.select(F.explode(F.array(
+        F.struct(F.col(start_col).alias("sec"), F.lit(1).alias("delta")),
+        F.struct(F.col(end_col).alias("sec"), F.lit(-1).alias("delta"))
+    )).alias("p"))
+    net = (pts.select("p.sec", "p.delta")
            .groupBy("sec").agg(F.sum("delta").alias("net"))
            .withColumn("hour", F.expr("sec div 3600")))
     curve = running_total(net, "hour", ["sec"], "net",

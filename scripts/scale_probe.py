@@ -278,6 +278,12 @@ PROBE_QUERIES = [
     # signature cost (documented linear), no all-pairs anywhere
     "emb_lsh_topk_exact",
     "emb_cross_split_leakage_lsh_exact",
+    # round-10 wave 2: the two-phase prefix family — the claim under
+    # test is that wall-clock tracks max(bucket size), not |input|
+    # (row-level windows stay partitioned; only the |buckets|-row
+    # carry window is serial)
+    "events_revenue_milestones",
+    "events_peak_concurrency",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
