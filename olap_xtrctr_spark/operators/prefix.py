@@ -72,8 +72,8 @@ def running_total(df: DataFrame, bucket_col: str, order_cols: list[str],
 
 def running_milestones(df: DataFrame, bucket_col: str,
                        order_cols: list[str], value_col: str,
-                       step: int, id_cols: list[str] | None = None
-                       ) -> DataFrame:
+                       step: int, id_cols: list[str] | None = None,
+                       base: int = 0) -> DataFrame:
     """Rows whose arrival pushes the global running total past one or
     more multiples of ``step`` (all-positive integral values).
 
@@ -82,16 +82,21 @@ def running_milestones(df: DataFrame, bucket_col: str,
     row crossed, and the exact running total — compact (≈ total/step
     rows) no matter how large the input, which is what makes the
     global prefix sum oracle-checkable at any scale.
+
+    ``base`` is a carry-in offset added to every running total: the
+    streaming fold passes the sum of all PRIOR batches, so per-batch
+    crossings equal the one-shot crossings on the concatenated input.
     """
     run = running_total(df, bucket_col, order_cols, value_col)
     # all-integer div: running totals can pass 2**53, where a double
     # division would silently lose the crossing
-    hi = F.expr(f"running div {int(step)}")
-    lo = F.expr(f"(running - {value_col}) div {int(step)}")
+    hi = F.expr(f"({int(base)} + running) div {int(step)}")
+    lo = F.expr(f"({int(base)} + running - {value_col}) div {int(step)}")
     keep = list(id_cols or order_cols)
     return (run.filter(hi > lo)
             .select(*keep, hi.alias("milestone"),
-                    (hi - lo).alias("n_crossed"), F.col("running")))
+                    (hi - lo).alias("n_crossed"),
+                    (F.col("running") + F.lit(int(base))).alias("running")))
 
 
 def session_intervals(events: DataFrame, gap_minutes: int = 30

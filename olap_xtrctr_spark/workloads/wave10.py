@@ -58,6 +58,108 @@ def register(add) -> None:
         FROM r
         WHERE running // {_STEP} > (running - v_tenk) // {_STEP}""")
 
+    # STREAMING cumulative milestones: an availableNow file stream
+    # (one time-ordered slice per micro-batch) folds each batch through
+    # running_milestones with the exact BIGINT carry of all prior
+    # batches; per-batch reports are idempotent (commit marker after
+    # report+carry), restart recovery reloads the last committed carry.
+    # Time-ordered arrival makes the folded crossings equal the
+    # one-shot crossings, so the SAME batch oracle certifies the
+    # stream -> carry-state -> report chain.  This is ingestion-time
+    # budget tracking (e.g. "stop at N tokens"): state is ONE integer,
+    # never a row set — bounded at any scale.
+    def stream_milestones(spark, sf):
+        import json
+        import os
+        import shutil
+
+        ev = _events(spark, sf)
+        sig = str(os.path.getsize(f"{sf}/events.parquet"))
+        root = os.path.join("/tmp", "olap_xtrctr_ms_stream",
+                            os.path.basename(os.path.normpath(sf)))
+        marker = os.path.join(root, "_DEMO_SRC")
+        if not (os.path.exists(marker)
+                and open(marker).read().strip() == sig):
+            shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(os.path.join(root, "src"), exist_ok=True)
+            lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+            lo_s, hi_s = (int(lo.timestamp()), int(hi.timestamp()) + 1)
+            span = max(1, (hi_s - lo_s + 3) // 4)
+            for i in range(4):   # 4 contiguous time slices
+                cond = (
+                    (F.unix_timestamp("ts") >= lo_s + i * span)
+                    & (F.unix_timestamp("ts") < lo_s + (i + 1) * span))
+                tmp = os.path.join(root, f"_tmp{i}")
+                ev.filter(cond).coalesce(1).write.mode(
+                    "overwrite").parquet(tmp)
+                part = next(f for f in os.listdir(tmp)
+                            if f.startswith("part-")
+                            and f.endswith(".parquet"))
+                dst = os.path.join(root, "src", f"batch{i}.parquet")
+                shutil.move(os.path.join(tmp, part), dst)
+                shutil.rmtree(tmp)
+                os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+            with open(marker, "w") as fh:
+                fh.write(sig)
+        out = os.path.join(root, "out")
+        os.makedirs(out, exist_ok=True)
+        state: dict = {"carry": None}
+
+        def fold(batch, batch_id: int) -> None:
+            cmark = os.path.join(out, f"_COMMITTED_b{batch_id}")
+            if os.path.exists(cmark):
+                return                     # replayed batch: no-op
+            carry = state["carry"]
+            if carry is None:              # restart recovery
+                carry = 0 if batch_id == 0 else json.load(
+                    open(os.path.join(out,
+                                      f"carry_b{batch_id - 1}.json")))
+            df = batch.select(
+                "event_id", "ts",
+                (F.col("value").cast("decimal(18,4)") * 10000)
+                .cast("long").alias("v_tenk"),
+                F.expr("unix_timestamp(ts) div 3600").alias("hb"))
+            rep = P.running_milestones(
+                df, "hb", ["ts", "event_id"], "v_tenk",
+                step=_STEP, id_cols=["event_id"], base=carry)
+            rep.write.mode("overwrite").parquet(
+                os.path.join(out, f"report_b{batch_id}"))
+            new_carry = carry + (df.agg(F.sum("v_tenk")).first()[0] or 0)
+            json.dump(new_carry, open(
+                os.path.join(out, f"carry_b{batch_id}.json"), "w"))
+            open(cmark, "w").close()
+            state["carry"] = new_carry
+
+        q = (spark.readStream.schema(ev.schema)
+             .option("maxFilesPerTrigger", 1)
+             .parquet(os.path.join(root, "src"))
+             .writeStream.foreachBatch(fold)
+             .option("checkpointLocation", os.path.join(root, "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return spark.read.parquet(os.path.join(out, "report_b*"))
+
+    add("events_stream_milestones", stream_milestones, f"""WITH v AS (
+          SELECT event_id, ts,
+                 CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                   AS v_tenk
+          FROM events),
+        r AS (
+          SELECT event_id, v_tenk,
+                 SUM(v_tenk) OVER (ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS running
+          FROM v)
+        SELECT event_id,
+               CAST(running // {_STEP} AS BIGINT) AS milestone,
+               CAST(running // {_STEP}
+                    - (running - v_tenk) // {_STEP} AS BIGINT)
+                 AS n_crossed,
+               CAST(running AS BIGINT) AS running
+        FROM r
+        WHERE running // {_STEP} > (running - v_tenk) // {_STEP}""")
+
     def concurrency(spark, sf):
         iv = P.session_intervals(_events(spark, sf))
         return P.peak_concurrency_hourly(iv)

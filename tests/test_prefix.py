@@ -95,6 +95,33 @@ def test_peak_concurrency_overlap_and_ties(spark):
     assert out[0] == (2, 0)      # at t=1000: -1 +1 +1 -> 2 concurrent
 
 
+def test_milestones_carry_base_equals_one_shot(spark):
+    rows = [(i, 17 + (i % 5), i // 3) for i in range(20)]
+    one_shot = P.running_milestones(
+        _df(spark, rows), "bucket", ["id"], "v", step=40,
+        id_cols=["id"]).collect()
+    # fold the same rows in two halves with the exact carry between
+    half = [r for r in rows if r[0] < 10], [r for r in rows if r[0] >= 10]
+    carry = sum(r[1] for r in half[0])
+    folded = (P.running_milestones(
+                  _df(spark, half[0]), "bucket", ["id"], "v", step=40,
+                  id_cols=["id"]).collect()
+              + P.running_milestones(
+                  _df(spark, half[1]), "bucket", ["id"], "v", step=40,
+                  id_cols=["id"], base=carry).collect())
+    key = lambda r: (r["id"], r["milestone"], r["n_crossed"], r["running"])
+    assert sorted(map(key, folded)) == sorted(map(key, one_shot))
+
+
+def test_stream_milestones_replay_is_idempotent(spark, sf_dir):
+    from olap_xtrctr_spark.workload import WORKLOAD
+    fn = WORKLOAD["events_stream_milestones"].fn
+    first = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    # second run re-reads committed reports (markers make folds no-ops)
+    again = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert first == again and first
+
+
 def test_plan_row_level_window_is_partitioned(spark, sf_dir):
     from olap_xtrctr_spark.workload import WORKLOAD
     df = WORKLOAD["events_revenue_milestones"].fn(spark, sf_dir)
