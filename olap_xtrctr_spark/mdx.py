@@ -76,6 +76,12 @@ backend/actions_runner.py:220-249, frontend/src/utils/mdxBuilder.ts:4-40):
       / AGGREGATE({ <member>, ... }, [Measures].[X]) — the base's own
       aggregator (query.SetAggRef: ONE conditional aggregate in the
       fact scan; WITH SET names expand inside calc expressions)
+      and set statistics
+      MEDIAN/MIN/MAX({ <member>, ... }, [Measures].[X])
+      (query.SetStatRef: order statistics over PER-MEMBER values —
+      one conditional aggregate per member in the same scan, the
+      statistic as a post-agg array expression; members may sit at
+      different depths, each cell evaluates independently)
 
 DMV dialect:
 

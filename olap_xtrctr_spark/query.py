@@ -239,6 +239,31 @@ class SetAggRef:
 
 
 @dataclass(eq=False)
+class SetStatRef:
+    """``MEDIAN({<member>, ...}, [Measures].[X])`` / ``MIN(...)`` /
+    ``MAX(...)`` — an order statistic over the PER-MEMBER values of a
+    measure (SSAS Median/Min/Max over a set): each member's value is
+    the measure evaluated on that member's slice alone, and the
+    statistic ranges over those values, NOT over the combined rows
+    (``MIN({A,B}, [Sum X])`` is min(sum_A, sum_B), which one
+    OR-predicate aggregate cannot express).
+
+    The engine still scans the fact table ONCE: every member becomes
+    its own conditional aggregate column in the main groupBy, and the
+    statistic is a post-aggregation array expression over those
+    columns (sort, drop empty cells, pick min/max/middles).  Set sizes
+    are axis-literal-sized, so the per-member column fanout is
+    bounded by the query text, never by the data.  Empty cells drop
+    out per SSAS (MEDIAN over {A,B_empty} = value of A); an all-empty
+    set yields NULL.  The median of an even count is the IEEE mean of
+    the two middle per-member doubles — both engines compute the same
+    ``(a+b)/2`` on the same bits."""
+    members: tuple
+    measure: str
+    stat: str          # "MEDIAN" | "MIN" | "MAX"
+
+
+@dataclass(eq=False)
 class YtdRef:
     """``SUM(YTD([Dim].[Hier][.CurrentMember]), [Measures].[X])`` — the
     SSAS year-to-date running total: the referenced expression
@@ -349,11 +374,12 @@ def parse_measure_expr(expr: str):
             return f
         if t is None:
             raise MeasureExprError(f"truncated expression: {expr!r}")
-        if t.upper() in ("SUM", "AGGREGATE"):
+        if t.upper() in ("SUM", "AGGREGATE", "MEDIAN", "MIN", "MAX"):
             # SUM(YTD([Dim].[Hier][.CurrentMember]), <expr>)
             # SUM(LASTPERIODS(n, [Dim].[Hier][.CurrentMember]), <expr>)
             # SUM({<member>, ...}, [Measures].[X])        (set literal)
             # AGGREGATE({<member>, ...}, [Measures].[X])
+            # MEDIAN/MIN/MAX({<member>, ...}, [Measures].[X])
             kw = t.upper()
             take()
             if take() != "(":
@@ -396,13 +422,17 @@ def parse_measure_expr(expr: str):
                         f"{kw} over a set aggregates ONE base "
                         f"measure ref: {expr!r}")
                 mem_t, meas = tuple(members), mm.group(1)
+                if kw in ("MEDIAN", "MIN", "MAX"):
+                    refs.append(("__setstat__", mem_t, meas, kw))
+                    return (lambda ms=mem_t, mn=meas, st=kw:
+                            lambda r: r(SetStatRef(ms, mn, st)))()
                 forced = kw == "SUM"
                 refs.append(("__setagg__", mem_t, meas, forced))
                 return (lambda ms=mem_t, mn=meas, fs=forced:
                         lambda r: r(SetAggRef(ms, mn, fs)))()
-            if kw == "AGGREGATE":
+            if kw in ("AGGREGATE", "MEDIAN", "MIN", "MAX"):
                 raise MeasureExprError(
-                    f"AGGREGATE takes ({{set}}, [Measures].[X]): "
+                    f"{kw} takes ({{set}}, [Measures].[X]): "
                     f"{expr!r}")
             fn = (take() or "").upper()
             if fn not in ("YTD", "LASTPERIODS") or take() != "(":
@@ -1125,6 +1155,56 @@ class CubeQueryEngine:
                 setagg_specs[key] = alias
                 setagg_dims.append((dim, hier, list(r[1])))
 
+        # ---- MEDIAN/MIN/MAX over a set literal (SetStatRef) ---------------
+        # Per-member conditional aggregates in the SAME groupBy (one
+        # fact scan; the statistic is a post-agg array expression).
+        # Unlike SetAggRef, members may sit at DIFFERENT depths — each
+        # member's cell is evaluated independently, so an ancestor
+        # next to its child is the SSAS contract, not double-counting.
+        setstat_specs: dict[tuple, str] = {}   # spec key -> alias prefix
+        setstat_dims: list = []                 # (dim, hier, members)
+        for c in req.calculated:
+            try:
+                _, prefs = parse_measure_expr(c.expr)
+            except MeasureExprError:
+                prefs = []
+            for r in prefs:
+                if isinstance(r, str) or r[0] != "__setstat__":
+                    continue
+                key = (r[1], r[2], r[3])
+                if key in setstat_specs:
+                    continue
+                parsed = [naming.parse(m) for m in r[1]]
+                dh = {(p.dimension, p.hierarchy) for p in parsed}
+                if len(dh) != 1:
+                    raise QueryValidationError(
+                        f"set-statistic members must share one "
+                        f"[Dim].[Hier], got {sorted(dh)}")
+                mkeys = [tuple(p.keys) for p in parsed]
+                if len(set(mkeys)) != len(mkeys):
+                    dup = sorted({k for k in mkeys
+                                  if mkeys.count(k) > 1})
+                    raise QueryValidationError(
+                        f"set-statistic members must be distinct "
+                        f"(duplicates {dup} would skew the "
+                        f"per-member value distribution)")
+                try:
+                    dim = cube.dimension(parsed[0].dimension)
+                    hier = dim.hierarchy(parsed[0].hierarchy)
+                except KeyError as e:
+                    raise QueryValidationError(
+                        f"unknown dimension/hierarchy in set-"
+                        f"statistic: {e.args[0]!r}") from e
+                try:
+                    cube.measure(r[2])
+                except KeyError as e:
+                    raise QueryValidationError(
+                        f"unknown measure in set-statistic: "
+                        f"{e.args[0]!r}") from e
+                alias = f"_setstat_{len(setstat_specs)}"
+                setstat_specs[key] = alias
+                setstat_dims.append((dim, hier, list(r[1])))
+
         if (req.calculated or req.having or req.topcount
                 or req.order_by or req.head_tail
                 or req.toppercent) and variables:
@@ -1157,6 +1237,7 @@ class CubeQueryEngine:
                     + [d for d, _, _ in filters]
                     + [d for d, _, _ in slicer_parsed]
                     + [d for d, _, _ in setagg_dims]
+                    + [d for d, _, _ in setstat_dims]
                     + ([var_dim] if var_dim else [])):
             if dim.view is not None:
                 needed_views.setdefault(dim.view, dim)
@@ -1196,7 +1277,8 @@ class CubeQueryEngine:
             except MeasureExprError:
                 prefs = []
             for r in prefs:
-                if not isinstance(r, str) and r[0] != "__setagg__":
+                if not isinstance(r, str) and r[0] not in (
+                        "__setagg__", "__setstat__"):
                     prev_hiers.add((r[1].upper(), r[2].upper()))
 
         def _is_lag_axis(ax) -> bool:
@@ -1225,6 +1307,23 @@ class CubeQueryEngine:
         # CASE WHEN <member-path predicate> THEN src END through the
         # base measure's own aggregator (DECIMAL(18,4) for SUM/AVG —
         # the Measure.agg_expr discipline)
+        def _cond_agg(m, pred, alias) -> Column:
+            """The measure's own aggregator over CASE WHEN pred THEN
+            src END (DECIMAL(18,4) for SUM/AVG — Measure.agg_expr
+            discipline); shared by SetAggRef and SetStatRef columns."""
+            agg = m.aggregator.upper()
+            if agg == "COUNT" and m.source_col is None:
+                return F.count(F.when(pred, F.lit(1))).alias(alias)
+            col = F.when(pred, F.col(m.source_col))
+            if agg == "SUM":
+                return (F.sum(col.cast("decimal(18,4)")).cast("double")
+                        .alias(alias))
+            if agg == "AVG":
+                return (F.sum(col.cast("decimal(18,4)")).cast("double")
+                        / F.count(col)).alias(alias)
+            fn = {"COUNT": F.count, "MIN": F.min, "MAX": F.max}[agg]
+            return fn(col).alias(alias)
+
         setagg_aggs: list[Column] = []
         for (members, meas_name, _forced), alias in setagg_specs.items():
             dim, hier, mlist = next(
@@ -1232,25 +1331,21 @@ class CubeQueryEngine:
                 if tuple(ms) == members)
             paths = self._member_paths(cube, dim, hier, mlist)
             pred = self._paths_predicate(joined, paths)
+            setagg_aggs.append(
+                _cond_agg(cube.measure(meas_name), pred, alias))
+
+        # one conditional aggregate PER MEMBER for the set statistics
+        # (still the same single scan; fanout = set literal size)
+        setstat_aggs: list[Column] = []
+        for (members, meas_name, _stat), alias in setstat_specs.items():
+            dim, hier, mlist = next(
+                (d, h, ms) for d, h, ms in setstat_dims
+                if tuple(ms) == members)
             m = cube.measure(meas_name)
-            agg = m.aggregator.upper()
-            if agg == "COUNT" and m.source_col is None:
-                setagg_aggs.append(
-                    F.count(F.when(pred, F.lit(1))).alias(alias))
-            else:
-                col = F.when(pred, F.col(m.source_col))
-                if agg == "SUM":
-                    setagg_aggs.append(
-                        F.sum(col.cast("decimal(18,4)")).cast("double")
-                        .alias(alias))
-                elif agg == "AVG":
-                    setagg_aggs.append(
-                        (F.sum(col.cast("decimal(18,4)")).cast("double")
-                         / F.count(col)).alias(alias))
-                else:
-                    fn = {"COUNT": F.count, "MIN": F.min,
-                          "MAX": F.max}[agg]
-                    setagg_aggs.append(fn(col).alias(alias))
+            for i, mem in enumerate(mlist):
+                paths = self._member_paths(cube, dim, hier, [mem])
+                pred = self._paths_predicate(joined, paths)
+                setstat_aggs.append(_cond_agg(m, pred, f"{alias}_{i}"))
 
         if variables:
             # Q17: variables take the COLUMNS role → pivot on the leaf
@@ -1276,13 +1371,17 @@ class CubeQueryEngine:
 
         if group_cols:
             out = joined.groupBy(*group_cols).agg(
-                *[m.agg_expr() for m in measures], *setagg_aggs)
+                *[m.agg_expr() for m in measures], *setagg_aggs,
+                *setstat_aggs)
         else:
             out = joined.agg(*[m.agg_expr() for m in measures],
-                             *setagg_aggs)
+                             *setagg_aggs, *setstat_aggs)
 
         # NON EMPTY: drop rows whose measure cells are all NULL (Q12).
-        if req.non_empty and not any(m.never_null for m in measures):
+        # An all-calculated query has no base measures to test — the
+        # calc columns don't exist yet here, so the drop is a no-op.
+        if req.non_empty and measures \
+                and not any(m.never_null for m in measures):
             cond = reduce(lambda a, b: a | b,
                           [F.col(m.out_name or m.name).isNotNull()
                            for m in measures])
@@ -1305,6 +1404,23 @@ class CubeQueryEngine:
             if isinstance(name, SetAggRef):
                 return F.col(setagg_specs[
                     (name.members, name.measure, name.forced_sum)])
+            if isinstance(name, SetStatRef):
+                alias = setstat_specs[
+                    (name.members, name.measure, name.stat)]
+                arr = F.array_sort(F.filter(
+                    F.array(*[F.col(f"{alias}_{i}")
+                              for i in range(len(name.members))]),
+                    lambda x: x.isNotNull()))
+                n = F.size(arr)
+                if name.stat == "MIN":
+                    return F.when(n > 0, F.element_at(arr, 1))
+                if name.stat == "MAX":
+                    return F.when(n > 0, F.element_at(arr, n))
+                # MEDIAN: IEEE mean of the two middle per-member
+                # values (the same element twice for odd counts)
+                a = F.element_at(arr, ((n + 1) / 2).cast("int"))
+                b = F.element_at(arr, ((n + 2) / 2).cast("int"))
+                return F.when(n > 0, (a + b) / F.lit(2.0))
             if isinstance(name, (LagRef, YtdRef, LastPeriodsRef)):
                 order = axis_order.get(
                     (name.dimension.upper(), name.hierarchy.upper()))
@@ -1448,7 +1564,7 @@ class CubeQueryEngine:
                 out = out.orderBy(*fwd).limit(req.head_tail.n)
         if calc_plan or req.having or req.topcount or req.order_by \
                 or req.head_tail or req.toppercent or ordinal_names \
-                or setagg_aggs:
+                or setagg_aggs or setstat_aggs:
             # project LAST to the SELECTED measures, so FILTER/TOPCOUNT/
             # ORDER can reference bases or calcs that are not in the
             # output (Spark keeps the sort order across the projection).

@@ -10,8 +10,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..mdx import parse_mdx
 from ..operators import prefix as P
 from ..session import load_table
+from ..workload_shared import CATALOG, SUM_D, _FACT_OW, _OW, _eng
 
 
 def _events(spark, sf):
@@ -209,3 +211,52 @@ def register(add) -> None:
                CAST(arg_max(concurrent, sec) AS BIGINT)
                  AS end_concurrent
         FROM curve GROUP BY hour""")
+
+    # MDX set statistics (query.SetStatRef): MEDIAN/MIN over the
+    # per-region values of a measure — per-member conditional
+    # aggregates in the SAME fact scan, the statistic as a post-agg
+    # array expression.  NOT expressible as one OR-predicate aggregate
+    # (median of per-member sums != any aggregate of the union slice).
+    _REGION_SET = ("{ [Dim Customer].[Geografía].[Region].&[0], "
+                   "[Dim Customer].[Geografía].[Region].&[1], "
+                   "[Dim Customer].[Geografía].[Region].&[2], "
+                   "[Dim Customer].[Geografía].[Region].&[3], "
+                   "[Dim Customer].[Geografía].[Region].&[4] }")
+    add("cube_median_region_sales",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "WITH MEMBER [Measures].[Median Region Sales] AS "
+            f"MEDIAN({_REGION_SET}, [Measures].[Sum Extendedprice]) "
+            "MEMBER [Measures].[Min Region Sales] AS "
+            f"MIN({_REGION_SET}, [Measures].[Sum Extendedprice]) "
+            "SELECT { [Measures].[Sum Extendedprice], "
+            "[Measures].[Median Region Sales], "
+            "[Measures].[Min Region Sales] } ON COLUMNS, "
+            "[D Tiempo].[Calendario].[Año].MEMBERS ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH {_OW},
+        a AS (
+          SELECT CAST(year(l_shipdate) AS INTEGER) AS anio,
+                 cust_region_key AS rk,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                      AS DOUBLE) AS v
+          FROM {_FACT_OW} GROUP BY 1, 2),
+        tot AS (
+          SELECT CAST(year(l_shipdate) AS INTEGER) AS anio,
+                 {SUM_D('l_extendedprice')} AS sum_extendedprice
+          FROM {_FACT_OW} GROUP BY 1),
+        r AS (
+          SELECT anio, v,
+                 ROW_NUMBER() OVER (PARTITION BY anio ORDER BY v, rk)
+                   AS rn,
+                 COUNT(*) OVER (PARTITION BY anio) AS n
+          FROM a),
+        med AS (
+          SELECT anio,
+                 (MAX(CASE WHEN rn = (n + 1) // 2 THEN v END)
+                  + MAX(CASE WHEN rn = (n + 2) // 2 THEN v END)) / 2.0
+                   AS median_region_sales,
+                 MIN(v) AS min_region_sales
+          FROM r GROUP BY anio)
+        SELECT tot.anio, sum_extendedprice, median_region_sales,
+               min_region_sales
+        FROM tot JOIN med USING (anio)""")

@@ -1464,3 +1464,113 @@ def test_drillthrough_set_in_slicer_ors(spark, sf_dir):
     mixed = n(f"({P}.&[1-URGENT], "
               "[Dim Orders].[Estado].[Estado].&[F])")
     assert 0 < mixed < urgent
+
+
+# ---- set statistics: MEDIAN/MIN/MAX({set}, [Measures].[X]) ----------------
+
+def test_setstat_known_values(spark, sf_dir):
+    import duckdb
+
+    G = "[Dim Customer].[Geografía].[Region]"
+    rset = "{ " + ", ".join(f"{G}.&[{k}]" for k in range(5)) + " }"
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    df = eng.execute(parse_mdx(
+        "WITH MEMBER [Measures].[Med] AS "
+        f"MEDIAN({rset}, [Measures].[Sum Extendedprice]) "
+        "MEMBER [Measures].[Lo] AS "
+        f"MIN({rset}, [Measures].[Sum Extendedprice]) "
+        "MEMBER [Measures].[Hi] AS "
+        f"MAX({rset}, [Measures].[Sum Extendedprice]) "
+        "SELECT { [Measures].[Med], [Measures].[Lo], [Measures].[Hi] } "
+        "ON COLUMNS, [D Tiempo].[Calendario].[Año].MEMBERS ON ROWS "
+        "FROM [sales]", "VENTAS_2025"))
+    got = {r["anio"]: (r["med"], r["lo"], r["hi"]) for r in df.collect()}
+    con = duckdb.connect()
+    per = con.execute(f"""
+        WITH l AS (SELECT * FROM '{sf_dir}/lineitem.parquet'),
+        o AS (SELECT * FROM '{sf_dir}/orders.parquet'),
+        c AS (SELECT * FROM '{sf_dir}/customer.parquet'),
+        n AS (SELECT * FROM '{sf_dir}/nation.parquet')
+        SELECT year(l_shipdate) AS y, n_regionkey AS rk,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                    AS DOUBLE) AS v
+        FROM l JOIN o ON l_orderkey = o_orderkey
+        JOIN c ON o_custkey = c_custkey
+        JOIN n ON c_nationkey = n_nationkey
+        GROUP BY 1, 2""").fetchall()
+    by_year: dict = {}
+    for y, _rk, v in per:
+        by_year.setdefault(y, []).append(v)
+    for y, vs in by_year.items():
+        vs.sort()
+        m = len(vs)
+        want_med = (vs[(m + 1) // 2 - 1] + vs[(m + 2) // 2 - 1]) / 2.0
+        assert got[y] == (want_med, vs[0], vs[-1]), y
+
+
+def test_setstat_mixed_depth_allowed(spark, sf_dir):
+    # an ancestor next to a leaf is legal for statistics (each member
+    # evaluates independently) — the setagg double-count rule must NOT
+    # fire here; MAX(region 1, one of its nations) == region 1's value
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    df = eng.execute(parse_mdx(
+        "WITH MEMBER [Measures].[Hi] AS "
+        "MAX({ [Dim Customer].[Geografía].[Region].&[1], "
+        "[Dim Customer].[Geografía].[Region].&[1].&[1] }, "
+        "[Measures].[Sum Extendedprice]) "
+        "MEMBER [Measures].[Parent] AS "
+        "SUM({ [Dim Customer].[Geografía].[Region].&[1] }, "
+        "[Measures].[Sum Extendedprice]) "
+        "SELECT { [Measures].[Hi], [Measures].[Parent] } ON COLUMNS "
+        "FROM [sales]", "VENTAS_2025"))
+    row = df.collect()[0]
+    assert row["hi"] == row["parent"]
+
+
+def test_setstat_parse_and_validation_negatives(spark, sf_dir):
+    from olap_xtrctr_spark.query import (MeasureExprError,
+                                         QueryValidationError,
+                                         parse_measure_expr)
+
+    for expr in [
+        "MEDIAN(YTD([D].[H]), [Measures].[X])",   # set-literal only
+        "MIN({}, [Measures].[X])",
+        "MAX({ [D].[H].[L].&[1] }, [Measures].[X] + 1)",
+    ]:
+        with pytest.raises(MeasureExprError):
+            parse_measure_expr(expr)
+
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    base = ("WITH MEMBER [Measures].[Bad] AS {expr} "
+            "SELECT {{ [Measures].[Bad] }} ON COLUMNS, "
+            "[D Tiempo].[Calendario].[Año].MEMBERS ON ROWS "
+            "FROM [sales]")
+    G = "[Dim Customer].[Geografía].[Region]"
+    cases = [
+        (f"MEDIAN({{ {G}.&[1], {G}.&[1] }}, "
+         "[Measures].[Sum Quantity])", "distinct"),
+        (f"MEDIAN({{ {G}.&[1], [Dim Product].[Producto].[Brand].&[x] }}"
+         ", [Measures].[Sum Quantity])", "share one"),
+        (f"MEDIAN({{ {G}.&[1] }}, [Measures].[Nope])", "unknown measure"),
+    ]
+    for expr, msg in cases:
+        with pytest.raises(QueryValidationError, match=msg):
+            eng.execute(parse_mdx(base.format(expr=expr), "VENTAS_2025"))
+
+
+def test_setstat_single_scan_plan(spark, sf_dir):
+    # all per-member columns ride ONE fact aggregation: exactly one
+    # scan of lineitem in the physical plan
+    G = "[Dim Customer].[Geografía].[Region]"
+    rset = "{ " + ", ".join(f"{G}.&[{k}]" for k in range(5)) + " }"
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    df = eng.execute(parse_mdx(
+        "WITH MEMBER [Measures].[Med] AS "
+        f"MEDIAN({rset}, [Measures].[Sum Extendedprice]) "
+        "SELECT { [Measures].[Med] } ON COLUMNS, "
+        "[D Tiempo].[Calendario].[Año].MEMBERS ON ROWS "
+        "FROM [sales]", "VENTAS_2025"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines()
+             if "Scan parquet" in l and "lineitem" in l]
+    assert len(scans) == 1, plan
