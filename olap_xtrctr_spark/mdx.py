@@ -82,6 +82,10 @@ backend/actions_runner.py:220-249, frontend/src/utils/mdxBuilder.ts:4-40):
       one conditional aggregate per member in the same scan, the
       statistic as a post-agg array expression; members may sit at
       different depths, each cell evaluates independently)
+      and axis ranking
+      RANK([Dim].[Hier].CurrentMember, <expr>)
+      (query.RankRef: one rank() window over the axis rows — the axis
+      is the implicit set; ties share a rank with gaps)
 
 DMV dialect:
 

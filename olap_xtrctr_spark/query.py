@@ -172,6 +172,9 @@ _MEASURE_REF = re.compile(r"\[Measures\]\s*\.\s*\[([^\]]+)\]")
 _PREV_REF = re.compile(
     r"\[([^\]]+)\]\s*\.\s*\[([^\]]+)\](?:\s*\.\s*CURRENTMEMBER)?"
     r"\s*\.\s*(PREVMEMBER|NEXTMEMBER)", re.IGNORECASE)
+_CURMEM_REF = re.compile(
+    r"\[([^\]]+)\]\s*\.\s*\[([^\]]+)\]\s*\.\s*CURRENTMEMBER",
+    re.IGNORECASE)
 
 
 @dataclass(eq=False)
@@ -261,6 +264,28 @@ class SetStatRef:
     members: tuple
     measure: str
     stat: str          # "MEDIAN" | "MIN" | "MAX"
+
+
+@dataclass(eq=False)
+class RankRef:
+    """``RANK([Dim].[Hier].CurrentMember, <expr>)`` inside a
+    calculated-measure expression — the SSAS ranking idiom with the
+    ROW AXIS as the implicit set: each axis row's 1-based position
+    among its peers when ordered by the expression DESCENDING (the
+    "rank nations by sales next to the sales column" report shape).
+    A deliberate grammar subset (the engine contract: parse the
+    subset, error on the rest): the full SSAS form names an explicit
+    set, but the axis-set case is the one the reference's report
+    surface produces.
+
+    Realized as one ``rank()`` window over the materialized axis rows
+    — partitioned by every OTHER row hierarchy, ordered by the
+    expression only (no tiebreak columns, so equal values SHARE a
+    rank with gaps, the SQL RANK contract); empty cells order last.
+    Cost is axis-sized, never fact-sized."""
+    dimension: str
+    hierarchy: str
+    col: Column
 
 
 @dataclass(eq=False)
@@ -374,6 +399,26 @@ def parse_measure_expr(expr: str):
             return f
         if t is None:
             raise MeasureExprError(f"truncated expression: {expr!r}")
+        if t.upper() == "RANK":
+            # RANK([Dim].[Hier].CurrentMember, <expr>) — rank among
+            # the axis rows of that hierarchy by <expr> DESC
+            take()
+            if take() != "(":
+                raise MeasureExprError(
+                    f"expected RANK([Dim].[Hier].CurrentMember, "
+                    f"<expr>): {expr!r}")
+            cm = _CURMEM_REF.fullmatch(take() or "")
+            if not cm or take() != ",":
+                raise MeasureExprError(
+                    f"RANK takes ([Dim].[Hier].CurrentMember, "
+                    f"<expr>): {expr!r}")
+            f = cmp_()
+            if take() != ")":
+                raise MeasureExprError(f"unbalanced parens in {expr!r}")
+            dim, hier = cm.group(1).strip(), cm.group(2).strip()
+            refs.append(("__rank__", dim, hier))
+            return (lambda inner, d=dim, h=hier:
+                    lambda r: r(RankRef(d, h, inner(r))))(f)
         if t.upper() in ("SUM", "AGGREGATE", "MEDIAN", "MIN", "MAX"):
             # SUM(YTD([Dim].[Hier][.CurrentMember]), <expr>)
             # SUM(LASTPERIODS(n, [Dim].[Hier][.CurrentMember]), <expr>)
@@ -1421,7 +1466,8 @@ class CubeQueryEngine:
                 a = F.element_at(arr, ((n + 1) / 2).cast("int"))
                 b = F.element_at(arr, ((n + 2) / 2).cast("int"))
                 return F.when(n > 0, (a + b) / F.lit(2.0))
-            if isinstance(name, (LagRef, YtdRef, LastPeriodsRef)):
+            if isinstance(name, (LagRef, YtdRef, LastPeriodsRef,
+                                 RankRef)):
                 order = axis_order.get(
                     (name.dimension.upper(), name.hierarchy.upper()))
                 if order is None:
@@ -1437,6 +1483,13 @@ class CubeQueryEngine:
                             f"[{name.hierarchy}] is not on ROWS")
                     order = hits[0]
                 others = [g for g in group_names if g not in order]
+                if isinstance(name, RankRef):
+                    # no tiebreak columns: equal values share a rank
+                    # (with gaps), the SQL RANK / SSAS tie contract
+                    w = SqlWindow.partitionBy(
+                        *[F.col(g) for g in others]).orderBy(
+                        name.col.desc_nulls_last())
+                    return F.rank().over(w)
                 if isinstance(name, LagRef):
                     w = SqlWindow.partitionBy(
                         *[F.col(g) for g in others]).orderBy(
@@ -1491,7 +1544,8 @@ class CubeQueryEngine:
             done_calcs[c.name] = c.alias
 
         def resolve_out(name):
-            if isinstance(name, (LagRef, YtdRef, LastPeriodsRef)):
+            if isinstance(name, (LagRef, YtdRef, LastPeriodsRef,
+                                 RankRef)):
                 return resolve(name)
             calc = {c.name: c for c in req.calculated}.get(name)
             if calc is not None:

@@ -260,3 +260,24 @@ def register(add) -> None:
         SELECT tot.anio, sum_extendedprice, median_region_sales,
                min_region_sales
         FROM tot JOIN med USING (anio)""")
+
+    # RANK over the axis set (query.RankRef): one rank() window over
+    # the aggregated axis rows — axis-sized cost, ties share a rank.
+    add("cube_rank_nations",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "WITH MEMBER [Measures].[Sales Rank] AS "
+            "RANK([Dim Customer].[Geografía].CurrentMember, "
+            "[Measures].[Sum Extendedprice]) "
+            "SELECT { [Measures].[Sum Extendedprice], "
+            "[Measures].[Sales Rank] } ON COLUMNS, "
+            "[Dim Customer].[Geografía].[Nation].MEMBERS ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH {_OW},
+        a AS (
+          SELECT cust_nation AS nation,
+                 {SUM_D('l_extendedprice')} AS sum_extendedprice
+          FROM {_FACT_OW} GROUP BY 1)
+        SELECT nation, sum_extendedprice,
+               CAST(RANK() OVER (ORDER BY sum_extendedprice DESC
+                                 NULLS LAST) AS INTEGER) AS sales_rank
+        FROM a""")

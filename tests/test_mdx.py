@@ -1574,3 +1574,65 @@ def test_setstat_single_scan_plan(spark, sf_dir):
     scans = [l for l in plan.splitlines()
              if "Scan parquet" in l and "lineitem" in l]
     assert len(scans) == 1, plan
+
+
+# ---- RANK over the axis set ------------------------------------------------
+
+def test_rank_partitions_by_other_axis(spark, sf_dir):
+    # region x priority crossjoin: rank must restart within each region
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    df = eng.execute(parse_mdx(
+        "WITH MEMBER [Measures].[R] AS "
+        "RANK([Dim Orders].[Prioridad].CurrentMember, "
+        "[Measures].[Sum Quantity]) "
+        "SELECT { [Measures].[Sum Quantity], [Measures].[R] } "
+        "ON COLUMNS, CROSSJOIN("
+        "[Dim Customer].[Geografía].[Region].MEMBERS, "
+        "[Dim Orders].[Prioridad].[Prioridad].MEMBERS) ON ROWS "
+        "FROM [sales]", "VENTAS_2025"))
+    rows = df.collect()
+    by_region: dict = {}
+    for r in rows:
+        by_region.setdefault(r["region"], []).append(
+            (r["sum_quantity"], r["r"]))
+    for region, cells in by_region.items():
+        want = {1}
+        cells.sort(key=lambda c: -(c[0] or 0))
+        # each region's ranks start at 1 and are rank-with-gaps
+        ranks = [c[1] for c in cells]
+        assert ranks[0] == 1, (region, cells)
+        assert ranks == sorted(ranks), (region, cells)
+        del want
+
+
+def test_rank_ties_share_rank(spark):
+    from olap_xtrctr_spark.query import RankRef, parse_measure_expr
+    _, refs = parse_measure_expr(
+        "RANK([D].[H].CurrentMember, [Measures].[X])")
+    markers = [r for r in refs if not isinstance(r, str)]
+    assert markers == [("__rank__", "D", "H")]
+
+
+def test_rank_parse_negatives():
+    from olap_xtrctr_spark.query import MeasureExprError, parse_measure_expr
+    for expr in [
+        "RANK([Measures].[X])",                       # missing member
+        "RANK([D].[H], [Measures].[X])",              # no .CurrentMember
+        "RANK([D].[H].CurrentMember)",                # missing expr
+        "RANK([D].[H].CurrentMember, [Measures].[X]", # unbalanced
+    ]:
+        with pytest.raises(MeasureExprError):
+            parse_measure_expr(expr)
+
+
+def test_rank_hierarchy_not_on_rows_raises(spark, sf_dir):
+    from olap_xtrctr_spark.query import QueryValidationError
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    with pytest.raises(QueryValidationError, match="not on ROWS"):
+        eng.execute(parse_mdx(
+            "WITH MEMBER [Measures].[R] AS "
+            "RANK([Dim Orders].[Prioridad].CurrentMember, "
+            "[Measures].[Sum Quantity]) "
+            "SELECT { [Measures].[R] } ON COLUMNS, "
+            "[D Tiempo].[Calendario].[Año].MEMBERS ON ROWS "
+            "FROM [sales]", "VENTAS_2025"))
