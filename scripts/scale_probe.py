@@ -284,6 +284,11 @@ PROBE_QUERIES = [
     # carry window is serial)
     "events_revenue_milestones",
     "events_peak_concurrency",
+    "events_stream_milestones",
+    # post-agg MDX additions (axis-sized windows/arrays over the same
+    # single-scan star plan)
+    "cube_median_region_sales",
+    "cube_rank_nations",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
