@@ -87,6 +87,10 @@ backend/actions_runner.py:220-249, frontend/src/utils/mdxBuilder.ts:4-40):
       (query.RankRef: one rank() window over the axis rows — the axis
       is the implicit set; ties share a rank with gaps)
 
+    ... CELL PROPERTIES VALUE[, FORMATTED_VALUE ...] — accepted and
+      validated for SSAS-client wire compatibility (Excel/SSMS append
+      it to every SELECT); the engine returns VALUE regardless
+
 DMV dialect:
 
     SELECT [c1],[c2] | * FROM $system.<ROWSET>
@@ -373,6 +377,12 @@ _CALC_DEF = re.compile(
 # (SSAS scopes named sets to the query; no engine state needed).
 # build_mdx emits the EXPANDED set, so parse -> build -> parse is a
 # fixpoint even though the name itself is not round-tripped.
+# the SSAS cell-property names clients actually send; parse_mdx
+# validates against this set and the engine returns VALUE regardless
+_CELL_PROPERTIES = frozenset({
+    "VALUE", "FORMATTED_VALUE", "FORMAT_STRING", "CELL_ORDINAL",
+    "FORE_COLOR", "BACK_COLOR", "FONT_FLAGS", "LANGUAGE"})
+
 _SET_DEF = re.compile(
     r"SET\s+\[([^\]]+)\]\s+AS\s+'?(\{[^{}]*\})'?\s*",
     re.IGNORECASE | re.DOTALL)
@@ -380,6 +390,22 @@ _SET_DEF = re.compile(
 
 def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
     flat = " ".join(mdx.split())
+
+    # -- CELL PROPERTIES VALUE[, ...] (SSAS clients append this to
+    # every SELECT; validated names, engine returns VALUE regardless) --
+    cell_props: list[str] = []
+    cp = re.search(
+        r"\s+CELL\s+PROPERTIES\s+(?P<props>[A-Za-z_]+"
+        r"(?:\s*,\s*[A-Za-z_]+)*)\s*$", flat, re.IGNORECASE)
+    if cp:
+        cell_props = [p.strip().upper()
+                      for p in cp.group("props").split(",")]
+        unknown = [p for p in cell_props if p not in _CELL_PROPERTIES]
+        if unknown:
+            raise MdxParseError(
+                f"unknown CELL PROPERTIES {unknown} (supported: "
+                f"{sorted(_CELL_PROPERTIES)})")
+        flat = flat[:cp.start()].strip()
 
     # DRILLTHROUGH [MAXROWS n] SELECT ... [RETURN c1, c2] — strip the
     # prefix (and the trailing RETURN column list), parse the inner
@@ -401,6 +427,10 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
             ret_cols = [c.strip() for c in re.split(r",(?![^\[]*\])",
                                                     rm.group(1))]
             body = body[:rm.start()]
+        if cell_props:
+            raise MdxParseError(
+                "DRILLTHROUGH does not take CELL PROPERTIES (SSAS "
+                "grammar: the clause belongs to SELECT)")
         req = parse_mdx(body, catalog)
         req.drillthrough = True
         req.max_rows = int(dt.group(1)) if dt.group(1) else None
@@ -513,7 +543,8 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
         rows_raw = m.group("rows")
 
     req = QueryRequest(catalog=catalog, cube=m.group("cube").strip("[]"),
-                       calculated=calcs, subselects=subselects)
+                       calculated=calcs, subselects=subselects,
+                       cell_properties=cell_props)
 
     # -- columns: measures / AllMembers / variables ------------------------
     cols = m.group("cols").strip()
@@ -797,6 +828,9 @@ def build_mdx(req: QueryRequest, cube_name: str | None = None) -> str:
         parts.append("WHERE (" + ", ".join(req.slicers) + ")")
     if getattr(req, "return_cols", None):
         parts.append("RETURN " + ", ".join(req.return_cols))
+    if getattr(req, "cell_properties", None):
+        parts.append("CELL PROPERTIES "
+                     + ", ".join(req.cell_properties))
     return " ".join(parts)
 
 

@@ -597,6 +597,13 @@ class QueryRequest:
     # and unlike Q10 filters it is NOT dropped when its hierarchy is
     # on rows — restricting a rows hierarchy is the main use)
     subselects: list[FilterSpec] = field(default_factory=list)
+    # CELL PROPERTIES VALUE[, FORMATTED_VALUE ...] — SSAS clients
+    # (Excel, SSMS) append this to every query; the engine validates
+    # the names and returns VALUE regardless (formatting is a client
+    # concern here — FORMAT_STRING lives in measure metadata), so the
+    # clause is accepted for wire compatibility, round-tripped by
+    # build_mdx, and otherwise a no-op.
+    cell_properties: list[str] = field(default_factory=list)
 
 
 @dataclass

@@ -1636,3 +1636,46 @@ def test_rank_hierarchy_not_on_rows_raises(spark, sf_dir):
             "SELECT { [Measures].[R] } ON COLUMNS, "
             "[D Tiempo].[Calendario].[Año].MEMBERS ON ROWS "
             "FROM [sales]", "VENTAS_2025"))
+
+
+# ---- CELL PROPERTIES (SSAS client compat) ----------------------------------
+
+def test_cell_properties_parse_roundtrip_and_execute(spark, sf_dir):
+    from olap_xtrctr_spark.mdx import build_mdx
+    mdx = ("SELECT { [Measures].[Sum Extendedprice] } ON COLUMNS, "
+           "[Dim Customer].[Geografía].[Region].MEMBERS ON ROWS "
+           "FROM [sales] "
+           "CELL PROPERTIES VALUE, FORMATTED_VALUE, FORMAT_STRING")
+    req = parse_mdx(mdx, "VENTAS_2025")
+    assert req.cell_properties == ["VALUE", "FORMATTED_VALUE",
+                                   "FORMAT_STRING"]
+    assert parse_mdx(build_mdx(req), "VENTAS_2025") == req
+    # the clause is a no-op on results: same rows as the bare query
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    with_cp = sorted(map(tuple, eng.execute(req).collect()))
+    bare = sorted(map(tuple, eng.execute(parse_mdx(
+        mdx.split(" CELL PROPERTIES")[0], "VENTAS_2025")).collect()))
+    assert with_cp == bare
+
+
+def test_cell_properties_negatives():
+    with pytest.raises(MdxParseError, match="unknown CELL PROPERTIES"):
+        parse_mdx(
+            "SELECT { [Measures].[X] } ON COLUMNS FROM [sales] "
+            "CELL PROPERTIES VALUE, SPARKLE", "VENTAS_2025")
+    with pytest.raises(MdxParseError, match="DRILLTHROUGH does not"):
+        parse_mdx(
+            "DRILLTHROUGH SELECT { [Measures].[X] } ON COLUMNS "
+            "FROM [sales] CELL PROPERTIES VALUE", "VENTAS_2025")
+
+
+def test_cell_properties_where_still_parses():
+    req = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "[Dim Customer].[Geografía].[Region].MEMBERS ON ROWS "
+        "FROM [sales] "
+        "WHERE ([Dim Orders].[Prioridad].[Prioridad].&[1-URGENT]) "
+        "CELL PROPERTIES VALUE", "VENTAS_2025")
+    assert req.cell_properties == ["VALUE"]
+    assert req.slicers == [
+        "[Dim Orders].[Prioridad].[Prioridad].&[1-URGENT]"]
