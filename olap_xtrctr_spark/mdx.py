@@ -11,6 +11,10 @@ backend/actions_runner.py:220-249, frontend/src/utils/mdxBuilder.ts:4-40):
     FROM [cube]
     [WHERE ( <member> [, <member>...] )]
 
+    Axis ordinals: ON 0 / ON 1 / ON AXIS(0) / ON AXIS(1) are accepted
+    as spellings of ON COLUMNS / ON ROWS (the Excel/ADOMD form);
+    ordinals >= 2 (PAGES...) stay unsupported.
+
     <prop> := MEMBER_CAPTION                  (all-ancestors mode)
             | [Dim].[Hier].[Level]            (named superior level)
             | [Hier].[Level]
@@ -388,8 +392,25 @@ _SET_DEF = re.compile(
     re.IGNORECASE | re.DOTALL)
 
 
+def _axis_ordinals_to_names(flat: str) -> str:
+    """``ON 0`` / ``ON 1`` / ``ON AXIS(0)`` / ``ON AXIS(1)`` → ``ON
+    COLUMNS`` / ``ON ROWS`` (the ordinal spelling Excel/ADOMD clients
+    emit).  Rewrites only OUTSIDE bracketed names, so a caption like
+    ``[Level ON 0]`` is never touched; ordinals >= 2 (PAGES and
+    beyond) stay as-is and fail the SELECT shape with a clear error."""
+    parts = re.split(r"(\[[^\]]*\])", flat)
+    for i in range(0, len(parts), 2):       # even indices: outside []
+        parts[i] = re.sub(
+            r"\bON\s+(?:AXIS\s*\(\s*0\s*\)|0\b)", "ON COLUMNS",
+            parts[i], flags=re.IGNORECASE)
+        parts[i] = re.sub(
+            r"\bON\s+(?:AXIS\s*\(\s*1\s*\)|1\b)", "ON ROWS",
+            parts[i], flags=re.IGNORECASE)
+    return "".join(parts)
+
+
 def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
-    flat = " ".join(mdx.split())
+    flat = _axis_ordinals_to_names(" ".join(mdx.split()))
 
     # -- CELL PROPERTIES VALUE[, ...] (SSAS clients append this to
     # every SELECT; validated names, engine returns VALUE regardless) --

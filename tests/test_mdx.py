@@ -1679,3 +1679,25 @@ def test_cell_properties_where_still_parses():
     assert req.cell_properties == ["VALUE"]
     assert req.slicers == [
         "[Dim Orders].[Prioridad].[Prioridad].&[1-URGENT]"]
+
+
+def test_axis_ordinals_parse_like_names(spark, sf_dir):
+    a = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON 0, "
+        "[Dim Customer].[Geografía].[Region].MEMBERS ON 1 "
+        "FROM [sales]", "VENTAS_2025")
+    b = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "[Dim Customer].[Geografía].[Region].MEMBERS ON ROWS "
+        "FROM [sales]", "VENTAS_2025")
+    assert a == b
+    c = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON AXIS(0), "
+        "[Dim Customer].[Geografía].[Region].MEMBERS ON AXIS(1) "
+        "FROM [sales] CELL PROPERTIES VALUE", "VENTAS_2025")
+    assert (c.measures, c.rows) == (b.measures, b.rows)
+    # ordinals >= 2 stay unsupported with a clear error
+    with pytest.raises(MdxParseError, match="unsupported MDX shape"):
+        parse_mdx(
+            "SELECT { [Measures].[X] } ON 0, [A].[B].[C].MEMBERS ON 1, "
+            "[D].[E].[F].MEMBERS ON 2 FROM [sales]", "VENTAS_2025")
