@@ -134,3 +134,64 @@ def test_plan_row_level_window_is_partitioned(spark, sf_dir):
     assert all("windowspecdefinition(hb" in l for l in row_level), \
         "row-level window lost its bucket partition spec (single-" \
         "partition global sort trap)"
+
+
+def test_peak_concurrency_randomized_vs_bruteforce(spark):
+    # seeded random interval sets, checked against a per-second
+    # brute-force occupancy model (independent of the sweep-line code)
+    import numpy as np
+    rng = np.random.RandomState(7)
+    for _case in range(3):
+        n = 150
+        starts = rng.randint(0, 4 * 3600, size=n)
+        lengths = rng.randint(1, 2 * 3600, size=n)
+        iv = [(int(s), int(s + l)) for s, l in zip(starts, lengths)]
+        df = spark.createDataFrame(iv, "start_sec long, end_sec long")
+        got = {int(r["hour"].timestamp()) // 3600:
+               (r["peak_concurrent"], r["end_concurrent"])
+               for r in P.peak_concurrency_hourly(df).collect()}
+        # brute force: occupancy at every second
+        hi = max(e for _, e in iv) + 1
+        occ = np.zeros(hi + 1, dtype=int)
+        for s, e in iv:
+            occ[s] += 1
+            occ[e] -= 1
+        occ = np.cumsum(occ)
+        # change-point hours only (hours with no endpoint emit no row)
+        change_hours = {s // 3600 for s, _ in iv} | {
+            e // 3600 for _, e in iv if e <= hi}
+        for h in sorted(change_hours):
+            lo_s, hi_s = h * 3600, min((h + 1) * 3600, hi + 1)
+            # the curve's peak = max occupancy anywhere in the hour
+            # (carry-in plateau included)
+            want_peak = int(occ[lo_s:hi_s].max())
+            # end concurrency = occupancy AT the hour's last change
+            # point (hours can end mid-plateau; occ at hi_s-1 equals
+            # it because occupancy is constant between change points)
+            assert got[h][0] == want_peak, (h, got[h], want_peak)
+        # every emitted end_concurrent matches the occupancy curve
+        for h, (_pk, end) in got.items():
+            lo_s = h * 3600
+            hi_s = min((h + 1) * 3600, len(occ))
+            assert end == int(occ[hi_s - 1]), (h, end)
+
+
+def test_running_milestone_invariants_randomized(spark):
+    import numpy as np
+    rng = np.random.RandomState(11)
+    vals = [int(v) for v in rng.randint(1, 500, size=300)]
+    rows = [(i, v, i // 37) for i, v in enumerate(vals)]
+    step = 3000
+    out = P.running_milestones(
+        _df(spark, rows), "bucket", ["id"], "v", step=step,
+        id_cols=["id"]).orderBy("milestone").collect()
+    # total crossings == floor(total/step); milestones strictly
+    # increase and end at the final index
+    assert sum(r["n_crossed"] for r in out) == sum(vals) // step
+    ms = [r["milestone"] for r in out]
+    assert ms == sorted(ms) and len(set(ms)) == len(ms)
+    assert ms[-1] == sum(vals) // step
+    # each reported running total is the true prefix sum at that row
+    prefix = np.cumsum(vals)
+    for r in out:
+        assert r["running"] == int(prefix[r["id"]])
