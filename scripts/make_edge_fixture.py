@@ -43,6 +43,31 @@ EDGE_DOCS = [
 ]
 
 
+# Adversarial EVENTS (round 10): timing edges the shipped corpus never
+# hits — same-second bursts (curve/sessionize ties), the EXACT 1800 s
+# gap boundary (strict > convention: same session) and 1801 s (new
+# session), sub-second straddles that only the floor-to-seconds
+# convention keeps together, a single-event user, and a 0.0 value.
+# Fresh user ids (2001+) so existing users' sessions are untouched.
+# NO dyadic half-tie values (e.g. 0.03125): those probe the ENGINES'
+# double->DECIMAL rounding modes, not this repo's code.
+_B = "2024-02-01 00:00:"
+EDGE_EVENTS = [
+    # (event_id offset, ts string, user_id, type, value, props)
+    (1, _B + "10.000000", 2001, "view", 1.25, '{"k": 1}'),
+    (2, _B + "10.000000", 2001, "view", 2.5, '{"k": 2}'),      # same us
+    (3, _B + "10.000000", 2001, "purchase", 3.75, '{"k": 3}'),
+    (4, "2024-02-01 00:30:10.000000", 2001, "view", 4.0,
+     '{"k": 4}'),                       # exactly 1800 s -> same session
+    (5, "2024-02-01 01:00:11.000000", 2001, "view", 5.0,
+     '{"k": 5}'),                       # 1801 s -> NEW session
+    (6, _B + "20.000000", 2002, "purchase", 0.0, '{"k": 6}'),  # lone, 0
+    (7, _B + "30.900000", 2003, "view", 12.34567, '{"k": 7}'),
+    (8, "2024-02-01 00:30:30.100000", 2003, "view", 7.0,
+     '{"k": 8}'),       # 1799.2 s real, 1800 floor-sec -> same session
+]
+
+
 def main() -> None:
     from olap_xtrctr_spark import get_spark
 
@@ -50,10 +75,30 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(OUT, exist_ok=True)
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "embeddings"):
+              "orders", "lineitem", "embeddings"):
         dst = f"{OUT}/{t}.parquet"
         if not os.path.exists(dst):
             shutil.copy(f"{SRC}/{t}.parquet", dst)
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    max_eid = ev.agg({"event_id": "max"}).first()[0]
+    import datetime as _dt
+    extra_ev = spark.createDataFrame(
+        [(max_eid + off, _dt.datetime.strptime(ts, "%Y-%m-%d %H:%M:%S.%f"),
+          uid, typ, val, props)
+         for off, ts, uid, typ, val, props in EDGE_EVENTS],
+        ev.schema)
+    tmp_e = f"{OUT}/_events_tmp"
+    ev.unionByName(extra_ev).coalesce(1).write.mode(
+        "overwrite").parquet(tmp_e)
+    part_e = next(f for f in os.listdir(tmp_e)
+                  if f.startswith("part-") and f.endswith(".parquet"))
+    target_e = f"{OUT}/events.parquet"
+    if os.path.isdir(target_e):
+        shutil.rmtree(target_e, ignore_errors=True)
+    elif os.path.isfile(target_e):
+        os.remove(target_e)
+    shutil.move(os.path.join(tmp_e, part_e), target_e)
+    shutil.rmtree(tmp_e)
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     max_id = docs.agg({"doc_id": "max"}).first()[0]
     extra = spark.createDataFrame(
