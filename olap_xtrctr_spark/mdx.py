@@ -39,6 +39,11 @@ backend/actions_runner.py:220-249, frontend/src/utils/mdxBuilder.ts:4-40):
       / TOPCOUNT|BOTTOMCOUNT(set, n, m) / HEAD|TAIL(set, n)
       / TOPPERCENT|BOTTOMPERCENT(set, p, m)   (integer p, 1..100)
       / TOPSUM|BOTTOMSUM(set, t, m)           (integer t >= 1)
+      / HIERARCHIZE(set)    (transparent: engine output order IS the
+        hierarchized order; POST unsupported)
+      / NONEMPTY(set[, m])  (bare = the NON EMPTY keyword; with a
+        measure, drops axis rows where THAT measure — base or
+        calculated — is empty, applied post-aggregation)
 
     WHERE ( <member> | { <member>, ... }, ... )
       — slicer tuple; a brace-wrapped element is a SET slicer whose
@@ -619,7 +624,8 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
             fn = next((f for f in ("BOTTOMCOUNT", "TOPCOUNT",
                                    "BOTTOMPERCENT", "TOPPERCENT",
                                    "BOTTOMSUM", "TOPSUM", "ORDER",
-                                   "FILTER", "HEAD", "TAIL")
+                                   "FILTER", "HEAD", "TAIL",
+                                   "HIERARCHIZE", "NONEMPTY")
                        if up.startswith(f + "(")
                        or up.startswith(f + " (")), None)
             if fn is None:
@@ -678,6 +684,28 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
                     raise MdxParseError("nested ORDER is unsupported")
                 req.order_by = (_measure_name(parts[1]),
                                 direction.endswith("DESC"))
+            elif fn == "HIERARCHIZE":
+                # transparent: the engine's canonical level-path output
+                # order IS hierarchized order (Excel wraps every pivot
+                # axis in it); POST (parents after children) is not in
+                # the subset
+                if len(parts) == 2 and parts[1].strip().upper() == "POST":
+                    raise MdxParseError(
+                        "HIERARCHIZE POST is unsupported (the engine "
+                        "emits parents-before-children order)")
+                if len(parts) != 1:
+                    raise MdxParseError(
+                        f"HIERARCHIZE takes one set: {rs!r}")
+            elif fn == "NONEMPTY":
+                if len(parts) == 1:
+                    req.non_empty = True
+                elif len(parts) == 2:
+                    req.non_empty_measures.append(
+                        _measure_name(parts[1]))
+                else:
+                    raise MdxParseError(
+                        f"NONEMPTY takes (set[, [Measures].[X]]): "
+                        f"{rs!r}")
             else:                      # FILTER
                 if len(parts) != 2:
                     raise MdxParseError(f"FILTER needs 2 args: {rs!r}")
@@ -801,6 +829,8 @@ def build_mdx(req: QueryRequest, cube_name: str | None = None) -> str:
         # set-function wrappers (extensions): FILTER innermost (emitted
         # in reverse so re-parsing, which unwraps outermost-first and
         # appends, preserves condition order), then ORDER, then TOPCOUNT
+        for m in reversed(getattr(req, "non_empty_measures", []) or []):
+            rows = f"NONEMPTY({rows}, [Measures].[{m}])"
         for cond in reversed(req.having):
             rows = f"FILTER({rows}, {cond})"
         if req.order_by is not None:

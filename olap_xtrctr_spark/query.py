@@ -604,6 +604,11 @@ class QueryRequest:
     # clause is accepted for wire compatibility, round-tripped by
     # build_mdx, and otherwise a no-op.
     cell_properties: list[str] = field(default_factory=list)
+    # NONEMPTY(set, [Measures].[X]) — the function form (PowerBI/Excel
+    # emit it): drop axis rows where THAT measure is empty, applied
+    # post-aggregation/post-calc so calculated measures qualify too
+    # (the NON EMPTY keyword instead tests ALL base measures).
+    non_empty_measures: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -786,7 +791,8 @@ class CubeQueryEngine:
                 "calculated measures cannot combine with "
                 "[Measures].AllMembers")
         if not (req.calculated or req.having or req.topcount
-                or req.order_by or req.toppercent):
+                or req.order_by or req.toppercent
+                or req.non_empty_measures):
             bases = self._resolve_measures(cube, req)
             return bases, [m.out_name or m.name for m in bases], []
 
@@ -808,7 +814,8 @@ class CubeQueryEngine:
             + ([f"[Measures].[{req.toppercent.measure}]"]
                if req.toppercent else []) \
             + ([f"[Measures].[{req.order_by[0]}]"]
-               if req.order_by else [])
+               if req.order_by else []) \
+            + [f"[Measures].[{m}]" for m in req.non_empty_measures]
 
         def need_base(name: str) -> None:
             if name in calc_by_name:
@@ -1259,20 +1266,22 @@ class CubeQueryEngine:
 
         if (req.calculated or req.having or req.topcount
                 or req.order_by or req.head_tail
-                or req.toppercent) and variables:
+                or req.toppercent or req.non_empty_measures) and variables:
             raise QueryValidationError(
-                "calculated measures / FILTER / TOPCOUNT / TOPPERCENT "
-                "/ ORDER / HEAD / TAIL do not combine with a "
-                "variables pivot")
+                "calculated measures / FILTER / NONEMPTY / TOPCOUNT / "
+                "TOPPERCENT / ORDER / HEAD / TAIL do not combine with "
+                "a variables pivot")
         if req.head_tail is not None and not req.rows:
             raise QueryValidationError(
                 "HEAD / TAIL need a rows axis to order")
         if (req.having or req.topcount or req.head_tail
-                or req.toppercent) and empty_preserving:
+                or req.toppercent or req.non_empty_measures) \
+                and empty_preserving:
             raise QueryValidationError(
-                "FILTER / TOPCOUNT / TOPPERCENT / HEAD / TAIL over an "
-                "empty-preserving axis is ambiguous (filter before or "
-                "after the preserved empty rows?) — run one or the other")
+                "FILTER / NONEMPTY / TOPCOUNT / TOPPERCENT / HEAD / "
+                "TAIL over an empty-preserving axis is ambiguous "
+                "(filter before or after the preserved empty rows?) "
+                "— run one or the other")
         measures, out_aliases, calc_plan = self._resolve_measure_plan(
             cube, req)
 
@@ -1559,6 +1568,8 @@ class CubeQueryEngine:
                 return F.col(calc.alias)
             return resolve(name)
 
+        for mname in req.non_empty_measures:   # NONEMPTY(set, m)
+            out = out.filter(resolve_out(mname).isNotNull())
         for cond_expr in req.having:     # FILTER(set, condition)
             builder, _ = parse_measure_expr(cond_expr)
             out = out.filter(builder(resolve_out))
@@ -1625,7 +1636,7 @@ class CubeQueryEngine:
                 out = out.orderBy(*fwd).limit(req.head_tail.n)
         if calc_plan or req.having or req.topcount or req.order_by \
                 or req.head_tail or req.toppercent or ordinal_names \
-                or setagg_aggs or setstat_aggs:
+                or setagg_aggs or setstat_aggs or req.non_empty_measures:
             # project LAST to the SELECTED measures, so FILTER/TOPCOUNT/
             # ORDER can reference bases or calcs that are not in the
             # output (Spark keeps the sort order across the projection).

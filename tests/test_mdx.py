@@ -1701,3 +1701,76 @@ def test_axis_ordinals_parse_like_names(spark, sf_dir):
         parse_mdx(
             "SELECT { [Measures].[X] } ON 0, [A].[B].[C].MEMBERS ON 1, "
             "[D].[E].[F].MEMBERS ON 2 FROM [sales]", "VENTAS_2025")
+
+
+# ---- HIERARCHIZE / NONEMPTY client-compat wrappers --------------------------
+
+def test_hierarchize_unwraps_transparently(spark, sf_dir):
+    from olap_xtrctr_spark.mdx import build_mdx
+    a = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "NON EMPTY HIERARCHIZE(CROSSJOIN("
+        "[Dim Customer].[Geografía].[Region].MEMBERS, "
+        "[Dim Orders].[Prioridad].[Prioridad].MEMBERS)) ON ROWS "
+        "FROM [sales]", "VENTAS_2025")
+    b = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "NON EMPTY CROSSJOIN("
+        "[Dim Customer].[Geografía].[Region].MEMBERS, "
+        "[Dim Orders].[Prioridad].[Prioridad].MEMBERS) ON ROWS "
+        "FROM [sales]", "VENTAS_2025")
+    assert a == b
+    assert parse_mdx(build_mdx(a), "VENTAS_2025") == a
+    with pytest.raises(MdxParseError, match="POST"):
+        parse_mdx(
+            "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+            "HIERARCHIZE([Dim Customer].[Geografía].[Region].MEMBERS,"
+            " POST) ON ROWS FROM [sales]", "VENTAS_2025")
+
+
+def test_nonempty_function_forms(spark, sf_dir):
+    from olap_xtrctr_spark.mdx import build_mdx
+    # bare form == NON EMPTY keyword
+    a = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "NONEMPTY([Dim Customer].[Geografía].[Region].MEMBERS) ON ROWS "
+        "FROM [sales]", "VENTAS_2025")
+    assert a.non_empty is True
+    # measure form records the measure and round-trips
+    b = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "NONEMPTY([Dim Customer].[Geografía].[Region].MEMBERS, "
+        "[Measures].[Sum Extendedprice]) ON ROWS "
+        "FROM [sales]", "VENTAS_2025")
+    assert b.non_empty_measures == ["Sum Extendedprice"]
+    assert parse_mdx(build_mdx(b), "VENTAS_2025") == b
+    # executes; with dense test data it equals the unfiltered rows
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    got = sorted(map(tuple, eng.execute(b).collect()))
+    bare = sorted(map(tuple, eng.execute(parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "[Dim Customer].[Geografía].[Region].MEMBERS ON ROWS "
+        "FROM [sales]", "VENTAS_2025")).collect()))
+    assert got == bare
+
+
+def test_nonempty_filters_calc_measure_nulls(spark, sf_dir):
+    # a lag calc is NULL on the first month; NONEMPTY on it drops
+    # exactly those axis rows
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    mdx = ("WITH MEMBER [Measures].[Prev] AS "
+           "([Measures].[Sum Quantity], "
+           "[D Tiempo].[Calendario].PrevMember) "
+           "SELECT { [Measures].[Sum Quantity], [Measures].[Prev] } "
+           "ON COLUMNS, <SET> ON ROWS FROM [sales]")
+    base_set = "[D Tiempo].[Calendario].[Mes].MEMBERS"
+    plain = eng.execute(parse_mdx(
+        mdx.replace("<SET>", base_set), "VENTAS_2025")).collect()
+    ne = eng.execute(parse_mdx(
+        mdx.replace("<SET>",
+                    f"NONEMPTY({base_set}, [Measures].[Prev])"),
+        "VENTAS_2025")).collect()
+    n_null = sum(1 for r in plain if r["prev"] is None)
+    assert n_null > 0
+    assert len(ne) == len(plain) - n_null
+    assert all(r["prev"] is not None for r in ne)
