@@ -281,3 +281,33 @@ def register(add) -> None:
                CAST(RANK() OVER (ORDER BY sum_extendedprice DESC
                                  NULLS LAST) AS INTEGER) AS sales_rank
         FROM a""")
+
+    # NONEMPTY(set, measure) — the PowerBI/Excel function form (drops
+    # axis rows where THAT measure is empty, post-aggregation, so a
+    # calculated lag qualifies): the first month has no PrevMember ->
+    # its row drops; every surviving row's prev is non-null.
+    from ..workload_shared import MES_CASE
+    add("cube_nonempty_prev_months",
+        lambda spark, sf: _eng(spark, sf).execute(parse_mdx(
+            "WITH MEMBER [Measures].[Prev Qty] AS "
+            "([Measures].[Sum Quantity], [D Tiempo].[Calendario]"
+            ".PrevMember) "
+            "SELECT { [Measures].[Sum Quantity], [Measures].[Prev Qty] } "
+            "ON COLUMNS, NONEMPTY([D Tiempo].[Calendario].[Mes].MEMBERS"
+            ", [Measures].[Prev Qty]) "
+            "DIMENSION PROPERTIES MEMBER_CAPTION ON ROWS "
+            "FROM [sales]", CATALOG)),
+        f"""WITH m AS (
+          SELECT CAST(year(l_shipdate) AS INTEGER) AS anio,
+                 {MES_CASE} AS mes,
+                 month(l_shipdate) AS mn, l_quantity
+          FROM lineitem),
+        a AS (
+          SELECT anio, mes, mn, {SUM_D('l_quantity')} AS sum_quantity
+          FROM m GROUP BY 1, 2, 3),
+        l AS (
+          SELECT anio, mes, sum_quantity,
+                 LAG(sum_quantity) OVER (ORDER BY anio, mn) AS prev_qty
+          FROM a)
+        SELECT anio, mes, sum_quantity, prev_qty
+        FROM l WHERE prev_qty IS NOT NULL""")
