@@ -829,3 +829,114 @@ def random_projection(emb: DataFrame, out_dims: int = 16,
             F.lit(0.0), lambda acc, v: acc + v)
         cols.append(F.round(dot, 4).alias(f"p{j}"))
     return emb.select(id_col, *cols)
+
+
+# ---- persisted IVF index (build once, query many) --------------------------
+# At 100 TB the index is a DATASET, not a per-query computation:
+# retraining KMeans and re-assigning the whole corpus per query (what
+# ivf_cosine_topk does, fine for one-shot analytics) is the
+# anti-pattern for a serving path.  ivf_build_index materializes the
+# index as parquet — centroids (tiny) plus assignments PARTITIONED BY
+# CELL — so ivf_query_index reads only the probed cells' files
+# (partition pruning: the scan's PartitionFilters carries the probe
+# set; verified by tests/test_plans.py).  Build is idempotent via a
+# meta marker keyed to (n_clusters, seed, corpus count).
+
+def ivf_build_index(emb: DataFrame, index_dir: str, n_clusters: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42) -> dict:
+    """Fit KMeans distributively and persist the IVF index:
+    ``centroids.parquet`` (bucket, center) and ``assignments.parquet``
+    partitioned by ``bucket``.  Returns the meta dict.  Re-building
+    over an unchanged corpus signature is a no-op."""
+    import json
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = emb.count()
+    meta = {"n_clusters": n_clusters, "seed": seed, "n_vectors": n,
+            "id_col": id_col, "vec_col": vec_col, "version": 1}
+    meta_path = os.path.join(index_dir, "_INDEX_META.json")
+    try:
+        with open(meta_path, encoding="utf-8") as f:
+            if json.load(f) == meta:
+                return meta               # idempotent rebuild
+    except (OSError, ValueError):
+        pass
+    feats = emb.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>"))
+        .alias("features"))
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10,
+                   featuresCol="features").fit(feats)
+    spark = emb.sparkSession
+    centers = [(i, [float(x) for x in c])
+               for i, c in enumerate(model.clusterCenters())]
+    spark.createDataFrame(centers, ["bucket", "center"]).coalesce(1) \
+        .write.mode("overwrite") \
+        .parquet(os.path.join(index_dir, "centroids.parquet"))
+    (model.transform(feats)
+          .select(F.col(id_col).alias("neighbor_id"),
+                  F.col(vec_col).alias("nvec"),
+                  F.col("prediction").alias("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(os.path.join(index_dir, "assignments.parquet")))
+    os.makedirs(index_dir, exist_ok=True)
+    with open(meta_path, "w", encoding="utf-8") as f:
+        json.dump(meta, f)                # marker LAST: commit point
+    return meta
+
+
+def ivf_query_index(spark, index_dir: str, queries: DataFrame,
+                    k: int = 3, n_probe: int = 2,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Top-k cosine neighbors from a PERSISTED IVF index: centroids
+    (n_clusters rows) pick each query's ``n_probe`` cells on the
+    driver; the assignments scan is filtered on the partition column,
+    so only the probed cells' files are read.  Ranking matches
+    ivf_cosine_topk (cos DESC, neighbor_id tiebreak, self excluded)."""
+    import os
+
+    import numpy as np
+
+    centers = {r["bucket"]: np.asarray(r["center"], dtype=float)
+               for r in spark.read.parquet(
+                   os.path.join(index_dir, "centroids.parquet"))
+               .collect()}
+    qrows = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("qvec")).collect()
+    probes = []
+    for r in qrows:
+        v = np.asarray(r["qvec"], dtype=float)
+        order = sorted(centers,
+                       key=lambda b: float(np.linalg.norm(v - centers[b])))
+        for b in order[:n_probe]:
+            probes.append((r["query_id"], int(b)))
+    probe_df = spark.createDataFrame(probes, ["query_id", "bucket"])
+    # float32 qvec schema: bit-parity with ivf_cosine_topk's broadcast
+    # of the original float embedding column
+    qdf = spark.createDataFrame(
+        [(r["query_id"], list(map(float, r["qvec"]))) for r in qrows],
+        "query_id long, qvec array<float>")
+    # STATIC partition predicate (the probe set is driver-known), not
+    # just the broadcast join: guarantees the scan lists only the
+    # probed cells' files — PartitionFilters carries the isin()
+    probed_cells = sorted({b for _, b in probes})
+    assigned = (spark.read.parquet(
+        os.path.join(index_dir, "assignments.parquet"))
+        .filter(F.col("bucket").isin(probed_cells)))
+    cand = (assigned
+            .join(F.broadcast(probe_df), "bucket")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .join(F.broadcast(qdf), "query_id"))
+    scored = cand.withColumn("cos", _cosine(F.col("qvec"),
+                                            F.col("nvec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "rank", "neighbor_id",
+                          F.round("cos", 4).alias("cosine")))

@@ -311,3 +311,41 @@ def register(add) -> None:
           FROM a)
         SELECT anio, mes, sum_quantity, prev_qty
         FROM l WHERE prev_qty IS NOT NULL""")
+
+    # Persisted IVF index lifecycle (build once -> query many): the
+    # serving-path shape for ANN at 100 TB — assignments partitioned
+    # by cell on disk, queries read ONLY the probed cells (static
+    # partition predicate; plan-guarded in tests/test_plans.py).
+    # Same differential recall gate as the per-call ANN entries
+    # (uniform corpus -> n_probe=5 of 8, floor 0.7); rows-only oracle
+    # (KMeans cells are not SQL-expressible).
+    def ivf_index_topk(spark, sf):
+        import os
+
+        from ..operators import similarity as S
+        from ..session import load_table
+        emb = load_table(spark, sf, "embeddings")
+        sig = str(os.path.getsize(f"{sf}/embeddings.parquet"))
+        root = os.path.join("/tmp", "olap_xtrctr_ivf_index",
+                            os.path.basename(os.path.normpath(sf)), sig)
+        S.ivf_build_index(emb, root)
+        qids = [0, 1, 2, 3, 4]
+        out = S.ivf_query_index(
+            spark, root, emb.filter(F.col("vec_id").isin(qids)),
+            k=3, n_probe=5)
+        if emb.count() <= 100_000:
+            exact1 = {r["query_id"]: r["neighbor_id"]
+                      for r in S.cosine_topk(emb, qids, k=1).collect()}
+            approx: dict = {}
+            for r in out.collect():
+                approx.setdefault(r["query_id"], set()).add(
+                    r["neighbor_id"])
+            hits = sum(1 for q, n1 in exact1.items()
+                       if n1 in approx.get(q, set()))
+            if exact1 and hits / len(exact1) < 0.7:
+                raise AssertionError(
+                    f"emb_ivf_index_topk: exact top-1 in approx top-3 "
+                    f"for only {hits}/{len(exact1)} queries (floor 0.7)")
+        return out
+
+    add("emb_ivf_index_topk", ivf_index_topk, None)

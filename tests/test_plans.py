@@ -336,3 +336,53 @@ def test_bpe_encode_corpus_stays_jvm_side(spark, sf_dir):
     # the one ArrowEvalPython runs on the vocab (distinct) branch —
     # above it sits the Aggregate for distinct, never the raw explode
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_ivf_index_query_prunes_partitions(spark, sf_dir):
+    """The persisted-index query must read ONLY the probed cells: the
+    assignments scan's PartitionFilters carries the static bucket
+    isin() — without it every cell's files are listed and the index
+    degrades to a full scan at scale."""
+    import os
+    import re as _re
+    import tempfile
+
+    from olap_xtrctr_spark.operators import similarity as S
+    from olap_xtrctr_spark.session import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = os.path.join(tempfile.gettempdir(), "olap_xtrctr_ivf_plan_t")
+    S.ivf_build_index(emb, d)
+    out = S.ivf_query_index(
+        spark, d, emb.filter(F.col("vec_id").isin([0, 1])),
+        k=3, n_probe=2)
+    plan = _plan(out)
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1) and " IN " in m.group(1), plan
+    # and the probed-cell count is bounded by queries x n_probe
+    cells = _re.search(r"bucket#\d+ IN \(([^)]*)\)", m.group(1))
+    assert cells and len(cells.group(1).split(",")) <= 4
+
+
+def test_ivf_index_build_idempotent_and_consistent(spark, sf_dir):
+    import os
+    import tempfile
+
+    from olap_xtrctr_spark.operators import similarity as S
+    from olap_xtrctr_spark.session import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = os.path.join(tempfile.gettempdir(), "olap_xtrctr_ivf_plan_t2")
+    meta = S.ivf_build_index(emb, d)
+    assert S.ivf_build_index(emb, d) == meta          # no-op rebuild
+    assigned = spark.read.parquet(f"{d}/assignments.parquet")
+    assert assigned.count() == meta["n_vectors"]      # complete index
+    assert assigned.select("neighbor_id").distinct().count() \
+        == meta["n_vectors"]
+    # every cell id within range
+    mx = assigned.agg({"bucket": "max"}).first()[0]
+    assert 0 <= mx < meta["n_clusters"]
+    # query results are deterministic across calls on the same index
+    from pyspark.sql import functions as _F
+    q = emb.filter(_F.col("vec_id").isin([0, 1, 2]))
+    a = sorted(map(tuple, S.ivf_query_index(spark, d, q).collect()))
+    b = sorted(map(tuple, S.ivf_query_index(spark, d, q).collect()))
+    assert a == b and a
