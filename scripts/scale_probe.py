@@ -289,6 +289,9 @@ PROBE_QUERIES = [
     # single-scan star plan)
     "cube_median_region_sales",
     "cube_rank_nations",
+    "cube_nonempty_prev_months",
+    # persisted IVF index: build-once cost vs partition-pruned query
+    "emb_ivf_index_topk",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
