@@ -392,6 +392,13 @@ _CELL_PROPERTIES = frozenset({
     "VALUE", "FORMATTED_VALUE", "FORMAT_STRING", "CELL_ORDINAL",
     "FORE_COLOR", "BACK_COLOR", "FONT_FLAGS", "LANGUAGE"})
 
+# rows-set wrapper functions, unwrapped outermost-first in parse_mdx;
+# module-level so MDSCHEMA_FUNCTIONS enumerates the SAME list the
+# parser dispatches on (sync by construction)
+_SET_WRAPPERS = ("BOTTOMCOUNT", "TOPCOUNT", "BOTTOMPERCENT",
+                 "TOPPERCENT", "BOTTOMSUM", "TOPSUM", "ORDER",
+                 "FILTER", "HEAD", "TAIL", "HIERARCHIZE", "NONEMPTY")
+
 _SET_DEF = re.compile(
     r"SET\s+\[([^\]]+)\]\s+AS\s+'?(\{[^{}]*\})'?\s*",
     re.IGNORECASE | re.DOTALL)
@@ -621,11 +628,7 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
         while True:
             rs = r.strip()
             up = rs.upper()
-            fn = next((f for f in ("BOTTOMCOUNT", "TOPCOUNT",
-                                   "BOTTOMPERCENT", "TOPPERCENT",
-                                   "BOTTOMSUM", "TOPSUM", "ORDER",
-                                   "FILTER", "HEAD", "TAIL",
-                                   "HIERARCHIZE", "NONEMPTY")
+            fn = next((f for f in _SET_WRAPPERS
                        if up.startswith(f + "(")
                        or up.startswith(f + " (")), None)
             if fn is None:

@@ -344,6 +344,54 @@ def properties_df(spark: SparkSession, cube: CubeDef) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
+def mdschema_functions_df(spark: SparkSession) -> DataFrame:
+    """$system.MDSCHEMA_FUNCTIONS: the MDX functions this engine
+    parses — SSAS clients probe the rowset to light up UI affordances.
+    The rows-set wrapper block enumerates ``mdx._SET_WRAPPERS`` (the
+    literal dispatch list, so parser and rowset cannot drift); the
+    member/value functions are the grammar's remaining fixed surface.
+    Static by design — full-oracle checkable like DISCOVER_PROPERTIES."""
+    from .mdx import _SET_WRAPPERS
+
+    rows = [(f, "set function (rows-axis wrapper)", "(Set, ...)",
+             "Set") for f in sorted(_SET_WRAPPERS)]
+    rows += [
+        ("CROSSJOIN", "set function (axis composition)",
+         "(Set, Set)", "Set"),
+        ("DESCENDANTS", "set function (member tree)",
+         "(Member|Set, Level|Distance)", "Set"),
+        ("ANCESTOR", "member function (member tree)",
+         "(Member, Level)", "Member"),
+        ("UNION", "set algebra (member-literal sets)",
+         "(Set, Set)", "Set"),
+        ("EXCEPT", "set algebra (member-literal sets)",
+         "(Set, Set)", "Set"),
+        ("INTERSECT", "set algebra (member-literal sets)",
+         "(Set, Set)", "Set"),
+        ("SUM", "numeric (set aggregation; additive bases)",
+         "(Set|YTD|LASTPERIODS, Expression)", "Scalar"),
+        ("AGGREGATE", "numeric (base measure's own aggregator)",
+         "(Set, Expression)", "Scalar"),
+        ("MEDIAN", "numeric (order statistic over per-member values)",
+         "(Set, Expression)", "Scalar"),
+        ("MIN", "numeric (order statistic over per-member values)",
+         "(Set, Expression)", "Scalar"),
+        ("MAX", "numeric (order statistic over per-member values)",
+         "(Set, Expression)", "Scalar"),
+        ("RANK", "numeric (position among the axis rows)",
+         "(Member.CurrentMember, Expression)", "Scalar"),
+        ("YTD", "time intelligence (periods-to-date set)",
+         "(Hierarchy[.CurrentMember])", "Set"),
+        ("LASTPERIODS", "time intelligence (trailing window set)",
+         "(Integer, Hierarchy[.CurrentMember])", "Set"),
+        ("PARALLELPERIOD", "time intelligence (lag member)",
+         "(Hierarchy, Integer)", "Member"),
+    ]
+    return spark.createDataFrame(
+        [Row(FUNCTION_NAME=n, DESCRIPTION=d, PARAMETER_LIST=p,
+             RETURN_TYPE=t, ORIGIN=1) for n, d, p, t in rows])
+
+
 DMV_BUILDERS = {
     "DBSCHEMA_CATALOGS": "catalogs",
     "MDSCHEMA_CUBES": "cubes",
@@ -353,6 +401,7 @@ DMV_BUILDERS = {
     "MDSCHEMA_MEASURES": "measures",
     "MDSCHEMA_MEMBERS": "members",
     "MDSCHEMA_PROPERTIES": "properties",
+    "MDSCHEMA_FUNCTIONS": "functions",
 }
 
 
@@ -376,6 +425,7 @@ _ROWSET_DESCRIPTIONS = {
     "MDSCHEMA_MEASURES": "measures with aggregator and visibility",
     "MDSCHEMA_MEMBERS": "member enumeration (cached view)",
     "MDSCHEMA_PROPERTIES": "ancestor-caption member properties",
+    "MDSCHEMA_FUNCTIONS": "MDX functions the engine parses",
     "DISCOVER_SCHEMA_ROWSETS": "this rowset: every queryable rowset "
                                "with its column list",
     "DISCOVER_SESSIONS": "query jobs known to this engine process",
@@ -520,6 +570,8 @@ def register_dmv_views(spark: SparkSession, registry: CubeRegistry,
         f"{prefix}_MDSCHEMA_PROPERTIES")
     members_df(spark, cube, sf_dir).createOrReplaceTempView(
         f"{prefix}_MDSCHEMA_MEMBERS")
+    mdschema_functions_df(spark).createOrReplaceTempView(
+        f"{prefix}_MDSCHEMA_FUNCTIONS")
     discover_schema_rowsets_df(spark, registry, cube, sf_dir) \
         .createOrReplaceTempView(f"{prefix}_DISCOVER_SCHEMA_ROWSETS")
     discover_sessions_df(spark, jobs).createOrReplaceTempView(

@@ -349,3 +349,54 @@ def register(add) -> None:
         return out
 
     add("emb_ivf_index_topk", ivf_index_topk, None)
+
+    # MDSCHEMA_FUNCTIONS: the parser's function surface as a DMV —
+    # the rows-set wrapper block enumerates mdx._SET_WRAPPERS (the
+    # literal dispatch list), so rowset and parser cannot drift; the
+    # oracle states the expected inventory literally (exact-value
+    # check like dmv_discover_properties).
+    def _dmv_functions(spark, sf):
+        from .. import metadata
+        from ..cube import default_registry
+        from ..mdx import execute_dmv
+        reg = default_registry()
+        cube = reg.resolve(CATALOG)
+        metadata.register_dmv_views(spark, reg, cube, sf,
+                                    prefix="wl_system")
+        return execute_dmv(
+            spark,
+            "SELECT [FUNCTION_NAME], [RETURN_TYPE] "
+            "FROM $system.MDSCHEMA_FUNCTIONS ORDER BY [FUNCTION_NAME]",
+            view_prefix="wl_system")
+
+    add("dmv_mdschema_functions", _dmv_functions,
+        """SELECT * FROM (VALUES
+  ('AGGREGATE', 'Scalar'),
+  ('ANCESTOR', 'Member'),
+  ('BOTTOMCOUNT', 'Set'),
+  ('BOTTOMPERCENT', 'Set'),
+  ('BOTTOMSUM', 'Set'),
+  ('CROSSJOIN', 'Set'),
+  ('DESCENDANTS', 'Set'),
+  ('EXCEPT', 'Set'),
+  ('FILTER', 'Set'),
+  ('HEAD', 'Set'),
+  ('HIERARCHIZE', 'Set'),
+  ('INTERSECT', 'Set'),
+  ('LASTPERIODS', 'Set'),
+  ('MAX', 'Scalar'),
+  ('MEDIAN', 'Scalar'),
+  ('MIN', 'Scalar'),
+  ('NONEMPTY', 'Set'),
+  ('ORDER', 'Set'),
+  ('PARALLELPERIOD', 'Member'),
+  ('RANK', 'Scalar'),
+  ('SUM', 'Scalar'),
+  ('TAIL', 'Set'),
+  ('TOPCOUNT', 'Set'),
+  ('TOPPERCENT', 'Set'),
+  ('TOPSUM', 'Set'),
+  ('UNION', 'Set'),
+  ('YTD', 'Set')
+) AS t(FUNCTION_NAME, RETURN_TYPE)
+ORDER BY FUNCTION_NAME""")

@@ -172,3 +172,20 @@ def test_level_inference_from_unique_names(mdf):
         {"level_name": "Nivel 2", "level_depth": 2},
         {"level_name": "Nivel 3", "level_depth": 3},
     ]
+
+
+def test_mdschema_functions_matches_parser_dispatch(spark):
+    """The FUNCTIONS rowset's set-wrapper block must BE the parser's
+    dispatch list — enumerated from the same constant, checked here so
+    a wrapper added to one side without the other fails loudly."""
+    from olap_xtrctr_spark.mdx import _SET_WRAPPERS
+    from olap_xtrctr_spark.metadata import mdschema_functions_df
+    rows = mdschema_functions_df(spark).collect()
+    by_name = {r["FUNCTION_NAME"]: r for r in rows}
+    for f in _SET_WRAPPERS:
+        assert f in by_name, f
+        assert by_name[f]["RETURN_TYPE"] == "Set"
+    # the numeric calc functions the measure-expression parser accepts
+    for f in ("SUM", "AGGREGATE", "MEDIAN", "MIN", "MAX", "RANK"):
+        assert by_name[f]["RETURN_TYPE"] == "Scalar"
+    assert len(by_name) == len(rows)      # no duplicate names

@@ -279,8 +279,10 @@ def test_diagnose_schema_lists_rowsets(spark, sf_dir):
                         "MDSCHEMA_DIMENSIONS", "MDSCHEMA_HIERARCHIES",
                         "MDSCHEMA_LEVELS", "MDSCHEMA_MEASURES",
                         "MDSCHEMA_MEMBERS", "MDSCHEMA_PROPERTIES",
+                        "MDSCHEMA_FUNCTIONS",
                         "DISCOVER_SCHEMA_ROWSETS", "DISCOVER_SESSIONS",
                         "DISCOVER_CONNECTIONS", "DISCOVER_PROPERTIES"}
+    assert "FUNCTION_NAME" in out["MDSCHEMA_FUNCTIONS"]
     assert "PROPERTY_NAME" in out["MDSCHEMA_PROPERTIES"]
     assert "MIEMBRO_UNIQUE_NAME" in out["MDSCHEMA_MEMBERS"]
     assert "LEVEL_NUMBER" in out["MDSCHEMA_LEVELS"]
