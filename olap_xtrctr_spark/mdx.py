@@ -41,6 +41,8 @@ backend/actions_runner.py:220-249, frontend/src/utils/mdxBuilder.ts:4-40):
       / TOPSUM|BOTTOMSUM(set, t, m)           (integer t >= 1)
       / HIERARCHIZE(set)    (transparent: engine output order IS the
         hierarchized order; POST unsupported)
+      / ADDCALCULATEDMEMBERS|STRIPCALCULATEDMEMBERS(set)
+        (transparent: calculated members exist only on [Measures])
       / NONEMPTY(set[, m])  (bare = the NON EMPTY keyword; with a
         measure, drops axis rows where THAT measure — base or
         calculated — is empty, applied post-aggregation)
@@ -397,7 +399,8 @@ _CELL_PROPERTIES = frozenset({
 # parser dispatches on (sync by construction)
 _SET_WRAPPERS = ("BOTTOMCOUNT", "TOPCOUNT", "BOTTOMPERCENT",
                  "TOPPERCENT", "BOTTOMSUM", "TOPSUM", "ORDER",
-                 "FILTER", "HEAD", "TAIL", "HIERARCHIZE", "NONEMPTY")
+                 "FILTER", "HEAD", "TAIL", "HIERARCHIZE", "NONEMPTY",
+                 "ADDCALCULATEDMEMBERS", "STRIPCALCULATEDMEMBERS")
 
 _SET_DEF = re.compile(
     r"SET\s+\[([^\]]+)\]\s+AS\s+'?(\{[^{}]*\})'?\s*",
@@ -687,6 +690,15 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
                     raise MdxParseError("nested ORDER is unsupported")
                 req.order_by = (_measure_name(parts[1]),
                                 direction.endswith("DESC"))
+            elif fn in ("ADDCALCULATEDMEMBERS",
+                        "STRIPCALCULATEDMEMBERS"):
+                # transparent: this engine declares calculated members
+                # only on [Measures] (never on dimension hierarchies),
+                # so a dimension set has none to add or strip — Excel
+                # wraps every pivot axis in ADDCALCULATEDMEMBERS
+                if len(parts) != 1:
+                    raise MdxParseError(
+                        f"{fn} takes one set: {rs!r}")
             elif fn == "HIERARCHIZE":
                 # transparent: the engine's canonical level-path output
                 # order IS hierarchized order (Excel wraps every pivot

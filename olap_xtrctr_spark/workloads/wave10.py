@@ -371,6 +371,7 @@ def register(add) -> None:
 
     add("dmv_mdschema_functions", _dmv_functions,
         """SELECT * FROM (VALUES
+  ('ADDCALCULATEDMEMBERS', 'Set'),
   ('AGGREGATE', 'Scalar'),
   ('ANCESTOR', 'Member'),
   ('BOTTOMCOUNT', 'Set'),
@@ -391,6 +392,7 @@ def register(add) -> None:
   ('ORDER', 'Set'),
   ('PARALLELPERIOD', 'Member'),
   ('RANK', 'Scalar'),
+  ('STRIPCALCULATEDMEMBERS', 'Set'),
   ('SUM', 'Scalar'),
   ('TAIL', 'Set'),
   ('TOPCOUNT', 'Set'),

@@ -1774,3 +1774,24 @@ def test_nonempty_filters_calc_measure_nulls(spark, sf_dir):
     assert n_null > 0
     assert len(ne) == len(plain) - n_null
     assert all(r["prev"] is not None for r in ne)
+
+
+def test_addcalculatedmembers_unwraps_like_excel(spark, sf_dir):
+    # the exact wrapper stack Excel emits around every pivot axis
+    a = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON 0, "
+        "NON EMPTY HIERARCHIZE(ADDCALCULATEDMEMBERS("
+        "[Dim Customer].[Geografía].[Region].MEMBERS)) ON 1 "
+        "FROM [sales] CELL PROPERTIES VALUE, FORMAT_STRING",
+        "VENTAS_2025")
+    b = parse_mdx(
+        "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+        "NON EMPTY [Dim Customer].[Geografía].[Region].MEMBERS ON ROWS "
+        "FROM [sales]", "VENTAS_2025")
+    assert (a.rows, a.measures, a.non_empty) == (
+        b.rows, b.measures, b.non_empty)
+    with pytest.raises(MdxParseError, match="takes one set"):
+        parse_mdx(
+            "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
+            "ADDCALCULATEDMEMBERS([A].[B].[C].MEMBERS, 2) ON ROWS "
+            "FROM [sales]", "VENTAS_2025")
