@@ -163,3 +163,37 @@ def peak_concurrency_hourly(intervals: DataFrame,
                  F.max_by("concurrent", "sec").alias("end_concurrent"))
             .select((F.col("hour") * 3600).cast("timestamp").alias("hour"),
                     "peak_concurrent", "end_concurrent"))
+
+
+def occupancy_hourly(intervals: DataFrame,
+                     start_col: str = "start_sec",
+                     end_col: str = "end_sec") -> DataFrame:
+    """Time-weighted interval occupancy per hour: for each hour that
+    intersects any interval, the EXACT integer ``busy_seconds`` =
+    sum over intervals of their overlap with the hour (equivalently
+    the integral of the concurrency curve) — the utilization /
+    server-occupancy measure next to ``peak_concurrency_hourly``'s
+    maximum.
+
+    Spark shape: each interval explodes to the hours it overlaps
+    (fanout = interval span / 3600 — bounded for session-like
+    intervals; a multi-day interval is the caller's modeling smell)
+    and one groupBy(hour) sums the clamped overlaps.  No window, no
+    sweep line needed: the integral decomposes per interval, so this
+    is embarrassingly parallel and all-integer.
+    """
+    h0 = F.expr(f"{start_col} div 3600")
+    h1 = F.expr(f"({end_col} - 1) div 3600")   # end-exclusive
+    hours = intervals.select(
+        F.col(start_col).alias("s"), F.col(end_col).alias("e"),
+        F.explode(F.sequence(h0, h1)).alias("hour"))
+    overlap = (F.least(F.col("e"), (F.col("hour") + 1) * 3600)
+               - F.greatest(F.col("s"), F.col("hour") * 3600))
+    return (hours
+            .groupBy("hour")
+            .agg(F.sum(overlap).alias("busy_seconds"),
+                 F.count(F.lit(1)).alias("n_active_intervals"))
+            .select((F.col("hour") * 3600).cast("timestamp").alias("hour"),
+                    F.col("busy_seconds").cast("long").alias(
+                        "busy_seconds"),
+                    "n_active_intervals"))

@@ -402,3 +402,45 @@ def register(add) -> None:
   ('YTD', 'Set')
 ) AS t(FUNCTION_NAME, RETURN_TYPE)
 ORDER BY FUNCTION_NAME""")
+
+    # time-weighted occupancy: the integral of the concurrency curve
+    # decomposes PER INTERVAL (explode to overlapped hours + clamp),
+    # so no sweep line or window is needed — embarrassingly parallel,
+    # all-integer, same session-interval convention as the peak entry.
+    def occupancy(spark, sf):
+        iv = P.session_intervals(_events(spark, sf))
+        return P.occupancy_hourly(iv)
+
+    add("events_session_occupancy", occupancy,
+        """WITH secs AS (
+          SELECT user_id, event_id, ts,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec
+          FROM events),
+        flagged AS (
+          SELECT user_id, ts, event_id, sec,
+                 CASE WHEN sec - lag(sec) OVER w IS NULL THEN 1
+                      WHEN sec - lag(sec) OVER w > 1800 THEN 1
+                      ELSE 0 END AS new_s
+          FROM secs
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sid AS (
+          SELECT user_id, sec,
+                 SUM(new_s) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_seq
+          FROM flagged),
+        iv AS (
+          SELECT user_id, session_seq,
+                 MIN(sec) AS s, MAX(sec) + 1 AS e
+          FROM sid GROUP BY 1, 2),
+        hours AS (
+          SELECT s, e, unnest(generate_series(s // 3600,
+                                              (e - 1) // 3600)) AS hour
+          FROM iv)
+        SELECT CAST(to_timestamp(hour * 3600) AS TIMESTAMP) AS hour,
+               CAST(SUM(LEAST(e, (hour + 1) * 3600)
+                        - GREATEST(s, hour * 3600)) AS BIGINT)
+                 AS busy_seconds,
+               COUNT(*) AS n_active_intervals
+        FROM hours GROUP BY hour""")

@@ -195,3 +195,40 @@ def test_running_milestone_invariants_randomized(spark):
     prefix = np.cumsum(vals)
     for r in out:
         assert r["running"] == int(prefix[r["id"]])
+
+
+def test_occupancy_hourly_known_values(spark):
+    # interval [1800, 5400): 1800s in hour 0, 1800s in hour 1;
+    # [3600, 3601): 1s in hour 1; [0, 3600): full hour 0
+    iv = spark.createDataFrame(
+        [(1800, 5400), (3600, 3601), (0, 3600)],
+        "start_sec long, end_sec long")
+    out = {int(r["hour"].timestamp()) // 3600:
+           (r["busy_seconds"], r["n_active_intervals"])
+           for r in P.occupancy_hourly(iv).collect()}
+    assert out[0] == (1800 + 3600, 2)
+    assert out[1] == (1800 + 1, 2)
+    # exact-boundary interval never leaks into the next hour
+    assert 2 not in out
+
+
+def test_occupancy_equals_curve_integral(spark):
+    # the per-interval decomposition must equal integrating the
+    # concurrency curve (brute force per second)
+    import numpy as np
+    rng = np.random.RandomState(3)
+    iv = [(int(s), int(s + l))
+          for s, l in zip(rng.randint(0, 3 * 3600, 80),
+                          rng.randint(1, 5000, 80))]
+    df = spark.createDataFrame(iv, "start_sec long, end_sec long")
+    got = {int(r["hour"].timestamp()) // 3600: r["busy_seconds"]
+           for r in P.occupancy_hourly(df).collect()}
+    hi = max(e for _, e in iv)
+    occ = np.zeros(hi + 1, dtype=int)
+    for s, e in iv:
+        occ[s] += 1
+        occ[e] -= 1
+    occ = np.cumsum(occ)
+    for h, busy in got.items():
+        assert busy == int(occ[h * 3600:(h + 1) * 3600].sum()), h
+    assert sum(got.values()) == sum(e - s for s, e in iv)
