@@ -290,6 +290,7 @@ PROBE_QUERIES = [
     "cube_median_region_sales",
     "cube_rank_nations",
     "cube_nonempty_prev_months",
+    "events_session_occupancy",
     # persisted IVF index: build-once cost vs partition-pruned query
     "emb_ivf_index_topk",
 ]
