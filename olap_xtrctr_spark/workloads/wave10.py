@@ -444,3 +444,36 @@ ORDER BY FUNCTION_NAME""")
                  AS busy_seconds,
                COUNT(*) AS n_active_intervals
         FROM hours GROUP BY hour""")
+
+    # exact GLOBAL rank without a global sort: rank = prefix COUNT, so
+    # running_total over lit(1) with value-range buckets is the
+    # classic distributed-ranking primitive (the same two-phase shape;
+    # a naive ROW_NUMBER() OVER (ORDER BY value) would single-task).
+    # Sampled output (every 97th rank) keeps the entry compact.
+    def exact_ranks(spark, sf):
+        df = _events(spark, sf).select(
+            "event_id",
+            (F.col("value").cast("decimal(18,4)") * 10000)
+            .cast("long").alias("v_tenk"),
+            F.lit(1).alias("one"),
+            # order-aligned bucket: 50-unit value ranges
+            F.expr("cast(cast(value as decimal(18,4)) * 10000 as long)"
+                   " div 500000").alias("vb"))
+        ranked = P.running_total(df, "vb", ["v_tenk", "event_id"],
+                                 "one", out_col="rnk")
+        return (ranked.filter(F.col("rnk") % 97 == 0)
+                .select("event_id", "v_tenk",
+                        F.col("rnk").cast("long").alias("rnk")))
+
+    add("events_value_exact_ranks", exact_ranks,
+        """WITH v AS (
+          SELECT event_id,
+                 CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                   AS v_tenk
+          FROM events),
+        r AS (
+          SELECT event_id, v_tenk,
+                 ROW_NUMBER() OVER (ORDER BY v_tenk, event_id) AS rnk
+          FROM v)
+        SELECT event_id, v_tenk, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk % 97 = 0""")
