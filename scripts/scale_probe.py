@@ -291,6 +291,7 @@ PROBE_QUERIES = [
     "cube_rank_nations",
     "cube_nonempty_prev_months",
     "events_session_occupancy",
+    "events_value_exact_ranks",
     # persisted IVF index: build-once cost vs partition-pruned query
     "emb_ivf_index_topk",
 ]
