@@ -146,8 +146,14 @@ def _axis(draw):
 @given(measures=st.lists(_MEASURE, min_size=1, max_size=3, unique=True),
        rows=st.lists(_axis(), min_size=0, max_size=3),
        non_empty=st.booleans(),
-       slicer=st.booleans())
-def test_build_parse_roundtrip(measures, rows, non_empty, slicer):
+       slicer=st.booleans(),
+       cell_props=st.lists(
+           st.sampled_from(["VALUE", "FORMATTED_VALUE",
+                            "FORMAT_STRING", "LANGUAGE"]),
+           max_size=3, unique=True),
+       ne_measures=st.lists(_MEASURE, max_size=2, unique=True))
+def test_build_parse_roundtrip(measures, rows, non_empty, slicer,
+                               cell_props, ne_measures):
     # distinct (dim, hier) per row axis — Q9 forbids duplicates anyway
     seen, uniq = set(), []
     for r in rows:
@@ -158,11 +164,16 @@ def test_build_parse_roundtrip(measures, rows, non_empty, slicer):
         "VENTAS_2025", cube="sales", measures=measures, rows=uniq,
         non_empty=non_empty,
         slicers=(["[Dim Producto].[Producto].[Brand].&[Brand#11]"]
-                 if slicer else []))
+                 if slicer else []),
+        cell_properties=cell_props,
+        # NONEMPTY wrappers need a rows set to wrap
+        non_empty_measures=ne_measures if uniq else [])
     back = parse_mdx(build_mdx(req), "VENTAS_2025")
     assert back.measures == req.measures
     assert back.slicers == req.slicers
     assert back.cube == "sales"
+    assert back.cell_properties == req.cell_properties
+    assert back.non_empty_measures == req.non_empty_measures
     if uniq:
         assert back.non_empty == req.non_empty
         assert len(back.rows) == len(uniq)
