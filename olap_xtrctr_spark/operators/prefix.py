@@ -44,7 +44,8 @@ _BTOT = "__bucket_total"
 
 
 def running_total(df: DataFrame, bucket_col: str, order_cols: list[str],
-                  value_col: str, out_col: str = "running") -> DataFrame:
+                  value_col: str, out_col: str = "running",
+                  key_cols: list[str] | None = None) -> DataFrame:
     """Exact global running sum of ``value_col`` over the total order
     ``(bucket_col, *order_cols)`` without a single-partition window.
 
@@ -53,18 +54,29 @@ def running_total(df: DataFrame, bucket_col: str, order_cols: list[str],
     over a timestamp order, range buckets over a numeric order).
     ``order_cols`` must be a within-bucket tiebreak down to a unique
     key, or equal-key rows make ``out_col`` order-dependent.
+
+    ``key_cols`` gives the PER-KEY form: an independent running total
+    per key (per-source corpus budgets, per-tenant spend).  The plain
+    ``Window.partitionBy(key)`` answer is only safe when every single
+    key fits one task; with FEW HUGE keys (three sources of a 100-TB
+    corpus) that is the same trap one key at a time — here every
+    phase also partitions by key, so the carry window is
+    |keys x buckets| rows and the row-level windows stay
+    (key, bucket)-parallel.
     """
-    totals = df.groupBy(bucket_col).agg(F.sum(value_col).alias(_BTOT))
-    # |buckets| rows only: this unpartitioned window is the intended
-    # tiny serial step of the two-phase prefix sum, not the trap.
-    wb = (Window.orderBy(bucket_col)
+    keys = list(key_cols or [])
+    totals = df.groupBy(*keys, bucket_col).agg(
+        F.sum(value_col).alias(_BTOT))
+    # |keys x buckets| rows only: this window is the intended tiny
+    # serial step of the two-phase prefix sum, not the trap.
+    wb = (Window.partitionBy(*keys).orderBy(bucket_col)
           .rowsBetween(Window.unboundedPreceding, -1))
     offsets = totals.select(
-        bucket_col,
+        *keys, bucket_col,
         F.coalesce(F.sum(_BTOT).over(wb), F.lit(0)).alias(_CARRY))
-    win = (Window.partitionBy(bucket_col).orderBy(*order_cols)
+    win = (Window.partitionBy(*keys, bucket_col).orderBy(*order_cols)
            .rowsBetween(Window.unboundedPreceding, 0))
-    return (df.join(F.broadcast(offsets), bucket_col)
+    return (df.join(F.broadcast(offsets), keys + [bucket_col])
             .withColumn(out_col,
                         F.sum(value_col).over(win) + F.col(_CARRY))
             .drop(_CARRY))
@@ -73,7 +85,8 @@ def running_total(df: DataFrame, bucket_col: str, order_cols: list[str],
 def running_milestones(df: DataFrame, bucket_col: str,
                        order_cols: list[str], value_col: str,
                        step: int, id_cols: list[str] | None = None,
-                       base: int = 0) -> DataFrame:
+                       base: int = 0,
+                       key_cols: list[str] | None = None) -> DataFrame:
     """Rows whose arrival pushes the global running total past one or
     more multiples of ``step`` (all-positive integral values).
 
@@ -87,12 +100,13 @@ def running_milestones(df: DataFrame, bucket_col: str,
     streaming fold passes the sum of all PRIOR batches, so per-batch
     crossings equal the one-shot crossings on the concatenated input.
     """
-    run = running_total(df, bucket_col, order_cols, value_col)
+    run = running_total(df, bucket_col, order_cols, value_col,
+                        key_cols=key_cols)
     # all-integer div: running totals can pass 2**53, where a double
     # division would silently lose the crossing
     hi = F.expr(f"({int(base)} + running) div {int(step)}")
     lo = F.expr(f"({int(base)} + running - {value_col}) div {int(step)}")
-    keep = list(id_cols or order_cols)
+    keep = list(key_cols or []) + list(id_cols or order_cols)
     return (run.filter(hi > lo)
             .select(*keep, hi.alias("milestone"),
                     (hi - lo).alias("n_crossed"),

@@ -477,3 +477,43 @@ ORDER BY FUNCTION_NAME""")
           FROM v)
         SELECT event_id, v_tenk, CAST(rnk AS BIGINT) AS rnk
         FROM r WHERE rnk % 97 = 0""")
+
+    # PER-KEY prefix milestones: per-source cumulative token budgets
+    # over doc_id ingestion order.  With FEW HUGE keys (a corpus has a
+    # handful of sources, each arbitrarily large) the plain
+    # Window.partitionBy(source) answer is the same single-task trap
+    # one key at a time — the keyed two-phase form partitions every
+    # phase by (source, bucket) instead.  Token count = the
+    # docs_token_stats whitespace convention.
+    def source_token_milestones(spark, sf):
+        from ..workload_shared import _docs
+        df = _docs(spark, sf).select(
+            "doc_id", "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("long").alias("n_tokens"),
+            F.expr("doc_id div 100").alias("db"))
+        return P.running_milestones(
+            df, "db", ["doc_id"], "n_tokens", step=5000,
+            id_cols=["doc_id"], key_cols=["source"])
+
+    add("docs_source_token_milestones", source_token_milestones,
+        r"""WITH v AS (
+          SELECT doc_id, source,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                      AS BIGINT) AS n_tokens
+          FROM documents),
+        r AS (
+          SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS running
+          FROM v)
+        SELECT source, doc_id,
+               CAST(running // 5000 AS BIGINT) AS milestone,
+               CAST(running // 5000
+                    - (running - n_tokens) // 5000 AS BIGINT)
+                 AS n_crossed,
+               CAST(running AS BIGINT) AS running
+        FROM r
+        WHERE running // 5000 > (running - n_tokens) // 5000""")

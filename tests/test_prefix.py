@@ -232,3 +232,35 @@ def test_occupancy_equals_curve_integral(spark):
     for h, busy in got.items():
         assert busy == int(occ[h * 3600:(h + 1) * 3600].sum()), h
     assert sum(got.values()) == sum(e - s for s, e in iv)
+
+
+def test_keyed_running_total_matches_per_key_window(spark):
+    rows = [(i, (i * 13) % 7 + 1, i // 5, f"k{i % 3}")
+            for i in range(45)]
+    df = spark.createDataFrame(
+        rows, "id long, v long, bucket long, key string")
+    got = P.running_total(df, "bucket", ["id"], "v", key_cols=["key"])
+    naive = df.withColumn(
+        "want", F.sum("v").over(
+            Window.partitionBy("key").orderBy("id").rowsBetween(
+                Window.unboundedPreceding, 0)))
+    joined = got.join(naive.select("id", "want"), "id")
+    assert joined.filter(F.col("running") != F.col("want")).count() == 0
+    assert got.count() == 45
+
+
+def test_keyed_milestones_independent_per_key(spark):
+    # two keys with identical streams cross identical milestones
+    rows = ([(i, 30, i // 4, "a") for i in range(10)]
+            + [(100 + i, 30, i // 4, "b") for i in range(10)])
+    df = spark.createDataFrame(
+        rows, "id long, v long, bucket long, key string")
+    out = P.running_milestones(df, "bucket", ["id"], "v", step=100,
+                               id_cols=["id"], key_cols=["key"])
+    by_key: dict = {}
+    for r in out.collect():
+        by_key.setdefault(r["key"], []).append(
+            (r["milestone"], r["n_crossed"], r["running"]))
+    assert sorted(by_key) == ["a", "b"]
+    assert sorted(by_key["a"]) == sorted(by_key["b"])
+    assert sum(n for _, n, _ in by_key["a"]) == 300 // 100
