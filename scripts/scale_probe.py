@@ -292,6 +292,7 @@ PROBE_QUERIES = [
     "cube_nonempty_prev_months",
     "events_session_occupancy",
     "events_value_exact_ranks",
+    "docs_source_token_milestones",
     # persisted IVF index: build-once cost vs partition-pruned query
     "emb_ivf_index_topk",
 ]
