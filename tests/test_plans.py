@@ -386,3 +386,25 @@ def test_ivf_index_build_idempotent_and_consistent(spark, sf_dir):
     a = sorted(map(tuple, S.ivf_query_index(spark, d, q).collect()))
     b = sorted(map(tuple, S.ivf_query_index(spark, d, q).collect()))
     assert a == b and a
+
+
+def test_ivf_index_rebuilds_on_corrupt_meta_or_param_change(spark, sf_dir):
+    import json
+    import os
+    import tempfile
+
+    from olap_xtrctr_spark.operators import similarity as S
+    from olap_xtrctr_spark.session import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = os.path.join(tempfile.gettempdir(), "olap_xtrctr_ivf_plan_t3")
+    meta = S.ivf_build_index(emb, d)
+    # corrupt meta -> rebuild instead of trusting stale artifacts
+    with open(os.path.join(d, "_INDEX_META.json"), "w") as f:
+        f.write("{not json")
+    assert S.ivf_build_index(emb, d) == meta
+    # changed build params -> meta mismatch -> rebuild with new params
+    meta16 = S.ivf_build_index(emb, d, n_clusters=16)
+    assert meta16["n_clusters"] == 16
+    assigned = spark.read.parquet(f"{d}/assignments.parquet")
+    assert assigned.agg({"bucket": "max"}).first()[0] < 16
+    assert assigned.count() == meta16["n_vectors"]
