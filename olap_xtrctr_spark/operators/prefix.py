@@ -198,9 +198,15 @@ def occupancy_hourly(intervals: DataFrame,
     """
     h0 = F.expr(f"{start_col} div 3600")
     h1 = F.expr(f"({end_col} - 1) div 3600")   # end-exclusive
-    hours = intervals.select(
-        F.col(start_col).alias("s"), F.col(end_col).alias("e"),
-        F.explode(F.sequence(h0, h1)).alias("hour"))
+    # empty intervals (e <= s) occupy nothing — and must be dropped
+    # BEFORE the explode: with e == s at an hour boundary h1 < h0, and
+    # Spark's sequence(h0, h1) would silently run DESCENDING, emitting
+    # phantom hours
+    hours = (intervals
+             .filter(F.col(end_col) > F.col(start_col))
+             .select(F.col(start_col).alias("s"),
+                     F.col(end_col).alias("e"),
+                     F.explode(F.sequence(h0, h1)).alias("hour")))
     overlap = (F.least(F.col("e"), (F.col("hour") + 1) * 3600)
                - F.greatest(F.col("s"), F.col("hour") * 3600))
     return (hours

@@ -264,3 +264,16 @@ def test_keyed_milestones_independent_per_key(spark):
     assert sorted(by_key) == ["a", "b"]
     assert sorted(by_key["a"]) == sorted(by_key["b"])
     assert sum(n for _, n, _ in by_key["a"]) == 300 // 100
+
+
+def test_occupancy_drops_empty_intervals(spark):
+    # e == s exactly at an hour boundary: without the guard, Spark's
+    # sequence(h0, h1) with h1 < h0 runs DESCENDING and emits phantom
+    # hours; empty intervals must contribute nothing at all
+    iv = spark.createDataFrame(
+        [(3600, 3600), (7200, 7200), (0, 10)],
+        "start_sec long, end_sec long")
+    out = {int(r["hour"].timestamp()) // 3600:
+           (r["busy_seconds"], r["n_active_intervals"])
+           for r in P.occupancy_hourly(iv).collect()}
+    assert out == {0: (10, 1)}
