@@ -915,7 +915,10 @@ def ivf_query_index(spark, index_dir: str, queries: DataFrame,
                        key=lambda b: float(np.linalg.norm(v - centers[b])))
         for b in order[:n_probe]:
             probes.append((r["query_id"], int(b)))
-    probe_df = spark.createDataFrame(probes, ["query_id", "bucket"])
+    # explicit schemas: an EMPTY query set must yield an empty result,
+    # not a schema-inference error
+    probe_df = spark.createDataFrame(probes,
+                                     "query_id long, bucket int")
     # float32 qvec schema: bit-parity with ivf_cosine_topk's broadcast
     # of the original float embedding column
     qdf = spark.createDataFrame(

@@ -408,3 +408,18 @@ def test_ivf_index_rebuilds_on_corrupt_meta_or_param_change(spark, sf_dir):
     assigned = spark.read.parquet(f"{d}/assignments.parquet")
     assert assigned.agg({"bucket": "max"}).first()[0] < 16
     assert assigned.count() == meta16["n_vectors"]
+
+
+def test_ivf_index_empty_query_set_yields_empty(spark, sf_dir):
+    import os
+    import tempfile
+
+    from olap_xtrctr_spark.operators import similarity as S
+    from olap_xtrctr_spark.session import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = os.path.join(tempfile.gettempdir(), "olap_xtrctr_ivf_plan_t")
+    S.ivf_build_index(emb, d)
+    out = S.ivf_query_index(
+        spark, d, emb.filter(F.col("vec_id") < 0), k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "rank", "neighbor_id", "cosine"]
