@@ -1806,3 +1806,26 @@ def test_addcalculatedmembers_unwraps_like_excel(spark, sf_dir):
             "SELECT { [Measures].[Sum Quantity] } ON COLUMNS, "
             "ADDCALCULATEDMEMBERS([A].[B].[C].MEMBERS, 2) ON ROWS "
             "FROM [sales]", "VENTAS_2025")
+
+
+def test_setstat_composes_in_arithmetic(spark, sf_dir):
+    # the refs parse in unary position, so spread = MAX(...) - MIN(...)
+    # composes like any measure arithmetic
+    G = "[Dim Customer].[Geografía].[Region]"
+    rset = "{ " + ", ".join(f"{G}.&[{k}]" for k in range(5)) + " }"
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    df = eng.execute(parse_mdx(
+        "WITH MEMBER [Measures].[Spread] AS "
+        f"MAX({rset}, [Measures].[Sum Extendedprice]) - "
+        f"MIN({rset}, [Measures].[Sum Extendedprice]) "
+        "MEMBER [Measures].[Hi] AS "
+        f"MAX({rset}, [Measures].[Sum Extendedprice]) "
+        "MEMBER [Measures].[Lo] AS "
+        f"MIN({rset}, [Measures].[Sum Extendedprice]) "
+        "SELECT { [Measures].[Spread], [Measures].[Hi], "
+        "[Measures].[Lo] } ON COLUMNS, "
+        "[D Tiempo].[Calendario].[Año].MEMBERS ON ROWS "
+        "FROM [sales]", "VENTAS_2025"))
+    for r in df.collect():
+        assert r["spread"] == r["hi"] - r["lo"]
+        assert r["spread"] >= 0
