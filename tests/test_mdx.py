@@ -1829,3 +1829,25 @@ def test_setstat_composes_in_arithmetic(spark, sf_dir):
     for r in df.collect():
         assert r["spread"] == r["hi"] - r["lo"]
         assert r["spread"] >= 0
+
+
+def test_rank_over_calculated_measure(spark, sf_dir):
+    # RANK's inner expression resolves through the calc chain: a calc
+    # declared EARLIER materializes first (DFS order), so ranking by a
+    # derived ratio works end-to-end
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    df = eng.execute(parse_mdx(
+        "WITH MEMBER [Measures].[Avg Price] AS "
+        "[Measures].[Sum Extendedprice] / [Measures].[Sum Quantity] "
+        "MEMBER [Measures].[Price Rank] AS "
+        "RANK([Dim Customer].[Geografía].CurrentMember, "
+        "[Measures].[Avg Price]) "
+        "SELECT { [Measures].[Avg Price], [Measures].[Price Rank] } "
+        "ON COLUMNS, "
+        "[Dim Customer].[Geografía].[Nation].MEMBERS ON ROWS "
+        "FROM [sales]", "VENTAS_2025"))
+    rows = sorted(((r["avg_price"], r["price_rank"])
+                   for r in df.collect()), key=lambda x: x[1])
+    assert [rk for _, rk in rows] == list(range(1, len(rows) + 1))
+    assert [v for v, _ in rows] == sorted((v for v, _ in rows),
+                                          reverse=True)
