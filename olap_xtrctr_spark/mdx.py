@@ -628,6 +628,18 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
                 raise MdxParseError(f"expected [Measures].[X], got {s!r}")
             return segs[1]
 
+        # Wrapper-order guard (ADVICE r10): the engine's fixed pipeline
+        # applies FILTER/NONEMPTY BEFORE the limit operators, which
+        # matches SSAS only when the filter is the INNER call —
+        # TOPCOUNT(FILTER(set, c), n, m).  The reverse nesting
+        # NONEMPTY(TOPCOUNT(set, n, m), m2) evaluates the limit first
+        # in SSAS (and may return fewer than n rows), so it is
+        # rejected rather than silently reordered.
+        _FILTER_FNS = ("NONEMPTY", "FILTER")
+        _LIMIT_FNS = ("TOPCOUNT", "BOTTOMCOUNT", "HEAD", "TAIL",
+                      "TOPPERCENT", "BOTTOMPERCENT", "TOPSUM",
+                      "BOTTOMSUM")
+        outer_filter = None
         while True:
             rs = r.strip()
             up = rs.upper()
@@ -636,6 +648,15 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
                        or up.startswith(f + " (")), None)
             if fn is None:
                 break
+            if fn in _FILTER_FNS:
+                outer_filter = fn
+            elif fn in _LIMIT_FNS and outer_filter is not None:
+                raise MdxParseError(
+                    f"{outer_filter} wrapping {fn} is unsupported: "
+                    f"SSAS evaluates the inner {fn} first and THEN "
+                    f"filters (possibly returning fewer rows); write "
+                    f"{fn}({outer_filter}(set, ...), ...) to filter "
+                    f"the set before the limit instead")
             inner = rs[rs.index("(") + 1:rs.rindex(")")]
             parts = _split_top(inner)
             if fn in ("HEAD", "TAIL"):

@@ -82,13 +82,30 @@ def running_total(df: DataFrame, bucket_col: str, order_cols: list[str],
             .drop(_CARRY))
 
 
+def _floordiv(expr: str, step: int) -> str:
+    """SQL for FLOOR division of an integral expression by a positive
+    step, exact at any magnitude.  Spark's ``div`` truncates toward
+    zero, while the DuckDB oracles' ``//`` floors — they differ
+    exactly when the dividend is negative and not a multiple of the
+    step, so a drawdown (negative running total) would silently
+    diverge from the oracle (ADVICE r10).  All-integer: a double
+    ``floor(x / step)`` would lose crossings past 2**53."""
+    d = f"(({expr}) div {step})"
+    return (f"({d} - (CASE WHEN ({expr}) % {step} < 0 "
+            f"THEN 1 ELSE 0 END))")
+
+
 def running_milestones(df: DataFrame, bucket_col: str,
                        order_cols: list[str], value_col: str,
                        step: int, id_cols: list[str] | None = None,
                        base: int = 0,
                        key_cols: list[str] | None = None) -> DataFrame:
     """Rows whose arrival pushes the global running total past one or
-    more multiples of ``step`` (all-positive integral values).
+    more multiples of ``step`` (integral values; negatives allowed —
+    crossings use FLOOR-division milestone indices, so a value that
+    drags the total back below a boundary and a later row that
+    re-crosses it both report the crossing, matching SQL ``//``
+    oracles bit-for-bit).
 
     Output per crossing row: the highest milestone index reached
     (``milestone = running div step``), how many multiples this single
@@ -102,10 +119,9 @@ def running_milestones(df: DataFrame, bucket_col: str,
     """
     run = running_total(df, bucket_col, order_cols, value_col,
                         key_cols=key_cols)
-    # all-integer div: running totals can pass 2**53, where a double
-    # division would silently lose the crossing
-    hi = F.expr(f"({int(base)} + running) div {int(step)}")
-    lo = F.expr(f"({int(base)} + running - {value_col}) div {int(step)}")
+    hi = F.expr(_floordiv(f"{int(base)} + running", int(step)))
+    lo = F.expr(_floordiv(f"{int(base)} + running - {value_col}",
+                          int(step)))
     keep = list(key_cols or []) + list(id_cols or order_cols)
     return (run.filter(hi > lo)
             .select(*keep, hi.alias("milestone"),

@@ -849,15 +849,32 @@ def ivf_build_index(emb: DataFrame, index_dir: str, n_clusters: int = 8,
     ``centroids.parquet`` (bucket, center) and ``assignments.parquet``
     partitioned by ``bucket``.  Returns the meta dict.  Re-building
     over an unchanged corpus signature is a no-op."""
+    import hashlib
     import json
     import os
+    import shutil
 
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # corpus content signature: the source files' (path, size, mtime)
+    # triples — a REGENERATED corpus with the same row count must not
+    # serve a stale index (ADVICE r10).  In-memory inputs (no files)
+    # sign as the row count alone, the pre-r11 behavior.
+    sig_parts = []
+    for p in sorted(emb.inputFiles()):
+        local = p[len("file:"):] if p.startswith("file:") else p
+        try:
+            st = os.stat(local)
+            sig_parts.append(f"{p}|{st.st_size}|{st.st_mtime_ns}")
+        except OSError:
+            sig_parts.append(p)           # remote FS: path-only term
     n = emb.count()
+    corpus_sig = hashlib.sha256(
+        "\n".join(sig_parts).encode()).hexdigest()[:16]
     meta = {"n_clusters": n_clusters, "seed": seed, "n_vectors": n,
-            "id_col": id_col, "vec_col": vec_col, "version": 1}
+            "corpus_sig": corpus_sig,
+            "id_col": id_col, "vec_col": vec_col, "version": 2}
     meta_path = os.path.join(index_dir, "_INDEX_META.json")
     try:
         with open(meta_path, encoding="utf-8") as f:
@@ -865,6 +882,19 @@ def ivf_build_index(emb: DataFrame, index_dir: str, n_clusters: int = 8,
                 return meta               # idempotent rebuild
     except (OSError, ValueError):
         pass
+    # Invalidate-then-rebuild: drop the marker FIRST (a crash mid-build
+    # can never serve a half-written index), then delete the old
+    # assignments tree — mode("overwrite") under dynamic
+    # partitionOverwriteMode only replaces partitions the new build
+    # writes, so a rebuild with FEWER clusters would leave stale
+    # bucket=K directories for ivf_query_index to read (ADVICE r10).
+    for stale in (meta_path,
+                  os.path.join(index_dir, "assignments.parquet"),
+                  os.path.join(index_dir, "centroids.parquet")):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+        elif os.path.exists(stale):
+            os.remove(stale)
     feats = emb.select(
         F.col(id_col), F.col(vec_col),
         array_to_vector(F.col(vec_col).cast("array<double>"))

@@ -1148,12 +1148,16 @@ class CubeQueryEngine:
         # becomes ONE conditional aggregate column in the main groupBy
         # (single fact scan — the set restriction is a CASE predicate,
         # never a second aggregation job), and its dimension's view
-        # must join like any filter dimension.
+        # must join like any filter dimension.  FILTER conditions
+        # (req.having) are scanned too: a set-aggregate/statistic used
+        # only inside FILTER(set, ...) still needs its conditional
+        # aggregate columns, or resolve() would KeyError (ADVICE r10).
+        setagg_exprs = [c.expr for c in req.calculated] + list(req.having)
         setagg_specs: dict[tuple, str] = {}    # spec key -> alias
         setagg_dims: list = []                  # (dim, hier, members)
-        for c in req.calculated:
+        for expr_src in setagg_exprs:
             try:
-                _, prefs = parse_measure_expr(c.expr)
+                _, prefs = parse_measure_expr(expr_src)
             except MeasureExprError:
                 prefs = []
             for r in prefs:
@@ -1222,9 +1226,9 @@ class CubeQueryEngine:
         # next to its child is the SSAS contract, not double-counting.
         setstat_specs: dict[tuple, str] = {}   # spec key -> alias prefix
         setstat_dims: list = []                 # (dim, hier, members)
-        for c in req.calculated:
+        for expr_src in setagg_exprs:          # calculated + having
             try:
-                _, prefs = parse_measure_expr(c.expr)
+                _, prefs = parse_measure_expr(expr_src)
             except MeasureExprError:
                 prefs = []
             for r in prefs:
@@ -1439,8 +1443,9 @@ class CubeQueryEngine:
                              *setagg_aggs, *setstat_aggs)
 
         # NON EMPTY: drop rows whose measure cells are all NULL (Q12).
-        # An all-calculated query has no base measures to test — the
-        # calc columns don't exist yet here, so the drop is a no-op.
+        # An all-calculated query has no base measures to test here —
+        # the calc columns don't exist yet, so the test moves AFTER the
+        # calc step (below) instead of silently no-op'ing (ADVICE r10).
         if req.non_empty and measures \
                 and not any(m.never_null for m in measures):
             cond = reduce(lambda a, b: a | b,
@@ -1558,6 +1563,18 @@ class CubeQueryEngine:
         for c, builder in calc_plan:
             out = out.withColumn(c.alias, builder(resolve_chain))
             done_calcs[c.name] = c.alias
+
+        # Q12 on an all-calculated query: no base measure cells exist,
+        # so NON EMPTY tests the SELECTED calc cells once materialized
+        # (SSAS drops rows whose calculated cells are all empty).
+        if req.non_empty and not measures and calc_plan:
+            sel = set(out_aliases)
+            calc_cols = [c.alias for c, _ in calc_plan
+                         if c.alias in sel]
+            if calc_cols:
+                out = out.filter(reduce(
+                    lambda a, b: a | b,
+                    [F.col(a).isNotNull() for a in calc_cols]))
 
         def resolve_out(name):
             if isinstance(name, (LagRef, YtdRef, LastPeriodsRef,

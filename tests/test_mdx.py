@@ -340,6 +340,35 @@ def test_parse_set_functions_nested_and_roundtrip():
     assert parse_mdx(build_mdx(req), "VENTAS_2025") == req
 
 
+def test_filter_wrapping_limit_rejected():
+    """NONEMPTY/FILTER OUTSIDE a limit operator diverges from SSAS
+    (inner evaluates first there, so the result may have fewer than n
+    rows) — rejected with the rewrite hint; the inner-filter
+    convention TOPCOUNT(FILTER(...)) stays supported (ADVICE r10)."""
+    import pytest
+
+    from olap_xtrctr_spark.mdx import MdxParseError, parse_mdx
+
+    N = "[Dim Customer].[Geografía].[Nation].MEMBERS"
+    M = "[Measures].[Sum Quantity]"
+    bad = [
+        f"SELECT {{{M}}} ON COLUMNS, NONEMPTY(TOPCOUNT({N}, 3, {M}), "
+        f"{M}) ON ROWS FROM [sales]",
+        f"SELECT {{{M}}} ON COLUMNS, FILTER(HEAD({N}, 3), {M} > 0) "
+        f"ON ROWS FROM [sales]",
+        f"SELECT {{{M}}} ON COLUMNS, NONEMPTY(TOPSUM({N}, 5, {M})) "
+        f"ON ROWS FROM [sales]",
+    ]
+    for q in bad:
+        with pytest.raises(MdxParseError, match="unsupported"):
+            parse_mdx(q, "VENTAS_2025")
+    # inner-filter convention still parses
+    ok = parse_mdx(
+        f"SELECT {{{M}}} ON COLUMNS, TOPCOUNT(FILTER({N}, {M} > 0), "
+        f"3, {M}) ON ROWS FROM [sales]", "VENTAS_2025")
+    assert ok.having == [f"{M} > 0"] and ok.topcount.n == 3
+
+
 def test_parse_set_function_errors():
     import pytest
 
@@ -1567,6 +1596,63 @@ def test_setstat_parse_and_validation_negatives(spark, sf_dir):
     for expr, msg in cases:
         with pytest.raises(QueryValidationError, match=msg):
             eng.execute(parse_mdx(base.format(expr=expr), "VENTAS_2025"))
+
+
+def test_setstat_inside_filter_condition(spark, sf_dir):
+    """A set statistic used ONLY inside FILTER(set, ...) must still get
+    its conditional-aggregate columns (ADVICE r10: the spec maps were
+    collected from req.calculated alone, so this raised a raw
+    KeyError at execution)."""
+    G = "[Dim Customer].[Geografía].[Region]"
+    rset = "{ " + ", ".join(f"{G}.&[{k}]" for k in range(5)) + " }"
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    ref = eng.execute(parse_mdx(
+        "WITH MEMBER [Measures].[Lo] AS "
+        f"MIN({rset}, [Measures].[Sum Extendedprice]) "
+        "SELECT { [Measures].[Sum Extendedprice], [Measures].[Lo] } "
+        "ON COLUMNS, [D Tiempo].[Calendario].[Año].MEMBERS ON ROWS "
+        "FROM [sales]", "VENTAS_2025"))
+    want = sorted(r["anio"] for r in ref.collect()
+                  if r["sum_extendedprice"] > 9 * r["lo"])
+    filt = eng.execute(parse_mdx(
+        "SELECT { [Measures].[Sum Extendedprice] } ON COLUMNS, "
+        "FILTER([D Tiempo].[Calendario].[Año].MEMBERS, "
+        "[Measures].[Sum Extendedprice] > "
+        f"9 * MIN({rset}, [Measures].[Sum Extendedprice])) ON ROWS "
+        "FROM [sales]", "VENTAS_2025"))
+    assert sorted(r["anio"] for r in filt.collect()) == want
+    assert filt.columns == ["anio", "sum_extendedprice"]
+    # a set-AGGREGATE ref in FILTER resolves through the same path
+    agg = eng.execute(parse_mdx(
+        "SELECT { [Measures].[Sum Extendedprice] } ON COLUMNS, "
+        "FILTER([D Tiempo].[Calendario].[Año].MEMBERS, "
+        f"SUM({rset}, [Measures].[Sum Extendedprice]) > 0) ON ROWS "
+        "FROM [sales]", "VENTAS_2025"))
+    assert sorted(r["anio"] for r in agg.collect()) == \
+        sorted(r["anio"] for r in ref.collect())
+
+
+def test_non_empty_tests_calc_cells_when_all_calculated(spark, sf_dir):
+    """NON EMPTY on an all-calculated query (no base measure is
+    aggregated at all) must test the calculated cells instead of
+    silently no-op'ing (ADVICE r10).  The WHERE slicer keeps region 3
+    only, so MIN({region 2}, m)'s conditional aggregate is NULL on
+    every row: NON EMPTY drops everything."""
+    G = "[Dim Customer].[Geografía].[Region]"
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+
+    def mdx(ne):
+        return ("WITH MEMBER [Measures].[Other] AS "
+                f"MIN({{ {G}.&[2] }}, [Measures].[Sum Extendedprice]) "
+                "SELECT { [Measures].[Other] } ON COLUMNS, "
+                f"{ne}[D Tiempo].[Calendario].[Año].MEMBERS ON ROWS "
+                f"FROM [sales] WHERE ({G}.&[3])")
+
+    kept = eng.execute(parse_mdx(mdx(""), "VENTAS_2025"))
+    rows = kept.collect()
+    assert len(rows) > 0 and all(r["other"] is None for r in rows)
+    dropped = eng.execute(parse_mdx(mdx("NON EMPTY "), "VENTAS_2025"))
+    assert dropped.count() == 0
 
 
 def test_setstat_single_scan_plan(spark, sf_dir):

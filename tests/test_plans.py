@@ -410,6 +410,66 @@ def test_ivf_index_rebuilds_on_corrupt_meta_or_param_change(spark, sf_dir):
     assert assigned.count() == meta16["n_vectors"]
 
 
+def test_ivf_index_shrink_rebuild_drops_stale_cells(spark, sf_dir):
+    """Rebuilding with FEWER clusters must delete the old assignments
+    tree first: under dynamic partitionOverwriteMode an overwrite only
+    replaces partitions the new build writes, so stale bucket=K dirs
+    would survive for ivf_query_index to read (ADVICE r10)."""
+    import os
+    import tempfile
+
+    from olap_xtrctr_spark.operators import similarity as S
+    from olap_xtrctr_spark.session import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = os.path.join(tempfile.gettempdir(), "olap_xtrctr_ivf_shrink")
+    S.ivf_build_index(emb, d, n_clusters=8)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        S.ivf_build_index(emb, d, n_clusters=2)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    cells = {n for n in os.listdir(os.path.join(d, "assignments.parquet"))
+             if n.startswith("bucket=")}
+    assert cells <= {"bucket=0", "bucket=1"}, cells
+    assigned = spark.read.parquet(f"{d}/assignments.parquet")
+    assert assigned.agg({"bucket": "max"}).first()[0] < 2
+    assert assigned.count() == emb.count()
+
+
+def test_ivf_index_rebuilds_on_corpus_content_change(spark, sf_dir,
+                                                     tmp_path):
+    """Same row count, regenerated file -> the content signature must
+    force a rebuild (ADVICE r10: (n_clusters, seed, n_vectors) alone
+    served a stale index)."""
+    import os
+    import shutil
+
+    from olap_xtrctr_spark.operators import similarity as S
+    corpus = str(tmp_path / "emb.parquet")
+    src = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, corpus)
+        part = next(os.path.join(corpus, f) for f in os.listdir(corpus)
+                    if f.endswith(".parquet"))
+    else:
+        shutil.copy(src, corpus)
+        part = corpus
+    emb = spark.read.parquet(corpus)
+    d = str(tmp_path / "ivf_index")
+    meta1 = S.ivf_build_index(emb, d)
+    # touch the data file: same rows, new mtime -> new signature
+    os.utime(part, ns=(os.stat(part).st_atime_ns,
+                       os.stat(part).st_mtime_ns + 1_000_000))
+    emb2 = spark.read.parquet(corpus)
+    meta2 = S.ivf_build_index(emb2, d)
+    assert meta2["corpus_sig"] != meta1["corpus_sig"]
+    assert meta2["n_vectors"] == meta1["n_vectors"]
+    # and an UNCHANGED corpus is still an idempotent no-op
+    assert S.ivf_build_index(emb2, d) == meta2
+
+
 def test_ivf_index_empty_query_set_yields_empty(spark, sf_dir):
     import os
     import tempfile

@@ -51,6 +51,31 @@ def test_milestones_multi_cross_and_exact_boundary(spark):
             for r in out] == [(2, 2, 2, 100), (3, 3, 1, 150)]
 
 
+def test_milestones_negative_values_floor_semantics(spark):
+    """Negative values (drawdowns) must use FLOOR-division milestone
+    indices — the DuckDB ``//`` contract — not Spark's truncate-toward-
+    zero ``div`` (ADVICE r10: a negative stream silently diverged)."""
+    # running: -30, -120, -70, 40.  With step=50 and floor division
+    # the milestone index sequence is -1, -3, -2, 0; a row crosses
+    # when hi > lo (up-crossings only, same filter as the oracles).
+    rows = [(1, -30, 0), (2, -90, 0), (3, 50, 1), (4, 110, 1)]
+    out = P.running_milestones(
+        _df(spark, rows), "bucket", ["id"], "v", step=50,
+        id_cols=["id"]).orderBy("id").collect()
+    want = []
+    run = 0
+    for i, v, _b in rows:
+        lo = run // 50          # python // floors, like DuckDB
+        run += v
+        hi = run // 50
+        if hi > lo:
+            want.append((i, hi, hi - lo, run))
+    assert [(r["id"], r["milestone"], r["n_crossed"], r["running"])
+            for r in out] == want
+    # sanity on the spec itself: the up-crossings here are rows 3, 4
+    assert [w[0] for w in want] == [3, 4]
+
+
 def test_session_intervals_gap_and_bounds(spark):
     rows = [
         (1, _ts(10, 0, 0), 100), (2, _ts(10, 10, 0), 100),
