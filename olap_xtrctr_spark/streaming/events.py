@@ -776,15 +776,25 @@ def user_state_history(events: DataFrame,
 def rfm_segments(events: DataFrame, n_bins: int = 5) -> DataFrame:
     """RFM segmentation: per-user recency (days since the corpus' last
     event), frequency (event count), monetary (value sum), each scored
-    into ``n_bins`` ntile buckets — the classic OLAP customer-value
+    into ``n_bins`` NTILE buckets — the classic OLAP customer-value
     rollup.  Ordering carries a user_id tiebreak so the binning is a
     total order and reproduces bit-for-bit on any engine.
 
-    Scale shape: everything after the first groupBy operates on the
-    PER-USER table (dimension-sized, not event-sized); the global
-    reference timestamp joins in as a broadcast scalar, and the three
-    ntile windows sort that user table once each — acceptable for a
-    dimension, never applied to raw events."""
+    Scale shape (r11, VERDICT r10 #2): users scale WITH events (100 TB
+    of events ⇒ 10⁸+ users), so the per-user table gets no global
+    window.  Each dimension's exact 1-based rank comes from the keyed
+    two-phase prefix COUNT (``operators.prefix.running_total`` with an
+    order-aligned value-range bucket — the distributed-ranking
+    primitive events_value_exact_ranks uses), and the NTILE bucket is
+    then pure arithmetic on (rank, n_users): with q = N div n and
+    rem = N % n, SQL NTILE gives the first ``rem`` buckets q+1 rows —
+    bucket(r) = ceil(r/(q+1)) for r ≤ rem·(q+1), else
+    rem + ceil((r−rem·(q+1))/q).  All-integer, identical to the
+    oracle's ``ntile(n) OVER (ORDER BY ..., user_id)``.  The only
+    serial steps are the |buckets|-row carry windows; the user count
+    joins in as a broadcast scalar."""
+    from ..operators import prefix as P
+
     per_user = (events.groupBy("user_id")
                 .agg(F.max("ts").alias("last_ts"),
                      F.count(F.lit(1)).alias("frequency"),
@@ -794,14 +804,46 @@ def rfm_segments(events: DataFrame, n_bins: int = 5) -> DataFrame:
     scored = (per_user.crossJoin(F.broadcast(ref))
               .withColumn("recency_days",
                           F.datediff("_ref_ts", "last_ts"))
-              .drop("_ref_ts"))
-    r_w = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
-    m_w = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
-    return (scored
-            .withColumn("r_score", F.ntile(n_bins).over(r_w))
-            .withColumn("f_score", F.ntile(n_bins).over(f_w))
-            .withColumn("m_score", F.ntile(n_bins).over(m_w))
+              .drop("_ref_ts")
+              .withColumn("_one", F.lit(1))
+              # order keys as integers, ascending == the NTILE order:
+              # recency asc; frequency/monetary DESC via negation
+              # (monetary is decimal(18,4)-exact, so ×10000 is integral)
+              .withColumn("_negf", -F.col("frequency"))
+              .withColumn("_negm",
+                          -(F.col("monetary").cast("decimal(18,4)")
+                            * 10000).cast("long"))
+              # order-aligned range buckets (carry windows span
+              # |value range / bucket width| rows, never |users|)
+              .withColumn("_rfmb_r", F.col("recency_days"))
+              .withColumn("_rfmb_f", F.expr("_negf div 100"))
+              .withColumn("_rfmb_m", F.expr("_negm div 1000000")))
+    ranked = scored
+    for b, order in (("_rfmb_r", ["recency_days", "user_id"]),
+                     ("_rfmb_f", ["_negf", "user_id"]),
+                     ("_rfmb_m", ["_negm", "user_id"])):
+        ranked = P.running_total(ranked, b, order, "_one",
+                                 out_col=f"_rnk{b[-2:]}")
+    tot = per_user.agg(F.count(F.lit(1)).alias("_n_total"))
+
+    def ntile_of(rank_col: str):
+        # SQL NTILE from exact rank, all-integer (ceil(a/b) as
+        # (a + b - 1) div b); greatest(q, 1) guards N < n_bins (q = 0,
+        # where every rank lands in the first branch anyway)
+        n = int(n_bins)
+        q = f"(_n_total div {n})"
+        rem = f"(_n_total % {n})"
+        big = f"({rem} * ({q} + 1))"
+        return F.expr(
+            f"CAST(CASE WHEN {rank_col} <= {big} "
+            f"THEN ({rank_col} + {q}) div ({q} + 1) "
+            f"ELSE {rem} + ({rank_col} - {big} + greatest({q}, 1) - 1) "
+            f"div greatest({q}, 1) END AS INT)")
+
+    return (ranked.crossJoin(F.broadcast(tot))
+            .withColumn("r_score", ntile_of("_rnk_r"))
+            .withColumn("f_score", ntile_of("_rnk_f"))
+            .withColumn("m_score", ntile_of("_rnk_m"))
             .withColumn("segment",
                         F.concat_ws("-", "r_score", "f_score", "m_score"))
             .select("user_id", "recency_days", "frequency",

@@ -484,7 +484,11 @@ ORDER BY FUNCTION_NAME""")
     # Window.partitionBy(source) answer is the same single-task trap
     # one key at a time — the keyed two-phase form partitions every
     # phase by (source, bucket) instead.  Token count = the
-    # docs_token_stats whitespace convention.
+    # docs_token_stats whitespace convention.  step=100 is scaled to
+    # the gate fixtures (~1.1-1.6k tokens per source => ~12-16
+    # crossings each); the r10 step=5000 never produced a row at any
+    # gate SF, so the oracle only ever compared EMPTY outputs
+    # (VERDICT r10 "vacuously green").
     def source_token_milestones(spark, sf):
         from ..workload_shared import _docs
         df = _docs(spark, sf).select(
@@ -493,7 +497,7 @@ ORDER BY FUNCTION_NAME""")
             .cast("long").alias("n_tokens"),
             F.expr("doc_id div 100").alias("db"))
         return P.running_milestones(
-            df, "db", ["doc_id"], "n_tokens", step=5000,
+            df, "db", ["doc_id"], "n_tokens", step=100,
             id_cols=["doc_id"], key_cols=["source"])
 
     add("docs_source_token_milestones", source_token_milestones,
@@ -510,10 +514,10 @@ ORDER BY FUNCTION_NAME""")
                    AS running
           FROM v)
         SELECT source, doc_id,
-               CAST(running // 5000 AS BIGINT) AS milestone,
-               CAST(running // 5000
-                    - (running - n_tokens) // 5000 AS BIGINT)
+               CAST(running // 100 AS BIGINT) AS milestone,
+               CAST(running // 100
+                    - (running - n_tokens) // 100 AS BIGINT)
                  AS n_crossed,
                CAST(running AS BIGINT) AS running
         FROM r
-        WHERE running // 5000 > (running - n_tokens) // 5000""")
+        WHERE running // 100 > (running - n_tokens) // 100""")

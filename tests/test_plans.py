@@ -178,6 +178,26 @@ def test_user_deciles_window_over_values_not_users(spark, sf_dir):
     assert w_idx < plan.index("Exchange SinglePartition")
 
 
+def test_rfm_no_global_window_over_users(spark, sf_dir):
+    """VERDICT r10 #2: the R/F/M scores must not ride ntile windows
+    over the whole per-user table (users scale with events).  Every
+    row-level window (the ones ordered by user_id) must be partitioned
+    by its _rfmb_* range bucket; only the |buckets|-row carry windows
+    may be single-partition, and no ntile survives anywhere."""
+    from olap_xtrctr_spark.session import load_events
+    from olap_xtrctr_spark.streaming import events as EV
+    ev = load_events(spark, sf_dir)
+    plan = EV.rfm_segments(ev)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ntile" not in plan
+    row_level = [l for l in plan.splitlines()
+                 if "windowspecdefinition" in l and "user_id" in l]
+    assert len(row_level) >= 3, "expected three bucketed rank windows"
+    assert all("windowspecdefinition(_rfmb" in l for l in row_level), \
+        "a user-level window lost its bucket partition spec " \
+        "(single-partition ntile trap)"
+
+
 def test_variant_stats_no_python(spark, sf_dir):
     from olap_xtrctr_spark.session import load_events
     from pyspark.sql import functions as F

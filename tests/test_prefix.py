@@ -291,6 +291,55 @@ def test_keyed_milestones_independent_per_key(spark):
     assert sum(n for _, n, _ in by_key["a"]) == 300 // 100
 
 
+def test_source_token_milestones_nonempty_and_oracle_exact(spark, sf_dir):
+    """VERDICT r10: the step=5000 entry passed its oracle with 0 rows
+    at every gate SF — a vacuous green.  The re-scaled step must
+    produce rows on the fixture AND still match the DuckDB oracle
+    value-for-value (the per-key two-phase carry logic, value-checked
+    at last)."""
+    import duckdb
+
+    from olap_xtrctr_spark.workload import WORKLOAD
+    spec = WORKLOAD["docs_source_token_milestones"]
+    got = sorted(
+        (r["source"], r["doc_id"], r["milestone"], r["n_crossed"],
+         r["running"])
+        for r in spec.fn(spark, sf_dir).collect())
+    assert len(got) >= 100, "entry is vacuous again (too few crossings)"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    want = sorted(map(tuple, con.execute(spec.sql).fetchall()))
+    assert got == want
+
+
+def test_keyed_milestones_heavy_source_carry_values(spark):
+    """One heavy key spanning MANY buckets next to a light key: every
+    reported crossing must carry the exact per-key prefix sum across
+    bucket boundaries (brute-force python model)."""
+    import numpy as np
+    rng = np.random.RandomState(23)
+    rows = [(i, int(v), i // 10, "heavy")
+            for i, v in enumerate(rng.randint(1, 90, size=400))]
+    rows += [(1000 + i, 30, i // 10, "light") for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "id long, v long, bucket long, key string")
+    out = P.running_milestones(df, "bucket", ["id"], "v", step=250,
+                               id_cols=["id"], key_cols=["key"])
+    got = sorted((r["key"], r["id"], r["milestone"], r["n_crossed"],
+                  r["running"]) for r in out.collect())
+    want = []
+    for key in ("heavy", "light"):
+        run = 0
+        for i, v, _b, k in sorted(r for r in rows if r[3] == key):
+            lo = run // 250
+            run += v
+            hi = run // 250
+            if hi > lo:
+                want.append((k, i, hi, hi - lo, run))
+    assert got == sorted(want) and len(got) > 50
+
+
 def test_occupancy_drops_empty_intervals(spark):
     # e == s exactly at an hour boundary: without the guard, Spark's
     # sequence(h0, h1) with h1 < h0 runs DESCENDING and emits phantom
