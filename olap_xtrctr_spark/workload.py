@@ -35,80 +35,73 @@ from .workloads import (cube, curation, docs_segments,  # noqa: F401
 # from earlier rounds; WORKLOAD.md documents which round graded what.
 _GATE_WINDOW = 50
 _GATE_FRONT = [
-    # ---- Round-10 rotation (VERDICT r9 tasks 1+3+6) ----------------
-    # (a) the 2 rows red since r7/r8, re-graded after the output-type
-    #     fix (HUGEINT -> BIGINT casts; the r9 judge's root cause):
-    "docs_ngram_lm_score",
-    "docs_ccnet_buckets",
-    # (b) entries whose ENGINE path changed this round (drillthrough
-    #     slicer grouping + MAXROWS rank, mdx set algebra, setagg
-    #     validation) — gate-window discipline: changed paths re-enter
-    #     the same round even when results should be identical;
-    "cube_drillthrough_region",
-    "cube_named_set_sum_member",
-    "cube_aggregate_set_member",
-    "cube_set_except_regions",
-    "cube_set_union_intersect_regions",
-    # (c) NEW round-10 full-oracle entries (md5-exact LSH near-dup
-    #     twin per VERDICT r9 task 6; decontamination attribution +
-    #     removal completing the contamination family; DRILLTHROUGH
-    #     RETURN) — graded the round they land, displacing
-    #     cube_member_literal_rows / cube_mdx_named_properties /
-    #     cube_supplier_nation from the r5 block (their code paths
-    #     re-grade via cube_dimension_properties, every member-literal
-    #     cube entry, and cube_nation_sales this round);
-    "emb_lsh_near_dup_pairs_exact",
-    "emb_lsh_topk_exact",
-    "emb_cross_split_leakage_lsh_exact",
-    "docs_contamination_attribution",
-    "docs_decontaminated_corpus",
-    "cube_drillthrough_return",
-    "cube_subselect_regions",
-    "docs_contamination_spans",
-    # (d) the 3 never-graded entries (VERDICT r9 task 3 — the driver
-    #     must finally record rows for them, rows-only or not);
-    "docs_bpe_train",
-    "docs_bpe_token_count",
-    "emb_cross_split_leakage_lsh",
-    # (e) ALL 22 entries whose latest driver row is round 4 (14
-    #     full-oracle + 8 rows-only; VERDICT r9 task 3's done-bar is
-    #     "oldest remaining row is r5", which needs the rows-only ones
-    #     too — their differential gates make the row meaningful);
-    "docs_boilerplate_filter",
-    "docs_boilerplate_ngrams",
-    "docs_chunk_overlap",
-    "docs_compression_ratio",
-    "docs_edit_distance_pairs",
-    "docs_minhash_dedup_corpus",
-    "docs_minhash_lsh_pairs",
-    "docs_prepare_chunks",
-    "docs_simhash_pairs",
-    "emb_ivf_topk",
-    "emb_lsh_topk",
-    "events_asof_click_attribution",
-    "events_hll_users_by_type",
-    "events_props_topk",
-    "events_props_variant_stats",
-    "events_rollup_incremental",
-    "events_stream_enriched_tiers",
-    "events_stream_session_tracker",
-    "events_type_trigrams",
-    "events_user_deciles",
-    "events_value_quantiles_approx",
-    "events_value_range_tiers",
-    # (f) the 17 oldest remaining (r5-latest) FULL-ORACLE entries in
-    #     build order — keeps the whole-inventory staleness bound
-    #     moving (after this round the oldest row is r5's tail);
-    "cube_nation_sales",
-    "cube_region_priority_crossjoin",
-    "cube_time_rollup",
-    "cube_variables_pivot",
-    "cube_empty_preserving_axis",
-    "cube_dimension_properties",
-    "events_grouping_sets",
-    "cube_nation_share_of_region",
-    "docs_sql_function_stats",
-    "docs_source_tv_distance",
+    # ---- Round-11 rotation (VERDICT r10 task 1) --------------------
+    # (a) the 11 entries that have NEVER received a driver row — the
+    #     whole round-10 late wave, including the flagship two-phase
+    #     prefix family and the entries whose engine paths changed
+    #     again this round (docs_source_token_milestones de-vacuated
+    #     with step=100 per task 2; running_milestones now
+    #     floor-division; emb_ivf_index_topk rebuilt with the
+    #     corpus-signature meta; both cube entries ride the
+    #     setstat/having path touched by ADVICE fix 1):
+    "docs_source_token_milestones",
+    "events_revenue_milestones",
+    "events_stream_milestones",
+    "events_peak_concurrency",
+    "events_session_occupancy",
+    "events_value_exact_ranks",
+    "cube_median_region_sales",
+    "cube_rank_nations",
+    "cube_nonempty_prev_months",
+    "emb_ivf_index_topk",
+    "dmv_mdschema_functions",
+    # (b) ALL 35 entries whose latest driver row is round 5 — the
+    #     staleness tail (VERDICT r10 done-bar: oldest surviving row
+    #     >= r6).  events_rfm_segments' scoring was REWRITTEN this
+    #     round (two-phase prefix ranks replacing the global ntile
+    #     trap), so its fresh row re-grades a changed path:
+    "cube_member_literal_rows",
+    "cube_slicer_where_tuple",
+    "cube_mdx_named_properties",
+    "cube_supplier_nation",
+    "docs_cross_source_dup",
+    "docs_lexical_diversity",
+    "docs_distinctive_terms",
+    "docs_hybrid_search",
+    "emb_pq_topk",
+    "emb_ivfpq_topk",
+    "emb_lsh_near_dup_pairs",
+    "docs_containment_pairs",
+    "docs_winnow_fingerprints",
+    "docs_winnow_dup_pairs",
+    "docs_winnow_match_spans",
+    "docs_winnow_dup_extent",
+    "tpch_join_profile_orders_customer",
+    "docs_unicode_normalize",
+    "docs_snapshot_diff",
+    "events_ohlc_hourly",
+    "events_type_drift_daily",
+    "events_hourly_gapfilled",
+    "events_silence_report",
+    "events_key_skew_report",
+    "events_type_transitions",
+    "events_rfm_segments",
+    "events_type_cooccurrence_lift",
+    "events_user_state_history",
+    "events_stream_ohlc",
+    "events_hourly_anomalies",
+    "events_stream_anomalies",
+    "events_stream_unconverted_clicks",
+    "events_first_touch_attribution",
+    "events_linear_attribution",
+    "events_click_purchase_delay",
+    # (c) the 4 oldest r6-latest entries in build order fill the
+    #     window; the first and third also re-grade the calculated-
+    #     measure / FILTER paths the ADVICE fixes touched:
+    "cube_calc_measure_avg_price",
+    "cube_topcount_nations",
+    "cube_filter_measure_condition",
+    "cube_3dim_crossjoin",
 ]
 
 
