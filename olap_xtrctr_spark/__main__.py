@@ -80,7 +80,7 @@ def build_parser() -> argparse.ArgumentParser:
                             "shards", "verify-shards",
                             "commit-version", "versions",
                             "rollback-version", "gc-versions",
-                            "retention"])
+                            "retention", "ivf-build", "ivf-query"])
     s.add_argument("--src", required=True)
     s.add_argument("--dst", default=None,
                    help="output directory (not needed for verify-shards)")
@@ -100,6 +100,17 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--fmt", default="parquet",
                    choices=["parquet", "jsonl"],
                    help="shards output format")
+    s.add_argument("--n-clusters", type=int, default=8,
+                   help="ivf-build: KMeans cell count")
+    s.add_argument("--k", type=int, default=3,
+                   help="ivf-query: neighbors per query")
+    s.add_argument("--n-probe", type=int, default=2,
+                   help="ivf-query: cells probed per query")
+    s.add_argument("--queries", default=None,
+                   help="ivf-query: parquet of query vectors "
+                        "(same id/vec columns the index was built on)")
+    s.add_argument("--query-ids", type=int, nargs="*", default=None,
+                   help="ivf-query: restrict --queries to these ids")
 
     s = sub.add_parser(
         "workbook",
@@ -223,6 +234,40 @@ def run(args, service=None) -> dict:
         from .sources import maintenance as MT
         from .sources import shards as SH
         spark = service.spark
+        if args.op == "ivf-build":
+            from .operators.similarity import ivf_build_index
+            if not args.dst:
+                raise SystemExit("--dst (index dir) required for "
+                                 "ivf-build")
+            return ivf_build_index(spark.read.parquet(args.src),
+                                   args.dst,
+                                   n_clusters=args.n_clusters)
+        if args.op == "ivf-query":
+            import json
+            import os
+
+            from pyspark.sql import functions as F
+
+            from .operators.similarity import ivf_query_index
+            if not args.queries:
+                raise SystemExit("--queries (parquet of query vectors) "
+                                 "required for ivf-query")
+            try:
+                with open(os.path.join(args.src, "_INDEX_META.json"),
+                          encoding="utf-8") as f:
+                    meta = json.load(f)
+            except (OSError, ValueError):
+                raise SystemExit(f"no index at {args.src!r} "
+                                 f"(run --op ivf-build first)")
+            q = spark.read.parquet(args.queries)
+            if args.query_ids:
+                q = q.filter(F.col(meta["id_col"]).isin(args.query_ids))
+            df = ivf_query_index(spark, args.src, q, k=args.k,
+                                 n_probe=args.n_probe,
+                                 id_col=meta["id_col"],
+                                 vec_col=meta["vec_col"])
+            return {"columns": df.columns,
+                    "rows": [r.asDict() for r in df.collect()]}
         if args.op == "verify-shards":
             return SH.verify_training_shards(spark, args.src)
         if args.op == "versions":

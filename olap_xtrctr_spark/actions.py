@@ -60,6 +60,39 @@ def _discover_structure(service, catalog: str) -> dict:
             "dimensions": [d for d in dims if d["CUBE_NAME"] == main]}
 
 
+def _get_catalogs_envelope(service) -> dict:
+    """backend/actions_runner.py:61-82 data shape (pinned by the
+    shipped golden sample ``docs/request id test 002 action.txt``):
+    ``{"catalogs": [{"name", "description", "created"}]}``."""
+    out = []
+    for c in service.get_catalogs():
+        name = str(c.get("CATALOG_NAME") or "")
+        if name and not name.startswith("$"):
+            out.append({"name": name,
+                        "description": str(c.get("DESCRIPTION") or ""),
+                        "created": str(c.get("DATE_MODIFIED") or "")})
+    return {"catalogs": out}
+
+
+def _get_apartados_envelope(service, catalog: str, params: dict) -> dict:
+    """backend/actions_runner.py:114-180 data shape (pinned by the
+    shipped golden sample ``docs/apartados_sis2025.json``):
+    ``{"dimension": <unique name>, "apartados": [{"MEMBER_UNIQUE_NAME",
+    "MEMBER_CAPTION"}]}`` — the Variables dimension found by the same
+    VARIABLES → INDICADORES → param-fallback chain."""
+    dims = [d["DIMENSION_UNIQUE_NAME"] for d in _dmv_rows(
+        service, "SELECT [DIMENSION_UNIQUE_NAME] "
+                 "FROM $system.MDSCHEMA_DIMENSIONS", catalog)]
+    var_dim = (next((d for d in dims if "VARIABLES" in d.upper()), None)
+               or next((d for d in dims
+                        if "INDICADORES" in d.upper()), None)
+               or params.get("dimension", "[DIM VARIABLES]"))
+    members = [{"MEMBER_UNIQUE_NAME": r["MIEMBRO_UNIQUE_NAME"],
+                "MEMBER_CAPTION": r["MIEMBRO_CAPTION"]}
+               for r in service.get_apartados(catalog)]
+    return {"dimension": var_dim, "apartados": members}
+
+
 def _discover_metadata(service, catalog: str) -> dict:
     # backend/actions_runner.py:309-352: levels + member properties
     levels = _dmv_rows(
@@ -85,7 +118,7 @@ def run_action(service, action: str, catalog: str = "",
                               "status": "success"}
     try:
         if action == "get_catalogs":
-            result["data"] = service.get_catalogs()
+            result["data"] = _get_catalogs_envelope(service)
         elif action == "discover_structure":
             result["data"] = _discover_structure(service, catalog)
         elif action == "discover_metadata":
@@ -93,7 +126,8 @@ def run_action(service, action: str, catalog: str = "",
         elif action == "diagnose_schema":
             result["data"] = service.diagnose_schema()
         elif action == "get_apartados":
-            result["data"] = service.get_apartados(catalog)
+            result["data"] = _get_apartados_envelope(service, catalog,
+                                                     params)
         elif action == "execute_query":
             mdx = params.get("mdx") or build_mdx_query(catalog, params)
             result["data"] = service.execute_mdx(catalog, mdx)

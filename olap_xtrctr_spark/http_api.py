@@ -278,6 +278,81 @@ def _workload_run(service, m, qs, body):
                  "n_rows_returned": len(rows), "rows": rows}
 
 
+# ---- persisted IVF ANN index (build once -> query many) -------------------
+# The reference exposes its cached artifacts through the service
+# facade (frontend/src/utils/cache.ts consumes them over HTTP); the
+# engine's equivalent durable artifact is the partition-pruned IVF
+# index (operators/similarity.py), so its lifecycle gets first-class
+# routes.  Same security posture as the workbook export: clients name
+# indexes with a BARE name under $OLAP_INDEX_DIR and pick corpora by
+# registered TABLE name — never by filesystem path.
+
+def _index_dir(name: str) -> Optional[str]:
+    import os
+    if (not name or os.sep in name or (os.altsep and os.altsep in name)
+            or name.startswith(".")):
+        return None
+    base = os.environ.get("OLAP_INDEX_DIR",
+                          os.path.join(os.getcwd(), "indexes"))
+    return os.path.join(base, name)
+
+
+@ROUTES.add("POST", r"/api/index/ivf/build")
+def _ivf_build(service, m, qs, body):
+    from .operators.similarity import ivf_build_index
+    from .session import TABLES, load_table
+    d = _index_dir(body.get("name", ""))
+    if d is None:
+        return 400, {"detail": "body needs a bare index 'name' (no "
+                               "directories — indexes land in "
+                               "$OLAP_INDEX_DIR)"}
+    table = body.get("table", "embeddings")
+    if table not in TABLES:
+        return 400, {"detail": f"unknown table {table!r} "
+                               f"(one of {sorted(TABLES)})"}
+    emb = load_table(service.spark, service.sf_dir, table)
+    meta = ivf_build_index(emb, d,
+                           n_clusters=int(body.get("n_clusters", 8)),
+                           id_col=body.get("id_col", "vec_id"),
+                           vec_col=body.get("vec_col", "embedding"),
+                           seed=int(body.get("seed", 42)))
+    return 200, {"name": body["name"], **meta}
+
+
+@ROUTES.add("POST", r"/api/index/ivf/query")
+def _ivf_query(service, m, qs, body):
+    import json
+    import os
+
+    from .operators.similarity import ivf_query_index
+    from .session import load_table
+    from pyspark.sql import functions as F
+    d = _index_dir(body.get("name", ""))
+    if d is None:
+        return 400, {"detail": "body needs a bare index 'name'"}
+    try:
+        with open(os.path.join(d, "_INDEX_META.json"),
+                  encoding="utf-8") as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return 404, {"detail": f"index {body.get('name')!r} not built "
+                               f"(POST /api/index/ivf/build first)"}
+    qids = body.get("query_ids") or []
+    if not isinstance(qids, list) or not qids or len(qids) > 1000:
+        return 400, {"detail": "body needs 'query_ids': a non-empty "
+                               "list of at most 1000 vector ids"}
+    table = body.get("table", "embeddings")
+    queries = load_table(service.spark, service.sf_dir, table).filter(
+        F.col(meta["id_col"]).isin([int(q) for q in qids]))
+    df = ivf_query_index(service.spark, d, queries,
+                         k=int(body.get("k", 3)),
+                         n_probe=int(body.get("n_probe", 2)),
+                         id_col=meta["id_col"], vec_col=meta["vec_col"])
+    rows = [r.asDict() for r in df.collect()]
+    return 200, {"name": body["name"], "n_rows": len(rows),
+                 "columns": df.columns, "rows": rows}
+
+
 @ROUTES.add("POST", r"/api/jobs")
 def _job_submit(service, m, qs, body):
     """Mirrors workers/api/src/routes/jobs.ts:45-82: create PENDING,

@@ -87,8 +87,11 @@ def _run_action(svc, tmp_path, monkeypatch, action, catalog="VENTAS_2025",
 def test_action_get_catalogs(svc, tmp_path, monkeypatch):
     res = _run_action(svc, tmp_path, monkeypatch, "get_catalogs")
     assert res["status"] == "success"
-    assert {c["CATALOG_NAME"] for c in res["data"]} == \
-        {"VENTAS_1998", "VENTAS_2025"}
+    # actions_runner.py:61-82 envelope (golden: request id test 002)
+    cats = res["data"]["catalogs"]
+    assert {c["name"] for c in cats} == {"VENTAS_1998", "VENTAS_2025"}
+    assert all(set(c) == {"name", "description", "created"}
+               for c in cats)
 
 
 def test_action_discover_structure(svc, tmp_path, monkeypatch):
@@ -113,7 +116,12 @@ def test_action_diagnose_and_apartados(svc, tmp_path, monkeypatch):
     res = _run_action(svc, tmp_path, monkeypatch, "diagnose_schema")
     assert "MDSCHEMA_LEVELS" in res["data"]
     res = _run_action(svc, tmp_path, monkeypatch, "get_apartados")
-    assert res["status"] == "success" and len(res["data"]) > 0
+    assert res["status"] == "success"
+    # actions_runner.py:114-180 envelope (golden: apartados_sis2025)
+    assert res["data"]["dimension"] == "[DIM VARIABLES2025]"
+    aps = res["data"]["apartados"]
+    assert len(aps) > 0 and all(
+        set(a) == {"MEMBER_UNIQUE_NAME", "MEMBER_CAPTION"} for a in aps)
 
 
 def test_action_execute_mdx_and_query(svc, tmp_path, monkeypatch):
@@ -352,3 +360,37 @@ def test_retention_missing_committed_at_kept(tmp_path, spark):
     res = V.retention_sweep(tbl, keep_newer_than=_t.time() + 10)
     # v1 unstamped -> kept -> keep_from=1 keeps everything below it too
     assert res["keep_from"] == 1 and res["removed"] == []
+
+
+def test_cli_ivf_build_and_query(svc, sf_dir, tmp_path):
+    """maintain --op ivf-build / ivf-query: the persisted-index
+    lifecycle end-to-end over the CLI (VERDICT r10 task 5)."""
+    src = f"{sf_dir}/embeddings.parquet"
+    idx = str(tmp_path / "ivf_idx")
+    meta = _run(svc, "maintain", "--op", "ivf-build", "--src", src,
+                "--dst", idx, "--n-clusters", "4")
+    assert meta["n_clusters"] == 4 and meta["n_vectors"] > 0
+    assert meta["corpus_sig"]
+    # idempotent rebuild
+    assert _run(svc, "maintain", "--op", "ivf-build", "--src", src,
+                "--dst", idx, "--n-clusters", "4") == meta
+
+    out = _run(svc, "maintain", "--op", "ivf-query", "--src", idx,
+               "--queries", src, "--query-ids", "0", "1", "2",
+               "--k", "2", "--n-probe", "2")
+    assert out["columns"] == ["query_id", "rank", "neighbor_id",
+                              "cosine"]
+    per_q: dict = {}
+    for r in out["rows"]:
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        assert r["neighbor_id"] != r["query_id"]
+    assert set(per_q) == {0, 1, 2}
+    assert all(len(v) == 2 for v in per_q.values())
+
+    # querying a never-built dir fails with the build hint
+    with pytest.raises(SystemExit, match="ivf-build first"):
+        _run(svc, "maintain", "--op", "ivf-query",
+             "--src", str(tmp_path / "nope"), "--queries", src)
+    # --queries is required
+    with pytest.raises(SystemExit, match="queries"):
+        _run(svc, "maintain", "--op", "ivf-query", "--src", idx)

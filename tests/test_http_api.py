@@ -284,3 +284,73 @@ def test_mdschema_functions_over_dmv_endpoint(base_url):
     idx = body["columns"].index("FUNCTION_NAME")
     names = [row[idx] for row in body["data"]]
     assert names == ["AGGREGATE", "MAX", "MEDIAN", "MIN", "RANK", "SUM"]
+
+
+# ---- persisted IVF index lifecycle over HTTP (VERDICT r10 task 5) ---------
+
+def test_ivf_index_http_lifecycle(base_url, tmp_path, monkeypatch):
+    import os
+
+    monkeypatch.setenv("OLAP_INDEX_DIR", str(tmp_path / "indexes"))
+
+    # query before build -> 404 with the build hint
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base_url + "/api/index/ivf/query",
+              {"name": "embx", "query_ids": [0, 1]})
+    assert e.value.code == 404
+    assert "build first" in json.loads(e.value.read())["detail"]
+
+    # path-shaped names are rejected, never written
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base_url + "/api/index/ivf/build", {"name": "../evil"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base_url + "/api/index/ivf/build",
+              {"name": "embx", "table": "nope"})
+    assert e.value.code == 400
+
+    status, meta = _post(base_url + "/api/index/ivf/build",
+                         {"name": "embx", "n_clusters": 4})
+    assert status == 200 and meta["n_clusters"] == 4
+    assert meta["n_vectors"] > 0 and meta["corpus_sig"]
+    # idempotent rebuild returns the same meta
+    _, meta2 = _post(base_url + "/api/index/ivf/build",
+                     {"name": "embx", "n_clusters": 4})
+    assert meta2 == meta
+
+    status, out = _post(base_url + "/api/index/ivf/query",
+                        {"name": "embx", "query_ids": [0, 1, 2],
+                         "k": 2, "n_probe": 2})
+    assert status == 200
+    assert out["columns"] == ["query_id", "rank", "neighbor_id",
+                              "cosine"]
+    per_q: dict = {}
+    for r in out["rows"]:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert r["neighbor_id"] != r["query_id"]
+    assert set(per_q) == {0, 1, 2}
+    assert all(len(v) == 2 for v in per_q.values())
+
+    # corrupt meta -> query 404s again; a rebuild recovers it
+    idx_meta = os.path.join(str(tmp_path / "indexes"), "embx",
+                            "_INDEX_META.json")
+    with open(idx_meta, "w") as f:
+        f.write("{not json")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base_url + "/api/index/ivf/query",
+              {"name": "embx", "query_ids": [0]})
+    assert e.value.code == 404
+    _, meta3 = _post(base_url + "/api/index/ivf/build",
+                     {"name": "embx", "n_clusters": 4})
+    assert meta3 == meta
+    status, out2 = _post(base_url + "/api/index/ivf/query",
+                         {"name": "embx", "query_ids": [0, 1, 2],
+                          "k": 2, "n_probe": 2})
+    assert status == 200 and out2["rows"] == out["rows"]
+
+    # bounded query sets: empty and oversized lists are rejected
+    for bad in ([], list(range(1001))):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base_url + "/api/index/ivf/query",
+                  {"name": "embx", "query_ids": bad})
+        assert e.value.code == 400
