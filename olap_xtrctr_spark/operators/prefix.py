@@ -85,11 +85,13 @@ def running_total(df: DataFrame, bucket_col: str, order_cols: list[str],
 def _floordiv(expr: str, step: int) -> str:
     """SQL for FLOOR division of an integral expression by a positive
     step, exact at any magnitude.  Spark's ``div`` truncates toward
-    zero, while the DuckDB oracles' ``//`` floors — they differ
-    exactly when the dividend is negative and not a multiple of the
-    step, so a drawdown (negative running total) would silently
-    diverge from the oracle (ADVICE r10).  All-integer: a double
-    ``floor(x / step)`` would lose crossings past 2**53."""
+    zero (so does DuckDB's integer ``//``; python's ``//`` floors) —
+    milestone indices standardize on FLOOR, the symmetric boundary
+    convention, so a drawdown (negative running total) crosses the
+    same boundaries on every engine; SQL oracles over signed streams
+    must spell floor out the same way (see
+    workloads/wave11.events_value_drawdown_milestones).  All-integer:
+    a double ``floor(x / step)`` would lose crossings past 2**53."""
     d = f"(({expr}) div {step})"
     return (f"({d} - (CASE WHEN ({expr}) % {step} < 0 "
             f"THEN 1 ELSE 0 END))")

@@ -1,0 +1,141 @@
+"""Round-11 additions: full-oracle entries pinning the paths the
+round's ADVICE fixes touched — a set statistic inside FILTER (the
+spec maps now scan ``req.having``), NON EMPTY over an all-calculated
+query (the test moved after the calc step), and signed running-
+milestone streams (floor-division milestone indices on both engines).
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..mdx import parse_mdx
+from ..operators import prefix as P
+from ..session import load_table
+from ..workload_shared import CATALOG, MES_CASE, SUM_D, _FACT_OW, _OW, _eng
+
+_REGION_SET = ("{ [Dim Customer].[Geografía].[Region].&[0], "
+               "[Dim Customer].[Geografía].[Region].&[1], "
+               "[Dim Customer].[Geografía].[Region].&[2], "
+               "[Dim Customer].[Geografía].[Region].&[3], "
+               "[Dim Customer].[Geografía].[Region].&[4] }")
+
+
+def register(add) -> None:
+    # FILTER condition referencing a set STATISTIC (ADVICE r10 fix 1:
+    # these refs are collected from req.having now, not only from
+    # req.calculated): keep the years whose total exceeds 5x the
+    # MEDIAN region slice — with 5 near-even regions the ratio
+    # hovers around 5.0, so the screen discriminates (keeps some,
+    # drops some) at every gate SF (measured: 3 of 7 years at
+    # sf0.001, 4 of 7 at sf0.01).
+    def filter_setstat(spark, sf):
+        return _eng(spark, sf).execute(parse_mdx(
+            "SELECT { [Measures].[Sum Extendedprice] } ON COLUMNS, "
+            "FILTER([D Tiempo].[Calendario].[Año].MEMBERS, "
+            "[Measures].[Sum Extendedprice] > "
+            f"5 * MEDIAN({_REGION_SET}, [Measures].[Sum Extendedprice]"
+            ")) ON ROWS FROM [sales]", CATALOG))
+
+    # MEDIAN over the odd-sized (5-member) set is the middle per-
+    # region value on both engines — no interpolation, so the 5x
+    # comparison is the same IEEE multiply+compare bit-for-bit.
+    add("cube_filter_setstat_years", filter_setstat,
+        f"""WITH {_OW},
+        a AS (
+          SELECT CAST(year(l_shipdate) AS INTEGER) AS anio,
+                 cust_region_key AS rk,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                      AS DOUBLE) AS v
+          FROM {_FACT_OW} GROUP BY 1, 2),
+        tot AS (
+          SELECT CAST(year(l_shipdate) AS INTEGER) AS anio,
+                 {SUM_D('l_extendedprice')} AS sum_extendedprice
+          FROM {_FACT_OW} GROUP BY 1),
+        md AS (SELECT anio, MEDIAN(v) AS m FROM a GROUP BY 1)
+        SELECT t.anio, t.sum_extendedprice
+        FROM tot t JOIN md USING (anio)
+        WHERE t.sum_extendedprice > 5 * md.m""")
+
+    # NON EMPTY over an ALL-CALCULATED query (ADVICE r10 fix 3: the
+    # test now runs on the calc cells after materialization instead of
+    # silently no-op'ing): months where nation 21 bought brand
+    # Brand#12 at all — the sparse-slice month screen.
+    def nonempty_all_calc(spark, sf):
+        return _eng(spark, sf).execute(parse_mdx(
+            "WITH MEMBER [Measures].[N21 Qty] AS "
+            "AGGREGATE({ [Dim Customer].[Geografía].[Region].&[1]"
+            ".&[21] }, [Measures].[Sum Quantity]) "
+            "SELECT { [Measures].[N21 Qty] } ON COLUMNS, "
+            "NON EMPTY [D Tiempo].[Calendario].[Mes].MEMBERS "
+            "DIMENSION PROPERTIES MEMBER_CAPTION ON ROWS "
+            "FROM [sales] "
+            "WHERE ([Dim Producto].[Producto].[Brand].&[Brand#12])",
+            CATALOG))
+
+    add("cube_nonempty_all_calc_months", nonempty_all_calc,
+        f"""WITH {_OW},
+        pv AS (SELECT p_partkey, p_brand FROM part),
+        f AS (
+          SELECT CAST(year(l_shipdate) AS INTEGER) AS anio,
+                 {MES_CASE} AS mes, month(l_shipdate) AS mn,
+                 l_quantity, cust_region_key, cust_nation_key
+          FROM {_FACT_OW} JOIN pv ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#12'),
+        a AS (
+          SELECT anio, mes, mn,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                      FILTER (WHERE cust_region_key = 1
+                              AND cust_nation_key = 21)
+                      AS DOUBLE) AS n21_qty
+          FROM f GROUP BY 1, 2, 3)
+        SELECT anio, mes, n21_qty
+        FROM a WHERE n21_qty IS NOT NULL""")
+
+    # SIGNED running milestones (ADVICE r10 fix 5: Spark's div
+    # truncates toward zero, the oracle's // floors — the engine now
+    # floor-divides, so a mixed-sign stream is oracle-exact): the
+    # value stream centered at its nominal 50.0000 mean becomes a
+    # near-zero-drift walk whose up-crossings of 100-unit boundaries
+    # are the reported milestones.
+    def drawdown_milestones(spark, sf):
+        df = load_table(spark, sf, "events").select(
+            "event_id", "ts",
+            ((F.col("value").cast("decimal(18,4)") * 10000)
+             .cast("long") - 500000).alias("sv"),
+            F.expr("unix_timestamp(ts) div 3600").alias("hb"))
+        return P.running_milestones(
+            df, "hb", ["ts", "event_id"], "sv",
+            step=1_000_000, id_cols=["event_id"])
+
+    # NOTE: DuckDB's integer ``//`` TRUNCATES toward zero (unlike
+    # python's, which floors) — the oracle spells FLOOR division out
+    # explicitly so both engines use the same milestone indices on the
+    # negative side of the walk.
+    add("events_value_drawdown_milestones", drawdown_milestones,
+        """WITH v AS (
+          SELECT event_id, ts,
+                 CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                   - 500000 AS sv
+          FROM events),
+        r AS (
+          SELECT event_id, sv,
+                 SUM(sv) OVER (ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS running
+          FROM v),
+        r2 AS (
+          SELECT event_id, sv, running,
+                 (running // 1000000)
+                   - (CASE WHEN running < 0
+                           AND running % 1000000 <> 0
+                      THEN 1 ELSE 0 END) AS hi,
+                 ((running - sv) // 1000000)
+                   - (CASE WHEN (running - sv) < 0
+                           AND (running - sv) % 1000000 <> 0
+                      THEN 1 ELSE 0 END) AS lo
+          FROM r)
+        SELECT event_id,
+               CAST(hi AS BIGINT) AS milestone,
+               CAST(hi - lo AS BIGINT) AS n_crossed,
+               CAST(running AS BIGINT) AS running
+        FROM r2 WHERE hi > lo""")
