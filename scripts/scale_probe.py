@@ -103,6 +103,12 @@ PROBE_QUERIES = [
     # edit_distance), corpus-composition diagnostics (vocab-bounded),
     # and the previously unprobed streaming variants (sessionize,
     # unbounded dedup, interval join, anomalies)
+    # round-11 additions: the rewritten two-phase RFM rides with the
+    # prefix-family entries; the signed-walk milestones and the
+    # de-vacuated per-source token milestones check the floor-div /
+    # per-key carry forms at ~sf1
+    "docs_source_token_milestones",
+    "events_value_drawdown_milestones",
     "docs_winnow_fingerprints",
     "docs_winnow_dup_pairs",
     "docs_source_tv_distance",
