@@ -793,14 +793,25 @@ def rfm_segments(events: DataFrame, n_bins: int = 5) -> DataFrame:
     oracle's ``ntile(n) OVER (ORDER BY ..., user_id)``.  The only
     serial steps are the |buckets|-row carry windows; the user count
     joins in as a broadcast scalar."""
+    from pyspark import StorageLevel
+
     from ..operators import prefix as P
 
+    # The plan is diamond-shaped: the per-user rollup feeds the main
+    # chain PLUS the three bucket-total branches, the reference
+    # timestamp, and the user count — and column pruning specializes
+    # each branch's partial aggregate, so ReuseExchange cannot dedup
+    # them.  Persisting the rollup (dimension-sized: one slim row per
+    # user) pins the EVENT-scale aggregation to exactly one pass.
     per_user = (events.groupBy("user_id")
                 .agg(F.max("ts").alias("last_ts"),
                      F.count(F.lit(1)).alias("frequency"),
                      F.sum(F.col("value").cast("decimal(18,4)"))
-                      .cast("double").alias("monetary")))
-    ref = events.agg(F.max("ts").alias("_ref_ts"))
+                      .cast("double").alias("monetary"))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    # corpus reference time == max per-user last_ts: derived from the
+    # persisted rollup, not a second scan of raw events
+    ref = per_user.agg(F.max("last_ts").alias("_ref_ts"))
     scored = (per_user.crossJoin(F.broadcast(ref))
               .withColumn("recency_days",
                           F.datediff("_ref_ts", "last_ts"))

@@ -196,6 +196,10 @@ def test_rfm_no_global_window_over_users(spark, sf_dir):
     assert all("windowspecdefinition(_rfmb" in l for l in row_level), \
         "a user-level window lost its bucket partition spec " \
         "(single-partition ntile trap)"
+    # the diamond (3 bucket-total branches + ref + n_total + main
+    # chain) must read the PERSISTED per-user rollup, not re-aggregate
+    # raw events per branch (column pruning defeats ReuseExchange)
+    assert "InMemoryTableScan" in plan
 
 
 def test_variant_stats_no_python(spark, sf_dir):
