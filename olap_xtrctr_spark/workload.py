@@ -95,13 +95,15 @@ _GATE_FRONT = [
     "events_first_touch_attribution",
     "events_linear_attribution",
     "events_click_purchase_delay",
-    # (c) the 4 oldest r6-latest entries in build order fill the
-    #     window; the first and third also re-grade the calculated-
-    #     measure / FILTER paths the ADVICE fixes touched:
+    # (c) the 3 NEW round-11 full-oracle entries (graded the round
+    #     they land — they pin the ADVICE-fix paths: FILTER over a
+    #     set statistic, all-calculated NON EMPTY, signed floor-div
+    #     milestones) plus the oldest r6 entry, which re-grades the
+    #     calculated-measure path the fixes also touched:
+    "cube_filter_setstat_years",
+    "cube_nonempty_all_calc_months",
+    "events_value_drawdown_milestones",
     "cube_calc_measure_avg_price",
-    "cube_topcount_nations",
-    "cube_filter_measure_condition",
-    "cube_3dim_crossjoin",
 ]
 
 
