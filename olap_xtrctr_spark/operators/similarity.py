@@ -163,6 +163,111 @@ def cluster_balanced_sample(emb: DataFrame, k_per_cluster: int,
             .select(id_col, "cluster", "rank"))
 
 
+def _cell_assign_udf(centers, n_assign: int):
+    """Arrow batch kernel: each vector's ``n_assign`` nearest KMeans
+    cells via one GEMM-shaped distance computation against the
+    centroid matrix (driver-tiny, broadcast in the closure) — the
+    multi-probe soft assignment that keeps straddling near-dup pairs
+    in at least one shared cell."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centers, dtype=np.float64)          # (k, dim)
+    c2 = (C * C).sum(axis=1)
+
+    def cells(col):
+        V = np.array(list(col), dtype=np.float64)       # (batch, dim)
+        d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
+        top = np.argsort(d2, axis=1)[:, :n_assign]
+        return pd.Series(list(top.astype(np.int32)))
+
+    cells.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf("array<int>")(cells)
+
+
+def semantic_dedup_pairs(emb: DataFrame, threshold: float = 0.995,
+                         n_clusters: int = 8, n_assign: int = 3,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding", seed: int = 42,
+                         max_cell_rows: int = 200_000) -> DataFrame:
+    """SemDeDup-style cluster-blocked near-duplicate pairs (Abbas et
+    al. 2023, arXiv:2303.09540): KMeans cells block the quadratic pair
+    generation — each vector joins its ``n_assign`` nearest cells
+    (multi-probe soft assignment, the recall lever for pairs whose
+    members straddle a cell boundary), candidate pairs are generated
+    within shared cells only, then exact cosine filters at
+    ``threshold``.  Output (id_a, id_b, cosine) with id_a < id_b,
+    cosine rounded to 4 — the embedding_near_dups contract minus
+    pairs the blocking separated (recall gated per-entry; precision
+    is 1 by construction: same exact cosine, same threshold).
+
+    Scale shape: clustering is distributed (only the n_clusters x dim
+    centroid matrix touches the driver; cell picking is an Arrow
+    batch kernel, never per-row python); the pair join is an
+    EQUI-join on the cell id (hash/SMJ, never a cartesian), so cost
+    is Σ|cell|² over n_assign-inflated cells, not |corpus|² — size
+    ``n_clusters`` ~ corpus/1000 at scale.  A cell exceeding
+    ``max_cell_rows`` fails LOUDLY (one tiny count-agg guard) instead
+    of silently going quadratic: raise n_clusters."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>"))
+        .alias("features"))
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10,
+                   featuresCol="features").fit(feats)
+    cells = _cell_assign_udf(
+        [list(map(float, c)) for c in model.clusterCenters()],
+        min(n_assign, n_clusters))
+    assigned = (emb.select(F.col(id_col), F.col(vec_col))
+                .withColumn("_cell",
+                            F.explode(cells(F.col(vec_col)))))
+    biggest = (assigned.groupBy("_cell")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .agg(F.max("n")).first()[0]) or 0
+    if biggest > max_cell_rows:
+        raise ValueError(
+            f"semantic_dedup_pairs: largest KMeans cell holds "
+            f"{biggest} rows (> {max_cell_rows}); the within-cell "
+            f"pair join would go quadratic — raise n_clusters "
+            f"(currently {n_clusters}) so cells stay bounded")
+    a = assigned.select(F.col("_cell"),
+                        F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("_va"))
+    b = assigned.select(F.col("_cell"),
+                        F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("_vb"))
+    pairs = (a.join(b, "_cell")
+             .filter(F.col("id_a") < F.col("id_b"))
+             # a pair sharing 2 cells must score ONCE (and the
+             # dedup runs BEFORE the cosine, not after)
+             .dropDuplicates(["id_a", "id_b"])
+             .withColumn("cosine", _cosine(F.col("_va"), F.col("_vb")))
+             .filter(F.col("cosine") >= threshold))
+    return pairs.select("id_a", "id_b",
+                        F.round("cosine", 4).alias("cosine"))
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.995,
+                   n_clusters: int = 8, n_assign: int = 3,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding", seed: int = 42
+                   ) -> DataFrame:
+    """Semantically deduplicated corpus: drop every vector that has a
+    SMALLER-id near-dup in its KMeans cell (greedy min-id
+    representative — deterministic and set-based; a chain a~b~c keeps
+    only a even if a~c is below threshold, the standard greedy
+    SemDeDup contract).  One anti-join against the pair table's id_b
+    side."""
+    drop = semantic_dedup_pairs(
+        emb, threshold, n_clusters, n_assign, id_col, vec_col, seed) \
+        .select(F.col("id_b").alias(id_col)).distinct()
+    return emb.join(drop, on=id_col, how="left_anti")
+
+
 def _lsh_bucket_udf(planes, n_tables: int, bits: int):
     """Arrow-batched bucket kernel: one float64 GEMM against all
     n_tables*bits hyperplanes per batch, sign bits packed into one

@@ -107,6 +107,61 @@ def register(add) -> None:
             df, "hb", ["ts", "event_id"], "sv",
             step=1_000_000, id_cols=["event_id"])
 
+    # SemDeDup (cluster-blocked semantic near-dup): rows-only (KMeans
+    # cells are not SQL-expressible) with the strongest differential
+    # gate available — precision vs the exact GEMM pair table must be
+    # 1 BY CONSTRUCTION (same exact cosine, same threshold; a
+    # violation means the blocking emitted a phantom pair), and recall
+    # is floored at 0.7 (planted near-dups are near-identical vectors,
+    # so KMeans almost never separates them).
+    def semantic_pairs(spark, sf):
+        from ..operators import dedup as D
+        from ..operators import similarity as S
+        emb = load_table(spark, sf, "embeddings")
+        out = S.semantic_dedup_pairs(emb, threshold=0.45,
+                                     n_clusters=8)
+        if emb.count() <= 100_000:
+            exact = {(r["id_a"], r["id_b"])
+                     for r in D.embedding_near_dups(
+                         emb, threshold=0.45).collect()}
+            got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+            if not got <= exact:
+                raise AssertionError(
+                    f"emb_semantic_dedup_pairs: phantom pairs "
+                    f"{sorted(got - exact)[:5]} not in the exact GEMM "
+                    f"table (precision must be 1 by construction)")
+            if exact and len(got & exact) / len(exact) < 0.7:
+                raise AssertionError(
+                    f"emb_semantic_dedup_pairs: recall "
+                    f"{len(got & exact)}/{len(exact)} below floor 0.7")
+        return out
+
+    add("emb_semantic_dedup_pairs", semantic_pairs, None)
+
+    # the deduplicated corpus itself: kept = all minus {id_b of pairs}
+    # (greedy min-id representative); the in-entry check re-derives
+    # the keep set from the pair table and compares EXACTLY.
+    def semantic_corpus(spark, sf):
+        from ..operators import similarity as S
+        emb = load_table(spark, sf, "embeddings")
+        kept = S.semantic_dedup(emb, threshold=0.45,
+                                n_clusters=8).select("vec_id")
+        if emb.count() <= 100_000:
+            dropped = {r["id_b"] for r in S.semantic_dedup_pairs(
+                emb, threshold=0.45, n_clusters=8).collect()}
+            want = {r["vec_id"] for r in emb.select("vec_id").collect()
+                    } - dropped
+            got = {r["vec_id"] for r in kept.collect()}
+            if got != want:
+                raise AssertionError(
+                    f"emb_semantic_dedup_corpus: keep set diverges "
+                    f"from the pair-table derivation "
+                    f"(missing {sorted(want - got)[:5]}, "
+                    f"extra {sorted(got - want)[:5]})")
+        return kept
+
+    add("emb_semantic_dedup_corpus", semantic_corpus, None)
+
     # NOTE: DuckDB's integer ``//`` TRUNCATES toward zero (unlike
     # python's, which floors) — the oracle spells FLOOR division out
     # explicitly so both engines use the same milestone indices on the

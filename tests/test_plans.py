@@ -507,3 +507,38 @@ def test_ivf_index_empty_query_set_yields_empty(spark, sf_dir):
         spark, d, emb.filter(F.col("vec_id") < 0), k=3)
     assert out.count() == 0
     assert out.columns == ["query_id", "rank", "neighbor_id", "cosine"]
+
+
+def test_semantic_dedup_equi_join_and_gates(spark, sf_dir):
+    """SemDeDup blocking: the within-cell pair join must be an
+    equi-join on the cell id (never BNLJ/cartesian), precision vs the
+    exact GEMM table is 1 by construction, multi-probe recall is
+    total on the fixture, and the corpus form equals the pair-table
+    derivation.  The cell-size guard fails loudly instead of going
+    quadratic."""
+    import pytest
+
+    from olap_xtrctr_spark.operators import dedup as D
+    from olap_xtrctr_spark.operators import similarity as S
+    from olap_xtrctr_spark.session import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.semantic_dedup_pairs(emb, threshold=0.45, n_clusters=8)
+    plan = _plan(pairs)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs.collect()}
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in D.embedding_near_dups(emb,
+                                            threshold=0.45).collect()}
+    assert set(got) <= set(exact)
+    assert set(got) == set(exact), "multi-probe recall regressed"
+    assert got == exact, "cosine values diverge from the GEMM kernel"
+    kept = {r["vec_id"] for r in
+            S.semantic_dedup(emb, threshold=0.45,
+                             n_clusters=8).collect()}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert kept == all_ids - {b for _, b in exact}
+    with pytest.raises(ValueError, match="quadratic"):
+        S.semantic_dedup_pairs(emb, n_clusters=2, max_cell_rows=10)
