@@ -2,7 +2,10 @@
 round's ADVICE fixes touched — a set statistic inside FILTER (the
 spec maps now scan ``req.having``), NON EMPTY over an all-calculated
 query (the test moved after the calc step), and signed running-
-milestone streams (floor-division milestone indices on both engines).
+milestone streams (floor-division milestone indices on both engines)
+— plus the SemDeDup cluster-blocked semantic dedup pair/corpus
+entries (rows-only; KMeans cells are not SQL-expressible, gated by
+precision-1-by-construction + recall vs the exact GEMM pair table).
 """
 from __future__ import annotations
 
@@ -161,6 +164,60 @@ def register(add) -> None:
         return kept
 
     add("emb_semantic_dedup_corpus", semantic_corpus, None)
+
+    # Distributed connected components (large-star/small-star), full
+    # oracle #1: minimal spanning CHAINS inside each source group (20
+    # groups x 25 docs -> 24-deep chains, the contraction worst case)
+    # must reunite to min(doc_id) per group — the oracle states the
+    # group identity, the engine has to earn it transitively.
+    def source_chain_components(spark, sf):
+        from ..operators import graph as G
+        from ..workload_shared import _docs
+        return G.chain_components(_docs(spark, sf), "doc_id", "source")
+
+    add("docs_source_chain_components", source_chain_components,
+        """SELECT doc_id,
+               CAST(MIN(doc_id) OVER (PARTITION BY source) AS BIGINT)
+                 AS component
+        FROM documents""")
+
+    # Full oracle #2 — transitive NEAR-dup groups over the blocked
+    # Levenshtein pair table: the engine runs CC on the pair edges;
+    # the oracle computes the same pairs in SQL and closes them with
+    # a recursive CTE (min label over the reachability set).  Only
+    # nodes that appear in a pair are labeled (callers join back for
+    # singletons), matching connected_components' contract.
+    def neardup_components(spark, sf):
+        from ..operators import dedup as D
+        from ..operators import graph as G
+        from ..workload_shared import _docs
+        pairs = D.edit_distance_pairs(_docs(spark, sf), max_dist=20,
+                                      prefix_chars=80, block_width=100)
+        comp = G.connected_components(pairs, src="id_a", dst="id_b")
+        return comp.select(F.col("node").alias("doc_id"), "component")
+
+    add("docs_neardup_components", neardup_components,
+        """WITH RECURSIVE b AS (
+          SELECT doc_id, lang, substring(text, 1, 80) AS pre,
+                 CAST(floor(length(text) / 100.0) AS BIGINT) AS blk_len
+          FROM documents),
+        p AS (
+          SELECT a.doc_id AS u, b2.doc_id AS v
+          FROM b a JOIN b b2
+            ON a.lang = b2.lang AND a.blk_len = b2.blk_len
+           AND a.doc_id < b2.doc_id
+          WHERE levenshtein(a.pre, b2.pre) <= 20),
+        e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        reach(n, m) AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.n, e2.v FROM reach r JOIN e e2 ON r.m = e2.u),
+        lbl AS (
+          SELECT n, LEAST(n, MIN(m)) AS component
+          FROM reach GROUP BY n)
+        SELECT CAST(n AS BIGINT) AS doc_id,
+               CAST(component AS BIGINT) AS component
+        FROM lbl""")
 
     # NOTE: DuckDB's integer ``//`` TRUNCATES toward zero (unlike
     # python's, which floors) — the oracle spells FLOOR division out
