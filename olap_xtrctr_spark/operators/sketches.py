@@ -500,3 +500,73 @@ def hll_md5_distinct(df: DataFrame, group_cols: list[str],
     return hll_md5_estimate(
         hll_md5_registers(df, group_cols, value_col, p),
         group_cols, p)
+
+
+# ---- Bloom filter (membership sketch) ---------------------------------------
+# The decontamination workhorse at 100 TB: an exact shingle-vocabulary
+# anti-join needs the whole train vocabulary shuffled per probe run; a
+# Bloom filter is m bits of MERGEABLE state (shard bitmaps OR
+# together) with zero false negatives and a bounded false-positive
+# rate (~(1-e^{-kn/m})^k).  Same md5(value:salt) discipline as the
+# CMS/KMV rows above, so bit positions, merges, and probe verdicts —
+# INCLUDING the false positives — are reproducible by an external SQL
+# engine: the sketch family stays oracle-exact end to end.
+
+BLOOM_SALTS = ("bloom-k0", "bloom-k1", "bloom-k2", "bloom-k3")
+
+
+def _bloom_pos(value_col: str, salt: str, m: int):
+    h = F.md5(F.concat_ws(":", F.col(value_col), F.lit(salt)))
+    return (F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+            % m).cast("int")
+
+
+def bloom_pos_sql(value_expr: str, salt: str, m: int) -> str:
+    """DuckDB mirror of _bloom_pos (oracle building block)."""
+    return (f"CAST(TRY_CAST(concat('0x', substr(md5(concat({value_expr},"
+            f" ':{salt}')), 1, 15)) AS BIGINT) % {m} AS INTEGER)")
+
+
+def bloom_bits(df: DataFrame, value_col: str, m: int = 4096,
+               group_cols: list[str] | None = None) -> DataFrame:
+    """The filter's SET bit positions, one row per (group?, pos) —
+    the sparse-bitmap representation (at most m rows per group
+    regardless of input size; map-side-combined distinct).  MERGING
+    shard filters is a union + distinct (bitmap OR), so the state
+    folds exactly like the other sketches."""
+    from functools import reduce
+    groups = list(group_cols or [])
+    rows = [df.select(*groups, _bloom_pos(value_col, salt, m)
+                      .alias("pos"))
+            for salt in BLOOM_SALTS]
+    return reduce(lambda a, b: a.unionByName(b), rows) \
+        .distinct()
+
+
+def bloom_merge(*bit_tables: DataFrame) -> DataFrame:
+    """OR shard bitmaps: union + distinct.  merge(build(A), build(B))
+    == build(A ∪ B) bit-for-bit by construction."""
+    from functools import reduce
+    return reduce(lambda a, b: a.unionByName(b), bit_tables).distinct()
+
+
+def bloom_probe(bits: DataFrame, probes: DataFrame, value_col: str,
+                m: int = 4096,
+                group_cols: list[str] | None = None) -> DataFrame:
+    """Membership verdict per probe row: ``maybe_present = 1`` iff ALL
+    k positions are set (zero false negatives; false positives at the
+    documented rate and REPRODUCIBLE — the oracle computes the same
+    bits).  The bit table is bounded by m rows/group, so it broadcasts
+    onto the probe side; absent rows count as unset bits."""
+    from functools import reduce
+    groups = list(group_cols or [])
+    keyed = [probes.select(*groups, F.col(value_col),
+                           _bloom_pos(value_col, salt, m).alias("pos"))
+             for salt in BLOOM_SALTS]
+    probe_pos = reduce(lambda a, b: a.unionByName(b), keyed)
+    hit = bits.withColumn("_set", F.lit(1))
+    joined = probe_pos.join(F.broadcast(hit), groups + ["pos"], "left")
+    return (joined.groupBy(*groups, value_col)
+            .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0)))
+                  == len(BLOOM_SALTS)).cast("int")
+                 .alias("maybe_present")))

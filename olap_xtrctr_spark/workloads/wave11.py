@@ -219,6 +219,74 @@ def register(add) -> None:
                CAST(component AS BIGINT) AS component
         FROM lbl""")
 
+    # Bloom-filter decontamination (full oracle, INCLUDING any false
+    # positives — the bit positions are md5-derived like every sketch
+    # in the family, so the SQL oracle reproduces the filter exactly):
+    # the bounded-state alternative to docs_contamination_check's
+    # exact vocabulary join — m bits of mergeable state instead of the
+    # whole train shingle vocabulary.  Same contam-v1 split, same
+    # 3-gram shingle convention.
+    _BLOOM_M = 262_144    # kn/m ~ 0.25 at the fixture's ~16.5k vocab
+
+    def bloom_decontaminate(spark, sf):
+        from ..operators import dedup as D
+        from ..operators import sketches as SK
+        from ..operators.sampling import _hash_bucket
+        from ..workload_shared import _docs
+        docs = _docs(spark, sf)
+        b = _hash_bucket(F.col("doc_id"), "contam-v1")
+        test, train = docs.filter(b < 1000), docs.filter(b >= 1000)
+        vocab = D.shingle_docs(train).select("shingle").distinct()
+        bits = SK.bloom_bits(vocab, "shingle", m=_BLOOM_M)
+        test_sh = D.shingle_docs(test)
+        verdict = SK.bloom_probe(
+            bits, test_sh.select("shingle").distinct(), "shingle",
+            m=_BLOOM_M)
+        return (test_sh.join(verdict, "shingle")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_shingles"),
+                     F.sum("maybe_present").cast("bigint")
+                     .alias("n_bloom_hits")))
+
+    from ..operators.sampling import hash_bucket_sql
+    from ..operators.sketches import BLOOM_SALTS, bloom_pos_sql
+    _CB2 = hash_bucket_sql("doc_id", "contam-v1")
+    _bpos = [bloom_pos_sql("shingle", s, _BLOOM_M) for s in BLOOM_SALTS]
+
+    add("docs_bloom_decontaminate", bloom_decontaminate,
+        rf"""WITH toks AS (
+          SELECT doc_id, {_CB2} AS b,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, b,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          FROM toks),
+        vocab AS (SELECT DISTINCT shingle FROM sh WHERE b >= 1000),
+        bits AS (SELECT DISTINCT pos FROM (
+          SELECT {_bpos[0]} AS pos FROM vocab
+          UNION ALL SELECT {_bpos[1]} FROM vocab
+          UNION ALL SELECT {_bpos[2]} FROM vocab
+          UNION ALL SELECT {_bpos[3]} FROM vocab)),
+        probe_sh AS (SELECT DISTINCT shingle FROM sh WHERE b < 1000),
+        ppos AS (
+          SELECT shingle, {_bpos[0]} AS pos FROM probe_sh
+          UNION ALL SELECT shingle, {_bpos[1]} FROM probe_sh
+          UNION ALL SELECT shingle, {_bpos[2]} FROM probe_sh
+          UNION ALL SELECT shingle, {_bpos[3]} FROM probe_sh),
+        verdict AS (
+          SELECT p.shingle,
+                 CASE WHEN COUNT(bt.pos) = 4 THEN 1 ELSE 0 END AS mp
+          FROM ppos p LEFT JOIN bits bt USING (pos)
+          GROUP BY p.shingle)
+        SELECT s.doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(v.mp) AS BIGINT) AS n_bloom_hits
+        FROM sh s JOIN verdict v USING (shingle)
+        WHERE s.b < 1000
+        GROUP BY s.doc_id""")
+
     # NOTE: DuckDB's integer ``//`` TRUNCATES toward zero (unlike
     # python's, which floors) — the oracle spells FLOOR division out
     # explicitly so both engines use the same milestone indices on the

@@ -2274,3 +2274,41 @@ def test_char_entropy_known_values(spark):
     want = (micro(fxln(3.0)) * 3 - 2 * micro(fxln(2.0))) // 3
     assert got[4] == (3, want)
     assert 0 < got[4][1] < got[1][1]          # between constant and uniform
+
+
+# ---- Bloom filter (membership sketch) --------------------------------------
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from olap_xtrctr_spark.operators import sketches as SK
+    vals = spark.createDataFrame([(f"v{i}",) for i in range(200)],
+                                 "x string")
+    bits = SK.bloom_bits(vals, "x", m=4096)
+    verdict = {r["x"]: r["maybe_present"]
+               for r in SK.bloom_probe(bits, vals, "x", m=4096).collect()}
+    assert all(v == 1 for v in verdict.values())   # zero false negatives
+    # merge(build(A), build(B)) == build(A ∪ B) bit-for-bit
+    a = vals.filter("x < 'v5'")
+    b = vals.filter("x >= 'v5'")
+    merged = SK.bloom_merge(SK.bloom_bits(a, "x", m=4096),
+                            SK.bloom_bits(b, "x", m=4096))
+    one = sorted(r["pos"] for r in bits.collect())
+    two = sorted(r["pos"] for r in merged.collect())
+    assert one == two
+
+
+def test_bloom_false_positive_rate_bounded_and_misses(spark):
+    from olap_xtrctr_spark.operators import sketches as SK
+    ins = spark.createDataFrame([(f"in{i}",) for i in range(100)],
+                                "x string")
+    outs = spark.createDataFrame([(f"out{i}",) for i in range(500)],
+                                 "x string")
+    bits = SK.bloom_bits(ins, "x", m=8192)   # kn/m ~ 0.05
+    got = {r["x"]: r["maybe_present"]
+           for r in SK.bloom_probe(bits, outs, "x", m=8192).collect()}
+    fp = sum(got.values())
+    assert fp <= 5, f"false-positive rate implausibly high ({fp}/500)"
+    # a saturated TINY filter flags everything (the documented failure
+    # mode when m is undersized) — still zero false negatives
+    tiny = SK.bloom_bits(ins, "x", m=8)
+    sat = SK.bloom_probe(tiny, outs, "x", m=8)
+    assert sat.agg({"maybe_present": "min"}).first()[0] == 1
