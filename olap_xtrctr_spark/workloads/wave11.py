@@ -253,8 +253,7 @@ def register(add) -> None:
     _CB2 = hash_bucket_sql("doc_id", "contam-v1")
     _bpos = [bloom_pos_sql("shingle", s, _BLOOM_M) for s in BLOOM_SALTS]
 
-    add("docs_bloom_decontaminate", bloom_decontaminate,
-        rf"""WITH toks AS (
+    _BLOOM_ORACLE = rf"""WITH toks AS (
           SELECT doc_id, {_CB2} AS b,
                  regexp_split_to_array(trim(lower(text)), '\s+') AS t
           FROM documents),
@@ -285,7 +284,105 @@ def register(add) -> None:
                CAST(SUM(v.mp) AS BIGINT) AS n_bloom_hits
         FROM sh s JOIN verdict v USING (shingle)
         WHERE s.b < 1000
-        GROUP BY s.doc_id""")
+        GROUP BY s.doc_id"""
+
+    add("docs_bloom_decontaminate", bloom_decontaminate, _BLOOM_ORACLE)
+
+    # STREAMING Bloom fold: the filter is built INCREMENTALLY over an
+    # availableNow file stream of the train split (one doc_id slice
+    # per micro-batch); each batch ORs its shingles' bit positions
+    # into the durable sparse-bitmap store (union + distinct — the
+    # Bloom merge, exact and batch-order-insensitive, so the folded
+    # filter provably equals the one-shot build and the entry SHARES
+    # the batch oracle).  Commit markers make replays no-ops; restart
+    # recovery re-reads the last committed store.  This is streaming
+    # decontamination at ingestion time: state is <= m rows, bounded
+    # at any corpus size.
+    def stream_bloom_fold(spark, sf):
+        import os
+        import shutil
+
+        from ..operators import dedup as D
+        from ..operators import sketches as SK
+        from ..operators.sampling import _hash_bucket
+        from ..workload_shared import _docs
+        docs = _docs(spark, sf)
+        b = _hash_bucket(F.col("doc_id"), "contam-v1")
+        test, train = docs.filter(b < 1000), docs.filter(b >= 1000)
+        sig = str(os.path.getsize(f"{sf}/documents.parquet"))
+        root = os.path.join("/tmp", "olap_xtrctr_bloom_stream",
+                            os.path.basename(os.path.normpath(sf)))
+        marker = os.path.join(root, "_DEMO_SRC")
+        if not (os.path.exists(marker)
+                and open(marker).read().strip() == sig):
+            shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(os.path.join(root, "src"), exist_ok=True)
+            b1, b2 = train.agg(
+                F.expr("percentile(doc_id, 0.3333)"),
+                F.expr("percentile(doc_id, 0.6667)")).first()
+            conds = [F.col("doc_id") <= b1,
+                     (F.col("doc_id") > b1) & (F.col("doc_id") <= b2),
+                     F.col("doc_id") > b2]
+            for i, cond in enumerate(conds):
+                tmp = os.path.join(root, f"_tmp{i}")
+                train.filter(cond).coalesce(1).write.mode(
+                    "overwrite").parquet(tmp)
+                part = next(f for f in os.listdir(tmp)
+                            if f.startswith("part-")
+                            and f.endswith(".parquet"))
+                dst = os.path.join(root, "src", f"batch{i}.parquet")
+                shutil.move(os.path.join(tmp, part), dst)
+                shutil.rmtree(tmp)
+                os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+            with open(marker, "w") as fh:
+                fh.write(sig)
+        out = os.path.join(root, "out")
+        os.makedirs(out, exist_ok=True)
+        state: dict = {"bits": None, "last": None}
+
+        def fold(batch, batch_id: int) -> None:
+            bspark = batch.sparkSession
+            store = os.path.join(out, f"bits_b{batch_id}")
+            cmark = os.path.join(out, f"_COMMITTED_b{batch_id}")
+            if os.path.exists(cmark):
+                state["bits"] = bspark.read.parquet(store)
+                state["last"] = store
+                return                     # replayed batch: no-op
+            prev = state["bits"]
+            if prev is None and batch_id > 0:    # restart recovery
+                prev = bspark.read.parquet(
+                    os.path.join(out, f"bits_b{batch_id - 1}"))
+            vocab = D.shingle_docs(batch).select("shingle").distinct()
+            new = SK.bloom_bits(vocab, "shingle", m=_BLOOM_M)
+            merged = new if prev is None else SK.bloom_merge(prev, new)
+            merged.write.mode("overwrite").parquet(store)
+            open(cmark, "w").close()
+            state["bits"] = bspark.read.parquet(store)
+            state["last"] = store
+
+        q = (spark.readStream.schema(train.schema)
+             .option("maxFilesPerTrigger", 1)
+             .parquet(os.path.join(root, "src"))
+             .writeStream.foreachBatch(fold)
+             .option("checkpointLocation", os.path.join(root, "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        import glob as _glob
+        last = state["last"] or sorted(
+            _glob.glob(os.path.join(out, "bits_b*")))[-1]
+        bits = spark.read.parquet(last)
+        test_sh = D.shingle_docs(test)
+        verdict = SK.bloom_probe(
+            bits, test_sh.select("shingle").distinct(), "shingle",
+            m=_BLOOM_M)
+        return (test_sh.join(verdict, "shingle")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_shingles"),
+                     F.sum("maybe_present").cast("bigint")
+                     .alias("n_bloom_hits")))
+
+    add("docs_stream_bloom_fold", stream_bloom_fold, _BLOOM_ORACLE)
 
     # NOTE: DuckDB's integer ``//`` TRUNCATES toward zero (unlike
     # python's, which floors) — the oracle spells FLOOR division out
