@@ -109,6 +109,11 @@ PROBE_QUERIES = [
     # per-key carry forms at ~sf1
     "docs_source_token_milestones",
     "events_value_drawdown_milestones",
+    # connected components: doc replication makes 250-deep chains per
+    # source (the log-round contraction stress) and concentrates the
+    # levenshtein pair table ~FACTOR^2 inside dup groups
+    "docs_source_chain_components",
+    "docs_neardup_components",
     "docs_winnow_fingerprints",
     "docs_winnow_dup_pairs",
     "docs_source_tv_distance",
