@@ -105,6 +105,14 @@ _GATE_FRONT = [
     "events_value_drawdown_milestones",
     "cube_calc_measure_avg_price",
 ]
+# Deliberately DEFERRED to the r12 window (the 50 slots are spent on
+# the never-graded 11 + the entire r5 staleness tail per VERDICT r10
+# task 1's done-bar): the round-11 wave-2 additions
+# docs_source_chain_components, docs_neardup_components,
+# docs_bloom_decontaminate, docs_stream_bloom_fold,
+# emb_semantic_dedup_pairs, emb_semantic_dedup_corpus — all six are
+# locally green at sf0.001 AND sf0.01 (full-oracle or in-entry gates)
+# and queue first for the next rotation.
 
 
 
