@@ -353,3 +353,54 @@ def test_occupancy_drops_empty_intervals(spark):
            (r["busy_seconds"], r["n_active_intervals"])
            for r in P.occupancy_hourly(iv).collect()}
     assert out == {0: (10, 1)}
+
+
+# ---- property tests (hypothesis): the floor-division milestone
+# contract over arbitrary SIGNED streams, keyed and unkeyed ----------
+
+from hypothesis import given, settings, strategies as st
+
+_vals = st.lists(st.integers(-400, 400), min_size=1, max_size=60)
+
+
+def _model(vals, step, base=0):
+    want, run = [], base
+    for i, v in enumerate(vals):
+        lo = run // step
+        run += v
+        hi = run // step
+        if hi > lo:
+            want.append((i, hi, hi - lo, run))
+    return want
+
+
+@settings(max_examples=12, deadline=None)
+@given(vals=_vals, step=st.integers(1, 300), width=st.integers(1, 9),
+       base=st.integers(-500, 500))
+def test_milestones_floor_division_property(spark, vals, step, width,
+                                            base):
+    rows = [(i, v, i // width) for i, v in enumerate(vals)]
+    out = P.running_milestones(
+        _df(spark, rows), "bucket", ["id"], "v", step=step,
+        id_cols=["id"], base=base).orderBy("id").collect()
+    got = [(r["id"], r["milestone"], r["n_crossed"], r["running"])
+           for r in out]
+    assert got == _model(vals, step, base)
+
+
+@settings(max_examples=8, deadline=None)
+@given(vals=st.lists(st.tuples(st.integers(-200, 200),
+                               st.sampled_from(["a", "b", "c"])),
+                     min_size=1, max_size=50),
+       width=st.integers(1, 7))
+def test_keyed_running_total_property(spark, vals, width):
+    rows = [(i, v, i // width, k) for i, (v, k) in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "id long, v long, bucket long, key string")
+    got = {r["id"]: r["running"]
+           for r in P.running_total(df, "bucket", ["id"], "v",
+                                    key_cols=["key"]).collect()}
+    run: dict = {}
+    for i, (v, k) in enumerate(vals):
+        run[k] = run.get(k, 0) + v
+        assert got[i] == run[k], (i, k)
