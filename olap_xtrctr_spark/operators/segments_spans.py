@@ -11,19 +11,26 @@ from pyspark.sql import functions as F
 def stride1_grams(docs: DataFrame, k: int, text_col: str,
                   id_col: str) -> DataFrame:
     """(id, _p, _sh): every complete lowercased k-token window at
-    stride 1, built with the lead-window trick (one doc-keyed
-    exchange, no per-element HOF string building)."""
+    stride 1.  Round 11: built as a LINEAR zip_with chain over shifted
+    array slices (the shingle_docs rework) — one rowwise projection,
+    ZERO shuffles; the old lead-window form paid a doc-keyed
+    full-corpus exchange before the consumer's own.  posexplode keeps
+    the 0-based window position; docs shorter than k emit nothing
+    (complete windows only), as before."""
     if k < 2:
         raise ValueError("duplicate_span_removal needs k >= 2 "
                          "(k=1 would mark every repeated token)")
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    d = docs.select(id_col, F.posexplode(toks).alias("_p", "_tok"))
-    wdoc = Window.partitionBy(id_col).orderBy("_p")
-    leads = [F.lead("_tok", j).over(wdoc) for j in range(1, k)]
-    return (d.withColumn("_sh", F.concat_ws(" ", F.col("_tok"), *leads))
-            .withColumn("_last", leads[-1])
-            .filter(F.col("_last").isNotNull())      # complete windows only
-            .select(id_col, "_p", "_sh"))
+    d = docs.select(F.col(id_col), toks.alias("_t"))
+    width = f"(size(_t) - {k - 1})"
+    core = f"slice(_t, 1, {width})"
+    for j in range(2, k + 1):
+        core = (f"zip_with({core}, slice(_t, {j}, {width}), "
+                f"(a, b) -> concat(a, ' ', b))")
+    expr = (f"CASE WHEN size(_t) < {k} THEN "
+            f"array() ELSE {core} END")
+    return d.select(id_col,
+                    F.posexplode(F.expr(expr)).alias("_p", "_sh"))
 
 
 def merged_spans(marked: DataFrame, k: int, id_col: str) -> DataFrame:

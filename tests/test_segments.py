@@ -116,9 +116,12 @@ def test_duplicate_span_removal_rejects_k1_and_stays_pair_free(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     df = SEG.duplicate_span_removal(docs, k=8)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # no posting-list pair generation (collect_list+slice signature) and
-    # no global sort: marking windows key on the shingle, runs on doc_id
-    assert "slice" not in plan
+    # no posting-list PAIR generation (the flatten(transform(...))
+    # signature of _ngram_pair_counts; "slice"/"collect_list" alone
+    # appear legitimately in the zip-chain gram construction and the
+    # bounded span-report rollup) and no global sort: marking windows
+    # key on the shingle, runs on doc_id
+    assert "flatten(transform" not in plan
     assert "rangepartitioning" not in plan
     assert "windowspecdefinition(_sh" in plan
     assert "windowspecdefinition(doc_id" in plan
