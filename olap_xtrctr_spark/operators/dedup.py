@@ -64,16 +64,28 @@ def shingle_docs(docs: DataFrame, text_col: str = "text",
     (a (doc, shingle) pair can only repeat within its own doc)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     d = docs.select(F.col(id_col), toks.alias("_t"))
-    width = f"(size(_t) - {n - 1})"
-    core = f"slice(_t, 1, {width})"
+    expr = gram_zip_expr("_t", n, short="whole", distinct=distinct)
+    return d.select(id_col, F.explode(F.expr(expr)).alias("shingle"))
+
+
+def gram_zip_expr(arr: str, n: int, short: str = "empty",
+                  distinct: bool = False) -> str:
+    """SQL expr for the stride-1 word n-gram ARRAY of token-array
+    column ``arr``, built as the linear zip_with chain (one rowwise
+    projection; measured 4-6x faster than both the per-position
+    transform+slice form and the lead-window form — see
+    shingle_docs).  ``short`` picks the sub-n-token convention:
+    'empty' (no grams) or 'whole' (one whole-document gram)."""
+    width = f"(size({arr}) - {n - 1})"
+    core = f"slice({arr}, 1, {width})"
     for j in range(2, n + 1):
-        core = (f"zip_with({core}, slice(_t, {j}, {width}), "
+        core = (f"zip_with({core}, slice({arr}, {j}, {width}), "
                 f"(a, b) -> concat(a, ' ', b))")
     if distinct:
         core = f"array_distinct({core})"
-    expr = (f"CASE WHEN size(_t) < {n} "
-            f"THEN array(array_join(_t, ' ')) ELSE {core} END")
-    return d.select(id_col, F.explode(F.expr(expr)).alias("shingle"))
+    fallback = (f"array(array_join({arr}, ' '))" if short == "whole"
+                else f"slice({arr}, 1, 0)")
+    return f"CASE WHEN size({arr}) < {n} THEN {fallback} ELSE {core} END"
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
@@ -1042,12 +1054,12 @@ def _winnow_windows(docs: DataFrame, text_col: str, id_col: str,
     clamp to the real document extent for sub-w-gram documents."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     d = docs.select(id_col, toks.alias("_toks"))
-    # sequence(1, 0) is DESCENDING [1, 0], not empty — guard short docs
-    # (same pitfall as text._gram_expr; ANSI makes slice(_, 0, _) throw).
-    d = d.withColumn("_grams", F.expr(
-        f"if(size(_toks) < {k}, array(), "
-        f"transform(sequence(1, size(_toks) - {k} + 1), "
-        f"i -> concat_ws(' ', slice(_toks, i, {k}))))"))
+    # r11: zip-chain gram construction (gram_zip_expr) — the old
+    # per-position transform+slice form measured 5.5 s vs 1.4 s at
+    # sf0.1 for identical output (each position's slice COPIES k
+    # elements; the zip chain concatenates element-wise, linear).
+    d = d.withColumn("_grams",
+                     F.expr(gram_zip_expr("_toks", k, short="empty")))
     g = (d.select(id_col, F.size("_grams").alias("_n_grams"),
                   F.posexplode("_grams").alias("_pos", "_gram"))
           .withColumn("_h", F.expr(

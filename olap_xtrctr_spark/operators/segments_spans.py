@@ -20,15 +20,11 @@ def stride1_grams(docs: DataFrame, k: int, text_col: str,
     if k < 2:
         raise ValueError("duplicate_span_removal needs k >= 2 "
                          "(k=1 would mark every repeated token)")
+    from .dedup import gram_zip_expr
+
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     d = docs.select(F.col(id_col), toks.alias("_t"))
-    width = f"(size(_t) - {k - 1})"
-    core = f"slice(_t, 1, {width})"
-    for j in range(2, k + 1):
-        core = (f"zip_with({core}, slice(_t, {j}, {width}), "
-                f"(a, b) -> concat(a, ' ', b))")
-    expr = (f"CASE WHEN size(_t) < {k} THEN "
-            f"array() ELSE {core} END")
+    expr = gram_zip_expr("_t", k, short="empty")
     return d.select(id_col,
                     F.posexplode(F.expr(expr)).alias("_p", "_sh"))
 
