@@ -291,7 +291,11 @@ def test_ngram_novelty_no_pair_generation(spark, sf_dir):
     from olap_xtrctr_spark.session import load_table
     docs = load_table(spark, sf_dir, "documents")
     plan = _plan(ngram_novelty(docs))
-    assert "collect_list" not in plan and "slice" not in plan
+    # "slice" alone is now the zip-chain shingle construction (rowwise,
+    # benign); the pair generators' signature is collect_list of id
+    # lists + the flatten(transform(...)) pair expansion
+    assert "collect_list" not in plan
+    assert "flatten(transform" not in plan
 
 
 def test_topcount_compiles_to_take_ordered(spark, sf_dir):
