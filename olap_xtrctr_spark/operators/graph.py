@@ -86,6 +86,19 @@ def connected_components(edges: DataFrame, src: str = "u",
     representative, deterministic on any engine.  Nodes never named
     by an edge don't appear (callers join back and coalesce to the
     node's own id for singletons)."""
+    from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                   ShortType)
+    ok = (ByteType, ShortType, IntegerType, LongType)
+    for c in (src, dst):
+        t = edges.schema[c].dataType
+        if not isinstance(t, ok):
+            # fail CLEANLY (ANSI mode would throw a cast error deep in
+            # round 1 otherwise): string/decimal node ids must be
+            # hashed to longs first (xxhash64) by the caller
+            raise ValueError(
+                f"connected_components: edge column {c!r} has type "
+                f"{t.simpleString()}, need an integral node id — hash "
+                f"non-integer ids to longs first (e.g. xxhash64)")
     e = _canon(edges.select(F.col(src).cast("long").alias("u"),
                             F.col(dst).cast("long").alias("v")))
     e = e.localCheckpoint(eager=True)

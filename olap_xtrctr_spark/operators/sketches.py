@@ -564,6 +564,14 @@ def bloom_probe(bits: DataFrame, probes: DataFrame, value_col: str,
                            _bloom_pos(value_col, salt, m).alias("pos"))
              for salt in BLOOM_SALTS]
     probe_pos = reduce(lambda a, b: a.unionByName(b), keyed)
+    expected = set(groups) | {"pos"}
+    if set(bits.columns) != expected:
+        raise ValueError(
+            f"bloom_probe: bit-table columns {sorted(bits.columns)} do "
+            f"not match group_cols={groups} (expected exactly "
+            f"{sorted(expected)}); pass the same group_cols used for "
+            f"bloom_bits — a grouped filter probed ungrouped would "
+            f"OR bits across groups")
     hit = bits.withColumn("_set", F.lit(1))
     joined = probe_pos.join(F.broadcast(hit), groups + ["pos"], "left")
     return (joined.groupBy(*groups, value_col)

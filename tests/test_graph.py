@@ -93,3 +93,11 @@ def test_chain_components_fixture_matches_group_min(spark, sf_dir):
     # non-vacuous: the fixture really has multi-doc groups
     assert (got.filter(F.col("component") != F.col("doc_id"))
             .count()) > 0
+
+
+def test_cc_rejects_non_integral_ids(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", "b")], "u string, v string")
+    with pytest.raises(ValueError, match="integral node id"):
+        G.connected_components(df)

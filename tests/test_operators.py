@@ -2312,3 +2312,18 @@ def test_bloom_false_positive_rate_bounded_and_misses(spark):
     tiny = SK.bloom_bits(ins, "x", m=8)
     sat = SK.bloom_probe(tiny, outs, "x", m=8)
     assert sat.agg({"maybe_present": "min"}).first()[0] == 1
+
+
+def test_bloom_probe_rejects_mismatched_group_cols(spark):
+    import pytest
+
+    from olap_xtrctr_spark.operators import sketches as SK
+    vals = spark.createDataFrame([("g1", "x"), ("g2", "y")],
+                                 "grp string, x string")
+    bits = SK.bloom_bits(vals, "x", m=64, group_cols=["grp"])
+    with pytest.raises(ValueError, match="group_cols"):
+        SK.bloom_probe(bits, vals, "x", m=64)   # grouped bits, no groups
+    # matched group_cols round-trips
+    out = SK.bloom_probe(bits, vals, "x", m=64, group_cols=["grp"])
+    assert {(r["grp"], r["x"], r["maybe_present"])
+            for r in out.collect()} == {("g1", "x", 1), ("g2", "y", 1)}
