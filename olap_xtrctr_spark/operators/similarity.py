@@ -219,12 +219,18 @@ def semantic_dedup_pairs(emb: DataFrame, threshold: float = 0.995,
         .alias("features"))
     model = KMeans(k=n_clusters, seed=seed, maxIter=10,
                    featuresCol="features").fit(feats)
+    from pyspark import StorageLevel
+
     cells = _cell_assign_udf(
         [list(map(float, c)) for c in model.clusterCenters()],
         min(n_assign, n_clusters))
+    # persisted: the assignment (an Arrow GEMM pass over the corpus)
+    # feeds the size guard AND both sides of the pair join — without
+    # the pin each consumer would recompute it
     assigned = (emb.select(F.col(id_col), F.col(vec_col))
                 .withColumn("_cell",
-                            F.explode(cells(F.col(vec_col)))))
+                            F.explode(cells(F.col(vec_col))))
+                .persist(StorageLevel.MEMORY_AND_DISK))
     biggest = (assigned.groupBy("_cell")
                .agg(F.count(F.lit(1)).alias("n"))
                .agg(F.max("n")).first()[0]) or 0
