@@ -113,6 +113,17 @@ _GATE_FRONT = [
 # emb_semantic_dedup_pairs, emb_semantic_dedup_corpus — all six are
 # locally green at sf0.001 AND sf0.01 (full-oracle or in-entry gates)
 # and queue first for the next rotation.
+#
+# Changed-path coverage for the round's gram-core rework
+# (shingle_docs/stride1_grams/winnow grams -> zip chain, byte-
+# identical output): the shingle path re-grades THIS round through
+# the in-window docs_minhash_lsh_pairs, docs_minhash_dedup_corpus,
+# docs_simhash_pairs, docs_containment_pairs, docs_cross_source_dup
+# and all four winnow entries; the remaining consumers
+# (docs_ngram_jaccard_pairs, docs_ngram_novelty,
+# docs_containment_pairs_prefix, the contamination family, the
+# span-dedup family) were re-verified locally at sf0.01 + the edge
+# fixture this round and queue for r12 behind the six above.
 
 
 
