@@ -219,6 +219,61 @@ def register(add) -> None:
                CAST(component AS BIGINT) AS component
         FROM lbl""")
 
+    # Soft dedup (full oracle): instead of DROPPING near-duplicates,
+    # down-weight them — every doc's training weight is
+    # 1 / |its transitive near-dup group| (exact integer ppm), the
+    # keep-information-lose-redundancy alternative to hard dedup.
+    # Composes the CC labels over the levenshtein pair table;
+    # singletons weigh 1.0 (1,000,000 ppm).
+    def softdedup_weights(spark, sf):
+        from ..operators import dedup as D
+        from ..operators import graph as G
+        from ..workload_shared import _docs
+        docs = _docs(spark, sf)
+        pairs = D.edit_distance_pairs(docs, max_dist=20,
+                                      prefix_chars=80, block_width=100)
+        comp = G.connected_components(pairs, src="id_a", dst="id_b")
+        sizes = comp.groupBy("component").agg(
+            F.count(F.lit(1)).alias("_gsz"))
+        labeled = (docs.select("doc_id")
+                   .join(comp, docs["doc_id"] == comp["node"], "left")
+                   .join(sizes, "component", "left")
+                   .select("doc_id",
+                           F.coalesce("_gsz", F.lit(1)).alias("_gsz")))
+        return labeled.select(
+            "doc_id",
+            F.col("_gsz").cast("int").alias("group_size"),
+            F.expr("1000000 div _gsz").cast("long").alias("weight_ppm"))
+
+    add("docs_softdedup_weights", softdedup_weights,
+        """WITH RECURSIVE b AS (
+          SELECT doc_id, lang, substring(text, 1, 80) AS pre,
+                 CAST(floor(length(text) / 100.0) AS BIGINT) AS blk_len
+          FROM documents),
+        p AS (
+          SELECT a.doc_id AS u, b2.doc_id AS v
+          FROM b a JOIN b b2
+            ON a.lang = b2.lang AND a.blk_len = b2.blk_len
+           AND a.doc_id < b2.doc_id
+          WHERE levenshtein(a.pre, b2.pre) <= 20),
+        e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        reach(n, m) AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.n, e2.v FROM reach r JOIN e e2 ON r.m = e2.u),
+        lbl AS (
+          SELECT n, LEAST(n, MIN(m)) AS component
+          FROM reach GROUP BY n),
+        sz AS (
+          SELECT component, COUNT(*) AS gsz FROM lbl GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(COALESCE(sz.gsz, 1) AS INTEGER) AS group_size,
+               CAST(1000000 // COALESCE(sz.gsz, 1) AS BIGINT)
+                 AS weight_ppm
+        FROM documents d
+        LEFT JOIN lbl ON d.doc_id = lbl.n
+        LEFT JOIN sz ON lbl.component = sz.component""")
+
     # Bloom-filter decontamination (full oracle, INCLUDING any false
     # positives — the bit positions are md5-derived like every sketch
     # in the family, so the SQL oracle reproduces the filter exactly):
