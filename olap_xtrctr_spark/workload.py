@@ -110,7 +110,8 @@ _GATE_FRONT = [
 # task 1's done-bar): the round-11 wave-2 additions
 # docs_source_chain_components, docs_neardup_components,
 # docs_bloom_decontaminate, docs_stream_bloom_fold,
-# emb_semantic_dedup_pairs, emb_semantic_dedup_corpus — all six are
+# emb_semantic_dedup_pairs, emb_semantic_dedup_corpus,
+# docs_softdedup_weights — all seven are
 # locally green at sf0.001 AND sf0.01 (full-oracle or in-entry gates)
 # and queue first for the next rotation.
 #
