@@ -87,7 +87,16 @@ class _Routes:
                 continue
             match = rx.match(path)
             if match:
-                return fn(service, match, qs, body)
+                try:
+                    return fn(service, match, qs, body)
+                finally:
+                    # Request-scoped cache hygiene (ADVICE r11): the
+                    # diamond-shaped operators pin intermediates for
+                    # the duration of their consuming action; in this
+                    # long-lived process those pins would otherwise
+                    # accumulate in executor memory/disk forever.
+                    from .session import release_tracked_caches
+                    release_tracked_caches()
         return 404, {"detail": f"no route for {method} {path}"}
 
 
@@ -341,9 +350,22 @@ def _ivf_query(service, m, qs, body):
     if not isinstance(qids, list) or not qids or len(qids) > 1000:
         return 400, {"detail": "body needs 'query_ids': a non-empty "
                                "list of at most 1000 vector ids"}
+    # Client input validation (ADVICE r11): a non-numeric id used to
+    # raise an uncaught ValueError out of int() and surface as a 500.
+    # bool is excluded explicitly — int(True) would silently query id 1.
+    ids: list[int] = []
+    for q in qids:
+        if isinstance(q, bool):
+            return 400, {"detail": f"query_ids entries must be integer "
+                                   f"vector ids, got {q!r}"}
+        try:
+            ids.append(int(q))
+        except (TypeError, ValueError):
+            return 400, {"detail": f"query_ids entries must be integer "
+                                   f"vector ids, got {q!r}"}
     table = body.get("table", "embeddings")
     queries = load_table(service.spark, service.sf_dir, table).filter(
-        F.col(meta["id_col"]).isin([int(q) for q in qids]))
+        F.col(meta["id_col"]).isin(ids))
     df = ivf_query_index(service.spark, d, queries,
                          k=int(body.get("k", 3)),
                          n_probe=int(body.get("n_probe", 2)),

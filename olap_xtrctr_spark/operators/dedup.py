@@ -489,10 +489,13 @@ def ngram_containment_pairs_prefix(docs: DataFrame,
     # join — before r11 the global-distinct exchange inside
     # shingle_docs served as the shared materialization point; the
     # shuffle-free zip-chain shingles removed it, so pin explicitly
-    # (the diamond-reuse discipline of rfm/semantic_dedup)
-    sh = (shingle_docs(docs, text_col, id_col, n)
-          .select(F.col(id_col).alias("_id"), "shingle")
-          .persist(StorageLevel.MEMORY_AND_DISK))
+    # (the diamond-reuse discipline of rfm/semantic_dedup).  Tracked
+    # for bulk release by long-lived hosts (ADVICE r11).
+    from ..session import track_persist
+    sh = track_persist(
+        shingle_docs(docs, text_col, id_col, n)
+        .select(F.col(id_col).alias("_id"), "shingle"),
+        StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     if max_doc_freq is not None:

@@ -226,11 +226,14 @@ def semantic_dedup_pairs(emb: DataFrame, threshold: float = 0.995,
         min(n_assign, n_clusters))
     # persisted: the assignment (an Arrow GEMM pass over the corpus)
     # feeds the size guard AND both sides of the pair join — without
-    # the pin each consumer would recompute it
-    assigned = (emb.select(F.col(id_col), F.col(vec_col))
-                .withColumn("_cell",
-                            F.explode(cells(F.col(vec_col))))
-                .persist(StorageLevel.MEMORY_AND_DISK))
+    # the pin each consumer would recompute it.  Tracked so long-lived
+    # hosts can bulk-release (session.release_tracked_caches) instead
+    # of accumulating cached blocks across requests (ADVICE r11).
+    from ..session import track_persist
+    assigned = track_persist(
+        emb.select(F.col(id_col), F.col(vec_col))
+           .withColumn("_cell", F.explode(cells(F.col(vec_col)))),
+        StorageLevel.MEMORY_AND_DISK)
     biggest = (assigned.groupBy("_cell")
                .agg(F.count(F.lit(1)).alias("n"))
                .agg(F.max("n")).first()[0]) or 0

@@ -557,11 +557,20 @@ def bloom_probe(bits: DataFrame, probes: DataFrame, value_col: str,
     k positions are set (zero false negatives; false positives at the
     documented rate and REPRODUCIBLE — the oracle computes the same
     bits).  The bit table is bounded by m rows/group, so it broadcasts
-    onto the probe side; absent rows count as unset bits."""
+    onto the probe side; absent rows count as unset bits.
+
+    The probe set is deduplicated on (group, value) INSIDE the
+    function (ADVICE r11): the verdict compares a row count against
+    ``len(BLOOM_SALTS)``, so a duplicated probe row would double its
+    per-salt rows and flip a genuinely-present value to 0 — a false
+    negative, breaking the filter's one hard guarantee.  Output stays
+    one verdict row per distinct (group, value), which is what every
+    caller joins back on."""
     from functools import reduce
     groups = list(group_cols or [])
-    keyed = [probes.select(*groups, F.col(value_col),
-                           _bloom_pos(value_col, salt, m).alias("pos"))
+    uniq = probes.select(*groups, value_col).distinct()
+    keyed = [uniq.select(*groups, F.col(value_col),
+                         _bloom_pos(value_col, salt, m).alias("pos"))
              for salt in BLOOM_SALTS]
     probe_pos = reduce(lambda a, b: a.unionByName(b), keyed)
     expected = set(groups) | {"pos"}

@@ -156,3 +156,44 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each table as a temp view so spark.sql() can reach them."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# ---- tracked persist / cache release (ADVICE r11) --------------------------
+# Several diamond-shaped operators persist an intermediate that feeds
+# multiple consumers INSIDE the plan they return (semantic_dedup_pairs'
+# cell assignment, the prefix variant's shingle table, rfm_segments'
+# per-user rollup).  The cached blocks are correct to keep for the
+# duration of the consuming action, but in a long-lived session — the
+# HTTP service, a notebook — they would accumulate in executor
+# memory/disk forever: Spark's cache manager holds a hard reference, so
+# plain GC never frees them.  Operators register their pins here;
+# request-scoped hosts call release_tracked_caches() after each unit of
+# work (the HTTP service does, per request).
+
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame, storage_level=None) -> DataFrame:
+    """persist() + register for bulk release.  Returns the same df."""
+    if storage_level is None:
+        from pyspark import StorageLevel
+        storage_level = StorageLevel.MEMORY_AND_DISK
+    df.persist(storage_level)
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_tracked_caches() -> int:
+    """Unpersist every tracked pin (non-blocking); returns how many.
+    Safe to call at any time: consumers that re-run after release just
+    recompute — persistence is a cost hint here, never a correctness
+    dependency."""
+    n = 0
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            pass        # session already stopped — nothing to free
+    return n

@@ -792,7 +792,19 @@ def rfm_segments(events: DataFrame, n_bins: int = 5) -> DataFrame:
     rem + ceil((r−rem·(q+1))/q).  All-integer, identical to the
     oracle's ``ntile(n) OVER (ORDER BY ..., user_id)``.  The only
     serial steps are the |buckets|-row carry windows; the user count
-    joins in as a broadcast scalar."""
+    joins in as a broadcast scalar.
+
+    NULL / magnitude contract (ADVICE r11): a user whose every
+    ``value`` is NULL has NULL monetary; SQL's ``ORDER BY monetary
+    DESC`` puts NULLs LAST, so ``_negm`` coalesces to a +inf sentinel
+    (a bare ascending negation would sort them FIRST — Spark asc =
+    nulls first).  The monetary ordering key round-trips through
+    DECIMAL(18,4)·10⁴ → long, i.e. it quantizes at 10⁻⁴: two users
+    whose monetary sums differ by less than 0.0001 tie on the key
+    (user_id breaks the tie) even where raw double ordering would
+    distinguish them, and |monetary| must stay under DECIMAL(18,4)'s
+    ~10¹⁴ bound — both inherited from the engine-wide exact-decimal
+    aggregation convention, not new here."""
     from pyspark import StorageLevel
 
     from ..operators import prefix as P
@@ -802,13 +814,16 @@ def rfm_segments(events: DataFrame, n_bins: int = 5) -> DataFrame:
     # timestamp, and the user count — and column pruning specializes
     # each branch's partial aggregate, so ReuseExchange cannot dedup
     # them.  Persisting the rollup (dimension-sized: one slim row per
-    # user) pins the EVENT-scale aggregation to exactly one pass.
-    per_user = (events.groupBy("user_id")
-                .agg(F.max("ts").alias("last_ts"),
-                     F.count(F.lit(1)).alias("frequency"),
-                     F.sum(F.col("value").cast("decimal(18,4)"))
-                      .cast("double").alias("monetary"))
-                .persist(StorageLevel.MEMORY_AND_DISK))
+    # user) pins the EVENT-scale aggregation to exactly one pass;
+    # tracked for bulk release by long-lived hosts (ADVICE r11).
+    from ..session import track_persist
+    per_user = track_persist(
+        events.groupBy("user_id")
+              .agg(F.max("ts").alias("last_ts"),
+                   F.count(F.lit(1)).alias("frequency"),
+                   F.sum(F.col("value").cast("decimal(18,4)"))
+                    .cast("double").alias("monetary")),
+        StorageLevel.MEMORY_AND_DISK)
     # corpus reference time == max per-user last_ts: derived from the
     # persisted rollup, not a second scan of raw events
     ref = per_user.agg(F.max("last_ts").alias("_ref_ts"))
@@ -821,9 +836,14 @@ def rfm_segments(events: DataFrame, n_bins: int = 5) -> DataFrame:
               # recency asc; frequency/monetary DESC via negation
               # (monetary is decimal(18,4)-exact, so ×10000 is integral)
               .withColumn("_negf", -F.col("frequency"))
+              # NULL monetary (user with only NULL values) sorts LAST
+              # like SQL's DESC NULLS LAST — the sentinel is above any
+              # real key (|monetary| < 10¹⁴ ⇒ |_negm| < 2⁶⁰ < 2⁶²)
               .withColumn("_negm",
-                          -(F.col("monetary").cast("decimal(18,4)")
-                            * 10000).cast("long"))
+                          F.coalesce(
+                              -(F.col("monetary").cast("decimal(18,4)")
+                                * 10000).cast("long"),
+                              F.lit(2 ** 62)))
               # order-aligned range buckets (carry windows span
               # |value range / bucket width| rows, never |users|)
               .withColumn("_rfmb_r", F.col("recency_days"))

@@ -354,6 +354,7 @@ def register(add) -> None:
     # decontamination at ingestion time: state is <= m rows, bounded
     # at any corpus size.
     def stream_bloom_fold(spark, sf):
+        import hashlib
         import os
         import shutil
 
@@ -364,9 +365,26 @@ def register(add) -> None:
         docs = _docs(spark, sf)
         b = _hash_bucket(F.col("doc_id"), "contam-v1")
         test, train = docs.filter(b < 1000), docs.filter(b >= 1000)
-        sig = str(os.path.getsize(f"{sf}/documents.parquet"))
-        root = os.path.join("/tmp", "olap_xtrctr_bloom_stream",
-                            os.path.basename(os.path.normpath(sf)))
+        # Staged-fixture invalidation (ADVICE r11): the directory-inode
+        # size is blind to same-size regenerated part files, so sign
+        # the corpus with the SAME (path, size, mtime_ns) scheme as
+        # ivf_build_index, over the actual parquet part files; and key
+        # the staging root by a hash of the FULL sf path, not its
+        # basename — two corpora named "sfX" elsewhere must not share
+        # staged batches.
+        sig_parts = []
+        for p in sorted(docs.inputFiles()):
+            local = p[len("file:"):] if p.startswith("file:") else p
+            try:
+                st = os.stat(local)
+                sig_parts.append(f"{p}|{st.st_size}|{st.st_mtime_ns}")
+            except OSError:
+                sig_parts.append(p)       # remote FS: path-only term
+        sig = hashlib.sha256("\n".join(sig_parts).encode()).hexdigest()
+        sf_key = (os.path.basename(os.path.normpath(sf)) + "-"
+                  + hashlib.sha256(os.path.abspath(sf).encode())
+                  .hexdigest()[:12])
+        root = os.path.join("/tmp", "olap_xtrctr_bloom_stream", sf_key)
         marker = os.path.join(root, "_DEMO_SRC")
         if not (os.path.exists(marker)
                 and open(marker).read().strip() == sig):

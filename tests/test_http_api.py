@@ -354,3 +354,34 @@ def test_ivf_index_http_lifecycle(base_url, tmp_path, monkeypatch):
             _post(base_url + "/api/index/ivf/query",
                   {"name": "embx", "query_ids": bad})
         assert e.value.code == 400
+
+    # non-numeric / non-integral ids are a client error, not a 500
+    # (ADVICE r11: int('abc') used to escape as an uncaught ValueError)
+    for bad_ids in (["abc"], [1, None], [True], [[1]]):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base_url + "/api/index/ivf/query",
+                  {"name": "embx", "query_ids": bad_ids})
+        assert e.value.code == 400
+        assert "integer vector ids" in json.loads(e.value.read())["detail"]
+
+
+def test_dispatch_releases_tracked_caches(base_url):
+    """Request-scoped cache hygiene (ADVICE r11): any operator persist
+    tracked during a request is bulk-released when the request
+    finishes, so a long-lived service does not accumulate cached
+    blocks across requests."""
+    from olap_xtrctr_spark import session as SS
+
+    class _FakeDF:
+        def __init__(self):
+            self.unpersisted = 0
+        def persist(self, level):
+            return self
+        def unpersist(self, blocking=False):
+            self.unpersisted += 1
+    fake = _FakeDF()
+    SS._TRACKED_PERSISTS.append(fake)   # simulate an operator's pin
+    status, _ = _get(base_url + "/api/catalogs")
+    assert status == 200
+    assert fake.unpersisted == 1
+    assert fake not in SS._TRACKED_PERSISTS

@@ -2314,6 +2314,33 @@ def test_bloom_false_positive_rate_bounded_and_misses(spark):
     assert sat.agg({"maybe_present": "min"}).first()[0] == 1
 
 
+def test_bloom_probe_duplicate_probe_rows_no_false_negative(spark):
+    """ADVICE r11: a probe table with DUPLICATE rows used to double the
+    per-salt rows, so sum(_set) became 2k != k and a genuinely-present
+    value flipped to maybe_present=0 — a false negative, violating the
+    filter's one hard guarantee.  The probe set is now deduplicated
+    inside the function; duplicated and distinct probes must agree."""
+    from olap_xtrctr_spark.operators import sketches as SK
+    vals = spark.createDataFrame([("a",), ("b",)], "x string")
+    dup = spark.createDataFrame([("a",), ("a",), ("b",), ("c",)],
+                                "x string")
+    bits = SK.bloom_bits(vals, "x", m=4096)
+    got = {r["x"]: r["maybe_present"]
+           for r in SK.bloom_probe(bits, dup, "x", m=4096).collect()}
+    assert got["a"] == 1 and got["b"] == 1      # present, despite dups
+    # one verdict row per distinct value, not per probe row
+    assert SK.bloom_probe(bits, dup, "x", m=4096).count() == 3
+    # grouped variant: duplicates inside one group stay group-local
+    gdup = spark.createDataFrame(
+        [("g1", "a"), ("g1", "a"), ("g2", "a")], "grp string, x string")
+    gbits = SK.bloom_bits(gdup.filter("grp = 'g1'"), "x", m=64,
+                          group_cols=["grp"])
+    gout = {(r["grp"], r["x"]): r["maybe_present"]
+            for r in SK.bloom_probe(gbits, gdup, "x", m=64,
+                                    group_cols=["grp"]).collect()}
+    assert gout[("g1", "a")] == 1
+
+
 def test_bloom_probe_rejects_mismatched_group_cols(spark):
     import pytest
 
@@ -2327,3 +2354,29 @@ def test_bloom_probe_rejects_mismatched_group_cols(spark):
     out = SK.bloom_probe(bits, vals, "x", m=64, group_cols=["grp"])
     assert {(r["grp"], r["x"], r["maybe_present"])
             for r in out.collect()} == {("g1", "x", 1), ("g2", "y", 1)}
+
+
+# ---- RFM segmentation NULL/ordering contract (ADVICE r11) -------------------
+
+def test_rfm_null_monetary_sorts_last_like_sql_desc(spark):
+    """A user whose every value is NULL has NULL monetary; SQL NTILE
+    ``ORDER BY monetary DESC`` puts NULLs LAST.  Before the fix the
+    ascending ``_negm`` key sorted them FIRST (Spark asc = nulls
+    first), silently inverting their m_score on NULL-bearing inputs."""
+    import datetime as dt
+    rows = []
+    base = dt.datetime(2025, 1, 1)
+    # users 1..4 with decreasing monetary, user 9 with ONLY NULL values
+    for u, v in ((1, 400.0), (2, 300.0), (3, 200.0), (4, 100.0)):
+        rows.append((u * 10, base, u, "click", v))
+    rows.append((90, base, 9, "click", None))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    out = {r["user_id"]: r for r in EV.rfm_segments(ev, n_bins=5).collect()}
+    # richest user scores 1, NULL-monetary user lands in the LAST bin
+    assert out[1]["m_score"] == 1
+    assert out[9]["m_score"] == 5
+    assert out[9]["monetary"] is None
+    # non-null users keep strict DESC order of their monetary bins
+    assert [out[u]["m_score"] for u in (1, 2, 3, 4)] == [1, 2, 3, 4]
