@@ -1087,3 +1087,271 @@ def ivf_query_index(spark, index_dir: str, queries: DataFrame,
                   .filter(F.col("rank") <= k)
                   .select("query_id", "rank", "neighbor_id",
                           F.round("cos", 4).alias("cosine")))
+
+
+# ---- FROZEN integer-codebook quantization (full-oracle ANN family) --------
+# The learned KMeans/PQ quantizers above are rows-only by construction
+# (a training run is not SQL-expressible).  The *_frozen variants below
+# apply the SAME serving algorithms against the learned-then-frozen
+# integer codebooks in operators/frozen_codebooks.py (trained once in
+# Spark by scripts/train_frozen_codebooks.py — the fixedlog-ladder
+# freeze discipline, VERDICT r11 task 2), which makes every step exact
+# integer arithmetic an external SQL engine reproduces bit-for-bit:
+#   * component quantization  floor(x·10⁴) → int64,
+#   * cell/code assignment    argmin of exact int64 L2, ties → lower id,
+#   * ADC partial dots        exact int64 sums (associative — shuffle
+#                             order cannot perturb them),
+# with only the final re-rank touching float cosine (the established
+# sequential-fold convention every emb_* oracle already matches).
+
+
+def _vint_expr(vec_col: str) -> str:
+    """The frozen fixed-point convention: floor(x·SCALE) per component."""
+    from .frozen_codebooks import SCALE
+    return (f"transform({vec_col}, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {SCALE}.0) AS BIGINT))")
+
+
+def _bigint_array_lit(vals) -> str:
+    return "array(" + ",".join(f"{int(x)}L" for x in vals) + ")"
+
+
+def _nested_array_lit(rows) -> str:
+    return "array(" + ",".join(_bigint_array_lit(r) for r in rows) + ")"
+
+
+def _argmin_cells_expr(vint_col: str, centers, n: int) -> str:
+    """Spark SQL expression: the ``n`` nearest frozen centers of an int
+    vector — exact int64 L2 against a LITERAL center array, sorted by
+    (distance, index).  Pure projection: zero shuffle, zero UDF; the
+    whole assignment stays inside whole-stage codegen."""
+    lit = _nested_array_lit(centers)
+    return (f"slice(array_sort(transform({lit}, (cen, i) -> struct("
+            f"aggregate(zip_with({vint_col}, cen, (a, b) -> (a-b)*(a-b)), "
+            f"0L, (acc, v) -> acc + v) AS d, i AS cell))), 1, {n}).cell")
+
+
+def _pq_code_exprs(vint_col: str, codebooks, sub_d: int,
+                   prefix: str = "code_") -> list[str]:
+    """One selectExpr fragment per subspace: nearest frozen codeword of
+    the subvector (same exact-int argmin as the cells)."""
+    outs = []
+    for s, book in enumerate(codebooks):
+        sv = f"slice({vint_col}, {s * sub_d + 1}, {sub_d})"
+        lit = _nested_array_lit(book)
+        outs.append(
+            f"element_at(array_sort(transform({lit}, (cen, i) -> struct("
+            f"aggregate(zip_with({sv}, cen, (a, b) -> (a-b)*(a-b)), 0L, "
+            f"(acc, v) -> acc + v) AS d, i AS c))), 1).c AS {prefix}{s}")
+    return outs
+
+
+def _qint(vec) -> list[int]:
+    """Driver-side mirror of _vint_expr — float32 widens exactly to
+    double, ×SCALE and floor are the identical IEEE ops."""
+    import math
+
+    from .frozen_codebooks import SCALE
+    return [math.floor(float(x) * float(SCALE)) for x in vec]
+
+
+def semantic_dedup_pairs_frozen(emb: DataFrame, threshold: float = 0.45,
+                                n_assign: int = 3,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                max_cell_rows: int = 200_000) -> DataFrame:
+    """``semantic_dedup_pairs`` (SemDeDup cluster-blocked near-dup
+    pairs) over the FROZEN coarse centers: identical output contract
+    (id_a < id_b, exact cosine ≥ threshold, precision 1 by
+    construction), but the cell blocking is the frozen-integer argmin,
+    so the whole pipeline is full-oracle (the trained-KMeans variant
+    stays available for corpora the frozen grid fits badly).
+
+    Scale shape: assignment is a pure projection (no shuffle, no UDF,
+    no driver state beyond the 8×64-int literal); the pair join is the
+    same within-cell equi-join, guarded against a degenerate cell."""
+    from . import frozen_codebooks as FC
+    assigned = (emb.select(F.col(id_col), F.col(vec_col))
+                .withColumn("_vint", F.expr(_vint_expr(vec_col)))
+                .withColumn("_cell", F.explode(F.expr(_argmin_cells_expr(
+                    "_vint", FC.COARSE_CENTERS_I,
+                    min(n_assign, FC.COARSE_K)))))
+                .drop("_vint"))
+    biggest = (assigned.groupBy("_cell")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .agg(F.max("n")).first()[0]) or 0
+    if biggest > max_cell_rows:
+        raise ValueError(
+            f"semantic_dedup_pairs_frozen: largest frozen cell holds "
+            f"{biggest} rows (> {max_cell_rows}); the within-cell pair "
+            f"join would go quadratic — retrain a finer frozen grid "
+            f"(scripts/train_frozen_codebooks.py) or use the trained "
+            f"semantic_dedup_pairs")
+    a = assigned.select(F.col("_cell"), F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("_va"))
+    b = assigned.select(F.col("_cell"), F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("_vb"))
+    pairs = (a.join(b, "_cell")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"])
+             .withColumn("cosine", _cosine(F.col("_va"), F.col("_vb")))
+             .filter(F.col("cosine") >= threshold))
+    return pairs.select("id_a", "id_b",
+                        F.round("cosine", 4).alias("cosine"))
+
+
+def semantic_dedup_frozen(emb: DataFrame, threshold: float = 0.45,
+                          n_assign: int = 3, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Frozen-cell SemDeDup corpus: drop every vector with a smaller-id
+    near-dup in a shared frozen cell (greedy min-id representative, the
+    ``semantic_dedup`` contract)."""
+    drop = semantic_dedup_pairs_frozen(
+        emb, threshold, n_assign, id_col, vec_col) \
+        .select(F.col("id_b").alias(id_col)).distinct()
+    return emb.join(drop, on=id_col, how="left_anti")
+
+
+def pq_topk_frozen(emb: DataFrame, query_ids: list[int], k: int = 3,
+                   refine: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """``pq_cosine_topk`` (ADC shortlist + exact re-rank) over the
+    FROZEN PQ codebooks — full-oracle: codes are exact-int argmins, the
+    per-query LUT is exact integer dot products computed driver-side
+    from the same frozen constants, the ADC accumulation is an
+    associative int64 SUM, and the shortlist order key
+    adc_dot/‖neighbor‖ divides an exactly-representable integer by the
+    convention-exact double norm.  Only the k·refine re-rank touches
+    float cosine."""
+    from . import frozen_codebooks as FC
+    spark = emb.sparkSession
+    base = emb.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("nvec"),
+                      _norm(F.col(vec_col)).alias("nnorm"),
+                      F.expr(_vint_expr(vec_col)).alias("_vint"))
+    coded = base.selectExpr(
+        "neighbor_id", "nnorm",
+        *_pq_code_exprs("_vint", FC.PQ_CODEBOOKS_I, FC.SUB_D))
+
+    qrows = (emb.filter(F.col(id_col).isin(query_ids))
+                .select(id_col, vec_col).collect())
+    lut = []
+    for r in qrows:
+        qi = _qint(r[vec_col])
+        for s in range(FC.PQ_M):
+            qs = qi[s * FC.SUB_D:(s + 1) * FC.SUB_D]
+            for ci, cen in enumerate(FC.PQ_CODEBOOKS_I[s]):
+                lut.append((r[id_col], s, ci,
+                            sum(a * b for a, b in zip(qs, cen))))
+    lut_df = spark.createDataFrame(
+        lut, "query_id long, s int, code int, partial long")
+
+    exploded = coded.select(
+        "neighbor_id", "nnorm",
+        F.posexplode(F.array(*[F.col(f"code_{s}")
+                               for s in range(FC.PQ_M)]))
+         .alias("s", "code"))
+    scored = (exploded.join(F.broadcast(lut_df), ["s", "code"])
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .groupBy("query_id", "neighbor_id")
+              .agg(F.sum("partial").alias("adc_dot"),
+                   F.first("nnorm").alias("nnorm"))
+              .withColumn("adc_score",
+                          F.col("adc_dot").cast("double") / F.col("nnorm")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"),
+                                               F.asc("neighbor_id"))
+    shortlist = (scored.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k * max(refine, 1))
+                 .select("query_id", "neighbor_id"))
+    return _exact_rerank(emb, shortlist, query_ids, k, id_col, vec_col)
+
+
+def ivfpq_topk_frozen(emb: DataFrame, query_ids: list[int], k: int = 3,
+                      n_probe: int = 3, refine: int = 16,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """``ivfpq_cosine_topk`` (coarse cells + residual PQ + ADC + exact
+    re-rank) over the FROZEN coarse centers and residual codebooks —
+    adc_dot = q·c(v) [exact int, driver-side per probed cell] + Σ_s
+    LUT[s][code_s] [exact int residual lookups]; only the probed
+    cells' codes are ever scored."""
+    from . import frozen_codebooks as FC
+    spark = emb.sparkSession
+    coarse_lit = _nested_array_lit(FC.COARSE_CENTERS_I)
+    base = (emb.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("nvec"),
+                       _norm(F.col(vec_col)).alias("nnorm"),
+                       F.expr(_vint_expr(vec_col)).alias("_vint"))
+            .withColumn("cell", F.expr(_argmin_cells_expr(
+                "_vint", FC.COARSE_CENTERS_I, 1))[0])
+            .withColumn("_rint", F.expr(
+                f"zip_with(_vint, element_at({coarse_lit}, cell + 1), "
+                f"(a, b) -> a - b)")))
+    coded = base.selectExpr(
+        "neighbor_id", "nnorm", "cell",
+        *_pq_code_exprs("_rint", FC.RESIDUAL_CODEBOOKS_I, FC.SUB_D))
+
+    qrows = (emb.filter(F.col(id_col).isin(query_ids))
+                .select(id_col, vec_col).collect())
+    probes, lut = [], []
+    for r in qrows:
+        qi = _qint(r[vec_col])
+        dists = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qi, cen)), cell)
+            for cell, cen in enumerate(FC.COARSE_CENTERS_I))
+        for _, cell in dists[:n_probe]:
+            cen = FC.COARSE_CENTERS_I[cell]
+            probes.append((r[id_col], cell,
+                           sum(a * b for a, b in zip(qi, cen))))
+        for s in range(FC.PQ_M):
+            qs = qi[s * FC.SUB_D:(s + 1) * FC.SUB_D]
+            for ci, cen in enumerate(FC.RESIDUAL_CODEBOOKS_I[s]):
+                lut.append((r[id_col], s, ci,
+                            sum(a * b for a, b in zip(qs, cen))))
+    probe_df = spark.createDataFrame(
+        probes, "query_id long, cell int, qc_dot long")
+    lut_df = spark.createDataFrame(
+        lut, "query_id long, s int, code int, partial long")
+
+    exploded = (coded.join(F.broadcast(probe_df), "cell")
+                .select("query_id", "neighbor_id", "nnorm", "qc_dot",
+                        F.posexplode(F.array(
+                            *[F.col(f"code_{s}")
+                              for s in range(FC.PQ_M)]))
+                        .alias("s", "code")))
+    scored = (exploded
+              .join(F.broadcast(lut_df), ["query_id", "s", "code"])
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .groupBy("query_id", "neighbor_id")
+              .agg((F.min("qc_dot") + F.sum("partial")).alias("adc_dot"),
+                   F.first("nnorm").alias("nnorm"))
+              .withColumn("adc_score",
+                          F.col("adc_dot").cast("double") / F.col("nnorm")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"),
+                                               F.asc("neighbor_id"))
+    shortlist = (scored.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k * max(refine, 1))
+                 .select("query_id", "neighbor_id"))
+    return _exact_rerank(emb, shortlist, query_ids, k, id_col, vec_col)
+
+
+def _exact_rerank(emb: DataFrame, shortlist: DataFrame,
+                  query_ids: list[int], k: int, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """Shared exact tail: only the shortlist touches full-precision
+    vectors (the two-stage serving shape of pq_cosine_topk)."""
+    qvec_df = (emb.filter(F.col(id_col).isin(query_ids))
+                  .select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("qvec")))
+    nvec_df = emb.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("nvec"))
+    rescored = (shortlist
+                .join(nvec_df, "neighbor_id")
+                .join(F.broadcast(qvec_df), "query_id")
+                .withColumn("cos", _cosine(F.col("qvec"), F.col("nvec"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (rescored.withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= k)
+                    .select("query_id", "rank", "neighbor_id",
+                            F.round("cos", 4).alias("cosine")))

@@ -23,7 +23,7 @@ from .workload_shared import (AVG_D, CATALOG, MES_CASE,  # noqa: F401
                               QuerySpec, SUM_D)
 from .workloads import (cube, curation, docs_segments,  # noqa: F401
                         docs_text, events, members_nav, multimodal_real,
-                        similarity, tpch, wave9, wave10, wave11)
+                        similarity, tpch, wave9, wave10, wave11, wave12)
 
 # ---- driver gate-window manifest -----------------------------------------
 # The external correctness gate grades the FIRST _GATE_WINDOW entries of
@@ -153,6 +153,7 @@ def build_workload() -> dict[str, QuerySpec]:
     cube.register_r10(add)
     wave10.register(add)          # round-10 wave 2 (prefix family)
     wave11.register(add)          # round-11 (ADVICE-fix path pins)
+    wave12.register(add)          # round-12 (frozen-codebook ANN twins)
 
     # Order per the gate-window manifest (see _GATE_FRONT above).
     missing = [n for n in _GATE_FRONT if n not in q]

@@ -4,8 +4,10 @@ spec maps now scan ``req.having``), NON EMPTY over an all-calculated
 query (the test moved after the calc step), and signed running-
 milestone streams (floor-division milestone indices on both engines)
 — plus the SemDeDup cluster-blocked semantic dedup pair/corpus
-entries (rows-only; KMeans cells are not SQL-expressible, gated by
-precision-1-by-construction + recall vs the exact GEMM pair table).
+entries (FULL ORACLE since r12: the frozen-coarse-center variant makes
+the cell blocking exact integer arithmetic DuckDB reproduces; the
+precision-1-by-construction + recall gates vs the exact GEMM pair
+table remain as belt-and-braces).
 """
 from __future__ import annotations
 
@@ -110,19 +112,23 @@ def register(add) -> None:
             df, "hb", ["ts", "event_id"], "sv",
             step=1_000_000, id_cols=["event_id"])
 
-    # SemDeDup (cluster-blocked semantic near-dup): rows-only (KMeans
-    # cells are not SQL-expressible) with the strongest differential
-    # gate available — precision vs the exact GEMM pair table must be
-    # 1 BY CONSTRUCTION (same exact cosine, same threshold; a
-    # violation means the blocking emitted a phantom pair), and recall
-    # is floored at 0.7 (planted near-dups are near-identical vectors,
-    # so KMeans almost never separates them).
+    # SemDeDup (cluster-blocked semantic near-dup) — FULL ORACLE since
+    # r12 (VERDICT r11 task 1's "full-oracle entries only" rule): the
+    # entries run the frozen-coarse-center variant (exact int64 cell
+    # argmin against the learned-then-frozen centers in
+    # operators/frozen_codebooks.py, trained once in Spark), so DuckDB
+    # recomputes cells, candidate pairs and the exact cosine screen
+    # bit-for-bit.  The trained-KMeans semantic_dedup_pairs stays the
+    # library's adaptive path; the differential gates vs the exact
+    # GEMM pair table remain — precision must be 1 BY CONSTRUCTION
+    # (same exact cosine, same threshold; a violation means the
+    # blocking emitted a phantom pair), recall floored at 0.7.
     def semantic_pairs(spark, sf):
         from ..operators import dedup as D
         from ..operators import similarity as S
         emb = load_table(spark, sf, "embeddings")
-        out = S.semantic_dedup_pairs(emb, threshold=0.45,
-                                     n_clusters=8)
+        out = S.semantic_dedup_pairs_frozen(emb, threshold=0.45,
+                                            n_assign=3)
         if emb.count() <= 100_000:
             exact = {(r["id_a"], r["id_b"])
                      for r in D.embedding_near_dups(
@@ -139,7 +145,19 @@ def register(add) -> None:
                     f"{len(got & exact)}/{len(exact)} below floor 0.7")
         return out
 
-    add("emb_semantic_dedup_pairs", semantic_pairs, None)
+    from .wave12 import COS_AB, coarse_values_sql, frozen_cells_sql
+
+    _SEM_PAIRS_SQL = f"""WITH cc(cell, cen) AS (VALUES {coarse_values_sql()}),
+        {frozen_cells_sql(3)},
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                 FROM cells x JOIN cells y
+                   ON x.cell = y.cell AND x.vec_id < y.vec_id)
+        SELECT c.id_a, c.id_b, ROUND({COS_AB}, 4) AS cosine
+        FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+                    JOIN embeddings b ON b.vec_id = c.id_b
+        WHERE {COS_AB} >= 0.45"""
+
+    add("emb_semantic_dedup_pairs", semantic_pairs, _SEM_PAIRS_SQL)
 
     # the deduplicated corpus itself: kept = all minus {id_b of pairs}
     # (greedy min-id representative); the in-entry check re-derives
@@ -147,11 +165,11 @@ def register(add) -> None:
     def semantic_corpus(spark, sf):
         from ..operators import similarity as S
         emb = load_table(spark, sf, "embeddings")
-        kept = S.semantic_dedup(emb, threshold=0.45,
-                                n_clusters=8).select("vec_id")
+        kept = S.semantic_dedup_frozen(emb, threshold=0.45,
+                                       n_assign=3).select("vec_id")
         if emb.count() <= 100_000:
-            dropped = {r["id_b"] for r in S.semantic_dedup_pairs(
-                emb, threshold=0.45, n_clusters=8).collect()}
+            dropped = {r["id_b"] for r in S.semantic_dedup_pairs_frozen(
+                emb, threshold=0.45, n_assign=3).collect()}
             want = {r["vec_id"] for r in emb.select("vec_id").collect()
                     } - dropped
             got = {r["vec_id"] for r in kept.collect()}
@@ -163,7 +181,20 @@ def register(add) -> None:
                     f"extra {sorted(got - want)[:5]})")
         return kept
 
-    add("emb_semantic_dedup_corpus", semantic_corpus, None)
+    _SEM_CORPUS_SQL = f"""WITH cc(cell, cen) AS (VALUES {coarse_values_sql()}),
+        {frozen_cells_sql(3)},
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                 FROM cells x JOIN cells y
+                   ON x.cell = y.cell AND x.vec_id < y.vec_id),
+        dropped AS (SELECT DISTINCT c.id_b
+                    FROM cand c
+                    JOIN embeddings a ON a.vec_id = c.id_a
+                    JOIN embeddings b ON b.vec_id = c.id_b
+                    WHERE {COS_AB} >= 0.45)
+        SELECT e.vec_id FROM embeddings e
+        WHERE e.vec_id NOT IN (SELECT id_b FROM dropped)"""
+
+    add("emb_semantic_dedup_corpus", semantic_corpus, _SEM_CORPUS_SQL)
 
     # Distributed connected components (large-star/small-star), full
     # oracle #1: minimal spanning CHAINS inside each source group (20

@@ -425,3 +425,52 @@ def test_hll_md5_accuracy_and_merge(spark):
     via_merge = {r["g"]: r["n_distinct_est"] for r in
                  hll_md5_estimate(merged, ["g"]).collect()}
     assert via_merge == est
+
+
+# ---- frozen-codebook full-oracle twins (round 12) ---------------------------
+# emb_pq_topk_exact / emb_ivfpq_topk_exact are value-exact against the
+# DuckDB oracle BY CONSTRUCTION (integer codebooks + integer ADC); what
+# can still silently degrade is their QUALITY — the frozen grid
+# transferring badly would collapse recall while the oracle happily
+# agrees.  These floors guard that.
+
+def test_pq_frozen_planted_recall(emb, planted_embedding_pairs):
+    """Frozen-codebook PQ at the entry settings (refine=32) must keep
+    >=0.85 planted recall@1 (measured 12/14 on this fixture — the
+    frozen 8x16 grid is coarser than the learned 16x64 one, hence the
+    wider shortlist)."""
+    qids = sorted({a for a, _ in planted_embedding_pairs})
+    found = _topk_sets(S.pq_topk_frozen(emb, qids, k=1,
+                                        refine=32).collect())
+    ok = sum(1 for a, b in planted_embedding_pairs
+             if b in found.get(a, set()))
+    n = len(planted_embedding_pairs)
+    assert ok / n >= 0.85, f"frozen PQ planted recall: {ok}/{n}"
+
+
+def test_ivfpq_frozen_planted_recall(emb, planted_embedding_pairs):
+    """Frozen coarse cells + residual codebooks at the entry settings
+    (n_probe=5 of 8, refine=32) must keep >=0.85 planted recall@1
+    (measured 14/14; at n_probe=3 the frozen cells separate planted
+    partners — 7/14 — which is why the entry probes wider)."""
+    qids = sorted({a for a, _ in planted_embedding_pairs})
+    found = _topk_sets(S.ivfpq_topk_frozen(emb, qids, k=1, n_probe=5,
+                                           refine=32).collect())
+    ok = sum(1 for a, b in planted_embedding_pairs
+             if b in found.get(a, set()))
+    n = len(planted_embedding_pairs)
+    assert ok / n >= 0.85, f"frozen IVFPQ planted recall: {ok}/{n}"
+
+
+def test_semantic_dedup_frozen_matches_trained_contract(emb):
+    """The frozen-cell SemDeDup entries (full-oracle since r12) keep
+    the trained variant's contract: precision 1 vs the exact GEMM pair
+    table (same cosine, same threshold — blocking can only LOSE pairs)
+    and recall >= 0.7 on this fixture (measured 14/14)."""
+    exact = {(r.id_a, r.id_b)
+             for r in D.embedding_near_dups(emb, threshold=0.45).collect()}
+    got = {(r.id_a, r.id_b)
+           for r in S.semantic_dedup_pairs_frozen(
+               emb, threshold=0.45, n_assign=3).collect()}
+    assert got <= exact, f"phantom pairs: {sorted(got - exact)[:5]}"
+    assert exact and len(got & exact) / len(exact) >= 0.7
