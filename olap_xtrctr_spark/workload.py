@@ -35,96 +35,86 @@ from .workloads import (cube, curation, docs_segments,  # noqa: F401
 # from earlier rounds; WORKLOAD.md documents which round graded what.
 _GATE_WINDOW = 50
 _GATE_FRONT = [
-    # ---- Round-11 rotation (VERDICT r10 task 1) --------------------
-    # (a) the 11 entries that have NEVER received a driver row — the
-    #     whole round-10 late wave, including the flagship two-phase
-    #     prefix family and the entries whose engine paths changed
-    #     again this round (docs_source_token_milestones de-vacuated
-    #     with step=100 per task 2; running_milestones now
-    #     floor-division; emb_ivf_index_topk rebuilt with the
-    #     corpus-signature meta; both cube entries ride the
-    #     setstat/having path touched by ADVICE fix 1):
-    "docs_source_token_milestones",
-    "events_revenue_milestones",
-    "events_stream_milestones",
-    "events_peak_concurrency",
-    "events_session_occupancy",
-    "events_value_exact_ranks",
-    "cube_median_region_sales",
-    "cube_rank_nations",
-    "cube_nonempty_prev_months",
-    "emb_ivf_index_topk",
-    "dmv_mdschema_functions",
-    # (b) ALL 35 entries whose latest driver row is round 5 — the
-    #     staleness tail (VERDICT r10 done-bar: oldest surviving row
-    #     >= r6).  events_rfm_segments' scoring was REWRITTEN this
-    #     round (two-phase prefix ranks replacing the global ntile
-    #     trap), so its fresh row re-grades a changed path:
-    "cube_member_literal_rows",
-    "cube_slicer_where_tuple",
-    "cube_mdx_named_properties",
-    "cube_supplier_nation",
-    "docs_cross_source_dup",
-    "docs_lexical_diversity",
-    "docs_distinctive_terms",
-    "docs_hybrid_search",
-    "emb_pq_topk",
-    "emb_ivfpq_topk",
-    "emb_lsh_near_dup_pairs",
-    "docs_containment_pairs",
-    "docs_winnow_fingerprints",
-    "docs_winnow_dup_pairs",
-    "docs_winnow_match_spans",
-    "docs_winnow_dup_extent",
-    "tpch_join_profile_orders_customer",
-    "docs_unicode_normalize",
-    "docs_snapshot_diff",
-    "events_ohlc_hourly",
-    "events_type_drift_daily",
-    "events_hourly_gapfilled",
-    "events_silence_report",
-    "events_key_skew_report",
-    "events_type_transitions",
-    "events_rfm_segments",
-    "events_type_cooccurrence_lift",
-    "events_user_state_history",
-    "events_stream_ohlc",
-    "events_hourly_anomalies",
-    "events_stream_anomalies",
-    "events_stream_unconverted_clicks",
-    "events_first_touch_attribution",
-    "events_linear_attribution",
-    "events_click_purchase_delay",
-    # (c) the 3 NEW round-11 full-oracle entries (graded the round
-    #     they land — they pin the ADVICE-fix paths: FILTER over a
-    #     set statistic, all-calculated NON EMPTY, signed floor-div
-    #     milestones) plus the oldest r6 entry, which re-grades the
-    #     calculated-measure path the fixes also touched:
-    "cube_filter_setstat_years",
-    "cube_nonempty_all_calc_months",
-    "events_value_drawdown_milestones",
-    "cube_calc_measure_avg_price",
+    # ---- Round-12 rotation (VERDICT r11 task 1: FULL-ORACLE entries
+    # ONLY — r11 burned 4 of 50 slots on rows-only no_oracle rows;
+    # build_workload() now asserts every front name carries SQL) -----
+    # (a) the 7 entries that have NEVER received a driver row — the
+    #     round-11 wave-2 additions.  The two SemDeDup entries were
+    #     rows-only until this round; they now run the frozen-coarse-
+    #     center variant with full DuckDB oracles (wave11/wave12):
+    "docs_source_chain_components",
+    "docs_neardup_components",
+    "docs_softdedup_weights",
+    "docs_bloom_decontaminate",
+    "docs_stream_bloom_fold",
+    "emb_semantic_dedup_pairs",
+    "emb_semantic_dedup_corpus",
+    # (b) the 2 NEW round-12 full-oracle entries (graded the round
+    #     they land): the frozen-codebook PQ/IVFPQ exact twins —
+    #     the last ANN family members without value-exact siblings:
+    "emb_pq_topk_exact",
+    "emb_ivfpq_topk_exact",
+    # (c) 41 of the 49-entry r6 staleness tail (all full-oracle).
+    #     docs_containment_pairs_prefix and docs_ngram_novelty also
+    #     re-grade CHANGED paths: the former gains the r12 regime
+    #     pre-probe (VERDICT task 3), both consumed the r11 zip-chain
+    #     shingle rework that was deferred from the r11 window:
+    "docs_containment_pairs_prefix",
+    "docs_ngram_novelty",
+    "docs_winnow_span_dedup",
+    "docs_dedup_impact_report",
+    "docs_quality_threshold_sweep",
+    "docs_shuffle_corpus",
+    "docs_token_budget_fill",
+    "docs_versioned_time_travel",
+    "docs_vocab_build",
+    "cube_3dim_crossjoin",
+    "cube_catalog_1998_nation",
+    "cube_filter_measure_condition",
+    "cube_filter_set",
+    "cube_rollup_subtotals",
+    "cube_topcount_nations",
+    "events_clustered_scan_pruning",
+    "events_stream_type_drift",
+    "events_stream_upsert_latest",
+    "members_apartados",
+    "members_children_exact",
+    "members_children_prefix",
+    "members_depth_filter",
+    "members_fulltext_search",
+    "members_nation_list",
+    "members_ordinal_sort",
+    "members_search",
+    "members_variables_of_apartados",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_shipping",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_orders",
 ]
-# Deliberately DEFERRED to the r12 window (the 50 slots are spent on
-# the never-graded 11 + the entire r5 staleness tail per VERDICT r10
-# task 1's done-bar): the round-11 wave-2 additions
-# docs_source_chain_components, docs_neardup_components,
-# docs_bloom_decontaminate, docs_stream_bloom_fold,
-# emb_semantic_dedup_pairs, emb_semantic_dedup_corpus,
-# docs_softdedup_weights — all seven are
-# locally green at sf0.001 AND sf0.01 (full-oracle or in-entry gates)
-# and queue first for the next rotation.
-#
-# Changed-path coverage for the round's gram-core rework
-# (shingle_docs/stride1_grams/winnow grams -> zip chain, byte-
-# identical output): the shingle path re-grades THIS round through
-# the in-window docs_minhash_lsh_pairs, docs_minhash_dedup_corpus,
-# docs_simhash_pairs, docs_containment_pairs, docs_cross_source_dup
-# and all four winnow entries; the remaining consumers
-# (docs_ngram_jaccard_pairs, docs_ngram_novelty,
-# docs_containment_pairs_prefix, the contamination family, the
-# span-dedup family) were re-verified locally at sf0.01 + the edge
-# fixture this round and queue for r12 behind the six above.
+# Deliberately DEFERRED to the r13 window (49 r6-stale + 7 never-
+# graded + 2 new = 58 candidates for 50 slots): the 8 remaining
+# r6-stale TPC-H entries — tpch_q2_min_cost_supplier,
+# tpch_q4_order_priority, tpch_q11_important_stock,
+# tpch_q13_customer_distribution, tpch_q16_parts_supplier,
+# tpch_q17_small_quantity, tpch_q20_excess_shippers,
+# tpch_q22_global_sales_opportunity — chosen because they are pure
+# Catalyst SQL translations whose engine paths have not changed since
+# their last green row (no custom-operator code in their lineage), so
+# they carry the lowest regression risk of the tail; they queue FIRST
+# for r13.  The r11 changed-path shingle consumers not already in this
+# window (docs_ngram_jaccard_pairs, the contamination family, the
+# span-dedup family) hold r7+ rows, were re-verified locally at sf0.01
+# this round (SCALE.md r12), and queue behind those eight.
 
 
 
@@ -165,6 +155,12 @@ def build_workload() -> dict[str, QuerySpec]:
         f"one silently drops its tail from grading")
     assert len(set(_GATE_FRONT)) == len(_GATE_FRONT), \
         "gate manifest contains duplicates"
+    rows_only = [n for n in _GATE_FRONT if q[n].sql is None]
+    assert not rows_only, (
+        f"gate manifest contains rows-only entries {rows_only}: the "
+        f"driver can only mark them no_oracle, burning certification "
+        f"slots (VERDICT r11 task 1) — their freshness signal is the "
+        f"local gate + tests/test_recall.py, never the driver window")
     assert len(q) > _GATE_WINDOW, \
         "workload shrank below the driver's grading window"
     front = set(_GATE_FRONT)

@@ -274,10 +274,16 @@ def register(add) -> None:
 
     # PPJoin prefix-filtered variant: bit-identical contract (same
     # oracle), different cost profile — see the operator docstring for
-    # the measured trade-off and when to pick which
+    # the measured trade-off.  regime='prefix' is FORCED here so the
+    # driver row keeps grading the prefix pair-machinery itself (the
+    # gate fixture's df histogram is near-flat, so 'auto' would route
+    # to the core and this entry would just re-grade
+    # docs_containment_pairs); library callers get the r12 auto-probe
+    # that refuses the measured 45 GB-spill regime.
     add("docs_containment_pairs_prefix",
         lambda spark, sf: D.ngram_containment_pairs_prefix(
-            _docs(spark, sf), n=3, threshold=0.5, max_doc_freq=1000),
+            _docs(spark, sf), n=3, threshold=0.5, max_doc_freq=1000,
+            regime="prefix"),
         _CONTAINMENT_SQL)
 
     # winnowing (Schleimer et al. 2003): substring-level fingerprints —

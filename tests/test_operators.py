@@ -85,6 +85,47 @@ def test_ngram_containment_prefix_variant_identical(spark):
     assert any(r for r in core)   # the corpus actually produces pairs
 
 
+def test_ngram_containment_prefix_regime_autoroute(spark):
+    """VERDICT r11 task 3: the prefix variant's wrong regime used to
+    spill ~45 GB at ~sf1 with no guard.  In regime='auto' a
+    replica-shaped df histogram (every shingle df == replica count —
+    prefixes prune nothing) must AUTO-ROUTE to the inverted-index
+    core, a boilerplate-shaped one (quadratic posting mass dominated
+    by hot shared-tail shingles) must stay on the prefix plan, and
+    both routes must emit identical rows."""
+    # replica-heavy: 20 distinct 12-token docs x 10 exact replicas
+    rep_texts = [f"w{g}a w{g}b w{g}c w{g}d w{g}e w{g}f w{g}g w{g}h "
+                 f"w{g}i w{g}j w{g}k w{g}l"
+                 for g in range(20) for _ in range(10)]
+    rep = _docs(spark, rep_texts)
+    out_auto = sorted(map(tuple, D.ngram_containment_pairs_prefix(
+        rep, n=3, threshold=0.5).collect()))
+    assert D.ngram_containment_pairs_prefix.last_route == "core"
+    out_forced = sorted(map(tuple, D.ngram_containment_pairs_prefix(
+        rep, n=3, threshold=0.5, regime="prefix").collect()))
+    assert D.ngram_containment_pairs_prefix.last_route == "prefix"
+    assert out_auto == out_forced and out_auto   # identical, non-empty
+
+    # boilerplate-shaped: 150 docs, unique 6-token head + shared
+    # 14-token tail -> tail shingles have df=150 >= tau=100 and own
+    # the quadratic mass
+    tail = ("copyright terms apply see license file for details "
+            "all rights reserved by the vendor")
+    boil = _docs(spark, [f"h{i}a h{i}b h{i}c h{i}d h{i}e h{i}f {tail}"
+                         for i in range(150)])
+    D.ngram_containment_pairs_prefix(boil, n=3, threshold=0.9,
+                                     max_doc_freq=1000).collect()
+    assert D.ngram_containment_pairs_prefix.last_route == "prefix"
+
+    # explicit overrides and validation
+    D.ngram_containment_pairs_prefix(rep, n=3, threshold=0.5,
+                                     regime="core").collect()
+    assert D.ngram_containment_pairs_prefix.last_route == "core"
+    import pytest
+    with pytest.raises(ValueError, match="regime"):
+        D.ngram_containment_pairs_prefix(rep, regime="bogus")
+
+
 def test_simhash_identical_zero_distance(spark):
     df = _docs(spark, ["k l m n o p q r s t u v",
                        "k l m n o p q r s t u v"])
