@@ -133,6 +133,35 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8000)
 
+    s = sub.add_parser(
+        "dedup",
+        help="near-duplicate analysis over a registered table: "
+             "--soft emits 1/|group| training weights (keep "
+             "information, lose redundancy), --groups the transitive "
+             "component labels, --keep the canonical min-id survivors")
+    g = s.add_mutually_exclusive_group()
+    g.add_argument("--soft", dest="mode", action="store_const",
+                   const="soft", help="per-doc weight_ppm = 1e6 div "
+                                      "|transitive near-dup group|")
+    g.add_argument("--groups", dest="mode", action="store_const",
+                   const="groups", help="(doc_id, component) labels "
+                                        "for paired docs")
+    g.add_argument("--keep", dest="mode", action="store_const",
+                   const="keep", help="canonical survivors (drop "
+                                      "non-min ids of each group)")
+    s.set_defaults(mode="soft")
+    s.add_argument("--table", default="documents")
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--max-dist", type=int, default=20,
+                   help="Levenshtein threshold over the prefix")
+    s.add_argument("--prefix-chars", type=int, default=80)
+    s.add_argument("--block-width", type=int, default=100,
+                   help="length-bucket width for the blocking join")
+    s.add_argument("--limit", type=int, default=20,
+                   help="preview row cap (0 = count only)")
+    s.add_argument("--export", default=None,
+                   help="write full result to this path (.csv or .json)")
+
     s = sub.add_parser("workload",
                        help="run a named workload query (dedup/sampling/"
                             "similarity/streaming/TPC-H/cube — see --list)")
@@ -203,6 +232,33 @@ def run(args, service=None) -> dict:
         from .http_api import serve
         serve(service, host=args.host, port=args.port)   # blocks
         return {"status": "stopped"}
+    if args.cmd == "dedup":
+        from .session import TABLES, load_table
+        from .operators.dedup import dedup_frame
+        if args.table not in TABLES:
+            raise SystemExit(f"unknown table {args.table!r} "
+                             f"(one of {sorted(TABLES)})")
+        docs = load_table(service.spark, service.sf_dir, args.table)
+        df = dedup_frame(docs, args.mode, id_col=args.id_col,
+                         max_dist=args.max_dist,
+                         prefix_chars=args.prefix_chars,
+                         block_width=args.block_width)
+        out = {"mode": args.mode, "table": args.table,
+               "columns": df.columns}
+        if args.export:
+            from .sinks import write_csv, write_json
+            if args.export.endswith(".json"):
+                write_json(df, args.export)
+            else:
+                write_csv(df, args.export, single_file=True)
+            out["exported_to"] = args.export
+        if args.limit > 0:
+            rows = df.limit(args.limit + 1).collect()
+            out["preview"] = [r.asDict() for r in rows[:args.limit]]
+            out["truncated"] = len(rows) > args.limit
+        else:
+            out["n_rows"] = df.count()
+        return out
     if args.cmd == "workload":
         from .workload import WORKLOAD
         if args.list or not args.name:

@@ -375,6 +375,42 @@ def _ivf_query(service, m, qs, body):
                  "columns": df.columns, "rows": rows}
 
 
+@ROUTES.add("POST", r"/api/dedup")
+def _dedup(service, m, qs, body):
+    """Near-duplicate analysis over a registered table (VERDICT r11
+    task 5 — the soft-dedup/CC pipeline behind docs_softdedup_weights,
+    driven through the service façade like ivf-build/ivf-query).
+    Body: {"mode": "soft"|"groups"|"keep", "table": ..., "max_dist":
+    ..., "prefix_chars": ..., "block_width": ..., "limit": ...}."""
+    from .operators.dedup import dedup_frame
+    from .session import TABLES, load_table
+    mode = body.get("mode", "soft")
+    if mode not in ("soft", "groups", "keep"):
+        return 400, {"detail": f"mode must be soft|groups|keep, "
+                               f"got {mode!r}"}
+    table = body.get("table", "documents")
+    if table not in TABLES:
+        return 400, {"detail": f"unknown table {table!r} "
+                               f"(one of {sorted(TABLES)})"}
+    try:
+        max_dist = int(body.get("max_dist", 20))
+        prefix_chars = int(body.get("prefix_chars", 80))
+        block_width = int(body.get("block_width", 100))
+        limit = int(body.get("limit", 100))
+    except (TypeError, ValueError):
+        return 400, {"detail": "max_dist/prefix_chars/block_width/"
+                               "limit must be integers"}
+    if not (0 < limit <= 10_000):
+        return 400, {"detail": "limit must be in 1..10000"}
+    docs = load_table(service.spark, service.sf_dir, table)
+    df = dedup_frame(docs, mode, id_col=body.get("id_col", "doc_id"),
+                     max_dist=max_dist, prefix_chars=prefix_chars,
+                     block_width=block_width)
+    rows = [r.asDict() for r in df.limit(limit + 1).collect()]
+    return 200, {"mode": mode, "table": table, "columns": df.columns,
+                 "rows": rows[:limit], "truncated": len(rows) > limit}
+
+
 @ROUTES.add("POST", r"/api/jobs")
 def _job_submit(service, m, qs, body):
     """Mirrors workers/api/src/routes/jobs.ts:45-82: create PENDING,

@@ -1628,3 +1628,80 @@ def keep_best(docs: DataFrame, score_col: str, text_col: str = "text",
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select(id_col, "text_hash", F.col(score_col)))
+
+
+def soft_dedup_weights(docs: DataFrame, id_col: str = "doc_id",
+                       max_dist: int = 20, prefix_chars: int = 80,
+                       block_width: int = 100,
+                       text_col: str = "text",
+                       block_cols: tuple[str, ...] = ("lang",)
+                       ) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates,
+    down-weight them — every document's training weight is
+    1 / |its transitive near-dup group| in exact integer ppm, the
+    keep-information-lose-redundancy alternative to hard dedup.
+    Near-dup edges come from blocked Levenshtein
+    (``edit_distance_pairs``); transitive groups from the distributed
+    large-star/small-star CC (``graph.connected_components``);
+    singletons weigh 1.0 (1,000,000 ppm).
+
+    Output: (id_col, group_size int, weight_ppm long).  This is the
+    operator behind the ``docs_softdedup_weights`` oracle entry and
+    the ``dedup`` CLI/HTTP action (VERDICT r11 task 5)."""
+    from . import graph as G
+    pairs = edit_distance_pairs(docs, max_dist=max_dist,
+                                prefix_chars=prefix_chars,
+                                block_width=block_width,
+                                text_col=text_col, id_col=id_col,
+                                block_cols=block_cols)
+    comp = G.connected_components(pairs, src="id_a", dst="id_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("_gsz"))
+    labeled = (docs.select(id_col)
+               .join(comp, docs[id_col] == comp["node"], "left")
+               .join(sizes, "component", "left")
+               .select(id_col,
+                       F.coalesce("_gsz", F.lit(1)).alias("_gsz")))
+    return labeled.select(
+        id_col,
+        F.col("_gsz").cast("int").alias("group_size"),
+        F.expr("1000000 div _gsz").cast("long").alias("weight_ppm"))
+
+
+def soft_dedup_components(docs: DataFrame, id_col: str = "doc_id",
+                          max_dist: int = 20, prefix_chars: int = 80,
+                          block_width: int = 100,
+                          text_col: str = "text",
+                          block_cols: tuple[str, ...] = ("lang",)
+                          ) -> DataFrame:
+    """Transitive near-dup group labels over the same blocked-
+    Levenshtein edge set as ``soft_dedup_weights``; only documents that
+    appear in at least one pair are labeled (the connected_components
+    contract — callers join back for singletons)."""
+    from . import graph as G
+    pairs = edit_distance_pairs(docs, max_dist=max_dist,
+                                prefix_chars=prefix_chars,
+                                block_width=block_width,
+                                text_col=text_col, id_col=id_col,
+                                block_cols=block_cols)
+    return (G.connected_components(pairs, src="id_a", dst="id_b")
+            .select(F.col("node").alias(id_col), "component"))
+
+
+def dedup_frame(docs: DataFrame, mode: str, id_col: str = "doc_id",
+                **kw) -> DataFrame:
+    """Mode dispatch for the ``dedup`` CLI/HTTP action: ``soft`` →
+    1/|group| training weights, ``groups`` → transitive component
+    labels, ``keep`` → canonical survivors (each group's min id —
+    the component label IS the min member, so survivors are exactly
+    the rows whose label equals their own id, plus all singletons)."""
+    if mode == "soft":
+        return soft_dedup_weights(docs, id_col=id_col, **kw)
+    if mode == "groups":
+        return soft_dedup_components(docs, id_col=id_col, **kw)
+    if mode == "keep":
+        comp = soft_dedup_components(docs, id_col=id_col, **kw)
+        drop = (comp.filter(F.col(id_col) != F.col("component"))
+                .select(id_col))
+        return docs.join(drop, id_col, "left_anti")
+    raise ValueError(f"mode must be soft|groups|keep, got {mode!r}")

@@ -220,12 +220,9 @@ def register(add) -> None:
     # singletons), matching connected_components' contract.
     def neardup_components(spark, sf):
         from ..operators import dedup as D
-        from ..operators import graph as G
         from ..workload_shared import _docs
-        pairs = D.edit_distance_pairs(_docs(spark, sf), max_dist=20,
-                                      prefix_chars=80, block_width=100)
-        comp = G.connected_components(pairs, src="id_a", dst="id_b")
-        return comp.select(F.col("node").alias("doc_id"), "component")
+        return D.soft_dedup_components(_docs(spark, sf), max_dist=20,
+                                       prefix_chars=80, block_width=100)
 
     add("docs_neardup_components", neardup_components,
         """WITH RECURSIVE b AS (
@@ -258,23 +255,9 @@ def register(add) -> None:
     # singletons weigh 1.0 (1,000,000 ppm).
     def softdedup_weights(spark, sf):
         from ..operators import dedup as D
-        from ..operators import graph as G
         from ..workload_shared import _docs
-        docs = _docs(spark, sf)
-        pairs = D.edit_distance_pairs(docs, max_dist=20,
-                                      prefix_chars=80, block_width=100)
-        comp = G.connected_components(pairs, src="id_a", dst="id_b")
-        sizes = comp.groupBy("component").agg(
-            F.count(F.lit(1)).alias("_gsz"))
-        labeled = (docs.select("doc_id")
-                   .join(comp, docs["doc_id"] == comp["node"], "left")
-                   .join(sizes, "component", "left")
-                   .select("doc_id",
-                           F.coalesce("_gsz", F.lit(1)).alias("_gsz")))
-        return labeled.select(
-            "doc_id",
-            F.col("_gsz").cast("int").alias("group_size"),
-            F.expr("1000000 div _gsz").cast("long").alias("weight_ppm"))
+        return D.soft_dedup_weights(_docs(spark, sf), max_dist=20,
+                                    prefix_chars=80, block_width=100)
 
     add("docs_softdedup_weights", softdedup_weights,
         """WITH RECURSIVE b AS (

@@ -394,3 +394,46 @@ def test_cli_ivf_build_and_query(svc, sf_dir, tmp_path):
     # --queries is required
     with pytest.raises(SystemExit, match="queries"):
         _run(svc, "maintain", "--op", "ivf-query", "--src", idx)
+
+
+def test_cli_dedup_soft_groups_keep(svc, tmp_path):
+    """VERDICT r11 task 5: the soft-dedup pipeline (blocked Levenshtein
+    -> distributed CC -> 1/|group| weights) driven end-to-end through
+    the CLI facade, all three modes."""
+    out = _run(svc, "dedup", "--soft", "--limit", "0")
+    assert out["mode"] == "soft"
+    assert out["columns"] == ["doc_id", "group_size", "weight_ppm"]
+    n_docs = out["n_rows"]
+    assert n_docs > 0
+
+    # exported full result carries the exact invariants
+    dst = str(tmp_path / "weights.json")
+    out = _run(svc, "dedup", "--soft", "--export", dst, "--limit", "5")
+    assert out["exported_to"] == dst and len(out["preview"]) == 5
+    import json as _json
+    with open(dst) as f:
+        env = _json.load(f)              # the JSONB result envelope
+    cols = env["columns"]
+    rows = [dict(zip(cols, r)) for r in env["data"]]
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(by_id) == n_docs          # every doc exactly once
+    for r in rows:
+        assert int(r["weight_ppm"]) == 1_000_000 // int(r["group_size"])
+    rows = [{k: int(v) for k, v in r.items()} for r in rows]
+
+    grp = _run(svc, "dedup", "--groups", "--limit", "0")
+    assert grp["columns"] == ["doc_id", "component"]
+    n_grouped = grp["n_rows"]
+    keep = _run(svc, "dedup", "--keep", "--limit", "0")
+    # the weights table is PER DOC (a size-g group contributes g rows
+    # with group_size=g), so #groups = Σ 1/g over its multi rows and
+    # survivors = all docs minus (grouped rows − one canonical each)
+    multi = [r for r in rows if r["group_size"] > 1]
+    n_groups = sum(1 / r["group_size"] for r in multi)
+    assert n_groups == int(n_groups)
+    assert keep["n_rows"] == n_docs - (len(multi) - int(n_groups))
+    assert n_grouped == len(multi)
+
+    import pytest
+    with pytest.raises(SystemExit, match="unknown table"):
+        _run(svc, "dedup", "--soft", "--table", "nope")

@@ -385,3 +385,39 @@ def test_dispatch_releases_tracked_caches(base_url):
     assert status == 200
     assert fake.unpersisted == 1
     assert fake not in SS._TRACKED_PERSISTS
+
+
+def test_dedup_route_soft_weights_end_to_end(base_url):
+    """VERDICT r11 task 5: the soft-dedup weights pipeline driven over
+    the HTTP facade, matching the workload operator exactly."""
+    status, out = _post(base_url + "/api/dedup",
+                        {"mode": "soft", "limit": 10000})
+    assert status == 200
+    assert out["columns"] == ["doc_id", "group_size", "weight_ppm"]
+    assert out["rows"] and not out["truncated"]
+    for r in out["rows"]:
+        assert r["weight_ppm"] == 1_000_000 // r["group_size"]
+    n_docs = len({r["doc_id"] for r in out["rows"]})
+    assert n_docs == len(out["rows"])       # one row per doc
+
+    # groups/keep modes compose: survivors = docs - (grouped - groups)
+    _, grp = _post(base_url + "/api/dedup",
+                   {"mode": "groups", "limit": 10000})
+    _, keep = _post(base_url + "/api/dedup",
+                    {"mode": "keep", "limit": 10000})
+    comps = {}
+    for r in grp["rows"]:
+        comps.setdefault(r["component"], []).append(r["doc_id"])
+    dropped = sum(len(v) - 1 for v in comps.values())
+    assert len(keep["rows"]) == n_docs - dropped
+    # canonical representative (the min id) always survives
+    kept_ids = {r["doc_id"] for r in keep["rows"]}
+    for comp, members in comps.items():
+        assert min(members) in kept_ids
+
+    # client errors are 400s, never 500s
+    for bad in ({"mode": "bogus"}, {"table": "nope"},
+                {"limit": 0}, {"max_dist": "x"}):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base_url + "/api/dedup", bad)
+        assert e.value.code == 400
