@@ -1355,3 +1355,67 @@ def _exact_rerank(emb: DataFrame, shortlist: DataFrame,
                     .filter(F.col("rank") <= k)
                     .select("query_id", "rank", "neighbor_id",
                             F.round("cos", 4).alias("cosine")))
+
+
+def ivf_topk_frozen(emb: DataFrame, query_ids: list[int], k: int = 3,
+                    n_probe: int = 3, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """``ivf_cosine_topk`` over the FROZEN coarse centers — full-oracle:
+    corpus cell assignment and the query probe list are exact int64
+    argmins against the frozen constants, candidate scoring is the
+    convention-exact float cosine over the probed cells only.  The
+    coarse-pruning serving shape with zero training at query time."""
+    from . import frozen_codebooks as FC
+    spark = emb.sparkSession
+    corpus = (emb.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("nvec"),
+                         F.expr(_vint_expr(vec_col)).alias("_vint"))
+              .withColumn("cell", F.expr(_argmin_cells_expr(
+                  "_vint", FC.COARSE_CENTERS_I, 1))[0])
+              .drop("_vint"))
+    qrows = (emb.filter(F.col(id_col).isin(query_ids))
+                .select(id_col, vec_col).collect())
+    probes = []
+    for r in qrows:
+        qi = _qint(r[vec_col])
+        dists = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qi, cen)), cell)
+            for cell, cen in enumerate(FC.COARSE_CENTERS_I))
+        probes.extend((r[id_col], cell) for _, cell in dists[:n_probe])
+    probe_df = spark.createDataFrame(probes, "query_id long, cell int")
+    queries = (emb.filter(F.col(id_col).isin(query_ids))
+                  .select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("qvec")))
+    cand = (corpus.join(F.broadcast(probe_df), "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .join(F.broadcast(queries), "query_id")
+            .withColumn("cos", _cosine(F.col("qvec"), F.col("nvec"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", "neighbor_id",
+                        F.round("cos", 4).alias("cosine")))
+
+
+def cluster_balanced_sample_frozen(emb: DataFrame, k_per_cluster: int,
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding",
+                                   salt: str = "cbal-v1") -> DataFrame:
+    """``cluster_balanced_sample`` over the FROZEN coarse cells —
+    full-oracle: the cell is the exact int64 argmin, the per-cell
+    permutation the md5 hash-rank discipline every sampling oracle
+    already matches.  Diversity-preserving subsampling with zero
+    training at sample time."""
+    from . import frozen_codebooks as FC
+    assigned = (emb.select(F.col(id_col),
+                           F.expr(_vint_expr(vec_col)).alias("_vint"))
+                .withColumn("cluster", F.expr(_argmin_cells_expr(
+                    "_vint", FC.COARSE_CENTERS_I, 1))[0])
+                .drop("_vint"))
+    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                          F.lit(salt)))
+    w = Window.partitionBy("cluster").orderBy(h.asc(), F.col(id_col))
+    return (assigned.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_per_cluster)
+            .select(id_col, "cluster", "rank"))

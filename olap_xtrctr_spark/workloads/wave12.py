@@ -242,3 +242,60 @@ def register(add) -> None:
                                    n_probe=_NPROBE, refine=_REFINE)
 
     add("emb_ivfpq_topk_exact", ivfpq_exact, _ivfpq_exact_oracle())
+
+    # IVF coarse-pruning with frozen centers: full-oracle twin of
+    # emb_ivf_topk (cells + probes exact-int, scoring exact cosine
+    # over probed cells only).
+    def ivf_exact(spark, sf):
+        emb = load_table(spark, sf, "embeddings")
+        return S.ivf_topk_frozen(emb, [0, 1, 2, 3, 4], k=_K,
+                                 n_probe=_NPROBE)
+
+    _IVF_EXACT_SQL = f"""WITH cc(cell, cen) AS (VALUES {coarse_values_sql()}),
+        {frozen_cells_sql(1)},
+        q AS (SELECT vec_id AS query_id, embedding AS qvec,
+                     {VINT_SQL} AS qint
+              FROM embeddings WHERE vec_id IN {_QIDS}),
+        qd AS (SELECT q.query_id, cc.cell,
+                 list_sum(list_transform(list_zip(q.qint, cc.cen),
+                   p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2
+               FROM q, cc),
+        probes AS (SELECT query_id, cell FROM (
+            SELECT query_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY d2, cell) AS rn
+            FROM qd) WHERE rn <= {_NPROBE}),
+        cand AS (SELECT p.query_id, c.vec_id AS neighbor_id
+                 FROM cells c JOIN probes p ON p.cell = c.cell
+                 WHERE c.vec_id <> p.query_id),
+        sc AS (SELECT cd.query_id, cd.neighbor_id, {COS_QE} AS cos
+               FROM cand cd
+               JOIN embeddings e ON e.vec_id = cd.neighbor_id
+               JOIN q ON q.query_id = cd.query_id)
+        SELECT query_id, rank, neighbor_id, ROUND(cos, 4) AS cosine FROM (
+          SELECT query_id, neighbor_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+          FROM sc) WHERE rank <= {_K}"""
+
+    add("emb_ivf_topk_exact", ivf_exact, _IVF_EXACT_SQL)
+
+    # Cluster-balanced sampling with frozen cells: full-oracle twin of
+    # emb_cluster_balanced_sample (frozen argmin cell + the md5
+    # hash-rank permutation every sampling oracle already matches).
+    def cbal_exact(spark, sf):
+        emb = load_table(spark, sf, "embeddings")
+        return S.cluster_balanced_sample_frozen(emb, k_per_cluster=5)
+
+    _CBAL_SQL = f"""WITH cc(cell, cen) AS (VALUES {coarse_values_sql()}),
+        {frozen_cells_sql(1)},
+        r AS (SELECT vec_id, cell AS cluster,
+                 ROW_NUMBER() OVER (PARTITION BY cell ORDER BY
+                   md5(concat(CAST(vec_id AS VARCHAR), ':cbal-v1')),
+                   vec_id) AS rank
+              FROM cells)
+        SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+               CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= 5"""
+
+    add("emb_cluster_balanced_exact", cbal_exact, _CBAL_SQL)

@@ -474,3 +474,17 @@ def test_semantic_dedup_frozen_matches_trained_contract(emb):
                emb, threshold=0.45, n_assign=3).collect()}
     assert got <= exact, f"phantom pairs: {sorted(got - exact)[:5]}"
     assert exact and len(got & exact) / len(exact) >= 0.7
+
+
+def test_ivf_frozen_planted_recall(emb, planted_embedding_pairs):
+    """Frozen-cell IVF (exact cosine within n_probe=5 probed cells)
+    must keep >=0.85 planted recall@1 — the only loss channel is the
+    coarse stage separating a planted pair across unprobed cells
+    (measured 14/14 on this fixture)."""
+    qids = sorted({a for a, _ in planted_embedding_pairs})
+    found = _topk_sets(S.ivf_topk_frozen(emb, qids, k=1,
+                                         n_probe=5).collect())
+    ok = sum(1 for a, b in planted_embedding_pairs
+             if b in found.get(a, set()))
+    n = len(planted_embedding_pairs)
+    assert ok / n >= 0.85, f"frozen IVF planted recall: {ok}/{n}"
