@@ -145,19 +145,9 @@ def register(add) -> None:
                     f"{len(got & exact)}/{len(exact)} below floor 0.7")
         return out
 
-    from .wave12 import COS_AB, coarse_values_sql, frozen_cells_sql
+    from .wave12 import SEM_CORPUS_ORACLE, SEM_PAIRS_ORACLE
 
-    _SEM_PAIRS_SQL = f"""WITH cc(cell, cen) AS (VALUES {coarse_values_sql()}),
-        {frozen_cells_sql(3)},
-        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-                 FROM cells x JOIN cells y
-                   ON x.cell = y.cell AND x.vec_id < y.vec_id)
-        SELECT c.id_a, c.id_b, ROUND({COS_AB}, 4) AS cosine
-        FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
-                    JOIN embeddings b ON b.vec_id = c.id_b
-        WHERE {COS_AB} >= 0.45"""
-
-    add("emb_semantic_dedup_pairs", semantic_pairs, _SEM_PAIRS_SQL)
+    add("emb_semantic_dedup_pairs", semantic_pairs, SEM_PAIRS_ORACLE)
 
     # the deduplicated corpus itself: kept = all minus {id_b of pairs}
     # (greedy min-id representative); the in-entry check re-derives
@@ -181,20 +171,7 @@ def register(add) -> None:
                     f"extra {sorted(got - want)[:5]})")
         return kept
 
-    _SEM_CORPUS_SQL = f"""WITH cc(cell, cen) AS (VALUES {coarse_values_sql()}),
-        {frozen_cells_sql(3)},
-        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-                 FROM cells x JOIN cells y
-                   ON x.cell = y.cell AND x.vec_id < y.vec_id),
-        dropped AS (SELECT DISTINCT c.id_b
-                    FROM cand c
-                    JOIN embeddings a ON a.vec_id = c.id_a
-                    JOIN embeddings b ON b.vec_id = c.id_b
-                    WHERE {COS_AB} >= 0.45)
-        SELECT e.vec_id FROM embeddings e
-        WHERE e.vec_id NOT IN (SELECT id_b FROM dropped)"""
-
-    add("emb_semantic_dedup_corpus", semantic_corpus, _SEM_CORPUS_SQL)
+    add("emb_semantic_dedup_corpus", semantic_corpus, SEM_CORPUS_ORACLE)
 
     # Distributed connected components (large-star/small-star), full
     # oracle #1: minimal spanning CHAINS inside each source group (20

@@ -75,6 +75,32 @@ def frozen_cells_sql(n_assign: int) -> str:
             FROM cdist) WHERE rn <= {n_assign})"""
 
 
+# SemDeDup oracles over the frozen cells — shared by wave11's upgraded
+# emb_semantic_dedup_pairs/_corpus entries and the r12 streaming fold
+# (which provably equals the batch corpus on id-ordered batches).
+SEM_PAIRS_ORACLE = f"""WITH cc(cell, cen) AS (VALUES {coarse_values_sql()}),
+        {frozen_cells_sql(3)},
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                 FROM cells x JOIN cells y
+                   ON x.cell = y.cell AND x.vec_id < y.vec_id)
+        SELECT c.id_a, c.id_b, ROUND({COS_AB}, 4) AS cosine
+        FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+                    JOIN embeddings b ON b.vec_id = c.id_b
+        WHERE {COS_AB} >= 0.45"""
+
+SEM_CORPUS_ORACLE = f"""WITH cc(cell, cen) AS (VALUES {coarse_values_sql()}),
+        {frozen_cells_sql(3)},
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                 FROM cells x JOIN cells y
+                   ON x.cell = y.cell AND x.vec_id < y.vec_id),
+        dropped AS (SELECT DISTINCT c.id_b
+                    FROM cand c
+                    JOIN embeddings a ON a.vec_id = c.id_a
+                    JOIN embeddings b ON b.vec_id = c.id_b
+                    WHERE {COS_AB} >= 0.45)
+        SELECT e.vec_id FROM embeddings e
+        WHERE e.vec_id NOT IN (SELECT id_b FROM dropped)"""
+
 _QIDS = "(0, 1, 2, 3, 4)"
 # refine=32 / n_probe=5: the frozen grid (8×16 codebooks trained once)
 # is coarser than the learned per-corpus quantizers, so the shortlist
@@ -299,3 +325,133 @@ def register(add) -> None:
         FROM r WHERE rank <= 5"""
 
     add("emb_cluster_balanced_exact", cbal_exact, _CBAL_SQL)
+
+    # STREAMING semantic dedup at ingestion time: the corpus arrives as
+    # an availableNow file stream in vec_id-ordered micro-batches; each
+    # batch assigns its vectors to their frozen cells, screens them
+    # against the durable same-cell store of EVERYTHING processed so
+    # far (dropped vectors still block larger ids — the greedy min-id
+    # rule is "any smaller-id near-dup", not "any surviving one") plus
+    # its own smaller-id batch-mates, and appends itself to the store.
+    # With id-ordered batches the kept set provably equals the batch
+    # semantic_dedup_frozen corpus, so the entry SHARES that oracle.
+    # Commit markers make replays no-ops; restart recovery re-reads the
+    # last committed store version.  State is the cell-exploded corpus
+    # itself (an index, partitioned by the join key — never driver
+    # state), and each batch touches only its own cells' rows.
+    def stream_semantic_dedup(spark, sf):
+        import hashlib
+        import os
+        import shutil
+
+        from ..operators import similarity as S
+        from ..operators.frozen_codebooks import COARSE_CENTERS_I
+        emb = load_table(spark, sf, "embeddings")
+        sig_parts = []
+        for p in sorted(emb.inputFiles()):
+            local = p[len("file:"):] if p.startswith("file:") else p
+            try:
+                st = os.stat(local)
+                sig_parts.append(f"{p}|{st.st_size}|{st.st_mtime_ns}")
+            except OSError:
+                sig_parts.append(p)
+        sig = hashlib.sha256("\n".join(sig_parts).encode()).hexdigest()
+        sf_key = (os.path.basename(os.path.normpath(sf)) + "-"
+                  + hashlib.sha256(os.path.abspath(sf).encode())
+                  .hexdigest()[:12])
+        root = os.path.join("/tmp", "olap_xtrctr_semdedup_stream",
+                            sf_key)
+        marker = os.path.join(root, "_DEMO_SRC")
+        if not (os.path.exists(marker)
+                and open(marker).read().strip() == sig):
+            shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(os.path.join(root, "src"), exist_ok=True)
+            b1, b2 = emb.agg(
+                F.expr("percentile(vec_id, 0.3333)"),
+                F.expr("percentile(vec_id, 0.6667)")).first()
+            conds = [F.col("vec_id") <= b1,
+                     (F.col("vec_id") > b1) & (F.col("vec_id") <= b2),
+                     F.col("vec_id") > b2]
+            for i, cond in enumerate(conds):
+                tmp = os.path.join(root, f"_tmp{i}")
+                emb.filter(cond).coalesce(1).write.mode(
+                    "overwrite").parquet(tmp)
+                part = next(f for f in os.listdir(tmp)
+                            if f.startswith("part-")
+                            and f.endswith(".parquet"))
+                dst = os.path.join(root, "src", f"batch{i}.parquet")
+                shutil.move(os.path.join(tmp, part), dst)
+                shutil.rmtree(tmp)
+                os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+            with open(marker, "w") as fh:
+                fh.write(sig)
+        out = os.path.join(root, "out")
+        os.makedirs(out, exist_ok=True)
+        cells_of = S._argmin_cells_expr("_vint", COARSE_CENTERS_I, 3)
+        state: dict = {"store": None, "last_v": -1}
+
+        def assigned(df):
+            return (df.select("vec_id", "embedding")
+                    .withColumn("_vint",
+                                F.expr(S._vint_expr("embedding")))
+                    .withColumn("cell", F.explode(F.expr(cells_of)))
+                    .drop("_vint"))
+
+        def fold(batch, batch_id: int) -> None:
+            bspark = batch.sparkSession
+            store = os.path.join(out, f"store_b{batch_id}")
+            drops = os.path.join(out, f"dropped_b{batch_id}")
+            cmark = os.path.join(out, f"_COMMITTED_b{batch_id}")
+            if os.path.exists(cmark):
+                state["store"] = bspark.read.parquet(store)
+                state["last_v"] = batch_id
+                return                     # replayed batch: no-op
+            prev = state["store"]
+            if prev is None and batch_id > 0:    # restart recovery
+                prev = bspark.read.parquet(
+                    os.path.join(out, f"store_b{batch_id - 1}"))
+            bc = assigned(batch)
+            blockers = bc.select(
+                "cell", F.col("vec_id").alias("id_a"),
+                F.col("embedding").alias("_va"))
+            if prev is not None:
+                blockers = prev.select(
+                    "cell", F.col("vec_id").alias("id_a"),
+                    F.col("embedding").alias("_va")).unionByName(blockers)
+            probe = bc.select("cell", F.col("vec_id").alias("id_b"),
+                              F.col("embedding").alias("_vb"))
+            dropped = (blockers.join(probe, "cell")
+                       .filter(F.col("id_a") < F.col("id_b"))
+                       .dropDuplicates(["id_a", "id_b"])
+                       .filter(S._cosine(F.col("_va"), F.col("_vb"))
+                               >= 0.45)
+                       .select(F.col("id_b").alias("vec_id"))
+                       .distinct())
+            if batch_id > 0:
+                dropped = dropped.unionByName(
+                    bspark.read.parquet(
+                        os.path.join(out, f"dropped_b{batch_id - 1}"))
+                ).distinct()
+            dropped.write.mode("overwrite").parquet(drops)
+            merged = bc if prev is None else prev.unionByName(bc)
+            merged.write.mode("overwrite").parquet(store)
+            open(cmark, "w").close()
+            state["store"] = bspark.read.parquet(store)
+            state["last_v"] = batch_id
+
+        q = (spark.readStream.schema(emb.schema)
+             .option("maxFilesPerTrigger", 1)
+             .parquet(os.path.join(root, "src"))
+             .writeStream.foreachBatch(fold)
+             .option("checkpointLocation", os.path.join(root, "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        import glob as _glob
+        last = sorted(_glob.glob(os.path.join(out, "dropped_b*")))[-1]
+        dropped = spark.read.parquet(last)
+        return (emb.select("vec_id")
+                .join(dropped, "vec_id", "left_anti"))
+
+    add("emb_stream_semantic_dedup", stream_semantic_dedup,
+        SEM_CORPUS_ORACLE)
