@@ -546,3 +546,43 @@ def test_semantic_dedup_equi_join_and_gates(spark, sf_dir):
     assert kept == all_ids - {b for _, b in exact}
     with pytest.raises(ValueError, match="quadratic"):
         S.semantic_dedup_pairs(emb, n_clusters=2, max_cell_rows=10)
+
+
+# ---- frozen-codebook family plan shapes (round 12) --------------------------
+
+def test_frozen_cell_assignment_is_pure_projection(spark, sf_dir):
+    """The frozen-center argmin must stay a JVM-side projection: no
+    added exchange (the only one is the loader's repartition), no
+    Python evaluation — the property that makes cell blocking free at
+    100 TB."""
+    from olap_xtrctr_spark.operators import frozen_codebooks as FC
+    from olap_xtrctr_spark.operators import similarity as S
+    from olap_xtrctr_spark.session import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id",
+                      F.expr(S._vint_expr("embedding")).alias("_v"))
+    cells = (base.withColumn("cell", F.expr(S._argmin_cells_expr(
+                 "_v", FC.COARSE_CENTERS_I, 1))[0]).drop("_v"))
+    before = _plan(base)
+    after = _plan(cells)
+    assert "EvalPython" not in after
+    assert after.count("Exchange") == before.count("Exchange"), \
+        "cell assignment added an exchange"
+
+
+def test_frozen_pq_and_ivfpq_all_joins_broadcast(spark, sf_dir):
+    """The exact ADC twins must keep every join broadcast (the LUT,
+    probe list, query vectors and norms are all driver-tiny by
+    construction) and never fall back to Python eval or a sort-merge
+    join — the corpus side must stay partitioned and un-shuffled
+    except for the final per-query aggregation."""
+    from olap_xtrctr_spark.operators import similarity as S
+    from olap_xtrctr_spark.session import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    for df in (S.pq_topk_frozen(emb, [0, 1, 2], k=3),
+               S.ivfpq_topk_frozen(emb, [0, 1, 2], k=3),
+               S.ivf_topk_frozen(emb, [0, 1, 2], k=3)):
+        plan = _plan(df)
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "EvalPython" not in plan
