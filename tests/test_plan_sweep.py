@@ -121,11 +121,35 @@ def find_unbounded_single_partition(plan) -> list[str]:
     return out
 
 
+# entry -> why a CartesianProduct node is legitimate there (a cross
+# join BOTH of whose sides exceed the broadcast threshold — at scale
+# this is quadratic unless both sides are bounded by construction).
+ALLOWED_CARTESIAN: dict[str, str] = {
+    # (currently none: every crossJoin in the engine pairs a broadcast
+    # scalar/axis, which plans as BroadcastNestedLoopJoin, and the
+    # empty-preserving axis mode sits behind the N18 cardinality guard)
+}
+
+
+def find_cartesian(plan) -> list[str]:
+    return [ _simple(n) for n in _subtree(plan)
+             if _simple(n) == "CartesianProductExec" ]
+
+
 @pytest.mark.parametrize("name", list(WORKLOAD))
 def test_no_unbounded_single_partition_window(name, spark):
     df = WORKLOAD[name].fn(spark, SF)
-    hits = find_unbounded_single_partition(
-        df._jdf.queryExecution().executedPlan())
+    plan = df._jdf.queryExecution().executedPlan()
+    cart = find_cartesian(plan)
+    if name in ALLOWED_CARTESIAN:
+        assert cart, (f"{name} allowlisted for CartesianProduct but "
+                      f"no longer plans one — remove the stale row")
+    else:
+        assert not cart, (
+            f"{name}: CartesianProductExec in the plan — a cross join "
+            f"with NO broadcast side is quadratic at scale; broadcast "
+            f"the small side or allowlist with the boundedness reason")
+    hits = find_unbounded_single_partition(plan)
     if name in ALLOWED_SINGLE_PARTITION:
         # allowlisted entries MUST still exhibit the shape — a stale
         # allowlist row would mask a future regression elsewhere
