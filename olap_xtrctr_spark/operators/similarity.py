@@ -190,7 +190,7 @@ def semantic_dedup_pairs(emb: DataFrame, threshold: float = 0.995,
                          n_clusters: int = 8, n_assign: int = 3,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding", seed: int = 42,
-                         max_cell_rows: int = 200_000) -> DataFrame:
+                         max_cell_rows: int = 50_000) -> DataFrame:
     """SemDeDup-style cluster-blocked near-duplicate pairs (Abbas et
     al. 2023, arXiv:2303.09540): KMeans cells block the quadratic pair
     generation — each vector joins its ``n_assign`` nearest cells
@@ -209,7 +209,11 @@ def semantic_dedup_pairs(emb: DataFrame, threshold: float = 0.995,
     is Σ|cell|² over n_assign-inflated cells, not |corpus|² — size
     ``n_clusters`` ~ corpus/1000 at scale.  A cell exceeding
     ``max_cell_rows`` fails LOUDLY (one tiny count-agg guard) instead
-    of silently going quadratic: raise n_clusters."""
+    of silently going quadratic: raise n_clusters.  The default bound
+    caps the worst single cell at 50k² = 2.5e9 candidate pairs —
+    measured r12: a 75k-row cell (200k vectors over 8 cells) already
+    runs past 10 minutes on local[32], so the old 200k default
+    permitted ~40x that before refusing."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -1159,7 +1163,7 @@ def semantic_dedup_pairs_frozen(emb: DataFrame, threshold: float = 0.45,
                                 n_assign: int = 3,
                                 id_col: str = "vec_id",
                                 vec_col: str = "embedding",
-                                max_cell_rows: int = 200_000) -> DataFrame:
+                                max_cell_rows: int = 50_000) -> DataFrame:
     """``semantic_dedup_pairs`` (SemDeDup cluster-blocked near-dup
     pairs) over the FROZEN coarse centers: identical output contract
     (id_a < id_b, exact cosine ≥ threshold, precision 1 by
@@ -1419,3 +1423,171 @@ def cluster_balanced_sample_frozen(emb: DataFrame, k_per_cluster: int,
     return (assigned.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k_per_cluster)
             .select(id_col, "cluster", "rank"))
+
+
+# ---- persisted IVFPQ index (the codes table IS what you persist) -----------
+# At 100 TB the raw vectors are the thing you cannot afford to rescan:
+# the IVFPQ artifact is (cell, 8 residual codes, norm) per vector —
+# ~12 bytes + the id — partitioned by coarse cell so a query reads only
+# its probed cells' files (same PartitionFilters discipline as
+# ivf_build_index).  Quantization uses the FROZEN codebooks, so the
+# build is pure assignment (no training job in the serving path) and
+# the index is reproducible bit-for-bit; retraining the frozen module
+# changes the codebook hash and invalidates the index.
+
+
+def _frozen_codebook_sig() -> str:
+    import hashlib
+
+    from . import frozen_codebooks as FC
+    return hashlib.sha256(repr(
+        (FC.SCALE, FC.COARSE_CENTERS_I, FC.RESIDUAL_CODEBOOKS_I)
+    ).encode()).hexdigest()[:16]
+
+
+def ivfpq_build_index(emb: DataFrame, index_dir: str,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> dict:
+    """Persist the compressed IVFPQ index: ``codes.parquet``
+    partitioned by coarse ``cell`` with one row per vector —
+    (neighbor_id, nnorm, code_0..code_{M-1}).  Idempotent via the same
+    (corpus signature, codebook signature) meta marker as
+    ivf_build_index; a retrained frozen codebook or regenerated corpus
+    forces a rebuild."""
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    from . import frozen_codebooks as FC
+
+    sig_parts = []
+    for p in sorted(emb.inputFiles()):
+        local = p[len("file:"):] if p.startswith("file:") else p
+        try:
+            st = os.stat(local)
+            sig_parts.append(f"{p}|{st.st_size}|{st.st_mtime_ns}")
+        except OSError:
+            sig_parts.append(p)
+    n = emb.count()
+    corpus_sig = hashlib.sha256(
+        "\n".join(sig_parts).encode()).hexdigest()[:16]
+    meta = {"kind": "ivfpq-frozen", "n_vectors": n,
+            "corpus_sig": corpus_sig,
+            "codebook_sig": _frozen_codebook_sig(),
+            "m": FC.PQ_M, "id_col": id_col, "vec_col": vec_col,
+            "version": 1}
+    meta_path = os.path.join(index_dir, "_INDEX_META.json")
+    try:
+        with open(meta_path, encoding="utf-8") as f:
+            if json.load(f) == meta:
+                return meta               # idempotent rebuild
+    except (OSError, ValueError):
+        pass
+    # invalidate-then-rebuild: marker dropped FIRST, stale partition
+    # dirs removed whole (same ADVICE-r10 reasoning as ivf_build_index)
+    for stale in (meta_path, os.path.join(index_dir, "codes.parquet")):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+        elif os.path.exists(stale):
+            os.remove(stale)
+    coarse_lit = _nested_array_lit(FC.COARSE_CENTERS_I)
+    base = (emb.select(F.col(id_col).alias("neighbor_id"),
+                       _norm(F.col(vec_col)).alias("nnorm"),
+                       F.expr(_vint_expr(vec_col)).alias("_vint"))
+            .withColumn("cell", F.expr(_argmin_cells_expr(
+                "_vint", FC.COARSE_CENTERS_I, 1))[0])
+            .withColumn("_rint", F.expr(
+                f"zip_with(_vint, element_at({coarse_lit}, cell + 1), "
+                f"(a, b) -> a - b)")))
+    coded = base.selectExpr(
+        "neighbor_id", "nnorm", "cell",
+        *_pq_code_exprs("_rint", FC.RESIDUAL_CODEBOOKS_I, FC.SUB_D))
+    (coded.write.mode("overwrite").partitionBy("cell")
+          .parquet(os.path.join(index_dir, "codes.parquet")))
+    os.makedirs(index_dir, exist_ok=True)
+    with open(meta_path, "w", encoding="utf-8") as f:
+        json.dump(meta, f)                # marker LAST: commit point
+    return meta
+
+
+def ivfpq_query_index(spark, index_dir: str, queries: DataFrame,
+                      k: int = 3, n_probe: int = 3,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      refine_with: DataFrame | None = None,
+                      refine: int = 32) -> DataFrame:
+    """ADC top-k from the PERSISTED compressed index: probes, the
+    exact q·centroid offsets and the integer LUT are computed on the
+    driver from the frozen constants; the codes scan is filtered on
+    the partition column (only probed cells' files are read); the ADC
+    sum is an associative int64 aggregate.  Returns (query_id, rank,
+    neighbor_id, adc_score) ranked in the compressed domain — pass the
+    raw-vector table as ``refine_with`` to re-rank the k·refine
+    shortlist with the exact cosine (the two-stage serving tail),
+    which changes the output contract to (…, cosine)."""
+    import json
+    import os
+
+    from . import frozen_codebooks as FC
+
+    with open(os.path.join(index_dir, "_INDEX_META.json"),
+              encoding="utf-8") as f:
+        meta = json.load(f)
+    if meta.get("codebook_sig") != _frozen_codebook_sig():
+        raise ValueError(
+            "ivfpq_query_index: the frozen codebooks changed since "
+            "this index was built (codebook_sig mismatch) — rebuild "
+            "with ivfpq_build_index")
+    qrows = (queries.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col).alias("qvec")).collect())
+    probes, lut = [], []
+    for r in qrows:
+        qi = _qint(r["qvec"])
+        dists = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qi, cen)), cell)
+            for cell, cen in enumerate(FC.COARSE_CENTERS_I))
+        for _, cell in dists[:n_probe]:
+            cen = FC.COARSE_CENTERS_I[cell]
+            probes.append((r["query_id"], cell,
+                           sum(a * b for a, b in zip(qi, cen))))
+        for s in range(FC.PQ_M):
+            qs = qi[s * FC.SUB_D:(s + 1) * FC.SUB_D]
+            for ci, cen in enumerate(FC.RESIDUAL_CODEBOOKS_I[s]):
+                lut.append((r["query_id"], s, ci,
+                            sum(a * b for a, b in zip(qs, cen))))
+    probe_df = spark.createDataFrame(
+        probes, "query_id long, cell int, qc_dot long")
+    lut_df = spark.createDataFrame(
+        lut, "query_id long, s int, code int, partial long")
+    # STATIC partition predicate: the scan lists only probed cells
+    probed_cells = sorted({c for _, c, _ in probes})
+    codes = (spark.read.parquet(
+        os.path.join(index_dir, "codes.parquet"))
+        .filter(F.col("cell").isin(probed_cells)))
+    exploded = (codes.join(F.broadcast(probe_df), "cell")
+                .select("query_id", "neighbor_id", "nnorm", "qc_dot",
+                        F.posexplode(F.array(
+                            *[F.col(f"code_{s}")
+                              for s in range(FC.PQ_M)]))
+                        .alias("s", "code")))
+    scored = (exploded
+              .join(F.broadcast(lut_df), ["query_id", "s", "code"])
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .groupBy("query_id", "neighbor_id")
+              .agg((F.min("qc_dot") + F.sum("partial")).alias("adc_dot"),
+                   F.first("nnorm").alias("nnorm"))
+              .withColumn("adc_score",
+                          F.col("adc_dot").cast("double") / F.col("nnorm")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"),
+                                               F.asc("neighbor_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if refine_with is None:
+        return (ranked.filter(F.col("rank") <= k)
+                .select("query_id", "rank", "neighbor_id",
+                        F.round("adc_score", 6).alias("adc_score")))
+    shortlist = (ranked.filter(F.col("rank") <= k * max(refine, 1))
+                 .select("query_id", "neighbor_id"))
+    qids = [r["query_id"] for r in qrows]
+    return _exact_rerank(refine_with, shortlist, qids, k,
+                         id_col, vec_col)

@@ -586,3 +586,48 @@ def test_frozen_pq_and_ivfpq_all_joins_broadcast(spark, sf_dir):
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan
         assert "EvalPython" not in plan
+
+
+def test_ivfpq_index_query_prunes_partitions_and_matches_inline(
+        spark, sf_dir):
+    """The persisted IVFPQ codes scan must read ONLY the probed cells
+    (PartitionFilters carries the static cell isin()), and the
+    refined query must equal the inline ivfpq_topk_frozen at the same
+    parameters — the index is a materialization, never a semantics
+    change."""
+    import os
+    import re as _re
+    import tempfile
+
+    from olap_xtrctr_spark.operators import similarity as S
+    from olap_xtrctr_spark.session import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = os.path.join(tempfile.gettempdir(), "olap_xtrctr_ivfpq_plan_t")
+    meta = S.ivfpq_build_index(emb, d)
+    assert S.ivfpq_build_index(emb, d) == meta     # idempotent rebuild
+    q = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    out = S.ivfpq_query_index(spark, d, q, k=3, n_probe=3)
+    plan = _plan(out)
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1) and " IN " in m.group(1), plan
+    # compressed-domain contract: ADC ranking only
+    assert out.columns == ["query_id", "rank", "neighbor_id",
+                           "adc_score"]
+    # the refined tail reproduces the inline operator exactly
+    refined = sorted(map(tuple, S.ivfpq_query_index(
+        spark, d, q, k=3, n_probe=5, refine_with=emb,
+        refine=32).collect()))
+    inline = sorted(map(tuple, S.ivfpq_topk_frozen(
+        emb, [0, 1, 2], k=3, n_probe=5, refine=32).collect()))
+    assert refined == inline
+    # a retrained codebook must invalidate the index loudly
+    import json
+    mp = os.path.join(d, "_INDEX_META.json")
+    tampered = dict(meta, codebook_sig="0" * 16)
+    with open(mp, "w") as f:
+        json.dump(tampered, f)
+    import pytest
+    with pytest.raises(ValueError, match="codebook_sig"):
+        S.ivfpq_query_index(spark, d, q, k=3)
+    # rebuild recovers (meta differs -> full rebuild)
+    assert S.ivfpq_build_index(emb, d) == meta
