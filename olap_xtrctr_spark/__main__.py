@@ -80,7 +80,8 @@ def build_parser() -> argparse.ArgumentParser:
                             "shards", "verify-shards",
                             "commit-version", "versions",
                             "rollback-version", "gc-versions",
-                            "retention", "ivf-build", "ivf-query"])
+                            "retention", "ivf-build", "ivf-query",
+                            "ivfpq-build", "ivfpq-query"])
     s.add_argument("--src", required=True)
     s.add_argument("--dst", default=None,
                    help="output directory (not needed for verify-shards)")
@@ -111,6 +112,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(same id/vec columns the index was built on)")
     s.add_argument("--query-ids", type=int, nargs="*", default=None,
                    help="ivf-query: restrict --queries to these ids")
+    s.add_argument("--refine", action="store_true",
+                   help="ivfpq-query: exact-cosine re-rank of the ADC "
+                        "shortlist against the --queries table")
 
     s = sub.add_parser(
         "workbook",
@@ -322,6 +326,40 @@ def run(args, service=None) -> dict:
                                  n_probe=args.n_probe,
                                  id_col=meta["id_col"],
                                  vec_col=meta["vec_col"])
+            return {"columns": df.columns,
+                    "rows": [r.asDict() for r in df.collect()]}
+        if args.op == "ivfpq-build":
+            from .operators.similarity import ivfpq_build_index
+            if not args.dst:
+                raise SystemExit("--dst (index dir) required for "
+                                 "ivfpq-build")
+            return ivfpq_build_index(spark.read.parquet(args.src),
+                                     args.dst)
+        if args.op == "ivfpq-query":
+            import json
+            import os
+
+            from pyspark.sql import functions as F
+
+            from .operators.similarity import ivfpq_query_index
+            if not args.queries:
+                raise SystemExit("--queries (parquet of query vectors) "
+                                 "required for ivfpq-query")
+            try:
+                with open(os.path.join(args.src, "_INDEX_META.json"),
+                          encoding="utf-8") as f:
+                    meta = json.load(f)
+            except (OSError, ValueError):
+                raise SystemExit(f"no index at {args.src!r} "
+                                 f"(run --op ivfpq-build first)")
+            corpus = spark.read.parquet(args.queries)
+            q = corpus
+            if args.query_ids:
+                q = q.filter(F.col(meta["id_col"]).isin(args.query_ids))
+            df = ivfpq_query_index(
+                spark, args.src, q, k=args.k, n_probe=args.n_probe,
+                id_col=meta["id_col"], vec_col=meta["vec_col"],
+                refine_with=corpus if args.refine else None)
             return {"columns": df.columns,
                     "rows": [r.asDict() for r in df.collect()]}
         if args.op == "verify-shards":

@@ -375,6 +375,75 @@ def _ivf_query(service, m, qs, body):
                  "columns": df.columns, "rows": rows}
 
 
+@ROUTES.add("POST", r"/api/index/ivfpq/build")
+def _ivfpq_build(service, m, qs, body):
+    from .operators.similarity import ivfpq_build_index
+    from .session import TABLES, load_table
+    d = _index_dir(body.get("name", ""))
+    if d is None:
+        return 400, {"detail": "body needs a bare index 'name' (no "
+                               "directories — indexes land in "
+                               "$OLAP_INDEX_DIR)"}
+    table = body.get("table", "embeddings")
+    if table not in TABLES:
+        return 400, {"detail": f"unknown table {table!r} "
+                               f"(one of {sorted(TABLES)})"}
+    emb = load_table(service.spark, service.sf_dir, table)
+    meta = ivfpq_build_index(emb, d,
+                             id_col=body.get("id_col", "vec_id"),
+                             vec_col=body.get("vec_col", "embedding"))
+    return 200, {"name": body["name"], **meta}
+
+
+@ROUTES.add("POST", r"/api/index/ivfpq/query")
+def _ivfpq_query(service, m, qs, body):
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import ivfpq_query_index
+    from .session import load_table
+    d = _index_dir(body.get("name", ""))
+    if d is None:
+        return 400, {"detail": "body needs a bare index 'name'"}
+    try:
+        with open(os.path.join(d, "_INDEX_META.json"),
+                  encoding="utf-8") as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return 404, {"detail": f"index {body.get('name')!r} not built "
+                               f"(POST /api/index/ivfpq/build first)"}
+    qids = body.get("query_ids") or []
+    if not isinstance(qids, list) or not qids or len(qids) > 1000:
+        return 400, {"detail": "body needs 'query_ids': a non-empty "
+                               "list of at most 1000 vector ids"}
+    ids: list[int] = []
+    for q in qids:
+        if isinstance(q, bool):
+            return 400, {"detail": f"query_ids entries must be integer "
+                                   f"vector ids, got {q!r}"}
+        try:
+            ids.append(int(q))
+        except (TypeError, ValueError):
+            return 400, {"detail": f"query_ids entries must be integer "
+                                   f"vector ids, got {q!r}"}
+    table = body.get("table", "embeddings")
+    corpus = load_table(service.spark, service.sf_dir, table)
+    queries = corpus.filter(F.col(meta["id_col"]).isin(ids))
+    try:
+        df = ivfpq_query_index(
+            service.spark, d, queries, k=int(body.get("k", 3)),
+            n_probe=int(body.get("n_probe", 3)),
+            id_col=meta["id_col"], vec_col=meta["vec_col"],
+            refine_with=corpus if body.get("refine") else None)
+    except ValueError as e:           # codebook_sig mismatch → client
+        return 409, {"detail": str(e)}
+    rows = [r.asDict() for r in df.collect()]
+    return 200, {"name": body["name"], "n_rows": len(rows),
+                 "columns": df.columns, "rows": rows}
+
+
 @ROUTES.add("POST", r"/api/dedup")
 def _dedup(service, m, qs, body):
     """Near-duplicate analysis over a registered table (VERDICT r11

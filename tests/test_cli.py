@@ -437,3 +437,26 @@ def test_cli_dedup_soft_groups_keep(svc, tmp_path):
     import pytest
     with pytest.raises(SystemExit, match="unknown table"):
         _run(svc, "dedup", "--soft", "--table", "nope")
+
+
+def test_cli_maintain_ivfpq_build_query(svc, tmp_path):
+    """The compressed-index lifecycle through the maintain CLI: build
+    from a parquet corpus, ADC query, exact-refined query."""
+    import glob
+
+    src = glob.glob("/root/testdata/sf0.001/embeddings.parquet")[0]
+    idx = str(tmp_path / "pqidx")
+    meta = _run(svc, "maintain", "--op", "ivfpq-build",
+                "--src", src, "--dst", idx)
+    assert meta["kind"] == "ivfpq-frozen" and meta["n_vectors"] == 500
+    out = _run(svc, "maintain", "--op", "ivfpq-query", "--src", idx,
+               "--queries", src, "--query-ids", "0", "1",
+               "--k", "2", "--n-probe", "3")
+    assert out["columns"] == ["query_id", "rank", "neighbor_id",
+                              "adc_score"]
+    assert {r["query_id"] for r in out["rows"]} == {0, 1}
+    ref = _run(svc, "maintain", "--op", "ivfpq-query", "--src", idx,
+               "--queries", src, "--query-ids", "0", "1",
+               "--k", "2", "--n-probe", "3", "--refine")
+    assert ref["columns"] == ["query_id", "rank", "neighbor_id",
+                              "cosine"]

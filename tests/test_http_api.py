@@ -421,3 +421,53 @@ def test_dedup_route_soft_weights_end_to_end(base_url):
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(base_url + "/api/dedup", bad)
         assert e.value.code == 400
+
+
+def test_ivfpq_index_http_lifecycle(base_url, tmp_path, monkeypatch):
+    """Persisted compressed IVFPQ index over HTTP: build (frozen
+    codebooks, idempotent), ADC query, exact-refined query, codebook
+    staleness as a 409."""
+    import json as _json
+    import os
+
+    monkeypatch.setenv("OLAP_INDEX_DIR", str(tmp_path / "indexes"))
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base_url + "/api/index/ivfpq/query",
+              {"name": "pq1", "query_ids": [0]})
+    assert e.value.code == 404
+
+    status, meta = _post(base_url + "/api/index/ivfpq/build",
+                         {"name": "pq1"})
+    assert status == 200 and meta["kind"] == "ivfpq-frozen"
+    _, meta2 = _post(base_url + "/api/index/ivfpq/build", {"name": "pq1"})
+    assert {k: meta2[k] for k in meta2 if k != "name"} \
+        == {k: meta[k] for k in meta if k != "name"}
+
+    status, out = _post(base_url + "/api/index/ivfpq/query",
+                        {"name": "pq1", "query_ids": [0, 1, 2],
+                         "k": 2, "n_probe": 3})
+    assert status == 200
+    assert out["columns"] == ["query_id", "rank", "neighbor_id",
+                              "adc_score"]
+    assert {r["query_id"] for r in out["rows"]} == {0, 1, 2}
+
+    status, ref = _post(base_url + "/api/index/ivfpq/query",
+                        {"name": "pq1", "query_ids": [0, 1, 2],
+                         "k": 2, "n_probe": 3, "refine": True})
+    assert status == 200
+    assert ref["columns"] == ["query_id", "rank", "neighbor_id",
+                              "cosine"]
+
+    # a stale codebook signature is a conflict, not a 500
+    mp = os.path.join(str(tmp_path / "indexes"), "pq1",
+                      "_INDEX_META.json")
+    with open(mp) as f:
+        m = _json.load(f)
+    m["codebook_sig"] = "0" * 16
+    with open(mp, "w") as f:
+        _json.dump(m, f)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base_url + "/api/index/ivfpq/query",
+              {"name": "pq1", "query_ids": [0]})
+    assert e.value.code == 409
+    assert "codebook_sig" in _json.loads(e.value.read())["detail"]
