@@ -153,6 +153,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--keep", dest="mode", action="store_const",
                    const="keep", help="canonical survivors (drop "
                                       "non-min ids of each group)")
+    g.add_argument("--semantic", dest="mode", action="store_const",
+                   const="semantic",
+                   help="embedding-space survivors (frozen-cell "
+                        "SemDeDup over a vector table; defaults "
+                        "switch to --table embeddings / vec_id)")
     s.set_defaults(mode="soft")
     s.add_argument("--table", default="documents")
     s.add_argument("--id-col", default="doc_id")
@@ -161,6 +166,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--prefix-chars", type=int, default=80)
     s.add_argument("--block-width", type=int, default=100,
                    help="length-bucket width for the blocking join")
+    s.add_argument("--threshold", type=float, default=0.45,
+                   help="semantic: exact-cosine near-dup threshold")
     s.add_argument("--limit", type=int, default=20,
                    help="preview row cap (0 = count only)")
     s.add_argument("--export", default=None,
@@ -237,17 +244,28 @@ def run(args, service=None) -> dict:
         serve(service, host=args.host, port=args.port)   # blocks
         return {"status": "stopped"}
     if args.cmd == "dedup":
-        from .session import TABLES, load_table
         from .operators.dedup import dedup_frame
-        if args.table not in TABLES:
-            raise SystemExit(f"unknown table {args.table!r} "
+        from .session import TABLES, load_table
+        semantic = args.mode == "semantic"
+        # semantic mode operates on a vector table: unless the caller
+        # overrode them, the defaults switch from documents/doc_id
+        table = args.table
+        id_col = args.id_col
+        if semantic and table == "documents" and id_col == "doc_id":
+            table, id_col = "embeddings", "vec_id"
+        if table not in TABLES:
+            raise SystemExit(f"unknown table {table!r} "
                              f"(one of {sorted(TABLES)})")
-        docs = load_table(service.spark, service.sf_dir, args.table)
-        df = dedup_frame(docs, args.mode, id_col=args.id_col,
-                         max_dist=args.max_dist,
-                         prefix_chars=args.prefix_chars,
-                         block_width=args.block_width)
-        out = {"mode": args.mode, "table": args.table,
+        docs = load_table(service.spark, service.sf_dir, table)
+        if semantic:
+            df = dedup_frame(docs, "semantic", id_col=id_col,
+                             threshold=args.threshold)
+        else:
+            df = dedup_frame(docs, args.mode, id_col=id_col,
+                             max_dist=args.max_dist,
+                             prefix_chars=args.prefix_chars,
+                             block_width=args.block_width)
+        out = {"mode": args.mode, "table": table,
                "columns": df.columns}
         if args.export:
             from .sinks import write_csv, write_json

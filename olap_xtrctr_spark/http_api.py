@@ -454,10 +454,11 @@ def _dedup(service, m, qs, body):
     from .operators.dedup import dedup_frame
     from .session import TABLES, load_table
     mode = body.get("mode", "soft")
-    if mode not in ("soft", "groups", "keep"):
-        return 400, {"detail": f"mode must be soft|groups|keep, "
-                               f"got {mode!r}"}
-    table = body.get("table", "documents")
+    if mode not in ("soft", "groups", "keep", "semantic"):
+        return 400, {"detail": f"mode must be soft|groups|keep|"
+                               f"semantic, got {mode!r}"}
+    semantic = mode == "semantic"
+    table = body.get("table", "embeddings" if semantic else "documents")
     if table not in TABLES:
         return 400, {"detail": f"unknown table {table!r} "
                                f"(one of {sorted(TABLES)})"}
@@ -465,16 +466,23 @@ def _dedup(service, m, qs, body):
         max_dist = int(body.get("max_dist", 20))
         prefix_chars = int(body.get("prefix_chars", 80))
         block_width = int(body.get("block_width", 100))
+        threshold = float(body.get("threshold", 0.45))
         limit = int(body.get("limit", 100))
     except (TypeError, ValueError):
         return 400, {"detail": "max_dist/prefix_chars/block_width/"
-                               "limit must be integers"}
+                               "limit must be integers (threshold: "
+                               "float)"}
     if not (0 < limit <= 10_000):
         return 400, {"detail": "limit must be in 1..10000"}
     docs = load_table(service.spark, service.sf_dir, table)
-    df = dedup_frame(docs, mode, id_col=body.get("id_col", "doc_id"),
-                     max_dist=max_dist, prefix_chars=prefix_chars,
-                     block_width=block_width)
+    id_col = body.get("id_col", "vec_id" if semantic else "doc_id")
+    if semantic:
+        df = dedup_frame(docs, "semantic", id_col=id_col,
+                         threshold=threshold)
+    else:
+        df = dedup_frame(docs, mode, id_col=id_col,
+                         max_dist=max_dist, prefix_chars=prefix_chars,
+                         block_width=block_width)
     rows = [r.asDict() for r in df.limit(limit + 1).collect()]
     return 200, {"mode": mode, "table": table, "columns": df.columns,
                  "rows": rows[:limit], "truncated": len(rows) > limit}

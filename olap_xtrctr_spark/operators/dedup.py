@@ -1694,7 +1694,13 @@ def dedup_frame(docs: DataFrame, mode: str, id_col: str = "doc_id",
     1/|group| training weights, ``groups`` → transitive component
     labels, ``keep`` → canonical survivors (each group's min id —
     the component label IS the min member, so survivors are exactly
-    the rows whose label equals their own id, plus all singletons)."""
+    the rows whose label equals their own id, plus all singletons),
+    ``semantic`` → embedding-space survivors (frozen-cell SemDeDup
+    over a vector table; accepts ``threshold``/``n_assign``/
+    ``vec_col`` instead of the text-blocking knobs)."""
+    if mode == "semantic":
+        from .similarity import semantic_dedup_frozen
+        return semantic_dedup_frozen(docs, id_col=id_col, **kw)
     if mode == "soft":
         return soft_dedup_weights(docs, id_col=id_col, **kw)
     if mode == "groups":
@@ -1704,4 +1710,5 @@ def dedup_frame(docs: DataFrame, mode: str, id_col: str = "doc_id",
         drop = (comp.filter(F.col(id_col) != F.col("component"))
                 .select(id_col))
         return docs.join(drop, id_col, "left_anti")
-    raise ValueError(f"mode must be soft|groups|keep, got {mode!r}")
+    raise ValueError(
+        f"mode must be soft|groups|keep|semantic, got {mode!r}")

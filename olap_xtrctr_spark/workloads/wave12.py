@@ -455,3 +455,27 @@ def register(add) -> None:
 
     add("emb_stream_semantic_dedup", stream_semantic_dedup,
         SEM_CORPUS_ORACLE)
+
+    # The PERSISTED compressed-index serving path, full oracle: build
+    # the IVFPQ codes index once (idempotent via corpus + codebook
+    # signatures), query it with the exact-refined tail — the result
+    # is defined to equal the inline frozen operator, so the entry
+    # SHARES emb_ivfpq_topk_exact's oracle.  This is the shape that
+    # matters at 100 TB: the raw vectors are scanned once at build,
+    # queries read only probed cells' ~12-byte code rows.
+    def ivfpq_index_topk(spark, sf):
+        import hashlib
+        import os
+
+        emb = load_table(spark, sf, "embeddings")
+        sf_key = (os.path.basename(os.path.normpath(sf)) + "-"
+                  + hashlib.sha256(os.path.abspath(sf).encode())
+                  .hexdigest()[:12])
+        root = os.path.join("/tmp", "olap_xtrctr_ivfpq_index", sf_key)
+        S.ivfpq_build_index(emb, root)
+        queries = emb.filter(F.col("vec_id").isin([0, 1, 2, 3, 4]))
+        return S.ivfpq_query_index(spark, root, queries, k=_K,
+                                   n_probe=_NPROBE, refine_with=emb,
+                                   refine=_REFINE)
+
+    add("emb_ivfpq_index_topk", ivfpq_index_topk, _ivfpq_exact_oracle())

@@ -460,3 +460,16 @@ def test_cli_maintain_ivfpq_build_query(svc, tmp_path):
                "--k", "2", "--n-probe", "3", "--refine")
     assert ref["columns"] == ["query_id", "rank", "neighbor_id",
                               "cosine"]
+
+
+def test_cli_dedup_semantic_mode(svc):
+    """--semantic switches the facade to embedding-space SemDeDup over
+    the frozen cells (defaults flip to embeddings/vec_id) and matches
+    the workload corpus entry's keep count."""
+    out = _run(svc, "dedup", "--semantic", "--limit", "0")
+    assert out["mode"] == "semantic" and out["table"] == "embeddings"
+    from olap_xtrctr_spark.operators.similarity import \
+        semantic_dedup_frozen
+    from olap_xtrctr_spark.session import load_table
+    emb = load_table(svc.spark, svc.sf_dir, "embeddings")
+    assert out["n_rows"] == semantic_dedup_frozen(emb).count()

@@ -471,3 +471,15 @@ def test_ivfpq_index_http_lifecycle(base_url, tmp_path, monkeypatch):
               {"name": "pq1", "query_ids": [0]})
     assert e.value.code == 409
     assert "codebook_sig" in _json.loads(e.value.read())["detail"]
+
+
+def test_dedup_route_semantic_mode(base_url):
+    status, out = _post(base_url + "/api/dedup",
+                        {"mode": "semantic", "limit": 10000})
+    assert status == 200 and out["table"] == "embeddings"
+    assert "vec_id" in out["columns"] and out["rows"]
+    # tighter threshold keeps at least as many vectors
+    _, strict = _post(base_url + "/api/dedup",
+                      {"mode": "semantic", "threshold": 0.99,
+                       "limit": 10000})
+    assert len(strict["rows"]) >= len(out["rows"])
