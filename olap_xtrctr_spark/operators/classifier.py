@@ -242,3 +242,30 @@ def classifier_quality_report(docs: DataFrame, text_col: str = "text",
             .withColumn("holdout_auc_milli",
                         F.lit(int(auc * 1000)).cast("bigint"))
             .orderBy("decile"))
+
+
+def quality_classifier_frozen(docs: DataFrame,
+                              text_col: str = "text") -> DataFrame:
+    """FROZEN quality classifier — the value-exact sibling of the
+    hashed-BoW pipeline above (feature hashing is murmur3, which no
+    SQL oracle reproduces; these four integer text stats every oracle
+    already mirrors).  Logistic-regression weights trained once in
+    Spark (scripts/train_frozen_codebooks.py) with the feature scaling
+    folded in at 10⁶ fixed point, so the serving logit is an exact
+    int64 dot product and keep ⇔ logit > 0 compares identically on
+    any engine.  The learned hashed-BoW classifier stays the library
+    path for real reference-corpus filtering; this is the
+    freeze-discipline demonstration plus a cheap JVM-only scorer."""
+    from .frozen_codebooks import QUALITY_LR_BIAS_I, QUALITY_LR_WEIGHTS_I
+    from .text import LANG_STOPWORDS, PUNCT_CLASS
+    t = F.col(text_col)
+    stop_pat = r"\b(" + "|".join(LANG_STOPWORDS["en"]) + r")\b"
+    f = [F.size(F.split(F.trim(t), r"\s+")).cast("bigint"),
+         F.greatest(F.length(t), F.lit(1)).cast("bigint"),
+         F.regexp_count(F.lower(t), F.lit(stop_pat)).cast("bigint"),
+         F.regexp_count(t, F.lit(PUNCT_CLASS)).cast("bigint")]
+    logit = F.lit(QUALITY_LR_BIAS_I).cast("bigint")
+    for w, feat in zip(QUALITY_LR_WEIGHTS_I, f):
+        logit = logit + F.lit(int(w)).cast("bigint") * feat
+    return docs.select("doc_id", logit.alias("logit_u"),
+                       (logit > 0).cast("int").alias("keep"))

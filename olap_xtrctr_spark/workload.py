@@ -114,9 +114,10 @@ _GATE_FRONT = [
 # for r13.  The r11 changed-path shingle consumers not already in this
 # window (docs_ngram_jaccard_pairs, the contamination family, the
 # span-dedup family) hold r7+ rows, were re-verified locally at sf0.01
-# this round (SCALE.md r12), and queue behind those eight.  The three
+# this round (SCALE.md r12), and queue behind those eight.  The five
 # LATE round-12 additions (emb_ivf_topk_exact,
-# emb_cluster_balanced_exact, emb_stream_semantic_dedup — added after
+# emb_cluster_balanced_exact, emb_stream_semantic_dedup,
+# emb_ivfpq_index_topk, docs_quality_classifier_exact — added after
 # this manifest was sized to the verdict's exact task-1 composition)
 # are locally green at sf0.001 AND sf0.01 and queue with the r13
 # front as well.

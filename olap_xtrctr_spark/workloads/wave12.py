@@ -479,3 +479,36 @@ def register(add) -> None:
                                    refine=_REFINE)
 
     add("emb_ivfpq_index_topk", ivfpq_index_topk, _ivfpq_exact_oracle())
+
+    # Frozen quality classifier: the value-exact sibling of the
+    # rows-only hashed-BoW docs_quality_classifier — an exact int64
+    # logit over the four oracle-exact text stats, weights frozen by
+    # the generator.  keep ⇔ logit > 0 on both engines bit-for-bit.
+    def quality_classifier_exact(spark, sf):
+        from ..operators.classifier import quality_classifier_frozen
+        from ..workload_shared import _docs
+        return quality_classifier_frozen(_docs(spark, sf))
+
+    _qw = FC.QUALITY_LR_WEIGHTS_I
+    _QCL_SQL = rf"""WITH q AS (
+          SELECT doc_id,
+            CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                 AS BIGINT) AS n_tokens,
+            CAST(greatest(length(text), 1) AS BIGINT) AS n_chars,
+            CAST(len(regexp_extract_all(lower(text),
+              '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS stop_hits,
+            CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                 AS BIGINT) AS punct
+          FROM documents)
+        SELECT doc_id,
+          CAST(({_qw[0]}) * n_tokens + ({_qw[1]}) * n_chars
+             + ({_qw[2]}) * stop_hits + ({_qw[3]}) * punct
+             + ({FC.QUALITY_LR_BIAS_I}) AS BIGINT) AS logit_u,
+          CASE WHEN ({_qw[0]}) * n_tokens + ({_qw[1]}) * n_chars
+                  + ({_qw[2]}) * stop_hits + ({_qw[3]}) * punct
+                  + ({FC.QUALITY_LR_BIAS_I}) > 0
+               THEN 1 ELSE 0 END AS keep
+        FROM q"""
+
+    add("docs_quality_classifier_exact", quality_classifier_exact,
+        _QCL_SQL)

@@ -89,6 +89,43 @@ def main() -> None:
         res_books.append(_kmeans_centers(
             assigned.select(rsub.alias("sv")), "sv", PQ_K, SEED + 200 + s))
 
+    # 4) frozen quality-classifier weights: LogisticRegression over the
+    #    four ORACLE-EXACT integer text features (n_tokens, n_chars,
+    #    stop_hits, punct) against the weak quality labels — the
+    #    value-exact sibling of the hashed-BoW classifier (feature
+    #    hashing is murmur3, which no SQL oracle reproduces; these
+    #    counts every oracle already mirrors).  Weights fold the
+    #    feature scaling and freeze at 1e6 fixed point, so the serving
+    #    logit is an exact int64 dot product.
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    from olap_xtrctr_spark.operators.classifier import weak_quality_labels
+    from olap_xtrctr_spark.operators.text import (LANG_STOPWORDS,
+                                                  PUNCT_CLASS)
+
+    docs = load_table(spark, SF, "documents")
+    t = F.col("text")
+    stop_pat = r"\b(" + "|".join(LANG_STOPWORDS["en"]) + r")\b"
+    FEATS = [F.size(F.split(F.trim(t), r"\s+")).alias("n_tokens"),
+             F.greatest(F.length(t), F.lit(1)).alias("n_chars"),
+             F.regexp_count(F.lower(t), F.lit(stop_pat))
+             .alias("stop_hits"),
+             F.regexp_count(t, F.lit(PUNCT_CLASS)).alias("punct")]
+    FEAT_SCALE = [100.0, 1000.0, 10.0, 10.0]   # keep LR well-conditioned
+    labeled = weak_quality_labels(docs).select("doc_id", "label")
+    train = (docs.select("doc_id", *FEATS).join(labeled, "doc_id")
+             .withColumn("_f", array_to_vector(F.array(
+                 F.col("n_tokens") / FEAT_SCALE[0],
+                 F.col("n_chars") / FEAT_SCALE[1],
+                 F.col("stop_hits") / FEAT_SCALE[2],
+                 F.col("punct") / FEAT_SCALE[3]))))
+    lr = LogisticRegression(featuresCol="_f", labelCol="label",
+                            maxIter=100, regParam=1e-3).fit(train)
+    qw = [int(round(float(w) / s * 1_000_000))
+          for w, s in zip(lr.coefficients, FEAT_SCALE)]
+    qb = int(round(float(lr.intercept) * 1_000_000))
+
     def fmt_nested(obj, indent=0):
         pad = "    " * indent
         if isinstance(obj, list) and obj and isinstance(obj[0], list):
@@ -129,6 +166,13 @@ PQ_CODEBOOKS_I = \\
 # [subspace][code][component]: residuals v_int - coarse_center
 RESIDUAL_CODEBOOKS_I = \\
 {fmt_nested(res_books)}
+
+# Frozen quality-classifier (logistic regression over the four
+# oracle-exact integer text features; scaling folded into the weights
+# at 1e6 fixed point).  keep ⇔ w·[n_tokens, n_chars, stop_hits,
+# punct] + bias > 0, an exact int64 comparison.
+QUALITY_LR_WEIGHTS_I = {qw!r}
+QUALITY_LR_BIAS_I = {qb!r}
 ''')
     print(f"wrote {OUT}")
     print("coarse cells:", len(coarse), "pq books:", len(pq_books),

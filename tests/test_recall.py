@@ -488,3 +488,19 @@ def test_ivf_frozen_planted_recall(emb, planted_embedding_pairs):
              if b in found.get(a, set()))
     n = len(planted_embedding_pairs)
     assert ok / n >= 0.85, f"frozen IVF planted recall: {ok}/{n}"
+
+
+def test_quality_classifier_frozen_agrees_with_weak_labels(docs):
+    """The frozen integer-LR quality classifier (the value-exact
+    sibling of the hashed-BoW pipeline) must keep >=0.95 agreement
+    with the weak labels it was trained against (measured 253/253 at
+    sf0.01) — the guard against the frozen weights silently rotting
+    as fixtures evolve."""
+    from olap_xtrctr_spark.operators.classifier import (
+        quality_classifier_frozen, weak_quality_labels)
+    lab = {r["doc_id"]: int(r["label"])
+           for r in weak_quality_labels(docs).collect()}
+    pred = {r["doc_id"]: r["keep"]
+            for r in quality_classifier_frozen(docs).collect()}
+    agree = sum(1 for d, l in lab.items() if pred[d] == l)
+    assert agree / len(lab) >= 0.95, f"{agree}/{len(lab)}"
