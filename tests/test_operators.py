@@ -2421,3 +2421,18 @@ def test_rfm_null_monetary_sorts_last_like_sql_desc(spark):
     assert out[9]["monetary"] is None
     # non-null users keep strict DESC order of their monetary bins
     assert [out[u]["m_score"] for u in (1, 2, 3, 4)] == [1, 2, 3, 4]
+
+
+# ---- frozen argmin tie-break contract (round 12) ----------------------------
+
+def test_frozen_argmin_tie_breaks_to_lower_index(spark):
+    """Two centroids exactly equidistant from a vector must resolve to
+    the LOWER index on both engines: Spark's array_sort orders the
+    (distance, cell) struct lexicographically, the oracle's
+    ROW_NUMBER orders by (d, cell) — this pins the Spark half of that
+    contract on a planted exact tie."""
+    from olap_xtrctr_spark.operators.similarity import _argmin_cells_expr
+    df = spark.createDataFrame([(1, [5, 5])], "id long, v array<bigint>")
+    expr = _argmin_cells_expr("v", [[1, 1], [1, 1], [2, 2]], 2)
+    row = df.selectExpr(f"{expr} AS cells").first()
+    assert list(row["cells"]) == [0, 1]
