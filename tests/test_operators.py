@@ -2433,6 +2433,8 @@ def test_frozen_argmin_tie_breaks_to_lower_index(spark):
     contract on a planted exact tie."""
     from olap_xtrctr_spark.operators.similarity import _argmin_cells_expr
     df = spark.createDataFrame([(1, [5, 5])], "id long, v array<bigint>")
-    expr = _argmin_cells_expr("v", [[1, 1], [1, 1], [2, 2]], 2)
+    # centers 0 and 1 are identical (both at L2²=32 from v); center 2
+    # is nearest (18) — the tie pair must come back in index order
+    expr = _argmin_cells_expr("v", [[1, 1], [1, 1], [2, 2]], 3)
     row = df.selectExpr(f"{expr} AS cells").first()
-    assert list(row["cells"]) == [0, 1]
+    assert list(row["cells"]) == [2, 0, 1]
