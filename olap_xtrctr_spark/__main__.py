@@ -114,7 +114,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ivf-query: restrict --queries to these ids")
     s.add_argument("--refine", action="store_true",
                    help="ivfpq-query: exact-cosine re-rank of the ADC "
-                        "shortlist against the --queries table")
+                        "shortlist against --corpus (the FULL vector "
+                        "table the index was built from; falls back "
+                        "to --queries, which then must contain every "
+                        "corpus vector, not just the queries — "
+                        "missing shortlist neighbors fail loudly)")
+    s.add_argument("--corpus", default=None,
+                   help="ivfpq-query --refine: parquet of the full "
+                        "corpus vectors used for the exact re-rank")
 
     s = sub.add_parser(
         "workbook",
@@ -166,8 +173,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--prefix-chars", type=int, default=80)
     s.add_argument("--block-width", type=int, default=100,
                    help="length-bucket width for the blocking join")
-    s.add_argument("--threshold", type=float, default=0.45,
-                   help="semantic: exact-cosine near-dup threshold")
+    s.add_argument("--threshold", type=float, default=0.995,
+                   help="semantic: exact-cosine near-dup threshold "
+                        "(0.995 = near-duplicates, matching the "
+                        "trained SemDeDup default; lower it, e.g. "
+                        "0.45, for an aggressive soft-similarity "
+                        "sweep)")
     s.add_argument("--limit", type=int, default=20,
                    help="preview row cap (0 = count only)")
     s.add_argument("--export", default=None,
@@ -370,14 +381,23 @@ def run(args, service=None) -> dict:
             except (OSError, ValueError):
                 raise SystemExit(f"no index at {args.src!r} "
                                  f"(run --op ivfpq-build first)")
-            corpus = spark.read.parquet(args.queries)
-            q = corpus
+            q = spark.read.parquet(args.queries)
             if args.query_ids:
                 q = q.filter(F.col(meta["id_col"]).isin(args.query_ids))
+            # --refine re-ranks against the FULL corpus: --corpus if
+            # given, else --queries (documented fallback — the
+            # re-rank raises on any shortlist neighbor missing from
+            # it, so a queries-only table fails loudly instead of
+            # silently truncating the top-k; ADVICE r12).
+            refine_with = None
+            if args.refine:
+                refine_with = (spark.read.parquet(args.corpus)
+                               if args.corpus else
+                               spark.read.parquet(args.queries))
             df = ivfpq_query_index(
                 spark, args.src, q, k=args.k, n_probe=args.n_probe,
                 id_col=meta["id_col"], vec_col=meta["vec_col"],
-                refine_with=corpus if args.refine else None)
+                refine_with=refine_with)
             return {"columns": df.columns,
                     "rows": [r.asDict() for r in df.collect()]}
         if args.op == "verify-shards":

@@ -95,6 +95,10 @@ class _Routes:
                     # the duration of their consuming action; in this
                     # long-lived process those pins would otherwise
                     # accumulate in executor memory/disk forever.
+                    # The registry is per-thread (ADVICE r12), and
+                    # this finally runs on the request's own handler
+                    # thread, so only THIS request's pins are freed —
+                    # concurrent requests keep theirs.
                     from .session import release_tracked_caches
                     release_tracked_caches()
         return 404, {"detail": f"no route for {method} {path}"}
@@ -466,7 +470,10 @@ def _dedup(service, m, qs, body):
         max_dist = int(body.get("max_dist", 20))
         prefix_chars = int(body.get("prefix_chars", 80))
         block_width = int(body.get("block_width", 100))
-        threshold = float(body.get("threshold", 0.45))
+        # 0.995 = near-duplicate semantics, matching the trained
+        # SemDeDup twin's default (ADVICE r12: the 0.45 it used to
+        # inherit drops far more aggressively than "near-dup" implies)
+        threshold = float(body.get("threshold", 0.995))
         limit = int(body.get("limit", 100))
     except (TypeError, ValueError):
         return 400, {"detail": "max_dist/prefix_chars/block_width/"

@@ -486,7 +486,13 @@ def ngram_containment_pairs_prefix(docs: DataFrame,
     ~45 GB at ~sf1 with no guard):
 
     * ``"auto"`` (default) — pre-probe the doc-frequency histogram
-      with ONE cheap aggregate and pick the winner: the prefix filter
+      and pick the winner.  The probe is a FULL shingle pass (one
+      df-histogram aggregate over the whole shingle table, plus a
+      docs.count()); the shingle table is persisted before the probe
+      (ADVICE r12), so a prefix-routed call shingles the corpus ONCE
+      — the probe materializes the blocks the main plan reuses — and
+      a core-routed call unpersists them immediately.  The prefix
+      filter
       only pays off when the QUADRATIC posting mass (Σ df²) is
       dominated by boilerplate-grade hot shingles (df ≥ max(100,
       n_docs/10) — the kind that sit at the end of the df-ascending
@@ -508,12 +514,21 @@ def ngram_containment_pairs_prefix(docs: DataFrame,
         ngram_containment_pairs_prefix.last_route = "core"
         return ngram_containment_pairs(docs, text_col, id_col, n,
                                        threshold, max_doc_freq)
+    from ..session import track_persist
     sh_lazy = (shingle_docs(docs, text_col, id_col, n)
                .select(F.col(id_col).alias("_id"), "shingle"))
+    # Pin BEFORE the auto probe (ADVICE r12): the probe is a full
+    # shingle pass, not "one cheap aggregate" — one df-histogram
+    # aggregate over the whole shingle table — so without the pin a
+    # prefix-routed call paid the corpus shingling twice.  Pinned
+    # here, the probe materializes the blocks the main plan's three
+    # consumers (sizes, dfreq, ranked join) then reuse; a core-routed
+    # call unpersists immediately (the core builds its own lineage).
+    sh = track_persist(sh_lazy, StorageLevel.MEMORY_AND_DISK)
     if regime == "auto":
         n_docs = docs.count()
         tau = max(100, n_docs // 10)
-        probe = (sh_lazy.groupBy("shingle")
+        probe = (sh.groupBy("shingle")
                  .agg(F.count(F.lit(1)).alias("_df"))
                  .agg(F.sum(F.col("_df") * F.col("_df")).alias("q_all"),
                       F.sum(F.when(F.col("_df") >= tau,
@@ -533,6 +548,10 @@ def ngram_containment_pairs_prefix(docs: DataFrame,
                 "(bit-identical output).  Pass regime='prefix' to "
                 "force.", hot_frac, tau, n_docs)
             ngram_containment_pairs_prefix.last_route = "core"
+            # the core builds its own shingle lineage — free the
+            # probe's blocks now instead of holding them until the
+            # host's bulk release
+            sh.unpersist(blocking=False)
             return ngram_containment_pairs(docs, text_col, id_col, n,
                                            threshold, max_doc_freq)
         logging.getLogger(__name__).info(
@@ -540,14 +559,13 @@ def ngram_containment_pairs_prefix(docs: DataFrame,
             "histogram (hot-mass fraction %.3f at df >= %d) — staying "
             "on the prefix-filtered plan.", hot_frac, tau)
     ngram_containment_pairs_prefix.last_route = "prefix"
-    # persisted: the shingle table feeds sizes, dfreq AND the ranked
-    # join — before r11 the global-distinct exchange inside
+    # sh stays persisted: the shingle table feeds sizes, dfreq AND the
+    # ranked join — before r11 the global-distinct exchange inside
     # shingle_docs served as the shared materialization point; the
-    # shuffle-free zip-chain shingles removed it, so pin explicitly
-    # (the diamond-reuse discipline of rfm/semantic_dedup).  Tracked
-    # for bulk release by long-lived hosts (ADVICE r11).
-    from ..session import track_persist
-    sh = track_persist(sh_lazy, StorageLevel.MEMORY_AND_DISK)
+    # shuffle-free zip-chain shingles removed it, so the explicit pin
+    # (made above, before the probe) is the diamond-reuse discipline
+    # of rfm/semantic_dedup.  Tracked for bulk release by long-lived
+    # hosts (ADVICE r11).
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     if max_doc_freq is not None:

@@ -1159,17 +1159,20 @@ def _qint(vec) -> list[int]:
     return [math.floor(float(x) * float(SCALE)) for x in vec]
 
 
-def semantic_dedup_pairs_frozen(emb: DataFrame, threshold: float = 0.45,
+def semantic_dedup_pairs_frozen(emb: DataFrame, threshold: float = 0.995,
                                 n_assign: int = 3,
                                 id_col: str = "vec_id",
                                 vec_col: str = "embedding",
                                 max_cell_rows: int = 50_000) -> DataFrame:
     """``semantic_dedup_pairs`` (SemDeDup cluster-blocked near-dup
     pairs) over the FROZEN coarse centers: identical output contract
-    (id_a < id_b, exact cosine ≥ threshold, precision 1 by
-    construction), but the cell blocking is the frozen-integer argmin,
-    so the whole pipeline is full-oracle (the trained-KMeans variant
-    stays available for corpora the frozen grid fits badly).
+    (id_a < id_b, exact cosine ≥ threshold, near-duplicate default
+    0.995 matching the trained twin — callers wanting the aggressive
+    0.45 soft-similarity sweep pass it explicitly, as the workload
+    entries do; ADVICE r12), but the cell blocking is the
+    frozen-integer argmin, so the whole pipeline is full-oracle (the
+    trained-KMeans variant stays available for corpora the frozen grid
+    fits badly).
 
     Scale shape: assignment is a pure projection (no shuffle, no UDF,
     no driver state beyond the 8×64-int literal); the pair join is the
@@ -1204,12 +1207,13 @@ def semantic_dedup_pairs_frozen(emb: DataFrame, threshold: float = 0.45,
                         F.round("cosine", 4).alias("cosine"))
 
 
-def semantic_dedup_frozen(emb: DataFrame, threshold: float = 0.45,
+def semantic_dedup_frozen(emb: DataFrame, threshold: float = 0.995,
                           n_assign: int = 3, id_col: str = "vec_id",
                           vec_col: str = "embedding") -> DataFrame:
     """Frozen-cell SemDeDup corpus: drop every vector with a smaller-id
     near-dup in a shared frozen cell (greedy min-id representative, the
-    ``semantic_dedup`` contract)."""
+    ``semantic_dedup`` contract; near-duplicate default 0.995 aligned
+    with the trained twin — ADVICE r12)."""
     drop = semantic_dedup_pairs_frozen(
         emb, threshold, n_assign, id_col, vec_col) \
         .select(F.col("id_b").alias(id_col)).distinct()
@@ -1343,15 +1347,33 @@ def _exact_rerank(emb: DataFrame, shortlist: DataFrame,
                   query_ids: list[int], k: int, id_col: str,
                   vec_col: str) -> DataFrame:
     """Shared exact tail: only the shortlist touches full-precision
-    vectors (the two-stage serving shape of pq_cosine_topk)."""
+    vectors (the two-stage serving shape of pq_cosine_topk).
+
+    ``emb`` must contain EVERY shortlisted neighbor id (i.e. the full
+    corpus the shortlist was drawn from, not just the query vectors) —
+    an inner join here used to silently drop neighbors missing from a
+    queries-only table, truncating the top-k with no error (ADVICE
+    r12); the left joins + raise_error make that a loud job failure."""
     qvec_df = (emb.filter(F.col(id_col).isin(query_ids))
                   .select(F.col(id_col).alias("query_id"),
                           F.col(vec_col).alias("qvec")))
     nvec_df = emb.select(F.col(id_col).alias("neighbor_id"),
                          F.col(vec_col).alias("nvec"))
+    missing_msg = F.concat(
+        F.lit("exact re-rank: shortlisted id missing from the "
+              "refine/corpus vector table (pass the FULL corpus, "
+              "not just the query vectors): neighbor_id="),
+        F.coalesce(F.col("neighbor_id").cast("string"), F.lit("?")),
+        F.lit(" query_id="),
+        F.coalesce(F.col("query_id").cast("string"), F.lit("?")))
     rescored = (shortlist
-                .join(nvec_df, "neighbor_id")
-                .join(F.broadcast(qvec_df), "query_id")
+                .join(nvec_df, "neighbor_id", "left")
+                .join(F.broadcast(qvec_df), "query_id", "left")
+                .withColumn(
+                    "nvec", F.when(F.col("nvec").isNull() |
+                                   F.col("qvec").isNull(),
+                                   F.raise_error(missing_msg))
+                             .otherwise(F.col("nvec")))
                 .withColumn("cos", _cosine(F.col("qvec"), F.col("nvec"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
                                                F.asc("neighbor_id"))

@@ -168,29 +168,52 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 # memory/disk forever: Spark's cache manager holds a hard reference, so
 # plain GC never frees them.  Operators register their pins here;
 # request-scoped hosts call release_tracked_caches() after each unit of
-# work (the HTTP service does, per request).
+# work (the HTTP service does, per request; the workload runner, per
+# entry).
+#
+# The registry is PER-THREAD (ADVICE r12): ThreadingHTTPServer handles
+# each request on its own thread, and a process-global list meant one
+# finishing request unpersisted the intermediates a concurrent request
+# was still computing over — correct (deterministic recompute) but a
+# broken "exactly one pass" cost contract.  An operator's pins are
+# registered on the thread that builds (and runs) its plan, which is
+# the request's handler thread, so releasing the calling thread's list
+# releases exactly the finishing request's pins.
 
-_TRACKED_PERSISTS: list[DataFrame] = []
+import threading as _threading
+
+_TRACKED = _threading.local()
+
+
+def _tracked_list() -> list[DataFrame]:
+    lst = getattr(_TRACKED, "pins", None)
+    if lst is None:
+        lst = _TRACKED.pins = []
+    return lst
 
 
 def track_persist(df: DataFrame, storage_level=None) -> DataFrame:
-    """persist() + register for bulk release.  Returns the same df."""
+    """persist() + register on the CALLING THREAD's release list.
+    Returns the same df."""
     if storage_level is None:
         from pyspark import StorageLevel
         storage_level = StorageLevel.MEMORY_AND_DISK
     df.persist(storage_level)
-    _TRACKED_PERSISTS.append(df)
+    _tracked_list().append(df)
     return df
 
 
 def release_tracked_caches() -> int:
-    """Unpersist every tracked pin (non-blocking); returns how many.
-    Safe to call at any time: consumers that re-run after release just
-    recompute — persistence is a cost hint here, never a correctness
-    dependency."""
+    """Unpersist every pin the CALLING THREAD registered
+    (non-blocking); returns how many.  Safe to call at any time:
+    consumers that re-run after release just recompute — persistence
+    is a cost hint here, never a correctness dependency.  Pins made on
+    other threads are untouched (their request-scoped host releases
+    them on that thread)."""
+    pins = _tracked_list()
     n = 0
-    while _TRACKED_PERSISTS:
-        df = _TRACKED_PERSISTS.pop()
+    while pins:
+        df = pins.pop()
         try:
             df.unpersist(blocking=False)
             n += 1

@@ -35,92 +35,84 @@ from .workloads import (cube, curation, docs_segments,  # noqa: F401
 # from earlier rounds; WORKLOAD.md documents which round graded what.
 _GATE_WINDOW = 50
 _GATE_FRONT = [
-    # ---- Round-12 rotation (VERDICT r11 task 1: FULL-ORACLE entries
-    # ONLY — r11 burned 4 of 50 slots on rows-only no_oracle rows;
-    # build_workload() now asserts every front name carries SQL) -----
-    # (a) the 7 entries that have NEVER received a driver row — the
-    #     round-11 wave-2 additions.  The two SemDeDup entries were
-    #     rows-only until this round; they now run the frozen-coarse-
-    #     center variant with full DuckDB oracles (wave11/wave12):
-    "docs_source_chain_components",
-    "docs_neardup_components",
-    "docs_softdedup_weights",
-    "docs_bloom_decontaminate",
-    "docs_stream_bloom_fold",
-    "emb_semantic_dedup_pairs",
-    "emb_semantic_dedup_corpus",
-    # (b) the 2 NEW round-12 full-oracle entries (graded the round
-    #     they land): the frozen-codebook PQ/IVFPQ exact twins —
-    #     the last ANN family members without value-exact siblings:
-    "emb_pq_topk_exact",
-    "emb_ivfpq_topk_exact",
-    # (c) 41 of the 49-entry r6 staleness tail (all full-oracle).
-    #     docs_containment_pairs_prefix and docs_ngram_novelty also
-    #     re-grade CHANGED paths: the former gains the r12 regime
-    #     pre-probe (VERDICT task 3), both consumed the r11 zip-chain
-    #     shingle rework that was deferred from the r11 window:
-    "docs_containment_pairs_prefix",
-    "docs_ngram_novelty",
-    "docs_winnow_span_dedup",
-    "docs_dedup_impact_report",
-    "docs_quality_threshold_sweep",
-    "docs_shuffle_corpus",
-    "docs_token_budget_fill",
-    "docs_versioned_time_travel",
-    "docs_vocab_build",
-    "cube_3dim_crossjoin",
-    "cube_catalog_1998_nation",
-    "cube_filter_measure_condition",
-    "cube_filter_set",
-    "cube_rollup_subtotals",
-    "cube_topcount_nations",
-    "events_clustered_scan_pruning",
-    "events_stream_type_drift",
-    "events_stream_upsert_latest",
-    "members_apartados",
-    "members_children_exact",
-    "members_children_prefix",
-    "members_depth_filter",
-    "members_fulltext_search",
-    "members_nation_list",
-    "members_ordinal_sort",
-    "members_search",
-    "members_variables_of_apartados",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_shipping",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q21_waiting_orders",
+    # ---- Round-13 rotation (VERDICT r12 task 1, executed exactly) ---
+    # (a) the 8 r6-stale TPC-H re-grades — the oldest surviving green
+    #     rows in the ledger, deliberately deferred from r12's window;
+    #     pure Catalyst SQL translations, re-graded here so the oldest
+    #     surviving green row moves from r6 to r7:
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_parts_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q20_excess_shippers",
+    "tpch_q22_global_sales_opportunity",
+    # (b) the 5 LATE round-12 additions that have NEVER received a
+    #     driver row (landed after the r12 manifest was sized): the
+    #     frozen-codebook IVF / balanced-cluster / quality-classifier
+    #     exact twins, the streaming semantic-dedup fold, and the
+    #     persisted-IVFPQ-index query path:
+    "docs_quality_classifier_exact",
+    "emb_ivf_topk_exact",
+    "emb_cluster_balanced_exact",
+    "emb_stream_semantic_dedup",
+    "emb_ivfpq_index_topk",
+    # (c) 37 of the 45-entry r7 staleness tail (all full-oracle),
+    #     chosen to include every r7-green CHANGED-PATH consumer of
+    #     the r11 zip-chain shingle rework and the r12 regime
+    #     pre-probe (docs_ngram_jaccard_pairs, the contamination /
+    #     span-dedup / segment-dedup families) plus the rest of the
+    #     r7 block oldest-first:
+    "docs_ngram_jaccard_pairs",
+    "docs_contamination_check",
+    "docs_duplicate_spans",
+    "docs_duplicate_span_strip",
+    "docs_stream_span_dedup",
+    "docs_segment_dedup",
+    "docs_segment_freq_filter",
+    "docs_incremental_dedup",
+    "docs_near_dup_clusters",
+    "docs_keep_canonical",
+    "docs_fingerprint",
+    "docs_hash_split",
+    "docs_lang_id",
+    "docs_lang_id_ngram",
+    "docs_mix_corpus",
+    "docs_pack_sequences",
+    "docs_prepare_corpus",
+    "docs_quality_lottery",
+    "docs_quality_score",
+    "docs_quality_weak_labels",
+    "docs_redact_pii",
+    "docs_source_capped_corpus",
+    "docs_stratified_sample",
+    "docs_strip_markup",
+    "docs_token_stats",
+    "docs_top_tokens",
+    "docs_corpus_card",
+    "emb_cosine_topk",
+    "emb_cross_split_leakage",
+    "emb_quantized_topk",
+    "events_asof_attribution_tolerance",
+    "events_kanon_release",
+    "events_stream_dedup",
+    "events_stream_sessionize",
+    "multimodal_wav_decode_stats",
+    "multimodal_ppm_decode_stats",
+    "multimodal_ppm_resize_real",
 ]
-# Deliberately DEFERRED to the r13 window (49 r6-stale + 7 never-
-# graded + 2 new = 58 candidates for 50 slots): the 8 remaining
-# r6-stale TPC-H entries — tpch_q2_min_cost_supplier,
-# tpch_q4_order_priority, tpch_q11_important_stock,
-# tpch_q13_customer_distribution, tpch_q16_parts_supplier,
-# tpch_q17_small_quantity, tpch_q20_excess_shippers,
-# tpch_q22_global_sales_opportunity — chosen because they are pure
-# Catalyst SQL translations whose engine paths have not changed since
-# their last green row (no custom-operator code in their lineage), so
-# they carry the lowest regression risk of the tail; they queue FIRST
-# for r13.  The r11 changed-path shingle consumers not already in this
-# window (docs_ngram_jaccard_pairs, the contamination family, the
-# span-dedup family) hold r7+ rows, were re-verified locally at sf0.01
-# this round (SCALE.md r12), and queue behind those eight.  The five
-# LATE round-12 additions (emb_ivf_topk_exact,
-# emb_cluster_balanced_exact, emb_stream_semantic_dedup,
-# emb_ivfpq_index_topk, docs_quality_classifier_exact — added after
-# this manifest was sized to the verdict's exact task-1 composition)
-# are locally green at sf0.001 AND sf0.01 and queue with the r13
-# front as well.
+# Deliberately DEFERRED to the r14 window (8 + 5 + 45 = 58 candidates
+# for 50 slots): the 8 remaining r7-green entries —
+# cube_bottomcount_nations, cube_order_by_unselected_measure,
+# dmv_discover_properties, dmv_discover_schema_rowsets,
+# members_full_view, members_level_cardinalities, members_pagination,
+# events_hourly_rollup — chosen because they are pure Catalyst /
+# metadata paths with no custom-operator code in their lineage (the
+# lowest regression risk of the r7 block); they queue FIRST for r14,
+# followed by the oldest of the r8 block (43 entries), keeping the
+# oldest-surviving-green treadmill at "oldest ≥ r8 by end of r14"
+# (VERDICT r12 task 5).
 
 
 

@@ -365,26 +365,63 @@ def test_ivf_index_http_lifecycle(base_url, tmp_path, monkeypatch):
         assert "integer vector ids" in json.loads(e.value.read())["detail"]
 
 
-def test_dispatch_releases_tracked_caches(base_url):
-    """Request-scoped cache hygiene (ADVICE r11): any operator persist
-    tracked during a request is bulk-released when the request
-    finishes, so a long-lived service does not accumulate cached
-    blocks across requests."""
+def test_dispatch_releases_tracked_caches(base_url, spark):
+    """Request-scoped cache hygiene (ADVICE r11 + r12): a pin an
+    operator registers ON THE HANDLER THREAD during a request is
+    bulk-released when that request finishes, while pins belonging to
+    OTHER threads (concurrent requests, the embedding host) are left
+    alone — the registry is per-thread, so one request completing can
+    no longer unpersist an intermediate a concurrent request is still
+    computing over."""
+    from olap_xtrctr_spark import http_api as H
     from olap_xtrctr_spark import session as SS
 
-    class _FakeDF:
-        def __init__(self):
-            self.unpersisted = 0
-        def persist(self, level):
-            return self
-        def unpersist(self, blocking=False):
-            self.unpersisted += 1
-    fake = _FakeDF()
-    SS._TRACKED_PERSISTS.append(fake)   # simulate an operator's pin
-    status, _ = _get(base_url + "/api/catalogs")
-    assert status == 200
-    assert fake.unpersisted == 1
-    assert fake not in SS._TRACKED_PERSISTS
+    state = {}
+
+    @H.ROUTES.add("GET", r"/api/_test_pin")
+    def _pin(service, m, qs, body):
+        df = service.spark.range(5)
+        SS.track_persist(df)            # an operator's pin, handler thread
+        state["df"] = df
+        state["cached_during"] = df.is_cached
+        return 200, {"ok": True}
+
+    foreign = spark.range(3)
+    SS.track_persist(foreign)           # a pin on the TEST thread
+    try:
+        status, _ = _get(base_url + "/api/_test_pin")
+        assert status == 200
+        assert state["cached_during"]   # pinned while the handler ran
+        assert not state["df"].is_cached    # released by dispatch finally
+        assert foreign.is_cached        # other-thread pin untouched
+        assert SS.release_tracked_caches() == 1   # test thread's own pin
+        assert not foreign.is_cached
+    finally:
+        H.ROUTES.table = [t for t in H.ROUTES.table if t[2] is not _pin]
+        SS.release_tracked_caches()
+        foreign.unpersist(blocking=False)
+
+
+def test_track_persist_thread_isolation(spark):
+    """The per-thread registry contract itself (ADVICE r12): releasing
+    on thread B frees none of thread A's pins; thread A's own release
+    frees exactly its pins."""
+    import threading
+
+    from olap_xtrctr_spark import session as SS
+
+    SS.release_tracked_caches()         # clean slate on this thread
+    df = SS.track_persist(spark.range(7))
+    released_elsewhere = []
+    t = threading.Thread(
+        target=lambda: released_elsewhere.append(
+            SS.release_tracked_caches()))
+    t.start()
+    t.join()
+    assert released_elsewhere == [0]    # thread B saw no pins
+    assert df.is_cached
+    assert SS.release_tracked_caches() == 1
+    assert not df.is_cached
 
 
 def test_dedup_route_soft_weights_end_to_end(base_url):

@@ -126,6 +126,64 @@ def test_ngram_containment_prefix_regime_autoroute(spark):
         D.ngram_containment_pairs_prefix(rep, regime="bogus")
 
 
+def test_ngram_containment_auto_probe_shingles_once(spark, monkeypatch):
+    """ADVICE r12: in regime='auto' the df-histogram probe is a full
+    shingle pass, so the shingle table must be PINNED BEFORE the probe
+    — a prefix-routed call then shingles the corpus once (the probe
+    materializes the blocks the main plan reuses), and a core-routed
+    call unpersists the probe's pin immediately instead of holding it
+    until the host's bulk release."""
+    import time
+
+    from olap_xtrctr_spark import session as SS
+
+    pinned = []
+    real = SS.track_persist
+
+    def spy(df, storage_level=None):
+        pinned.append(df)
+        return real(df, storage_level)
+
+    monkeypatch.setattr(SS, "track_persist", spy)
+    SS.release_tracked_caches()
+    spark.catalog.clearCache()
+
+    def cached_parts():
+        return sum(i.numCachedPartitions() for i in
+                   spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    # boilerplate-shaped corpus -> auto stays on prefix; the probe ran
+    # inside the call, so the pinned shingle blocks are ALREADY
+    # materialized before any action on the returned (lazy) result
+    tail = ("copyright terms apply see license file for details "
+            "all rights reserved by the vendor")
+    boil = _docs(spark, [f"h{i}a h{i}b h{i}c h{i}d h{i}e h{i}f {tail}"
+                         for i in range(150)])
+    res = D.ngram_containment_pairs_prefix(boil, n=3, threshold=0.9)
+    assert D.ngram_containment_pairs_prefix.last_route == "prefix"
+    assert len(pinned) == 1 and pinned[0].is_cached
+    assert cached_parts() > 0, \
+        "probe ran before the pin: prefix route would shingle twice"
+    res.collect()
+    SS.release_tracked_caches()
+
+    # replica-shaped corpus -> auto routes to the core, which builds
+    # its own lineage: the probe's pin is unpersisted inside the call
+    pinned.clear()
+    rep = _docs(spark, [f"w{g}a w{g}b w{g}c w{g}d w{g}e w{g}f w{g}g "
+                        f"w{g}h w{g}i w{g}j w{g}k w{g}l"
+                        for g in range(20) for _ in range(10)])
+    D.ngram_containment_pairs_prefix(rep, n=3, threshold=0.5).collect()
+    assert D.ngram_containment_pairs_prefix.last_route == "core"
+    assert len(pinned) == 1 and not pinned[0].is_cached
+    for _ in range(50):                 # non-blocking unpersist: poll
+        if cached_parts() == 0:
+            break
+        time.sleep(0.1)
+    assert cached_parts() == 0
+    SS.release_tracked_caches()
+
+
 def test_simhash_identical_zero_distance(spark):
     df = _docs(spark, ["k l m n o p q r s t u v",
                        "k l m n o p q r s t u v"])

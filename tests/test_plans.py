@@ -631,3 +631,30 @@ def test_ivfpq_index_query_prunes_partitions_and_matches_inline(
         S.ivfpq_query_index(spark, d, q, k=3)
     # rebuild recovers (meta differs -> full rebuild)
     assert S.ivfpq_build_index(emb, d) == meta
+
+
+def test_refine_with_missing_neighbors_fails_loudly(spark, sf_dir):
+    """ADVICE r12 (medium): refine_with must contain EVERY shortlisted
+    neighbor — a queries-only table used to vanish silently through
+    the inner join, returning truncated/empty top-k with no error.
+    Now the re-rank raises, naming the missing id."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from olap_xtrctr_spark.operators import similarity as S
+    from olap_xtrctr_spark.session import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = os.path.join(tempfile.gettempdir(), "olap_xtrctr_ivfpq_plan_t")
+    S.ivfpq_build_index(emb, d)
+    q = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    # the buggy CLI shape: refine against the query vectors only
+    with pytest.raises(Exception, match="missing from the "
+                                        "refine/corpus"):
+        S.ivfpq_query_index(spark, d, q, k=3, n_probe=5,
+                            refine_with=q, refine=32).collect()
+    # the full corpus still refines cleanly
+    ok = S.ivfpq_query_index(spark, d, q, k=3, n_probe=5,
+                             refine_with=emb, refine=32).collect()
+    assert len(ok) > 0

@@ -476,6 +476,21 @@ def test_semantic_dedup_frozen_matches_trained_contract(emb):
     assert exact and len(got & exact) / len(exact) >= 0.7
 
 
+def test_semantic_dedup_frozen_default_threshold_matches_trained():
+    """ADVICE r12: the frozen twins' default threshold must equal the
+    trained variants' (0.995, near-duplicate semantics) — default
+    callers of the dedup CLI/HTTP semantic mode used to inherit the
+    aggressive 0.45 sweep the workload entries pass EXPLICITLY."""
+    import inspect
+
+    for frozen, trained in ((S.semantic_dedup_pairs_frozen,
+                             S.semantic_dedup_pairs),
+                            (S.semantic_dedup_frozen, S.semantic_dedup)):
+        f = inspect.signature(frozen).parameters["threshold"].default
+        t = inspect.signature(trained).parameters["threshold"].default
+        assert f == t == 0.995, (frozen.__name__, f, t)
+
+
 def test_ivf_frozen_planted_recall(emb, planted_embedding_pairs):
     """Frozen-cell IVF (exact cosine within n_probe=5 probed cells)
     must keep >=0.85 planted recall@1 — the only loss channel is the
