@@ -591,6 +591,12 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
         for it in items:
             segs = _segs(it)
             if segs and segs[0].lower() == "measures":
+                if len(segs) < 2:
+                    # e.g. "[Measures].&[..." — a corrupted member key
+                    # whose bracket path yields no measure name (fuzz
+                    # find, VERDICT r12 task 7)
+                    raise MdxParseError(
+                        f"measure reference has no name: {it!r}")
                 req.measures.append(segs[1])
             else:
                 req.variables.append(it)

@@ -186,11 +186,103 @@ def _cell_assign_udf(centers, n_assign: int):
     return pandas_udf("array<int>")(cells)
 
 
+def _blocked_pairs(assigned: DataFrame, block_cols: list[str],
+                   threshold: float, id_col: str,
+                   vec_col: str) -> DataFrame:
+    """Shared SemDeDup tail: within-block candidate pairs (equi-join
+    on the block key, never a cartesian), pair-level dedup BEFORE the
+    cosine, exact cosine filter at ``threshold``."""
+    a = assigned.select(*block_cols, F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("_va"))
+    b = assigned.select(*block_cols, F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("_vb"))
+    pairs = (a.join(b, block_cols)
+             .filter(F.col("id_a") < F.col("id_b"))
+             # a pair sharing 2 blocks must score ONCE (and the
+             # dedup runs BEFORE the cosine, not after)
+             .dropDuplicates(["id_a", "id_b"])
+             .withColumn("cosine", _cosine(F.col("_va"), F.col("_vb")))
+             .filter(F.col("cosine") >= threshold))
+    return pairs.select("id_a", "id_b",
+                        F.round("cosine", 4).alias("cosine"))
+
+
+def _subblock_oversized(assigned: DataFrame, max_cell_rows: int,
+                        opname: str, vec_col: str,
+                        remedy: str) -> tuple[DataFrame, list[str]]:
+    """Huge-cell graceful path (VERDICT r12 task 3): split every cell
+    exceeding ``max_cell_rows`` into (cell, frozen-PQ-code-prefix)
+    sub-blocks — code_0 first, code_1 for sub-blocks still over the
+    bound — and return (re-keyed assignment, block columns).  Cells
+    within the bound keep the single-key block, so corpora where no
+    cell exceeds the bound take the EXACT path untouched (that is the
+    gate/oracle regime).  Pairs whose members land in different
+    sub-blocks of the same oversized cell are lost — a recall
+    reduction confined to the oversized cells, logged loudly;
+    precision stays 1 (same exact cosine, same threshold).  If two
+    code levels (16x16 = 256-way) still leave an oversized sub-block,
+    refuse with the retrain remedy — at that density the frozen grid
+    genuinely no longer fits the corpus."""
+    import logging
+
+    from pyspark import StorageLevel
+
+    from ..session import track_persist
+    log = logging.getLogger(__name__)
+    # persisted BEFORE the size probes: the probes materialize the
+    # blocks the pair join then reuses (the shingle-probe discipline,
+    # ADVICE r12) — this path re-quantizes the corpus otherwise
+    df = track_persist(
+        assigned.withColumn("_pqc", _pq_assign_udf()(F.col(vec_col))),
+        StorageLevel.MEMORY_AND_DISK)
+    block_cols = ["_cell"]
+    for level, sub in ((0, "_sub1"), (1, "_sub2")):
+        sizes = (df.groupBy(*block_cols)
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .filter(F.col("n") > max_cell_rows))
+        # bounded collect: <= n_cells combos at level 0, <= 16x that
+        # at level 1 — the block-key space is tiny by construction
+        over = [tuple(r[c] for c in block_cols)
+                for r in sizes.collect()]
+        if not over:
+            break
+        log.warning(
+            "%s: %d block(s) exceed max_cell_rows=%d — sub-blocking "
+            "them by frozen PQ code_%d (pairs straddling sub-blocks "
+            "of one oversized cell are lost; smaller cells stay "
+            "exact).  Retrain a finer frozen grid to remove the "
+            "split: %s", opname, len(over), max_cell_rows, level,
+            remedy)
+        cond = None
+        for key in over:
+            this = None
+            for c, v in zip(block_cols, key):
+                t = F.col(c) == F.lit(v)
+                this = t if this is None else (this & t)
+            cond = this if cond is None else (cond | this)
+        # coalesce keeps the new key NON-NULLABLE so downstream join
+        # inference cannot push a filter below the (pinned) kernel
+        df = df.withColumn(sub, F.coalesce(
+            F.when(cond, F.col("_pqc")[level]), F.lit(-1)))
+        block_cols.append(sub)
+    else:
+        final = (df.groupBy(*block_cols)
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .agg(F.max("n")).first()[0]) or 0
+        if final > max_cell_rows:
+            raise ValueError(
+                f"{opname}: a 256-way PQ sub-block still holds "
+                f"{final} rows (> {max_cell_rows}) — the frozen grid "
+                f"no longer fits this corpus; {remedy}")
+    return df.drop("_pqc"), block_cols
+
+
 def semantic_dedup_pairs(emb: DataFrame, threshold: float = 0.995,
                          n_clusters: int = 8, n_assign: int = 3,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding", seed: int = 42,
-                         max_cell_rows: int = 50_000) -> DataFrame:
+                         max_cell_rows: int = 50_000,
+                         oversize: str = "subblock") -> DataFrame:
     """SemDeDup-style cluster-blocked near-duplicate pairs (Abbas et
     al. 2023, arXiv:2303.09540): KMeans cells block the quadratic pair
     generation — each vector joins its ``n_assign`` nearest cells
@@ -208,12 +300,15 @@ def semantic_dedup_pairs(emb: DataFrame, threshold: float = 0.995,
     EQUI-join on the cell id (hash/SMJ, never a cartesian), so cost
     is Σ|cell|² over n_assign-inflated cells, not |corpus|² — size
     ``n_clusters`` ~ corpus/1000 at scale.  A cell exceeding
-    ``max_cell_rows`` fails LOUDLY (one tiny count-agg guard) instead
-    of silently going quadratic: raise n_clusters.  The default bound
-    caps the worst single cell at 50k² = 2.5e9 candidate pairs —
-    measured r12: a 75k-row cell (200k vectors over 8 cells) already
-    runs past 10 minutes on local[32], so the old 200k default
-    permitted ~40x that before refusing."""
+    ``max_cell_rows`` never goes silently quadratic (one tiny
+    count-agg guard; 50k² = 2.5e9 candidate pairs — measured r12: a
+    75k-row cell already runs past 10 minutes on local[32]):
+    ``oversize="subblock"`` (default, VERDICT r12 task 3) splits ONLY
+    the oversized cells by frozen PQ code prefix and dedups within
+    sub-blocks (recall reduction confined to those cells, logged;
+    corpora with every cell in bound are bit-identical to the exact
+    path), ``oversize="error"`` restores the loud refusal — raise
+    n_clusters."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -241,27 +336,19 @@ def semantic_dedup_pairs(emb: DataFrame, threshold: float = 0.995,
     biggest = (assigned.groupBy("_cell")
                .agg(F.count(F.lit(1)).alias("n"))
                .agg(F.max("n")).first()[0]) or 0
+    block_cols = ["_cell"]
     if biggest > max_cell_rows:
-        raise ValueError(
-            f"semantic_dedup_pairs: largest KMeans cell holds "
-            f"{biggest} rows (> {max_cell_rows}); the within-cell "
-            f"pair join would go quadratic — raise n_clusters "
-            f"(currently {n_clusters}) so cells stay bounded")
-    a = assigned.select(F.col("_cell"),
-                        F.col(id_col).alias("id_a"),
-                        F.col(vec_col).alias("_va"))
-    b = assigned.select(F.col("_cell"),
-                        F.col(id_col).alias("id_b"),
-                        F.col(vec_col).alias("_vb"))
-    pairs = (a.join(b, "_cell")
-             .filter(F.col("id_a") < F.col("id_b"))
-             # a pair sharing 2 cells must score ONCE (and the
-             # dedup runs BEFORE the cosine, not after)
-             .dropDuplicates(["id_a", "id_b"])
-             .withColumn("cosine", _cosine(F.col("_va"), F.col("_vb")))
-             .filter(F.col("cosine") >= threshold))
-    return pairs.select("id_a", "id_b",
-                        F.round("cosine", 4).alias("cosine"))
+        if oversize != "subblock":
+            raise ValueError(
+                f"semantic_dedup_pairs: largest KMeans cell holds "
+                f"{biggest} rows (> {max_cell_rows}); the within-cell "
+                f"pair join would go quadratic — raise n_clusters "
+                f"(currently {n_clusters}) so cells stay bounded")
+        assigned, block_cols = _subblock_oversized(
+            assigned, max_cell_rows, "semantic_dedup_pairs", vec_col,
+            remedy=f"or raise n_clusters (currently {n_clusters})")
+    return _blocked_pairs(assigned, block_cols, threshold, id_col,
+                          vec_col)
 
 
 def semantic_dedup(emb: DataFrame, threshold: float = 0.995,
@@ -1159,11 +1246,169 @@ def _qint(vec) -> list[int]:
     return [math.floor(float(x) * float(SCALE)) for x in vec]
 
 
+# ---- Arrow-vectorized quantization kernels (VERDICT r12 task 4) ------------
+# The interpreted higher-order argmin (_argmin_cells_expr) costs ~70 µs/vec
+# — the measured dominator of the frozen top-k operators and of index
+# builds at 200k vectors (SCALE.md r12 probe).  These pandas_udf twins run
+# the IDENTICAL exact-integer convention on numpy batches:
+#   * floor(float64(x)·SCALE) → int64 — np.floor on a float64 array is the
+#     same IEEE multiply+floor _vint_expr/_qint perform per element;
+#   * squared L2 via the expansion ‖v‖² − 2v·c + ‖c‖² — int64 throughout,
+#     every product ≤ (SCALE·|x|)²·D, orders of magnitude below 2⁶³, and
+#     integer addition is associative, so the expansion form is EXACTLY
+#     the zip_with fold (no float rounding anywhere);
+#   * ties to the LOWER index — np.argmin returns the first minimum and
+#     kind="stable" argsort preserves index order among equal distances,
+#     matching array_sort over struct(d, i).
+# Bit-identical assignments, ~10× less CPU (A/B in SCALE.md r13).  The
+# expression twins stay in place for plans that must remain zero-Python
+# (the streaming folds, semantic-dedup cell blocking) and as the
+# cross-checked reference (tests/test_operators.py kernel-equality test).
+
+
+def _np_vint(vecs):
+    """Batch mirror of _vint_expr over a pandas Series of vectors."""
+    import numpy as np
+
+    from .frozen_codebooks import SCALE
+    V = np.stack([np.asarray(v) for v in vecs]).astype(np.float64)
+    return np.floor(V * float(SCALE)).astype(np.int64)
+
+
+def _np_sqdist(V, C):
+    """Exact int64 pairwise squared L2, (B,D)x(K,D) -> (B,K)."""
+    return ((V * V).sum(1)[:, None] - 2 * (V @ C.T)
+            + (C * C).sum(1)[None, :])
+
+
+def _np_pq_codes(V, books, sub_d):
+    """Per-subspace nearest frozen codeword, (B, M) int32."""
+    import numpy as np
+    codes = np.empty((V.shape[0], len(books)), dtype=np.int32)
+    for s, book in enumerate(books):
+        B = np.asarray(book, dtype=np.int64)
+        codes[:, s] = np.argmin(
+            _np_sqdist(V[:, s * sub_d:(s + 1) * sub_d], B), axis=1)
+    return codes
+
+
+def _cells_udf(centers, n):
+    """pandas_udf: vector -> the n nearest frozen centers (array<int>,
+    same (distance, index) order as _argmin_cells_expr)."""
+    import numpy as np
+    import pandas as pd
+    C = np.asarray(centers, dtype=np.int64)
+
+    # no type hints: the module-wide `from __future__ import
+    # annotations` would stringify them past pandas_udf's inference —
+    # the explicit SCALAR eval type says the same thing
+    def _cells(vecs):
+        if vecs.empty:
+            return pd.Series([], dtype=object)
+        d = _np_sqdist(_np_vint(vecs), C)
+        if n == 1:
+            idx = np.argmin(d, axis=1).astype(np.int32)[:, None]
+        else:
+            idx = (np.argsort(d, axis=1, kind="stable")[:, :n]
+                   .astype(np.int32))
+        return pd.Series(list(idx))
+    return F.pandas_udf(_cells, "array<int>",
+                        F.PandasUDFType.SCALAR)
+
+
+def _pq_assign_udf():
+    """pandas_udf: vector -> the PQ_M frozen codes over the direct
+    (non-residual) codebooks (array<int>)."""
+    import pandas as pd
+
+    from . import frozen_codebooks as FC
+
+    def _codes(vecs):
+        if vecs.empty:
+            return pd.Series([], dtype=object)
+        V = _np_vint(vecs)
+        return pd.Series(list(_np_pq_codes(
+            V, FC.PQ_CODEBOOKS_I, FC.SUB_D)))
+    return F.pandas_udf(_codes, "array<int>",
+                        F.PandasUDFType.SCALAR)
+
+
+def _ivfpq_assign_udf():
+    """pandas_udf: vector -> struct(cell, codes): nearest coarse cell
+    plus the PQ_M residual codes against that cell's center."""
+    import numpy as np
+    import pandas as pd
+
+    from . import frozen_codebooks as FC
+    C = np.asarray(FC.COARSE_CENTERS_I, dtype=np.int64)
+
+    def _assign(vecs):
+        if vecs.empty:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "codes": pd.Series([], dtype=object)})
+        V = _np_vint(vecs)
+        cell = np.argmin(_np_sqdist(V, C), axis=1)
+        codes = _np_pq_codes(V - C[cell], FC.RESIDUAL_CODEBOOKS_I,
+                             FC.SUB_D)
+        return pd.DataFrame({"cell": cell.astype(np.int32),
+                             "codes": list(codes)})
+    return F.pandas_udf(_assign, "cell int, codes array<int>",
+                        F.PandasUDFType.SCALAR)
+
+
+def _ivfpq_corpus_exploded(emb: DataFrame, id_col: str,
+                           vec_col: str) -> DataFrame:
+    """One mapInPandas pass over the corpus: (neighbor_id, nnorm,
+    cell, s, code) with the PQ_M residual codes already exploded — the
+    fused quantize+explode shape ivfpq_topk_frozen consumes.
+
+    Why not the scalar UDF: the cell feeds a join key and the codes
+    feed a posexplode, and Catalyst's inferred filters (isnotnull on
+    the key, size(codes)>0 below the Generate) get pushed underneath
+    the projection, re-running the kernel over the WHOLE corpus a
+    second time (observed in the physical plan).  mapInPandas is one
+    pass by construction.  nnorm reproduces _norm's sequential left
+    fold bit-for-bit: per-component accumulation in float64, then the
+    correctly-rounded sqrt both engines share."""
+    import numpy as np
+    import pandas as pd
+
+    from . import frozen_codebooks as FC
+    C = np.asarray(FC.COARSE_CENTERS_I, dtype=np.int64)
+    M = FC.PQ_M
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            Vf = (np.stack([np.asarray(v) for v in pdf[vec_col]])
+                  .astype(np.float64))
+            acc = np.zeros(len(pdf))
+            for d in range(Vf.shape[1]):     # sequential fold = _norm
+                x = Vf[:, d]
+                acc = acc + x * x
+            nnorm = np.sqrt(acc)
+            V = np.floor(Vf * float(FC.SCALE)).astype(np.int64)
+            cell = np.argmin(_np_sqdist(V, C), axis=1)
+            codes = _np_pq_codes(V - C[cell], FC.RESIDUAL_CODEBOOKS_I,
+                                 FC.SUB_D)
+            yield pd.DataFrame({
+                "neighbor_id": np.repeat(ids, M),
+                "nnorm": np.repeat(nnorm, M),
+                "cell": np.repeat(cell.astype(np.int32), M),
+                "s": np.tile(np.arange(M, dtype=np.int32), len(pdf)),
+                "code": codes.reshape(-1)})
+    return emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        gen, "neighbor_id long, nnorm double, cell int, s int, code int")
+
+
 def semantic_dedup_pairs_frozen(emb: DataFrame, threshold: float = 0.995,
                                 n_assign: int = 3,
                                 id_col: str = "vec_id",
                                 vec_col: str = "embedding",
-                                max_cell_rows: int = 50_000) -> DataFrame:
+                                max_cell_rows: int = 50_000,
+                                oversize: str = "subblock") -> DataFrame:
     """``semantic_dedup_pairs`` (SemDeDup cluster-blocked near-dup
     pairs) over the FROZEN coarse centers: identical output contract
     (id_a < id_b, exact cosine ≥ threshold, near-duplicate default
@@ -1176,7 +1421,11 @@ def semantic_dedup_pairs_frozen(emb: DataFrame, threshold: float = 0.995,
 
     Scale shape: assignment is a pure projection (no shuffle, no UDF,
     no driver state beyond the 8×64-int literal); the pair join is the
-    same within-cell equi-join, guarded against a degenerate cell."""
+    same within-cell equi-join.  A cell over ``max_cell_rows`` takes
+    the PQ sub-blocking path by default (VERDICT r12 task 3 — the r12
+    guard refused the 200k probe outright; corpora with every cell in
+    bound, i.e. the gate/oracle regime, are bit-identical to the exact
+    path); ``oversize="error"`` restores the loud refusal."""
     from . import frozen_codebooks as FC
     assigned = (emb.select(F.col(id_col), F.col(vec_col))
                 .withColumn("_vint", F.expr(_vint_expr(vec_col)))
@@ -1187,24 +1436,23 @@ def semantic_dedup_pairs_frozen(emb: DataFrame, threshold: float = 0.995,
     biggest = (assigned.groupBy("_cell")
                .agg(F.count(F.lit(1)).alias("n"))
                .agg(F.max("n")).first()[0]) or 0
+    block_cols = ["_cell"]
     if biggest > max_cell_rows:
-        raise ValueError(
-            f"semantic_dedup_pairs_frozen: largest frozen cell holds "
-            f"{biggest} rows (> {max_cell_rows}); the within-cell pair "
-            f"join would go quadratic — retrain a finer frozen grid "
-            f"(scripts/train_frozen_codebooks.py) or use the trained "
-            f"semantic_dedup_pairs")
-    a = assigned.select(F.col("_cell"), F.col(id_col).alias("id_a"),
-                        F.col(vec_col).alias("_va"))
-    b = assigned.select(F.col("_cell"), F.col(id_col).alias("id_b"),
-                        F.col(vec_col).alias("_vb"))
-    pairs = (a.join(b, "_cell")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .dropDuplicates(["id_a", "id_b"])
-             .withColumn("cosine", _cosine(F.col("_va"), F.col("_vb")))
-             .filter(F.col("cosine") >= threshold))
-    return pairs.select("id_a", "id_b",
-                        F.round("cosine", 4).alias("cosine"))
+        if oversize != "subblock":
+            raise ValueError(
+                f"semantic_dedup_pairs_frozen: largest frozen cell "
+                f"holds {biggest} rows (> {max_cell_rows}); the "
+                f"within-cell pair join would go quadratic — retrain "
+                f"a finer frozen grid "
+                f"(scripts/train_frozen_codebooks.py) or use the "
+                f"trained semantic_dedup_pairs")
+        assigned, block_cols = _subblock_oversized(
+            assigned, max_cell_rows, "semantic_dedup_pairs_frozen",
+            vec_col,
+            remedy="retrain a finer frozen grid "
+                   "(scripts/train_frozen_codebooks.py)")
+    return _blocked_pairs(assigned, block_cols, threshold, id_col,
+                          vec_col)
 
 
 def semantic_dedup_frozen(emb: DataFrame, threshold: float = 0.995,
@@ -1233,13 +1481,17 @@ def pq_topk_frozen(emb: DataFrame, query_ids: list[int], k: int = 3,
     float cosine."""
     from . import frozen_codebooks as FC
     spark = emb.sparkSession
-    base = emb.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("nvec"),
-                      _norm(F.col(vec_col)).alias("nnorm"),
-                      F.expr(_vint_expr(vec_col)).alias("_vint"))
-    coded = base.selectExpr(
-        "neighbor_id", "nnorm",
-        *_pq_code_exprs("_vint", FC.PQ_CODEBOOKS_I, FC.SUB_D))
+    # corpus-side quantization: the Arrow-vectorized kernel (VERDICT
+    # r12 task 4) — bit-identical codes, one batch pass instead of
+    # M·K interpreted higher-order folds per row.  posexplode consumes
+    # the UDF output IN THE SAME select: routing it through a second
+    # projection makes ExtractPythonUDFs evaluate the kernel twice
+    # (plan-asserted in test_frozen_pq_and_ivfpq_all_joins_broadcast).
+    exploded = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _norm(F.col(vec_col)).alias("nnorm"),
+        F.posexplode(_pq_assign_udf()(F.col(vec_col)))
+         .alias("s", "code"))
 
     qrows = (emb.filter(F.col(id_col).isin(query_ids))
                 .select(id_col, vec_col).collect())
@@ -1253,12 +1505,6 @@ def pq_topk_frozen(emb: DataFrame, query_ids: list[int], k: int = 3,
                             sum(a * b for a, b in zip(qs, cen))))
     lut_df = spark.createDataFrame(
         lut, "query_id long, s int, code int, partial long")
-
-    exploded = coded.select(
-        "neighbor_id", "nnorm",
-        F.posexplode(F.array(*[F.col(f"code_{s}")
-                               for s in range(FC.PQ_M)]))
-         .alias("s", "code"))
     scored = (exploded.join(F.broadcast(lut_df), ["s", "code"])
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .groupBy("query_id", "neighbor_id")
@@ -1285,19 +1531,11 @@ def ivfpq_topk_frozen(emb: DataFrame, query_ids: list[int], k: int = 3,
     cells' codes are ever scored."""
     from . import frozen_codebooks as FC
     spark = emb.sparkSession
-    coarse_lit = _nested_array_lit(FC.COARSE_CENTERS_I)
-    base = (emb.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).alias("nvec"),
-                       _norm(F.col(vec_col)).alias("nnorm"),
-                       F.expr(_vint_expr(vec_col)).alias("_vint"))
-            .withColumn("cell", F.expr(_argmin_cells_expr(
-                "_vint", FC.COARSE_CENTERS_I, 1))[0])
-            .withColumn("_rint", F.expr(
-                f"zip_with(_vint, element_at({coarse_lit}, cell + 1), "
-                f"(a, b) -> a - b)")))
-    coded = base.selectExpr(
-        "neighbor_id", "nnorm", "cell",
-        *_pq_code_exprs("_rint", FC.RESIDUAL_CODEBOOKS_I, FC.SUB_D))
+    # corpus-side cell + residual codes + nnorm + explode fused into
+    # ONE mapInPandas pass (VERDICT r12 task 4) — bit-identical to the
+    # expression twin, guaranteed single evaluation (see
+    # _ivfpq_corpus_exploded for why the scalar-UDF shape re-runs)
+    exploded0 = _ivfpq_corpus_exploded(emb, id_col, vec_col)
 
     qrows = (emb.filter(F.col(id_col).isin(query_ids))
                 .select(id_col, vec_col).collect())
@@ -1321,12 +1559,9 @@ def ivfpq_topk_frozen(emb: DataFrame, query_ids: list[int], k: int = 3,
     lut_df = spark.createDataFrame(
         lut, "query_id long, s int, code int, partial long")
 
-    exploded = (coded.join(F.broadcast(probe_df), "cell")
+    exploded = (exploded0.join(F.broadcast(probe_df), "cell")
                 .select("query_id", "neighbor_id", "nnorm", "qc_dot",
-                        F.posexplode(F.array(
-                            *[F.col(f"code_{s}")
-                              for s in range(FC.PQ_M)]))
-                        .alias("s", "code")))
+                        "s", "code"))
     scored = (exploded
               .join(F.broadcast(lut_df), ["query_id", "s", "code"])
               .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -1393,12 +1628,16 @@ def ivf_topk_frozen(emb: DataFrame, query_ids: list[int], k: int = 3,
     coarse-pruning serving shape with zero training at query time."""
     from . import frozen_codebooks as FC
     spark = emb.sparkSession
-    corpus = (emb.select(F.col(id_col).alias("neighbor_id"),
-                         F.col(vec_col).alias("nvec"),
-                         F.expr(_vint_expr(vec_col)).alias("_vint"))
-              .withColumn("cell", F.expr(_argmin_cells_expr(
-                  "_vint", FC.COARSE_CENTERS_I, 1))[0])
-              .drop("_vint"))
+    # Arrow-vectorized cell assignment (VERDICT r12 task 4); the
+    # coalesce makes the join key non-nullable so the probe join's
+    # inferred isnotnull filter cannot re-evaluate the kernel (see
+    # ivfpq_topk_frozen)
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        F.coalesce(
+            _cells_udf(FC.COARSE_CENTERS_I, 1)(F.col(vec_col))[0],
+            F.lit(-1)).alias("cell"))
     qrows = (emb.filter(F.col(id_col).isin(query_ids))
                 .select(id_col, vec_col).collect())
     probes = []
@@ -1434,11 +1673,11 @@ def cluster_balanced_sample_frozen(emb: DataFrame, k_per_cluster: int,
     already matches.  Diversity-preserving subsampling with zero
     training at sample time."""
     from . import frozen_codebooks as FC
-    assigned = (emb.select(F.col(id_col),
-                           F.expr(_vint_expr(vec_col)).alias("_vint"))
-                .withColumn("cluster", F.expr(_argmin_cells_expr(
-                    "_vint", FC.COARSE_CENTERS_I, 1))[0])
-                .drop("_vint"))
+    # Arrow-vectorized cell assignment (VERDICT r12 task 4)
+    assigned = emb.select(
+        F.col(id_col),
+        _cells_udf(FC.COARSE_CENTERS_I, 1)(F.col(vec_col))[0]
+        .alias("cluster"))
     h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
                           F.lit(salt)))
     w = Window.partitionBy("cluster").orderBy(h.asc(), F.col(id_col))
@@ -1513,18 +1752,16 @@ def ivfpq_build_index(emb: DataFrame, index_dir: str,
             shutil.rmtree(stale, ignore_errors=True)
         elif os.path.exists(stale):
             os.remove(stale)
-    coarse_lit = _nested_array_lit(FC.COARSE_CENTERS_I)
-    base = (emb.select(F.col(id_col).alias("neighbor_id"),
-                       _norm(F.col(vec_col)).alias("nnorm"),
-                       F.expr(_vint_expr(vec_col)).alias("_vint"))
-            .withColumn("cell", F.expr(_argmin_cells_expr(
-                "_vint", FC.COARSE_CENTERS_I, 1))[0])
-            .withColumn("_rint", F.expr(
-                f"zip_with(_vint, element_at({coarse_lit}, cell + 1), "
-                f"(a, b) -> a - b)")))
-    coded = base.selectExpr(
-        "neighbor_id", "nnorm", "cell",
-        *_pq_code_exprs("_rint", FC.RESIDUAL_CODEBOOKS_I, FC.SUB_D))
+    # the same Arrow-batch assignment as the inline operator (VERDICT
+    # r12 task 4); the persisted schema keeps one code_s column per
+    # subspace — a cheap JVM projection off the struct
+    coded = (emb.select(F.col(id_col).alias("neighbor_id"),
+                        _norm(F.col(vec_col)).alias("nnorm"),
+                        _ivfpq_assign_udf()(F.col(vec_col)).alias("_a"))
+             .select("neighbor_id", "nnorm",
+                     F.col("_a.cell").alias("cell"),
+                     *[F.col("_a.codes")[s].alias(f"code_{s}")
+                       for s in range(FC.PQ_M)]))
     (coded.write.mode("overwrite").partitionBy("cell")
           .parquet(os.path.join(index_dir, "codes.parquet")))
     os.makedirs(index_dir, exist_ok=True)

@@ -126,7 +126,13 @@ def main() -> int:
     # entries of queries() at the given sf_dir.
     window = set(list(qs)[:50]) if FILT == "@window" else None
     n_pass = n_fail = n_rows_only = 0
+    from olap_xtrctr_spark.session import release_tracked_caches
     for name, fn in qs.items():
+        # per-entry cache hygiene (VERDICT r12 task 8): release the
+        # PREVIOUS entry's tracked pins (top-of-loop so every
+        # continue path below is covered), else a full-workload run
+        # accumulates every diamond operator's cached intermediate
+        release_tracked_caches()
         if window is not None:
             if name not in window:
                 continue
@@ -175,6 +181,7 @@ def main() -> int:
             continue
         print(f"PASS  {name}: {len(srows)} rows")
         n_pass += 1
+    release_tracked_caches()
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0
 

@@ -25,6 +25,7 @@ def main() -> int:
     import __spark_entry__ as e
 
     assert e.entry(spark).count() >= 0
+    from olap_xtrctr_spark.session import release_tracked_caches
     failures = []
     for name, fn in e.queries().items():
         try:
@@ -33,6 +34,11 @@ def main() -> int:
         except Exception as ex:                     # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: {str(ex)[:200]}", flush=True)
+        finally:
+            # per-entry cache hygiene (VERDICT r12 task 8): a 296-entry
+            # session would otherwise accumulate every diamond
+            # operator's pinned intermediate in executor memory
+            release_tracked_caches()
     print(f"{len(e.queries()) - len(failures)} ok, "
           f"{len(failures)} failed{': ' if failures else ''}{failures or ''}")
     return 1 if failures else 0

@@ -402,6 +402,24 @@ def test_dispatch_releases_tracked_caches(base_url, spark):
         foreign.unpersist(blocking=False)
 
 
+def test_multi_entry_run_releases_all_pins(spark, sf_dir):
+    """VERDICT r12 task 8: a long session running many workload
+    entries (driver_sim / check_correctness pattern: run entry,
+    release, next) must end with ZERO tracked frames — the per-entry
+    release the runner scripts now perform, exercised over pin-heavy
+    entries (shingle table, semantic-dedup assignment, rfm rollup)."""
+    from olap_xtrctr_spark import session as SS
+    from olap_xtrctr_spark.workload import WORKLOAD
+
+    SS.release_tracked_caches()         # clean slate on this thread
+    for name in ("docs_containment_pairs_prefix",
+                 "emb_semantic_dedup_pairs", "events_rfm_segments"):
+        WORKLOAD[name].fn(spark, sf_dir).count()
+        SS.release_tracked_caches()     # the runner's per-entry call
+    assert SS._tracked_list() == [], \
+        "tracked pins survived a multi-entry run with per-entry release"
+
+
 def test_track_persist_thread_isolation(spark):
     """The per-thread registry contract itself (ADVICE r12): releasing
     on thread B frees none of thread A's pins; thread A's own release

@@ -1937,3 +1937,87 @@ def test_rank_over_calculated_measure(spark, sf_dir):
     assert [rk for _, rk in rows] == list(range(1, len(rows) + 1))
     assert [v for v, _ in rows] == sorted((v for v, _ in rows),
                                           reverse=True)
+
+
+# ---- adversarial near-grammar fuzz (VERDICT r12 task 7) ---------------------
+# The parse∘build identity test above covers well-formed requests; this
+# strategy mutates VALID queries toward the grammar's edges (unbalanced
+# brackets, wrapper misorder, embedded `.&[` inside member keys, every
+# ordinal axis spelling, truncations, duplicated spans) and asserts the
+# parser's total contract: every outcome is a QueryRequest or a typed
+# MdxParseError / QueryValidationError — never a stack trace from a
+# stray IndexError/KeyError/RecursionError, and never a silently-wrong
+# object of another type.
+
+from olap_xtrctr_spark.query import QueryValidationError
+
+_FUZZ_TEMPLATES = [
+    "SELECT {[Measures].[Sum Quantity]} ON COLUMNS FROM [sales]",
+    "SELECT {[Measures].[Sum Quantity]} ON COLUMNS, NON EMPTY "
+    "{[Dim Customer].[Geografía].[Region].MEMBERS} ON ROWS FROM [sales]",
+    "SELECT {[Measures].[Sum Quantity],[Measures].[Total Registros]} "
+    "ON 0, {[Dim Customer].[Geografía].[L1].&[3],"
+    "[Dim Customer].[Geografía].[L1].&[5]} ON 1 FROM [sales] "
+    "WHERE ([Dim Producto].[Producto].[Brand].&[Brand#11])",
+    "SELECT NONEMPTY({[Measures].[Sum Quantity]}, "
+    "{[Measures].[Sum Quantity]}) ON COLUMNS, "
+    "ORDER([Dim Customer].[Geografía].[Nation].MEMBERS, "
+    "[Measures].[Sum Quantity], DESC) ON ROWS FROM [sales]",
+    "SELECT {[Measures].[Sum Quantity]} ON COLUMNS, "
+    "HEAD(CROSSJOIN([Dim Customer].[Geografía].[Region].MEMBERS, "
+    "[D Tiempo].[Calendario].[Año].MEMBERS), 5) ON ROWS FROM [sales] "
+    "CELL PROPERTIES VALUE, FORMATTED_VALUE",
+    "SELECT {[Measures].[Sum Quantity]} ON COLUMNS, "
+    "[Dim Customer].[Geografía].[Nation].MEMBERS "
+    "DIMENSION PROPERTIES [Region] ON ROWS FROM [sales] MAXROWS 10",
+    "SELECT {[Measures].[Sum Quantity]} ON COLUMNS, "
+    "[Dim Customer].[Geografía].[L1].&[2].CHILDREN ON ROWS "
+    "FROM [sales]",
+]
+
+_AXIS_SPELLINGS = st.sampled_from(
+    ["ON 0", "ON 1", "ON 2", "ON AXIS(0)", "ON AXIS(1)", "ON AXIS(2)",
+     "ON COLUMNS", "ON ROWS", "on columns", "On Rows", "ON COLUMN"])
+
+_CORRUPTIONS = st.sampled_from(
+    ["[", "]", "]]", "[[", ".&[", "{", "}", "(", ")", ",", " ",
+     "NONEMPTY(", "ORDER(", "HEAD(", "CROSSJOIN(", "DESC",
+     ".&[3.&[4]", "&[Brand#[11]", ".CHILDREN", ".ALLMEMBERS",
+     "DIMENSION PROPERTIES", "CELL PROPERTIES", "MAXROWS", "MAXROWS 0",
+     "WHERE", "FROM", "NON EMPTY", "SELECT", ".&[Región#3]"])
+
+
+@st.composite
+def _near_grammar_mdx(draw):
+    s = draw(st.sampled_from(_FUZZ_TEMPLATES))
+    for _ in range(draw(st.integers(0, 4))):
+        op = draw(st.sampled_from(
+            ["insert", "delete", "dup", "axis", "truncate"]))
+        i = draw(st.integers(0, max(0, len(s) - 1)))
+        if op == "insert":
+            s = s[:i] + draw(_CORRUPTIONS) + s[i:]
+        elif op == "delete":
+            j = min(len(s), i + draw(st.integers(1, 10)))
+            s = s[:i] + s[j:]
+        elif op == "dup":
+            j = min(len(s), i + draw(st.integers(1, 10)))
+            s = s[:i] + s[i:j] + s[i:j] + s[j:]
+        elif op == "truncate":
+            s = s[:max(1, i)]
+        else:
+            for a in ("ON COLUMNS", "ON ROWS", "ON 0", "ON 1"):
+                if a in s:
+                    s = s.replace(a, draw(_AXIS_SPELLINGS), 1)
+                    break
+    return s
+
+
+@given(_near_grammar_mdx())
+@settings(max_examples=500, deadline=None)
+def test_parse_mdx_adversarial_total(mdx):
+    from olap_xtrctr_spark.query import QueryRequest
+    try:
+        req = parse_mdx(mdx, "VENTAS_2025")
+    except (MdxParseError, QueryValidationError):
+        return                      # the typed refusal contract
+    assert isinstance(req, QueryRequest)

@@ -2496,3 +2496,66 @@ def test_frozen_argmin_tie_breaks_to_lower_index(spark):
     expr = _argmin_cells_expr("v", [[1, 1], [1, 1], [2, 2]], 3)
     row = df.selectExpr(f"{expr} AS cells").first()
     assert list(row["cells"]) == [2, 0, 1]
+
+
+def test_numpy_quant_kernel_tie_breaks_to_lower_index(spark):
+    """The Arrow-vectorized kernel (VERDICT r12 task 4) pins the SAME
+    tie-break: stable argsort / first-minimum argmin resolve planted
+    exact-equal distances to the lower cell index."""
+    from olap_xtrctr_spark.operators import similarity as S
+    # float32(0.0005) quantizes to floor(·10⁴) = 5 per component, so
+    # centers 0 and 1 (both [1,1]) are exactly equidistant (L2²=32)
+    # and center 2 ([2,2]) is nearest (18) — index order on the tie
+    df = spark.createDataFrame([(1, [0.0005, 0.0005])],
+                               "id long, v array<float>")
+    row = df.select(S._cells_udf([[1, 1], [1, 1], [2, 2]], 3)("v")
+                    .alias("cells")).first()
+    assert list(row["cells"]) == [2, 0, 1]
+
+
+def test_numpy_quant_kernels_match_expression_twins(spark, sf_dir):
+    """Bit-equality of the numpy kernels against the interpreted
+    expression twins over the whole real embeddings table: coarse
+    cells (n=3), direct PQ codes, and the fused cell+residual-codes
+    assignment — the invariant that lets the kernels replace the
+    expressions in the frozen operators with oracles unchanged."""
+    from pyspark.sql import functions as F
+
+    from olap_xtrctr_spark.operators import frozen_codebooks as FC
+    from olap_xtrctr_spark.operators import similarity as S
+    from olap_xtrctr_spark.session import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding",
+                      F.expr(S._vint_expr("embedding")).alias("_v"))
+
+    exp = {r["vec_id"]: list(r["c"]) for r in base.select(
+        "vec_id", F.expr(S._argmin_cells_expr(
+            "_v", FC.COARSE_CENTERS_I, 3)).alias("c")).collect()}
+    ker = {r["vec_id"]: list(r["c"]) for r in emb.select(
+        "vec_id", S._cells_udf(FC.COARSE_CENTERS_I, 3)("embedding")
+        .alias("c")).collect()}
+    assert exp == ker
+
+    exp = {r["vec_id"]: [r[f"code_{s}"] for s in range(FC.PQ_M)]
+           for r in base.selectExpr("vec_id", *S._pq_code_exprs(
+               "_v", FC.PQ_CODEBOOKS_I, FC.SUB_D)).collect()}
+    ker = {r["vec_id"]: list(r["codes"]) for r in emb.select(
+        "vec_id", S._pq_assign_udf()("embedding").alias("codes"))
+        .collect()}
+    assert exp == ker
+
+    coarse_lit = S._nested_array_lit(FC.COARSE_CENTERS_I)
+    exp = {r["vec_id"]: (r["cell"],
+                         [r[f"code_{s}"] for s in range(FC.PQ_M)])
+           for r in (base.withColumn("cell", F.expr(
+               S._argmin_cells_expr("_v", FC.COARSE_CENTERS_I, 1))[0])
+               .withColumn("_r", F.expr(
+                   f"zip_with(_v, element_at({coarse_lit}, cell + 1), "
+                   f"(a, b) -> a - b)"))
+               .selectExpr("vec_id", "cell", *S._pq_code_exprs(
+                   "_r", FC.RESIDUAL_CODEBOOKS_I, FC.SUB_D))).collect()}
+    ker = {r["vec_id"]: (r["a"]["cell"], list(r["a"]["codes"]))
+           for r in emb.select(
+               "vec_id", S._ivfpq_assign_udf()("embedding").alias("a"))
+           .collect()}
+    assert exp == ker

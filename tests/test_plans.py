@@ -545,7 +545,58 @@ def test_semantic_dedup_equi_join_and_gates(spark, sf_dir):
     all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
     assert kept == all_ids - {b for _, b in exact}
     with pytest.raises(ValueError, match="quadratic"):
-        S.semantic_dedup_pairs(emb, n_clusters=2, max_cell_rows=10)
+        S.semantic_dedup_pairs(emb, n_clusters=2, max_cell_rows=10,
+                               oversize="error")
+
+
+def test_semantic_dedup_oversized_cells_subblock(spark, sf_dir):
+    """VERDICT r12 task 3: a cell over max_cell_rows no longer refuses
+    by default — oversized cells split by frozen PQ code prefix and
+    dedup within sub-blocks.  Contract: precision stays 1 (every pair
+    is in the exact GEMM table with the identical cosine), only recall
+    inside the oversized cells may drop, and oversize='error' restores
+    the loud guard for both variants."""
+    import pytest
+
+    from olap_xtrctr_spark.operators import dedup as D
+    from olap_xtrctr_spark.operators import similarity as S
+    from olap_xtrctr_spark.session import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    # plant 20 EXACT duplicates: identical vectors always share every
+    # frozen PQ code, so they survive ANY depth of sub-blocking — the
+    # guaranteed-recall core of the rescue path
+    dup = (emb.filter(F.col("vec_id") < 20)
+           .select((F.col("vec_id") + 10_000).alias("vec_id"),
+                   "embedding"))
+    big = emb.select("vec_id", "embedding").union(dup)
+    planted = {(i, i + 10_000) for i in range(20)}
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in D.embedding_near_dups(big,
+                                            threshold=0.995).collect()}
+    # max_cell_rows=10 makes EVERY frozen cell oversized on the
+    # 520-row corpus — the sub-blocking rescue path end-to-end
+    for fn in (lambda: S.semantic_dedup_pairs_frozen(
+                   big, threshold=0.995, max_cell_rows=10),
+               lambda: S.semantic_dedup_pairs(
+                   big, threshold=0.995, n_clusters=2,
+                   max_cell_rows=10)):
+        got = {(r["id_a"], r["id_b"]): r["cosine"]
+               for r in fn().collect()}
+        assert set(got) <= set(exact), "sub-blocking invented pairs"
+        assert all(exact[k] == v for k, v in got.items()), \
+            "cosines diverge from the GEMM kernel"
+        assert planted <= set(got), \
+            "an exact duplicate escaped its sub-block"
+    with pytest.raises(ValueError, match="quadratic"):
+        S.semantic_dedup_pairs_frozen(emb, max_cell_rows=10,
+                                      oversize="error")
+    # in-bound corpora never enter the sub-block path: bit-identical
+    # to the exact within-cell join (the gate/oracle regime)
+    a = sorted(map(tuple, S.semantic_dedup_pairs_frozen(
+        emb, threshold=0.45).collect()))
+    b = sorted(map(tuple, S.semantic_dedup_pairs_frozen(
+        emb, threshold=0.45, max_cell_rows=10**9).collect()))
+    assert a == b
 
 
 # ---- frozen-codebook family plan shapes (round 12) --------------------------
@@ -573,9 +624,12 @@ def test_frozen_cell_assignment_is_pure_projection(spark, sf_dir):
 def test_frozen_pq_and_ivfpq_all_joins_broadcast(spark, sf_dir):
     """The exact ADC twins must keep every join broadcast (the LUT,
     probe list, query vectors and norms are all driver-tiny by
-    construction) and never fall back to Python eval or a sort-merge
-    join — the corpus side must stay partitioned and un-shuffled
-    except for the final per-query aggregation."""
+    construction) and never fall back to a sort-merge join.  Since r13
+    the corpus-side quantization is ONE Arrow-vectorized stage (the
+    numpy kernel, VERDICT r12 task 4 — measured 4x the interpreted
+    higher-order argmin at 200k vectors, bit-identical output); plans
+    must carry exactly that one ArrowEvalPython and NEVER a
+    row-at-a-time BatchEvalPython."""
     from olap_xtrctr_spark.operators import similarity as S
     from olap_xtrctr_spark.session import load_table
     emb = load_table(spark, sf_dir, "embeddings")
@@ -585,7 +639,13 @@ def test_frozen_pq_and_ivfpq_all_joins_broadcast(spark, sf_dir):
         plan = _plan(df)
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan
-        assert "EvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        n_py = plan.count("ArrowEvalPython") + plan.count("MapInPandas")
+        assert n_py == 1, \
+            ("quantization must be exactly one Arrow batch stage on "
+             "the corpus — Catalyst's inferred join-key/Generate "
+             "filters can silently re-run the kernel if the operator "
+             "shape regresses")
 
 
 def test_ivfpq_index_query_prunes_partitions_and_matches_inline(
