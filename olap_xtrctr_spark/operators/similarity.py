@@ -207,6 +207,70 @@ def _blocked_pairs(assigned: DataFrame, block_cols: list[str],
                         F.round("cosine", 4).alias("cosine"))
 
 
+def _blocked_pairs_gemm(assigned: DataFrame, block_cols: list[str],
+                        threshold: float, id_col: str,
+                        vec_col: str) -> DataFrame:
+    """Blockwise-GEMM twin of _blocked_pairs for the OVERSIZED-cell
+    rescue path: one applyInPandas group per block, chunked float64
+    matmul of the normalized block matrix against itself, only
+    above-threshold (id_a < id_b) pairs emitted.
+
+    Two orders of magnitude over the HOF plan where it matters: the
+    equi-join shape routes every candidate pair (with BOTH vectors)
+    through the dropDuplicates exchange — Σ|block|² rows × ~550 B
+    spilled ~TB at the r12 200k probe — and scores them in interpreted
+    per-element folds (~1.6e9 dots/s across 32 cores).  Here vectors
+    never leave their block's task, the only exchange is the groupBy
+    (one row per assignment) plus a dropDuplicates over the tiny
+    survivor set, and the dots run in BLAS.  Cosine rounds
+    half-away-from-zero exactly like dedup.embedding_near_dups (the
+    exact-GEMM reference kernel these outputs are gated against).
+    The in-bound path keeps the HOF equi-join — it is the
+    oracle-graded, byte-stable plan."""
+    import numpy as np
+    import pandas as pd
+
+    def blockfn(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        V = np.stack([np.asarray(v) for v in pdf[vec_col]]).astype(
+            np.float64)
+        norms = np.sqrt((V * V).sum(axis=1))
+        norms[norms == 0.0] = 1.0          # zero vectors match nothing
+        Vn = V / norms[:, None]
+        # chunk so the score slab stays ~128 MiB regardless of block n
+        chunk = max(64, (1 << 24) // max(1, n))
+        outs = []
+        for i0 in range(0, n, chunk):
+            S = Vn[i0:i0 + chunk] @ Vn.T
+            mask = ((S >= threshold)
+                    & (ids[i0:i0 + chunk][:, None] < ids[None, :]))
+            ai, bi = np.nonzero(mask)
+            if len(ai):
+                cos = S[ai, bi]
+                outs.append(pd.DataFrame({
+                    "id_a": ids[i0 + ai], "id_b": ids[bi],
+                    "cosine": np.floor(cos * 1e4 + 0.5) / 1e4}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = (assigned.groupBy(*block_cols)
+             .applyInPandas(blockfn,
+                            "id_a long, id_b long, cosine double")
+             # a pair sharing n_assign blocks emits n_assign identical
+             # slim rows — dedup AFTER the threshold filter, so the
+             # exchange carries only survivors
+             .dropDuplicates(["id_a", "id_b"]))
+    return pairs.select("id_a", "id_b", "cosine")
+
+
 def _subblock_oversized(assigned: DataFrame, max_cell_rows: int,
                         opname: str, vec_col: str,
                         remedy: str) -> tuple[DataFrame, list[str]]:
@@ -347,6 +411,8 @@ def semantic_dedup_pairs(emb: DataFrame, threshold: float = 0.995,
         assigned, block_cols = _subblock_oversized(
             assigned, max_cell_rows, "semantic_dedup_pairs", vec_col,
             remedy=f"or raise n_clusters (currently {n_clusters})")
+        return _blocked_pairs_gemm(assigned, block_cols, threshold,
+                                   id_col, vec_col)
     return _blocked_pairs(assigned, block_cols, threshold, id_col,
                           vec_col)
 
@@ -1451,6 +1517,8 @@ def semantic_dedup_pairs_frozen(emb: DataFrame, threshold: float = 0.995,
             vec_col,
             remedy="retrain a finer frozen grid "
                    "(scripts/train_frozen_codebooks.py)")
+        return _blocked_pairs_gemm(assigned, block_cols, threshold,
+                                   id_col, vec_col)
     return _blocked_pairs(assigned, block_cols, threshold, id_col,
                           vec_col)
 
