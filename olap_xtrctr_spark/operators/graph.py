@@ -154,3 +154,103 @@ def dup_groups(docs: DataFrame, id_col: str = "doc_id",
     docs label themselves.  component = smallest doc_id with
     identical text."""
     return chain_components(docs, id_col, F.md5(F.col(text_col)))
+
+
+def shared_shingle_group_edges(docs: DataFrame, n: int = 3,
+                               max_groups: int = 8,
+                               id_col: str = "doc_id",
+                               group_col: str = "source",
+                               text_col: str = "text") -> DataFrame:
+    """Undirected weighted GROUP-duplication graph: one edge per pair
+    of groups (sources / domains / crawls), weighted by the number of
+    DISTINCT word n-gram shingles present in both groups' documents —
+    the domain-level view of content sharing that source-ranking and
+    crawl-triage pipelines run on.
+
+    Scale shape: the standard inverted-index pair generation the
+    jaccard/containment family already uses — distinct
+    (group, shingle) is one map-side-combinable aggregate, and the
+    self-join fans out at most ``max_groups**2`` pairs per shingle
+    because shingles present in MORE than ``max_groups`` groups are
+    dropped first (cross-group boilerplate carries no duplication
+    signal; at the shipped test SFs the observed max is 7 groups, so
+    nothing is dropped and results are exact — the bound only bites,
+    deliberately and loudly documented, at corpus scale).
+
+    Output: ``(u, v, w)`` with ``u < v`` lexicographically, one row
+    per unordered group pair, ``w`` = distinct shared shingle count.
+    """
+    from .dedup import shingle_docs
+
+    sh = (shingle_docs(docs, text_col, id_col, n, distinct=True)
+          .join(docs.select(id_col, group_col), id_col)
+          .select(F.col(group_col).alias("_g"), "shingle")
+          .distinct())
+    keep = (sh.groupBy("shingle").agg(F.count("*").alias("_ns"))
+            .filter((F.col("_ns") >= 2) & (F.col("_ns") <= max_groups))
+            .select("shingle"))
+    a = sh.join(keep, "shingle")
+    return (a.alias("a")
+            .join(a.alias("b"), "shingle")
+            .filter(F.col("a._g") < F.col("b._g"))
+            .groupBy(F.col("a._g").alias("u"), F.col("b._g").alias("v"))
+            .agg(F.count("*").cast("long").alias("w")))
+
+
+def weighted_pagerank(edges: DataFrame, nodes: DataFrame,
+                      iters: int = 5, damping_pct: int = 85,
+                      scale: int = 1_000_000_000,
+                      node_col: str = "node") -> DataFrame:
+    """Weighted PageRank in EXACT integer fixed-point, the fixed
+    iteration count UNROLLED into one declarative plan — the pattern
+    that gives an ITERATIVE algorithm a full SQL oracle (an external
+    engine replays the identical integer ops as chained CTEs).
+
+    Conventions (every step exact int64; ``div`` is integer division,
+    all quantities non-negative so truncation == floor in both
+    engines):
+
+    * ``pr_0(v)       = scale div N``
+    * ``base          = (scale * (100 - damping_pct) div 100) div N``
+    * ``contrib(u->v) = (pr(u) * w(u,v)) div W(u)``  with ``W(u)`` the
+      total out-weight of ``u``
+    * ``pr_{k+1}(v)   = base + (damping_pct * SUM contrib) div 100``
+
+    Dangling/isolated nodes receive only the teleport term each round;
+    the discarded dangling mass means ranks are a deterministic
+    ORDERING, not a probability vector — the contract every consumer
+    here needs.  Overflow bound: ``pr * w < 2^63`` requires per-edge
+    weights below ~9.2e9 at the default scale; shingle-count weights
+    sit orders of magnitude under that even at corpus scale.
+
+    ``edges`` is the UNDIRECTED pair table ``(u, v, w)`` with u < v
+    (symmetrized internally); ``nodes`` is one row per ``node_col``.
+    Both are tiny aggregates of the corpus scan (|groups| rows), so
+    they are localCheckpoint-ed once and reused by all ``iters``
+    joins instead of re-deriving the corpus subplan per iteration.
+    Output: ``(node_col, pr_ppb)``.
+    """
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+    wout = sym.groupBy("u").agg(F.sum("w").alias("wt"))
+    ecw = sym.join(wout, "u").localCheckpoint()
+    nodes = nodes.select(F.col(node_col).alias("_n")).localCheckpoint()
+    nn = F.broadcast(nodes.agg(F.count("*").alias("n")))
+
+    base_expr = (f"(CAST({scale} AS BIGINT) * {100 - damping_pct} "
+                 f"div 100) div n")
+    pr = nodes.crossJoin(nn).select(
+        "_n", F.expr(f"CAST({scale} AS BIGINT) div n").alias("pr"))
+    for _ in range(iters):
+        sums = (pr.join(ecw, pr["_n"] == ecw["u"])
+                .select(F.col("v"),
+                        F.expr("(pr * w) div wt").alias("c"))
+                .groupBy("v").agg(F.sum("c").alias("m")))
+        pr = (nodes.join(sums, nodes["_n"] == sums["v"], "left")
+              .crossJoin(nn)
+              .select("_n",
+                      F.expr(f"{base_expr} + ({damping_pct} * "
+                             f"coalesce(m, CAST(0 AS BIGINT))) div 100")
+                      .alias("pr")))
+    return pr.select(F.col("_n").alias(node_col),
+                     F.col("pr").alias("pr_ppb"))

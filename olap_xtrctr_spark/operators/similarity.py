@@ -1918,3 +1918,56 @@ def ivfpq_query_index(spark, index_dir: str, queries: DataFrame,
     qids = [r["query_id"] for r in qrows]
     return _exact_rerank(refine_with, shortlist, qids, k,
                          id_col, vec_col)
+
+
+def source_dim_drift(emb: DataFrame, docs: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", doc_id_col: str = "doc_id",
+                     group_col: str = "source",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Corpus-shift monitor: for every source (domain / crawl / batch),
+    the ``k`` embedding DIMENSIONS whose per-source centroid drifts
+    furthest from the global centroid — the per-dimension view that
+    tells a pipeline operator *which direction* a source's content
+    moved, not just that it moved.
+
+    Exactness: components quantize with the engine-wide frozen
+    convention (floor(x * SCALE) -> int64, ``_vint_expr``); per-source
+    and global per-dimension SUMS are exact int64 (associative —
+    shuffle order cannot perturb them); only the final mean difference
+    touches doubles, with one fixed expression shape
+    ``(ssum/n_s - gsum/n) / SCALE`` both engines evaluate identically
+    (all four integers are < 2^53, so each division is one correctly
+    rounded IEEE op).
+
+    Scale shape: ONE shuffle on (source, dim) with map-side partial
+    aggregation (the posexplode emits dim-count rows per vector but
+    combiners collapse them to |sources| * dim cells per task); the
+    global centroid re-aggregates the per-source cells (never re-scans
+    the corpus) and broadcasts back; the rank window partitions by
+    source over exactly ``dim`` rows.  Output:
+    ``(source, dim, mean_diff, rank)``, ``rank <= k``.
+    """
+    j = (emb.join(docs.select(F.col(doc_id_col).alias(id_col), group_col),
+                  id_col)
+         .select(F.col(group_col),
+                 F.posexplode(F.expr(_vint_expr(vec_col)))
+                 .alias("dim", "q")))
+    s = (j.groupBy(group_col, "dim")
+         .agg(F.sum("q").alias("ssum"), F.count("*").alias("n_s")))
+    g = (s.groupBy("dim")
+         .agg(F.sum("ssum").alias("gsum"), F.sum("n_s").alias("n")))
+    from .frozen_codebooks import SCALE
+    d = (s.join(F.broadcast(g), "dim")
+         .withColumn("_diff", F.expr(
+             "(CAST(ssum AS DOUBLE) / CAST(n_s AS DOUBLE)"
+             " - CAST(gsum AS DOUBLE) / CAST(n AS DOUBLE))"
+             f" / {SCALE}.0")))
+    w = Window.partitionBy(group_col).orderBy(
+        F.abs(F.col("_diff")).desc(), F.col("dim"))
+    return (d.select(F.col(group_col), "dim", "_diff",
+                     F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= k)
+            .select(F.col(group_col),
+                    F.col("dim").cast("int").alias("dim"),
+                    F.round("_diff", 6).alias("mean_diff"),
+                    F.col("rank").cast("int").alias("rank")))

@@ -23,7 +23,8 @@ from .workload_shared import (AVG_D, CATALOG, MES_CASE,  # noqa: F401
                               QuerySpec, SUM_D)
 from .workloads import (cube, curation, docs_segments,  # noqa: F401
                         docs_text, events, members_nav, multimodal_real,
-                        similarity, tpch, wave9, wave10, wave11, wave12)
+                        similarity, tpch, wave9, wave10, wave11, wave12,
+                        wave13)
 
 # ---- driver gate-window manifest -----------------------------------------
 # The external correctness gate grades the FIRST _GATE_WINDOW entries of
@@ -103,7 +104,9 @@ _GATE_FRONT = [
     "multimodal_ppm_resize_real",
 ]
 # Deliberately DEFERRED to the r14 window (8 + 5 + 45 = 58 candidates
-# for 50 slots): the 8 remaining r7-green entries —
+# for 50 slots, plus the 2 never-graded late-r13 additions
+# docs_source_pagerank / emb_source_dim_drift, which queue with the
+# front per the late-entry precedent): the 8 remaining r7-green entries —
 # cube_bottomcount_nations, cube_order_by_unselected_measure,
 # dmv_discover_properties, dmv_discover_schema_rowsets,
 # members_full_view, members_level_cardinalities, members_pagination,
@@ -142,6 +145,7 @@ def build_workload() -> dict[str, QuerySpec]:
     wave10.register(add)          # round-10 wave 2 (prefix family)
     wave11.register(add)          # round-11 (ADVICE-fix path pins)
     wave12.register(add)          # round-12 (frozen-codebook ANN twins)
+    wave13.register(add)          # round-13 (source governance analytics)
 
     # Order per the gate-window manifest (see _GATE_FRONT above).
     missing = [n for n in _GATE_FRONT if n not in q]

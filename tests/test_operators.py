@@ -2559,3 +2559,74 @@ def test_numpy_quant_kernels_match_expression_twins(spark, sf_dir):
                "vec_id", S._ivfpq_assign_udf()("embedding").alias("a"))
            .collect()}
     assert exp == ker
+
+
+# ---- round-13: weighted PageRank + source graph + dim drift -----------------
+
+def _ref_pagerank(edges, nodes, iters=5, damp=85, scale=10**9):
+    """Plain-python mirror of graph.weighted_pagerank's integer ops."""
+    sym = {}
+    for u, v, w in edges:
+        sym.setdefault(u, []).append((v, w))
+        sym.setdefault(v, []).append((u, w))
+    wout = {u: sum(w for _, w in nb) for u, nb in sym.items()}
+    n = len(nodes)
+    base = (scale * (100 - damp) // 100) // n
+    pr = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        sums = {v: 0 for v in nodes}
+        for u, nb in sym.items():
+            for v, w in nb:
+                sums[v] += (pr[u] * w) // wout[u]
+        pr = {v: base + (damp * sums[v]) // 100 for v in nodes}
+    return pr
+
+
+def test_weighted_pagerank_matches_integer_reference(spark):
+    from olap_xtrctr_spark.operators import graph as G
+    edges = [("a", "b", 2), ("b", "c", 1), ("a", "c", 5)]
+    nodes = ["a", "b", "c", "lonely"]   # isolated node: teleport only
+    e = spark.createDataFrame(edges, "u string, v string, w long")
+    nd = spark.createDataFrame([(x,) for x in nodes], "node string")
+    got = {r["node"]: r["pr_ppb"]
+           for r in G.weighted_pagerank(e, nd, iters=5).collect()}
+    want = _ref_pagerank(edges, nodes, iters=5)
+    assert got == want
+    # isolated node holds exactly base after every round
+    n = len(nodes)
+    assert got["lonely"] == (10**9 * 15 // 100) // n
+    # heavier a<->c edge must out-rank b
+    assert got["c"] > got["b"]
+
+
+def test_shared_shingle_group_edges_df_bound(spark):
+    from olap_xtrctr_spark.operators import graph as G
+    # "p q r" is shared by ALL 3 sources -> dropped at max_groups=2;
+    # "x y z" shared by exactly s0/s1 -> the only surviving edge.
+    rows = [(0, "p q r x y z", "s0"), (1, "p q r x y z k", "s1"),
+            (2, "p q r m n o", "s2")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r["u"], r["v"]): r["w"]
+           for r in G.shared_shingle_group_edges(
+               docs, n=3, max_groups=2).collect()}
+    # shared 3-grams between s0 and s1: 'p q r','q r x','r x y','x y z'
+    # minus 'p q r' (df=3 > 2) -> weight 3
+    assert got == {("s0", "s1"): 3}
+
+
+def test_source_dim_drift_planted_means(spark):
+    from olap_xtrctr_spark.operators import similarity as S
+    # dim 1 separates the sources, dim 0 is identical everywhere
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 4.0]), (2, [1.0, -2.0]),
+         (3, [1.0, -4.0])],
+        "vec_id long, embedding array<float>")
+    docs = spark.createDataFrame(
+        [(0, "sA"), (1, "sA"), (2, "sB"), (3, "sB")],
+        "doc_id long, source string")
+    out = S.source_dim_drift(emb, docs, k=2).collect()
+    by = {(r["source"], r["dim"]): (r["mean_diff"], r["rank"]) for r in out}
+    # global mean dim1 = 0; sA mean = 3, sB mean = -3
+    assert by[("sA", 1)] == (3.0, 1)
+    assert by[("sB", 1)] == (-3.0, 1)
+    assert by[("sA", 0)][0] == 0.0 and by[("sA", 0)][1] == 2
