@@ -184,6 +184,40 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--export", default=None,
                    help="write full result to this path (.csv or .json)")
 
+    s = sub.add_parser(
+        "sources",
+        help="source/domain governance: --rank scores sources by "
+             "weighted PageRank over the shared-shingle duplication "
+             "graph (exact integer fixed-point), --drift reports the "
+             "top drifted embedding dimensions per source vs the "
+             "global centroid")
+    g = s.add_mutually_exclusive_group()
+    g.add_argument("--rank", dest="mode", action="store_const",
+                   const="rank",
+                   help="(source, pr_ppb) — higher = more central in "
+                        "the cross-source content-sharing graph")
+    g.add_argument("--drift", dest="mode", action="store_const",
+                   const="drift",
+                   help="(source, dim, mean_diff, rank) — which "
+                        "embedding dimensions a source drifts along")
+    s.set_defaults(mode="rank")
+    s.add_argument("--ngram", type=int, default=3,
+                   help="rank: shingle width for the shared-content "
+                        "edge weights")
+    s.add_argument("--max-groups", type=int, default=8,
+                   help="rank: drop shingles present in more sources "
+                        "than this (cross-source boilerplate)")
+    s.add_argument("--iters", type=int, default=5,
+                   help="rank: PageRank iterations (plan-unrolled)")
+    s.add_argument("--damping-pct", type=int, default=85,
+                   help="rank: damping factor in percent (0-100)")
+    s.add_argument("--top-dims", type=int, default=5,
+                   help="drift: dimensions reported per source")
+    s.add_argument("--limit", type=int, default=20,
+                   help="preview row cap (0 = count only)")
+    s.add_argument("--export", default=None,
+                   help="write full result to this path (.csv or .json)")
+
     s = sub.add_parser("workload",
                        help="run a named workload query (dedup/sampling/"
                             "similarity/streaming/TPC-H/cube — see --list)")
@@ -278,6 +312,44 @@ def run(args, service=None) -> dict:
                              block_width=args.block_width)
         out = {"mode": args.mode, "table": table,
                "columns": df.columns}
+        if args.export:
+            from .sinks import write_csv, write_json
+            if args.export.endswith(".json"):
+                write_json(df, args.export)
+            else:
+                write_csv(df, args.export, single_file=True)
+            out["exported_to"] = args.export
+        if args.limit > 0:
+            rows = df.limit(args.limit + 1).collect()
+            out["preview"] = [r.asDict() for r in rows[:args.limit]]
+            out["truncated"] = len(rows) > args.limit
+        else:
+            out["n_rows"] = df.count()
+        return out
+    if args.cmd == "sources":
+        from pyspark.sql import functions as F
+        from .session import load_table
+        if args.mode == "rank":
+            if not 1 <= args.iters <= 20:
+                raise SystemExit("--iters must be in 1..20 (iterations "
+                                 "are unrolled into the plan)")
+            if not 0 <= args.damping_pct <= 100:
+                raise SystemExit("--damping-pct must be in 0..100")
+            from .operators import graph as G
+            docs = load_table(service.spark, service.sf_dir, "documents")
+            edges = G.shared_shingle_group_edges(
+                docs, n=args.ngram, max_groups=args.max_groups)
+            nodes = docs.select(F.col("source").alias("node")).distinct()
+            df = (G.weighted_pagerank(edges, nodes, iters=args.iters,
+                                      damping_pct=args.damping_pct)
+                  .select(F.col("node").alias("source"), "pr_ppb")
+                  .orderBy(F.desc("pr_ppb"), "source"))
+        else:
+            from .operators import similarity as S
+            docs = load_table(service.spark, service.sf_dir, "documents")
+            emb = load_table(service.spark, service.sf_dir, "embeddings")
+            df = S.source_dim_drift(emb, docs, k=args.top_dims)
+        out = {"mode": args.mode, "columns": df.columns}
         if args.export:
             from .sinks import write_csv, write_json
             if args.export.endswith(".json"):

@@ -495,6 +495,57 @@ def _dedup(service, m, qs, body):
                  "rows": rows[:limit], "truncated": len(rows) > limit}
 
 
+@ROUTES.add("POST", r"/api/sources")
+def _sources(service, m, qs, body):
+    """Source/domain governance over the registered corpus (round 13):
+    mode "rank" = weighted PageRank over the shared-shingle source
+    graph (exact integer fixed-point, iterations plan-unrolled); mode
+    "drift" = top drifted embedding dimensions per source vs the
+    global centroid.  Body: {"mode": "rank"|"drift", "ngram": ...,
+    "max_groups": ..., "iters": ..., "damping_pct": ...,
+    "top_dims": ..., "limit": ...}."""
+    from pyspark.sql import functions as F
+
+    from .session import load_table
+    mode = body.get("mode", "rank")
+    if mode not in ("rank", "drift"):
+        return 400, {"detail": f"mode must be rank|drift, got {mode!r}"}
+    try:
+        ngram = int(body.get("ngram", 3))
+        max_groups = int(body.get("max_groups", 8))
+        iters = int(body.get("iters", 5))
+        damping_pct = int(body.get("damping_pct", 85))
+        top_dims = int(body.get("top_dims", 5))
+        limit = int(body.get("limit", 100))
+    except (TypeError, ValueError):
+        return 400, {"detail": "ngram/max_groups/iters/damping_pct/"
+                               "top_dims/limit must be integers"}
+    if not (0 < limit <= 10_000):
+        return 400, {"detail": "limit must be in 1..10000"}
+    if not 1 <= iters <= 20:
+        return 400, {"detail": "iters must be in 1..20 (iterations "
+                               "are unrolled into the plan)"}
+    if not 0 <= damping_pct <= 100:
+        return 400, {"detail": "damping_pct must be in 0..100"}
+    docs = load_table(service.spark, service.sf_dir, "documents")
+    if mode == "rank":
+        from .operators import graph as G
+        edges = G.shared_shingle_group_edges(docs, n=ngram,
+                                             max_groups=max_groups)
+        nodes = docs.select(F.col("source").alias("node")).distinct()
+        df = (G.weighted_pagerank(edges, nodes, iters=iters,
+                                  damping_pct=damping_pct)
+              .select(F.col("node").alias("source"), "pr_ppb")
+              .orderBy(F.desc("pr_ppb"), "source"))
+    else:
+        from .operators import similarity as S
+        emb = load_table(service.spark, service.sf_dir, "embeddings")
+        df = S.source_dim_drift(emb, docs, k=top_dims)
+    rows = [r.asDict() for r in df.limit(limit + 1).collect()]
+    return 200, {"mode": mode, "columns": df.columns,
+                 "rows": rows[:limit], "truncated": len(rows) > limit}
+
+
 @ROUTES.add("POST", r"/api/jobs")
 def _job_submit(service, m, qs, body):
     """Mirrors workers/api/src/routes/jobs.ts:45-82: create PENDING,

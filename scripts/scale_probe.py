@@ -306,6 +306,13 @@ PROBE_QUERIES = [
     "docs_source_token_milestones",
     # persisted IVF index: build-once cost vs partition-pruned query
     "emb_ivf_index_topk",
+    # round-13: source-graph PageRank (distinct (source,shingle) agg +
+    # df-bounded pair join must absorb the 10x shingle instances; the
+    # unrolled iterations run over |sources|-row checkpoints, invariant
+    # to FACTOR) and per-dimension drift (one (source,dim) shuffle; the
+    # embeddings side stays as-is so this measures the docs-join path)
+    "docs_source_pagerank",
+    "emb_source_dim_drift",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key

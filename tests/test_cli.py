@@ -473,3 +473,26 @@ def test_cli_dedup_semantic_mode(svc):
     from olap_xtrctr_spark.session import load_table
     emb = load_table(svc.spark, svc.sf_dir, "embeddings")
     assert out["n_rows"] == semantic_dedup_frozen(emb).count()
+
+
+def test_cli_sources_rank_and_drift(svc, tmp_path):
+    """Round-13 governance facade: both modes through the CLI, export
+    envelope included."""
+    out = _run(svc, "sources", "--rank", "--limit", "0")
+    assert out["mode"] == "rank"
+    assert out["columns"] == ["source", "pr_ppb"]
+    assert out["n_rows"] == 20
+
+    dst = str(tmp_path / "pr.json")
+    out = _run(svc, "sources", "--rank", "--export", dst, "--limit", "3")
+    assert out["exported_to"] == dst and len(out["preview"]) == 3
+    with open(dst) as f:
+        env = json.load(f)
+    assert env["columns"] == ["source", "pr_ppb"] and len(env["data"]) == 20
+
+    out = _run(svc, "sources", "--drift", "--top-dims", "1", "--limit", "0")
+    assert out["columns"] == ["source", "dim", "mean_diff", "rank"]
+    assert out["n_rows"] == 20          # one top dim per source
+
+    with pytest.raises(SystemExit):
+        _run(svc, "sources", "--rank", "--iters", "0")

@@ -538,3 +538,33 @@ def test_dedup_route_semantic_mode(base_url):
                       {"mode": "semantic", "threshold": 0.99,
                        "limit": 10000})
     assert len(strict["rows"]) >= len(out["rows"])
+
+
+def test_sources_route_rank_and_drift(base_url):
+    """Round-13 governance facade: PageRank + dim drift over HTTP,
+    invariants checked against the entry-level conventions."""
+    status, out = _post(base_url + "/api/sources",
+                        {"mode": "rank", "limit": 10000})
+    assert status == 200
+    assert out["columns"] == ["source", "pr_ppb"]
+    assert len(out["rows"]) == 20 and not out["truncated"]
+    prs = [r["pr_ppb"] for r in out["rows"]]
+    assert prs == sorted(prs, reverse=True)     # served rank-ordered
+    assert len(set(r["source"] for r in out["rows"])) == 20
+
+    status, out = _post(base_url + "/api/sources",
+                        {"mode": "drift", "top_dims": 2, "limit": 10000})
+    assert status == 200
+    assert out["columns"] == ["source", "dim", "mean_diff", "rank"]
+    per = {}
+    for r in out["rows"]:
+        per.setdefault(r["source"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2] for v in per.values())
+
+    # client errors are 400s, never 500s
+    for bad in ({"mode": "nope"}, {"mode": "rank", "iters": 99},
+                {"mode": "rank", "damping_pct": 200},
+                {"mode": "rank", "iters": "many"}):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base_url + "/api/sources", bad)
+        assert e.value.code == 400, bad
