@@ -541,3 +541,85 @@ def cluster_split(docs: DataFrame, weights: dict[str, float],
     Exactly :func:`hash_split` keyed on the cluster column (delegates,
     so the bucket arithmetic cannot drift between the two)."""
     return hash_split(docs, weights, id_col=cluster_col, salt=salt)
+
+
+def interleave_sources(docs: DataFrame, id_col: str = "doc_id",
+                       group_col: str = "source",
+                       bucket: int = 1024) -> DataFrame:
+    """Deterministic ROUND-ROBIN curriculum order: position documents
+    so consecutive training positions cycle through the sources
+    (every source's i-th document comes before any source's (i+1)-th)
+    — the interleave that stops a source-clustered corpus from feeding
+    a model hour-long single-source streaks, without randomness.
+
+    ``global_pos`` = lexicographic rank of
+    ``(within-source rank, source, id)``.  Both ranks are built from
+    the TWO-PHASE global prefix machinery (operators/prefix.py), never
+    a full-corpus single-partition window: the within-source rank is a
+    per-key running count over ``id div bucket`` range buckets, and
+    the global position is a running count over rank-range buckets.
+    The serial steps are the two |buckets|-row carry windows; row-level
+    windows stay bucket-parallel.  Rows per rank-bucket are
+    ``bucket * |groups|`` — size ``bucket`` to taste when interleaving
+    very many groups.  Output: ``(id, group, source_rank, global_pos)``.
+    """
+    from .prefix import running_total
+
+    d = (docs.select(id_col, group_col)
+         .withColumn("_one", F.lit(1).cast("long"))
+         .withColumn("_b", F.expr(f"{id_col} div {bucket}")))
+    r = running_total(d, "_b", [id_col], "_one", out_col="source_rank",
+                      key_cols=[group_col])
+    r = r.withColumn("_rb", F.expr(f"(source_rank - 1) div {bucket}"))
+    pos = running_total(r, "_rb", ["source_rank", group_col], "_one",
+                        out_col="global_pos")
+    return pos.select(id_col, group_col,
+                      F.col("source_rank").cast("long").alias("source_rank"),
+                      F.col("global_pos").cast("long").alias("global_pos"))
+
+
+def budget_allocation(docs: DataFrame, k: int,
+                      group_col: str = "source",
+                      weight_col: str = "n_chars") -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a sampling budget:
+    split ``k`` slots across groups proportionally to their total
+    ``weight_col``, in EXACT integers — the allocation step a
+    stratified corpus sample runs before drawing, with the property
+    that every group gets either floor or ceil of its exact
+    proportional share and the totals add to ``k`` precisely (no
+    float rounding drift between engines or between runs).
+
+    Convention (all int64): ``base = (k * w) div W``; the
+    ``k - SUM(base)`` leftover slots go to the groups with the largest
+    remainders ``(k * w) % W``, ties to the lexicographically smaller
+    group.  Overflow bound: ``k * max(w) < 2**63`` — at k = 1e6 that
+    allows ~9.2e12 weight per group (raise into DECIMAL if a single
+    group ever carries more).
+
+    Scale shape: one map-side-combinable aggregate to |groups| rows;
+    every downstream step (scalar total crossJoin, remainder rank
+    window, final projection) runs on that aggregate, never the
+    corpus.  The remainder rank is a single-partition window over the
+    |groups|-row aggregate — the docs_corpus_card class, allowlisted
+    in the plan sweep with that boundedness reason.  Output:
+    ``(group, weight, alloc)`` with ``SUM(alloc) = k``.
+    """
+    per = (docs.groupBy(group_col)
+           .agg(F.sum(weight_col).cast("long").alias("w")))
+    # NOT named "W": Spark's default case-insensitive resolution would
+    # collide it with the per-group "w" after the crossJoin
+    tot = F.broadcast(per.agg(F.sum("w").cast("long").alias("_tot")))
+    j = per.crossJoin(tot).select(
+        group_col, "w",
+        F.expr(f"(CAST({k} AS BIGINT) * w) div _tot").alias("base"),
+        F.expr(f"(CAST({k} AS BIGINT) * w) % _tot").alias("rem"))
+    resid = F.broadcast(j.agg(
+        (F.lit(k).cast("long") - F.sum("base")).alias("resid")))
+    wr = Window.orderBy(F.desc("rem"), F.col(group_col))
+    return (j.crossJoin(resid)
+            .withColumn("_rr", F.row_number().over(wr))
+            .select(group_col, F.col("w").alias("weight"),
+                    (F.col("base")
+                     + F.when(F.col("_rr") <= F.col("resid"),
+                              F.lit(1).cast("long"))
+                     .otherwise(F.lit(0).cast("long"))).alias("alloc")))

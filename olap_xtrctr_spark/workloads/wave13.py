@@ -126,3 +126,43 @@ def register(add) -> None:
     SELECT source, CAST(dim AS INTEGER) AS dim,
            ROUND(diff, 6) AS mean_diff, rank
     FROM r WHERE rank <= 5""")
+
+
+def register_wave2(add) -> None:
+
+    def interleave(spark, sf):
+        from ..operators import sampling as SM
+        return SM.interleave_sources(_docs(spark, sf))
+
+    add("docs_interleave_sources", interleave, """WITH r AS (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY doc_id) AS BIGINT) AS source_rank
+      FROM documents)
+    SELECT doc_id, source, source_rank,
+           CAST(ROW_NUMBER() OVER (ORDER BY source_rank, source, doc_id)
+                AS BIGINT) AS global_pos
+    FROM r""")
+
+    def allocation(spark, sf):
+        from ..operators import sampling as SM
+        return SM.budget_allocation(_docs(spark, sf), k=10_000)
+
+    add("docs_budget_allocation", allocation, """WITH per AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+      FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM per),
+    j AS (
+      SELECT source, w,
+             (CAST(10000 AS BIGINT) * w) // tw AS base,
+             (CAST(10000 AS BIGINT) * w) % tw AS rem
+      FROM per CROSS JOIN tot),
+    res AS (SELECT CAST(10000 - SUM(base) AS BIGINT) AS resid FROM j),
+    rr AS (
+      SELECT j.*, CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                       AS BIGINT) AS _rr
+      FROM j)
+    SELECT source, w AS weight,
+           CAST(base + CASE WHEN _rr <= resid THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM rr CROSS JOIN res""")

@@ -45,6 +45,10 @@ ALLOWED_SINGLE_PARTITION = {
     "events_rfm_segments":
         "three bucket-carry windows (recency/frequency/monetary range "
         "buckets), the r11 rewrite that REMOVED the global-ntile trap",
+    "docs_interleave_sources":
+        "TWO bucket-carry windows (prefix.py composed twice: per-source "
+        "rank over id-range buckets, global position over rank-range "
+        "buckets); row-level windows stay bucket-parallel",
     "events_user_deciles":
         "cumulative window over DISTINCT event-count values (bounded "
         "by the count domain), never over users",
@@ -70,6 +74,9 @@ ALLOWED_SINGLE_PARTITION = {
         "explicitly avoids the full-corpus running sum)",
     "docs_corpus_card":
         "summary-card window over the per-(source,lang) aggregate",
+    "docs_budget_allocation":
+        "largest-remainder rank over the per-source weight aggregate "
+        "(the docs_corpus_card class; sampling.budget_allocation)",
     # -- reference-mandated global order:
     "members_ordinal_sort":
         "reference N4/N5 semantics: globally ordered member list, "

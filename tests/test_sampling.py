@@ -420,3 +420,51 @@ def test_dedup_weights(spark):
     assert out[0]["n_sources"] == 2
     assert out[10]["weight"] == 1 and out[10]["weight_capped"] == 1
     assert out[10]["n_sources"] == 1
+
+
+# ---- round-13 wave 2: curriculum interleave + budget apportionment ---------
+
+def test_interleave_sources_round_robin(spark):
+    from olap_xtrctr_spark.operators import sampling as SM
+    # uneven sources: a has 3 docs, b has 2, c has 1
+    rows = [(0, "a"), (1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["global_pos"]: (r["doc_id"], r["source"], r["source_rank"])
+           for r in SM.interleave_sources(docs, bucket=2).collect()}
+    # lexicographic (rank, source, id): rank-1 of a,b,c then rank-2 of
+    # a,b then rank-3 of a
+    assert [out[i] for i in range(1, 7)] == [
+        (0, "a", 1), (3, "b", 1), (5, "c", 1),
+        (1, "a", 2), (4, "b", 2), (2, "a", 3)]
+
+
+def test_budget_allocation_hamilton_exact(spark):
+    from olap_xtrctr_spark.operators import sampling as SM
+    # weights 5, 3, 2 over k=7: exact shares 3.5/2.1/1.4 ->
+    # base 3/2/1 (sum 6), largest remainder .5 -> s0 gets the 7th slot
+    docs = spark.createDataFrame(
+        [(0, "s0", 5), (1, "s1", 3), (2, "s2", 2)],
+        "doc_id long, source string, n_chars long")
+    got = {r["source"]: r["alloc"]
+           for r in SM.budget_allocation(docs, k=7).collect()}
+    assert got == {"s0": 4, "s1": 2, "s2": 1}
+
+    # remainder TIE: weights 1,1 over k=3 -> base 1/1, one leftover
+    # slot, tie on remainder 1/2 broken to the smaller source name
+    docs2 = spark.createDataFrame(
+        [(0, "sA", 1), (1, "sB", 1)],
+        "doc_id long, source string, n_chars long")
+    got2 = {r["source"]: r["alloc"]
+            for r in SM.budget_allocation(docs2, k=3).collect()}
+    assert got2 == {"sA": 2, "sB": 1}
+
+
+def test_budget_allocation_sums_to_k_on_fixture(spark, sf_dir):
+    from olap_xtrctr_spark.operators import sampling as SM
+    from olap_xtrctr_spark.session import load_table
+    import pyspark.sql.functions as F
+    docs = load_table(spark, sf_dir, "documents")
+    out = SM.budget_allocation(docs, k=12_345)
+    agg = out.agg(F.sum("alloc").alias("s"),
+                  F.count("*").alias("g")).collect()[0]
+    assert agg["s"] == 12_345 and agg["g"] == 20
