@@ -313,6 +313,11 @@ PROBE_QUERIES = [
     # embeddings side stays as-is so this measures the docs-join path)
     "docs_source_pagerank",
     "emb_source_dim_drift",
+    # round-13 wave 2: the double-prefix interleave (two bucket-carry
+    # serial steps, row windows bucket-parallel) and the |sources|-row
+    # apportionment (corpus cost = one combinable aggregate)
+    "docs_interleave_sources",
+    "docs_budget_allocation",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key
