@@ -14,9 +14,13 @@ exact machinery.
   final mean difference touches doubles, one fixed expression shape
   both engines evaluate identically.
 
-Both entries queue for the r14 driver window (same late-entry
-precedent as the r12 frozen twins); until then their freshness signal
-is the local gate at both SFs + tests/test_operators.py.
+Wave 2 adds the curriculum/allocation pair: ``docs_interleave_sources``
+(deterministic round-robin training order from the two-phase prefix
+machinery composed twice) and ``docs_budget_allocation`` (exact
+Hamilton apportionment — totals provably sum to k).  All four entries
+queue for the r14 driver window (same late-entry precedent as the r12
+frozen twins); until then their freshness signal is the local gate at
+both SFs + the edge fixture + unit tests.
 """
 from __future__ import annotations
 
