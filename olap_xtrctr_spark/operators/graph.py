@@ -200,7 +200,8 @@ def shared_shingle_group_edges(docs: DataFrame, n: int = 3,
 def weighted_pagerank(edges: DataFrame, nodes: DataFrame,
                       iters: int = 5, damping_pct: int = 85,
                       scale: int = 1_000_000_000,
-                      node_col: str = "node") -> DataFrame:
+                      node_col: str = "node",
+                      teleport: DataFrame | None = None) -> DataFrame:
     """Weighted PageRank in EXACT integer fixed-point, the fixed
     iteration count UNROLLED into one declarative plan — the pattern
     that gives an ITERATIVE algorithm a full SQL oracle (an external
@@ -229,18 +230,40 @@ def weighted_pagerank(edges: DataFrame, nodes: DataFrame,
     they are localCheckpoint-ed once and reused by all ``iters``
     joins instead of re-deriving the corpus subplan per iteration.
     Output: ``(node_col, pr_ppb)``.
+
+    ``teleport`` (optional) PERSONALIZES the walk: a one-column frame
+    of seed nodes S; teleport mass (both pr_0 and the per-round base
+    term) lands uniformly on S instead of on all N nodes — the
+    proximity-to-S ranking ("which sources sit nearest the
+    contaminated ones in the duplication graph").  Same exact integer
+    formulas with N replaced by |S| and both terms multiplied by the
+    0/1 seed flag; ``teleport=None`` degenerates to those formulas
+    with a constant flag of 1, so uniform results are unchanged.  An
+    EMPTY teleport set fails loudly (integer division by |S| = 0).
     """
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
     wout = sym.groupBy("u").agg(F.sum("w").alias("wt"))
     ecw = sym.join(wout, "u").localCheckpoint()
-    nodes = nodes.select(F.col(node_col).alias("_n")).localCheckpoint()
-    nn = F.broadcast(nodes.agg(F.count("*").alias("n")))
+    nodes = nodes.select(F.col(node_col).alias("_n"))
+    if teleport is None:
+        nodes = nodes.withColumn("_tp", F.lit(1).cast("long"))
+    else:
+        seeds = (teleport
+                 .select(F.col(teleport.columns[0]).alias("_n"))
+                 .distinct()
+                 .withColumn("_tp", F.lit(1).cast("long")))
+        nodes = (nodes.join(seeds, "_n", "left")
+                 .withColumn("_tp", F.coalesce(
+                     "_tp", F.lit(0).cast("long"))))
+    nodes = nodes.localCheckpoint()
+    nn = F.broadcast(nodes.agg(F.sum("_tp").alias("n")))
 
-    base_expr = (f"(CAST({scale} AS BIGINT) * {100 - damping_pct} "
-                 f"div 100) div n")
+    base_expr = (f"_tp * ((CAST({scale} AS BIGINT) * {100 - damping_pct} "
+                 f"div 100) div n)")
     pr = nodes.crossJoin(nn).select(
-        "_n", F.expr(f"CAST({scale} AS BIGINT) div n").alias("pr"))
+        "_n", "_tp",
+        F.expr(f"_tp * (CAST({scale} AS BIGINT) div n)").alias("pr"))
     for _ in range(iters):
         sums = (pr.join(ecw, pr["_n"] == ecw["u"])
                 .select(F.col("v"),
@@ -248,7 +271,7 @@ def weighted_pagerank(edges: DataFrame, nodes: DataFrame,
                 .groupBy("v").agg(F.sum("c").alias("m")))
         pr = (nodes.join(sums, nodes["_n"] == sums["v"], "left")
               .crossJoin(nn)
-              .select("_n",
+              .select("_n", "_tp",
                       F.expr(f"{base_expr} + ({damping_pct} * "
                              f"coalesce(m, CAST(0 AS BIGINT))) div 100")
                       .alias("pr")))

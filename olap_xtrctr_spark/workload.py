@@ -104,9 +104,10 @@ _GATE_FRONT = [
     "multimodal_ppm_resize_real",
 ]
 # Deliberately DEFERRED to the r14 window (8 + 5 + 45 = 58 candidates
-# for 50 slots, plus the 4 never-graded late-r13 additions
+# for 50 slots, plus the 5 never-graded late-r13 additions
 # docs_source_pagerank / emb_source_dim_drift /
-# docs_interleave_sources / docs_budget_allocation, which queue with
+# docs_interleave_sources / docs_budget_allocation /
+# docs_contamination_pagerank, which queue with
 # the front per the late-entry precedent): the 8 remaining r7-green entries —
 # cube_bottomcount_nations, cube_order_by_unselected_measure,
 # dmv_discover_properties, dmv_discover_schema_rowsets,
@@ -148,6 +149,7 @@ def build_workload() -> dict[str, QuerySpec]:
     wave12.register(add)          # round-12 (frozen-codebook ANN twins)
     wave13.register(add)          # round-13 (source governance analytics)
     wave13.register_wave2(add)    # round-13 wave 2 (curriculum/allocation)
+    wave13.register_wave3(add)    # round-13 wave 3 (personalized PPR)
 
     # Order per the gate-window manifest (see _GATE_FRONT above).
     missing = [n for n in _GATE_FRONT if n not in q]

@@ -17,10 +17,14 @@ exact machinery.
 Wave 2 adds the curriculum/allocation pair: ``docs_interleave_sources``
 (deterministic round-robin training order from the two-phase prefix
 machinery composed twice) and ``docs_budget_allocation`` (exact
-Hamilton apportionment — totals provably sum to k).  All four entries
-queue for the r14 driver window (same late-entry precedent as the r12
-frozen twins); until then their freshness signal is the local gate at
-both SFs + the edge fixture + unit tests.
+Hamilton apportionment — totals provably sum to k).  Wave 3 adds
+``docs_contamination_pagerank`` — PERSONALIZED PageRank whose teleport
+set is the 5 sources with the most held-out/train shingle collisions
+(exact docs_contamination_check counts): proximity-to-contamination
+ranks for audit triage.  All five entries queue for the r14 driver
+window (same late-entry precedent as the r12 frozen twins); until
+then their freshness signal is the local gate at both SFs + the edge
+fixture + unit tests.
 """
 from __future__ import annotations
 
@@ -33,18 +37,34 @@ _PR_DAMP = 85
 _PR_ITERS = 5
 
 
-def _pagerank_oracle() -> str:
+def _pagerank_oracle(seed_ctes: str = "", seeded: bool = False) -> str:
     """Chained-CTE mirror of graph.weighted_pagerank over the shared-
     shingle source graph: pr0 .. pr{iters} unrolled, every op exact
-    integer (``//`` == Spark ``div`` — all quantities non-negative)."""
+    integer (``//`` == Spark ``div`` — all quantities non-negative).
+
+    ``seeded=True`` emits the PERSONALIZED variant: ``seed_ctes`` must
+    define a ``seeds(source)`` CTE; the node table gains a 0/1 ``tp``
+    flag, ``n`` becomes |seeds|, and both teleport terms multiply by
+    the flag — the mirror of ``weighted_pagerank(teleport=...)``."""
     base = f"((CAST({_PR_SCALE} AS BIGINT) * {100 - _PR_DAMP}) // 100) // n"
+    t0 = "tp * " if seeded else ""
+    tk = "nodes.tp * " if seeded else ""
+    nodes_cte = ("""nodes AS (
+      SELECT source AS node,
+             CASE WHEN source IN (SELECT source FROM seeds)
+                  THEN 1 ELSE 0 END AS tp
+      FROM (SELECT DISTINCT source FROM documents))""" if seeded else
+                 "nodes AS (SELECT DISTINCT source AS node FROM documents)")
+    nn_cte = ("nn AS (SELECT CAST(SUM(tp) AS BIGINT) AS n FROM nodes)"
+              if seeded else
+              "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)")
     ctes = [f"""pr0 AS (
-      SELECT node, CAST({_PR_SCALE} AS BIGINT) // n AS pr
+      SELECT node, {t0}(CAST({_PR_SCALE} AS BIGINT) // n) AS pr
       FROM nodes CROSS JOIN nn)"""]
     for i in range(1, _PR_ITERS + 1):
         ctes.append(f"""pr{i} AS (
       SELECT nodes.node,
-             {base} + ({_PR_DAMP} * COALESCE(s.m, CAST(0 AS BIGINT)))
+             {tk}({base}) + ({_PR_DAMP} * COALESCE(s.m, CAST(0 AS BIGINT)))
                       // 100 AS pr
       FROM nodes CROSS JOIN nn
       LEFT JOIN (
@@ -53,7 +73,8 @@ def _pagerank_oracle() -> str:
         JOIN e ON p.node = e.u
         JOIN wout wt ON e.u = wt.u
         GROUP BY e.v) s ON nodes.node = s.v)""")
-    chain = ",\n    ".join(ctes)
+    chain = ",\n    ".join(([seed_ctes] if seed_ctes else [])
+                           + [nodes_cte, nn_cte] + ctes)
     return rf"""WITH toks AS (
       SELECT doc_id, source,
              regexp_split_to_array(trim(lower(text)), '\s+') AS t
@@ -77,8 +98,6 @@ def _pagerank_oracle() -> str:
       GROUP BY 1, 2),
     e AS (SELECT u, v, w FROM p UNION ALL SELECT v, u, w FROM p),
     wout AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wt FROM e GROUP BY 1),
-    nodes AS (SELECT DISTINCT source AS node FROM documents),
-    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
     {chain}
     SELECT node AS source, pr AS pr_ppb FROM pr{_PR_ITERS}"""
 
@@ -170,3 +189,61 @@ def register_wave2(add) -> None:
            CAST(base + CASE WHEN _rr <= resid THEN 1 ELSE 0 END
                 AS BIGINT) AS alloc
     FROM rr CROSS JOIN res""")
+
+
+_SEED_CTES = r"""ctoks AS (
+      SELECT doc_id, source, {CB} AS b,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS ct
+      FROM documents),
+    csh AS (
+      SELECT doc_id, source, b,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(ct) - 2, 1)),
+               i -> array_to_string(ct[i:i+2], ' ')))) AS shingle
+      FROM ctoks),
+    cvocab AS (SELECT DISTINCT shingle FROM csh WHERE b >= 1000),
+    contam AS (
+      SELECT s.source,
+             CAST(SUM(CASE WHEN v.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM csh s LEFT JOIN cvocab v ON s.shingle = v.shingle
+      WHERE s.b < 1000
+      GROUP BY s.source),
+    seeds AS (SELECT source FROM contam ORDER BY c DESC, source LIMIT 5)"""
+
+
+def register_wave3(add) -> None:
+    # Personalized PageRank for contamination influence: teleport mass
+    # lands ONLY on the 5 sources whose held-out docs carry the most
+    # train-shingle collisions (the exact docs_contamination_check
+    # counts, summed per source), so the stationary ranks answer the
+    # audit question "which sources sit nearest the contamination in
+    # the duplication graph".  Same unrolled exact-integer machinery
+    # as docs_source_pagerank, |S| replacing N in both teleport terms.
+    def contamination_pagerank(spark, sf):
+        from ..operators import dedup as D
+        from ..operators import graph as G
+        from ..operators.sampling import _hash_bucket
+        docs = _docs(spark, sf)
+        b = _hash_bucket(F.col("doc_id"), "contam-v1")
+        test = docs.filter(b < 1000)          # held-out 10%
+        train = docs.filter(b >= 1000)
+        per_src = (D.contamination_check(train, test)
+                   .join(docs.select("doc_id", "source"), "doc_id")
+                   .groupBy("source")
+                   .agg(F.sum("n_contaminated").alias("_c")))
+        seeds = (per_src.orderBy(F.desc("_c"), "source").limit(5)
+                 .select("source"))
+        edges = G.shared_shingle_group_edges(docs, n=3, max_groups=8)
+        nodes = docs.select(F.col("source").alias("node")).distinct()
+        return (G.weighted_pagerank(edges, nodes, iters=_PR_ITERS,
+                                    damping_pct=_PR_DAMP,
+                                    scale=_PR_SCALE, teleport=seeds)
+                .select(F.col("node").alias("source"), "pr_ppb"))
+
+    from ..operators.sampling import hash_bucket_sql
+    add("docs_contamination_pagerank", contamination_pagerank,
+        _pagerank_oracle(
+            seed_ctes=_SEED_CTES.replace(
+                "{CB}", hash_bucket_sql("doc_id", "contam-v1")),
+            seeded=True))

@@ -318,6 +318,10 @@ PROBE_QUERIES = [
     # apportionment (corpus cost = one combinable aggregate)
     "docs_interleave_sources",
     "docs_budget_allocation",
+    # round-13 wave 3: personalized PPR — same corpus-side cost as
+    # docs_source_pagerank plus the contamination seed derivation
+    # (one more shingle vocab join), iterations still |sources|-row
+    "docs_contamination_pagerank",
 ]
 
 KEY_SPAN = 100_000_000  # far above any sf0.1 key

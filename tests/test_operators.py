@@ -2630,3 +2630,42 @@ def test_source_dim_drift_planted_means(spark):
     assert by[("sA", 1)] == (3.0, 1)
     assert by[("sB", 1)] == (-3.0, 1)
     assert by[("sA", 0)][0] == 0.0 and by[("sA", 0)][1] == 2
+
+
+def test_weighted_pagerank_teleport_semantics(spark):
+    from olap_xtrctr_spark.operators import graph as G
+    edges = [("a", "b", 2), ("b", "c", 1), ("a", "c", 5)]
+    nodes = ["a", "b", "c", "lonely"]
+    e = spark.createDataFrame(edges, "u string, v string, w long")
+    nd = spark.createDataFrame([(x,) for x in nodes], "node string")
+    seeds = spark.createDataFrame([("a",)], "source string")
+    got = {r["node"]: r["pr_ppb"]
+           for r in G.weighted_pagerank(e, nd, iters=3,
+                                        teleport=seeds).collect()}
+
+    # python mirror with teleport: N -> |S|, both terms gated by the flag
+    def ref(iters):
+        sym = {}
+        for u, v, w in edges:
+            sym.setdefault(u, []).append((v, w))
+            sym.setdefault(v, []).append((u, w))
+        wout = {u: sum(w for _, w in nb) for u, nb in sym.items()}
+        s = {"a"}
+        base = (10**9 * 15 // 100) // len(s)
+        pr = {v: (10**9 // len(s) if v in s else 0) for v in nodes}
+        for _ in range(iters):
+            sums = {v: 0 for v in nodes}
+            for u, nb in sym.items():
+                for v, w in nb:
+                    sums[v] += (pr[u] * w) // wout[u]
+            pr = {v: (base if v in s else 0)
+                  + (85 * sums[v]) // 100 for v in nodes}
+        return pr
+
+    assert got == ref(3)
+    # teleport-only node outside the component of the seed gets ZERO
+    assert got["lonely"] == 0
+    # uniform mode is unchanged by the refactor (flag constant 1)
+    uni = {r["node"]: r["pr_ppb"]
+           for r in G.weighted_pagerank(e, nd, iters=5).collect()}
+    assert uni == _ref_pagerank(edges, nodes, iters=5)
