@@ -200,6 +200,12 @@ def build_parser() -> argparse.ArgumentParser:
                    const="drift",
                    help="(source, dim, mean_diff, rank) — which "
                         "embedding dimensions a source drifts along")
+    g.add_argument("--audit", dest="mode", action="store_const",
+                   const="audit",
+                   help="personalized PageRank: teleport mass on the "
+                        "--top-seeds most-contaminated sources (exact "
+                        "held-out/train shingle collisions) — "
+                        "proximity-to-contamination audit ranks")
     s.set_defaults(mode="rank")
     s.add_argument("--ngram", type=int, default=3,
                    help="rank: shingle width for the shared-content "
@@ -213,6 +219,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rank: damping factor in percent (0-100)")
     s.add_argument("--top-dims", type=int, default=5,
                    help="drift: dimensions reported per source")
+    s.add_argument("--top-seeds", type=int, default=5,
+                   help="audit: size of the contamination teleport set")
     s.add_argument("--limit", type=int, default=20,
                    help="preview row cap (0 = count only)")
     s.add_argument("--export", default=None,
@@ -329,19 +337,25 @@ def run(args, service=None) -> dict:
     if args.cmd == "sources":
         from pyspark.sql import functions as F
         from .session import load_table
-        if args.mode == "rank":
+        if args.mode in ("rank", "audit"):
             if not 1 <= args.iters <= 20:
                 raise SystemExit("--iters must be in 1..20 (iterations "
                                  "are unrolled into the plan)")
             if not 0 <= args.damping_pct <= 100:
                 raise SystemExit("--damping-pct must be in 0..100")
+            if args.mode == "audit" and args.top_seeds < 1:
+                raise SystemExit("--top-seeds must be >= 1")
             from .operators import graph as G
             docs = load_table(service.spark, service.sf_dir, "documents")
             edges = G.shared_shingle_group_edges(
                 docs, n=args.ngram, max_groups=args.max_groups)
             nodes = docs.select(F.col("source").alias("node")).distinct()
+            seeds = (G.contamination_seed_sources(docs,
+                                                  top_k=args.top_seeds)
+                     if args.mode == "audit" else None)
             df = (G.weighted_pagerank(edges, nodes, iters=args.iters,
-                                      damping_pct=args.damping_pct)
+                                      damping_pct=args.damping_pct,
+                                      teleport=seeds)
                   .select(F.col("node").alias("source"), "pr_ppb")
                   .orderBy(F.desc("pr_ppb"), "source"))
         else:

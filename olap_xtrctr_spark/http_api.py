@@ -508,18 +508,21 @@ def _sources(service, m, qs, body):
 
     from .session import load_table
     mode = body.get("mode", "rank")
-    if mode not in ("rank", "drift"):
-        return 400, {"detail": f"mode must be rank|drift, got {mode!r}"}
+    if mode not in ("rank", "drift", "audit"):
+        return 400, {"detail": f"mode must be rank|drift|audit, "
+                               f"got {mode!r}"}
     try:
         ngram = int(body.get("ngram", 3))
         max_groups = int(body.get("max_groups", 8))
         iters = int(body.get("iters", 5))
         damping_pct = int(body.get("damping_pct", 85))
         top_dims = int(body.get("top_dims", 5))
+        top_seeds = int(body.get("top_seeds", 5))
         limit = int(body.get("limit", 100))
     except (TypeError, ValueError):
         return 400, {"detail": "ngram/max_groups/iters/damping_pct/"
-                               "top_dims/limit must be integers"}
+                               "top_dims/top_seeds/limit must be "
+                               "integers"}
     if not (0 < limit <= 10_000):
         return 400, {"detail": "limit must be in 1..10000"}
     if not 1 <= iters <= 20:
@@ -527,14 +530,19 @@ def _sources(service, m, qs, body):
                                "are unrolled into the plan)"}
     if not 0 <= damping_pct <= 100:
         return 400, {"detail": "damping_pct must be in 0..100"}
+    if mode == "audit" and top_seeds < 1:
+        return 400, {"detail": "top_seeds must be >= 1"}
     docs = load_table(service.spark, service.sf_dir, "documents")
-    if mode == "rank":
+    if mode in ("rank", "audit"):
         from .operators import graph as G
         edges = G.shared_shingle_group_edges(docs, n=ngram,
                                              max_groups=max_groups)
         nodes = docs.select(F.col("source").alias("node")).distinct()
+        seeds = (G.contamination_seed_sources(docs, top_k=top_seeds)
+                 if mode == "audit" else None)
         df = (G.weighted_pagerank(edges, nodes, iters=iters,
-                                  damping_pct=damping_pct)
+                                  damping_pct=damping_pct,
+                                  teleport=seeds)
               .select(F.col("node").alias("source"), "pr_ppb")
               .orderBy(F.desc("pr_ppb"), "source"))
     else:

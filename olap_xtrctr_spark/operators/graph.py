@@ -277,3 +277,30 @@ def weighted_pagerank(edges: DataFrame, nodes: DataFrame,
                       .alias("pr")))
     return pr.select(F.col("_n").alias(node_col),
                      F.col("pr").alias("pr_ppb"))
+
+
+def contamination_seed_sources(docs: DataFrame, top_k: int = 5,
+                               id_col: str = "doc_id",
+                               group_col: str = "source",
+                               salt: str = "contam-v1") -> DataFrame:
+    """The contamination-audit seed set: the ``top_k`` groups whose
+    HELD-OUT documents (the deterministic 10% ``salt`` hash split the
+    contamination family standardizes on) carry the most train-shingle
+    collisions, by the exact :func:`~..operators.dedup.
+    contamination_check` counts summed per group; ties to the smaller
+    group name.  One |groups|-row aggregate + a limit-k rank — feeds
+    :func:`weighted_pagerank`'s ``teleport``."""
+    from pyspark.sql import functions as F
+
+    from .dedup import contamination_check
+    from .sampling import _hash_bucket
+
+    b = _hash_bucket(F.col(id_col), salt)
+    test = docs.filter(b < 1000)
+    train = docs.filter(b >= 1000)
+    per = (contamination_check(train, test, id_col=id_col)
+           .join(docs.select(id_col, group_col), id_col)
+           .groupBy(group_col)
+           .agg(F.sum("n_contaminated").alias("_c")))
+    return (per.orderBy(F.desc("_c"), group_col).limit(top_k)
+            .select(group_col))

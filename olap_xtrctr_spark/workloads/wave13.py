@@ -221,19 +221,9 @@ def register_wave3(add) -> None:
     # the duplication graph".  Same unrolled exact-integer machinery
     # as docs_source_pagerank, |S| replacing N in both teleport terms.
     def contamination_pagerank(spark, sf):
-        from ..operators import dedup as D
         from ..operators import graph as G
-        from ..operators.sampling import _hash_bucket
         docs = _docs(spark, sf)
-        b = _hash_bucket(F.col("doc_id"), "contam-v1")
-        test = docs.filter(b < 1000)          # held-out 10%
-        train = docs.filter(b >= 1000)
-        per_src = (D.contamination_check(train, test)
-                   .join(docs.select("doc_id", "source"), "doc_id")
-                   .groupBy("source")
-                   .agg(F.sum("n_contaminated").alias("_c")))
-        seeds = (per_src.orderBy(F.desc("_c"), "source").limit(5)
-                 .select("source"))
+        seeds = G.contamination_seed_sources(docs, top_k=5)
         edges = G.shared_shingle_group_edges(docs, n=3, max_groups=8)
         nodes = docs.select(F.col("source").alias("node")).distinct()
         return (G.weighted_pagerank(edges, nodes, iters=_PR_ITERS,

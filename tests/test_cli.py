@@ -496,3 +496,10 @@ def test_cli_sources_rank_and_drift(svc, tmp_path):
 
     with pytest.raises(SystemExit):
         _run(svc, "sources", "--rank", "--iters", "0")
+
+    out = _run(svc, "sources", "--audit", "--top-seeds", "3",
+               "--limit", "0")
+    assert out["mode"] == "audit"
+    assert out["columns"] == ["source", "pr_ppb"] and out["n_rows"] == 20
+    with pytest.raises(SystemExit):
+        _run(svc, "sources", "--audit", "--top-seeds", "0")

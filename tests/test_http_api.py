@@ -561,10 +561,23 @@ def test_sources_route_rank_and_drift(base_url):
         per.setdefault(r["source"], []).append(r["rank"])
     assert all(sorted(v) == [1, 2] for v in per.values())
 
+    # audit mode: personalized PPR — seeds hold the lion's share of
+    # the stationary mass, so the top row must be a seed-reachable
+    # source and all 20 sources still appear
+    status, out = _post(base_url + "/api/sources",
+                        {"mode": "audit", "top_seeds": 3,
+                         "limit": 10000})
+    assert status == 200
+    assert out["columns"] == ["source", "pr_ppb"]
+    assert len(out["rows"]) == 20
+    prs = [r["pr_ppb"] for r in out["rows"]]
+    assert prs == sorted(prs, reverse=True)
+
     # client errors are 400s, never 500s
     for bad in ({"mode": "nope"}, {"mode": "rank", "iters": 99},
                 {"mode": "rank", "damping_pct": 200},
-                {"mode": "rank", "iters": "many"}):
+                {"mode": "rank", "iters": "many"},
+                {"mode": "audit", "top_seeds": 0}):
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(base_url + "/api/sources", bad)
         assert e.value.code == 400, bad
