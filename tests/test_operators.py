@@ -152,6 +152,20 @@ def test_ngram_containment_auto_probe_shingles_once(spark, monkeypatch):
         return sum(i.numCachedPartitions() for i in
                    spark.sparkContext._jsc.sc().getRDDStorageInfo())
 
+    # Quiesce localCheckpoint blocks leaked by EARLIER tests in this
+    # session-scoped context (pagerank/CC checkpoints are cleaned by
+    # ContextCleaner only after their RDD objects are GC'd): trigger
+    # both GCs, wait, then take whatever remains as the baseline —
+    # the assertions below are about THIS call's pin, not the world.
+    import gc as _gc
+    _gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    for _ in range(50):
+        if cached_parts() == 0:
+            break
+        time.sleep(0.1)
+    base = cached_parts()
+
     # boilerplate-shaped corpus -> auto stays on prefix; the probe ran
     # inside the call, so the pinned shingle blocks are ALREADY
     # materialized before any action on the returned (lazy) result
@@ -162,7 +176,7 @@ def test_ngram_containment_auto_probe_shingles_once(spark, monkeypatch):
     res = D.ngram_containment_pairs_prefix(boil, n=3, threshold=0.9)
     assert D.ngram_containment_pairs_prefix.last_route == "prefix"
     assert len(pinned) == 1 and pinned[0].is_cached
-    assert cached_parts() > 0, \
+    assert cached_parts() > base, \
         "probe ran before the pin: prefix route would shingle twice"
     res.collect()
     SS.release_tracked_caches()
@@ -177,10 +191,10 @@ def test_ngram_containment_auto_probe_shingles_once(spark, monkeypatch):
     assert D.ngram_containment_pairs_prefix.last_route == "core"
     assert len(pinned) == 1 and not pinned[0].is_cached
     for _ in range(50):                 # non-blocking unpersist: poll
-        if cached_parts() == 0:
+        if cached_parts() <= base:
             break
         time.sleep(0.1)
-    assert cached_parts() == 0
+    assert cached_parts() <= base
     SS.release_tracked_caches()
 
 
