@@ -376,12 +376,35 @@ def _ngram_pair_counts(docs: DataFrame, text_col: str, id_col: str,
     """Shared inverted-index core for set-overlap pair metrics: returns
     (id_a, id_b, inter, sz_a, sz_b) for every co-occurring pair —
     Jaccard, containment, overlap coefficient are all final-expression
-    projections over this one plan."""
-    ex = shingle_docs(docs, text_col, id_col, n)
+    projections over this one plan.
+
+    Round-13 rework (guide §2.3/§2.4): each doc's distinct-shingle
+    count is computed ROWWISE (size of the distinct gram array, the
+    same value the old plan derived by re-exploding the posting table)
+    and carried THROUGH the posting lists as a (id, sz) struct, so
+    every generated pair row already knows both sides' set sizes.
+    That deletes the two joins that attached sz_a/sz_b AFTER the pair
+    aggregation — at scale those were two full shuffles of the
+    co-occurrence pair table, the LARGEST intermediate in the plan
+    (sf0.1: 2x 1.13M-row/34-43 MiB exchanges for a 256-row result;
+    the old plan's sizes subtree and its exchange go too).  The cost
+    is +8 bytes per posting entry and +16 bytes per pre-aggregation
+    pair row — strictly smaller than the removed exchanges whenever
+    pairs co-occur more than once, and the duplicate-heavy regime that
+    motivated the old plan's shuffle_hash hints (10 GiB broadcast
+    build at ~sf1, SCALE.md) no longer has any join to mis-plan."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = gram_zip_expr("_t", n, short="whole", distinct=True)
+    # materialize the gram array ONCE in a projection, then explode —
+    # referencing the expression in both size() and explode() would
+    # evaluate the zip chain twice per row
+    d = (docs.select(F.col(id_col), toks.alias("_t"))
+             .select(id_col, F.expr(grams).alias("_g")))
+    ex = d.select(F.col(id_col).alias("_id"), F.size("_g").alias("_sz"),
+                  F.explode("_g").alias("shingle"))
     posting = ex.groupBy("shingle").agg(
-        F.sort_array(F.collect_list(id_col)).alias("ids"))
-    sizes = (posting.select(F.explode("ids").alias("_sid"))
-                    .groupBy("_sid").agg(F.count(F.lit(1)).alias("sz")))
+        F.sort_array(F.collect_list(F.struct(
+            F.col("_id").alias("i"), F.col("_sz").alias("s")))).alias("ids"))
     posting = posting.filter(F.size("ids") > 1)
     if max_doc_freq is not None:
         # No silent caps: surface how many stop-shingle posting lists the
@@ -393,24 +416,20 @@ def _ngram_pair_counts(docs: DataFrame, text_col: str, id_col: str,
             "through those shingles are lost; intersections "
             "shrink accordingly)", max_doc_freq)
         posting = posting.filter(F.size("ids") <= max_doc_freq)
-    # all (i < j) pairs of each sorted posting list, generated JVM-side
+    # all (i < j) pairs of each sorted posting list, generated JVM-side;
+    # struct sort orders by the id field first (ids are unique per
+    # posting list), so pair order is identical to the pre-r13 plan
     pairs = posting.select(F.explode(F.expr(
         "flatten(transform(ids, (a, i) -> "
         "transform(slice(ids, i + 2, size(ids)), "
-        "b -> struct(a AS id_a, b AS id_b))))")).alias("p")
-    ).select("p.id_a", "p.id_b")
-    inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
-    sa = sizes.select(F.col("_sid").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("_sid").alias("id_b"), F.col("sz").alias("sz_b"))
-    # SHUFFLE_HASH on the sizes side: the static planner has no usable
-    # estimate for `inter` (aggregate over a generate) and on a
-    # duplicate-heavy corpus picks it as the BROADCAST side — measured
-    # at ~sf1 with 10x exact-dup replicas: 10 GiB build > the 8 GiB
-    # broadcast hard cap, query dies.  The hint builds the per-doc
-    # sizes table (one slim row per doc) partition-wise instead; the
-    # pair table only ever streams.
-    return (inter.join(sa.hint("shuffle_hash"), "id_a")
-                 .join(sb.hint("shuffle_hash"), "id_b"))
+        "b -> struct(a.i AS id_a, b.i AS id_b, "
+        "a.s AS sz_a, b.s AS sz_b))))")).alias("p")
+    ).select("p.id_a", "p.id_b", "p.sz_a", "p.sz_b")
+    # sz_a/sz_b are constant per id, so MIN just carries the value —
+    # map-side combinable, no extra shuffle width beyond 16 bytes/group
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("inter"),
+        F.min("sz_a").alias("sz_a"), F.min("sz_b").alias("sz_b"))
 
 
 def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",

@@ -136,7 +136,7 @@ def main() -> int:
         if window is not None:
             if name not in window:
                 continue
-        elif FILT and FILT not in name:
+        elif FILT and not any(f in name for f in FILT.split("|")):
             continue
         try:
             df = fn(spark, SF)

@@ -232,13 +232,15 @@ def test_plans_audit_flagship(spark, sf_dir):
                for s in a["read_schemas"])    # pruned scans visible
 
 
-def test_ngram_pair_core_never_broadcasts_the_pair_table(spark, sf_dir):
-    """Probe #13 regression guard: the pair-count aggregate has no
-    usable size estimate, and letting the planner broadcast it dies at
-    the 8 GiB cap on duplicate-heavy corpora (measured 10 GiB at ~sf1).
-    The sizes side must carry the SHUFFLE_HASH hint — the size joins
-    must be ShuffledHashJoin, never a BroadcastExchange whose build is
-    the pair table."""
+def test_ngram_pair_core_never_joins_the_pair_table(spark, sf_dir):
+    """Probe #13 regression guard, r13 form: per-doc set sizes ride
+    THROUGH the posting lists as (id, sz) structs, so the co-occurrence
+    pair table — the largest intermediate in the plan, with no usable
+    size estimate — is never joined at all.  (History: the planner once
+    picked it as a broadcast side and died at the 8 GiB cap on a
+    duplicate-heavy corpus — 10 GiB at ~sf1; the shuffle_hash-hinted
+    size joins that fixed that still shuffled the pair table twice.
+    Now no Join node of any kind may appear in the core.)"""
     from olap_xtrctr_spark.operators import dedup as D
     from olap_xtrctr_spark.session import load_table
     docs = load_table(spark, sf_dir, "documents")
@@ -246,7 +248,8 @@ def test_ngram_pair_core_never_broadcasts_the_pair_table(spark, sf_dir):
                lambda: D.ngram_containment_pairs(docs, n=3,
                                                  threshold=0.5)):
         plan = _plan(fn())
-        assert "ShuffledHashJoin" in plan, plan[:600]
+        assert "Join" not in plan, plan[:600]
+        assert "BroadcastExchange" not in plan, plan[:600]
 
 
 def test_shuffle_corpus_single_shard_exchange_no_sort_merge(spark, sf_dir):
