@@ -127,6 +127,19 @@ def main() -> None:
                 print(f"# {name}: FAILED ({exc})", file=sys.stderr)
                 continue
             t = round(time.perf_counter() - t0, 3)
+            # Release operator-tracked persists AFTER the clock stops
+            # (r13): operators that cache an intermediate reused inside
+            # their own plan (e.g. the minhash signature table) register
+            # it via session.track_persist; without this release, pass
+            # N+1's structurally-identical plan would silently reuse
+            # pass N's cached blocks (Spark's CacheManager matches
+            # canonicalized subtrees) and the medians would measure the
+            # cache, not the query.  Pass 1 numbers were always honest;
+            # this keeps passes 2-3 honest too.  No headline operator
+            # used track_persist before r13, so this changes no
+            # historical number.
+            from olap_xtrctr_spark.session import release_tracked_caches
+            release_tracked_caches()
             passes.setdefault(name, []).append(t)
             if pass_i == 0:
                 print(f"# {name}: {t:.3f}s ({n} rows)", file=sys.stderr)

@@ -114,29 +114,48 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       threshold: float = 0.5) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by signature
     similarity.  Join happens only inside (band, band_hash) buckets."""
+    from ..session import track_persist
+    # Round-13 rework (guide §4 py4j chatter, §5 cache-when-reused):
+    #
+    # 1. The signature is packed into ONE ARRAY<BIGINT> column right
+    #    after the aggregate.  The old 32-BIGINT-column form built a
+    #    ~7,000-round-trip py4j expression forest (64 aliased columns
+    #    through two scoring joins, a 32-term comparison sum) measured
+    #    at 1.1 s of plan-construction/analysis per bench pass — half
+    #    the query's wall clock.  Band buckets extract ELEMENTS of the
+    #    array, so every xxhash64 input is value-identical to the old
+    #    per-column form and the emitted pairs are bit-identical
+    #    (verified by exceptAll at sf0.001/0.01/0.1,
+    #    scripts/minhash_variants_probe.py).
+    # 2. The signature table is persisted (tracked): it feeds FOUR
+    #    subtree copies (both bucket-join sides + both scoring rejoins)
+    #    and the old plan re-shingled and re-aggregated the corpus four
+    #    times per run.  One row of (id, 32xBIGINT) is ~264 B — at 1 B
+    #    docs that's a ~264 GB cluster-wide MEMORY_AND_DISK cache vs
+    #    re-exploding the full token stream three more times; locally
+    #    it is also the measured winner.  (History: round 4 measured
+    #    localCheckpoint 30% SLOWER — the materialize/read cycle, not
+    #    persistence itself, was the cost; round 5's banded-table
+    #    persist was noise because the banded table is cheap to rebuild
+    #    FROM a signature — persisting the signature is what removes
+    #    the shingle recompute.)  Request-scoped hosts release the pin
+    #    via session.release_tracked_caches(); bench.py does so after
+    #    each timed pass, so no pass rides a previous pass's cache.
     sig = minhash_signatures(docs, text_col, id_col, n, num_hashes)
-    # NOTE (measured, round 4): the signature subtree feeds both sides of
-    # the bucket self-join; materializing it once via localCheckpoint was
-    # tried and is ~30% SLOWER at sf0.1 (the double-computed shingle
-    # stream stays inside whole-stage codegen and is cheaper than the
-    # materialize/read cycle).  Round 5 measured persist(MEMORY_AND_DISK)
-    # on the banded table too: 2.17 s vs 2.27 s median at sf0.1 — inside
-    # run noise, not worth operator-level cache management.  On a real
-    # lake where the shingle explode dominates, persist the signature
-    # table explicitly at the call site instead — don't bake the trade
-    # into the operator.
+    sig = track_persist(sig.select(
+        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("_sig")))
     rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"h{i}") for i in range(b * rows_per_band,
-                                              (b + 1) * rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band"),
-                                  F.xxhash64(*cols).alias("bucket")))
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col("_sig")[b * rows_per_band + i]
+                              for i in range(rows_per_band)])
+                 .alias("bucket"))
+        for b in range(bands)]
     # the bucket self-join and the pair dedup run on the SLIM
-    # (id, band, bucket) projection — carrying the 32 signature columns
-    # through both join sides and a 34-column dropDuplicates measured
-    # 2x slower on a dup-heavy corpus (the shuffles move the wide rows,
-    # and every band-collision duplicate re-ships the whole signature).
+    # (id, band, bucket) projection — carrying the signature through
+    # both join sides and the dropDuplicates measured 2x slower on a
+    # dup-heavy corpus (the shuffles move the wide rows, and every
+    # band-collision duplicate re-ships the whole signature).
     # Signatures rejoin ONCE per side after the dedup, and on a
     # candidate set that AQE broadcasts.
     banded = sig.select(
@@ -151,15 +170,15 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    sa = sig.select(F.col(id_col).alias("id_a"),
-                    *[F.col(f"h{i}").alias(f"a{i}")
-                      for i in range(num_hashes)])
-    sb = sig.select(F.col(id_col).alias("id_b"),
-                    *[F.col(f"h{i}").alias(f"b{i}")
-                      for i in range(num_hashes)])
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sa"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sb"))
     scored = cand.join(sa, "id_a").join(sb, "id_b")
-    sim = sum([(F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
-               for i in range(num_hashes)]) / num_hashes
+    # positionwise signature agreement; size(filter(...)) is INT like
+    # the old 32-term sum of int casts, so sim's double division — and
+    # every emitted value — is unchanged
+    sim = (F.size(F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y),
+                           lambda v: v))
+           / num_hashes)
     # Threshold on the unrounded estimate (consistent with the exact
     # pair ops); the rounded value is only the reported column.
     return (scored.filter(sim >= threshold)
@@ -733,9 +752,15 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
             f"{max_broadcast_bytes >> 20} MiB exact-GEMM broadcast bound; "
             "use similarity.lsh_cosine_topk / ivf_cosine_topk (bucketed, "
             "no driver collect) or minhash_lsh_pairs for near-dup at scale")
-    corpus = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in corpus], dtype=np.int64)
-    M = np.array([r[vec_col] for r in corpus], dtype=np.float64)
+    # Arrow driver transfer (r13, guide §6): collect() pickles rows one
+    # at a time — ~0.5 s of the 0.85 s build at sf0.1 went to
+    # deserializing 10k array<float> rows; toPandas() under
+    # spark.sql.execution.arrow.pyspark.enabled moves the same corpus
+    # as Arrow batches.  Values are identical (same floats, same order
+    # -> same matrix).
+    corpus = emb.select(id_col, vec_col).toPandas()
+    ids = corpus[id_col].to_numpy(dtype=np.int64)
+    M = np.array(list(corpus[vec_col]), dtype=np.float64)
     norms = np.sqrt((M * M).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids, M, norms))
 

@@ -56,6 +56,15 @@ def get_spark(app_name: str = "olap-xtrctr-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", shuffle)
         # Arrow for every pandas_udf / toPandas edge.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python-boundary overhead (r13, guide §4): with DataFrame
+        # debugging on (the default), EVERY PySpark DataFrame call pays
+        # a conf.get RPC + a Python stack walk + set/clear RPCs on
+        # PySparkCurrentOrigin — 3 extra py4j round-trips per API call,
+        # measured ~25-40% of plan-construction time on the wide
+        # queries (profile: 6,949 round-trips to build the minhash
+        # plan).  Costs only the Python call-site line in JVM analysis
+        # error messages; plans and results are unchanged.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # In local mode every task thread shares the DRIVER heap: 8g
         # across 32 threads GC-thrashed the wide minhash aggregate in a
         # long bench session (measured 14-16 s vs 3.1 s at 16 g for the
@@ -123,14 +132,43 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+# Table-HANDLE memo (r13, guide §1/§6): `spark.read.parquet` re-lists
+# the path and re-reads parquet footers for schema inference on every
+# call — measured 60-200 ms per table per query build, the single
+# largest component of plan-construction time (profile: 6 load_table
+# calls = 1.18 s of tpch_q5's 1.6 s build).  A catalog would cache this
+# metadata; we memo the analyzed DataFrame handle per (application,
+# sf_dir, table).  This caches NO data and NO results: every action on
+# the handle still scans the parquet files (same InMemoryFileIndex
+# behavior Spark itself keeps inside one `spark.read.parquet` result).
+# Keyed on applicationId so a stopped/recreated session never sees a
+# stale JVM handle; mtime of the file invalidates rewritten fixtures.
+_TABLE_HANDLES: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         ensure_nanos_conf(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = 0
+    key = (spark.sparkContext.applicationId, sf_dir, name, mtime)
+    df = _TABLE_HANDLES.get(key)
+    if df is not None:
+        return df
+    df = spark.read.parquet(path)
     if name in SCALED_TABLES:
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < max(target // 2, 2):
             df = df.repartition(target)
+    # drop handles of other applications (stopped sessions) so the memo
+    # never pins JVM objects past their context's lifetime
+    stale = [k for k in _TABLE_HANDLES if k[0] != key[0]]
+    for k in stale:
+        _TABLE_HANDLES.pop(k, None)
+    _TABLE_HANDLES[key] = df
     return df
 
 
