@@ -40,6 +40,31 @@ from pyspark.sql import functions as F
 from . import naming
 from .cube import CubeDef, CubeRegistry, Dimension, Hierarchy, Level, Measure
 
+# ---- fact ⋈ dim-view join-side policy (r13, guide §3.1) --------------------
+# Catalyst's post-pruning size ESTIMATE for the slim fact projection can
+# undercut the dim-view chain's (path tables carry no CBO stats; join
+# views estimate as products), and the static planner then broadcasts
+# the FACT: cube_nation_sales built a 600k-row hash relation of lineitem
+# and streamed the 150k-row orders bridge — inverted locally, fatal at
+# real scale.  Policy (measured, see OPTIMIZATION_r13.md):
+#   "hint"   — broadcast-hint the view side.  Right whenever every dim
+#              view is bounded; wrong for SF-growing bridge views
+#              (orders_wide) at 100 TB.
+#   "aqe"    — no hint; defer every estimate-based broadcast to AQE's
+#              runtime sizes (session sets the static
+#              autoBroadcastJoinThreshold to -1).
+#   "off"    — pre-r13 behavior (static estimates decide).
+# Local default "hint" keeps the driver's bench comparable; production
+# at 100 TB should run SPARK_GRAFT_DIM_JOIN=aqe, where runtime sizes —
+# not estimates — pick the build side per join.
+import os as _os
+
+_DIM_JOIN_MODE = _os.environ.get("SPARK_GRAFT_DIM_JOIN", "hint")
+
+
+def _dim_join_side(view: DataFrame) -> DataFrame:
+    return F.broadcast(view) if _DIM_JOIN_MODE == "hint" else view
+
 # Reference guard constants (BASELINE.md)
 CARDINALITY_WARN_THRESHOLD = 100_000
 MAX_ROW_DIMS = 3
@@ -1009,7 +1034,7 @@ class CubeQueryEngine:
             if dim.view is not None:
                 needed.setdefault(dim.view, dim)
         for view_name, dim in needed.items():
-            view = self._view(cube, view_name)
+            view = _dim_join_side(self._view(cube, view_name))
             joined = joined.join(
                 view, F.col(dim.fact_key) == view[dim.view_key],
                 "inner")
@@ -1309,7 +1334,7 @@ class CubeQueryEngine:
 
         joined = fact
         for view_name, dim in needed_views.items():
-            view = self._view(cube, view_name)
+            view = _dim_join_side(self._view(cube, view_name))
             joined = joined.join(
                 view, F.col(dim.fact_key) == view[dim.view_key], "inner")
 

@@ -479,13 +479,24 @@ def register(add) -> None:
         per_os = (li_f.groupBy("l_orderkey", "l_suppkey")
                   .agg(F.max(F.when(F.col("l_returnflag") == "R", 1)
                              .otherwise(0)).alias("has_ret")))
+        # r13 (guide §2.4): derive the blamed supplier INSIDE the
+        # per-order aggregate — when n_ret_supp == 1 the max over the
+        # returned suppliers IS the unique blamed one, so the old
+        # second pass over per_os and its left-semi join (which
+        # duplicated the whole lineitem subtree in the plan: 2 scans,
+        # 2 (order,supplier) aggregations, +1 join exchange) collapse
+        # into this one aggregation.  Same rows: a qualifying order
+        # contributes exactly one (order, blamed-supplier) pair either
+        # way.
         per_order = (per_os.groupBy("l_orderkey")
                      .agg(F.count(F.lit(1)).alias("n_supp"),
-                          F.sum("has_ret").alias("n_ret_supp")))
-        blamed = (per_os.filter(F.col("has_ret") == 1)
-                  .join(per_order.filter((F.col("n_supp") > 1)
-                                         & (F.col("n_ret_supp") == 1)),
-                        "l_orderkey", "left_semi"))
+                          F.sum("has_ret").alias("n_ret_supp"),
+                          F.max(F.when(F.col("has_ret") == 1,
+                                       F.col("l_suppkey")))
+                          .alias("ret_supp")))
+        blamed = (per_order.filter((F.col("n_supp") > 1)
+                                   & (F.col("n_ret_supp") == 1))
+                  .select(F.col("ret_supp").alias("l_suppkey")))
         return (blamed.join(F.broadcast(s),
                             F.col("l_suppkey") == F.col("s_suppkey"))
                 .groupBy("s_name")
