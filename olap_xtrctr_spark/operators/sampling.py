@@ -318,11 +318,15 @@ def incremental_dedup(new_batch: DataFrame, seen: DataFrame,
     |seen|) I/O but only one shuffle of the (hash, id) projection — the
     full seen-corpus text is never moved.
     """
-    from .text import fingerprint
+    from .text import fingerprint, fingerprint_expr
 
-    new_fp = new_batch.join(
-        fingerprint(new_batch, text_col).select(id_col, "fingerprint"),
-        on=id_col)
+    # r13 (guide §2.4): the fingerprint is a rowwise expression, so
+    # compute it as a COLUMN on the batch instead of joining the
+    # fingerprint projection back on id — the old shape scanned the
+    # new batch twice and paid a join to reattach a value each row
+    # could have computed in place.
+    new_fp = new_batch.withColumn("fingerprint",
+                                  fingerprint_expr(text_col))
     seen_fp = fingerprint(seen, text_col).select("fingerprint")
     w_first = F.min(F.col(id_col)).over(Window.partitionBy("fingerprint"))
     return (new_fp.join(seen_fp, on="fingerprint", how="left_anti")

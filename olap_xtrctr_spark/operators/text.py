@@ -249,13 +249,20 @@ def token_count_bpe(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Document fingerprint: md5 over the lowercased alphanumeric skeleton
-    (whitespace/punct-insensitive near-exact dedup key)."""
+def fingerprint_expr(text_col: str = "text"):
+    """Column expression for the document fingerprint: md5 over the
+    lowercased alphanumeric skeleton (whitespace/punct-insensitive
+    near-exact dedup key).  Exposed separately so consumers can compute
+    it IN PLACE instead of joining the projection back on id."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    return F.md5(F.encode(norm, "UTF-8"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint projection (see fingerprint_expr)."""
     return docs.select(
         "doc_id",
-        F.md5(F.encode(norm, "UTF-8")).alias("fingerprint"),
+        fingerprint_expr(text_col).alias("fingerprint"),
     )
 
 

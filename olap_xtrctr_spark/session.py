@@ -180,9 +180,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_schema(spark: SparkSession, sf_dir: str):
     """Raw on-disk schema of the events table (ts as bigint nanos), for the
-    streaming replay paths that need a schema before readStream."""
+    streaming replay paths that need a schema before readStream.
+    Rides the same metadata memo as load_table (r13): the schema is a
+    pure function of the file, and re-reading footers per streaming
+    query was measured overhead."""
     ensure_nanos_conf(spark)
-    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return load_table(spark, sf_dir, "events").schema
 
 
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -173,25 +173,56 @@ def run_stream_to_memory(spark: SparkSession, streaming_df: DataFrame,
     single-batch replay (the watermark only advances between batches).
 
     The stateful-shuffle width for the replay is
-    ``max(4, defaultParallelism // 4)`` — each state-store partition
+    ``max(2, defaultParallelism // 8)`` — each state-store partition
     carries a fixed open/commit cost per micro-batch, so a bounded
     replay pays pure overhead for width it can't fill (an external
     session's default of 200 would be worse still; measured on sf0.1:
-    32-wide 1.84 s, 8-wide 1.13 s for the same rollup).  State
+    32-wide 1.84 s, 8-wide 1.13 s for the same rollup; the r13 probe
+    put the 3-replay trio at 2.84 s for width 8 vs 2.27 s for width 4,
+    width 2 flat-to-worse — scripts/stream_replay_probe.py).  State
     partitioning is fixed at the first micro-batch, and ``start()``
     plans asynchronously, so the caller restores the conf AFTER
     ``awaitTermination`` (see ``drain_stream_to_table``).  A real
     continuous deployment sizes this to key cardinality × throughput
     instead and keeps it stable across restarts.
     """
-    width = max(4, spark.sparkContext.defaultParallelism // 4)
+    width = max(2, spark.sparkContext.defaultParallelism // 8)
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
-    return (streaming_df.writeStream
-            .format("memory")
-            .queryName(query_name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start())
+    writer = (streaming_df.writeStream
+              .format("memory")
+              .queryName(query_name)
+              .outputMode(output_mode)
+              .trigger(availableNow=True))
+    ckpt = _replay_checkpoint_dir(query_name)
+    if ckpt:
+        writer = writer.option("checkpointLocation", ckpt)
+    q = writer.start()
+    q._sgr_ckpt = ckpt          # drain_stream_to_table deletes it
+    return q
+
+
+def _replay_checkpoint_dir(query_name: str):
+    """Fresh per-run checkpoint dir for a BOUNDED memory-sink replay.
+
+    Without an explicit location Spark creates (and force-deletes) a
+    temp checkpoint under java.io.tmpdir — on disk.  The replay's
+    checkpoint is pure scratch (the memory sink is itself volatile and
+    every replay starts from a fresh dir, never resuming), so tmpfs is
+    strictly better: the per-micro-batch state-store commit fsyncs were
+    ~20% of replay wall (r13 probe: width-4 trio 2.27 s on /tmp vs
+    2.12 s on /dev/shm).  SPARK_GRAFT_STREAM_CKPT_DIR overrides; if
+    neither it nor /dev/shm exists, fall back to Spark's own temp
+    checkpoint behavior (return None).  A DURABLE deployment passes its
+    own checkpointLocation through the continuous-query entry points —
+    this helper is only for the bounded replay-to-memory path."""
+    import os as _os
+    import uuid as _uuid
+    base = _os.environ.get("SPARK_GRAFT_STREAM_CKPT_DIR")
+    if base is None and _os.path.isdir("/dev/shm"):
+        base = "/dev/shm"
+    if not base:
+        return None
+    return f"{base}/sgr-replay-{query_name}-{_uuid.uuid4().hex}"
 
 
 def drain_stream_to_table(spark: SparkSession, streaming_df: DataFrame,
@@ -199,16 +230,21 @@ def drain_stream_to_table(spark: SparkSession, streaming_df: DataFrame,
                           output_mode: str = "complete") -> DataFrame:
     """Run a bounded availableNow replay to completion and return the
     memory-sink table, restoring the caller's shuffle-partitions conf
-    once the drain is done."""
+    and deleting the scratch checkpoint once the drain is done."""
     # effective value (falls back to the session default when unset), so
     # the restore puts back exactly what queries saw before the replay
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    q = None
     try:
         q = run_stream_to_memory(spark, streaming_df, query_name,
                                  output_mode=output_mode)
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        ckpt = getattr(q, "_sgr_ckpt", None)
+        if ckpt:
+            import shutil
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(query_name)
 
 
