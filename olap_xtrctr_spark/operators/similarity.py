@@ -801,20 +801,51 @@ def pq_codes(emb: DataFrame, m: int = 16, n_centroids: int = 64,
     sub_d = dim // m
     # norm_vec_col: when the quantized column is a RESIDUAL (IVFPQ),
     # the cosine denominator still needs the ORIGINAL vector's norm
-    out = emb.select(F.col(id_col).alias("neighbor_id"),
-                     F.col(vec_col).alias("_vec"),
-                     _norm(F.col(norm_vec_col or vec_col)).alias("nnorm"))
-    codebooks = []
+    #
+    # r13 optimization round (guide §5 lineage): every subspace model
+    # is fit against the base projection DIRECTLY.  The old loop fit
+    # subspace s on the ACCUMULATED chain
+    # (base -> transform_0 -> ... -> transform_{s-1} -> slice), so
+    # fit s's plan carried s prediction-UDF stages it did not need —
+    # O(m^2) lineage growth in plan depth, analysis cost and the bytes
+    # re-executed by each fit's internal input materialization.  A
+    # subspace fit depends only on its slice of the base vectors (plus
+    # k, seed+s, maxIter), none of which the chain changed, so the
+    # trained codebooks — and therefore every code and every emitted
+    # row — are bit-identical (verified old-vs-new at
+    # sf0.001/0.01/0.1).  Honest local measurement: wall-clock NEUTRAL
+    # at sf0.1 (~33 s PQ / ~58 s IVFPQ either way) because the entry
+    # is fit-dominated — ~430 Spark jobs of k-means|| init + Lloyd
+    # iterations whose scheduling floor dwarfs the chain re-execution
+    # locally; the flattening is kept for the scale-side lineage
+    # property, not a local win.  The m transforms are applied once at
+    # the end; the consumer evaluates that composed projection in one
+    # pass.  Deliberately NOT persisted: caching the base lets AQE
+    # re-lay-out the cached plan's partitions, which changes the
+    # k-means|| seeding and thus the trained centers — measured, not
+    # hypothetical — and MLlib already caches each fit's own instances
+    # RDD internally (handlePersistence), so a pin buys little and
+    # costs determinism.
+    base = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vec"),
+        _norm(F.col(norm_vec_col or vec_col)).alias("nnorm"))
+    codebooks, models = [], []
     for s in range(m):
         sub = F.slice(F.col("_vec"), s * sub_d + 1, sub_d)
-        feats = out.withColumn(
+        feats = base.withColumn(
             "_feat", array_to_vector(sub.cast("array<double>")))
         kmeans = KMeans(k=n_centroids, seed=seed + s, maxIter=10,
                         featuresCol="_feat", predictionCol=f"code_{s}")
-        model = kmeans.fit(feats)
-        out = model.transform(feats).drop("_feat")
+        models.append(kmeans.fit(feats))
         codebooks.append([[float(x) for x in c]
-                          for c in model.clusterCenters()])
+                          for c in models[-1].clusterCenters()])
+    out = base
+    for s, model in enumerate(models):
+        sub = F.slice(F.col("_vec"), s * sub_d + 1, sub_d)
+        out = model.transform(out.withColumn(
+            "_feat", array_to_vector(sub.cast("array<double>")))
+        ).drop("_feat")
     return out.drop("_vec"), codebooks
 
 
@@ -964,7 +995,13 @@ def ivfpq_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
     centers_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         ["cell", "_center"])
-    # residual = v - c(v), JVM-side over the broadcast centers row
+    # residual = v - c(v), JVM-side over the broadcast centers row.
+    # NOT persisted for the same trained-determinism reason documented
+    # in pq_codes: this lineage feeds every subspace fit, and a cached
+    # copy's AQE-relaid partitioning changes the k-means|| seeding.
+    # Each fit re-derives it (cheap narrow ops over the coarse
+    # transform); the quadratic chain re-execution pq_codes used to pay
+    # is gone either way.
     residuals = (assigned.join(F.broadcast(centers_df), "cell")
                  .withColumn("_res", F.zip_with(
                      F.col(vec_col).cast("array<double>"), "_center",
