@@ -1530,12 +1530,24 @@ def semantic_dedup_pairs_frozen(emb: DataFrame, threshold: float = 0.995,
     bound, i.e. the gate/oracle regime, are bit-identical to the exact
     path); ``oversize="error"`` restores the loud refusal."""
     from . import frozen_codebooks as FC
+    from ..session import track_persist
     assigned = (emb.select(F.col(id_col), F.col(vec_col))
                 .withColumn("_vint", F.expr(_vint_expr(vec_col)))
                 .withColumn("_cell", F.explode(F.expr(_argmin_cells_expr(
                     "_vint", FC.COARSE_CENTERS_I,
                     min(n_assign, FC.COARSE_K)))))
                 .drop("_vint"))
+    # r13 optimization round (guide §5 cache-what's-reused): the
+    # assignment projection feeds the cell-size guard AND both sides
+    # of the within-cell self-join — 3 full scan+quantize passes per
+    # call without the pin (the guard aggregate below doubles as the
+    # materializer).  Safe here unlike the trained family: the frozen
+    # argmin is pure rowwise integer math, so values are independent
+    # of the cached plan's partition layout (contrast pq_codes, where
+    # a persist upstream of KMeans.fit CHANGES the trained centers).
+    # Released by the caller scope (bench per pass, workload runner
+    # per entry, HTTP per request) via release_tracked_caches.
+    assigned = track_persist(assigned)
     biggest = (assigned.groupBy("_cell")
                .agg(F.count(F.lit(1)).alias("n"))
                .agg(F.max("n")).first()[0]) or 0
