@@ -598,35 +598,65 @@ def _md5_lsh_buckets(emb: DataFrame, n_tables: int, bits_per_table: int,
     """(id, t, bucket): the md5-derived-integer LSH signature shared by
     the oracle-exact twins — ±1 plane coefficients from the first md5
     nibble of ``lshplane:<table>:<bit>:<dim>``, vectors frozen to
-    integers (``CAST(floor(x*scale + 0.5) AS BIGINT)``) so every
-    projection is an INTEGER dot product (order-independent, engine-
-    portable), bucket = the bits_per_table sign bits of table t."""
+    integers (``floor(x·scale + 0.5)`` as int64) so every projection
+    is an INTEGER dot product (order-independent, engine-portable),
+    bucket = the bits_per_table sign bits of table t.
+
+    r13 optimization round (guide §2.4 remove shuffles, §4 kernel
+    discipline): the SIGNATURE DEFINITION above is unchanged — what
+    changed is how Spark computes it.  The old plan exploded the
+    corpus ×dim, broadcast-joined a (t, b, i, ±1) plane table (an
+    n·dim·tables·bits row pipeline — 82M rows at sf0.1) and rebuilt
+    buckets with TWO groupBy exchanges.  Every dot is exact int64
+    math, so the one-pass Arrow kernel below (same float64 quantize
+    sequence, int64 matmul, sign bits) is bit-equal by integer
+    exactness — pinned by test_md5_lsh_kernel_matches_expression_twin
+    — and the whole signature is now a pure projection: zero
+    exchanges, the Generate consumes the kernel output in the same
+    select (the one-Python-stage shape SCALE.md pins for the frozen
+    family)."""
     import hashlib
 
-    spark = emb.sparkSession
+    import numpy as np
+
     dim = emb.select(F.size(vec_col).alias("d")).first()["d"]
-    rows = []
+    P = np.empty((n_tables * bits_per_table, dim), dtype=np.int64)
     for t in range(n_tables):
         for b in range(bits_per_table):
             for i in range(dim):
                 nib = int(hashlib.md5(
                     f"lshplane:{t}:{b}:{i}".encode()).hexdigest()[0], 16)
-                rows.append((t, b, i, 1 if nib >= 8 else -1))
-    planes = spark.createDataFrame(rows, "t int, b int, i int, c long")
+                P[t * bits_per_table + b, i] = 1 if nib >= 8 else -1
+    pow2 = 1 << np.arange(bits_per_table, dtype=np.int64)
+    scale = float(quant_scale)
 
-    q = emb.select(
-        F.col(id_col),
-        F.posexplode(F.expr(
-            f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
-            f" * {quant_scale} + 0.5) AS BIGINT))")).alias("i", "qv"))
-    dots = (q.join(F.broadcast(planes), "i")
-             .groupBy(id_col, "t", "b")
-             .agg(F.sum(F.col("c") * F.col("qv")).alias("d")))
-    return (dots.groupBy(id_col, "t")
-            .agg(F.sum(F.when(F.col("d") >= 0,
-                              F.expr("CAST(power(2, b) AS BIGINT)"))
-                       .otherwise(F.lit(0).cast("long")))
-                 .alias("bucket")))
+    def _buckets(vecs):
+        import pandas as pd
+        if vecs.empty:
+            return pd.Series([], dtype=object)
+        vals = list(vecs)
+        live = [j for j, v in enumerate(vals) if v is not None]
+        out = [None] * len(vals)
+        if live:
+            # CAST(x AS DOUBLE) then floor(x*scale + 0.5): the exact
+            # float64 sequence of the old SQL expression
+            V = np.stack([np.asarray(vals[j], dtype=np.float64)
+                          for j in live])
+            Q = np.floor(V * scale + 0.5).astype(np.int64)
+            D = Q @ P.T                          # exact int64 dots
+            bits = (D >= 0).reshape(len(Q), n_tables, bits_per_table)
+            buckets = (bits * pow2).sum(axis=2)  # int64 (n, n_tables)
+            for r, j in enumerate(live):
+                out[j] = buckets[r]
+        return pd.Series(out, dtype=object)
+
+    udf = F.pandas_udf(_buckets, "array<long>")
+    # posexplode in the same select as the kernel call: one Python
+    # stage (inferred filters cannot push the kernel under a join);
+    # null vectors yield no rows, matching the old explode behaviour
+    return (emb.select(F.col(id_col),
+                       F.posexplode(udf(F.col(vec_col)))
+                        .alias("t", "bucket")))
 
 
 def lsh_cosine_topk_md5(emb: DataFrame, query_ids: list[int],

@@ -2683,3 +2683,52 @@ def test_weighted_pagerank_teleport_semantics(spark):
     uni = {r["node"]: r["pr_ppb"]
            for r in G.weighted_pagerank(e, nd, iters=5).collect()}
     assert uni == _ref_pagerank(edges, nodes, iters=5)
+
+
+def test_md5_lsh_kernel_matches_expression_twin(spark, sf_dir):
+    """Bit-equality of the Arrow int64 md5-LSH bucket kernel against
+    the pre-r13 explode/broadcast-join/groupBy expression pipeline
+    over the whole real embeddings table — the invariant that lets
+    the kernel compute the oracle-exact md5 signature (same planes,
+    same float64 quantize sequence, same integer dots) with zero
+    exchanges."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from olap_xtrctr_spark.operators import similarity as S
+    from olap_xtrctr_spark.session import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_tables, bits_per_table, quant_scale = 16, 4, 1000
+
+    ker = {(r["vec_id"], r["t"]): r["bucket"]
+           for r in S._md5_lsh_buckets(
+               emb, n_tables, bits_per_table, "vec_id", "embedding",
+               quant_scale).collect()}
+
+    # the former expression pipeline, verbatim
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    rows = []
+    for t in range(n_tables):
+        for b in range(bits_per_table):
+            for i in range(dim):
+                nib = int(hashlib.md5(
+                    f"lshplane:{t}:{b}:{i}".encode()).hexdigest()[0], 16)
+                rows.append((t, b, i, 1 if nib >= 8 else -1))
+    planes = spark.createDataFrame(rows, "t int, b int, i int, c long")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * {quant_scale} + 0.5) AS BIGINT))")).alias("i", "qv"))
+    dots = (q.join(F.broadcast(planes), "i")
+             .groupBy("vec_id", "t", "b")
+             .agg(F.sum(F.col("c") * F.col("qv")).alias("d")))
+    exp = {(r["vec_id"], r["t"]): r["bucket"]
+           for r in (dots.groupBy("vec_id", "t")
+                     .agg(F.sum(F.when(F.col("d") >= 0,
+                                       F.expr("CAST(power(2, b) AS "
+                                              "BIGINT)"))
+                                .otherwise(F.lit(0).cast("long")))
+                          .alias("bucket"))).collect()}
+    assert exp == ker
