@@ -227,7 +227,13 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     if n_blocks is None:
         n_blocks = min(max_hamming + 1, 8)
     width = 64 // n_blocks
-    sig = simhash(docs, text_col, id_col)
+    # r13 (guide §5): the signature aggregate (token explode + 64
+    # conditional-sum votes) feeds BOTH sides of the block self-join —
+    # pinned so it is computed once; SUM votes are order-independent,
+    # so the cached layout cannot change a value.  Released by the
+    # caller scope (bench pass / workload entry / HTTP request).
+    from ..session import track_persist
+    sig = track_persist(simhash(docs, text_col, id_col))
     if width >= 64:       # single block == whole signature (max_hamming=0)
         blocks = F.array(F.struct(F.lit(0).alias("blk_id"),
                                   F.col("simhash").alias("blk_val")))
@@ -1474,7 +1480,14 @@ def minhash_lsh_pairs_md5(docs: DataFrame, text_col: str = "text",
     if num_hashes % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_hashes "
                          f"({num_hashes})")
-    sig = _minhash_sig_md5(docs, text_col, id_col, n, num_hashes)
+    # r13 (guide §5): the md5 shingle+signature aggregate feeds FOUR
+    # subtree copies (both bucket-join sides + both scoring rejoins) —
+    # the same one-materialization pin the fast path got in r13
+    # (minhash_lsh_pairs); MIN aggregates are order-independent, so
+    # the cached layout cannot change a value.
+    from ..session import track_persist
+    sig = track_persist(
+        _minhash_sig_md5(docs, text_col, id_col, n, num_hashes))
     banded = _minhash_bands_md5(sig, id_col, num_hashes, bands)
     cand = (banded.alias("a")
             .join(banded.alias("b"),
@@ -1544,7 +1557,10 @@ def simhash_near_pairs_md5(docs: DataFrame, text_col: str = "text",
          .otherwise(F.lit(0).cast("long"))
         for i in range(bits)
     ])
-    sigs = agg.select(id_col, sig.alias("simhash"))
+    # r13 (guide §5): same one-materialization pin as the xxhash64
+    # variant — the 60-vote aggregate feeds both block-join sides
+    from ..session import track_persist
+    sigs = track_persist(agg.select(id_col, sig.alias("simhash")))
     blocks = F.array(*[
         F.struct(F.lit(i).alias("blk_id"),
                  F.expr(f"(simhash DIV {2 ** (i * width)}) "
@@ -1646,13 +1662,19 @@ def minhash_incremental_pairs_md5(new_docs: DataFrame,
     if (seen_docs is None) == (seen_store is None):
         raise ValueError(
             "pass exactly one of seen_docs / seen_store")
-    sig_new = _minhash_sig_md5(new_docs, text_col, id_col, n, num_hashes)
+    # r13 (guide §5): each signature table feeds its banded probe AND
+    # its scoring rejoin — pinned so each side shingles once.  The
+    # seen_store path is left unpinned: it is already a parquet
+    # re-read, not a recomputation.
+    from ..session import track_persist
+    sig_new = track_persist(_minhash_sig_md5(new_docs, text_col,
+                                             id_col, n, num_hashes))
     bn = _minhash_bands_md5(sig_new, id_col, num_hashes, bands)
     if seen_store is not None:
         sig_seen, bs = seen_store
     else:
-        sig_seen = _minhash_sig_md5(seen_docs, text_col, id_col, n,
-                                    num_hashes)
+        sig_seen = track_persist(_minhash_sig_md5(seen_docs, text_col,
+                                                  id_col, n, num_hashes))
         bs = _minhash_bands_md5(sig_seen, id_col, num_hashes, bands)
     cand = (bn.alias("a")
             .join(bs.alias("b"),

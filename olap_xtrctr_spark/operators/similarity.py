@@ -576,6 +576,13 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
         "lsh_near_dup_pairs: dropped %d signature rows in cells over "
         "max_bucket_size — raise bits_per_table or max_bucket_size")
     sized = sized.filter(F.col("_cell_n") <= max_bucket_size).drop("_cell_n")
+    # r13 (guide §5): the signature pipeline (Arrow bucketer + cell
+    # window) feeds both candidate-join sides — pinned so the corpus
+    # is hashed once; the bucketer is rowwise over fixed seeded
+    # planes and the window count is a plain per-cell count, so the
+    # cached layout cannot change a value.
+    from ..session import track_persist
+    sized = track_persist(sized)
 
     a, b = sized.alias("a"), sized.alias("b")
     cand = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
