@@ -66,17 +66,24 @@ def register(add) -> None:
                .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
                      F.col("n_regionkey") == F.col("r_regionkey"))
                .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
-        offers = (li.join(F.broadcast(eur),
-                          F.col("l_suppkey") == F.col("s_suppkey"))
-                  .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal",
-                           "n_name")
-                  .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
-                       .alias("unit_price")))
         tgt = p.filter((F.col("p_size") == 10)
                        & (F.col("p_type") == "SMALL")) \
                .select("p_partkey", "p_name")
-        cand = offers.join(F.broadcast(tgt),
-                           F.col("l_partkey") == F.col("p_partkey"))
+        # r13 (guide §2.3 shuffle fewer bytes): the selective part
+        # filter joins BELOW the price-list aggregate — it equi-joins
+        # on l_partkey, a groupBy key, so filtering rows first and
+        # aggregating after yields the identical group set and the
+        # identical MIN per group (order-independent), while the
+        # aggregate's exchange now carries only target-part rows
+        # instead of the whole price list.  Oracle unchanged.
+        cand = (li.join(F.broadcast(tgt),
+                        F.col("l_partkey") == F.col("p_partkey"))
+                .join(F.broadcast(eur),
+                      F.col("l_suppkey") == F.col("s_suppkey"))
+                .groupBy("l_partkey", "p_partkey", "p_name", "s_suppkey",
+                         "s_name", "s_acctbal", "n_name")
+                .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                     .alias("unit_price")))
         w = Window.partitionBy("l_partkey")
         return (cand.withColumn("best", F.min("unit_price").over(w))
                 .filter(F.col("unit_price") == F.col("best"))
