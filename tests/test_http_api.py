@@ -386,6 +386,11 @@ def test_dispatch_releases_tracked_caches(base_url, spark):
         state["cached_during"] = df.is_cached
         return 200, {"ok": True}
 
+    SS.release_tracked_caches()         # clean slate on this thread:
+    # earlier tests in the session may have called pin-tracking
+    # operators directly on this thread without a scope release (the
+    # r13 signature pins made that common), and this test asserts an
+    # exact pin count below.  Same discipline as the sibling tests.
     foreign = spark.range(3)
     SS.track_persist(foreign)           # a pin on the TEST thread
     try:
