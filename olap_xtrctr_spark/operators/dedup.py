@@ -368,6 +368,65 @@ def edit_distance_pairs(docs: DataFrame, max_dist: int = 20,
             .filter(F.col("edit_dist") >= 0))  # -1 = exceeded threshold
 
 
+def _gram_rows_kernel(docs: DataFrame, text_col: str, id_col: str,
+                      n: int) -> DataFrame:
+    """Exploded distinct word n-grams with the per-doc distinct count:
+    (_id, _sz, shingle) — the input of the inverted-index pair core —
+    computed by an Arrow batch kernel (guide §4.2) instead of the
+    interpreted zip_with chain.  The string semantics are pinned to the
+    expression twin (``gram_zip_expr`` over ``split(trim(lower(t)),
+    '\\s+')``), established empirically and guarded by
+    tests/test_operators.py::test_gram_kernel_matches_expression_twin:
+
+    * trim strips ONLY spaces (0x20), like Spark's ``trim`` (a leading
+      tab survives and yields a leading empty token);
+    * the split pattern is Java's ``\\s`` = ``[ \\t\\n\\x0B\\f\\r]``
+      with limit -1 (empty strings kept);
+    * sub-n-token docs contribute one whole-document gram
+      (``short='whole'``), so an empty text yields one '' gram;
+    * NULL text yields no rows (explode of a NULL array);
+    * per-doc dedup keeps first occurrence (``array_distinct``).
+
+    The id column passes through an Arrow ``take`` untouched, so any
+    id type (and its exact values) survives the boundary.  Only the
+    two needed columns cross it (guide §4.1)."""
+    import re
+
+    import pyarrow as pa
+
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    id_type = docs.select(id_col).schema[0].dataType.simpleString()
+
+    def build(batches):
+        for b in batches:
+            texts = b.column(1).to_pylist()
+            idx: list[int] = []
+            o_sz: list[int] = []
+            o_sh: list[str] = []
+            for row, t in enumerate(texts):
+                if t is None:
+                    continue
+                toks = ws.split(t.lower().strip(" "))
+                if len(toks) < n:
+                    g = [" ".join(toks)]
+                else:
+                    g = list(dict.fromkeys(
+                        " ".join(toks[j:j + n])
+                        for j in range(len(toks) - n + 1)))
+                sz = len(g)
+                idx.extend([row] * sz)
+                o_sz.extend([sz] * sz)
+                o_sh.extend(g)
+            ids = b.column(0).take(pa.array(idx, pa.int32()))
+            yield pa.record_batch(
+                [ids, pa.array(o_sz, pa.int32()),
+                 pa.array(o_sh, pa.string())],
+                names=["_id", "_sz", "shingle"])
+
+    return docs.select(id_col, text_col).mapInArrow(
+        build, f"_id {id_type}, _sz int, shingle string")
+
+
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.3,
@@ -417,16 +476,22 @@ def _ngram_pair_counts(docs: DataFrame, text_col: str, id_col: str,
     pair row — strictly smaller than the removed exchanges whenever
     pairs co-occur more than once, and the duplicate-heavy regime that
     motivated the old plan's shuffle_hash hints (10 GiB broadcast
-    build at ~sf1, SCALE.md) no longer has any join to mis-plan."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    grams = gram_zip_expr("_t", n, short="whole", distinct=True)
-    # materialize the gram array ONCE in a projection, then explode —
-    # referencing the expression in both size() and explode() would
-    # evaluate the zip chain twice per row
-    d = (docs.select(F.col(id_col), toks.alias("_t"))
-             .select(id_col, F.expr(grams).alias("_g")))
-    ex = d.select(F.col(id_col).alias("_id"), F.size("_g").alias("_sz"),
-                  F.explode("_g").alias("shingle"))
+    build at ~sf1, SCALE.md) no longer has any join to mis-plan.
+
+    Round-13b (guide §4.2): the gram construction itself moved from
+    the interpreted zip_with chain to ``_gram_rows_kernel`` — the
+    remaining local floor after the join removal was the per-element
+    lambda evaluation (~0.76 s of the 2.2 s query at sf0.1), and the
+    Arrow kernel's measured end-to-end effect on this query is
+    1.67 -> 1.18 s median with bit-identical oracle output (probe
+    protocol in OPTIMIZATION_r13.md; equality vs the expression twin
+    pinned over the real corpus + edge cases by
+    tests/test_operators.py::test_gram_kernel_matches_expression_twin).
+    The minhash path measured the OPPOSITE way (its non-distinct
+    explode feeds a codegen'd hash+partial-aggregate, and the kernel
+    boundary lost 0.99 -> 1.16 s), so shingle_docs keeps the JVM
+    chain."""
+    ex = _gram_rows_kernel(docs, text_col, id_col, n)
     posting = ex.groupBy("shingle").agg(
         F.sort_array(F.collect_list(F.struct(
             F.col("_id").alias("i"), F.col("_sz").alias("s")))).alias("ids"))

@@ -2732,3 +2732,37 @@ def test_md5_lsh_kernel_matches_expression_twin(spark, sf_dir):
                                 .otherwise(F.lit(0).cast("long")))
                           .alias("bucket"))).collect()}
     assert exp == ker
+
+
+def test_gram_kernel_matches_expression_twin(spark, sf_dir):
+    """The Arrow gram kernel (`_gram_rows_kernel`, the r13 pair-core
+    input) emits the exact multiset of (_id, _sz, shingle) rows the
+    zip_with expression twin produces — over the whole real documents
+    table AND a synthetic edge corpus (NULL text, empty text,
+    whitespace-only, leading tab surviving trim, sub-n docs, in-doc
+    duplicate grams, multi-space runs)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from olap_xtrctr_spark.operators.dedup import (_gram_rows_kernel,
+                                                   gram_zip_expr)
+    from olap_xtrctr_spark.session import load_table
+
+    edge = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "\tx y"), (5, "a"),
+         (6, "a b"), (7, "a b c"), (8, "a  b\tc \n d"),
+         (9, "a b a b a b a b"), (10, "A B C a b c")],
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("text", T.StringType())]))
+
+    for docs in (load_table(spark, sf_dir, "documents"), edge):
+        toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        d = (docs.select(F.col("doc_id"), toks.alias("_t"))
+                 .select("doc_id", F.expr(gram_zip_expr(
+                     "_t", 3, short="whole", distinct=True)).alias("_g")))
+        twin = d.select(F.col("doc_id").alias("_id"),
+                        F.size("_g").cast("int").alias("_sz"),
+                        F.explode("_g").alias("shingle"))
+        ker = _gram_rows_kernel(docs, "text", "doc_id", 3)
+        assert ker.exceptAll(twin).count() == 0
+        assert twin.exceptAll(ker).count() == 0
