@@ -118,19 +118,22 @@ def register(add) -> None:
     # entry loudly rather than shipping plausible-looking merges.
     _BPE_MERGES = 24
     _BPE_GATE_MAX_VOCAB = 200_000
-    _BPE_CACHE: dict = {}
 
     def _trained(spark, sf):
-        import os
-
+        # Trains PER CALL, deliberately: the former module-level memo
+        # (keyed on (sf, file size)) was a cross-entry result cache —
+        # exactly the accounting the optimization rounds prohibit
+        # (every invocation must compute from the parquet inputs), and
+        # it also outlived the Spark session that produced its
+        # localCheckpoint.  Training is deterministic (word-count
+        # argmax with total tie-breaks, gated against the pure-Python
+        # reference), so per-call recompute changes no entry's rows;
+        # the three consumers each pay their own training cost.
         from ..operators import bpe as B
-        key = (sf, os.path.getsize(f"{sf}/documents.parquet"))
-        if key not in _BPE_CACHE:
-            merges, syms = B.gated_train_bpe(
-                _docs(spark, sf), num_merges=_BPE_MERGES,
-                gate_max_vocab=_BPE_GATE_MAX_VOCAB)
-            _BPE_CACHE[key] = (merges, syms.localCheckpoint())
-        return _BPE_CACHE[key]
+        merges, syms = B.gated_train_bpe(
+            _docs(spark, sf), num_merges=_BPE_MERGES,
+            gate_max_vocab=_BPE_GATE_MAX_VOCAB)
+        return merges, syms.localCheckpoint()
 
     def bpe_train(spark, sf):
         merges, _ = _trained(spark, sf)
