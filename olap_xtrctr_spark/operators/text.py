@@ -753,10 +753,20 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
     toks = docs.select(
         id_col, F.explode(F.split(F.trim(F.lower(F.col(text_col))),
                                   r"\s+")).alias("token"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # r13 (guide §5): dl feeds the eager corpus-totals aggregate AND
+    # the final join; hits feeds the driver's per-term df collect AND
+    # the tf aggregate — unpinned, the full-corpus token explode re-ran
+    # 4x per call.  dl is one slim row per doc; hits is the queried
+    # terms' posting rows (what any retrieval engine materializes).
+    # Both are order-independent counts/filters — identity-safe pins,
+    # released per entry / request / bench pass.
+    from ..session import track_persist
+    dl = track_persist(
+        toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl")))
     tot = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("dl").alias("total_len"))
-    hits = toks.filter(F.col("token").isin([t.lower() for t in terms]))
+    hits = track_persist(
+        toks.filter(F.col("token").isin([t.lower() for t in terms])))
     dfreq = (hits.select(id_col, "token").distinct()
              .groupBy("token").agg(F.count(F.lit(1)).alias("df")))
     # |terms| rows + one scalar: freeze idf on the driver with the
@@ -969,8 +979,17 @@ def token_pmi_top(docs: DataFrame, text_col: str = "text",
     uni = d.select(F.explode("_t").alias("w")).filter(F.col("w") != "")
     bg = d.select(F.explode(bigrams).alias("bg"))
 
-    c_uni = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    c_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_xy"))
+    # r13 (guide §5, the signature-pin discipline): both count tables
+    # feed the eager totals aggregate, the driver's distinct-count LUT
+    # collect AND the final join chain — unpinned, the corpus token
+    # explode re-ran ~4x (unigrams) / ~3x (bigrams) per call.  Both are
+    # the aggregated VOCABULARY-sized tables (slim, bounded by distinct
+    # grams, not corpus rows) and pure order-independent counts, so the
+    # pin is identity-safe; released per entry / request / bench pass.
+    from ..session import track_persist
+    c_uni = track_persist(uni.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    c_bg = track_persist(
+        bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_xy")))
     totals = c_uni.agg(F.sum("c").alias("nt")).crossJoin(
         c_bg.agg(F.sum("c_xy").alias("nb"))).first()
     n_tok, n_big = int(totals["nt"] or 0), int(totals["nb"] or 0)
