@@ -284,9 +284,16 @@ def temperature_mix_rates(docs: DataFrame, temperature: float = 0.7,
     domain); the per-source weights freeze on the driver (sources are
     bounded metadata — dozens at 100 TB) and broadcast back."""
     ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    per_src = (docs.groupBy(source_col)
-               .agg(F.count(F.lit(1)).alias("n_docs"),
-                    F.sum(ntok).alias("n_tokens")))
+    # r13 (guide §5): the per-source rollup feeds the driver freeze
+    # collect AND the returned plan — unpinned, the corpus tokenize+
+    # aggregate scan ran twice per call.  |sources| rows (bounded
+    # metadata), order-independent counts: identity-safe pin, released
+    # per entry / request / bench pass.
+    from ..session import track_persist
+    per_src = track_persist(
+        docs.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(ntok).alias("n_tokens")))
     rows = per_src.select(source_col, "n_tokens").collect()
     w_micro = {r[source_col]: micro(fxexp(temperature
                                           * fxln(float(r["n_tokens"]))))

@@ -853,9 +853,19 @@ def ngram_lm_score(docs: DataFrame, reference_cond=None,
         lambda a, b: F.concat(a, F.lit(" "), b))).alias("bg"))
     ref_uni = rt.select(F.explode("_t").alias("w"))
 
-    vocab = ref_uni.agg(F.countDistinct("w").alias("v"))
-    c1 = ref_uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
-    c12 = ref_big.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    # r13 (guide §5, signature-pin discipline): both count tables feed
+    # the driver's distinct-count LUT collects AND the final scoring
+    # joins — unpinned, the reference-corpus explode re-ran 3x (uni) /
+    # 2x (big) per call.  Vocabulary-sized order-independent counts:
+    # identity-safe pins, released per entry / request / bench pass.
+    # V (distinct unigrams) is exactly c1's row count, so it rides the
+    # pinned table instead of re-aggregating the explode.
+    from ..session import track_persist
+    c1 = track_persist(
+        ref_uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
+    c12 = track_persist(
+        ref_big.groupBy("bg").agg(F.count(F.lit(1)).alias("c12")))
+    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
     # nll(w2|w1) = ln(C(w1)+V) - ln(C12+1); unseen contexts fall back
     # to C(w1)=0.  Freeze each term to micro-units SEPARATELY so the
     # unseen-bigram path (c12=0 -> ln(1)=0) needs only the context
@@ -1052,11 +1062,19 @@ def char_entropy(docs: DataFrame, text_col: str = "text",
     state beyond the count-of-counts."""
     from .hostmath import ln_micro, lookup_df
 
+    # r13 (guide §5): the (doc, char) count table feeds the two
+    # distinct-count LUT collects AND both final-plan branches (sums,
+    # totals) — unpinned, the corpus CHARACTER explode re-ran 4x per
+    # call.  per is the aggregated per-doc-char table (≲ alphabet-size
+    # rows per doc, far below the exploded stream); order-independent
+    # counts: identity-safe pin, released per entry / request / pass.
+    from ..session import track_persist
     ch = F.explode(F.split(F.col(text_col), "")).alias("ch")
-    per = (docs.select(id_col, ch)
-           .filter(F.col("ch") != "")
-           .groupBy(id_col, "ch")
-           .agg(F.count(F.lit(1)).alias("c")))
+    per = track_persist(
+        docs.select(id_col, ch)
+        .filter(F.col("ch") != "")
+        .groupBy(id_col, "ch")
+        .agg(F.count(F.lit(1)).alias("c")))
     totals = per.groupBy(id_col).agg(F.sum("c").alias("n"))
 
     spark = docs.sparkSession
