@@ -151,12 +151,25 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
     return [x for x in out if x]
 
 
+def _paren_inner(expr: str, what: str) -> str:
+    """Text between the first '(' and the LAST ')' — raising
+    MdxParseError (never ValueError/IndexError) when either bracket is
+    missing or reversed, so malformed requests fail the parse contract
+    cleanly (the adversarial fuzz found unbalanced ``CROSSJOIN(`` /
+    ``NONEMPTY(`` forms crashing with stack traces)."""
+    o = expr.find("(")
+    c = expr.rfind(")")
+    if o < 0 or c < o:
+        raise MdxParseError(f"{what}: unbalanced parentheses in {expr!r}")
+    return expr[o + 1:c]
+
+
 def _parse_set(expr: str, properties: bool) -> list[AxisItem]:
     expr = expr.strip()
     up = expr.upper()
 
     if up.startswith("CROSSJOIN"):
-        inner = expr[expr.index("(") + 1:expr.rindex(")")]
+        inner = _paren_inner(expr, "CROSSJOIN")
         parts = _split_top(inner)
         if len(parts) != 2:
             raise MdxParseError(f"CROSSJOIN needs 2 args: {expr!r}")
@@ -175,7 +188,7 @@ def _parse_set(expr: str, properties: bool) -> list[AxisItem]:
                   if up.startswith(f + "(") or up.startswith(f + " (")),
                  None)
     if setop is not None:
-        inner = expr[expr.index("(") + 1:expr.rindex(")")]
+        inner = _paren_inner(expr, setop)
         parts = _split_top(inner)
         if len(parts) != 2:
             raise MdxParseError(f"{setop} needs 2 set args: {expr!r}")
@@ -289,7 +302,7 @@ def _parse_set(expr: str, properties: bool) -> list[AxisItem]:
     fn = next((f for f in ("DESCENDANTS", "ANCESTOR")
                if up.startswith(f + "(") or up.startswith(f + " (")), None)
     if fn is not None:
-        inner = expr[expr.index("(") + 1:expr.rindex(")")]
+        inner = _paren_inner(expr, fn)
         parts = _split_top(inner)
         if len(parts) != 2:
             raise MdxParseError(f"{fn} needs 2 args: {expr!r}")
@@ -350,6 +363,13 @@ def _parse_set(expr: str, properties: bool) -> list[AxisItem]:
         if not members:
             raise MdxParseError(f"empty member set: {expr!r}")
         seg_lists = [_segs(m) for m in members]
+        # same guard as the function-branch above: a malformed member
+        # (e.g. a bare '.&[k' fragment) can segment to FEWER than two
+        # parts, and s[:2] would silently shorten the dims tuple — the
+        # fuzz test caught the unguarded [0][1] as an IndexError
+        if any(len(s) < 2 for s in seg_lists):
+            raise MdxParseError(
+                f"member needs [Dim].[Hier]: {expr!r}")
         dims = {tuple(s[:2]) for s in seg_lists}
         if len(dims) != 1:
             raise MdxParseError(
@@ -663,7 +683,7 @@ def parse_mdx(mdx: str, catalog: str) -> QueryRequest:
                     f"filters (possibly returning fewer rows); write "
                     f"{fn}({outer_filter}(set, ...), ...) to filter "
                     f"the set before the limit instead")
-            inner = rs[rs.index("(") + 1:rs.rindex(")")]
+            inner = _paren_inner(rs, fn)
             parts = _split_top(inner)
             if fn in ("HEAD", "TAIL"):
                 if len(parts) != 2:

@@ -478,7 +478,8 @@ def discover_properties_df(spark: SparkSession) -> DataFrame:
 
 
 def discover_schema_rowsets_df(spark: SparkSession, registry: CubeRegistry,
-                               cube: CubeDef, sf_dir: str) -> DataFrame:
+                               cube: CubeDef, sf_dir: str,
+                               prebuilt: dict | None = None) -> DataFrame:
     """$system.DISCOVER_SCHEMA_ROWSETS: one row per queryable rowset
     with its column list — the view the reference's availability scan
     reconstructs by probing each rowset with ``WHERE 1=0`` and reading
@@ -486,7 +487,16 @@ def discover_schema_rowsets_df(spark: SparkSession, registry: CubeRegistry,
     Here the engine IS the catalog, so the rowset is a driver-side
     enumeration of DMV_BUILDERS plus the DISCOVER family itself; column
     lists come from the builders' declared schemas (schema analysis
-    only — no data job runs)."""
+    only — no data job runs).
+
+    ``prebuilt`` (r13, guide §1.2 per-task work): a {rowset: DataFrame}
+    of already-constructed rowset frames whose ``.columns`` are read
+    instead of rebuilding each frame.  register_dmv_views passes the
+    frames it just registered — constructing MDSCHEMA_MEMBERS alone is
+    a 16-hierarchy union costing ~1.8 s of py4j plan construction, and
+    without sharing every register call built it (and every other
+    rowset) twice.  Column lists are identical either way."""
+    prebuilt = prebuilt or {}
     builders = {
         "DBSCHEMA_CATALOGS": lambda: catalogs_df(spark, registry),
         "MDSCHEMA_CUBES": lambda: cubes_df(spark, registry),
@@ -498,7 +508,8 @@ def discover_schema_rowsets_df(spark: SparkSession, registry: CubeRegistry,
         "MDSCHEMA_PROPERTIES": lambda: properties_df(spark, cube),
     }
     rows = [Row(SCHEMA_NAME=name,
-                SCHEMA_COLUMNS=",".join(b().columns),
+                SCHEMA_COLUMNS=",".join(
+                    (prebuilt[name] if name in prebuilt else b()).columns),
                 RESTRICTIONS=True,
                 DESCRIPTION=_ROWSET_DESCRIPTIONS[name])
             for name, b in builders.items()]
@@ -554,25 +565,26 @@ def register_dmv_views(spark: SparkSession, registry: CubeRegistry,
     (temp views are session-global and the HTTP server is threaded).
     ``jobs``: the JobRegistry backing DISCOVER_SESSIONS (empty rowset
     when omitted)."""
-    catalogs_df(spark, registry).createOrReplaceTempView(
-        f"{prefix}_DBSCHEMA_CATALOGS")
-    cubes_df(spark, registry).createOrReplaceTempView(
-        f"{prefix}_MDSCHEMA_CUBES")
-    dimensions_df(spark, cube).createOrReplaceTempView(
-        f"{prefix}_MDSCHEMA_DIMENSIONS")
-    hierarchies_df(spark, cube).createOrReplaceTempView(
-        f"{prefix}_MDSCHEMA_HIERARCHIES")
-    levels_df(spark, cube).createOrReplaceTempView(
-        f"{prefix}_MDSCHEMA_LEVELS")
-    measures_df(spark, cube).createOrReplaceTempView(
-        f"{prefix}_MDSCHEMA_MEASURES")
-    properties_df(spark, cube).createOrReplaceTempView(
-        f"{prefix}_MDSCHEMA_PROPERTIES")
-    members_df(spark, cube, sf_dir).createOrReplaceTempView(
-        f"{prefix}_MDSCHEMA_MEMBERS")
+    # Build each rowset frame ONCE and share it with the
+    # DISCOVER_SCHEMA_ROWSETS column enumeration (r13: the members
+    # union alone is ~1.8 s of py4j plan construction; every register
+    # call used to pay it — and every other rowset build — twice).
+    built = {
+        "DBSCHEMA_CATALOGS": catalogs_df(spark, registry),
+        "MDSCHEMA_CUBES": cubes_df(spark, registry),
+        "MDSCHEMA_DIMENSIONS": dimensions_df(spark, cube),
+        "MDSCHEMA_HIERARCHIES": hierarchies_df(spark, cube),
+        "MDSCHEMA_LEVELS": levels_df(spark, cube),
+        "MDSCHEMA_MEASURES": measures_df(spark, cube),
+        "MDSCHEMA_PROPERTIES": properties_df(spark, cube),
+        "MDSCHEMA_MEMBERS": members_df(spark, cube, sf_dir),
+    }
+    for name, df in built.items():
+        df.createOrReplaceTempView(f"{prefix}_{name}")
     mdschema_functions_df(spark).createOrReplaceTempView(
         f"{prefix}_MDSCHEMA_FUNCTIONS")
-    discover_schema_rowsets_df(spark, registry, cube, sf_dir) \
+    discover_schema_rowsets_df(spark, registry, cube, sf_dir,
+                               prebuilt=built) \
         .createOrReplaceTempView(f"{prefix}_DISCOVER_SCHEMA_ROWSETS")
     discover_sessions_df(spark, jobs).createOrReplaceTempView(
         f"{prefix}_DISCOVER_SESSIONS")
