@@ -398,11 +398,22 @@ def dsir_importance_weights(docs: DataFrame, target_cond,
         .cast("bigint") % n_buckets)
     feats = feats.select(id_col, "_is_target", bucket.alias("bucket"))
 
-    doc_counts = feats.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("c"))
-    corpus = feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ct"))
+    # r13 (guide §5 + §2.3): the per-bucket corpus totals are derived
+    # FROM the per-doc-bucket counts instead of re-aggregating the
+    # token-scale feature explode — _is_target is constant per doc, so
+    # carrying it as a grouping key changes no count, and
+    # cr = Σc / ct = Σc|target per bucket are the same integers the
+    # direct aggregation produced.  doc_counts (≤ docs × n_buckets slim
+    # rows) is pinned because it feeds BOTH the eager LLR collect and
+    # the returned plan — unpinned, the explode ran twice per call.
+    from ..session import track_persist
+    doc_counts = track_persist(
+        feats.groupBy(id_col, "_is_target", "bucket").agg(
+            F.count(F.lit(1)).alias("c")))
+    corpus = doc_counts.groupBy("bucket").agg(
+        F.sum("c").alias("cr"),
+        F.sum(F.when(F.col("_is_target"), F.col("c"))
+              .otherwise(0)).alias("ct"))
     # n_buckets rows + two scalars: collect, freeze the llr on the
     # driver with the fixed-op ln (fixedlog.py — libm-free, so the
     # frozen value is identical on ANY engine/host), op-for-op the
