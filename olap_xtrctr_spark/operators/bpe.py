@@ -86,7 +86,8 @@ def train_bpe(docs: DataFrame, num_merges: int = 24,
     merges = [(rank, left, right, pair_count)] in learn order;
     final_syms = the (word, freq, syms) table after all merges (the
     trained segmentation of the observed vocabulary)."""
-    syms = _initial_symbols(word_counts(docs, text_col)).localCheckpoint()
+    ckpt = _initial_symbols(word_counts(docs, text_col)).localCheckpoint()
+    syms = ckpt
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(num_merges):
         top = (_pair_counts(syms)
@@ -100,7 +101,19 @@ def train_bpe(docs: DataFrame, num_merges: int = 24,
         syms = syms.withColumn("syms",
                                _apply_merge(F.col("syms"), left, right))
         if (rank + 1) % checkpoint_every == 0:
-            syms = syms.localCheckpoint()
+            # a new checkpoint holds the merged data; the previous
+            # one's blocks are unreachable from the new lineage, so
+            # free them now instead of waiting for driver-side GC to
+            # reach the ContextCleaner (ADVICE r13 — a long-lived
+            # session otherwise accumulates one superseded vocab copy
+            # per checkpoint interval per training run)
+            new = syms.localCheckpoint()
+            ckpt.unpersist(blocking=False)
+            syms = ckpt = new
+    # the returned plan still reads the LAST live checkpoint; hand the
+    # caller its handle so it can free the blocks once it has drained
+    # the symbols table (collect / write) — see docs_segments._trained
+    syms._sgr_ckpt = ckpt
     return merges, syms
 
 

@@ -47,23 +47,76 @@ from .cube import CubeDef, CubeRegistry, Dimension, Hierarchy, Level, Measure
 # the FACT: cube_nation_sales built a 600k-row hash relation of lineitem
 # and streamed the 150k-row orders bridge — inverted locally, fatal at
 # real scale.  Policy (measured, see OPTIMIZATION_r13.md):
-#   "hint"   — broadcast-hint the view side.  Right whenever every dim
-#              view is bounded; wrong for SF-growing bridge views
-#              (orders_wide) at 100 TB.
+#   "hint"   — broadcast-hint the view side, SIZE-GATED (r14, VERDICT
+#              r13 item 4): the unconditional r13 hint was the
+#              local-mode winner but would broadcast an SF-growing
+#              bridge view (orders_wide at 100 TB) just the same.  The
+#              gate cannot use the view's own Catalyst estimate — path
+#              tables carry no CBO stats, so join views estimate as
+#              row-count PRODUCTS (orders_wide "estimates" 2.7 EB at
+#              sf0.1 while actually being ~150k rows; gating on that
+#              would deny every hint and reinstate the fact
+#              broadcast).  Instead the gate sums the view's LEAF
+#              relation estimates — the parquet scan footprint, which
+#              is real (file-size-based), an upper bound on a
+#              FK-join view's output bytes before projection, and
+#              grows with the fact for bridge views.  Under the gate
+#              (default: the session's autoBroadcastJoinThreshold;
+#              SPARK_GRAFT_DIM_HINT_MAX_BYTES overrides) the view is
+#              broadcast-hinted; over it, the join is pinned to
+#              sort-merge ("merge" hint) so the product-inflated /
+#              inverted static estimates can't broadcast EITHER side,
+#              and AQE still coalesces and skew-splits at runtime.
 #   "aqe"    — no hint; defer every estimate-based broadcast to AQE's
-#              runtime sizes (session sets the static
-#              autoBroadcastJoinThreshold to -1).
+#              runtime sizes.
 #   "off"    — pre-r13 behavior (static estimates decide).
-# Local default "hint" keeps the driver's bench comparable; production
-# at 100 TB should run SPARK_GRAFT_DIM_JOIN=aqe, where runtime sizes —
-# not estimates — pick the build side per join.
 import os as _os
 
 _DIM_JOIN_MODE = _os.environ.get("SPARK_GRAFT_DIM_JOIN", "hint")
 
+# gate decisions memoized per (applicationId, cube, view, sf_dir): the
+# leaf walk costs a handful of py4j round-trips and the answer is a
+# pure function of the registered view + the files under sf_dir
+_DIM_HINT_GATE: dict[tuple, bool] = {}
 
-def _dim_join_side(view: DataFrame) -> DataFrame:
-    return F.broadcast(view) if _DIM_JOIN_MODE == "hint" else view
+
+def _leaf_scan_bytes(view: DataFrame) -> int:
+    """Sum of Catalyst size estimates over the view plan's LEAF
+    relations — for file sources this is the (compression-adjusted)
+    scan footprint, the honest size signal the join-product estimate
+    destroys (see policy comment)."""
+    leaves = view._jdf.queryExecution().optimizedPlan().collectLeaves()
+    return sum(int(leaves.apply(i).stats().sizeInBytes())
+               for i in range(leaves.size()))
+
+
+def _hint_gate_bytes(spark) -> int:
+    env = _os.environ.get("SPARK_GRAFT_DIM_HINT_MAX_BYTES")
+    if env is not None:
+        return int(env)
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                         "10485760")
+    try:
+        return int(spark._jvm.org.apache.spark.network.util.JavaUtils
+                   .byteStringAsBytes(raw))
+    except Exception:
+        return 10 * 1024 * 1024
+
+
+def _dim_join_side(view: DataFrame, gate_key: tuple | None = None) -> DataFrame:
+    if _DIM_JOIN_MODE != "hint":
+        return view
+    allowed = _DIM_HINT_GATE.get(gate_key) if gate_key else None
+    if allowed is None:
+        spark = view.sparkSession
+        gate = _hint_gate_bytes(spark)
+        try:
+            allowed = gate > 0 and _leaf_scan_bytes(view) <= gate
+        except Exception:       # plan shape the leaf walk can't read —
+            allowed = True      # keep the r13 behavior for it
+        if gate_key:
+            _DIM_HINT_GATE[gate_key] = allowed
+    return F.broadcast(view) if allowed else view.hint("merge")
 
 # Reference guard constants (BASELINE.md)
 CARDINALITY_WARN_THRESHOLD = 100_000
@@ -1034,7 +1087,10 @@ class CubeQueryEngine:
             if dim.view is not None:
                 needed.setdefault(dim.view, dim)
         for view_name, dim in needed.items():
-            view = _dim_join_side(self._view(cube, view_name))
+            view = _dim_join_side(
+                self._view(cube, view_name),
+                (self.spark.sparkContext.applicationId,
+                 cube.name, view_name, self.sf_dir))
             joined = joined.join(
                 view, F.col(dim.fact_key) == view[dim.view_key],
                 "inner")
@@ -1334,7 +1390,10 @@ class CubeQueryEngine:
 
         joined = fact
         for view_name, dim in needed_views.items():
-            view = _dim_join_side(self._view(cube, view_name))
+            view = _dim_join_side(
+                self._view(cube, view_name),
+                (self.spark.sparkContext.applicationId,
+                 cube.name, view_name, self.sf_dir))
             joined = joined.join(
                 view, F.col(dim.fact_key) == view[dim.view_key], "inner")
 

@@ -235,13 +235,50 @@ def _tracked_list() -> list[DataFrame]:
 
 def track_persist(df: DataFrame, storage_level=None) -> DataFrame:
     """persist() + register on the CALLING THREAD's release list.
-    Returns the same df."""
+    Returns the same df.
+
+    Release contract (ADVICE r13): pins accumulate until the calling
+    thread releases them.  Request-scoped hosts do this already (the
+    HTTP service per request, the workload runner per entry, bench.py
+    per timed pass); DIRECT library callers — notebooks, scripts —
+    should wrap each unit of work in :func:`tracked_cache_scope` (or
+    call :func:`release_tracked_caches` themselves), otherwise every
+    pinning operator call leaves a MEMORY_AND_DISK intermediate cached
+    until the session stops."""
     if storage_level is None:
         from pyspark import StorageLevel
         storage_level = StorageLevel.MEMORY_AND_DISK
     df.persist(storage_level)
     _tracked_list().append(df)
     return df
+
+
+from contextlib import contextmanager as _contextmanager
+
+
+@_contextmanager
+def tracked_cache_scope():
+    """Scope for direct library callers: releases every pin registered
+    on the calling thread INSIDE the ``with`` block, leaving pins made
+    before it untouched (scopes nest).  Example::
+
+        with tracked_cache_scope():
+            minhash_lsh_pairs(docs).count()
+        # the signature-table pin is unpersisted here
+
+    Request-scoped hosts (HTTP service, workload runner, bench) release
+    in bulk via :func:`release_tracked_caches` instead."""
+    pins = _tracked_list()
+    mark = len(pins)
+    try:
+        yield
+    finally:
+        while len(pins) > mark:
+            df = pins.pop()
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass    # session already stopped — nothing to free
 
 
 def release_tracked_caches() -> int:

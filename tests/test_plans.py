@@ -721,3 +721,56 @@ def test_refine_with_missing_neighbors_fails_loudly(spark, sf_dir):
     ok = S.ivfpq_query_index(spark, d, q, k=3, n_probe=5,
                              refine_with=emb, refine=32).collect()
     assert len(ok) > 0
+
+
+def _broadcast_ancestors(plan: str, scan_substr: str) -> bool:
+    """True when the named parquet scan sits under a BroadcastExchange
+    in the plan tree (i.e. that table is a broadcast build side)."""
+    lines = plan.splitlines()
+    idx = next(i for i, l in enumerate(lines)
+               if "Scan parquet" in l and scan_substr in l)
+
+    def node_depth(line: str) -> int:
+        m = re.search(r"[+:]- ", line)
+        return m.start() if m else -1     # -1 = root
+
+    d = node_depth(lines[idx])
+    for i in range(idx - 1, -1, -1):
+        di = node_depth(lines[i])
+        if di < d:                        # an ancestor of the scan
+            if "BroadcastExchange" in lines[i]:
+                return True
+            d = di
+            if d <= 0:
+                break
+    return False
+
+
+def test_dim_hint_gate_denies_grown_bridge_view(spark, sf_dir, monkeypatch):
+    """VERDICT r13 item 4: the fact⋈view broadcast hint is size-gated
+    on the view's real leaf scan footprint.  When a bridge view has
+    outgrown the gate — here simulated by shrinking the gate below the
+    view's footprint, the exact signal an SF-grown orders_wide produces
+    at 100 TB — the view must NOT be broadcast, and the inverted static
+    estimates must not broadcast the FACT either (the r12 disease): the
+    fact⋈view join pins to sort-merge.  With the gate at its default,
+    the r13 behavior (view broadcast, fact streamed) must hold."""
+    from olap_xtrctr_spark import query as Q
+    eng = CubeQueryEngine(spark, default_registry(), sf_dir)
+    req = QueryRequest(
+        "VENTAS_2025", measures=["Sum Extendedprice"],
+        rows=[AxisItem("Dim Customer", "Geografía", level="Nation")])
+
+    monkeypatch.setenv("SPARK_GRAFT_DIM_HINT_MAX_BYTES", "64")
+    Q._DIM_HINT_GATE.clear()
+    denied = _plan(eng.execute(req))
+    assert "SortMergeJoin" in denied            # fact⋈view pinned to SMJ
+    assert not _broadcast_ancestors(denied, "lineitem")
+    assert not _broadcast_ancestors(denied, "customer")
+
+    monkeypatch.delenv("SPARK_GRAFT_DIM_HINT_MAX_BYTES")
+    Q._DIM_HINT_GATE.clear()
+    allowed = _plan(eng.execute(req))
+    assert "SortMergeJoin" not in allowed       # r13 shape intact
+    assert _broadcast_ancestors(allowed, "customer")
+    assert not _broadcast_ancestors(allowed, "lineitem")
