@@ -61,7 +61,23 @@ def shingle_docs(docs: DataFrame, text_col: str = "text",
 
     ``distinct=True`` dedups per-(doc, shingle) via array_distinct
     INSIDE the row — shuffle-free, unlike the old global distinct()
-    (a (doc, shingle) pair can only repeat within its own doc)."""
+    (a (doc, shingle) pair can only repeat within its own doc).
+
+    r14 gram-kernel sweep result (guide §1 measure-first, recorded so
+    later rounds don't redo it): routing THIS function through the
+    Arrow gram kernel was A/B'd on the real entries and LOST —
+    docs_ngram_novelty 1.71 -> 2.02 s, docs_contamination_check
+    0.51 -> 0.83 s, docs_containment_pairs_prefix 9.9 -> 12.1 s
+    (scripts/gram_sweep_probe.py, alternating passes).  The r13
+    pair-core kernel win was the 1:1 replacement of the chain inside a
+    SINGLE pass feeding one aggregate; shingle_docs consumers either
+    re-evaluate the gram subtree per consumer (novelty's first-owner
+    join-back, contamination's two sides) or materialize every gram
+    row into a cache pin (prefix), and each re-evaluation /
+    materialization re-pays the Python boundary the JVM chain doesn't
+    have.  So the zip_with chain stays for BOTH distinct modes (the
+    distinct=False minhash case lost its own A/B in r13,
+    0.99 -> 1.16 s)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     d = docs.select(F.col(id_col), toks.alias("_t"))
     expr = gram_zip_expr("_t", n, short="whole", distinct=distinct)
@@ -186,28 +202,92 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                   .select("id_a", "id_b", "est_jaccard"))
 
 
+def _simhash_kernel(docs: DataFrame, text_col: str, id_col: str,
+                    hash_sql: str, bits: int) -> DataFrame:
+    """(id, simhash): per-doc SimHash computed in ONE rowwise
+    projection with ZERO exchanges (r14, guide §2.4 + §4.2) — the
+    replacement for the explode + ``bits``-conditional-SUM groupBy
+    form, which paid a full-corpus shuffle and ``bits`` interpreted
+    vote expressions PER TOKEN to rebuild information that never
+    leaves its own row.
+
+    Token hashes are computed IN THE JVM by the exact hash expression
+    the exploded form used (``hash_sql`` over each element of
+    ``split(trim(lower(text)), '\\s+')``), so every int64 crossing the
+    Arrow boundary is value-identical; the kernel does only exact
+    integer bit-votes with NumPy (bit i of the signature is set iff
+    strictly more tokens carry bit i than not — ``votes > 0``, ties
+    negative, matching the SQL form and the DuckDB oracle).  Bit 63,
+    when present, lands as the int64 sign bit via a two's-complement
+    view — the same value the expression form's ``-(2^63)`` term
+    produced.  NULL-text docs emit no row and zero-token arrays are
+    impossible for non-null text (split always yields >= 1 element),
+    both matching explode semantics; the guard below keeps the kernel
+    total anyway.  Pinned bit-identical to the expression twin by
+    tests/test_operators.py::test_simhash_kernel_matches_expression_twin.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    id_type = docs.select(id_col).schema[0].dataType.simpleString()
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = (docs.select(F.col(id_col).alias("_id"), toks.alias("_t"))
+             .select("_id", F.expr(
+                 f"transform(_t, t -> {hash_sql})").alias("_hs")))
+
+    weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+
+    def build(batches):
+        for b in batches:
+            arr = b.column(1)
+            keep = pc.and_(pc.is_valid(arr),
+                           pc.greater(pc.list_value_length(arr), 0))
+            if not pc.all(keep).as_py():
+                b = b.filter(keep)
+                arr = b.column(1)
+            n = len(arr)
+            if n == 0:
+                yield pa.record_batch(
+                    [b.column(0), pa.array([], pa.int64())],
+                    names=["_id", "simhash"])
+                continue
+            lens = pc.list_value_length(arr).to_numpy().astype(np.int64)
+            flat = (pc.list_flatten(arr)
+                    .to_numpy(zero_copy_only=False).astype(np.uint64))
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sig_u = np.zeros(n, dtype=np.uint64)
+            for i in range(bits):
+                bit = ((flat >> np.uint64(i)) & np.uint64(1)) \
+                    .astype(np.int64)
+                ones = np.add.reduceat(bit, starts)
+                # votes = ones - (lens - ones) > 0  <=>  2*ones > lens
+                sig_u |= np.where(2 * ones > lens, weights[i],
+                                  np.uint64(0))
+            yield pa.record_batch(
+                [b.column(0), pa.array(sig_u.view(np.int64), pa.int64())],
+                names=["_id", "simhash"])
+
+    return (d.mapInArrow(build, f"_id {id_type}, simhash bigint")
+             .select(F.col("_id").alias(id_col), "simhash"))
+
+
+_XXHASH64_TOKEN_SQL = "xxhash64(t)"
+_MD5_60BIT_TOKEN_SQL = \
+    "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+
+
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per-bit sign sums of token
-    hashes, all via explode + groupBy (map-side combinable)."""
-    toks = docs.select(
-        id_col, F.explode(F.split(F.trim(F.lower(F.col(text_col))),
-                                  r"\s+")).alias("tok"))
-    h = F.xxhash64("tok")
-    # bit i of the token hash → +1/-1 vote
-    votes = [
-        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
-               .otherwise(-1)).alias(f"v{i}")
-        for i in range(bits)
-    ]
-    agg = toks.groupBy(id_col).agg(*votes)
-    sig = sum([
-        F.when(F.col(f"v{i}") > 0,
-               F.lit(1).cast("long") * (2 ** i if i < 63 else -(2 ** 63)))
-         .otherwise(0)
-        for i in range(bits)
-    ])
-    return agg.select(id_col, sig.alias("simhash"))
+    hashes.  r14: computed by the zero-exchange Arrow kernel
+    (``_simhash_kernel``) — the pre-r14 explode + 64-conditional-SUM
+    groupBy shuffled the whole token stream to rebuild per-doc state
+    that never leaves its row; the kernel form is bit-identical
+    (twin-test-pinned) and deletes that exchange outright."""
+    return _simhash_kernel(docs, text_col, id_col,
+                           _XXHASH64_TOKEN_SQL, bits)
 
 
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
@@ -1604,28 +1684,17 @@ def simhash_near_pairs_md5(docs: DataFrame, text_col: str = "text",
         raise ValueError(f"n_blocks ({n_blocks}) must divide bits "
                          f"({bits})")
     width = bits // n_blocks
-    toks = docs.select(
-        id_col, F.explode(F.split(F.trim(F.lower(F.col(text_col))),
-                                  r"\s+")).alias("tok"))
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10) \
-        .cast("bigint")
-    toks = toks.select(id_col, h.alias("_h"))
-    # integer DIV, not `/`: double division loses bits above 2^53
-    votes = [
-        F.sum(F.when(F.expr(f"(_h DIV {2 ** i}) % 2") == 1, 1)
-               .otherwise(-1)).alias(f"v{i}")
-        for i in range(bits)
-    ]
-    agg = toks.groupBy(id_col).agg(*votes)
-    sig = sum([
-        F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long"))
-         .otherwise(F.lit(0).cast("long"))
-        for i in range(bits)
-    ])
+    # r14: signature via the zero-exchange Arrow kernel (same rework
+    # as the xxhash64 fast path — see _simhash_kernel; the md5-derived
+    # 60-bit token hash is still computed in the JVM, so every value
+    # the DuckDB oracle recomputes is bit-identical).  The pre-r14
+    # explode + 60-conditional-SUM groupBy paid a full token-stream
+    # exchange per signature evaluation.
     # r13 (guide §5): same one-materialization pin as the xxhash64
-    # variant — the 60-vote aggregate feeds both block-join sides
+    # variant — the signature feeds both block-join sides.
     from ..session import track_persist
-    sigs = track_persist(agg.select(id_col, sig.alias("simhash")))
+    sigs = track_persist(_simhash_kernel(docs, text_col, id_col,
+                                         _MD5_60BIT_TOKEN_SQL, bits))
     blocks = F.array(*[
         F.struct(F.lit(i).alias("blk_id"),
                  F.expr(f"(simhash DIV {2 ** (i * width)}) "

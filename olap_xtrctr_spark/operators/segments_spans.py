@@ -16,7 +16,20 @@ def stride1_grams(docs: DataFrame, k: int, text_col: str,
     ZERO shuffles; the old lead-window form paid a doc-keyed
     full-corpus exchange before the consumer's own.  posexplode keeps
     the 0-based window position; docs shorter than k emit nothing
-    (complete windows only), as before."""
+    (complete windows only), as before.
+
+    r14 gram-kernel sweep result (recorded so later rounds don't redo
+    it): an Arrow-kernel form of this function (positional sibling of
+    dedup._gram_rows_kernel) was built, twin-verified bit-identical,
+    and A/B'd on the real entries — and LOST or tied everywhere except
+    docs_contamination_spans (5 alternating passes, sf0.1:
+    duplicate_spans 0.50 -> 0.54 s med, duplicate_span_strip
+    0.76 -> 0.93 s, winnow_span_dedup flat, contamination_spans
+    0.54 -> 0.46 s).  Same finding as the shingle_docs sweep: the
+    Python boundary only pays for itself when the kernel replaces the
+    chain 1:1 into a single aggregating consumer (the r13 pair core);
+    the span family's downstream windows dominate and the boundary is
+    pure overhead.  The zip_with chain stays."""
     if k < 2:
         raise ValueError("duplicate_span_removal needs k >= 2 "
                          "(k=1 would mark every repeated token)")

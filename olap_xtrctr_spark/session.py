@@ -77,6 +77,15 @@ def get_spark(app_name: str = "olap-xtrctr-spark") -> SparkSession:
                                _default_driver_mem()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # Pin the JVM default locale (ADVICE r13): JVM
+        # String.toLowerCase() — what SQL lower() falls back to for
+        # non-ASCII — is default-locale-dependent (a Turkish default
+        # maps 'I' to dotless ı), while the Arrow gram kernel lowers
+        # with Python's locale-independent str.lower().  en-US keeps
+        # the two case-folding paths byte-identical (pinned by
+        # test_gram_kernel_matches_expression_twin's non-ASCII cases).
+        .config("spark.driver.extraJavaOptions",
+                "-Duser.language=en -Duser.country=US")
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as long and convert (see load_events)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -2751,7 +2751,16 @@ def test_gram_kernel_matches_expression_twin(spark, sf_dir):
     edge = spark.createDataFrame(
         [(1, None), (2, ""), (3, "   "), (4, "\tx y"), (5, "a"),
          (6, "a b"), (7, "a b c"), (8, "a  b\tc \n d"),
-         (9, "a b a b a b a b"), (10, "A B C a b c")],
+         (9, "a b a b a b a b"), (10, "A B C a b c"),
+         # ADVICE r13: non-ASCII case folding — the kernel's Python
+         # str.lower() must match the JVM's (locale-pinned in
+         # get_spark): Turkish dotted İ (lowers to i + combining dot),
+         # dotless ı, German ß / capital ẞ, Greek final-sigma context,
+         # full-width Latin, precomposed accents
+         (11, "İSTANBUL Iı ÖĞLE ẞtraße STRAßE"),
+         (12, "ΟΔΟΣ ΣΟΦΙΑΣ Σίσυφος"),
+         (13, "ＦＵＬＬＷＩＤＴＨ Ａ Ｂ ＣＡＳＥ"),
+         (14, "ÉCOLE Ñoño ČESKÁ Ŀl")],
         T.StructType([T.StructField("doc_id", T.LongType()),
                       T.StructField("text", T.StringType())]))
 
@@ -2795,3 +2804,60 @@ def test_multi_entry_workload_run_leaves_zero_tracked_pins(spark, sf_dir):
     assert outer.storageLevel != pyspark.StorageLevel.NONE
     S.release_tracked_caches()
     assert len(S._tracked_list()) == 0
+
+
+def test_simhash_kernel_matches_expression_twin(spark, sf_dir):
+    """The r14 simhash Arrow kernel (`_simhash_kernel`) emits the
+    exact (id, simhash) rows of the pre-r14 explode + per-bit
+    conditional-SUM groupBy form, for BOTH hash families (xxhash64/64
+    bits and md5-60/60 bits), over the real documents table and the
+    edge corpus (NULL text -> no row, whitespace-only -> hash of the
+    empty token, ties vote negative)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from olap_xtrctr_spark.operators.dedup import (_MD5_60BIT_TOKEN_SQL,
+                                                   _XXHASH64_TOKEN_SQL,
+                                                   _simhash_kernel)
+    from olap_xtrctr_spark.session import load_table
+
+    def twin(docs, h, bits):
+        toks = docs.select(
+            "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                        r"\s+")).alias("tok"))
+        toks = toks.select("doc_id", h.alias("_h"))
+        votes = [
+            F.sum(F.when(F.expr(f"(_h DIV {2 ** i}) % 2") != 0, 1)
+                   .otherwise(-1)).alias(f"v{i}")
+            if bits == 60 else
+            F.sum(F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1,
+                         1).otherwise(-1)).alias(f"v{i}")
+            for i in range(bits)
+        ]
+        agg = toks.groupBy("doc_id").agg(*votes)
+        sig = sum([
+            F.when(F.col(f"v{i}") > 0,
+                   F.lit(1).cast("long")
+                   * (2 ** i if i < 63 else -(2 ** 63)))
+             .otherwise(0)
+            for i in range(bits)
+        ])
+        return agg.select("doc_id", sig.alias("simhash"))
+
+    edge = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "\tx y"), (5, "a"),
+         (6, "a b a b"), (7, "A B C a b c"), (8, "x\ty \n z"),
+         (9, "İSTANBUL ẞtraße ΣΟΦΙΑΣ Ｆｕｌｌ")],
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("text", T.StringType())]))
+
+    xx_h = F.xxhash64("tok")
+    md5_h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10) \
+        .cast("bigint")
+    for docs in (load_table(spark, sf_dir, "documents"), edge):
+        for h, sql, bits in ((xx_h, _XXHASH64_TOKEN_SQL, 64),
+                             (md5_h, _MD5_60BIT_TOKEN_SQL, 60)):
+            ker = _simhash_kernel(docs, "text", "doc_id", sql, bits)
+            tw = twin(docs, h, bits)
+            assert ker.exceptAll(tw).count() == 0
+            assert tw.exceptAll(ker).count() == 0

@@ -307,3 +307,4 @@ def test_stream_span_dedup_bucketed_idempotent_rerun(spark, sf_dir):
     second = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert first == second
     assert first  # non-empty report
+
