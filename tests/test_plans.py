@@ -774,3 +774,26 @@ def test_dim_hint_gate_denies_grown_bridge_view(spark, sf_dir, monkeypatch):
     assert "SortMergeJoin" not in allowed       # r13 shape intact
     assert _broadcast_ancestors(allowed, "customer")
     assert not _broadcast_ancestors(allowed, "lineitem")
+
+
+def test_simhash_signature_zero_exchange_kernel(spark, sf_dir):
+    """r14 structural pin: the simhash signature (both hash families)
+    is ONE rowwise projection — a MapInArrow stage over the pruned
+    (id, text) scan with NO Exchange and NO aggregate; the pre-r14
+    explode + per-bit conditional-SUM groupBy paid a full token-stream
+    shuffle here."""
+    from olap_xtrctr_spark.operators.dedup import (_MD5_60BIT_TOKEN_SQL,
+                                                   _XXHASH64_TOKEN_SQL,
+                                                   _simhash_kernel)
+    from olap_xtrctr_spark.session import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    for sql, bits in ((_XXHASH64_TOKEN_SQL, 64),
+                      (_MD5_60BIT_TOKEN_SQL, 60)):
+        plan = _plan(_simhash_kernel(docs, "text", "doc_id", sql, bits))
+        assert "MapInArrow" in plan
+        # the loader's round-robin rebalance of the single-row-group
+        # test file is the only allowed exchange; the operator itself
+        # must add none (no hash/single-partition exchange, no agg)
+        assert "hashpartitioning" not in plan
+        assert "SinglePartition" not in plan
+        assert "HashAggregate" not in plan and "SortAggregate" not in plan
